@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog layer: registers the driver-generated parquet tables
+  * (TESTDATA.md / FIXTURES.md) as temp views and applies session tuning.
+  *
+  * Mirrors the reference's master-held catalog (GreengageDB keeps all
+  * metadata on the QD, reference `src/backend/catalog/`); here the
+  * "catalog" is the Spark session catalog over immutable parquet — the
+  * Spark-native analog of AOCS column store (reference
+  * `src/backend/access/aocs/aocsam.c:156` per-column compression ==
+  * parquet column chunks).
+  *
+  * Scale note: registration is pure metadata — no data is read here, no
+  * collect. All schema handling (the events nanos fix) stays inside the
+  * scan projection so it is codegen'd and pushdown-friendly.
+  */
+object Tables {
+
+  val tpch: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val pipeline: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = tpch ++ pipeline
+
+  /** Session tuning applied to any session we run queries in. Values are
+    * runtime-settable SQL confs (safe post-startup). */
+  def tune(spark: SparkSession): Unit = {
+    val c = spark.conf
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.adaptive.enabled", "true")
+    // events.parquet stores timestamp[ns]; read as long nanos, convert
+    // explicitly (see register()) — avoids a silent nanos->micros cast.
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // PG-style strict semantics (SURVEY §7.3): error on overflow/div0.
+    c.set("spark.sql.ansi.enabled", "true")
+  }
+
+  /** Raw table reader. `events.ts` arrives as long nanoseconds (parquet
+    * timestamp[ns]); convert with integer division — going through double
+    * would lose precision above 2^53 ns (~epoch 1970+104 days). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  private var registeredFor: Option[(SparkSession, String)] = None
+
+  /** Register every fixture table as a temp view + custom functions.
+    * Idempotent; memoized per (session, sfDir). */
+  def register(spark: SparkSession, sfDir: String): Unit = synchronized {
+    if (!registeredFor.contains((spark, sfDir))) {
+      tune(spark)
+      graft.functions.GraftFunctions.register(spark)
+      all.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
+      registeredFor = Some((spark, sfDir))
+    }
+  }
+}

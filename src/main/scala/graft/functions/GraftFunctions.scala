@@ -1,0 +1,276 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure helpers invoked from both interpreted eval and generated code.
+  * (An `object` with no companion class gets static forwarders, so
+  * codegen can call `graft.functions.GraftStrings.m(...)` directly.)
+  */
+object GraftStrings {
+
+  /** Character-trigram Jaccard similarity, our analog of pg_trgm's
+    * `similarity()` (reference `contrib/pg_trgm/trgm_op.c`). Semantics
+    * (documented, matched by the SQL oracle): lowercase the string, pad
+    * with two leading and one trailing space, take all distinct char
+    * 3-grams, jaccard = |A∩B| / |A∪B|.
+    */
+  def trigramSimilarity(a: String, b: String): Double = {
+    val ga = trigrams(a)
+    val gb = trigrams(b)
+    var inter = 0
+    val it = ga.iterator()
+    while (it.hasNext) { if (gb.contains(it.next())) inter += 1 }
+    val union = ga.size + gb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  private def trigrams(s: String): java.util.HashSet[String] = {
+    val p = "  " + s.toLowerCase(java.util.Locale.ROOT) + " "
+    val out = new java.util.HashSet[String](math.max(8, p.length * 2))
+    var i = 0
+    while (i + 3 <= p.length) { out.add(p.substring(i, i + 3)); i += 1 }
+    out
+  }
+
+  /** 64-bit SimHash over whitespace tokens (FNV-1a token hashes, bitwise
+    * majority vote). Standard construction (Charikar 2002); near-dup docs
+    * yield small Hamming distance. Deterministic, no external hash deps.
+    */
+  def simhash64(s: String): Long = {
+    val votes = new Array[Int](64)
+    var start = 0
+    val n = s.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) {
+          var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+          var j = start
+          while (j < i) { h ^= s.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+            bit += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  private val stopwords: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "that", "with", "for"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "los", "con"),
+    "fr" -> Set("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "eine"))
+
+  /** Tiny n-gram/stopword language-ID heuristic (en/es/fr/de + zh via CJK
+    * codepoints). Capability analog of text classifiers a training-data
+    * pipeline runs; deliberately dependency-free.
+    */
+  def langId(s: String): UTF8String = {
+    var cjk = 0; var total = 0
+    var i = 0
+    while (i < s.length && i < 4000) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) {
+        total += 1
+        if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+      }
+      i += 1
+    }
+    if (total > 0 && cjk * 5 >= total) return UTF8String.fromString("zh")
+    val toks = s.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    var best = "en"; var bestScore = -1
+    stopwords.foreach { case (lang, words) =>
+      val score = toks.count(words.contains)
+      if (score > bestScore) { bestScore = score; best = lang }
+    }
+    UTF8String.fromString(best)
+  }
+}
+
+/** `linear_interpolate(x, x0, y0, x1, y1)` — gap-fill interpolation, the
+  * reference's `linear_interpolate` (`src/backend/utils/adt/interpolate.c:234`).
+  * RuntimeReplaceable: rewrites to built-in arithmetic so it rides
+  * whole-stage codegen for free. Degenerate x0==x1 → y0 (matches the
+  * reference's `linear_interpolate` returning y0 when the abscissas
+  * coincide).
+  */
+case class LinearInterpolate(
+    x: Expression, x0: Expression, y0: Expression,
+    x1: Expression, y1: Expression,
+    replacement: Expression)
+  extends RuntimeReplaceable with InheritAnalysisRules {
+
+  def this(x: Expression, x0: Expression, y0: Expression,
+           x1: Expression, y1: Expression) =
+    this(x, x0, y0, x1, y1, LinearInterpolate.rewrite(x, x0, y0, x1, y1))
+
+  override def parameters: Seq[Expression] = Seq(x, x0, y0, x1, y1)
+  override def prettyName: String = "linear_interpolate"
+  override protected def withNewChildInternal(newChild: Expression): LinearInterpolate =
+    copy(replacement = newChild)
+}
+
+object LinearInterpolate {
+  def rewrite(x: Expression, x0: Expression, y0: Expression,
+              x1: Expression, y1: Expression): Expression = {
+    def d(e: Expression) = Cast(e, DoubleType)
+    val dx = Subtract(d(x1), d(x0))
+    val slope = Divide(Subtract(d(y1), d(y0)), dx)
+    If(EqualTo(d(x1), d(x0)), d(y0),
+      Add(d(y0), Multiply(slope, Subtract(d(x), d(x0)))))
+  }
+}
+
+/** `similarity(a, b)` — trigram similarity as a native binary expression
+  * with codegen (preferred over a Scala UDF: stays inside whole-stage
+  * codegen, null-safe for free).
+  */
+case class TrigramSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftStrings.trigramSimilarity(
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.GraftStrings.trigramSimilarity($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TrigramSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `simhash64(text)` — 64-bit SimHash fingerprint (near-dup detection at
+  * hamming distance ≤ k). Codegen-native unary expression. */
+case class SimHash64(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    GraftStrings.simhash64(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftStrings.simhash64($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `lang_id(text)` — heuristic language identification. */
+case class LangId(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override protected def nullSafeEval(v: Any): Any =
+    GraftStrings.langId(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftStrings.langId($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
+/** Weighted average as a typed Aggregator — the parity surface for the
+  * reference's `CREATE AGGREGATE (sfunc, combinefunc, finalfunc)`
+  * (`src/include/catalog/pg_aggregate.h:33-61`): `reduce` == sfunc,
+  * `merge` == combinefn (2-stage distributed agg), `finish` == finalfn.
+  * Accumulates in exact decimal so the distributed merge order cannot
+  * perturb the double result.
+  */
+class WeightedAvg extends org.apache.spark.sql.expressions.Aggregator[
+    (Double, Double), (java.math.BigDecimal, java.math.BigDecimal), Double] {
+  import java.math.BigDecimal
+  private def dec(d: Double) = BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+  override def zero: (BigDecimal, BigDecimal) = (BigDecimal.ZERO, BigDecimal.ZERO)
+  override def reduce(b: (BigDecimal, BigDecimal), in: (Double, Double)): (BigDecimal, BigDecimal) =
+    (b._1.add(dec(in._1).multiply(dec(in._2))), b._2.add(dec(in._2)))
+  override def merge(a: (BigDecimal, BigDecimal), b: (BigDecimal, BigDecimal)): (BigDecimal, BigDecimal) =
+    (a._1.add(b._1), a._2.add(b._2))
+  override def finish(r: (BigDecimal, BigDecimal)): Double =
+    if (r._2.signum() == 0) Double.NaN else r._1.doubleValue() / r._2.doubleValue()
+  override def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+    org.apache.spark.sql.Encoders.DECIMAL, org.apache.spark.sql.Encoders.DECIMAL)
+  override def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+}
+
+/** Registration: exposes the custom expressions to SQL + DataFrame
+  * (`expr("similarity(a,b)")`). Also usable as a SparkSessionExtensions
+  * hook via [[GraftExtensions]].
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("linear_interpolate"),
+      info("linear_interpolate", "linear_interpolate(x, x0, y0, x1, y1)"),
+      (args: Seq[Expression]) => new LinearInterpolate(args(0), args(1), args(2), args(3), args(4)))
+    reg.registerFunction(
+      FunctionIdentifier("similarity"),
+      info("similarity", "similarity(a, b) - trigram jaccard similarity"),
+      (args: Seq[Expression]) => TrigramSimilarity(args(0), args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit simhash fingerprint"),
+      (args: Seq[Expression]) => SimHash64(args(0)))
+    reg.registerFunction(
+      FunctionIdentifier("lang_id"),
+      info("lang_id", "lang_id(text) - heuristic language id"),
+      (args: Seq[Expression]) => LangId(args(0)))
+    spark.udf.register("wavg", org.apache.spark.sql.functions.udaf(
+      new WeightedAvg, org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble)))
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` entry
+  * point (idiomatic library packaging; Verify/Bench call
+  * [[GraftFunctions.register]] directly).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("linear_interpolate"),
+      new ExpressionInfo("graft", null, "linear_interpolate", "linear_interpolate(x, x0, y0, x1, y1)", ""),
+      (args: Seq[Expression]) => new LinearInterpolate(args(0), args(1), args(2), args(3), args(4))))
+    ext.injectFunction((
+      FunctionIdentifier("similarity"),
+      new ExpressionInfo("graft", null, "similarity", "similarity(a, b)", ""),
+      (args: Seq[Expression]) => TrigramSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo("graft", null, "simhash64", "simhash64(text)", ""),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("lang_id"),
+      new ExpressionInfo("graft", null, "lang_id", "lang_id(text)", ""),
+      (args: Seq[Expression]) => LangId(args(0))))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for the training-data pipeline.
+  *
+  * All variants are pure DataFrame pipelines built from codegen'd
+  * built-ins — no UDFs, no driver-side loops, no crossJoin. The LSH path
+  * bounds candidate-pair generation by band-bucket size, which is what
+  * makes it viable at 100 TB (an all-pairs join is quadratic and is
+  * deliberately absent here).
+  *
+  * Capability analog: the reference has no near-dup operator; closest is
+  * trigram similarity in `contrib/pg_trgm` (used there for fuzzy match).
+  * We provide exact, fingerprint, minhash-LSH, and simhash dedup.
+  */
+object Dedup {
+
+  /** Distinct word k-gram shingles per document. Documents shorter than
+    * k words contribute a single whole-text shingle. */
+  def withShingles(docs: DataFrame, textCol: String = "text", k: Int = 3,
+                   out: String = "shingles"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val sh = when(size(words) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(words) - k),
+        i => concat_ws(" ", slice(words, i + 1, lit(k))))))
+      .otherwise(array(concat_ws(" ", words)))
+    docs.withColumn(out, sh)
+  }
+
+  /** MinHash signature: sig[i] = min over shingles of xxhash64(s, i).
+    * Seeded via the extra hash column (no long-multiply mixing → safe
+    * under ANSI overflow checking). */
+  def withMinhash(shingled: DataFrame, numHashes: Int = 128,
+                  shinglesCol: String = "shingles",
+                  out: String = "minhash"): DataFrame =
+    shingled.withColumn(out,
+      transform(sequence(lit(1), lit(numHashes)),
+        i => array_min(transform(col(shinglesCol), s => xxhash64(s, i)))))
+
+  /** Banded-LSH candidate pairs + exact-jaccard verification.
+    *
+    * bands=32 × rows=4 over 128 hashes → collision prob at jaccard j is
+    * 1-(1-j^4)^32: ≈1.0 at j=0.9, 0.99998 at j=0.7, 0.086 at j=0.2 — so
+    * candidate generation is sharply bounded while recall at the 0.8
+    * threshold is effectively 1. Candidate count is Σ bucket^2 over band
+    * buckets, never |docs|^2.
+    *
+    * Returns (a_id, b_id, jaccard) for verified pairs with
+    * jaccard >= threshold, a_id < b_id.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", k: Int = 3,
+                   numHashes: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    val sig = withMinhash(withShingles(docs.select(col(idCol), col(textCol)),
+      textCol, k), numHashes)
+      .select(col(idCol), col("shingles"), col("minhash"))
+
+    val banded = sig.select(
+      col(idCol), col("shingles"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        j => struct(j.as("band"),
+          xxhash64(slice(col("minhash"), j * rows + 1, lit(rows))).as("bkey"))))
+        .as("b"))
+      .select(col(idCol), col("shingles"), col("b.band"), col("b.bkey"))
+
+    val l = banded.select(col("band"), col("bkey"),
+      col(idCol).as("a_id"), col("shingles").as("a_sh"))
+    val r = banded.select(col("band"), col("bkey"),
+      col(idCol).as("b_id"), col("shingles").as("b_sh"))
+
+    // Equi-join on (band, bkey): shuffle bounded by bucket sizes.
+    val cand = l.join(r, Seq("band", "bkey"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh")
+      .dropDuplicates("a_id", "b_id")
+
+    cand.select(col("a_id"), col("b_id"),
+      (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact duplicate groups by content hash: one row per distinct text,
+    * with occurrence count and the keeper (min id). */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+  /** Canonical-fingerprint dedup: md5 over the sorted distinct token set
+    * — catches token-permutation/duplication near-dups exactly. */
+  def withFingerprint(docs: DataFrame, textCol: String = "text",
+                      out: String = "fingerprint"): DataFrame =
+    docs.withColumn(out,
+      md5(concat_ws(" ", array_sort(array_distinct(split(col(textCol), " "))))))
+
+  /** SimHash near-dup candidate pairs at Hamming distance <= maxDist,
+    * found scalably by the block trick: split the 64-bit simhash into
+    * (maxDist+1) blocks — any pair within maxDist must agree on at least
+    * one full block (pigeonhole), so candidates come from equi-joins on
+    * block values, never an all-pairs scan.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", maxDist: Int = 3): DataFrame = {
+    val nBlocks = maxDist + 1
+    val width = 64 / nBlocks
+    val withSig = docs.select(col(idCol), col(textCol))
+      .withColumn("sig", expr(s"simhash64($textCol)"))
+    val blockStructs = (0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("sig"), b * width).bitwiseAND(
+          lit((1L << width) - 1)).as("bval"))
+    }
+    val blocked = withSig.select(col(idCol), col("sig"),
+      explode(array(blockStructs: _*)).as("p"))
+      .select(col(idCol), col("sig"), col("p.blk"), col("p.bval"))
+    val l = blocked.select(col("blk"), col("bval"),
+      col(idCol).as("a_id"), col("sig").as("a_sig"))
+    val r = blocked.select(col("blk"), col("bval"),
+      col(idCol).as("b_id"), col("sig").as("b_sig"))
+    l.join(r, Seq("blk", "bval")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .dropDuplicates("a_id", "b_id")
+  }
+}

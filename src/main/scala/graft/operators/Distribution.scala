@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.functions.broadcast
+
+/** Physical-design surface mirroring the reference's distribution DDL
+  * (`DISTRIBUTED BY (cols)` / `RANDOMLY` / `REPLICATED`,
+  * `src/backend/parser/gram.y:4835-4851`; hash routing
+  * `src/backend/cdb/cdbhash.c:173`) and `PARTITION BY`
+  * (`cdbpartition.c`). In Spark terms: hash distribution = repartition /
+  * bucketBy, replicated = broadcast hint, range/list partitioning =
+  * hive-style directory partitioning with pruning.
+  */
+object Distribution {
+
+  implicit class DistOps(val df: DataFrame) extends AnyVal {
+
+    /** DISTRIBUTED BY (cols) — hash co-location for downstream joins/aggs. */
+    def distributedBy(numPartitions: Int, cols: String*): DataFrame =
+      df.repartition(numPartitions, cols.map(df.col): _*)
+
+    /** DISTRIBUTED RANDOMLY — round-robin. */
+    def distributedRandomly(numPartitions: Int): DataFrame =
+      df.repartition(numPartitions)
+
+    /** DISTRIBUTED REPLICATED — full copy on every node (broadcast hint). */
+    def replicated: DataFrame = broadcast(df)
+  }
+
+  /** Durable DISTRIBUTED BY: bucketed table (co-located, shuffle-free
+    * joins between tables bucketed on the same key/count). */
+  def createBucketedTable(df: DataFrame, name: String, buckets: Int,
+                          bucketCols: Seq[String],
+                          sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(name)
+  }
+
+  /** PARTITION BY (hive-style dirs → static + dynamic partition pruning). */
+  def createPartitionedTable(df: DataFrame, name: String,
+                             partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy(partitionCols: _*).saveAsTable(name)
+
+  /** ANALYZE → CBO stats (reference `commands/analyze.c` → pg_statistic). */
+  def analyze(spark: SparkSession, table: String, cols: Seq[String]): Unit =
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+}

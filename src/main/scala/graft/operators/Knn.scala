@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (ARRAY<FLOAT>). Reference analog: `gpcontrib/gp_sparse_vector`
+  * (svec dot products); here re-expressed as Spark-native higher-order
+  * functions so the arithmetic stays in whole-stage codegen.
+  */
+object Knn {
+
+  /** Sequential-fold dot product in double precision. Deterministic
+    * (left-to-right) — bit-stable across partitionings. */
+  def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dotd(a, b) / (norm2(a) * norm2(b))
+
+  /** Exact brute-force top-k cosine neighbors of each query vector.
+    * The query side is broadcast (small — this is the "give me neighbors
+    * of these N items" shape); the corpus is streamed once, so cost is
+    * O(|Q|·N) with no shuffle of the corpus. The final top-k per query
+    * is a partial TakeOrdered per partition then k·|Q| rows to merge.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH, seeded (no RNG state
+    * leaks into the plan; plans are literals). */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  private def bucketOf(vec: Column, ps: Array[Array[Double]]): Column = {
+    // bucket bit j = sign(dot(v, plane_j)); folded into an int key.
+    ps.zipWithIndex.map { case (p, j) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dotd(vec, planeLit) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Sign-LSH bucketed ANN: corpus is hashed once into 2^nPlanes buckets;
+    * each query probes its own bucket plus all Hamming-1 neighbors.
+    * Candidates per query ≈ (nPlanes+1)·N/2^nPlanes — sublinear scanning,
+    * the 100 TB scale path (recall < 1 by construction).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val ps = planes(nPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", bucketOf(col("cv"), ps))
+    val probes = (0 until nPlanes).map(j => lit(1 << j)).foldLeft(
+      array(lit(0)))((acc, m) => concat(acc, array(m)))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+      .withColumn("qbucket", bucketOf(col("qv"), ps))
+      .withColumn("bucket", explode(transform(probes,
+        m => col("qbucket").bitwiseXOR(m)))))
+    val scored = q.join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+}

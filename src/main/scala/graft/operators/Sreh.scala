@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Single-row error handling for external loads — the reference's
+  * `LOG ERRORS SEGMENT REJECT LIMIT n` (`src/backend/parser/gram.y:5726`,
+  * `src/backend/cdb/cdbsreh.c`): tolerate up to N malformed input rows,
+  * keep the rest, fail the load when the limit is exceeded.
+  *
+  * Spark-native: CSV PERMISSIVE mode + a corrupt-record column; the
+  * reject-limit check is a single count action over the cached parse
+  * (the reference likewise counts rejects at runtime).
+  */
+object Sreh {
+
+  final case class RejectLimitExceeded(rejected: Long, limit: Long)
+    extends RuntimeException(
+      s"segment reject limit reached: $rejected malformed rows > limit $limit")
+
+  final case class SrehResult(good: DataFrame, rejected: Long, errorLog: DataFrame)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              rejectLimit: Long, header: Boolean = false): SrehResult = {
+    val corrupt = "_corrupt_record"
+    val withCorrupt = schema.add(corrupt, StringType)
+    val parsed = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("header", header.toString)
+      .option("columnNameOfCorruptRecord", corrupt)
+      .schema(withCorrupt)
+      .csv(path)
+      .cache() // required: corrupt-record column is only queryable post-materialization
+    val errorLog = parsed.where(col(corrupt).isNotNull).select(col(corrupt))
+    val rejected = errorLog.count()
+    if (rejected > rejectLimit) {
+      parsed.unpersist()
+      throw RejectLimitExceeded(rejected, rejectLimit)
+    }
+    SrehResult(parsed.where(col(corrupt).isNull).drop(corrupt), rejected, errorLog)
+  }
+}

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Scalar function surface (SURVEY §2.9; reference `src/backend/utils/adt/`,
+  * ~2,900 pg_proc builtins mapped ~1:1 onto org.apache.spark.sql.functions)
+  * plus the declared gap functions implemented as custom Catalyst
+  * expressions: linear_interpolate (interpolate.c:234) and trigram
+  * similarity (contrib/pg_trgm).
+  */
+object FunctionQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // String family (varlena.c, oracle_compat.c).
+    "q70_string_funcs" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_brand")).as("lbrand"),
+        substring(col("p_name"), 1, 5).as("first5"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        translate(col("p_brand"), "#", "-").as("brand_tr"),
+        instr(col("p_name"), "o").as("first_o"),
+        reverse(col("p_brand")).as("brand_rev"),
+        repeat(lit("ab"), 3).as("abx3"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))),
+
+    // Date/time family (date.c, timestamp.c, datetime.c).
+    "q71_datetime_funcs" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        expr("EXTRACT(DAYOFWEEK_ISO FROM o_orderdate)").cast("int").as("isodow"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since"),
+        (col("o_orderdate") + expr("INTERVAL '1' MONTH")).as("plus_month"),
+        last_day(col("o_orderdate")).as("month_end"))),
+
+    // JSON family (json.c, jsonfuncs.c) over events.props.
+    "q72_json_funcs" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_typed"),
+        get_json_object(col("props"), "$.missing").as("absent"))),
+
+    // Array family (arrayfuncs.c: unnest/slice/…; lambdas ≈ SRF pipelines).
+    "q73_array_funcs" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(words).as("n_words"),
+        slice(words, 1, 3).as("first3"),
+        array_contains(words, "data").as("has_data"),
+        size(array_distinct(words)).as("n_uniq"),
+        element_at(words, 2).as("second_word"),
+        aggregate(words, lit(0), (acc, w) => acc + length(w)).as("total_chars"),
+        size(filter(words, w => length(w) > 5)).as("n_long"),
+        array_max(transform(words, w => length(w))).as("longest"))
+    }),
+
+    // Regex + fuzzy (regexp.c, contrib/fuzzystrmatch levenshtein).
+    "q74_regex_funcs" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_name").rlike("^p").as("starts_p"),
+        levenshtein(col("p_brand"), lit("Brand#13")).as("lev_to_13"))),
+
+    // Crypto/encode (encode.c, pgcrypto, md5 in varlena.c).
+    "q75_hash_funcs" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        md5(col("c_name").cast("binary")).as("md5_name"),
+        sha2(col("c_name").cast("binary"), 256).as("sha256_name"),
+        base64(col("c_name").cast("binary")).as("b64_name"))),
+
+    // Oracle-style DECODE (gram.y:15219) — Spark decode() builtin; the
+    // oracle spells it as the equivalent CASE.
+    "q76_decode_case" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(expr(
+          "decode(o_orderstatus, 'F', 'finished', 'O', 'open', 'P', 'pending', 'other')")
+          .as("status_name"))
+        .groupBy("status_name").agg(count(lit(1)).as("n"))),
+
+    // linear_interpolate gap-fill (interpolate.c:234) — custom
+    // RuntimeReplaceable expression; interpolates value at ts+30s between
+    // consecutive events per user.
+    "q77_interpolate" -> ((s, d) => sql(s, d,
+      """SELECT event_id, user_id,
+        |  linear_interpolate(
+        |    CAST(unix_micros(ts) AS DOUBLE) + 30e6,
+        |    CAST(unix_micros(ts) AS DOUBLE), value,
+        |    CAST(unix_micros(LEAD(ts) OVER w) AS DOUBLE),
+        |    LEAD(value) OVER w) AS interp_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
+    // Trigram similarity (contrib/pg_trgm) — custom codegen expression.
+    "q78_trgm_similarity" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"), col("p_name"),
+        expr("similarity(p_name, 'promo burnished copper')").as("sim"))
+        .where(col("sim") > 0.05))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q70_string_funcs" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS uname, LOWER(p_brand) AS lbrand,
+        |  SUBSTR(p_name, 1, 5) AS first5,
+        |  SPLIT_PART(p_type, ' ', 1) AS type_head,
+        |  LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  TRANSLATE(p_brand, '#', '-') AS brand_tr,
+        |  CAST(INSTR(p_name, 'o') AS INT) AS first_o,
+        |  REVERSE(p_brand) AS brand_rev,
+        |  REPEAT('ab', 3) AS abx3,
+        |  CAST(LENGTH(p_name) AS INT) AS name_len,
+        |  CONCAT_WS('|', p_brand, p_type) AS brand_type
+        |FROM part""".stripMargin,
+    "q71_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(DATE_PART('year', o_orderdate) AS INT) AS yr,
+        |  CAST(DATE_PART('month', o_orderdate) AS INT) AS mo,
+        |  CAST(DATE_PART('day', o_orderdate) AS INT) AS dom,
+        |  CAST(DATE_PART('isodow', o_orderdate) AS INT) AS isodow,
+        |  CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+        |  o_orderdate + INTERVAL '1' MONTH AS plus_month,
+        |  CAST(LAST_DAY(o_orderdate) AS DATE) AS month_end
+        |FROM orders""".stripMargin,
+    "q72_json_funcs" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+        |  json_extract_string(props, '$.missing') AS absent
+        |FROM events""".stripMargin,
+    "q73_array_funcs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words, text FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(words) AS INT) AS n_words,
+        |  words[1:3] AS first3,
+        |  list_contains(words, 'data') AS has_data,
+        |  CAST(len(list_distinct(words)) AS INT) AS n_uniq,
+        |  words[2] AS second_word,
+        |  CAST(list_sum(list_transform(words, w -> length(w))) AS INT) AS total_chars,
+        |  CAST(len(list_filter(words, w -> length(w) > 5)) AS INT) AS n_long,
+        |  CAST(list_max(list_transform(words, w -> length(w))) AS INT) AS longest
+        |FROM w""".stripMargin,
+    "q74_regex_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  regexp_matches(p_name, '^p') AS starts_p,
+        |  CAST(levenshtein(p_brand, 'Brand#13') AS INT) AS lev_to_13
+        |FROM part""".stripMargin,
+    "q75_hash_funcs" ->
+      """SELECT c_custkey,
+        |  md5(c_name) AS md5_name,
+        |  sha256(c_name) AS sha256_name,
+        |  to_base64(encode(c_name)) AS b64_name
+        |FROM customer""".stripMargin,
+    "q76_decode_case" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+        |            WHEN 'P' THEN 'pending' ELSE 'other' END AS status_name,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q77_interpolate" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN CAST(epoch_us(LEAD(CAST(ts AS TIMESTAMP)) OVER w) AS DOUBLE)
+        |            = CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+        |       THEN value
+        |       ELSE value + (LEAD(value) OVER w - value) /
+        |            (CAST(epoch_us(LEAD(CAST(ts AS TIMESTAMP)) OVER w) AS DOUBLE)
+        |             - CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)) *
+        |            (CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) + 30e6
+        |             - CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE))
+        |  END AS interp_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
+    "q78_trgm_similarity" ->
+      """WITH g AS (
+        |  SELECT p_partkey, p_name,
+        |    list_distinct(list_transform(
+        |      range(1, length('  ' || lower(p_name) || ' ') - 1),
+        |      i -> substr('  ' || lower(p_name) || ' ', CAST(i AS INT), 3))) AS ga,
+        |    list_distinct(list_transform(
+        |      range(1, length('  promo burnished copper ') - 1),
+        |      i -> substr('  promo burnished copper ', CAST(i AS INT), 3))) AS gb
+        |  FROM part)
+        |SELECT p_partkey, p_name,
+        |  CAST(len(list_filter(ga, x -> list_contains(gb, x))) AS DOUBLE) /
+        |  CAST(len(ga) + len(gb) - len(list_filter(ga, x -> list_contains(gb, x))) AS DOUBLE) AS sim
+        |FROM g
+        |WHERE CAST(len(list_filter(ga, x -> list_contains(gb, x))) AS DOUBLE) /
+        |      CAST(len(ga) + len(gb) - len(list_filter(ga, x -> list_contains(gb, x))) AS DOUBLE) > 0.05""".stripMargin
+  )
+}

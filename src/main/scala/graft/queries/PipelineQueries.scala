@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Knn, Sreh, TextAnalysis}
+import graft.streaming.Streams
+import Q._
+
+/** Training-data pipeline + streaming + external-load operators.
+  * Dedup/KNN designs are the 100 TB scale paths (banded LSH / bucketed
+  * ANN — never all-pairs); text metrics are exact-arithmetic and
+  * oracle-checked.
+  */
+object PipelineQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // Exact dedup groups (hash-groupBy; linear, shuffle on content hash).
+    "q80_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(t(s, d, "documents"))),
+
+    // MinHash+LSH near-dup pairs, verified at jaccard >= 0.8 on word
+    // 3-gram shingles. Oracle computes the exact all-pairs answer (fine
+    // at sf0.01); LSH recall at 0.8 is ~1-4e-8, so the verified output
+    // equals the exact answer.
+    "q81_neardup_lsh" -> ((s, d) =>
+      Dedup.nearDupPairs(t(s, d, "documents"), threshold = 0.8)),
+
+    // SimHash near-dup candidates via pigeonhole block join (rows-only:
+    // the 64-bit fingerprint is engine-defined).
+    "q82_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), maxDist = 3)),
+
+    // Canonical-fingerprint (sorted distinct token set) dedup.
+    "q83_fingerprint" -> ((s, d) =>
+      Dedup.withFingerprint(t(s, d, "documents"))
+        .select("doc_id", "fingerprint")),
+
+    // Per-language corpus stats.
+    "q84_lang_stats" -> ((s, d) =>
+      t(s, d, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))),
+
+    // Quality scoring (deterministic int-ratio features).
+    "q85_quality_score" -> ((s, d) =>
+      TextAnalysis.withQuality(t(s, d, "documents"))
+        .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
+          "stopword_ratio", "quality_score")),
+
+    // Heuristic language-ID confusion counts (rows-only: heuristic is
+    // engine-defined; accuracy asserted in ScalaTest).
+    "q86_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), expr("lang_id(text)").as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))),
+
+    // Token counting (whitespace).
+    "q87_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+
+    // Brute-force cosine top-k (exact baseline; broadcast query side).
+    "q88_knn_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Knn.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+          col("rnk").cast("int").as("rnk"))
+    }),
+
+    // Sign-LSH bucketed ANN (scale path; recall<1 → rows-only, quality
+    // asserted against brute force in ScalaTest).
+    "q89_knn_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Knn.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+
+    // Per-vector L2 norms (sequential-fold double arithmetic).
+    "q90_embed_norms" -> ((s, d) =>
+      t(s, d, "embeddings").select(
+        col("vec_id"), col("label"),
+        Knn.norm2(col("embedding")).as("l2_norm"))),
+
+    // Structured Streaming tumbling window (real streaming exec via
+    // AvailableNow; SURVEY §2.10 capability superset).
+    "q91_stream_tumbling" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      Streams.tumblingCounts(s, d)
+    }),
+
+    // Streaming session windows per user (10 min gap).
+    "q92_stream_session" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      Streams.sessionized(s, d)
+    }),
+
+    // SREH: PERMISSIVE CSV load with reject limit (rows-only; the CSV is
+    // generated deterministically into the build dir).
+    "q93_sreh_csv" -> ((s, d) => {
+      val dir = new java.io.File("target/sreh_demo")
+      dir.mkdirs()
+      val f = new java.io.File(dir, "input.csv")
+      val rows = (1 to 100).map { i =>
+        if (i % 10 == 0) s"$i,broken_row_no_second_field"
+        else s"$i,name_$i,${i * 1.5}"
+      }
+      java.nio.file.Files.write(f.toPath, String.join("\n", rows: _*).getBytes)
+      val schema = StructType(Seq(
+        StructField("id", IntegerType), StructField("name", StringType),
+        StructField("score", DoubleType)))
+      Sreh.readCsv(s, f.getAbsolutePath, schema, rejectLimit = 20).good
+    }),
+
+    // COPY TO/FROM roundtrip (commands/copy.c): write CSV, read it back,
+    // aggregate — oracle aggregates the source table directly, so the
+    // roundtrip must be lossless.
+    "q94_copy_roundtrip" -> ((s, d) => {
+      val out = "target/copy_demo"
+      t(s, d, "lineitem")
+        .where(col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType), StructField("l_returnflag", StringType)))
+      s.read.option("header", "true").schema(schema).csv(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_price"))
+    })
+  )
+
+  private val shingleSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(words) >= 3 THEN
+      |    list_distinct(list_transform(range(1, len(words) - 1),
+      |      i -> words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] || ' ' || words[CAST(i AS INT)+2]))
+      |  ELSE [array_to_string(words, ' ')] END AS s
+      |  FROM w)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q80_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+        |       MIN(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q81_neardup_lsh" ->
+      s"""$shingleSql
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(len(list_filter(a.s, g -> list_contains(b.s, g))) AS DOUBLE) /
+         |  CAST(len(a.s) + len(b.s) - len(list_filter(a.s, g -> list_contains(b.s, g))) AS DOUBLE) AS jaccard
+         |FROM sh a, sh b
+         |WHERE a.doc_id < b.doc_id
+         |  AND CAST(len(list_filter(a.s, g -> list_contains(b.s, g))) AS DOUBLE) /
+         |      CAST(len(a.s) + len(b.s) - len(list_filter(a.s, g -> list_contains(b.s, g))) AS DOUBLE) >= 0.8""".stripMargin,
+    "q83_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q84_lang_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q85_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    length(text) AS n_chars_x,
+        |    length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+        |    len(list_filter(string_split(text,' '), x -> x = 'the'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'and'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'of'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'to'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'a'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'in'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'is'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'that'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'with'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'for')) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CASE WHEN n_tokens > 0 THEN CAST(n_chars_x AS DOUBLE)/CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS avg_token_len,
+        |  CASE WHEN n_chars_x > 0 THEN CAST(n_punct AS DOUBLE)/CAST(n_chars_x AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+        |  LEAST(1.0, CAST(n_tokens AS DOUBLE)/400.0) * 0.4
+        |    + (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 2.0
+        |    + (1.0 - CASE WHEN n_chars_x > 0 THEN CAST(n_punct AS DOUBLE)/CAST(n_chars_x AS DOUBLE) ELSE 0.0 END) * 0.2 AS quality_score
+        |FROM f""".stripMargin,
+    "q87_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens
+        |FROM documents""".stripMargin,
+    "q88_knn_brute" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE))))
+        |     * SQRT(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))))
+        |    AS cos_sim
+        |  FROM q, embeddings e WHERE q.vec_id <> e.vec_id)
+        |SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |  FROM s)
+        |WHERE rnk <= 5""".stripMargin,
+    "q90_embed_norms" ->
+      """SELECT vec_id, label,
+        |  SQRT(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE)))) AS l2_norm
+        |FROM embeddings""".stripMargin,
+    "q91_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q92_stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 10 MINUTE
+        |       THEN 0 ELSE 1 END AS new_s FROM e),
+        |g AS (SELECT user_id, ts,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 10 MINUTE AS s_end,
+        |       user_id, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q94_copy_roundtrip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${oSumd("l_quantity")} AS sum_qty,
+         |  ${oSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem WHERE l_quantity > 40 GROUP BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,599 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.RecursiveCte
+import Q._
+
+/** The relational spine: scans, projection/filter, all join types,
+  * aggregation (plain / DQA / grouping sets / ordered-set), set
+  * operations, sort/limit, subqueries, recursive CTE.
+  *
+  * Each entry mirrors a reference executor node (cited per query); the
+  * physical plan is left to Catalyst — 2-stage aggs, broadcast vs shuffle
+  * joins, and pushdown all come from the declarative shape.
+  */
+object RelationalQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // SeqScan → filter → 2-stage hash agg → sort. Reference ExecAgg
+    // nodeAgg.c:1123 + two-stage distributed agg cdbgroup.c:1247.
+    "q01_tpch_q1_agg" -> ((s, d) => {
+      val l = t(s, d, "lineitem").where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      val disc = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+      val charge = disc * (lit(1).cast("decimal(18,2)") + dec(col("l_tax")))
+      l.groupBy("l_returnflag", "l_linestatus").agg(
+        sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Projection + filter (Result node, nodeResult.c:131); pushdown-friendly.
+    "q02_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net"))),
+
+    // ValuesScan (nodeValuesscan.c) → LocalRelation.
+    "q03_values_scan" -> ((s, d) => {
+      val df = s.createDataFrame(Seq(
+        (1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", 3.5), (4, "delta", 4.5)))
+        .toDF("id", "name", "score")
+      df.where(col("score") > 2.0).select(col("id"), col("name"), col("score"))
+    }),
+
+    // FunctionScan / generate_series (pg_proc; SURVEY §2.1).
+    "q04_generate_series" -> ((s, d) =>
+      s.range(1, 1001).select(col("id"))
+        .groupBy((col("id") % 7).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("total"),
+          min(col("id")).as("lo"), max(col("id")).as("hi"))),
+
+    // Shared CTE (ShareInputScan nodeShareInputScan.c) — one subtree, two consumers.
+    "q05_cte_shared" -> ((s, d) => sql(s, d,
+      """WITH t AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
+        |           FROM orders GROUP BY o_custkey),
+        |     thr AS (SELECT CAST(SUM(total_dec) AS DOUBLE)/COUNT(*) AS m FROM t)
+        |SELECT t.o_custkey, CAST(t.total_dec AS DOUBLE) AS total
+        |FROM t, thr WHERE CAST(t.total_dec AS DOUBLE) > thr.m""".stripMargin)),
+
+    // SubqueryScan (nodeSubqueryscan.c) — nested DataFrame.
+    "q06_subquery_scan" -> ((s, d) => {
+      val sub = t(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey"), col("o_totalprice"))
+      sub.groupBy("o_custkey").agg(sumd(col("o_totalprice")).as("f_total"))
+        .where(col("f_total") > 300000.0)
+    }),
+
+    // Hash join inner (ExecHashJoin nodeHashjoin.c:512).
+    "q10_join_inner" -> ((s, d) => {
+      val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_rows"))
+    }),
+
+    // Left outer join, NULL-preserving aggregation over the outer side.
+    "q11_join_left" -> ((s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          sumd(col("o_totalprice")).as("total_spent"))),
+
+    // Right outer join (planner mirror of left; nodeHashjoin.c right-join paths).
+    "q12_join_right" -> ((s, d) =>
+      t(s, d, "orders").join(t(s, d, "customer"),
+        col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_mktsegment")
+        .agg(count(col("o_orderkey")).as("n_orders"), count(lit(1)).as("n_rows"))),
+
+    // Full outer join with asymmetric sides (nodeMergejoin.c full-outer path).
+    "q13_join_full" -> ((s, d) => {
+      val a = t(s, d, "customer").where(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val b = t(s, d, "orders").where(col("o_orderstatus") === "P")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_p_orders"))
+      a.join(b, col("c_custkey") === col("o_custkey"), "full")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("n_p_orders"))
+    }),
+
+    // Left semi join (HashJoin semi mode; cdbsubselect.c convert_EXPR_to_join).
+    "q14_join_semi" -> ((s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders").where(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")),
+
+    // Left anti join (HashJoin anti mode).
+    "q15_join_anti" -> ((s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal")),
+
+    // Null-aware NOT IN anti join (cdbsubselect.c:1465 convert_IN_to_antijoin):
+    // part 1 has no NULLs in the subquery; part 2 injects one NULL, which
+    // under SQL NOT IN semantics empties the result.
+    "q16_notin_nullaware" -> ((s, d) => sql(s, d,
+      """SELECT 'no_nulls' AS variant, c_custkey FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'with_nulls' AS variant, c_custkey FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END
+        |   FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin)),
+
+    // Star join with replicated small dims (TPC-H Q5 shape). Broadcast =
+    // the reference's Motion BROADCAST / DISTRIBUTED REPLICATED
+    // (nodeMotion.c, cdbpathlocus.h) — asserted in PlanSpec.
+    "q17_join_broadcast_star" -> ((s, d) => {
+      val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    // Cross join (NestLoop, nodeNestloop.c:366).
+    "q18_cross_join" -> ((s, d) =>
+      t(s, d, "nation").crossJoin(t(s, d, "region"))
+        .select(col("n_name"), col("r_name"))),
+
+    // Band (theta) join — inequality predicate, BroadcastNestedLoopJoin
+    // (reference runs these on NestLoop/MergeJoin inequality bands).
+    "q19_band_join" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val sup = broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_acctbal")))
+      c.join(sup, abs(col("c_acctbal") - col("s_acctbal")) < 1.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          (col("c_acctbal") - col("s_acctbal")).as("bal_diff"))
+    }),
+
+    // Multiple DISTINCT-qualified aggregates (3-phase DQA, cdbgroup.c:2146,
+    // CXformSplitDQA.cpp) → Catalyst RewriteDistinctAggregates/Expand.
+    "q20_dqa" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        count(lit(1)).as("n_rows"),
+        sumd(col("l_quantity")).as("sum_qty"))),
+
+    // ROLLUP + grouping_id (plangroupext.c, gram.y:723).
+    "q21_rollup" -> ((s, d) =>
+      t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
+        grouping_id().as("gid"), count(lit(1)).as("n"),
+        sumd(col("l_quantity")).as("sum_qty"))),
+
+    // CUBE + per-column grouping() flags.
+    "q22_cube" -> ((s, d) =>
+      t(s, d, "orders").cube("o_orderstatus", "o_orderpriority").agg(
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_prio"),
+        count(lit(1)).as("n"),
+        sumd(col("o_totalprice")).as("total"))),
+
+    // Explicit GROUPING SETS.
+    "q23_grouping_sets" -> ((s, d) => sql(s, d,
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)),
+
+    // Ordered-set aggregates (orderedsetaggs.c:407,542; MEDIAN gram.y:14466).
+    "q24_ordered_set" -> ((s, d) => sql(s, d,
+      """SELECT l_returnflag,
+        |       CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p50,
+        |       CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p25,
+        |       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p75_disc,
+        |       CAST(median(l_quantity) AS DOUBLE) AS med
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // Deterministic MODE (most frequent, min-value tiebreak) — the
+    // portable spelling of mode() WITHIN GROUP.
+    "q25_mode_manual" -> ((s, d) => {
+      val counts = t(s, d, "lineitem").groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("l_quantity").asc)
+      counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+    }),
+
+    // Ordered array_agg / string_agg (array_userfuncs.c, gp_legacy_string_agg).
+    "q26_array_string_agg" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_linestatus").agg(
+        array_sort(collect_set(col("l_returnflag"))).as("flags"),
+        concat_ws(",", array_sort(collect_set(col("l_returnflag")))).as("flags_csv"),
+        countDistinct(col("l_returnflag")).as("n_flags"))),
+
+    // PIVOT (utils/adt/pivot.c).
+    "q27_pivot" -> ((s, d) =>
+      t(s, d, "orders").join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").pivot("o_orderstatus", Seq("F", "O", "P")).count()
+        .na.fill(0L, Seq("F", "O", "P"))),
+
+    // Moment statistics via exact decimal sums (deterministic under any
+    // partitioning — the distributed-agg analog of cdbgroup.c 2-stage).
+    "q28_stats_manual" -> ((s, d) => {
+      val q = dec(col("l_quantity"))
+      val p = dec(col("l_extendedprice"))
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("sx"),
+        sum(q * q).cast("double").as("sxx"),
+        sum(p).cast("double").as("sy"),
+        sum(p * p).cast("double").as("syy"),
+        sum(q * p).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          (col("sx") / col("n")).as("mean_qty"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+              sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr_qty_price"))
+    }),
+
+    // User aggregate (CREATE AGGREGATE parity, pg_aggregate.h:33-61) —
+    // typed Aggregator registered as "wavg".
+    "q29_custom_agg_wavg" -> ((s, d) => sql(s, d,
+      """SELECT l_returnflag, wavg(l_extendedprice, l_quantity) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // HLL distinct estimation (gp_hyperloglog.c) — approximate by design,
+    // so no SQL oracle (rows-only check).
+    "q30_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))),
+
+    // Top-k = TakeOrderedAndProject (Limit-over-Sort, nodeLimit.c:233).
+    "q40_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // LIMIT/OFFSET over a total order.
+    "q41_limit_offset" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(25).limit(50)
+        .select("o_orderkey", "o_totalprice")),
+
+    // DISTINCT (nodeUnique.c / nodeAgg hashed distinct).
+    "q42_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
+    // UNION ALL (Append, nodeAppend.c:197).
+    "q43_union_all" -> ((s, d) => {
+      val a = t(s, d, "orders").where(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+      val b = t(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      a.unionAll(b).groupBy("custkey").agg(count(lit(1)).as("n"))
+    }),
+
+    // UNION with dedup (Agg over Append — cdbsetop.c strategy).
+    "q44_union_distinct" -> ((s, d) => {
+      val a = t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val b = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      a.union(b).distinct()
+    }),
+
+    // INTERSECT (SetOp, nodeSetOp.c:195; ORCA CXformIntersect2Join).
+    "q45_intersect" -> ((s, d) => {
+      val a = t(s, d, "orders").where(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+      val b = t(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      a.intersect(b)
+    }),
+
+    // EXCEPT.
+    "q46_except" -> ((s, d) => {
+      val a = t(s, d, "orders").where(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+      val b = t(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      a.except(b)
+    }),
+
+    // INTERSECT ALL (multiset semantics).
+    "q47_intersect_all" -> ((s, d) => {
+      val a = t(s, d, "orders").where(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+      val b = t(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      a.intersectAll(b).groupBy("custkey").agg(count(lit(1)).as("n"))
+    }),
+
+    // EXCEPT ALL.
+    "q48_except_all" -> ((s, d) => {
+      val a = t(s, d, "orders").where(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+      val b = t(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      a.exceptAll(b).groupBy("custkey").agg(count(lit(1)).as("n"))
+    }),
+
+    // Correlated EXISTS (cdbsubselect.c:547; Catalyst RewritePredicateSubquery).
+    "q50_exists_correlated" -> ((s, d) => sql(s, d,
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin)),
+
+    // IN subquery.
+    "q51_in_subquery" -> ((s, d) => sql(s, d,
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)""".stripMargin)),
+
+    // Scalar subquery in a predicate (deterministic via decimal mean).
+    "q52_scalar_subquery" -> ((s, d) => sql(s, d,
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+        |                   FROM customer)""".stripMargin)),
+
+    // LATERAL correlated subquery (Apply → de-correlation; CXformInnerApply2InnerJoin).
+    "q53_lateral_topn" -> ((s, d) => sql(s, d,
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_acctbal > 9500""".stripMargin)),
+
+    // Recursive CTE (RecursiveUnion nodeRecursiveunion.c) — driver-side
+    // fixpoint, distributed per-iteration work. Hierarchy: nations →
+    // regions (+100) → synthetic root 999.
+    "q54_recursive_cte" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val region = t(s, d, "region")
+      val edges = nation.select(col("n_nationkey").as("child"),
+        (col("n_regionkey") + 100).as("parent"))
+        .union(region.select(col("r_regionkey") + 100, lit(999)))
+        .localCheckpoint(true)
+      val seed = s.createDataFrame(Seq((999, 0))).toDF("id", "depth")
+      RecursiveCte.fixpoint(seed, frontier =>
+        edges.join(frontier, col("parent") === col("id"))
+          .select(col("child").as("id"), (col("depth") + 1).as("depth")))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_tpch_q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${oSumd("l_quantity")} AS sum_qty,
+         |  ${oSumd("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |       l_extendedprice * (1.0 - l_discount) AS net
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin,
+    "q03_values_scan" ->
+      """SELECT id, name, CAST(score AS DOUBLE) AS score
+        |FROM (VALUES (1,'alpha',1.5),(2,'beta',2.5),(3,'gamma',3.5),(4,'delta',4.5))
+        |     AS t(id, name, score)
+        |WHERE score > 2.0""".stripMargin,
+    "q04_generate_series" ->
+      """SELECT id % 7 AS bucket, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS total,
+        |       MIN(id) AS lo, MAX(id) AS hi
+        |FROM (SELECT UNNEST(generate_series(1, 1000)) AS id) GROUP BY 1""".stripMargin,
+    "q05_cte_shared" ->
+      """WITH t AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
+        |           FROM orders GROUP BY o_custkey),
+        |     thr AS (SELECT CAST(SUM(total_dec) AS DOUBLE)/COUNT(*) AS m FROM t)
+        |SELECT t.o_custkey, CAST(t.total_dec AS DOUBLE) AS total
+        |FROM t, thr WHERE CAST(t.total_dec AS DOUBLE) > thr.m""".stripMargin,
+    "q06_subquery_scan" ->
+      s"""SELECT o_custkey, f_total FROM (
+         |  SELECT o_custkey, ${oSumd("o_totalprice")} AS f_total
+         |  FROM (SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F') sub
+         |  GROUP BY o_custkey)
+         |WHERE f_total > 300000.0""".stripMargin,
+    "q10_join_inner" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q11_join_left" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         |       ${oSumd("o_totalprice")} AS total_spent
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey""".stripMargin,
+    "q12_join_right" ->
+      """SELECT c_mktsegment, COUNT(o_orderkey) AS n_orders, COUNT(*) AS n_rows
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q13_join_full" ->
+      """SELECT COALESCE(a.c_custkey, b.o_custkey) AS custkey, a.c_acctbal, b.n_p_orders
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) a
+        |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_p_orders FROM orders
+        |                 WHERE o_orderstatus = 'P' GROUP BY o_custkey) b
+        |ON a.c_custkey = b.o_custkey""".stripMargin,
+    "q14_join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderstatus = 'F')""".stripMargin,
+    "q15_join_anti" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q16_notin_nullaware" ->
+      """SELECT 'no_nulls' AS variant, c_custkey FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'with_nulls' AS variant, c_custkey FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END
+        |   FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q17_join_broadcast_star" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q18_cross_join" -> "SELECT n_name, r_name FROM nation CROSS JOIN region",
+    "q19_band_join" ->
+      """SELECT c_custkey, s_suppkey, c_acctbal - s_acctbal AS bal_diff
+        |FROM customer, supplier WHERE ABS(c_acctbal - s_acctbal) < 1.0""".stripMargin,
+    "q20_dqa" ->
+      s"""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts,
+         |  COUNT(DISTINCT l_suppkey) AS nd_supps, COUNT(*) AS n_rows,
+         |  ${oSumd("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q21_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  COUNT(*) AS n, ${oSumd("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q22_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+         |  CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_prio,
+         |  COUNT(*) AS n, ${oSumd("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q23_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "q24_ordered_set" ->
+      """SELECT l_returnflag,
+        |  CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p50,
+        |  CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p25,
+        |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p75_disc,
+        |  CAST(median(l_quantity) AS DOUBLE) AS med
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q25_mode_manual" ->
+      """SELECT l_returnflag, mode_qty, cnt FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, COUNT(*) AS cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rn = 1""".stripMargin,
+    "q26_array_string_agg" ->
+      """SELECT l_linestatus,
+        |  list_sort(list_distinct(list(l_returnflag))) AS flags,
+        |  string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flags_csv,
+        |  COUNT(DISTINCT l_returnflag) AS n_flags
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q27_pivot" ->
+      """SELECT n_name,
+        |  CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        |  CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q28_stats_manual" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, sx / n AS mean_qty,
+        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+        |  (sxy - sx * sy / n) / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_qty_price
+        |FROM s""".stripMargin,
+    "q29_custom_agg_wavg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6)) * CAST(l_quantity AS DECIMAL(12,6))) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q40_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q41_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50 OFFSET 25""".stripMargin,
+    "q42_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q43_union_all" ->
+      """SELECT custkey, COUNT(*) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') GROUP BY custkey""".stripMargin,
+    "q44_union_distinct" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey FROM supplier""".stripMargin,
+    "q45_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q46_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q47_intersect_all" ->
+      """SELECT custkey, COUNT(*) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') GROUP BY custkey""".stripMargin,
+    "q48_except_all" ->
+      """SELECT custkey, COUNT(*) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') GROUP BY custkey""".stripMargin,
+    "q50_exists_correlated" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
+    "q51_in_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)""".stripMargin,
+    "q52_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+        |                   FROM customer)""".stripMargin,
+    "q53_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
+        |WHERE c.c_acctbal > 9500""".stripMargin,
+    "q54_recursive_cte" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT n_nationkey AS child, n_regionkey + 100 AS parent FROM nation
+        |  UNION ALL SELECT r_regionkey + 100, 999 FROM region),
+        |h(id, depth) AS (
+        |  SELECT 999, 0
+        |  UNION ALL
+        |  SELECT e.child, h.depth + 1 FROM edges e JOIN h ON e.parent = h.id)
+        |SELECT id, depth FROM h""".stripMargin
+  )
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Window functions — reference ExecWindowAgg (nodeWindowAgg.c:1993),
+  * ranking fns (windowfuncs.c:82-211), ROWS/RANGE frames incl. RANGE
+  * value offsets (nodeWindowAgg.c:1543-1785). Every ORDER BY includes a
+  * unique tiebreaker so lead/lag/first/last are deterministic.
+  */
+object WindowQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // Ranking family with ties: rank vs dense_rank diverge on equal acctbal.
+    "q60_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d, "customer").select(
+        col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+    }),
+
+    // lead/lag/first/last/nth (leadlag_common windowfuncs.c:39).
+    "q61_window_leadlag" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(wf).as("first_price"),
+        last(col("o_totalprice")).over(wf).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(wf).as("second_price"))
+    }),
+
+    // ROWS frame running/sliding aggregates. Note: the synthetic data has
+    // duplicate (l_orderkey, l_linenumber) pairs, so the order key extends
+    // to a full tiebreak — equal-in-all-keys rows are interchangeable.
+    "q62_window_rows_frame" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey").orderBy(
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_partkey"), col("l_suppkey"))
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        sum(dec(col("l_quantity"))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_qty"),
+        sum(dec(col("l_quantity"))).over(w.rowsBetween(-2, Window.currentRow))
+          .cast("double").as("sliding3_qty"),
+        count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_n"))
+    }),
+
+    // RANGE frames with value offsets: numeric offset + interval offset
+    // over a timestamp order key (the §2.5 RANGE-value-offset row).
+    "q63_window_range_frame" -> ((s, d) => sql(s, d,
+      """SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_total,
+        |  COUNT(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW) AS n_last_30d
+        |FROM orders""".stripMargin)),
+
+    // Aggregates over unbounded partition windows + global window.
+    "q64_window_agg_over" -> ((s, d) => {
+      val wp = Window.partitionBy("l_returnflag")
+      t(s, d, "lineitem")
+        .where(col("l_orderkey") <= 1000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          sum(dec(col("l_quantity"))).over(wp).cast("double").as("flag_qty"),
+          count(lit(1)).over(wp).as("flag_n"),
+          (dec(col("l_quantity")).cast("double") * count(lit(1)).over(wp)).as("scaled"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q60_window_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+        |  CAST(RANK() OVER w AS INT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        |  PERCENT_RANK() OVER w AS prnk,
+        |  CUME_DIST() OVER w AS cdist,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
+    "q61_window_leadlag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  FIRST_VALUE(o_totalprice) OVER wf AS first_price,
+        |  LAST_VALUE(o_totalprice) OVER wf AS last_price,
+        |  NTH_VALUE(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q62_window_rows_frame" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w
+        |       AS DOUBLE) AS running_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (w2
+        |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding3_qty,
+        |  COUNT(*) OVER w AS running_n
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |             ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       w2 AS (PARTITION BY l_orderkey
+        |             ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey)""".stripMargin,
+    "q63_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_total,
+        |  COUNT(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW) AS n_last_30d
+        |FROM orders""".stripMargin,
+    "q64_window_agg_over" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS flag_qty,
+        |  COUNT(*) OVER (PARTITION BY l_returnflag) AS flag_n,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) *
+        |    (COUNT(*) OVER (PARTITION BY l_returnflag)) AS scaled
+        |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin
+  )
+}

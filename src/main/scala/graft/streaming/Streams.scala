@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming superset of the reference's continuous-load story
+  * (the reference has no stream engine — SURVEY §2.10; ingestion there is
+  * repeated INSERT..SELECT from gpfdist external tables). Here the same
+  * event queries run as real streams: file source → event-time windows /
+  * sessionization → sink.
+  *
+  * For correctness runs we execute with Trigger.AvailableNow into a
+  * memory sink and hand back the result as a batch DataFrame, so the
+  * exact streaming operators (StateStore-backed window aggs) are what get
+  * verified against the SQL oracle.
+  */
+object Streams {
+
+  /** events.parquet raw schema — ts is parquet timestamp[ns], surfaced as
+    * long nanos under spark.sql.legacy.parquet.nanosAsLong. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The file stream source requires a directory; the fixture is a single
+    * parquet file, so stage a per-sf symlink directory once. */
+  private def stagedDir(sfDir: String): String = synchronized {
+    val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(s"target/stream_src/$name")
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    dir.toAbsolutePath.toString
+  }
+
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(stagedDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  private val runId = new AtomicInteger(0)
+
+  /** Run a (bounded) streaming aggregation to completion and return the
+    * final result as a batch DataFrame. Complete output mode: every
+    * window is emitted in the final batch regardless of watermark
+    * progress (append mode would hold back the tail windows at
+    * end-of-stream). */
+  def runToBatch(spark: SparkSession, agg: DataFrame): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Tumbling event-time window aggregation with watermark. */
+  def tumblingCounts(spark: SparkSession, sfDir: String,
+                     width: String = "1 hour"): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    runToBatch(spark, agg)
+  }
+
+  /** Sliding window (1h window, 30m slide). */
+  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("n_events"))
+    runToBatch(spark, agg)
+  }
+
+  /** Session windows per user with a fixed inactivity gap. */
+  def sessionized(spark: SparkSession, sfDir: String,
+                  gap: String = "10 minutes"): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+    runToBatch(spark, agg)
+  }
+}
