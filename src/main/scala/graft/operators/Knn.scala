@@ -58,30 +58,43 @@ object Knn {
     }.reduce(_ + _)
   }
 
-  /** Sign-LSH bucketed ANN: corpus is hashed once into 2^nPlanes buckets;
-    * each query probes its own bucket plus all Hamming-1 neighbors.
-    * Candidates per query ≈ (nPlanes+1)·N/2^nPlanes — sublinear scanning,
-    * the 100 TB scale path (recall < 1 by construction).
+  /** Multi-table sign-LSH ANN: L independent tables of nPlanes random
+    * hyperplanes each. The corpus is hashed once per table (L rows per
+    * vector — linear); each query probes its bucket plus all Hamming-1
+    * neighbors in every table. Candidates per query ≈
+    * L·(nPlanes+1)·N/2^nPlanes — a tunable, sublinear fraction of the
+    * corpus; the 100 TB scale path (recall < 1 by construction; measured
+    * against brute force in OperatorSpec).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
-              idCol: String = "vec_id",
+              nTables: Int = 8, nPlanes: Int = 8, dim: Int = 64,
+              seed: Long = 42L, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val ps = planes(nPlanes, dim, seed)
+    val tables = (0 until nTables).map(tt =>
+      tt -> planes(nPlanes, dim, seed + 1000L * tt))
+    val cBuckets = tables.map { case (tt, ps) =>
+      struct(lit(tt).as("tbl"), bucketOf(col("cv"), ps).as("bucket"))
+    }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", bucketOf(col("cv"), ps))
-    val probes = (0 until nPlanes).map(j => lit(1 << j)).foldLeft(
-      array(lit(0)))((acc, m) => concat(acc, array(m)))
+      .select(col("neighbor_id"), col("cv"),
+        explode(array(cBuckets: _*)).as("h"))
+      .select(col("neighbor_id"), col("cv"), col("h.tbl"), col("h.bucket"))
+    val probeMasks = lit(0) +: (0 until nPlanes).map(j => lit(1 << j))
+    val qBuckets = tables.flatMap { case (tt, ps) =>
+      probeMasks.map(m =>
+        struct(lit(tt).as("tbl"),
+          bucketOf(col("qv"), ps).bitwiseXOR(m).as("bucket")))
+    }
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"))
-      .withColumn("qbucket", bucketOf(col("qv"), ps))
-      .withColumn("bucket", explode(transform(probes,
-        m => col("qbucket").bitwiseXOR(m)))))
-    val scored = q.join(c, Seq("bucket"))
+      .select(col("query_id"), col("qv"), explode(array(qBuckets: _*)).as("h"))
+      .select(col("query_id"), col("qv"), col("h.tbl"), col("h.bucket")))
+    val scored = q.join(c, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos_sim"))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)

@@ -115,6 +115,19 @@ object PipelineQueries {
       Sreh.readCsv(s, f.getAbsolutePath, schema, rejectLimit = 20).good
     }),
 
+    // Multimodal columns: binary payload + typed metadata, batched
+    // decode stub via mapPartitions (rows-only: decode is engine-defined).
+    "q95_multimodal" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthesizeBlobs(t(s, d, "documents"))
+      val feats = graft.operators.Multimodal.decodeFeatures(blobs)
+      val frames = graft.operators.Multimodal.sampleFrames(blobs.toDF())
+      feats.toDF().join(frames.select("id", "n_frames"), "id")
+        .select(col("id"), col("width"), col("height"), col("channels"),
+          col("n_bytes"), col("n_frames"),
+          round(aggregate(col("feature"), lit(0.0d), (a, x) => a + x.cast("double")), 6)
+            .as("feat_sum"))
+    }),
+
     // COPY TO/FROM roundtrip (commands/copy.c): write CSV, read it back,
     // aggregate — oracle aggregates the source table directly, so the
     // roundtrip must be lossless.

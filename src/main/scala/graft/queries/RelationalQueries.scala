@@ -75,6 +75,44 @@ object RelationalQueries {
         .where(col("f_total") > 300000.0)
     }),
 
+    // Repeat node (nodeRepeat.c) — emit each tuple N times via
+    // explode(sequence) / posexplode.
+    "q07_repeat" -> ((s, d) =>
+      t(s, d, "nation").select(col("n_name"),
+        explode(sequence(lit(0), lit(2))).as("i"))),
+
+    // Material / ShareInputScan: one materialized subtree, two consumers
+    // (persist + ReuseExchange analog of nodeMaterial.c / planshare.c).
+    "q08_material_reuse" -> ((s, d) => {
+      val base = t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
+        .persist()
+      base.select(col("o_orderstatus"), col("n").as("metric"), lit("count").as("kind"))
+        .unionAll(base.select(col("o_orderstatus"),
+          col("total").cast("long").as("metric"), lit("total_floor").as("kind")))
+    }),
+
+    // Set-returning function / UDTF (RETURNS SETOF, nodeFunctionscan.c +
+    // Generator expressions): posexplode over tokenized documents.
+    "q55_udtf_posexplode" -> ((s, d) =>
+      t(s, d, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))),
+
+    // TABLE()-input function (nodeTableFunction.c, tablefuncapi.h) —
+    // whole-table UDTF via typed mapPartitions; row-wise logic so the
+    // result is partition-invariant.
+    "q56_table_function" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (k, name) =>
+          val vowels = name.count("aeiouAEIOU".contains(_))
+          (k, name.length, vowels)
+        })
+        .toDF("c_custkey", "name_len", "n_vowels")
+    }),
+
     // Hash join inner (ExecHashJoin nodeHashjoin.c:512).
     "q10_join_inner" -> ((s, d) => {
       val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
@@ -416,6 +454,24 @@ object RelationalQueries {
          |  FROM (SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F') sub
          |  GROUP BY o_custkey)
          |WHERE f_total > 300000.0""".stripMargin,
+    "q07_repeat" ->
+      """SELECT n_name, CAST(u.i AS INT) AS i
+        |FROM nation, UNNEST(range(3)) u(i)""".stripMargin,
+    "q08_material_reuse" ->
+      s"""WITH base AS (SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${oSumd("o_totalprice")} AS total FROM orders GROUP BY o_orderstatus)
+         |SELECT o_orderstatus, n AS metric, 'count' AS kind FROM base
+         |UNION ALL
+         |SELECT o_orderstatus, CAST(FLOOR(total) AS BIGINT) AS metric, 'total_floor' AS kind FROM base""".stripMargin,
+    "q55_udtf_posexplode" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, CAST(u.i AS INT) AS pos, words[CAST(u.i AS INT) + 1] AS word
+        |FROM w, UNNEST(range(len(words))) u(i)""".stripMargin,
+    "q56_table_function" ->
+      """SELECT c_custkey, CAST(LENGTH(c_name) AS INT) AS name_len,
+        |  CAST(LENGTH(c_name) - LENGTH(regexp_replace(c_name, '[aeiouAEIOU]', '', 'g')) AS INT) AS n_vowels
+        |FROM customer""".stripMargin,
     "q10_join_inner" ->
       """SELECT c_mktsegment,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

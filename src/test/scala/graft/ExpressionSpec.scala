@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftStrings
+
+/** Semantics of the custom Catalyst expressions (SURVEY §7.2 gap fns). */
+class ExpressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("trigram similarity: identical, near, disjoint, empty") {
+    assert(GraftStrings.trigramSimilarity("abc", "abc") == 1.0)
+    // '  abc ' grams {  a, ab,abc,bc }, '  abd ' -> inter {  a, ab}, union 6
+    assert(math.abs(GraftStrings.trigramSimilarity("abc", "abd") - 2.0 / 6) < 1e-15)
+    assert(GraftStrings.trigramSimilarity("abc", "xyz") == 0.0)
+    assert(GraftStrings.trigramSimilarity("", "") == 1.0) // both pad to '   '
+    // case-insensitive by construction
+    assert(GraftStrings.trigramSimilarity("ABC", "abc") == 1.0)
+  }
+
+  test("similarity() SQL surface + null handling + codegen path") {
+    val df = Seq(("hello world", "hello world"), ("hello world", "help word"),
+      (null, "x")).toDF("a", "b")
+    val out = df.selectExpr("similarity(a, b) AS s").collect()
+    assert(out(0).getDouble(0) == 1.0)
+    assert(out(1).getDouble(0) > 0.2 && out(1).getDouble(0) < 1.0)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("simhash64: deterministic, permutation-insensitive-ish, null-safe") {
+    val h1 = GraftStrings.simhash64("the quick brown fox jumps")
+    assert(h1 == GraftStrings.simhash64("the quick brown fox jumps"))
+    // one-token change flips few bits
+    val h2 = GraftStrings.simhash64("the quick brown fox leaps")
+    assert(java.lang.Long.bitCount(h1 ^ h2) < 24)
+    // disjoint text is far
+    val h3 = GraftStrings.simhash64("zzz yyy xxx www vvv")
+    assert(java.lang.Long.bitCount(h1 ^ h3) > 10)
+    val r = Seq(Tuple1[String](null)).toDF("t").selectExpr("simhash64(t)").head()
+    assert(r.isNullAt(0))
+  }
+
+  test("linear_interpolate: midpoint, degenerate, null propagation") {
+    val rows = spark.sql(
+      """SELECT linear_interpolate(15.0, 10.0, 100.0, 20.0, 200.0) AS mid,
+        |       linear_interpolate(15.0, 10.0, 100.0, 10.0, 999.0) AS degen,
+        |       linear_interpolate(15.0, 10.0, 100.0, CAST(NULL AS DOUBLE), 200.0) AS nul
+        |""".stripMargin).head()
+    assert(rows.getDouble(0) == 150.0)
+    assert(rows.getDouble(1) == 100.0) // x1 == x0 -> y0 (interpolate.c:234 semantics)
+    assert(rows.isNullAt(2))
+  }
+
+  test("lang_id: CJK detection and stopword scoring") {
+    val df = Seq("the cat and the dog is in a house that is big",
+      "el gato y la casa de que los perros en un dia",
+      "中文文本内容测试").toDF("t")
+    val out = df.selectExpr("lang_id(t) AS l").collect().map(_.getString(0))
+    assert(out(0) == "en")
+    assert(out(1) == "es")
+    assert(out(2) == "zh")
+  }
+
+  test("wavg aggregator matches manual decimal formula") {
+    val df = Seq((10.0, 2.0), (20.0, 3.0), (30.0, 5.0)).toDF("x", "w")
+    df.createOrReplaceTempView("wavg_in")
+    val got = spark.sql("SELECT wavg(x, w) FROM wavg_in").head().getDouble(0)
+    assert(math.abs(got - (10 * 2 + 20 * 3 + 30 * 5) / 10.0) < 1e-12)
+  }
+
+  test("scalar subquery >1 row fails at runtime (AssertOp analog)") {
+    Tables.register(spark, TestSpark.sf0001)
+    val e = intercept[Exception] {
+      spark.sql("SELECT (SELECT n_nationkey FROM nation) AS x").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("more than one row") ||
+      e.getMessage.contains("SCALAR_SUBQUERY_TOO_MANY_ROWS"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Unit tests for the pipeline/relational operators on literal frames
+  * (pg_regress-style single-purpose fixtures, FIXTURES §B).
+  */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("nearDupPairs finds a planted near-dup and no false positive") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 38).map(i => s"tok$i") ++ Seq("xxx", "yyy")).mkString(" ")
+    val far = (100 to 140).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) > 0.8)
+  }
+
+  test("nearDupPairs on sf0.001 documents matches exact all-pairs jaccard") {
+    Tables.register(spark, TestSpark.sf0001)
+    val docs = spark.table("documents")
+    val lsh = Dedup.nearDupPairs(docs, threshold = 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // exact answer via shingle self-join (no LSH) — small data only
+    val sh = Dedup.withShingles(docs.select("doc_id", "text"))
+      .select(col("doc_id"), col("shingles"))
+    val exact = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+          size(array_union(col("a.shingles"), col("b.shingles"))).cast("double")).as("j"))
+      .where(col("j") >= 0.8)
+      .select("a.doc_id", "b.doc_id").as[(Long, Long)].collect().toSet
+    assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size}")
+    assert(exact.nonEmpty) // fixture has planted near-dups
+  }
+
+  test("simhashPairs: identical docs at distance 0, near docs small distance") {
+    val a = (1 to 60).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 57).map(i => s"w$i") ++ Seq("q1", "q2", "q3")).mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    assert(pairs.exists { case (x, y, h) => x == 1L && y == 2L && h == 0L })
+  }
+
+  test("exact + fingerprint dedup") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a a"), (4L, "d e f"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(docs).where(col("n_copies") > 1).collect()
+    assert(groups.length == 1 && groups.head.getLong(2) == 1L)
+    // fingerprint identifies 1,2,3 as same token set
+    val fp = Dedup.withFingerprint(docs).select("doc_id", "fingerprint")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) == fp(3L) && fp(1L) != fp(4L))
+  }
+
+  test("LSH KNN recall vs brute force on sf0.001 embeddings") {
+    Tables.register(spark, TestSpark.sf0001)
+    val emb = spark.table("embeddings")
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Knn.bruteForceTopK(emb, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Knn.lshTopK(emb, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // 8 planes + hamming-1 probes over 500 random vectors: recall is
+    // deterministic given seed 42; pin a generous floor.
+    assert(recall > 0.25, s"recall=$recall")
+    assert(lsh.size <= 20 * 5)
+  }
+
+  test("recursive fixpoint: linear chain depth and cyclic termination") {
+    val edges = Seq((1, 2), (2, 3), (3, 4)).toDF("parent", "child")
+    val seed = Seq((1, 0)).toDF("id", "depth")
+    val out = RecursiveCte.fixpoint(seed, f =>
+      edges.join(f, col("parent") === col("id"))
+        .select(col("child").as("id"), (col("depth") + 1).as("depth")))
+      .as[(Int, Int)].collect().toSet
+    assert(out == Set((1, 0), (2, 1), (3, 2), (4, 3)))
+    // cycle: 1->2->1 must terminate under distinct semantics
+    val cyc = Seq((1, 2), (2, 1)).toDF("parent", "child")
+    val out2 = RecursiveCte.fixpointDistinct(Seq(Tuple1(1)).toDF("id"), f =>
+      cyc.join(f, col("parent") === col("id")).select(col("child").as("id")))
+      .as[Int].collect().toSet
+    assert(out2 == Set(1, 2))
+  }
+
+  test("SREH: within limit keeps good rows, over limit throws") {
+    val dir = new java.io.File("target/test-sreh"); dir.mkdirs()
+    val f = new java.io.File(dir, "in.csv")
+    val rows = (1 to 20).map(i =>
+      if (i % 5 == 0) s"$i,broken" else s"$i,n$i,${i * 2.0}")
+    java.nio.file.Files.write(f.toPath, rows.mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    val res = Sreh.readCsv(spark, f.getAbsolutePath, schema, rejectLimit = 10)
+    assert(res.rejected == 4)
+    assert(res.good.count() == 16)
+    val e = intercept[Sreh.RejectLimitExceeded] {
+      Sreh.readCsv(spark, f.getAbsolutePath, schema, rejectLimit = 3)
+    }
+    assert(e.rejected == 4 && e.limit == 3)
+  }
+
+  test("multimodal: batch decode plumbing is deterministic and distributed") {
+    val docs = Seq((1L, "hello world content"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val blobs = Multimodal.synthesizeBlobs(docs)
+    val feats = Multimodal.decodeFeatures(blobs, batchSize = 2).collect()
+      .map(f => f.id -> f).toMap
+    assert(feats(1L).n_bytes == 19 && feats(1L).channels == 3)
+    assert(feats(2L).feature.length == 8)
+    // repartitioning must not change results (batch boundaries move)
+    val feats4 = Multimodal.decodeFeatures(blobs.repartition(4), batchSize = 1)
+      .collect().map(f => f.id -> f.n_bytes).toMap
+    assert(feats4 == feats.map { case (k, v) => k -> v.n_bytes })
+  }
+
+  test("text quality features handle empty and punct-only text") {
+    val docs = Seq((1L, ""), (2L, "..."), (3L, "the cat sat."))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withQuality(docs).select("doc_id", "n_tokens",
+      "punct_ratio", "stopword_ratio").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 0)
+    assert(out(2L).getDouble(2) == 1.0)
+    assert(out(3L).getInt(1) == 3)
+  }
+}

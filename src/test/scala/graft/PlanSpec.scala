@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts — the 100 TB design assertions the VERDICT
+  * asked for: broadcasts where dims are small, pushdown/pruning at the
+  * scan, whole-stage codegen on the spine, TakeOrderedAndProject for
+  * top-k. Checked via explain output on the real catalog queries.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize the AQE plan (codegen spans appear post-execution)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q17 star join broadcasts region/nation/supplier (no shuffle of dims)") {
+    val p = planOf("q17_join_broadcast_star")
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in:\n$p")
+  }
+
+  test("q01 spine is partial+final hash aggregate with whole-stage codegen") {
+    val p = planOf("q01_tpch_q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert("partial_sum|partial_count".r.findFirstIn(p).isDefined
+      || p.split("HashAggregate").length > 2, "expected 2-stage agg:\n" + p)
+    // codegen'd spans render as "*(n)" in the final AQE plan
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, "no codegen spans:\n" + p)
+  }
+
+  test("q02 pushes filters and prunes columns at the parquet scan") {
+    val df = SparkEntry.queries("q02_filter_project")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: ["), scan)
+    assert(scan.contains("GreaterThan(l_quantity"), scan)
+    // pruned read schema: none of the unused columns
+    assert(!scan.contains("l_shipdate"), "column pruning failed:\n" + scan)
+  }
+
+  test("q40 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q40_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q88 KNN broadcasts the query side (corpus is never shuffled)") {
+    val p = planOf("q88_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q81 LSH dedup contains only equi-joins (no cartesian/BNLJ)") {
+    val p = planOf("q81_neardup_lsh")
+    assert(!p.contains("CartesianProduct"), "all-pairs join in dedup plan:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "non-equi join in dedup plan:\n" + p)
+  }
+
+  test("partitioned write + partition-filter pruning") {
+    Tables.register(spark, sf)
+    val dir = "target/test-warehouse/orders_by_status"
+    spark.table("orders").write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(dir)
+    val pruned = spark.read.parquet(dir).where("o_orderstatus = 'F'")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(o_orderstatus"), scan)
+    assert(pruned.count() > 0)
+  }
+
+  private def dropManaged(names: String*): Unit = names.foreach { n =>
+    spark.sql(s"DROP TABLE IF EXISTS $n")
+    val loc = new java.io.File(s"target/test-warehouse/$n")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    Tables.register(spark, sf)
+    import graft.operators.Distribution
+    dropManaged("orders_b", "customer_b")
+    Distribution.createBucketedTable(
+      spark.table("orders"), "orders_b", 4, Seq("o_custkey"))
+    Distribution.createBucketedTable(
+      spark.table("customer"), "customer_b", 4, Seq("c_custkey"))
+    val j = spark.sql(
+      """SELECT /*+ MERGE(orders_b) */ c_custkey, COUNT(*) AS n
+        |FROM orders_b JOIN customer_b ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin)
+    val p = j.queryExecution.executedPlan.toString
+    // co-located: no Exchange feeding the join on either side
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, p)
+    assert(!p.substring(joinIdx).contains("Exchange hashpartitioning(o_custkey"),
+      "bucketed join still shuffles:\n" + p)
+  }
+
+  test("ANALYZE feeds CBO row counts") {
+    Tables.register(spark, sf)
+    dropManaged("nation_t")
+    spark.table("nation").write.mode("overwrite").saveAsTable("nation_t")
+    graft.operators.Distribution.analyze(spark, "nation_t", Seq("n_nationkey", "n_regionkey"))
+    val stats = spark.sql("DESCRIBE EXTENDED nation_t n_nationkey").collect()
+      .map(r => r.getString(0) + "=" + r.getString(1)).mkString(";")
+    assert(stats.contains("distinct_count=25"), stats)
+  }
+}
