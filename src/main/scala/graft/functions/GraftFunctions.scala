@@ -244,6 +244,23 @@ object GraftFunctions {
       FunctionIdentifier("lang_id"),
       info("lang_id", "lang_id(text) - heuristic language id"),
       (args: Seq[Expression]) => LangId(args(0)))
+    reg.registerFunction(
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - sequential-fold dot product"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets", "lsh_buckets(vec, nTables, nPlanes, dim, seed) - sign-LSH bucket keys"),
+      (args: Seq[Expression]) => {
+        def i(n: Int) = args(n).eval().asInstanceOf[Number]
+        LshBuckets(args(0), i(1).intValue(), i(2).intValue(),
+          i(3).intValue(), i(4).longValue())
+      })
+    reg.registerFunction(
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, n) - minhash signature array"),
+      (args: Seq[Expression]) => MinHashSig(args(0),
+        args(1).eval().asInstanceOf[Number].intValue()))
     spark.udf.register("wavg", org.apache.spark.sql.functions.udaf(
       new WeightedAvg, org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble)))

@@ -30,15 +30,15 @@ object Dedup {
     docs.withColumn(out, sh)
   }
 
-  /** MinHash signature: sig[i] = min over shingles of xxhash64(s, i).
-    * Seeded via the extra hash column (no long-multiply mixing → safe
-    * under ANSI overflow checking). */
+  /** MinHash signature via the codegen'd MinHashSig kernel: shingle bytes
+    * hashed once (xxh64), then numHashes splitmix64 permutations in a
+    * tight JVM loop (an expression-level formulation runs interpreted per
+    * row and dominated the bench). */
   def withMinhash(shingled: DataFrame, numHashes: Int = 128,
                   shinglesCol: String = "shingles",
                   out: String = "minhash"): DataFrame =
     shingled.withColumn(out,
-      transform(sequence(lit(1), lit(numHashes)),
-        i => array_min(transform(col(shinglesCol), s => xxhash64(s, i)))))
+      call_function("minhash_sig", col(shinglesCol), lit(numHashes)))
 
   /** Banded-LSH candidate pairs + exact-jaccard verification.
     *
@@ -56,32 +56,36 @@ object Dedup {
                    numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
+    // Persist the signature table: both sides of the bucket self-join read
+    // it (at scale you materialize signatures once, not per consumer).
     val sig = withMinhash(withShingles(docs.select(col(idCol), col(textCol)),
       textCol, k), numHashes)
       .select(col(idCol), col("shingles"), col("minhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = sig.select(
-      col(idCol), col("shingles"),
+    // Band keys fold the band index into one 64-bit join key. Only
+    // (id, bkey) rows flow through the bucket self-join — the shingle
+    // arrays are re-joined AFTER candidate dedup, so the wide payload
+    // never rides the big shuffle (at 100 TB the banded table is the
+    // dominant shuffle; keep it to 16 bytes/row).
+    val banded = sig.select(col(idCol),
       explode(transform(sequence(lit(0), lit(bands - 1)),
-        j => struct(j.as("band"),
-          xxhash64(slice(col("minhash"), j * rows + 1, lit(rows))).as("bkey"))))
-        .as("b"))
-      .select(col(idCol), col("shingles"), col("b.band"), col("b.bkey"))
+        j => xxhash64(j, slice(col("minhash"), j * rows + 1, lit(rows)))))
+        .as("bkey"))
 
-    val l = banded.select(col("band"), col("bkey"),
-      col(idCol).as("a_id"), col("shingles").as("a_sh"))
-    val r = banded.select(col("band"), col("bkey"),
-      col(idCol).as("b_id"), col("shingles").as("b_sh"))
-
-    // Equi-join on (band, bkey): shuffle bounded by bucket sizes.
-    val cand = l.join(r, Seq("band", "bkey"))
+    val cand = banded.select(col("bkey"), col(idCol).as("a_id"))
+      .join(banded.select(col("bkey"), col(idCol).as("b_id")), Seq("bkey"))
       .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh")
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
 
-    cand.select(col("a_id"), col("b_id"),
-      (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-        size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
+    val shOnly = sig.select(col(idCol), col("shingles"))
+    cand
+      .join(shOnly.select(col(idCol).as("a_id"), col("shingles").as("a_sh")), "a_id")
+      .join(shOnly.select(col(idCol).as("b_id"), col("shingles").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

@@ -12,14 +12,11 @@ import org.apache.spark.sql.functions._
 object Knn {
 
   /** Sequential-fold dot product in double precision. Deterministic
-    * (left-to-right) — bit-stable across partitionings. */
-  def dotd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    * (left-to-right) — bit-stable across partitionings. Runs as the
+    * codegen'd VecDot kernel (HOF lambdas evaluate interpreted). */
+  def dotd(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  def norm2(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm2(a: Column): Column = sqrt(call_function("vec_dot", a, a))
 
   def cosine(a: Column, b: Column): Column = dotd(a, b) / (norm2(a) * norm2(b))
 
@@ -43,21 +40,6 @@ object Knn {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
-  /** Deterministic random hyperplanes for sign-LSH, seeded (no RNG state
-    * leaks into the plan; plans are literals). */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(nPlanes, dim)(rnd.nextGaussian())
-  }
-
-  private def bucketOf(vec: Column, ps: Array[Array[Double]]): Column = {
-    // bucket bit j = sign(dot(v, plane_j)); folded into an int key.
-    ps.zipWithIndex.map { case (p, j) =>
-      val planeLit = array(p.map(lit): _*)
-      when(dotd(vec, planeLit) >= 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-  }
-
   /** Multi-table sign-LSH ANN: L independent tables of nPlanes random
     * hyperplanes each. The corpus is hashed once per table (L rows per
     * vector — linear); each query probes its bucket plus all Hamming-1
@@ -70,25 +52,20 @@ object Knn {
               nTables: Int = 8, nPlanes: Int = 8, dim: Int = 64,
               seed: Long = 42L, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val tables = (0 until nTables).map(tt =>
-      tt -> planes(nPlanes, dim, seed + 1000L * tt))
-    val cBuckets = tables.map { case (tt, ps) =>
-      struct(lit(tt).as("tbl"), bucketOf(col("cv"), ps).as("bucket"))
-    }
+    def buckets(vec: Column): Column = call_function("lsh_buckets",
+      vec, lit(nTables), lit(nPlanes), lit(dim), lit(seed))
+    // corpus: one (tbl, bucket) row per table — posexplode index = table id
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .select(col("neighbor_id"), col("cv"),
-        explode(array(cBuckets: _*)).as("h"))
-      .select(col("neighbor_id"), col("cv"), col("h.tbl"), col("h.bucket"))
-    val probeMasks = lit(0) +: (0 until nPlanes).map(j => lit(1 << j))
-    val qBuckets = tables.flatMap { case (tt, ps) =>
-      probeMasks.map(m =>
-        struct(lit(tt).as("tbl"),
-          bucketOf(col("qv"), ps).bitwiseXOR(m).as("bucket")))
-    }
+        posexplode(buckets(col("cv"))).as(Seq("tbl", "bucket")))
+    // queries: own bucket + all hamming-1 probes per table
+    val probeMasks = array((lit(0) +: (0 until nPlanes).map(j => lit(1 << j))): _*)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"))
-      .select(col("query_id"), col("qv"), explode(array(qBuckets: _*)).as("h"))
-      .select(col("query_id"), col("qv"), col("h.tbl"), col("h.bucket")))
+      .select(col("query_id"), col("qv"),
+        posexplode(buckets(col("qv"))).as(Seq("tbl", "qbucket")))
+      .select(col("query_id"), col("qv"), col("tbl"),
+        explode(transform(probeMasks, m => col("qbucket").bitwiseXOR(m))).as("bucket")))
     val scored = q.join(c, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
