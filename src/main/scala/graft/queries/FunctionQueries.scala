@@ -108,6 +108,16 @@ object FunctionQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
 
+    // Scalar UDF registration surface (CREATE FUNCTION, src/pl/*) +
+    // to_char-style numeric formatting (formatting.c).
+    "q79_udf_scalar" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      s.udf.register("acct_norm", (x: Double) => x * 2.0 + 1.0)
+      s.sql("""SELECT c_custkey, acct_norm(c_acctbal) AS norm_bal,
+              |       format_string('%.2f', c_acctbal) AS fmt_bal
+              |FROM customer""".stripMargin)
+    }),
+
     // Trigram similarity (contrib/pg_trgm) — custom codegen expression.
     "q78_trgm_similarity" -> ((s, d) =>
       t(s, d, "part").select(
@@ -191,6 +201,10 @@ object FunctionQueries {
         |  END AS interp_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
+    "q79_udf_scalar" ->
+      """SELECT c_custkey, c_acctbal * 2.0 + 1.0 AS norm_bal,
+        |       printf('%.2f', c_acctbal) AS fmt_bal
+        |FROM customer""".stripMargin,
     "q78_trgm_similarity" ->
       """WITH g AS (
         |  SELECT p_partkey, p_name,

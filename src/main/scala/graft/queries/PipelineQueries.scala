@@ -92,6 +92,12 @@ object PipelineQueries {
       Streams.tumblingCounts(s, d)
     }),
 
+    // Streaming sliding window (1 h window, 30 min slide).
+    "q96_stream_sliding" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      Streams.slidingCounts(s, d)
+    }),
+
     // Streaming session windows per user (10 min gap).
     "q92_stream_session" -> ((s, d) => {
       graft.Tables.register(s, d)
@@ -239,6 +245,12 @@ object PipelineQueries {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q96_stream_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |w AS (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w_start FROM e
+        |      UNION ALL
+        |      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE FROM e)
+        |SELECT w_start, COUNT(*) AS n_events FROM w GROUP BY w_start""".stripMargin,
     "q92_stream_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |m AS (SELECT user_id, ts,

@@ -101,6 +101,24 @@ class PlanSpec extends AnyFunSuite {
       "bucketed join still shuffles:\n" + p)
   }
 
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    Tables.register(spark, sf)
+    val dir = "target/test-warehouse/lineitem_by_flag"
+    spark.table("lineitem").write.mode("overwrite")
+      .partitionBy("l_returnflag").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("lineitem_part")
+    // dim side filtered to one flag value; the fact scan should prune
+    // partitions at runtime via a DPP subquery filter.
+    val q = spark.sql(
+      """SELECT COUNT(*) AS n FROM lineitem_part f
+        |JOIN (SELECT l_returnflag AS flag, COUNT(*) AS c FROM lineitem
+        |      WHERE l_linestatus = 'F' GROUP BY l_returnflag HAVING COUNT(*) > 100) d
+        |ON f.l_returnflag = d.flag""".stripMargin)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), "no DPP filter in plan:\n" + p)
+    assert(q.head().getLong(0) > 0)
+  }
+
   test("ANALYZE feeds CBO row counts") {
     Tables.register(spark, sf)
     dropManaged("nation_t")
