@@ -104,6 +104,12 @@ object PipelineQueries {
       Streams.sessionized(s, d)
     }),
 
+    // Custom-state sessionization via typed grouped iteration
+    // (mapGroups-family) — same semantics as q92's session_window, same
+    // gaps-and-islands oracle.
+    "q97_sessionize_custom" -> ((s, d) =>
+      graft.streaming.Sessionize.byGroups(t(s, d, "events"), 10).toDF()),
+
     // SREH: PERMISSIVE CSV load with reject limit (rows-only; the CSV is
     // generated deterministically into the build dir).
     "q93_sreh_csv" -> ((s, d) => {
@@ -252,6 +258,16 @@ object PipelineQueries {
         |      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE FROM e)
         |SELECT w_start, COUNT(*) AS n_events FROM w GROUP BY w_start""".stripMargin,
     "q92_stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 10 MINUTE
+        |       THEN 0 ELSE 1 END AS new_s FROM e),
+        |g AS (SELECT user_id, ts,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 10 MINUTE AS s_end,
+        |       user_id, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q97_sessionize_custom" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |m AS (SELECT user_id, ts,
         |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 10 MINUTE

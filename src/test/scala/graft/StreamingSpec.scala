@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics beyond the oracle-checked window queries:
+  * watermark late-data drop (observable only with multi-batch input) and
+  * custom-state sessionization parity. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("watermark drops late rows in append mode across micro-batches") {
+    // Two checkpointed runs = two deterministic micro-batches:
+    //  run 1 (f1): hour-10 events → watermark 10:10, nothing finalized.
+    //  run 2 (f2): hour-1 event is behind the watermark (dropped);
+    //  the 12:30 event advances the watermark to 12:00, finalizing
+    //  window 10 with exactly the 2 on-time rows; window 12 stays open.
+    def rmr(p: String): Unit = { val f = new java.io.File(p)
+      if (f.exists()) { def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete() }; rm(f) } }
+    rmr("target/test-stream")
+    val stage = Files.createDirectories(Paths.get("target/test-stream/late"))
+    val ckpt = "target/test-stream/ckpt"
+    def writeOne(rows: Seq[(java.sql.Timestamp, Long)], name: String): Unit = {
+      val tmp = s"target/test-stream/tmp_$name"
+      rows.toDF("ts", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, stage.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val outDir = "target/test-stream/out"
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType)))
+    def runOnce(name: String): Map[String, Long] = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))))
+        .parquet(stage.toAbsolutePath.toString)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.schema(outSchema).parquet(outDir).collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    }
+    writeOne(Seq((ts(10, 5), 1L), (ts(10, 40), 2L)), "f1")
+    val out1 = runOnce("graft_late_run1")
+    assert(out1.isEmpty, s"nothing should finalize in run 1: $out1")
+    writeOne(Seq((ts(1, 0), 3L), (ts(12, 30), 4L)), "f2")
+    val out = runOnce("graft_late_run2")
+    assert(out.get("2024-03-01 10:00:00.0").contains(2L),
+      s"window 10 should finalize with the 2 on-time rows: $out")
+    assert(!out.keys.exists(_.contains("01:00")), s"late row leaked: $out")
+    assert(!out.keys.exists(_.contains("12:00")), s"open window emitted: $out")
+  }
+
+  test("custom-state sessionization matches session_window operator") {
+    Tables.register(spark, TestSpark.sf0001)
+    val viaState = graft.streaming.Sessionize
+      .byGroups(spark.table("events"), 10).toDF()
+      .select(col("s_start").cast("timestamp"), col("s_end").cast("timestamp"),
+        col("user_id"), col("n_events"))
+      .collect().map(_.toString).sorted
+    val viaWindow = graft.streaming.Streams
+      .sessionized(spark, TestSpark.sf0001, "10 minutes")
+      .collect().map(_.toString).sorted
+    assert(viaState.length == viaWindow.length)
+    assert(viaState.toSeq == viaWindow.toSeq)
+  }
+
+  test("salted join/aggregate match unsalted results") {
+    Tables.register(spark, TestSpark.sf0001)
+    import graft.operators.Skew
+    val orders = spark.table("orders")
+    val salted = Skew.saltedCountSum(orders, Seq("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)"), 8, Seq(col("o_orderkey")))
+      .select(col("o_orderstatus"), col("n"), col("s").cast("double"))
+      .collect().map(_.toString).sorted
+    val plain = orders.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+      .select(col("o_orderstatus"), col("n"), col("s").cast("double"))
+      .collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+
+    val customer = spark.table("customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val sj = Skew.saltedJoin(orders.withColumnRenamed("o_custkey", "c_custkey"),
+      customer, "c_custkey", 8, Seq(col("o_orderkey")))
+    val pj = orders.withColumnRenamed("o_custkey", "c_custkey")
+      .join(customer, "c_custkey")
+    assert(sj.count() == pj.count())
+  }
+
+  test("PG null ordering shim") {
+    import graft.operators.PgSort._
+    val df = Seq(Some(2), None, Some(1)).toDF("x")
+    val out = df.orderByPg((col("x"), true)).collect()
+      .map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+    assert(out.toSeq == Seq(1, 2, -1))
+  }
+}
