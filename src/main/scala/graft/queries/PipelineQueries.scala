@@ -104,6 +104,18 @@ object PipelineQueries {
       Streams.sessionized(s, d)
     }),
 
+    // Streaming dedup with watermark-bounded state over a unioned stream.
+    "q98_stream_dedup" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      Streams.dedupCounts(s, d)
+    }),
+
+    // Stream–static broadcast join + aggregation.
+    "q99_stream_static_join" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      Streams.streamStaticJoin(s, d)
+    }),
+
     // Custom-state sessionization via typed grouped iteration
     // (mapGroups-family) — same semantics as q92's session_window, same
     // gaps-and-islands oracle.
@@ -267,6 +279,17 @@ object PipelineQueries {
         |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 10 MINUTE AS s_end,
         |       user_id, COUNT(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q98_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q99_stream_static_join" ->
+      """WITH dim(event_type, category) AS (VALUES
+        |  ('click','engagement'), ('view','engagement'),
+        |  ('purchase','revenue'), ('signup','growth'), ('error','ops'))
+        |SELECT category, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY category""".stripMargin,
     "q97_sessionize_custom" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |m AS (SELECT user_id, ts,

@@ -91,6 +91,36 @@ object Streams {
     runToBatch(spark, agg)
   }
 
+  /** Streaming dedup: two copies of the stream unioned, then
+    * dropDuplicates on the key within the watermark — the streaming
+    * analog of DISTINCT with bounded state. */
+  def dedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = eventsStream(spark, sfDir)
+    val b = eventsStream(spark, sfDir)
+    val agg = a.unionAll(b)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+    runToBatch(spark, agg)
+  }
+
+  /** Stream–static join: the event stream enriched by a small static
+    * dimension (broadcast), then aggregated. */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = spark.createDataFrame(Seq(
+      ("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth"),
+      ("error", "ops"))).toDF("event_type", "category")
+    val agg = eventsStream(spark, sfDir)
+      .join(broadcast(dim), Seq("event_type"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    runToBatch(spark, agg)
+  }
+
   /** Session windows per user with a fixed inactivity gap. */
   def sessionized(spark: SparkSession, sfDir: String,
                   gap: String = "10 minutes"): DataFrame = {
