@@ -249,6 +249,11 @@ object GraftFunctions {
       info("vec_dot", "vec_dot(a, b) - sequential-fold dot product"),
       (args: Seq[Expression]) => VecDot(args(0), args(1)))
     reg.registerFunction(
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, k) - distinct word k-grams"),
+      (args: Seq[Expression]) => WordShingles(args(0),
+        args(1).eval().asInstanceOf[Number].intValue()))
+    reg.registerFunction(
       FunctionIdentifier("lsh_buckets"),
       info("lsh_buckets", "lsh_buckets(vec, nTables, nPlanes, dim, seed) - sign-LSH bucket keys"),
       (args: Seq[Expression]) => {

@@ -110,6 +110,59 @@ object GraftVec {
   }
 }
 
+/** Word k-gram shingling in one JVM pass (split + slide + distinct).
+  * Semantics identical to the SQL-oracle formulation: split on single
+  * space (empties preserved), k-grams joined by one space, distinct;
+  * texts shorter than k words yield one whole-text shingle. */
+object GraftShingle {
+  def shingles(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < k)
+      return new GenericArrayData(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(words.mkString(" "))))
+    val seen = new java.util.LinkedHashSet[String](words.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + k <= words.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) {
+      out(n) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `word_shingles(text, k)` — distinct word k-grams. */
+case class WordShingles(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(v: Any): Any =
+    GraftShingle.shingles(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftShingle.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** `vec_dot(a, b)` — codegen'd sequential dot product over
   * ARRAY<FLOAT>/ARRAY<DOUBLE>. */
 case class VecDot(left: Expression, right: Expression)

@@ -17,18 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word k-gram shingles per document. Documents shorter than
-    * k words contribute a single whole-text shingle. */
+  /** Distinct word k-gram shingles per document (JVM kernel — the HOF
+    * slide/distinct formulation evaluates interpreted). Documents shorter
+    * than k words contribute a single whole-text shingle. */
   def withShingles(docs: DataFrame, textCol: String = "text", k: Int = 3,
-                   out: String = "shingles"): DataFrame = {
-    val words = split(col(textCol), " ")
-    val sh = when(size(words) >= k,
-      array_distinct(transform(
-        sequence(lit(0), size(words) - k),
-        i => concat_ws(" ", slice(words, i + 1, lit(k))))))
-      .otherwise(array(concat_ws(" ", words)))
-    docs.withColumn(out, sh)
-  }
+                   out: String = "shingles"): DataFrame =
+    docs.withColumn(out, call_function("word_shingles", col(textCol), lit(k)))
 
   /** MinHash signature via the codegen'd MinHashSig kernel: shingle bytes
     * hashed once (xxh64), then numHashes splitmix64 permutations in a
@@ -87,6 +81,44 @@ object Dedup {
         (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Connected components over near-dup pairs via min-label propagation —
+    * the scalable way to turn pairwise matches into dedup clusters (each
+    * iteration is one distributed join; converges in O(cluster diameter)
+    * rounds; labels are monotone non-increasing so convergence is
+    * detected by an exact sum). Returns (id, component) where component =
+    * min doc id reachable. */
+  def connectedComponents(pairs: DataFrame, vertices: DataFrame,
+                          idCol: String = "id",
+                          maxIterations: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .localCheckpoint(true)
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("component"))
+      .localCheckpoint(true)
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("component"))
+      .head().getLong(0)
+    var i = 0
+    var converged = false
+    while (i < maxIterations && !converged) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("component").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(labels("component"), coalesce(col("nbr_min"), labels("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(org.apache.spark.sql.functions.sum("component"))
+        .head().getLong(0)
+      converged = nextSum == sum
+      labels = next
+      sum = nextSum
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"components did not converge in $maxIterations rounds")
+    labels
   }
 
   /** Exact duplicate groups by content hash: one row per distinct text,

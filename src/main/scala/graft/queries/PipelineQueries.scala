@@ -27,6 +27,16 @@ object PipelineQueries {
     "q81_neardup_lsh" -> ((s, d) =>
       Dedup.nearDupPairs(t(s, d, "documents"), threshold = 0.8)),
 
+    // End-to-end dedup: LSH pairs → connected components (min-label
+    // propagation) → canonical keeper per cluster.
+    "q100_dedup_components" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.nearDupPairs(docs, threshold = 0.8)
+      Dedup.connectedComponents(pairs, docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("component"),
+          (col("id") === col("component")).as("is_keeper"))
+    }),
+
     // SimHash near-dup candidates via pigeonhole block join (rows-only:
     // the 64-bit fingerprint is engine-defined).
     "q82_simhash_pairs" -> ((s, d) =>
@@ -194,6 +204,22 @@ object PipelineQueries {
          |WHERE a.doc_id < b.doc_id
          |  AND CAST(len(list_filter(a.s, g -> list_contains(b.s, g))) AS DOUBLE) /
          |      CAST(len(a.s) + len(b.s) - len(list_filter(a.s, g -> list_contains(b.s, g))) AS DOUBLE) >= 0.8""".stripMargin,
+    "q100_dedup_components" ->
+      s"""${shingleSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |jac AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_filter(a.s, g -> list_contains(b.s, g))) AS DOUBLE) /
+         |        CAST(len(a.s) + len(b.s) - len(list_filter(a.s, g -> list_contains(b.s, g))) AS DOUBLE) >= 0.8),
+         |edges AS (SELECT a, b FROM jac UNION SELECT b, a FROM jac),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, MIN(dst) AS component,
+         |       (MIN(dst) = src) AS is_keeper
+         |FROM reach GROUP BY src""".stripMargin,
     "q83_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
