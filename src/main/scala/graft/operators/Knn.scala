@@ -40,6 +40,46 @@ object Knn {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** IVF-style ANN: partition the corpus into Voronoi cells around a
+    * deterministic centroid set (lowest ids — a real deployment samples/
+    * k-means them), assign each vector to its best cell once, and have
+    * each query probe only its nProbe closest cells. Scanning cost per
+    * query ≈ nProbe/nCentroids of the corpus — the classic IVF trade;
+    * recall measured against brute force in OperatorSpec. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(
+      corpus.orderBy(col(idCol).asc).limit(nCentroids)
+        .select(col(idCol).as("cid"), col(vecCol).as("centroid")))
+    val wBest = Window.partitionBy("neighbor_id")
+      .orderBy(col("cscore").desc, col("cid").asc)
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(cents, expr("true"))
+      .select(col("neighbor_id"), col("cv"), col("cid"),
+        dotd(col("cv"), col("centroid")).as("cscore"))
+      .withColumn("rn", row_number().over(wBest)).where(col("rn") === 1)
+      .select("cid", "neighbor_id", "cv")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("qscore").desc, col("cid").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(cents, expr("true"))
+      .select(col("query_id"), col("qv"), col("cid"),
+        dotd(col("qv"), col("centroid")).as("qscore"))
+      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nProbe)
+      .select("query_id", "qv", "cid")
+    val scored = broadcast(probes).join(assigned, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
   /** Multi-table sign-LSH ANN: L independent tables of nPlanes random
     * hyperplanes each. The corpus is hashed once per table (L rows per
     * vector — linear); each query probes its bucket plus all Hamming-1

@@ -69,6 +69,20 @@ object FunctionQueries {
         array_max(transform(words, w => length(w))).as("longest"))
     }),
 
+    // Map type functions (hstore analog, SURVEY §1.2) over parsed JSON.
+    "q73b_map_funcs" -> ((s, d) => {
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType))
+      t(s, d, "events").select(
+        col("event_id"),
+        map_keys(m).as("ks"),
+        map_values(m).as("vs"),
+        element_at(m, "k").as("k_val"),
+        size(m).as("n_entries"))
+    }),
+
     // Regex + fuzzy (regexp.c, contrib/fuzzystrmatch levenshtein).
     "q74_regex_funcs" -> ((s, d) =>
       t(s, d, "part").select(
@@ -170,6 +184,13 @@ object FunctionQueries {
         |  CAST(len(list_filter(words, w -> length(w) > 5)) AS INT) AS n_long,
         |  CAST(list_max(list_transform(words, w -> length(w))) AS INT) AS longest
         |FROM w""".stripMargin,
+    "q73b_map_funcs" ->
+      """SELECT event_id,
+        |  json_keys(props) AS ks,
+        |  [CAST(json_extract_string(props, '$.k') AS INT)] AS vs,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  CAST(len(json_keys(props)) AS INT) AS n_entries
+        |FROM events""".stripMargin,
     "q74_regex_funcs" ->
       """SELECT p_partkey,
         |  regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,

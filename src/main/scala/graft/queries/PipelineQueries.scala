@@ -89,6 +89,12 @@ object PipelineQueries {
       Knn.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5)
     }),
 
+    // IVF-bucketed ANN (rows-only; recall vs brute force in OperatorSpec).
+    "q101_knn_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Knn.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+
     // Per-vector L2 norms (sequential-fold double arithmetic).
     "q90_embed_norms" -> ((s, d) =>
       t(s, d, "embeddings").select(

@@ -78,6 +78,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.size <= 20 * 5)
   }
 
+  test("IVF KNN recall vs brute force on sf0.001 embeddings") {
+    Tables.register(spark, TestSpark.sf0001)
+    val emb = spark.table("embeddings")
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Knn.bruteForceTopK(emb, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Knn.ivfTopK(emb, q, 5, nCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.25, s"recall=$recall")
+  }
+
+  test("connected components: chain, clique, singleton") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val cc = Dedup.connectedComponents(pairs, verts)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("entry smoke: flagship query answers on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("recursive fixpoint: linear chain depth and cyclic termination") {
     val edges = Seq((1, 2), (2, 3), (3, 4)).toDF("parent", "child")
     val seed = Seq((1, 0)).toDF("id", "depth")
