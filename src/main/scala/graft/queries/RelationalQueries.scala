@@ -113,6 +113,17 @@ object RelationalQueries {
         .toDF("c_custkey", "name_len", "n_vowels")
     }),
 
+    // Custom external protocol via DataSource V2 (ExternalScan custom
+    // protocol, url.c:37 / contrib/extprotocol) — deterministic sequence
+    // source with column pruning + split-per-partition reads.
+    "q09_dsv2_scan" -> ((s, d) =>
+      s.read.format("graft.sources.SeqSource")
+        .option("start", "0").option("end", "10000").option("partitions", "8")
+        .load()
+        .groupBy((col("id") % 7).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
+          countDistinct(col("tag")).as("n_tags"))),
+
     // Hash join inner (ExecHashJoin nodeHashjoin.c:512).
     "q10_join_inner" -> ((s, d) => {
       val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
@@ -536,6 +547,11 @@ object RelationalQueries {
       """SELECT c_custkey, CAST(LENGTH(c_name) AS INT) AS name_len,
         |  CAST(LENGTH(c_name) - LENGTH(regexp_replace(c_name, '[aeiouAEIOU]', '', 'g')) AS INT) AS n_vowels
         |FROM customer""".stripMargin,
+    "q09_dsv2_scan" ->
+      """SELECT id % 7 AS bucket, COUNT(*) AS n,
+        |       SUM(CAST(id AS DOUBLE) * CAST(0.5 AS DOUBLE)) AS sum_val,
+        |       COUNT(DISTINCT 't' || CAST(id % 3 AS VARCHAR)) AS n_tags
+        |FROM (SELECT UNNEST(generate_series(0, 9999)) AS id) GROUP BY 1""".stripMargin,
     "q10_join_inner" ->
       """SELECT c_mktsegment,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

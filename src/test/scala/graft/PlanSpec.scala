@@ -101,6 +101,16 @@ class PlanSpec extends AnyFunSuite {
       "bucketed join still shuffles:\n" + p)
   }
 
+  test("DSv2 sequence source prunes columns into the reader") {
+    val df = spark.read.format("graft.sources.SeqSource")
+      .option("start", "0").option("end", "100").option("partitions", "3")
+      .load().select("id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), p)
+    assert(!p.contains("val#") && !p.contains("tag#"), "pruning failed:\n" + p)
+    assert(df.count() == 100)
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     Tables.register(spark, sf)
     val dir = "target/test-warehouse/lineitem_by_flag"
