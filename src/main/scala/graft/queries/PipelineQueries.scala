@@ -120,6 +120,12 @@ object PipelineQueries {
       Streams.sessionized(s, d)
     }),
 
+    // Arbitrary stateful streaming (mapGroupsWithState running counts).
+    "q102_stream_stateful" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      Streams.statefulCounts(s, d)
+    }),
+
     // Streaming dedup with watermark-bounded state over a unioned stream.
     "q98_stream_dedup" -> ((s, d) => {
       graft.Tables.register(s, d)
@@ -311,6 +317,8 @@ object PipelineQueries {
         |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 10 MINUTE AS s_end,
         |       user_id, COUNT(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q102_stream_stateful" ->
+      """SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
     "q98_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
         |FROM events GROUP BY event_type""".stripMargin,

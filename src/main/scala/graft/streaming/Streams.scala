@@ -121,6 +121,37 @@ object Streams {
     runToBatch(spark, agg)
   }
 
+  /** Arbitrary stateful streaming via mapGroupsWithState: running
+    * per-user event counts held in GroupState (the custom-state API the
+    * reference has no analog for). Update output mode; with AvailableNow
+    * over the fixture this yields the final count per user. */
+  def statefulCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+    val counts = eventsStream(spark, sfDir)
+      .select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          (uid, n)
+      }
+      .toDF("user_id", "n_events")
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = counts.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // one update row per (user, batch); AvailableNow may split batches,
+    // so keep the max (monotone running count) per user.
+    spark.table(name).groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"))
+  }
+
   /** Session windows per user with a fixed inactivity gap. */
   def sessionized(spark: SparkSession, sfDir: String,
                   gap: String = "10 minutes"): DataFrame = {
