@@ -74,6 +74,40 @@ object GraftStrings {
     "fr" -> Set("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
     "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "eine"))
 
+  /** Winnowed rolling-hash document fingerprints (Schleimer et al. 2003,
+    * the MOSS scheme): Rabin-Karp polynomial hashes over character
+    * k-grams, then the minimum hash of each window of w consecutive
+    * k-grams (deduped) — position-robust fingerprints whose overlap count
+    * approximates local similarity. Pure JVM (wrapping arithmetic). */
+  def winnow(s: String, k: Int, w: Int): Array[Long] = {
+    val n = s.length
+    if (n < k) return Array(fpHash(s, 0, n))
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = fpHash(s, i, k); i += 1 }
+    if (m <= w) return Array(hs.min)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](m / w + 4)
+    var lastPos = -1
+    var start = 0
+    while (start + w <= m) {
+      var best = start
+      var j = start + 1
+      while (j < start + w) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      if (best != lastPos) { out += hs(best); lastPos = best }
+      start += 1
+    }
+    out.toArray
+  }
+
+  private def fpHash(s: String, from: Int, len: Int): Long = {
+    var h = 0L
+    var i = from
+    val end = from + len
+    while (i < end) { h = h * 1000003L + s.charAt(i).toLong; i += 1 }
+    h
+  }
+
   /** Tiny n-gram/stopword language-ID heuristic (en/es/fr/de + zh via CJK
     * codepoints). Capability analog of text classifiers a training-data
     * pipeline runs; deliberately dependency-free.
@@ -176,6 +210,26 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** `winnow(text, k, w)` — winnowed rolling-hash fingerprints. */
+case class Winnow(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GraftStrings.winnow(v.asInstanceOf[UTF8String].toString, k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.GraftStrings.winnow($c.toString(), $k, $w))")
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
 /** `lang_id(text)` — heuristic language identification. */
 case class LangId(child: Expression)
   extends UnaryExpression {
@@ -248,6 +302,12 @@ object GraftFunctions {
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - sequential-fold dot product"),
       (args: Seq[Expression]) => VecDot(args(0), args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("winnow"),
+      info("winnow", "winnow(text, k, w) - winnowed rolling-hash fingerprints"),
+      (args: Seq[Expression]) => Winnow(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue()))
     reg.registerFunction(
       FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, k) - distinct word k-grams"),

@@ -135,6 +135,24 @@ object Dedup {
     docs.withColumn(out,
       md5(concat_ws(" ", array_sort(array_distinct(split(col(textCol), " "))))))
 
+  /** Winnowing-fingerprint near-dup candidates: docs sharing >= minShared
+    * winnowed rolling-hash fingerprints. Candidates via equi-join on
+    * exploded fingerprints (bounded by fingerprint bucket sizes — same
+    * scale posture as the band join). */
+  def winnowPairs(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", k: Int = 12, w: Int = 8,
+                  minShared: Int = 5): DataFrame = {
+    val fps = docs.select(col(idCol),
+      explode(array_distinct(
+        call_function("winnow", col(textCol), lit(k), lit(w)))).as("fp"))
+    fps.select(col("fp"), col(idCol).as("a_id"))
+      .join(fps.select(col("fp"), col(idCol).as("b_id")), Seq("fp"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** SimHash near-dup candidate pairs at Hamming distance <= maxDist,
     * found scalably by the block trick: split the 64-bit simhash into
     * (maxDist+1) blocks — any pair within maxDist must agree on at least

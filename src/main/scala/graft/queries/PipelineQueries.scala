@@ -42,6 +42,11 @@ object PipelineQueries {
     "q82_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), maxDist = 3)),
 
+    // Winnowed rolling-hash fingerprint candidates (rows-only:
+    // engine-defined hash; consistency vs jaccard tested in OperatorSpec).
+    "q103_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(t(s, d, "documents"))),
+
     // Canonical-fingerprint (sorted distinct token set) dedup.
     "q83_fingerprint" -> ((s, d) =>
       Dedup.withFingerprint(t(s, d, "documents"))

@@ -52,6 +52,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairs.exists { case (x, y, h) => x == 1L && y == 2L && h == 0L })
   }
 
+  test("winnowing fingerprints find the planted near-dup pair") {
+    Tables.register(spark, TestSpark.sf0001)
+    val docs = spark.table("documents")
+    val winnowed = Dedup.winnowPairs(docs, minShared = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val exact = Dedup.nearDupPairs(docs, threshold = 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // every verified near-dup (jaccard>=0.8) must share many fingerprints
+    assert(exact.nonEmpty && (exact -- winnowed).isEmpty,
+      s"missed: ${exact -- winnowed}")
+  }
+
   test("exact + fingerprint dedup") {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a a"), (4L, "d e f"))
       .toDF("doc_id", "text")
