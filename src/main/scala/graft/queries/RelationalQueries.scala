@@ -378,6 +378,40 @@ object RelationalQueries {
         .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n"))
     }),
 
+    // As-of join via the ordered-union + last_value window trick (SURVEY
+    // §2.3: the reference runs these as inequality MergeJoins; the
+    // oracle uses DuckDB's native ASOF JOIN — same semantics, tie at
+    // equal timestamps takes the quote).
+    "q36_asof_join" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val quotes = orders.where(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("tt"))
+        .agg(max(dec(col("o_totalprice"))).cast("double").as("quote"))
+        .select(col("k"), col("tt"), lit(0).as("kind"), col("quote"),
+          lit(null).cast("long").as("o_orderkey"))
+      val trades = orders.where(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("tt"),
+          lit(1).as("kind"), lit(null).cast("double").as("quote"),
+          col("o_orderkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("tt").asc, col("kind").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      quotes.unionByName(trades)
+        .withColumn("asof_quote", last(col("quote"), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("o_orderkey"), col("k").as("o_custkey"),
+          col("tt").as("o_orderdate"), col("asof_quote"))
+    }),
+
+    // Aggregation over an empty input: SQL semantics (sum/avg/min → NULL,
+    // count → 0) — a classic engine-parity trap.
+    "q37_empty_agg" -> ((s, d) =>
+      t(s, d, "lineitem").where(col("l_quantity") < 0)
+        .agg(sumd(col("l_quantity")).as("s"), count(lit(1)).as("n"),
+          min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"),
+          countDistinct(col("l_partkey")).as("nd"))),
+
     // Top-k = TakeOrderedAndProject (Limit-over-Sort, nodeLimit.c:233).
     "q40_topk" -> ((s, d) =>
       t(s, d, "orders")
@@ -708,6 +742,22 @@ object RelationalQueries {
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q36_asof_join" ->
+      """WITH quotes AS (
+        |  SELECT o_custkey AS k, o_orderdate AS tt,
+        |    CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS quote
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+        |trades AS (SELECT o_orderkey, o_custkey AS k, o_orderdate AS tt
+        |           FROM orders WHERE o_orderstatus = 'O')
+        |SELECT tr.o_orderkey, tr.k AS o_custkey, tr.tt AS o_orderdate,
+        |       q.quote AS asof_quote
+        |FROM trades tr ASOF LEFT JOIN quotes q
+        |ON tr.k = q.k AND q.tt <= tr.tt""".stripMargin,
+    "q37_empty_agg" ->
+      """SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |       COUNT(*) AS n, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx,
+        |       COUNT(DISTINCT l_partkey) AS nd
+        |FROM lineitem WHERE l_quantity < 0""".stripMargin,
     "q40_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
