@@ -193,7 +193,9 @@ object RelationalQueries {
       t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, d, "supplier")),
+        // supplier scales with SF (unlike nation/region) — no broadcast
+        // hint; AQE broadcasts it while small and shuffles at scale.
+        .join(t(s, d, "supplier"),
           col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
@@ -209,6 +211,8 @@ object RelationalQueries {
     // Band (theta) join — inequality predicate, BroadcastNestedLoopJoin
     // (reference runs these on NestLoop/MergeJoin inequality bands).
     "q19_band_join" -> ((s, d) => {
+      // BNLJ needs a broadcastable side; at 100 TB a band join re-plans as
+      // an equi-join on quantized bands (bucket = floor(acctbal)) instead.
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
       val sup = broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_acctbal")))
       c.join(sup, abs(col("c_acctbal") - col("s_acctbal")) < 1.0)

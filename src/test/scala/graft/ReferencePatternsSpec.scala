@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports of representative cases from the reference's own regress suite
+  * (`/root/reference/src/test/regress/sql/aggregate_with_groupingsets.sql`,
+  * `bfv_aggregate.sql:1-30`) at unit scale — same fixtures, expected
+  * results derived from PostgreSQL semantics.
+  */
+class ReferencePatternsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // foo(type, prod, quantity) from aggregate_with_groupingsets.sql
+  private lazy val foo = Seq((1, "Table", 100.0), (2, "Chair", 250.0),
+    (3, "Bed", 300.0)).toDF("type", "prod", "quantity")
+
+  test("grouping sets ((type, prod), (prod)) over a LIMIT subquery") {
+    foo.createOrReplaceTempView("gs_foo")
+    val out = spark.sql(
+      """SELECT type, prod, SUM(quantity) AS s_quant
+        |FROM (SELECT type, prod, quantity FROM gs_foo LIMIT 3) F2
+        |GROUP BY GROUPING SETS ((type, prod), (prod))""".stripMargin)
+      .collect()
+      .map(r => (Option(r.get(0)), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set(
+      (Some(1), "Table", 100.0), (Some(2), "Chair", 250.0), (Some(3), "Bed", 300.0),
+      (None, "Table", 100.0), (None, "Chair", 250.0), (None, "Bed", 300.0)))
+  }
+
+  test("duplicate grouping sets emit duplicate groups (PG parity)") {
+    foo.createOrReplaceTempView("gs_foo")
+    val out = spark.sql(
+      """SELECT prod, SUM(quantity) AS s FROM gs_foo
+        |GROUP BY GROUPING SETS ((prod), (prod))""".stripMargin).collect()
+    assert(out.length == 6, s"expected doubled groups, got ${out.length}")
+  }
+
+  // x_outer/y_inner from bfv_aggregate.sql: a=i%3, d=i%3, e=i, i in 1..10
+  private lazy val xOuter = (1 to 10).map(i => (i % 3, i, i)).toDF("a", "b", "c")
+  private lazy val yInner = (1 to 10).map(i => (i % 3, i)).toDF("d", "e")
+
+  test("window function inside IN subquery (bfv_aggregate.sql:20)") {
+    xOuter.createOrReplaceTempView("x_outer")
+    yInner.createOrReplaceTempView("y_inner")
+    // rank() over (order by d) on d-multiset {0x3,1x4,2x3} → ranks {1,4,8}
+    val in = spark.sql(
+      """SELECT * FROM x_outer
+        |WHERE a IN (SELECT rank() OVER (ORDER BY d) FROM y_inner)""".stripMargin)
+    assert(in.count() == 4) // a=1 rows: i = 1,4,7,10
+    val notIn = spark.sql(
+      """SELECT * FROM x_outer
+        |WHERE a NOT IN (SELECT rank() OVER (ORDER BY d) FROM y_inner)""".stripMargin)
+    assert(notIn.count() == 6) // a in {0,2}
+  }
+
+  test("correlated EXISTS with window function in subquery (bfv_aggregate.sql:26)") {
+    xOuter.createOrReplaceTempView("x_outer")
+    yInner.createOrReplaceTempView("y_inner")
+    val ex = spark.sql(
+      """SELECT * FROM x_outer
+        |WHERE EXISTS (SELECT rank() OVER (ORDER BY d) FROM y_inner WHERE d = a)""".stripMargin)
+    assert(ex.count() == 10) // every a in {0,1,2} matches some d
+    val nex = spark.sql(
+      """SELECT * FROM x_outer WHERE NOT EXISTS
+        |  (SELECT rank() OVER (ORDER BY d) FROM y_inner WHERE d = a)""".stripMargin)
+    assert(nex.count() == 0)
+  }
+
+  test("empty grouping set () yields the grand total row alone") {
+    foo.createOrReplaceTempView("gs_foo")
+    val out = spark.sql(
+      "SELECT SUM(quantity) AS s FROM gs_foo GROUP BY GROUPING SETS (())")
+      .collect()
+    assert(out.length == 1 && out.head.getDouble(0) == 650.0)
+  }
+}
