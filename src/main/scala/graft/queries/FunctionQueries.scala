@@ -122,6 +122,29 @@ object FunctionQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
 
+    // Range-type operators (rangetypes.c): [lo,hi) contains/overlaps/
+    // intersection over acctbal bands.
+    "q38_range_ops" -> ((s, d) => {
+      import graft.functions.Ranges._
+      val c = t(s, d, "customer")
+      val lo = col("c_acctbal") - 100.0
+      val hi = col("c_acctbal") + 100.0
+      c.select(col("c_custkey"),
+        containsElem(lo, hi, lit(5000.0)).as("holds_5k"),
+        overlaps(lo, hi, lit(0.0), lit(500.0)).as("near_zero"),
+        adjacent(lo, hi, hi, hi + 200.0).as("adj"),
+        intersect(lo, hi, lit(4000.0), lit(6000.0)).getField("lo").as("ix_lo"))
+    }),
+
+    // tsvector-style full-text match + rank (tsvector.c/tsrank.c).
+    "q39_text_search" -> ((s, d) => {
+      import graft.functions.Ranges._
+      val words = split(col("text"), " ")
+      t(s, d, "documents")
+        .where(tsMatch(words, Seq("data", "query")))
+        .select(col("doc_id"), tsRank(words, Seq("data", "query")).as("rank"))
+    }),
+
     // Scalar UDF registration surface (CREATE FUNCTION, src/pl/*) +
     // to_char-style numeric formatting (formatting.c).
     "q79_udf_scalar" -> ((s, d) => {
@@ -222,6 +245,23 @@ object FunctionQueries {
         |  END AS interp_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
+    "q38_range_ops" ->
+      """SELECT c_custkey,
+        |  (5000.0 >= c_acctbal - 100.0 AND 5000.0 < c_acctbal + 100.0) AS holds_5k,
+        |  (c_acctbal - 100.0 < 500.0 AND 0.0 < c_acctbal + 100.0) AS near_zero,
+        |  (c_acctbal + 100.0 = c_acctbal + 100.0
+        |   OR c_acctbal + 100.0 + 200.0 = c_acctbal - 100.0) AS adj,
+        |  CASE WHEN c_acctbal - 100.0 < 6000.0 AND 4000.0 < c_acctbal + 100.0
+        |       THEN GREATEST(c_acctbal - 100.0, 4000.0) END AS ix_lo
+        |FROM customer""".stripMargin,
+    "q39_text_search" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(words, x -> x = 'data'))
+        |     + len(list_filter(words, x -> x = 'query')) AS DOUBLE)
+        |  / CAST(len(words) AS DOUBLE) AS rank
+        |FROM w
+        |WHERE list_contains(words, 'data') AND list_contains(words, 'query')""".stripMargin,
     "q79_udf_scalar" ->
       """SELECT c_custkey, c_acctbal * 2.0 + 1.0 AS norm_bal,
         |       printf('%.2f', c_acctbal) AS fmt_bal
