@@ -69,6 +69,18 @@ object FunctionQueries {
         array_max(transform(words, w => length(w))).as("longest"))
     }),
 
+    // Multi-dimensional arrays (PG arrays are N-D; SURVEY §1.2 maps them
+    // to nested ArrayType): element access, dims, flatten-aggregate.
+    "q73c_multidim_array" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      s.sql("""SELECT id,
+              |  m[0][1] AS a12, m[1][0] AS a21,
+              |  size(m) AS n_rows_m, size(m[0]) AS n_cols,
+              |  aggregate(flatten(m), 0, (acc, x) -> acc + x) AS total
+              |FROM VALUES (1, array(array(1, 2), array(3, 4))),
+              |            (2, array(array(5, 6), array(7, 8))) AS t(id, m)""".stripMargin)
+    }),
+
     // Map type functions (hstore analog, SURVEY §1.2) over parsed JSON.
     "q73b_map_funcs" -> ((s, d) => {
       val m = from_json(col("props"),
@@ -207,6 +219,12 @@ object FunctionQueries {
         |  CAST(len(list_filter(words, w -> length(w) > 5)) AS INT) AS n_long,
         |  CAST(list_max(list_transform(words, w -> length(w))) AS INT) AS longest
         |FROM w""".stripMargin,
+    "q73c_multidim_array" ->
+      """SELECT id,
+        |  m[1][2] AS a12, m[2][1] AS a21,
+        |  CAST(len(m) AS INT) AS n_rows_m, CAST(len(m[1]) AS INT) AS n_cols,
+        |  CAST(list_sum(flatten(m)) AS INT) AS total
+        |FROM (VALUES (1, [[1, 2], [3, 4]]), (2, [[5, 6], [7, 8]])) AS t(id, m)""".stripMargin,
     "q73b_map_funcs" ->
       """SELECT event_id,
         |  json_keys(props) AS ks,
