@@ -68,6 +68,38 @@ class ReferencePatternsSpec extends AnyFunSuite {
     assert(nex.count() == 0)
   }
 
+  test("array semantics: 1-indexed element_at, empty vs NULL arrays (arrays.sql patterns)") {
+    val df = Seq(
+      (1, Seq("a", "b", "c")),
+      (2, Seq.empty[String]),
+      (3, null.asInstanceOf[Seq[String]])).toDF("id", "arr")
+    df.createOrReplaceTempView("arr_edge")
+    val out = spark.sql(
+      """SELECT id,
+        |  try_element_at(arr, 1) AS first_el,   -- PG arrays are 1-indexed
+        |  size(arr) AS n,
+        |  arr IS NULL AS is_null,
+        |  size(arr) = 0 AS is_empty
+        |FROM arr_edge""".stripMargin).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getString(1) == "a")
+    assert(out(2).isNullAt(1) && out(2).getInt(2) == 0 && !out(2).getBoolean(3))
+    assert(out(3).isNullAt(1) && out(3).getBoolean(3))
+    // slicing beyond bounds truncates, PG-style
+    val s = spark.sql("SELECT slice(array(1,2,3), 2, 99) AS s").head().getSeq[Int](0)
+    assert(s == Seq(2, 3))
+  }
+
+  test("interval arithmetic edges: month-end clamping (timestamp.c semantics)") {
+    // Jan 31 + 1 month clamps to Feb 29 (leap) — PG and Spark agree.
+    val r = spark.sql(
+      """SELECT TIMESTAMP '2020-01-31 00:00:00' + INTERVAL '1' MONTH AS a,
+        |       TIMESTAMP '2019-01-31 00:00:00' + INTERVAL '1' MONTH AS b""".stripMargin)
+      .head()
+    assert(r.getTimestamp(0).toString.startsWith("2020-02-29"))
+    assert(r.getTimestamp(1).toString.startsWith("2019-02-28"))
+  }
+
   test("empty grouping set () yields the grand total row alone") {
     foo.createOrReplaceTempView("gs_foo")
     val out = spark.sql(
