@@ -30,6 +30,10 @@ object Tables {
     val c = spark.conf
     c.set("spark.sql.session.timeZone", "UTC")
     c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Runtime bloom-filter pushdown across large joins (100 TB posture;
+    // no effect on tiny local inputs beyond planning).
+    c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     // events.parquet stores timestamp[ns]; read as long nanos, convert
     // explicitly (see register()) — avoids a silent nanos->micros cast.
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -141,12 +141,20 @@ object Dedup {
     * scale posture as the band join). */
   def winnowPairs(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", k: Int = 12, w: Int = 8,
-                  minShared: Int = 5): DataFrame = {
+                  minShared: Int = 5, maxDocFreq: Int = 100): DataFrame = {
     val fps = docs.select(col(idCol),
       explode(array_distinct(
         call_function("winnow", col(textCol), lit(k), lit(w)))).as("fp"))
-    fps.select(col("fp"), col(idCol).as("a_id"))
-      .join(fps.select(col("fp"), col(idCol).as("b_id")), Seq("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Stop-fingerprint filtering: drop fingerprints appearing in more
+    // than maxDocFreq docs (boilerplate phrases). At scale this bounds
+    // the worst self-join bucket to maxDocFreq² — without it one common
+    // phrase makes the join quadratic in corpus size.
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq).select("fp")
+    val filtered = fps.join(rare, Seq("fp"))
+    filtered.select(col("fp"), col(idCol).as("a_id"))
+      .join(filtered.select(col("fp"), col(idCol).as("b_id")), Seq("fp"))
       .where(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared"))

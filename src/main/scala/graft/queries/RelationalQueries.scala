@@ -312,10 +312,13 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // HLL distinct estimation (gp_hyperloglog.c) — approximate by design,
-    // so no SQL oracle (rows-only check).
+    // so no SQL oracle (rows-only check). Both the built-in HLL++ and the
+    // mergeable Datasketches HLL binary-state aggregate (the exact
+    // pg_aggregate combinefn analog for sketches).
     "q30_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag").agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("sketch_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))),
 
     // TPC-H Q6 shape: tight-filter revenue aggregate (pushdown showcase).

@@ -45,6 +45,20 @@ class SemanticsSpec extends AnyFunSuite {
     assert(out == Set((1, 30L), (2, 60L))) // both o=1 rows see each other
   }
 
+  test("percentile edges: single-row group, even/odd counts") {
+    val df = Seq(("a", 10.0), ("b", 1.0), ("b", 2.0), ("c", 1.0), ("c", 2.0), ("c", 4.0))
+      .toDF("g", "v")
+    df.createOrReplaceTempView("pct_edge")
+    val out = spark.sql(
+      """SELECT g, percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS p50,
+        |       median(v) AS med
+        |FROM pct_edge GROUP BY g""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("a") == ((10.0, 10.0)))  // single row: the value itself
+    assert(out("b") == ((1.5, 1.5)))    // even count: midpoint interpolation
+    assert(out("c") == ((2.0, 2.0)))    // odd count: middle element
+  }
+
   test("intersectAll/exceptAll multiset counts") {
     val a = Seq(1, 1, 1, 2, 3).toDF("x")
     val b = Seq(1, 1, 2, 2).toDF("x")
