@@ -166,9 +166,11 @@ object RelationalQueries {
         col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_mktsegment")),
 
-    // Left anti join (HashJoin anti mode).
+    // Left anti join (HashJoin anti mode) — filtered right side so the
+    // result is non-empty on the fixtures (every customer has orders).
     "q15_join_anti" -> ((s, d) =>
-      t(s, d, "customer").join(t(s, d, "orders"),
+      t(s, d, "customer").join(
+        t(s, d, "orders").where(col("o_orderstatus") === "P"),
         col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_acctbal")),
 
@@ -621,7 +623,8 @@ object RelationalQueries {
         |              AND o_orderstatus = 'F')""".stripMargin,
     "q15_join_anti" ->
       """SELECT c_custkey, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
     "q16_notin_nullaware" ->
       """SELECT 'no_nulls' AS variant, c_custkey FROM customer
         |WHERE c_custkey NOT IN
