@@ -71,6 +71,20 @@ class ExpressionSpec extends AnyFunSuite {
     assert(math.abs(got - (10 * 2 + 20 * 3 + 30 * 5) / 10.0) < 1e-12)
   }
 
+  test("to_char_pg numeric templates (formatting.c subset)") {
+    val r = spark.sql(
+      """SELECT to_char_pg(1234.5, 'FM9,999.00') AS a,
+        |       to_char_pg(-12.34, 'FM9999.99') AS b,
+        |       to_char_pg(0.5, 'FM990.99') AS c,
+        |       to_char_pg(1234567.0, '9999') AS d,
+        |       to_char_pg(45.0, 'FM$999.00') AS e""".stripMargin).head()
+    assert(r.getString(0) == "1,234.50")
+    assert(r.getString(1) == "-12.34")
+    assert(r.getString(2) == "0.50")
+    assert(r.getString(3) == "####") // template overflow, PG-style
+    assert(r.getString(4) == "$45.00")
+  }
+
   test("scalar subquery >1 row fails at runtime (AssertOp analog)") {
     Tables.register(spark, TestSpark.sf0001)
     val e = intercept[Exception] {
