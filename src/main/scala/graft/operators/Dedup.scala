@@ -135,6 +135,32 @@ object Dedup {
     docs.withColumn(out,
       md5(concat_ws(" ", array_sort(array_distinct(split(col(textCol), " "))))))
 
+  /** Embedding-cosine near-dup pairs: multi-table sign-LSH self-join on
+    * (table, bucket) — both sides exploded, no broadcast, no crossJoin —
+    * then exact cosine verification at the threshold. The last member of
+    * the dedup family (exact / fingerprint / minhash / simhash /
+    * embedding-cosine). Recall < 1 by construction (rows-only oracle).
+    */
+  def embedNearDupPairs(vectors: DataFrame, threshold: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        nTables: Int = 8, nPlanes: Int = 10,
+                        dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val buckets = call_function("lsh_buckets", col(vecCol),
+      lit(nTables), lit(nPlanes), lit(dim), lit(seed))
+    val hashed = vectors.select(col(idCol), col(vecCol),
+      posexplode(buckets).as(Seq("tbl", "bucket")))
+    val l = hashed.select(col("tbl"), col("bucket"),
+      col(idCol).as("a_id"), col(vecCol).as("av"))
+    val r = hashed.select(col("tbl"), col("bucket"),
+      col(idCol).as("b_id"), col(vecCol).as("bv"))
+    l.join(r, Seq("tbl", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.operators.Knn.cosine(col("av"), col("bv")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
   /** Winnowing-fingerprint near-dup candidates: docs sharing >= minShared
     * winnowed rolling-hash fingerprints. Candidates via equi-join on
     * exploded fingerprints (bounded by fingerprint bucket sizes — same

@@ -100,6 +100,11 @@ object PipelineQueries {
       Knn.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5)
     }),
 
+    // Embedding-cosine near-dup pairs (LSH self-join + exact verify;
+    // rows-only — recall < 1 by construction, quality in OperatorSpec).
+    "q104_dedup_embed" -> ((s, d) =>
+      Dedup.embedNearDupPairs(t(s, d, "embeddings"), threshold = 0.4)),
+
     // Per-vector L2 norms (sequential-fold double arithmetic).
     "q90_embed_norms" -> ((s, d) =>
       t(s, d, "embeddings").select(

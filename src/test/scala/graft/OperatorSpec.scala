@@ -90,6 +90,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.size <= 20 * 5)
   }
 
+  test("embedding-cosine near-dup: all reported pairs verified, subset of exact") {
+    Tables.register(spark, TestSpark.sf0001)
+    val emb = spark.table("embeddings")
+    val lshPairs = Dedup.embedNearDupPairs(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lshPairs.forall(_._3 >= 0.4))
+    // exact answer via broadcast pair scan (test-scale only)
+    val exact = Knn.bruteForceTopK(emb, emb, k = 500)
+      .where(col("cos_sim") >= 0.4 && col("query_id") < col("neighbor_id"))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = lshPairs.map(p => (p._1, p._2)).toSet
+    assert((got -- exact).isEmpty, s"false positives: ${got -- exact}")
+    assert(exact.isEmpty || got.nonEmpty) // some recall when pairs exist
+  }
+
   test("IVF KNN recall vs brute force on sf0.001 embeddings") {
     Tables.register(spark, TestSpark.sf0001)
     val emb = spark.table("embeddings")
