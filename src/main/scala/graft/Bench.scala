@@ -23,7 +23,8 @@ object Bench {
     // Warm the JVM/session once (JIT + codegen + collation/ICU class
     // loading — first string-function query pays ~15 s of one-time class
     // loading) so per-query times measure the engine, not first-call cost.
-    Seq("q01_tpch_q1_agg", "q70_string_funcs", "q88_knn_brute").foreach { q =>
+    Seq("q01_tpch_q1_agg", "q70_string_funcs", "q88_knn_brute",
+        "q72_json_funcs").foreach { q =>
       SparkEntry.queries(q)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
