@@ -210,14 +210,14 @@ object RelationalQueries {
       t(s, d, "nation").crossJoin(t(s, d, "region"))
         .select(col("n_name"), col("r_name"))),
 
-    // Band (theta) join — inequality predicate, BroadcastNestedLoopJoin
-    // (reference runs these on NestLoop/MergeJoin inequality bands).
+    // Band (theta) join |x-y| < eps — planned as a quantized-bucket
+    // equi-join (operators.BandJoin) instead of the BNLJ Spark would
+    // pick: scales with both sides large, no broadcast requirement.
+    // Reference analog: NestLoop/MergeJoin inequality bands.
     "q19_band_join" -> ((s, d) => {
-      // BNLJ needs a broadcastable side; at 100 TB a band join re-plans as
-      // an equi-join on quantized bands (bucket = floor(acctbal)) instead.
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
-      val sup = broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_acctbal")))
-      c.join(sup, abs(col("c_acctbal") - col("s_acctbal")) < 1.0)
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_acctbal"))
+      graft.operators.BandJoin.bandJoin(c, sup, "c_acctbal", "s_acctbal", 1.0)
         .select(col("c_custkey"), col("s_suppkey"),
           (col("c_acctbal") - col("s_acctbal")).as("bal_diff"))
     }),

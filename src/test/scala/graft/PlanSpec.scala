@@ -47,6 +47,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q19 band join plans as an equi-join, not a nested loop") {
+    val p = planOf("q19_band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "band join fell back to a nested loop:\n" + p)
+  }
+
   test("q88 KNN broadcasts the query side (corpus is never shuffled)") {
     val p = planOf("q88_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
