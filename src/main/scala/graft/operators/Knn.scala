@@ -35,9 +35,31 @@ object Knn {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos_sim"))
+    // Map-side partial top-k (bounded heap per query per partition) —
+    // the partial-aggregate step of the distributed top-k: without it the
+    // rank window funnels ALL N scored rows of a query onto one reducer.
+    // Rows dropped here can never be in the global top-k, so the final
+    // window over ≤ partitions·|Q|·k survivors is exact.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val partial = scored.as[(Long, Long, Double)].mapPartitions { it =>
+      val ord = Ordering.by[(Long, Long, Double), (Double, Long)](
+        t => (-t._3, t._2)) // best first: cos desc, id asc
+      val heaps = scala.collection.mutable.Map.empty[
+        Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+      it.foreach { row =>
+        // Scala PQ is a max-heap: under ord (best = smallest tuple) the
+        // head is the WORST retained row — the eviction candidate
+        val h = heaps.getOrElseUpdate(row._1,
+          scala.collection.mutable.PriorityQueue.empty(ord))
+        if (h.size < k) h.enqueue(row)
+        else if (ord.lt(row, h.head)) { h.dequeue(); h.enqueue(row) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }.toDF("query_id", "neighbor_id", "cos_sim")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    partial.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
   /** IVF-style ANN: partition the corpus into Voronoi cells around a
