@@ -35,14 +35,19 @@ object Knn {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos_sim"))
-    // Map-side partial top-k (bounded heap per query per partition) —
-    // the partial-aggregate step of the distributed top-k: without it the
-    // rank window funnels ALL N scored rows of a query onto one reducer.
-    // Rows dropped here can never be in the global top-k, so the final
-    // window over ≤ partitions·|Q|·k survivors is exact.
-    val spark = corpus.sparkSession
+    rankTopK(scored, k)
+  }
+
+  /** Map-side partial top-k: bounded per-query heaps per partition before
+    * the rank window — the partial-aggregate step of a distributed top-k.
+    * Without it the window funnels every scored row of a query onto one
+    * reducer (per-query skew at corpus scale). Rows evicted map-side can
+    * never be in the global top-k, so results are unchanged. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
     import spark.implicits._
-    val partial = scored.as[(Long, Long, Double)].mapPartitions { it =>
+    val partial = scored.select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].mapPartitions { it =>
       val ord = Ordering.by[(Long, Long, Double), (Double, Long)](
         t => (-t._3, t._2)) // best first: cos desc, id asc
       val heaps = scala.collection.mutable.Map.empty[
@@ -97,9 +102,7 @@ object Knn {
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    rankTopK(scored, k)
   }
 
   /** Multi-table sign-LSH ANN: L independent tables of nPlanes random
@@ -134,8 +137,6 @@ object Knn {
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    rankTopK(scored, k)
   }
 }

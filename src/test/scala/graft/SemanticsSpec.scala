@@ -78,7 +78,8 @@ class SemanticsSpec extends AnyFunSuite {
 
   test("shuffle-partition invariance: identical results at 1, 4, 32") {
     val names = Seq("q01_tpch_q1_agg", "q21_rollup", "q44_union_distinct",
-      "q60_window_rank", "q81_neardup_lsh")
+      "q60_window_rank", "q81_neardup_lsh", "q36_asof_join",
+      "q47_intersect_all", "q63_window_range_frame", "q88_knn_brute")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val results = Seq("1", "4", "32").map { n =>
