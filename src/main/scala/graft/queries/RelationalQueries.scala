@@ -88,7 +88,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
         .persist()
       base.select(col("o_orderstatus"), col("n").as("metric"), lit("count").as("kind"))
-        .unionAll(base.select(col("o_orderstatus"),
+        .union(base.select(col("o_orderstatus"),
           col("total").cast("long").as("metric"), lit("total_floor").as("kind")))
     }),
 
@@ -445,7 +445,7 @@ object RelationalQueries {
         .select(col("o_custkey").as("custkey"))
       val b = t(s, d, "orders").where(col("o_orderstatus") === "F")
         .select(col("o_custkey").as("custkey"))
-      a.unionAll(b).groupBy("custkey").agg(count(lit(1)).as("n"))
+      a.union(b).groupBy("custkey").agg(count(lit(1)).as("n"))
     }),
 
     // UNION with dedup (Agg over Append — cdbsetop.c strategy).

@@ -86,7 +86,33 @@ object WindowQueries {
     })
   )
 
+  val queriesExtra: Map[String, QueryFn] = Map(
+    // Multiple windows over different partitionings in one projection —
+    // the reference plans this as a Sequence of WindowAgg nodes
+    // (nodeWindowAgg.c "multiple windows via Sequence of WindowAggs");
+    // Spark stacks WindowExec operators the same way.
+    "q65_window_multiwindow" -> ((s, d) => {
+      val byCust = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val byStatus = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        row_number().over(byCust).as("nth_order_of_cust"),
+        rank().over(byStatus).as("price_rank_in_status"),
+        count(lit(1)).over(Window.partitionBy("o_custkey")).as("cust_orders"))
+    })
+  )
+
   val oracle: Map[String, String] = Map(
+    "q65_window_multiwindow" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |       ORDER BY o_orderdate ASC, o_orderkey ASC) AS INT) AS nth_order_of_cust,
+        |  CAST(RANK() OVER (PARTITION BY o_orderstatus
+        |       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS price_rank_in_status,
+        |  COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders
+        |FROM orders""".stripMargin,
     "q60_window_rank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |  CAST(ROW_NUMBER() OVER w AS INT) AS rn,

@@ -97,7 +97,7 @@ object Streams {
   def dedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val a = eventsStream(spark, sfDir)
     val b = eventsStream(spark, sfDir)
-    val agg = a.unionAll(b)
+    val agg = a.union(b)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
       .groupBy(col("event_type"))
