@@ -100,6 +100,22 @@ class ReferencePatternsSpec extends AnyFunSuite {
     assert(r.getTimestamp(1).toString.startsWith("2019-02-28"))
   }
 
+  test("extended protocol analogs: parameterized query + cursor (SURVEY §3.2)") {
+    Tables.register(spark, TestSpark.sf0001)
+    // PREPARE/BIND/EXECUTE → spark.sql with named parameters
+    val n1 = spark.sql(
+      "SELECT count(*) AS n FROM orders WHERE o_orderstatus = :st",
+      Map("st" -> "F")).head().getLong(0)
+    val n2 = spark.sql(
+      "SELECT count(*) AS n FROM orders WHERE o_orderstatus = :st",
+      Map("st" -> "O")).head().getLong(0)
+    assert(n1 > 0 && n2 > 0 && n1 != n2)
+    // cursor → toLocalIterator (incremental fetch, no full collect)
+    val it = spark.table("nation").orderBy("n_nationkey").toLocalIterator()
+    assert(it.next().getInt(0) == 0)
+    assert(it.hasNext)
+  }
+
   test("empty grouping set () yields the grand total row alone") {
     foo.createOrReplaceTempView("gs_foo")
     val out = spark.sql(
