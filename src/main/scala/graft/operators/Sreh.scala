@@ -21,6 +21,20 @@ object Sreh {
 
   final case class SrehResult(good: DataFrame, rejected: Long, errorLog: DataFrame)
 
+  /** LOG ERRORS variant: rejects are spooled to a durable JSON error
+    * table (the reference persists them to an error table the user can
+    * query later; `badRecordsPath` is a Databricks-runtime option, so
+    * OSS-Spark-native we write the log ourselves). */
+  def readCsvLogged(spark: SparkSession, path: String, schema: StructType,
+                    rejectLimit: Long, errorTablePath: String): SrehResult = {
+    val res = readCsv(spark, path, schema, rejectLimit)
+    res.errorLog
+      .select(org.apache.spark.sql.functions.col("_corrupt_record").as("record"),
+        org.apache.spark.sql.functions.input_file_name().as("source_file"))
+      .write.mode("overwrite").json(errorTablePath)
+    res.copy(errorLog = spark.read.json(errorTablePath))
+  }
+
   def readCsv(spark: SparkSession, path: String, schema: StructType,
               rejectLimit: Long, header: Boolean = false): SrehResult = {
     val corrupt = "_corrupt_record"

@@ -162,6 +162,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.rejected == 4 && e.limit == 3)
   }
 
+  test("SREH badRecordsPath variant spools rejects as an error table") {
+    val dir = new java.io.File("target/test-sreh-log"); dir.mkdirs()
+    val f = new java.io.File(dir, "in.csv")
+    val rows = (1 to 20).map(i =>
+      if (i % 5 == 0) s"$i,broken" else s"$i,n$i,${i * 2.0}")
+    java.nio.file.Files.write(f.toPath, rows.mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    val bad = s"target/test-sreh-log/bad_${System.nanoTime()}"
+    val res = Sreh.readCsvLogged(spark, f.getAbsolutePath, schema, 10, bad)
+    assert(res.rejected == 4)
+    assert(res.good.count() == 16)
+    assert(res.errorLog.columns.contains("record"))
+  }
+
   test("multimodal: batch decode plumbing is deterministic and distributed") {
     val docs = Seq((1L, "hello world content"), (2L, "x"), (3L, ""))
       .toDF("doc_id", "text").withColumn("lang", lit("en"))

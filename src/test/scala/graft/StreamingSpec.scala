@@ -66,6 +66,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.keys.exists(_.contains("12:00")), s"open window emitted: $out")
   }
 
+  test("session_window: batch and streaming executions agree") {
+    Tables.register(spark, TestSpark.sf0001)
+    val batch = spark.table("events")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+      .collect().map(_.toString).sorted
+    val streaming = graft.streaming.Streams
+      .sessionized(spark, TestSpark.sf0001, "10 minutes")
+      .collect().map(_.toString).sorted
+    assert(batch.toSeq == streaming.toSeq)
+  }
+
   test("custom-state sessionization matches session_window operator") {
     Tables.register(spark, TestSpark.sf0001)
     val viaState = graft.streaming.Sessionize
