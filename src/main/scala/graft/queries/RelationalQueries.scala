@@ -280,6 +280,17 @@ object RelationalQueries {
         concat_ws(",", array_sort(collect_set(col("l_returnflag")))).as("flags_csv"),
         countDistinct(col("l_returnflag")).as("n_flags"))),
 
+    // array_agg(v ORDER BY other_col) — the SURVEY §7.3 pattern:
+    // array_sort(collect_list(struct(sort_key, v))) then project v, since
+    // collect_list order is otherwise nondeterministic.
+    "q26b_array_agg_ordered" -> ((s, d) =>
+      t(s, d, "customer").groupBy("c_nationkey").agg(
+        transform(
+          array_sort(collect_list(struct(
+            (col("c_acctbal") * -1).as("negbal"), col("c_name").as("name")))),
+          e => e.getField("name")).as("names_by_balance"),
+        count(lit(1)).as("n"))),
+
     // PIVOT (utils/adt/pivot.c).
     "q27_pivot" -> ((s, d) =>
       t(s, d, "orders").join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
@@ -689,6 +700,11 @@ object RelationalQueries {
         |  string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flags_csv,
         |  COUNT(DISTINCT l_returnflag) AS n_flags
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q26b_array_agg_ordered" ->
+      """SELECT c_nationkey,
+        |  list(c_name ORDER BY c_acctbal DESC, c_name) AS names_by_balance,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
     "q27_pivot" ->
       """SELECT n_name,
         |  CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS F,

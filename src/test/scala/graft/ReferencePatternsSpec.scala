@@ -100,6 +100,26 @@ class ReferencePatternsSpec extends AnyFunSuite {
     assert(r.getTimestamp(1).toString.startsWith("2019-02-28"))
   }
 
+  test("SRF over empty input: explode drops the row, explode_outer keeps it") {
+    val df = Seq((1, Seq("a", "b")), (2, Seq.empty[String])).toDF("id", "arr")
+    assert(df.select(col("id"), explode(col("arr"))).count() == 2)
+    val outer = df.select(col("id"), explode_outer(col("arr")).as("w"))
+    assert(outer.count() == 3)
+    assert(outer.where(col("id") === 2).head().isNullAt(1))
+  }
+
+  test("lead/lag/last with ignoreNulls (IGNORE NULLS windowfuncs semantics)") {
+    val df = Seq((1, Some(10)), (2, None), (3, None), (4, Some(40)))
+      .toDF("i", "v")
+    df.createOrReplaceTempView("ign")
+    val out = spark.sql(
+      """SELECT i, last_value(v) IGNORE NULLS OVER
+        |  (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM ign""".stripMargin)
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(out == Map(1 -> 10, 2 -> 10, 3 -> 10, 4 -> 40)) // gap-fill carry-forward
+  }
+
   test("extended protocol analogs: parameterized query + cursor (SURVEY §3.2)") {
     Tables.register(spark, TestSpark.sf0001)
     // PREPARE/BIND/EXECUTE → spark.sql with named parameters
