@@ -104,6 +104,17 @@ object FunctionQueries {
         col("p_name").rlike("^p").as("starts_p"),
         levenshtein(col("p_brand"), lit("Brand#13")).as("lev_to_13"))),
 
+    // LIKE / ILIKE family + NULLIF/COALESCE (like.c, oracle_compat.c).
+    "q74b_like_family" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        col("p_name").like("%copper%").as("has_copper"),
+        col("p_name").ilike("%COPPER%").as("has_copper_ci"),
+        (!col("p_type").like("PROMO%")).as("not_promo"),
+        col("p_brand").like("Brand#1_").as("brand_1x"),
+        nullif(col("p_size"), lit(1)).as("size_or_null"),
+        coalesce(nullif(col("p_size"), lit(1)), lit(-1)).as("size_coalesced"))),
+
     // Crypto/encode (encode.c, pgcrypto, md5 in varlena.c).
     "q75_hash_funcs" -> ((s, d) =>
       t(s, d, "customer").select(
@@ -238,6 +249,15 @@ object FunctionQueries {
         |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
         |  regexp_matches(p_name, '^p') AS starts_p,
         |  CAST(levenshtein(p_brand, 'Brand#13') AS INT) AS lev_to_13
+        |FROM part""".stripMargin,
+    "q74b_like_family" ->
+      """SELECT p_partkey,
+        |  p_name LIKE '%copper%' AS has_copper,
+        |  p_name ILIKE '%COPPER%' AS has_copper_ci,
+        |  NOT (p_type LIKE 'PROMO%') AS not_promo,
+        |  p_brand LIKE 'Brand#1_' AS brand_1x,
+        |  NULLIF(p_size, 1) AS size_or_null,
+        |  COALESCE(NULLIF(p_size, 1), -1) AS size_coalesced
         |FROM part""".stripMargin,
     "q75_hash_funcs" ->
       """SELECT c_custkey,

@@ -502,6 +502,17 @@ object RelationalQueries {
       a.exceptAll(b).groupBy("custkey").agg(count(lit(1)).as("n"))
     }),
 
+    // PG DISTINCT ON (k): first row per key under an order — emulated
+    // with the row_number window (the standard Spark spelling).
+    "q49_distinct_on" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
     // Correlated EXISTS (cdbsubselect.c:547; Catalyst RewritePredicateSubquery).
     "q50_exists_correlated" -> ((s, d) => sql(s, d,
       """SELECT c_custkey, c_acctbal FROM customer c
@@ -817,6 +828,9 @@ object RelationalQueries {
         |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
         |  EXCEPT ALL
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') GROUP BY custkey""".stripMargin,
+    "q49_distinct_on" ->
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey ASC""".stripMargin,
     "q50_exists_correlated" ->
       """SELECT c_custkey, c_acctbal FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
