@@ -530,6 +530,16 @@ object RelationalQueries {
         |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
         |                   FROM customer)""".stripMargin)),
 
+    // Correlated scalar AGGREGATE subquery (TPC-H Q2/Q17 shape;
+    // CSubqueryHandler + CXformSubqJoin2Apply → de-correlated agg join).
+    "q57_corr_scalar_agg" -> ((s, d) => sql(s, d,
+      """SELECT p_partkey, p_brand,
+        |  (SELECT CAST(MAX(l_quantity) AS DOUBLE) FROM lineitem
+        |   WHERE l_partkey = p_partkey) AS max_qty,
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_partkey = p_partkey AND l_quantity > 25) AS n_bulk
+        |FROM part WHERE p_size <= 5""".stripMargin)),
+
     // LATERAL correlated subquery (Apply → de-correlation; CXformInnerApply2InnerJoin).
     "q53_lateral_topn" -> ((s, d) => sql(s, d,
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
@@ -849,6 +859,13 @@ object RelationalQueries {
         |  WHERE o_custkey = c.c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
         |WHERE c.c_acctbal > 9500""".stripMargin,
+    "q57_corr_scalar_agg" ->
+      """SELECT p_partkey, p_brand,
+        |  (SELECT CAST(MAX(l_quantity) AS DOUBLE) FROM lineitem
+        |   WHERE l_partkey = p_partkey) AS max_qty,
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_partkey = p_partkey AND l_quantity > 25) AS n_bulk
+        |FROM part WHERE p_size <= 5""".stripMargin,
     "q54_recursive_cte" ->
       """WITH RECURSIVE edges AS (
         |  SELECT n_nationkey AS child, n_regionkey + 100 AS parent FROM nation

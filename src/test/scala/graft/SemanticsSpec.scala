@@ -66,6 +66,14 @@ class SemanticsSpec extends AnyFunSuite {
     assert(a.exceptAll(b).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
   }
 
+  test("set-op type coercion: int union long widens (PG-style)") {
+    val a = Seq(1, 2).toDF("x")
+    val b = Seq(3L, 4L).toDF("x")
+    val u = a.union(b.select(col("x")))
+    assert(u.schema.head.dataType == org.apache.spark.sql.types.LongType)
+    assert(u.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("NULL ordering: PG-style explicit nulls-last/first") {
     val df = Seq(Some(2), None, Some(1)).toDF("x")
     val ascLast = df.orderBy(col("x").asc_nulls_last).collect().map(r =>
