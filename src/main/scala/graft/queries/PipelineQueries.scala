@@ -152,7 +152,10 @@ object PipelineQueries {
     // (mapGroups-family) — same semantics as q92's session_window, same
     // gaps-and-islands oracle.
     "q97_sessionize_custom" -> ((s, d) =>
-      graft.streaming.Sessionize.byGroups(t(s, d, "events"), 10).toDF()),
+      graft.streaming.Sessionize.byGroups(t(s, d, "events"), 10).toDF()
+        .select(col("s_start").cast("timestamp_ntz").as("s_start"),
+          col("s_end").cast("timestamp_ntz").as("s_end"),
+          col("user_id"), col("n_events"))),
 
     // SREH: PERMISSIVE CSV load with reject limit (rows-only; the CSV is
     // generated deterministically into the build dir).

@@ -76,8 +76,8 @@ object Streams {
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-      .select(col("window.start").as("w_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
     runToBatch(spark, agg)
   }
 
@@ -87,7 +87,8 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
-      .select(col("window.start").as("w_start"), col("n_events"))
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        col("n_events"))
     runToBatch(spark, agg)
   }
 
@@ -159,8 +160,9 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-      .select(col("session_window.start").as("s_start"),
-        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+      .select(col("session_window.start").cast("timestamp_ntz").as("s_start"),
+        col("session_window.end").cast("timestamp_ntz").as("s_end"),
+        col("user_id"), col("n_events"))
     runToBatch(spark, agg)
   }
 }
