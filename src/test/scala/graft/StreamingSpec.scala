@@ -71,8 +71,9 @@ class StreamingSpec extends AnyFunSuite {
     val batch = spark.table("events")
       .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-      .select(col("session_window.start").as("s_start"),
-        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+      .select(col("session_window.start").cast("timestamp_ntz").as("s_start"),
+        col("session_window.end").cast("timestamp_ntz").as("s_end"),
+        col("user_id"), col("n_events"))
       .collect().map(_.toString).sorted
     val streaming = graft.streaming.Streams
       .sessionized(spark, TestSpark.sf0001, "10 minutes")
@@ -84,7 +85,8 @@ class StreamingSpec extends AnyFunSuite {
     Tables.register(spark, TestSpark.sf0001)
     val viaState = graft.streaming.Sessionize
       .byGroups(spark.table("events"), 10).toDF()
-      .select(col("s_start").cast("timestamp"), col("s_end").cast("timestamp"),
+      .select(col("s_start").cast("timestamp_ntz"),
+        col("s_end").cast("timestamp_ntz"),
         col("user_id"), col("n_events"))
       .collect().map(_.toString).sorted
     val viaWindow = graft.streaming.Streams
