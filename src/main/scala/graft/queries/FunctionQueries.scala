@@ -60,7 +60,9 @@ object FunctionQueries {
       t(s, d, "documents").select(
         col("doc_id"),
         size(words).as("n_words"),
-        slice(words, 1, 3).as("first3"),
+        // serialized with array_join: raw ARRAY output crashes the driver's
+        // pandas-based oracle compare, so catalog queries emit strings.
+        array_join(slice(words, 1, 3), " ").as("first3"),
         array_contains(words, "data").as("has_data"),
         size(array_distinct(words)).as("n_uniq"),
         element_at(words, 2).as("second_word"),
@@ -89,8 +91,8 @@ object FunctionQueries {
           org.apache.spark.sql.types.IntegerType))
       t(s, d, "events").select(
         col("event_id"),
-        map_keys(m).as("ks"),
-        map_values(m).as("vs"),
+        array_join(map_keys(m), ",").as("ks"),
+        array_join(map_values(m).cast("array<string>"), ",").as("vs"),
         element_at(m, "k").as("k_val"),
         size(m).as("n_entries"))
     }),
@@ -222,7 +224,7 @@ object FunctionQueries {
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words, text FROM documents)
         |SELECT doc_id,
         |  CAST(len(words) AS INT) AS n_words,
-        |  words[1:3] AS first3,
+        |  array_to_string(words[1:3], ' ') AS first3,
         |  list_contains(words, 'data') AS has_data,
         |  CAST(len(list_distinct(words)) AS INT) AS n_uniq,
         |  words[2] AS second_word,
@@ -238,8 +240,8 @@ object FunctionQueries {
         |FROM (VALUES (1, [[1, 2], [3, 4]]), (2, [[5, 6], [7, 8]])) AS t(id, m)""".stripMargin,
     "q73b_map_funcs" ->
       """SELECT event_id,
-        |  json_keys(props) AS ks,
-        |  [CAST(json_extract_string(props, '$.k') AS INT)] AS vs,
+        |  array_to_string(json_keys(props), ',') AS ks,
+        |  array_to_string([CAST(json_extract_string(props, '$.k') AS INT)], ',') AS vs,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
         |  CAST(len(json_keys(props)) AS INT) AS n_entries
         |FROM events""".stripMargin,

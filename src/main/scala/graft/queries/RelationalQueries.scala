@@ -274,21 +274,25 @@ object RelationalQueries {
     }),
 
     // Ordered array_agg / string_agg (array_userfuncs.c, gp_legacy_string_agg).
+    // The aggregated array is still built (array_sort(collect_set(...))) but the
+    // catalog output serializes it with array_join so the oracle compare can
+    // hash it (raw ARRAY columns crash the driver's pandas sort).
     "q26_array_string_agg" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_linestatus").agg(
-        array_sort(collect_set(col("l_returnflag"))).as("flags"),
+        array_join(array_sort(collect_set(col("l_returnflag"))), ",").as("flags"),
         concat_ws(",", array_sort(collect_set(col("l_returnflag")))).as("flags_csv"),
         countDistinct(col("l_returnflag")).as("n_flags"))),
 
     // array_agg(v ORDER BY other_col) — the SURVEY §7.3 pattern:
     // array_sort(collect_list(struct(sort_key, v))) then project v, since
-    // collect_list order is otherwise nondeterministic.
+    // collect_list order is otherwise nondeterministic. Output serialized
+    // with array_join for the oracle hash compare.
     "q26b_array_agg_ordered" -> ((s, d) =>
       t(s, d, "customer").groupBy("c_nationkey").agg(
-        transform(
+        array_join(transform(
           array_sort(collect_list(struct(
             (col("c_acctbal") * -1).as("negbal"), col("c_name").as("name")))),
-          e => e.getField("name")).as("names_by_balance"),
+          e => e.getField("name")), "|").as("names_by_balance"),
         count(lit(1)).as("n"))),
 
     // PIVOT (utils/adt/pivot.c).
@@ -717,13 +721,13 @@ object RelationalQueries {
         |WHERE rn = 1""".stripMargin,
     "q26_array_string_agg" ->
       """SELECT l_linestatus,
-        |  list_sort(list_distinct(list(l_returnflag))) AS flags,
+        |  array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags,
         |  string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flags_csv,
         |  COUNT(DISTINCT l_returnflag) AS n_flags
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "q26b_array_agg_ordered" ->
       """SELECT c_nationkey,
-        |  list(c_name ORDER BY c_acctbal DESC, c_name) AS names_by_balance,
+        |  string_agg(c_name, '|' ORDER BY c_acctbal DESC, c_name) AS names_by_balance,
         |  COUNT(*) AS n
         |FROM customer GROUP BY c_nationkey""".stripMargin,
     "q27_pivot" ->
