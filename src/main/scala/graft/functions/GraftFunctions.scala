@@ -326,6 +326,29 @@ object GraftFunctions {
           i(3).intValue(), i(4).longValue())
       })
     reg.registerFunction(
+      FunctionIdentifier("best_centroid"),
+      info("best_centroid", "best_centroid(vec, cids, cents) - IVF argmax-dot cell id"),
+      (args: Seq[Expression]) => {
+        val cids = args(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+        val m = args(2).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val cents = Array.tabulate(m.numElements())(i => m.getArray(i).toDoubleArray())
+        BestCentroid(args(0), cids, cents)
+      })
+    reg.registerFunction(
+      FunctionIdentifier("top_centroids"),
+      info("top_centroids", "top_centroids(vec, nProbe, cids, cents) - IVF probe cell ids"),
+      (args: Seq[Expression]) => {
+        val nProbe = args(1).eval().asInstanceOf[Number].intValue()
+        val cids = args(2).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+        val m = args(3).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val cents = Array.tabulate(m.numElements())(i => m.getArray(i).toDoubleArray())
+        TopCentroids(args(0), nProbe, cids, cents)
+      })
+    reg.registerFunction(
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles, n) - minhash signature array"),
       (args: Seq[Expression]) => MinHashSig(args(0),

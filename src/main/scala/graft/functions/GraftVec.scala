@@ -72,6 +72,52 @@ object GraftVec {
     new GenericArrayData(out)
   }
 
+  private def dotCentroid(vec: ArrayData, vecFloat: Boolean, cent: Array[Double]): Double = {
+    val n = math.min(vec.numElements(), cent.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      s += x * cent(i)
+      i += 1
+    }
+    s
+  }
+
+  /** Argmax-dot centroid id (ties: lowest id) — IVF cell assignment as a
+    * single projection over a plan-shipped centroid matrix. Replaces the
+    * corpus×centroids join + per-vector window (a 16N-row shuffle at scale)
+    * with zero joins and zero shuffles. */
+  def bestCentroid(vec: ArrayData, vecFloat: Boolean,
+                   cids: Array[Long], cents: Array[Array[Double]]): Long = {
+    var best = Double.NegativeInfinity
+    var bestId = Long.MaxValue
+    var t = 0
+    while (t < cents.length) {
+      val s = dotCentroid(vec, vecFloat, cents(t))
+      if (s > best || (s == best && cids(t) < bestId)) { best = s; bestId = cids(t) }
+      t += 1
+    }
+    bestId
+  }
+
+  /** Top-nProbe centroid ids by dot score (desc, id asc) — the query-side
+    * probe list, same ordering contract as [[bestCentroid]]. */
+  def topCentroids(vec: ArrayData, vecFloat: Boolean,
+                   cids: Array[Long], cents: Array[Array[Double]],
+                   nProbe: Int): ArrayData = {
+    val n = cents.length
+    val scores = new Array[Double](n)
+    var t = 0
+    while (t < n) { scores(t) = dotCentroid(vec, vecFloat, cents(t)); t += 1 }
+    val idx = Array.range(0, n).sortBy(i => (-scores(i), cids(i)))
+    val k = math.min(nProbe, n)
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) { out(j) = cids(idx(j)); j += 1 }
+    new GenericArrayData(out)
+  }
+
   private def splitmix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -211,6 +257,67 @@ case class LshBuckets(child: Expression, nTables: Int, nPlanes: Int,
       s"graft.functions.GraftVec.lshBuckets($c, $isFloat, $nTables, $nPlanes, $dim, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
+/** `best_centroid(vec, cids, centroids)` — IVF cell assignment: argmax-dot
+  * centroid id over a driver-resident centroid set (the MLlib KMeansModel
+  * pattern — O(nCentroids·dim) data shipped with the serialized plan, not
+  * joined). Codegen passes the matrix via addReferenceObj so Janino never
+  * sees it inline. */
+case class BestCentroid(child: Expression, cids: Array[Long],
+                        cents: Array[Array[Double]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "best_centroid"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def compute(v: ArrayData): Long =
+    GraftVec.bestCentroid(v, isFloat, cids, cents)
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bestCentroid", this, classOf[BestCentroid].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BestCentroid =
+    copy(child = newChild)
+}
+
+/** `top_centroids(vec, nProbe, cids, centroids)` — the query-side IVF probe
+  * list (nProbe best cells, score desc / id asc). */
+case class TopCentroids(child: Expression, nProbe: Int, cids: Array[Long],
+                        cents: Array[Array[Double]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "top_centroids"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def compute(v: ArrayData): ArrayData =
+    GraftVec.topCentroids(v, isFloat, cids, cents, nProbe)
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topCentroids", this, classOf[TopCentroids].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCentroids =
     copy(child = newChild)
 }
 

@@ -20,6 +20,17 @@ object Knn {
 
   def cosine(a: Column, b: Column): Column = dotd(a, b) / (norm2(a) * norm2(b))
 
+  /** The partial top-k kernel encodes (id, id, score) as Dataset[(Long,
+    * Long, Double)], so id columns must be BIGINT. Checked eagerly here —
+    * otherwise a non-Long id surfaces as an opaque encoder error deep in
+    * rankTopK. Map string/int ids to a surrogate long first. */
+  private def requireLongId(df: DataFrame, idCol: String, side: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType,
+      s"Knn $side id column '$idCol' must be BIGINT (got ${dt.simpleString}); " +
+        "map other id types to a surrogate long first")
+  }
+
   /** Exact brute-force top-k cosine neighbors of each query vector.
     * The query side is broadcast (small — this is the "give me neighbors
     * of these N items" shape); the corpus is streamed once, so cost is
@@ -29,6 +40,8 @@ object Knn {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    requireLongId(corpus, idCol, "corpus")
+    requireLongId(queries, idCol, "queries")
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -72,34 +85,37 @@ object Knn {
     * k-means them), assign each vector to its best cell once, and have
     * each query probe only its nProbe closest cells. Scanning cost per
     * query ≈ nProbe/nCentroids of the corpus — the classic IVF trade;
-    * recall measured against brute force in OperatorSpec. */
+    * recall measured against brute force in OperatorSpec.
+    *
+    * Cell assignment is a single narrow projection: the centroid set is
+    * O(nCentroids·dim), collected once to the driver (the MLlib
+    * KMeansModel pattern) and shipped with the serialized plan inside the
+    * `best_centroid` codegen kernel. No corpus×centroids join, no
+    * per-vector window — the corpus is never shuffled for assignment. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(
-      corpus.orderBy(col(idCol).asc).limit(nCentroids)
-        .select(col(idCol).as("cid"), col(vecCol).as("centroid")))
-    val wBest = Window.partitionBy("neighbor_id")
-      .orderBy(col("cscore").desc, col("cid").asc)
+    requireLongId(corpus, idCol, "corpus")
+    requireLongId(queries, idCol, "queries")
+    val centRows = corpus.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect() // bounded: nCentroids rows, not data-scale
+    val cids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Double](1).toArray)
+    val cidsLit = typedLit(cids.toSeq)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .join(cents, expr("true"))
-      .select(col("neighbor_id"), col("cv"), col("cid"),
-        dotd(col("cv"), col("centroid")).as("cscore"))
-      .withColumn("rn", row_number().over(wBest)).where(col("rn") === 1)
-      .select("cid", "neighbor_id", "cv")
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("qscore").desc, col("cid").asc)
+      .withColumn("cid",
+        call_function("best_centroid", col("cv"), cidsLit, centsLit))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(cents, expr("true"))
-      .select(col("query_id"), col("qv"), col("cid"),
-        dotd(col("qv"), col("centroid")).as("qscore"))
-      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nProbe)
-      .select("query_id", "qv", "cid")
+      .withColumn("cid", explode(
+        call_function("top_centroids", col("qv"), lit(nProbe), cidsLit, centsLit)))
+    // Each corpus vector lives in exactly one cell and each query probes
+    // distinct cells, so (query_id, neighbor_id) pairs are already unique —
+    // no dedup shuffle needed (unlike lshTopK's multi-table candidates).
     val scored = broadcast(probes).join(assigned, Seq("cid"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos_sim"))
     rankTopK(scored, k)
@@ -117,6 +133,8 @@ object Knn {
               nTables: Int = 8, nPlanes: Int = 8, dim: Int = 64,
               seed: Long = 42L, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    requireLongId(corpus, idCol, "corpus")
+    requireLongId(queries, idCol, "queries")
     def buckets(vec: Column): Column = call_function("lsh_buckets",
       vec, lit(nTables), lit(nPlanes), lit(dim), lit(seed))
     // corpus: one (tbl, bucket) row per table — posexplode index = table id

@@ -58,6 +58,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q101 IVF assignment is a projection: no BNLJ/cartesian, one window (final rank)") {
+    val whole = planOf("q101_knn_ivf")
+    // AQE renders the plan twice (Final + Initial) — assert on the final one
+    val p = whole.split("== Initial Plan ==")(0)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "IVF assignment fell back to a nested loop:\n" + p)
+    // the only Window exec is rankTopK's final per-query rank — assignment
+    // adds none ("Window [" excludes WindowGroupLimit/windowspecdefinition)
+    assert(p.split("Window \\[").length - 1 <= 1, "unexpected extra Window:\n" + p)
+    assert(p.contains("best_centroid"), "assignment kernel missing:\n" + p)
+  }
+
   test("q81 LSH dedup contains only equi-joins (no cartesian/BNLJ)") {
     val p = planOf("q81_neardup_lsh")
     assert(!p.contains("CartesianProduct"), "all-pairs join in dedup plan:\n" + p)
