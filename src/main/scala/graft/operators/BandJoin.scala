@@ -21,6 +21,14 @@ object BandJoin {
                leftVal: String, rightVal: String, eps: Double,
                joinType: String = "inner"): DataFrame = {
     require(eps > 0, "eps must be positive")
+    // The right side is exploded into 3 bucket copies, so join types that
+    // emit unmatched RIGHT rows would triplicate them. Left-preserving
+    // types are sound (unmatched left rows appear once).
+    require(Set("inner", "left", "leftouter", "left_outer", "leftsemi",
+      "left_semi", "leftanti", "left_anti")
+      .contains(joinType.toLowerCase.replace(" ", "")),
+      s"bandJoin supports inner/left joins only (got '$joinType'): " +
+        "right/full outer would emit exploded unmatched right rows")
     val lb = left.withColumn("__band",
       floor(col(leftVal) / eps).cast("long"))
     val rb = right

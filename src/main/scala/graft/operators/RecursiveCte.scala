@@ -27,7 +27,9 @@ object RecursiveCte {
       if (!frontier.isEmpty) acc = acc.union(frontier)
       i += 1
     }
-    if (i >= maxIterations)
+    // failure = frontier still non-empty when the loop budget ran out;
+    // a frontier that empties exactly on the last iteration has converged
+    if (!frontier.isEmpty)
       throw new IllegalStateException(
         s"recursive fixpoint did not converge in $maxIterations iterations")
     acc
@@ -45,7 +47,7 @@ object RecursiveCte {
       if (!frontier.isEmpty) acc = acc.union(frontier).localCheckpoint(true)
       i += 1
     }
-    if (i >= maxIterations)
+    if (!frontier.isEmpty)
       throw new IllegalStateException(
         s"recursive fixpoint did not converge in $maxIterations iterations")
     acc

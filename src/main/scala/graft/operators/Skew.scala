@@ -42,6 +42,14 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int, entropy: Seq[Column],
                  joinType: String = "inner"): DataFrame = {
+    // The small side is exploded saltFactor times, so join types that emit
+    // unmatched SMALL-side rows would duplicate them saltFactor×. The
+    // large (salted) side is preserved exactly once per row.
+    require(Set("inner", "left", "leftouter", "left_outer", "leftsemi",
+      "left_semi", "leftanti", "left_anti")
+      .contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left joins only (got '$joinType'): " +
+        "right/full outer would emit exploded unmatched small-side rows")
     val saltedLarge = large.withColumn("__salt", saltCol(saltFactor, entropy: _*))
     val explodedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

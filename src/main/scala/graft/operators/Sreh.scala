@@ -21,18 +21,20 @@ object Sreh {
 
   final case class SrehResult(good: DataFrame, rejected: Long, errorLog: DataFrame)
 
+  private val logSchema = StructType(Nil)
+    .add("record", StringType).add("source_file", StringType)
+
   /** LOG ERRORS variant: rejects are spooled to a durable JSON error
     * table (the reference persists them to an error table the user can
     * query later; `badRecordsPath` is a Databricks-runtime option, so
-    * OSS-Spark-native we write the log ourselves). */
+    * OSS-Spark-native we write the log ourselves). The read-back uses an
+    * explicit schema: with zero rejects the log has no data files, and
+    * schema inference over an empty JSON dir fails. */
   def readCsvLogged(spark: SparkSession, path: String, schema: StructType,
                     rejectLimit: Long, errorTablePath: String): SrehResult = {
     val res = readCsv(spark, path, schema, rejectLimit)
-    res.errorLog
-      .select(org.apache.spark.sql.functions.col("_corrupt_record").as("record"),
-        org.apache.spark.sql.functions.input_file_name().as("source_file"))
-      .write.mode("overwrite").json(errorTablePath)
-    res.copy(errorLog = spark.read.json(errorTablePath))
+    res.errorLog.write.mode("overwrite").json(errorTablePath)
+    res.copy(errorLog = spark.read.schema(logSchema).json(errorTablePath))
   }
 
   def readCsv(spark: SparkSession, path: String, schema: StructType,
@@ -45,13 +47,19 @@ object Sreh {
       .option("columnNameOfCorruptRecord", corrupt)
       .schema(withCorrupt)
       .csv(path)
+      // input_file_name() must be captured during the file scan — after
+      // cache() the lineage no longer carries a file source and it
+      // evaluates to the empty string.
+      .withColumn("__source_file", input_file_name())
       .cache() // required: corrupt-record column is only queryable post-materialization
-    val errorLog = parsed.where(col(corrupt).isNotNull).select(col(corrupt))
+    val errorLog = parsed.where(col(corrupt).isNotNull)
+      .select(col(corrupt).as("record"), col("__source_file").as("source_file"))
     val rejected = errorLog.count()
     if (rejected > rejectLimit) {
       parsed.unpersist()
       throw RejectLimitExceeded(rejected, rejectLimit)
     }
-    SrehResult(parsed.where(col(corrupt).isNull).drop(corrupt), rejected, errorLog)
+    SrehResult(parsed.where(col(corrupt).isNull).drop(corrupt, "__source_file"),
+      rejected, errorLog)
   }
 }

@@ -28,24 +28,39 @@ object Sessionize {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60000000L
+    // flatMapSortedGroups = secondary sort: events arrive per-user in ts
+    // order straight off the shuffle sort, so sessions stream in one pass
+    // with O(1) state per key — a hot key (null/bot user) never
+    // materializes its event list in executor memory.
     events.select(col("user_id"), col("ts"))
       .as[(Long, Instant)]
       .groupByKey(_._1)
-      .flatMapGroups { (uid: Long, it: Iterator[(Long, Instant)]) =>
-        val ts = it.map(t => micros(t._2)).toArray
-        java.util.Arrays.sort(ts)
-        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-        var start = 0
-        var i = 1
-        while (i <= ts.length) {
-          if (i == ts.length || ts(i) - ts(i - 1) >= gapUs) {
-            out += Session(instant(ts(start)), instant(ts(i - 1) + gapUs),
-              uid, (i - start).toLong)
-            start = i
+      .flatMapSortedGroups(col("ts")) { (uid: Long, it: Iterator[(Long, Instant)]) =>
+        new Iterator[Session] {
+          private var pending: Session = _
+          private var start = -1L
+          private var prev = -1L
+          private var n = 0L
+          private def emit(): Session = {
+            val s = Session(instant(start), instant(prev + gapUs), uid, n)
+            start = -1L; n = 0L
+            s
           }
-          i += 1
+          private def advance(): Unit = {
+            while (pending == null && (it.hasNext || start >= 0)) {
+              if (it.hasNext) {
+                val t = micros(it.next()._2)
+                if (start < 0) { start = t; prev = t; n = 1L }
+                else if (t - prev >= gapUs) { pending = emit(); start = t; prev = t; n = 1L }
+                else { prev = t; n += 1L }
+              } else pending = emit() // flush the final open session
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): Session = {
+            advance(); val s = pending; pending = null; s
+          }
         }
-        out.iterator
       }
   }
 }
