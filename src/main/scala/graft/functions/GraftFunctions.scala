@@ -326,6 +326,19 @@ object GraftFunctions {
           i(3).intValue(), i(4).longValue())
       })
     reg.registerFunction(
+      FunctionIdentifier("age_pg"),
+      info("age_pg", "age_pg(t1, t2) - PG symbolic timestamp difference"),
+      (args: Seq[Expression]) => AgePg(
+        Cast(args(0), TimestampType), Cast(args(1), TimestampType)))
+    Seq("days", "hours", "interval").foreach { mode =>
+      reg.registerFunction(
+        FunctionIdentifier(s"justify_$mode"),
+        info(s"justify_$mode", s"justify_$mode(months, days, us) - PG interval normalization"),
+        (args: Seq[Expression]) => JustifyParts(
+          Cast(args(0), IntegerType), Cast(args(1), IntegerType),
+          Cast(args(2), LongType), mode))
+    }
+    reg.registerFunction(
       FunctionIdentifier("best_centroid"),
       info("best_centroid", "best_centroid(vec, cids, cents) - IVF argmax-dot cell id"),
       (args: Seq[Expression]) => {

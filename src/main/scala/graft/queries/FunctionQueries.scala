@@ -185,10 +185,99 @@ object FunctionQueries {
       t(s, d, "part").select(
         col("p_partkey"), col("p_name"),
         expr("similarity(p_name, 'promo burnished copper')").as("sim"))
-        .where(col("sim") > 0.05))
+        .where(col("sim") > 0.05)),
+
+    // age() symbolic timestamp difference (timestamp.c:4205) — custom
+    // borrow-chain expression, field parity with DuckDB's age().
+    "q105_age_pg" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        expr("age_pg(ts, TIMESTAMP '2024-01-15 08:30:00')").as("a"))
+        .select(col("event_id"),
+          col("a.years").as("y"), col("a.months").as("mo"),
+          col("a.days").as("d"), col("a.hours").as("h"),
+          col("a.mins").as("mi"), col("a.us").as("us"))),
+
+    // justify_days/hours/interval (timestamp.c:3436) over a synthetic
+    // (months, days, micros) interval derived from event columns; the
+    // oracle mirrors PG's C truncated-division arithmetic in SQL.
+    "q106_justify" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        (col("event_id") % 5).cast("int").as("m"),
+        ((col("event_id") % 97) - 20).cast("int").as("dd"),
+        (((col("event_id") % 2000) - 500) * lit(3600000000L)).as("usv"))
+        .select(col("event_id"),
+          expr("justify_days(m, dd, usv)").as("jd"),
+          expr("justify_hours(m, dd, usv)").as("jh"),
+          expr("justify_interval(m, dd, usv)").as("ji"))
+        .select(col("event_id"),
+          col("jd.months").as("jd_m"), col("jd.days").as("jd_d"),
+          col("jh.days").as("jh_d"), col("jh.us").as("jh_us"),
+          col("ji.months").as("ji_m"), col("ji.days").as("ji_d"),
+          col("ji.us").as("ji_us")))
   )
 
   val oracle: Map[String, String] = Map(
+    "q105_age_pg" ->
+      """SELECT event_id,
+        |  CAST(date_part('year', a) AS INT) AS y,
+        |  CAST(date_part('month', a) AS INT) AS mo,
+        |  CAST(date_part('day', a) AS INT) AS d,
+        |  CAST(date_part('hour', a) AS INT) AS h,
+        |  CAST(date_part('minute', a) AS INT) AS mi,
+        |  CAST(date_part('microsecond', a) AS BIGINT) AS us
+        |FROM (SELECT event_id,
+        |        age(CAST(ts AS TIMESTAMP), TIMESTAMP '2024-01-15 08:30:00') AS a
+        |      FROM events) t""".stripMargin,
+    "q106_justify" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    CAST(event_id % 5 AS INT) AS m,
+        |    CAST((event_id % 97) - 20 AS INT) AS dd,
+        |    CAST(((event_id % 2000) - 500) * 3600000000 AS BIGINT) AS usv
+        |  FROM events),
+        |jd0 AS (SELECT event_id,
+        |    m + CAST((dd - (dd % 30)) / 30 AS INT) AS m2,
+        |    CAST(dd % 30 AS INT) AS d2 FROM base),
+        |jd AS (SELECT event_id,
+        |    CASE WHEN m2 > 0 AND d2 < 0 THEN m2 - 1
+        |         WHEN m2 < 0 AND d2 > 0 THEN m2 + 1 ELSE m2 END AS jd_m,
+        |    CASE WHEN m2 > 0 AND d2 < 0 THEN d2 + 30
+        |         WHEN m2 < 0 AND d2 > 0 THEN d2 - 30 ELSE d2 END AS jd_d
+        |  FROM jd0),
+        |jh0 AS (SELECT event_id,
+        |    dd + CAST((usv - (usv % 86400000000)) / 86400000000 AS INT) AS d2,
+        |    usv % 86400000000 AS us2 FROM base),
+        |jh AS (SELECT event_id,
+        |    CASE WHEN d2 > 0 AND us2 < 0 THEN d2 - 1
+        |         WHEN d2 < 0 AND us2 > 0 THEN d2 + 1 ELSE d2 END AS jh_d,
+        |    CASE WHEN d2 > 0 AND us2 < 0 THEN us2 + 86400000000
+        |         WHEN d2 < 0 AND us2 > 0 THEN us2 - 86400000000 ELSE us2 END AS jh_us
+        |  FROM jh0),
+        |ji1 AS (SELECT event_id,
+        |    m + CAST((d2 - (d2 % 30)) / 30 AS INT) AS m2,
+        |    CAST(d2 % 30 AS INT) AS d3, us2
+        |  FROM (SELECT event_id, m,
+        |          dd + CAST((usv - (usv % 86400000000)) / 86400000000 AS INT) AS d2,
+        |          usv % 86400000000 AS us2 FROM base) t),
+        |ji2 AS (SELECT event_id,
+        |    CASE WHEN m2 > 0 AND (d3 < 0 OR (d3 = 0 AND us2 < 0)) THEN m2 - 1
+        |         WHEN m2 < 0 AND (d3 > 0 OR (d3 = 0 AND us2 > 0)) THEN m2 + 1
+        |         ELSE m2 END AS ji_m,
+        |    CASE WHEN m2 > 0 AND (d3 < 0 OR (d3 = 0 AND us2 < 0)) THEN d3 + 30
+        |         WHEN m2 < 0 AND (d3 > 0 OR (d3 = 0 AND us2 > 0)) THEN d3 - 30
+        |         ELSE d3 END AS d4,
+        |    us2 FROM ji1),
+        |ji AS (SELECT event_id, ji_m,
+        |    CASE WHEN d4 > 0 AND us2 < 0 THEN d4 - 1
+        |         WHEN d4 < 0 AND us2 > 0 THEN d4 + 1 ELSE d4 END AS ji_d,
+        |    CASE WHEN d4 > 0 AND us2 < 0 THEN us2 + 86400000000
+        |         WHEN d4 < 0 AND us2 > 0 THEN us2 - 86400000000 ELSE us2 END AS ji_us
+        |  FROM ji2)
+        |SELECT base.event_id, jd_m, jd_d, jh_d, jh_us, ji_m, ji_d, ji_us
+        |FROM base JOIN jd USING (event_id) JOIN jh USING (event_id)
+        |JOIN ji USING (event_id)""".stripMargin,
     "q70_string_funcs" ->
       """SELECT p_partkey,
         |  UPPER(p_name) AS uname, LOWER(p_brand) AS lbrand,

@@ -85,6 +85,44 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getString(4) == "$45.00")
   }
 
+  test("age_pg: calendar diff, sign symmetry, month borrow (timestamp.c:4205)") {
+    val row = spark.sql(
+      """SELECT age_pg(TIMESTAMP '2024-03-01 00:00:30.5',
+        |              TIMESTAMP '2024-01-31 23:59:45.25') AS a""".stripMargin)
+      .select("a.*").head()
+    // PG: 1 mon 0 days 00:00:45.25 (days borrow from Jan = 31 days)
+    assert(row == Row(0, 1, 0, 0, 0, 45250000L), row.toString)
+    val neg = spark.sql(
+      """SELECT age_pg(TIMESTAMP '2024-01-31 23:59:45.25',
+        |              TIMESTAMP '2024-03-01 00:00:30.5') AS a""".stripMargin)
+      .select("a.*").head()
+    assert(neg == Row(0, -1, 0, 0, 0, -45250000L), neg.toString)
+    // leap-February borrow
+    val leap = spark.sql(
+      """SELECT age_pg(TIMESTAMP '2024-03-10 00:00:00',
+        |              TIMESTAMP '2024-02-28 00:00:00') AS a""".stripMargin)
+      .select("a.*").head()
+    assert(leap == Row(0, 0, 11, 0, 0, 0L), leap.toString)
+  }
+
+  test("justify_days/hours/interval match the PG-doc examples (timestamp.c:3436)") {
+    // justify_days(interval '35 days') = 1 mon 5 days
+    val jd = spark.sql("SELECT justify_days(0, 35, 0) AS j").select("j.*").head()
+    assert(jd == Row(1, 5, 0L), jd.toString)
+    // justify_hours(interval '27 hours') = 1 day 03:00:00
+    val jh = spark.sql("SELECT justify_hours(0, 0, 97200000000) AS j")
+      .select("j.*").head()
+    assert(jh == Row(0, 1, 10800000000L), jh.toString)
+    // justify_interval(interval '1 mon -1 hour') = 29 days 23:00:00
+    val ji = spark.sql("SELECT justify_interval(1, 0, -3600000000) AS j")
+      .select("j.*").head()
+    assert(ji == Row(0, 29, 82800000000L), ji.toString)
+    // negative-dominant: justify_interval(interval '-1 mon 1 hour')
+    val jn = spark.sql("SELECT justify_interval(-1, 0, 3600000000) AS j")
+      .select("j.*").head()
+    assert(jn == Row(0, -29, -82800000000L), jn.toString)
+  }
+
   test("scalar subquery >1 row fails at runtime (AssertOp analog)") {
     Tables.register(spark, TestSpark.sf0001)
     val e = intercept[Exception] {
