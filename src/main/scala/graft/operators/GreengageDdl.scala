@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
+
+/** Translation layer for Greengage physical-design DDL — the grammar a
+  * user's existing DDL scripts are written in (reference
+  * `src/backend/parser/gram.y:4835-4851` for `DISTRIBUTED BY / RANDOMLY /
+  * REPLICATED`, `:5241` for `PARTITION BY`). Scripts are lowered onto
+  * Spark SQL DDL instead of being executed by a bespoke engine:
+  *
+  *  - `DISTRIBUTED BY (k, ...)`    → `CLUSTERED BY (k, ...) INTO n BUCKETS`
+  *    (hash co-location; joins/aggs on k are exchange-free — the Spark
+  *    analog of cdbhash.c segment routing)
+  *  - `DISTRIBUTED RANDOMLY`       → unbucketed parquet (round-robin)
+  *  - `DISTRIBUTED REPLICATED`     → table property; [[readTable]] applies
+  *    the broadcast hint (every-node copies are a planner concern in
+  *    Spark, not a storage layout)
+  *  - `PARTITION BY RANGE|LIST (c)`→ `PARTITIONED BY (c)` hive-style
+  *    directories. The explicit START/END/EVERY bound list is subsumed by
+  *    dynamic partitioning — each distinct value materializes its own
+  *    directory, and static + dynamic partition pruning replace the
+  *    reference's per-partition scan elimination.
+  *  - `WITH (appendonly, orientation=column, compresstype=...)` → parquet
+  *    is already columnar+compressed; options are preserved as table
+  *    properties for round-trip visibility.
+  *
+  * Constraints (NOT NULL / PRIMARY KEY / DEFAULT) are accepted and
+  * dropped — Spark tables don't enforce them (the reference doesn't
+  * enforce PK either, it only uses it as the default distribution key).
+  */
+object GreengageDdl {
+
+  sealed trait Dist
+  final case class HashDist(cols: Seq[String]) extends Dist
+  case object RandomDist extends Dist
+  case object ReplicatedDist extends Dist
+
+  final case class TableSpec(
+      name: String,
+      ifNotExists: Boolean,
+      columns: Seq[(String, String)], // (name, SPARK type) — empty for CTAS
+      dist: Dist,
+      partitionCols: Seq[String],
+      storageOpts: Map[String, String],
+      ctasQuery: Option[String])
+
+  /** PG/Greengage type name → Spark SQL type (SURVEY §1.2 mapping). */
+  private[operators] def mapType(pg: String): String = {
+    val t = pg.trim.toLowerCase.replaceAll("\\s+", " ")
+    val paren = "\\((.*)\\)".r.findFirstMatchIn(t).map(_.group(1))
+    t.takeWhile(_ != '(').trim match {
+      case "int2" | "smallint" => "SMALLINT"
+      case "int4" | "int" | "integer" | "serial" => "INT"
+      case "int8" | "bigint" | "bigserial" => "BIGINT"
+      case "real" | "float4" => "FLOAT"
+      case "float8" | "double precision" | "float" => "DOUBLE"
+      case "numeric" | "decimal" => paren.map(p => s"DECIMAL($p)").getOrElse("DECIMAL(38,18)")
+      case "text" | "varchar" | "character varying" | "char" | "character"
+           | "bpchar" | "name" | "uuid" | "json" | "jsonb" | "xml" => "STRING"
+      case "bool" | "boolean" => "BOOLEAN"
+      case "date" => "DATE"
+      case "timestamp" | "timestamp without time zone" => "TIMESTAMP_NTZ"
+      case "timestamptz" | "timestamp with time zone" => "TIMESTAMP"
+      case "bytea" => "BINARY"
+      case other => throw new IllegalArgumentException(s"unmapped PG type: '$other'")
+    }
+  }
+
+  /** Split on top-level commas (respects parens: `numeric(18,2)`). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Extract the balanced-paren block starting at s(from) == '('.
+    * Returns (contents, indexAfterClosingParen). */
+  private def balanced(s: String, from: Int): (String, Int) = {
+    require(s.charAt(from) == '(', s"expected '(' at $from in: $s")
+    var depth = 0
+    var i = from
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (s.substring(from + 1, i), i + 1)
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens in DDL: $s")
+  }
+
+  private val createRe =
+    "(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.\"]+)\\s*(.*)$".r
+
+  def parse(ddl: String): TableSpec = {
+    val sql = ddl.trim.stripSuffix(";").trim
+    val m = createRe.findFirstMatchIn(sql).getOrElse(
+      throw new IllegalArgumentException(s"not a CREATE TABLE statement: $ddl"))
+    val ifNotExists = m.group(1) != null
+    val name = m.group(2).replace("\"", "")
+    var rest = m.group(3).trim
+
+    // column list (absent for CTAS)
+    var columns = Seq.empty[(String, String)]
+    if (rest.startsWith("(")) {
+      val (colBlock, after) = balanced(rest, 0)
+      rest = rest.substring(after).trim
+      columns = splitTop(colBlock)
+        .filterNot(c => "(?i)^(primary key|unique|check|constraint|foreign key)"
+          .r.findFirstIn(c).isDefined) // table-level constraints: dropped
+        .map { cdef =>
+          val parts = cdef.trim.split("\\s+", 2)
+          require(parts.length == 2, s"cannot parse column def: '$cdef'")
+          // strip column constraints after the type
+          val typePart = parts(1)
+            .replaceAll("(?i)\\s+(not\\s+null|null|default\\s+.*|primary\\s+key|unique|references\\s+.*)$", "")
+          (parts(0).replace("\"", ""), mapType(typePart))
+        }
+    }
+
+    // WITH (storage options)
+    var storageOpts = Map.empty[String, String]
+    val withRe = "(?is)^WITH\\s*\\(".r
+    withRe.findFirstMatchIn(rest).foreach { w =>
+      val (opts, after) = balanced(rest, w.end - 1)
+      storageOpts = splitTop(opts).map { o =>
+        o.split("=", 2) match {
+          case Array(k, v) => k.trim.toLowerCase -> v.trim
+          case Array(k) => k.trim.toLowerCase -> "true"
+        }
+      }.toMap
+      rest = (rest.substring(0, w.start) + " " + rest.substring(after)).trim
+    }
+
+    // CTAS body (Greengage: CREATE TABLE t AS SELECT ... DISTRIBUTED BY (k))
+    var ctas: Option[String] = None
+    val distSplit = "(?is)\\bDISTRIBUTED\\b".r.findFirstMatchIn(rest)
+    val preDist = distSplit.map(d => rest.substring(0, d.start)).getOrElse(rest).trim
+    val asRe = "(?is)^AS\\s+(.*)$".r
+    asRe.findFirstMatchIn(preDist).foreach { a =>
+      ctas = Some(a.group(1).trim)
+      rest = distSplit.map(d => rest.substring(d.start)).getOrElse("")
+    }
+
+    // DISTRIBUTED clause
+    var dist: Dist = RandomDist // Greengage default with no PK: random
+    val byRe = "(?is)DISTRIBUTED\\s+BY\\s*\\(".r
+    byRe.findFirstMatchIn(rest) match {
+      case Some(b) =>
+        val (cols, after) = balanced(rest, b.end - 1)
+        dist = HashDist(splitTop(cols).map(_.replace("\"", "")))
+        rest = (rest.substring(0, b.start) + " " + rest.substring(after)).trim
+      case None =>
+        if ("(?is)DISTRIBUTED\\s+REPLICATED".r.findFirstIn(rest).isDefined)
+          dist = ReplicatedDist
+        rest = rest.replaceAll("(?is)DISTRIBUTED\\s+(RANDOMLY|REPLICATED)", " ").trim
+    }
+
+    // PARTITION BY RANGE|LIST (col) ( ...bound spec... )
+    var partitionCols = Seq.empty[String]
+    val partRe = "(?is)PARTITION\\s+BY\\s+(RANGE|LIST)\\s*\\(".r
+    partRe.findFirstMatchIn(rest).foreach { p =>
+      val (cols, after) = balanced(rest, p.end - 1)
+      partitionCols = splitTop(cols).map(_.replace("\"", ""))
+      val tail = rest.substring(after).trim
+      // the START/END/EVERY or value-list spec: skipped (dynamic partitioning)
+      rest =
+        if (tail.startsWith("(")) tail.substring(balanced(tail, 0)._2).trim
+        else tail
+    }
+
+    TableSpec(name, ifNotExists, columns, dist, partitionCols, storageOpts, ctas)
+  }
+
+  /** Lower the parsed spec onto a Spark SQL DDL statement. */
+  def toSparkSql(spec: TableSpec, buckets: Int): String = {
+    val ine = if (spec.ifNotExists) "IF NOT EXISTS " else ""
+    val colSql =
+      if (spec.ctasQuery.isDefined || spec.columns.isEmpty) ""
+      else spec.columns.map { case (n, t) => s"$n $t" }.mkString(" (", ", ", ")")
+    val partSql =
+      if (spec.partitionCols.isEmpty) ""
+      else s" PARTITIONED BY (${spec.partitionCols.mkString(", ")})"
+    val bucketSql = spec.dist match {
+      case HashDist(cols) => s" CLUSTERED BY (${cols.mkString(", ")}) INTO $buckets BUCKETS"
+      case _ => ""
+    }
+    val props = spec.storageOpts.map { case (k, v) => s"'greengage.$k'='$v'" } ++
+      (spec.dist match {
+        case ReplicatedDist => Seq("'graft.distribution'='replicated'")
+        case RandomDist => Seq("'graft.distribution'='random'")
+        case HashDist(cols) => Seq(s"'graft.distribution'='hash:${cols.mkString(",")}'")
+      })
+    val propSql = s" TBLPROPERTIES (${props.mkString(", ")})"
+    val asSql = spec.ctasQuery.map(q => s" AS $q").getOrElse("")
+    s"CREATE TABLE $ine${spec.name}$colSql USING parquet$partSql$bucketSql$propSql$asSql"
+  }
+
+  /** Parse + execute a Greengage CREATE TABLE against the session catalog. */
+  def execute(spark: SparkSession, ddl: String, buckets: Int = 32): TableSpec = {
+    val spec = parse(ddl)
+    spark.sql(toSparkSql(spec, buckets))
+    spec
+  }
+
+  /** Read a DDL-created table, honoring DISTRIBUTED REPLICATED: replicated
+    * tables come back with the broadcast hint applied so every join ships
+    * the full copy to each task (the reference stores a copy per segment;
+    * in Spark replication is the planner's job). */
+  def readTable(spark: SparkSession, name: String): DataFrame = {
+    val df = spark.table(name)
+    val replicated = spark.sql(s"SHOW TBLPROPERTIES $name('graft.distribution')")
+      .collect().exists(r => r.getString(1) == "replicated")
+    if (replicated) broadcast(df) else df
+  }
+}

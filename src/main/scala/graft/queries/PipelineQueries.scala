@@ -203,6 +203,20 @@ object PipelineQueries {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"),
           sumd(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // Greengage DDL surface (gram.y:4835): user DDL text -> bucketed
+    // catalog table -> query it; oracle aggregates the source directly,
+    // so the DDL round-trip must be lossless.
+    "q107_ddl_roundtrip" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      s.sql("DROP TABLE IF EXISTS ddl_orders_rt")
+      graft.operators.GreengageDdl.execute(s,
+        """CREATE TABLE ddl_orders_rt AS
+          |SELECT o_custkey, o_totalprice, o_orderstatus FROM orders
+          |DISTRIBUTED BY (o_custkey)""".stripMargin, buckets = 8)
+      s.table("ddl_orders_rt").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
     })
   )
 
@@ -357,6 +371,9 @@ object PipelineQueries {
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${oSumd("l_quantity")} AS sum_qty,
          |  ${oSumd("l_extendedprice")} AS sum_price
-         |FROM lineitem WHERE l_quantity > 40 GROUP BY l_returnflag""".stripMargin
+         |FROM lineitem WHERE l_quantity > 40 GROUP BY l_returnflag""".stripMargin,
+    "q107_ddl_roundtrip" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${oSumd("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus""".stripMargin
   )
 }

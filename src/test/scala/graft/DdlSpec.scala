@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GreengageDdl
+import graft.operators.GreengageDdl._
+
+/** The Greengage DDL translation layer (gram.y:4835-4851, :5241):
+  * representative user DDL parses, creates real catalog tables, and the
+  * physical design carries through — bucket-co-located joins, partition
+  * pruning, replicated-as-broadcast.
+  */
+class DdlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def drop(names: String*): Unit = names.foreach { n =>
+    spark.sql(s"DROP TABLE IF EXISTS $n")
+    val loc = new java.io.File(s"target/test-warehouse/$n")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
+  test("parse: distribution, partitioning, storage opts, type mapping") {
+    val spec = GreengageDdl.parse(
+      """CREATE TABLE sales_ddl (
+        |  trans_id int,
+        |  cust_id int8 NOT NULL,
+        |  amount numeric(18,2) DEFAULT 0,
+        |  region character varying(32),
+        |  flag boolean,
+        |  payload bytea,
+        |  sale_ts timestamp,
+        |  sale_date date,
+        |  PRIMARY KEY (trans_id)
+        |)
+        |WITH (appendonly=true, orientation=column, compresstype=zstd)
+        |DISTRIBUTED BY (cust_id)
+        |PARTITION BY RANGE (sale_date)
+        |( START (date '2024-01-01') INCLUSIVE
+        |  END (date '2025-01-01') EXCLUSIVE
+        |  EVERY (INTERVAL '1 month') );""".stripMargin)
+    assert(spec.name == "sales_ddl")
+    assert(spec.dist == HashDist(Seq("cust_id")))
+    assert(spec.partitionCols == Seq("sale_date"))
+    assert(spec.storageOpts("orientation") == "column")
+    assert(spec.columns == Seq(
+      "trans_id" -> "INT", "cust_id" -> "BIGINT", "amount" -> "DECIMAL(18,2)",
+      "region" -> "STRING", "flag" -> "BOOLEAN", "payload" -> "BINARY",
+      "sale_ts" -> "TIMESTAMP_NTZ", "sale_date" -> "DATE"))
+  }
+
+  test("DDL-created bucketed tables join without an exchange on the key") {
+    Tables.register(spark, TestSpark.sf0001)
+    drop("orders_ddl", "customer_ddl")
+    GreengageDdl.execute(spark,
+      """CREATE TABLE orders_ddl AS SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders DISTRIBUTED BY (o_custkey)""".stripMargin, buckets = 4)
+    GreengageDdl.execute(spark,
+      """CREATE TABLE customer_ddl AS SELECT c_custkey, c_name
+        |FROM customer DISTRIBUTED BY (c_custkey)""".stripMargin, buckets = 4)
+    val j = spark.sql(
+      """SELECT /*+ MERGE(orders_ddl) */ c_custkey, COUNT(*) AS n
+        |FROM orders_ddl JOIN customer_ddl ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin)
+    val p = j.queryExecution.executedPlan.toString
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, p)
+    assert(!p.substring(joinIdx).contains("Exchange hashpartitioning(o_custkey"),
+      "DDL-bucketed join still shuffles:\n" + p)
+    assert(j.count() > 0)
+  }
+
+  test("DDL range partitioning becomes pruned hive-style partitions") {
+    Tables.register(spark, TestSpark.sf0001)
+    drop("orders_part_ddl")
+    val spec = GreengageDdl.execute(spark,
+      """CREATE TABLE orders_part_ddl (
+        |  o_orderkey int8,
+        |  o_totalprice float8,
+        |  o_orderstatus text
+        |)
+        |DISTRIBUTED RANDOMLY
+        |PARTITION BY LIST (o_orderstatus)
+        |( PARTITION fulfilled VALUES ('F'),
+        |  PARTITION open VALUES ('O'),
+        |  PARTITION pending VALUES ('P') );""".stripMargin)
+    assert(spec.partitionCols == Seq("o_orderstatus"))
+    spark.table("orders")
+      .selectExpr("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("append").insertInto("orders_part_ddl")
+    val pruned = spark.table("orders_part_ddl").where("o_orderstatus = 'F'")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(o_orderstatus"), scan)
+    assert(pruned.count() > 0)
+  }
+
+  test("DISTRIBUTED REPLICATED reads back with the broadcast hint") {
+    Tables.register(spark, TestSpark.sf0001)
+    drop("nation_ddl")
+    GreengageDdl.execute(spark,
+      """CREATE TABLE nation_ddl AS SELECT n_nationkey, n_name FROM nation
+        |DISTRIBUTED REPLICATED""".stripMargin)
+    val dim = GreengageDdl.readTable(spark, "nation_ddl")
+    val j = spark.table("customer").join(dim,
+      spark.table("customer")("c_nationkey") === dim("n_nationkey"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "replicated table not broadcast:\n" + p)
+    assert(j.count() > 0)
+  }
+}
