@@ -326,6 +326,10 @@ object GraftFunctions {
           i(3).intValue(), i(4).longValue())
       })
     reg.registerFunction(
+      FunctionIdentifier("to_char_dt"),
+      info("to_char_dt", "to_char_dt(ts, fmt) - PG DCH date/time templates"),
+      (args: Seq[Expression]) => ToCharDt(Cast(args(0), TimestampNTZType), args(1)))
+    reg.registerFunction(
       FunctionIdentifier("age_pg"),
       info("age_pg", "age_pg(t1, t2) - PG symbolic timestamp difference"),
       (args: Seq[Expression]) => AgePg(

@@ -76,6 +76,115 @@ object ToCharFmt {
   }
 }
 
+/** PG `to_char(timestamp, fmt)` DCH templates (formatting.c:35-100) —
+  * the date/time subset: YYYY YY MM DD HH24 HH12 HH MI SS MS US, names
+  * Mon/Month/Day/Dy in all three case styles (PG blank-pads Month/Day to
+  * 9 chars unless FM), DDD D ID IW WW Q J, AM/PM, double-quoted
+  * literals, and the FM prefix modifier (applies to the next element,
+  * as in PG). English month/day names, as PG's C locale produces.
+  */
+object ToCharDtFmt {
+
+  private val monAbbr = Array("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+  private val monFull = Array("January", "February", "March", "April",
+    "May", "June", "July", "August", "September", "October", "November",
+    "December")
+  private val dayAbbr = Array("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+  private val dayFull = Array("Monday", "Tuesday", "Wednesday", "Thursday",
+    "Friday", "Saturday", "Sunday")
+
+  private def pad2(n: Int, fm: Boolean): String =
+    if (fm) n.toString else f"$n%02d"
+
+  private def blankPad9(s: String, fm: Boolean): String =
+    if (fm) s else s.padTo(9, ' ')
+
+  def toCharDt(us: Long, fmt: String): UTF8String = {
+    val d = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    val sb = new java.lang.StringBuilder
+    var fm = false
+    var i = 0
+    val n = fmt.length
+    def at(pat: String): Boolean = fmt.regionMatches(false, i, pat, 0, pat.length)
+    while (i < n) {
+      val c = fmt.charAt(i)
+      if (c == '"') { // quoted literal
+        val close = fmt.indexOf('"', i + 1)
+        val end = if (close < 0) n else close
+        sb.append(fmt, i + 1, end)
+        i = if (close < 0) n else close + 1
+      } else if (at("FM")) { fm = true; i += 2 }
+      else {
+        val consumed: Int =
+          if (at("YYYY")) { sb.append(if (fm) d.getYear.toString else f"${d.getYear}%04d"); 4 }
+          else if (at("YY")) { sb.append(f"${d.getYear % 100}%02d"); 2 }
+          else if (at("MONTH")) { sb.append(blankPad9(monFull(d.getMonthValue - 1).toUpperCase, fm)); 5 }
+          else if (at("Month")) { sb.append(blankPad9(monFull(d.getMonthValue - 1), fm)); 5 }
+          else if (at("month")) { sb.append(blankPad9(monFull(d.getMonthValue - 1).toLowerCase, fm)); 5 }
+          else if (at("MON")) { sb.append(monAbbr(d.getMonthValue - 1).toUpperCase); 3 }
+          else if (at("Mon")) { sb.append(monAbbr(d.getMonthValue - 1)); 3 }
+          else if (at("mon")) { sb.append(monAbbr(d.getMonthValue - 1).toLowerCase); 3 }
+          else if (at("MM")) { sb.append(pad2(d.getMonthValue, fm)); 2 }
+          else if (at("DAY")) { sb.append(blankPad9(dayFull(d.getDayOfWeek.getValue - 1).toUpperCase, fm)); 3 }
+          else if (at("Day")) { sb.append(blankPad9(dayFull(d.getDayOfWeek.getValue - 1), fm)); 3 }
+          else if (at("day")) { sb.append(blankPad9(dayFull(d.getDayOfWeek.getValue - 1).toLowerCase, fm)); 3 }
+          else if (at("DY")) { sb.append(dayAbbr(d.getDayOfWeek.getValue - 1).toUpperCase); 2 }
+          else if (at("Dy")) { sb.append(dayAbbr(d.getDayOfWeek.getValue - 1)); 2 }
+          else if (at("dy")) { sb.append(dayAbbr(d.getDayOfWeek.getValue - 1).toLowerCase); 2 }
+          else if (at("DDD")) { sb.append(if (fm) d.getDayOfYear.toString else f"${d.getDayOfYear}%03d"); 3 }
+          else if (at("DD")) { sb.append(pad2(d.getDayOfMonth, fm)); 2 }
+          else if (at("HH24")) { sb.append(pad2(d.getHour, fm)); 4 }
+          else if (at("HH12") || at("HH")) {
+            val h = { val x = d.getHour % 12; if (x == 0) 12 else x }
+            sb.append(pad2(h, fm)); if (at("HH12")) 4 else 2
+          }
+          else if (at("MI")) { sb.append(pad2(d.getMinute, fm)); 2 }
+          else if (at("SSSS")) { sb.append((d.getHour * 3600 + d.getMinute * 60 + d.getSecond).toString); 4 }
+          else if (at("SS")) { sb.append(pad2(d.getSecond, fm)); 2 }
+          else if (at("MS")) { sb.append(f"${d.getNano / 1000000}%03d"); 2 }
+          else if (at("US")) { sb.append(f"${d.getNano / 1000}%06d"); 2 }
+          else if (at("AM") || at("PM")) { sb.append(if (d.getHour < 12) "AM" else "PM"); 2 }
+          else if (at("am") || at("pm")) { sb.append(if (d.getHour < 12) "am" else "pm"); 2 }
+          else if (at("IW")) {
+            sb.append(pad2(d.get(java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR), fm)); 2
+          }
+          else if (at("ID")) { sb.append(d.getDayOfWeek.getValue.toString); 2 }
+          else if (at("WW")) { sb.append(pad2(1 + (d.getDayOfYear - 1) / 7, fm)); 2 }
+          else if (at("D")) { sb.append((d.getDayOfWeek.getValue % 7 + 1).toString); 1 }
+          else if (at("Q")) { sb.append(((d.getMonthValue - 1) / 3 + 1).toString); 1 }
+          else if (at("J")) { sb.append((d.toLocalDate.toEpochDay + 2440588L).toString); 1 }
+          else { sb.append(c); 1 }
+        if (consumed > 0 && c.isLetter) fm = false // FM spent on this element
+        i += consumed
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `to_char_dt(ts, 'YYYY-MM-DD HH24:MI:SS')` expression. */
+case class ToCharDt(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "to_char_dt"
+
+  override protected def nullSafeEval(v: Any, f: Any): Any =
+    ToCharDtFmt.toCharDt(v.asInstanceOf[Long], f.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, f) =>
+      s"graft.functions.ToCharDtFmt.toCharDt($v, $f.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ToCharDt =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `to_char(numeric, 'FM9,999.00')` expression. */
 case class ToChar(left: Expression, right: Expression)
   extends BinaryExpression {

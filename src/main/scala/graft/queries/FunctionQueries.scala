@@ -198,6 +198,20 @@ object FunctionQueries {
           col("a.days").as("d"), col("a.hours").as("h"),
           col("a.mins").as("mi"), col("a.us").as("us"))),
 
+    // to_char date/time DCH templates (formatting.c:35-100) — custom
+    // template engine; oracle via DuckDB strftime equivalents.
+    "q108_to_char_dt" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        expr("to_char_dt(ts, 'YYYY-MM-DD HH24:MI:SS')").as("iso"),
+        expr("to_char_dt(ts, 'FMMonth')").as("mname"),
+        expr("to_char_dt(ts, 'Dy')").as("dow"),
+        expr("to_char_dt(ts, 'Q')").as("qtr"),
+        expr("to_char_dt(ts, 'HH12:MI PM')").as("twelve"),
+        expr("to_char_dt(ts, 'DDD')").as("doy"),
+        expr("to_char_dt(ts, 'IW')").as("isow"),
+        expr("to_char_dt(ts, '\"day \"DD\" of \"Mon')").as("lit"))),
+
     // justify_days/hours/interval (timestamp.c:3436) over a synthetic
     // (months, days, micros) interval derived from event columns; the
     // oracle mirrors PG's C truncated-division arithmetic in SQL.
@@ -230,6 +244,18 @@ object FunctionQueries {
         |FROM (SELECT event_id,
         |        age(CAST(ts AS TIMESTAMP), TIMESTAMP '2024-01-15 08:30:00') AS a
         |      FROM events) t""".stripMargin,
+    "q108_to_char_dt" ->
+      """SELECT event_id,
+        |  strftime(t, '%Y-%m-%d %H:%M:%S') AS iso,
+        |  strftime(t, '%B') AS mname,
+        |  strftime(t, '%a') AS dow,
+        |  CAST(quarter(t) AS VARCHAR) AS qtr,
+        |  strftime(t, '%I:%M %p') AS twelve,
+        |  strftime(t, '%j') AS doy,
+        |  lpad(CAST(weekofyear(t) AS VARCHAR), 2, '0') AS isow,
+        |  'day ' || strftime(t, '%d') || ' of ' ||
+        |    strftime(t, '%b') AS lit
+        |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events) s""".stripMargin,
     "q106_justify" ->
       """WITH base AS (
         |  SELECT event_id,

@@ -85,6 +85,22 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getString(4) == "$45.00")
   }
 
+  test("to_char_dt DCH templates: padding, FM, 12-hour clock, names") {
+    def f(fmt: String): String = spark.sql(
+      s"SELECT to_char_dt(TIMESTAMP '2024-05-05 00:07:09.042',  '$fmt') AS s")
+      .head().getString(0)
+    assert(f("YYYY-MM-DD HH24:MI:SS") == "2024-05-05 00:07:09")
+    assert(f("Month") == "May      ") // blank-padded to 9, PG-style
+    assert(f("FMMonth DD, YYYY") == "May 05, 2024") // FM applies to next element only
+    assert(f("FMDD") == "5")
+    assert(f("HH12:MI AM") == "12:07 AM") // midnight = 12 on the 12h clock
+    assert(f("Day") == "Sunday   ")
+    assert(f("Dy DY dy") == "Sun SUN sun")
+    assert(f("MS US") == "042 042000")
+    assert(f("\"at \"HH24\" hrs\"") == "at 00 hrs")
+    assert(f("D ID Q") == "1 7 2") // D: Sunday=1; ID: ISO Sunday=7
+  }
+
   test("age_pg: calendar diff, sign symmetry, month borrow (timestamp.c:4205)") {
     val row = spark.sql(
       """SELECT age_pg(TIMESTAMP '2024-03-01 00:00:30.5',
