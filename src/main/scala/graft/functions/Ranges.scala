@@ -36,8 +36,92 @@ object Ranges {
   def tsMatch(words: Column, terms: Seq[String]): Column =
     terms.map(t => array_contains(words, t)).reduce(_ && _)
 
+  /** Full tsquery boolean grammar (reference `utils/adt/tsquery.c`):
+    * `&` AND, `|` OR, `!` NOT, parentheses, and `term:*` prefix match,
+    * with PG precedence (! binds tightest, then &, then |). The query is
+    * parsed once driver-side and compiled to a plain boolean Column over
+    * the word array, so matching stays declarative. */
+  def tsMatchQuery(words: Column, query: String): Column =
+    TsQuery.compile(words, query)
+
   def tsRank(words: Column, terms: Seq[String]): Column = {
     val hits = terms.map(t => size(filter(words, w => w === lit(t)))).reduce(_ + _)
     hits.cast("double") / size(words).cast("double")
+  }
+}
+
+/** tsquery parser: recursive descent over `& | ! ( ) term[:*]` tokens. */
+object TsQuery {
+
+  sealed trait Node
+  final case class Term(t: String, prefix: Boolean) extends Node
+  final case class And(l: Node, r: Node) extends Node
+  final case class Or(l: Node, r: Node) extends Node
+  final case class Not(c: Node) extends Node
+
+  def parse(q: String): Node = {
+    val p = new P(tokenize(q))
+    val n = p.parseOr()
+    require(p.peek.isEmpty, s"trailing tokens in tsquery: '$q'")
+    n
+  }
+
+  def compile(words: Column, query: String): Column = comp(words, parse(query))
+
+  private def comp(words: Column, n: Node): Column = n match {
+    case Term(t, false) => array_contains(words, t)
+    case Term(t, true) => exists(words, w => w.startsWith(t))
+    case And(l, r) => comp(words, l) && comp(words, r)
+    case Or(l, r) => comp(words, l) || comp(words, r)
+    case Not(c) => !comp(words, c)
+  }
+
+  private def tokenize(q: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if ("&|!()".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      else {
+        val start = i
+        while (i < q.length && !q.charAt(i).isWhitespace &&
+          "&|()".indexOf(q.charAt(i)) < 0) i += 1
+        out += q.substring(start, i)
+      }
+    }
+    out.toList
+  }
+
+  private final class P(tokens: List[String]) {
+    private var rest = tokens
+    def peek: Option[String] = rest.headOption
+    private def next(): String = {
+      require(rest.nonEmpty, "unexpected end of tsquery")
+      val h = rest.head; rest = rest.tail; h
+    }
+    def parseOr(): Node = {
+      var l = parseAnd()
+      while (peek.contains("|")) { next(); l = Or(l, parseAnd()) }
+      l
+    }
+    private def parseAnd(): Node = {
+      var l = parseUnary()
+      while (peek.contains("&")) { next(); l = And(l, parseUnary()) }
+      l
+    }
+    private def parseUnary(): Node = peek match {
+      case Some("!") => next(); Not(parseUnary())
+      case Some("(") =>
+        next()
+        val e = parseOr()
+        require(next() == ")", "unbalanced parens in tsquery")
+        e
+      case Some(_) =>
+        val t = next()
+        if (t.endsWith(":*")) Term(t.dropRight(2), prefix = true)
+        else Term(t, prefix = false)
+      case None => throw new IllegalArgumentException("empty tsquery operand")
+    }
   }
 }

@@ -170,6 +170,15 @@ object FunctionQueries {
         .select(col("doc_id"), tsRank(words, Seq("data", "query")).as("rank"))
     }),
 
+    // tsquery boolean operators (tsquery.c): AND/OR/NOT/parens/prefix.
+    "q39b_tsquery_bool" -> ((s, d) => {
+      import graft.functions.Ranges._
+      val words = split(col("text"), " ")
+      t(s, d, "documents")
+        .where(tsMatchQuery(words, "(data | sql) & !error & quer:*"))
+        .select(col("doc_id"), size(words).as("n_words"))
+    }),
+
     // Scalar UDF registration surface (CREATE FUNCTION, src/pl/*) +
     // to_char-style numeric formatting (formatting.c).
     "q79_udf_scalar" -> ((s, d) => {
@@ -417,6 +426,13 @@ object FunctionQueries {
         |  / CAST(len(words) AS DOUBLE) AS rank
         |FROM w
         |WHERE list_contains(words, 'data') AND list_contains(words, 'query')""".stripMargin,
+    "q39b_tsquery_bool" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |SELECT doc_id, CAST(len(words) AS INT) AS n_words
+        |FROM w
+        |WHERE (list_contains(words, 'data') OR list_contains(words, 'sql'))
+        |  AND NOT list_contains(words, 'error')
+        |  AND len(list_filter(words, x -> x LIKE 'quer%')) > 0""".stripMargin,
     "q79_udf_scalar" ->
       """SELECT c_custkey, c_acctbal * 2.0 + 1.0 AS norm_bal,
         |       printf('%.2f', c_acctbal) AS fmt_bal

@@ -85,6 +85,26 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getString(4) == "$45.00")
   }
 
+  test("tsquery booleans: precedence, parens, negation, prefix (tsquery.c)") {
+    import graft.functions.Ranges.tsMatchQuery
+    val df = Seq(
+      (1L, "big data query engine"),
+      (2L, "sql error log"),
+      (3L, "sql query planner"),
+      (4L, "data error dump")).toDF("id", "text")
+    def ids(q: String): Set[Long] =
+      df.where(tsMatchQuery(split(col("text"), " "), q))
+        .select("id").as[Long].collect().toSet
+    assert(ids("data & query") == Set(1L))
+    assert(ids("data | sql") == Set(1L, 2L, 3L, 4L))
+    // precedence: & binds tighter than | -> sql | (data & query)
+    assert(ids("sql | data & query") == Set(1L, 2L, 3L))
+    assert(ids("(sql | data) & query") == Set(1L, 3L))
+    assert(ids("!error & quer:*") == Set(1L, 3L))
+    assert(ids("!(data | sql)") == Set.empty)
+    intercept[IllegalArgumentException](graft.functions.TsQuery.parse("a & (b"))
+  }
+
   test("to_char_dt DCH templates: padding, FM, 12-hour clock, names") {
     def f(fmt: String): String = spark.sql(
       s"SELECT to_char_dt(TIMESTAMP '2024-05-05 00:07:09.042',  '$fmt') AS s")
