@@ -170,6 +170,21 @@ object FunctionQueries {
         .select(col("doc_id"), tsRank(words, Seq("data", "query")).as("rank"))
     }),
 
+    // json_each-style object-to-rows expansion (jsonfuncs.c:1325):
+    // explode a JSON object into one row per key/value pair. The object
+    // is built from order columns (3 keys/row); key order follows the
+    // document, as PG json_each does.
+    "q109_json_each" -> ((s, d) => {
+      val j = concat(lit("{\"status\":\""), col("o_orderstatus"),
+        lit("\",\"prio\":\""), col("o_orderpriority"),
+        lit("\",\"key\":\""), col("o_orderkey").cast("string"), lit("\"}"))
+      val m = from_json(j, org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), explode(m).as(Seq("key", "value")))
+    }),
+
     // tsquery boolean operators (tsquery.c): AND/OR/NOT/parens/prefix.
     "q39b_tsquery_bool" -> ((s, d) => {
       import graft.functions.Ranges._
@@ -426,6 +441,13 @@ object FunctionQueries {
         |  / CAST(len(words) AS DOUBLE) AS rank
         |FROM w
         |WHERE list_contains(words, 'data') AND list_contains(words, 'query')""".stripMargin,
+    "q109_json_each" ->
+      """WITH j AS (SELECT o_orderkey,
+        |  '{"status":"' || o_orderstatus || '","prio":"' || o_orderpriority ||
+        |  '","key":"' || CAST(o_orderkey AS VARCHAR) || '"}' AS obj FROM orders)
+        |SELECT o_orderkey, k.key,
+        |  json_extract_string(obj, '$.' || k.key) AS value
+        |FROM j, unnest(json_keys(obj)) AS k(key)""".stripMargin,
     "q39b_tsquery_bool" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
         |SELECT doc_id, CAST(len(words) AS INT) AS n_words

@@ -285,8 +285,9 @@ object RelationalQueries {
 
     // array_agg(v ORDER BY other_col) — the SURVEY §7.3 pattern:
     // array_sort(collect_list(struct(sort_key, v))) then project v, since
-    // collect_list order is otherwise nondeterministic. Output serialized
-    // with array_join for the oracle hash compare.
+    // collect_list order is otherwise nondeterministic. Serialized with
+    // array_join, this is also general string_agg(v, sep ORDER BY k)
+    // (varlena.c:427): the oracle is literally that spelling.
     "q26b_array_agg_ordered" -> ((s, d) =>
       t(s, d, "customer").groupBy("c_nationkey").agg(
         array_join(transform(
