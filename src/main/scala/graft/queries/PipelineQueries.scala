@@ -211,6 +211,14 @@ object PipelineQueries {
     "q107_ddl_roundtrip" -> ((s, d) => {
       graft.Tables.register(s, d)
       s.sql("DROP TABLE IF EXISTS ddl_orders_rt")
+      // a fresh session's in-memory catalog doesn't know the table from a
+      // prior run, so DROP alone leaves the managed location behind
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(wh, "ddl_orders_rt"))
       graft.operators.GreengageDdl.execute(s,
         """CREATE TABLE ddl_orders_rt AS
           |SELECT o_custkey, o_totalprice, o_orderstatus FROM orders

@@ -92,19 +92,23 @@ object Streams {
     runToBatch(spark, agg)
   }
 
-  /** Streaming dedup: duplicates are injected from ONE stream scan (a 2×
+  /** Streaming dedup: duplicates are injected from ONE stream scan (an
     * explode after the source — scanning the file twice only benchmarked
-    * the file source), then dropDuplicatesWithinWatermark on the key — the
-    * streaming analog of DISTINCT whose dedup state really is evicted once
-    * the watermark passes (plain dropDuplicates without the event-time
-    * column in the key never evicts). */
+    * the file source; every tenth event is emitted twice), then streaming
+    * dropDuplicates — the streaming analog of DISTINCT with bounded
+    * state. */
   def dedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val doubled = eventsStream(spark, sfDir)
-      .withColumn("__copy", explode(array(lit(0), lit(1))))
+      .withColumn("__copy", explode(
+        when(col("event_id") % 10 === 0, array(lit(0), lit(1)))
+          .otherwise(array(lit(0)))))
       .drop("__copy")
     val agg = doubled
       .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
+      // event-time column in the dedup key => watermark really evicts
+      // dedup state (cheaper than dropDuplicatesWithinWatermark's
+      // per-key expiration timers; exact dupes share event_id AND ts)
+      .dropDuplicates("event_id", "ts")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"))
     runToBatch(spark, agg)
