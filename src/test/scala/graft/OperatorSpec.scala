@@ -183,12 +183,32 @@ class OperatorSpec extends AnyFunSuite {
     val blobs = Multimodal.synthesizeBlobs(docs)
     val feats = Multimodal.decodeFeatures(blobs, batchSize = 2).collect()
       .map(f => f.id -> f).toMap
-    assert(feats(1L).n_bytes == 19 && feats(1L).channels == 3)
+    // dims come from REAL header parsing (JPEG SOF0 / RIFF fmt / PNG IHDR)
+    assert(feats(1L).n_bytes == 19 && feats(1L).channels == 3) // jpg
+    assert(feats(1L).width == 17 && feats(1L).height == 17)
+    assert(feats(2L).width == 16000 && feats(2L).channels == 1) // wav: rate, mono
+    assert(feats(3L).width == 19 && feats(3L).height == 19 && feats(3L).channels == 3) // png
     assert(feats(2L).feature.length == 8)
     // repartitioning must not change results (batch boundaries move)
     val feats4 = Multimodal.decodeFeatures(blobs.repartition(4), batchSize = 1)
       .collect().map(f => f.id -> f.n_bytes).toMap
     assert(feats4 == feats.map { case (k, v) => k -> v.n_bytes })
+  }
+
+  test("image/audio header parsers: PNG, JPEG, BMP, GIF, WAV") {
+    import Multimodal.{Headers, parseHeader}
+    assert(parseHeader(Headers.png(640, 480, Array[Byte]())) == Some((640, 480, 3)))
+    assert(parseHeader(Headers.jpeg(1920, 1080, "x".getBytes)) == Some((1920, 1080, 3)))
+    assert(parseHeader(Headers.wav(2, 44100, new Array[Byte](8))) == Some((44100, 0, 2)))
+    // hand-built BMP (BITMAPINFOHEADER) and GIF89a headers
+    val bmp = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    bmp.putInt(40).putInt(800).putInt(600).putShort(1).putShort(24)
+    assert(parseHeader(bmp.array()) == Some((800, 600, 3)))
+    val gif = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    gif.put("GIF89a".getBytes).putShort(320.toShort).putShort(200.toShort)
+    assert(parseHeader(gif.array()) == Some((320, 200, 3)))
+    assert(parseHeader("not an image".getBytes).isEmpty)
   }
 
   test("text quality features handle empty and punct-only text") {
