@@ -43,16 +43,22 @@ object FunctionQueries {
         (col("o_orderdate") + expr("INTERVAL '1' MONTH")).as("plus_month"),
         last_day(col("o_orderdate")).as("month_end"))),
 
-    // JSON family (json.c, jsonfuncs.c) over events.props.
-    "q72_json_funcs" -> ((s, d) =>
+    // JSON family (json.c, jsonfuncs.c) over events.props. One from_json
+    // parse feeds every projection (identical subtrees — subexpression
+    // elimination runs the parser once per row).
+    "q72_json_funcs" -> ((s, d) => {
+      val j = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("missing",
+          org.apache.spark.sql.types.StringType))))
       t(s, d, "events").select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").as("k_str"),
-        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
-        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_typed"),
-        get_json_object(col("props"), "$.missing").as("absent"))),
+        j.getField("k").cast("string").as("k_str"),
+        j.getField("k").as("k_int"),
+        j.getField("k").as("k_typed"),
+        j.getField("missing").as("absent"))
+    }),
 
     // Array family (arrayfuncs.c: unnest/slice/…; lambdas ≈ SRF pipelines).
     "q73_array_funcs" -> ((s, d) => {
