@@ -80,12 +80,55 @@ object Knn {
     partial.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Lloyd's k-means over the embedding column, for IVF cell quality.
+    * Per iteration: cell assignment is the same broadcast-argmax
+    * projection ivfTopK uses (no join/window/corpus shuffle), and new
+    * centroids are per-cell per-dimension means via ONE 2-stage hash
+    * aggregate (`dim` sum aggregates + count — map-side partials, k rows
+    * to the driver). Assignment maximizes the dot product and the update
+    * is the cell mean — the spherical-k-means variant that matches
+    * cosine retrieval. Seeded from the lowest-id vectors, deterministic
+    * given the corpus. Returns (cellIds, centroidMatrix) driver-side —
+    * O(k·dim), the MLlib KMeansModel shape. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      dim: Int = 64): (Array[Long], Array[Array[Double]]) = {
+    val seedRows = corpus.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+    var cids = seedRows.map(_.getLong(0))
+    var cents = seedRows.map(_.getSeq[Double](1).toArray)
+    var it = 0
+    while (it < iters) {
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col(vecCol), i + 1).cast("double")).as(s"s$i"))
+      val rows = corpus
+        .withColumn("cid", call_function("best_centroid", col(vecCol),
+          typedLit(cids.toSeq), typedLit(cents.map(_.toSeq).toSeq)))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect() // k rows of (cid, n, dim sums) — bounded, not data-scale
+      val byCid = rows.map(r => r.getLong(0) ->
+        (r.getLong(1), Array.tabulate(dim)(i => r.getDouble(2 + i)))).toMap
+      cents = cids.zip(cents).map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some((n, s)) if n > 0 => s.map(_ / n)
+          case _ => old // empty cell keeps its previous centroid
+        }
+      }
+      it += 1
+    }
+    (cids, cents)
+  }
+
   /** IVF-style ANN: partition the corpus into Voronoi cells around a
-    * deterministic centroid set (lowest ids — a real deployment samples/
-    * k-means them), assign each vector to its best cell once, and have
-    * each query probe only its nProbe closest cells. Scanning cost per
-    * query ≈ nProbe/nCentroids of the corpus — the classic IVF trade;
-    * recall measured against brute force in OperatorSpec.
+    * centroid set (trainIters=0: deterministic lowest-id seeds;
+    * trainIters>0: Lloyd-refined via [[kmeansCentroids]]), assign each
+    * vector to its best cell once, and have each query probe only its
+    * nProbe closest cells. Scanning cost per query ≈ nProbe/nCentroids
+    * of the corpus — the classic IVF trade; recall measured against
+    * brute force in OperatorSpec.
     *
     * Cell assignment is a single narrow projection: the centroid set is
     * O(nCentroids·dim), collected once to the driver (the MLlib
@@ -95,14 +138,12 @@ object Knn {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              trainIters: Int = 0): DataFrame = {
     requireLongId(corpus, idCol, "corpus")
     requireLongId(queries, idCol, "queries")
-    val centRows = corpus.orderBy(col(idCol).asc).limit(nCentroids)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect() // bounded: nCentroids rows, not data-scale
-    val cids = centRows.map(_.getLong(0))
-    val cents = centRows.map(_.getSeq[Double](1).toArray)
+    val (cids, cents) =
+      kmeansCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
     val cidsLit = typedLit(cids.toSeq)
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))

@@ -94,10 +94,11 @@ object PipelineQueries {
       Knn.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5)
     }),
 
-    // IVF-bucketed ANN (rows-only; recall vs brute force in OperatorSpec).
+    // IVF-bucketed ANN with 2 Lloyd iterations of spherical k-means
+    // (rows-only; recall vs brute force in OperatorSpec).
     "q101_knn_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Knn.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+      Knn.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5, trainIters = 2)
     }),
 
     // Embedding-cosine near-dup pairs (LSH self-join + exact verify;

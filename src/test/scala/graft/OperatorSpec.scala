@@ -115,6 +115,16 @@ class OperatorSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall > 0.25, s"recall=$recall")
+    // spherical k-means training must move the centroids off the seeds
+    // and keep recall at least as healthy
+    val (cids0, seeds) = Knn.kmeansCentroids(emb, 16, iters = 0)
+    val (cids2, trained) = Knn.kmeansCentroids(emb, 16, iters = 2)
+    assert(cids0.sameElements(cids2))
+    assert(!seeds.zip(trained).forall { case (a, b) => a.sameElements(b) })
+    val ivfT = Knn.ivfTopK(emb, q, 5, nCentroids = 16, nProbe = 4, trainIters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recallT = (brute & ivfT).size.toDouble / brute.size
+    assert(recallT > 0.25, s"trained recall=$recallT (untrained $recall)")
   }
 
   test("connected components: chain, clique, singleton") {
