@@ -49,4 +49,24 @@ object TextAnalysis {
           + col("stopword_ratio") * lit(2.0)
           + (lit(1.0) - col("punct_ratio")) * lit(0.2))
   }
+
+  /** TF-IDF term weights per document: tf from a (doc, term) count,
+    * document frequency from a distinct-doc count per term, idf =
+    * ln(N/df) with the corpus size N riding the plan as a broadcast
+    * 1-row aggregate (no driver action). The term-keyed df join is the
+    * standard vocabulary shuffle; all counts are exact longs so only the
+    * final ln/multiply is floating point (same expression shape as the
+    * oracle). */
+  def tfidf(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = words.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = words.groupBy("term").agg(countDistinct(idCol).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf") * log(col("n").cast("double") / col("df"))).as("tfidf"))
+  }
 }

@@ -66,6 +66,14 @@ object PipelineQueries {
         .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
           "stopword_ratio", "quality_score")),
 
+    // TF-IDF term weights (tf, df exact longs; idf = ln(N/df) rounded to
+    // 6 decimals on both sides — JVM Math.log and libm differ by 1 ulp).
+    "q110_tfidf" -> ((s, d) =>
+      graft.operators.TextAnalysis.tfidf(t(s, d, "documents"))
+        .where(length(col("term")) > 3 && col("tf") >= 2)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"))),
+
     // Heuristic language-ID confusion counts (rows-only: heuristic is
     // engine-defined; accuracy asserted in ScalaTest).
     "q86_lang_id" -> ((s, d) =>
@@ -279,6 +287,15 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang""".stripMargin,
+    "q110_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term),
+        |nn AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  ROUND(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (term), nn
+        |WHERE length(term) > 3 AND tf >= 2""".stripMargin,
     "q85_quality_score" ->
       """WITH f AS (
         |  SELECT doc_id,
