@@ -518,6 +518,37 @@ object RelationalQueries {
         .select("o_custkey", "o_orderkey", "o_totalprice")
     }),
 
+    // agg FILTER (WHERE ...) — PG's per-aggregate predicate
+    // (parse_agg.c); Spark SQL supports the clause natively.
+    "q111_agg_filter" -> ((s, d) => sql(s, d,
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_px,
+        |  COUNT(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1995-01-01') AS n_recent
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // GROUP BY ... HAVING (the post-aggregation filter; planner places it
+    // above the final HashAggregate).
+    "q112_having" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sumd(col("o_totalprice")).as("total"))
+        .where(col("n_orders") >= 10 && col("total") > 1000000.0)),
+
+    // Parameterized SQL — the PREPARE/BIND/EXECUTE surface (§3.2,
+    // postgres.c extended protocol): named parameter markers bound at
+    // execution, one prepared text reused across bindings.
+    "q113_prepared" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      val prepared =
+        """SELECT o_orderstatus, COUNT(*) AS n
+          |FROM orders WHERE o_totalprice > :minPrice
+          |GROUP BY o_orderstatus""".stripMargin
+      s.sql(prepared, Map("minPrice" -> 50000)) // second binding exercised in tests
+    }),
+
     // Correlated EXISTS (cdbsubselect.c:547; Catalyst RewritePredicateSubquery).
     "q50_exists_correlated" -> ((s, d) => sql(s, d,
       """SELECT c_custkey, c_acctbal FROM customer c
@@ -846,6 +877,24 @@ object RelationalQueries {
     "q49_distinct_on" ->
       """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
         |FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey ASC""".stripMargin,
+    "q111_agg_filter" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_px,
+        |  COUNT(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1995-01-01') AS n_recent
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q112_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 10
+        |   AND CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 1000000.0""".stripMargin,
+    "q113_prepared" ->
+      """SELECT o_orderstatus, COUNT(*) AS n
+        |FROM orders WHERE o_totalprice > 50000
+        |GROUP BY o_orderstatus""".stripMargin,
     "q50_exists_correlated" ->
       """SELECT c_custkey, c_acctbal FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

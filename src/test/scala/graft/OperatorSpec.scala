@@ -221,6 +221,14 @@ class OperatorSpec extends AnyFunSuite {
     assert(parseHeader("not an image".getBytes).isEmpty)
   }
 
+  test("parameterized SQL: one prepared text, multiple bindings (§3.2)") {
+    Tables.register(spark, TestSpark.sf0001)
+    val prepared = "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > :minPrice"
+    val lo = spark.sql(prepared, Map("minPrice" -> 0)).head().getLong(0)
+    val hi = spark.sql(prepared, Map("minPrice" -> 100000)).head().getLong(0)
+    assert(lo > hi && hi > 0)
+  }
+
   test("text quality features handle empty and punct-only text") {
     val docs = Seq((1L, ""), (2L, "..."), (3L, "the cat sat."))
       .toDF("doc_id", "text")
