@@ -191,6 +191,25 @@ object FunctionQueries {
         .select(col("o_orderkey"), explode(m).as(Seq("key", "value")))
     }),
 
+    // Math/numeric function family (float.c, int8.c, numeric.c:
+    // width_bucket, trunc/round/sign/mod/gcd, power/sqrt/exp/ln with
+    // round-6 for the libm-vs-JVM ulp).
+    "q114_math_funcs" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        expr("width_bucket(p_retailprice, 900, 2000, 10)").as("price_bucket"),
+        floor(col("p_retailprice")).as("fl"),
+        ceil(col("p_retailprice")).as("ce"),
+        factorial(pmod(col("p_size"), lit(10))).as("fact"),
+        signum(col("p_retailprice") - 1500.0).cast("int").as("sgn"),
+        pmod(col("p_partkey"), lit(7)).as("m7"),
+        expr("p_partkey & 15").as("band"),
+        shiftleft(col("p_size"), 2).as("shl2"),
+        round(sqrt(col("p_retailprice")), 6).as("sq"),
+        round(pow(col("p_size").cast("double"), 2.0), 6).as("sz2"),
+        round(exp(col("p_size").cast("double") / 50.0), 6).as("ex"),
+        round(log(col("p_retailprice")), 6).as("lnp"))),
+
     // tsquery boolean operators (tsquery.c): AND/OR/NOT/parens/prefix.
     "q39b_tsquery_bool" -> ((s, d) => {
       import graft.functions.Ranges._
@@ -454,6 +473,24 @@ object FunctionQueries {
         |SELECT o_orderkey, k.key,
         |  json_extract_string(obj, '$.' || k.key) AS value
         |FROM j, unnest(json_keys(obj)) AS k(key)""".stripMargin,
+    "q114_math_funcs" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_retailprice < 900 THEN 0
+        |       WHEN p_retailprice >= 2000 THEN 11
+        |       ELSE 1 + CAST(FLOOR((p_retailprice - 900) / 110.0) AS INT)
+        |  END AS price_bucket,
+        |  CAST(FLOOR(p_retailprice) AS BIGINT) AS fl,
+        |  CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
+        |  CAST(factorial(CAST(p_size % 10 AS INT)) AS BIGINT) AS fact,
+        |  CAST(sign(p_retailprice - 1500.0) AS INT) AS sgn,
+        |  p_partkey % 7 AS m7,
+        |  p_partkey & 15 AS band,
+        |  CAST(p_size << 2 AS INT) AS shl2,
+        |  ROUND(sqrt(p_retailprice), 6) AS sq,
+        |  ROUND(pow(CAST(p_size AS DOUBLE), 2.0), 6) AS sz2,
+        |  ROUND(exp(CAST(p_size AS DOUBLE) / 50.0), 6) AS ex,
+        |  ROUND(ln(p_retailprice), 6) AS lnp
+        |FROM part""".stripMargin,
     "q39b_tsquery_bool" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
         |SELECT doc_id, CAST(len(words) AS INT) AS n_words
