@@ -214,6 +214,21 @@ object PipelineQueries {
           sumd(col("l_extendedprice")).as("sum_price"))
     }),
 
+    // ForeignScan/FDW roundtrip (nodeForeignscan.c): dim shipped to a
+    // REAL in-JVM JDBC endpoint (Derby in-memory), read back as a
+    // foreign table, aggregated — oracle aggregates the source, so the
+    // foreign roundtrip must be lossless.
+    "q115_foreign_jdbc" -> ((s, d) => {
+      val url = "jdbc:derby:memory:graft_q115;create=true"
+      t(s, d, "nation").write.mode("overwrite")
+        .jdbc(url, "nation_ext", new java.util.Properties())
+      graft.sources.Foreign.jdbcTable(s, url, "nation_ext")
+        .toDF("n_nationkey", "n_name", "n_regionkey") // derby case-folds names
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          sum(length(col("n_name"))).as("name_chars"))
+    }),
+
     // Greengage DDL surface (gram.y:4835): user DDL text -> bucketed
     // catalog table -> query it; oracle aggregates the source directly,
     // so the DDL round-trip must be lossless.
@@ -400,6 +415,10 @@ object PipelineQueries {
          |FROM lineitem WHERE l_quantity > 40 GROUP BY l_returnflag""".stripMargin,
     "q107_ddl_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${oSumd("o_totalprice")} AS total
-         |FROM orders GROUP BY o_orderstatus""".stripMargin
+         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q115_foreign_jdbc" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
+        |FROM nation GROUP BY n_regionkey""".stripMargin
   )
 }

@@ -8,9 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * contrib postgres_fdw & file_fdw): external relational sources exposed
   * as DataFrames via Spark's JDBC source.
   *
-  * NOTE: the build container is zero-egress with no JDBC drivers, so
-  * these are compile-verified plumbing only; on a real cluster the
-  * driver jar rides --jars and everything below works unchanged.
+  * Exercised for real against the in-JVM Derby endpoint
+  * (`jdbc:derby:memory:`) — see ForeignSpec and q115_foreign_jdbc; on a
+  * cluster any other driver jar rides --jars and everything below works
+  * unchanged.
   */
 object Foreign {
 
