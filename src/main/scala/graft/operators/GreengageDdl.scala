@@ -43,7 +43,8 @@ object GreengageDdl {
       dist: Dist,
       partitionCols: Seq[String],
       storageOpts: Map[String, String],
-      ctasQuery: Option[String])
+      ctasQuery: Option[String],
+      materialized: Boolean = false)
 
   /** PG/Greengage type name → Spark SQL type (SURVEY §1.2 mapping). */
   private[operators] def mapType(pg: String): String = {
@@ -106,15 +107,16 @@ object GreengageDdl {
   }
 
   private val createRe =
-    "(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.\"]+)\\s*(.*)$".r
+    "(?is)^\\s*CREATE\\s+(TABLE|MATERIALIZED\\s+VIEW)\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.\"]+)\\s*(.*)$".r
 
   def parse(ddl: String): TableSpec = {
     val sql = ddl.trim.stripSuffix(";").trim
     val m = createRe.findFirstMatchIn(sql).getOrElse(
       throw new IllegalArgumentException(s"not a CREATE TABLE statement: $ddl"))
-    val ifNotExists = m.group(1) != null
-    val name = m.group(2).replace("\"", "")
-    var rest = m.group(3).trim
+    val materialized = m.group(1).toUpperCase.startsWith("MATERIALIZED")
+    val ifNotExists = m.group(2) != null
+    val name = m.group(3).replace("\"", "")
+    var rest = m.group(4).trim
 
     // column list (absent for CTAS)
     var columns = Seq.empty[(String, String)]
@@ -185,7 +187,8 @@ object GreengageDdl {
         else tail
     }
 
-    TableSpec(name, ifNotExists, columns, dist, partitionCols, storageOpts, ctas)
+    TableSpec(name, ifNotExists, columns, dist, partitionCols, storageOpts,
+      ctas, materialized)
   }
 
   /** Lower the parsed spec onto a Spark SQL DDL statement. */
@@ -201,12 +204,17 @@ object GreengageDdl {
       case HashDist(cols) => s" CLUSTERED BY (${cols.mkString(", ")}) INTO $buckets BUCKETS"
       case _ => ""
     }
+    if (spec.materialized) require(spec.ctasQuery.isDefined,
+      "CREATE MATERIALIZED VIEW requires an AS query")
     val props = spec.storageOpts.map { case (k, v) => s"'greengage.$k'='$v'" } ++
       (spec.dist match {
         case ReplicatedDist => Seq("'graft.distribution'='replicated'")
         case RandomDist => Seq("'graft.distribution'='random'")
         case HashDist(cols) => Seq(s"'graft.distribution'='hash:${cols.mkString(",")}'")
-      })
+      }) ++
+      // matviews persist their defining query so REFRESH can re-run it
+      spec.ctasQuery.filter(_ => spec.materialized)
+        .map(q => s"'graft.matview.sql'='${q.replace("'", "''")}'")
     val propSql = s" TBLPROPERTIES (${props.mkString(", ")})"
     val asSql = spec.ctasQuery.map(q => s" AS $q").getOrElse("")
     s"CREATE TABLE $ine${spec.name}$colSql USING parquet$partSql$bucketSql$propSql$asSql"
@@ -217,6 +225,18 @@ object GreengageDdl {
     val spec = parse(ddl)
     spark.sql(toSparkSql(spec, buckets))
     spec
+  }
+
+  /** REFRESH MATERIALIZED VIEW (reference `commands/matview.c`): re-run
+    * the stored defining query and overwrite the table atomically
+    * (INSERT OVERWRITE — readers see old data until the new snapshot
+    * commits, matching the non-CONCURRENTLY PG behavior). */
+  def refreshMaterializedView(spark: SparkSession, name: String): Unit = {
+    val rows = spark.sql(s"SHOW TBLPROPERTIES $name('graft.matview.sql')")
+      .collect()
+    require(rows.nonEmpty && !rows(0).getString(1).contains("does not have property"),
+      s"$name is not a graft materialized view")
+    spark.sql(s"INSERT OVERWRITE TABLE $name ${rows(0).getString(1)}")
   }
 
   /** Read a DDL-created table, honoring DISTRIBUTED REPLICATED: replicated

@@ -100,6 +100,27 @@ class DdlSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("CREATE MATERIALIZED VIEW + REFRESH re-runs the stored query") {
+    Tables.register(spark, TestSpark.sf0001)
+    drop("mv_totals", "mv_src")
+    spark.table("orders").limit(50).write.saveAsTable("mv_src")
+    GreengageDdl.execute(spark,
+      """CREATE MATERIALIZED VIEW mv_totals AS
+        |SELECT o_orderstatus, COUNT(*) AS n FROM mv_src GROUP BY o_orderstatus
+        |DISTRIBUTED BY (o_orderstatus)""".stripMargin, buckets = 2)
+    val before = spark.table("mv_totals").agg(org.apache.spark.sql.functions
+      .sum("n")).head().getLong(0)
+    assert(before == 50)
+    // matview is a snapshot: growing the source doesn't change it...
+    spark.table("orders").limit(30).write.mode("append").insertInto("mv_src")
+    assert(spark.table("mv_totals").agg(org.apache.spark.sql.functions
+      .sum("n")).head().getLong(0) == 50)
+    // ...until REFRESH re-runs the stored defining query
+    GreengageDdl.refreshMaterializedView(spark, "mv_totals")
+    assert(spark.table("mv_totals").agg(org.apache.spark.sql.functions
+      .sum("n")).head().getLong(0) == 80)
+  }
+
   test("DISTRIBUTED REPLICATED reads back with the broadcast hint") {
     Tables.register(spark, TestSpark.sf0001)
     drop("nation_ddl")
