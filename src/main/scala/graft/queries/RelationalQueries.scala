@@ -261,6 +261,20 @@ object RelationalQueries {
         |       CAST(median(l_quantity) AS DOUBLE) AS med
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // Hypothetical-set aggregates (ordered-set family, parse_agg.c):
+    // rank/dense_rank/percent_rank/cume_dist of a hypothetical value v
+    // WITHIN GROUP — spelled as their counting definitions (the portable
+    // form; identical in the oracle).
+    "q24b_hypothetical_set" -> ((s, d) => sql(s, d,
+      """SELECT l_returnflag,
+        |  1 + COUNT(*) FILTER (WHERE l_quantity < 25) AS h_rank,
+        |  1 + COUNT(DISTINCT l_quantity) FILTER (WHERE l_quantity < 25) AS h_dense_rank,
+        |  CAST(COUNT(*) FILTER (WHERE l_quantity < 25) AS DOUBLE)
+        |    / COUNT(*) AS h_percent_rank,
+        |  CAST(1 + COUNT(*) FILTER (WHERE l_quantity <= 25) AS DOUBLE)
+        |    / (COUNT(*) + 1) AS h_cume_dist
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // Deterministic MODE (most frequent, min-value tiebreak) — the
     // portable spelling of mode() WITHIN GROUP.
     "q25_mode_manual" -> ((s, d) => {
@@ -737,6 +751,15 @@ object RelationalQueries {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "q24b_hypothetical_set" ->
+      """SELECT l_returnflag,
+        |  1 + COUNT(*) FILTER (WHERE l_quantity < 25) AS h_rank,
+        |  1 + COUNT(DISTINCT l_quantity) FILTER (WHERE l_quantity < 25) AS h_dense_rank,
+        |  CAST(COUNT(*) FILTER (WHERE l_quantity < 25) AS DOUBLE)
+        |    / COUNT(*) AS h_percent_rank,
+        |  CAST(1 + COUNT(*) FILTER (WHERE l_quantity <= 25) AS DOUBLE)
+        |    / (COUNT(*) + 1) AS h_cume_dist
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q24_ordered_set" ->
       """SELECT l_returnflag,
         |  CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p50,
