@@ -353,6 +353,16 @@ object RelationalQueries {
         expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("sketch_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))),
 
+    // Approx percentile sketch (GK) — the 100 TB path next to q24's exact
+    // percentiles. With accuracy 1e6 the rank error n/accuracy < 1 at the
+    // gate SF, so the sketch is provably rank-exact and the oracle
+    // compares against DuckDB's exact discrete percentiles; sketch size
+    // stays bounded by the ~50 distinct values, not the accuracy.
+    "q30b_approx_percentile" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000000)").as("ap50"),
+        expr("approx_percentile(l_quantity, 0.9, 1000000)").as("ap90"))),
+
     // TPC-H Q6 shape: tight-filter revenue aggregate (pushdown showcase).
     "q31_tpch_q6" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -810,6 +820,11 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6)) * CAST(l_quantity AS DECIMAL(12,6))) AS DOUBLE) /
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q30b_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS ap50,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS ap90
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q31_tpch_q6" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
