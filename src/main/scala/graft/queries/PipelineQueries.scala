@@ -214,6 +214,28 @@ object PipelineQueries {
           sumd(col("l_extendedprice")).as("sum_price"))
     }),
 
+    // COPY ... WITH (DELIMITER '|', NULL 'NA', HEADER) — the Greengage
+    // COPY option surface (copy.c): pipe-delimited export with an
+    // explicit null token, read back with the same options; nulls
+    // planted via NULLIF must survive the roundtrip.
+    "q117_copy_options" -> ((s, d) => {
+      val out = "target/copy_opts_demo"
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+          col("c_acctbal"))
+        .write.mode("overwrite")
+        .option("header", "true").option("sep", "|").option("nullValue", "NA")
+        .csv(out)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("seg", StringType),
+        StructField("c_acctbal", DoubleType)))
+      s.read.option("header", "true").option("sep", "|").option("nullValue", "NA")
+        .schema(schema).csv(out)
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sumd(col("c_acctbal")).as("bal"))
+    }),
+
     // ForeignScan/FDW roundtrip (nodeForeignscan.c): dim shipped to a
     // REAL in-JVM JDBC endpoint (Derby in-memory), read back as a
     // foreign table, aggregated — oracle aggregates the source, so the
@@ -419,6 +441,10 @@ object PipelineQueries {
     "q115_foreign_jdbc" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations,
         |  CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
-        |FROM nation GROUP BY n_regionkey""".stripMargin
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+    "q117_copy_options" ->
+      s"""SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+         |  COUNT(*) AS n, ${oSumd("c_acctbal")} AS bal
+         |FROM customer GROUP BY NULLIF(c_mktsegment, 'BUILDING')""".stripMargin
   )
 }
