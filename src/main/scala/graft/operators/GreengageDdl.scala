@@ -239,6 +239,38 @@ object GreengageDdl {
     spark.sql(s"INSERT OVERWRITE TABLE $name ${rows(0).getString(1)}")
   }
 
+  // CREATE SEQUENCE name [START [WITH] n] — sequence registry. Greengage
+  // sequences are themselves cached per segment and hand out
+  // non-contiguous blocks (commands/sequence.c); the Spark analog is a
+  // per-partition id space: nextvalColumn assigns unique, monotonically
+  // increasing but non-contiguous longs above the declared start.
+  private val sequences =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private val seqRe =
+    "(?is)^\\s*CREATE\\s+SEQUENCE\\s+([\\w.\"]+)(?:\\s+START(?:\\s+WITH)?\\s+(\\d+))?\\s*;?\\s*$".r
+
+  /** Parse + register a CREATE SEQUENCE statement. */
+  def createSequence(ddl: String): String = {
+    val m = seqRe.findFirstMatchIn(ddl).getOrElse(
+      throw new IllegalArgumentException(s"not a CREATE SEQUENCE statement: $ddl"))
+    val name = m.group(1).replace("\"", "")
+    val start = Option(m.group(2)).map(_.toLong).getOrElse(1L)
+    sequences.put(name, start)
+    name
+  }
+
+  /** `nextval(seq)` as a column: unique ids at or above the sequence's
+    * START. Like the reference's cached sequences, values are unique and
+    * increasing but NOT gap-free — each partition owns a disjoint block
+    * (monotonically_increasing_id semantics). */
+  def nextvalColumn(seqName: String): org.apache.spark.sql.Column = {
+    val start = Option(sequences.get(seqName)).getOrElse(
+      throw new IllegalArgumentException(s"unknown sequence: $seqName"))
+    org.apache.spark.sql.functions.monotonically_increasing_id() +
+      org.apache.spark.sql.functions.lit(start)
+  }
+
   /** Read a DDL-created table, honoring DISTRIBUTED REPLICATED: replicated
     * tables come back with the broadcast hint applied so every join ships
     * the full copy to each task (the reference stores a copy per segment;

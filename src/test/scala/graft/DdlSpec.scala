@@ -121,6 +121,17 @@ class DdlSpec extends AnyFunSuite {
       .sum("n")).head().getLong(0) == 80)
   }
 
+  test("CREATE SEQUENCE + nextval: unique increasing ids above START") {
+    Tables.register(spark, TestSpark.sf0001)
+    GreengageDdl.createSequence("CREATE SEQUENCE order_seq START WITH 1000;")
+    val ids = spark.table("nation").repartition(3)
+      .withColumn("id", GreengageDdl.nextvalColumn("order_seq"))
+      .select("id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length) // unique
+    assert(ids.forall(_ >= 1000L)) // at or above START
+    intercept[IllegalArgumentException](GreengageDdl.nextvalColumn("nope"))
+  }
+
   test("DISTRIBUTED REPLICATED reads back with the broadcast hint") {
     Tables.register(spark, TestSpark.sf0001)
     drop("nation_ddl")
