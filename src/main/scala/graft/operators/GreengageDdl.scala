@@ -129,9 +129,14 @@ object GreengageDdl {
         .map { cdef =>
           val parts = cdef.trim.split("\\s+", 2)
           require(parts.length == 2, s"cannot parse column def: '$cdef'")
-          // strip column constraints after the type
-          val typePart = parts(1)
-            .replaceAll("(?i)\\s+(not\\s+null|null|default\\s+.*|primary\\s+key|unique|references\\s+.*)$", "")
+          // strip column constraints after the type — to FIXPOINT, so
+          // combined constraints (`int NOT NULL DEFAULT 0`) all come off,
+          // not just the trailing one
+          val conRe =
+            "(?i)\\s+(not\\s+null|null|default\\s+.*|primary\\s+key|unique|references\\s+.*)$"
+          var typePart = parts(1)
+          var prev = ""
+          while (typePart != prev) { prev = typePart; typePart = typePart.replaceAll(conRe, "") }
           (parts(0).replace("\"", ""), mapType(typePart))
         }
     }
@@ -260,15 +265,26 @@ object GreengageDdl {
     name
   }
 
+  /** Ids reserved per nextval invocation: room for 2^11 partitions ×
+    * 2^33 rows/partition of monotonically_increasing_id space. */
+  private val SeqBlock = 1L << 44
+
   /** `nextval(seq)` as a column: unique ids at or above the sequence's
     * START. Like the reference's cached sequences, values are unique and
     * increasing but NOT gap-free — each partition owns a disjoint block
-    * (monotonically_increasing_id semantics). */
+    * (monotonically_increasing_id semantics), and each invocation reserves
+    * a fresh 2^44-id block so repeated nextval uses of one sequence never
+    * overlap (PG nextval never repeats), provided each DataFrame stays
+    * under 2^11 partitions. */
   def nextvalColumn(seqName: String): org.apache.spark.sql.Column = {
-    val start = Option(sequences.get(seqName)).getOrElse(
-      throw new IllegalArgumentException(s"unknown sequence: $seqName"))
+    val base = sequences.synchronized {
+      val cur = Option(sequences.get(seqName)).getOrElse(
+        throw new IllegalArgumentException(s"unknown sequence: $seqName"))
+      sequences.put(seqName, cur + SeqBlock)
+      cur
+    }
     org.apache.spark.sql.functions.monotonically_increasing_id() +
-      org.apache.spark.sql.functions.lit(start)
+      org.apache.spark.sql.functions.lit(base)
   }
 
   /** Read a DDL-created table, honoring DISTRIBUTED REPLICATED: replicated
