@@ -133,7 +133,7 @@ object GreengageDdl {
           // combined constraints (`int NOT NULL DEFAULT 0`) all come off,
           // not just the trailing one
           val conRe =
-            "(?i)\\s+(not\\s+null|null|default\\s+.*|primary\\s+key|unique|references\\s+.*)$"
+            "(?i)\\s+(not\\s+null|null|default\\s+.*|primary\\s+key|unique|check\\s*\\(.*\\)|references\\s+.*)$"
           var typePart = parts(1)
           var prev = ""
           while (typePart != prev) { prev = typePart; typePart = typePart.replaceAll(conRe, "") }
@@ -261,7 +261,9 @@ object GreengageDdl {
       throw new IllegalArgumentException(s"not a CREATE SEQUENCE statement: $ddl"))
     val name = m.group(1).replace("\"", "")
     val start = Option(m.group(2)).map(_.toLong).getOrElse(1L)
-    sequences.put(name, start)
+    // same lock as nextvalColumn's read-modify-write, so a concurrent
+    // CREATE SEQUENCE reset can't be lost between its get and put
+    sequences.synchronized { sequences.put(name, start) }
     name
   }
 
@@ -277,14 +279,21 @@ object GreengageDdl {
     * overlap (PG nextval never repeats), provided each DataFrame stays
     * under 2^11 partitions. */
   def nextvalColumn(seqName: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
     val base = sequences.synchronized {
       val cur = Option(sequences.get(seqName)).getOrElse(
         throw new IllegalArgumentException(s"unknown sequence: $seqName"))
       sequences.put(seqName, cur + SeqBlock)
       cur
     }
-    org.apache.spark.sql.functions.monotonically_increasing_id() +
-      org.apache.spark.sql.functions.lit(base)
+    // the ≤2^11-partition contract is CHECKED, not hoped: partition ids
+    // ≥2048 would spill monotonically_increasing_id past the reserved
+    // block and silently repeat — fail the job instead
+    when(spark_partition_id() < lit(2048),
+      monotonically_increasing_id() + lit(base))
+      .otherwise(raise_error(lit(
+        s"nextval($seqName): >2047 partitions overflows the reserved 2^44 id block"))
+        .cast("long"))
   }
 
   /** Read a DDL-created table, honoring DISTRIBUTED REPLICATED: replicated

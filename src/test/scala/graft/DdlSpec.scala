@@ -132,6 +132,26 @@ class DdlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GreengageDdl.nextvalColumn("nope"))
   }
 
+  test("column-level CHECK constraints strip like the other constraints") {
+    val spec = GreengageDdl.parse(
+      """CREATE TABLE chk_ddl (
+        |  x int CHECK (x > 0),
+        |  y int NOT NULL CHECK (y > 0) DEFAULT 1,
+        |  z text
+        |)""".stripMargin)
+    assert(spec.columns == Seq("x" -> "INT", "y" -> "INT", "z" -> "STRING"))
+  }
+
+  test("nextval enforces the 2^11-partition block bound at runtime") {
+    GreengageDdl.createSequence("CREATE SEQUENCE wide_seq")
+    val wide = spark.range(0, 3000).repartition(2049)
+      .withColumn("id", GreengageDdl.nextvalColumn("wide_seq"))
+    val e = intercept[Exception](wide.select("id").collect())
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("nextval")), e.toString)
+  }
+
   test("DISTRIBUTED REPLICATED reads back with the broadcast hint") {
     Tables.register(spark, TestSpark.sf0001)
     drop("nation_ddl")
