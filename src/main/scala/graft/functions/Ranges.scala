@@ -44,9 +44,31 @@ object Ranges {
   def tsMatchQuery(words: Column, query: String): Column =
     TsQuery.compile(words, query)
 
-  def tsRank(words: Column, terms: Seq[String]): Column = {
-    val hits = terms.map(t => size(filter(words, w => w === lit(t)))).reduce(_ + _)
-    hits.cast("double") / size(words).cast("double")
+  /** PG `ts_rank` (reference `utils/adt/tsrank.c:276-345` calc_rank_or):
+    * for each distinct query term with occurrence count f, the term
+    * contributes `resj = Σ_{j=1..f} w/j²` (positional decay over the
+    * occurrence ordinal; unlabeled positions carry the default D-weight
+    * w = 0.1), then `(wjm + resj - wjm/1)/1.64493406685` — with uniform
+    * weights wjm is the first occurrence's 0.1, so the term term reduces
+    * to `resj / (π²/6)` — and the total is divided by the number of
+    * distinct query terms. `norm` implements the RANK_NORM_* bitmask of
+    * `calc_rank`: 1 = /log2(len+1), 2 = /len, 32 = r/(r+1). */
+  def tsRank(words: Column, terms: Seq[String], norm: Int = 0): Column = {
+    val D = 0.1d
+    val raw = terms.distinct.map { t =>
+      val f = size(filter(words, w => w === lit(t)))
+      // sequence(1, 0) descends in Spark — guard the f = 0 case
+      when(f > 0,
+        aggregate(sequence(lit(1), f), lit(0.0d),
+          (acc, j) => acc + lit(D) / (j * j).cast("double")))
+        .otherwise(lit(0.0d))
+    }.reduce(_ + _) / lit(1.64493406685d) / lit(terms.distinct.size.toDouble)
+    val len = size(words).cast("double")
+    var r = raw
+    if ((norm & 1) != 0) r = r / (log(len + 1.0d) / lit(math.log(2.0)))
+    if ((norm & 2) != 0) r = when(len > 0, r / len).otherwise(r)
+    if ((norm & 32) != 0) r = r / (r + 1.0d)
+    r
   }
 }
 

@@ -173,7 +173,8 @@ object FunctionQueries {
       val words = split(col("text"), " ")
       t(s, d, "documents")
         .where(tsMatch(words, Seq("data", "query")))
-        .select(col("doc_id"), tsRank(words, Seq("data", "query")).as("rank"))
+        .select(col("doc_id"),
+          round(tsRank(words, Seq("data", "query")), 6).as("rank"))
     }),
 
     // json_each-style object-to-rows expansion (jsonfuncs.c:1325):
@@ -459,12 +460,18 @@ object FunctionQueries {
         |       THEN GREATEST(c_acctbal - 100.0, 4000.0) END AS ix_lo
         |FROM customer""".stripMargin,
     "q39_text_search" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |f AS (SELECT doc_id, words,
+        |  len(list_filter(words, x -> x = 'data')) AS f1,
+        |  len(list_filter(words, x -> x = 'query')) AS f2 FROM w)
         |SELECT doc_id,
-        |  CAST(len(list_filter(words, x -> x = 'data'))
-        |     + len(list_filter(words, x -> x = 'query')) AS DOUBLE)
-        |  / CAST(len(words) AS DOUBLE) AS rank
-        |FROM w
+        |  ROUND((
+        |    (CASE WHEN f1 > 0 THEN list_sum(list_transform(range(1, f1 + 1),
+        |       j -> CAST(0.1 AS DOUBLE) / CAST(j * j AS DOUBLE))) ELSE 0.0 END) +
+        |    (CASE WHEN f2 > 0 THEN list_sum(list_transform(range(1, f2 + 1),
+        |       j -> CAST(0.1 AS DOUBLE) / CAST(j * j AS DOUBLE))) ELSE 0.0 END)
+        |  ) / CAST(1.64493406685 AS DOUBLE) / CAST(2 AS DOUBLE), 6) AS rank
+        |FROM f
         |WHERE list_contains(words, 'data') AND list_contains(words, 'query')""".stripMargin,
     "q109_json_each" ->
       """WITH j AS (SELECT o_orderkey,

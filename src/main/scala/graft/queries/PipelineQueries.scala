@@ -166,8 +166,10 @@ object PipelineQueries {
           col("s_end").cast("timestamp_ntz").as("s_end"),
           col("user_id"), col("n_events"))),
 
-    // SREH: PERMISSIVE CSV load with reject limit (rows-only; the CSV is
-    // generated deterministically into the build dir).
+    // SREH: PERMISSIVE CSV load with reject limit. The CSV is generated
+    // deterministically into the build dir; the oracle reads the same
+    // file with DuckDB read_csv(ignore_errors) so well-formed-row
+    // filtering is verified exactly.
     "q93_sreh_csv" -> ((s, d) => {
       val dir = new java.io.File("target/sreh_demo")
       dir.mkdirs()
@@ -430,6 +432,16 @@ object PipelineQueries {
         |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 10 MINUTE AS s_end,
         |       user_id, COUNT(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q93_sreh_csv" -> {
+      // same absolute path the Spark side writes (both resolve against
+      // this JVM's CWD); rows with the wrong field count are the rejects
+      // on both engines
+      val p = new java.io.File("target/sreh_demo/input.csv").getAbsolutePath
+      s"""SELECT id, name, score
+         |FROM read_csv('$p', header=false,
+         |  columns={'id': 'INTEGER', 'name': 'VARCHAR', 'score': 'DOUBLE'},
+         |  ignore_errors=true)""".stripMargin
+    },
     "q94_copy_roundtrip" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${oSumd("l_quantity")} AS sum_qty,
