@@ -1,27 +1,46 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing for the training-data pipeline: opaque
+/** Multimodal-column support for the training-data pipeline: opaque
   * binary payloads + typed metadata, batch decode / feature extraction /
   * frame sampling.
   *
-  * The decode step parses REAL container headers (PNG IHDR, BMP
-  * BITMAPINFOHEADER, GIF logical screen descriptor, JPEG SOFn, RIFF/WAVE
-  * fmt) for dimensions/channels — the same bytes `file(1)` or an
-  * imagesize library reads — in pure JVM. Only the pixel/sample decode
-  * itself is a clearly-marked STUB (no codec libraries in this
-  * container); the Spark-side plumbing is real: binary columns flow
-  * through parquet-style schemas, decode runs batched per partition (the
-  * Scala analog of mapInPandas batch shape), and everything stays
-  * distributed (no collect).
+  * Decode is REAL end to end: images (PNG / BMP / GIF / JPEG) go through
+  * `javax.imageio.ImageIO` and per-channel pixel sums come from the
+  * decoded raster; WAV payloads are parsed as RIFF containers and the
+  * 16-bit PCM samples themselves are decoded and summed. Container
+  * header sniffing ([[parseHeader]]) additionally parses PNG IHDR, BMP
+  * BITMAPINFOHEADER, GIF logical screen descriptor, JPEG SOFn and
+  * RIFF/WAVE fmt by hand for cheap metadata-only scans that skip pixel
+  * decode entirely.
+  *
+  * The Spark-side plumbing is scale-shaped: binary columns flow through
+  * parquet-style schemas, decode runs batched per partition (the Scala
+  * analog of a vectorized Arrow/Pandas UDF batch), and everything stays
+  * distributed — no collect anywhere.
   */
 object Multimodal {
 
+  // ImageIO's default stream cache spills through temp FILES per read —
+  // keep codec I/O in memory (one in-memory stream per payload).
+  ImageIO.setUseCache(false)
+
   case class Blob(id: Long, payload: Array[Byte], format: String)
-  case class Features(id: Long, width: Int, height: Int, channels: Int,
-                      n_bytes: Int, feature: Array[Float])
+
+  /** Decoded-media features: dimensions/channels plus EXACT per-channel
+    * pixel sums (images) or the exact PCM sample sum (audio; stored in
+    * sum_r, with width = sample count and height = 1). Integer sums keep
+    * the oracle comparison exact — no float fuzz. */
+  case class MediaFeatures(id: Long, format: String, width: Int, height: Int,
+                           channels: Int, n_px: Long,
+                           sum_r: Long, sum_g: Long, sum_b: Long)
 
   /** Minimal real container headers around a body. Deterministic in
     * (id, body) so fixtures are stable. */
@@ -69,7 +88,8 @@ object Multimodal {
 
   /** Header sniffing: (width, height, channels) from the container bytes.
     * Pure JVM parsers for the formats a 100 TB media column actually
-    * carries; None for unrecognized payloads. */
+    * carries; None for unrecognized payloads. For WAV the tuple is
+    * (sample rate, 0, channels). */
   def parseHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
     def u8(i: Int): Int = b(i) & 0xff
     def be32(i: Int): Int =
@@ -107,61 +127,124 @@ object Multimodal {
     } else None
   }
 
-  /** Header byte count to skip before the body (feature extraction reads
-    * body bytes only). */
-  private def headerLen(b: Array[Byte]): Int =
-    if (b.length >= 33 && (b(0) & 0xff) == 0x89 && b(1) == 'P') 33
-    else if (b.length >= 44 && b(0) == 'R' && b(1) == 'I') 44
-    else if (b.length >= 30 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) 30
-    else 0
+  /** Pixel pattern for synthesized test images: a solid RGB fill derived
+    * from the id, with pixel (0,0) forced white so decode has to see more
+    * than one value. 251 (prime < 255) keeps the fill distinct from
+    * white and avoids palette aliasing in GIF quantizers. */
+  def imageParams(id: Long): (Int, Int, Int, Int, Int) = {
+    val w = 16 + (id % 64).toInt
+    val h = 16 + (id % 48).toInt
+    ((w, h, (id % 251).toInt, (id * 7 % 251).toInt, (id * 13 % 251).toInt))
+  }
 
-  /** Synthesize a binary "media" column from the documents table — a real
-    * container header (PNG / JPEG / WAV) wrapping the text bytes, standing
-    * in for an image/audio payload column at 100 TB. */
-  def synthesizeBlobs(docs: DataFrame): Dataset[Blob] = {
+  /** Deterministic 16-bit PCM test signal: 800 + id%256 mono samples of
+    * ((id + 37 i) mod 2003) - 1001. */
+  def wavParams(id: Long): Int = 800 + (id % 256).toInt
+
+  def wavSample(id: Long, i: Int): Int = ((id + 37L * i) % 2003L).toInt - 1001
+
+  private def encodeImage(id: Long, fmt: String): Array[Byte] = {
+    val (w, h, r, g, b) = imageParams(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    img.setRGB(0, 0, 0xffffff)
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, fmt, out), s"no ImageIO encoder for $fmt")
+    out.toByteArray
+  }
+
+  private def encodeWav(id: Long): Array[Byte] = {
+    val n = wavParams(id)
+    val body = java.nio.ByteBuffer.allocate(2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) { body.putShort(wavSample(id, i).toShort); i += 1 }
+    Headers.wav(1, 16000, body.array())
+  }
+
+  /** Synthesize a binary "media" column from the documents table: REAL
+    * encoded payloads — ImageIO-written PNG/BMP/GIF plus 16-bit PCM WAV —
+    * deterministic in doc_id, standing in for an image/audio column at
+    * 100 TB. */
+  def synthesizeMedia(docs: DataFrame): Dataset[Blob] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
-      case (id, text) =>
-        val body = text.getBytes("UTF-8")
-        val w = 16 + (id % 1024).toInt
-        val h = 16 + (id % 768).toInt
-        (id % 3) match {
-          case 0 => Blob(id, Headers.png(w, h, body), "png")
-          case 1 => Blob(id, Headers.jpeg(w, h, body), "jpg")
-          case _ => Blob(id, Headers.wav(1, 16000, body), "wav")
-        }
+    docs.select(col("doc_id")).as[Long].map { id =>
+      (id % 4) match {
+        case 0 => Blob(id, encodeImage(id, "png"), "png")
+        case 1 => Blob(id, encodeImage(id, "bmp"), "bmp")
+        case 2 => Blob(id, encodeImage(id, "gif"), "gif")
+        case _ => Blob(id, encodeWav(id), "wav")
+      }
     }
   }
 
-  /** Batched decode + feature extraction. Batches of `batchSize` rows are
-    * materialized per partition — the exact shape a vectorized
-    * (Arrow/Pandas) UDF would see. Dimensions/channels come from REAL
-    * header parsing ([[parseHeader]]); the byte-histogram "feature" over
-    * the body stands in for pixel decode.
-    *
-    * STUB: a real implementation calls the codec for the pixel/sample
-    * data here (e.g. libjpeg / ffmpeg per batch). The header metadata is
-    * not stubbed.
-    */
-  def decodeFeatures(blobs: Dataset[Blob], batchSize: Int = 64): Dataset[Features] = {
+  /** Decode one image payload to exact per-channel pixel sums. */
+  private def decodeImage(b: Blob): MediaFeatures = {
+    val img = ImageIO.read(new ByteArrayInputStream(b.payload))
+    require(img != null, s"ImageIO could not decode payload for id=${b.id}")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val channels = img.getColorModel.getNumColorComponents
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y) // sRGB regardless of storage layout
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    MediaFeatures(b.id, b.format, w, h, channels, w.toLong * h, sr, sg, sb)
+  }
+
+  /** Decode a RIFF/WAVE payload: walk the chunks to fmt + data and sum
+    * the 16-bit little-endian PCM samples exactly. */
+  private def decodeWav(b: Blob): MediaFeatures = {
+    val buf = java.nio.ByteBuffer.wrap(b.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt(0) == 0x46464952, s"not RIFF: id=${b.id}") // "RIFF"
+    var pos = 12 // past RIFF size + WAVE
+    var channels = 1
+    var bits = 16
+    var sum = 0L
+    var nSamples = 0
+    while (pos + 8 <= b.payload.length) {
+      val tag = buf.getInt(pos)
+      val len = buf.getInt(pos + 4)
+      if (tag == 0x20746d66) { // "fmt "
+        channels = buf.getShort(pos + 10)
+        bits = buf.getShort(pos + 22)
+      } else if (tag == 0x61746164) { // "data"
+        require(bits == 16, s"only 16-bit PCM supported, got $bits")
+        nSamples = len / 2
+        var i = 0
+        while (i < nSamples) { sum += buf.getShort(pos + 8 + 2 * i); i += 1 }
+      }
+      pos += 8 + len
+    }
+    MediaFeatures(b.id, b.format, nSamples / math.max(1, channels), 1,
+      channels, nSamples.toLong, sum, 0L, 0L)
+  }
+
+  /** Batched REAL decode + feature extraction: batches of `batchSize`
+    * rows are materialized per partition — the exact shape a vectorized
+    * (Arrow/Pandas) UDF would see — then each payload goes through the
+    * actual codec (ImageIO rasters / PCM samples). */
+  def decodeMedia(blobs: Dataset[Blob], batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { b =>
-          val (w, h, ch) = parseHeader(b.payload).getOrElse(
-            (16 + (b.payload.length % 1024), 16 + ((b.payload.length / 7) % 768), 3))
-          val off = headerLen(b.payload)
-          val n = b.payload.length
-          // === STUB DECODE (byte histogram over the body; replace with
-          // codec call for real pixels/samples) ===
-          val hist = new Array[Float](8)
-          var i = off
-          while (i < n) { hist((b.payload(i) & 0xff) >> 5) += 1f; i += 1 }
-          if (n > off) { var j = 0; while (j < 8) { hist(j) /= (n - off); j += 1 } }
-          Features(b.id, width = w, height = h, channels = ch,
-            n_bytes = n - off, feature = hist)
+          if (b.format == "wav") decodeWav(b) else decodeImage(b)
         }
       }
     }

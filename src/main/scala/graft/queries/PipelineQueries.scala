@@ -185,17 +185,14 @@ object PipelineQueries {
       Sreh.readCsv(s, f.getAbsolutePath, schema, rejectLimit = 20).good
     }),
 
-    // Multimodal columns: binary payload + typed metadata, batched
-    // decode stub via mapPartitions (rows-only: decode is engine-defined).
+    // Multimodal columns: REAL encoded payloads (ImageIO PNG/BMP/GIF +
+    // 16-bit PCM WAV) decoded back through the actual codecs in one
+    // batched mapPartitions pass; the oracle recomputes every dimension
+    // and exact per-channel pixel/sample sum from doc_id arithmetic, so
+    // a fake decode cannot pass.
     "q95_multimodal" -> ((s, d) => {
-      val blobs = graft.operators.Multimodal.synthesizeBlobs(t(s, d, "documents"))
-      val feats = graft.operators.Multimodal.decodeFeatures(blobs)
-      val frames = graft.operators.Multimodal.sampleFrames(blobs.toDF())
-      feats.toDF().join(frames.select("id", "n_frames"), "id")
-        .select(col("id"), col("width"), col("height"), col("channels"),
-          col("n_bytes"), col("n_frames"),
-          round(aggregate(col("feature"), lit(0.0d), (a, x) => a + x.cast("double")), 6)
-            .as("feat_sum"))
+      val blobs = graft.operators.Multimodal.synthesizeMedia(t(s, d, "documents"))
+      graft.operators.Multimodal.decodeMedia(blobs).toDF()
     }),
 
     // COPY TO/FROM roundtrip (commands/copy.c): write CSV, read it back,
@@ -432,6 +429,25 @@ object PipelineQueries {
         |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 10 MINUTE AS s_end,
         |       user_id, COUNT(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q95_multimodal" ->
+      """WITH m AS (SELECT doc_id AS id, doc_id % 4 AS fmt,
+        |  16 + doc_id % 64 AS w, 16 + doc_id % 48 AS h,
+        |  doc_id % 251 AS r, (doc_id * 7) % 251 AS g, (doc_id * 13) % 251 AS b,
+        |  800 + doc_id % 256 AS ns
+        |FROM documents)
+        |SELECT id,
+        |  CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'gif'
+        |           ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN fmt = 3 THEN ns ELSE w END AS INTEGER) AS width,
+        |  CAST(CASE WHEN fmt = 3 THEN 1 ELSE h END AS INTEGER) AS height,
+        |  CAST(CASE WHEN fmt = 3 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN fmt = 3 THEN ns ELSE w * h END AS BIGINT) AS n_px,
+        |  CAST(CASE WHEN fmt = 3
+        |       THEN list_sum(list_transform(range(0, ns), i -> (id + 37 * i) % 2003 - 1001))
+        |       ELSE r * (w * h - 1) + 255 END AS BIGINT) AS sum_r,
+        |  CAST(CASE WHEN fmt = 3 THEN 0 ELSE g * (w * h - 1) + 255 END AS BIGINT) AS sum_g,
+        |  CAST(CASE WHEN fmt = 3 THEN 0 ELSE b * (w * h - 1) + 255 END AS BIGINT) AS sum_b
+        |FROM m""".stripMargin,
     "q93_sreh_csv" -> {
       // same absolute path the Spark side writes (both resolve against
       // this JVM's CWD); rows with the wrong field count are the rejects

@@ -187,22 +187,57 @@ class OperatorSpec extends AnyFunSuite {
     assert(res.errorLog.columns.contains("record"))
   }
 
-  test("multimodal: batch decode plumbing is deterministic and distributed") {
-    val docs = Seq((1L, "hello world content"), (2L, "x"), (3L, ""))
-      .toDF("doc_id", "text").withColumn("lang", lit("en"))
-    val blobs = Multimodal.synthesizeBlobs(docs)
-    val feats = Multimodal.decodeFeatures(blobs, batchSize = 2).collect()
+  test("multimodal: real codec decode round-trips exact pixel/sample sums") {
+    val docs = Seq(0L, 1L, 2L, 3L, 17L, 42L, 103L).toDF("doc_id")
+    val blobs = Multimodal.synthesizeMedia(docs)
+    val feats = Multimodal.decodeMedia(blobs, batchSize = 2).collect()
       .map(f => f.id -> f).toMap
-    // dims come from REAL header parsing (JPEG SOF0 / RIFF fmt / PNG IHDR)
-    assert(feats(1L).n_bytes == 19 && feats(1L).channels == 3) // jpg
-    assert(feats(1L).width == 17 && feats(1L).height == 17)
-    assert(feats(2L).width == 16000 && feats(2L).channels == 1) // wav: rate, mono
-    assert(feats(3L).width == 19 && feats(3L).height == 19 && feats(3L).channels == 3) // png
-    assert(feats(2L).feature.length == 8)
+    for (id <- Seq(0L, 1L, 2L, 17L, 42L)) { // png, bmp, gif, bmp, gif
+      val (w, h, r, g, b) = Multimodal.imageParams(id)
+      val f = feats(id)
+      assert(f.width == w && f.height == h && f.channels == 3, f)
+      assert(f.sum_r == r.toLong * (w * h - 1) + 255, f)
+      assert(f.sum_g == g.toLong * (w * h - 1) + 255, f)
+      assert(f.sum_b == b.toLong * (w * h - 1) + 255, f)
+    }
+    for (id <- Seq(3L, 103L)) { // wav: exact PCM sample sum
+      val n = Multimodal.wavParams(id)
+      val f = feats(id)
+      assert(f.width == n && f.height == 1 && f.channels == 1, f)
+      assert(f.sum_r == (0 until n).map(i => Multimodal.wavSample(id, i).toLong).sum, f)
+    }
     // repartitioning must not change results (batch boundaries move)
-    val feats4 = Multimodal.decodeFeatures(blobs.repartition(4), batchSize = 1)
-      .collect().map(f => f.id -> f.n_bytes).toMap
-    assert(feats4 == feats.map { case (k, v) => k -> v.n_bytes })
+    val feats4 = Multimodal.decodeMedia(blobs.repartition(4), batchSize = 1)
+      .collect().map(f => f.id -> f.sum_r).toMap
+    assert(feats4 == feats.map { case (k, v) => k -> v.sum_r })
+  }
+
+  test("multimodal: JPEG decodes through the real codec (lossy tolerance)") {
+    val (w, h, r, g, b) = (40, 24, 120, 80, 200)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val feats = Multimodal.decodeMedia(
+      Seq(Multimodal.Blob(1L, out.toByteArray, "jpg")).toDS()).collect()
+    val f = feats.head
+    assert(f.width == w && f.height == h && f.n_px == w * h)
+    // JPEG is lossy: per-channel means land within a few codes of the fill
+    assert(math.abs(f.sum_r.toDouble / f.n_px - r) <= 3, f)
+    assert(math.abs(f.sum_g.toDouble / f.n_px - g) <= 3, f)
+    assert(math.abs(f.sum_b.toDouble / f.n_px - b) <= 3, f)
+  }
+
+  test("multimodal: frame sampling slices payloads without a UDF") {
+    val docs = Seq(3L, 103L).toDF("doc_id") // wav payloads: known byte length
+    val blobs = Multimodal.synthesizeMedia(docs)
+    val frames = Multimodal.sampleFrames(blobs.toDF()).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("n_frames")).toMap
+    for (id <- Seq(3L, 103L)) {
+      val payloadLen = 44 + 2 * Multimodal.wavParams(id)
+      assert(frames(id) == math.max(payloadLen / 64 - 1, 0) + 1)
+    }
   }
 
   test("image/audio header parsers: PNG, JPEG, BMP, GIF, WAV") {
