@@ -151,6 +151,13 @@ object PipelineQueries {
       Streams.dedupCounts(s, d)
     }),
 
+    // Stream–stream watermarked interval join: click↔purchase within
+    // 30 min per user, both sides real event streams.
+    "q118_stream_stream_join" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      Streams.streamStreamJoin(s, d)
+    }),
+
     // Stream–static broadcast join + aggregation.
     "q99_stream_static_join" -> ((s, d) => {
       graft.Tables.register(s, d)
@@ -411,6 +418,14 @@ object PipelineQueries {
     "q98_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
         |FROM events GROUP BY event_type""".stripMargin,
+    "q118_stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                 CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT c.event_id AS c_id, p.event_id AS p_id, c.user_id,
+        |       c.ts AS c_ts, p.ts AS p_ts
+        |FROM e c JOIN e p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
     "q99_stream_static_join" ->
       """WITH dim(event_type, category) AS (VALUES
         |  ('click','engagement'), ('view','engagement'),

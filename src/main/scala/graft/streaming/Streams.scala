@@ -56,12 +56,13 @@ object Streams {
     * window is emitted in the final batch regardless of watermark
     * progress (append mode would hold back the tail windows at
     * end-of-stream). */
-  def runToBatch(spark: SparkSession, agg: DataFrame): DataFrame = {
+  def runToBatch(spark: SparkSession, agg: DataFrame,
+                 mode: String = "complete"): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val q = agg.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -128,6 +129,31 @@ object Streams {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
     runToBatch(spark, agg)
+  }
+
+  /** Watermarked stream–stream interval join (StreamingSymmetricHashJoin):
+    * each click joined to the purchases the same user makes within the
+    * following 30 minutes — two independent event streams, both
+    * watermarked so join state is evicted once event time passes the
+    * tolerance window. Inner joins emit on match (append mode), so the
+    * bounded run yields exactly the SQL interval-join answer. */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = eventsStream(spark, sfDir)
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventsStream(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"))
+      .select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
+        col("c_ts").cast("timestamp_ntz").as("c_ts"),
+        col("p_ts").cast("timestamp_ntz").as("p_ts"))
+    runToBatch(spark, joined, mode = "append")
   }
 
   /** Arbitrary stateful streaming via mapGroupsWithState: running

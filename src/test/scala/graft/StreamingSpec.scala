@@ -66,6 +66,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.keys.exists(_.contains("12:00")), s"open window emitted: $out")
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val d = TestSpark.sf0001
+    Tables.register(spark, d)
+    val streamed = graft.streaming.Streams.streamStreamJoin(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = spark.table("events") // view already surfaces ts as timestamp
+    val c = e.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val batch = c.join(p,
+      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"))
+      .select("c_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
+  test("stream-stream join: watermark evicts join state across batches") {
+    def rmr(p: String): Unit = { val f = new java.io.File(p)
+      if (f.exists()) { def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete() }; rm(f) } }
+    rmr("target/test-ssjoin")
+    val stage = Files.createDirectories(Paths.get("target/test-ssjoin/src"))
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    def writeOne(rows: Seq[(java.sql.Timestamp, Long, String, Long)],
+                 name: String): Unit = {
+      val tmp = s"target/test-ssjoin/tmp_$name"
+      rows.toDF("ts", "user_id", "event_type", "event_id")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, stage.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Thread.sleep(5) // distinct mtimes => deterministic batch order
+    }
+    // three well-separated hours: by the last batch the watermark has
+    // passed hour 10, so its join state must be gone
+    writeOne(Seq((ts(10, 0), 1L, "click", 1L), (ts(10, 10), 1L, "purchase", 2L)), "f1")
+    writeOne(Seq((ts(20, 0), 1L, "click", 3L), (ts(20, 5), 1L, "purchase", 4L)), "f2")
+    writeOne(Seq((ts(23, 0), 1L, "click", 5L), (ts(23, 10), 1L, "purchase", 6L)), "f3")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType)))
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch
+      .parquet(stage.toAbsolutePath.toString)
+    val clicks = src().where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts")).withWatermark("c_ts", "1 hour")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts")).withWatermark("p_ts", "1 hour")
+    val q = clicks.join(purchases,
+      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"))
+      .select("c_id", "p_id")
+      .writeStream.format("memory").queryName("graft_ssjoin_state")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // all three pairs joined...
+    assert(spark.table("graft_ssjoin_state").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L), (3L, 4L), (5L, 6L)))
+    // ...and the final state held fewer rows than were ingested: the
+    // watermark evicted the old hours from the symmetric-hash-join state
+    val sops = q.recentProgress.flatMap(_.stateOperators)
+    assert(sops.exists(_.operatorName.toLowerCase.contains("join")), "no join state op")
+    val finalTotal = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators.map(_.numRowsTotal).sum
+    assert(finalTotal < 6, s"join state never evicted: finalTotal=$finalTotal")
+  }
+
   test("session_window: batch and streaming executions agree") {
     Tables.register(spark, TestSpark.sf0001)
     val batch = spark.table("events")
