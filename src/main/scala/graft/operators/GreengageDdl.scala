@@ -69,7 +69,7 @@ object GreengageDdl {
   }
 
   /** Split on top-level commas (respects parens: `numeric(18,2)`). */
-  private def splitTop(s: String): Seq[String] = {
+  private[operators] def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
     var start = 0
@@ -89,7 +89,7 @@ object GreengageDdl {
 
   /** Extract the balanced-paren block starting at s(from) == '('.
     * Returns (contents, indexAfterClosingParen). */
-  private def balanced(s: String, from: Int): (String, Int) = {
+  private[operators] def balanced(s: String, from: Int): (String, Int) = {
     require(s.charAt(from) == '(', s"expected '(' at $from in: $s")
     var depth = 0
     var i = from

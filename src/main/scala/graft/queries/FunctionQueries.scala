@@ -220,6 +220,25 @@ object FunctionQueries {
         .select(col("doc_id"), size(words).as("n_words"))
     }),
 
+    // SQL-language CREATE FUNCTION (pg_proc LANGUAGE SQL; inlined as
+    // expression macros the way inline_function does) — a user's
+    // `CREATE FUNCTION f(x) AS 'SELECT ...' LANGUAGE SQL` runs as-is,
+    // including one SQL function calling another.
+    "q119_sql_function" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.operators.SqlFunctions.create(
+        """CREATE FUNCTION disc_price(p float8, d float8) RETURNS float8
+          |AS 'SELECT p * (1 - d)' LANGUAGE SQL""".stripMargin)
+      graft.operators.SqlFunctions.create(
+        """CREATE OR REPLACE FUNCTION taxed_price(p float8, d float8, t float8)
+          |RETURNS float8 AS $$ SELECT disc_price(p, d) * (1 + t) $$
+          |LANGUAGE SQL""".stripMargin)
+      graft.operators.SqlFunctions.sql(s,
+        """SELECT l_orderkey, l_linenumber,
+          |       taxed_price(l_extendedprice, l_discount, l_tax) AS px
+          |FROM lineitem WHERE l_quantity > 45""".stripMargin)
+    }),
+
     // Scalar UDF registration surface (CREATE FUNCTION, src/pl/*) +
     // to_char-style numeric formatting (formatting.c).
     "q79_udf_scalar" -> ((s, d) => {
@@ -505,6 +524,12 @@ object FunctionQueries {
         |WHERE (list_contains(words, 'data') OR list_contains(words, 'sql'))
         |  AND NOT list_contains(words, 'error')
         |  AND len(list_filter(words, x -> x LIKE 'quer%')) > 0""".stripMargin,
+    // same parenthesization the macro expansion emits, so the IEEE
+    // double arithmetic is shape-identical on both engines
+    "q119_sql_function" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  (((l_extendedprice) * (1 - (l_discount))) * (1 + (l_tax))) AS px
+        |FROM lineitem WHERE l_quantity > 45""".stripMargin,
     "q79_udf_scalar" ->
       """SELECT c_custkey, c_acctbal * 2.0 + 1.0 AS norm_bal,
         |       printf('%.2f', c_acctbal) AS fmt_bal

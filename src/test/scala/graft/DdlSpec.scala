@@ -152,6 +152,33 @@ class DdlSpec extends AnyFunSuite {
     assert(chain(e).exists(m => m != null && m.contains("nextval")), e.toString)
   }
 
+  test("CREATE FUNCTION ... LANGUAGE SQL: registration, inlining, nesting") {
+    import graft.operators.SqlFunctions
+    SqlFunctions.create(
+      "CREATE FUNCTION dbl(x int) RETURNS int AS 'SELECT x * 2' LANGUAGE SQL")
+    SqlFunctions.create(
+      "CREATE FUNCTION quad(x int) RETURNS int AS $$ SELECT dbl(dbl(x)) $$ LANGUAGE SQL")
+    SqlFunctions.create(
+      "CREATE FUNCTION addpos(a int, b int) RETURNS int AS 'SELECT $1 + $2' LANGUAGE SQL")
+    try {
+      assert(SqlFunctions.sql(spark, "SELECT quad(10) AS v").head().getInt(0) == 40)
+      assert(SqlFunctions.sql(spark, "SELECT addpos(3, 4) AS v").head().getInt(0) == 7)
+      // an argument whose text collides with another parameter name must
+      // not be re-substituted (simultaneous expansion, no macro capture)
+      assert(SqlFunctions.sql(spark, "SELECT addpos(1, 1 + 1) AS v")
+        .head().getInt(0) == 3)
+      // string literals are left alone
+      assert(SqlFunctions.sql(spark, "SELECT 'dbl(9)' AS s").head().getString(0)
+        == "dbl(9)")
+      // arity mismatch is a registration-surface error, not silent SQL
+      intercept[IllegalArgumentException](SqlFunctions.expand("SELECT dbl(1, 2)"))
+      // recursion cannot converge and is rejected
+      SqlFunctions.create(
+        "CREATE FUNCTION rec(x int) RETURNS int AS 'SELECT rec(x)' LANGUAGE SQL")
+      intercept[IllegalArgumentException](SqlFunctions.expand("SELECT rec(1)"))
+    } finally Seq("dbl", "quad", "addpos", "rec").foreach(SqlFunctions.drop)
+  }
+
   test("DISTRIBUTED REPLICATED reads back with the broadcast hint") {
     Tables.register(spark, TestSpark.sf0001)
     drop("nation_ddl")
