@@ -256,6 +256,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(parseHeader("not an image".getBytes).isEmpty)
   }
 
+  test("cursors: DECLARE/FETCH n pages the full result in order") {
+    import graft.operators.Cursors
+    Tables.register(spark, TestSpark.sf0001)
+    val full = spark.sql(
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey")
+    Cursors.execute(spark,
+      "DECLARE c1 CURSOR FOR SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey")
+    val chunks = Iterator.continually(
+      Cursors.execute(spark, "FETCH 37 FROM c1").collect())
+      .takeWhile(_.nonEmpty).toSeq
+    // chunked retrieval = the whole result, in cursor order
+    assert(chunks.map(_.length).sum == full.count())
+    assert(chunks.forall(_.length <= 37))
+    assert(chunks.flatten.map(_.getLong(0)).toSeq ==
+      full.collect().map(_.getLong(0)).toSeq)
+    // exhausted cursor keeps returning empty until closed
+    assert(Cursors.execute(spark, "FETCH 5 FROM c1").collect().isEmpty)
+    Cursors.execute(spark, "CLOSE c1")
+    intercept[IllegalArgumentException](Cursors.fetch(spark, "c1", 1))
+    // FETCH ALL drains in one call
+    Cursors.execute(spark, "DECLARE c2 CURSOR FOR SELECT n_nationkey FROM nation")
+    assert(Cursors.execute(spark, "FETCH ALL FROM c2").count() == 25)
+    Cursors.execute(spark, "CLOSE c2")
+  }
+
   test("parameterized SQL: one prepared text, multiple bindings (§3.2)") {
     Tables.register(spark, TestSpark.sf0001)
     val prepared = "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > :minPrice"
