@@ -156,4 +156,41 @@ class PlanSpec extends AnyFunSuite {
       .map(r => r.getString(0) + "=" + r.getString(1)).mkString(";")
     assert(stats.contains("distinct_count=25"), stats)
   }
+
+  test("ANALYZE stats drive a CBO join reorder on a 3-table chain") {
+    Tables.register(spark, sf)
+    dropManaged("li_cbo", "ord_cbo", "cust_cbo")
+    spark.table("lineitem").select("l_orderkey", "l_suppkey")
+      .write.saveAsTable("li_cbo")
+    spark.table("orders").select("o_orderkey", "o_custkey")
+      .write.saveAsTable("ord_cbo")
+    spark.table("customer").where("c_custkey < 20").select("c_custkey")
+      .write.saveAsTable("cust_cbo")
+    graft.operators.Distribution.analyze(spark, "li_cbo", Seq("l_orderkey", "l_suppkey"))
+    graft.operators.Distribution.analyze(spark, "ord_cbo", Seq("o_orderkey", "o_custkey"))
+    graft.operators.Distribution.analyze(spark, "cust_cbo", Seq("c_custkey"))
+    // written in the worst order: the two big tables joined first, the
+    // tiny filtered dim appended last
+    val q = """SELECT COUNT(*) AS n FROM li_cbo l
+              |JOIN ord_cbo o ON l.l_orderkey = o.o_orderkey
+              |JOIN cust_cbo c ON o.o_custkey = c.c_custkey""".stripMargin
+    def leafOrder(cbo: Boolean): Seq[String] = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo)
+      try {
+        val plan = spark.sql(q).queryExecution.optimizedPlan.toString
+        Seq("li_cbo", "ord_cbo", "cust_cbo")
+          .sortBy(t => plan.indexOf("spark_catalog.default." + t))
+      } finally {
+        spark.conf.set("spark.sql.cbo.enabled", false)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", false)
+      }
+    }
+    val (heuristic, reordered) = (leafOrder(false), leafOrder(true))
+    assert(heuristic == Seq("li_cbo", "ord_cbo", "cust_cbo"), heuristic)
+    // stats-driven DP reorder pulls the 19-row dim off the end so the
+    // big-big join is filtered before it happens
+    assert(reordered != heuristic, s"CBO did not reorder: $reordered")
+    assert(reordered.indexOf("cust_cbo") < reordered.indexOf("li_cbo"), reordered)
+  }
 }
