@@ -143,4 +143,114 @@ class ReferencePatternsSpec extends AnyFunSuite {
       .collect()
     assert(out.length == 1 && out.head.getDouble(0) == 650.0)
   }
+
+  // x/y from bfv_joins.sql: a=b=c=i, i in 1..10
+  private def bfvXy(): Unit = {
+    val x = (1 to 10).map(i => (i, i, i)).toDF("a", "b", "c")
+    x.createOrReplaceTempView("bfv_x")
+    x.createOrReplaceTempView("bfv_y")
+  }
+
+  test("LOJ ON TRUE + null-filtering WHERE degenerates to inner (bfv_joins.sql:46-60)") {
+    bfvXy()
+    // null-filtering predicate on the inner side: LOJ ≡ inner cross
+    val q1 = spark.sql(
+      "SELECT * FROM bfv_x x LEFT JOIN bfv_y y ON True WHERE y.a > 0")
+    assert(q1.count() == 100)
+    assert(q1.queryExecution.optimizedPlan.toString.contains("Inner"),
+      "null-filtering WHERE should convert the outer join:\n" +
+        q1.queryExecution.optimizedPlan)
+    assert(spark.sql(
+      "SELECT * FROM bfv_x x LEFT JOIN bfv_y y ON True WHERE y.a IN (1,2,3)")
+      .count() == 30)
+    assert(spark.sql(
+      "SELECT * FROM bfv_x x LEFT JOIN bfv_y y ON True WHERE y.a = y.b")
+      .count() == 100)
+    // null-KEEPING predicate must NOT convert: with a non-empty inner,
+    // ON TRUE matches everything, so IS NULL filters all rows out
+    assert(spark.sql(
+      "SELECT * FROM bfv_x x LEFT JOIN bfv_y y ON True WHERE y.a IS NULL")
+      .count() == 0)
+    assert(spark.sql(
+      "SELECT * FROM bfv_x x LEFT JOIN bfv_y y ON True WHERE y.a IS NOT NULL")
+      .count() == 100)
+  }
+
+  // t1/t2 from bfv_joins.sql: t1=(1,1,1),(2,1,2),(3,NULL,3); t2=(2,3)
+  private def bfvT12(): Unit = {
+    Seq((Some(1), Some(1), 1), (Some(2), Some(1), 2), (Some(3), None, 3))
+      .toDF("a", "b", "c").createOrReplaceTempView("bfv_t1")
+    Seq((2, 3)).toDF("a", "b").createOrReplaceTempView("bfv_t2")
+  }
+
+  test("IS [NOT] DISTINCT FROM across a LOJ's null-extended side (bfv_joins.sql:62-72)") {
+    bfvT12()
+    def ks(where: String): Set[Int] = spark.sql(
+      s"""SELECT t1.a FROM bfv_t1 t1 LEFT OUTER JOIN bfv_t2 t2 ON t1.a = t2.a
+         |WHERE $where""".stripMargin).collect().map(_.getInt(0)).toSet
+    // a=1: t2 null-extended (1 vs NULL distinct); a=2: 1 vs 3 distinct;
+    // a=3: NULL vs NULL not distinct
+    assert(ks("t1.b IS DISTINCT FROM t2.b") == Set(1, 2))
+    assert(ks("t1.b IS DISTINCT FROM NULL") == Set(1, 2))
+    assert(ks("t2.b IS DISTINCT FROM NULL") == Set(2))
+    assert(ks("t2.b IS NOT DISTINCT FROM NULL") == Set(1, 3))
+    assert(ks("t1.b IS NOT DISTINCT FROM NULL") == Set(3))
+  }
+
+  test("LOJ ON predicate over outer columns only / self-check quals (bfv_joins.sql:74-96)") {
+    bfvT12()
+    Seq((1, 2, 1)).toDF("a", "b", "c").createOrReplaceTempView("bfv_t3")
+    // ON t1.b=1 references only the outer child: every outer row
+    // survives (matched or null-extended) — never fewer than |t1|
+    assert(spark.sql(
+      """SELECT t1.* FROM bfv_t1 t1 LEFT OUTER JOIN bfv_t3 t3 ON t1.b = 1""")
+      .count() == 3) // a=1,2 match the 1-row inner; a=3 null-extends
+    // (t3.a = t3.a) IS NULL is only true on null-extended rows; it must
+    // not be folded away even though a=a looks tautological
+    assert(spark.sql(
+      """SELECT t1.c FROM bfv_t1 t1 LEFT OUTER JOIN bfv_t3 t3 ON t3.b > t3.a
+        |WHERE (t3.a = t3.a) IS NULL""".stripMargin).count() == 0)
+    assert(spark.sql(
+      """SELECT t1.c FROM bfv_t1 t1 LEFT OUTER JOIN bfv_t3 t3 ON t3.b < t3.a
+        |WHERE (t3.a = t3.a) IS NULL""".stripMargin).count() == 3)
+  }
+
+  test("window function under a join keeps join-scoped partitions (bfv_joins.sql:120-127)") {
+    val bfvFoo = (1 to 10).map(i => (i, i + 1)).toDF("a", "b")
+    val bfvBar = (1 to 10).map(i => (i, i + 1)).toDF("c", "d")
+    bfvFoo.createOrReplaceTempView("bfv_foo")
+    bfvBar.createOrReplaceTempView("bfv_bar")
+    spark.sql(
+      """SELECT f.a, f.b, b.d FROM bfv_foo f, bfv_bar b WHERE f.a = b.d""")
+      .createOrReplaceTempView("bfv_t")
+    val out = spark.sql(
+      """SELECT * FROM
+        |(SELECT b.*, AVG(t.b) OVER (PARTITION BY t.a ORDER BY t.b DESC) AS e
+        | FROM bfv_t t, bfv_bar b) cup, bfv_t
+        |WHERE e < 10""".stripMargin).collect()
+    // t has a=2..10 (one row per a, so e = avg(b) = a+1); e<10 keeps
+    // a=2..8 → 7 t-rows × 10 bar rows × 9 outer bfv_t rows
+    assert(out.length == 7 * 10 * 9, s"got ${out.length}")
+    assert(out.map(_.getDouble(2)).toSet == (3 to 9).map(_.toDouble).toSet)
+  }
+
+  test("named WINDOW clause binds and misuse errors (window_views.sql, qp_olap_windowerr)") {
+    (1 to 6).map(i => (i, i % 3)).toDF("a", "b").createOrReplaceTempView("wv_t")
+    // WINDOW w AS (...) with the frame in the named spec
+    val v = spark.sql(
+      """SELECT a, SUM(a) OVER w AS s FROM wv_t
+        |WINDOW w AS (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(v(1) == 3 && v(3) == 9 && v(6) == 11)
+    // frame start after frame end is a hard error, not a silent empty frame
+    intercept[Exception](spark.sql(
+      """SELECT SUM(a) OVER (ORDER BY a
+        |ROWS BETWEEN 1 FOLLOWING AND 1 PRECEDING) FROM wv_t""".stripMargin)
+      .collect())
+    // RANGE with an offset frame requires exactly one ORDER BY key
+    intercept[Exception](spark.sql(
+      """SELECT SUM(a) OVER (ORDER BY a, b
+        |RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) FROM wv_t""".stripMargin)
+      .collect())
+  }
 }
