@@ -32,7 +32,10 @@ object Bench {
     // Best-of-2 per query: the shared host shows multi-second load
     // spikes; min-of-runs reports steady-state engine time.
     var failures = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = args.headOption.map(_.split(",").toSet) // optional name filter
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -138,6 +138,18 @@ object Streams {
     * tolerance window. Inner joins emit on match (append mode), so the
     * bounded run yields exactly the SQL interval-join answer. */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // symmetric-hash-join state costs two stores per shuffle partition;
+    // pin a narrower stateful width so the fixed per-store commit cost
+    // doesn't dominate bounded runs (real deployments size this to the
+    // key cardinality via spark.sql.shuffle.partitions before start —
+    // it is frozen into the checkpoint either way)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try streamStreamJoinInner(spark, sfDir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def streamStreamJoinInner(spark: SparkSession, sfDir: String): DataFrame = {
     val clicks = eventsStream(spark, sfDir)
       .where(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
