@@ -141,6 +141,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalTotal < 6, s"join state never evicted: finalTotal=$finalTotal")
   }
 
+  test("left-outer stream-stream join null-extends expired unmatched rows") {
+    def rmr(p: String): Unit = { val f = new java.io.File(p)
+      if (f.exists()) { def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete() }; rm(f) } }
+    rmr("target/test-ssloj")
+    val stage = Files.createDirectories(Paths.get("target/test-ssloj/src"))
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    def writeOne(rows: Seq[(java.sql.Timestamp, Long, String, Long)],
+                 name: String): Unit = {
+      val tmp = s"target/test-ssloj/tmp_$name"
+      rows.toDF("ts", "user_id", "event_type", "event_id")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, stage.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Thread.sleep(5)
+    }
+    // u1's click never matches; u2/u3 match; u4's click arrives last and
+    // is still inside the watermark at end-of-stream
+    writeOne(Seq((ts(10, 0), 1L, "click", 1L), (ts(10, 0), 2L, "click", 2L),
+      (ts(10, 10), 2L, "purchase", 3L)), "f1")
+    writeOne(Seq((ts(20, 0), 3L, "click", 4L), (ts(20, 5), 3L, "purchase", 5L)), "f2")
+    writeOne(Seq((ts(23, 0), 4L, "click", 6L)), "f3")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType)))
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toAbsolutePath.toString)
+    val clicks = src().where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts")).withWatermark("c_ts", "1 hour")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts")).withWatermark("p_ts", "1 hour")
+    val q = clicks.join(purchases,
+      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"),
+      "left_outer")
+      .select(col("c_id"), col("p_id"))
+      .writeStream.format("memory").queryName("graft_ssloj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("graft_ssloj").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // matched pairs emit eagerly; u1's unmatched click emits null-extended
+    // once the watermark passes its join window; u4's click stays open
+    assert(out == Set((1L, -1L), (2L, 3L), (4L, 5L)), out.toString)
+  }
+
   test("session_window: batch and streaming executions agree") {
     Tables.register(spark, TestSpark.sf0001)
     val batch = spark.table("events")
