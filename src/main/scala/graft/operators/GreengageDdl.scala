@@ -267,6 +267,23 @@ object GreengageDdl {
     name
   }
 
+  /** `setval(seq, v)` (commands/sequence.c): the next nextval hands out
+    * ids strictly above v, PG's `is_called = true` form. */
+  def setval(seqName: String, value: Long): Long = {
+    sequences.synchronized {
+      require(sequences.containsKey(seqName), s"unknown sequence: $seqName")
+      sequences.put(seqName, value + 1)
+    }
+    value
+  }
+
+  /** The next id block's base (diagnostic analog of currval: what the
+    * upcoming nextval invocation will start from). */
+  def nextBase(seqName: String): Long = sequences.synchronized {
+    Option(sequences.get(seqName)).getOrElse(
+      throw new IllegalArgumentException(s"unknown sequence: $seqName"))
+  }
+
   /** Ids reserved per nextval invocation: room for 2^11 partitions ×
     * 2^33 rows/partition of monotonically_increasing_id space. */
   private val SeqBlock = 1L << 44

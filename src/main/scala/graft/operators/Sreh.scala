@@ -37,6 +37,19 @@ object Sreh {
     res.copy(errorLog = spark.read.schema(logSchema).json(errorTablePath))
   }
 
+  /** `SEGMENT REJECT LIMIT n PERCENT` (gram.y:5726 — the percent form):
+    * the load fails when rejects exceed `pct` percent of the input rows
+    * seen, instead of an absolute count. */
+  def readCsvPercent(spark: SparkSession, path: String, schema: StructType,
+                     pct: Double, header: Boolean = false): SrehResult = {
+    require(pct > 0 && pct <= 100, s"reject percent out of range: $pct")
+    val res = readCsv(spark, path, schema, rejectLimit = Long.MaxValue, header)
+    val total = res.good.count() + res.rejected
+    if (total > 0 && res.rejected * 100.0 > pct * total)
+      throw RejectLimitExceeded(res.rejected, math.ceil(pct * total / 100.0).toLong)
+    res
+  }
+
   def readCsv(spark: SparkSession, path: String, schema: StructType,
               rejectLimit: Long, header: Boolean = false): SrehResult = {
     val corrupt = "_corrupt_record"

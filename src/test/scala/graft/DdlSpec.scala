@@ -132,6 +132,18 @@ class DdlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GreengageDdl.nextvalColumn("nope"))
   }
 
+  test("setval repositions a sequence; nextval continues above it") {
+    GreengageDdl.createSequence("CREATE SEQUENCE sv_seq START WITH 10")
+    assert(GreengageDdl.nextBase("sv_seq") == 10L)
+    assert(GreengageDdl.setval("sv_seq", 5000L) == 5000L)
+    assert(GreengageDdl.nextBase("sv_seq") == 5001L)
+    val ids = spark.range(0, 10).coalesce(1)
+      .withColumn("id", GreengageDdl.nextvalColumn("sv_seq"))
+      .select("id").collect().map(_.getLong(0))
+    assert(ids.forall(_ > 5000L)) // strictly above the setval position
+    intercept[IllegalArgumentException](GreengageDdl.setval("nope_seq", 1L))
+  }
+
   test("column-level CHECK constraints strip like the other constraints") {
     val spec = GreengageDdl.parse(
       """CREATE TABLE chk_ddl (

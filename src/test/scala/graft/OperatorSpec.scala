@@ -172,6 +172,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.rejected == 4 && e.limit == 3)
   }
 
+  test("SREH percent form: reject limit as a fraction of input rows") {
+    val dir = new java.io.File("target/test-sreh-pct"); dir.mkdirs()
+    val f = new java.io.File(dir, "in.csv")
+    val rows = (1 to 20).map(i =>
+      if (i % 5 == 0) s"$i,broken" else s"$i,n$i,${i * 2.0}")
+    java.nio.file.Files.write(f.toPath, rows.mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    // 4/20 = 20% rejects: a 25% limit tolerates it, a 10% limit fails
+    assert(Sreh.readCsvPercent(spark, f.getAbsolutePath, schema, pct = 25)
+      .good.count() == 16)
+    val e = intercept[Sreh.RejectLimitExceeded] {
+      Sreh.readCsvPercent(spark, f.getAbsolutePath, schema, pct = 10)
+    }
+    assert(e.rejected == 4)
+  }
+
   test("SREH badRecordsPath variant spools rejects as an error table") {
     val dir = new java.io.File("target/test-sreh-log"); dir.mkdirs()
     val f = new java.io.File(dir, "in.csv")
