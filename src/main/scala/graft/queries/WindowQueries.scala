@@ -101,10 +101,85 @@ object WindowQueries {
         row_number().over(byCust).as("nth_order_of_cust"),
         rank().over(byStatus).as("price_rank_in_status"),
         count(lit(1)).over(Window.partitionBy("o_custkey")).as("cust_orders"))
+    }),
+
+    // GROUPS frame mode (nodeWindowAgg.c FRAMEOPTION_GROUPS; SQL:2011):
+    // Spark has no GROUPS frames, but GROUPS BETWEEN n PRECEDING AND m
+    // FOLLOWING ≡ RANGE ±n/±m over the dense_rank of the order key —
+    // peer groups become consecutive integers, so the value-offset RANGE
+    // frame walks whole groups. Verified against DuckDB's native GROUPS.
+    "q120_window_groups_frame" -> ((s, d) => {
+      val qb = floor(col("l_quantity") / 10).cast("int")
+      val wOrd = Window.partitionBy("l_orderkey").orderBy(col("qb"))
+      val wG = Window.partitionBy("l_orderkey").orderBy(col("g"))
+        .rangeBetween(-1, 1)
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), qb.as("qb"), col("l_extendedprice"))
+        .withColumn("g", dense_rank().over(wOrd))
+        .select(col("l_orderkey"), col("qb"),
+          sum(dec(col("l_extendedprice"))).over(wG).cast("double").as("grp_sum"),
+          count(lit(1)).over(wG).as("grp_n"))
+    }),
+
+    // Frame EXCLUDE clauses (SQL:2011 EXCLUDE CURRENT ROW / GROUP /
+    // TIES; nodeWindowAgg.c FRAMEOPTION_EXCLUDE_*): Spark lacks them,
+    // but over a RANGE frame they are exact decimal arithmetic on the
+    // inclusive frame — minus the current row, minus the peer group, or
+    // peers-minus-self — with NULL guards where the exclusion empties
+    // the frame. Verified against DuckDB's native EXCLUDE.
+    "q121_window_exclude" -> ((s, d) => {
+      val qb = floor(col("l_quantity") / 10).cast("int")
+      val w = Window.partitionBy("l_orderkey").orderBy(col("qb"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val cur = dec(col("l_extendedprice"))
+      val frameSum = sum(dec(col("l_extendedprice"))).over(w)
+      val frameN = count(lit(1)).over(w)
+      val peerSum = sum(dec(col("l_extendedprice")))
+        .over(Window.partitionBy("l_orderkey", "qb"))
+      val peerN = count(lit(1)).over(Window.partitionBy("l_orderkey", "qb"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), qb.as("qb"), col("l_extendedprice"))
+        .select(col("l_orderkey"), col("qb"),
+          when(frameN > 1, frameSum - cur).cast("double").as("excl_current"),
+          when(frameN > peerN, frameSum - peerSum).cast("double").as("excl_group"),
+          (frameSum - peerSum + cur).cast("double").as("excl_ties"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB 1.0 implements neither GROUPS nor EXCLUDE, so the oracle
+    // spells the identical dense_rank/frame-arithmetic construction in
+    // SQL (engine parity); the rewrite's equivalence to the SQL:2011
+    // semantics themselves is pinned by a hand-computed fixture in
+    // ReferencePatternsSpec.
+    "q120_window_groups_frame" ->
+      """WITH b AS (SELECT l_orderkey, CAST(FLOOR(l_quantity / 10) AS INT) AS qb,
+        |                  l_extendedprice FROM lineitem),
+        |g AS (SELECT b.*, DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY qb) AS g
+        |      FROM b)
+        |SELECT l_orderkey, qb,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS grp_sum,
+        |  COUNT(*) OVER w AS grp_n
+        |FROM g
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY g
+        |             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin,
+    "q121_window_exclude" ->
+      """WITH b AS (SELECT l_orderkey, CAST(FLOOR(l_quantity / 10) AS INT) AS qb,
+        |                  l_extendedprice FROM lineitem)
+        |SELECT l_orderkey, qb,
+        |  CASE WHEN COUNT(*) OVER wf > 1
+        |       THEN CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER wf
+        |                 - CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) END AS excl_current,
+        |  CASE WHEN COUNT(*) OVER wf > COUNT(*) OVER wp
+        |       THEN CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER wf
+        |                 - SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER wp AS DOUBLE) END AS excl_group,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER wf
+        |       - SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER wp
+        |       + CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS excl_ties
+        |FROM b
+        |WINDOW wf AS (PARTITION BY l_orderkey ORDER BY qb
+        |              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       wp AS (PARTITION BY l_orderkey, qb)""".stripMargin,
     "q65_window_multiwindow" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey

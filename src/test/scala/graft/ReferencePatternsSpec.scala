@@ -234,6 +234,42 @@ class ReferencePatternsSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(2)).toSet == (3 to 9).map(_.toDouble).toSet)
   }
 
+  test("GROUPS frame / EXCLUDE rewrites match SQL:2011 semantics by hand") {
+    import org.apache.spark.sql.expressions.Window
+    // one partition; peer groups by qb: {10,20} | {30} | {40}
+    val df = Seq((1, 1, 10.0), (1, 1, 20.0), (1, 2, 30.0), (1, 3, 40.0))
+      .toDF("pk", "qb", "x")
+    // GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING via dense_rank + RANGE
+    val g = dense_rank().over(Window.partitionBy("pk").orderBy("qb"))
+    val wG = Window.partitionBy("pk").orderBy("g").rangeBetween(-1, 1)
+    val groups = df.withColumn("g", g)
+      .select(col("x"), sum("x").over(wG).as("s")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // hand-computed per SQL:2011: qb=1 rows see groups {1,2} = 60;
+    // qb=2 sees all = 100; qb=3 sees groups {2,3} = 70
+    assert(groups == Map(10.0 -> 60.0, 20.0 -> 60.0, 30.0 -> 100.0, 40.0 -> 70.0))
+    // EXCLUDE over RANGE UNBOUNDED PRECEDING..CURRENT ROW (peers included)
+    val wf = Window.partitionBy("pk").orderBy("qb")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.partitionBy("pk", "qb")
+    val ex = df.select(col("x"),
+      when(count(lit(1)).over(wf) > 1, sum("x").over(wf) - col("x"))
+        .as("excl_current"),
+      when(count(lit(1)).over(wf) > count(lit(1)).over(wp),
+        sum("x").over(wf) - sum("x").over(wp)).as("excl_group"),
+      (sum("x").over(wf) - sum("x").over(wp) + col("x")).as("excl_ties"))
+      .collect().map(r => r.getDouble(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    // hand-computed: x=10: frame {10,20} → current 20, group NULL, ties 10
+    //               x=20: frame {10,20} → current 10, group NULL, ties 20
+    //               x=30: frame 60 → current 30, group 30, ties 60
+    //               x=40: frame 100 → current 60, group 60, ties 100
+    assert(ex(10.0) == ((Some(20.0), None, 10.0)), ex(10.0).toString)
+    assert(ex(20.0) == ((Some(10.0), None, 20.0)))
+    assert(ex(30.0) == ((Some(30.0), Some(30.0), 60.0)))
+    assert(ex(40.0) == ((Some(60.0), Some(60.0), 100.0)))
+  }
+
   test("named WINDOW clause binds and misuse errors (window_views.sql, qp_olap_windowerr)") {
     (1 to 6).map(i => (i, i % 3)).toDF("a", "b").createOrReplaceTempView("wv_t")
     // WINDOW w AS (...) with the frame in the named spec
