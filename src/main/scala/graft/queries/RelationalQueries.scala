@@ -427,6 +427,36 @@ object RelationalQueries {
         .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n"))
     }),
 
+    // TPC-H Q21 shape (adapted to fixture columns): EXISTS and
+    // NOT EXISTS correlated against the SAME table — the suppliers who
+    // were the only 'R'-flag line in a multi-supplier finished order.
+    // Exercises semi + anti decorrelation stacked on one fact scan.
+    "q122_tpch_q21_shape" -> ((s, d) => sql(s, d,
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name""".stripMargin)),
+
+    // TPC-H Q2 shape (adapted: lineitem stands in for partsupp): the
+    // minimum-cost supplier per part via a correlated scalar-agg
+    // subquery in WHERE against the outer part key.
+    "q123_tpch_q2_shape" -> ((s, d) => sql(s, d,
+      """SELECT p_partkey, p_name, s_name, l_extendedprice
+        |FROM part, supplier, lineitem
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size < 10
+        |  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = p_partkey)""".stripMargin)),
+
     // As-of join via the ordered-union + last_value window trick (SURVEY
     // §2.3: the reference runs these as inequality MergeJoins; the
     // oracle uses DuckDB's native ASOF JOIN — same semantics, tie at
@@ -863,6 +893,27 @@ object RelationalQueries {
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q122_tpch_q21_shape" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name""".stripMargin,
+    "q123_tpch_q2_shape" ->
+      """SELECT p_partkey, p_name, s_name, l_extendedprice
+        |FROM part, supplier, lineitem
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size < 10
+        |  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "q36_asof_join" ->
       """WITH quotes AS (
         |  SELECT o_custkey AS k, o_orderdate AS tt,
