@@ -70,6 +70,36 @@ object Ranges {
     if ((norm & 32) != 0) r = r / (r + 1.0d)
     r
   }
+
+  /** 1-based positions of `t` in the word array (PG tsvector position
+    * list for one lexeme). */
+  def termPositions(words: Column, t: String): Column =
+    filter(sequence(lit(1), size(words)), i => element_at(words, i) === lit(t))
+
+  /** PG `ts_rank_cd` (cover density, reference `utils/adt/tsrank.c:
+    * 525-798` Cover/calc_rank_cd) for the two-term AND query. The
+    * Cover() scan over a 2-term document representation emits exactly
+    * the ADJACENT unlike-term pairs of the merged position list (scan
+    * up to the first position completing the query = q, back down to
+    * the latest start = p, resume after p), and with uniform unlabeled
+    * D-weights Cpos = w and nNoise = q - p - 1, so each cover adds
+    * `w / (1 + nNoise) = 0.1 / (q - p)`. Declarative on purpose: the
+    * same construction is spelled in the DuckDB oracle, and a
+    * hand-computed fixture pins it against the C algorithm's walk. */
+  def tsRankCd(words: Column, t1: String, t2: String): Column = {
+    val m = sort_array(concat(
+      transform(termPositions(words, t1), p => struct(p.as("pos"), lit(1).as("trm"))),
+      transform(termPositions(words, t2), p => struct(p.as("pos"), lit(2).as("trm")))))
+    val n = size(m)
+    when(n >= 2,
+      aggregate(sequence(lit(1), n - 1), lit(0.0d), (acc, i) => {
+        val a = element_at(m, i)
+        val b = element_at(m, i + 1)
+        acc + when(a.getField("trm") =!= b.getField("trm"),
+          lit(0.1d) / (b.getField("pos") - a.getField("pos")).cast("double"))
+          .otherwise(lit(0.0d))
+      })).otherwise(lit(0.0d))
+  }
 }
 
 /** tsquery parser: recursive descent over `& | ! ( ) term[:*]` tokens. */

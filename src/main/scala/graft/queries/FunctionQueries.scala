@@ -177,6 +177,18 @@ object FunctionQueries {
           round(tsRank(words, Seq("data", "query")), 6).as("rank"))
     }),
 
+    // ts_rank_cd cover-density ranking (tsrank.c calc_rank_cd): minimal
+    // query covers scored by width — proximity-sensitive, unlike the
+    // frequency-only ts_rank.
+    "q124_ts_rank_cd" -> ((s, d) => {
+      import graft.functions.Ranges._
+      val words = split(col("text"), " ")
+      t(s, d, "documents")
+        .where(tsMatch(words, Seq("data", "query")))
+        .select(col("doc_id"),
+          round(tsRankCd(words, "data", "query"), 6).as("rank_cd"))
+    }),
+
     // json_each-style object-to-rows expansion (jsonfuncs.c:1325):
     // explode a JSON object into one row per key/value pair. The object
     // is built from order columns (3 keys/row); key order follows the
@@ -524,6 +536,26 @@ object FunctionQueries {
         |WHERE (list_contains(words, 'data') OR list_contains(words, 'sql'))
         |  AND NOT list_contains(words, 'error')
         |  AND len(list_filter(words, x -> x LIKE 'quer%')) > 0""".stripMargin,
+    // merged [pos, term] lists sort identically to Spark's struct
+    // sort_array (pos first), and each adjacent unlike-term pair is one
+    // PG cover contributing 0.1/(q-p)
+    "q124_ts_rank_cd" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |p AS (SELECT doc_id, words,
+        |  list_sort(list_concat(
+        |    list_transform(list_filter(range(1, len(words) + 1),
+        |      i -> words[CAST(i AS INT)] = 'data'), x -> [CAST(x AS INT), 1]),
+        |    list_transform(list_filter(range(1, len(words) + 1),
+        |      i -> words[CAST(i AS INT)] = 'query'), x -> [CAST(x AS INT), 2]))) AS m
+        |  FROM w)
+        |SELECT doc_id,
+        |  ROUND(list_sum(list_transform(range(1, len(m)), i ->
+        |    CASE WHEN m[CAST(i AS INT)][2] <> m[CAST(i AS INT) + 1][2]
+        |         THEN CAST(0.1 AS DOUBLE) /
+        |              CAST(m[CAST(i AS INT) + 1][1] - m[CAST(i AS INT)][1] AS DOUBLE)
+        |         ELSE CAST(0.0 AS DOUBLE) END)), 6) AS rank_cd
+        |FROM p
+        |WHERE list_contains(words, 'data') AND list_contains(words, 'query')""".stripMargin,
     // same parenthesization the macro expansion emits, so the IEEE
     // double arithmetic is shape-identical on both engines
     "q119_sql_function" ->

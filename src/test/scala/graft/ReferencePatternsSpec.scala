@@ -234,6 +234,25 @@ class ReferencePatternsSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(2)).toSet == (3 to 9).map(_.toDouble).toSet)
   }
 
+  test("ts_rank_cd matches the Cover() walk on hand-computed examples") {
+    import graft.functions.Ranges
+    val df = Seq(
+      "a x q",          // covers: (1,3) → 0.1/2 = 0.05
+      "a q",            // (1,2) → 0.1/1 = 0.1
+      "a x x q a",      // (1,4): 0.1/3; (4,5): 0.1/1 → 0.133333
+      "a a q q",        // (2,3) only adjacent unlike pair → 0.1
+      "q x a x q",      // (1,3): 0.1/2; (3,5): 0.1/2 → 0.1
+      "a x x x x x x x" // no cover (q missing) → filtered by tsMatch
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t.replace("a", "data").replace("q", "query")) }
+      .toDF("doc_id", "text")
+    val words = split(col("text"), " ")
+    val out = df.where(Ranges.tsMatch(words, Seq("data", "query")))
+      .select(col("doc_id"),
+        round(Ranges.tsRankCd(words, "data", "query"), 6).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(0L -> 0.05, 1L -> 0.1, 2L -> 0.133333, 3L -> 0.1, 4L -> 0.1))
+  }
+
   test("GROUPS frame / EXCLUDE rewrites match SQL:2011 semantics by hand") {
     import org.apache.spark.sql.expressions.Window
     // one partition; peer groups by qb: {10,20} | {30} | {40}
