@@ -221,8 +221,19 @@ object GreengageDdl {
       spec.ctasQuery.filter(_ => spec.materialized)
         .map(q => s"'graft.matview.sql'='${q.replace("'", "''")}'")
     val propSql = s" TBLPROPERTIES (${props.mkString(", ")})"
+    // WITH (compresstype=...) really drives the parquet codec, not just
+    // a recorded property (zlib has no parquet codec; gzip is its
+    // deflate sibling; quicklz/rle_type map to snappy, the fast-codec
+    // analog)
+    val codec = spec.storageOpts.get("compresstype").map(_.toLowerCase).collect {
+      case "zstd" => "zstd"
+      case "zlib" => "gzip"
+      case "quicklz" | "rle_type" => "snappy"
+      case "none" => "uncompressed"
+    }
+    val optSql = codec.map(c => s" OPTIONS ('compression' '$c')").getOrElse("")
     val asSql = spec.ctasQuery.map(q => s" AS $q").getOrElse("")
-    s"CREATE TABLE $ine${spec.name}$colSql USING parquet$partSql$bucketSql$propSql$asSql"
+    s"CREATE TABLE $ine${spec.name}$colSql USING parquet$optSql$partSql$bucketSql$propSql$asSql"
   }
 
   /** Parse + execute a Greengage CREATE TABLE against the session catalog. */

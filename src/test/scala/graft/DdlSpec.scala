@@ -132,6 +132,21 @@ class DdlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GreengageDdl.nextvalColumn("nope"))
   }
 
+  test("WITH (compresstype=zstd) drives the parquet codec on disk") {
+    Tables.register(spark, TestSpark.sf0001)
+    drop("nation_zstd")
+    GreengageDdl.execute(spark,
+      """CREATE TABLE nation_zstd
+        |WITH (appendonly=true, orientation=column, compresstype=zstd)
+        |AS SELECT n_nationkey, n_name FROM nation
+        |DISTRIBUTED RANDOMLY""".stripMargin)
+    val loc = new java.io.File("target/test-warehouse/nation_zstd")
+    val files = Option(loc.listFiles()).getOrElse(Array.empty).map(_.getName)
+    assert(files.exists(_.endsWith(".zstd.parquet")),
+      s"no zstd parquet files in ${files.mkString(",")}")
+    assert(spark.table("nation_zstd").count() == 25)
+  }
+
   test("setval repositions a sequence; nextval continues above it") {
     GreengageDdl.createSequence("CREATE SEQUENCE sv_seq START WITH 10")
     assert(GreengageDdl.nextBase("sv_seq") == 10L)

@@ -157,6 +157,34 @@ class PlanSpec extends AnyFunSuite {
     assert(stats.contains("distinct_count=25"), stats)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import org.apache.spark.sql.functions.{col, when}
+    // 100k rows of one hot key vs 99 cold keys, joined against a side
+    // too big to broadcast under the lowered threshold — the skew-join
+    // rule must split the hot partition instead of one task dragging
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = spark.range(0, 200000)
+        .select((when(col("id") % 2 === 0, 0).otherwise(col("id") % 99))
+          .as("k"), col("id").as("payload"))
+      val other = spark.range(0, 5000).select(
+        (col("id") % 100).as("k"), col("id").as("dim"))
+      val j = skewed.join(other, "k")
+      assert(j.collect().length > 0) // execute THIS plan so AQE finalizes
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), "AQE skew-join did not split:\n" + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ANALYZE stats drive a CBO join reorder on a 3-table chain") {
     Tables.register(spark, sf)
     dropManaged("li_cbo", "ord_cbo", "cust_cbo")
