@@ -121,6 +121,27 @@ object WindowQueries {
           count(lit(1)).over(wG).as("grp_n"))
     }),
 
+    // Calendar-spine gap filling with LOCF (generate_series scaffold +
+    // IGNORE NULLS last_value — the PG time-series idiom the reference
+    // runs via generate_series joins; nodeWindowAgg ignore-nulls path).
+    "q125_gapfill_locf" -> ((s, d) => sql(s, d,
+      """WITH days AS (
+        |  SELECT explode(sequence(DATE'1997-01-01', DATE'1997-03-31',
+        |                          interval 1 day)) AS d
+        |), daily AS (
+        |  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT st.o_orderstatus, days.d, daily.total
+        |  FROM days CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+        |  LEFT JOIN daily ON daily.o_orderstatus = st.o_orderstatus
+        |                 AND daily.d = days.d)
+        |SELECT o_orderstatus, d,
+        |  last_value(total, true) OVER (PARTITION BY o_orderstatus ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_locf
+        |FROM spine""".stripMargin)),
+
     // Frame EXCLUDE clauses (SQL:2011 EXCLUDE CURRENT ROW / GROUP /
     // TIES; nodeWindowAgg.c FRAMEOPTION_EXCLUDE_*): Spark lacks them,
     // but over a RANGE frame they are exact decimal arithmetic on the
@@ -147,6 +168,23 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q125_gapfill_locf" ->
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1997-01-01', DATE '1997-03-31',
+        |                                     INTERVAL 1 DAY)) AS DATE) AS d
+        |), daily AS (
+        |  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT st.o_orderstatus, days.d, daily.total
+        |  FROM days CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+        |  LEFT JOIN daily ON daily.o_orderstatus = st.o_orderstatus
+        |                 AND daily.d = days.d)
+        |SELECT o_orderstatus, d,
+        |  LAST_VALUE(total IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_locf
+        |FROM spine""".stripMargin,
     // DuckDB 1.0 implements neither GROUPS nor EXCLUDE, so the oracle
     // spells the identical dense_rank/frame-arithmetic construction in
     // SQL (engine parity); the rewrite's equivalence to the SQL:2011
