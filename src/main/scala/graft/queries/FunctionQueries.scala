@@ -189,6 +189,28 @@ object FunctionQueries {
           round(tsRankCd(words, "data", "query"), 6).as("rank_cd"))
     }),
 
+    // jsonb operator family ? @> || - (jsonb_op.c) over parsed flat
+    // objects: existence, containment, concat (right wins), deletion.
+    "q127_jsonb_ops" -> ((s, d) => {
+      import graft.functions.Jsonb
+      val j = concat(lit("{\"status\":\""), col("o_orderstatus"),
+        lit("\",\"prio\":\""), col("o_orderpriority"), lit("\"}"))
+      val m = from_json(j, org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+      val extra = map(lit("clerk"), concat(lit("c_"), col("o_custkey")),
+        lit("status"), lit("X")) // status collides: right wins
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        Jsonb.hasKey(m, "prio").as("has_prio"),
+        Jsonb.hasAllKeys(m, Seq("status", "prio")).as("has_both"),
+        Jsonb.containsAll(m, Map("status" -> "F", "prio" -> "1-URGENT"))
+          .as("is_urgent_f"),
+        element_at(Jsonb.concat(m, extra), "status").as("status_after_concat"),
+        element_at(Jsonb.concat(m, extra), "clerk").as("clerk"),
+        size(Jsonb.removeKey(m, "prio")).as("n_after_del"))
+    }),
+
     // json_each-style object-to-rows expansion (jsonfuncs.c:1325):
     // explode a JSON object into one row per key/value pair. The object
     // is built from order columns (3 keys/row); key order follows the
@@ -536,6 +558,20 @@ object FunctionQueries {
         |WHERE (list_contains(words, 'data') OR list_contains(words, 'sql'))
         |  AND NOT list_contains(words, 'error')
         |  AND len(list_filter(words, x -> x LIKE 'quer%')) > 0""".stripMargin,
+    "q127_jsonb_ops" ->
+      """WITH j AS (SELECT o_orderkey, o_custkey,
+        |  '{"status":"' || o_orderstatus || '","prio":"' || o_orderpriority || '"}' AS obj
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  json_extract(obj, '$.prio') IS NOT NULL AS has_prio,
+        |  (json_extract(obj, '$.status') IS NOT NULL
+        |   AND json_extract(obj, '$.prio') IS NOT NULL) AS has_both,
+        |  (json_extract_string(obj, '$.status') = 'F'
+        |   AND json_extract_string(obj, '$.prio') = '1-URGENT') AS is_urgent_f,
+        |  'X' AS status_after_concat,
+        |  'c_' || CAST(o_custkey AS VARCHAR) AS clerk,
+        |  1 AS n_after_del
+        |FROM j""".stripMargin,
     // merged [pos, term] lists sort identically to Spark's struct
     // sort_array (pos first), and each adjacent unlike-term pair is one
     // PG cover contributing 0.1/(q-p)

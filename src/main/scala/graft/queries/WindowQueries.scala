@@ -121,6 +121,20 @@ object WindowQueries {
           count(lit(1)).over(wG).as("grp_n"))
     }),
 
+    // Window aggregate FILTER clause (PG: agg FILTER (WHERE ...) OVER w;
+    // parse_agg.c): Spark lacks FILTER on window functions — the rewrite
+    // is the conditional-NULL argument, which every SQL aggregate
+    // ignores. Verified against DuckDB's native window FILTER.
+    "q126_window_filter" -> ((s, d) => sql(s, d,
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) OVER w
+        |       AS DOUBLE) AS f_total,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) OVER w AS f_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // Calendar-spine gap filling with LOCF (generate_series scaffold +
     // IGNORE NULLS last_value — the PG time-series idiom the reference
     // runs via generate_series joins; nodeWindowAgg ignore-nulls path).
@@ -168,6 +182,14 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q126_window_filter" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderstatus = 'F') OVER w AS DOUBLE) AS f_total,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') OVER w AS f_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q125_gapfill_locf" ->
       """WITH days AS (
         |  SELECT CAST(unnest(generate_series(DATE '1997-01-01', DATE '1997-03-31',
