@@ -86,10 +86,17 @@ object Ranges {
     * `w / (1 + nNoise) = 0.1 / (q - p)`. Declarative on purpose: the
     * same construction is spelled in the DuckDB oracle, and a
     * hand-computed fixture pins it against the C algorithm's walk. */
-  def tsRankCd(words: Column, t1: String, t2: String): Column = {
-    val m = sort_array(concat(
+  /** Merged (pos, term) document representation for [[tsRankCdOf]].
+    * Materialize this as its OWN column (`withColumn`) before ranking:
+    * a Column referenced inside a lambda is re-evaluated per element,
+    * turning the fold O(len²) per row if the merge is inlined. */
+  def mergedPositions(words: Column, t1: String, t2: String): Column =
+    sort_array(concat(
       transform(termPositions(words, t1), p => struct(p.as("pos"), lit(1).as("trm"))),
       transform(termPositions(words, t2), p => struct(p.as("pos"), lit(2).as("trm")))))
+
+  /** Cover-density rank over an already-materialized merged list. */
+  def tsRankCdOf(m: Column): Column = {
     val n = size(m)
     when(n >= 2,
       aggregate(sequence(lit(1), n - 1), lit(0.0d), (acc, i) => {
@@ -100,6 +107,9 @@ object Ranges {
           .otherwise(lit(0.0d))
       })).otherwise(lit(0.0d))
   }
+
+  def tsRankCd(words: Column, t1: String, t2: String): Column =
+    tsRankCdOf(mergedPositions(words, t1, t2))
 }
 
 /** tsquery parser: recursive descent over `& | ! ( ) term[:*]` tokens. */

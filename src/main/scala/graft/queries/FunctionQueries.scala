@@ -185,8 +185,10 @@ object FunctionQueries {
       val words = split(col("text"), " ")
       t(s, d, "documents")
         .where(tsMatch(words, Seq("data", "query")))
-        .select(col("doc_id"),
-          round(tsRankCd(words, "data", "query"), 6).as("rank_cd"))
+        // merged positions as a real column: inlining it into the fold
+        // re-evaluates the merge per element (O(len²) per doc)
+        .withColumn("m", mergedPositions(words, "data", "query"))
+        .select(col("doc_id"), round(tsRankCdOf(col("m")), 6).as("rank_cd"))
     }),
 
     // jsonb operator family ? @> || - (jsonb_op.c) over parsed flat
@@ -195,20 +197,24 @@ object FunctionQueries {
       import graft.functions.Jsonb
       val j = concat(lit("{\"status\":\""), col("o_orderstatus"),
         lit("\",\"prio\":\""), col("o_orderpriority"), lit("\"}"))
-      val m = from_json(j, org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType,
-        org.apache.spark.sql.types.StringType))
-      val extra = map(lit("clerk"), concat(lit("c_"), col("o_custkey")),
-        lit("status"), lit("X")) // status collides: right wins
-      t(s, d, "orders").select(
-        col("o_orderkey"),
-        Jsonb.hasKey(m, "prio").as("has_prio"),
-        Jsonb.hasAllKeys(m, Seq("status", "prio")).as("has_both"),
-        Jsonb.containsAll(m, Map("status" -> "F", "prio" -> "1-URGENT"))
-          .as("is_urgent_f"),
-        element_at(Jsonb.concat(m, extra), "status").as("status_after_concat"),
-        element_at(Jsonb.concat(m, extra), "clerk").as("clerk"),
-        size(Jsonb.removeKey(m, "prio")).as("n_after_del"))
+      t(s, d, "orders")
+        // parse ONCE into real columns — every later reference to an
+        // inline from_json expr would re-parse the document
+        .withColumn("m", from_json(j, org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+        .withColumn("cat", Jsonb.concat(col("m"),
+          map(lit("clerk"), concat(lit("c_"), col("o_custkey")),
+            lit("status"), lit("X")))) // status collides: right wins
+        .select(
+          col("o_orderkey"),
+          Jsonb.hasKey(col("m"), "prio").as("has_prio"),
+          Jsonb.hasAllKeys(col("m"), Seq("status", "prio")).as("has_both"),
+          Jsonb.containsAll(col("m"), Map("status" -> "F", "prio" -> "1-URGENT"))
+            .as("is_urgent_f"),
+          element_at(col("cat"), "status").as("status_after_concat"),
+          element_at(col("cat"), "clerk").as("clerk"),
+          size(Jsonb.removeKey(col("m"), "prio")).as("n_after_del"))
     }),
 
     // json_each-style object-to-rows expansion (jsonfuncs.c:1325):
