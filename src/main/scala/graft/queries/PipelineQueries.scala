@@ -242,6 +242,28 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sumd(col("c_acctbal")).as("bal"))
     }),
 
+    // WRITABLE external table (gpfdist-writable analog): the DSv2 batch
+    // sink streams each partition to its own delimited text file, the
+    // CSV reader loads it back, and the oracle aggregates the source —
+    // the write path must be lossless (Double.toString round-trips
+    // exactly; NULLs travel as \N).
+    "q128_writable_external" -> ((s, d) => {
+      val out = "target/ext_sink_demo"
+      t(s, d, "supplier")
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          col("s_acctbal"))
+        .repartition(4)
+        .write.format("graft.sources.ExtSink").mode("overwrite")
+        .option("path", out).option("delimiter", "|").save()
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType), StructField("s_name", StringType),
+        StructField("s_acctbal", DoubleType)))
+      s.read.option("sep", "|").option("nullValue", "\\N").schema(schema)
+        .csv(out)
+        .agg(count(lit(1)).as("n"), sumd(col("s_acctbal")).as("bal"),
+          sum(length(col("s_name"))).as("name_chars"))
+    }),
+
     // ForeignScan/FDW roundtrip (nodeForeignscan.c): dim shipped to a
     // REAL in-JVM JDBC endpoint (Derby in-memory), read back as a
     // foreign table, aggregated — oracle aggregates the source, so the
@@ -481,6 +503,10 @@ object PipelineQueries {
     "q107_ddl_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${oSumd("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q128_writable_external" ->
+      s"""SELECT COUNT(*) AS n, ${oSumd("s_acctbal")} AS bal,
+         |  CAST(SUM(length(s_name)) AS BIGINT) AS name_chars
+         |FROM supplier""".stripMargin,
     "q115_foreign_jdbc" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations,
         |  CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
