@@ -162,6 +162,94 @@ object Knn {
     rankTopK(scored, k)
   }
 
+  /** Product-quantization ANN (the IVFADC code path of Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+    * here the flat-ADC variant): the unit-normalized vector is split
+    * into `m` subvectors, each subspace gets its own `codes`-centroid
+    * k-means codebook, and the corpus is encoded ONCE into an
+    * m-byte-equivalent code array. Queries never touch the original
+    * vectors: each query precomputes an m×codes table of subspace dot
+    * products (asymmetric distance), and scoring a corpus vector is m
+    * table lookups on its codes.
+    *
+    * THE 100 TB story is memory: dim=64 float32 vectors are 256 B; the
+    * codes are m small ints — a ~30× smaller scan set, with the
+    * codebooks (m·codes·dsub doubles) broadcast. Encode is one narrow
+    * projection per corpus row (no shuffle); training collects only
+    * k-row aggregates per Lloyd step. The ADC pass nominates refine·k
+    * candidates per query and only those re-rank against the original
+    * vectors (the standard ADC+refine pipeline). Recall < 1 by
+    * construction — measured against brute force in OperatorSpec.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, codes: Int = 16, dim: Int = 64, trainIters: Int = 2,
+             refine: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireLongId(corpus, idCol, "corpus")
+    requireLongId(queries, idCol, "queries")
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    // unit-normalize so ADC dot products approximate cosine. The norm is
+    // materialized as its own column first: referencing it inside the
+    // transform lambda would re-run the O(dim) dot per ELEMENT.
+    def unitized(df: DataFrame, vc: String): DataFrame = df
+      .withColumn("__nrm", norm2(col(vc)))
+      .withColumn("__unit",
+        transform(col(vc), x => (x.cast("double") / col("__nrm")).cast("float")))
+      .drop("__nrm")
+    val cn = unitized(corpus, vecCol)
+    // per-subspace codebooks via the same Lloyd loop IVF uses, on sliced
+    // vectors (seeded lowest-id, deterministic)
+    val books: Array[(Array[Long], Array[Array[Double]])] =
+      Array.tabulate(m) { b =>
+        kmeansCentroids(
+          cn.select(col(idCol),
+            slice(col("__unit"), b * dsub + 1, dsub).as("__sub")),
+          codes, trainIters, idCol, "__sub", dsub)
+      }
+    // encode: one projection — per block, nearest sub-centroid's index
+    val codeCol = array(Array.tabulate(m) { b =>
+      val (cids, cents) = books(b)
+      (array_position(typedLit(cids.toSeq),
+        call_function("best_centroid", slice(col("__unit"), b * dsub + 1, dsub),
+          typedLit(cids.toSeq), typedLit(cents.map(_.toSeq).toSeq))) - 1)
+        .cast("int")
+    }: _*)
+    val encoded = cn.select(col(idCol).as("neighbor_id"), codeCol.as("__codes"))
+    // query side: flat m×codes ADC table of subspace dots, materialized
+    // BEFORE the join so it is computed once per query, not per pair
+    val qn = unitized(queries, vecCol)
+    val adcCol = concat(Array.tabulate(m) { b =>
+      val (_, cents) = books(b)
+      val qsub = slice(col("__unit"), b * dsub + 1, dsub)
+      array(cents.indices.map(c =>
+        call_function("vec_dot", qsub,
+          typedLit(cents(c).map(_.toFloat).toSeq))): _*)
+    }: _*)
+    val q = broadcast(qn.select(col(idCol).as("query_id"), adcCol.as("__adc")))
+    // ADC score = m table lookups; approximates cosine of the unit forms
+    val scored = q.join(encoded, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, b) =>
+          acc + element_at(col("__adc"),
+            (b * codes + element_at(col("__codes"), b + 1) + 1).cast("int")))
+          .as("cos_sim"))
+    // standard ADC+refine: the quantized scan nominates refine·k
+    // candidates, and only THOSE (a k-proportional set, not the corpus)
+    // are re-scored exactly against the original vectors
+    val cand = rankTopK(scored, k * refine).select("query_id", "neighbor_id")
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        Seq("query_id"))
+    // candidates (refine·k per query) broadcast against ONE corpus scan —
+    // the corpus is never shuffled for the re-rank either
+    val withVecs = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+    rankTopK(withVecs, k)
+  }
+
   /** Multi-table sign-LSH ANN: L independent tables of nPlanes random
     * hyperplanes each. The corpus is hashed once per table (L rows per
     * vector — linear); each query probes its bucket plus all Hamming-1

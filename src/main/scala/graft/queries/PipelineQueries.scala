@@ -109,6 +109,15 @@ object PipelineQueries {
       Knn.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5, trainIters = 2)
     }),
 
+    // Product-quantization ANN: corpus encoded once to m-byte codes,
+    // queries scored via ADC table lookups, refine·k candidates
+    // re-ranked exactly (rows-only; recall vs brute in OperatorSpec).
+    "q129_knn_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Knn.pqTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+        codes = 32, trainIters = 1, refine = 8)
+    }),
+
     // Embedding-cosine near-dup pairs (LSH self-join + exact verify;
     // rows-only — recall < 1 by construction, quality in OperatorSpec).
     "q104_dedup_embed" -> ((s, d) =>

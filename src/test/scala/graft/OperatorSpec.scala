@@ -90,6 +90,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.size <= 20 * 5)
   }
 
+  test("PQ KNN recall vs brute force on sf0.001 embeddings") {
+    Tables.register(spark, TestSpark.sf0001)
+    val emb = spark.table("embeddings")
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Knn.bruteForceTopK(emb, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Knn.pqTopK(emb, q, 5, codes = 32, trainIters = 3, refine = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    // 8 subspaces x 32 codes + 8x ADC-refine over 500 RANDOM vectors
+    // (the worst case for quantization — real embeddings cluster);
+    // seeded deterministic — pin a generous floor
+    info(s"pq recall=$recall")
+    assert(recall > 0.4, s"recall=$recall")
+    assert(pq.size == 20 * 5) // PQ scores every vector: always a full top-k
+  }
+
   test("embedding-cosine near-dup: all reported pairs verified, subset of exact") {
     Tables.register(spark, TestSpark.sf0001)
     val emb = spark.table("embeddings")
