@@ -234,6 +234,62 @@ class ReferencePatternsSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(2)).toSet == (3 to 9).map(_.toDouble).toSet)
   }
 
+  test("nested correlated subqueries match PG regress outputs (qp_correlated_query.sql)") {
+    // A/B/C/E fixtures from qp_correlated_query.sql setup; expected rows
+    // from src/test/regress/expected/qp_correlated_query.out:91-271
+    Seq((1, 1), (19, 5), (99, 62), (1, 1), (78, -1)).toDF("i", "j")
+      .createOrReplaceTempView("csq_a")
+    Seq((1, 43), (88, 1), (-1, 62), (1, 1), (32, 5), (2, 7)).toDF("i", "j")
+      .createOrReplaceTempView("csq_b")
+    Seq((1, 889), (288, 1), (-1, 625), (32, 65), (32, 62), (3, -1),
+      (99, 7), (78, 62), (2, 7)).toDF("i", "j").createOrReplaceTempView("csq_c")
+    Seq((1, 889), (288, 1), (-1, 625), (32, 65), (32, 62), (3, -1),
+      (99, 7), (78, 62)).toDF("i", "j").createOrReplaceTempView("csq_e")
+    def rows(q: String): Seq[Seq[Int]] =
+      spark.sql(q).collect().toSeq.map(r =>
+        (0 until r.length).map(i => r.getInt(i)))
+    // An IN sublink whose operand comes from the OUTERMOST scope while
+    // the subquery correlates to the MIDDLE scope ("sublink pull-up
+    // based on both left-hand and right-hand input") is beyond
+    // Catalyst's decorrelator today — it dies with an internal
+    // attribute-binding error. Pin that fact so an upgrade that fixes
+    // it is noticed...
+    intercept[Exception](rows(
+      """SELECT * FROM csq_b b WHERE EXISTS (
+        |  SELECT * FROM csq_c c, csq_a a WHERE c.j = a.j
+        |    AND b.i IN (SELECT c2.i FROM csq_c c2 WHERE c2.i = a.i AND c2.i != 10))
+        |ORDER BY 1, 2""".stripMargin))
+    // ...and run the PULLED-UP form (the flattening GP's own planner
+    // performs for this sublink: IN in WHERE-truth context ≡ a join
+    // conjunct) — single-level correlation, PG-identical rows (.out:91)
+    assert(rows(
+      """SELECT * FROM csq_b b WHERE EXISTS (
+        |  SELECT 1 FROM csq_c c, csq_a a, csq_c c2
+        |  WHERE c.j = a.j AND c2.i = a.i AND c2.i != 10 AND c2.i = b.i)
+        |ORDER BY 1, 2""".stripMargin) == Seq(Seq(1, 1), Seq(1, 43)))
+    // the NOT EXISTS complement (.out:98)
+    assert(rows(
+      """SELECT * FROM csq_b b WHERE NOT EXISTS (
+        |  SELECT 1 FROM csq_c c, csq_a a, csq_c c2
+        |  WHERE c.j = a.j AND c2.i = a.i AND c2.i != 10 AND c2.i = b.i)
+        |ORDER BY 1, 2""".stripMargin) ==
+      Seq(Seq(-1, 62), Seq(2, 7), Seq(32, 5), Seq(88, 1)))
+    // correlated NOT IN: NULL-aware anti against the correlated slice (.out:247)
+    assert(rows(
+      """SELECT a.i FROM csq_a a
+        |WHERE a.i NOT IN (SELECT b.i FROM csq_b b WHERE a.i = b.i)
+        |ORDER BY a.i""".stripMargin) == Seq(Seq(19), Seq(78), Seq(99)))
+    // NOT IN over a correlated AGGREGATE subquery inside EXISTS (.out:255)
+    // decorrelates natively; duplicates in A survive (multiset semantics)
+    assert(rows(
+      """SELECT * FROM csq_a a WHERE EXISTS (
+        |  SELECT * FROM csq_b b, csq_c c WHERE c.j = a.j
+        |    AND b.i NOT IN (SELECT SUM(c2.i) FROM csq_c c2
+        |                    WHERE c2.i = b.i AND c2.i != 10))
+        |ORDER BY 1, 2""".stripMargin) ==
+      Seq(Seq(1, 1), Seq(1, 1), Seq(78, -1), Seq(99, 62)))
+  }
+
   test("ts_rank_cd matches the Cover() walk on hand-computed examples") {
     import graft.functions.Ranges
     val df = Seq(
