@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+/** EXPLAIN ANALYZE (reference `src/backend/commands/explain.c` with
+  * ANALYZE instrumentation): execute the query, then walk the executed
+  * (post-AQE) physical plan and surface every operator's runtime SQL
+  * metrics — output rows, spill bytes, shuffle bytes, scan sizes,
+  * build times — as rows a user (or a regression harness) can query.
+  * Spark already instruments each operator; this makes the numbers a
+  * first-class result instead of UI-only state.
+  */
+object ExplainAnalyze {
+
+  final case class OpMetric(depth: Int, operator: String, metric: String,
+                            value: Long, unit: String)
+
+  /** Execute `df`'s OWN physical plan (a separate action like count()
+    * would instrument a different query) and return one row per
+    * (operator, metric), in plan order. */
+  def run(df: DataFrame): Seq[OpMetric] = {
+    val plan = df.queryExecution.executedPlan
+    plan.executeCollect() // materialize THIS plan so its metrics populate
+    collect(finalPlan(plan), 0)
+  }
+
+  /** Tabular form, for `display`/assert convenience. */
+  def runAsDataFrame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    run(df).toDF()
+  }
+
+  private def finalPlan(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => finalPlan(a.executedPlan)
+    case q: QueryStageExec => finalPlan(q.plan) // AQE stage wrappers (incl. result stage)
+    case other => other
+  }
+
+  private def collect(p: SparkPlan, depth: Int): Seq[OpMetric] = {
+    val own = p.metrics.toSeq.sortBy(_._1).map { case (name, m) =>
+      val unit = m.metricType match {
+        case "size" => "bytes"
+        case "timing" | "nsTiming" => "ms"
+        case other => other
+      }
+      OpMetric(depth, p.nodeName, name, m.value, unit)
+    }
+    own ++ p.children.flatMap(c => collect(finalPlan(c), depth + 1))
+  }
+}

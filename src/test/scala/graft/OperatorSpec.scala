@@ -290,6 +290,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(parseHeader("not an image".getBytes).isEmpty)
   }
 
+  test("EXPLAIN ANALYZE surfaces executed-plan metrics that match reality") {
+    import graft.operators.ExplainAnalyze
+    Tables.register(spark, TestSpark.sf0001)
+    val df = spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |WHERE o_totalprice > 1000 GROUP BY o_orderstatus""".stripMargin)
+    val metrics = ExplainAnalyze.run(df)
+    assert(metrics.nonEmpty)
+    // the scan's numOutputRows must equal what the filter actually kept
+    val expected = spark.table("orders").where("o_totalprice > 1000").count()
+    val scanRows = metrics.filter(m =>
+      m.operator.toLowerCase.contains("scan") && m.metric == "numOutputRows")
+      .map(_.value)
+    assert(scanRows.exists(_ == expected), s"scan rows $scanRows != $expected")
+    // aggregate output = number of groups
+    val aggRows = metrics.filter(m =>
+      m.operator.contains("HashAggregate") && m.metric == "numOutputRows")
+    assert(aggRows.nonEmpty)
+    assert(aggRows.map(_.value).min == df.count())
+    // the tabular form is queryable
+    assert(ExplainAnalyze.runAsDataFrame(df)
+      .where("metric = 'numOutputRows'").count() > 0)
+  }
+
   test("cursors: DECLARE/FETCH n pages the full result in order") {
     import graft.operators.Cursors
     Tables.register(spark, TestSpark.sf0001)
