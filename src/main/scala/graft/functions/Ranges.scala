@@ -110,6 +110,53 @@ object Ranges {
 
   def tsRankCd(words: Column, t1: String, t2: String): Column =
     tsRankCdOf(mergedPositions(words, t1, t2))
+
+  /** Full n-term Cover() walk (tsrank.c:533-612), JVM-side: scan up from
+    * the restart point until every query term is seen (cover end q),
+    * scan back down until the set completes again (cover start p), score
+    * `w / (1 + noiseWords)`, restart one past p. The 2-term declarative
+    * path above is this walk's closed form (covered by tests); use this
+    * for arbitrary AND queries via a typed map. */
+  def coverRankCd(words: IndexedSeq[String], terms: Seq[String],
+                  w: Double = 0.1): Double = {
+    val termIdx = terms.distinct.zipWithIndex.toMap
+    val nTerms = termIdx.size
+    val doc = words.iterator.zipWithIndex.collect {
+      case (word, i) if termIdx.contains(word) => (i + 1, termIdx(word))
+    }.toArray
+    var wdoc = 0.0
+    var start = 0
+    var exhausted = false
+    while (!exhausted && start < doc.length) {
+      val seen = new Array[Boolean](nTerms)
+      var nSeen = 0
+      var q = -1
+      var i = start
+      while (i < doc.length && q < 0) {
+        if (!seen(doc(i)._2)) { seen(doc(i)._2) = true; nSeen += 1 }
+        if (nSeen == nTerms) q = i
+        i += 1
+      }
+      if (q < 0) exhausted = true
+      else {
+        java.util.Arrays.fill(seen, false); nSeen = 0
+        var p = q
+        var j = q
+        var done = false
+        while (j >= start && !done) {
+          if (!seen(doc(j)._2)) { seen(doc(j)._2) = true; nSeen += 1 }
+          if (nSeen == nTerms) { p = j; done = true }
+          j -= 1
+        }
+        val span = doc(q)._1 - doc(p)._1
+        var nNoise = span - (q - p)
+        if (nNoise < 0) nNoise = (q - p) / 2
+        wdoc += w / (1.0 + nNoise)
+        start = p + 1
+      }
+    }
+    wdoc
+  }
 }
 
 /** tsquery parser: recursive descent over `& | ! ( ) term[:*]` tokens. */

@@ -324,6 +324,49 @@ object GreengageDdl {
         .cast("long"))
   }
 
+  // ALTER TABLE subset (gram.y AlterTableStmt): the forms that map onto
+  // Spark v1-table DDL. SET DISTRIBUTED records the new policy as the
+  // table property [[readTable]] honors; like the reference, the
+  // physical re-layout happens on the next data rewrite (the reference
+  // likewise rewrites the table for ALTER ... SET DISTRIBUTED BY).
+  private val alterAddRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+ADD\\s+(?:COLUMN\\s+)?(\\w+)\\s+(.+?)\\s*;?\\s*$".r
+  private val alterRenameRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+RENAME\\s+TO\\s+([\\w.\"]+)\\s*;?\\s*$".r
+  private val alterDistRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+SET\\s+(DISTRIBUTED\\s+.+?)\\s*;?\\s*$".r
+
+  /** Translate + execute a Greengage ALTER TABLE statement. */
+  def alter(spark: SparkSession, ddl: String): Unit = ddl match {
+    case alterAddRe(name, colName, typeAndCons) =>
+      // same fixpoint constraint-strip the CREATE path uses
+      val conRe =
+        "(?i)\\s+(not\\s+null|null|default\\s+.*|primary\\s+key|unique|check\\s*\\(.*\\)|references\\s+.*)$"
+      var typePart = typeAndCons
+      var prev = ""
+      while (typePart != prev) { prev = typePart; typePart = typePart.replaceAll(conRe, "") }
+      spark.sql(s"ALTER TABLE ${name.replace("\"", "")} " +
+        s"ADD COLUMNS ($colName ${mapType(typePart)})")
+    case alterRenameRe(from, to) =>
+      spark.sql(s"ALTER TABLE ${from.replace("\"", "")} RENAME TO ${to.replace("\"", "")}")
+    case alterDistRe(name, distClause) =>
+      val prop =
+        if ("(?is)DISTRIBUTED\\s+REPLICATED".r.findFirstIn(distClause).isDefined)
+          "replicated"
+        else if ("(?is)DISTRIBUTED\\s+RANDOMLY".r.findFirstIn(distClause).isDefined)
+          "random"
+        else {
+          val b = "(?is)DISTRIBUTED\\s+BY\\s*\\(".r.findFirstMatchIn(distClause)
+            .getOrElse(throw new IllegalArgumentException(
+              s"cannot parse distribution clause: $distClause"))
+          s"hash:${splitTop(balanced(distClause, b.end - 1)._1).mkString(",")}"
+        }
+      spark.sql(s"ALTER TABLE ${name.replace("\"", "")} " +
+        s"SET TBLPROPERTIES ('graft.distribution'='$prop')")
+    case other =>
+      throw new IllegalArgumentException(s"unsupported ALTER TABLE form: $other")
+  }
+
   /** Read a DDL-created table, honoring DISTRIBUTED REPLICATED: replicated
     * tables come back with the broadcast hint applied so every join ships
     * the full copy to each task (the reference stores a copy per segment;

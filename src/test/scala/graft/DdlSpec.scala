@@ -147,6 +147,29 @@ class DdlSpec extends AnyFunSuite {
     assert(spark.table("nation_zstd").count() == 25)
   }
 
+  test("ALTER TABLE: ADD COLUMN (constraints stripped), RENAME TO, SET DISTRIBUTED") {
+    Tables.register(spark, TestSpark.sf0001)
+    drop("alter_t", "alter_t2")
+    GreengageDdl.execute(spark,
+      """CREATE TABLE alter_t AS SELECT n_nationkey, n_name FROM nation
+        |DISTRIBUTED RANDOMLY""".stripMargin)
+    GreengageDdl.alter(spark,
+      "ALTER TABLE alter_t ADD COLUMN score numeric(10,2) DEFAULT 0 NOT NULL;")
+    assert(spark.table("alter_t").schema("score").dataType.simpleString
+      == "decimal(10,2)")
+    GreengageDdl.alter(spark, "ALTER TABLE alter_t RENAME TO alter_t2")
+    assert(spark.table("alter_t2").count() == 25)
+    // SET DISTRIBUTED REPLICATED flips the policy readTable honors
+    GreengageDdl.alter(spark, "ALTER TABLE alter_t2 SET DISTRIBUTED REPLICATED")
+    val dim = GreengageDdl.readTable(spark, "alter_t2")
+    val j = spark.table("customer").join(dim,
+      spark.table("customer")("c_nationkey") === dim("n_nationkey"))
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    intercept[IllegalArgumentException](
+      GreengageDdl.alter(spark, "ALTER TABLE alter_t2 OWNER TO someone"))
+    drop("alter_t2")
+  }
+
   test("setval repositions a sequence; nextval continues above it") {
     GreengageDdl.createSequence("CREATE SEQUENCE sv_seq START WITH 10")
     assert(GreengageDdl.nextBase("sv_seq") == 10L)

@@ -309,6 +309,33 @@ class ReferencePatternsSpec extends AnyFunSuite {
     assert(out == Map(0L -> 0.05, 1L -> 0.1, 2L -> 0.133333, 3L -> 0.1, 4L -> 0.1))
   }
 
+  test("n-term cover-density walk: 3-term hand case + 2-term closed-form parity") {
+    import graft.functions.Ranges
+    // 3-term hand walk: "a x b c x a" → covers [1,4] (noise 1) and
+    // [3,6] (noise 1) → 0.05 + 0.05
+    assert(math.abs(Ranges.coverRankCd(
+      "a x b c x a".split(" "), Seq("a", "b", "c")) - 0.1) < 1e-12)
+    // term missing entirely → no cover
+    assert(Ranges.coverRankCd("a b a".split(" "), Seq("a", "z")) == 0.0)
+    // the general walk must agree with the declarative 2-term closed
+    // form on real documents (same construction as q124)
+    Tables.register(spark, TestSpark.sf0001)
+    val docs = spark.table("documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val words = split(col("text"), " ")
+    val declarative = spark.table("documents")
+      .where(Ranges.tsMatch(words, Seq("data", "query")))
+      .withColumn("m", Ranges.mergedPositions(words, "data", "query"))
+      .select(col("doc_id"), Ranges.tsRankCdOf(col("m")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(declarative.nonEmpty)
+    declarative.foreach { case (id, r) =>
+      val general = Ranges.coverRankCd(
+        docs(id).split(" "), Seq("data", "query"))
+      assert(math.abs(general - r) < 1e-9, s"doc $id: $general vs $r")
+    }
+  }
+
   test("GROUPS frame / EXCLUDE rewrites match SQL:2011 semantics by hand") {
     import org.apache.spark.sql.expressions.Window
     // one partition; peer groups by qb: {10,20} | {30} | {40}
