@@ -288,6 +288,31 @@ object PipelineQueries {
           sum(length(col("n_name"))).as("name_chars"))
     }),
 
+    // UPDATE/DELETE via snapshot rewrite (heapam.c analog): delete the
+    // 'P' orders, raise big orders' price, aggregate — the oracle
+    // replays the same DML as SQL over the source, so the rewrite must
+    // be lossless and must apply old-row semantics.
+    "q130_dml" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      s.sql("DROP TABLE IF EXISTS dml_orders_rt")
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(wh, "dml_orders_rt"))
+      s.table("orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.saveAsTable("dml_orders_rt")
+      graft.operators.Dml.deleteWhere(s, "dml_orders_rt",
+        col("o_orderstatus") === "P")
+      graft.operators.Dml.updateWhere(s, "dml_orders_rt",
+        col("o_totalprice") > 200000.0,
+        Map("o_totalprice" -> (col("o_totalprice") + lit(1000.0d))))
+      s.table("dml_orders_rt").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
+    }),
+
     // Greengage DDL surface (gram.y:4835): user DDL text -> bucketed
     // catalog table -> query it; oracle aggregates the source directly,
     // so the DDL round-trip must be lossless.
@@ -512,6 +537,11 @@ object PipelineQueries {
     "q107_ddl_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${oSumd("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q130_dml" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${oSumd("CASE WHEN o_totalprice > 200000.0 THEN o_totalprice + 1000.0 ELSE o_totalprice END")} AS total
+         |FROM orders WHERE o_orderstatus <> 'P'
+         |GROUP BY o_orderstatus""".stripMargin,
     "q128_writable_external" ->
       s"""SELECT COUNT(*) AS n, ${oSumd("s_acctbal")} AS bal,
          |  CAST(SUM(length(s_name)) AS BIGINT) AS name_chars

@@ -170,6 +170,29 @@ class DdlSpec extends AnyFunSuite {
     drop("alter_t2")
   }
 
+  test("UPDATE/DELETE: snapshot-rewrite DML with PG old-row semantics") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dml
+    Tables.register(spark, TestSpark.sf0001)
+    drop("dml_t")
+    spark.table("nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS k", "n_name AS name",
+        "CAST(n_regionkey AS BIGINT) AS r")
+      .write.saveAsTable("dml_t")
+    // DELETE with a null-yielding predicate: NULL cond means not deleted
+    assert(Dml.deleteWhere(spark, "dml_t",
+      when(col("k") < 5, lit(true))) == 5)
+    assert(spark.table("dml_t").count() == 20)
+    // UPDATE: assignments read the OLD row (swap k and r must really swap)
+    val updated = Dml.updateWhere(spark, "dml_t", col("r") === 2,
+      Map("k" -> col("r"), "r" -> col("k")))
+    assert(updated == spark.table("dml_t").where("k = 2").count())
+    assert(spark.table("dml_t").where("r >= 5").count() == updated)
+    // untouched rows intact
+    assert(spark.table("dml_t").where("r < 5 AND k >= 5").count() == 20 - updated)
+    drop("dml_t")
+  }
+
   test("setval repositions a sequence; nextval continues above it") {
     GreengageDdl.createSequence("CREATE SEQUENCE sv_seq START WITH 10")
     assert(GreengageDdl.nextBase("sv_seq") == 10L)
