@@ -309,6 +309,44 @@ class ReferencePatternsSpec extends AnyFunSuite {
     assert(out == Map(0L -> 0.05, 1L -> 0.1, 2L -> 0.133333, 3L -> 0.1, 4L -> 0.1))
   }
 
+  test("nested NOT IN chains and the NULL-kill rule (notin.sql q1-q3, q17-q18)") {
+    (1 to 10).toDF("c1").createOrReplaceTempView("ni_t1")
+    (1 to 5).toDF("c2").createOrReplaceTempView("ni_t2")
+    Seq(1, 2, 3).toDF("c3").createOrReplaceTempView("ni_t3")
+    Seq(1, 2).toDF("c4").createOrReplaceTempView("ni_t4")
+    Seq[Option[Int]](Some(1), Some(2), Some(3), None, Some(5), Some(6), Some(7))
+      .toDF("c1n").createOrReplaceTempView("ni_t1n")
+    def ks(q: String): Set[Int] =
+      spark.sql(q).collect().map(_.getInt(0)).toSet
+    // q1: plain null-free NOT IN
+    assert(ks("SELECT c1 FROM ni_t1 WHERE c1 NOT IN (SELECT c2 FROM ni_t2)")
+      == Set(6, 7, 8, 9, 10))
+    // q2: NOT IN nested under NOT IN with an extra filter
+    assert(ks(
+      """SELECT c1 FROM ni_t1 WHERE c1 NOT IN
+        |  (SELECT c2 FROM ni_t2 WHERE c2 > 2 AND c2 NOT IN
+        |    (SELECT c3 FROM ni_t3))""".stripMargin)
+      == Set(1, 2, 3, 6, 7, 8, 9, 10))
+    // q3: triple-nested chain
+    assert(ks(
+      """SELECT c1 FROM ni_t1 WHERE c1 NOT IN
+        |  (SELECT c2 FROM ni_t2 WHERE c2 NOT IN
+        |    (SELECT c3 FROM ni_t3 WHERE c3 NOT IN
+        |      (SELECT c4 FROM ni_t4)))""".stripMargin)
+      == Set(3, 6, 7, 8, 9, 10))
+    // q17: ONE null in the subquery kills NOT IN entirely
+    assert(ks("SELECT c1 FROM ni_t1 WHERE c1 NOT IN (SELECT c1n FROM ni_t1n)")
+      == Set.empty)
+    // q18: the innermost NULL empties level 3, which un-filters level 2,
+    // which anti-filters level 1 — PG expected rows 6..10 (.out:507)
+    assert(ks(
+      """SELECT c1 FROM ni_t1 WHERE c1 NOT IN
+        |  (SELECT c2 FROM ni_t2 WHERE c2 NOT IN
+        |    (SELECT c3 FROM ni_t3 WHERE c3 NOT IN
+        |      (SELECT c1n FROM ni_t1n)))""".stripMargin)
+      == Set(6, 7, 8, 9, 10))
+  }
+
   test("n-term cover-density walk: 3-term hand case + 2-term closed-form parity") {
     import graft.functions.Ranges
     // 3-term hand walk: "a x b c x a" → covers [1,4] (noise 1) and
