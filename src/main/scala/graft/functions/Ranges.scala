@@ -111,6 +111,156 @@ object Ranges {
   def tsRankCd(words: Column, t1: String, t2: String): Column =
     tsRankCdOf(mergedPositions(words, t1, t2))
 
+  // ------------------------------------------------------------------
+  // Weighted tsvector (reference `utils/adt/tsvector_op.c:231`
+  // tsvector_setweight; `tsrank.c:23` weights {0.1,0.2,0.4,1.0} indexed
+  // D=0,C=1,B=2,A=3 via WEP_GETWEIGHT). A tsvector is modeled as
+  // `array<struct<pos:int, word:string, weight:int>>`, position-sorted;
+  // the weight nibble is the PG label index.
+  // ------------------------------------------------------------------
+
+  /** Default {D,C,B,A} weight vector (tsrank.c:23). */
+  val defaultTsWeights: Seq[Double] = Seq(0.1, 0.2, 0.4, 1.0)
+
+  private def labelNum(label: String): Int = label.toUpperCase match {
+    case "A" => 3
+    case "B" => 2
+    case "C" => 1
+    case "D" => 0
+    case other => throw new IllegalArgumentException(
+      s"unrecognized tsvector weight label: $other")
+  }
+
+  private val tsvType = "array<struct<pos:int,word:string,weight:int>>"
+
+  /** Build a tsvector from a word array: positions 1..n, all entries
+    * unlabeled (D). `sequence(1, 0)` descends in Spark, so the empty
+    * array is guarded explicitly. */
+  def toTsVector(words: Column): Column =
+    when(size(words) > 0,
+      transform(sequence(lit(1), size(words)), i =>
+        struct(i.cast("int").as("pos"), element_at(words, i).as("word"),
+          lit(0).as("weight"))))
+      .otherwise(array().cast(tsvType))
+
+  /** Build a tsvector with a per-position weight label computed from the
+    * 1-based position (single pass — the construction PG users reach via
+    * `setweight(tv1,'A') || setweight(tv2,'B') || tv3`, without the
+    * per-element shift recompute a lambda-nested `array_max` would do). */
+  def toTsVectorLabeled(words: Column, weightFor: Column => Column): Column =
+    when(size(words) > 0,
+      transform(sequence(lit(1), size(words)), i =>
+        struct(i.cast("int").as("pos"), element_at(words, i).as("word"),
+          weightFor(i).cast("int").as("weight"))))
+      .otherwise(array().cast(tsvType))
+
+  /** PG `setweight(tsvector, 'A'|'B'|'C'|'D')` (tsvector_op.c:231):
+    * relabel every position. */
+  def setweight(tsv: Column, label: String): Column = {
+    val w = labelNum(label)
+    transform(tsv, e => struct(e.getField("pos").as("pos"),
+      e.getField("word").as("word"), lit(w).as("weight")))
+  }
+
+  /** Largest position in a tsvector (0 when empty). */
+  def tsvMaxPos(tsv: Column): Column =
+    coalesce(array_max(transform(tsv, e => e.getField("pos"))), lit(0))
+
+  /** PG `tsvector || tsvector` (tsvector_op.c tsvector_concat): right
+    * side's positions are shifted past the left side's max position.
+    * NOTE: the shift expression is re-evaluated per right-side element
+    * (Spark lambdas don't CSE) — fine for small vectors; for long
+    * documents build the combined vector in one pass with
+    * [[toTsVectorLabeled]] instead. */
+  def tsvConcat(a: Column, b: Column): Column = {
+    val shift = tsvMaxPos(a)
+    sort_array(concat(a, transform(b, e =>
+      struct((e.getField("pos") + shift).cast("int").as("pos"),
+        e.getField("word").as("word"), e.getField("weight").as("weight")))))
+  }
+
+  /** Map a weight-label column (0..3) to its weight value from a {D,C,B,A}
+    * vector — a 4-branch CASE of literals, codegen-friendly. */
+  def weightValue(w: Column, weights: Seq[Double] = defaultTsWeights): Column = {
+    require(weights.length == 4, "weight vector must be {D,C,B,A} (4 floats)")
+    when(w === 3, lit(weights(3))).when(w === 2, lit(weights(2)))
+      .when(w === 1, lit(weights(1))).otherwise(lit(weights(0)))
+  }
+
+  /** Weight values (doubles) of `term`'s occurrences in position order —
+    * the `wpos(post[j])` sequence of calc_rank_or. MATERIALIZE this with
+    * `.withColumn` before passing to [[tsRankOrTermOf]]: a derived array
+    * referenced inside a fold lambda is re-evaluated per element. */
+  def termWeights(tsv: Column, term: String,
+                  weights: Seq[Double] = defaultTsWeights): Column =
+    transform(filter(tsv, e => e.getField("word") === lit(term)),
+      e => weightValue(e.getField("weight"), weights))
+
+  /** One term's unnormalized calc_rank_or contribution
+    * (tsrank.c:316-332) over an already-materialized occurrence-weight
+    * array: `resj = Σ_j w_j/j²` (j 1-based), `wjm` = FIRST maximum weight
+    * (strict `>` keeps the earliest), contribution
+    * `wjm + resj - wjm/jm²` — the caller divides by π²/6 and the
+    * distinct-term count, mirroring the C loop's shape. */
+  def tsRankOrTermOf(wArr: Column): Column = {
+    val f = size(wArr)
+    val resj = aggregate(sequence(lit(1), f), lit(0.0d),
+      (acc, j) => acc + element_at(wArr, j) / (j * j).cast("double"))
+    val m = array_max(wArr)
+    val jm = array_position(wArr, m) // 1-based first max, long
+    when(f > 0, m + resj - m / (jm * jm).cast("double")).otherwise(lit(0.0d))
+  }
+
+  /** RANK_NORM_* bitmask of calc_rank (tsrank.c:366-386) applied to a
+    * computed rank: 1 /log2(len+1), 2 /len, 8 /uniq, 16 /log2(uniq+1),
+    * 32 r/(r+1). `len` = total positions (cnt_length), `uniq` = distinct
+    * lexemes (t->size). */
+  def tsRankNorm(rank: Column, norm: Int, len: Column, uniq: Column): Column = {
+    var r = rank
+    if ((norm & 1) != 0)
+      r = r / (log(len.cast("double") + 1.0d) / lit(math.log(2.0)))
+    if ((norm & 2) != 0)
+      r = when(len > 0, r / len.cast("double")).otherwise(r)
+    if ((norm & 8) != 0)
+      r = when(uniq > 0, r / uniq.cast("double")).otherwise(r)
+    if ((norm & 16) != 0)
+      r = when(uniq > 0,
+        r / (log(uniq.cast("double") + 1.0d) / lit(math.log(2.0)))).otherwise(r)
+    if ((norm & 32) != 0) r = r / (r + 1.0d)
+    r
+  }
+
+  /** Weighted merged (pos, term, weight-value) list for the 2-term
+    * cover-density walk — [[mergedPositions]] carrying `wpos`.
+    * Materialize before ranking (same per-element re-eval rule). */
+  def mergedPositionsW(tsv: Column, t1: String, t2: String,
+                       weights: Seq[Double] = defaultTsWeights): Column =
+    sort_array(concat(
+      transform(filter(tsv, e => e.getField("word") === lit(t1)),
+        e => struct(e.getField("pos").as("pos"), lit(1).as("trm"),
+          weightValue(e.getField("weight"), weights).as("w"))),
+      transform(filter(tsv, e => e.getField("word") === lit(t2)),
+        e => struct(e.getField("pos").as("pos"), lit(2).as("trm"),
+          weightValue(e.getField("weight"), weights).as("w")))))
+
+  /** Weighted 2-term cover density (tsrank.c:726-790 calc_rank_cd):
+    * each adjacent unlike-term pair in the merged list is one cover whose
+    * two entries contribute `Cpos = 2/(1/w_begin + 1/w_end)` (harmonic
+    * mean of the two position weights) scored over `1 + nNoise = q - p`.
+    * With uniform D-weights this reduces to [[tsRankCdOf]]'s 0.1/(q-p). */
+  def tsRankCdWOf(m: Column): Column = {
+    val n = size(m)
+    when(n >= 2,
+      aggregate(sequence(lit(1), n - 1), lit(0.0d), (acc, i) => {
+        val a = element_at(m, i)
+        val b = element_at(m, i + 1)
+        acc + when(a.getField("trm") =!= b.getField("trm"),
+          (lit(2.0d) / (lit(1.0d) / a.getField("w") + lit(1.0d) / b.getField("w"))) /
+            (b.getField("pos") - a.getField("pos")).cast("double"))
+          .otherwise(lit(0.0d))
+      })).otherwise(lit(0.0d))
+  }
+
   /** Full n-term Cover() walk (tsrank.c:533-612), JVM-side: scan up from
     * the restart point until every query term is seen (cover end q),
     * scan back down until the set completes again (cover start p), score

@@ -338,7 +338,39 @@ object FunctionQueries {
           col("jd.months").as("jd_m"), col("jd.days").as("jd_d"),
           col("jh.days").as("jh_d"), col("jh.us").as("jh_us"),
           col("ji.months").as("ji_m"), col("ji.days").as("ji_d"),
-          col("ji.us").as("ji_us")))
+          col("ji.us").as("ji_us"))),
+
+    // Weighted tsvector ranking (tsvector_op.c:231 setweight; tsrank.c
+    // calc_rank_or with the {0.1,0.2,0.4,1.0} D/C/B/A weight vector and
+    // the RANK_NORM_UNIQ/LOGUNIQ 0x08/0x10 norms; calc_rank_cd harmonic
+    // Cpos). Documents are labeled positionally — first 2 words A
+    // (title), next 2 B (lead), rest D (body) — the single-pass
+    // equivalent of setweight(title,'A') || setweight(lead,'B') || body.
+    // Every derived array is materialized as its own column before any
+    // fold references it (lambda re-eval rule).
+    "q131_ts_rank_weighted" -> ((s, d) => {
+      import graft.functions.Ranges._
+      val inv = lit(1.64493406685d)
+      t(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .where(tsMatch(col("words"), Seq("data", "query")))
+        .withColumn("tsv", toTsVectorLabeled(col("words"),
+          i => when(i <= 2, 3).when(i <= 4, 2).otherwise(0)))
+        .withColumn("wa1", termWeights(col("tsv"), "data"))
+        .withColumn("wa2", termWeights(col("tsv"), "query"))
+        .withColumn("m", mergedPositionsW(col("tsv"), "data", "query"))
+        .withColumn("base",
+          (tsRankOrTermOf(col("wa1")) / inv + tsRankOrTermOf(col("wa2")) / inv)
+            / lit(2.0d))
+        .withColumn("uniq", size(array_distinct(col("words"))))
+        .select(col("doc_id"),
+          round(col("base"), 6).as("rank_w"),
+          round(tsRankNorm(col("base"), 8, size(col("words")), col("uniq")), 6)
+            .as("rank_uniq"),
+          round(tsRankNorm(col("base"), 16, size(col("words")), col("uniq")), 6)
+            .as("rank_loguniq"),
+          round(tsRankCdWOf(col("m")), 6).as("rank_cd_w"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -623,6 +655,72 @@ object FunctionQueries {
         |  CAST(len(ga) + len(gb) - len(list_filter(ga, x -> list_contains(gb, x))) AS DOUBLE) AS sim
         |FROM g
         |WHERE CAST(len(list_filter(ga, x -> list_contains(gb, x))) AS DOUBLE) /
-        |      CAST(len(ga) + len(gb) - len(list_filter(ga, x -> list_contains(gb, x))) AS DOUBLE) > 0.05""".stripMargin
+        |      CAST(len(ga) + len(gb) - len(list_filter(ga, x -> list_contains(gb, x))) AS DOUBLE) > 0.05""".stripMargin,
+    // weighted calc_rank_or spelled with the same double shapes as the
+    // Spark expression: per-position weight 1.0/0.4/0.1 (A/B/D), per-term
+    // (wjm + Σ w_j/j² - wjm/jm²)/π²6, /2 terms; norms /uniq and
+    // /log2(uniq+1); cd = harmonic-mean Cpos over adjacent unlike pairs
+    "q131_ts_rank_weighted" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE list_contains(string_split(text, ' '), 'data')
+        |    AND list_contains(string_split(text, ' '), 'query')),
+        |f AS (SELECT doc_id, words,
+        |  list_transform(list_filter(range(1, len(words) + 1),
+        |      i -> words[CAST(i AS INT)] = 'data'),
+        |    p -> CASE WHEN p <= 2 THEN CAST(1.0 AS DOUBLE)
+        |              WHEN p <= 4 THEN CAST(0.4 AS DOUBLE)
+        |              ELSE CAST(0.1 AS DOUBLE) END) AS wa1,
+        |  list_transform(list_filter(range(1, len(words) + 1),
+        |      i -> words[CAST(i AS INT)] = 'query'),
+        |    p -> CASE WHEN p <= 2 THEN CAST(1.0 AS DOUBLE)
+        |              WHEN p <= 4 THEN CAST(0.4 AS DOUBLE)
+        |              ELSE CAST(0.1 AS DOUBLE) END) AS wa2,
+        |  list_sort(list_concat(
+        |    list_transform(list_filter(range(1, len(words) + 1),
+        |        i -> words[CAST(i AS INT)] = 'data'),
+        |      p -> {'pos': CAST(p AS INT), 'trm': 1,
+        |            'w': CASE WHEN p <= 2 THEN CAST(1.0 AS DOUBLE)
+        |                      WHEN p <= 4 THEN CAST(0.4 AS DOUBLE)
+        |                      ELSE CAST(0.1 AS DOUBLE) END}),
+        |    list_transform(list_filter(range(1, len(words) + 1),
+        |        i -> words[CAST(i AS INT)] = 'query'),
+        |      p -> {'pos': CAST(p AS INT), 'trm': 2,
+        |            'w': CASE WHEN p <= 2 THEN CAST(1.0 AS DOUBLE)
+        |                      WHEN p <= 4 THEN CAST(0.4 AS DOUBLE)
+        |                      ELSE CAST(0.1 AS DOUBLE) END}))) AS m
+        |  FROM w),
+        |c AS (SELECT doc_id, words, m,
+        |  ((CASE WHEN len(wa1) > 0 THEN
+        |      list_max(wa1)
+        |      + list_sum(list_transform(range(1, len(wa1) + 1),
+        |          j -> wa1[CAST(j AS INT)] / CAST(j * j AS DOUBLE)))
+        |      - list_max(wa1) / CAST(list_position(wa1, list_max(wa1))
+        |                             * list_position(wa1, list_max(wa1)) AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END) / CAST(1.64493406685 AS DOUBLE)
+        |   + (CASE WHEN len(wa2) > 0 THEN
+        |      list_max(wa2)
+        |      + list_sum(list_transform(range(1, len(wa2) + 1),
+        |          j -> wa2[CAST(j AS INT)] / CAST(j * j AS DOUBLE)))
+        |      - list_max(wa2) / CAST(list_position(wa2, list_max(wa2))
+        |                             * list_position(wa2, list_max(wa2)) AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END) / CAST(1.64493406685 AS DOUBLE))
+        |  / CAST(2.0 AS DOUBLE) AS base,
+        |  len(list_distinct(words)) AS uniq
+        |  FROM f)
+        |SELECT doc_id,
+        |  ROUND(base, 6) AS rank_w,
+        |  ROUND(base / CAST(uniq AS DOUBLE), 6) AS rank_uniq,
+        |  ROUND(base / (ln(CAST(uniq AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |                / CAST(0.6931471805599453 AS DOUBLE)), 6) AS rank_loguniq,
+        |  ROUND(CASE WHEN len(m) >= 2 THEN list_sum(list_transform(range(1, len(m)),
+        |    i -> CASE WHEN m[CAST(i AS INT)].trm <> m[CAST(i AS INT) + 1].trm
+        |         THEN (CAST(2.0 AS DOUBLE)
+        |               / (CAST(1.0 AS DOUBLE) / m[CAST(i AS INT)].w
+        |                  + CAST(1.0 AS DOUBLE) / m[CAST(i AS INT) + 1].w))
+        |              / CAST(m[CAST(i AS INT) + 1].pos - m[CAST(i AS INT)].pos AS DOUBLE)
+        |         ELSE CAST(0.0 AS DOUBLE) END))
+        |    ELSE CAST(0.0 AS DOUBLE) END, 6) AS rank_cd_w
+        |FROM c""".stripMargin
   )
 }
