@@ -30,10 +30,17 @@ object Jsonb {
       .reduce(_ && _)
 
   /** `a || b` — concatenation, right side wins on key conflicts (PG
-    * jsonb_concat). Spark's map_concat rejects duplicate keys under the
-    * default dedup policy, so conflicting left keys are dropped first. */
-  def concat(a: Column, b: Column): Column =
-    map_concat(map_filter(a, (k, _) => !array_contains(map_keys(b), k)), b)
+    * jsonb_concat). One `map_zip_with` pass — O(|a|+|b|) per row. (The
+    * obvious `map_filter(a, k => !array_contains(map_keys(b), k))` is
+    * O(|a|·|b|): a subexpression inside a HOF lambda is re-evaluated per
+    * element, so `map_keys(b)` would be rebuilt for every key of `a`.)
+    * `b`'s values are boxed in a struct so an explicit null value in `b`
+    * still wins over `a`'s value, as PG's concat does. */
+  def concat(a: Column, b: Column): Column = {
+    val boxed = transform_values(b, (_, v) => struct(v.as("v")))
+    map_zip_with(a, boxed,
+      (_, va, wb) => when(wb.isNotNull, wb.getField("v")).otherwise(va))
+  }
 
   /** `obj - key` — key deletion. */
   def removeKey(m: Column, key: String): Column =

@@ -218,7 +218,10 @@ object Ranges {
   def tsRankNorm(rank: Column, norm: Int, len: Column, uniq: Column): Column = {
     var r = rank
     if ((norm & 1) != 0)
-      r = r / (log(len.cast("double") + 1.0d) / lit(math.log(2.0)))
+      // calc_rank applies the log norm only when t->size > 0 — an empty
+      // tsvector must not divide by log2(1) = 0
+      r = when(len > 0,
+        r / (log(len.cast("double") + 1.0d) / lit(math.log(2.0)))).otherwise(r)
     if ((norm & 2) != 0)
       r = when(len > 0, r / len.cast("double")).otherwise(r)
     if ((norm & 8) != 0)
@@ -268,11 +271,23 @@ object Ranges {
     * path above is this walk's closed form (covered by tests); use this
     * for arbitrary AND queries via a typed map. */
   def coverRankCd(words: IndexedSeq[String], terms: Seq[String],
-                  w: Double = 0.1): Double = {
+                  w: Double = 0.1): Double =
+    coverRankCdW(words, terms, _ => w)
+
+  /** Weighted n-term Cover walk (tsrank.c:726-790): each matched position
+    * carries `wpos(1-based position)`; a cover [p, q] contributes
+    * `Cpos / (1 + nNoise)` with `Cpos = nitems / Σ 1/w_i` — the harmonic
+    * mean of the cover entries' weights times nitems/nitems (tsrank.c's
+    * `(ext.end - ext.begin + 1) / invSum`). With constant w this is
+    * exactly [[coverRankCd]]; the 2-term declarative [[tsRankCdWOf]] is
+    * this walk's adjacent-pair closed form (pinned by fixture test). */
+  def coverRankCdW(words: IndexedSeq[String], terms: Seq[String],
+                   wpos: Int => Double): Double = {
     val termIdx = terms.distinct.zipWithIndex.toMap
     val nTerms = termIdx.size
     val doc = words.iterator.zipWithIndex.collect {
-      case (word, i) if termIdx.contains(word) => (i + 1, termIdx(word))
+      case (word, i) if termIdx.contains(word) =>
+        (i + 1, termIdx(word), wpos(i + 1))
     }.toArray
     var wdoc = 0.0
     var start = 0
@@ -301,11 +316,58 @@ object Ranges {
         val span = doc(q)._1 - doc(p)._1
         var nNoise = span - (q - p)
         if (nNoise < 0) nNoise = (q - p) / 2
-        wdoc += w / (1.0 + nNoise)
+        var invSum = 0.0
+        var k = p
+        while (k <= q) { invSum += 1.0 / doc(k)._3; k += 1 }
+        val cpos = (q - p + 1).toDouble / invSum
+        wdoc += cpos / (1.0 + nNoise)
         start = p + 1
       }
     }
     wdoc
+  }
+
+  // ------------------------------------------------------------------
+  // ts_headline (reference `src/backend/tsearch/wparser_def.c`
+  // prsd_headline / mark_hl_words, single-fragment default mode;
+  // pg_proc.h:4694-4698): choose the best cover of the query terms —
+  // shortest span, earliest on ties, which is the cover the Cover walk
+  // scores highest under uniform weights — open the headline window at
+  // its start, extend to MaxWords, and wrap every query-term word
+  // inside the window in StartSel/StopSel.
+  // ------------------------------------------------------------------
+
+  /** Best cover over a [[mergedPositions]] list: adjacent unlike-term
+    * pairs are the 2-term covers (see [[tsRankCdOf]]); "best" = shortest
+    * span, earliest start on ties — encoded as `span * 100000 +
+    * startPos` so one bigint min carries both ordering keys (document
+    * positions stay far below 100000). Null when no cover exists.
+    * Materialize as its own column before use (lambda re-eval rule). */
+  def bestCover(m: Column): Column =
+    when(size(m) >= 2,
+      aggregate(sequence(lit(1), size(m) - 1), lit(null).cast("bigint"),
+        (acc, i) => {
+          val a = element_at(m, i)
+          val b = element_at(m, i + 1)
+          // Spark least() skips nulls: the first candidate seeds acc
+          least(acc, when(a.getField("trm") =!= b.getField("trm"),
+            (b.getField("pos") - a.getField("pos")).cast("bigint") * 100000L
+              + a.getField("pos")))
+        }))
+
+  /** Headline text from a precomputed [[bestCover]] score: the window is
+    * [cover start, cover start + maxWords - 1] clamped to the document
+    * (no cover → the document head, PG's trimmed-start fallback), and
+    * every query-term word inside it is wrapped in startSel/stopSel. */
+  def tsHeadlineOf(words: Column, best: Column, terms: Seq[String],
+                   maxWords: Int = 35, startSel: String = "<b>",
+                   stopSel: String = "</b>"): Column = {
+    val hstart = coalesce((best % 100000L).cast("int"), lit(1))
+    val winLen = least(size(words) - hstart + 1, lit(maxWords))
+    val marked = transform(slice(words, hstart, winLen), w =>
+      when(terms.map(t => w === lit(t)).reduce(_ || _),
+        concat(lit(startSel), w, lit(stopSel))).otherwise(w))
+    array_join(marked, " ")
   }
 }
 

@@ -21,7 +21,10 @@ object Cursors {
 
   def declare(name: String, df: DataFrame): Unit = {
     import scala.jdk.CollectionConverters._
-    val prev = open.put(name.toLowerCase,
+    // putIfAbsent: a duplicate DECLARE must fail WITHOUT destroying the
+    // already-open portal (put-then-require would have replaced it and
+    // leaked its iterator before throwing)
+    val prev = open.putIfAbsent(name.toLowerCase,
       new Portal(df.schema, df.toLocalIterator().asScala))
     require(prev == null, s"cursor $name already open")
   }

@@ -19,11 +19,15 @@ object ExplainAnalyze {
 
   /** Execute `df`'s OWN physical plan (a separate action like count()
     * would instrument a different query) and return one row per
-    * (operator, metric), in plan order. */
+    * (operator, metric), in plan order. The plan is driven through a
+    * distributed no-op sink (`toRdd.foreach`), NOT `executeCollect` —
+    * EXPLAIN ANALYZE of a 100 TB result must never materialize the
+    * result on the driver; the SQLMetric accumulators populate either
+    * way. */
   def run(df: DataFrame): Seq[OpMetric] = {
-    val plan = df.queryExecution.executedPlan
-    plan.executeCollect() // materialize THIS plan so its metrics populate
-    collect(finalPlan(plan), 0)
+    val qe = df.queryExecution
+    qe.toRdd.foreach(_ => ())
+    collect(finalPlan(qe.executedPlan), 0)
   }
 
   /** Tabular form, for `display`/assert convenience. */
@@ -43,7 +47,9 @@ object ExplainAnalyze {
     val own = p.metrics.toSeq.sortBy(_._1).map { case (name, m) =>
       val unit = m.metricType match {
         case "size" => "bytes"
-        case "timing" | "nsTiming" => "ms"
+        case "timing" => "ms"
+        case "nsTiming" => "ns" // stored in nanoseconds — labeling it ms
+                                // would misreport by a factor of 10^6
         case other => other
       }
       OpMetric(depth, p.nodeName, name, m.value, unit)

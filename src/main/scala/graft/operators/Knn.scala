@@ -250,6 +250,115 @@ object Knn {
     rankTopK(withVecs, k)
   }
 
+  /** IVFADC (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011, §IV — the composition [[ivfTopK]] and
+    * [[pqTopK]] each implement half of): a coarse IVF quantizer routes
+    * every corpus vector to one cell, PQ codebooks are trained on the
+    * RESIDUAL (unit vector − cell centroid), and each query ADC-scans
+    * ONLY its nProbe probed cells' code lists:
+    *
+    *   `q·v ≈ q·c(v) + Σ_b adc[b][code_b(v − c(v))]`
+    *
+    * — the coarse term is one dot per probed CELL (not per row), and the
+    * per-row work is m table lookups. This is the genuine 100 TB ANN
+    * shape: the scan set is ~nProbe/nCentroids of the corpus (the factor
+    * flat ADC lacks) AND each scanned row is a few bytes of codes, not a
+    * dim-float vector (the factor plain IVF lacks). Training runs the
+    * same Lloyd loop as the components (at corpus scale one would train
+    * on a sample; the encode pass stays one narrow projection). The top
+    * refine·k ADC candidates re-rank exactly against the original
+    * vectors. Recall < 1 by construction — measured against brute force
+    * and flat PQ, with the scanned fraction, in OperatorSpec. */
+  def ivfadcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nCentroids: Int = 16, nProbe: Int = 4,
+                 m: Int = 8, codes: Int = 16, dim: Int = 64,
+                 trainIters: Int = 2, refine: Int = 4,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    requireLongId(corpus, idCol, "corpus")
+    requireLongId(queries, idCol, "queries")
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    def unitized(df: DataFrame, vc: String): DataFrame = df
+      .withColumn("__nrm", norm2(col(vc)))
+      .withColumn("__unit",
+        transform(col(vc), x => (x.cast("double") / col("__nrm")).cast("float")))
+      .drop("__nrm")
+    // coarse quantizer over unit vectors (cosine cells)
+    val cn = unitized(corpus, vecCol)
+    val (cids, cents) =
+      kmeansCentroids(cn, nCentroids, trainIters, idCol, "__unit", dim)
+    val cidsLit = typedLit(cids.toSeq)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    // assign once; the residual is its own materialized column (a lambda
+    // reading a derived column would recompute it per element)
+    val assigned = cn
+      .withColumn("cid",
+        call_function("best_centroid", col("__unit"), cidsLit, centsLit))
+      .withColumn("__cent",
+        element_at(centsLit, array_position(cidsLit, col("cid")).cast("int")))
+      .withColumn("__res",
+        zip_with(col("__unit"), col("__cent"),
+          (x, c) => (x.cast("double") - c).cast("float")))
+    // per-subspace RESIDUAL codebooks (shared across cells, as in the
+    // paper's IVFADC variant with a single residual quantizer)
+    val resDf = assigned.select(col(idCol), col("__res"))
+    val books: Array[(Array[Long], Array[Array[Double]])] =
+      Array.tabulate(m) { b =>
+        kmeansCentroids(
+          resDf.select(col(idCol),
+            slice(col("__res"), b * dsub + 1, dsub).as("__sub")),
+          codes, trainIters, idCol, "__sub", dsub)
+      }
+    val codeCol = array(Array.tabulate(m) { b =>
+      val (bcids, bcents) = books(b)
+      (array_position(typedLit(bcids.toSeq),
+        call_function("best_centroid", slice(col("__res"), b * dsub + 1, dsub),
+          typedLit(bcids.toSeq), typedLit(bcents.map(_.toSeq).toSeq))) - 1)
+        .cast("int")
+    }: _*)
+    // the inverted file: (cell, codes) per vector — the only thing the
+    // ADC pass ever scans
+    val encoded = assigned.select(col(idCol).as("neighbor_id"), col("cid"),
+      codeCol.as("__codes"))
+    // query side: residual ADC table + per-probed-cell coarse dot, both
+    // materialized BEFORE the join (once per query, not per pair)
+    val qn = unitized(queries, vecCol)
+    val adcCol = concat(Array.tabulate(m) { b =>
+      val (_, bcents) = books(b)
+      val qsub = slice(col("__unit"), b * dsub + 1, dsub)
+      array(bcents.indices.map(c =>
+        call_function("vec_dot", qsub,
+          typedLit(bcents(c).map(_.toFloat).toSeq))): _*)
+    }: _*)
+    val probes = qn
+      .select(col(idCol).as("query_id"), col("__unit"), adcCol.as("__adc"))
+      .withColumn("cid", explode(call_function("top_centroids",
+        col("__unit"), lit(nProbe), cidsLit, centsLit)))
+      .withColumn("__coarse", call_function("vec_dot", col("__unit"),
+        element_at(centsLit, array_position(cidsLit, col("cid")).cast("int"))))
+      .drop("__unit")
+    // equi-join on cid = only probed cells are scanned; per-pair cost is
+    // the m-lookup fold
+    val scored = broadcast(probes).join(encoded, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("__coarse") +
+          aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, b) =>
+            acc + element_at(col("__adc"),
+              (b * codes + element_at(col("__codes"), b + 1) + 1).cast("int"))))
+          .as("cos_sim"))
+    val cand = rankTopK(scored, k * refine).select("query_id", "neighbor_id")
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        Seq("query_id"))
+    val withVecs = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+    rankTopK(withVecs, k)
+  }
+
   /** Multi-table sign-LSH ANN: L independent tables of nPlanes random
     * hyperplanes each. The corpus is hashed once per table (L rows per
     * vector — linear); each query probes its bucket plus all Hamming-1

@@ -69,31 +69,80 @@ object SqlFunctions {
   def sql(spark: SparkSession, text: String): DataFrame =
     spark.sql(expand(text))
 
+  /** Spans [start, end) of single-quoted string literals in `text`,
+    * honoring `''` escapes (reference `src/pl/plpgsql/src/pl_comp.c`
+    * parameter resolution never fires inside literals either). */
+  private def literalSpans(text: String): Seq[(Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == '\'') {
+        val start = i
+        var j = i + 1
+        var closed = false
+        while (j < text.length && !closed) {
+          if (text.charAt(j) == '\'') {
+            if (j + 1 < text.length && text.charAt(j + 1) == '\'') j += 2
+            else { closed = true; j += 1 }
+          } else j += 1
+        }
+        spans += ((start, j))
+        i = j
+      } else i += 1
+    }
+    spans.result()
+  }
+
+  /** Apply `f` to the code segments of `text`, leaving every string
+    * literal byte-identical. */
+  private def mapOutsideLiterals(text: String)(f: String => String): String = {
+    val out = new StringBuilder
+    var pos = 0
+    for ((s, e) <- literalSpans(text)) {
+      out.append(f(text.substring(pos, s))).append(text.substring(s, e))
+      pos = e
+    }
+    out.append(f(text.substring(pos))).toString
+  }
+
+  /** ONE literal-aware alternation pass for named AND positional
+    * parameters: `\$(\d+)\b` matches the whole number, so `$1` can never
+    * fire inside `$10`; replacements are never re-scanned, so an
+    * argument's text can't be re-matched as a parameter name; and
+    * literals (incl. `''`-escaped) are never rewritten. */
+  private[operators] def substitute(body: String, params: Seq[String],
+                                    args: Seq[String]): String = {
+    val byName = params.map(_.toLowerCase).zip(args).toMap
+    val re = (if (params.isEmpty) "\\$(\\d+)\\b"
+              else "(?i)\\$(\\d+)\\b|\\b(" +
+                params.map(Pattern.quote).mkString("|") + ")\\b").r
+    mapOutsideLiterals(body) { seg =>
+      re.replaceAllIn(seg, mm => Matcher.quoteReplacement {
+        if (mm.group(1) != null) {
+          val n = mm.group(1).toInt
+          require(n >= 1 && n <= args.length,
+            s"there is no parameter $$$n (${args.length} args)")
+          args(n - 1)
+        } else byName(mm.group(2).toLowerCase)
+      })
+    }
+  }
+
   /** Replace the first call site found (the fixpoint loop does the rest). */
   private def expandOnce(sql: String): String = {
     import scala.jdk.CollectionConverters._
+    val spans = literalSpans(sql)
+    def insideLiteral(pos: Int) = spans.exists { case (s, e) => pos >= s && pos < e }
     for (fn <- registry.values().asScala) {
       val re = ("(?i)\\b" + Pattern.quote(fn.name) + "\\s*\\(").r
-      for (m <- re.findFirstMatchIn(sql)) {
-        // don't rewrite inside single-quoted string literals
-        if (sql.substring(0, m.start).count(_ == '\'') % 2 == 0) {
-          val (argText, after) = GreengageDdl.balanced(sql, m.end - 1)
-          val args = GreengageDdl.splitTop(argText).map(a => s"(${a.trim})")
-          require(args.length == fn.params.length,
-            s"${fn.name} expects ${fn.params.length} args, got ${args.length}: $argText")
-          // simultaneous named substitution (one alternation pass, so an
-          // argument's text can never be re-matched as a parameter name),
-          // then positional $1..$n
-          val byName = fn.params.zip(args).toMap
-          var body =
-            if (fn.params.isEmpty) fn.body
-            else ("(?i)\\b(" + fn.params.map(Pattern.quote).mkString("|") + ")\\b").r
-              .replaceAllIn(fn.body,
-                mm => Matcher.quoteReplacement(byName(mm.group(1).toLowerCase)))
-          for ((a, i) <- args.zipWithIndex)
-            body = body.replace("$" + (i + 1), a)
-          return sql.substring(0, m.start) + "(" + body + ")" + sql.substring(after)
-        }
+      // don't rewrite call sites inside single-quoted string literals
+      for (m <- re.findAllMatchIn(sql).find(mm => !insideLiteral(mm.start))) {
+        val (argText, after) = GreengageDdl.balanced(sql, m.end - 1)
+        val args = GreengageDdl.splitTop(argText).map(a => s"(${a.trim})")
+        require(args.length == fn.params.length,
+          s"${fn.name} expects ${fn.params.length} args, got ${args.length}: $argText")
+        val body = substitute(fn.body, fn.params, args)
+        return sql.substring(0, m.start) + "(" + body + ")" + sql.substring(after)
       }
     }
     sql

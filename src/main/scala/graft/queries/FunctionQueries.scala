@@ -191,6 +191,23 @@ object FunctionQueries {
         .select(col("doc_id"), round(tsRankCdOf(col("m")), 6).as("rank_cd"))
     }),
 
+    // ts_headline (wparser_def.c prsd_headline, pg_proc.h:4694): the
+    // best cover — shortest span, earliest on ties — opens a MaxWords
+    // snippet window with the query terms marked StartSel/StopSel.
+    "q132_ts_headline" -> ((s, d) => {
+      import graft.functions.Ranges._
+      val w = split(col("text"), " ")
+      t(s, d, "documents")
+        .where(tsMatch(w, Seq("data", "query")))
+        .withColumn("words", w)
+        // each derived array is its OWN column before a lambda reads it
+        .withColumn("m", mergedPositions(col("words"), "data", "query"))
+        .withColumn("best", bestCover(col("m")))
+        .select(col("doc_id"),
+          tsHeadlineOf(col("words"), col("best"), Seq("data", "query"),
+            maxWords = 10).as("headline"))
+    }),
+
     // jsonb operator family ? @> || - (jsonb_op.c) over parsed flat
     // objects: existence, containment, concat (right wins), deletion.
     "q127_jsonb_ops" -> ((s, d) => {
@@ -630,6 +647,35 @@ object FunctionQueries {
         |         ELSE CAST(0.0 AS DOUBLE) END)), 6) AS rank_cd
         |FROM p
         |WHERE list_contains(words, 'data') AND list_contains(words, 'query')""".stripMargin,
+    // best cover = min over adjacent unlike pairs of span*100000+start
+    // (one bigint carries both ordering keys); window start..start+9,
+    // query terms wrapped <b></b> — same construction as the Spark side
+    "q132_ts_headline" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE list_contains(string_split(text, ' '), 'data')
+        |    AND list_contains(string_split(text, ' '), 'query')),
+        |p AS (SELECT doc_id, words,
+        |  list_sort(list_concat(
+        |    list_transform(list_filter(range(1, len(words) + 1),
+        |      i -> words[CAST(i AS INT)] = 'data'), x -> [CAST(x AS INT), 1]),
+        |    list_transform(list_filter(range(1, len(words) + 1),
+        |      i -> words[CAST(i AS INT)] = 'query'), x -> [CAST(x AS INT), 2]))) AS m
+        |  FROM w),
+        |b AS (SELECT doc_id, words,
+        |  list_min(list_filter(list_transform(range(1, len(m)), i ->
+        |    CASE WHEN m[CAST(i AS INT)][2] <> m[CAST(i AS INT) + 1][2]
+        |         THEN CAST(m[CAST(i AS INT) + 1][1] - m[CAST(i AS INT)][1] AS BIGINT)
+        |              * 100000 + m[CAST(i AS INT)][1]
+        |         ELSE NULL END), x -> x IS NOT NULL)) AS best
+        |  FROM p),
+        |h AS (SELECT doc_id, words,
+        |  CAST(coalesce(best % 100000, 1) AS INT) AS hstart FROM b)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(
+        |    list_slice(words, hstart, LEAST(len(words), hstart + 9)),
+        |    x -> CASE WHEN x = 'data' OR x = 'query'
+        |              THEN '<b>' || x || '</b>' ELSE x END), ' ') AS headline
+        |FROM h""".stripMargin,
     // same parenthesization the macro expansion emits, so the IEEE
     // double arithmetic is shape-identical on both engines
     "q119_sql_function" ->

@@ -118,6 +118,15 @@ object PipelineQueries {
         codes = 32, trainIters = 1, refine = 8)
     }),
 
+    // IVFADC: coarse IVF cells × residual-PQ codes — each query ADC-scans
+    // only its probed cells' code lists, then refine·k exact re-rank
+    // (rows-only; recall + scanned-fraction asserts in OperatorSpec).
+    "q133_knn_ivfadc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Knn.ivfadcTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+        codes = 32, trainIters = 1, refine = 8)
+    }),
+
     // Embedding-cosine near-dup pairs (LSH self-join + exact verify;
     // rows-only — recall < 1 by construction, quality in OperatorSpec).
     "q104_dedup_embed" -> ((s, d) =>

@@ -142,11 +142,15 @@ object Streams {
     // pin a narrower stateful width so the fixed per-store commit cost
     // doesn't dominate bounded runs (real deployments size this to the
     // key cardinality via spark.sql.shuffle.partitions before start —
-    // it is frozen into the checkpoint either way)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try streamStreamJoinInner(spark, sfDir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // it is frozen into the checkpoint either way). The override lives
+    // in a CHILD session (shared SparkContext, isolated conf/catalog):
+    // mutating the caller's session would re-plan any concurrent query
+    // on it with 8 partitions.
+    val scoped = spark.newSession()
+    graft.Tables.tune(scoped) // newSession starts from builder conf only;
+                              // re-apply runtime confs (nanosAsLong, ANSI)
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    streamStreamJoinInner(scoped, sfDir)
   }
 
   private def streamStreamJoinInner(spark: SparkSession, sfDir: String): DataFrame = {

@@ -193,6 +193,85 @@ class DdlSpec extends AnyFunSuite {
     drop("dml_t")
   }
 
+  test("DML on a partitioned table: pruned rewrite, untouched partitions byte-identical") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dml
+    Tables.register(spark, TestSpark.sf0001)
+    drop("dml_part_t")
+    spark.table("nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS k", "n_name AS name",
+        "CAST(n_regionkey AS BIGINT) AS r")
+      .write.partitionBy("r").saveAsTable("dml_part_t")
+    def files(part: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"target/test-warehouse/dml_part_t/$part")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before0 = files("r=0")
+    val before1 = files("r=1")
+    assert(before0.nonEmpty && before1.nonEmpty)
+    // pruned UPDATE: cond binds the partition column → only r=2 rewritten
+    val n = Dml.updateWhere(spark, "dml_part_t", col("r") === 2,
+      Map("name" -> concat(col("name"), lit("_x"))))
+    assert(n == 5)
+    assert(files("r=0") == before0, "r=0 files were rewritten by an r=2 UPDATE")
+    assert(files("r=1") == before1, "r=1 files were rewritten by an r=2 UPDATE")
+    assert(spark.table("dml_part_t").where(col("name").endsWith("_x")).count() == n)
+    assert(spark.table("dml_part_t")
+      .where(col("r") === 2 && !col("name").endsWith("_x")).count() == 0)
+    // pruned DELETE of part of a partition
+    val expectDel = spark.table("dml_part_t").where("r = 2 AND k < 10").count()
+    assert(expectDel > 0)
+    assert(Dml.deleteWhere(spark, "dml_part_t",
+      col("r") === 2 && col("k") < 10) == expectDel)
+    assert(files("r=0") == before0)
+    // DELETE that empties a whole partition must not leave stale files
+    val r4 = spark.table("dml_part_t").where("r = 4").count()
+    assert(r4 > 0)
+    assert(Dml.deleteWhere(spark, "dml_part_t", col("r") === 4) == r4)
+    assert(spark.table("dml_part_t").where("r = 4").count() == 0)
+    assert(files("r=0") == before0)
+    // UPDATE assigning the partition column = split-update: rows move
+    // between partitions, totals preserved
+    val tot = spark.table("dml_part_t").count()
+    val moved = spark.table("dml_part_t").where("r = 3").count()
+    assert(Dml.updateWhere(spark, "dml_part_t", col("r") === 3,
+      Map("r" -> lit(0L))) == moved)
+    assert(spark.table("dml_part_t").where("r = 3").count() == 0)
+    assert(spark.table("dml_part_t").count() == tot)
+    drop("dml_part_t")
+  }
+
+  test("SQL functions: $10+ args and literal-aware substitution") {
+    import graft.operators.SqlFunctions
+    SqlFunctions.create(
+      "CREATE FUNCTION sum11(a1 int, a2 int, a3 int, a4 int, a5 int, a6 int," +
+        " a7 int, a8 int, a9 int, a10 int, a11 int) RETURNS int AS " +
+        "'SELECT $1+$2+$3+$4+$5+$6+$7+$8+$9 + $10 * 100 + $11 * 1000' LANGUAGE SQL")
+    try {
+      // ascending one-at-a-time replacement would corrupt $10/$11 via $1
+      assert(SqlFunctions.sql(spark,
+        "SELECT sum11(1,2,3,4,5,6,7,8,9,10,11) AS v").head().getInt(0)
+        == 45 + 10 * 100 + 11 * 1000)
+    } finally SqlFunctions.drop("sum11")
+    SqlFunctions.create(
+      "CREATE FUNCTION lab(x int) RETURNS text AS " +
+        "$$ SELECT 'it''s $1 x' || CAST(x AS STRING) $$ LANGUAGE SQL")
+    try {
+      // $n and parameter names inside ''-escaped literals stay literal
+      assert(SqlFunctions.sql(spark, "SELECT lab(7) AS s").head().getString(0)
+        == "it's $1 x7")
+      // a ''-escaped literal containing a registered name is not expanded
+      assert(SqlFunctions.sql(spark, "SELECT 'don''t lab(1)' AS s")
+        .head().getString(0) == "don't lab(1)")
+    } finally SqlFunctions.drop("lab")
+    SqlFunctions.create(
+      "CREATE FUNCTION badp(x int) RETURNS int AS 'SELECT $2' LANGUAGE SQL")
+    try intercept[IllegalArgumentException](SqlFunctions.expand("SELECT badp(1)"))
+    finally SqlFunctions.drop("badp")
+  }
+
   test("setval repositions a sequence; nextval continues above it") {
     GreengageDdl.createSequence("CREATE SEQUENCE sv_seq START WITH 10")
     assert(GreengageDdl.nextBase("sv_seq") == 10L)

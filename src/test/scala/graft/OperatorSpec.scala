@@ -107,6 +107,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(pq.size == 20 * 5) // PQ scores every vector: always a full top-k
   }
 
+  test("IVFADC KNN: recall vs brute force and flat PQ; probed-cell scan is sublinear") {
+    Tables.register(spark, TestSpark.sf0001)
+    val emb = spark.table("embeddings")
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Knn.bruteForceTopK(emb, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfadc = Knn.ivfadcTopK(emb, q, 5, nCentroids = 16, nProbe = 6,
+      codes = 32, trainIters = 2, refine = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivfadc).size.toDouble / brute.size
+    val pq = Knn.pqTopK(emb, q, 5, codes = 32, trainIters = 3, refine = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pqRecall = (brute & pq).size.toDouble / brute.size
+    info(s"ivfadc recall=$recall (flat-pq recall=$pqRecall)")
+    // residual coding + exact refine: at least the flat-PQ quality floor
+    // (deterministic seeding makes both recalls reproducible: 0.84 vs 0.76)
+    assert(recall > 0.4, s"recall=$recall")
+    assert(recall >= pqRecall - 1e-9,
+      s"ivfadc recall $recall below flat-pq $pqRecall")
+    // scanned fraction: Σ_q Σ_{probed cells} |cell| / (|Q|·N) must be the
+    // sublinear nProbe/nCentroids trade, not a full scan in disguise
+    val unit = emb.withColumn("__nrm", Knn.norm2(col("embedding")))
+      .withColumn("__unit", transform(col("embedding"),
+        x => (x.cast("double") / col("__nrm")).cast("float")))
+    val (cids, cents) = Knn.kmeansCentroids(unit, 16, 2, "vec_id", "__unit", 64)
+    val cidsL = typedLit(cids.toSeq)
+    val centsL = typedLit(cents.map(_.toSeq).toSeq)
+    val cellSizes = unit
+      .withColumn("cid", call_function("best_centroid", col("__unit"), cidsL, centsL))
+      .groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probeLists = unit.where(col("vec_id") < 20)
+      .select(call_function("top_centroids", col("__unit"), lit(6), cidsL, centsL).as("p"))
+      .collect().map(_.getSeq[Long](0))
+    val scanned = probeLists.map(_.map(cellSizes.getOrElse(_, 0L)).sum).sum.toDouble
+    val frac = scanned / (emb.count().toDouble * probeLists.length)
+    info(f"ivfadc scanned fraction=$frac%.3f (6 of 16 cells probed)")
+    assert(frac > 0.0 && frac < 0.75, s"scan fraction $frac is not sublinear")
+  }
+
   test("embedding-cosine near-dup: all reported pairs verified, subset of exact") {
     Tables.register(spark, TestSpark.sf0001)
     val emb = spark.table("embeddings")
@@ -312,6 +352,31 @@ class OperatorSpec extends AnyFunSuite {
     // the tabular form is queryable
     assert(ExplainAnalyze.runAsDataFrame(df)
       .where("metric = 'numOutputRows'").count() > 0)
+    // nanosecond-typed metrics are labeled ns (not silently mis-scaled as
+    // ms) and sit in sane bounds: a shuffle-write time for this query is
+    // far under 10 minutes of nanoseconds
+    val ns = metrics.filter(_.unit == "ns")
+    assert(ns.nonEmpty, "expected at least one nsTiming metric (shuffle write)")
+    assert(ns.forall(m => m.value >= 0 && m.value < 600L * 1000 * 1000 * 1000),
+      s"ns metric out of bounds: $ns")
+    assert(metrics.forall(m => m.unit != "ms" || m.value < 600L * 1000),
+      "an ms-labeled metric is implausibly large — ns leaking into ms?")
+  }
+
+  test("cursors: duplicate DECLARE fails without destroying the open portal") {
+    Tables.register(spark, TestSpark.sf0001)
+    Cursors.execute(spark,
+      "DECLARE cdup CURSOR FOR SELECT n_nationkey FROM nation ORDER BY n_nationkey")
+    val first = Cursors.execute(spark, "FETCH 5 FROM cdup").collect()
+      .map(_.getAs[Number](0).longValue).toSeq
+    assert(first == Seq(0L, 1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException](
+      Cursors.execute(spark, "DECLARE cdup CURSOR FOR SELECT 1 AS x"))
+    // the original portal survives and resumes exactly where it was
+    val next = Cursors.execute(spark, "FETCH 5 FROM cdup").collect()
+      .map(_.getAs[Number](0).longValue).toSeq
+    assert(next == Seq(5L, 6L, 7L, 8L, 9L))
+    Cursors.execute(spark, "CLOSE cdup")
   }
 
   test("cursors: DECLARE/FETCH n pages the full result in order") {

@@ -374,6 +374,67 @@ class ReferencePatternsSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted cover walk pins tsRankCdWOf; tsv builders agree; norm len=0 guard") {
+    import graft.functions.Ranges
+    import org.apache.spark.sql.Column
+    // weighted Cpos hand case: "a b" labeled A,B → one cover [1,2],
+    // Cpos = 2/(1/1.0 + 1/0.4), noise 0 (tsrank.c:745-760)
+    val hand = Ranges.coverRankCdW("a b".split(" "), Seq("a", "b"),
+      p => if (p == 1) 1.0 else 0.4)
+    assert(math.abs(hand - 2.0 / (1.0 / 1.0 + 1.0 / 0.4)) < 1e-12)
+    // the declarative weighted 2-term closed form must agree with the
+    // weighted JVM walk on real documents (q131's A/B/D labeling) — the
+    // oracle spells the same formula, so this is the independent pin
+    Tables.register(spark, TestSpark.sf0001)
+    val docs = spark.table("documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val words = split(col("text"), " ")
+    def lbl(i: Column): Column =
+      when(i <= 2, lit(3)).when(i <= 4, lit(2)).otherwise(lit(0))
+    val declarative = spark.table("documents")
+      .where(Ranges.tsMatch(words, Seq("data", "query")))
+      .withColumn("tsv", Ranges.toTsVectorLabeled(words, lbl))
+      .withColumn("mw", Ranges.mergedPositionsW(col("tsv"), "data", "query"))
+      .select(col("doc_id"), Ranges.tsRankCdWOf(col("mw")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(declarative.nonEmpty)
+    def wp(p: Int): Double = if (p <= 2) 1.0 else if (p <= 4) 0.4 else 0.1
+    declarative.foreach { case (id, r) =>
+      val general = Ranges.coverRankCdW(
+        docs(id).split(" "), Seq("data", "query"), wp)
+      assert(math.abs(general - r) < 1e-9, s"doc $id: $general vs $r")
+    }
+    // builder parity: setweight + tsvConcat (shift semantics) must equal
+    // the single-pass labeled construction — first 2 words A, rest D
+    val built = spark.table("documents").limit(20)
+      .withColumn("words", words)
+      .where(size(col("words")) > 3)
+      .select(
+        Ranges.tsvConcat(
+          Ranges.setweight(Ranges.toTsVector(slice(col("words"), 1, 2)), "A"),
+          Ranges.toTsVector(slice(col("words"), lit(3), size(col("words")) - 2)))
+          .as("via_concat"),
+        Ranges.toTsVectorLabeled(col("words"),
+          i => when(i <= 2, lit(3)).otherwise(lit(0))).as("single_pass"))
+      .collect()
+    assert(built.nonEmpty)
+    built.foreach(r => assert(r.get(0) == r.get(1), s"$r"))
+    // empty-left concat is identity on the shifted right side
+    val edge = spark.range(1).select(
+      Ranges.tsvConcat(
+        Ranges.toTsVector(array().cast("array<string>")),
+        Ranges.setweight(Ranges.toTsVector(array(lit("w"))), "B")).as("v"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(edge.map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+      == Seq((1, "w", 2)))
+    // RANK_NORM_LOGLENGTH on an empty tsvector: skip the norm (t->size
+    // guard in calc_rank), never divide by log2(1) = 0
+    val nrm = spark.range(1).select(
+      Ranges.tsRankNorm(lit(0.5d), 1, lit(0), lit(0)).as("r"))
+      .head().getDouble(0)
+    assert(nrm == 0.5)
+  }
+
   test("GROUPS frame / EXCLUDE rewrites match SQL:2011 semantics by hand") {
     import org.apache.spark.sql.expressions.Window
     // one partition; peer groups by qb: {10,20} | {30} | {40}

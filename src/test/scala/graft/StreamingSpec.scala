@@ -85,6 +85,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("stream-stream join scopes its shuffle override to a child session") {
+    val d = TestSpark.sf0001
+    val parentBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val df = graft.streaming.Streams.streamStreamJoin(spark, d)
+    // isolation is structural: the 8-partition override lives in a child
+    // session, so the parent's conf was never mutated — not even mid-run
+    assert(df.sparkSession ne spark)
+    assert(df.sparkSession.conf.get("spark.sql.shuffle.partitions") == "8")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == parentBefore)
+    assert(df.count() > 0)
+  }
+
   test("stream-stream join: watermark evicts join state across batches") {
     def rmr(p: String): Unit = { val f = new java.io.File(p)
       if (f.exists()) { def rm(x: java.io.File): Unit = {
