@@ -303,6 +303,10 @@ object GraftFunctions {
       info("vec_dot", "vec_dot(a, b) - sequential-fold dot product"),
       (args: Seq[Expression]) => VecDot(args(0), args(1)))
     reg.registerFunction(
+      FunctionIdentifier("jsonb_contains"),
+      info("jsonb_contains", "jsonb_contains(doc, needle) - PG @> recursive containment"),
+      (args: Seq[Expression]) => JsonbContains(args(0), args(1)))
+    reg.registerFunction(
       FunctionIdentifier("to_char_pg"),
       info("to_char_pg", "to_char_pg(num, fmt) - PG numeric template formatting"),
       (args: Seq[Expression]) => ToChar(Cast(args(0), DoubleType), args(1)))

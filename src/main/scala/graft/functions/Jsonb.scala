@@ -1,7 +1,12 @@
 package graft.functions
 
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType}
 
 /** jsonb operator surface (reference `src/backend/utils/adt/jsonfuncs.c`
   * and jsonb_ops in `jsonb_op.c`): the PG operators a user's queries
@@ -24,10 +29,21 @@ object Jsonb {
     keys.map(hasKey(m, _)).reduce(_ || _)
 
   /** `obj @> needle` — containment for a flat object of scalar values
-    * (jsonb_ops containment: every needle pair present and equal). */
+    * (jsonb_ops containment: every needle pair present and equal). For
+    * nested documents use [[containsDeep]]. */
   def containsAll(m: Column, needle: Map[String, String]): Column =
     needle.map { case (k, v) => element_at(m, k) === lit(v) }
       .reduce(_ && _)
+
+  /** `doc @> needle` — FULL recursive containment over JSON text
+    * (reference `src/backend/utils/adt/jsonb_util.c:965`
+    * JsonbDeepContains): nested objects recurse, arrays contain a
+    * needle array when every needle element is contained in some target
+    * element, a top-level array contains a primitive element, numbers
+    * compare numerically. Runs as the codegen `jsonb_contains`
+    * expression. */
+  def containsDeep(doc: Column, needle: String): Column =
+    call_function("jsonb_contains", doc, lit(needle))
 
   /** `a || b` — concatenation, right side wins on key conflicts (PG
     * jsonb_concat). One `map_zip_with` pass — O(|a|+|b|) per row. (The
@@ -45,4 +61,57 @@ object Jsonb {
   /** `obj - key` — key deletion. */
   def removeKey(m: Column, key: String): Column =
     map_filter(m, (k, _) => k =!= lit(key))
+}
+
+/** `jsonb_contains(doc, needle)` — PG `@>` as a codegen expression over
+  * two JSON strings (jsonb_util.c:965 JsonbDeepContains). */
+case class JsonbContains(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "jsonb_contains"
+
+  override protected def nullSafeEval(d: Any, n: Any): Any =
+    JsonbDeep.contains(d.toString, n.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JsonbDeep.contains($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JsonbContains =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The JVM walk behind [[JsonbContains]], mirroring JsonbDeepContains'
+  * recursion (jsonb_util.c:965): the needle drives the walk; a
+  * contained array needs each of its elements contained in SOME target
+  * element; the array-contains-primitive special case applies at top
+  * level only, as in PG. */
+object JsonbDeep {
+
+  private val mapper = new ObjectMapper()
+
+  def contains(doc: String, needle: String): Boolean =
+    walk(mapper.readTree(doc), mapper.readTree(needle), top = true)
+
+  private def walk(t: JsonNode, n: JsonNode, top: Boolean): Boolean = {
+    import scala.jdk.CollectionConverters._
+    if (n.isObject && t.isObject) {
+      n.fields().asScala.forall { e =>
+        val tv = t.get(e.getKey)
+        tv != null && walk(tv, e.getValue, top = false)
+      }
+    } else if (n.isArray && t.isArray) {
+      n.elements().asScala.forall(ne =>
+        t.elements().asScala.exists(te => walk(te, ne, top = false)))
+    } else if (top && t.isArray && n.isValueNode) {
+      t.elements().asScala.exists(te => scalarEq(te, n))
+    } else scalarEq(t, n)
+  }
+
+  private def scalarEq(a: JsonNode, b: JsonNode): Boolean =
+    if (a.isNumber && b.isNumber)
+      a.decimalValue().compareTo(b.decimalValue()) == 0
+    else a.getNodeType == b.getNodeType && a == b
 }

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PG multi-dimensional array surface (reference
+  * `src/backend/utils/adt/arrayfuncs.c`): N-d arrays map to nested
+  * Spark ArrayType (SURVEY §1.2); PG requires rectangular N-d arrays,
+  * so the first element's extent is THE extent of its dimension.
+  */
+object PgArrays {
+
+  /** PG `array_dims(anyarray)` (arrayfuncs.c:1654): the `[lo:hi]` text
+    * per dimension. Arrays built by ARRAY[...] have lower bound 1 — the
+    * only lower bound this engine's nested model produces. NULL for an
+    * empty array, as in PG. */
+  def arrayDims(m: Column, ndims: Int): Column = {
+    val sizes = (0 until ndims).map { d =>
+      var cur: Column = m
+      (0 until d).foreach(_ => cur = element_at(cur, 1))
+      size(cur)
+    }
+    when(size(m) > 0,
+      concat(sizes.flatMap(s =>
+        Seq(lit("[1:"), s.cast("string"), lit("]"))): _*))
+  }
+
+  /** PG 2-d slice `m[rlo:rhi][clo:chi]` (arrayfuncs.c array_get_slice):
+    * 1-based inclusive bounds on every dimension, clamped to the array's
+    * extent — slicing past the end returns what exists, an inverted
+    * range yields an empty array. */
+  def slice2d(m: Column, rlo: Int, rhi: Int, clo: Int, chi: Int): Column =
+    transform(slice(m, rlo, math.max(0, rhi - rlo + 1)),
+      row => slice(row, clo, math.max(0, chi - clo + 1)))
+}

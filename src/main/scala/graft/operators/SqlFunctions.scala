@@ -29,22 +29,186 @@ object SqlFunctions {
       "\\(([^)]*)\\)\\s*RETURNS\\s+[\\w ]+(?:\\([\\d, ]*\\))?\\s+AS\\s+" +
       "(?:'(.*?)'|\\$\\$(.*?)\\$\\$)\\s+LANGUAGE\\s+SQL\\s*;?\\s*$").r
 
-  /** Parse + register a CREATE FUNCTION ... LANGUAGE SQL statement. */
-  def create(ddl: String): SqlFn = {
-    val m = fnRe.findFirstMatchIn(ddl).getOrElse(
-      throw new IllegalArgumentException(
-        s"not a CREATE FUNCTION ... LANGUAGE SQL statement: $ddl"))
-    val name = m.group(1).toLowerCase
-    val params = GreengageDdl.splitTop(m.group(2))
-      .map(_.trim.split("\\s+")(0).toLowerCase)
-    val raw = Option(m.group(3)).getOrElse(m.group(4)).trim.stripSuffix(";").trim
-    require(raw.toLowerCase.startsWith("select"),
-      s"SQL function body must be 'SELECT <expression>': $raw")
-    val body = raw.substring("select".length).trim
-    val fn = SqlFn(name, params, body)
-    registry.put(name, fn)
-    fn
+  private val plRe =
+    ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+([\\w.]+)\\s*" +
+      "\\(([^)]*)\\)\\s*RETURNS\\s+[\\w ]+(?:\\([\\d, ]*\\))?\\s+AS\\s+" +
+      "\\$\\$(.*?)\\$\\$\\s+LANGUAGE\\s+PLPGSQL\\s*;?\\s*$").r
+
+  /** Parse + register a CREATE FUNCTION statement — `LANGUAGE SQL`
+    * single-expression bodies, or the `LANGUAGE plpgsql` subset
+    * compiled by [[compilePlpgsql]]. Either way the registered function
+    * is ONE SQL expression, so call sites inline into a single
+    * declarative plan for Catalyst (no interpreter, no per-row
+    * re-entry). */
+  def create(ddl: String): SqlFn = fnRe.findFirstMatchIn(ddl) match {
+    case Some(m) =>
+      val name = m.group(1).toLowerCase
+      val params = GreengageDdl.splitTop(m.group(2))
+        .map(_.trim.split("\\s+")(0).toLowerCase)
+      val raw = Option(m.group(3)).getOrElse(m.group(4)).trim.stripSuffix(";").trim
+      require(raw.toLowerCase.startsWith("select"),
+        s"SQL function body must be 'SELECT <expression>': $raw")
+      val body = raw.substring("select".length).trim
+      val fn = SqlFn(name, params, body)
+      registry.put(name, fn)
+      fn
+    case None =>
+      val m = plRe.findFirstMatchIn(ddl).getOrElse(
+        throw new IllegalArgumentException(
+          s"not a CREATE FUNCTION ... LANGUAGE SQL/plpgsql statement: $ddl"))
+      val name = m.group(1).toLowerCase
+      val params = GreengageDdl.splitTop(m.group(2))
+        .map(_.trim.split("\\s+")(0).toLowerCase)
+      val fn = SqlFn(name, params, compilePlpgsql(m.group(3)))
+      registry.put(name, fn)
+      fn
   }
+
+  // ------------------------------------------------------------------
+  // PL/pgSQL subset (reference `src/pl/plpgsql/src/` — a 13k-LoC
+  // interpreter; `pl_comp.c` parameter resolution, `pl_exec.c`
+  // exec_stmt_if). The restricted shape most scalar plpgsql functions
+  // take — DECLARE with initializers, straight-line `v := expr;`
+  // assignments, IF/ELSIF/ELSE with RETURN branches (nesting allowed)
+  // — is compiled to ONE CASE expression: assignments are inlined
+  // SSA-style (each variable's definition is substituted forward, so
+  // `v := v + 1` chains), and the IF ladder becomes CASE WHEN. No
+  // interpreter exists at runtime; the function call is an expression
+  // macro exactly like a LANGUAGE SQL function, fully codegen.
+  // ------------------------------------------------------------------
+
+  /** Compile a DECLARE/BEGIN/IF/RETURN body to a single SQL expression. */
+  private[operators] def compilePlpgsql(body: String): String = {
+    val m = "(?is)^\\s*(?:DECLARE\\s+(.*?))??BEGIN\\s+(.*?)\\s*END\\s*;?\\s*$".r
+      .findFirstMatchIn(body.trim).getOrElse(throw new IllegalArgumentException(
+        s"unsupported plpgsql body (expected [DECLARE ...] BEGIN ... END): $body"))
+    var env = Map.empty[String, String]
+    val declText = mapOutsideLiterals(Option(m.group(1)).getOrElse("")) {
+      seg => seg.replaceAll("(?i)\\bDEFAULT\\b", ":=") }
+    for (d <- splitStatements(declText)) {
+      val parts = d.split(":=", 2)
+      val name = parts(0).trim.split("\\s+")(0).toLowerCase
+      require(name.matches("\\w+"), s"bad plpgsql declaration: $d")
+      if (parts.length == 2)
+        env += name -> ("(" + substNamed(parts(1).trim, env) + ")")
+      // uninitialized variables must be assigned before first read —
+      // a premature read leaves the bare name and fails analysis
+    }
+    compileSeq(m.group(2), env)
+  }
+
+  /** Compile a statement sequence (assignments, then RETURN or an IF
+    * ladder) to the expression it returns. */
+  private def compileSeq(text0: String, env0: Map[String, String]): String = {
+    var env = env0
+    var rest = text0.trim
+    while (rest.nonEmpty) {
+      if (rest.matches("(?is)^RETURN\\b.*")) {
+        val (stmt, _) = takeStatement(rest)
+        return substNamed(stmt.substring("return".length).trim, env)
+      } else if (rest.matches("(?is)^IF\\b.*")) {
+        return compileIfChain(rest, env)
+      } else {
+        val (stmt, tail) = takeStatement(rest)
+        val parts = stmt.split(":=", 2)
+        require(parts.length == 2 && parts(0).trim.matches("(?i)\\w+"),
+          s"unsupported plpgsql statement (expected `var := expr;`): $stmt")
+        env += parts(0).trim.toLowerCase ->
+          ("(" + substNamed(parts(1).trim, env) + ")")
+        rest = tail.trim
+      }
+    }
+    throw new IllegalArgumentException(
+      "plpgsql control reached end of function without RETURN")
+  }
+
+  /** `IF c THEN ... [ELSIF c THEN ...]* [ELSE ...] END IF; [cont]` →
+    * `CASE WHEN ... END`. Statements after END IF are the implicit ELSE
+    * when the ladder has none (PG falls through); with no continuation
+    * either, the fall-through yields NULL (PG would raise "control
+    * reached end of function" at runtime — unreachable in well-formed
+    * functions). */
+  private def compileIfChain(text: String, env: Map[String, String]): String = {
+    val spans = literalSpans(text)
+    def inLit(p: Int) = spans.exists { case (s, e) => p >= s && p < e }
+    // END IF first in the alternation so its IF token is consumed with it
+    val tokRe = "(?is)\\bEND\\s+IF\\b|\\bELSIF\\b|\\bELSE\\b|\\bTHEN\\b|\\bIF\\b".r
+    var depth = 0
+    var endIf: Option[(Int, Int)] = None
+    val marks = scala.collection.mutable.ListBuffer.empty[(String, Int, Int)]
+    for (t <- tokRe.findAllMatchIn(text) if endIf.isEmpty && !inLit(t.start)) {
+      val kind = t.matched.toUpperCase.replaceAll("\\s+", " ")
+      kind match {
+        case "IF" =>
+          depth += 1
+          if (depth == 1) marks += (("IF", t.start, t.end))
+        case "END IF" =>
+          if (depth == 1) endIf = Some((t.start, t.end))
+          depth -= 1
+        case k =>
+          if (depth == 1) marks += ((k, t.start, t.end))
+      }
+    }
+    val (endStart, endEnd) = endIf.getOrElse(throw new IllegalArgumentException(
+      s"IF without matching END IF in plpgsql body: $text"))
+    // walk IF cond THEN body (ELSIF cond THEN body)* (ELSE body)?
+    val bounds = marks.toList :+ (("END IF", endStart, endEnd))
+    val whens = scala.collection.mutable.ListBuffer.empty[String]
+    var elseExpr: Option[String] = None
+    var i = 0
+    while (i < bounds.length - 1) {
+      bounds(i) match {
+        case ("IF" | "ELSIF", _, condFrom) =>
+          val (thenKind, thenStart, thenEnd) = bounds(i + 1)
+          require(thenKind == "THEN", s"expected THEN after IF/ELSIF: $text")
+          val cond = text.substring(condFrom, thenStart).trim
+          val bodyEnd = bounds(i + 2)._2
+          val branch = text.substring(thenEnd, bodyEnd)
+          whens += s"WHEN ${substNamed(cond, env)} THEN ${compileSeq(branch, env)}"
+          i += 2
+        case ("ELSE", _, from) =>
+          elseExpr = Some(compileSeq(text.substring(from, endStart), env))
+          i += 1
+        case (k, _, _) =>
+          throw new IllegalArgumentException(s"unexpected $k in IF ladder: $text")
+      }
+    }
+    val cont = text.substring(endEnd).trim.replaceFirst("^;", "").trim
+    val els = elseExpr.orElse(
+      if (cont.nonEmpty) Some(compileSeq(cont, env)) else None)
+    "CASE " + whens.mkString(" ") + els.fold("")(e => s" ELSE $e") + " END"
+  }
+
+  /** (first top-level statement without its ';', remainder). */
+  private def takeStatement(text: String): (String, String) = {
+    val spans = literalSpans(text)
+    def inLit(p: Int) = spans.exists { case (s, e) => p >= s && p < e }
+    val cut = text.indices.find(i => text.charAt(i) == ';' && !inLit(i))
+      .getOrElse(text.length)
+    (text.substring(0, cut).trim,
+      if (cut < text.length) text.substring(cut + 1) else "")
+  }
+
+  private def splitStatements(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var rest = text
+    while (rest.trim.nonEmpty) {
+      val (stmt, tail) = takeStatement(rest)
+      if (stmt.nonEmpty) out += stmt
+      rest = tail
+    }
+    out.result()
+  }
+
+  /** Literal-aware whole-word variable substitution (no positional $n —
+    * those stay for call-site expansion). */
+  private def substNamed(body: String, env: Map[String, String]): String =
+    if (env.isEmpty) body
+    else {
+      val re = ("(?i)\\b(" + env.keys.map(Pattern.quote).mkString("|") + ")\\b").r
+      mapOutsideLiterals(body)(seg => re.replaceAllIn(seg,
+        mm => Matcher.quoteReplacement(env(mm.group(1).toLowerCase))))
+    }
 
   def drop(name: String): Unit = registry.remove(name.toLowerCase)
 

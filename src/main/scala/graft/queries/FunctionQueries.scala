@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import Q._
@@ -78,15 +79,26 @@ object FunctionQueries {
     }),
 
     // Multi-dimensional arrays (PG arrays are N-D; SURVEY §1.2 maps them
-    // to nested ArrayType): element access, dims, flatten-aggregate.
+    // to nested ArrayType): element access, array_dims (arrayfuncs.c:
+    // 1654), [lo:hi][lo:hi] slicing with PG clamping, flatten-aggregate.
     "q73c_multidim_array" -> ((s, d) => {
+      import graft.functions.PgArrays._
       graft.Tables.register(s, d)
-      s.sql("""SELECT id,
-              |  m[0][1] AS a12, m[1][0] AS a21,
-              |  size(m) AS n_rows_m, size(m[0]) AS n_cols,
-              |  aggregate(flatten(m), 0, (acc, x) -> acc + x) AS total
-              |FROM VALUES (1, array(array(1, 2), array(3, 4))),
-              |            (2, array(array(5, 6), array(7, 8))) AS t(id, m)""".stripMargin)
+      val base = s.sql(
+        """SELECT id, m FROM VALUES
+          |  (1, array(array(1, 2, 3), array(4, 5, 6), array(7, 8, 9))),
+          |  (2, array(array(10, 11, 12), array(13, 14, 15),
+          |      array(16, 17, 18))) AS t(id, m)""".stripMargin)
+      def flat(c: Column) = array_join(flatten(c).cast("array<string>"), ",")
+      base.select(col("id"),
+        expr("m[0][1]").as("a12"), expr("m[1][0]").as("a21"),
+        size(col("m")).as("n_rows_m"), size(expr("m[0]")).as("n_cols"),
+        expr("aggregate(flatten(m), 0, (acc, x) -> acc + x)").as("total"),
+        arrayDims(col("m"), 2).as("dims"),
+        flat(slice2d(col("m"), 2, 3, 1, 2)).as("sub_flat"),
+        arrayDims(slice2d(col("m"), 2, 3, 1, 2), 2).as("sub_dims"),
+        // slice past the extent clamps, as PG array_get_slice
+        flat(slice2d(col("m"), 2, 9, 2, 9)).as("clamped_flat"))
     }),
 
     // Map type functions (hstore analog, SURVEY §1.2) over parsed JSON.
@@ -234,6 +246,30 @@ object FunctionQueries {
           size(Jsonb.removeKey(col("m"), "prio")).as("n_after_del"))
     }),
 
+    // jsonb recursive containment @> (jsonb_util.c:965
+    // JsonbDeepContains) over a NESTED document: object recursion,
+    // array element containment, numeric equality, empty-object needle.
+    // The oracle hand-evaluates each needle against the doc's fields.
+    "q135_jsonb_contains" -> ((s, d) => {
+      import graft.functions.Jsonb
+      val j = concat(lit("{\"cust\":{\"key\":"), col("o_custkey"),
+        lit(",\"seg\":\""), col("o_orderstatus"),
+        lit("\"},\"tags\":[\"base\",\""), col("o_orderstatus"),
+        lit("\"],\"prio\":\""), col("o_orderpriority"), lit("\"}"))
+      t(s, d, "orders")
+        .withColumn("doc", j)
+        .select(col("o_orderkey"),
+          Jsonb.containsDeep(col("doc"), """{"cust":{"seg":"F"}}""")
+            .as("seg_f"),
+          Jsonb.containsDeep(col("doc"),
+            """{"prio":"1-URGENT","cust":{"seg":"O"}}""").as("urgent_open"),
+          Jsonb.containsDeep(col("doc"), """{"cust":{"seg":"F","x":1}}""")
+            .as("missing_key"),
+          Jsonb.containsDeep(col("doc"), """{"cust":{}}""").as("empty_obj"),
+          Jsonb.containsDeep(col("doc"), """{"tags":["F"]}""").as("tag_f"),
+          Jsonb.containsDeep(col("doc"), """{"cust":{"key":7}}""").as("key7"))
+    }),
+
     // json_each-style object-to-rows expansion (jsonfuncs.c:1325):
     // explode a JSON object into one row per key/value pair. The object
     // is built from order columns (3 keys/row); key order follows the
@@ -294,6 +330,30 @@ object FunctionQueries {
         """SELECT l_orderkey, l_linenumber,
           |       taxed_price(l_extendedprice, l_discount, l_tax) AS px
           |FROM lineitem WHERE l_quantity > 45""".stripMargin)
+    }),
+
+    // plpgsql-subset function (src/pl/plpgsql; pl_exec.c exec_stmt_if):
+    // DECLARE + IF/ELSIF/ELSE RETURN compiled to ONE CASE expression and
+    // inlined at the call site — no interpreter, plain codegen. p * 2 is
+    // exact in doubles, so the band edges are deterministic.
+    "q134_plpgsql" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.operators.SqlFunctions.create(
+        """CREATE OR REPLACE FUNCTION order_band(p float8) RETURNS text AS $$
+          |DECLARE
+          |  v float8 := p * 2;
+          |BEGIN
+          |  IF v > 600000 THEN
+          |    RETURN 'high';
+          |  ELSIF v > 300000 THEN
+          |    RETURN 'mid';
+          |  ELSE
+          |    RETURN 'low';
+          |  END IF;
+          |END;
+          |$$ LANGUAGE plpgsql""".stripMargin)
+      graft.operators.SqlFunctions.sql(s,
+        "SELECT o_orderkey, order_band(o_totalprice) AS band FROM orders")
     }),
 
     // Scalar UDF registration surface (CREATE FUNCTION, src/pl/*) +
@@ -509,8 +569,15 @@ object FunctionQueries {
       """SELECT id,
         |  m[1][2] AS a12, m[2][1] AS a21,
         |  CAST(len(m) AS INT) AS n_rows_m, CAST(len(m[1]) AS INT) AS n_cols,
-        |  CAST(list_sum(flatten(m)) AS INT) AS total
-        |FROM (VALUES (1, [[1, 2], [3, 4]]), (2, [[5, 6], [7, 8]])) AS t(id, m)""".stripMargin,
+        |  CAST(list_sum(flatten(m)) AS INT) AS total,
+        |  '[1:' || len(m) || '][1:' || len(m[1]) || ']' AS dims,
+        |  array_to_string(flatten(list_transform(m[2:3], r -> r[1:2])), ',')
+        |    AS sub_flat,
+        |  '[1:' || len(m[2:3]) || '][1:' || len(m[2][1:2]) || ']' AS sub_dims,
+        |  array_to_string(flatten(list_transform(m[2:9], r -> r[2:9])), ',')
+        |    AS clamped_flat
+        |FROM (VALUES (1, [[1, 2, 3], [4, 5, 6], [7, 8, 9]]),
+        |             (2, [[10, 11, 12], [13, 14, 15], [16, 17, 18]])) AS t(id, m)""".stripMargin,
     "q73b_map_funcs" ->
       """SELECT event_id,
         |  array_to_string(json_keys(props), ',') AS ks,
@@ -676,6 +743,24 @@ object FunctionQueries {
         |    x -> CASE WHEN x = 'data' OR x = 'query'
         |              THEN '<b>' || x || '</b>' ELSE x END), ' ') AS headline
         |FROM h""".stripMargin,
+    // each needle hand-evaluated against the generated document shape
+    "q135_jsonb_contains" ->
+      """SELECT o_orderkey,
+        |  (o_orderstatus = 'F') AS seg_f,
+        |  (o_orderpriority = '1-URGENT' AND o_orderstatus = 'O') AS urgent_open,
+        |  FALSE AS missing_key,
+        |  TRUE AS empty_obj,
+        |  (o_orderstatus = 'F') AS tag_f,
+        |  (o_custkey = 7) AS key7
+        |FROM orders""".stripMargin,
+    // the CASE chain the plpgsql compiler emits, with its exact
+    // parenthesization (* 2 is exact in doubles either way)
+    "q134_plpgsql" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN ((o_totalprice) * 2) > 600000 THEN 'high'
+        |       WHEN ((o_totalprice) * 2) > 300000 THEN 'mid'
+        |       ELSE 'low' END AS band
+        |FROM orders""".stripMargin,
     // same parenthesization the macro expansion emits, so the IEEE
     // double arithmetic is shape-identical on both engines
     "q119_sql_function" ->

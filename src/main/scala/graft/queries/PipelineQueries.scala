@@ -176,6 +176,14 @@ object PipelineQueries {
       Streams.streamStreamJoin(s, d)
     }),
 
+    // Full-outer watermarked stream-stream join: unmatched rows on BOTH
+    // sides null-extend on watermark expiry; flush batches make the
+    // bounded run exact vs the batch full-outer interval join.
+    "q136_stream_full_outer" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      Streams.streamStreamFullOuterJoin(s, d)
+    }),
+
     // Stream–static broadcast join + aggregation.
     "q99_stream_static_join" -> ((s, d) => {
       graft.Tables.register(s, d)
@@ -491,6 +499,16 @@ object PipelineQueries {
         |FROM e c JOIN e p ON c.user_id = p.user_id
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
+    "q136_stream_full_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                 CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c_id, p_id, COALESCE(c_user, p_user) AS user_id, c_ts, p_ts
+        |FROM c FULL JOIN p ON c_user = p_user
+        |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE""".stripMargin,
     "q99_stream_static_join" ->
       """WITH dim(event_type, category) AS (VALUES
         |  ('click','engagement'), ('view','engagement'),

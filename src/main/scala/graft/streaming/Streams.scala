@@ -172,6 +172,86 @@ object Streams {
     runToBatch(spark, joined, mode = "append")
   }
 
+  /** Full-outer watermarked stream–stream interval join: matched pairs
+    * emit on match; each side's unmatched rows null-extend once the
+    * global watermark passes their join window. A bounded run can only
+    * emit state the watermark has EXPIRED, so the source is staged with
+    * two far-future flush batches (user_id −1, filtered back out of the
+    * result): the first advances the watermark past every real row's
+    * window, the second gives the join a micro-batch in which to emit
+    * the expired rows — the streaming-native analog of end-of-input
+    * flushing. Result = the SQL full-outer interval join, exactly
+    * (hash-checked by the q136 oracle). Conf override scoped to a child
+    * session, as in [[streamStreamJoin]]. */
+  def streamStreamFullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val scoped = spark.newSession()
+    graft.Tables.tune(scoped)
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    fullOuterInner(scoped, sfDir)
+  }
+
+  private def fullOuterInner(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedFlushDir(spark, sfDir)
+    val src = spark.readStream.schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1") // fixture, flush 1, flush 2 — in order
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"),
+      "full_outer")
+      // drop the flush sentinels; a full-outer row always has one side
+      .where(coalesce(col("c_user"), col("p_user")) =!= lit(-1L))
+      .select(col("c_id"), col("p_id"),
+        coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("c_ts").cast("timestamp_ntz").as("c_ts"),
+        col("p_ts").cast("timestamp_ntz").as("p_ts"))
+    runToBatch(spark, joined, mode = "append")
+  }
+
+  /** events fixture + two flush files with strictly increasing mtimes
+    * (the file source processes oldest-first). Each flush file carries a
+    * click and a purchase 40 minutes apart — far enough to never match
+    * each other — so BOTH sides' watermarks advance. */
+  private def stagedFlushDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = java.nio.file.Paths.get(s"target/stream_src_flush/$name")
+      if (!java.nio.file.Files.exists(dir.resolve("events.parquet"))) {
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+        val maxNs = spark.read.schema(eventsRawSchema)
+          .parquet(s"$sfDir/events.parquet")
+          .agg(max(col("ts"))).head().getLong(0)
+        import spark.implicits._
+        val hourNs = 3600L * 1000 * 1000 * 1000
+        def writeFlush(idx: Int, baseNs: Long): Unit = {
+          val rows = Seq(
+            (-(idx * 2L), baseNs, -1L, "click", 0.0, "{}"),
+            (-(idx * 2L + 1), baseNs + 40 * 60 * 1000000000L, -1L, "purchase",
+              0.0, "{}"))
+          val tmp = s"target/stream_src_flush/tmp_${name}_$idx"
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          Thread.sleep(5) // distinct mtimes => deterministic batch order
+          java.nio.file.Files.move(part.toPath, dir.resolve(s"flush$idx.parquet"))
+        }
+        writeFlush(1, maxNs + 2 * hourNs)
+        writeFlush(2, maxNs + 8 * hourNs)
+      }
+      dir.toAbsolutePath.toString
+    }
+
   /** Arbitrary stateful streaming via mapGroupsWithState: running
     * per-user event counts held in GroupState (the custom-state API the
     * reference has no analog for). Update output mode; with AvailableNow

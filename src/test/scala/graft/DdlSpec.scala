@@ -331,6 +331,68 @@ class DdlSpec extends AnyFunSuite {
     } finally Seq("dbl", "quad", "addpos", "rec").foreach(SqlFunctions.drop)
   }
 
+  test("plpgsql subset: DECLARE/assign/IF ladders compile to one CASE expression") {
+    import graft.operators.SqlFunctions
+    SqlFunctions.create(
+      """CREATE FUNCTION band(p float8) RETURNS text AS $$
+        |DECLARE
+        |  v float8 := p * 2;
+        |BEGIN
+        |  IF v > 600000 THEN
+        |    RETURN 'high';
+        |  ELSIF v > 300000 THEN
+        |    RETURN 'mid';
+        |  ELSE
+        |    RETURN 'low';
+        |  END IF;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    try {
+      // compiled to a CASE chain, not interpreted
+      assert(SqlFunctions.expand("SELECT band(1.0) AS b").toUpperCase
+        .contains("CASE WHEN"))
+      assert(SqlFunctions.sql(spark, "SELECT band(400000.0) AS b")
+        .head().getString(0) == "high")
+      assert(SqlFunctions.sql(spark, "SELECT band(200000.0) AS b")
+        .head().getString(0) == "mid")
+      assert(SqlFunctions.sql(spark, "SELECT band(1.0) AS b")
+        .head().getString(0) == "low")
+    } finally SqlFunctions.drop("band")
+    // sequential assignments chain SSA-style; nested IF; statements after
+    // END IF are the implicit ELSE
+    SqlFunctions.create(
+      """CREATE FUNCTION cls(a int, b int) RETURNS int AS $$
+        |DECLARE
+        |  v int;
+        |BEGIN
+        |  v := a + b;
+        |  v := v * v;
+        |  IF v > 100 THEN
+        |    IF a > b THEN RETURN 1; ELSE RETURN 2; END IF;
+        |  END IF;
+        |  RETURN 0;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    try {
+      assert(SqlFunctions.sql(spark, "SELECT cls(9, 3) AS c").head().getInt(0) == 1)
+      assert(SqlFunctions.sql(spark, "SELECT cls(3, 9) AS c").head().getInt(0) == 2)
+      assert(SqlFunctions.sql(spark, "SELECT cls(1, 2) AS c").head().getInt(0) == 0)
+    } finally SqlFunctions.drop("cls")
+    // keywords and ';' inside ''-escaped string literals survive
+    SqlFunctions.create(
+      """CREATE FUNCTION kw(x int) RETURNS text AS $$
+        |BEGIN
+        |  IF x > 0 THEN RETURN 'then; end if; it''s fine'; ELSE RETURN 'no'; END IF;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    try assert(SqlFunctions.sql(spark, "SELECT kw(1) AS s").head().getString(0)
+      == "then; end if; it's fine")
+    finally SqlFunctions.drop("kw")
+    // a body with no RETURN path is rejected at CREATE time
+    intercept[IllegalArgumentException](SqlFunctions.create(
+      "CREATE FUNCTION bad(x int) RETURNS int AS $$ BEGIN x := 1; END; $$ LANGUAGE plpgsql"))
+  }
+
   test("DISTRIBUTED REPLICATED reads back with the broadcast hint") {
     Tables.register(spark, TestSpark.sf0001)
     drop("nation_ddl")

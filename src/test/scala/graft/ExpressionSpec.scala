@@ -11,6 +11,34 @@ class ExpressionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("jsonb_contains: recursive @> semantics per JsonbDeepContains") {
+    import graft.functions.JsonbDeep.contains
+    // nested object recursion
+    assert(contains("""{"a":{"b":{"c":1},"d":2}}""", """{"a":{"b":{"c":1}}}"""))
+    assert(!contains("""{"a":{"b":{"c":1}}}""", """{"a":{"b":{"c":2}}}"""))
+    assert(!contains("""{"a":{"b":1}}""", """{"a":{"b":1,"x":1}}"""))
+    // empty object/array needles are contained in any object/array
+    assert(contains("""{"a":1}""", "{}"))
+    assert(contains("""[1,2]""", "[]"))
+    // array containment: every needle element in SOME target element
+    assert(contains("""[1,2,3]""", "[3,1]"))
+    assert(!contains("""[1,2,3]""", "[4]"))
+    assert(contains("""{"t":[{"k":1},{"k":2}]}""", """{"t":[{"k":2}]}"""))
+    // top-level array contains a primitive, but NOT nested (PG special case)
+    assert(contains("""[1,2]""", "1"))
+    assert(!contains("""{"a":[1,2]}""", """{"a":1}"""))
+    // numbers compare numerically, not textually
+    assert(contains("""{"n":1.0}""", """{"n":1}"""))
+    assert(!contains("""{"n":"1"}""", """{"n":1}"""))
+    // scalar type mismatches
+    assert(!contains("""{"b":true}""", """{"b":"true"}"""))
+    // SQL surface through codegen
+    Tables.register(spark, TestSpark.sf0001)
+    assert(spark.sql(
+      """SELECT jsonb_contains('{"a":{"b":1}}', '{"a":{}}') AS c""")
+      .head().getBoolean(0))
+  }
+
   test("trigram similarity: identical, near, disjoint, empty") {
     assert(GraftStrings.trigramSimilarity("abc", "abc") == 1.0)
     // '  abc ' grams {  a, ab,abc,bc }, '  abd ' -> inter {  a, ab}, union 6
