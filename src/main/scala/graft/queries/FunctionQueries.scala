@@ -447,10 +447,49 @@ object FunctionQueries {
           round(tsRankNorm(col("base"), 16, size(col("words")), col("uniq")), 6)
             .as("rank_loguniq"),
           round(tsRankCdWOf(col("m")), 6).as("rank_cd_w"))
+    }),
+
+    // Complex-number type (reference utils/adt/complex_type.c — a
+    // Greengage builtin type; SURVEY §1.2 struct<re,im> mapping). Flat
+    // double columns (not structs) so the driver's column-sorted value
+    // hash sees plain scalars; every op is the reference's exact
+    // expression shape, spelled identically in the oracle → bit-exact.
+    // arg/exp/ln/sqrt (libm-vs-JVM last-ulp territory) are pinned by
+    // tolerance tests in SvecComplexSpec instead.
+    "q138_complex" -> ((s, d) => {
+      import graft.functions.ComplexType._
+      val z1 = cplx(col("l_quantity"), col("l_discount"))
+      val z2 = cplx(col("l_tax") + lit(1.0d), lit(2.0d))
+      val dp = dotProduct(array(z1, z2), array(z2, z1))
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        re(add(z1, z2)).as("add_re"), im(add(z1, z2)).as("add_im"),
+        re(sub(z1, z2)).as("sub_re"), im(sub(z1, z2)).as("sub_im"),
+        re(mul(z1, z2)).as("mul_re"), im(mul(z1, z2)).as("mul_im"),
+        re(div(z1, z2)).as("div_re"), im(div(z1, z2)).as("div_im"),
+        im(conj(z1)).as("conj_im"),
+        mag(z1).as("mag1"),
+        re(dp).as("dot_re"), im(dp).as("dot_im"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q138_complex" ->
+      """WITH c AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS DOUBLE) AS a, CAST(l_discount AS DOUBLE) AS b,
+        |  CAST(l_tax AS DOUBLE) + 1.0 AS cr, CAST(2.0 AS DOUBLE) AS ci
+        |FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  a + cr AS add_re, b + ci AS add_im,
+        |  a - cr AS sub_re, b - ci AS sub_im,
+        |  a * cr - b * ci AS mul_re, a * ci + b * cr AS mul_im,
+        |  (a * cr + b * ci) / (cr * cr + ci * ci) AS div_re,
+        |  (b * cr - a * ci) / (cr * cr + ci * ci) AS div_im,
+        |  -b AS conj_im,
+        |  SQRT(a * a + b * b) AS mag1,
+        |  (a * cr - b * ci) + (cr * a - ci * b) AS dot_re,
+        |  (a * ci + b * cr) + (cr * b + ci * a) AS dot_im
+        |FROM c""".stripMargin,
     "q105_age_pg" ->
       """SELECT event_id,
         |  CAST(date_part('year', a) AS INT) AS y,

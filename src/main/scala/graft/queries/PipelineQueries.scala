@@ -350,6 +350,64 @@ object PipelineQueries {
           |DISTRIBUTED BY (o_custkey)""".stripMargin, buckets = 8)
       s.table("ddl_orders_rt").groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
+    }),
+
+    // Sparse vector (gpcontrib/gp_sparse_vector: RLE svec type +
+    // operators/norms + the gp_extract_feature_histogram featurizer).
+    // Each document is featurized over a fixed 12-term dictionary into an
+    // RLE svec; every measure below is computed RUN-DIRECT on the sparse
+    // form (no dense materialization — SparseData.c's run-at-a-time
+    // loops). Counts are small integers, so the run folds are exact and
+    // hash-exact vs the oracle's per-term list arithmetic. dim pins the
+    // RLE bookkeeping: Σ cnt must equal the dictionary size.
+    "q139_svec" -> ((s, d) => {
+      import graft.functions.Svec._
+      val dict = Seq("join", "hash", "row", "batch", "scan", "column",
+        "filter", "table", "vector", "stream", "spark", "query")
+      t(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        // each derived array is its own column before the next references
+        // it inside a lambda (re-eval rule, as in q131)
+        .withColumn("dense", featureCounts(dict, col("words")))
+        .withColumn("bs", boundaries(col("dense")))
+        .withColumn("sv", compressOf(col("dense"), col("bs")))
+        .select(col("doc_id"),
+          dimension(col("sv")).as("dim"),
+          countNonzero(col("sv")).as("nnz"),
+          vecSum(col("sv")).as("vsum"),
+          l1norm(col("sv")).as("l1"),
+          l2norm(col("sv")).as("l2"),
+          vecSum(scalarMult(col("sv"), lit(3.0d))).as("vsum_x3"))
+    }),
+
+    // Materialized view lifecycle (reference commands/matview.c; gram.y
+    // CREATE/REFRESH MATERIALIZED VIEW). The matview is created over a
+    // low-quantity seed subset, the rest of lineitem is loaded afterwards,
+    // and REFRESH re-runs the stored defining query — so the final
+    // content equals the full-table aggregate ONLY if refresh really
+    // re-executed (the initial snapshot covers ~half the rows).
+    "q140_matview" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      Seq("mv_src", "mv_rev").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        rm(new java.io.File(wh, tbl))
+      }
+      s.sql("""CREATE TABLE mv_src USING parquet AS
+              |SELECT * FROM lineitem WHERE l_quantity <= 25""".stripMargin)
+      graft.operators.GreengageDdl.execute(s,
+        """CREATE MATERIALIZED VIEW mv_rev AS
+          |SELECT l_returnflag, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM mv_src GROUP BY l_returnflag
+          |DISTRIBUTED RANDOMLY""".stripMargin)
+      s.sql("INSERT INTO mv_src SELECT * FROM lineitem WHERE l_quantity > 25")
+      graft.operators.GreengageDdl.refreshMaterializedView(s, "mv_rev")
+      s.table("mv_rev")
     })
   )
 
@@ -564,6 +622,33 @@ object PipelineQueries {
     "q107_ddl_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${oSumd("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q139_svec" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |c AS (SELECT doc_id, [
+        |  CAST(len(list_filter(words, x -> x = 'join')) AS DOUBLE),
+        |  CAST(len(list_filter(words, x -> x = 'hash')) AS DOUBLE),
+        |  CAST(len(list_filter(words, x -> x = 'row')) AS DOUBLE),
+        |  CAST(len(list_filter(words, x -> x = 'batch')) AS DOUBLE),
+        |  CAST(len(list_filter(words, x -> x = 'scan')) AS DOUBLE),
+        |  CAST(len(list_filter(words, x -> x = 'column')) AS DOUBLE),
+        |  CAST(len(list_filter(words, x -> x = 'filter')) AS DOUBLE),
+        |  CAST(len(list_filter(words, x -> x = 'table')) AS DOUBLE),
+        |  CAST(len(list_filter(words, x -> x = 'vector')) AS DOUBLE),
+        |  CAST(len(list_filter(words, x -> x = 'stream')) AS DOUBLE),
+        |  CAST(len(list_filter(words, x -> x = 'spark')) AS DOUBLE),
+        |  CAST(len(list_filter(words, x -> x = 'query')) AS DOUBLE)] AS cnts
+        |FROM w)
+        |SELECT doc_id,
+        |  CAST(len(cnts) AS INT) AS dim,
+        |  CAST(len(list_filter(cnts, v -> v <> 0)) AS INT) AS nnz,
+        |  list_sum(cnts) AS vsum,
+        |  list_sum(list_transform(cnts, v -> abs(v))) AS l1,
+        |  SQRT(list_sum(list_transform(cnts, v -> v * v))) AS l2,
+        |  list_sum(list_transform(cnts, v -> v * 3.0)) AS vsum_x3
+        |FROM c""".stripMargin,
+    "q140_matview" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n, ${oSumd("l_extendedprice")} AS revenue
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q130_dml" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
          |  ${oSumd("CASE WHEN o_totalprice > 200000.0 THEN o_totalprice + 1000.0 ELSE o_totalprice END")} AS total

@@ -337,6 +337,49 @@ object RelationalQueries {
               sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr_qty_price"))
     }),
 
+    // Statistical / linear-regression aggregate family (pg_proc.h OIDs
+    // 2818-2830: regr_count/avgx/avgy/sxx/syy/sxy/slope/intercept/r2,
+    // covar_pop/samp, corr; accumulators in utils/adt/float.c
+    // float8_regr_*). Computed from exact decimal sums through the PG
+    // closed forms (same spelling as the oracle → bit-exact, same
+    // convention as q28); ScalaTest pins Spark's builtin regr_*/covar_*
+    // aggregates against these values. PG null semantics kept: slope and
+    // r2 are NULL when Sxx = 0, r2 = 1 when only Syy = 0.
+    "q137_regr_family" -> ((s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y).cast("double").as("sy"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+        .select(col("l_returnflag"),
+          col("n").cast("long").as("regr_count"),
+          (col("sx") / col("n")).as("regr_avgx"),
+          (col("sy") / col("n")).as("regr_avgy"),
+          (col("sxx") - col("sx") * col("sx") / col("n")).as("bsxx"),
+          (col("syy") - col("sy") * col("sy") / col("n")).as("bsyy"),
+          (col("sxy") - col("sx") * col("sy") / col("n")).as("bsxy"))
+        .select(col("l_returnflag"), col("regr_count"),
+          col("regr_avgx"), col("regr_avgy"),
+          col("bsxx").as("regr_sxx"), col("bsyy").as("regr_syy"),
+          col("bsxy").as("regr_sxy"),
+          when(col("bsxx") =!= 0.0, col("bsxy") / col("bsxx")).as("regr_slope"),
+          when(col("bsxx") =!= 0.0,
+            col("regr_avgy") - (col("bsxy") / col("bsxx")) * col("regr_avgx"))
+            .as("regr_intercept"),
+          when(col("bsxx") === 0.0, lit(null).cast("double"))
+            .when(col("bsyy") === 0.0, lit(1.0d))
+            .otherwise(col("bsxy") * col("bsxy") / (col("bsxx") * col("bsyy")))
+            .as("regr_r2"),
+          (col("bsxy") / col("regr_count").cast("double")).as("covar_pop"),
+          (col("bsxy") / (col("regr_count").cast("double") - 1.0d)).as("covar_samp"),
+          when(col("bsxx") =!= 0.0 && col("bsyy") =!= 0.0,
+            col("bsxy") / sqrt(col("bsxx") * col("bsyy"))).as("corr"))
+    }),
+
     // User aggregate (CREATE AGGREGATE parity, pg_aggregate.h:33-61) —
     // typed Aggregator registered as "wavg".
     "q29_custom_agg_wavg" -> ((s, d) => sql(s, d,
@@ -846,6 +889,31 @@ object RelationalQueries {
         |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
         |  (sxy - sx * sy / n) / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_qty_price
         |FROM s""".stripMargin,
+    "q137_regr_family" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |b AS (
+        |  SELECT l_returnflag, CAST(n AS BIGINT) AS regr_count,
+        |    sx / n AS regr_avgx, sy / n AS regr_avgy,
+        |    sxx - sx * sx / n AS bsxx,
+        |    syy - sy * sy / n AS bsyy,
+        |    sxy - sx * sy / n AS bsxy
+        |  FROM s)
+        |SELECT l_returnflag, regr_count, regr_avgx, regr_avgy,
+        |  bsxx AS regr_sxx, bsyy AS regr_syy, bsxy AS regr_sxy,
+        |  CASE WHEN bsxx <> 0 THEN bsxy / bsxx END AS regr_slope,
+        |  CASE WHEN bsxx <> 0 THEN regr_avgy - (bsxy / bsxx) * regr_avgx END AS regr_intercept,
+        |  CASE WHEN bsxx = 0 THEN NULL WHEN bsyy = 0 THEN 1.0 ELSE bsxy * bsxy / (bsxx * bsyy) END AS regr_r2,
+        |  bsxy / CAST(regr_count AS DOUBLE) AS covar_pop,
+        |  bsxy / (CAST(regr_count AS DOUBLE) - 1.0) AS covar_samp,
+        |  CASE WHEN bsxx <> 0 AND bsyy <> 0 THEN bsxy / SQRT(bsxx * bsyy) END AS corr
+        |FROM b""".stripMargin,
     "q29_custom_agg_wavg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6)) * CAST(l_quantity AS DECIMAL(12,6))) AS DOUBLE) /
