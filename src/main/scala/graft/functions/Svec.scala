@@ -31,10 +31,14 @@ object Svec {
 
   /** 1-based positions where a new run starts (i = 1 or d[i] ≠ d[i-1]).
     * NaN-free contract (NaN ≠ NaN would split every element into its own
-    * run — harmless, but not canonical RLE). */
+    * run — harmless, but not canonical RLE). Empty input → empty result
+    * (the when-guard keeps sequence(1, 0) out of the evaluated branch, so
+    * materializing boundaries as its own column is safe for any input). */
   def boundaries(dense: Column): Column =
-    filter(sequence(lit(1), size(dense)), i =>
-      i === 1 || element_at(dense, i) =!= element_at(dense, i - 1))
+    when(size(dense) > 0,
+      filter(sequence(lit(1), greatest(size(dense), lit(1))), i =>
+        i === 1 || element_at(dense, i) =!= element_at(dense, i - 1)))
+      .otherwise(array().cast("array<int>"))
 
   /** RLE-encode over already-materialized boundaries (svec_in / the
     * float8[]::svec cast, SparseData.c makeSparseDataFromDouble). */
@@ -115,19 +119,25 @@ object Svec {
   // ---- elementwise binary ops (dense zip inside one codegen expr) ----
 
   /** `svec_plus` (a + b). Returns the DENSE result; wrap in [[compress]]
-    * when storing. Null when dimensions differ (zip_with pads with null →
-    * null arithmetic), matching the reference's error contract in spirit. */
-  def plusDense(a: Column, b: Column): Column =
-    zip_with(decompress(a), decompress(b), (x, y) => x + y)
+    * when storing. A true NULL when logical dimensions differ (the
+    * reference errors on dimension mismatch, operators.c check_dimension
+    * — null is the declarative analog; a bare zip_with would instead pad
+    * with null ELEMENTS, which compress() would RLE-encode into a
+    * malformed svec). */
+  def plusDense(a: Column, b: Column): Column = zipDense(a, b, _ + _)
 
-  def minusDense(a: Column, b: Column): Column =
-    zip_with(decompress(a), decompress(b), (x, y) => x - y)
+  def minusDense(a: Column, b: Column): Column = zipDense(a, b, _ - _)
 
-  def multDense(a: Column, b: Column): Column =
-    zip_with(decompress(a), decompress(b), (x, y) => x * y)
+  def multDense(a: Column, b: Column): Column = zipDense(a, b, _ * _)
 
-  def divDense(a: Column, b: Column): Column =
-    zip_with(decompress(a), decompress(b), (x, y) => x / y)
+  def divDense(a: Column, b: Column): Column = zipDense(a, b, _ / _)
+
+  private def zipDense(a: Column, b: Column,
+                       f: (Column, Column) => Column): Column = {
+    val da = decompress(a)
+    val db = decompress(b)
+    when(size(da) === size(db), zip_with(da, db, f))
+  }
 
   /** `dot` / `%*%` (svec_dot): Σ aᵢ·bᵢ, sequential fold — same order as
     * the oracle's list_sum, so results are bit-stable. For dense FLOAT
@@ -166,10 +176,16 @@ object Svec {
     * every input row contribute 0). */
   def sumVecRows(df: DataFrame, keyCols: Seq[String], svecCol: Column): DataFrame = {
     val keys = keyCols.map(col)
-    df.select(keys :+ posexplode(decompress(svecCol)).as(Seq("pos", "v")): _*)
+    // posexplode_outer keeps a (pos=null) row for empty vectors, so a
+    // group whose vectors are ALL empty still yields one output row (with
+    // an empty vec) — the reference aggregate returns a row per group.
+    // The when() inside collect_list nulls those marker rows out, and
+    // collect_list drops nulls.
+    df.select(keys :+ posexplode_outer(decompress(svecCol)).as(Seq("pos", "v")): _*)
       .groupBy(keys :+ col("pos"): _*).agg(sum(col("v")).as("s"))
       .groupBy(keys: _*)
-      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("pv"))
+      .agg(array_sort(collect_list(
+        when(col("pos").isNotNull, struct(col("pos"), col("s"))))).as("pv"))
       .select(keys :+ transform(col("pv"), e => e.getField("s")).as("vec"): _*)
   }
 }

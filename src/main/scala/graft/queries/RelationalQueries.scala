@@ -375,7 +375,9 @@ object RelationalQueries {
             .otherwise(col("bsxy") * col("bsxy") / (col("bsxx") * col("bsyy")))
             .as("regr_r2"),
           (col("bsxy") / col("regr_count").cast("double")).as("covar_pop"),
-          (col("bsxy") / (col("regr_count").cast("double") - 1.0d)).as("covar_samp"),
+          when(col("regr_count") > 1,
+            col("bsxy") / (col("regr_count").cast("double") - 1.0d))
+            .as("covar_samp"),
           when(col("bsxx") =!= 0.0 && col("bsyy") =!= 0.0,
             col("bsxy") / sqrt(col("bsxx") * col("bsyy"))).as("corr"))
     }),
@@ -911,7 +913,7 @@ object RelationalQueries {
         |  CASE WHEN bsxx <> 0 THEN regr_avgy - (bsxy / bsxx) * regr_avgx END AS regr_intercept,
         |  CASE WHEN bsxx = 0 THEN NULL WHEN bsyy = 0 THEN 1.0 ELSE bsxy * bsxy / (bsxx * bsyy) END AS regr_r2,
         |  bsxy / CAST(regr_count AS DOUBLE) AS covar_pop,
-        |  bsxy / (CAST(regr_count AS DOUBLE) - 1.0) AS covar_samp,
+        |  CASE WHEN regr_count > 1 THEN bsxy / (CAST(regr_count AS DOUBLE) - 1.0) END AS covar_samp,
         |  CASE WHEN bsxx <> 0 AND bsyy <> 0 THEN bsxy / SQRT(bsxx * bsyy) END AS corr
         |FROM b""".stripMargin,
     "q29_custom_agg_wavg" ->

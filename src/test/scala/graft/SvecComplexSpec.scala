@@ -99,6 +99,26 @@ class SvecComplexSpec extends AnyFunSuite {
     assert(out(1).getSeq[Double](1) == Seq(1.0, 1.0, 1.0))
   }
 
+  test("svec edge cases: empty boundaries column, dim mismatch, all-empty group") {
+    // boundaries materialized as its own column must survive empty input
+    val b = spark.range(1)
+      .select(Svec.boundaries(array().cast("array<double>")).as("b")).head()
+    assert(b.getSeq[Int](0).isEmpty)
+    // dimension mismatch → true NULL result (not an array with null holes)
+    val sv3 = Svec.compress(dense(1.0, 2.0, 3.0))
+    val sv2 = Svec.compress(dense(1.0, 2.0))
+    val mm = spark.range(1).select(
+      Svec.plusDense(sv3, sv2).as("p"), Svec.multDense(sv3, sv2).as("m")).head()
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+    // a group whose vectors are all empty still yields a row (empty vec)
+    val df = Seq(("g1", Seq(1.0, 2.0)), ("g2", Seq.empty[Double]))
+      .toDF("g", "v").select(col("g"), Svec.compress(col("v")).as("sv"))
+    val rows = Svec.sumVecRows(df, Seq("g"), col("sv")).orderBy("g").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getSeq[Double](1) == Seq(1.0, 2.0))
+    assert(rows(1).getSeq[Double](1).isEmpty)
+  }
+
   test("complex identities: exp/ln/sqrt/arg within tolerance") {
     import ComplexType._
     val z = cplx(lit(3.0), lit(-4.0))
