@@ -87,18 +87,25 @@ object SqlFunctions {
       seg => seg.replaceAll("(?i)\\bDEFAULT\\b", ":=") }
     for (d <- splitStatements(declText)) {
       val parts = d.split(":=", 2)
-      val name = parts(0).trim.split("\\s+")(0).toLowerCase
+      val declared = parts(0).trim.split("\\s+", 2)
+      val name = declared(0).toLowerCase
       require(name.matches("\\w+"), s"bad plpgsql declaration: $d")
-      if (parts.length == 2)
-        env += name -> ("(" + substNamed(parts(1).trim, env) + ")")
+      // honor the declared type: PG coerces the initializer to it, and
+      // the FOR-loop state struct takes its field types from these
+      // initializers (a bare 0.0 literal would otherwise be DECIMAL)
+      val cast = declared.drop(1).headOption.flatMap(pgTypeToSpark)
+      if (parts.length == 2) {
+        val init = substNamed(parts(1).trim, env)
+        env += name -> cast.fold(s"($init)")(t => s"(CAST(($init) AS $t))")
+      }
       // uninitialized variables must be assigned before first read —
       // a premature read leaves the bare name and fails analysis
     }
     compileSeq(m.group(2), env)
   }
 
-  /** Compile a statement sequence (assignments, then RETURN or an IF
-    * ladder) to the expression it returns. */
+  /** Compile a statement sequence (assignments, bounded FOR loops, then
+    * RETURN or an IF ladder) to the expression it returns. */
   private def compileSeq(text0: String, env0: Map[String, String]): String = {
     var env = env0
     var rest = text0.trim
@@ -108,6 +115,10 @@ object SqlFunctions {
         return substNamed(stmt.substring("return".length).trim, env)
       } else if (rest.matches("(?is)^IF\\b.*")) {
         return compileIfChain(rest, env)
+      } else if (rest.matches("(?is)^FOR\\b.*")) {
+        val (newEnv, tail) = compileForLoop(rest, env)
+        env = newEnv
+        rest = tail.trim
       } else {
         val (stmt, tail) = takeStatement(rest)
         val parts = stmt.split(":=", 2)
@@ -177,6 +188,110 @@ object SqlFunctions {
     val els = elseExpr.orElse(
       if (cont.nonEmpty) Some(compileSeq(cont, env)) else None)
     "CASE " + whens.mkString(" ") + els.fold("")(e => s" ELSE $e") + " END"
+  }
+
+  /** PG declaration type → Spark cast target (pg_type.h names). Unknown
+    * types fall through to None: the initializer keeps its natural SQL
+    * type, exactly the pre-typed behavior. */
+  private def pgTypeToSpark(t: String): Option[String] = {
+    val n = t.trim.toLowerCase.stripSuffix(";").trim
+    n match {
+      case "double precision" | "float8" | "double" => Some("DOUBLE")
+      case "real" | "float4" => Some("FLOAT")
+      case "smallint" | "int2" => Some("SMALLINT")
+      case "int" | "integer" | "int4" => Some("INT")
+      case "bigint" | "int8" => Some("BIGINT")
+      case "text" | "string" => Some("STRING")
+      case "boolean" | "bool" => Some("BOOLEAN")
+      case "date" => Some("DATE")
+      case "timestamp" | "timestamptz" => Some("TIMESTAMP")
+      case _ if n.startsWith("varchar") || n.startsWith("char") => Some("STRING")
+      case _ if n.startsWith("numeric") || n.startsWith("decimal") =>
+        Some(n.replace("numeric", "decimal").toUpperCase)
+      case _ => None
+    }
+  }
+
+  /** `FOR v IN [REVERSE] a..b [BY s] LOOP <assignments> END LOOP;` →
+    * `aggregate(sequence(a,b[,s]), <state struct>, <merge lambda>)`
+    * (reference `pl_exec.c:1423-1431` exec_stmt_fori). The loop-carried
+    * variables — every variable assigned in the body — become fields of
+    * a struct accumulator whose zero is their pre-loop value, and the
+    * body's assignment sequence becomes the merge lambda (SSA forward
+    * substitution inside one iteration, same rule as straight-line
+    * code). Still zero interpreter: the loop is ONE codegen'd
+    * higher-order expression; each downstream read of a state variable
+    * projects its field off that expression.
+    *
+    * PG iteration semantics kept exactly: a forward loop with lo > hi
+    * (or a REVERSE loop with lo < hi) runs zero iterations, and REVERSE
+    * counts DOWN from the first bound (`FOR i IN REVERSE 10..1`). The
+    * state-struct field types are fixed by the zero value, so
+    * initializers set the arithmetic type (declare `0.0`, not `0`, for a
+    * double accumulator) — the same rule PG's %TYPE-less declarations
+    * follow. Loop-carried variables must be declared/assigned before the
+    * loop; nested FOR loops are rejected (one aggregate level). */
+  private def compileForLoop(text: String, env: Map[String, String]):
+      (Map[String, String], String) = {
+    val h = ("(?is)^FOR\\s+(\\w+)\\s+IN\\s+(REVERSE\\s+)?(.*?)\\s*\\.\\.\\s*" +
+      "(.*?)(?:\\s+BY\\s+(.*?))?\\s*\\bLOOP\\b").r
+      .findFirstMatchIn(text).getOrElse(throw new IllegalArgumentException(
+        s"unsupported plpgsql FOR (expected FOR v IN [REVERSE] a..b [BY s] LOOP): $text"))
+    val loopVar = h.group(1).toLowerCase
+    val reverse = h.group(2) != null
+    val lo = substNamed(h.group(3).trim, env)
+    val hi = substNamed(h.group(4).trim, env)
+    val step = Option(h.group(5)).map(s => substNamed(s.trim, env)).getOrElse("1")
+    // first END LOOP outside literals closes this loop (nesting rejected)
+    val spans = literalSpans(text)
+    def inLit(p: Int) = spans.exists { case (s, e) => p >= s && p < e }
+    val endTok = "(?is)\\bEND\\s+LOOP\\b".r.findAllMatchIn(text)
+      .find(t => t.start >= h.end && !inLit(t.start))
+      .getOrElse(throw new IllegalArgumentException(
+        s"FOR without matching END LOOP in plpgsql body: $text"))
+    val (endS, endE) = (endTok.start, endTok.end)
+    val body = text.substring(h.end, endS)
+    require(!"(?is)\\bLOOP\\b".r.findAllMatchIn(body)
+        .exists(t => !inLit(h.end + t.start)),
+      s"nested FOR loops are not supported in the plpgsql subset: $body")
+
+    // body = ordered assignments over loop-carried state
+    val stmts = splitStatements(body)
+    require(stmts.nonEmpty, s"empty plpgsql FOR body: $text")
+    val stateVars = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (stmt <- stmts) {
+      val parts = stmt.split(":=", 2)
+      require(parts.length == 2 && parts(0).trim.matches("(?i)\\w+"),
+        s"unsupported statement in plpgsql FOR body (expected `var := expr;`): $stmt")
+      val v = parts(0).trim.toLowerCase
+      require(env.contains(v),
+        s"loop-carried variable $v must be declared/assigned before the loop")
+      require(v != loopVar, s"cannot assign to the loop variable $loopVar")
+      stateVars += v
+    }
+    val acc = "g_loop_acc"
+    val idx = "g_loop_i"
+    require(!env.contains(acc) && !env.contains(idx) &&
+      loopVar != acc && loopVar != idx, s"$acc/$idx are reserved names")
+    var loopEnv = env ++
+      stateVars.map(v => v -> s"($acc.$v)").toMap + (loopVar -> idx)
+    for (stmt <- stmts) {
+      val parts = stmt.split(":=", 2)
+      loopEnv += parts(0).trim.toLowerCase ->
+        ("(" + substNamed(parts(1).trim, loopEnv) + ")")
+    }
+    val zero = stateVars.map(v => s"'$v', ${env(v)}").mkString(", ")
+    val merge = stateVars.map(v => s"'$v', ${loopEnv(v)}").mkString(", ")
+    // empty-range image with the sequence's own element type
+    val empty = s"slice(sequence(($lo),($lo)),1,0)"
+    val seq =
+      if (reverse) s"CASE WHEN ($lo) >= ($hi) THEN sequence(($lo),($hi),-($step)) ELSE $empty END"
+      else s"CASE WHEN ($lo) <= ($hi) THEN sequence(($lo),($hi),($step)) ELSE $empty END"
+    val agg =
+      s"aggregate($seq, named_struct($zero), ($acc, $idx) -> named_struct($merge))"
+    val newEnv = env ++ stateVars.map(v => v -> s"(($agg).$v)").toMap
+    val tail = text.substring(endE).trim.replaceFirst("^;", "")
+    (newEnv, tail)
   }
 
   /** (first top-level statement without its ';', remainder). */

@@ -356,6 +356,31 @@ object FunctionQueries {
         "SELECT o_orderkey, order_band(o_totalprice) AS band FROM orders")
     }),
 
+    // plpgsql bounded FOR loop (pl_exec.c:1423 exec_stmt_fori): a
+    // 12-payment amortization schedule — two loop-carried variables and
+    // the loop index read in the body — compiled to ONE
+    // aggregate(sequence(1,12), state-struct, merge) expression and
+    // inlined per row. No interpreter, no UDF; the oracle is the same
+    // recurrence unrolled, so the IEEE double op order is identical.
+    "q141_plpgsql_loop" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.operators.SqlFunctions.create(
+        """CREATE OR REPLACE FUNCTION sched_total(p double precision) RETURNS double precision AS $$
+          |DECLARE
+          |  bal double precision := p;
+          |  tot double precision := 0.0;
+          |BEGIN
+          |  FOR i IN 1..12 LOOP
+          |    bal := bal * (1.0 + 0.005) - p / 12.0;
+          |    tot := tot + bal * i;
+          |  END LOOP;
+          |  RETURN tot;
+          |END;
+          |$$ LANGUAGE plpgsql""".stripMargin)
+      graft.operators.SqlFunctions.sql(s,
+        "SELECT o_orderkey, sched_total(o_totalprice) AS sched FROM orders")
+    }),
+
     // Scalar UDF registration surface (CREATE FUNCTION, src/pl/*) +
     // to_char-style numeric formatting (formatting.c).
     "q79_udf_scalar" -> ((s, d) => {
@@ -792,6 +817,18 @@ object FunctionQueries {
         |  (o_orderstatus = 'F') AS tag_f,
         |  (o_custkey = 7) AS key7
         |FROM orders""".stripMargin,
+    // the FOR-loop recurrence unrolled to the same IEEE double op order
+    // the compiled aggregate() executes, so values are bit-identical
+    "q141_plpgsql_loop" -> {
+      var bal = "(CAST(((o_totalprice)) AS DOUBLE))"
+      var tot = "(CAST((0.0) AS DOUBLE))"
+      for (i <- 1 to 12) {
+        bal = s"(($bal) * (1.0 + 0.005) - (o_totalprice) / 12.0)"
+        tot = s"(($tot) + ($bal) * $i)"
+      }
+      s"SELECT o_orderkey, $tot AS sched FROM orders"
+    },
+
     // the CASE chain the plpgsql compiler emits, with its exact
     // parenthesization (* 2 is exact in doubles either way)
     "q134_plpgsql" ->

@@ -393,6 +393,109 @@ class DdlSpec extends AnyFunSuite {
       "CREATE FUNCTION bad(x int) RETURNS int AS $$ BEGIN x := 1; END; $$ LANGUAGE plpgsql"))
   }
 
+  test("plpgsql bounded FOR loops compile to one aggregate(sequence()) expression") {
+    import graft.operators.SqlFunctions
+    // sum of squares, loop variable read in the body
+    SqlFunctions.create(
+      """CREATE FUNCTION sumsq(n int) RETURNS bigint AS $$
+        |DECLARE s bigint := CAST(0 AS bigint);
+        |BEGIN
+        |  FOR i IN 1..n LOOP
+        |    s := s + CAST(i AS bigint) * CAST(i AS bigint);
+        |  END LOOP;
+        |  RETURN s;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    // REVERSE iterates DOWN from the first bound (order-sensitive state)
+    SqlFunctions.create(
+      """CREATE FUNCTION countdown(a int, b int) RETURNS text AS $$
+        |DECLARE t text := '';
+        |BEGIN
+        |  FOR i IN REVERSE a..b LOOP
+        |    t := t || CAST(i AS STRING);
+        |  END LOOP;
+        |  RETURN t;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    // two loop-carried variables; later assignment sees the earlier one
+    // from the SAME iteration (SSA within the merge lambda)
+    SqlFunctions.create(
+      """CREATE FUNCTION sched(p double, r double, m double, n int) RETURNS double AS $$
+        |DECLARE bal double := p; tot double := 0.0;
+        |BEGIN
+        |  FOR i IN 1..n LOOP
+        |    bal := bal * (1.0 + r) - m;
+        |    tot := tot + bal;
+        |  END LOOP;
+        |  RETURN tot;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    // BY step, and code after the loop still sees the loop result
+    SqlFunctions.create(
+      """CREATE FUNCTION stepsum(n int) RETURNS int AS $$
+        |DECLARE s int := 0;
+        |BEGIN
+        |  FOR i IN 1..n BY 3 LOOP
+        |    s := s + i;
+        |  END LOOP;
+        |  s := s * 10;
+        |  RETURN s;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    try {
+      // compile shape: ONE higher-order aggregate over a sequence — no
+      // interpreter, no UDF
+      val expanded = SqlFunctions.expand("SELECT sumsq(5) AS v").toLowerCase
+      assert(expanded.contains("aggregate(") && expanded.contains("sequence(") &&
+        expanded.contains("named_struct("))
+      assert(SqlFunctions.sql(spark, "SELECT sumsq(5) AS v").head().getLong(0) == 55L)
+      // forward loop with lo > hi runs ZERO iterations (PG semantics)
+      assert(SqlFunctions.sql(spark, "SELECT sumsq(0) AS v").head().getLong(0) == 0L)
+      assert(SqlFunctions.sql(spark, "SELECT countdown(3, 1) AS v")
+        .head().getString(0) == "321")
+      // REVERSE with lo < hi runs zero iterations
+      assert(SqlFunctions.sql(spark, "SELECT countdown(1, 3) AS v")
+        .head().getString(0) == "")
+      // 1000*(1.05) - 100 = 950; 950*1.05 - 100 = 897.5; tot = 1847.5
+      assert(SqlFunctions.sql(spark, "SELECT sched(1000.0, 0.05, 100.0, 2) AS v")
+        .head().getDouble(0) == 1847.5)
+      // i ∈ {1,4,7,10} → 22, then *10 after the loop
+      assert(SqlFunctions.sql(spark, "SELECT stepsum(10) AS v").head().getInt(0) == 220)
+      // loops compose with the IF ladder (loop result read in conditions)
+      SqlFunctions.create(
+        """CREATE FUNCTION cls2(n int) RETURNS text AS $$
+          |DECLARE s bigint := CAST(0 AS bigint);
+          |BEGIN
+          |  FOR i IN 1..n LOOP
+          |    s := s + CAST(i AS bigint);
+          |  END LOOP;
+          |  IF s > 100 THEN RETURN 'big'; ELSE RETURN 'small'; END IF;
+          |END;
+          |$$ LANGUAGE plpgsql""".stripMargin)
+      assert(SqlFunctions.sql(spark, "SELECT cls2(20) AS v").head().getString(0) == "big")
+      assert(SqlFunctions.sql(spark, "SELECT cls2(5) AS v").head().getString(0) == "small")
+    } finally Seq("sumsq", "countdown", "sched", "stepsum", "cls2")
+      .foreach(SqlFunctions.drop)
+    // nested loops and undeclared loop-carried state are rejected at CREATE
+    intercept[IllegalArgumentException](SqlFunctions.create(
+      """CREATE FUNCTION bad1(n int) RETURNS int AS $$
+        |DECLARE s int := 0;
+        |BEGIN
+        |  FOR i IN 1..n LOOP
+        |    FOR j IN 1..n LOOP s := s + 1; END LOOP;
+        |  END LOOP;
+        |  RETURN s;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin))
+    intercept[IllegalArgumentException](SqlFunctions.create(
+      """CREATE FUNCTION bad2(n int) RETURNS int AS $$
+        |BEGIN
+        |  FOR i IN 1..n LOOP u := u + 1; END LOOP;
+        |  RETURN u;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin))
+  }
+
   test("DISTRIBUTED REPLICATED reads back with the broadcast hint") {
     Tables.register(spark, TestSpark.sf0001)
     drop("nation_ddl")
