@@ -143,6 +143,44 @@ object FunctionQueries {
         sha2(col("c_name").cast("binary"), 256).as("sha256_name"),
         base64(col("c_name").cast("binary")).as("b64_name"))),
 
+    // pgcrypto AES (contrib/pgcrypto/pgp-encrypt.c encrypt/decrypt):
+    // Spark's aes_encrypt/aes_decrypt builtins. ECB here because it is
+    // deterministic (same ciphertext both runs — GCM salts a random IV
+    // per call, the right default for real data but unhashable); the
+    // oracle asserts the roundtrip identity, plus a pinned ciphertext
+    // digest computed from AES-128-ECB's definition on a known vector.
+    "q143_aes_crypto" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        expr("CAST(aes_decrypt(aes_encrypt(c_name, '0123456789abcdef', 'ECB'), " +
+          "'0123456789abcdef', 'ECB') AS STRING)").as("rt_name"),
+        expr("CAST(aes_decrypt(unbase64(base64(aes_encrypt(c_mktsegment, " +
+          "'0123456789abcdef0123456789abcdef', 'ECB'))), " +
+          "'0123456789abcdef0123456789abcdef', 'ECB') AS STRING)").as("rt_seg"),
+        expr("base64(aes_encrypt('fixed vector', '0123456789abcdef', 'ECB'))")
+          .as("ct_fixed"))),
+
+    // XML type + XPath surface (utils/adt/xml.c:57-148 xmlelement /
+    // xpath; contrib xml2): documents are built per row, then values
+    // extracted back with Spark's codegen xpath_* builtins — string,
+    // typed scalar, boolean predicate (numeric attribute coercion), and
+    // node-set list. The oracle derives the same values from the base
+    // columns, so extraction must invert construction exactly.
+    "q142_xml_xpath" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        concat(lit("<order id=\""), col("o_orderkey"),
+          lit("\"><status>"), col("o_orderstatus"),
+          lit("</status><priority>"), col("o_orderpriority"),
+          lit("</priority><cust key=\""), col("o_custkey"),
+          lit("\"/></order>")).as("x"))
+        .select(col("o_orderkey"),
+          expr("xpath_string(x, '/order/status')").as("status"),
+          expr("xpath_string(x, '/order/priority/text()')").as("priority"),
+          expr("xpath_long(x, '/order/cust/@key')").as("cust"),
+          expr("xpath_boolean(x, '/order[@id>10000]')").as("big_id"),
+          expr("xpath(x, '/order/*/text()')").as("texts"))),
+
     // Oracle-style DECODE (gram.y:15219) — Spark decode() builtin; the
     // oracle spells it as the equivalent CASE.
     "q76_decode_case" -> ((s, d) =>
@@ -671,6 +709,18 @@ object FunctionQueries {
         |  sha256(c_name) AS sha256_name,
         |  to_base64(encode(c_name)) AS b64_name
         |FROM customer""".stripMargin,
+    // roundtrip identity + a ciphertext pinned from AES-128-ECB's
+    // definition (openssl enc -aes-128-ecb on the same key/plaintext)
+    "q143_aes_crypto" ->
+      """SELECT c_custkey, c_name AS rt_name, c_mktsegment AS rt_seg,
+        |  '6zfc4HkP35/OR2AYopIk/w==' AS ct_fixed
+        |FROM customer""".stripMargin,
+    // xpath extraction must invert the row's XML construction
+    "q142_xml_xpath" ->
+      """SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority,
+        |  o_custkey AS cust, (o_orderkey > 10000) AS big_id,
+        |  [o_orderstatus, o_orderpriority] AS texts
+        |FROM orders""".stripMargin,
     "q76_decode_case" ->
       """SELECT CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
         |            WHEN 'P' THEN 'pending' ELSE 'other' END AS status_name,
