@@ -64,18 +64,34 @@ object Jsonb {
 }
 
 /** `jsonb_contains(doc, needle)` — PG `@>` as a codegen expression over
-  * two JSON strings (jsonb_util.c:965 JsonbDeepContains). */
+  * two JSON strings (jsonb_util.c:965 JsonbDeepContains). A foldable
+  * needle (the common `doc @> '<literal>'` shape) is parsed ONCE on the
+  * driver and shipped as a codegen reference object, so per row only
+  * the document is parsed — PG likewise detoasts the constant needle
+  * once per scan, not per tuple. */
 case class JsonbContains(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "jsonb_contains"
 
+  @transient private lazy val parsedNeedle: JsonNode =
+    if (right.foldable) {
+      val v = right.eval()
+      if (v == null) null else JsonbDeep.parse(v.toString)
+    } else null
+
   override protected def nullSafeEval(d: Any, n: Any): Any =
-    JsonbDeep.contains(d.toString, n.toString)
+    if (parsedNeedle != null) JsonbDeep.containsParsed(d.toString, parsedNeedle)
+    else JsonbDeep.contains(d.toString, n.toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
+    if (parsedNeedle != null) {
+      val ref = ctx.addReferenceObj("jsonbNeedle", parsedNeedle,
+        classOf[JsonNode].getName)
+      defineCodeGen(ctx, ev, (a, _) =>
+        s"graft.functions.JsonbDeep.containsParsed($a.toString(), $ref)")
+    } else defineCodeGen(ctx, ev, (a, b) =>
       s"graft.functions.JsonbDeep.contains($a.toString(), $b.toString())")
 
   override protected def withNewChildrenInternal(
@@ -92,8 +108,14 @@ object JsonbDeep {
 
   private val mapper = new ObjectMapper()
 
+  def parse(s: String): JsonNode = mapper.readTree(s)
+
   def contains(doc: String, needle: String): Boolean =
     walk(mapper.readTree(doc), mapper.readTree(needle), top = true)
+
+  /** [[contains]] with a pre-parsed needle (foldable-needle fast path). */
+  def containsParsed(doc: String, needle: JsonNode): Boolean =
+    walk(mapper.readTree(doc), needle, top = true)
 
   private def walk(t: JsonNode, n: JsonNode, top: Boolean): Boolean = {
     import scala.jdk.CollectionConverters._
