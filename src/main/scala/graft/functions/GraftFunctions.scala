@@ -334,6 +334,18 @@ object GraftFunctions {
       info("to_char_dt", "to_char_dt(ts, fmt) - PG DCH date/time templates"),
       (args: Seq[Expression]) => ToCharDt(Cast(args(0), TimestampNTZType), args(1)))
     reg.registerFunction(
+      FunctionIdentifier("to_number_pg"),
+      info("to_number_pg", "to_number_pg(text, fmt) - PG numeric template parsing"),
+      (args: Seq[Expression]) => ToNumberPg(Cast(args(0), StringType), args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("to_date_pg"),
+      info("to_date_pg", "to_date_pg(text, fmt) - PG DCH date parsing"),
+      (args: Seq[Expression]) => ToDatePg(Cast(args(0), StringType), args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("to_timestamp_pg"),
+      info("to_timestamp_pg", "to_timestamp_pg(text, fmt) - PG DCH timestamp parsing"),
+      (args: Seq[Expression]) => ToTimestampPg(Cast(args(0), StringType), args(1)))
+    reg.registerFunction(
       FunctionIdentifier("age_pg"),
       info("age_pg", "age_pg(t1, t2) - PG symbolic timestamp difference"),
       (args: Seq[Expression]) => AgePg(

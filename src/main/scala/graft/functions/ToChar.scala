@@ -166,6 +166,215 @@ object ToCharDtFmt {
   }
 }
 
+/** PG `to_number(text, fmt)` (reference `src/backend/utils/adt/
+  * formatting.c:43` numeric_to_number → NUM_processor in from_char
+  * mode) — the parsing inverse of [[ToCharFmt]], over the same template
+  * subset (`9 0 . , $ FM MI`). As in PG, digits are consumed
+  * sequentially and the template's digit counts CAP how much of the
+  * input is read (to_number('12345','999') = 123); grouping commas,
+  * currency and padding are skipped; MI reads a trailing sign. */
+object ToNumberFmt {
+
+  def toNumber(value: UTF8String, fmt: String): Double = {
+    var f = fmt
+    if (f.contains("FM")) f = f.replace("FM", "")
+    val mi = f.endsWith("MI")
+    if (mi) f = f.substring(0, f.length - 2)
+    f = f.replace("$", "")
+    val dot = f.indexOf('.')
+    val intTpl = if (dot >= 0) f.substring(0, dot) else f
+    val fracTpl = if (dot >= 0) f.substring(dot + 1) else ""
+    val intMax = intTpl.count(c => c == '9' || c == '0')
+    val fracMax = fracTpl.count(c => c == '9' || c == '0')
+
+    var s = value.toString.trim
+    var neg = false
+    if (mi && s.endsWith("-")) { neg = true; s = s.dropRight(1) }
+    s = s.trim
+    if (s.startsWith("-")) { neg = true; s = s.substring(1) }
+    else if (s.startsWith("+")) s = s.substring(1)
+    s = s.replace("$", "").replace(",", "").trim
+    val dp = s.indexOf('.')
+    val ip = (if (dp >= 0) s.substring(0, dp) else s).filter(_.isDigit).take(intMax)
+    val fp = (if (dp >= 0) s.substring(dp + 1) else "").filter(_.isDigit).take(fracMax)
+    // BigDecimal text→double is correctly rounded — same bits as the
+    // engine's own literal/CAST parse of the same digits
+    val mag = new java.math.BigDecimal(
+      (if (ip.isEmpty) "0" else ip) + (if (fp.nonEmpty) "." + fp else ""))
+      .doubleValue()
+    if (neg) -mag else mag
+  }
+}
+
+/** PG `to_date` / `to_timestamp(text, fmt)` (formatting.c:914
+  * do_to_timestamp → DCH_from_char) — the parsing inverse of
+  * [[ToCharDtFmt]] over its template subset: YYYY YY MM DD HH24
+  * HH12/HH MI SS SSSS MS US, Mon/Month names (any case), DDD, AM/PM,
+  * J, double-quoted literals and FM (variable-width fields). Numeric
+  * fields read greedily up to their template width, skipping leading
+  * spaces; non-template separator characters consume one input
+  * character loosely, as PG's from_char does. */
+object DchParseFmt {
+
+  private val monAbbr = Array("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+  private val monFull = Array("January", "February", "March", "April",
+    "May", "June", "July", "August", "September", "October", "November",
+    "December")
+  private val dayAbbr = Array("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+  private val dayFull = Array("Monday", "Tuesday", "Wednesday", "Thursday",
+    "Friday", "Saturday", "Sunday")
+
+  /** Parse to epoch MICROS of the local (session-naive) datetime. */
+  def parseMicros(value: UTF8String, fmt: String): Long = {
+    val v = value.toString
+    var year = 1; var month = 1; var dayM = 1
+    var hour24 = 0; var hour12 = -1; var pm = false; var pmSeen = false
+    var minute = 0; var second = 0; var nanos = 0
+    var doy = -1; var jul = -1L; var ssss = -1
+    var vi = 0
+    var i = 0
+    val n = fmt.length
+    def at(pat: String) = fmt.regionMatches(false, i, pat, 0, pat.length)
+    def ati(pat: String) = fmt.regionMatches(true, i, pat, 0, pat.length)
+    def skipSpaces(): Unit = while (vi < v.length && v.charAt(vi) == ' ') vi += 1
+    def readInt(maxW: Int): Int = {
+      skipSpaces()
+      val st = vi
+      while (vi < v.length && vi - st < maxW && v.charAt(vi).isDigit) vi += 1
+      require(vi > st, s"to_date/to_timestamp: expected digits at '$v'[$st] for '$fmt'")
+      v.substring(st, vi).toInt
+    }
+    def name(full: Array[String], abbr: Array[String], wantFull: Boolean): Int = {
+      skipSpaces()
+      val names = if (wantFull) full else abbr
+      val k = names.indices.find(j =>
+        v.regionMatches(true, vi, names(j), 0, names(j).length))
+        .getOrElse(throw new IllegalArgumentException(
+          s"to_date/to_timestamp: no ${if (wantFull) "name" else "abbrev"} at '$v'[$vi]"))
+      vi += names(k).length
+      skipSpaces() // PG skips the blank-pad after names
+      k
+    }
+    while (i < n) {
+      val c = fmt.charAt(i)
+      if (c == '"') {
+        val close = fmt.indexOf('"', i + 1)
+        val end = if (close < 0) n else close
+        vi += end - (i + 1) // quoted literal consumes its width
+        i = if (close < 0) n else close + 1
+      } else if (at("FM")) i += 2 // all our numeric reads are width-capped
+      else {
+        val consumed: Int =
+          if (at("YYYY")) { year = readInt(4); 4 }
+          else if (at("YY")) { // PG century rule: <70 → 20xx, else 19xx
+            val y2 = readInt(2); year = if (y2 < 70) 2000 + y2 else 1900 + y2; 2
+          }
+          else if (ati("MONTH")) { month = 1 + name(monFull, monAbbr, wantFull = true); 5 }
+          else if (ati("MON")) { month = 1 + name(monFull, monAbbr, wantFull = false); 3 }
+          else if (at("MM")) { month = readInt(2); 2 }
+          else if (ati("DAY")) { name(dayFull, dayAbbr, wantFull = true); 3 }
+          else if (ati("DY")) { name(dayFull, dayAbbr, wantFull = false); 2 }
+          else if (at("DDD")) { doy = readInt(3); 3 }
+          else if (at("DD")) { dayM = readInt(2); 2 }
+          else if (at("HH24")) { hour24 = readInt(2); 4 }
+          else if (at("HH12") || at("HH")) { hour12 = readInt(2); if (at("HH12")) 4 else 2 }
+          else if (at("MI")) { minute = readInt(2); 2 }
+          else if (at("SSSS")) { ssss = readInt(5); 4 }
+          else if (at("SS")) { second = readInt(2); 2 }
+          else if (at("MS")) { nanos += readInt(3) * 1000000; 2 }
+          else if (at("US")) { nanos += readInt(6) * 1000; 2 }
+          else if (ati("AM") || ati("PM")) {
+            skipSpaces()
+            require(vi + 2 <= v.length, s"to_date/to_timestamp: no meridiem at '$v'[$vi]")
+            pm = v.regionMatches(true, vi, "PM", 0, 2)
+            pmSeen = true; vi += 2; 2
+          }
+          else if (at("J")) { jul = readInt(7).toLong; 1 }
+          else { // separator: consume one loosely-matching input char
+            if (vi < v.length && !v.charAt(vi).isDigit) vi += 1
+            1
+          }
+        i += consumed
+      }
+    }
+    if (pmSeen && hour12 >= 0) hour24 = hour12 % 12 + (if (pm) 12 else 0)
+    else if (hour12 >= 0) hour24 = hour12 % 12
+    if (ssss >= 0) { hour24 = ssss / 3600; minute = ssss / 60 % 60; second = ssss % 60 }
+    val date =
+      if (jul >= 0) java.time.LocalDate.ofEpochDay(jul - 2440588L)
+      else if (doy >= 0) java.time.LocalDate.ofYearDay(year, doy)
+      else java.time.LocalDate.of(year, month, dayM)
+    val dt = java.time.LocalDateTime.of(date,
+      java.time.LocalTime.of(hour24, minute, second, nanos))
+    dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + dt.getNano / 1000L
+  }
+
+  /** Parse to epoch DAYS (PG to_date discards the time fields). */
+  def parseDays(value: UTF8String, fmt: String): Int =
+    Math.floorDiv(parseMicros(value, fmt), 86400000000L).toInt
+}
+
+/** `to_number_pg(text, '9,999.99')` expression — DoubleType result. */
+case class ToNumberPg(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "to_number_pg"
+
+  override protected def nullSafeEval(v: Any, f: Any): Any =
+    ToNumberFmt.toNumber(v.asInstanceOf[UTF8String],
+      f.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, f) =>
+      s"graft.functions.ToNumberFmt.toNumber($v, $f.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ToNumberPg =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `to_date_pg(text, 'DD Mon YYYY')` expression — DateType result. */
+case class ToDatePg(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DateType
+  override def prettyName: String = "to_date_pg"
+
+  override protected def nullSafeEval(v: Any, f: Any): Any =
+    DchParseFmt.parseDays(v.asInstanceOf[UTF8String],
+      f.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, f) =>
+      s"graft.functions.DchParseFmt.parseDays($v, $f.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ToDatePg =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `to_timestamp_pg(text, 'YYYY-MM-DD HH24:MI:SS')` — TimestampNTZ. */
+case class ToTimestampPg(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = TimestampNTZType
+  override def prettyName: String = "to_timestamp_pg"
+
+  override protected def nullSafeEval(v: Any, f: Any): Any =
+    DchParseFmt.parseMicros(v.asInstanceOf[UTF8String],
+      f.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, f) =>
+      s"graft.functions.DchParseFmt.parseMicros($v, $f.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ToTimestampPg =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `to_char_dt(ts, 'YYYY-MM-DD HH24:MI:SS')` expression. */
 case class ToCharDt(left: Expression, right: Expression)
   extends BinaryExpression {

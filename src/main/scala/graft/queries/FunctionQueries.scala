@@ -461,6 +461,25 @@ object FunctionQueries {
         expr("to_char_dt(ts, 'IW')").as("isow"),
         expr("to_char_dt(ts, '\"day \"DD\" of \"Mon')").as("lit"))),
 
+    // to_number / format-string to_date/to_timestamp (formatting.c:43
+    // numeric_to_number; formatting.c:914 do_to_timestamp) — the parsing
+    // inverses of to_char_pg/to_char_dt, same template machinery
+    // reversed. Inputs are constructed exactly (integer-derived text /
+    // to_char_dt output), so parse must invert construction: numeric
+    // text→double is correctly rounded on both engines, and the date
+    // roundtrips go through a month-name template and a full DCH
+    // timestamp template at second resolution.
+    "q144_to_number_date" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        expr("to_number_pg(concat('$', CAST(event_id % 100000 AS STRING), '.', " +
+          "lpad(CAST(user_id % 100 AS STRING), 2, '0')), '$999,999.99')").as("num"),
+        expr("to_number_pg(concat(CAST(user_id AS STRING), " +
+          "CASE WHEN event_id % 2 = 0 THEN '-' ELSE ' ' END), '999999MI')").as("mi_num"),
+        expr("to_date_pg(to_char_dt(ts, 'DD Mon YYYY'), 'DD Mon YYYY')").as("d"),
+        expr("CAST(to_timestamp_pg(to_char_dt(ts, 'YYYY-MM-DD HH24:MI:SS'), " +
+          "'YYYY-MM-DD HH24:MI:SS') AS STRING)").as("ts_rt"))),
+
     // justify_days/hours/interval (timestamp.c:3436) over a synthetic
     // (months, days, micros) interval derived from event columns; the
     // oracle mirrors PG's C truncated-division arithmetic in SQL.
@@ -576,6 +595,17 @@ object FunctionQueries {
         |  'day ' || strftime(t, '%d') || ' of ' ||
         |    strftime(t, '%b') AS lit
         |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events) s""".stripMargin,
+    // the oracle derives the same values directly: text→double CASTs
+    // are correctly rounded in both engines, so bits match
+    "q144_to_number_date" ->
+      """SELECT event_id,
+        |  CAST(CAST(event_id % 100000 AS VARCHAR) || '.' ||
+        |       lpad(CAST(user_id % 100 AS VARCHAR), 2, '0') AS DOUBLE) AS num,
+        |  CAST(user_id AS DOUBLE) *
+        |    (CASE WHEN event_id % 2 = 0 THEN -1 ELSE 1 END) AS mi_num,
+        |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |  CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS ts_rt
+        |FROM events""".stripMargin,
     "q106_justify" ->
       """WITH base AS (
         |  SELECT event_id,

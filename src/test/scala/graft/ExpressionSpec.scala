@@ -113,6 +113,76 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getString(4) == "$45.00")
   }
 
+  test("to_number_pg inverts to_char_pg (formatting.c:43 numeric_to_number)") {
+    // roundtrip property: for values that fit the template,
+    // to_number(to_char(v, fmt), fmt) == v rounded to the template scale
+    val fmts = Seq("9,999,999.99", "FM9,999,999.99", "9999999.99MI",
+      "$9,999,999.99", "FM$9999999.99", "0009999.999")
+    val vals = Seq(0.0, 1.0, -1.0, 0.5, -0.5, 123.456, -123.456,
+      9999.99, -9999.99, 1234567.89, 0.004, -0.004, 42.0)
+    val sql = (for {
+      (f, fi) <- fmts.zipWithIndex
+      (v, vi) <- vals.zipWithIndex
+    } yield s"to_number_pg(to_char_pg($v, '$f'), '$f') AS r_${fi}_$vi")
+      .mkString("SELECT ", ", ", "")
+    val row = spark.sql(sql).head()
+    var k = 0
+    for { f <- fmts; v <- vals } {
+      val scale = if (f.endsWith(".999")) 3 else 2
+      val want = new java.math.BigDecimal(math.abs(v))
+        .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue() *
+        (if (v < 0) -1 else 1)
+      assert(row.getDouble(k) == want, s"fmt=$f v=$v got=${row.getDouble(k)}")
+      k += 1
+    }
+    // template caps how much input is read, as PG's NUM_processor does
+    val caps = spark.sql(
+      """SELECT to_number_pg('12345', '999') AS a,
+        |       to_number_pg('$1,234.567', '$9,999.99') AS b,
+        |       to_number_pg('123-', '999MI') AS c,
+        |       to_number_pg('  42 ', '9999') AS d""".stripMargin).head()
+    assert(caps.getDouble(0) == 123.0)
+    assert(caps.getDouble(1) == 1234.56)
+    assert(caps.getDouble(2) == -123.0)
+    assert(caps.getDouble(3) == 42.0)
+  }
+
+  test("to_date_pg/to_timestamp_pg invert to_char_dt (formatting.c:914)") {
+    // roundtrip at each template's own resolution, across padded names,
+    // FM variable width, 12-hour clock, day-of-year and julian forms
+    val ts = Seq("2024-05-05 00:07:09.042000", "1999-12-31 23:59:59.000000",
+      "2024-02-29 12:00:00.000000", "1970-01-01 00:00:00.000000",
+      "2038-07-04 15:30:45.123456")
+    val dateFmts = Seq("YYYY-MM-DD", "DD Mon YYYY", "FMMonth DD, YYYY",
+      "DDD YYYY", "J", "Dy DD Mon YYYY")
+    for (t0 <- ts; f <- dateFmts) {
+      val r = spark.sql(
+        s"""SELECT CAST(to_date_pg(to_char_dt(TIMESTAMP '$t0', '$f'), '$f') AS STRING) AS d,
+           |       CAST(CAST(TIMESTAMP '$t0' AS DATE) AS STRING) AS want""".stripMargin).head()
+      assert(r.getString(0) == r.getString(1), s"fmt=$f ts=$t0")
+    }
+    val tsFmts = Seq("YYYY-MM-DD HH24:MI:SS", "YYYY-MM-DD HH12:MI:SS PM",
+      "FMDD FMMonth YYYY HH24:MI:SS", "YYYY-MM-DD HH24:MI:SS.MS",
+      "YYYY-MM-DD HH24:MI:SS.US", "YYYY-MM-DD SSSS")
+    for (t0 <- ts; f <- tsFmts) {
+      val trunc =
+        if (f.endsWith(".US")) "microsecond"
+        else if (f.endsWith(".MS")) "millisecond"
+        else "second"
+      val r = spark.sql(
+        s"""SELECT CAST(to_timestamp_pg(to_char_dt(TIMESTAMP '$t0', '$f'), '$f') AS STRING) AS t,
+           |       CAST(date_trunc('$trunc', TIMESTAMP '$t0') AS STRING) AS want""".stripMargin)
+        .head()
+      assert(r.getString(0) == r.getString(1), s"fmt=$f ts=$t0")
+    }
+    // YY century rule: <70 → 20xx, >=70 → 19xx (PG DCH_YY)
+    val yy = spark.sql(
+      """SELECT CAST(to_date_pg('05-01-02', 'YY-MM-DD') AS STRING) AS a,
+        |       CAST(to_date_pg('85-06-07', 'YY-MM-DD') AS STRING) AS b""".stripMargin)
+      .head()
+    assert(yy.getString(0) == "2005-01-02" && yy.getString(1) == "1985-06-07")
+  }
+
   test("tsquery booleans: precedence, parens, negation, prefix (tsquery.c)") {
     import graft.functions.Ranges.tsMatchQuery
     val df = Seq(
