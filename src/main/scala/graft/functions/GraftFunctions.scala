@@ -334,6 +334,10 @@ object GraftFunctions {
       info("to_char_dt", "to_char_dt(ts, fmt) - PG DCH date/time templates"),
       (args: Seq[Expression]) => ToCharDt(Cast(args(0), TimestampNTZType), args(1)))
     reg.registerFunction(
+      FunctionIdentifier("porter_stem"),
+      info("porter_stem", "porter_stem(word) - Porter suffix-stripping stemmer"),
+      (args: Seq[Expression]) => PorterStem(Cast(args(0), StringType)))
+    reg.registerFunction(
       FunctionIdentifier("to_number_pg"),
       info("to_number_pg", "to_number_pg(text, fmt) - PG numeric template parsing"),
       (args: Seq[Expression]) => ToNumberPg(Cast(args(0), StringType), args(1)))

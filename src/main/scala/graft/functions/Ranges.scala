@@ -369,6 +369,25 @@ object Ranges {
         concat(lit(startSel), w, lit(stopSel))).otherwise(w))
     array_join(marked, " ")
   }
+
+  /** [[tsHeadlineOf]] through a stemming dictionary (ts_headline over
+    * the `english` configuration): the cover/window logic runs on the
+    * STEMMED array while the emitted snippet shows the ORIGINAL
+    * document words — a word is marked when its stem is a query stem,
+    * so inflected forms highlight. `words` and `stems` must be
+    * position-aligned, already-materialized columns. */
+  def tsHeadlineStemmed(words: Column, stems: Column, best: Column,
+                        terms: Seq[String], maxWords: Int = 35,
+                        startSel: String = "<b>",
+                        stopSel: String = "</b>"): Column = {
+    val hstart = coalesce((best % 100000L).cast("int"), lit(1))
+    val winLen = least(size(words) - hstart + 1, lit(maxWords))
+    val marked = transform(sequence(hstart, hstart + winLen - 1), i =>
+      when(terms.map(t => element_at(stems, i) === lit(t)).reduce(_ || _),
+        concat(lit(startSel), element_at(words, i), lit(stopSel)))
+        .otherwise(element_at(words, i)))
+    array_join(marked, " ")
+  }
 }
 
 /** tsquery parser: recursive descent over `& | ! ( ) term[:*]` tokens. */

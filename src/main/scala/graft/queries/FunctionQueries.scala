@@ -227,6 +227,40 @@ object FunctionQueries {
           round(tsRank(words, Seq("data", "query")), 6).as("rank"))
     }),
 
+    // Stemmed text search through the `english` configuration
+    // (snowball/dict_snowball.c + stopwords/english.stop): lowercase →
+    // drop stopwords → Porter-stem, then match/rank on stems — the
+    // inflected query terms "querying"/"merges" stem to the same
+    // lexemes as the document words "query"/"merge". The lexize chain
+    // is one declarative pass; the stem is a codegen expression.
+    "q145_ts_stemmed" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      val stems = TsLexize.stemTerms(Seq("querying", "merges")) // queri, merg
+      t(s, d, "documents")
+        .withColumn("lexed", TsLexize.lexize(split(col("text"), " ")))
+        .where(Ranges.tsMatch(col("lexed"), stems))
+        .select(col("doc_id"), col("lexed"),
+          round(Ranges.tsRank(col("lexed"), stems), 6).as("rank"))
+    }),
+
+    // ts_headline through the stemming dictionary: covers computed on
+    // stems, snippet shows the original inflected words, marked when
+    // their stem matches a query stem.
+    "q146_ts_headline_stemmed" -> ((s, d) => {
+      import graft.functions.Ranges._
+      val stems = graft.functions.TsLexize.stemTerms(Seq("querying", "merges"))
+      t(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("st", transform(col("words"),
+          x => call_function("porter_stem", lower(x))))
+        .where(tsMatch(col("st"), stems))
+        .withColumn("m", mergedPositions(col("st"), stems(0), stems(1)))
+        .withColumn("best", bestCover(col("m")))
+        .select(col("doc_id"),
+          tsHeadlineStemmed(col("words"), col("st"), col("best"), stems,
+            maxWords = 10).as("headline"))
+    }),
+
     // ts_rank_cd cover-density ranking (tsrank.c calc_rank_cd): minimal
     // query covers scored by width — proximity-sensitive, unlike the
     // frequency-only ts_rank.
@@ -887,6 +921,79 @@ object FunctionQueries {
         |    x -> CASE WHEN x = 'data' OR x = 'query'
         |              THEN '<b>' || x || '</b>' ELSE x END), ' ') AS headline
         |FROM h""".stripMargin,
+    // The documents fixture has a CLOSED 31-word vocabulary, so the
+    // oracle carries the dictionary as an explicit word→stem CASE chain
+    // (generated from the same Porter implementation the engine runs —
+    // the stemmer itself is pinned independently against the published
+    // algorithm's examples in ExpressionSpec; this oracle checks the
+    // lexize/match/rank/headline pipeline end-to-end in DuckDB).
+    "q145_ts_stemmed" -> {
+      import graft.functions.{PorterStemmer, TsLexize}
+      val stop = TsLexize.englishStopwords.map(w => s"'$w'").mkString(", ")
+      val vocab = Seq("a", "agg", "batch", "big", "column", "customer",
+        "data", "dup", "fast", "filter", "group", "hash", "join", "key",
+        "line", "merge", "order", "part", "query", "row", "scan", "slow",
+        "small", "sort", "spark", "stream", "table", "the", "value",
+        "vector", "window")
+      val cases = vocab.map(w =>
+        s"WHEN x = '$w' THEN '${PorterStemmer.stem(w)}'").mkString(" ")
+      s"""WITH w AS (SELECT doc_id,
+         |  list_transform(list_filter(string_split(text, ' '),
+         |      x -> lower(x) NOT IN ($stop)),
+         |    x -> CASE $cases ELSE lower(x) END) AS lexed
+         |  FROM documents),
+         |f AS (SELECT doc_id, lexed,
+         |  len(list_filter(lexed, x -> x = 'queri')) AS f1,
+         |  len(list_filter(lexed, x -> x = 'merg')) AS f2 FROM w)
+         |SELECT doc_id, lexed,
+         |  ROUND((
+         |    (CASE WHEN f1 > 0 THEN list_sum(list_transform(range(1, f1 + 1),
+         |       j -> CAST(0.1 AS DOUBLE) / CAST(j * j AS DOUBLE))) ELSE 0.0 END) +
+         |    (CASE WHEN f2 > 0 THEN list_sum(list_transform(range(1, f2 + 1),
+         |       j -> CAST(0.1 AS DOUBLE) / CAST(j * j AS DOUBLE))) ELSE 0.0 END)
+         |  ) / CAST(1.64493406685 AS DOUBLE) / CAST(2 AS DOUBLE), 6) AS rank
+         |FROM f
+         |WHERE list_contains(lexed, 'queri') AND list_contains(lexed, 'merg')""".stripMargin
+    },
+    "q146_ts_headline_stemmed" -> {
+      import graft.functions.PorterStemmer
+      val vocab = Seq("a", "agg", "batch", "big", "column", "customer",
+        "data", "dup", "fast", "filter", "group", "hash", "join", "key",
+        "line", "merge", "order", "part", "query", "row", "scan", "slow",
+        "small", "sort", "spark", "stream", "table", "the", "value",
+        "vector", "window")
+      val cases = vocab.map(w =>
+        s"WHEN x = '$w' THEN '${PorterStemmer.stem(w)}'").mkString(" ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+         |  list_transform(string_split(text, ' '),
+         |    x -> CASE $cases ELSE lower(x) END) AS st
+         |  FROM documents),
+         |f AS (SELECT * FROM w
+         |  WHERE list_contains(st, 'queri') AND list_contains(st, 'merg')),
+         |p AS (SELECT doc_id, words, st,
+         |  list_sort(list_concat(
+         |    list_transform(list_filter(range(1, len(st) + 1),
+         |      i -> st[CAST(i AS INT)] = 'queri'), x -> [CAST(x AS INT), 1]),
+         |    list_transform(list_filter(range(1, len(st) + 1),
+         |      i -> st[CAST(i AS INT)] = 'merg'), x -> [CAST(x AS INT), 2]))) AS m
+         |  FROM f),
+         |b AS (SELECT doc_id, words, st,
+         |  list_min(list_filter(list_transform(range(1, len(m)), i ->
+         |    CASE WHEN m[CAST(i AS INT)][2] <> m[CAST(i AS INT) + 1][2]
+         |         THEN CAST(m[CAST(i AS INT) + 1][1] - m[CAST(i AS INT)][1] AS BIGINT)
+         |              * 100000 + m[CAST(i AS INT)][1]
+         |         ELSE NULL END), x -> x IS NOT NULL)) AS best
+         |  FROM p),
+         |h AS (SELECT doc_id, words, st,
+         |  CAST(coalesce(best % 100000, 1) AS INT) AS hstart FROM b)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(
+         |    range(hstart, LEAST(len(words), hstart + 9) + 1),
+         |    i -> CASE WHEN st[CAST(i AS INT)] IN ('queri', 'merg')
+         |              THEN '<b>' || words[CAST(i AS INT)] || '</b>'
+         |              ELSE words[CAST(i AS INT)] END), ' ') AS headline
+         |FROM h""".stripMargin
+    },
     // each needle hand-evaluated against the generated document shape
     "q135_jsonb_contains" ->
       """SELECT o_orderkey,

@@ -113,6 +113,66 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getString(4) == "$45.00")
   }
 
+  test("porter_stem matches the published algorithm's examples (Porter 1980)") {
+    import graft.functions.PorterStemmer.stem
+    // step-by-step examples from the paper, carried to the final stem
+    val pairs = Seq(
+      // 1a
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat",
+      // 1b + cleanup
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail",
+      "filing" -> "file",
+      // 1c
+      "happy" -> "happi", "sky" -> "sky",
+      // 2
+      "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "digitizer" -> "digit",
+      "differently" -> "differ", "vilely" -> "vile",
+      "analogously" -> "analog", "vietnamization" -> "vietnam",
+      "predication" -> "predic", "operator" -> "oper",
+      "feudalism" -> "feudal", "decisiveness" -> "decis",
+      "hopefulness" -> "hope", "callousness" -> "callous",
+      "formality" -> "formal", "sensitivity" -> "sensit",
+      "sensibility" -> "sensibl",
+      // 3
+      "triplicate" -> "triplic", "formative" -> "form",
+      "formalize" -> "formal", "electricity" -> "electr",
+      "hopeful" -> "hope", "goodness" -> "good",
+      // 4
+      "revival" -> "reviv", "allowance" -> "allow",
+      "inference" -> "infer", "airliner" -> "airlin",
+      "adjustable" -> "adjust", "defensible" -> "defens",
+      "irritant" -> "irrit", "replacement" -> "replac",
+      "adjustment" -> "adjust", "dependent" -> "depend",
+      "adoption" -> "adopt", "homologou" -> "homolog",
+      "communism" -> "commun", "activate" -> "activ",
+      "angularity" -> "angular", "effective" -> "effect",
+      "bowdlerize" -> "bowdler",
+      // 5
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll",
+      // the paper's own worked multi-step examples
+      "generalizations" -> "gener", "oscillators" -> "oscil")
+    for ((w, want) <- pairs)
+      assert(stem(w) == want, s"stem($w) = ${stem(w)}, want $want")
+    // as a codegen expression, and the lexize chain drops stopwords
+    val r = spark.sql("SELECT porter_stem('Querying') AS a").head()
+    assert(r.getString(0) == "queri")
+    import graft.functions.TsLexize
+    val lx = spark.sql("SELECT 1").select(
+      TsLexize.lexize(org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.lit(
+          "the merges of a querying filter"), " ")).as("l")).head()
+    assert(lx.getSeq[String](0) == Seq("merg", "queri", "filter"))
+    assert(TsLexize.stemTerms(Seq("Querying", "the", "merges")) ==
+      Seq("queri", "merg"))
+  }
+
   test("to_number_pg inverts to_char_pg (formatting.c:43 numeric_to_number)") {
     // roundtrip property: for values that fit the template,
     // to_number(to_char(v, fmt), fmt) == v rounded to the template scale
