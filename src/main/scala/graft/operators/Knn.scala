@@ -250,59 +250,54 @@ object Knn {
     rankTopK(withVecs, k)
   }
 
-  /** IVFADC (Jégou et al., "Product Quantization for Nearest Neighbor
-    * Search", TPAMI 2011, §IV — the composition [[ivfTopK]] and
-    * [[pqTopK]] each implement half of): a coarse IVF quantizer routes
-    * every corpus vector to one cell, PQ codebooks are trained on the
-    * RESIDUAL (unit vector − cell centroid), and each query ADC-scans
-    * ONLY its nProbe probed cells' code lists:
-    *
-    *   `q·v ≈ q·c(v) + Σ_b adc[b][code_b(v − c(v))]`
-    *
-    * — the coarse term is one dot per probed CELL (not per row), and the
-    * per-row work is m table lookups. This is the genuine 100 TB ANN
-    * shape: the scan set is ~nProbe/nCentroids of the corpus (the factor
-    * flat ADC lacks) AND each scanned row is a few bytes of codes, not a
-    * dim-float vector (the factor plain IVF lacks). Training runs the
-    * same Lloyd loop as the components (at corpus scale one would train
-    * on a sample; the encode pass stays one narrow projection). The top
-    * refine·k ADC candidates re-rank exactly against the original
-    * vectors. Recall < 1 by construction — measured against brute force
-    * and flat PQ, with the scanned fraction, in OperatorSpec. */
-  def ivfadcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                 nCentroids: Int = 16, nProbe: Int = 4,
-                 m: Int = 8, codes: Int = 16, dim: Int = 64,
-                 trainIters: Int = 2, refine: Int = 4,
-                 idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
-    requireLongId(corpus, idCol, "corpus")
-    requireLongId(queries, idCol, "queries")
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val dsub = dim / m
-    def unitized(df: DataFrame, vc: String): DataFrame = df
-      .withColumn("__nrm", norm2(col(vc)))
-      .withColumn("__unit",
-        transform(col(vc), x => (x.cast("double") / col("__nrm")).cast("float")))
-      .drop("__nrm")
-    // coarse quantizer over unit vectors (cosine cells)
-    val cn = unitized(corpus, vecCol)
-    val (cids, cents) =
-      kmeansCentroids(cn, nCentroids, trainIters, idCol, "__unit", dim)
-    val cidsLit = typedLit(cids.toSeq)
-    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
-    // assign once; the residual is its own materialized column (a lambda
-    // reading a derived column would recompute it per element)
-    val assigned = cn
-      .withColumn("cid",
+  /** Driver-side IVFADC model: coarse centroids + shared residual PQ
+    * codebooks — O(nCentroids·dim + m·codes·dsub) doubles, the
+    * KMeansModel shape; ships with the plan inside codegen kernels. */
+  final case class IvfadcModel(cids: Array[Long], cents: Array[Array[Double]],
+                               books: Array[(Array[Long], Array[Array[Double]])],
+                               m: Int, codes: Int, dim: Int) {
+    def nCentroids: Int = cids.length
+  }
+
+  private def unitized(df: DataFrame, vc: String): DataFrame = df
+    .withColumn("__nrm", norm2(col(vc)))
+    .withColumn("__unit",
+      transform(col(vc), x => (x.cast("double") / col("__nrm")).cast("float")))
+    .drop("__nrm")
+
+  /** Assignment + residual columns for an already-unitized corpus. The
+    * residual is its own materialized column (a lambda reading a derived
+    * column would recompute it per element). */
+  private def withResidual(cn: DataFrame, model: IvfadcModel): DataFrame = {
+    val cidsLit = typedLit(model.cids.toSeq)
+    val centsLit = typedLit(model.cents.map(_.toSeq).toSeq)
+    cn.withColumn("cid",
         call_function("best_centroid", col("__unit"), cidsLit, centsLit))
       .withColumn("__cent",
         element_at(centsLit, array_position(cidsLit, col("cid")).cast("int")))
       .withColumn("__res",
         zip_with(col("__unit"), col("__cent"),
           (x, c) => (x.cast("double") - c).cast("float")))
-    // per-subspace RESIDUAL codebooks (shared across cells, as in the
-    // paper's IVFADC variant with a single residual quantizer)
-    val resDf = assigned.select(col(idCol), col("__res"))
+  }
+
+  /** Train the IVFADC quantizers (Jégou et al. §IV): a coarse quantizer
+    * over unit vectors (cosine cells) and per-subspace codebooks on the
+    * RESIDUAL (unit vector − cell centroid), shared across cells as in
+    * the paper's single-residual-quantizer variant. Same Lloyd loop as
+    * [[ivfTopK]]/[[pqTopK]]; at corpus scale one would train on a
+    * sample — the model is driver-sized either way. */
+  def trainIvfadc(corpus: DataFrame, nCentroids: Int = 16, m: Int = 8,
+                  codes: Int = 16, dim: Int = 64, trainIters: Int = 2,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): IvfadcModel = {
+    requireLongId(corpus, idCol, "corpus")
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val cn = unitized(corpus, vecCol)
+    val (cids, cents) =
+      kmeansCentroids(cn, nCentroids, trainIters, idCol, "__unit", dim)
+    val pre = IvfadcModel(cids, cents, Array.empty, m, codes, dim)
+    val resDf = withResidual(cn, pre).select(col(idCol), col("__res"))
     val books: Array[(Array[Long], Array[Array[Double]])] =
       Array.tabulate(m) { b =>
         kmeansCentroids(
@@ -310,22 +305,45 @@ object Knn {
             slice(col("__res"), b * dsub + 1, dsub).as("__sub")),
           codes, trainIters, idCol, "__sub", dsub)
       }
-    val codeCol = array(Array.tabulate(m) { b =>
-      val (bcids, bcents) = books(b)
+    IvfadcModel(cids, cents, books, m, codes, dim)
+  }
+
+  /** The inverted file: (neighbor_id, cid, codes) per corpus vector —
+    * ONE narrow projection, no shuffle; the only thing the ADC pass
+    * ever scans. */
+  def encodeIvfadc(corpus: DataFrame, model: IvfadcModel,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val dsub = model.dim / model.m
+    val assigned = withResidual(unitized(corpus, vecCol), model)
+    val codeCol = array(Array.tabulate(model.m) { b =>
+      val (bcids, bcents) = model.books(b)
       (array_position(typedLit(bcids.toSeq),
         call_function("best_centroid", slice(col("__res"), b * dsub + 1, dsub),
           typedLit(bcids.toSeq), typedLit(bcents.map(_.toSeq).toSeq))) - 1)
         .cast("int")
     }: _*)
-    // the inverted file: (cell, codes) per vector — the only thing the
-    // ADC pass ever scans
-    val encoded = assigned.select(col(idCol).as("neighbor_id"), col("cid"),
-      codeCol.as("__codes"))
+    assigned.select(col(idCol).as("neighbor_id"), col("cid"),
+      codeCol.as("codes"))
+  }
+
+  /** ADC scan + exact refine over an inverted file (in-memory or read
+    * back from a persisted index): per query an m×codes residual table
+    * and one coarse dot per probed CELL, per scanned row m table
+    * lookups; the top refine·k candidates re-rank exactly against the
+    * original vectors. */
+  private def adcScan(encoded: DataFrame, model: IvfadcModel,
+                      corpus: DataFrame, queries: DataFrame, k: Int,
+                      nProbe: Int, refine: Int, idCol: String,
+                      vecCol: String): DataFrame = {
+    val dsub = model.dim / model.m
+    val cidsLit = typedLit(model.cids.toSeq)
+    val centsLit = typedLit(model.cents.map(_.toSeq).toSeq)
     // query side: residual ADC table + per-probed-cell coarse dot, both
     // materialized BEFORE the join (once per query, not per pair)
     val qn = unitized(queries, vecCol)
-    val adcCol = concat(Array.tabulate(m) { b =>
-      val (_, bcents) = books(b)
+    val adcCol = concat(Array.tabulate(model.m) { b =>
+      val (_, bcents) = model.books(b)
       val qsub = slice(col("__unit"), b * dsub + 1, dsub)
       array(bcents.indices.map(c =>
         call_function("vec_dot", qsub,
@@ -344,9 +362,9 @@ object Knn {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (col("__coarse") +
-          aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, b) =>
+          aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0d), (acc, b) =>
             acc + element_at(col("__adc"),
-              (b * codes + element_at(col("__codes"), b + 1) + 1).cast("int"))))
+              (b * model.codes + element_at(col("codes"), b + 1) + 1).cast("int"))))
           .as("cos_sim"))
     val cand = rankTopK(scored, k * refine).select("query_id", "neighbor_id")
       .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
@@ -357,6 +375,120 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos_sim"))
     rankTopK(withVecs, k)
+  }
+
+  /** IVFADC (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011, §IV — the composition [[ivfTopK]] and
+    * [[pqTopK]] each implement half of): a coarse IVF quantizer routes
+    * every corpus vector to one cell, PQ codebooks are trained on the
+    * RESIDUAL (unit vector − cell centroid), and each query ADC-scans
+    * ONLY its nProbe probed cells' code lists:
+    *
+    *   `q·v ≈ q·c(v) + Σ_b adc[b][code_b(v − c(v))]`
+    *
+    * — the coarse term is one dot per probed CELL (not per row), and the
+    * per-row work is m table lookups. This is the genuine 100 TB ANN
+    * shape: the scan set is ~nProbe/nCentroids of the corpus (the factor
+    * flat ADC lacks) AND each scanned row is a few bytes of codes, not a
+    * dim-float vector (the factor plain IVF lacks). Recall < 1 by
+    * construction — measured against brute force and flat PQ, with the
+    * scanned fraction, in OperatorSpec. One-shot in-memory composition
+    * of [[trainIvfadc]] → [[encodeIvfadc]] → ADC scan; for the
+    * build-once / probe-many lifecycle use [[buildIvfadcIndex]] +
+    * [[probeIvfadc]]. */
+  def ivfadcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nCentroids: Int = 16, nProbe: Int = 4,
+                 m: Int = 8, codes: Int = 16, dim: Int = 64,
+                 trainIters: Int = 2, refine: Int = 4,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    requireLongId(queries, idCol, "queries")
+    val model =
+      trainIvfadc(corpus, nCentroids, m, codes, dim, trainIters, idCol, vecCol)
+    val encoded = encodeIvfadc(corpus, model, idCol, vecCol)
+    adcScan(encoded, model, corpus, queries, k, nProbe, refine, idCol, vecCol)
+  }
+
+  /** Persisted-index handle: the inverted file lives at
+    * `<path>/inverted` PARTITIONED BY cid (one directory per cell), the
+    * codebooks at `<path>/codebooks`. */
+  final case class IvfadcIndex(path: String, model: IvfadcModel) {
+    def invertedPath: String = path + "/inverted"
+  }
+
+  /** Build-once half of the index lifecycle (the reference's
+    * CREATE INDEX analog): train, encode, and WRITE the inverted file
+    * partitioned by `cid` — so a later probe prunes to its probed
+    * cells' directories at the SCAN, never reading the rest of the
+    * corpus' codes — plus the codebooks as a small sibling parquet so
+    * the index reloads without retraining. */
+  def buildIvfadcIndex(corpus: DataFrame, path: String,
+                       nCentroids: Int = 16, m: Int = 8, codes: Int = 16,
+                       dim: Int = 64, trainIters: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): IvfadcIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model =
+      trainIvfadc(corpus, nCentroids, m, codes, dim, trainIters, idCol, vecCol)
+    encodeIvfadc(corpus, model, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(path + "/inverted")
+    val bookRows =
+      model.cids.indices.map(i =>
+        ("coarse", -1, i, model.cids(i), model.cents(i).toSeq)) ++
+      model.books.zipWithIndex.flatMap { case ((bcids, bcents), b) =>
+        bcids.indices.map(j => ("book", b, j, bcids(j), bcents(j).toSeq))
+      }
+    bookRows.toDF("kind", "blk", "pos", "cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+    IvfadcIndex(path, model)
+  }
+
+  /** Reload a persisted index's model (no retraining, no corpus scan —
+    * the codebooks parquet is O(model) bytes). */
+  def loadIvfadcIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): IvfadcIndex = {
+    val rows = spark.read.parquet(path + "/codebooks").collect()
+    val coarse = rows.filter(_.getString(0) == "coarse").sortBy(_.getInt(2))
+    val cids = coarse.map(_.getLong(3))
+    val cents = coarse.map(_.getSeq[Double](4).toArray)
+    val bookRows = rows.filter(_.getString(0) == "book")
+    val m = if (bookRows.isEmpty) 0 else bookRows.map(_.getInt(1)).max + 1
+    val books = Array.tabulate(m) { b =>
+      val br = bookRows.filter(_.getInt(1) == b).sortBy(_.getInt(2))
+      (br.map(_.getLong(3)), br.map(_.getSeq[Double](4).toArray))
+    }
+    val codes = if (m == 0) 0 else books(0)._1.length
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    IvfadcIndex(path, IvfadcModel(cids, cents, books, m, codes, dim))
+  }
+
+  /** Probe-many half of the lifecycle: the probed cell set is computed
+    * driver-side (bounded by nCentroids values, NOT corpus-scale) and
+    * pushed into the inverted-file read as a partition filter, so the
+    * scan touches ONLY the probed cells' directories — at 100 TB the
+    * unprobed ~1−nProbe/nCentroids of the code lists are never opened.
+    * Scoring is the same ADC + exact-refine pass as [[ivfadcTopK]];
+    * with the same parameters the results are identical (training is
+    * deterministic), asserted in OperatorSpec, and the pruned scan
+    * shape in PlanSpec. */
+  def probeIvfadc(index: IvfadcIndex, corpus: DataFrame, queries: DataFrame,
+                  k: Int, nProbe: Int = 4, refine: Int = 4,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    requireLongId(queries, idCol, "queries")
+    val spark = queries.sparkSession
+    val model = index.model
+    val cidsLit = typedLit(model.cids.toSeq)
+    val centsLit = typedLit(model.cents.map(_.toSeq).toSeq)
+    val probedCells = unitized(queries, vecCol)
+      .select(explode(call_function("top_centroids", col("__unit"),
+        lit(nProbe), cidsLit, centsLit)).as("cid"))
+      .distinct().collect().map(_.getLong(0))
+    val encoded = spark.read.parquet(index.invertedPath)
+      .where(col("cid").isin(probedCells: _*))
+    adcScan(encoded, model, corpus, queries, k, nProbe, refine, idCol, vecCol)
   }
 
   /** Multi-table sign-LSH ANN: L independent tables of nPlanes random

@@ -127,6 +127,22 @@ object PipelineQueries {
         codes = 32, trainIters = 1, refine = 8)
     }),
 
+    // IVFADC build-once / probe-many lifecycle (CREATE INDEX analog):
+    // the inverted file persists partitioned by cell, the probe reloads
+    // the codebooks and scans ONLY its probed cells' directories via
+    // partition pruning (PlanSpec asserts the pruned scan; OperatorSpec
+    // asserts probe == one-shot ivfadcTopK, so recall is unchanged).
+    // Rows-only like the other ANN entries.
+    "q147_knn_ivfadc_index" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_ivfadc_index").toString
+      Knn.buildIvfadcIndex(emb, path, nCentroids = 16,
+        codes = 32, trainIters = 1)
+      Knn.probeIvfadc(Knn.loadIvfadcIndex(s, path), emb,
+        emb.where(col("vec_id") < 10), k = 5, refine = 8)
+    }),
+
     // Embedding-cosine near-dup pairs (LSH self-join + exact verify;
     // rows-only — recall < 1 by construction, quality in OperatorSpec).
     "q104_dedup_embed" -> ((s, d) =>

@@ -147,6 +147,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(frac > 0.0 && frac < 0.75, s"scan fraction $frac is not sublinear")
   }
 
+  test("IVFADC persisted index: build + load + probe equals the one-shot path") {
+    Tables.register(spark, TestSpark.sf0001)
+    val emb = spark.table("embeddings")
+    val q = emb.where(col("vec_id") < 20)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfadc_spec").toString
+    try {
+      val built = Knn.buildIvfadcIndex(emb, path, nCentroids = 16,
+        codes = 32, trainIters = 2)
+      // the inverted file is partitioned by cell on disk
+      val cellDirs = new java.io.File(path + "/inverted").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+      assert(cellDirs.length > 1, "inverted file not partitioned by cid")
+      // reload from disk — the model roundtrips through the codebooks
+      val loaded = Knn.loadIvfadcIndex(spark, path)
+      assert(loaded.model.cids.toSeq == built.model.cids.toSeq)
+      assert(loaded.model.m == built.model.m &&
+        loaded.model.codes == built.model.codes &&
+        loaded.model.dim == built.model.dim)
+      assert(loaded.model.cents.map(_.toSeq).toSeq ==
+        built.model.cents.map(_.toSeq).toSeq)
+      assert(loaded.model.books.map(b => (b._1.toSeq, b._2.map(_.toSeq).toSeq)).toSeq ==
+        built.model.books.map(b => (b._1.toSeq, b._2.map(_.toSeq).toSeq)).toSeq)
+      // probing the persisted index = the one-shot in-memory pipeline
+      // (training is deterministic), so recall is unchanged by the split
+      val probed = Knn.probeIvfadc(loaded, emb, q, 5, nProbe = 6, refine = 8)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .as[(Long, Long, Double)].collect().toSet
+      val oneShot = Knn.ivfadcTopK(emb, q, 5, nCentroids = 16, nProbe = 6,
+        codes = 32, trainIters = 2, refine = 8)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(probed == oneShot,
+        s"persisted-index probe diverged: ${(probed diff oneShot).take(3)} vs ${(oneShot diff probed).take(3)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("embedding-cosine near-dup: all reported pairs verified, subset of exact") {
     Tables.register(spark, TestSpark.sf0001)
     val emb = spark.table("embeddings")

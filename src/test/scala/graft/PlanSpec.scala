@@ -147,6 +147,39 @@ class PlanSpec extends AnyFunSuite {
     assert(q.head().getLong(0) > 0)
   }
 
+  test("IVFADC probe scans a strict subset of the inverted file's partitions") {
+    Tables.register(spark, sf)
+    val emb = spark.table("embeddings")
+    // 3 queries × nProbe=4 probe ≤ 12 of the 16 cells — a strict subset
+    // by construction
+    val q = emb.where(org.apache.spark.sql.functions.col("vec_id") < 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfadc_plan").toString
+    try {
+      val idx = graft.operators.Knn.buildIvfadcIndex(emb, path,
+        nCentroids = 16, codes = 16, trainIters = 1)
+      val totalCells = new java.io.File(path + "/inverted").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("cid="))
+      val probe = graft.operators.Knn.probeIvfadc(idx, emb, q, 5, nProbe = 4)
+      val scans = probe.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("inverted")) => s
+      }
+      assert(scans.nonEmpty, "no file scan over the inverted index found")
+      val scan = scans.head
+      // the probed-cell set reaches the scan as a PARTITION filter...
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "cid")),
+        s"no cid partition filter on the inverted scan: ${scan.partitionFilters}")
+      // ...and prunes to a strict subset of the cell directories
+      val selected = scan.selectedPartitions.partitionCount
+      assert(selected > 0 && selected < totalCells,
+        s"probe read $selected of $totalCells cell partitions — not pruned")
+      assert(probe.count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("ANALYZE feeds CBO row counts") {
     Tables.register(spark, sf)
     dropManaged("nation_t")
