@@ -52,10 +52,10 @@ object Dml {
       val touched = touchedPartitions(t, hit, partCols)
       if (touched.isEmpty) 0L
       else {
-        val inTouched = partitionFilter(touched, partCols)
-        val before = t.where(inTouched).count() // partition filter only: footer count
+        val scope = touchedScope(spark, t, touched, partCols)
+        val before = scope(t).count() // partition filter only: footer count
         val (kept, survivors) =
-          stagedSwap(spark, table, t.where(inTouched && !hit), partCols, dynamic = true)
+          stagedSwap(spark, table, scope(t).where(!hit), partCols, dynamic = true)
         clearVanishedPartitions(spark, table, partCols, touched, survivors)
         before - kept
       }
@@ -86,9 +86,9 @@ object Dml {
       val touched = touchedPartitions(t, hit, partCols)
       if (touched.isEmpty) 0L
       else {
-        val inTouched = partitionFilter(touched, partCols)
-        val n = t.where(inTouched && hit).count() // pruned to touched partitions
-        stagedSwap(spark, table, updatedProjection(t.where(inTouched)),
+        val scope = touchedScope(spark, t, touched, partCols)
+        val n = scope(t).where(hit).count() // pruned to touched partitions
+        stagedSwap(spark, table, updatedProjection(scope(t)),
           partCols, dynamic = true)
         n
       }
@@ -106,20 +106,60 @@ object Dml {
                                 partCols: Seq[String]): Seq[Row] =
     t.where(hit).select(partCols.map(col): _*).distinct().collect().toSeq
 
-  private def partitionFilter(parts: Seq[Row], partCols: Seq[String]): Column =
-    parts.map { r =>
-      partCols.zipWithIndex.map { case (c, i) =>
-        val v = r.get(i)
-        if (v == null) col(c).isNull else col(c) === lit(v)
-      }.reduce(_ && _)
-    }.reduce(_ || _)
+  /** How many multi-column partition tuples may form a literal OR tree
+    * before the statement falls back to a semi-join. */
+  private val OrTreeMax = 64
 
-  /** Write `data` durably to a staging dir under the warehouse, then
-    * swap it into the table (dynamic partition overwrite replaces only
-    * the partitions present in `data`). The swap runs in a child
-    * session so the partitionOverwriteMode override never leaks into
-    * the caller's session. Returns (staged row count — from parquet
-    * footers, no data scan; staged partition values). */
+  /** Restrict a scan to the touched partitions, BOUNDED in plan size: a
+    * single partition column always collapses to one IN (InSet above
+    * Spark's conversion threshold — a set probe, and still a static
+    * partition-pruning predicate, whatever the partition count); small
+    * multi-column sets keep the literal OR tree (statically prunable);
+    * large multi-column sets fall back to a broadcast semi-join against
+    * the touched-tuple set rather than a thousand-node OR expression. */
+  private[graft] def touchedScope(spark: SparkSession, t: DataFrame,
+                                      touched: Seq[Row], partCols: Seq[String])
+      : DataFrame => DataFrame =
+    if (partCols.lengthCompare(1) == 0) {
+      val c = partCols.head
+      val vals = touched.map(_.get(0))
+      val nonNull = vals.filter(_ != null)
+      val in =
+        if (nonNull.isEmpty) lit(false)
+        else col(c).isin(nonNull: _*)
+      val f = if (vals.contains(null)) col(c).isNull || in else in
+      df => df.where(f)
+    } else if (touched.lengthCompare(OrTreeMax) <= 0) {
+      val f = touched.map { r =>
+        partCols.zipWithIndex.map { case (c, i) =>
+          val v = r.get(i)
+          if (v == null) col(c).isNull else col(c) === lit(v)
+        }.reduce(_ && _)
+      }.reduce(_ || _)
+      df => df.where(f)
+    } else {
+      val schema = org.apache.spark.sql.types.StructType(
+        partCols.map(c => t.schema(c)))
+      val tdf = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(touched).asJava), schema)
+      df => df.join(broadcast(tdf), partCols, "left_semi")
+    }
+
+  /** Write `data` durably to a staging dir under the warehouse — in the
+    * table's own layout (partitionBy directories) — then swap it in by
+    * MOVING directories: ONE data write pass per statement, no staged
+    * re-read-and-rewrite. Per touched partition the old directory is
+    * removed and the staged one renamed into place (same filesystem —
+    * staging lives under the warehouse — so the move is a metadata op,
+    * not a copy). The crash contract is unchanged: the table is not
+    * touched until the complete snapshot is durable, and the staging
+    * directory is deleted only after the swap completes, so a failure
+    * leaves either the old table intact or old-plus-complete-snapshot.
+    * A full (non-dynamic) swap on a partitioned table re-syncs the
+    * partition catalog afterwards (split updates can create and empty
+    * partitions). Returns (staged row count — from parquet footers, no
+    * data scan; staged partition values). */
   private def stagedSwap(spark: SparkSession, table: String, data: DataFrame,
                          partCols: Seq[String],
                          dynamic: Boolean): (Long, Seq[Row]) = {
@@ -129,29 +169,57 @@ object Dml {
     val w = data.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(dir.getAbsolutePath)
-    // the snapshot is now durable; only now is the table touched
-    val tableSchema = spark.table(table).schema
-    val scoped = spark.newSession() // shared catalog, isolated conf
-    graft.Tables.tune(scoped)
-    scoped.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.get("spark.sql.shuffle.partitions"))
-    if (dynamic)
-      scoped.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // the snapshot is now durable; only now is the table touched.
     // explicit schema: partition-directory values must come back with the
     // catalog's types, not path-inference's guess
-    val staged = scoped.read.schema(tableSchema).parquet(dir.getAbsolutePath)
+    val tableSchema = spark.table(table).schema
+    val staged = spark.read.schema(tableSchema).parquet(dir.getAbsolutePath)
       .select(tableSchema.fieldNames.map(col): _*)
     val n = staged.count() // footer metadata only
     val survivors =
       if (partCols.isEmpty) Nil
       else staged.select(partCols.map(col): _*).distinct().collect().toSeq
-    staged.write.mode("overwrite").insertInto(table)
-    // the write invalidated the CHILD session's relation cache; the
-    // caller's session still holds the pre-swap file listing
+    val tableDir = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString)
+      .getPath)
+    if (partCols.isEmpty || !dynamic) {
+      // full swap: the table's content becomes exactly the staged set
+      Option(tableDir.listFiles()).getOrElse(Array.empty).foreach(rm)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .foreach(f => move(f, new java.io.File(tableDir, f.getName)))
+    } else {
+      // partition swap: only staged (touched, surviving) directories move
+      for (r <- survivors) {
+        val rel = partitionPath(partCols, r)
+        val dst = new java.io.File(tableDir, rel)
+        rm(dst)
+        dst.getParentFile.mkdirs()
+        move(new java.io.File(dir, rel), dst)
+      }
+    }
     spark.catalog.refreshTable(table)
+    if (partCols.nonEmpty && !dynamic)
+      // rows may have moved into new partition values or emptied old
+      // ones — re-sync the partition catalog with the directories
+      spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
     rm(dir)
     (n, survivors)
   }
+
+  /** `c1=v1/c2=v2` relative path of a partition tuple, with the same
+    * value escaping the writer uses. */
+  private def partitionPath(partCols: Seq[String], r: Row): String =
+    partCols.zipWithIndex.map { case (c, i) =>
+      val v = r.get(i)
+      val s = if (v == null) "__HIVE_DEFAULT_PARTITION__" else String.valueOf(v)
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(c, s)
+    }.mkString("/")
+
+  private def move(src: java.io.File, dst: java.io.File): Unit =
+    if (!src.renameTo(dst)) // same-FS rename; fall back to a copy+delete
+      org.apache.commons.io.FileUtils.moveToDirectory(src, dst.getParentFile, true)
 
   /** A touched partition whose every row was deleted is absent from the
     * staged snapshot, so dynamic overwrite leaves its old files behind —

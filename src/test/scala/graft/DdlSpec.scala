@@ -193,6 +193,40 @@ class DdlSpec extends AnyFunSuite {
     drop("dml_t")
   }
 
+  test("DML touched-partition scope stays bounded on many-partition tables") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dml
+    drop("dml_many_t")
+    // 120 single-column partitions — above any sane OR-tree size
+    spark.range(1200).selectExpr("id AS k", "CAST(id % 120 AS INT) AS p")
+      .repartition(4)
+      .write.partitionBy("p").saveAsTable("dml_many_t")
+    val t = spark.table("dml_many_t")
+    val touched = t.where(col("k") % 2 === 0)
+      .select("p").distinct().collect().toSeq
+    assert(touched.size == 60) // even k ⇒ even p = id % 120
+    // single partition column → ONE membership predicate, not an OR tree
+    val scoped = Dml.touchedScope(spark, t, touched, Seq("p"))(t)
+    val plan = scoped.queryExecution.optimizedPlan.toString
+    assert(!plan.contains(" OR "), s"OR tree in many-partition scope:\n$plan")
+    assert(plan.contains("IN ") || plan.toUpperCase.contains("INSET"),
+      s"no IN/InSet membership predicate:\n$plan")
+    assert(scoped.count() == 600) // the 60 even partitions' rows
+    // multi-column wide sets fall back to a semi-join, not a giant tree
+    val touched2 = t.where(col("k") < 600)
+      .select("p", "k").distinct().collect().toSeq
+    assert(touched2.size > 64)
+    val scoped2 = Dml.touchedScope(spark, t, touched2, Seq("p", "k"))(t)
+    val plan2 = scoped2.queryExecution.optimizedPlan.toString
+    assert(plan2.toLowerCase.contains("join"), s"expected semi-join:\n$plan2")
+    assert(scoped2.count() == 600)
+    // and the statement itself stays correct across all partitions
+    assert(Dml.deleteWhere(spark, "dml_many_t", col("k") % 2 === 0) == 600)
+    assert(spark.table("dml_many_t").count() == 600)
+    assert(spark.table("dml_many_t").where(col("k") % 2 === 0).count() == 0)
+    drop("dml_many_t")
+  }
+
   test("DML on a partitioned table: pruned rewrite, untouched partitions byte-identical") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dml
