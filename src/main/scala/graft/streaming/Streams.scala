@@ -59,13 +59,28 @@ object Streams {
   def runToBatch(spark: SparkSession, agg: DataFrame,
                  mode: String = "complete"): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // The trailing no-data microbatch exists to advance the watermark so
+    // APPEND-mode queries can emit held-back tail results and evict
+    // state. Complete mode re-emits the FULL result every batch, so that
+    // final batch cannot change the answer — and profiling q98 showed it
+    // reloading + recommitting all 2×32 state stores for ~40% of wall
+    // time. Skip it for complete-mode runs only; append-mode queries
+    // (stream–stream joins) keep it, they need the finalization emit.
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    if (mode == "complete") spark.conf.set(key, "false")
+    try {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      if (mode == "complete")
+        prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
     spark.table(name)
   }
 
