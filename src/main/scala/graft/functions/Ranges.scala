@@ -390,7 +390,15 @@ object Ranges {
   }
 }
 
-/** tsquery parser: recursive descent over `& | ! ( ) term[:*]` tokens. */
+/** tsquery parser: recursive descent over `& | ! <-> <N> ( ) term[:*]`
+  * tokens, with PG precedence `!` > `<->` > `&` > `|` (tsquery.c
+  * makepol; phrase operator `<N>` from tsquery_phrase_distance). Phrase
+  * nodes compile POSITIONALLY: `a <N> b` matches where some occurrence
+  * of b stands exactly N positions after an occurrence of a (`<->` is
+  * `<1>`), composing left-nested (`a <-> b <-> c`) through end-position
+  * sets. Phrase operands may be terms, prefixes, ORs of those, or
+  * nested phrases — NOT/AND inside a phrase are rejected, as the
+  * boolean compile has no position set to thread through. */
 object TsQuery {
 
   sealed trait Node
@@ -398,6 +406,7 @@ object TsQuery {
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
   final case class Not(c: Node) extends Node
+  final case class Phrase(l: Node, r: Node, dist: Int) extends Node
 
   def parse(q: String): Node = {
     val p = new P(tokenize(q))
@@ -414,7 +423,27 @@ object TsQuery {
     case And(l, r) => comp(words, l) && comp(words, r)
     case Or(l, r) => comp(words, l) || comp(words, r)
     case Not(c) => !comp(words, c)
+    case p: Phrase => size(positions(words, p)) > 0
   }
+
+  /** End-position set of a position-bearing node (1-based). NOTE the
+    * lambda re-eval rule: the left side's position array is re-derived
+    * per right-side candidate — fine for document-length arrays; for
+    * hot paths materialize [[positions]] of subnodes as columns. */
+  private def positions(words: Column, n: Node): Column = n match {
+    case Term(t, false) =>
+      filter(sequence(lit(1), size(words)), i => element_at(words, i) === lit(t))
+    case Term(t, true) =>
+      filter(sequence(lit(1), size(words)), i => element_at(words, i).startsWith(t))
+    case Or(l, r) => array_union(positions(words, l), positions(words, r))
+    case Phrase(l, r, d) =>
+      val lp = positions(words, l)
+      filter(positions(words, r), p => array_contains(lp, p - d))
+    case other => throw new IllegalArgumentException(
+      s"tsquery phrase operand must be positional (term/prefix/|/phrase): $other")
+  }
+
+  private val phraseRe = "<(\\d+)>|<->".r
 
   private def tokenize(q: String): List[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
@@ -422,11 +451,15 @@ object TsQuery {
     while (i < q.length) {
       val c = q.charAt(i)
       if (c.isWhitespace) i += 1
-      else if ("&|!()".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      else if (c == '<' &&
+        phraseRe.findPrefixOf(q.substring(i)).isDefined) {
+        val m = phraseRe.findPrefixOf(q.substring(i)).get
+        out += m; i += m.length
+      } else if ("&|!()".indexOf(c) >= 0) { out += c.toString; i += 1 }
       else {
         val start = i
         while (i < q.length && !q.charAt(i).isWhitespace &&
-          "&|()".indexOf(q.charAt(i)) < 0) i += 1
+          "&|()<".indexOf(q.charAt(i)) < 0) i += 1
         out += q.substring(start, i)
       }
     }
@@ -446,8 +479,17 @@ object TsQuery {
       l
     }
     private def parseAnd(): Node = {
+      var l = parsePhrase()
+      while (peek.contains("&")) { next(); l = And(l, parsePhrase()) }
+      l
+    }
+    private def parsePhrase(): Node = {
       var l = parseUnary()
-      while (peek.contains("&")) { next(); l = And(l, parseUnary()) }
+      while (peek.exists(t => t == "<->" || phraseRe.matches(t))) {
+        val op = next()
+        val d = if (op == "<->") 1 else op.substring(1, op.length - 1).toInt
+        l = Phrase(l, parseUnary(), d)
+      }
       l
     }
     private def parseUnary(): Node = peek match {

@@ -227,6 +227,21 @@ object FunctionQueries {
           round(tsRank(words, Seq("data", "query")), 6).as("rank"))
     }),
 
+    // tsquery phrase search (tsquery.c phrase operator / tsquery_phrase
+    // _distance): `a <-> b` ordered adjacency, `a <N> b` exact distance,
+    // composing with the boolean grammar at PG precedence. Positional
+    // compile over the word array — no UDF.
+    "q148_ts_phrase" -> ((s, d) => {
+      import graft.functions.Ranges._
+      t(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"),
+          tsMatchQuery(col("words"), "data <-> query").as("adj_dq"),
+          tsMatchQuery(col("words"), "hash <2> join").as("near_hj"),
+          tsMatchQuery(col("words"),
+            "scan & (data <-> query | query <-> data)").as("mix"))
+    }),
+
     // Stemmed text search through the `english` configuration
     // (snowball/dict_snowball.c + stopwords/english.stop): lowercase →
     // drop stopwords → Porter-stem, then match/rank on stems — the
@@ -921,6 +936,25 @@ object FunctionQueries {
         |    x -> CASE WHEN x = 'data' OR x = 'query'
         |              THEN '<b>' || x || '</b>' ELSE x END), ' ') AS headline
         |FROM h""".stripMargin,
+    // out-of-range list indexes yield NULL in DuckDB, which list_filter
+    // drops — so no explicit end-bound is needed on the position range
+    "q148_ts_phrase" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |SELECT doc_id,
+        |  len(list_filter(range(1, len(words) + 1), i ->
+        |    words[CAST(i AS INT)] = 'data' AND
+        |    words[CAST(i AS INT) + 1] = 'query')) > 0 AS adj_dq,
+        |  len(list_filter(range(1, len(words) + 1), i ->
+        |    words[CAST(i AS INT)] = 'hash' AND
+        |    words[CAST(i AS INT) + 2] = 'join')) > 0 AS near_hj,
+        |  list_contains(words, 'scan') AND (
+        |    len(list_filter(range(1, len(words) + 1), i ->
+        |      words[CAST(i AS INT)] = 'data' AND
+        |      words[CAST(i AS INT) + 1] = 'query')) > 0 OR
+        |    len(list_filter(range(1, len(words) + 1), i ->
+        |      words[CAST(i AS INT)] = 'query' AND
+        |      words[CAST(i AS INT) + 1] = 'data')) > 0) AS mix
+        |FROM w""".stripMargin,
     // The documents fixture has a CLOSED 31-word vocabulary, so the
     // oracle carries the dictionary as an explicit word→stem CASE chain
     // (generated from the same Porter implementation the engine runs —

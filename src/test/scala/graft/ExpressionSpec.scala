@@ -173,6 +173,28 @@ class ExpressionSpec extends AnyFunSuite {
       Seq("queri", "merg"))
   }
 
+  test("tsquery phrase operators <-> and <N> (tsquery.c phrase distance)") {
+    import graft.functions.Ranges.tsMatchQuery
+    val df = Seq((1L, "big data query engine"), (2L, "query on big data"))
+      .toDF("id", "text")
+      .withColumn("words", org.apache.spark.sql.functions.split(col("text"), " "))
+    def ids(q: String): Set[Long] =
+      df.where(tsMatchQuery(col("words"), q)).select("id")
+        .collect().map(_.getLong(0)).toSet
+    assert(ids("data <-> query") == Set(1L)) // adjacency is ordered
+    assert(ids("query <-> data") == Set.empty)
+    assert(ids("big <2> query") == Set(1L)) // exact distance, not "within"
+    assert(ids("big <-> query") == Set.empty)
+    assert(ids("big <-> data <-> query") == Set(1L)) // left-nested chains
+    assert(ids("query <3> data") == Set(2L)) // query .. .. data exactly
+    assert(ids("query <2> data") == Set.empty)
+    assert(ids("(engine | on) <-> big") == Set(2L)) // OR operand positions
+    assert(ids("dat:* <-> query") == Set(1L)) // prefix operand
+    assert(ids("engine & big <2> query") == Set(1L)) // <-> binds tighter than &
+    // NOT inside a phrase has no position set — rejected, not mis-answered
+    intercept[IllegalArgumentException](ids("!big <-> data"))
+  }
+
   test("to_number_pg inverts to_char_pg (formatting.c:43 numeric_to_number)") {
     // roundtrip property: for values that fit the template,
     // to_number(to_char(v, fmt), fmt) == v rounded to the template scale
