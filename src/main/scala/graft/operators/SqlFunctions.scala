@@ -119,6 +119,10 @@ object SqlFunctions {
         val (newEnv, tail) = compileForLoop(rest, env)
         env = newEnv
         rest = tail.trim
+      } else if (rest.matches("(?is)^WHILE\\b.*")) {
+        val (newEnv, tail) = compileWhileLoop(rest, env)
+        env = newEnv
+        rest = tail.trim
       } else {
         val (stmt, tail) = takeStatement(rest)
         val parts = stmt.split(":=", 2)
@@ -242,33 +246,9 @@ object SqlFunctions {
     val lo = substNamed(h.group(3).trim, env)
     val hi = substNamed(h.group(4).trim, env)
     val step = Option(h.group(5)).map(s => substNamed(s.trim, env)).getOrElse("1")
-    // first END LOOP outside literals closes this loop (nesting rejected)
-    val spans = literalSpans(text)
-    def inLit(p: Int) = spans.exists { case (s, e) => p >= s && p < e }
-    val endTok = "(?is)\\bEND\\s+LOOP\\b".r.findAllMatchIn(text)
-      .find(t => t.start >= h.end && !inLit(t.start))
-      .getOrElse(throw new IllegalArgumentException(
-        s"FOR without matching END LOOP in plpgsql body: $text"))
-    val (endS, endE) = (endTok.start, endTok.end)
-    val body = text.substring(h.end, endS)
-    require(!"(?is)\\bLOOP\\b".r.findAllMatchIn(body)
-        .exists(t => !inLit(h.end + t.start)),
-      s"nested FOR loops are not supported in the plpgsql subset: $body")
-
-    // body = ordered assignments over loop-carried state
-    val stmts = splitStatements(body)
-    require(stmts.nonEmpty, s"empty plpgsql FOR body: $text")
-    val stateVars = scala.collection.mutable.LinkedHashSet.empty[String]
-    for (stmt <- stmts) {
-      val parts = stmt.split(":=", 2)
-      require(parts.length == 2 && parts(0).trim.matches("(?i)\\w+"),
-        s"unsupported statement in plpgsql FOR body (expected `var := expr;`): $stmt")
-      val v = parts(0).trim.toLowerCase
-      require(env.contains(v),
-        s"loop-carried variable $v must be declared/assigned before the loop")
-      require(v != loopVar, s"cannot assign to the loop variable $loopVar")
-      stateVars += v
-    }
+    val (stmts, stateVars, endE) = loopBody(text, h.end, env, "FOR")
+    require(!stateVars.contains(loopVar),
+      s"cannot assign to the loop variable $loopVar")
     val acc = "g_loop_acc"
     val idx = "g_loop_i"
     require(!env.contains(acc) && !env.contains(idx) &&
@@ -292,6 +272,86 @@ object SqlFunctions {
     val newEnv = env ++ stateVars.map(v => v -> s"(($agg).$v)").toMap
     val tail = text.substring(endE).trim.replaceFirst("^;", "")
     (newEnv, tail)
+  }
+
+  /** Parse an assignments-only loop body starting at `from` (just past
+    * the LOOP keyword): (statements, loop-carried vars in first-
+    * assignment order, offset just past END LOOP). */
+  private def loopBody(text: String, from: Int, env: Map[String, String],
+                       kind: String): (Seq[String], Seq[String], Int) = {
+    val spans = literalSpans(text)
+    def inLit(p: Int) = spans.exists { case (s, e) => p >= s && p < e }
+    val endTok = "(?is)\\bEND\\s+LOOP\\b".r.findAllMatchIn(text)
+      .find(t => t.start >= from && !inLit(t.start))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$kind without matching END LOOP in plpgsql body: $text"))
+    val body = text.substring(from, endTok.start)
+    require(!"(?is)\\bLOOP\\b".r.findAllMatchIn(body)
+        .exists(t => !inLit(from + t.start)),
+      s"nested loops are not supported in the plpgsql subset: $body")
+    val stmts = splitStatements(body)
+    require(stmts.nonEmpty, s"empty plpgsql $kind body: $text")
+    val stateVars = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (stmt <- stmts) {
+      val parts = stmt.split(":=", 2)
+      require(parts.length == 2 && parts(0).trim.matches("(?i)\\w+"),
+        s"unsupported statement in plpgsql $kind body (expected `var := expr;`): $stmt")
+      val v = parts(0).trim.toLowerCase
+      require(env.contains(v),
+        s"loop-carried variable $v must be declared/assigned before the loop")
+      stateVars += v
+    }
+    (stmts, stateVars.toSeq, endTok.end)
+  }
+
+  /** Iteration budget for WHILE loops (the declarative compile runs a
+    * fixed-length fold with a guarded merge, so the budget bounds per-row
+    * work; exceeding it raises, never silently truncates). */
+  private val WhileCap = 64
+
+  /** `WHILE cond LOOP <assignments> END LOOP;` (pl_exec.c exec_stmt_while)
+    * → a fixed-length `aggregate(sequence(1, 64), state, guarded merge)`:
+    * each step applies the body only while `cond` still holds on the
+    * accumulated state, so the fold computes exactly PG's loop for any
+    * loop that terminates within the budget — and every state-variable
+    * read afterwards is wrapped in a `CASE WHEN cond(final) THEN
+    * raise_error(...) END` guard, so a loop that would still be running
+    * at the budget RAISES instead of silently returning a truncated
+    * answer. Per-row cost is always the full budget (guarded no-ops
+    * after termination) — the price of a declarative, interpreter-free
+    * compile. */
+  private def compileWhileLoop(text: String, env: Map[String, String]):
+      (Map[String, String], String) = {
+    val h = "(?is)^WHILE\\s+(.*?)\\s*\\bLOOP\\b".r.findFirstMatchIn(text)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unsupported plpgsql WHILE (expected WHILE cond LOOP): $text"))
+    val condRaw = h.group(1).trim
+    val (stmts, stateVars, endE) = loopBody(text, h.end, env, "WHILE")
+    val acc = "g_loop_acc"
+    val idx = "g_loop_i"
+    require(!env.contains(acc) && !env.contains(idx),
+      s"$acc/$idx are reserved names")
+    val accEnv = env ++ stateVars.map(v => v -> s"($acc.$v)").toMap
+    val condAcc = substNamed(condRaw, accEnv)
+    var loopEnv = accEnv
+    for (stmt <- stmts) {
+      val parts = stmt.split(":=", 2)
+      loopEnv += parts(0).trim.toLowerCase ->
+        ("(" + substNamed(parts(1).trim, loopEnv) + ")")
+    }
+    val zero = stateVars.map(v => s"'$v', ${env(v)}").mkString(", ")
+    val merge = stateVars.map(v =>
+      s"'$v', CASE WHEN $condAcc THEN ${loopEnv(v)} ELSE ($acc.$v) END")
+      .mkString(", ")
+    val agg = s"aggregate(sequence(1, $WhileCap), named_struct($zero), " +
+      s"($acc, $idx) -> named_struct($merge))"
+    val finalEnv = env ++ stateVars.map(v => v -> s"(($agg).$v)").toMap
+    val condFinal = substNamed(condRaw, finalEnv)
+    val guarded = env ++ stateVars.map(v => v ->
+      (s"(CASE WHEN $condFinal THEN raise_error(" +
+        s"'plpgsql WHILE did not terminate within $WhileCap iterations') " +
+        s"ELSE (($agg).$v) END)")).toMap
+    (guarded, text.substring(endE).trim.replaceFirst("^;", ""))
   }
 
   /** (first top-level statement without its ';', remainder). */

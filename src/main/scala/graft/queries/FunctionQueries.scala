@@ -468,6 +468,28 @@ object FunctionQueries {
         "SELECT o_orderkey, sched_total(o_totalprice) AS sched FROM orders")
     }),
 
+    // plpgsql WHILE loop (pl_exec.c exec_stmt_while): data-dependent
+    // trip count (b0, b0-3, ... while > 0) compiled to a guarded
+    // fixed-budget fold — exact for every terminating row, raising
+    // (never truncating) past the budget. Oracle = the arithmetic
+    // series closed form, all-integer.
+    "q149_plpgsql_while" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.operators.SqlFunctions.create(
+        """CREATE OR REPLACE FUNCTION decay_sum(b0 bigint) RETURNS bigint AS $$
+          |DECLARE s bigint := CAST(0 AS bigint); b bigint := b0;
+          |BEGIN
+          |  WHILE b > 0 LOOP
+          |    s := s + b;
+          |    b := b - 3;
+          |  END LOOP;
+          |  RETURN s;
+          |END;
+          |$$ LANGUAGE plpgsql""".stripMargin)
+      graft.operators.SqlFunctions.sql(s,
+        "SELECT o_orderkey, decay_sum(o_custkey % 50) AS dsum FROM orders")
+    }),
+
     // Scalar UDF registration surface (CREATE FUNCTION, src/pl/*) +
     // to_char-style numeric formatting (formatting.c).
     "q79_udf_scalar" -> ((s, d) => {
@@ -1049,6 +1071,15 @@ object FunctionQueries {
       }
       s"SELECT o_orderkey, $tot AS sched FROM orders"
     },
+
+    // n = ceil(b0/3) terms of b0, b0-3, ...: s = n·b0 − 3·n(n−1)/2,
+    // all-integer (the // products are even, so the division is exact)
+    "q149_plpgsql_while" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey % 50 AS b0 FROM orders),
+        |n AS (SELECT o_orderkey, b0,
+        |        CASE WHEN b0 > 0 THEN (b0 + 2) // 3 ELSE 0 END AS n FROM b)
+        |SELECT o_orderkey, n * b0 - 3 * ((n * (n - 1)) // 2) AS dsum
+        |FROM n""".stripMargin,
 
     // the CASE chain the plpgsql compiler emits, with its exact
     // parenthesization (* 2 is exact in doubles either way)

@@ -510,6 +510,53 @@ class DdlSpec extends AnyFunSuite {
       assert(SqlFunctions.sql(spark, "SELECT cls2(5) AS v").head().getString(0) == "small")
     } finally Seq("sumsq", "countdown", "sched", "stepsum", "cls2")
       .foreach(SqlFunctions.drop)
+    // WHILE: guarded fixed-length fold — exact while it terminates
+    // within the budget, raises (never truncates) when it would not
+    SqlFunctions.create(
+      """CREATE FUNCTION dsum(b0 bigint) RETURNS bigint AS $$
+        |DECLARE s bigint := CAST(0 AS bigint); b bigint := b0;
+        |BEGIN
+        |  WHILE b > 0 LOOP
+        |    s := s + b;
+        |    b := b - 3;
+        |  END LOOP;
+        |  RETURN s;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    SqlFunctions.create(
+      """CREATE FUNCTION newton(v double) RETURNS double AS $$
+        |DECLARE x double := v;
+        |BEGIN
+        |  WHILE abs(x * x - v) > 0.000000001 LOOP
+        |    x := (x + v / x) / 2.0;
+        |  END LOOP;
+        |  RETURN x;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    SqlFunctions.create(
+      """CREATE FUNCTION spins(n int) RETURNS int AS $$
+        |DECLARE c int := 0;
+        |BEGIN
+        |  WHILE c < n LOOP
+        |    c := c + 0;
+        |  END LOOP;
+        |  RETURN c;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    try {
+      // b = 10, 7, 4, 1 → 22
+      assert(SqlFunctions.sql(spark, "SELECT dsum(10) AS v").head().getLong(0) == 22L)
+      // cond false at entry = zero iterations
+      assert(SqlFunctions.sql(spark, "SELECT dsum(0) AS v").head().getLong(0) == 0L)
+      val r2 = SqlFunctions.sql(spark, "SELECT newton(2.0) AS v").head().getDouble(0)
+      assert(math.abs(r2 - math.sqrt(2.0)) < 1e-9, s"newton(2) = $r2")
+      // a loop still running at the budget raises — never a wrong answer
+      val e = intercept[Exception](
+        SqlFunctions.sql(spark, "SELECT spins(5) AS v").head())
+      assert(e.getMessage != null && e.getMessage.contains("did not terminate") ||
+        e.getCause != null && e.getCause.getMessage.contains("did not terminate"))
+    } finally Seq("dsum", "newton", "spins").foreach(SqlFunctions.drop)
+
     // nested loops and undeclared loop-carried state are rejected at CREATE
     intercept[IllegalArgumentException](SqlFunctions.create(
       """CREATE FUNCTION bad1(n int) RETURNS int AS $$
