@@ -134,6 +134,49 @@ object GraftStrings {
   }
 }
 
+/** `str SIMILAR TO pattern` (reference `src/backend/utils/adt/
+  * regexp.c` similar_escape): SQL:1999's pattern language translated
+  * to a POSIX regex — `%`→`.*`, `_`→`.`, the regex metacharacters
+  * SIMILAR TO admits (`| * + ? {m,n} () [...]`) pass through,
+  * everything else (`. ^ $` …) is a LITERAL, the escape character
+  * protects the next character, and the whole pattern is anchored.
+  * Compiled driver-side once; matching is Spark's codegen RLIKE. */
+object SimilarTo {
+
+  def similarToRegex(pat: String, esc: Char = '\\'): String = {
+    val sb = new StringBuilder("^(?:")
+    var inClass = false
+    var i = 0
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      if (inClass) {
+        sb.append(c)
+        if (c == ']') inClass = false
+        i += 1
+      } else if (c == esc && i + 1 < pat.length) {
+        sb.append(java.util.regex.Pattern.quote(pat.charAt(i + 1).toString))
+        i += 2
+      } else {
+        c match {
+          case '%' => sb.append(".*")
+          case '_' => sb.append('.')
+          case '[' => inClass = true; sb.append('[')
+          case '|' | '*' | '+' | '?' | '(' | ')' | '{' | '}' | ',' =>
+            sb.append(c)
+          case d if d.isLetterOrDigit || d == ' ' || d == '-' || d == '#' =>
+            sb.append(d)
+          case other => sb.append('\\').append(other)
+        }
+        i += 1
+      }
+    }
+    sb.append(")$").toString
+  }
+
+  def similarTo(c: org.apache.spark.sql.Column, pattern: String): org.apache.spark.sql.Column =
+    c.rlike(similarToRegex(pattern))
+}
+
 /** `linear_interpolate(x, x0, y0, x1, y1)` — gap-fill interpolation, the
   * reference's `linear_interpolate` (`src/backend/utils/adt/interpolate.c:234`).
   * RuntimeReplaceable: rewrites to built-in arithmetic so it rides

@@ -154,6 +154,20 @@ object Ranges {
           weightFor(i).cast("int").as("weight"))))
       .otherwise(array().cast(tsvType))
 
+  /** PG `strip(tsvector)` (tsvector_op.c tsvector_strip): drop
+    * positions/weights — the sorted distinct lexeme set (also the
+    * image `tsvector_to_array` returns). */
+  def tsvStrip(tsv: Column): Column =
+    array_sort(array_distinct(transform(tsv, e => e.getField("word"))))
+
+  /** PG `length(tsvector)`: number of distinct lexemes. */
+  def tsvLength(tsv: Column): Column = size(tsvStrip(tsv))
+
+  /** PG `ts_delete(tsvector, lexeme)` (tsvector_op.c tsvector_delete_str):
+    * remove every entry of one lexeme. */
+  def tsDelete(tsv: Column, word: String): Column =
+    filter(tsv, e => e.getField("word") =!= lit(word))
+
   /** PG `setweight(tsvector, 'A'|'B'|'C'|'D')` (tsvector_op.c:231):
     * relabel every position. */
   def setweight(tsv: Column, label: String): Column = {

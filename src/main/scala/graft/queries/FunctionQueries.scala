@@ -135,6 +135,41 @@ object FunctionQueries {
         nullif(col("p_size"), lit(1)).as("size_or_null"),
         coalesce(nullif(col("p_size"), lit(1)), lit(-1)).as("size_coalesced"))),
 
+    // SIMILAR TO (regexp.c similar_escape): the SQL:1999 pattern
+    // language translated to an anchored POSIX regex driver-side —
+    // %→.*, _→., admitted metachars pass through, everything else is
+    // literal — then matched by codegen RLIKE. DuckDB runs the same
+    // patterns natively as the oracle.
+    "q150_similar_to" -> ((s, d) => {
+      import graft.functions.SimilarTo.similarTo
+      t(s, d, "part").select(
+        col("p_partkey"),
+        similarTo(col("p_name"), "%(copper|steel)%").as("metal"),
+        similarTo(col("p_type"), "(PROMO|STANDARD)%").as("promo_std"),
+        similarTo(col("p_brand"), "Brand#[12]_").as("brand_12x"),
+        similarTo(col("p_name"), "%burnished_____%").as("burn5"))
+    }),
+
+    // ts_stat (tsvector_op.c ts_stat_sql): per-lexeme document and
+    // occurrence counts over the corpus — explode + one 2-stage agg.
+    "q151_ts_stat" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(countDistinct(col("doc_id")).as("ndoc"),
+          count(lit(1)).as("nentry"))),
+
+    // tsvector utility ops (tsvector_op.c): strip / length / ts_delete.
+    "q152_tsvector_ops" -> ((s, d) => {
+      import graft.functions.Ranges._
+      t(s, d, "documents")
+        .withColumn("tsv", toTsVector(split(col("text"), " ")))
+        .select(col("doc_id"),
+          tsvLength(col("tsv")).as("n_lex"),
+          tsvStrip(col("tsv")).as("lexemes"),
+          size(tsDelete(col("tsv"), "data")).as("n_after_del"))
+    }),
+
     // Crypto/encode (encode.c, pgcrypto, md5 in varlena.c).
     "q75_hash_funcs" -> ((s, d) =>
       t(s, d, "customer").select(
@@ -804,6 +839,27 @@ object FunctionQueries {
         |  NULLIF(p_size, 1) AS size_or_null,
         |  COALESCE(NULLIF(p_size, 1), -1) AS size_coalesced
         |FROM part""".stripMargin,
+    // DuckDB's SIMILAR TO takes a raw regex (not the SQL:1999 pattern
+    // language), so the oracle spells the hand-translated equivalent of
+    // each pattern — an independent derivation of the same semantics
+    "q150_similar_to" ->
+      """SELECT p_partkey,
+        |  regexp_full_match(p_name, '.*(copper|steel).*') AS metal,
+        |  regexp_full_match(p_type, '(PROMO|STANDARD).*') AS promo_std,
+        |  regexp_full_match(p_brand, 'Brand#[12].') AS brand_12x,
+        |  regexp_full_match(p_name, '.*burnished.{5}.*') AS burn5
+        |FROM part""".stripMargin,
+    "q151_ts_stat" ->
+      """SELECT word, COUNT(DISTINCT doc_id) AS ndoc, COUNT(*) AS nentry
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |      FROM documents) w
+        |GROUP BY word""".stripMargin,
+    "q152_tsvector_ops" ->
+      """SELECT doc_id,
+        |  len(list_distinct(words)) AS n_lex,
+        |  list_sort(list_distinct(words)) AS lexemes,
+        |  len(words) - len(list_filter(words, x -> x = 'data')) AS n_after_del
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w""".stripMargin,
     "q75_hash_funcs" ->
       """SELECT c_custkey,
         |  md5(c_name) AS md5_name,

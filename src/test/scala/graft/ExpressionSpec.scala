@@ -173,6 +173,26 @@ class ExpressionSpec extends AnyFunSuite {
       Seq("queri", "merg"))
   }
 
+  test("SIMILAR TO pattern translation (regexp.c similar_escape)") {
+    import graft.functions.SimilarTo.similarToRegex
+    val re = similarToRegex("%(a|b)_c%")
+    assert(re == "^(?:.*(a|b).c.*)$", re)
+    // literals that are regex metachars get escaped; escape char protects
+    assert(similarToRegex("a.b") == "^(?:a\\.b)$")
+    assert(similarToRegex("""10\%""") == "^(?:10\\Q%\\E)$")
+    assert(similarToRegex("x[0-9]{2,3}y") == "^(?:x[0-9]{2,3}y)$")
+    // behavior through RLIKE
+    import graft.functions.SimilarTo.similarTo
+    val r = spark.sql("SELECT 1")
+      .select(
+        similarTo(org.apache.spark.sql.functions.lit("abc"), "a_c").as("a"),
+        similarTo(org.apache.spark.sql.functions.lit("abc"), "a_d").as("b"),
+        similarTo(org.apache.spark.sql.functions.lit("50%"), """50\%""").as("c"),
+        similarTo(org.apache.spark.sql.functions.lit("abc"), "ab").as("d"))
+      .head()
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && !r.getBoolean(3))
+  }
+
   test("tsquery phrase operators <-> and <N> (tsquery.c phrase distance)") {
     import graft.functions.Ranges.tsMatchQuery
     val df = Seq((1L, "big data query engine"), (2L, "query on big data"))
