@@ -177,6 +177,98 @@ object SimilarTo {
     c.rlike(similarToRegex(pattern))
 }
 
+/** contrib/unaccent's dictionary (unaccent/unaccent.rules) as one
+  * codegen `translate()` for the 1:1 Latin accent mappings plus
+  * `replace()` chains for the multi-char ligatures — no UDF. */
+object Unaccent {
+  // built from (accented-group → base) pairs so from/to stay aligned
+  // by construction
+  private val groups: Seq[(String, String)] = Seq(
+    "àáâãäåāăą" -> "a", "èéêëēĕėęě" -> "e", "ìíîïĩīĭįı" -> "i",
+    "òóôõöōŏő" -> "o", "ùúûüũūŭůűų" -> "u", "ýÿ" -> "y", "ñ" -> "n",
+    "çćč" -> "c", "š" -> "s", "žźż" -> "z", "đð" -> "d",
+    "ÀÁÂÃÄÅĀĂĄ" -> "A", "ÈÉÊËĒĔĖĘĚ" -> "E", "ÌÍÎÏĨĪĬĮ" -> "I",
+    "ÒÓÔÕÖŌŎŐ" -> "O", "ÙÚÛÜŨŪŬŮŰŲ" -> "U", "ÝŸ" -> "Y", "Ñ" -> "N",
+    "ÇĆČ" -> "C", "Š" -> "S", "ŽŹŻ" -> "Z", "Đ" -> "D")
+  private val from = groups.map(_._1).mkString
+  private val to = groups.map { case (g, b) => b.toString * g.length }.mkString
+
+  def unaccent(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val lig = Seq("æ" -> "ae", "Æ" -> "AE", "œ" -> "oe", "Œ" -> "OE",
+      "ß" -> "ss", "ﬁ" -> "fi", "ﬂ" -> "fl")
+    lig.foldLeft(translate(c, from, to)) { case (acc, (a, b)) =>
+      regexp_replace(acc, a, b)
+    }
+  }
+}
+
+/** PG `format(fmt, args...)` (utils/adt/varlena.c text_format) with
+  * `%s` / `%I` / `%L` / `%%` and positional `%n$s` forms, parsed
+  * driver-side into ONE concat expression — per-row work is just the
+  * quoting conditionals, fully codegen. quote_ident quotes only when
+  * the identifier needs it, as PG does; quote_literal maps NULL to the
+  * unquoted keyword NULL (PG's format %L). */
+object PgFormat {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  def quoteIdent(c: Column): Column =
+    when(c.rlike("^[a-z_][a-z0-9_]*$"), c)
+      .otherwise(concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\"")))
+
+  def quoteLiteral(c: Column): Column =
+    when(c.isNull, lit("NULL"))
+      .otherwise(concat(lit("'"), regexp_replace(c, "'", "''"), lit("'")))
+
+  def format(fmt: String, args: Column*): Column = {
+    val parts = Seq.newBuilder[Column]
+    val sb = new StringBuilder
+    var next = 0 // next implicit argument index
+    var i = 0
+    def flush(): Unit =
+      if (sb.nonEmpty) { parts += lit(sb.toString); sb.clear() }
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c != '%') { sb.append(c); i += 1 }
+      else {
+        require(i + 1 < fmt.length, s"format ends with a lone %: $fmt")
+        var j = i + 1
+        var idx = -1
+        val digits = fmt.drop(j).takeWhile(_.isDigit)
+        if (digits.nonEmpty && j + digits.length < fmt.length &&
+          fmt.charAt(j + digits.length) == '$') {
+          idx = digits.toInt - 1
+          j += digits.length + 1
+        }
+        fmt.charAt(j) match {
+          case '%' => sb.append('%')
+          case spec @ ('s' | 'I' | 'L') =>
+            // PG: a %n$ reference also repositions the implicit counter
+            // to n+1 (text_format's arg tracking)
+            val k =
+              if (idx >= 0) { next = idx + 1; idx }
+              else { val n = next; next += 1; n }
+            require(k < args.length,
+              s"format placeholder ${'%'}$spec needs argument ${k + 1} (${args.length} given)")
+            flush()
+            parts += (spec match {
+              case 's' => coalesce(args(k).cast("string"), lit(""))
+              case 'I' => quoteIdent(args(k).cast("string"))
+              case 'L' => quoteLiteral(args(k).cast("string"))
+            })
+          case other => throw new IllegalArgumentException(
+            s"unsupported format specifier %$other in: $fmt")
+        }
+        i = j + 1
+      }
+    }
+    flush()
+    val ps = parts.result()
+    if (ps.isEmpty) lit("") else concat(ps: _*)
+  }
+}
+
 /** `linear_interpolate(x, x0, y0, x1, y1)` — gap-fill interpolation, the
   * reference's `linear_interpolate` (`src/backend/utils/adt/interpolate.c:234`).
   * RuntimeReplaceable: rewrites to built-in arithmetic so it rides

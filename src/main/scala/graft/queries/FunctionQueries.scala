@@ -170,6 +170,39 @@ object FunctionQueries {
           size(tsDelete(col("tsv"), "data")).as("n_after_del"))
     }),
 
+    // unaccent dictionary (contrib/unaccent) + fuzzystrmatch
+    // levenshtein (contrib/fuzzystrmatch) — accents injected via
+    // literals since the fixtures are ASCII; DuckDB strips the same
+    // accents natively and ships levenshtein as the oracle.
+    "q153_unaccent_fuzzy" -> ((s, d) => {
+      import graft.functions.Unaccent.unaccent
+      t(s, d, "part").select(
+        col("p_partkey"),
+        unaccent(concat(lit("café crème "), col("p_name"))).as("plain"),
+        // diacritics only: PG's unaccent also folds ligatures (œ→oe,
+        // ß→ss — asserted in ExpressionSpec) but ICU strip_accents does
+        // not, so the oracle-checked row sticks to the agreed subset
+        unaccent(lit("Ångström façade naïve ñandú")).as("fixed"),
+        levenshtein(col("p_name"), col("p_type")).as("lev_nt"),
+        levenshtein(col("p_brand"), lit("Brand#11")).as("lev_b"))
+    }),
+
+    // PG format()/quote_ident/quote_literal (varlena.c text_format):
+    // the template is parsed driver-side into one concat expression;
+    // %I quotes only when needed, %L maps NULL to the keyword NULL.
+    "q154_pg_format" -> ((s, d) => {
+      import graft.functions.PgFormat
+      t(s, d, "nation").select(
+        col("n_nationkey"),
+        PgFormat.format("INSERT INTO %I (name, key) VALUES (%L, %s)",
+          lower(col("n_name")), col("n_name"), col("n_nationkey")).as("stmt"),
+        PgFormat.format("%1$s=%1$L ident=%I pct=100%%",
+          col("n_name"), concat(col("n_name"), lit(" x"))).as("pos"),
+        PgFormat.quoteIdent(col("n_name")).as("qi"),
+        PgFormat.quoteLiteral(
+          when(col("n_nationkey") % 2 === 0, col("n_name"))).as("ql"))
+    }),
+
     // Crypto/encode (encode.c, pgcrypto, md5 in varlena.c).
     "q75_hash_funcs" -> ((s, d) =>
       t(s, d, "customer").select(
@@ -860,6 +893,34 @@ object FunctionQueries {
         |  list_sort(list_distinct(words)) AS lexemes,
         |  len(words) - len(list_filter(words, x -> x = 'data')) AS n_after_del
         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w""".stripMargin,
+    "q153_unaccent_fuzzy" ->
+      """SELECT p_partkey,
+        |  strip_accents('café crème ' || p_name) AS plain,
+        |  strip_accents('Ångström façade naïve ñandú') AS fixed,
+        |  levenshtein(p_name, p_type) AS lev_nt,
+        |  levenshtein(p_brand, 'Brand#11') AS lev_b
+        |FROM part""".stripMargin,
+    // the same quoting rules spelled by hand: %I quotes unless the
+    // identifier is already lower-case-safe, %L maps NULL to NULL
+    "q154_pg_format" ->
+      """SELECT n_nationkey,
+        |  'INSERT INTO ' ||
+        |  (CASE WHEN regexp_full_match(lower(n_name), '[a-z_][a-z0-9_]*')
+        |        THEN lower(n_name)
+        |        ELSE '"' || replace(lower(n_name), '"', '""') || '"' END) ||
+        |  ' (name, key) VALUES (' ||
+        |  '''' || replace(n_name, '''', '''''') || '''' || ', ' ||
+        |  CAST(n_nationkey AS VARCHAR) || ')' AS stmt,
+        |  n_name || '=' || '''' || replace(n_name, '''', '''''') || '''' ||
+        |  ' ident=' || '"' || replace(n_name || ' x', '"', '""') || '"' ||
+        |  ' pct=100%' AS pos,
+        |  (CASE WHEN regexp_full_match(n_name, '[a-z_][a-z0-9_]*')
+        |        THEN n_name
+        |        ELSE '"' || replace(n_name, '"', '""') || '"' END) AS qi,
+        |  (CASE WHEN n_nationkey % 2 = 0
+        |        THEN '''' || replace(n_name, '''', '''''') || ''''
+        |        ELSE 'NULL' END) AS ql
+        |FROM nation""".stripMargin,
     "q75_hash_funcs" ->
       """SELECT c_custkey,
         |  md5(c_name) AS md5_name,

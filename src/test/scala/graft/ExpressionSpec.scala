@@ -173,6 +173,31 @@ class ExpressionSpec extends AnyFunSuite {
       Seq("queri", "merg"))
   }
 
+  test("unaccent folds ligatures; pg format quoting and positional args") {
+    import org.apache.spark.sql.functions.{lit, col}
+    import graft.functions.{Unaccent, PgFormat}
+    // PG's unaccent.rules fold ligatures too (ICU strip_accents does not
+    // — the catalog oracle sticks to the agreed diacritic subset)
+    val r = spark.sql("SELECT 1").select(
+      Unaccent.unaccent(lit("œuvre ß Æther ﬁn")).as("a"),
+      Unaccent.unaccent(lit("Ångström façade naïve")).as("b")).head()
+    assert(r.getString(0) == "oeuvre ss AEther fin")
+    assert(r.getString(1) == "Angstrom facade naive")
+    // format: %% literal, %I quotes only when needed, %L maps NULL,
+    // %n$ repositions the implicit counter (PG text_format)
+    val f = spark.sql("SELECT 1").select(
+      PgFormat.format("%s is 100%% %I %L", lit("x"), lit("Mixed Case"),
+        lit(null).cast("string")).as("a"),
+      PgFormat.format("%2$s then %s",
+        lit("first"), lit("second"), lit("third")).as("b"),
+      PgFormat.format("%I", lit("safe_name")).as("c")).head()
+    assert(f.getString(0) == "x is 100% \"Mixed Case\" NULL")
+    assert(f.getString(1) == "second then third") // %2$ repositions to 3
+    assert(f.getString(2) == "safe_name")
+    intercept[IllegalArgumentException](PgFormat.format("%d", lit(1)))
+    intercept[IllegalArgumentException](PgFormat.format("%s %s", lit(1)))
+  }
+
   test("SIMILAR TO pattern translation (regexp.c similar_escape)") {
     import graft.functions.SimilarTo.similarToRegex
     val re = similarToRegex("%(a|b)_c%")
