@@ -269,6 +269,29 @@ object PgFormat {
   }
 }
 
+/** PG `date_bin(stride, ts, origin)` (utils/adt/timestamp.c
+  * timestamp_bin) and `width_bucket` (utils/adt/numeric.c
+  * width_bucket_float8) — pure column arithmetic, fully codegen. */
+object PgBin {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Floor `ts` to the stride grid anchored at `origin`; pmod keeps the
+    * floor correct for timestamps before the origin. */
+  def dateBin(strideSeconds: Long, ts: Column, origin: Column): Column = {
+    val us = unix_micros(ts)
+    val stride = lit(strideSeconds * 1000000L)
+    timestamp_micros(us - pmod(us - unix_micros(origin), stride))
+  }
+
+  /** `width_bucket(x, lo, hi, n)`: 0 below the histogram, n+1 at/above
+    * the upper bound, else 1 + floor((x−lo)/(hi−lo)·n). */
+  def widthBucket(x: Column, lo: Double, hi: Double, n: Int): Column =
+    when(x < lo, lit(0))
+      .when(x >= hi, lit(n + 1))
+      .otherwise((floor((x - lit(lo)) / lit(hi - lo) * lit(n)) + 1).cast("int"))
+}
+
 /** `linear_interpolate(x, x0, y0, x1, y1)` — gap-fill interpolation, the
   * reference's `linear_interpolate` (`src/backend/utils/adt/interpolate.c:234`).
   * RuntimeReplaceable: rewrites to built-in arithmetic so it rides

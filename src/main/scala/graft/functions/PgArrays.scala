@@ -25,6 +25,29 @@ object PgArrays {
         Seq(lit("[1:"), s.cast("string"), lit("]"))): _*))
   }
 
+  /** PG `generate_subscripts(anyarray, dim)` (arrayfuncs.c
+    * generate_subscripts): the 1-based subscript range of one
+    * dimension, as an array to explode (lower bound is always 1 in
+    * this engine's nested model). Empty array → empty range. */
+  def generateSubscripts(m: Column, dim: Int): Column = {
+    var cur: Column = m
+    (1 until dim).foreach(_ => cur = element_at(cur, 1))
+    when(size(cur) > 0, sequence(lit(1), size(cur)))
+      .otherwise(array().cast("array<int>"))
+  }
+
+  /** PG `array_positions(anyarray, elem)` (arrayfuncs.c
+    * array_positions): 1-based positions of every occurrence. */
+  def arrayPositions(m: Column, elem: Column): Column =
+    filter(when(size(m) > 0, sequence(lit(1), size(m)))
+      .otherwise(array().cast("array<int>")),
+      i => element_at(m, i) <=> elem)
+
+  /** PG `array_fill(value, ARRAY[n])` / `ARRAY[m, n]` (arrayfuncs.c
+    * array_fill): a rectangular array of copies. */
+  def arrayFill(value: Column, dims: Seq[Int]): Column =
+    dims.foldRight(value)((n, inner) => array_repeat(inner, n))
+
   /** PG 2-d slice `m[rlo:rhi][clo:chi]` (arrayfuncs.c array_get_slice):
     * 1-based inclusive bounds on every dimension, clamped to the array's
     * extent — slicing past the end returns what exists, an inverted

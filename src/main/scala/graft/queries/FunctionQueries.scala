@@ -170,6 +170,34 @@ object FunctionQueries {
           size(tsDelete(col("tsv"), "data")).as("n_after_del"))
     }),
 
+    // generate_subscripts / array_positions / array_fill
+    // (arrayfuncs.c) over the nested N-d model of q73c.
+    "q156_array_extras" -> ((s, d) => {
+      import graft.functions.PgArrays._
+      t(s, d, "orders")
+        .withColumn("arr", array(col("o_orderstatus"),
+          col("o_orderpriority"), col("o_orderstatus")))
+        .withColumn("grid", arrayFill(col("o_custkey"), Seq(2, 3)))
+        .select(col("o_orderkey"),
+          arrayPositions(col("arr"), col("o_orderstatus")).as("pos_status"),
+          generateSubscripts(col("grid"), 1).as("subs1"),
+          generateSubscripts(col("grid"), 2).as("subs2"),
+          col("grid"))
+    }),
+
+    // date_bin arbitrary-origin bucketing + width_bucket histograms
+    // (timestamp.c timestamp_bin; numeric.c width_bucket_float8) — the
+    // oracle spells the identical pmod/floor arithmetic.
+    "q155_bin_bucket" -> ((s, d) => {
+      import graft.functions.PgBin
+      t(s, d, "events").select(
+        col("event_id"),
+        PgBin.dateBin(900, col("ts"),
+          lit("2024-01-01 00:00:00").cast("timestamp")).cast("string")
+          .as("bin15m"),
+        PgBin.widthBucket(col("value"), 0.0, 100.0, 10).as("bucket"))
+    }),
+
     // unaccent dictionary (contrib/unaccent) + fuzzystrmatch
     // levenshtein (contrib/fuzzystrmatch) — accents injected via
     // literals since the fixtures are ASCII; DuckDB strips the same
@@ -233,9 +261,13 @@ object FunctionQueries {
     // extracted back with Spark's codegen xpath_* builtins — string,
     // typed scalar, boolean predicate (numeric attribute coercion), and
     // node-set list. The oracle derives the same values from the base
-    // columns, so extraction must invert construction exactly.
+    // columns, so extraction must invert construction exactly. Each
+    // xpath_* call DOM-parses its document (javax XPath, ~250 µs/doc) —
+    // an irreducible per-row constant of the builtin, so the catalog
+    // entry runs on a deterministic 5% slice; at scale the cost is the
+    // same per row and embarrassingly parallel (no shuffle).
     "q142_xml_xpath" -> ((s, d) =>
-      t(s, d, "orders").select(
+      t(s, d, "orders").where(col("o_orderkey") % 20 === 0).select(
         col("o_orderkey"),
         concat(lit("<order id=\""), col("o_orderkey"),
           lit("\"><status>"), col("o_orderstatus"),
@@ -893,6 +925,26 @@ object FunctionQueries {
         |  list_sort(list_distinct(words)) AS lexemes,
         |  len(words) - len(list_filter(words, x -> x = 'data')) AS n_after_del
         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w""".stripMargin,
+    "q156_array_extras" ->
+      """SELECT o_orderkey,
+        |  list_transform(list_filter(range(1, 4), i ->
+        |    [o_orderstatus, o_orderpriority, o_orderstatus][CAST(i AS INT)]
+        |      = o_orderstatus), x -> CAST(x AS INT)) AS pos_status,
+        |  [CAST(1 AS INT), CAST(2 AS INT)] AS subs1,
+        |  [CAST(1 AS INT), CAST(2 AS INT), CAST(3 AS INT)] AS subs2,
+        |  [[o_custkey, o_custkey, o_custkey],
+        |   [o_custkey, o_custkey, o_custkey]] AS grid
+        |FROM orders""".stripMargin,
+    // ((a % b) + b) % b spells Spark's pmod, so the grid arithmetic is
+    // bit-identical; width_bucket's CASE mirrors the float8 formula
+    "q155_bin_bucket" ->
+      """SELECT event_id,
+        |  CAST(make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) -
+        |    ((epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(TIMESTAMP '2024-01-01'))
+        |      % 900000000 + 900000000) % 900000000) AS VARCHAR) AS bin15m,
+        |  CASE WHEN value < 0.0 THEN 0 WHEN value >= 100.0 THEN 11
+        |       ELSE CAST(FLOOR((value - 0.0) / 100.0 * 10) + 1 AS INT) END AS bucket
+        |FROM events""".stripMargin,
     "q153_unaccent_fuzzy" ->
       """SELECT p_partkey,
         |  strip_accents('café crème ' || p_name) AS plain,
@@ -938,7 +990,7 @@ object FunctionQueries {
       """SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority,
         |  o_custkey AS cust, (o_orderkey > 10000) AS big_id,
         |  [o_orderstatus, o_orderpriority] AS texts
-        |FROM orders""".stripMargin,
+        |FROM orders WHERE o_orderkey % 20 = 0""".stripMargin,
     "q76_decode_case" ->
       """SELECT CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
         |            WHEN 'P' THEN 'pending' ELSE 'other' END AS status_name,
