@@ -170,6 +170,53 @@ object FunctionQueries {
           size(tsDelete(col("tsv"), "data")).as("n_after_del"))
     }),
 
+    // jsonpath member/subscript access (utils/adt/jsonpath_exec.c
+    // jsonb_path_query_first): the $.a.b[n] navigation subset via
+    // Spark's codegen get_json_object; missing paths yield NULL.
+    "q157_jsonpath" -> ((s, d) => {
+      val j = concat(lit("{\"cust\":{\"key\":"), col("o_custkey"),
+        lit(",\"tags\":[\"a\",\""), col("o_orderstatus"),
+        lit("\"]},\"prio\":\""), col("o_orderpriority"), lit("\"}"))
+      t(s, d, "orders").withColumn("doc", j)
+        .select(col("o_orderkey"),
+          get_json_object(col("doc"), "$.cust.key").as("ckey"),
+          get_json_object(col("doc"), "$.cust.tags[1]").as("tag2"),
+          get_json_object(col("doc"), "$.prio").as("prio"),
+          get_json_object(col("doc"), "$.missing").as("mis"))
+    }),
+
+    // row_to_json + json_agg (utils/adt/json.c row_to_json /
+    // json_agg): per-row JSON from a struct, aggregated per group in a
+    // deterministic (sorted) order — PG users write json_agg(... ORDER
+    // BY ...) for the same reason.
+    "q158_json_agg" -> ((s, d) =>
+      t(s, d, "nation")
+        .withColumn("rj", to_json(struct(col("n_nationkey").as("key"),
+          col("n_name").as("name"))))
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"),
+          concat(lit("["), array_join(sort_array(collect_list(col("rj"))), ","),
+            lit("]")).as("members"))),
+
+    // hstore surface (contrib/hstore): parse 'k=>v' text with
+    // str_to_map, then -> / ? / akeys / avals / || (right wins) /
+    // delete — all map builtins, codegen.
+    "q159_hstore" -> ((s, d) => {
+      import graft.functions.Jsonb
+      t(s, d, "orders")
+        .withColumn("h", expr(
+          "str_to_map(concat('status=>', o_orderstatus, ',prio=>', " +
+            "o_orderpriority, ',ck=>', o_custkey), ',', '=>')"))
+        .select(col("o_orderkey"),
+          element_at(col("h"), "prio").as("arrow_prio"),
+          Jsonb.hasKey(col("h"), "status").as("has_status"),
+          map_keys(col("h")).as("akeys"),
+          map_values(col("h")).as("avals"),
+          element_at(Jsonb.concat(col("h"),
+            map(lit("status"), lit("X"))), "status").as("merged_status"),
+          size(Jsonb.removeKey(col("h"), "ck")).as("n_after_del"))
+    }),
+
     // generate_subscripts / array_positions / array_fill
     // (arrayfuncs.c) over the nested N-d model of q73c.
     "q156_array_extras" -> ((s, d) => {
@@ -925,6 +972,32 @@ object FunctionQueries {
         |  list_sort(list_distinct(words)) AS lexemes,
         |  len(words) - len(list_filter(words, x -> x = 'data')) AS n_after_del
         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w""".stripMargin,
+    "q157_jsonpath" ->
+      """SELECT o_orderkey,
+        |  CAST(o_custkey AS VARCHAR) AS ckey,
+        |  o_orderstatus AS tag2,
+        |  o_orderpriority AS prio,
+        |  CAST(NULL AS VARCHAR) AS mis
+        |FROM orders""".stripMargin,
+    // string_agg ORDER BY the row-json text = the same lexicographic
+    // order sort_array uses on the Spark side
+    "q158_json_agg" ->
+      """SELECT n_regionkey, COUNT(*) AS n,
+        |  '[' || string_agg(
+        |    '{"key":' || CAST(n_nationkey AS VARCHAR) || ',"name":"' || n_name || '"}',
+        |    ',' ORDER BY
+        |    '{"key":' || CAST(n_nationkey AS VARCHAR) || ',"name":"' || n_name || '"}')
+        |  || ']' AS members
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+    "q159_hstore" ->
+      """SELECT o_orderkey,
+        |  o_orderpriority AS arrow_prio,
+        |  TRUE AS has_status,
+        |  ['status', 'prio', 'ck'] AS akeys,
+        |  [o_orderstatus, o_orderpriority, CAST(o_custkey AS VARCHAR)] AS avals,
+        |  'X' AS merged_status,
+        |  2 AS n_after_del
+        |FROM orders""".stripMargin,
     "q156_array_extras" ->
       """SELECT o_orderkey,
         |  list_transform(list_filter(range(1, 4), i ->
