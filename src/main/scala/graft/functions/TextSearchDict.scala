@@ -188,4 +188,18 @@ object TsLexize {
   def stemTerms(terms: Seq[String]): Seq[String] =
     terms.map(t => PorterStemmer.stem(t.toLowerCase))
       .filterNot(englishStopwords.contains)
+
+  /** PG `plainto_tsquery('english', text)` (to_tsany.c): lexize free
+    * text, AND the surviving lexemes — returns the tsquery string for
+    * [[graft.functions.Ranges.tsMatchQuery]]. */
+  def plaintoTsquery(text: String): String =
+    stemTerms(text.split("\\s+").toSeq.filter(_.nonEmpty)).mkString(" & ")
+
+  /** PG `phraseto_tsquery('english', text)`: lexize and chain with the
+    * adjacency operator. NOTE PG preserves original word distances when
+    * stopwords drop (`a <2> b`); this subset ANDs adjacency over the
+    * surviving lexemes, which is exact when the phrase has no interior
+    * stopwords. */
+  def phrasetoTsquery(text: String): String =
+    stemTerms(text.split("\\s+").toSeq.filter(_.nonEmpty)).mkString(" <-> ")
 }

@@ -171,6 +171,16 @@ class ExpressionSpec extends AnyFunSuite {
     assert(lx.getSeq[String](0) == Seq("merg", "queri", "filter"))
     assert(TsLexize.stemTerms(Seq("Querying", "the", "merges")) ==
       Seq("queri", "merg"))
+    // to_tsquery family built on the same dictionary
+    assert(TsLexize.plaintoTsquery("the Querying of merges") == "queri & merg")
+    assert(TsLexize.phrasetoTsquery("big data queries") == "big <-> data <-> queri")
+    // the generated tsquery strings run through the parser/compiler
+    val stemmed = spark.sql("SELECT 1").select(
+      graft.functions.TsLexize.lexize(org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.lit("big data query engine"), " ")).as("l"))
+    assert(stemmed.where(graft.functions.Ranges.tsMatchQuery(
+      org.apache.spark.sql.functions.col("l"),
+      TsLexize.phrasetoTsquery("big data queries"))).count() == 1)
   }
 
   test("unaccent folds ligatures; pg format quoting and positional args") {
