@@ -208,7 +208,8 @@ object Unaccent {
   * driver-side into ONE concat expression — per-row work is just the
   * quoting conditionals, fully codegen. quote_ident quotes only when
   * the identifier needs it, as PG does; quote_literal maps NULL to the
-  * unquoted keyword NULL (PG's format %L). */
+  * unquoted keyword NULL (PG's format %L). Divergence: PG raises on a
+  * NULL %I argument; this compile yields SQL NULL. */
 object PgFormat {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._

@@ -208,14 +208,32 @@ object Dml {
   }
 
   /** `c1=v1/c2=v2` relative path of a partition tuple, with the same
-    * value escaping the writer uses. */
+    * value FORMATTING and escaping the writer uses (a timestamp's
+    * java.sql toString appends ".0", which the writer's cast-to-string
+    * does not — the directory name must match byte for byte). */
   private def partitionPath(partCols: Seq[String], r: Row): String =
     partCols.zipWithIndex.map { case (c, i) =>
-      val v = r.get(i)
-      val s = if (v == null) "__HIVE_DEFAULT_PARTITION__" else String.valueOf(v)
+      val s = r.get(i) match {
+        case null => "__HIVE_DEFAULT_PARTITION__"
+        case t: java.sql.Timestamp => castStyle(t.toLocalDateTime)
+        case t: java.time.LocalDateTime => castStyle(t)
+        case t: java.time.Instant =>
+          castStyle(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
+        case v => String.valueOf(v) // Long/Int/String/Date match the writer
+      }
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .getPartitionPathString(c, s)
     }.mkString("/")
+
+  /** Spark's cast-to-string timestamp image: seconds, then fractional
+    * micros with trailing zeros trimmed. */
+  private def castStyle(t: java.time.LocalDateTime): String = {
+    val base = t.format(
+      java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss"))
+    val micros = t.getNano / 1000
+    if (micros == 0) base
+    else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
+  }
 
   private def move(src: java.io.File, dst: java.io.File): Unit =
     if (!src.renameTo(dst)) // same-FS rename; fall back to a copy+delete

@@ -193,6 +193,32 @@ class DdlSpec extends AnyFunSuite {
     drop("dml_t")
   }
 
+  test("DML on a timestamp-partitioned table formats partition dirs like the writer") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dml
+    drop("dml_ts_t")
+    spark.range(40)
+      .selectExpr("id AS k",
+        "timestamp_micros(CAST(1704067200000000 + (id % 4) * 3600000000 AS BIGINT)) AS tp")
+      .write.partitionBy("tp").saveAsTable("dml_ts_t")
+    // hour buckets of 2024-01-01; dirs like tp=2024-01-01 01%3A00%3A00
+    val n = Dml.deleteWhere(spark, "dml_ts_t",
+      col("tp") === lit("2024-01-01 01:00:00").cast("timestamp") && col("k") < 20)
+    assert(n == 5)
+    assert(spark.table("dml_ts_t").count() == 35)
+    assert(spark.table("dml_ts_t")
+      .where(col("tp") === lit("2024-01-01 01:00:00").cast("timestamp")).count() == 5)
+    // untouched hour partitions intact
+    assert(spark.table("dml_ts_t")
+      .where(col("tp") === lit("2024-01-01 02:00:00").cast("timestamp")).count() == 10)
+    val up = Dml.updateWhere(spark, "dml_ts_t",
+      col("tp") === lit("2024-01-01 00:00:00").cast("timestamp"),
+      Map("k" -> (col("k") + 100L)))
+    assert(up == 10)
+    assert(spark.table("dml_ts_t").where("k >= 100").count() == 10)
+    drop("dml_ts_t")
+  }
+
   test("DML touched-partition scope stays bounded on many-partition tables") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dml
