@@ -493,6 +493,11 @@ object GraftFunctions {
       info("to_char_dt", "to_char_dt(ts, fmt) - PG DCH date/time templates"),
       (args: Seq[Expression]) => ToCharDt(Cast(args(0), TimestampNTZType), args(1)))
     reg.registerFunction(
+      FunctionIdentifier("plpgsql_catch"),
+      info("plpgsql_catch", "plpgsql_catch(body, handler, cond) - EXCEPTION block"),
+      (args: Seq[Expression]) => PlpgsqlCatch(args(0), args(1),
+        args(2).eval().toString))
+    reg.registerFunction(
       FunctionIdentifier("porter_stem"),
       info("porter_stem", "porter_stem(word) - Porter suffix-stripping stemmer"),
       (args: Seq[Expression]) => PorterStem(Cast(args(0), StringType)))

@@ -31,7 +31,7 @@ object SqlFunctions {
 
   private val plRe =
     ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+([\\w.]+)\\s*" +
-      "\\(([^)]*)\\)\\s*RETURNS\\s+[\\w ]+(?:\\([\\d, ]*\\))?\\s+AS\\s+" +
+      "\\(([^)]*)\\)\\s*RETURNS\\s+([\\w ]+?(?:\\([\\d, ]*\\))?)\\s+AS\\s+" +
       "\\$\\$(.*?)\\$\\$\\s+LANGUAGE\\s+PLPGSQL\\s*;?\\s*$").r
 
   /** Parse + register a CREATE FUNCTION statement — `LANGUAGE SQL`
@@ -59,7 +59,8 @@ object SqlFunctions {
       val name = m.group(1).toLowerCase
       val params = GreengageDdl.splitTop(m.group(2))
         .map(_.trim.split("\\s+")(0).toLowerCase)
-      val fn = SqlFn(name, params, compilePlpgsql(m.group(3)))
+      val returns = pgTypeToSpark(m.group(3).trim)
+      val fn = SqlFn(name, params, compilePlpgsql(m.group(4), returns))
       registry.put(name, fn)
       fn
   }
@@ -77,8 +78,14 @@ object SqlFunctions {
   // macro exactly like a LANGUAGE SQL function, fully codegen.
   // ------------------------------------------------------------------
 
-  /** Compile a DECLARE/BEGIN/IF/RETURN body to a single SQL expression. */
-  private[operators] def compilePlpgsql(body: String): String = {
+  /** Compile a DECLARE/BEGIN/IF/loops/RETURN body — with an optional
+    * `EXCEPTION WHEN <condition> THEN <handler>` section before END
+    * (pl_exec.c exec_stmt_block's PG_CATCH) — to a single SQL
+    * expression. With a handler, body and handler both cast to the
+    * declared RETURNS type and wrap in the codegen
+    * [[graft.functions.PlpgsqlCatch]] try/catch expression. */
+  private[operators] def compilePlpgsql(body: String,
+                                        returns: Option[String] = None): String = {
     val m = "(?is)^\\s*(?:DECLARE\\s+(.*?))??BEGIN\\s+(.*?)\\s*END\\s*;?\\s*$".r
       .findFirstMatchIn(body.trim).getOrElse(throw new IllegalArgumentException(
         s"unsupported plpgsql body (expected [DECLARE ...] BEGIN ... END): $body"))
@@ -101,7 +108,23 @@ object SqlFunctions {
       // uninitialized variables must be assigned before first read —
       // a premature read leaves the bare name and fails analysis
     }
-    compileSeq(m.group(2), env)
+    val inner = m.group(2)
+    // first EXCEPTION token outside literals splits main from handler
+    val spans = literalSpans(inner)
+    def inLit(p: Int) = spans.exists { case (s, e) => p >= s && p < e }
+    "(?is)\\bEXCEPTION\\s+WHEN\\s+(\\w+)\\s+THEN\\b".r.findAllMatchIn(inner)
+      .find(t => !inLit(t.start)) match {
+      case None => compileSeq(inner, env)
+      case Some(x) =>
+        val cond = x.group(1).toLowerCase
+        require(graft.functions.PlpgsqlCatch.conditions.contains(cond),
+          s"unsupported plpgsql condition: $cond " +
+            s"(supported: ${graft.functions.PlpgsqlCatch.conditions.mkString(", ")})")
+        val mainExpr = compileSeq(inner.substring(0, x.start), env)
+        val handlerExpr = compileSeq(inner.substring(x.end), env)
+        def cast(e: String) = returns.fold(s"($e)")(t => s"CAST(($e) AS $t)")
+        s"plpgsql_catch(${cast(mainExpr)}, ${cast(handlerExpr)}, '$cond')"
+    }
   }
 
   /** Compile a statement sequence (assignments, bounded FOR loops, then

@@ -637,6 +637,38 @@ object FunctionQueries {
         "SELECT o_orderkey, decay_sum(o_custkey % 50) AS dsum FROM orders")
     }),
 
+    // plpgsql EXCEPTION blocks (pl_exec.c exec_stmt_block PG_CATCH):
+    // the body runs inside a codegen try/catch expression; the handler
+    // fires exactly when the body raises the handled class — ANSI
+    // bigint division by zero for the ratio, a cast failure for the
+    // parse. The oracle spells the same semantics as CASE guards.
+    "q160_plpgsql_exception" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.operators.SqlFunctions.create(
+        """CREATE OR REPLACE FUNCTION safe_share(a bigint, b bigint) RETURNS double precision AS $$
+          |BEGIN
+          |  RETURN a / b;
+          |EXCEPTION WHEN division_by_zero THEN
+          |  RETURN -1.0;
+          |END;
+          |$$ LANGUAGE plpgsql""".stripMargin)
+      graft.operators.SqlFunctions.create(
+        """CREATE OR REPLACE FUNCTION parse_first(s text) RETURNS int AS $$
+          |BEGIN
+          |  RETURN CAST(s AS INT);
+          |EXCEPTION WHEN others THEN
+          |  RETURN 0;
+          |END;
+          |$$ LANGUAGE plpgsql""".stripMargin)
+      graft.operators.SqlFunctions.sql(s,
+        """SELECT o_orderkey,
+          |  safe_share(o_orderkey, o_custkey % 5) AS ratio,
+          |  parse_first(CASE WHEN o_orderkey % 2 = 0
+          |              THEN substr(o_orderpriority, 1, 1)
+          |              ELSE o_orderpriority END) AS pfx
+          |FROM orders""".stripMargin)
+    }),
+
     // Scalar UDF registration surface (CREATE FUNCTION, src/pl/*) +
     // to_char-style numeric formatting (formatting.c).
     "q79_udf_scalar" -> ((s, d) => {
@@ -1314,6 +1346,15 @@ object FunctionQueries {
       s"SELECT o_orderkey, $tot AS sched FROM orders"
     },
 
+    "q160_plpgsql_exception" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_custkey % 5 = 0 THEN -1.0
+        |       ELSE CAST(o_orderkey AS DOUBLE) / CAST(o_custkey % 5 AS DOUBLE)
+        |  END AS ratio,
+        |  CASE WHEN o_orderkey % 2 = 0
+        |       THEN CAST(substr(o_orderpriority, 1, 1) AS INT)
+        |       ELSE 0 END AS pfx
+        |FROM orders""".stripMargin,
     // n = ceil(b0/3) terms of b0, b0-3, ...: s = n·b0 − 3·n(n−1)/2,
     // all-integer (the // products are even, so the division is exact)
     "q149_plpgsql_while" ->

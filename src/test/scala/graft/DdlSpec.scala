@@ -453,6 +453,77 @@ class DdlSpec extends AnyFunSuite {
       "CREATE FUNCTION bad(x int) RETURNS int AS $$ BEGIN x := 1; END; $$ LANGUAGE plpgsql"))
   }
 
+  test("plpgsql EXCEPTION blocks: handler fires exactly on the raised class") {
+    import graft.operators.SqlFunctions
+    SqlFunctions.create(
+      """CREATE FUNCTION safe_ratio(a bigint, b bigint) RETURNS double precision AS $$
+        |BEGIN
+        |  RETURN a / b;
+        |EXCEPTION WHEN division_by_zero THEN
+        |  RETURN -1.0;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    SqlFunctions.create(
+      """CREATE FUNCTION parse_or_zero(s text) RETURNS int AS $$
+        |BEGIN
+        |  RETURN CAST(s AS INT);
+        |EXCEPTION WHEN others THEN
+        |  RETURN 0;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    // a WHILE that exceeds its budget RAISES — and OTHERS catches it,
+    // exactly PG's raise-then-handle composition
+    SqlFunctions.create(
+      """CREATE FUNCTION spin_or_neg(n int) RETURNS int AS $$
+        |DECLARE c int := 0;
+        |BEGIN
+        |  WHILE c < n LOOP
+        |    c := c + 0;
+        |  END LOOP;
+        |  RETURN c;
+        |EXCEPTION WHEN others THEN
+        |  RETURN -1;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    try {
+      // compiled to the codegen try/catch expression, not an interpreter
+      assert(SqlFunctions.expand("SELECT safe_ratio(10, 2) AS v").toLowerCase
+        .contains("plpgsql_catch("))
+      val r = SqlFunctions.sql(spark,
+        "SELECT safe_ratio(10, 2) AS a, safe_ratio(7, 0) AS b").head()
+      assert(r.getDouble(0) == 5.0)
+      assert(r.getDouble(1) == -1.0) // ANSI bigint/0 raises → handler
+      val p = SqlFunctions.sql(spark,
+        "SELECT parse_or_zero('42') AS a, parse_or_zero('nope') AS b").head()
+      assert(p.getInt(0) == 42 && p.getInt(1) == 0)
+      val w = SqlFunctions.sql(spark,
+        "SELECT spin_or_neg(0) AS a, spin_or_neg(5) AS b").head()
+      assert(w.getInt(0) == 0 && w.getInt(1) == -1)
+      // an unhandled class still propagates: division_by_zero handler
+      // does not swallow a cast failure
+      SqlFunctions.create(
+        """CREATE FUNCTION wrongclass(s text) RETURNS int AS $$
+          |BEGIN
+          |  RETURN CAST(s AS INT);
+          |EXCEPTION WHEN division_by_zero THEN
+          |  RETURN -1;
+          |END;
+          |$$ LANGUAGE plpgsql""".stripMargin)
+      intercept[Exception](
+        SqlFunctions.sql(spark, "SELECT wrongclass('nope') AS v").head())
+    } finally Seq("safe_ratio", "parse_or_zero", "spin_or_neg", "wrongclass")
+      .foreach(SqlFunctions.drop)
+    // unknown condition names rejected at CREATE
+    intercept[IllegalArgumentException](SqlFunctions.create(
+      """CREATE FUNCTION badc(x int) RETURNS int AS $$
+        |BEGIN
+        |  RETURN x;
+        |EXCEPTION WHEN no_such_condition THEN
+        |  RETURN 0;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin))
+  }
+
   test("plpgsql bounded FOR loops compile to one aggregate(sequence()) expression") {
     import graft.operators.SqlFunctions
     // sum of squares, loop variable read in the body
