@@ -175,9 +175,11 @@ object TsLexize {
 
   /** lowercase → drop stopwords → Porter-stem, one declarative pass
     * (ts_lexize through the english configuration). The stopword test
-    * compiles to an InSet membership check; the stem is the codegen
-    * [[PorterStem]] expression — the whole chain stays inside
-    * whole-stage codegen. */
+    * compiles to an InSet membership check and the stem is the codegen
+    * [[PorterStem]] expression; the surrounding filter/transform are
+    * Spark higher-order functions, which evaluate as expression islands
+    * inside the stage (HOFs are CodegenFallback) — no UDF boundary, no
+    * serialization, one pass. */
   def lexize(words: Column): Column =
     transform(
       filter(words, w => !lower(w).isInCollection(englishStopwords)),

@@ -15,18 +15,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * quoted with '...' or $$...$$), named parameters and positional
   * `$1..$n`, nested calls between registered functions (expanded to
   * fixpoint; recursion is detected and rejected, as PG SQL functions
-  * cannot recurse either).
+  * cannot recurse either). `RETURNS TABLE(...)`/`RETURNS SETOF` keeps
+  * the full SELECT body and the call site inlines as a derived table —
+  * the parameterized-view semantics of PG's
+  * inline_set_returning_function (clauses.c).
   */
 object SqlFunctions {
 
-  final case class SqlFn(name: String, params: Seq[String], body: String)
+  final case class SqlFn(name: String, params: Seq[String], body: String,
+                         setof: Boolean = false)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, SqlFn]()
 
   private val fnRe =
     ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+([\\w.]+)\\s*" +
-      "\\(([^)]*)\\)\\s*RETURNS\\s+[\\w ]+(?:\\([\\d, ]*\\))?\\s+AS\\s+" +
+      "\\(([^)]*)\\)\\s*RETURNS\\s+(TABLE\\s*\\([^)]*\\)|SETOF\\s+[\\w.]+|" +
+      "[\\w ]+?(?:\\([\\d, ]*\\))?)\\s+AS\\s+" +
       "(?:'(.*?)'|\\$\\$(.*?)\\$\\$)\\s+LANGUAGE\\s+SQL\\s*;?\\s*$").r
 
   private val plRe =
@@ -45,11 +50,16 @@ object SqlFunctions {
       val name = m.group(1).toLowerCase
       val params = GreengageDdl.splitTop(m.group(2))
         .map(_.trim.split("\\s+")(0).toLowerCase)
-      val raw = Option(m.group(3)).getOrElse(m.group(4)).trim.stripSuffix(";").trim
+      val rt = m.group(3).trim.toLowerCase
+      // RETURNS TABLE(...)/SETOF: the body stays a full SELECT and the
+      // call site inlines as a derived table — PG's SQL table function
+      // is exactly a parameterized view (inline_set_returning_function)
+      val setof = rt.startsWith("table") || rt.startsWith("setof")
+      val raw = Option(m.group(4)).getOrElse(m.group(5)).trim.stripSuffix(";").trim
       require(raw.toLowerCase.startsWith("select"),
-        s"SQL function body must be 'SELECT <expression>': $raw")
-      val body = raw.substring("select".length).trim
-      val fn = SqlFn(name, params, body)
+        s"SQL function body must be 'SELECT ...': $raw")
+      val body = if (setof) raw else raw.substring("select".length).trim
+      val fn = SqlFn(name, params, body, setof)
       registry.put(name, fn)
       fn
     case None =>

@@ -637,6 +637,22 @@ object FunctionQueries {
         "SELECT o_orderkey, decay_sum(o_custkey % 50) AS dsum FROM orders")
     }),
 
+    // SQL table function (clauses.c inline_set_returning_function):
+    // RETURNS TABLE inlines at the FROM-clause call site as a
+    // parameterized view — one declarative plan, joins compose.
+    "q161_sql_table_fn" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.operators.SqlFunctions.create(
+        """CREATE OR REPLACE FUNCTION urgent_orders(pr text) RETURNS TABLE(o_orderkey bigint, o_custkey bigint) AS
+          |$$ SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = pr $$
+          |LANGUAGE SQL""".stripMargin)
+      graft.operators.SqlFunctions.sql(s,
+        """SELECT c.c_mktsegment, count(*) AS n
+          |FROM urgent_orders('1-URGENT') u
+          |JOIN customer c ON c.c_custkey = u.o_custkey
+          |GROUP BY c.c_mktsegment""".stripMargin)
+    }),
+
     // plpgsql EXCEPTION blocks (pl_exec.c exec_stmt_block PG_CATCH):
     // the body runs inside a codegen try/catch expression; the handler
     // fires exactly when the body raises the handled class — ANSI
@@ -1346,6 +1362,12 @@ object FunctionQueries {
       s"SELECT o_orderkey, $tot AS sched FROM orders"
     },
 
+    "q161_sql_table_fn" ->
+      """SELECT c.c_mktsegment, count(*) AS n
+        |FROM (SELECT o_orderkey, o_custkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT') u
+        |JOIN customer c ON c.c_custkey = u.o_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin,
     "q160_plpgsql_exception" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_custkey % 5 = 0 THEN -1.0

@@ -453,6 +453,35 @@ class DdlSpec extends AnyFunSuite {
       "CREATE FUNCTION bad(x int) RETURNS int AS $$ BEGIN x := 1; END; $$ LANGUAGE plpgsql"))
   }
 
+  test("SQL table functions: RETURNS TABLE/SETOF inline as derived tables") {
+    import graft.operators.SqlFunctions
+    Tables.register(spark, TestSpark.sf0001)
+    SqlFunctions.create(
+      """CREATE FUNCTION nations_of(rk bigint) RETURNS TABLE(n_nationkey bigint, n_name text) AS
+        |$$ SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = rk $$
+        |LANGUAGE SQL""".stripMargin)
+    SqlFunctions.create(
+      "CREATE FUNCTION region_keys() RETURNS SETOF bigint AS " +
+        "'SELECT r_regionkey FROM region' LANGUAGE SQL")
+    try {
+      // FROM-clause inlining = parameterized view
+      val rows = SqlFunctions.sql(spark,
+        "SELECT * FROM nations_of(2) ORDER BY n_nationkey").collect()
+      assert(rows.length ==
+        spark.table("nation").where("n_regionkey = 2").count())
+      // composes with joins and the scalar-function expansion fixpoint
+      val joined = SqlFunctions.sql(spark,
+        """SELECT count(*) AS n FROM nations_of(1) a
+          |JOIN customer c ON c.c_nationkey = a.n_nationkey""".stripMargin)
+        .head().getLong(0)
+      assert(joined > 0)
+      // a single-column SETOF also works as an IN subquery
+      assert(SqlFunctions.sql(spark,
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey IN (SELECT * FROM region_keys())")
+        .head().getLong(0) == 25)
+    } finally Seq("nations_of", "region_keys").foreach(SqlFunctions.drop)
+  }
+
   test("plpgsql EXCEPTION blocks: handler fires exactly on the raised class") {
     import graft.operators.SqlFunctions
     SqlFunctions.create(
