@@ -197,16 +197,21 @@ object Knn {
       .withColumn("__unit",
         transform(col(vc), x => (x.cast("double") / col("__nrm")).cast("float")))
       .drop("__nrm")
+    // cache the unitized projection for the duration of training: every
+    // one of the m codebooks (and each Lloyd step inside) re-reads it,
+    // and without the cache each re-read re-scans the corpus and
+    // re-normalizes (m × iters redundant passes)
     val cn = unitized(corpus, vecCol)
+    val trainSrc = cn.select(col(idCol), col("__unit")).persist()
     // per-subspace codebooks via the same Lloyd loop IVF uses, on sliced
     // vectors (seeded lowest-id, deterministic)
     val books: Array[(Array[Long], Array[Array[Double]])] =
-      Array.tabulate(m) { b =>
+      try Array.tabulate(m) { b =>
         kmeansCentroids(
-          cn.select(col(idCol),
+          trainSrc.select(col(idCol),
             slice(col("__unit"), b * dsub + 1, dsub).as("__sub")),
           codes, trainIters, idCol, "__sub", dsub)
-      }
+      } finally trainSrc.unpersist()
     // encode: one projection — per block, nearest sub-centroid's index
     val codeCol = array(Array.tabulate(m) { b =>
       val (cids, cents) = books(b)
@@ -297,14 +302,17 @@ object Knn {
     val (cids, cents) =
       kmeansCentroids(cn, nCentroids, trainIters, idCol, "__unit", dim)
     val pre = IvfadcModel(cids, cents, Array.empty, m, codes, dim)
-    val resDf = withResidual(cn, pre).select(col(idCol), col("__res"))
+    // cache the residual projection for training: each of the m books
+    // would otherwise recompute assignment + residual from the raw
+    // corpus (m × iters redundant best_centroid scans)
+    val resDf = withResidual(cn, pre).select(col(idCol), col("__res")).persist()
     val books: Array[(Array[Long], Array[Array[Double]])] =
-      Array.tabulate(m) { b =>
+      try Array.tabulate(m) { b =>
         kmeansCentroids(
           resDf.select(col(idCol),
             slice(col("__res"), b * dsub + 1, dsub).as("__sub")),
           codes, trainIters, idCol, "__sub", dsub)
-      }
+      } finally resDf.unpersist()
     IvfadcModel(cids, cents, books, m, codes, dim)
   }
 
