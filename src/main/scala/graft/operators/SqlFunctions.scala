@@ -378,12 +378,19 @@ object SqlFunctions {
       .mkString(", ")
     val agg = s"aggregate(sequence(1, $WhileCap), named_struct($zero), " +
       s"($acc, $idx) -> named_struct($merge))"
-    val finalEnv = env ++ stateVars.map(v => v -> s"(($agg).$v)").toMap
-    val condFinal = substNamed(condRaw, finalEnv)
+    // let-bind the fold ONCE per read via transform(array(agg), st -> …):
+    // the non-termination guard needs the final state for both the
+    // condition and the value, and a plain text macro would expand the
+    // whole 64-step fold twice (HOFs evaluate interpreted — no CSE)
+    val st = "g_loop_st"
+    require(!env.contains(st), s"$st is a reserved name")
+    val condSt = substNamed(condRaw,
+      env ++ stateVars.map(v => v -> s"($st.$v)").toMap)
     val guarded = env ++ stateVars.map(v => v ->
-      (s"(CASE WHEN $condFinal THEN raise_error(" +
+      (s"(element_at(transform(array($agg), $st -> " +
+        s"CASE WHEN $condSt THEN raise_error(" +
         s"'plpgsql WHILE did not terminate within $WhileCap iterations') " +
-        s"ELSE (($agg).$v) END)")).toMap
+        s"ELSE $st.$v END), 1))")).toMap
     (guarded, text.substring(endE).trim.replaceFirst("^;", ""))
   }
 
