@@ -698,6 +698,22 @@ object RelationalQueries {
       RecursiveCte.fixpoint(seed, frontier =>
         edges.join(frontier, col("parent") === col("id"))
           .select(col("child").as("id"), (col("depth") + 1).as("depth")))
+    }),
+
+    // WITH RECURSIVE ... UNION (dedup) semantics over a CYCLIC graph
+    // (nodeRecursiveunion.c's hashed dedup path): the affine successor
+    // v → 7v+3 mod 25 cycles, so UNION ALL would never terminate —
+    // reachability from 0 converges only because seen rows leave the
+    // frontier. Oracle = DuckDB's own recursive UNION.
+    "q162_recursive_union" -> ((s, d) => {
+      val edges = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("src"),
+        ((col("n_nationkey") * 7 + 3) % 25).cast("long").as("dst"))
+        .localCheckpoint(true)
+      val seed = s.createDataFrame(Seq(Tuple1(0L))).toDF("v")
+      RecursiveCte.fixpointDistinct(seed, frontier =>
+        frontier.join(edges, col("v") === col("src"))
+          .select(col("dst").as("v")))
     })
   )
 
@@ -1087,6 +1103,15 @@ object RelationalQueries {
         |  SELECT 999, 0
         |  UNION ALL
         |  SELECT e.child, h.depth + 1 FROM edges e JOIN h ON e.parent = h.id)
-        |SELECT id, depth FROM h""".stripMargin
+        |SELECT id, depth FROM h""".stripMargin,
+    "q162_recursive_union" ->
+      """WITH RECURSIVE r(v) AS (
+        |  SELECT CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT e.dst FROM r
+        |  JOIN (SELECT CAST(n_nationkey AS BIGINT) AS src,
+        |               CAST((n_nationkey * 7 + 3) % 25 AS BIGINT) AS dst
+        |        FROM nation) e ON e.src = r.v)
+        |SELECT v FROM r""".stripMargin
   )
 }
