@@ -466,6 +466,11 @@ object GraftFunctions {
       info("jsonb_contains", "jsonb_contains(doc, needle) - PG @> recursive containment"),
       (args: Seq[Expression]) => JsonbContains(args(0), args(1)))
     reg.registerFunction(
+      FunctionIdentifier("jsonb_set"),
+      info("jsonb_set", "jsonb_set(doc, '{a,1,b}', newval) - PG setPath update"),
+      (args: Seq[Expression]) => JsonbSet(Cast(args(0), StringType),
+        Cast(args(1), StringType), Cast(args(2), StringType)))
+    reg.registerFunction(
       FunctionIdentifier("to_char_pg"),
       info("to_char_pg", "to_char_pg(num, fmt) - PG numeric template formatting"),
       (args: Seq[Expression]) => ToChar(Cast(args(0), DoubleType), args(1)))

@@ -3,10 +3,11 @@ package graft.functions
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** jsonb operator surface (reference `src/backend/utils/adt/jsonfuncs.c`
   * and jsonb_ops in `jsonb_op.c`): the PG operators a user's queries
@@ -99,6 +100,34 @@ case class JsonbContains(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `jsonb_set(doc, '{a,1,b}', newval)` (reference `jsonfuncs.c:4161`
+  * jsonb_set → setPath): walk the PG-style path — object keys and
+  * array indices, negative indices counting from the end — and replace
+  * or create (create_missing = true, the PG default) the target,
+  * returning the updated document text. Jackson's object nodes keep
+  * insertion order, so untouched structure round-trips byte-stable. */
+case class JsonbSet(doc: Expression, path: Expression, value: Expression)
+  extends TernaryExpression {
+
+  override def first: Expression = doc
+  override def second: Expression = path
+  override def third: Expression = value
+  override def dataType: DataType = StringType
+  override def prettyName: String = "jsonb_set"
+
+  override protected def nullSafeEval(d: Any, p: Any, v: Any): Any =
+    JsonbDeep.setPath(d.toString, p.toString, v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (d, p, v) =>
+      s"graft.functions.JsonbDeep.setPath($d.toString(), $p.toString(), $v.toString())")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): JsonbSet =
+    copy(doc = newFirst, path = newSecond, value = newThird)
+}
+
 /** The JVM walk behind [[JsonbContains]], mirroring JsonbDeepContains'
   * recursion (jsonb_util.c:965): the needle drives the walk; a
   * contained array needs each of its elements contained in SOME target
@@ -116,6 +145,48 @@ object JsonbDeep {
   /** [[contains]] with a pre-parsed needle (foldable-needle fast path). */
   def containsParsed(doc: String, needle: JsonNode): Boolean =
     walk(mapper.readTree(doc), needle, top = true)
+
+  /** jsonb_set's setPath walk (jsonfuncs.c:4161): `path` is the PG
+    * text-array form `{a,1,b}`; intermediate steps must exist (as in
+    * PG), the FINAL step creates when missing (create_missing = true).
+    * Negative array indices count from the end; an index one past
+    * either end appends/prepends, as PG documents. */
+  def setPath(doc: String, path: String, value: String): UTF8String = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val root = mapper.readTree(doc)
+    val steps = path.trim.stripPrefix("{").stripSuffix("}").split(",")
+      .map(_.trim).filter(_.nonEmpty)
+    require(steps.nonEmpty, s"empty jsonb_set path: $path")
+    val v = mapper.readTree(value)
+    var cur = root
+    for (s <- steps.dropRight(1)) {
+      cur = cur match {
+        case o: ObjectNode =>
+          val n = o.get(s)
+          require(n != null, s"jsonb_set: path step '$s' does not exist")
+          n
+        case a: ArrayNode =>
+          val i = s.toInt
+          val k = if (i < 0) a.size + i else i
+          require(k >= 0 && k < a.size, s"jsonb_set: index $i out of range")
+          a.get(k)
+        case other => throw new IllegalArgumentException(
+          s"jsonb_set: cannot index ${other.getNodeType} with '$s'")
+      }
+    }
+    cur match {
+      case o: ObjectNode => o.set(steps.last, v)
+      case a: ArrayNode =>
+        val i = steps.last.toInt
+        val k = if (i < 0) a.size + i else i
+        if (k < 0) a.insert(0, v)
+        else if (k >= a.size) a.add(v)
+        else a.set(k, v)
+      case other => throw new IllegalArgumentException(
+        s"jsonb_set: cannot index ${other.getNodeType} with '${steps.last}'")
+    }
+    UTF8String.fromString(mapper.writeValueAsString(root))
+  }
 
   private def walk(t: JsonNode, n: JsonNode, top: Boolean): Boolean = {
     import scala.jdk.CollectionConverters._

@@ -170,6 +170,24 @@ object FunctionQueries {
           size(tsDelete(col("tsv"), "data")).as("n_after_del"))
     }),
 
+    // jsonb_set nested update (jsonfuncs.c:4161 setPath): replace a
+    // nested scalar, replace / append-past-end an array element, and
+    // create a missing top-level key — the oracle constructs each
+    // expected document text from the base columns.
+    "q163_jsonb_set" -> ((s, d) => {
+      val j = concat(lit("{\"cust\":{\"key\":"), col("o_custkey"),
+        lit(",\"seg\":\""), col("o_orderstatus"),
+        lit("\"},\"tags\":[\"base\",\""), col("o_orderstatus"),
+        lit("\"],\"prio\":\""), col("o_orderpriority"), lit("\"}"))
+      t(s, d, "orders").withColumn("doc", j)
+        .select(col("o_orderkey"),
+          expr("jsonb_set(doc, '{cust,seg}', '\"Z\"')").as("set_nested"),
+          expr("jsonb_set(doc, '{tags,1}', '\"upd\"')").as("set_elem"),
+          expr("jsonb_set(doc, '{tags,5}', '\"app\"')").as("append_elem"),
+          expr("jsonb_set(doc, '{newkey}', CAST(o_custkey AS STRING))")
+            .as("create_key"))
+    }),
+
     // jsonpath member/subscript access (utils/adt/jsonpath_exec.c
     // jsonb_path_query_first): the $.a.b[n] navigation subset via
     // Spark's codegen get_json_object; missing paths yield NULL.
@@ -1020,6 +1038,19 @@ object FunctionQueries {
         |  list_sort(list_distinct(words)) AS lexemes,
         |  len(words) - len(list_filter(words, x -> x = 'data')) AS n_after_del
         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w""".stripMargin,
+    "q163_jsonb_set" ->
+      """SELECT o_orderkey,
+        |  '{"cust":{"key":' || o_custkey || ',"seg":"Z"},"tags":["base","' ||
+        |    o_orderstatus || '"],"prio":"' || o_orderpriority || '"}' AS set_nested,
+        |  '{"cust":{"key":' || o_custkey || ',"seg":"' || o_orderstatus ||
+        |    '"},"tags":["base","upd"],"prio":"' || o_orderpriority || '"}' AS set_elem,
+        |  '{"cust":{"key":' || o_custkey || ',"seg":"' || o_orderstatus ||
+        |    '"},"tags":["base","' || o_orderstatus || '","app"],"prio":"' ||
+        |    o_orderpriority || '"}' AS append_elem,
+        |  '{"cust":{"key":' || o_custkey || ',"seg":"' || o_orderstatus ||
+        |    '"},"tags":["base","' || o_orderstatus || '"],"prio":"' ||
+        |    o_orderpriority || '","newkey":' || o_custkey || '}' AS create_key
+        |FROM orders""".stripMargin,
     "q157_jsonpath" ->
       """SELECT o_orderkey,
         |  CAST(o_custkey AS VARCHAR) AS ckey,

@@ -183,6 +183,21 @@ class ExpressionSpec extends AnyFunSuite {
       TsLexize.phrasetoTsquery("big data queries"))).count() == 1)
   }
 
+  test("jsonb_set: setPath semantics incl. negative index and strict steps") {
+    def set(doc: String, path: String, v: String): String =
+      spark.sql(s"SELECT jsonb_set('$doc', '$path', '$v') AS r").head().getString(0)
+    assert(set("""{"a":{"b":1},"c":[1,2,3]}""", "{a,b}", "9")
+      == """{"a":{"b":9},"c":[1,2,3]}""")
+    // negative index counts from the end (PG semantics)
+    assert(set("""{"c":[1,2,3]}""", "{c,-1}", "7") == """{"c":[1,2,7]}""")
+    // index past either end appends/prepends
+    assert(set("""{"c":[1,2]}""", "{c,10}", "3") == """{"c":[1,2,3]}""")
+    assert(set("""{"c":[1,2]}""", "{c,-10}", "0") == """{"c":[0,1,2]}""")
+    // final step creates a missing key; intermediate steps must exist
+    assert(set("""{"a":1}""", "{b}", "true") == """{"a":1,"b":true}""")
+    intercept[Exception](set("""{"a":1}""", "{x,y}", "1"))
+  }
+
   test("unaccent folds ligatures; pg format quoting and positional args") {
     import org.apache.spark.sql.functions.{lit, col}
     import graft.functions.{Unaccent, PgFormat}
