@@ -277,7 +277,14 @@ object FunctionQueries {
         // not, so the oracle-checked row sticks to the agreed subset
         unaccent(lit("Ångström façade naïve ñandú")).as("fixed"),
         levenshtein(col("p_name"), col("p_type")).as("lev_nt"),
-        levenshtein(col("p_brand"), lit("Brand#11")).as("lev_b"))
+        levenshtein(col("p_brand"), lit("Brand#11")).as("lev_b"),
+        // levenshtein_less_equal(a, b, max): the bounded variant early-
+        // exits once the distance exceeds max (fuzzystrmatch's banded
+        // DP) — Spark's threshold form returns -1 past the bound, PG
+        // returns max+1; mapped here
+        when(levenshtein(col("p_name"), col("p_type"), 10) === -1, 11)
+          .otherwise(levenshtein(col("p_name"), col("p_type"), 10))
+          .as("lev_le10"))
     }),
 
     // PG format()/quote_ident/quote_literal (varlena.c text_format):
@@ -1102,7 +1109,9 @@ object FunctionQueries {
         |  strip_accents('café crème ' || p_name) AS plain,
         |  strip_accents('Ångström façade naïve ñandú') AS fixed,
         |  levenshtein(p_name, p_type) AS lev_nt,
-        |  levenshtein(p_brand, 'Brand#11') AS lev_b
+        |  levenshtein(p_brand, 'Brand#11') AS lev_b,
+        |  CASE WHEN levenshtein(p_name, p_type) > 10 THEN 11
+        |       ELSE levenshtein(p_name, p_type) END AS lev_le10
         |FROM part""".stripMargin,
     // the same quoting rules spelled by hand: %I quotes unless the
     // identifier is already lower-case-safe, %L maps NULL to NULL
