@@ -555,6 +555,11 @@ object GraftFunctions {
         TopCentroids(args(0), nProbe, cids, cents)
       })
     reg.registerFunction(
+      FunctionIdentifier("xpath_all"),
+      info("xpath_all", "xpath_all(xml, path, ...) - one parse, every XPath as a struct of node-text arrays"),
+      (args: Seq[Expression]) => XpathAll(args.head,
+        args.tail.map(_.eval().toString)))
+    reg.registerFunction(
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles, n) - minhash signature array"),
       (args: Seq[Expression]) => MinHashSig(args(0),
