@@ -31,7 +31,10 @@ object PgArrays {
     * this engine's nested model). Empty array → empty range. */
   def generateSubscripts(m: Column, dim: Int): Column = {
     var cur: Column = m
-    (1 until dim).foreach(_ => cur = element_at(cur, 1))
+    // try_element_at: descending past an empty outer array must yield
+    // the empty range, not ANSI INVALID_ARRAY_INDEX (the descent sits in
+    // the when() CONDITION, which is always evaluated)
+    (1 until dim).foreach(_ => cur = try_element_at(cur, lit(1)))
     when(size(cur) > 0, sequence(lit(1), size(cur)))
       .otherwise(array().cast("array<int>"))
   }

@@ -143,7 +143,13 @@ object Dml {
       val tdf = spark.createDataFrame(
         new java.util.ArrayList[Row](scala.jdk.CollectionConverters
           .SeqHasAsJava(touched).asJava), schema)
-      df => df.join(broadcast(tdf), partCols, "left_semi")
+        .toDF(partCols.map(_ + "__touched"): _*)
+      // null-SAFE equality (<=>): a touched partition with a NULL value
+      // must stay in scope, or deleteWhere sees it as vanished and DROPs
+      // rows the predicate never matched
+      df => df.join(broadcast(tdf),
+        partCols.map(c => df(c) <=> tdf(c + "__touched")).reduce(_ && _),
+        "left_semi")
     }
 
   /** Write `data` durably to a staging dir under the warehouse — in the
@@ -183,19 +189,36 @@ object Dml {
       spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString)
       .getPath)
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     if (partCols.isEmpty || !dynamic) {
-      // full swap: the table's content becomes exactly the staged set
-      Option(tableDir.listFiles()).getOrElse(Array.empty).foreach(rm)
+      // full swap: the table's content becomes exactly the staged set.
+      // Old content is MOVED to a sibling trash dir (rename, not delete)
+      // before the staged files move in, so a crash mid-swap still
+      // leaves a complete copy of the old table on disk — keeping the
+      // documented old-intact-or-old-plus-snapshot contract
+      val trash = new java.io.File(tableDir.getParentFile,
+        s".${tableDir.getName}_trash_${UUID.randomUUID().toString.take(8)}")
+      trash.mkdirs()
+      Option(tableDir.listFiles()).getOrElse(Array.empty)
+        .foreach(f => move(f, new java.io.File(trash, f.getName)))
       Option(dir.listFiles()).getOrElse(Array.empty)
         .foreach(f => move(f, new java.io.File(tableDir, f.getName)))
+      rm(trash)
     } else {
-      // partition swap: only staged (touched, surviving) directories move
+      // partition swap: only staged (touched, surviving) directories
+      // move. The staged source is verified to exist BEFORE the old
+      // directory is removed, so a formatting divergence can no longer
+      // delete old data and then fail the move.
       for (r <- survivors) {
-        val rel = partitionPath(partCols, r)
+        val rel = partitionPath(partCols, r, zone)
         val dst = new java.io.File(tableDir, rel)
+        val src = new java.io.File(dir, rel)
+        require(src.exists(),
+          s"staged partition path $rel missing under $dir — partition " +
+            "directory formatting diverged from the writer's")
         rm(dst)
         dst.getParentFile.mkdirs()
-        move(new java.io.File(dir, rel), dst)
+        move(src, dst)
       }
     }
     spark.catalog.refreshTable(table)
@@ -210,15 +233,19 @@ object Dml {
   /** `c1=v1/c2=v2` relative path of a partition tuple, with the same
     * value FORMATTING and escaping the writer uses (a timestamp's
     * java.sql toString appends ".0", which the writer's cast-to-string
-    * does not — the directory name must match byte for byte). */
-  private def partitionPath(partCols: Seq[String], r: Row): String =
+    * does not — the directory name must match byte for byte). Zoned
+    * timestamps render in the SESSION time zone — the zone the writer
+    * used to name the directory — never the JVM default, which may
+    * differ (TimestampNTZ carries no zone and passes through). */
+  private def partitionPath(partCols: Seq[String], r: Row,
+                            zone: java.time.ZoneId): String =
     partCols.zipWithIndex.map { case (c, i) =>
       val s = r.get(i) match {
         case null => "__HIVE_DEFAULT_PARTITION__"
-        case t: java.sql.Timestamp => castStyle(t.toLocalDateTime)
+        case t: java.sql.Timestamp =>
+          castStyle(t.toInstant.atZone(zone).toLocalDateTime)
         case t: java.time.LocalDateTime => castStyle(t)
-        case t: java.time.Instant =>
-          castStyle(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
+        case t: java.time.Instant => castStyle(t.atZone(zone).toLocalDateTime)
         case v => String.valueOf(v) // Long/Int/String/Date match the writer
       }
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils

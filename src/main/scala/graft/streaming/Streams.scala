@@ -67,22 +67,32 @@ object Streams {
     // time. Skip it for complete-mode runs only; append-mode queries
     // (stream–stream joins) keep it, they need the finalization emit.
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prev = spark.conf.getOption(key)
-    if (mode == "complete") spark.conf.set(key, "false")
-    try {
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      if (mode == "complete")
-        prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    // the conf flip is session-shared state: serialize runToBatch per
+    // session so a concurrent append-mode stream started mid-run cannot
+    // capture the disabled setting and skip its watermark-finalization
+    // batch (losing held-back tail output)
+    val lock = runLocks.computeIfAbsent(spark, _ => new Object)
+    lock.synchronized {
+      val prev = spark.conf.getOption(key)
+      if (mode == "complete") spark.conf.set(key, "false")
+      try {
+        val q = agg.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        if (mode == "complete")
+          prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      }
     }
     spark.table(name)
   }
+
+  private val runLocks =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
 
   /** Tumbling event-time window aggregation with watermark. */
   def tumblingCounts(spark: SparkSession, sfDir: String,

@@ -253,6 +253,62 @@ class DdlSpec extends AnyFunSuite {
     drop("dml_many_t")
   }
 
+  test("DML timestamp partition swap honors the SESSION time zone when the JVM default differs") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dml
+    // session TZ is UTC (Tables.tune); shift the JVM default so a
+    // JVM-zone rendering of collected timestamps would name directories
+    // the writer never created
+    val oldTz = java.util.TimeZone.getDefault
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("Asia/Kolkata"))
+    try {
+      drop("dml_tz_t")
+      spark.range(40)
+        .selectExpr("id AS k",
+          "timestamp_micros(CAST(1704067200000000 + (id % 4) * 3600000000 AS BIGINT)) AS tp")
+        .write.partitionBy("tp").saveAsTable("dml_tz_t")
+      val n = Dml.deleteWhere(spark, "dml_tz_t",
+        col("tp") === lit("2024-01-01 01:00:00").cast("timestamp") && col("k") < 20)
+      assert(n == 5)
+      assert(spark.table("dml_tz_t").count() == 35)
+      // the touched partition was swapped (not deleted-and-lost)
+      assert(spark.table("dml_tz_t")
+        .where(col("tp") === lit("2024-01-01 01:00:00").cast("timestamp")).count() == 5)
+      // untouched partitions intact
+      assert(spark.table("dml_tz_t")
+        .where(col("tp") === lit("2024-01-01 02:00:00").cast("timestamp")).count() == 10)
+      drop("dml_tz_t")
+    } finally java.util.TimeZone.setDefault(oldTz)
+  }
+
+  test("DML wide multi-column touched scope keeps NULL partition values in scope") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dml
+    drop("dml_null_t")
+    // two partition columns, q sometimes NULL; enough touched tuples to
+    // force the semi-join fallback (> OrTreeMax) where a null-UNSAFE
+    // join would silently drop the NULL-valued partitions from scope
+    spark.range(280).selectExpr("id AS k", "CAST(id % 28 AS INT) AS p",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(id % 3 AS INT) END AS q")
+      .repartition(2)
+      .write.partitionBy("p", "q").saveAsTable("dml_null_t")
+    val t = spark.table("dml_null_t")
+    val touched = t.where(col("k") < 140)
+      .select("p", "q").distinct().collect().toSeq
+    assert(touched.size > 64, s"fixture too small: ${touched.size} tuples")
+    assert(touched.exists(_.isNullAt(1)), "no NULL partition tuple touched")
+    // the semi-join scope must include the NULL-q partitions
+    val scoped = Dml.touchedScope(spark, t, touched, Seq("p", "q"))(t)
+    assert(scoped.where(col("q").isNull).count() > 0,
+      "NULL partition rows missing from the semi-join scope")
+    // end-to-end: NULL partitions' matching rows delete, survivors stay
+    assert(Dml.deleteWhere(spark, "dml_null_t", col("k") < 140) == 140)
+    assert(spark.table("dml_null_t").count() == 140)
+    assert(spark.table("dml_null_t").where(col("q").isNull).count() == 28)
+    assert(spark.table("dml_null_t").where(col("k") < 140).count() == 0)
+    drop("dml_null_t")
+  }
+
   test("DML on a partitioned table: pruned rewrite, untouched partitions byte-identical") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dml

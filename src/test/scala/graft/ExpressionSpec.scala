@@ -409,6 +409,21 @@ class ExpressionSpec extends AnyFunSuite {
     assert(jn == Row(0, -29, -82800000000L), jn.toString)
   }
 
+  test("generate_subscripts on an empty outer array yields the empty range under ANSI") {
+    import graft.functions.PgArrays._
+    Tables.register(spark, TestSpark.sf0001) // sets spark.sql.ansi.enabled
+    val df = Seq((1, Seq(Seq(1, 2), Seq(3, 4))), (2, Seq.empty[Seq[Int]]))
+      .toDF("id", "m")
+    // dim-2 descent through an EMPTY outer array must not raise
+    // INVALID_ARRAY_INDEX (try_element_at), it returns the empty range
+    val out = df.select(col("id"),
+      size(generateSubscripts(col("m"), 1)).as("n1"),
+      size(generateSubscripts(col("m"), 2)).as("n2"))
+      .orderBy("id").collect()
+    assert(out(0) == Row(1, 2, 2))
+    assert(out(1) == Row(2, 0, 0))
+  }
+
   test("scalar subquery >1 row fails at runtime (AssertOp analog)") {
     Tables.register(spark, TestSpark.sf0001)
     val e = intercept[Exception] {
