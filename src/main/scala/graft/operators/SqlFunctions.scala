@@ -148,6 +148,14 @@ object SqlFunctions {
         return substNamed(stmt.substring("return".length).trim, env)
       } else if (rest.matches("(?is)^IF\\b.*")) {
         return compileIfChain(rest, env)
+      } else if (rest.matches("(?is)^FOREACH\\b.*")) {
+        val (newEnv, tail) = compileForeach(rest, env)
+        env = newEnv
+        rest = tail.trim
+      } else if (rest.matches("(?is)^FOR\\s+\\w+\\s+IN\\s+SELECT\\b.*")) {
+        val (newEnv, tail) = compileForQuery(rest, env)
+        env = newEnv
+        rest = tail.trim
       } else if (rest.matches("(?is)^FOR\\b.*")) {
         val (newEnv, tail) = compileForLoop(rest, env)
         env = newEnv
@@ -280,6 +288,28 @@ object SqlFunctions {
     val hi = substNamed(h.group(4).trim, env)
     val step = Option(h.group(5)).map(s => substNamed(s.trim, env)).getOrElse("1")
     val (stmts, stateVars, endE) = loopBody(text, h.end, env, "FOR")
+    // empty-range image with the sequence's own element type
+    val empty = s"slice(sequence(($lo),($lo)),1,0)"
+    val seq =
+      if (reverse) s"CASE WHEN ($lo) >= ($hi) THEN sequence(($lo),($hi),-($step)) ELSE $empty END"
+      else s"CASE WHEN ($lo) <= ($hi) THEN sequence(($lo),($hi),($step)) ELSE $empty END"
+    val newEnv = foldLoop(seq, loopVar, stmts, stateVars, env)
+    val tail = text.substring(endE).trim.replaceFirst("^;", "")
+    (newEnv, tail)
+  }
+
+  /** Assemble the state-struct fold every loop form shares: loop-carried
+    * variables become fields of a struct accumulator whose zero is their
+    * pre-loop value; the body's assignment sequence becomes the merge
+    * lambda (SSA forward substitution inside one iteration); each
+    * downstream read of a state variable projects its field off the
+    * fold. `emptyAs` wraps reads in COALESCE for sources that yield SQL
+    * NULL (not an empty array) on zero rows — a loop over nothing keeps
+    * the pre-loop state, as in PG. */
+  private def foldLoop(arrExpr: String, loopVar: String, stmts: Seq[String],
+                       stateVars: Seq[String], env: Map[String, String],
+                       emptyAs: Boolean = false,
+                       wrap: String => String = identity): Map[String, String] = {
     require(!stateVars.contains(loopVar),
       s"cannot assign to the loop variable $loopVar")
     val acc = "g_loop_acc"
@@ -295,16 +325,131 @@ object SqlFunctions {
     }
     val zero = stateVars.map(v => s"'$v', ${env(v)}").mkString(", ")
     val merge = stateVars.map(v => s"'$v', ${loopEnv(v)}").mkString(", ")
-    // empty-range image with the sequence's own element type
-    val empty = s"slice(sequence(($lo),($lo)),1,0)"
-    val seq =
-      if (reverse) s"CASE WHEN ($lo) >= ($hi) THEN sequence(($lo),($hi),-($step)) ELSE $empty END"
-      else s"CASE WHEN ($lo) <= ($hi) THEN sequence(($lo),($hi),($step)) ELSE $empty END"
-    val agg =
-      s"aggregate($seq, named_struct($zero), ($acc, $idx) -> named_struct($merge))"
-    val newEnv = env ++ stateVars.map(v => v -> s"(($agg).$v)").toMap
-    val tail = text.substring(endE).trim.replaceFirst("^;", "")
-    (newEnv, tail)
+    val agg = wrap(
+      s"aggregate(($arrExpr), named_struct($zero), ($acc, $idx) -> named_struct($merge))")
+    env ++ stateVars.map(v => v ->
+      (if (emptyAs) s"(coalesce((($agg).$v), ${env(v)}))"
+       else s"(($agg).$v)")).toMap
+  }
+
+  /** `FOREACH v IN ARRAY expr LOOP <assignments> END LOOP;` (reference
+    * `src/pl/plpgsql/src/pl_exec.c:1445` exec_stmt_foreach_a) → the same
+    * state-struct fold as integer FOR, but folding over the ARRAY value
+    * itself: the loop variable binds each element in order. One codegen'd
+    * higher-order expression, no interpreter. */
+  private def compileForeach(text: String, env: Map[String, String]):
+      (Map[String, String], String) = {
+    val spans = literalSpans(text)
+    def inLit(p: Int) = spans.exists { case (s, e) => p >= s && p < e }
+    val h = "(?is)^FOREACH\\s+(\\w+)\\s+IN\\s+ARRAY\\s+".r
+      .findFirstMatchIn(text).getOrElse(throw new IllegalArgumentException(
+        s"unsupported plpgsql FOREACH (expected FOREACH v IN ARRAY expr LOOP): $text"))
+    val loopTok = "(?is)\\bLOOP\\b".r.findAllMatchIn(text)
+      .find(t => t.start >= h.end && !inLit(t.start))
+      .getOrElse(throw new IllegalArgumentException(
+        s"FOREACH without LOOP in plpgsql body: $text"))
+    val loopVar = h.group(1).toLowerCase
+    val arr = substNamed(text.substring(h.end, loopTok.start).trim, env)
+    val (stmts, stateVars, endE) = loopBody(text, loopTok.end, env, "FOREACH")
+    val newEnv = foldLoop(arr, loopVar, stmts, stateVars, env)
+    (newEnv, text.substring(endE).trim.replaceFirst("^;", ""))
+  }
+
+  /** `FOR rec IN SELECT ... [ORDER BY ...] LOOP <assignments> END LOOP;`
+    * (reference `src/pl/plpgsql/src/pl_exec.c:1435` exec_stmt_fors) for
+    * accumulation-only bodies: the query inlines as a scalar subquery
+    * collecting `named_struct` records, and the loop becomes the same
+    * state-struct fold (`rec.field` reads the element's field). The
+    * whole function stays ONE SQL expression — a correlated query
+    * decorrelates into a join + aggregate under Catalyst, which is the
+    * plan a hand-written SQL rewrite of the loop would get.
+    *
+    * Subset rules: select items are `expr AS alias` or plain columns;
+    * ORDER BY keys must be select-list aliases, one direction for all
+    * keys (the records sort by those fields first — ties then order by
+    * the remaining fields, a deterministic refinement of PG's arbitrary
+    * tie order). A query yielding zero rows leaves the loop state at its
+    * pre-loop values. Collected rows materialize per outer row, so the
+    * inner query must be group-bounded — same rule as array_agg. */
+  private def compileForQuery(text: String, env: Map[String, String]):
+      (Map[String, String], String) = {
+    val spans = literalSpans(text)
+    def inLit(p: Int) = spans.exists { case (s, e) => p >= s && p < e }
+    val h = "(?is)^FOR\\s+(\\w+)\\s+IN\\s+(?=SELECT\\b)".r
+      .findFirstMatchIn(text).getOrElse(throw new IllegalArgumentException(
+        s"unsupported plpgsql FOR-over-query: $text"))
+    val loopTok = "(?is)\\bLOOP\\b".r.findAllMatchIn(text)
+      .find(t => t.start >= h.end && !inLit(t.start))
+      .getOrElse(throw new IllegalArgumentException(
+        s"FOR-over-query without LOOP in plpgsql body: $text"))
+    val rec = h.group(1).toLowerCase
+    val query = text.substring(h.end, loopTok.start).trim
+    val qSpans = literalSpans(query)
+    def qInLit(p: Int) = qSpans.exists { case (s, e) => p >= s && p < e }
+    def depthAt(pos: Int): Int = {
+      var d = 0
+      var i = 0
+      while (i < pos) {
+        if (!qInLit(i)) {
+          val c = query.charAt(i)
+          if (c == '(') d += 1 else if (c == ')') d -= 1
+        }
+        i += 1
+      }
+      d
+    }
+    // split a top-level ORDER BY off the query
+    val (sel, orderBy) = "(?is)\\bORDER\\s+BY\\b".r.findAllMatchIn(query)
+      .find(t => !qInLit(t.start) && depthAt(t.start) == 0) match {
+      case Some(t) =>
+        (query.substring(0, t.start).trim, Some(query.substring(t.end).trim))
+      case None => (query, None)
+    }
+    // select list up to the first top-level FROM
+    val fromTok = "(?is)\\bFROM\\b".r.findAllMatchIn(sel)
+      .find(t => !qInLit(t.start) && depthAt(t.start) == 0)
+      .getOrElse(throw new IllegalArgumentException(
+        s"FOR-over-query needs a FROM clause: $query"))
+    val items = GreengageDdl.splitTop(
+      sel.substring("select".length, fromTok.start)).map(_.trim)
+    val aliasRe = "(?is)^(.*?)\\s+AS\\s+(\\w+)$".r
+    val fields: Seq[String] = items.map {
+      case aliasRe(_, a) => a.toLowerCase
+      case id if id.matches("(?i)[\\w.]+") => id.split("\\.").last.toLowerCase
+      case other => throw new IllegalArgumentException(
+        s"FOR-over-query select items must be `expr AS alias` or plain columns: $other")
+    }
+    // ORDER BY keys (select-list aliases, single direction) lead the
+    // struct so sort_array orders the collected records like the query
+    val (sortKeys, desc) = orderBy match {
+      case None => (Seq.empty[String], false)
+      case Some(ob) =>
+        val keys = GreengageDdl.splitTop(ob).map(_.trim.toLowerCase)
+        val dirs = keys.map(k => k.endsWith(" desc"))
+        require(dirs.distinct.lengthCompare(1) == 0,
+          s"FOR-over-query ORDER BY must use one direction: $ob")
+        val names = keys.map(_.replaceAll("(?i)\\s+(asc|desc)$", "").trim)
+        names.foreach(k => require(fields.contains(k),
+          s"ORDER BY key $k is not a select-list alias of: ${fields.mkString(", ")}"))
+        (names, dirs.head)
+    }
+    val ordered = sortKeys ++ fields.filterNot(sortKeys.contains)
+    val structFields = ordered.map(f => s"'$f', $f").mkString(", ")
+    val inner = substNamed(sel, env)
+    // the fold must live INSIDE the scalar subquery (Spark rejects
+    // subquery expressions within higher-order functions), so the
+    // subquery computes `aggregate(array_agg(records), zero, merge)`
+    // and each state read projects a field off its struct result
+    val collect = s"array_agg(named_struct($structFields))"
+    val arr =
+      if (sortKeys.isEmpty) collect
+      else if (desc) s"sort_array($collect, false)"
+      else s"sort_array($collect)"
+    val (stmts, stateVars, endE) = loopBody(text, loopTok.end, env, "FOR")
+    // array_agg yields NULL (not []) on zero rows — keep pre-loop state
+    val newEnv = foldLoop(arr, rec, stmts, stateVars, env, emptyAs = true,
+      wrap = a => s"(SELECT $a FROM ($inner) g_for_q)")
+    (newEnv, text.substring(endE).trim.replaceFirst("^;", ""))
   }
 
   /** Parse an assignments-only loop body starting at `from` (just past

@@ -674,6 +674,53 @@ object FunctionQueries {
         "SELECT o_orderkey, decay_sum(o_custkey % 50) AS dsum FROM orders")
     }),
 
+    // plpgsql set-oriented loops (pl_exec.c:1435-1445 exec_stmt_fors /
+    // exec_stmt_foreach_a): FOREACH folds over the ARRAY value itself;
+    // FOR rec IN <query> collects the query's records inside a scalar
+    // subquery and folds the accumulation body over them — the
+    // correlated form decorrelates into a join + aggregate under
+    // Catalyst, exactly the set-oriented plan the loop denotes. The
+    // ordered variant shows iteration order in the built string.
+    "q164_plpgsql_set_loops" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.operators.SqlFunctions.create(
+        """CREATE OR REPLACE FUNCTION word_chars(t text) RETURNS bigint AS $$
+          |DECLARE n bigint := CAST(0 AS bigint);
+          |BEGIN
+          |  FOREACH w IN ARRAY split(t, ' ') LOOP
+          |    n := n + length(w);
+          |  END LOOP;
+          |  RETURN n;
+          |END;
+          |$$ LANGUAGE plpgsql""".stripMargin)
+      graft.operators.SqlFunctions.create(
+        """CREATE OR REPLACE FUNCTION big_orders(ck bigint) RETURNS bigint AS $$
+          |DECLARE n bigint := CAST(0 AS bigint);
+          |BEGIN
+          |  FOR rec IN SELECT o_totalprice AS p FROM orders WHERE o_custkey = ck LOOP
+          |    n := n + CASE WHEN rec.p > 150000.0 THEN 1 ELSE 0 END;
+          |  END LOOP;
+          |  RETURN n;
+          |END;
+          |$$ LANGUAGE plpgsql""".stripMargin)
+      graft.operators.SqlFunctions.create(
+        """CREATE OR REPLACE FUNCTION prio_str(ck bigint) RETURNS text AS $$
+          |DECLARE t text := '';
+          |BEGIN
+          |  FOR rec IN SELECT o_orderpriority AS pr FROM orders WHERE o_custkey = ck ORDER BY pr LOOP
+          |    t := t || substr(rec.pr, 1, 1);
+          |  END LOOP;
+          |  RETURN t;
+          |END;
+          |$$ LANGUAGE plpgsql""".stripMargin)
+      graft.operators.SqlFunctions.sql(s,
+        """SELECT c_custkey,
+          |  word_chars(replace(c_name, '#', ' ')) AS name_chars,
+          |  big_orders(c_custkey) AS n_big,
+          |  prio_str(c_custkey) AS prios
+          |FROM customer""".stripMargin)
+    }),
+
     // SQL table function (clauses.c inline_set_returning_function):
     // RETURNS TABLE inlines at the FROM-clause call site as a
     // parameterized view — one declarative plan, joins compose.
@@ -1414,6 +1461,21 @@ object FunctionQueries {
       }
       s"SELECT o_orderkey, $tot AS sched FROM orders"
     },
+
+    // FOREACH = per-word length sum; FOR-over-query = the set-oriented
+    // spelling of each accumulation (count / ordered string_agg) — with
+    // COALESCE for customers whose loop runs zero times
+    "q164_plpgsql_set_loops" ->
+      """SELECT c_custkey,
+        |  CAST(list_sum(list_transform(
+        |    string_split(replace(c_name, '#', ' '), ' '),
+        |    w -> length(w))) AS BIGINT) AS name_chars,
+        |  (SELECT COUNT(CASE WHEN o_totalprice > 150000.0 THEN 1 END)
+        |   FROM orders WHERE o_custkey = c_custkey) AS n_big,
+        |  COALESCE((SELECT string_agg(substr(o_orderpriority, 1, 1), ''
+        |      ORDER BY o_orderpriority)
+        |    FROM orders WHERE o_custkey = c_custkey), '') AS prios
+        |FROM customer""".stripMargin,
 
     "q161_sql_table_fn" ->
       """SELECT c.c_mktsegment, count(*) AS n

@@ -759,6 +759,88 @@ class DdlSpec extends AnyFunSuite {
         |$$ LANGUAGE plpgsql""".stripMargin))
   }
 
+  test("plpgsql FOREACH and FOR-over-query fold arrays and collected records") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SqlFunctions
+    Tables.register(spark, TestSpark.sf0001)
+    // FOREACH v IN ARRAY: fold directly over the array value
+    SqlFunctions.create(
+      """CREATE FUNCTION wlen(t text) RETURNS bigint AS $$
+        |DECLARE s bigint := CAST(0 AS bigint);
+        |BEGIN
+        |  FOREACH w IN ARRAY split(t, ' ') LOOP
+        |    s := s + length(w);
+        |  END LOOP;
+        |  RETURN s;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    // FOR rec IN <query>: accumulation over a correlated query's records
+    SqlFunctions.create(
+      """CREATE FUNCTION bigcnt(ck bigint) RETURNS bigint AS $$
+        |DECLARE n bigint := CAST(0 AS bigint);
+        |BEGIN
+        |  FOR rec IN SELECT o_totalprice AS p FROM orders WHERE o_custkey = ck LOOP
+        |    n := n + CASE WHEN rec.p > 150000.0 THEN 1 ELSE 0 END;
+        |  END LOOP;
+        |  RETURN n;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    // ordered FOR-over-query: order-SENSITIVE accumulation (string build)
+    SqlFunctions.create(
+      """CREATE FUNCTION names(rk bigint) RETURNS text AS $$
+        |DECLARE t text := '';
+        |BEGIN
+        |  FOR rec IN SELECT n_name AS nm FROM nation WHERE n_regionkey = rk ORDER BY nm DESC LOOP
+        |    t := t || rec.nm || ',';
+        |  END LOOP;
+        |  RETURN t;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin)
+    try {
+      assert(SqlFunctions.sql(spark, "SELECT wlen('ab cde f') AS v")
+        .head().getLong(0) == 6L)
+      // the loop compiles to the set-oriented answer for every customer,
+      // including those with zero orders (state keeps its pre-loop value)
+      val got = SqlFunctions.sql(spark,
+        "SELECT c_custkey AS k, bigcnt(c_custkey) AS n FROM customer")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = spark.table("orders")
+        .where(col("o_totalprice") > 150000.0)
+        .groupBy("o_custkey").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.nonEmpty && got.exists(_._2 > 0))
+      got.foreach { case (k, n) =>
+        assert(n == expect.getOrElse(k, 0L), s"custkey $k") }
+      // DESC iteration order is observable in the built string
+      val exp2 = spark.table("nation").where("n_regionkey = 2")
+        .select("n_name").collect().map(_.getString(0))
+        .sorted.reverse.mkString("", ",", ",")
+      assert(SqlFunctions.sql(spark, "SELECT names(2) AS v")
+        .head().getString(0) == exp2)
+    } finally Seq("wlen", "bigcnt", "names").foreach(SqlFunctions.drop)
+    // mixed ORDER BY directions and unaliased expressions are rejected
+    intercept[IllegalArgumentException](SqlFunctions.create(
+      """CREATE FUNCTION badq(rk bigint) RETURNS text AS $$
+        |DECLARE t text := '';
+        |BEGIN
+        |  FOR r IN SELECT n_name AS a, n_nationkey AS b FROM nation ORDER BY a ASC, b DESC LOOP
+        |    t := t || r.a;
+        |  END LOOP;
+        |  RETURN t;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin))
+    intercept[IllegalArgumentException](SqlFunctions.create(
+      """CREATE FUNCTION badq2(rk bigint) RETURNS text AS $$
+        |DECLARE t text := '';
+        |BEGIN
+        |  FOR r IN SELECT n_name || 'x' FROM nation LOOP
+        |    t := t || r.a;
+        |  END LOOP;
+        |  RETURN t;
+        |END;
+        |$$ LANGUAGE plpgsql""".stripMargin))
+  }
+
   test("DISTRIBUTED REPLICATED reads back with the broadcast hint") {
     Tables.register(spark, TestSpark.sf0001)
     drop("nation_ddl")
