@@ -44,6 +44,18 @@ object Ranges {
   def tsMatchQuery(words: Column, query: String): Column =
     TsQuery.compile(words, query)
 
+  /** PG `ts_rewrite(query, target, substitute)` applied as a rule list
+    * (reference `src/backend/utils/adt/tsquery_rewrite.c:1-461`
+    * tsquery_rewrite / findsubquery): every occurrence of each rule's
+    * target subtree in the parsed query — matched modulo AND/OR operand
+    * order, as QTNode normalization does — is replaced by the rule's
+    * substitute tree, then the rewritten query compiles exactly like
+    * tsMatchQuery. The rewrite is a driver-side AST pass; the emitted
+    * Column is the same codegen boolean the literal query would get. */
+  def tsMatchRewritten(words: Column, query: String,
+                       rules: Seq[(String, String)]): Column =
+    TsQuery.compileNode(words, TsQuery.rewriteAll(query, rules))
+
   /** PG `ts_rank` (reference `utils/adt/tsrank.c:276-345` calc_rank_or):
     * for each distinct query term with occurrence count f, the term
     * contributes `resj = Σ_{j=1..f} w/j²` (positional decay over the
@@ -430,6 +442,45 @@ object TsQuery {
   }
 
   def compile(words: Column, query: String): Column = comp(words, parse(query))
+
+  /** Compile an already-rewritten AST (see [[rewriteAll]]). */
+  def compileNode(words: Column, n: Node): Column = comp(words, n)
+
+  /** `ts_rewrite` substitution (tsquery_rewrite.c findsubquery): replace
+    * every occurrence of `target` in `query` by `substitute`. Subtree
+    * equality is structural modulo AND/OR operand order — the piece of
+    * QTN normalization the two-operand grammar needs (PG sorts QTNode
+    * children canonically before matching). Rules apply in order, each
+    * over the previous rule's output, like PG's rewrite-by-SELECT form. */
+  def rewriteAll(query: String, rules: Seq[(String, String)]): Node =
+    rules.foldLeft(parse(query)) { case (n, (t, s)) =>
+      rewriteNode(n, parse(t), parse(s))
+    }
+
+  private def rewriteNode(n: Node, target: Node, sub: Node): Node =
+    if (sameTree(n, target)) sub
+    else n match {
+      case And(l, r) => And(rewriteNode(l, target, sub), rewriteNode(r, target, sub))
+      case Or(l, r) => Or(rewriteNode(l, target, sub), rewriteNode(r, target, sub))
+      case Not(c) => Not(rewriteNode(c, target, sub))
+      case Phrase(l, r, d) =>
+        Phrase(rewriteNode(l, target, sub), rewriteNode(r, target, sub), d)
+      case t: Term => t
+    }
+
+  private def sameTree(a: Node, b: Node): Boolean = (a, b) match {
+    case (Term(t1, p1), Term(t2, p2)) => t1 == t2 && p1 == p2
+    case (And(l1, r1), And(l2, r2)) =>
+      (sameTree(l1, l2) && sameTree(r1, r2)) ||
+        (sameTree(l1, r2) && sameTree(r1, l2))
+    case (Or(l1, r1), Or(l2, r2)) =>
+      (sameTree(l1, l2) && sameTree(r1, r2)) ||
+        (sameTree(l1, r2) && sameTree(r1, l2))
+    case (Not(c1), Not(c2)) => sameTree(c1, c2)
+    case (Phrase(l1, r1, d1), Phrase(l2, r2, d2)) =>
+      d1 == d2 && sameTree(l1, l2) && sameTree(r1, r2)
+    case _ => false
+  }
 
   private def comp(words: Column, n: Node): Column = n match {
     case Term(t, false) => array_contains(words, t)

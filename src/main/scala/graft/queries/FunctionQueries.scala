@@ -425,6 +425,24 @@ object FunctionQueries {
             "scan & (data <-> query | query <-> data)").as("mix"))
     }),
 
+    // ts_rewrite synonym/thesaurus expansion (tsquery_rewrite.c):
+    // 'retrieval' is not in the corpus vocabulary, so the literal query
+    // matches nothing; the rewrite rule expands it to 'query | scan'
+    // and the rewritten query matches. The second rule shows the
+    // commutative subtree match ('join & hash' finds target
+    // 'hash & join') rewriting a boolean AND into a phrase query.
+    "q165_ts_rewrite" -> ((s, d) => {
+      import graft.functions.Ranges._
+      t(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"),
+          tsMatchQuery(col("words"), "data & retrieval").as("lit_match"),
+          tsMatchRewritten(col("words"), "data & retrieval",
+            Seq("retrieval" -> "(query | scan)")).as("rew_match"),
+          tsMatchRewritten(col("words"), "join & hash",
+            Seq("hash & join" -> "hash <-> join")).as("rew_phrase"))
+    }),
+
     // Stemmed text search through the `english` configuration
     // (snowball/dict_snowball.c + stopwords/english.stop): lowercase →
     // drop stopwords → Porter-stem, then match/rank on stems — the
@@ -1348,6 +1366,21 @@ object FunctionQueries {
         |    x -> CASE WHEN x = 'data' OR x = 'query'
         |              THEN '<b>' || x || '</b>' ELSE x END), ' ') AS headline
         |FROM h""".stripMargin,
+    // the expanded boolean/phrase queries spelled literally — an
+    // independent derivation of what the rewrite must produce
+    "q165_ts_rewrite" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |SELECT doc_id,
+        |  (list_contains(words, 'data') AND list_contains(words, 'retrieval'))
+        |    AS lit_match,
+        |  (list_contains(words, 'data') AND
+        |   (list_contains(words, 'query') OR list_contains(words, 'scan')))
+        |    AS rew_match,
+        |  len(list_filter(range(1, len(words) + 1), i ->
+        |    words[CAST(i AS INT)] = 'hash' AND
+        |    words[CAST(i AS INT) + 1] = 'join')) > 0 AS rew_phrase
+        |FROM w""".stripMargin,
+
     // out-of-range list indexes yield NULL in DuckDB, which list_filter
     // drops — so no explicit end-bound is needed on the position range
     "q148_ts_phrase" ->

@@ -409,6 +409,42 @@ class ExpressionSpec extends AnyFunSuite {
     assert(jn == Row(0, -29, -82800000000L), jn.toString)
   }
 
+  test("ts_rewrite: subtree substitution with commutative AND/OR match") {
+    import graft.functions.TsQuery
+    import graft.functions.TsQuery._
+    def show(n: Node): String = n match {
+      case Term(t, p) => if (p) s"$t:*" else t
+      case And(l, r) => s"(${show(l)} & ${show(r)})"
+      case Or(l, r) => s"(${show(l)} | ${show(r)})"
+      case Not(c) => s"!${show(c)}"
+      case Phrase(l, r, d) => s"(${show(l)} <$d> ${show(r)})"
+    }
+    // term-level synonym expansion, every occurrence
+    assert(show(rewriteAll("a & b & a", Seq("a" -> "(a | a2)"))) ==
+      "(((a | a2) & b) & (a | a2))")
+    // commutative subtree match: 'b & a' finds target 'a & b'
+    assert(show(rewriteAll("b & a", Seq("a & b" -> "ab"))) == "ab")
+    // nested occurrence under NOT and phrase distance preserved
+    assert(show(rewriteAll("!x & (p <2> x)", Seq("x" -> "y"))) ==
+      "(!y & (p <2> y))")
+    // rules apply in order, each over the previous output
+    assert(show(rewriteAll("a", Seq("a" -> "b", "b" -> "c"))) == "c")
+    // no match leaves the query untouched; prefix terms are distinct
+    assert(show(rewriteAll("a:* & b", Seq("a" -> "z"))) == "(a:* & b)")
+    // compiled result matches documents the literal query misses
+    Tables.register(spark, TestSpark.sf0001)
+    val df = Seq("data scan table", "data retrieval", "big join")
+      .toDF("text").withColumn("words", split(col("text"), " "))
+    val out = df.select(
+      graft.functions.Ranges.tsMatchQuery(col("words"), "data & retrieval")
+        .as("lit"),
+      graft.functions.Ranges.tsMatchRewritten(col("words"),
+        "data & retrieval", Seq("retrieval" -> "(scan | retrieval)"))
+        .as("rew")).collect()
+    assert(out.map(r => (r.getBoolean(0), r.getBoolean(1))).toSeq ==
+      Seq((false, true), (true, true), (false, false)))
+  }
+
   test("generate_subscripts on an empty outer array yields the empty range under ANSI") {
     import graft.functions.PgArrays._
     Tables.register(spark, TestSpark.sf0001) // sets spark.sql.ansi.enabled
