@@ -234,6 +234,26 @@ object PipelineQueries {
       Sreh.readCsv(s, f.getAbsolutePath, schema, rejectLimit = 20).good
     }),
 
+    // execute: external protocol (url.c:37-47 dispatch, fileam.c:518):
+    // a shell command runs once per segment with GRAFT_SEGMENT_ID set
+    // (the reference exports GP_SEGMENT_ID the same way), its stdout
+    // streamed and parsed as pipe-delimited text under the SREH reject
+    // limit — two lines per segment are deliberately malformed and land
+    // in the error log. The oracle re-derives the command's
+    // deterministic output arithmetic in SQL.
+    "q166_exec_source" -> ((s, d) => {
+      val cmd = "j=0; while [ $j -lt 25 ]; do " +
+        "if [ $((j % 10)) -eq 7 ]; then echo \"bad_line_${GRAFT_SEGMENT_ID}_${j}\"; " +
+        "else echo \"$((GRAFT_SEGMENT_ID * 25 + j))|t$((j % 3))\"; fi; " +
+        "j=$((j+1)); done"
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("tag", StringType)))
+      val res = graft.sources.ExecSource.readCsv(s, cmd, schema,
+        partitions = 4, rejectLimit = 10)
+      res.good.groupBy("tag")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    }),
+
     // Multimodal columns: REAL encoded payloads (ImageIO PNG/BMP/GIF +
     // 16-bit PCM WAV) decoded back through the actual codecs in one
     // batched mapPartitions pass; the oracle recomputes every dimension
@@ -630,6 +650,15 @@ object PipelineQueries {
          |  columns={'id': 'INTEGER', 'name': 'VARCHAR', 'score': 'DOUBLE'},
          |  ignore_errors=true)""".stripMargin
     },
+    // the execute: command's output re-derived arithmetically: segment
+    // i emits k = i*25 + j for j in [0,25), j % 10 == 7 lines malformed
+    "q166_exec_source" ->
+      """SELECT 't' || CAST(j % 3 AS VARCHAR) AS tag, COUNT(*) AS n,
+        |       SUM(i * 25 + j) AS sum_k
+        |FROM (SELECT CAST(x // 25 AS BIGINT) AS i, CAST(x % 25 AS BIGINT) AS j
+        |      FROM range(0, 100) t(x)) g
+        |WHERE j % 10 <> 7
+        |GROUP BY 1""".stripMargin,
     "q94_copy_roundtrip" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${oSumd("l_quantity")} AS sum_qty,

@@ -300,6 +300,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(res.errorLog.columns.contains("record"))
   }
 
+  test("execute: source runs the command per segment, streams stdout, SREH applies") {
+    import graft.sources.ExecSource
+    // each segment emits its id 3 times — one process per partition
+    val raw = ExecSource.lines(spark,
+      "for x in 1 2 3; do echo \"seg-$GRAFT_SEGMENT_ID-$x\"; done", 4)
+    assert(raw.rdd.getNumPartitions == 4)
+    val got = raw.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == (for (s <- 0 until 4; x <- 1 to 3)
+      yield (s, s"seg-$s-$x")).toSet)
+    // column pruning reaches the reader (only `line` requested)
+    assert(raw.select("line").count() == 12)
+    // CSV parse with reject limit: segment 0 emits one malformed line
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("tag", StringType)))
+    val res = ExecSource.readCsv(spark,
+      "if [ $GRAFT_SEGMENT_ID -eq 0 ]; then echo oops; fi; " +
+        "echo \"$GRAFT_SEGMENT_ID|t\"", schema, partitions = 3, rejectLimit = 2)
+    assert(res.rejected == 1)
+    assert(res.good.count() == 3)
+    assert(res.errorLog.head().getString(0) == "oops")
+    intercept[graft.operators.Sreh.RejectLimitExceeded] {
+      ExecSource.readCsv(spark, "echo nope", schema,
+        partitions = 2, rejectLimit = 1)
+    }
+    // a failing command fails the read, never returns partial silence
+    val e = intercept[Exception] {
+      ExecSource.lines(spark, "echo one; exit 3", 1).collect()
+    }
+    assert(e.getMessage.contains("exited 3") ||
+      Option(e.getCause).exists(_.getMessage.contains("exited 3")))
+  }
+
   test("multimodal: real codec decode round-trips exact pixel/sample sums") {
     val docs = Seq(0L, 1L, 2L, 3L, 17L, 42L, 103L).toDF("doc_id")
     val blobs = Multimodal.synthesizeMedia(docs)
