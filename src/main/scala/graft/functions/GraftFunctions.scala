@@ -555,6 +555,15 @@ object GraftFunctions {
         TopCentroids(args(0), nProbe, cids, cents)
       })
     reg.registerFunction(
+      FunctionIdentifier("crypt"),
+      info("crypt", "crypt(pw, salt_or_hash) - pgcrypto MD5-crypt password hash"),
+      (args: Seq[Expression]) => Crypt(Cast(args(0), StringType),
+        Cast(args(1), StringType)))
+    reg.registerFunction(
+      FunctionIdentifier("gen_salt"),
+      info("gen_salt", "gen_salt('md5') - random crypt salt"),
+      (args: Seq[Expression]) => GenSalt(args(0).eval().toString))
+    reg.registerFunction(
       FunctionIdentifier("xpath_all"),
       info("xpath_all", "xpath_all(xml, path, ...) - one parse, every XPath as a struct of node-text arrays"),
       (args: Seq[Expression]) => XpathAll(args.head,

@@ -335,6 +335,19 @@ object FunctionQueries {
         expr("base64(aes_encrypt('fixed vector', '0123456789abcdef', 'ECB'))")
           .as("ct_fixed"))),
 
+    // pgcrypto crypt()/gen_salt() (contrib/pgcrypto/pgcrypto.c:203,
+    // crypt-md5.c): gen_salt draws a fresh random salt per row, so the
+    // hash itself is unpinnable — the catalog row verifies the CONTRACT:
+    // crypt(pw, stored) == stored for the right password, != for a
+    // wrong one, plus a fixed-salt hash pinned against glibc crypt(3).
+    "q167_pgcrypto_crypt" -> ((s, d) =>
+      t(s, d, "customer")
+        .withColumn("h", expr("crypt(c_name, gen_salt('md5'))"))
+        .select(col("c_custkey"),
+          (expr("crypt(c_name, h)") === col("h")).as("matches"),
+          (expr("crypt(concat(c_name, 'x'), h)") === col("h")).as("wrong_pw"),
+          expr("crypt('password', '$1$saltsalt$')").as("pinned"))),
+
     // XML type + XPath surface (utils/adt/xml.c:57-148 xmlelement /
     // xpath; contrib xml2): documents are built per row, then values
     // extracted back — string, typed scalar, boolean predicate, and
@@ -1223,6 +1236,12 @@ object FunctionQueries {
     "q143_aes_crypto" ->
       """SELECT c_custkey, c_name AS rt_name, c_mktsegment AS rt_seg,
         |  '6zfc4HkP35/OR2AYopIk/w==' AS ct_fixed
+        |FROM customer""".stripMargin,
+    // the contract columns are constants; the pinned hash is glibc's
+    // crypt(3) output for the same (password, salt)
+    "q167_pgcrypto_crypt" ->
+      """SELECT c_custkey, TRUE AS matches, FALSE AS wrong_pw,
+        |  '$1$saltsalt$qjXMvbEw8oaL.CzflDtaK/' AS pinned
         |FROM customer""".stripMargin,
     // xpath extraction must invert the row's XML construction
     "q142_xml_xpath" ->

@@ -409,6 +409,33 @@ class ExpressionSpec extends AnyFunSuite {
     assert(jn == Row(0, -29, -82800000000L), jn.toString)
   }
 
+  test("crypt/gen_salt: MD5-crypt matches glibc crypt(3) vectors; roundtrip verifies") {
+    import graft.functions.Md5Crypt
+    // pinned against glibc's independent implementation of the same
+    // published algorithm (python3 crypt.crypt(pw, '$1$<salt>$'))
+    assert(Md5Crypt.crypt("password", "$1$saltsalt$") ==
+      "$1$saltsalt$qjXMvbEw8oaL.CzflDtaK/")
+    assert(Md5Crypt.crypt("my secret", "$1$abcdefgh$") ==
+      "$1$abcdefgh$DeVVblSn2VmVEIlUInrix0")
+    assert(Md5Crypt.crypt("", "$1$12345678$") ==
+      "$1$12345678$xek.CpjQUVgdf/P2N9KQf/")
+    assert(Md5Crypt.crypt("Customer#000000001", "$1$AbCd./01$") ==
+      "$1$AbCd./01$RtL2PYeJYOxYiVPKzz/I7.")
+    // crypt(pw, stored_hash) re-uses the stored salt — the verify idiom
+    val h = Md5Crypt.crypt("s3cret", "$1$AbCd./01$")
+    assert(Md5Crypt.crypt("s3cret", h) == h)
+    assert(Md5Crypt.crypt("wrong", h) != h)
+    // SQL surface: gen_salt draws fresh salts, roundtrip still verifies
+    Tables.register(spark, TestSpark.sf0001)
+    val rows = spark.sql(
+      """SELECT h, crypt('pw', h) = h AS ok, crypt('no', h) = h AS bad
+        |FROM (SELECT crypt('pw', gen_salt('md5')) AS h
+        |      FROM range(20))""".stripMargin).collect()
+    assert(rows.forall(r => r.getBoolean(1) && !r.getBoolean(2)))
+    // salts are actually random (20 draws, no collision plausible)
+    assert(rows.map(_.getString(0)).distinct.length == 20)
+  }
+
   test("ts_rewrite: subtree substitution with commutative AND/OR match") {
     import graft.functions.TsQuery
     import graft.functions.TsQuery._
