@@ -93,33 +93,49 @@ object Knn {
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
-                      dim: Int = 64): (Array[Long], Array[Array[Double]]) = {
-    val seedRows = corpus.orderBy(col(idCol).asc).limit(k)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
-    var cids = seedRows.map(_.getLong(0))
-    var cents = seedRows.map(_.getSeq[Double](1).toArray)
-    var it = 0
-    while (it < iters) {
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col(vecCol), i + 1).cast("double")).as(s"s$i"))
-      val rows = corpus
-        .withColumn("cid", call_function("best_centroid", col(vecCol),
-          typedLit(cids.toSeq), typedLit(cents.map(_.toSeq).toSeq)))
-        .groupBy("cid")
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .collect() // k rows of (cid, n, dim sums) — bounded, not data-scale
-      val byCid = rows.map(r => r.getLong(0) ->
-        (r.getLong(1), Array.tabulate(dim)(i => r.getDouble(2 + i)))).toMap
-      cents = cids.zip(cents).map { case (cid, old) =>
-        byCid.get(cid) match {
-          case Some((n, s)) if n > 0 => s.map(_ / n)
-          case _ => old // empty cell keeps its previous centroid
+                      dim: Int = 64,
+                      maxTrainRows: Long = 200000L)
+      : (Array[Long], Array[Array[Double]]) = {
+    // above the threshold, train on a bounded deterministic sample
+    // (seeded Bernoulli): centroid quality needs a representative set,
+    // not the corpus — the standard IVF training recipe — so Lloyd
+    // iterations stop scaling with corpus size. The sample is persisted
+    // for the loop (iters passes over ≤ maxTrainRows rows, not N).
+    val total = corpus.count()
+    val sampled = total > maxTrainRows
+    val train =
+      if (sampled)
+        corpus.sample(withReplacement = false,
+          maxTrainRows.toDouble / total, seed = 42L).persist()
+      else corpus
+    try {
+      val seedRows = train.orderBy(col(idCol).asc).limit(k)
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .collect()
+      var cids = seedRows.map(_.getLong(0))
+      var cents = seedRows.map(_.getSeq[Double](1).toArray)
+      var it = 0
+      while (it < iters) {
+        val sums = (0 until dim).map(i =>
+          sum(element_at(col(vecCol), i + 1).cast("double")).as(s"s$i"))
+        val rows = train
+          .withColumn("cid", call_function("best_centroid", col(vecCol),
+            typedLit(cids.toSeq), typedLit(cents.map(_.toSeq).toSeq)))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n"), sums: _*)
+          .collect() // k rows of (cid, n, dim sums) — bounded, not data-scale
+        val byCid = rows.map(r => r.getLong(0) ->
+          (r.getLong(1), Array.tabulate(dim)(i => r.getDouble(2 + i)))).toMap
+        cents = cids.zip(cents).map { case (cid, old) =>
+          byCid.get(cid) match {
+            case Some((n, s)) if n > 0 => s.map(_ / n)
+            case _ => old // empty cell keeps its previous centroid
+          }
         }
+        it += 1
       }
-      it += 1
-    }
-    (cids, cents)
+      (cids, cents)
+    } finally if (sampled) { train.unpersist(); () }
   }
 
   /** IVF-style ANN: partition the corpus into Voronoi cells around a
@@ -289,8 +305,9 @@ object Knn {
     * over unit vectors (cosine cells) and per-subspace codebooks on the
     * RESIDUAL (unit vector − cell centroid), shared across cells as in
     * the paper's single-residual-quantizer variant. Same Lloyd loop as
-    * [[ivfTopK]]/[[pqTopK]]; at corpus scale one would train on a
-    * sample — the model is driver-sized either way. */
+    * [[ivfTopK]]/[[pqTopK]]; past [[kmeansCentroids]]'s row threshold
+    * training runs on a bounded sample — the model is driver-sized
+    * either way. */
   def trainIvfadc(corpus: DataFrame, nCentroids: Int = 16, m: Int = 8,
                   codes: Int = 16, dim: Int = 64, trainIters: Int = 2,
                   idCol: String = "vec_id",

@@ -147,6 +147,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(frac > 0.0 && frac < 0.75, s"scan fraction $frac is not sublinear")
   }
 
+  test("k-means trains on a bounded deterministic sample above the row threshold") {
+    Tables.register(spark, TestSpark.sf0001)
+    val emb = spark.table("embeddings")
+    val total = emb.count()
+    assert(total > 64)
+    // force the sampling path with a threshold below the corpus size
+    val (cids, cents) = Knn.kmeansCentroids(emb, k = 8, iters = 2,
+      maxTrainRows = 64)
+    assert(cids.length == 8 && cents.forall(_.length == 64))
+    assert(cents.forall(_.forall(d => !d.isNaN && !d.isInfinite)))
+    // sampled centroids still partition the full corpus into live cells
+    val assigned = emb.withColumn("cid",
+      call_function("best_centroid", col("embedding"),
+        typedLit(cids.toSeq), typedLit(cents.map(_.toSeq).toSeq)))
+      .groupBy("cid").count().collect()
+    assert(assigned.length > 1, "sampled training collapsed to one cell")
+    assert(assigned.map(_.getLong(1)).sum == total)
+    // deterministic: the same seed yields the same model
+    val (cids2, cents2) = Knn.kmeansCentroids(emb, k = 8, iters = 2,
+      maxTrainRows = 64)
+    assert(cids.sameElements(cids2))
+    assert(cents.zip(cents2).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("IVFADC persisted index: build + load + probe equals the one-shot path") {
     Tables.register(spark, TestSpark.sf0001)
     val emb = spark.table("embeddings")
