@@ -59,6 +59,54 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("id")).as("total"),
           min(col("id")).as("lo"), max(col("id")).as("hi"))),
 
+    // generate_series over timestamps and dates with INTERVAL steps
+    // (pg_proc generate_series(timestamp, timestamp, interval) —
+    // FunctionScan §2.1): sequence() with an interval step, exploded.
+    "q168_series_ts" -> ((s, d) => sql(s, d,
+      """SELECT CAST(ts AS STRING) AS tick, 'hourly6' AS kind,
+        |       year(ts) AS yr, dayofmonth(ts) AS dom, hour(ts) AS hr
+        |FROM (SELECT explode(sequence(TIMESTAMP '2024-01-01 00:00:00',
+        |  TIMESTAMP '2024-01-05 00:00:00', INTERVAL 6 HOUR)) AS ts)
+        |UNION ALL
+        |SELECT CAST(dt AS STRING), 'weekly', year(dt), dayofmonth(dt), 0
+        |FROM (SELECT explode(sequence(DATE '2024-01-01',
+        |  DATE '2024-03-01', INTERVAL 7 DAY)) AS dt)""".stripMargin)),
+
+    // Boolean + bitwise aggregate family (pg_proc bool_and/bool_or/
+    // every, bit_and/bit_or/bit_xor over int — §2.4): straight 2-stage
+    // hash aggregates, map-side partials.
+    "q169_bool_bit_aggs" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(expr("bool_and(o_totalprice > 1000.0)").as("all_gt1k"),
+          expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+          expr("every(o_custkey > 0)").as("every_pos"),
+          expr("bit_and(o_custkey & 255)").as("band"),
+          expr("bit_or(o_custkey % 16)").as("bor"),
+          expr("bit_xor(o_orderkey % 8)").as("bxor"),
+          count(lit(1)).as("n"))),
+
+    // contrib/tablefunc connectby('edges','keyid','parent','row1',0,'~'):
+    // hierarchical traversal emitting (keyid, parent, level, branch
+    // path), via the same distributed fixpoint as WITH RECURSIVE —
+    // each frontier is one distributed join, the loop is driver-side
+    // control flow only.
+    "q170_connectby" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      val edges = s.sql(
+        """SELECT * FROM VALUES
+          |  ('row2','row1'),('row3','row1'),('row4','row2'),('row5','row2'),
+          |  ('row6','row4'),('row7','row3'),('row8','row6'),('row9','row5')
+          |  AS t(keyid, parent)""".stripMargin)
+      val seed = s.sql(
+        "SELECT 'row1' AS keyid, CAST(NULL AS STRING) AS parent, " +
+          "0 AS level, 'row1' AS branch")
+      graft.operators.RecursiveCte.fixpoint(seed, f =>
+        edges.as("e").join(f.as("p"), col("e.parent") === col("p.keyid"))
+          .select(col("e.keyid"), col("e.parent"),
+            (col("p.level") + 1).as("level"),
+            concat(col("p.branch"), lit("~"), col("e.keyid")).as("branch")))
+    }),
+
     // Shared CTE (ShareInputScan nodeShareInputScan.c) — one subtree, two consumers.
     "q05_cte_shared" -> ((s, d) => sql(s, d,
       """WITH t AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
@@ -778,6 +826,40 @@ object RelationalQueries {
         |       SUM(CAST(id AS DOUBLE) * CAST(0.5 AS DOUBLE)) AS sum_val,
         |       COUNT(DISTINCT 't' || CAST(id % 3 AS VARCHAR)) AS n_tags
         |FROM (SELECT UNNEST(generate_series(0, 9999)) AS id) GROUP BY 1""".stripMargin,
+    // DuckDB's generate_series over DATE with INTERVAL yields
+    // timestamps — cast back to DATE for the same text image
+    "q168_series_ts" ->
+      """SELECT CAST(g AS VARCHAR) AS tick, 'hourly6' AS kind,
+        |  year(g) AS yr, CAST(day(g) AS INT) AS dom, CAST(hour(g) AS INT) AS hr
+        |FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |  TIMESTAMP '2024-01-05 00:00:00', INTERVAL 6 HOUR) t(g)
+        |UNION ALL
+        |SELECT CAST(CAST(g AS DATE) AS VARCHAR), 'weekly',
+        |  year(g), CAST(day(g) AS INT), 0
+        |FROM generate_series(DATE '2024-01-01',
+        |  DATE '2024-03-01', INTERVAL 7 DAY) t(g)""".stripMargin,
+    "q169_bool_bit_aggs" ->
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 1000.0) AS all_gt1k,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  bool_and(o_custkey > 0) AS every_pos,
+        |  bit_and(o_custkey & 255) AS band,
+        |  bit_or(o_custkey % 16) AS bor,
+        |  bit_xor(o_orderkey % 8) AS bxor,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q170_connectby" ->
+      """WITH RECURSIVE e(keyid, parent) AS (
+        |  SELECT * FROM (VALUES
+        |    ('row2','row1'),('row3','row1'),('row4','row2'),('row5','row2'),
+        |    ('row6','row4'),('row7','row3'),('row8','row6'),('row9','row5'))
+        |    v(keyid, parent)),
+        |t(keyid, parent, level, branch) AS (
+        |  SELECT 'row1', CAST(NULL AS VARCHAR), 0, 'row1'
+        |  UNION ALL
+        |  SELECT e.keyid, e.parent, t.level + 1, t.branch || '~' || e.keyid
+        |  FROM e JOIN t ON e.parent = t.keyid)
+        |SELECT keyid, parent, level, branch FROM t""".stripMargin,
     "q10_join_inner" ->
       """SELECT c_mktsegment,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
