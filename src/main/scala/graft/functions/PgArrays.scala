@@ -51,6 +51,58 @@ object PgArrays {
   def arrayFill(value: Column, dims: Seq[Int]): Column =
     dims.foldRight(value)((n, inner) => array_repeat(inner, n))
 
+  // ------------------------------------------------------------------
+  // Non-default lower bounds (arrayfuncs.c array_lower/array_upper,
+  // array_set_slice bounds bookkeeping): PG arrays carry per-dimension
+  // lower bounds; `array_fill(v, ARRAY[n], ARRAY[lo])` and slice
+  // assignment produce them. The Spark carrier is struct('lb', 'data'):
+  // subscripts translate by lb, out-of-bounds reads yield NULL (PG
+  // subscript semantics), and slices re-base to lower bound 1 exactly
+  // as PG slice expressions do. All plain codegen column algebra.
+  // ------------------------------------------------------------------
+
+  /** Wrap a 1-based array as one with logical lower bound `lb`. */
+  def lbArray(data: Column, lb: Int): Column =
+    struct(lit(lb).as("lb"), data.as("data"))
+
+  /** PG `array_fill(value, ARRAY[n], ARRAY[lo])`. */
+  def arrayFillLb(value: Column, n: Int, lb: Int): Column =
+    lbArray(array_repeat(value, n), lb)
+
+  /** PG `array_lower(a, 1)` — NULL for an empty array, as in PG. */
+  def arrayLower(a: Column): Column =
+    when(size(a.getField("data")) > 0, a.getField("lb"))
+
+  /** PG `array_upper(a, 1)`. */
+  def arrayUpper(a: Column): Column =
+    when(size(a.getField("data")) > 0,
+      a.getField("lb") + size(a.getField("data")) - 1)
+
+  /** PG `a[i]` honoring the lower bound: out-of-bounds → NULL (never an
+    * ANSI index error — the element_at only evaluates in-bounds). */
+  def lbSubscript(a: Column, i: Column): Column = {
+    val data = a.getField("data")
+    val idx = i - a.getField("lb") + 1
+    when(idx >= 1 && idx <= size(data), element_at(data, idx))
+  }
+
+  /** PG `a[lo:hi]` honoring the lower bound: clamped to the extent,
+    * inverted ranges empty; the result re-bases to lower bound 1 (PG
+    * slice expressions do the same). */
+  def lbSlice(a: Column, lo: Column, hi: Column): Column = {
+    val data = a.getField("data")
+    val lb = a.getField("lb")
+    val loC = greatest(lo, lb)
+    val hiC = least(hi, lb + size(data) - 1)
+    slice(data, loC - lb + 1, greatest(hiC - loC + 1, lit(0)))
+  }
+
+  /** PG `array_dims(a)` text with the real bounds, e.g. `[-2:0]`. */
+  def lbDims(a: Column): Column =
+    when(size(a.getField("data")) > 0,
+      concat(lit("["), arrayLower(a).cast("string"), lit(":"),
+        arrayUpper(a).cast("string"), lit("]")))
+
   /** PG 2-d slice `m[rlo:rhi][clo:chi]` (arrayfuncs.c array_get_slice):
     * 1-based inclusive bounds on every dimension, clamped to the array's
     * extent — slicing past the end returns what exists, an inverted

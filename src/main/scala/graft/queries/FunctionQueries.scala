@@ -257,6 +257,26 @@ object FunctionQueries {
             .as("grid_flat"))
     }),
 
+    // Non-default lower bounds (arrayfuncs.c array_lower/array_upper):
+    // a [-2:0] array built with array_fill's lb form — subscripts
+    // translate by the bound, out-of-bounds reads are NULL, slices
+    // clamp and re-base to 1, array_dims shows the real bounds.
+    "q171_array_lower_bounds" -> ((s, d) => {
+      import graft.functions.PgArrays._
+      t(s, d, "orders")
+        .withColumn("a", lbArray(array(col("o_orderstatus"),
+          col("o_orderpriority"),
+          concat(lit("c"), col("o_custkey"))), -2))
+        .select(col("o_orderkey"),
+          arrayLower(col("a")).as("lo"),
+          arrayUpper(col("a")).as("hi"),
+          lbDims(col("a")).as("dims"),
+          lbSubscript(col("a"), lit(-2)).as("first_e"),
+          lbSubscript(col("a"), lit(0)).as("last_e"),
+          lbSubscript(col("a"), lit(1)).as("oob"),
+          array_join(lbSlice(col("a"), lit(-1), lit(5)), ",").as("tail2"))
+    }),
+
     // date_bin arbitrary-origin bucketing + width_bucket histograms
     // (timestamp.c timestamp_bin; numeric.c width_bucket_float8) — the
     // oracle spells the identical pmod/floor arithmetic.
@@ -1184,6 +1204,14 @@ object FunctionQueries {
         |  '1,2,3' AS subs2,
         |  array_to_string([o_custkey, o_custkey, o_custkey,
         |    o_custkey, o_custkey, o_custkey], ',') AS grid_flat
+        |FROM orders""".stripMargin,
+    // the [-2:0] array's bound arithmetic spelled as constants
+    "q171_array_lower_bounds" ->
+      """SELECT o_orderkey, -2 AS lo, 0 AS hi, '[-2:0]' AS dims,
+        |  o_orderstatus AS first_e,
+        |  'c' || CAST(o_custkey AS VARCHAR) AS last_e,
+        |  CAST(NULL AS VARCHAR) AS oob,
+        |  o_orderpriority || ',c' || CAST(o_custkey AS VARCHAR) AS tail2
         |FROM orders""".stripMargin,
     // ((a % b) + b) % b spells Spark's pmod, so the grid arithmetic is
     // bit-identical; width_bucket's CASE mirrors the float8 formula

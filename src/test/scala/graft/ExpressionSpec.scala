@@ -409,6 +409,36 @@ class ExpressionSpec extends AnyFunSuite {
     assert(jn == Row(0, -29, -82800000000L), jn.toString)
   }
 
+  test("lower-bound arrays: subscript translation, NULL out-of-bounds, slice clamping") {
+    import graft.functions.PgArrays._
+    Tables.register(spark, TestSpark.sf0001)
+    val df = Seq((1, Seq("a", "b", "c")), (2, Seq.empty[String])).toDF("id", "xs")
+      .withColumn("a", lbArray(col("xs"), -2))
+    val rows = df.select(col("id"),
+      arrayLower(col("a")).as("lo"), arrayUpper(col("a")).as("hi"),
+      lbDims(col("a")).as("dims"),
+      lbSubscript(col("a"), lit(-2)).as("e1"),
+      lbSubscript(col("a"), lit(-5)).as("under"),
+      lbSubscript(col("a"), lit(3)).as("over"),
+      array_join(lbSlice(col("a"), lit(-9), lit(9)), ",").as("all"),
+      array_join(lbSlice(col("a"), lit(0), lit(-1)), ",").as("inverted"))
+      .orderBy("id").collect()
+    assert(rows(0).getInt(1) == -2 && rows(0).getInt(2) == 0)
+    assert(rows(0).getString(3) == "[-2:0]")
+    assert(rows(0).getString(4) == "a")
+    assert(rows(0).isNullAt(5) && rows(0).isNullAt(6))
+    assert(rows(0).getString(7) == "a,b,c")
+    assert(rows(0).getString(8) == "")
+    // empty array: lower/upper/dims are NULL, as in PG
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2) && rows(1).isNullAt(3))
+    // array_fill with an explicit lower bound
+    val f = spark.range(1).select(
+      arrayLower(arrayFillLb(lit("x"), 3, 5)).as("lo"),
+      arrayUpper(arrayFillLb(lit("x"), 3, 5)).as("hi"),
+      lbSubscript(arrayFillLb(lit("x"), 3, 5), lit(7)).as("e")).head()
+    assert(f.getInt(0) == 5 && f.getInt(1) == 7 && f.getString(2) == "x")
+  }
+
   test("crypt/gen_salt: MD5-crypt matches glibc crypt(3) vectors; roundtrip verifies") {
     import graft.functions.Md5Crypt
     // pinned against glibc's independent implementation of the same
