@@ -95,6 +95,75 @@ object Dml {
     }
   }
 
+  final case class MergeResult(updated: Long, deleted: Long, inserted: Long)
+
+  /** MERGE INTO target USING source ON equi-keys (the PG 15 / SQL:2003
+    * verb; the reference executes the same three-way split through its
+    * ModifyTable machinery). One full-outer join classifies every row:
+    *
+    *  - matched + `whenMatchedDeleteIf` → dropped;
+    *  - matched otherwise → `whenMatchedUpdate` assignments applied
+    *    (they see the OLD target row as plain `t.<col>` and the source
+    *    row as `s.<col>` — PG's MERGE visibility rules);
+    *  - target-only → kept unchanged;
+    *  - source-only → inserted by column name when
+    *    `insertNotMatched` (source columns absent from the target
+    *    schema are dropped, target columns absent from the source are
+    *    NULL).
+    *
+    * A source with duplicate key tuples is rejected up front — PG's
+    * "MERGE command cannot affect row a second time" check, done as one
+    * aggregate instead of a runtime trip-wire. The rewritten content
+    * goes through the same durable staged swap as UPDATE/DELETE. One
+    * shuffle (the join), one write pass — at 100 TB this is the
+    * standard copy-on-write MERGE plan. */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+            keys: Seq[String],
+            whenMatchedUpdate: Map[String, Column] = Map.empty,
+            whenMatchedDeleteIf: Option[Column] = None,
+            insertNotMatched: Boolean = true): MergeResult = {
+    require(keys.nonEmpty, "MERGE requires at least one key column")
+    val dupes = source.groupBy(keys.map(col): _*)
+      .count().where(col("count") > 1).count()
+    require(dupes == 0,
+      s"MERGE source has $dupes duplicate key tuples " +
+        "(a target row cannot be affected twice)")
+    val targetSchema = spark.table(table).schema
+    val t = spark.table(table).withColumn("__t", lit(true)).alias("t")
+    val srcCols = source.columns.toSet
+    val s = source.withColumn("__s", lit(true)).alias("s")
+    val joined = t.join(s,
+        keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+        "full_outer")
+      .persist()
+    try {
+      val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
+      val sOnly = col("t.__t").isNull
+      val del = whenMatchedDeleteIf
+        .map(c => matched && coalesce(c, lit(false))).getOrElse(lit(false))
+      val deleted = joined.where(del).count()
+      val updated =
+        if (whenMatchedUpdate.isEmpty) 0L
+        else joined.where(matched && !del).count()
+      val inserted = if (insertNotMatched) joined.where(sOnly).count() else 0L
+      val kept = joined.where(!del &&
+        (col("t.__t").isNotNull || lit(insertNotMatched)))
+      val result = kept.select(targetSchema.fields.toIndexedSeq.map { f =>
+        val fromS =
+          if (srcCols.contains(f.name)) col(s"s.${f.name}").cast(f.dataType)
+          else lit(null).cast(f.dataType)
+        val upd = whenMatchedUpdate.getOrElse(f.name, col(s"t.${f.name}"))
+        when(matched, upd.cast(f.dataType))
+          .when(sOnly, fromS)
+          .otherwise(col(s"t.${f.name}"))
+          .as(f.name)
+      }: _*)
+      stagedSwap(spark, table, result,
+        partitionColumns(spark, table), dynamic = false)
+      MergeResult(updated, deleted, inserted)
+    } finally { joined.unpersist(); () }
+  }
+
   private def partitionColumns(spark: SparkSession, table: String): Seq[String] =
     spark.catalog.listColumns(table).collect()
       .filter(_.isPartition).map(_.name).toSeq

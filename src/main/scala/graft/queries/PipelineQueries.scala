@@ -366,6 +366,35 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
     }),
 
+    // MERGE (SQL:2003 / PG 15 verb over the same ModifyTable machinery):
+    // urgent thirds get a price bump, matched 'P' rows are deleted,
+    // unmatched synthetic source rows insert with NULL non-source
+    // columns — the oracle replays the same three-way split in SQL.
+    "q172_merge" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      s.sql("DROP TABLE IF EXISTS merge_orders_rt")
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(wh, "merge_orders_rt"))
+      s.table("orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.saveAsTable("merge_orders_rt")
+      val src = s.table("orders").where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit(500.0d).as("bump"))
+        .unionByName(s.table("orders").where(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit(0.0d).as("bump")))
+      graft.operators.Dml.merge(s, "merge_orders_rt", src, Seq("o_orderkey"),
+        whenMatchedUpdate = Map(
+          "o_totalprice" -> (col("t.o_totalprice") + col("s.bump"))),
+        whenMatchedDeleteIf = Some(col("t.o_orderstatus") === "P"))
+      s.table("merge_orders_rt").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
+    }),
+
     // Greengage DDL surface (gram.y:4835): user DDL text -> bucketed
     // catalog table -> query it; oracle aggregates the source directly,
     // so the DDL round-trip must be lossless.
@@ -667,6 +696,29 @@ object PipelineQueries {
     "q107_ddl_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${oSumd("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // the MERGE three-way split replayed in SQL: matched rows update
+    // (or delete when 'P'), unmatched source rows insert NULL-padded
+    "q172_merge" ->
+      s"""WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |src AS (SELECT o_orderkey, 500.0 AS bump FROM orders
+         |        WHERE o_orderkey % 3 = 0
+         |        UNION ALL
+         |        SELECT o_orderkey + 100000000, 0.0 FROM orders
+         |        WHERE o_orderkey % 1000 = 0),
+         |merged AS (
+         |  SELECT t.o_orderkey, t.o_orderstatus,
+         |    CASE WHEN src.o_orderkey IS NOT NULL
+         |         THEN t.o_totalprice + src.bump
+         |         ELSE t.o_totalprice END AS o_totalprice
+         |  FROM t LEFT JOIN src ON t.o_orderkey = src.o_orderkey
+         |  WHERE NOT (src.o_orderkey IS NOT NULL AND t.o_orderstatus = 'P')
+         |  UNION ALL
+         |  SELECT src.o_orderkey, CAST(NULL AS VARCHAR),
+         |    CAST(NULL AS DOUBLE)
+         |  FROM src LEFT JOIN t ON t.o_orderkey = src.o_orderkey
+         |  WHERE t.o_orderkey IS NULL)
+         |SELECT o_orderstatus, COUNT(*) AS n, ${oSumd("o_totalprice")} AS total
+         |FROM merged GROUP BY o_orderstatus""".stripMargin,
     "q139_svec" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |c AS (SELECT doc_id, [

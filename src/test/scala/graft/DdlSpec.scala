@@ -759,6 +759,43 @@ class DdlSpec extends AnyFunSuite {
         |$$ LANGUAGE plpgsql""".stripMargin))
   }
 
+  test("MERGE: update/delete/insert classified by one join, staged swap") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dml
+    drop("merge_t")
+    spark.range(10)
+      .selectExpr("id AS k", "CAST(id * 10 AS DOUBLE) AS v", "'old' AS tag")
+      .write.saveAsTable("merge_t")
+    val src = spark.range(5, 15).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    val r = Dml.merge(spark, "merge_t", src, Seq("k"),
+      whenMatchedUpdate = Map("v" -> (col("t.v") + col("s.v")),
+        "tag" -> lit("upd")),
+      whenMatchedDeleteIf = Some(col("s.k") === 7))
+    // matched k=5..9: one deleted (7), four updated; k=10..14 inserted
+    assert(r == Dml.MergeResult(4, 1, 5))
+    val rows = spark.table("merge_t").collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getString(2)))).toMap
+    assert(rows.size == 14)
+    assert(!rows.contains(7L))
+    assert(rows(5L) == ((55.0, "upd"))) // update sees OLD t.v plus s.v
+    assert(rows(3L) == ((30.0, "old"))) // target-only untouched
+    assert(rows(12L)._1 == 12.0 && rows(12L)._2 == null) // inserted by name
+    // duplicate source keys are rejected up front, table intact
+    val dup = spark.range(2).selectExpr("CAST(1 AS BIGINT) AS k",
+      "CAST(id AS DOUBLE) AS v")
+    intercept[IllegalArgumentException](
+      Dml.merge(spark, "merge_t", dup, Seq("k")))
+    assert(spark.table("merge_t").count() == 14)
+    // no-insert form: source-only rows are ignored
+    val r2 = Dml.merge(spark, "merge_t",
+      spark.range(13, 20).selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS v"),
+      Seq("k"), whenMatchedUpdate = Map("tag" -> lit("re")),
+      insertNotMatched = false)
+    assert(r2 == Dml.MergeResult(2, 0, 0)) // k=13,14 matched
+    assert(spark.table("merge_t").count() == 14)
+    drop("merge_t")
+  }
+
   test("plpgsql FOREACH and FOR-over-query fold arrays and collected records") {
     import org.apache.spark.sql.functions._
     import graft.operators.SqlFunctions
