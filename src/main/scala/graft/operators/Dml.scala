@@ -164,6 +164,20 @@ object Dml {
     } finally { joined.unpersist(); () }
   }
 
+  /** `INSERT ... ON CONFLICT (keys) DO UPDATE SET <every shared
+    * column> = excluded.<column>` (PG 9.5 upsert; `doNothing` = the DO
+    * NOTHING form): the MERGE special case where matched rows take the
+    * source's values wholesale. */
+  def upsert(spark: SparkSession, table: String, source: DataFrame,
+             keys: Seq[String], doNothing: Boolean = false): MergeResult = {
+    val shared = spark.table(table).columns.toSet
+      .intersect(source.columns.toSet) -- keys
+    val assignments =
+      if (doNothing) Map.empty[String, Column]
+      else shared.map(c => c -> col(s"s.$c")).toMap
+    merge(spark, table, source, keys, whenMatchedUpdate = assignments)
+  }
+
   private def partitionColumns(spark: SparkSession, table: String): Seq[String] =
     spark.catalog.listColumns(table).collect()
       .filter(_.isPartition).map(_.name).toSeq

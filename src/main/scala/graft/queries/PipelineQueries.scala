@@ -395,6 +395,31 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
     }),
 
+    // INSERT ... ON CONFLICT (key) DO UPDATE (PG 9.5 upsert): matched
+    // rows take the source's values wholesale, unmatched insert — the
+    // MERGE special case, replayed by the oracle in SQL.
+    "q174_upsert" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      s.sql("DROP TABLE IF EXISTS upsert_cust_rt")
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(wh, "upsert_cust_rt"))
+      s.table("customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.saveAsTable("upsert_cust_rt")
+      val src = s.table("customer").where(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), lit("UPSERTED").as("c_mktsegment"),
+          (col("c_acctbal") + 1000.0d).as("c_acctbal"))
+        .unionByName(s.table("customer").where(col("c_custkey") % 500 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            lit("NEWROW").as("c_mktsegment"), lit(0.0d).as("c_acctbal")))
+      graft.operators.Dml.upsert(s, "upsert_cust_rt", src, Seq("c_custkey"))
+      s.table("upsert_cust_rt").groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sumd(col("c_acctbal")).as("bal"))
+    }),
+
     // Greengage DDL surface (gram.y:4835): user DDL text -> bucketed
     // catalog table -> query it; oracle aggregates the source directly,
     // so the DDL round-trip must be lossless.
@@ -696,6 +721,28 @@ object PipelineQueries {
     "q107_ddl_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${oSumd("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // the upsert replayed: matched rows take the source's values
+    "q174_upsert" ->
+      s"""WITH t AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+         |src AS (SELECT c_custkey, 'UPSERTED' AS c_mktsegment,
+         |          c_acctbal + 1000.0 AS c_acctbal
+         |        FROM customer WHERE c_custkey % 5 = 0
+         |        UNION ALL
+         |        SELECT c_custkey + 10000000, 'NEWROW', 0.0
+         |        FROM customer WHERE c_custkey % 500 = 0),
+         |up AS (
+         |  SELECT t.c_custkey,
+         |    CASE WHEN src.c_custkey IS NOT NULL
+         |         THEN src.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment,
+         |    CASE WHEN src.c_custkey IS NOT NULL
+         |         THEN src.c_acctbal ELSE t.c_acctbal END AS c_acctbal
+         |  FROM t LEFT JOIN src ON t.c_custkey = src.c_custkey
+         |  UNION ALL
+         |  SELECT src.c_custkey, src.c_mktsegment, src.c_acctbal
+         |  FROM src LEFT JOIN t ON t.c_custkey = src.c_custkey
+         |  WHERE t.c_custkey IS NULL)
+         |SELECT c_mktsegment, COUNT(*) AS n, ${oSumd("c_acctbal")} AS bal
+         |FROM up GROUP BY c_mktsegment""".stripMargin,
     // the MERGE three-way split replayed in SQL: matched rows update
     // (or delete when 'P'), unmatched source rows insert NULL-padded
     "q172_merge" ->

@@ -42,6 +42,23 @@ object WindowQueries {
         nth_value(col("o_totalprice"), 2).over(wf).as("second_price"))
     }),
 
+    // IGNORE NULLS variants of the value window functions
+    // (windowfuncs.c leadlag_common's ignore-nulls path; SQL:2008
+    // <null treatment>): NULLs planted on every third order key.
+    "q173_window_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .withColumn("v", when(col("o_orderkey") % 3 =!= 0, col("o_totalprice")))
+        .select(col("o_custkey"), col("o_orderkey"), col("v"),
+          lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_nn"),
+          lead(col("v"), 1, null, ignoreNulls = true).over(w).as("next_nn"),
+          first(col("v"), ignoreNulls = true).over(wf).as("first_nn"),
+          last(col("v"), ignoreNulls = true).over(wf).as("last_nn"),
+          nth_value(col("v"), 2, ignoreNulls = true).over(wf).as("second_nn"))
+    }),
+
     // ROWS frame running/sliding aggregates. Note: the synthetic data has
     // duplicate (l_orderkey, l_linenumber) pairs, so the order key extends
     // to a full tiebreak — equal-in-all-keys rows are interchangeable.
@@ -266,6 +283,19 @@ object WindowQueries {
         |  LAST_VALUE(o_totalprice) OVER wf AS last_price,
         |  NTH_VALUE(o_totalprice, 2) OVER wf AS second_price
         |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q173_window_ignore_nulls" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CASE WHEN o_orderkey % 3 <> 0 THEN o_totalprice END AS v FROM orders)
+        |SELECT o_custkey, o_orderkey, v,
+        |  LAG(v, 1 IGNORE NULLS) OVER w AS prev_nn,
+        |  LEAD(v, 1 IGNORE NULLS) OVER w AS next_nn,
+        |  FIRST_VALUE(v IGNORE NULLS) OVER wf AS first_nn,
+        |  LAST_VALUE(v IGNORE NULLS) OVER wf AS last_nn,
+        |  NTH_VALUE(v, 2 IGNORE NULLS) OVER wf AS second_nn
+        |FROM o
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
         |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,

@@ -793,6 +793,13 @@ class DdlSpec extends AnyFunSuite {
       insertNotMatched = false)
     assert(r2 == Dml.MergeResult(2, 0, 0)) // k=13,14 matched
     assert(spark.table("merge_t").count() == 14)
+    // ON CONFLICT DO NOTHING: matched rows untouched, unmatched insert
+    val r3 = Dml.upsert(spark, "merge_t",
+      spark.range(14, 17).selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS v"),
+      Seq("k"), doNothing = true)
+    assert(r3 == Dml.MergeResult(0, 0, 2)) // 15, 16 inserted; 14 kept
+    assert(spark.table("merge_t").where("k = 14").head().getDouble(1) == 14.0)
+    assert(spark.table("merge_t").count() == 16)
     drop("merge_t")
   }
 
