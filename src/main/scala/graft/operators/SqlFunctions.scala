@@ -518,11 +518,13 @@ object SqlFunctions {
         ("(" + substNamed(parts(1).trim, loopEnv) + ")")
     }
     val zero = stateVars.map(v => s"'$v', ${env(v)}").mkString(", ")
-    val merge = stateVars.map(v =>
-      s"'$v', CASE WHEN $condAcc THEN ${loopEnv(v)} ELSE ($acc.$v) END")
-      .mkString(", ")
+    // the guard sits OUTSIDE the struct construction: once the loop has
+    // terminated, every remaining budget step returns the accumulator
+    // by identity instead of rebuilding a same-valued struct per field
+    val merge = stateVars.map(v => s"'$v', ${loopEnv(v)}").mkString(", ")
     val agg = s"aggregate(sequence(1, $WhileCap), named_struct($zero), " +
-      s"($acc, $idx) -> named_struct($merge))"
+      s"($acc, $idx) -> CASE WHEN $condAcc THEN named_struct($merge) " +
+      s"ELSE $acc END)"
     // let-bind the fold ONCE per read via transform(array(agg), st -> …):
     // the non-termination guard needs the final state for both the
     // condition and the value, and a plain text macro would expand the
