@@ -257,6 +257,44 @@ object FunctionQueries {
             .as("grid_flat"))
     }),
 
+    // citext (contrib/citext): case-insensitive text via Spark 4
+    // collations — a UTF8_LCASE-collated column groups and compares
+    // case-insensitively at the ENGINE level (no lower() rewrite in
+    // user queries, exactly citext's pitch). Mixed-case variants are
+    // planted per row; the group representative is normalized with
+    // upper() so output is deterministic. The oracle spells the same
+    // semantics with explicit case folding.
+    "q175_citext" -> ((s, d) =>
+      t(s, d, "customer")
+        .withColumn("seg", expr("collate(" +
+          "CASE WHEN c_custkey % 2 = 0 THEN initcap(lower(c_mktsegment)) " +
+          "ELSE c_mktsegment END, 'UTF8_LCASE')"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"))
+        .select(upper(col("seg")).as("seg_norm"), col("n"),
+          (col("seg") === lit("bUiLdInG")).as("is_building"))),
+
+    // ltree (contrib/ltree): materialized-path trees over the
+    // region→nation hierarchy — nlevel/subpath/@>/lca plus lquery
+    // matching with alternation and bounded star, all column algebra.
+    "q176_ltree" -> ((s, d) => {
+      import graft.functions.Ltree
+      def label(c: Column) = lower(regexp_replace(c, " ", "_"))
+      t(s, d, "nation").join(t(s, d, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"),
+          concat(lit("world."), label(col("r_name")), lit("."),
+            label(col("n_name"))).as("path"))
+        .select(col("n_nationkey"), col("path"),
+          Ltree.nlevel(col("path")).as("depth"),
+          Ltree.subpath(col("path"), 1, 1).as("region_label"),
+          Ltree.isAncestor(lit("world.asia"), col("path")).as("in_asia"),
+          Ltree.isDescendant(col("path"), lit("world")).as("under_world"),
+          Ltree.lca(col("path"), lit("world.asia.japan")).as("lca_jp"),
+          Ltree.matches(col("path"), "world.*{1}.china|india").as("cn_in"),
+          Ltree.matches(col("path"), "world.*").as("any_depth"))
+    }),
+
     // Non-default lower bounds (arrayfuncs.c array_lower/array_upper):
     // a [-2:0] array built with array_fill's lb form — subscripts
     // translate by the bound, out-of-bounds reads are NULL, slices
@@ -1205,6 +1243,28 @@ object FunctionQueries {
         |  array_to_string([o_custkey, o_custkey, o_custkey,
         |    o_custkey, o_custkey, o_custkey], ',') AS grid_flat
         |FROM orders""".stripMargin,
+    // explicit case folding spells the collation semantics
+    "q175_citext" ->
+      """SELECT upper(c_mktsegment) AS seg_norm, COUNT(*) AS n,
+        |  (upper(c_mktsegment) = 'BUILDING') AS is_building
+        |FROM customer GROUP BY 1""".stripMargin,
+    // prefix algebra over the same constructed paths
+    "q176_ltree" ->
+      """WITH p AS (SELECT n_nationkey,
+        |  'world.' || lower(replace(r_name, ' ', '_')) || '.' ||
+        |  lower(replace(n_name, ' ', '_')) AS path,
+        |  lower(replace(r_name, ' ', '_')) AS rl,
+        |  lower(replace(n_name, ' ', '_')) AS nl
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey)
+        |SELECT n_nationkey, path, 3 AS depth, rl AS region_label,
+        |  (rl = 'asia') AS in_asia,
+        |  TRUE AS under_world,
+        |  CASE WHEN rl = 'asia' AND nl = 'japan' THEN path
+        |       WHEN rl = 'asia' THEN 'world.asia'
+        |       ELSE 'world' END AS lca_jp,
+        |  (nl = 'china' OR nl = 'india') AS cn_in,
+        |  TRUE AS any_depth
+        |FROM p""".stripMargin,
     // the [-2:0] array's bound arithmetic spelled as constants
     "q171_array_lower_bounds" ->
       """SELECT o_orderkey, -2 AS lo, 0 AS hi, '[-2:0]' AS dims,

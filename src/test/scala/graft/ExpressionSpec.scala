@@ -409,6 +409,32 @@ class ExpressionSpec extends AnyFunSuite {
     assert(jn == Row(0, -29, -82800000000L), jn.toString)
   }
 
+  test("ltree: ancestry algebra, lca fold, lquery star/alternation compile") {
+    import graft.functions.Ltree
+    Tables.register(spark, TestSpark.sf0001)
+    def m(path: String, q: String): Boolean =
+      spark.range(1).select(Ltree.matches(lit(path), q)).head().getBoolean(0)
+    // star matches ZERO or more labels; bounded star is exact
+    assert(m("a.b.c", "a.*.c") && m("a.c", "a.*.c") && !m("a.c.d", "a.*.c"))
+    assert(m("a.b.c", "a.*{1}.c") && !m("a.c", "a.*{1}.c"))
+    assert(m("a.b.b.c", "a.*{1,2}.c") && !m("a.b.b.b.c", "a.*{1,2}.c"))
+    assert(m("a.x.c", "a.x|y.c") && m("a.y.c", "a.x|y.c") && !m("a.z.c", "a.x|y.c"))
+    // labels are literal — regex metacharacters cannot inject
+    assert(!m("a.xc", "a.x|y.c") && !m("aXb.c", "a*b.c".replace("*", ".")))
+    val row = spark.range(1).select(
+      Ltree.nlevel(lit("a.b.c")).as("n"),
+      Ltree.subpath(lit("a.b.c.d"), 1, 2).as("sp"),
+      Ltree.isAncestor(lit("a.b"), lit("a.b.c")).as("anc"),
+      Ltree.isAncestor(lit("a.b"), lit("a.bc")).as("not_anc"),
+      Ltree.lca(lit("a.b.c"), lit("a.b.d")).as("l1"),
+      Ltree.lca(lit("a.b"), lit("x.y")).as("l2"),
+      Ltree.lca(lit("a.b"), lit("a.b.c")).as("l3")).head()
+    assert(row.getInt(0) == 3 && row.getString(1) == "b.c")
+    assert(row.getBoolean(2) && !row.getBoolean(3))
+    assert(row.getString(4) == "a.b" && row.getString(5) == "" &&
+      row.getString(6) == "a.b")
+  }
+
   test("lower-bound arrays: subscript translation, NULL out-of-bounds, slice clamping") {
     import graft.functions.PgArrays._
     Tables.register(spark, TestSpark.sf0001)
