@@ -367,6 +367,127 @@ object GreengageDdl {
       throw new IllegalArgumentException(s"unsupported ALTER TABLE form: $other")
   }
 
+  // ALTER TABLE ... partition maintenance (gram.y:3343
+  // alter_table_partition_cmd: ADD/DROP/TRUNCATE/EXCHANGE PARTITION; the
+  // id-spec grammar at :3243 identifies a partition by FOR (value)).
+  // The CREATE path lowers `PARTITION BY RANGE|LIST (c)` onto hive-style
+  // value directories, so a partition's IDENTITY here is its column
+  // value — the `FOR (value)` spec form. Named partitions and SPLIT
+  // exist to manage explicit bound lists, which dynamic value
+  // partitioning subsumes (every distinct value is already its own
+  // directory); both are rejected with a pointer to this mapping.
+  private val partForRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+(ADD|DROP|TRUNCATE)\\s+PARTITION\\s+(?:IF\\s+EXISTS\\s+)?FOR\\s*\\(".r
+  private val partExchRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+EXCHANGE\\s+PARTITION\\s+FOR\\s*\\((.*?)\\)\\s*" +
+      "WITH\\s+TABLE\\s+([\\w.\"]+)(\\s+WITHOUT\\s+VALIDATION)?\\s*;?\\s*$").r
+  private val partUnsupportedRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+[\\w.\"]+\\s+(SPLIT|RENAME)\\s+PARTITION\\b.*$".r
+
+  /** The single partition column of a value-partitioned table. */
+  private def partitionColumn(spark: SparkSession, table: String): String = {
+    val pcs = spark.catalog.listColumns(table).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+    require(pcs.length == 1,
+      s"partition maintenance needs exactly one partition column on $table " +
+        s"(found ${pcs.mkString(", ")})")
+    pcs.head
+  }
+
+  /** A `FOR (value)` literal as a Spark SQL literal: quoted strings pass
+    * through (with '' escaping preserved), bare tokens are numeric. */
+  private def sqlLiteral(raw: String): String = {
+    val v = raw.trim
+    if (v.startsWith("'")) v
+    else { v.toDouble; v } // validates numeric; throws on junk
+  }
+
+  /** Translate + execute a Greengage partition-maintenance ALTER
+    * (AT_PartAdd / AT_PartDrop / AT_PartTruncate / AT_PartExchange,
+    * gram.y:3343-3572). ADD/DROP/TRUNCATE lower directly onto Spark's
+    * partition DDL — metadata + directory ops, no data rewrite. EXCHANGE
+    * (the reference's bulk-load verb: swap a staged table with a
+    * partition, a relfilenode swap in `cdbpartition.c`) becomes two
+    * bounded writes, each proportional to ONE partition — never the
+    * table: the old partition content is staged durably FIRST, then the
+    * incoming table overwrites just that partition (static partition
+    * overwrite), then the staged old content replaces the incoming
+    * table — the same two-way swap, with the DML module's crash
+    * contract (nothing is touched until the first snapshot is durable).
+    * Validation (the default, `WITHOUT VALIDATION` to skip) enforces the
+    * reference's check that every incoming row belongs to the target
+    * partition. */
+  def alterPartition(spark: SparkSession, ddl: String): Unit = {
+    partUnsupportedRe.findFirstMatchIn(ddl).foreach { m =>
+      throw new IllegalArgumentException(
+        s"${m.group(1).toUpperCase} PARTITION manages explicit bound lists, " +
+          "which dynamic value partitioning subsumes — every distinct value " +
+          "is its own partition directory (see GreengageDdl CREATE mapping)")
+    }
+    partExchRe.findFirstMatchIn(ddl) match {
+      case Some(m) =>
+        exchangePartition(spark, m.group(1).replace("\"", ""),
+          sqlLiteral(m.group(2)), m.group(3).replace("\"", ""),
+          validate = m.group(4) == null)
+      case None =>
+        val m = partForRe.findFirstMatchIn(ddl).getOrElse(
+          throw new IllegalArgumentException(
+            s"unsupported partition maintenance form: $ddl"))
+        val table = m.group(1).replace("\"", "")
+        val (value, _) = balanced(ddl, m.end - 1)
+        val pc = partitionColumn(spark, table)
+        val spec = s"$pc = ${sqlLiteral(value)}"
+        m.group(2).toUpperCase match {
+          case "ADD" =>
+            spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION ($spec)")
+          case "DROP" =>
+            spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
+          case "TRUNCATE" =>
+            spark.sql(s"TRUNCATE TABLE $table PARTITION ($spec)")
+        }
+    }
+  }
+
+  private def exchangePartition(spark: SparkSession, table: String,
+                                valueLit: String, withTable: String,
+                                validate: Boolean): Unit = {
+    val pc = partitionColumn(spark, table)
+    val dataCols = spark.table(table).columns.filterNot(_ == pc)
+    require(spark.table(withTable).columns.sorted.sameElements(
+      spark.table(table).columns.sorted),
+      s"EXCHANGE requires $withTable to have $table's exact column set")
+    if (validate) {
+      val outside = spark.table(withTable)
+        .where(s"NOT ($pc <=> $valueLit)").count()
+      require(outside == 0,
+        s"EXCHANGE validation: $outside rows of $withTable fall outside " +
+          s"partition $pc = $valueLit (use WITHOUT VALIDATION to skip)")
+    }
+    // stage the OLD partition durably before touching either side
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val stage = new java.io.File(new java.io.File(wh, ".dml_staging"),
+      s"exch_${table}_${java.util.UUID.randomUUID().toString.take(8)}")
+    spark.table(table).where(s"$pc <=> $valueLit")
+      .write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val oldSchema = spark.table(table).schema
+    // incoming table -> the one partition (static overwrite: only this
+    // partition's directory is replaced)
+    spark.sql(s"INSERT OVERWRITE TABLE $table PARTITION ($pc = $valueLit) " +
+      s"SELECT ${dataCols.mkString(", ")} FROM $withTable")
+    // staged old content -> the incoming table (the swap's other half)
+    spark.read.schema(oldSchema).parquet(stage.getAbsolutePath)
+      .select(spark.table(withTable).columns.map(
+        org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").insertInto(withTable)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(stage)
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(withTable)
+  }
+
   /** Read a DDL-created table, honoring DISTRIBUTED REPLICATED: replicated
     * tables come back with the broadcast hint applied so every join ships
     * the full copy to each task (the reference stores a copy per segment;

@@ -420,6 +420,57 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sumd(col("c_acctbal")).as("bal"))
     }),
 
+    // Partition maintenance (gram.y:3343 alter_table_partition_cmd):
+    // a LIST-partitioned table gets the full ETL verb set — EXCHANGE
+    // swaps a staged load with the '1-URGENT' partition (both
+    // directions), TRUNCATE empties '5-LOW', DROP removes
+    // '4-NOT SPECIFIED', ADD creates an empty partition. The oracle
+    // replays the verbs as set algebra over the source, and aggregates
+    // BOTH sides of the exchange — so the two-way swap must be lossless.
+    "q177_partition_maint" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      for (tbl <- Seq("pmaint_orders_rt", "pmaint_stage_rt")) {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        rm(new java.io.File(wh, tbl))
+      }
+      graft.operators.GreengageDdl.execute(s,
+        """CREATE TABLE pmaint_orders_rt (
+          |  o_orderkey bigint, o_totalprice double precision,
+          |  o_orderpriority text)
+          |DISTRIBUTED RANDOMLY
+          |PARTITION BY LIST (o_orderpriority)""".stripMargin)
+      s.sql("INSERT INTO pmaint_orders_rt " +
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders")
+      s.table("orders").where(col("o_orderpriority") === "1-URGENT")
+        .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+          (col("o_totalprice") + 10000.0d).as("o_totalprice"),
+          col("o_orderpriority"))
+        .write.saveAsTable("pmaint_stage_rt")
+      import graft.operators.GreengageDdl.alterPartition
+      alterPartition(s, "ALTER TABLE pmaint_orders_rt EXCHANGE PARTITION " +
+        "FOR ('1-URGENT') WITH TABLE pmaint_stage_rt")
+      alterPartition(s,
+        "ALTER TABLE pmaint_orders_rt TRUNCATE PARTITION FOR ('5-LOW')")
+      alterPartition(s,
+        "ALTER TABLE pmaint_orders_rt DROP PARTITION FOR ('4-NOT SPECIFIED')")
+      alterPartition(s,
+        "ALTER TABLE pmaint_orders_rt ADD PARTITION FOR ('9-EMPTY')")
+      val tAgg = s.table("pmaint_orders_rt").groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
+        .select(lit("t").as("src"), col("o_orderpriority"), col("n"),
+          col("total"))
+      val sAgg = s.table("pmaint_stage_rt").groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
+        .select(lit("s").as("src"), col("o_orderpriority"), col("n"),
+          col("total"))
+      tAgg.unionByName(sAgg)
+    }),
+
     // Greengage DDL surface (gram.y:4835): user DDL text -> bucketed
     // catalog table -> query it; oracle aggregates the source directly,
     // so the DDL round-trip must be lossless.
@@ -793,6 +844,25 @@ object PipelineQueries {
     "q140_matview" ->
       s"""SELECT l_returnflag, COUNT(*) AS n, ${oSumd("l_extendedprice")} AS revenue
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q177_partition_maint" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+         |incoming AS (
+         |  SELECT o_orderkey + 50000000 AS o_orderkey,
+         |    o_totalprice + 10000.0 AS o_totalprice, o_orderpriority
+         |  FROM base WHERE o_orderpriority = '1-URGENT'),
+         |after_t AS (
+         |  SELECT * FROM base
+         |  WHERE o_orderpriority IN ('2-HIGH', '3-MEDIUM')
+         |  UNION ALL SELECT * FROM incoming)
+         |SELECT 't' AS src, o_orderpriority, COUNT(*) AS n,
+         |  ${oSumd("o_totalprice")} AS total
+         |FROM after_t GROUP BY o_orderpriority
+         |UNION ALL
+         |SELECT 's' AS src, o_orderpriority, COUNT(*) AS n,
+         |  ${oSumd("o_totalprice")} AS total
+         |FROM base WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY o_orderpriority""".stripMargin,
     "q130_dml" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
          |  ${oSumd("CASE WHEN o_totalprice > 200000.0 THEN o_totalprice + 1000.0 ELSE o_totalprice END")} AS total

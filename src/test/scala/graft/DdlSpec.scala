@@ -885,6 +885,57 @@ class DdlSpec extends AnyFunSuite {
         |$$ LANGUAGE plpgsql""".stripMargin))
   }
 
+  test("partition maintenance: ADD/DROP/TRUNCATE/EXCHANGE, SPLIT rejected") {
+    drop("pm_t", "pm_stage")
+    spark.sql("CREATE TABLE pm_t (k BIGINT, v DOUBLE, p STRING) " +
+      "USING parquet PARTITIONED BY (p)")
+    spark.range(30).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v",
+      "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' " +
+        "ELSE 'c' END AS p")
+      .write.mode("append").insertInto("pm_t")
+    // staging load for partition 'a': same column set, different rows
+    spark.range(100, 104).selectExpr("id AS k", "CAST(0.5 AS DOUBLE) AS v",
+        "'a' AS p")
+      .write.saveAsTable("pm_stage")
+
+    // EXCHANGE is a two-way swap: pm_t('a') <-> pm_stage
+    GreengageDdl.alterPartition(spark,
+      "ALTER TABLE pm_t EXCHANGE PARTITION FOR ('a') WITH TABLE pm_stage")
+    assert(spark.table("pm_t").where("p = 'a'").count() == 4)
+    assert(spark.table("pm_stage").count() == 10)
+    assert(spark.table("pm_stage").where("k < 30 AND p = 'a'").count() == 10)
+
+    // validation rejects rows outside the target partition
+    intercept[IllegalArgumentException](GreengageDdl.alterPartition(spark,
+      "ALTER TABLE pm_t EXCHANGE PARTITION FOR ('b') WITH TABLE pm_stage"))
+
+    // TRUNCATE empties the partition but keeps it in the catalog
+    GreengageDdl.alterPartition(spark,
+      "ALTER TABLE pm_t TRUNCATE PARTITION FOR ('b')")
+    assert(spark.table("pm_t").where("p = 'b'").count() == 0)
+    assert(spark.sql("SHOW PARTITIONS pm_t").collect()
+      .exists(_.getString(0) == "p=b"))
+
+    // DROP removes partition + data
+    GreengageDdl.alterPartition(spark,
+      "ALTER TABLE pm_t DROP PARTITION FOR ('c')")
+    assert(spark.table("pm_t").where("p = 'c'").count() == 0)
+    assert(!spark.sql("SHOW PARTITIONS pm_t").collect()
+      .exists(_.getString(0) == "p=c"))
+
+    // ADD creates an empty partition
+    GreengageDdl.alterPartition(spark,
+      "ALTER TABLE pm_t ADD PARTITION FOR ('z')")
+    assert(spark.sql("SHOW PARTITIONS pm_t").collect()
+      .exists(_.getString(0) == "p=z"))
+
+    // SPLIT/RENAME manage explicit bound lists — rejected with mapping note
+    intercept[IllegalArgumentException](GreengageDdl.alterPartition(spark,
+      "ALTER TABLE pm_t SPLIT PARTITION FOR ('a') AT ('m') " +
+        "INTO (PARTITION x, PARTITION y)"))
+    drop("pm_t", "pm_stage")
+  }
+
   test("DISTRIBUTED REPLICATED reads back with the broadcast hint") {
     Tables.register(spark, TestSpark.sf0001)
     drop("nation_ddl")
