@@ -198,10 +198,76 @@ object TsLexize {
     stemTerms(text.split("\\s+").toSeq.filter(_.nonEmpty)).mkString(" & ")
 
   /** PG `phraseto_tsquery('english', text)`: lexize and chain with the
-    * adjacency operator. NOTE PG preserves original word distances when
-    * stopwords drop (`a <2> b`); this subset ANDs adjacency over the
-    * surviving lexemes, which is exact when the phrase has no interior
-    * stopwords. */
-  def phrasetoTsquery(text: String): String =
-    stemTerms(text.split("\\s+").toSeq.filter(_.nonEmpty)).mkString(" <-> ")
+    * phrase operator, PRESERVING original word distances across dropped
+    * stopwords — `"fat of rats"` becomes `fat <2> rat`, exactly PG's
+    * position accounting (to_tsany.c pushval_morph keeps the position
+    * counter advancing over stopwords). */
+  def phrasetoTsquery(text: String): String = {
+    val words = text.split("\\s+").toSeq.filter(_.nonEmpty)
+    // (lexeme, original position) with stopwords holding their slot
+    val positioned = words.zipWithIndex.collect {
+      case (w, i) if !englishStopwords.contains(w.toLowerCase) =>
+        (PorterStemmer.stem(w.toLowerCase), i)
+    }
+    positioned match {
+      case Seq() => ""
+      case (h, _) +: _ =>
+        positioned.sliding(2).collect {
+          case Seq((_, pi), (l, ci)) =>
+            val d = ci - pi
+            (if (d == 1) " <-> " else s" <$d> ") + l
+        }.mkString(h, "", "")
+    }
+  }
+
+  /** PG `websearch_to_tsquery('english', text)` (reference
+    * `src/backend/tsearch/wparser.c` / to_tsany.c websearch variant):
+    * the web-search-box grammar — bare words AND together, `"quoted
+    * text"` becomes a phrase (with stopword distance accounting), the
+    * word `OR` disjoins, a leading `-` negates the next word or quoted
+    * phrase. No parentheses; never raises on malformed input (unclosed
+    * quotes run to end of text), matching PG's always-succeeds
+    * contract. */
+  def websearchToTsquery(text: String): String = {
+    // split into: quoted segments, OR keyword, -prefixed atoms, words
+    val toks = scala.collection.mutable.ListBuffer.empty[String]
+    var or = false // pending OR between this atom and the previous
+    val ops = scala.collection.mutable.ListBuffer.empty[Boolean] // per-join: true=OR
+    var i = 0
+    def pushAtom(atom: String, neg: Boolean): Unit = {
+      val q = atom.trim
+      if (q.isEmpty) or = false // atom was all stopwords: vanish (PG drops it)
+      else {
+        if (toks.nonEmpty) ops += or
+        toks += (if (neg) s"!($q)" else q)
+        or = false
+      }
+    }
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"' || (c == '-' && i + 1 < text.length &&
+        text.charAt(i + 1) == '"')) {
+        val neg = c == '-'
+        val open = if (neg) i + 1 else i
+        val close = text.indexOf('"', open + 1)
+        val end = if (close < 0) text.length else close
+        pushAtom(phrasetoTsquery(text.substring(open + 1, end)), neg)
+        i = if (close < 0) text.length else close + 1
+      } else {
+        val start = i
+        while (i < text.length && !text.charAt(i).isWhitespace &&
+          text.charAt(i) != '"') i += 1
+        val raw = text.substring(start, i)
+        if (raw.equalsIgnoreCase("or") && toks.nonEmpty) or = true
+        else if (raw.startsWith("-"))
+          pushAtom(plaintoTsquery(raw.substring(1)), neg = true)
+        else pushAtom(plaintoTsquery(raw), neg = false)
+      }
+    }
+    if (toks.isEmpty) ""
+    else toks.zip(false +: ops.toSeq).map { case (t, isOr) =>
+      (if (isOr) " | " else " & ") + t
+    }.mkString.stripPrefix(" & ")
+  }
 }

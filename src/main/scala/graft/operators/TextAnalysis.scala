@@ -50,6 +50,56 @@ object TextAnalysis {
           + (lit(1.0) - col("punct_ratio")) * lit(0.2))
   }
 
+  /** Repetition signals for training-data filtering (the published
+    * Gopher/MassiveText quality rules — Rae et al. 2021, table A1:
+    * documents dominated by a few words or by repeated n-grams are
+    * boilerplate): per document, the most-frequent-word fraction and
+    * the duplicate bigram/trigram occurrence fractions. One explode of
+    * tagged n-grams → one fine-grained (doc, n, gram) count (map-side
+    * combined, no skew: the key space grows with the corpus) → two
+    * doc-keyed aggregations. Linear, shuffle-bounded; ratios are
+    * BIGINT-derived double divisions, so the oracle reproduces them
+    * bit-exactly. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    def grams(n: Int): Column =
+      if (n == 1) words
+      else
+        // sequence(1, k) DESCENDS when k < 1 — guard short docs to empty
+        when(size(words) >= n,
+          transform(sequence(lit(1), size(words) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(k => element_at(words, i + lit(k))): _*)))
+          .otherwise(array().cast("array<string>"))
+    val tagged = (1 to 3).map(n =>
+      transform(grams(n), g => struct(lit(n).as("n"), g.as("gram"))))
+    val counts = docs
+      .select(col(idCol), explode(flatten(array(tagged: _*))).as("g"))
+      .groupBy(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+      .count()
+    counts.groupBy(col(idCol), col("n"))
+      .agg(sum("count").as("total"), max("count").as("maxc"),
+        count(lit(1)).as("dist"))
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("n") === 1, col("maxc"))).as("max1"),
+        max(when(col("n") === 1, col("total"))).as("tot1"),
+        max(when(col("n") === 2, col("dist"))).as("dist2"),
+        max(when(col("n") === 2, col("total"))).as("tot2"),
+        max(when(col("n") === 3, col("dist"))).as("dist3"),
+        max(when(col("n") === 3, col("total"))).as("tot3"))
+      .select(col(idCol),
+        (col("max1").cast("double") / col("tot1").cast("double"))
+          .as("top_word_frac"),
+        coalesce(lit(1.0) -
+          col("dist2").cast("double") / col("tot2").cast("double"), lit(0.0))
+          .as("dup_bigram_frac"),
+        coalesce(lit(1.0) -
+          col("dist3").cast("double") / col("tot3").cast("double"), lit(0.0))
+          .as("dup_trigram_frac"))
+  }
+
   /** TF-IDF term weights per document: tf from a (doc, term) count,
     * document frequency from a distinct-doc count per term, idf =
     * ln(N/df) with the corpus size N riding the plan as a broadcast

@@ -398,8 +398,12 @@ object FunctionQueries {
     // hash itself is unpinnable — the catalog row verifies the CONTRACT:
     // crypt(pw, stored) == stored for the right password, != for a
     // wrong one, plus a fixed-salt hash pinned against glibc crypt(3).
+    // Runs on a deterministic 5% slice: MD5-crypt is key stretching —
+    // 1000 MD5 rounds per call BY DESIGN, and this row does three calls
+    // per row. The per-row cost is the algorithm's contract, not
+    // overhead; the slice keeps the bench bounded (same device as q142).
     "q167_pgcrypto_crypt" -> ((s, d) =>
-      t(s, d, "customer")
+      t(s, d, "customer").where(col("c_custkey") % 20 === 0)
         .withColumn("h", expr("crypt(c_name, gen_salt('md5'))"))
         .select(col("c_custkey"),
           (expr("crypt(c_name, h)") === col("h")).as("matches"),
@@ -512,6 +516,30 @@ object FunctionQueries {
             Seq("retrieval" -> "(query | scan)")).as("rew_match"),
           tsMatchRewritten(col("words"), "join & hash",
             Seq("hash & join" -> "hash <-> join")).as("rew_phrase"))
+    }),
+
+    // tsquery constructors (to_tsany.c plainto/phraseto, wparser.c
+    // websearch): free text -> tsquery through the english dictionary,
+    // then compiled positionally. The document side stems EVERY word in
+    // place (no filter), so lexeme positions equal original token
+    // positions — which is what makes phraseto's stopword-gap distances
+    // (`valu <2> tabl` from "value of tables") line up, exactly PG's
+    // tsvector position accounting.
+    "q178_tsquery_construct" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      t(s, d, "documents")
+        .withColumn("st", transform(split(col("text"), " "),
+          x => call_function("porter_stem", lower(x))))
+        .select(col("doc_id"),
+          Ranges.tsMatchQuery(col("st"),
+            TsLexize.plaintoTsquery("the merges of data")) // merg & data
+            .as("plain"),
+          Ranges.tsMatchQuery(col("st"),
+            TsLexize.phrasetoTsquery("value of tables")) // valu <2> tabl
+            .as("phrase_gap"),
+          Ranges.tsMatchQuery(col("st"),
+            TsLexize.websearchToTsquery("\"data query\" OR scan -merges"))
+            .as("web")) // data <-> queri | scan & !(merg)
     }),
 
     // Stemmed text search through the `english` configuration
@@ -1330,7 +1358,7 @@ object FunctionQueries {
     "q167_pgcrypto_crypt" ->
       """SELECT c_custkey, TRUE AS matches, FALSE AS wrong_pw,
         |  '$1$saltsalt$qjXMvbEw8oaL.CzflDtaK/' AS pinned
-        |FROM customer""".stripMargin,
+        |FROM customer WHERE c_custkey % 20 = 0""".stripMargin,
     // xpath extraction must invert the row's XML construction
     "q142_xml_xpath" ->
       """SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority,
@@ -1487,6 +1515,35 @@ object FunctionQueries {
         |    words[CAST(i AS INT)] = 'hash' AND
         |    words[CAST(i AS INT) + 1] = 'join')) > 0 AS rew_phrase
         |FROM w""".stripMargin,
+
+    // independent spelling of the constructed queries: the oracle stems
+    // via the closed-vocabulary CASE chain (see q145's note) and spells
+    // each constructor's OUTPUT as literal boolean/positional SQL
+    "q178_tsquery_construct" -> {
+      import graft.functions.PorterStemmer
+      val vocab = Seq("a", "agg", "batch", "big", "column", "customer",
+        "data", "dup", "fast", "filter", "group", "hash", "join", "key",
+        "line", "merge", "order", "part", "query", "row", "scan", "slow",
+        "small", "sort", "spark", "stream", "table", "the", "value",
+        "vector", "window")
+      val cases = vocab.map(w =>
+        s"WHEN x = '$w' THEN '${PorterStemmer.stem(w)}'").mkString(" ")
+      s"""WITH w AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '),
+         |    x -> CASE $cases ELSE lower(x) END) AS st
+         |  FROM documents)
+         |SELECT doc_id,
+         |  (list_contains(st, 'merg') AND list_contains(st, 'data')) AS plain,
+         |  len(list_filter(range(1, len(st) + 1), i ->
+         |    st[CAST(i AS INT)] = 'valu' AND
+         |    st[CAST(i AS INT) + 2] = 'tabl')) > 0 AS phrase_gap,
+         |  (len(list_filter(range(1, len(st) + 1), i ->
+         |     st[CAST(i AS INT)] = 'data' AND
+         |     st[CAST(i AS INT) + 1] = 'queri')) > 0 OR
+         |   (list_contains(st, 'scan') AND NOT list_contains(st, 'merg')))
+         |    AS web
+         |FROM w""".stripMargin
+    },
 
     // out-of-range list indexes yield NULL in DuckDB, which list_filter
     // drops — so no explicit end-bound is needed on the position range

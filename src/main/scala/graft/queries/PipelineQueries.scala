@@ -66,6 +66,14 @@ object PipelineQueries {
         .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
           "stopword_ratio", "quality_score")),
 
+    // Repetition signals (Gopher/MassiveText boilerplate rules):
+    // most-frequent-word fraction + duplicate bigram/trigram fractions.
+    "q179_repetition_signals" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(t(s, d, "documents"))
+        .select(col("doc_id"), round(col("top_word_frac"), 6).as("top_word_frac"),
+          round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"),
+          round(col("dup_trigram_frac"), 6).as("dup_trigram_frac"))),
+
     // TF-IDF term weights (tf, df exact longs; idf = ln(N/df) rounded to
     // 6 decimals on both sides — JVM Math.log and libm differ by 1 ulp).
     "q110_tfidf" -> ((s, d) =>
@@ -602,6 +610,35 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang""".stripMargin,
+    "q179_repetition_signals" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (
+        |  SELECT doc_id, 1 AS n, unnest(words) AS gram FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 2, unnest(CASE WHEN len(words) >= 2 THEN
+        |    list_transform(range(1, len(words)), i ->
+        |      words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT) + 1])
+        |    ELSE [] END) FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 3, unnest(CASE WHEN len(words) >= 3 THEN
+        |    list_transform(range(1, len(words) - 1), i ->
+        |      words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT) + 1]
+        |        || ' ' || words[CAST(i AS INT) + 2])
+        |    ELSE [] END) FROM w),
+        |c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |a AS (SELECT doc_id, n, SUM(cnt) AS total, MAX(cnt) AS maxc,
+        |  COUNT(*) AS dist FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  ROUND(CAST(MAX(CASE WHEN n = 1 THEN maxc END) AS DOUBLE)
+        |    / CAST(MAX(CASE WHEN n = 1 THEN total END) AS DOUBLE), 6)
+        |    AS top_word_frac,
+        |  ROUND(COALESCE(1.0 - CAST(MAX(CASE WHEN n = 2 THEN dist END) AS DOUBLE)
+        |    / CAST(MAX(CASE WHEN n = 2 THEN total END) AS DOUBLE), 0.0), 6)
+        |    AS dup_bigram_frac,
+        |  ROUND(COALESCE(1.0 - CAST(MAX(CASE WHEN n = 3 THEN dist END) AS DOUBLE)
+        |    / CAST(MAX(CASE WHEN n = 3 THEN total END) AS DOUBLE), 0.0), 6)
+        |    AS dup_trigram_frac
+        |FROM a GROUP BY doc_id""".stripMargin,
     "q110_tfidf" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),

@@ -181,6 +181,33 @@ class ExpressionSpec extends AnyFunSuite {
     assert(stemmed.where(graft.functions.Ranges.tsMatchQuery(
       org.apache.spark.sql.functions.col("l"),
       TsLexize.phrasetoTsquery("big data queries"))).count() == 1)
+    // phraseto keeps original word distances across dropped stopwords
+    // (PG: phraseto_tsquery('fat of rats') = 'fat <2> rat')
+    assert(TsLexize.phrasetoTsquery("fat of rats") == "fat <2> rat")
+    assert(TsLexize.phrasetoTsquery("the fat of the rats") == "fat <3> rat")
+    assert(TsLexize.phrasetoTsquery("of the") == "")
+    // websearch grammar: AND words, quoted phrases, OR, -negation
+    assert(TsLexize.websearchToTsquery("big data") == "big & data")
+    assert(TsLexize.websearchToTsquery("\"big data\" engine")
+      == "big <-> data & engin")
+    assert(TsLexize.websearchToTsquery("cats OR dogs") == "cat | dog")
+    assert(TsLexize.websearchToTsquery("scan -merges") == "scan & !(merg)")
+    assert(TsLexize.websearchToTsquery("scan -\"hash join\"")
+      == "scan & !(hash <-> join)")
+    // always-succeeds contract: unclosed quote, stopword-only atoms
+    assert(TsLexize.websearchToTsquery("\"big data") == "big <-> data")
+    assert(TsLexize.websearchToTsquery("the of") == "")
+    assert(TsLexize.websearchToTsquery("scan OR the") == "scan")
+    // the generated strings compile and match positionally
+    val ws = spark.sql("SELECT 1").select(
+      graft.functions.TsLexize.lexize(org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.lit("big data query engine"), " ")).as("l"))
+    assert(ws.where(graft.functions.Ranges.tsMatchQuery(
+      org.apache.spark.sql.functions.col("l"),
+      TsLexize.websearchToTsquery("\"big data\" -merges"))).count() == 1)
+    assert(ws.where(graft.functions.Ranges.tsMatchQuery(
+      org.apache.spark.sql.functions.col("l"),
+      TsLexize.websearchToTsquery("\"data big\""))).count() == 0)
   }
 
   test("jsonb_set: setPath semantics incl. negative index and strict steps") {
