@@ -393,6 +393,29 @@ object FunctionQueries {
         expr("base64(aes_encrypt('fixed vector', '0123456789abcdef', 'ECB'))")
           .as("ct_fixed"))),
 
+    // inet/cidr operators (network.c:309-816): host/masklen/network/
+    // broadcast/netmask/hostmask plus << and <<= containment, all as
+    // bit-arithmetic column algebra over PG text addresses. The oracle
+    // replays the same 32-bit arithmetic in SQL.
+    "q180_inet" -> ((s, d) => {
+      import graft.functions.Inet
+      val ip = concat(lit("10."),
+        (col("c_custkey") % 200).cast("string"), lit("."),
+        (col("c_custkey") % 97).cast("string"), lit("."),
+        (col("c_custkey") % 250).cast("string"), lit("/"),
+        (lit(16) + col("c_custkey") % 16).cast("string"))
+      val net = lit("10.42.0.0/16")
+      t(s, d, "customer").select(col("c_custkey"),
+        Inet.host(ip).as("host"),
+        Inet.masklen(ip).as("mlen"),
+        Inet.network(ip).as("network"),
+        Inet.broadcast(ip).as("bcast"),
+        Inet.netmask(ip).as("netmask"),
+        Inet.hostmask(ip).as("hostmask"),
+        Inet.containedInEq(ip, net).as("in_net"),
+        Inet.containedIn(ip, net).as("in_net_strict"))
+    }),
+
     // pgcrypto crypt()/gen_salt() (contrib/pgcrypto/pgcrypto.c:203,
     // crypt-md5.c): gen_salt draws a fresh random salt per row, so the
     // hash itself is unpinnable — the catalog row verifies the CONTRACT:
@@ -1355,6 +1378,33 @@ object FunctionQueries {
         |FROM customer""".stripMargin,
     // the contract columns are constants; the pinned hash is glibc's
     // crypt(3) output for the same (password, salt)
+    "q180_inet" ->
+      """WITH b AS (SELECT c_custkey,
+        |    c_custkey % 200 AS o2, c_custkey % 97 AS o3, c_custkey % 250 AS o4,
+        |    16 + c_custkey % 16 AS mlen FROM customer),
+        |v AS (SELECT *,
+        |    ((10 * 256 + o2) * 256 + o3) * 256 + o4 AS ipl,
+        |    ((4294967295 << (32 - mlen)) & 4294967295) AS mask
+        |  FROM b)
+        |SELECT c_custkey,
+        |  '10.' || o2 || '.' || o3 || '.' || o4 AS host,
+        |  CAST(mlen AS INT) AS mlen,
+        |  ((ipl & mask) >> 24) || '.' || (((ipl & mask) >> 16) & 255) || '.'
+        |    || (((ipl & mask) >> 8) & 255) || '.' || ((ipl & mask) & 255)
+        |    || '/' || mlen AS network,
+        |  ((ipl | (4294967295 - mask)) >> 24) || '.'
+        |    || (((ipl | (4294967295 - mask)) >> 16) & 255) || '.'
+        |    || (((ipl | (4294967295 - mask)) >> 8) & 255) || '.'
+        |    || ((ipl | (4294967295 - mask)) & 255) || '/' || mlen AS bcast,
+        |  (mask >> 24) || '.' || ((mask >> 16) & 255) || '.'
+        |    || ((mask >> 8) & 255) || '.' || (mask & 255) AS netmask,
+        |  ((4294967295 - mask) >> 24) || '.'
+        |    || (((4294967295 - mask) >> 16) & 255) || '.'
+        |    || (((4294967295 - mask) >> 8) & 255) || '.'
+        |    || ((4294967295 - mask) & 255) AS hostmask,
+        |  (16 <= mlen AND (ipl & 4294901760) = 170524672) AS in_net,
+        |  (16 < mlen AND (ipl & 4294901760) = 170524672) AS in_net_strict
+        |FROM v""".stripMargin,
     "q167_pgcrypto_crypt" ->
       """SELECT c_custkey, TRUE AS matches, FALSE AS wrong_pw,
         |  '$1$saltsalt$qjXMvbEw8oaL.CzflDtaK/' AS pinned

@@ -210,6 +210,36 @@ class ExpressionSpec extends AnyFunSuite {
       TsLexize.websearchToTsquery("\"data big\""))).count() == 0)
   }
 
+  test("inet: mask arithmetic, bare-address default, containment edges") {
+    import graft.functions.Inet._
+    import org.apache.spark.sql.functions.{col, lit}
+    val r = spark.sql("SELECT 1").select(
+      host(lit("192.168.1.7/24")).as("h"),
+      masklen(lit("192.168.1.7/24")).as("m24"),
+      masklen(lit("192.168.1.7")).as("m32"), // bare address -> /32
+      network(lit("192.168.1.7/24")).as("nw"),
+      broadcast(lit("192.168.1.7/24")).as("bc"),
+      netmask(lit("192.168.1.7/24")).as("nm"),
+      hostmask(lit("192.168.1.7/24")).as("hm"),
+      network(lit("1.2.3.4/0")).as("nw0"), // len 0: everything masked
+      containedInEq(lit("192.168.1.7/24"), lit("192.168.0.0/16")).as("sub"),
+      containedIn(lit("192.168.0.0/16"), lit("192.168.0.0/16")).as("strict_self"),
+      containedInEq(lit("192.168.0.0/16"), lit("192.168.0.0/16")).as("eq_self"),
+      containedInEq(lit("192.169.1.7"), lit("192.168.0.0/16")).as("outside"))
+      .head()
+    assert(r.getString(0) == "192.168.1.7")
+    assert(r.getInt(1) == 24 && r.getInt(2) == 32)
+    assert(r.getString(3) == "192.168.1.0/24")
+    assert(r.getString(4) == "192.168.1.255/24")
+    assert(r.getString(5) == "255.255.255.0")
+    assert(r.getString(6) == "0.0.0.255")
+    assert(r.getString(7) == "0.0.0.0/0")
+    assert(r.getBoolean(8)) // /24 inside /16
+    assert(!r.getBoolean(9)) // << is strict: a net is not inside itself
+    assert(r.getBoolean(10)) // <<= is reflexive
+    assert(!r.getBoolean(11))
+  }
+
   test("jsonb_set: setPath semantics incl. negative index and strict steps") {
     def set(doc: String, path: String, v: String): String =
       spark.sql(s"SELECT jsonb_set('$doc', '$path', '$v') AS r").head().getString(0)
