@@ -505,6 +505,21 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // SRFs in the SELECT list (execQual.c:1888 ExprMultipleResult): the
+    // reference's historic protocol — sets cycle to their LCM per row
+    // (lengths 1..3 against the constant-2 split give 2, 2, and 6
+    // output rows). The oracle replays the modular indexing with
+    // DuckDB's lcm().
+    "q184_srf_targetlist" -> ((s, d) => {
+      import graft.operators.Srf
+      val base = t(s, d, "orders").where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          sequence(lit(1L), col("o_orderkey") % 3 + 1L).as("ser"),
+          split(col("o_orderpriority"), "-").as("pr"))
+      Srf.projectSetLcm(base, Seq("s1" -> col("ser"), "s2" -> col("pr")))
+        .select(col("o_orderkey"), col("s1"), col("s2"))
+    }),
+
     // TPC-H Q5: the 6-table local-supplier star — region/nation dims
     // broadcast, the c_nationkey = s_nationkey locality predicate rides
     // the supplier join.
@@ -1113,6 +1128,16 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1997-03-15' AND l_shipdate > TIMESTAMP '1997-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q184_srf_targetlist" ->
+      """WITH b AS (SELECT o_orderkey, o_orderkey % 3 + 1 AS l1,
+        |    string_split(o_orderpriority, '-') AS a2
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |v AS (SELECT o_orderkey, l1, a2, len(a2) AS l2 FROM b),
+        |e AS (SELECT *, unnest(range(1, CAST(lcm(l1, l2) AS BIGINT) + 1)) AS i
+        |  FROM v)
+        |SELECT o_orderkey, CAST((i - 1) % l1 + 1 AS BIGINT) AS s1,
+        |  a2[CAST((i - 1) % l2 + 1 AS INT)] AS s2
+        |FROM e""".stripMargin,
     "q181_tpch_q5" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

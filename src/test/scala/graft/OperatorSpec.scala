@@ -507,6 +507,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(lo > hi && hi > 0)
   }
 
+  test("SRF targetlist: LCM cycling vs zip-pad, empty-set behavior") {
+    import graft.operators.Srf
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = Seq(
+      (1L, Seq(1, 2, 3), Seq("a", "b")),   // lcm 6, zip 3
+      (2L, Seq(1, 2), Seq("a", "b")),      // equal: both 2
+      (3L, Seq.empty[Int], Seq("a", "b")), // empty: lcm 0 rows, zip pads
+      (4L, Seq.empty[Int], Seq.empty[String])) // all empty: 0 rows both
+      .toDF("k", "s1a", "s2a")
+    val lcm = Srf.projectSetLcm(df, Seq("x" -> col("s1a"), "y" -> col("s2a")))
+      .select("k", "x", "y")
+    val byK = lcm.collect().groupBy(_.getLong(0))
+    assert(byK(1L).length == 6)
+    // cycling: row 4 of k=1 is (1 again, b) — sets restart independently
+    assert(byK(1L).map(r => (r.getInt(1), r.getString(2))).toSeq.sorted ==
+      Seq((1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b")))
+    assert(byK(2L).length == 2)
+    assert(!byK.contains(3L) && !byK.contains(4L)) // empty set annihilates
+    val zip = Srf.projectSetZip(df, Seq("x" -> col("s1a"), "y" -> col("s2a")))
+      .select("k", "x", "y")
+    val zbyK = zip.collect().groupBy(_.getLong(0))
+    assert(zbyK(1L).length == 3)
+    assert(zbyK(1L).count(r => r.isNullAt(2)) == 1) // b exhausted at i=3
+    assert(zbyK(3L).length == 2 && zbyK(3L).forall(_.isNullAt(1)))
+    assert(!zbyK.contains(4L))
+  }
+
   test("text quality features handle empty and punct-only text") {
     val docs = Seq((1L, ""), (2L, "..."), (3L, "the cat sat."))
       .toDF("doc_id", "text")
