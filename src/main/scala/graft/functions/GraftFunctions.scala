@@ -141,6 +141,57 @@ object GraftStrings {
   * everything else (`. ^ $` …) is a LITERAL, the escape character
   * protects the next character, and the whole pattern is anchored.
   * Compiled driver-side once; matching is Spark's codegen RLIKE. */
+/** fuzzystrmatch soundex/difference (reference `contrib/fuzzystrmatch/
+  * fuzzystrmatch.c` soundex/difference). The engine-side soundex is
+  * Spark's codegen builtin; [[soundexRef]] is an INDEPENDENT
+  * implementation of the published American Soundex rules (Knuth TAOCP
+  * vol. 3 §6 / the algorithm fuzzystrmatch documents) used to generate
+  * oracle expectations and cross-check the builtin — pinned against the
+  * canonical published examples in ExpressionSpec. */
+object Soundex {
+
+  def soundexRef(s: String): String = {
+    val u = s.toUpperCase.filter(c => c >= 'A' && c <= 'Z')
+    if (u.isEmpty) ""
+    else {
+      def code(c: Char): Char = c match {
+        case 'B' | 'F' | 'P' | 'V' => '1'
+        case 'C' | 'G' | 'J' | 'K' | 'Q' | 'S' | 'X' | 'Z' => '2'
+        case 'D' | 'T' => '3'
+        case 'L' => '4'
+        case 'M' | 'N' => '5'
+        case 'R' => '6'
+        case _ => '0' // vowels + H/W/Y
+      }
+      val sb = new StringBuilder
+      sb += u.head
+      var prev = code(u.head)
+      for (c <- u.tail if sb.length < 4) {
+        val d = code(c)
+        if (d != '0' && d != prev) sb += d
+        // H and W are transparent: they do NOT break a digit run
+        if (c != 'H' && c != 'W') prev = d
+      }
+      sb.toString.padTo(4, '0')
+    }
+  }
+
+  import org.apache.spark.sql.Column
+
+  /** `difference(a, b)`: matching positions of the two soundex codes,
+    * 0..4 (fuzzystrmatch.c difference). */
+  def difference(a: Column, b: Column): Column = {
+    val sa = org.apache.spark.sql.functions.soundex(a)
+    val sb = org.apache.spark.sql.functions.soundex(b)
+    (0 until 4).map { i =>
+      org.apache.spark.sql.functions
+        .when(org.apache.spark.sql.functions.substring(sa, i + 1, 1) ===
+          org.apache.spark.sql.functions.substring(sb, i + 1, 1), 1)
+        .otherwise(0)
+    }.reduce(_ + _)
+  }
+}
+
 object SimilarTo {
 
   def similarToRegex(pat: String, esc: Char = '\\'): String = {

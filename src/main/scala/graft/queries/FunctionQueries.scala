@@ -393,6 +393,21 @@ object FunctionQueries {
         expr("base64(aes_encrypt('fixed vector', '0123456789abcdef', 'ECB'))")
           .as("ct_fixed"))),
 
+    // fuzzystrmatch soundex/difference (contrib/fuzzystrmatch): codes
+    // from Spark's builtin, positional difference 0..4; the oracle
+    // carries codes from an INDEPENDENT soundex implementation pinned
+    // against the published examples — builtin and re-derivation must
+    // agree on the whole vocabulary.
+    "q185_soundex" -> ((s, d) => {
+      import graft.functions.Soundex
+      val w = split(col("p_name"), " ")
+      t(s, d, "part").select(col("p_partkey"),
+        soundex(element_at(w, 1)).as("sx1"),
+        soundex(element_at(w, 2)).as("sx2"),
+        Soundex.difference(element_at(w, 1), element_at(w, 2)).as("diff"),
+        Soundex.difference(element_at(w, 1), element_at(w, 1)).as("diff_self"))
+    }),
+
     // inet/cidr operators (network.c:309-816): host/masklen/network/
     // broadcast/netmask/hostmask plus << and <<= containment, all as
     // bit-arithmetic column algebra over PG text addresses. The oracle
@@ -1378,6 +1393,29 @@ object FunctionQueries {
         |FROM customer""".stripMargin,
     // the contract columns are constants; the pinned hash is glibc's
     // crypt(3) output for the same (password, salt)
+    "q185_soundex" -> {
+      import graft.functions.Soundex.soundexRef
+      val vocab = Seq("anvil", "blue", "bolt", "cold", "gear", "gizmo",
+        "hot", "large", "new", "old", "plate", "red", "ring", "rod",
+        "small", "widget")
+      def cases(v: String) = vocab.map(w =>
+        s"WHEN $v = '$w' THEN '${soundexRef(w)}'").mkString(" ")
+      s"""WITH b AS (SELECT p_partkey,
+         |    string_split(p_name, ' ')[1] AS w1,
+         |    string_split(p_name, ' ')[2] AS w2
+         |  FROM part),
+         |c AS (SELECT p_partkey,
+         |    CASE ${cases("w1")} END AS sx1,
+         |    CASE ${cases("w2")} END AS sx2 FROM b)
+         |SELECT p_partkey, sx1, sx2,
+         |  CAST((CASE WHEN substr(sx1,1,1) = substr(sx2,1,1) THEN 1 ELSE 0 END)
+         |     + (CASE WHEN substr(sx1,2,1) = substr(sx2,2,1) THEN 1 ELSE 0 END)
+         |     + (CASE WHEN substr(sx1,3,1) = substr(sx2,3,1) THEN 1 ELSE 0 END)
+         |     + (CASE WHEN substr(sx1,4,1) = substr(sx2,4,1) THEN 1 ELSE 0 END)
+         |    AS INT) AS diff,
+         |  CAST(4 AS INT) AS diff_self
+         |FROM c""".stripMargin
+    },
     "q180_inet" ->
       """WITH b AS (SELECT c_custkey,
         |    c_custkey % 200 AS o2, c_custkey % 97 AS o3, c_custkey % 250 AS o4,

@@ -210,6 +210,37 @@ class ExpressionSpec extends AnyFunSuite {
       TsLexize.websearchToTsquery("\"data big\""))).count() == 0)
   }
 
+  test("soundex: re-derivation pinned to published examples, agrees with builtin") {
+    import graft.functions.Soundex.soundexRef
+    // the canonical American Soundex examples (Knuth TAOCP vol.3 §6;
+    // the same set the fuzzystrmatch docs use)
+    assert(soundexRef("Robert") == "R163")
+    assert(soundexRef("Rupert") == "R163")
+    assert(soundexRef("Ashcraft") == "A261") // H transparent to the digit run
+    assert(soundexRef("Ashcroft") == "A261")
+    assert(soundexRef("Tymczak") == "T522")
+    assert(soundexRef("Pfister") == "P236") // P,F same digit: collapsed
+    assert(soundexRef("Honeyman") == "H555")
+    assert(soundexRef("Euler") == "E460")
+    assert(soundexRef("Gauss") == "G200")
+    // re-derivation == Spark builtin over the parts vocabulary
+    import org.apache.spark.sql.functions.{col, soundex}
+    val vocab = Seq("anvil", "blue", "bolt", "cold", "gear", "gizmo",
+      "hot", "large", "new", "old", "plate", "red", "ring", "rod",
+      "small", "widget")
+    val rows = vocab.toDF("w").select(col("w"), soundex(col("w"))).collect()
+    rows.foreach(r => assert(r.getString(1) == soundexRef(r.getString(0)),
+      s"builtin vs ref mismatch for ${r.getString(0)}"))
+    // difference(): identical -> 4, disjoint codes -> small
+    import graft.functions.Soundex.difference
+    import org.apache.spark.sql.functions.lit
+    val d = spark.sql("SELECT 1").select(
+      difference(lit("Robert"), lit("Rupert")).as("same"),
+      difference(lit("anvil"), lit("widget")).as("far")).head()
+    assert(d.getInt(0) == 4)
+    assert(d.getInt(1) <= 1)
+  }
+
   test("inet: mask arithmetic, bare-address default, containment edges") {
     import graft.functions.Inet._
     import org.apache.spark.sql.functions.{col, lit}
