@@ -428,6 +428,24 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sumd(col("c_acctbal")).as("bal"))
     }),
 
+    // Z-order clustering (the btree/bitmap-index replacement, SURVEY §2
+    // index row): orders clustered on the (o_custkey, o_totalprice)
+    // Morton key, then a 2-d box query — the layout must be lossless
+    // (oracle runs the same box over the source), and ZOrderSpec
+    // asserts the row-group pruning win the layout exists for.
+    "q186_zorder" -> ((s, d) => {
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      val path = s"$wh/zorder_orders_rt"
+      graft.operators.ZOrder.writeZOrdered(
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        path, Seq("o_custkey", "o_totalprice"))
+      s.read.parquet(path)
+        .where(col("o_custkey").between(100, 300) &&
+          col("o_totalprice") < 150000.0)
+        .groupBy((col("o_custkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
+    }),
+
     // Partition maintenance (gram.y:3343 alter_table_partition_cmd):
     // a LIST-partitioned table gets the full ETL verb set — EXCHANGE
     // swaps a staged load with the '1-URGENT' partition (both
@@ -881,6 +899,12 @@ object PipelineQueries {
     "q140_matview" ->
       s"""SELECT l_returnflag, COUNT(*) AS n, ${oSumd("l_extendedprice")} AS revenue
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q186_zorder" ->
+      s"""SELECT o_custkey % 10 AS bucket, COUNT(*) AS n,
+         |  ${oSumd("o_totalprice")} AS total
+         |FROM orders
+         |WHERE o_custkey BETWEEN 100 AND 300 AND o_totalprice < 150000.0
+         |GROUP BY o_custkey % 10""".stripMargin,
     "q177_partition_maint" ->
       s"""WITH base AS (
          |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
