@@ -192,6 +192,35 @@ object Soundex {
   }
 }
 
+/** contrib/earthdistance great-circle distance (reference
+  * `contrib/earthdistance/earthdistance.c:17,60-77` geo_distance): the
+  * exact published formula — half-angle haversine with the longitude
+  * difference wrapped below pi and the sine clamped to 1, on the
+  * EARTH_RADIUS = 3958.747716 statute-mile sphere. Pure codegen math
+  * builtins; the multiplication shapes mirror the C so an oracle
+  * spelling the same expression reproduces it to 1 ulp. */
+object EarthDistance {
+  import org.apache.spark.sql.Column
+
+  private val EarthRadiusMiles = 3958.747716
+
+  /** Distance in statute miles; arguments in degrees (x=longitude,
+    * y=latitude, the `point` convention geo_distance documents). */
+  def geoDistance(lon1: Column, lat1: Column,
+                  lon2: Column, lat2: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val (l1, t1) = (radians(lon1), radians(lat1))
+    val (l2, t2) = (radians(lon2), radians(lat2))
+    val rawDiff = abs(l1 - l2)
+    val longdiff =
+      when(rawDiff > math.Pi, lit(2 * math.Pi) - rawDiff).otherwise(rawDiff)
+    val sinLat = sin(abs(t1 - t2) / 2)
+    val sinLon = sin(longdiff / 2)
+    val sino = sqrt(sinLat * sinLat + cos(t1) * cos(t2) * sinLon * sinLon)
+    lit(2 * EarthRadiusMiles) * asin(least(sino, lit(1.0)))
+  }
+}
+
 object SimilarTo {
 
   def similarToRegex(pat: String, esc: Char = '\\'): String = {

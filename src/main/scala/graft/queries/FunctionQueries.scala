@@ -393,6 +393,35 @@ object FunctionQueries {
         expr("base64(aes_encrypt('fixed vector', '0123456789abcdef', 'ECB'))")
           .as("ct_fixed"))),
 
+    // orafce Oracle-compat functions (gpcontrib/orafce/datefce.c:192-196
+    // next_day/last_day/months_between/add_months; others.c nvl/nvl2):
+    // every one maps onto a Spark builtin with matching semantics —
+    // including Oracle's negative-position substr and the months_between
+    // 31-day-month fraction rule, which the oracle re-derives.
+    "q187_orafce" -> ((s, d) => sql(s, d,
+      """SELECT o_orderkey,
+        |  add_months(CAST(o_orderdate AS DATE), 3) AS am,
+        |  last_day(CAST(o_orderdate AS DATE)) AS ld,
+        |  next_day(CAST(o_orderdate AS DATE), 'MON') AS nd,
+        |  round(months_between(TIMESTAMP '1997-06-15 00:00:00', o_orderdate), 4) AS mb,
+        |  nvl(NULLIF(o_orderstatus, 'P'), 'PENDING') AS nv,
+        |  nvl2(NULLIF(o_orderstatus, 'P'), 'SET', 'UNSET') AS nv2,
+        |  CAST(instr(o_orderpriority, '-') AS INT) AS ins,
+        |  substr(o_orderpriority, -4, 3) AS sub
+        |FROM orders""".stripMargin)),
+
+    // contrib/earthdistance geo_distance (earthdistance.c:60-77): the
+    // published half-angle formula on the 3958.747716-mile sphere, with
+    // coordinates synthesized to sweep the >180-degree wrap branch.
+    "q188_earthdistance" -> ((s, d) => {
+      import graft.functions.EarthDistance
+      val lon = (col("c_custkey") % 360 - 180).cast("double") + 0.5
+      val lat = (col("c_custkey") % 180 - 90).cast("double") + 0.5
+      t(s, d, "customer").select(col("c_custkey"),
+        round(EarthDistance.geoDistance(lon, lat,
+          lit(-74.0), lit(40.7)), 6).as("miles_to_nyc"))
+    }),
+
     // fuzzystrmatch soundex/difference (contrib/fuzzystrmatch): codes
     // from Spark's builtin, positional difference 0..4; the oracle
     // carries codes from an INDEPENDENT soundex implementation pinned
@@ -1393,6 +1422,44 @@ object FunctionQueries {
         |FROM customer""".stripMargin,
     // the contract columns are constants; the pinned hash is glibc's
     // crypt(3) output for the same (password, salt)
+    // months_between re-derived per Oracle's rule: integer months when
+    // the day-of-month matches (or both are month ends), else a
+    // 31-day-month fraction. next_day spelled from DuckDB's dayofweek.
+    "q187_orafce" ->
+      """WITH b AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |    CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(d + INTERVAL 3 MONTH AS DATE) AS am,
+        |  last_day(d) AS ld,
+        |  CAST(d + to_days(CAST(((1 - dayofweek(d) + 6) % 7) + 1 AS INT))
+        |    AS DATE) AS nd,
+        |  ROUND((1997 - year(d)) * 12 + (6 - month(d)) +
+        |    CASE WHEN day(d) = 15 THEN 0.0
+        |         ELSE (15 - day(d)) / 31.0 END, 4) AS mb,
+        |  COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS nv,
+        |  CASE WHEN NULLIF(o_orderstatus, 'P') IS NOT NULL
+        |       THEN 'SET' ELSE 'UNSET' END AS nv2,
+        |  CAST(strpos(o_orderpriority, '-') AS INT) AS ins,
+        |  substr(o_orderpriority, -4, 3) AS sub
+        |FROM b""".stripMargin,
+    "q188_earthdistance" ->
+      """WITH b AS (SELECT c_custkey,
+        |    CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+        |    CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5 AS lat
+        |  FROM customer),
+        |r AS (SELECT c_custkey,
+        |    radians(lon) AS l1, radians(lat) AS t1,
+        |    radians(-74.0) AS l2, radians(40.7) AS t2 FROM b),
+        |h AS (SELECT c_custkey, t1, t2,
+        |    CASE WHEN abs(l1 - l2) > pi() THEN 2 * pi() - abs(l1 - l2)
+        |         ELSE abs(l1 - l2) END AS longdiff FROM r),
+        |s AS (SELECT c_custkey,
+        |    sqrt(sin(abs(t1 - t2) / 2) * sin(abs(t1 - t2) / 2) +
+        |      cos(t1) * cos(t2) * sin(longdiff / 2) * sin(longdiff / 2))
+        |      AS sino FROM h)
+        |SELECT c_custkey,
+        |  ROUND(2 * 3958.747716 * asin(LEAST(sino, 1.0)), 6) AS miles_to_nyc
+        |FROM s""".stripMargin,
     "q185_soundex" -> {
       import graft.functions.Soundex.soundexRef
       val vocab = Seq("anvil", "blue", "bolt", "cold", "gear", "gizmo",
