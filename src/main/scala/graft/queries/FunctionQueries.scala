@@ -393,6 +393,25 @@ object FunctionQueries {
         expr("base64(aes_encrypt('fixed vector', '0123456789abcdef', 'ECB'))")
           .as("ct_fixed"))),
 
+    // bytea byte-level surface (varlena.c:1878-2239 byteaoctetlen/
+    // byteapos/byteaGetByte/byteaSetByte + encode.c): binary built from
+    // known ASCII, so the oracle derives every byte from the source
+    // string — char codes, aligned position, hex/base64 images.
+    "q189_bytea" -> ((s, d) => {
+      import graft.functions.Bytea
+      val b = concat(col("o_orderstatus"), lit("-"), col("o_orderpriority"))
+        .cast("binary")
+      t(s, d, "orders").select(col("o_orderkey"),
+        octet_length(b).as("olen"),
+        Bytea.getByte(b, 0).as("b0"),
+        Bytea.getByte(b, 2).as("b2"),
+        hex(Bytea.setByte(b, 0, 0x58)).as("set0"),
+        Bytea.bytePosition(b, lit("-").cast("binary")).as("dash_pos"),
+        Bytea.bytePosition(b, lit("ZZ").cast("binary")).as("missing_pos"),
+        hex(b).as("hx"),
+        base64(b).as("b64"))
+    }),
+
     // orafce Oracle-compat functions (gpcontrib/orafce/datefce.c:192-196
     // next_day/last_day/months_between/add_months; others.c nvl/nvl2):
     // every one maps onto a Spark builtin with matching semantics —
@@ -1422,6 +1441,19 @@ object FunctionQueries {
         |FROM customer""".stripMargin,
     // the contract columns are constants; the pinned hash is glibc's
     // crypt(3) output for the same (password, salt)
+    "q189_bytea" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    o_orderstatus || '-' || o_orderpriority AS s FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(length(s) AS INT) AS olen,
+        |  CAST(ascii(substr(s, 1, 1)) AS INT) AS b0,
+        |  CAST(ascii(substr(s, 3, 1)) AS INT) AS b2,
+        |  hex('X' || substr(s, 2)) AS set0,
+        |  CAST(strpos(s, '-') AS INT) AS dash_pos,
+        |  CAST(strpos(s, 'ZZ') AS INT) AS missing_pos,
+        |  hex(s) AS hx,
+        |  to_base64(CAST(s AS BLOB)) AS b64
+        |FROM b""".stripMargin,
     // months_between re-derived per Oracle's rule: integer months when
     // the day-of-month matches (or both are month ends), else a
     // 31-day-month fraction. next_day spelled from DuckDB's dayofweek.
