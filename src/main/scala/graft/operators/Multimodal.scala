@@ -234,6 +234,51 @@ object Multimodal {
       channels, nSamples.toLong, sum, 0L, 0L)
   }
 
+  final case class AudioWindow(id: Long, win: Int, n: Int, sum_sq: Long,
+                               peak: Int)
+
+  /** Windowed audio features over the REAL PCM payload — the
+    * training-pipeline energy/clipping signals (silence trimming, level
+    * filtering) computed per fixed window of samples: exact integer
+    * sum-of-squares and absolute peak, from the same RIFF chunk walk
+    * the decoder uses. One flatMap pass, rows ∝ total audio length /
+    * window — no shuffle, embarrassingly parallel at any corpus size. */
+  def audioWindows(blobs: Dataset[Blob],
+                   windowSamples: Int = 400): Dataset[AudioWindow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.filter(_.format == "wav").flatMap { b =>
+      val buf = java.nio.ByteBuffer.wrap(b.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(buf.getInt(0) == 0x46464952, s"not RIFF: id=${b.id}")
+      var pos = 12
+      var dataPos = -1
+      var nSamples = 0
+      while (pos + 8 <= b.payload.length) {
+        val tag = buf.getInt(pos)
+        val len = buf.getInt(pos + 4)
+        if (tag == 0x61746164) { dataPos = pos + 8; nSamples = len / 2 }
+        pos += 8 + len
+      }
+      require(dataPos >= 0, s"no data chunk: id=${b.id}")
+      val nWin = (nSamples + windowSamples - 1) / windowSamples
+      (0 until nWin).iterator.map { w =>
+        val from = w * windowSamples
+        val until = math.min(nSamples, from + windowSamples)
+        var sumSq = 0L
+        var peak = 0
+        var i = from
+        while (i < until) {
+          val s = buf.getShort(dataPos + 2 * i).toInt
+          sumSq += s.toLong * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 1
+        }
+        AudioWindow(b.id, w, until - from, sumSq, peak)
+      }
+    }
+  }
+
   /** Batched REAL decode + feature extraction: batches of `batchSize`
     * rows are materialized per partition — the exact shape a vectorized
     * (Arrow/Pandas) UDF would see — then each payload goes through the

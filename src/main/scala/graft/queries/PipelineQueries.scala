@@ -428,6 +428,19 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sumd(col("c_acctbal")).as("bal"))
     }),
 
+    // Windowed audio energy (training-pipeline level/silence signals):
+    // exact per-window sum-of-squares + peak over the REAL PCM bytes;
+    // the oracle replays the synthesis arithmetic per window.
+    "q190_audio_energy" -> ((s, d) => {
+      val media = graft.operators.Multimodal.synthesizeMedia(
+        t(s, d, "documents"))
+      graft.operators.Multimodal.audioWindows(media, windowSamples = 400)
+        .toDF()
+        .select(col("id"), col("win"), col("n"), col("sum_sq"), col("peak"),
+          round(sqrt(col("sum_sq").cast("double") / col("n").cast("double")), 6)
+            .as("rms"))
+    }),
+
     // Z-order clustering (the btree/bitmap-index replacement, SURVEY §2
     // index row): orders clustered on the (o_custkey, o_totalprice)
     // Morton key, then a 2-d box query — the layout must be lossless
@@ -899,6 +912,23 @@ object PipelineQueries {
     "q140_matview" ->
       s"""SELECT l_returnflag, COUNT(*) AS n, ${oSumd("l_extendedprice")} AS revenue
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q190_audio_energy" ->
+      """WITH w AS (SELECT doc_id AS id, 800 + doc_id % 256 AS ns
+        |  FROM documents WHERE doc_id % 4 = 3),
+        |e AS (SELECT id, ns,
+        |    unnest(range(0, CAST(ceil(ns / 400.0) AS BIGINT))) AS win FROM w),
+        |s AS (SELECT id, CAST(win AS INT) AS win,
+        |    CAST(LEAST(ns, (win + 1) * 400) - win * 400 AS INT) AS n,
+        |    list_transform(range(win * 400, LEAST(ns, (win + 1) * 400)),
+        |      i -> (id + 37 * i) % 2003 - 1001) AS samples
+        |  FROM e)
+        |SELECT id, win, n,
+        |  CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT)
+        |    AS sum_sq,
+        |  CAST(list_max(list_transform(samples, x -> abs(x))) AS INT) AS peak,
+        |  ROUND(sqrt(CAST(list_sum(list_transform(samples, x -> x * x))
+        |    AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS rms
+        |FROM s""".stripMargin,
     "q186_zorder" ->
       s"""SELECT o_custkey % 10 AS bucket, COUNT(*) AS n,
          |  ${oSumd("o_totalprice")} AS total
