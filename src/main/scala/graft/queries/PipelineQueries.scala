@@ -428,6 +428,25 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sumd(col("c_acctbal")).as("bal"))
     }),
 
+    // Matryoshka-style truncated retrieval (Kusupati et al., NeurIPS
+    // 2022: nested-prefix embeddings let retrieval run on a dimension
+    // budget): exact top-5 on the 16-dim prefix vs the full 64 dims,
+    // reported as per-query overlap — the quality/cost tradeoff a
+    // dimension-adaptive ANN pipeline measures before committing to a
+    // prefix length. Both sides deterministic (cos desc, id tiebreak),
+    // so the overlap is exact and the oracle replays it.
+    "q191_mrl_truncated" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val t16 = emb.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val full = Knn.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+      val trunc = Knn.bruteForceTopK(t16, t16.where(col("vec_id") < 10), k = 5)
+      full.alias("f").join(trunc.alias("t"),
+          col("f.query_id") === col("t.query_id") &&
+            col("f.neighbor_id") === col("t.neighbor_id"), "left_outer")
+        .groupBy(col("f.query_id").as("query_id"))
+        .agg(count(col("t.neighbor_id")).as("n_overlap"))
+    }),
+
     // Windowed audio energy (training-pipeline level/silence signals):
     // exact per-window sum-of-squares + peak over the REAL PCM bytes;
     // the oracle replays the synthesis arithmetic per window.
@@ -912,6 +931,40 @@ object PipelineQueries {
     "q140_matview" ->
       s"""SELECT l_returnflag, COUNT(*) AS n, ${oSumd("l_extendedprice")} AS revenue
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q191_mrl_truncated" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |sf AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE))))
+        |     * SQRT(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))))
+        |    AS cos_sim
+        |  FROM q, embeddings e WHERE q.vec_id <> e.vec_id),
+        |st AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(range(1, 17),
+        |         i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE))))
+        |     * SQRT(list_sum(list_transform(range(1, 17),
+        |         i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))))
+        |    AS cos_sim
+        |  FROM q, embeddings e WHERE q.vec_id <> e.vec_id),
+        |tf AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |  FROM sf) WHERE rnk <= 5),
+        |tt AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |  FROM st) WHERE rnk <= 5)
+        |SELECT tf.query_id, COUNT(tt.neighbor_id) AS n_overlap
+        |FROM tf LEFT JOIN tt
+        |  ON tf.query_id = tt.query_id AND tf.neighbor_id = tt.neighbor_id
+        |GROUP BY tf.query_id""".stripMargin,
     "q190_audio_energy" ->
       """WITH w AS (SELECT doc_id AS id, 800 + doc_id % 256 AS ns
         |  FROM documents WHERE doc_id % 4 = 3),
