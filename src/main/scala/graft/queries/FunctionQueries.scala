@@ -393,6 +393,23 @@ object FunctionQueries {
         expr("base64(aes_encrypt('fixed vector', '0123456789abcdef', 'ECB'))")
           .as("ct_fixed"))),
 
+    // uuid-ossp name-based UUIDs (uuid-ossp.c:505, RFC 4122 §4.3):
+    // stable ETL keys from md5(namespace bytes ++ name) with the
+    // version/variant nibbles stamped. The catalog row uses an
+    // ASCII-byte namespace so the oracle can replay the digest through
+    // DuckDB's varchar md5; the real DNS-namespace vectors are pinned
+    // in ExpressionSpec.
+    "q192_uuid_v3" -> ((s, d) => {
+      import graft.functions.UuidOssp
+      val asciiNs = "graftnamespace00".getBytes("UTF-8")
+        .map(b => f"$b%02x").mkString
+      val nsUuid = s"${asciiNs.substring(0, 8)}-${asciiNs.substring(8, 12)}-" +
+        s"${asciiNs.substring(12, 16)}-${asciiNs.substring(16, 20)}-" +
+        asciiNs.substring(20)
+      t(s, d, "customer").select(col("c_custkey"),
+        UuidOssp.uuidV3(nsUuid, col("c_name")).as("v3"))
+    }),
+
     // bytea byte-level surface (varlena.c:1878-2239 byteaoctetlen/
     // byteapos/byteaGetByte/byteaSetByte + encode.c): binary built from
     // known ASCII, so the oracle derives every byte from the source
@@ -1441,6 +1458,17 @@ object FunctionQueries {
         |FROM customer""".stripMargin,
     // the contract columns are constants; the pinned hash is glibc's
     // crypt(3) output for the same (password, salt)
+    "q192_uuid_v3" ->
+      """WITH h AS (SELECT c_custkey,
+        |    md5('graftnamespace00' || c_name) AS h FROM customer)
+        |SELECT c_custkey,
+        |  substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' ||
+        |  substr(h, 14, 3) || '-' ||
+        |  substr('0123456789abcdef',
+        |    (((strpos('0123456789abcdef', substr(h, 17, 1)) - 1) & 3) | 8) + 1,
+        |    1) ||
+        |  substr(h, 18, 3) || '-' || substr(h, 21, 12) AS v3
+        |FROM h""".stripMargin,
     "q189_bytea" ->
       """WITH b AS (SELECT o_orderkey,
         |    o_orderstatus || '-' || o_orderpriority AS s FROM orders)

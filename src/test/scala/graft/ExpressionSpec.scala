@@ -210,6 +210,21 @@ class ExpressionSpec extends AnyFunSuite {
       TsLexize.websearchToTsquery("\"data big\""))).count() == 0)
   }
 
+  test("uuid v3/v5: RFC 4122 published vectors for the DNS namespace") {
+    import graft.functions.UuidOssp
+    import org.apache.spark.sql.functions.lit
+    val r = spark.sql("SELECT 1").select(
+      UuidOssp.uuidV3(UuidOssp.NamespaceDns, lit("www.example.com")).as("v3"),
+      UuidOssp.uuidV5(UuidOssp.NamespaceDns, lit("www.example.com")).as("v5"),
+      UuidOssp.uuidV3(UuidOssp.NamespaceDns, lit("python.org")).as("v3py"))
+      .head()
+    // the widely-published reference vectors (RFC 4122 appendix style,
+    // reproduced in the Python uuid module docs)
+    assert(r.getString(0) == "5df41881-3aed-3515-88a7-2f4a814cf09e")
+    assert(r.getString(1) == "2ed6657d-e927-568b-95e1-2665a8aea6a2")
+    assert(r.getString(2) == "6fa459ea-ee8a-3ca4-894e-db77e160355e")
+  }
+
   test("soundex: re-derivation pinned to published examples, agrees with builtin") {
     import graft.functions.Soundex.soundexRef
     // the canonical American Soundex examples (Knuth TAOCP vol.3 §6;
