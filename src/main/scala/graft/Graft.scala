@@ -44,4 +44,68 @@ object Graft {
     * operator has an entry here. */
   def catalog: Map[String, (SparkSession, String) => DataFrame] =
     SparkEntry.queries
+
+  private val copyRe =
+    "(?is)^\\s*COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s+(TO|FROM)\\s+'([^']+)'\\s*(WITH\\s*\\(.*\\))?\\s*;?\\s*$".r
+
+  /** Execute one Greengage SQL statement, routed to the subsystem that
+    * implements its verb (the dispatch `src/backend/tcop/utility.c`
+    * does in the reference): CREATE TABLE / MATERIALIZED VIEW /
+    * SEQUENCE / FUNCTION, ALTER TABLE (incl. partition maintenance),
+    * REFRESH MATERIALIZED VIEW, COPY TO/FROM, and everything else to
+    * `spark.sql` after the [[operators.PgSql]] lexical rewrites.
+    * Returns the result DataFrame for queries, None for commands. */
+  def execute(spark: SparkSession, sql: String): Option[DataFrame] = {
+    val t = sql.trim
+    def is(re: String) = re.r.findFirstIn(t).isDefined
+    if (is("(?is)^CREATE\\s+(TABLE|MATERIALIZED\\s+VIEW)\\b")) {
+      operators.GreengageDdl.execute(spark, t); None
+    } else if (is("(?is)^CREATE\\s+SEQUENCE\\b")) {
+      operators.GreengageDdl.createSequence(t); None
+    } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?FUNCTION\\b")) {
+      operators.SqlFunctions.create(t); None
+    } else if (is("(?is)^ALTER\\s+TABLE\\b.*\\bPARTITION\\b")) {
+      operators.GreengageDdl.alterPartition(spark, t); None
+    } else if (is("(?is)^ALTER\\s+TABLE\\b")) {
+      operators.GreengageDdl.alter(spark, t); None
+    } else if (is("(?is)^REFRESH\\s+MATERIALIZED\\s+VIEW\\b")) {
+      val name = t.split("\\s+").last.stripSuffix(";")
+      operators.GreengageDdl.refreshMaterializedView(spark, name); None
+    } else copyRe.findFirstMatchIn(t) match {
+      case Some(m) => runCopy(spark, m); None
+      case None => Some(spark.sql(operators.PgSql.rewrite(t)))
+    }
+  }
+
+  /** COPY (commands/copy.c subset): csv with HEADER / DELIMITER /
+    * NULL options. TO writes a table or `(query)`; FROM appends into
+    * an existing table using its catalog schema. */
+  private def runCopy(spark: SparkSession,
+                      m: scala.util.matching.Regex.Match): Unit = {
+    val target = m.group(1)
+    val path = m.group(3)
+    val optsRaw = Option(m.group(4)).getOrElse("")
+    def opt(name: String): Option[String] =
+      s"(?is)\\b$name\\s+'([^']*)'".r.findFirstMatchIn(optsRaw).map(_.group(1))
+    val header = "(?is)\\bHEADER\\b".r.findFirstIn(optsRaw).isDefined
+    val delim = opt("DELIMITER").getOrElse(",")
+    val nullTok = opt("NULL").getOrElse("")
+    if (m.group(2).equalsIgnoreCase("TO")) {
+      val df =
+        if (target.startsWith("("))
+          spark.sql(operators.PgSql.rewrite(
+            target.stripPrefix("(").stripSuffix(")")))
+        else spark.table(target.replace("\"", ""))
+      df.write.mode("overwrite")
+        .option("header", header.toString).option("sep", delim)
+        .option("nullValue", nullTok).csv(path)
+    } else {
+      val table = target.replace("\"", "")
+      require(!target.startsWith("("), "COPY FROM needs a table target")
+      spark.read.schema(spark.table(table).schema)
+        .option("header", header.toString).option("sep", delim)
+        .option("nullValue", nullTok).csv(path)
+        .write.mode("append").insertInto(table)
+    }
+  }
 }
