@@ -47,6 +47,10 @@ object Graft {
 
   private val copyRe =
     "(?is)^\\s*COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s+(TO|FROM)\\s+'([^']+)'\\s*(WITH\\s*\\(.*\\))?\\s*;?\\s*$".r
+  private val deleteRe =
+    "(?is)^\\s*DELETE\\s+FROM\\s+([\\w.\"]+)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
+  private val updateRe =
+    "(?is)^\\s*UPDATE\\s+([\\w.\"]+)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
 
   /** Execute one Greengage SQL statement, routed to the subsystem that
     * implements its verb (the dispatch `src/backend/tcop/utility.c`
@@ -71,6 +75,31 @@ object Graft {
     } else if (is("(?is)^REFRESH\\s+MATERIALIZED\\s+VIEW\\b")) {
       val name = t.split("\\s+").last.stripSuffix(";")
       operators.GreengageDdl.refreshMaterializedView(spark, name); None
+    } else if (is("(?is)^VACUUM\\b")) {
+      val name = t.split("\\s+").last.stripSuffix(";").replace("\"", "")
+      operators.Dml.vacuum(spark, name); None
+    } else if (is("(?is)^DELETE\\s+FROM\\b")) {
+      val m = deleteRe.findFirstMatchIn(t).getOrElse(
+        throw new IllegalArgumentException(s"cannot parse DELETE: $t"))
+      val cond = Option(m.group(2))
+        .map(c => org.apache.spark.sql.functions.expr(operators.PgSql.rewrite(c)))
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      operators.Dml.deleteWhere(spark, m.group(1).replace("\"", ""), cond)
+      None
+    } else if (is("(?is)^UPDATE\\b")) {
+      val m = updateRe.findFirstMatchIn(t).getOrElse(
+        throw new IllegalArgumentException(s"cannot parse UPDATE: $t"))
+      val assignments = operators.GreengageDdl.splitTop(m.group(2)).map { a =>
+        val Array(k, v) = a.split("=", 2)
+        k.trim.replace("\"", "") ->
+          org.apache.spark.sql.functions.expr(operators.PgSql.rewrite(v.trim))
+      }.toMap
+      val cond = Option(m.group(3))
+        .map(c => org.apache.spark.sql.functions.expr(operators.PgSql.rewrite(c)))
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      operators.Dml.updateWhere(spark, m.group(1).replace("\"", ""), cond,
+        assignments)
+      None
     } else copyRe.findFirstMatchIn(t) match {
       case Some(m) => runCopy(spark, m); None
       case None => Some(spark.sql(operators.PgSql.rewrite(t)))

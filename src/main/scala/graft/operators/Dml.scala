@@ -178,6 +178,35 @@ object Dml {
     merge(spark, table, source, keys, whenMatchedUpdate = assignments)
   }
 
+  /** VACUUM [FULL] (reference `commands/vacuum.c` — reclaim dead space
+    * and rewrite the relation): on immutable parquet the dead-space
+    * analog is SMALL-FILE DEBT — every staged-swap DML leaves one file
+    * per task per touched partition, and scan/open overhead grows with
+    * file count. Compaction = rewrite each partition's rows into
+    * size-targeted files through the same durable staged swap DML uses
+    * (old table intact until the complete snapshot exists). Returns
+    * the row count (parquet footers only). Partitioned tables
+    * repartition by the partition columns so each value's rows land in
+    * one task = one file; unpartitioned tables bin-pack to
+    * ceil(bytes / targetFileBytes) files. */
+  def vacuum(spark: SparkSession, table: String,
+             targetFileBytes: Long = 128L << 20): Long = {
+    val partCols = partitionColumns(spark, table)
+    val data =
+      if (partCols.nonEmpty)
+        spark.table(table).repartition(partCols.map(col): _*)
+      else {
+        val dir = new java.io.File(new java.net.URI(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(table))
+            .location.toString).getPath)
+        val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(dir)
+        val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+        spark.table(table).repartition(files.toInt)
+      }
+    stagedSwap(spark, table, data, partCols, dynamic = false)._1
+  }
+
   private def partitionColumns(spark: SparkSession, table: String): Seq[String] =
     spark.catalog.listColumns(table).collect()
       .filter(_.isPartition).map(_.name).toSeq

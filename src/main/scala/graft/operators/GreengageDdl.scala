@@ -69,7 +69,7 @@ object GreengageDdl {
   }
 
   /** Split on top-level commas (respects parens: `numeric(18,2)`). */
-  private[operators] def splitTop(s: String): Seq[String] = {
+  private[graft] def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
     var start = 0

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Graft.execute — the utility.c-style statement router plus the
@@ -36,6 +37,54 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql(rewrite("SELECT 'cast as text'")).head()
       .getString(0) == "cast as text")
     assert(rewrite("SELECT 'it''s ~ fine'") == "SELECT 'it''s ~ fine'")
+  }
+
+  test("execute routes UPDATE and DELETE statements through Dml") {
+    drop("route_dml")
+    spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .write.saveAsTable("route_dml")
+    Graft.execute(spark, "UPDATE route_dml SET v = v + 1000 WHERE k % 2 = 0")
+    Graft.execute(spark, "DELETE FROM route_dml WHERE k >= 8")
+    val rows = spark.table("route_dml").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.size == 8)
+    assert(rows(0L) == 1000.0 && rows(1L) == 1.0 && rows(6L) == 1006.0)
+    // old-row semantics through the statement form: swap assignment
+    Graft.execute(spark, "UPDATE route_dml SET k = k + 100, v = k WHERE k = 7")
+    val r7 = spark.table("route_dml").where(col("k") === 107L).head()
+    assert(r7.getDouble(1) == 7.0) // v saw the OLD k
+    drop("route_dml")
+  }
+
+  test("VACUUM compacts small files, content identical, both layouts") {
+    Tables.register(spark, TestSpark.sf0001)
+    drop("vac_flat", "vac_part")
+    // unpartitioned: 16 tiny files -> bin-packed
+    spark.table("orders").select("o_orderkey", "o_totalprice")
+      .repartition(16).write.saveAsTable("vac_flat")
+    def files(n: String) = new java.io.File(s"target/test-warehouse/$n")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = spark.table("vac_flat").orderBy("o_orderkey").collect().toSeq
+    assert(files("vac_flat") == 16)
+    val n = graft.operators.Dml.vacuum(spark, "vac_flat")
+    assert(n == before.length)
+    assert(files("vac_flat") == 1) // well under the 128MB target
+    assert(spark.table("vac_flat").orderBy("o_orderkey").collect().toSeq == before)
+    // partitioned: one file per partition value after vacuum
+    spark.table("orders")
+      .select(col("o_orderkey"), col("o_orderstatus").as("p"))
+      .repartition(8).write.partitionBy("p").saveAsTable("vac_part")
+    val pBefore = spark.table("vac_part").orderBy("o_orderkey").collect().toSeq
+    Graft.execute(spark, "VACUUM FULL vac_part") // routed statement form
+    val pDirs = new java.io.File("target/test-warehouse/vac_part")
+      .listFiles().filter(_.getName.startsWith("p="))
+    assert(pDirs.nonEmpty)
+    pDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName} not compacted to one file")
+    }
+    assert(spark.table("vac_part").orderBy("o_orderkey").collect().toSeq == pBefore)
+    drop("vac_flat", "vac_part")
   }
 
   test("execute routes DDL, partition DDL, DML, COPY, and queries") {
