@@ -51,6 +51,18 @@ object PgArrays {
   def arrayFill(value: Column, dims: Seq[Int]): Column =
     dims.foldRight(value)((n, inner) => array_repeat(inner, n))
 
+  /** intarray `uniq(int[])` (contrib/intarray/_int_tool.c): ADJACENT
+    * duplicate removal — `uniq(sort(a))` is the canonical full-dedup
+    * idiom, but uniq alone keeps non-adjacent repeats, unlike Spark's
+    * array_distinct. Indexed filter keeping each element that differs
+    * from its predecessor. */
+  def adjacentUniq(a: Column): Column =
+    transform(
+      filter(when(size(a) > 0, sequence(lit(1), size(a)))
+        .otherwise(array().cast("array<int>")),
+        i => i === 1 || !(element_at(a, i) <=> element_at(a, i - 1))),
+      i => element_at(a, i))
+
   // ------------------------------------------------------------------
   // Non-default lower bounds (arrayfuncs.c array_lower/array_upper,
   // array_set_slice bounds bookkeeping): PG arrays carry per-dimension

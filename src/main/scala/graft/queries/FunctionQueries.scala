@@ -393,6 +393,32 @@ object FunctionQueries {
         expr("base64(aes_encrypt('fixed vector', '0123456789abcdef', 'ECB'))")
           .as("ct_fixed"))),
 
+    // intarray ops (contrib/intarray/_int_tool.c, _int_op.c): sort +
+    // adjacent uniq (the canonical dedup idiom — uniq alone keeps
+    // non-adjacent repeats), idx, subarray, #, element removal keeping
+    // duplicates, && overlap and @> containment. Collection outputs
+    // serialized per the driver convention.
+    "q193_intarray" -> ((s, d) => {
+      import graft.functions.PgArrays
+      val a = array((col("o_orderkey") % 5).cast("int"),
+        (col("o_orderkey") % 7).cast("int"),
+        (col("o_orderkey") % 5).cast("int"), lit(3).cast("int"))
+      val b = array(lit(1).cast("int"), lit(3).cast("int"))
+      t(s, d, "orders").select(col("o_orderkey"),
+        array_join(PgArrays.adjacentUniq(a).cast("array<string>"), ",")
+          .as("uniq_raw"),
+        array_join(PgArrays.adjacentUniq(sort_array(a)).cast("array<string>"),
+          ",").as("uniq_sorted"),
+        array_position(a, (col("o_orderkey") % 7).cast("int")).cast("int")
+          .as("idx7"),
+        array_join(slice(a, 2, 2).cast("array<string>"), ",").as("sub"),
+        size(a).as("card"),
+        array_join(filter(a, x => x =!= lit(3)).cast("array<string>"), ",")
+          .as("minus3"),
+        arrays_overlap(a, b).as("overlaps"),
+        forall(b, x => array_contains(a, x)).as("contains_b"))
+    }),
+
     // uuid-ossp name-based UUIDs (uuid-ossp.c:505, RFC 4122 §4.3):
     // stable ETL keys from md5(namespace bytes ++ name) with the
     // version/variant nibbles stamped. The catalog row uses an
@@ -1458,6 +1484,24 @@ object FunctionQueries {
         |FROM customer""".stripMargin,
     // the contract columns are constants; the pinned hash is glibc's
     // crypt(3) output for the same (password, salt)
+    "q193_intarray" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    [CAST(o_orderkey % 5 AS INT), CAST(o_orderkey % 7 AS INT),
+        |     CAST(o_orderkey % 5 AS INT), 3] AS a FROM orders)
+        |SELECT o_orderkey,
+        |  array_to_string(list_filter(a, (x, i) -> i = 1 OR x IS DISTINCT FROM a[i - 1]), ',')
+        |    AS uniq_raw,
+        |  array_to_string(list_filter(list_sort(a),
+        |    (x, i) -> i = 1 OR x IS DISTINCT FROM list_sort(a)[i - 1]), ',')
+        |    AS uniq_sorted,
+        |  CAST(list_position(a, CAST(o_orderkey % 7 AS INT)) AS INT) AS idx7,
+        |  array_to_string(list_slice(a, 2, 3), ',') AS sub,
+        |  CAST(len(a) AS INT) AS card,
+        |  COALESCE(array_to_string(list_filter(a, x -> x <> 3), ','), '')
+        |    AS minus3,
+        |  len(list_intersect(a, [1, 3])) > 0 AS overlaps,
+        |  list_contains(a, 1) AND list_contains(a, 3) AS contains_b
+        |FROM b""".stripMargin,
     "q192_uuid_v3" ->
       """WITH h AS (SELECT c_custkey,
         |    md5('graftnamespace00' || c_name) AS h FROM customer)
