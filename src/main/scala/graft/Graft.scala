@@ -75,6 +75,10 @@ object Graft {
     } else if (is("(?is)^REFRESH\\s+MATERIALIZED\\s+VIEW\\b")) {
       val name = t.split("\\s+").last.stripSuffix(";")
       operators.GreengageDdl.refreshMaterializedView(spark, name); None
+    } else if (is("(?is)^CREATE\\s+(UNIQUE\\s+)?INDEX\\b")) {
+      operators.GreengageDdl.createIndex(spark, t); None
+    } else if (is("(?is)^DROP\\s+INDEX\\b")) {
+      operators.GreengageDdl.dropIndex(spark, t); None
     } else if (is("(?is)^VACUUM\\b")) {
       val name = t.split("\\s+").last.stripSuffix(";").replace("\"", "")
       operators.Dml.vacuum(spark, name); None

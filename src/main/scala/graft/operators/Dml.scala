@@ -207,6 +207,21 @@ object Dml {
     stagedSwap(spark, table, data, partCols, dynamic = false)._1
   }
 
+  /** Rewrite an UNPARTITIONED table's files clustered on `order` —
+    * range-partitioned into `files` files, sorted within each — through
+    * the durable staged swap. The physical substrate for CREATE INDEX
+    * (GreengageDdl.createIndex): clustered files give every file/row
+    * group a tight min/max envelope on the ordered columns. */
+  private[graft] def rewriteClustered(spark: SparkSession, table: String,
+                                      order: Seq[Column], files: Int): Long = {
+    require(partitionColumns(spark, table).isEmpty,
+      s"clustered rewrite supports unpartitioned tables; $table is partitioned")
+    stagedSwap(spark, table,
+      spark.table(table).repartitionByRange(files, order: _*)
+        .sortWithinPartitions(order: _*),
+      Nil, dynamic = false)._1
+  }
+
   private def partitionColumns(spark: SparkSession, table: String): Seq[String] =
     spark.catalog.listColumns(table).collect()
       .filter(_.isPartition).map(_.name).toSeq

@@ -367,6 +367,79 @@ object GreengageDdl {
       throw new IllegalArgumentException(s"unsupported ALTER TABLE form: $other")
   }
 
+  // CREATE INDEX (gram.y IndexStmt; access methods under
+  // src/backend/access/{nbtree,bitmap,gin,gist}): Spark has no
+  // secondary indexes — the lakehouse equivalent is LAYOUT (SURVEY §2
+  // index row). CREATE INDEX therefore becomes a clustered rewrite of
+  // the table's files so ordinary min/max row-group pruning serves the
+  // index's lookups: lexicographic range clustering for the btree
+  // case, a Morton/Z-order key when several numeric columns are
+  // indexed together (multi-dimensional predicates). The index is
+  // recorded as a table property; DROP INDEX removes the record (the
+  // layout keeps serving until the next rewrite, exactly like a
+  // dropped-but-not-vacuumed index's pages).
+  private val createIndexRe =
+    ("(?is)^\\s*CREATE\\s+(?:UNIQUE\\s+)?INDEX\\s+(?:CONCURRENTLY\\s+)?" +
+      "([\\w\"]+)\\s+ON\\s+([\\w.\"]+)(?:\\s+USING\\s+(\\w+))?\\s*\\(([^)]*)\\)\\s*;?\\s*$").r
+  private val dropIndexRe =
+    "(?is)^\\s*DROP\\s+INDEX\\s+(?:IF\\s+EXISTS\\s+)?([\\w\"]+)(?:\\s+ON\\s+([\\w.\"]+))?\\s*;?\\s*$".r
+
+  // index name -> table (PG's DROP INDEX names only the index)
+  private val indexTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Translate + execute CREATE INDEX: cluster the table's layout on
+    * the indexed columns (unpartitioned tables; partitioned tables are
+    * property-only — their directories already partition the key
+    * space). Returns the column list indexed. */
+  def createIndex(spark: SparkSession, ddl: String,
+                  files: Int = 8): Seq[String] = {
+    val m = createIndexRe.findFirstMatchIn(ddl).getOrElse(
+      throw new IllegalArgumentException(s"not a CREATE INDEX statement: $ddl"))
+    val (idxName, table) =
+      (m.group(1).replace("\"", ""), m.group(2).replace("\"", ""))
+    // column specs may carry opclass / ASC / DESC / NULLS tokens
+    val cols = splitTop(m.group(4))
+      .map(_.trim.split("\\s+")(0).replace("\"", ""))
+    val schema = spark.table(table).schema
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"index column $c not in $table"))
+    val numeric = cols.forall(c => schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    })
+    val partitioned = spark.catalog.listColumns(table).collect()
+      .exists(_.isPartition)
+    val kind =
+      if (partitioned) "recorded"
+      else if (cols.length >= 2 && numeric) {
+        Dml.rewriteClustered(spark, table,
+          Seq(ZOrder.zorderValue(spark.table(table), cols)), files)
+        "zorder"
+      } else {
+        Dml.rewriteClustered(spark, table,
+          cols.map(org.apache.spark.sql.functions.col), files)
+        "range"
+      }
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('graft.index.$idxName'='$kind:${cols.mkString(",")}')")
+    indexTables.put(idxName, table)
+    cols
+  }
+
+  /** DROP INDEX [IF EXISTS] name [ON table] — remove the record. */
+  def dropIndex(spark: SparkSession, ddl: String): Unit = {
+    val m = dropIndexRe.findFirstMatchIn(ddl).getOrElse(
+      throw new IllegalArgumentException(s"not a DROP INDEX statement: $ddl"))
+    val idxName = m.group(1).replace("\"", "")
+    val table = Option(m.group(2)).map(_.replace("\"", ""))
+      .orElse(Option(indexTables.get(idxName))).getOrElse(
+        throw new IllegalArgumentException(s"unknown index: $idxName"))
+    indexTables.remove(idxName)
+    spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS " +
+      s"('graft.index.$idxName')")
+  }
+
   // ALTER TABLE ... partition maintenance (gram.y:3343
   // alter_table_partition_cmd: ADD/DROP/TRUNCATE/EXCHANGE PARTITION; the
   // id-spec grammar at :3243 identifies a partition by FOR (value)).

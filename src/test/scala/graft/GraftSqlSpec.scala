@@ -39,6 +39,44 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(rewrite("SELECT 'it''s ~ fine'") == "SELECT 'it''s ~ fine'")
   }
 
+  test("CREATE INDEX clusters the layout; the clustered scan reads fewer rows") {
+    Tables.register(spark, TestSpark.sf0001)
+    drop("idx_t")
+    spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartition(8).write.saveAsTable("idx_t")
+    def scanned(): (Long, Long) = {
+      val df = spark.table("idx_t").where(col("o_custkey").between(10, 20))
+      val n = df.count()
+      df.collect()
+      val rows = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.metrics("numOutputRows").value).sum
+      (n, rows)
+    }
+    val (nBefore, scannedBefore) = scanned()
+    // btree-style single-column index -> range-clustered rewrite
+    Graft.execute(spark, "CREATE INDEX idx_cust ON idx_t (o_custkey)")
+    val (nAfter, scannedAfter) = scanned()
+    assert(nBefore == nAfter && nAfter > 0)
+    assert(scannedAfter * 2 <= scannedBefore,
+      s"clustered scan read $scannedAfter vs $scannedBefore before — no win")
+    val props = spark.sql("SHOW TBLPROPERTIES idx_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.index.idx_cust") == "range:o_custkey")
+    // multi-column numeric -> Morton layout, recorded as zorder
+    Graft.execute(spark,
+      "CREATE INDEX idx_2d ON idx_t USING bitmap (o_custkey, o_totalprice)")
+    val props2 = spark.sql("SHOW TBLPROPERTIES idx_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props2("graft.index.idx_2d") == "zorder:o_custkey,o_totalprice")
+    // PG drop form (no ON clause) resolves through the registry
+    Graft.execute(spark, "DROP INDEX idx_2d")
+    val props3 = spark.sql("SHOW TBLPROPERTIES idx_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!props3.contains("graft.index.idx_2d"))
+    drop("idx_t")
+  }
+
   test("execute routes UPDATE and DELETE statements through Dml") {
     drop("route_dml")
     spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
