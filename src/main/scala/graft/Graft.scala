@@ -79,6 +79,8 @@ object Graft {
       operators.GreengageDdl.createIndex(spark, t); None
     } else if (is("(?is)^DROP\\s+INDEX\\b")) {
       operators.GreengageDdl.dropIndex(spark, t); None
+    } else if (is("(?is)^CLUSTER\\b")) {
+      operators.GreengageDdl.cluster(spark, t); None
     } else if (is("(?is)^VACUUM\\b")) {
       val name = t.split("\\s+").last.stripSuffix(";").replace("\"", "")
       operators.Dml.vacuum(spark, name); None

@@ -427,6 +427,32 @@ object GreengageDdl {
     cols
   }
 
+  /** `CLUSTER table USING index` (commands/cluster.c — rewrite the
+    * relation in index order): re-run the recorded index's clustered
+    * rewrite. On immutable files CREATE INDEX already clusters once;
+    * CLUSTER is the re-cluster after DML has interleaved new rows. */
+  private val clusterRe =
+    "(?is)^\\s*CLUSTER\\s+([\\w.\"]+)\\s+USING\\s+([\\w\"]+)\\s*;?\\s*$".r
+
+  def cluster(spark: SparkSession, ddl: String, files: Int = 8): Unit = {
+    val m = clusterRe.findFirstMatchIn(ddl).getOrElse(
+      throw new IllegalArgumentException(s"not a CLUSTER statement: $ddl"))
+    val (table, idxName) =
+      (m.group(1).replace("\"", ""), m.group(2).replace("\"", ""))
+    val rows = spark.sql(s"SHOW TBLPROPERTIES $table('graft.index.$idxName')")
+      .collect()
+    require(rows.nonEmpty && !rows(0).getString(1).contains("does not have"),
+      s"no index $idxName recorded on $table")
+    val Array(kind, colList) = rows(0).getString(1).split(":", 2)
+    val cols = colList.split(",").toSeq
+    val order =
+      if (kind == "zorder")
+        Seq(ZOrder.zorderValue(spark.table(table), cols))
+      else cols.map(org.apache.spark.sql.functions.col)
+    Dml.rewriteClustered(spark, table, order, files)
+    ()
+  }
+
   /** DROP INDEX [IF EXISTS] name [ON table] — remove the record. */
   def dropIndex(spark: SparkSession, ddl: String): Unit = {
     val m = dropIndexRe.findFirstMatchIn(ddl).getOrElse(

@@ -69,6 +69,11 @@ class GraftSqlSpec extends AnyFunSuite {
     val props2 = spark.sql("SHOW TBLPROPERTIES idx_t").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props2("graft.index.idx_2d") == "zorder:o_custkey,o_totalprice")
+    // CLUSTER re-runs the recorded index's rewrite (content preserved)
+    val preCluster = spark.table("idx_t").orderBy("o_orderkey").collect().toSeq
+    Graft.execute(spark, "CLUSTER idx_t USING idx_cust")
+    assert(spark.table("idx_t").orderBy("o_orderkey").collect().toSeq
+      == preCluster)
     // PG drop form (no ON clause) resolves through the registry
     Graft.execute(spark, "DROP INDEX idx_2d")
     val props3 = spark.sql("SHOW TBLPROPERTIES idx_t").collect()
