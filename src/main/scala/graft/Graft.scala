@@ -81,6 +81,11 @@ object Graft {
       operators.GreengageDdl.dropIndex(spark, t); None
     } else if (is("(?is)^CLUSTER\\b")) {
       operators.GreengageDdl.cluster(spark, t); None
+    } else if (is("(?is)^ANALYZE\\s+(?!TABLE\\b)[\\w.\"]+\\s*;?\\s*$")) {
+      // PG's bare `ANALYZE t` -> CBO statistics (SURVEY §4.1)
+      val name = t.split("\\s+").last.stripSuffix(";").replace("\"", "")
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+      None
     } else if (is("(?is)^VACUUM\\b")) {
       val name = t.split("\\s+").last.stripSuffix(";").replace("\"", "")
       operators.Dml.vacuum(spark, name); None

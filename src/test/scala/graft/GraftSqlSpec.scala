@@ -96,6 +96,10 @@ class GraftSqlSpec extends AnyFunSuite {
     Graft.execute(spark, "UPDATE route_dml SET k = k + 100, v = k WHERE k = 7")
     val r7 = spark.table("route_dml").where(col("k") === 107L).head()
     assert(r7.getDouble(1) == 7.0) // v saw the OLD k
+    // PG's bare ANALYZE form lands as CBO statistics
+    Graft.execute(spark, "ANALYZE route_dml")
+    assert(spark.sql("DESCRIBE EXTENDED route_dml k").collect()
+      .exists(r => r.getString(0) == "distinct_count" && r.getString(1) != "NULL"))
     drop("route_dml")
   }
 
