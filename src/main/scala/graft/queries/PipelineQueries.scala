@@ -846,7 +846,7 @@ object PipelineQueries {
     // i emits k = i*25 + j for j in [0,25), j % 10 == 7 lines malformed
     "q166_exec_source" ->
       """SELECT 't' || CAST(j % 3 AS VARCHAR) AS tag, COUNT(*) AS n,
-        |       SUM(i * 25 + j) AS sum_k
+        |       CAST(SUM(i * 25 + j) AS BIGINT) AS sum_k
         |FROM (SELECT CAST(x // 25 AS BIGINT) AS i, CAST(x % 25 AS BIGINT) AS j
         |      FROM range(0, 100) t(x)) g
         |WHERE j % 10 <> 7
