@@ -262,6 +262,38 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
     }),
 
+    // gpfdist:// HTTP external table (url.c:37-47 dispatch → url_curl.c
+    // segment-identifying headers; server src/bin/gpfdist/gpfdist.c):
+    // write a deterministic pipe-delimited fixture, serve it over HTTP
+    // with the gpfdist-equivalent FileDistServer, and load it through
+    // WebSource with 4 segments — each segment GETs its disjoint
+    // round-robin slice keyed by the X-GRAFT-SEGMENT-ID header, so the
+    // union is exactly the file; malformed lines land in the SREH error
+    // log. The oracle reads the same file bytes directly. The aggregate
+    // is localCheckpoint'ed eagerly so the returned frame outlives the
+    // server (matching "stop gpfdist after the load completes").
+    "q194_web_external" -> ((s, d) => {
+      val dir = new java.io.File("target/web_demo")
+      dir.mkdirs()
+      val f = new java.io.File(dir, "input.txt")
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try {
+        (0 until 120).foreach { k =>
+          if (k % 10 == 7) w.println(s"bad_line_$k")
+          else w.println(s"$k|t${k % 3}")
+        }
+      } finally w.close()
+      graft.sources.FileDistServer.withServer(dir.getAbsolutePath) { srv =>
+        val schema = StructType(Seq(
+          StructField("k", LongType), StructField("tag", StringType)))
+        val res = graft.sources.WebSource.readCsv(s, Seq(srv.url("input.txt")),
+          schema, partitions = 4, rejectLimit = 20)
+        res.good.groupBy("tag")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+          .localCheckpoint(true)
+      }
+    }),
+
     // Multimodal columns: REAL encoded payloads (ImageIO PNG/BMP/GIF +
     // 16-bit PCM WAV) decoded back through the actual codecs in one
     // batched mapPartitions pass; the oracle recomputes every dimension
@@ -844,6 +876,17 @@ object PipelineQueries {
     },
     // the execute: command's output re-derived arithmetically: segment
     // i emits k = i*25 + j for j in [0,25), j % 10 == 7 lines malformed
+    // same bytes the load streamed over HTTP (absolute path resolves
+    // against this JVM's CWD, as q93); bad lines fail the BIGINT parse
+    // and are ignore_errors-dropped, mirroring the SREH reject log
+    "q194_web_external" -> {
+      val p = new java.io.File("target/web_demo/input.txt").getAbsolutePath
+      s"""SELECT tag, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+         |FROM read_csv('$p', header=false, delim='|',
+         |  columns={'k': 'BIGINT', 'tag': 'VARCHAR'},
+         |  ignore_errors=true)
+         |GROUP BY tag""".stripMargin
+    },
     "q166_exec_source" ->
       """SELECT 't' || CAST(j % 3 AS VARCHAR) AS tag, COUNT(*) AS n,
         |       CAST(SUM(i * 25 + j) AS BIGINT) AS sum_k

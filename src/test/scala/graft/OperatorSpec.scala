@@ -356,6 +356,58 @@ class OperatorSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("exited 3")))
   }
 
+  test("web source: per-segment HTTP slices, round-robin URLs, SREH applies") {
+    import graft.sources.{FileDistServer, WebSource}
+    val dir = new java.io.File("target/test-webdist")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "data.txt")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try (0 until 20).foreach(i => w.println(s"$i|t${i % 3}"))
+    finally w.close()
+    FileDistServer.withServer(dir.getAbsolutePath) { srv =>
+      // a protocol-aware server hands each of 4 segments a disjoint
+      // round-robin slice; the union is exactly the file
+      val raw = WebSource.lines(spark, Seq(srv.url("data.txt")), 4)
+      assert(raw.rdd.getNumPartitions == 4)
+      val got = raw.collect().map(r => (r.getInt(0), r.getString(1)))
+      assert(got.length == 20)
+      got.foreach { case (seg, line) =>
+        assert(line.takeWhile(_ != '|').toInt % 4 == seg) }
+      assert(got.map(_._2).toSet ==
+        (0 until 20).map(i => s"$i|t${i % 3}").toSet)
+      // column pruning reaches the reader
+      assert(raw.select("line").count() == 20)
+      // multiple LOCATION urls round-robin across segments
+      val two = WebSource.lines(spark,
+        Seq(srv.url("data.txt"), srv.url("data.txt")), 2).collect()
+      assert(two.map(r => r.getString(1)).toSet ==
+        (0 until 20).map(i => s"$i|t${i % 3}").toSet)
+      // SREH: malformed lines spool to the error log under the limit
+      val fb = new java.io.File(dir, "bad.txt")
+      val wb = new java.io.PrintWriter(fb, "UTF-8")
+      try {
+        wb.println("1|a"); wb.println("oops"); wb.println("2|b")
+      } finally wb.close()
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("tag", StringType)))
+      val res = WebSource.readCsv(spark, Seq(srv.url("bad.txt")), schema,
+        partitions = 1, rejectLimit = 2)
+      assert(res.rejected == 1)
+      assert(res.good.count() == 2)
+      assert(res.errorLog.head().getString(0) == "oops")
+      intercept[graft.operators.Sreh.RejectLimitExceeded] {
+        WebSource.readCsv(spark, Seq(srv.url("bad.txt")), schema,
+          partitions = 1, rejectLimit = 0)
+      }
+      // a 404 fails the read, never returns empty silence
+      val e = intercept[Exception] {
+        WebSource.lines(spark, Seq(srv.url("missing.txt")), 1).collect()
+      }
+      assert(e.getMessage.contains("HTTP 404") ||
+        Option(e.getCause).exists(_.getMessage.contains("HTTP 404")))
+    }
+  }
+
   test("multimodal: real codec decode round-trips exact pixel/sample sums") {
     val docs = Seq(0L, 1L, 2L, 3L, 17L, 42L, 103L).toDF("doc_id")
     val blobs = Multimodal.synthesizeMedia(docs)
