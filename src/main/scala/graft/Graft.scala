@@ -47,10 +47,44 @@ object Graft {
 
   private val copyRe =
     "(?is)^\\s*COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s+(TO|FROM)\\s+'([^']+)'\\s*(WITH\\s*\\(.*\\))?\\s*;?\\s*$".r
-  private val deleteRe =
-    "(?is)^\\s*DELETE\\s+FROM\\s+([\\w.\"]+)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
-  private val updateRe =
-    "(?is)^\\s*UPDATE\\s+([\\w.\"]+)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
+  private val deleteRe = "(?is)^\\s*DELETE\\s+FROM\\s+([\\w.\"]+)(.*)$".r
+  private val updateRe = "(?is)^\\s*UPDATE\\s+([\\w.\"]+)\\s+SET\\s+(.+)$".r
+
+  /** Index of the first occurrence of word `kw` at paren-depth 0 and
+    * outside single-quoted literals ('' escapes honored), or -1 — the
+    * statement splitter must never cut inside a string or a subquery
+    * (the reference's scanner tokenizes literals before the grammar
+    * sees keywords). */
+  private def topKeyword(s: String, kw: String): Int = {
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    var depth = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      s.charAt(i) match {
+        case '\'' =>
+          i += 1
+          var closed = false
+          while (i < n && !closed) {
+            if (s.charAt(i) == '\'') {
+              if (i + 1 < n && s.charAt(i + 1) == '\'') i += 1 else closed = true
+            }
+            i += 1
+          }
+          i -= 1 // outer loop advances past the closing quote
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 &&
+            s.regionMatches(true, i, kw, 0, kw.length) &&
+            (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+            (i + kw.length >= n || !isWordChar(s.charAt(i + kw.length))) =>
+          return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
 
   /** Execute one Greengage SQL statement, routed to the subsystem that
     * implements its verb (the dispatch `src/backend/tcop/utility.c`
@@ -62,6 +96,7 @@ object Graft {
   def execute(spark: SparkSession, sql: String): Option[DataFrame] = {
     val t = sql.trim
     def is(re: String) = re.r.findFirstIn(t).isDefined
+    def stripSemi(s: String) = s.trim.stripSuffix(";").trim
     if (is("(?is)^CREATE\\s+(TABLE|MATERIALIZED\\s+VIEW)\\b")) {
       operators.GreengageDdl.execute(spark, t); None
     } else if (is("(?is)^CREATE\\s+SEQUENCE\\b")) {
@@ -87,27 +122,52 @@ object Graft {
       spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
       None
     } else if (is("(?is)^VACUUM\\b")) {
-      val name = t.split("\\s+").last.stripSuffix(";").replace("\"", "")
-      operators.Dml.vacuum(spark, name); None
+      // VACUUM [FULL] [FREEZE] [VERBOSE] [ANALYZE] t (commands/vacuum.c)
+      val words = t.stripSuffix(";").trim.split("\\s+").toList
+      val optWords = Set("FULL", "FREEZE", "VERBOSE", "ANALYZE")
+      val name = words.drop(1).lastOption
+        .filterNot(w => optWords.contains(w.toUpperCase))
+        .getOrElse(throw new IllegalArgumentException(
+          "database-wide VACUUM is not supported: name a table"))
+        .replace("\"", "")
+      operators.Dml.vacuum(spark, name)
+      if (words.exists(_.equalsIgnoreCase("ANALYZE")))
+        spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+      None
+    } else if (is("(?is)^(DECLARE|CLOSE)\\b")) {
+      // portal statements (commands/portalcmds.c) → cursor surface
+      operators.Cursors.execute(spark, stripSemi(t)); None
+    } else if (is("(?is)^FETCH\\b")) {
+      Some(operators.Cursors.execute(spark, stripSemi(t)))
     } else if (is("(?is)^DELETE\\s+FROM\\b")) {
-      val m = deleteRe.findFirstMatchIn(t).getOrElse(
+      val m = deleteRe.findFirstMatchIn(stripSemi(t)).getOrElse(
         throw new IllegalArgumentException(s"cannot parse DELETE: $t"))
-      val cond = Option(m.group(2))
-        .map(c => org.apache.spark.sql.functions.expr(operators.PgSql.rewrite(c)))
-        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      val rest = m.group(2)
+      val w = topKeyword(rest, "WHERE")
+      require(rest.trim.isEmpty || w >= 0, s"cannot parse DELETE tail: $rest")
+      val cond =
+        if (w >= 0) org.apache.spark.sql.functions.expr(
+          operators.PgSql.rewrite(rest.substring(w + "WHERE".length)))
+        else org.apache.spark.sql.functions.lit(true)
       operators.Dml.deleteWhere(spark, m.group(1).replace("\"", ""), cond)
       None
     } else if (is("(?is)^UPDATE\\b")) {
-      val m = updateRe.findFirstMatchIn(t).getOrElse(
+      val m = updateRe.findFirstMatchIn(stripSemi(t)).getOrElse(
         throw new IllegalArgumentException(s"cannot parse UPDATE: $t"))
-      val assignments = operators.GreengageDdl.splitTop(m.group(2)).map { a =>
+      val rest = m.group(2)
+      // locate the top-level WHERE: one inside a SET literal or a
+      // subquery must not cut the statement
+      val w = topKeyword(rest, "WHERE")
+      val setPart = if (w >= 0) rest.substring(0, w) else rest
+      val assignments = operators.GreengageDdl.splitTop(setPart).map { a =>
         val Array(k, v) = a.split("=", 2)
         k.trim.replace("\"", "") ->
           org.apache.spark.sql.functions.expr(operators.PgSql.rewrite(v.trim))
       }.toMap
-      val cond = Option(m.group(3))
-        .map(c => org.apache.spark.sql.functions.expr(operators.PgSql.rewrite(c)))
-        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      val cond =
+        if (w >= 0) org.apache.spark.sql.functions.expr(
+          operators.PgSql.rewrite(rest.substring(w + "WHERE".length)))
+        else org.apache.spark.sql.functions.lit(true)
       operators.Dml.updateWhere(spark, m.group(1).replace("\"", ""), cond,
         assignments)
       None

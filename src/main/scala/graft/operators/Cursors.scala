@@ -53,7 +53,7 @@ object Cursors {
     * the chunk. */
   def execute(spark: SparkSession, stmt: String): DataFrame = stmt match {
     case declareRe(name, query) =>
-      declare(name, spark.sql(query.trim.stripSuffix(";")))
+      declare(name, spark.sql(PgSql.rewrite(query.trim.stripSuffix(";"))))
       spark.emptyDataFrame
     case fetchRe(n, name) =>
       fetch(spark, name, if (n.equalsIgnoreCase("ALL")) Int.MaxValue else n.toInt)

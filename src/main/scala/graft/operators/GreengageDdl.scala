@@ -68,7 +68,10 @@ object GreengageDdl {
     }
   }
 
-  /** Split on top-level commas (respects parens: `numeric(18,2)`). */
+  /** Split on top-level commas — respects parens (`numeric(18,2)`) AND
+    * single-quoted literals with `''` escapes (`DEFAULT 'a,b'`), so a
+    * comma or paren inside a string never splits (the reference's
+    * scanner tokenizes literals before the grammar sees commas). */
   private[graft] def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
@@ -76,6 +79,17 @@ object GreengageDdl {
     var i = 0
     while (i < s.length) {
       s.charAt(i) match {
+        case '\'' => // skip the literal, honoring '' escapes
+          i += 1
+          var closed = false
+          while (i < s.length && !closed) {
+            if (s.charAt(i) == '\'') {
+              if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+              else closed = true
+            }
+            i += 1
+          }
+          i -= 1 // outer loop advances past the closing quote
         case '(' => depth += 1
         case ')' => depth -= 1
         case ',' if depth == 0 => out += s.substring(start, i); start = i + 1

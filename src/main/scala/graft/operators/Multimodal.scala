@@ -228,7 +228,7 @@ object Multimodal {
         var i = 0
         while (i < nSamples) { sum += buf.getShort(pos + 8 + 2 * i); i += 1 }
       }
-      pos += 8 + len
+      pos += 8 + len + (len & 1) // RIFF pads odd chunks to word boundary
     }
     MediaFeatures(b.id, b.format, nSamples / math.max(1, channels), 1,
       channels, nSamples.toLong, sum, 0L, 0L)
@@ -258,7 +258,7 @@ object Multimodal {
         val tag = buf.getInt(pos)
         val len = buf.getInt(pos + 4)
         if (tag == 0x61746164) { dataPos = pos + 8; nSamples = len / 2 }
-        pos += 8 + len
+        pos += 8 + len + (len & 1) // RIFF pads odd chunks to word boundary
       }
       require(dataPos >= 0, s"no data chunk: id=${b.id}")
       val nWin = (nSamples + windowSamples - 1) / windowSamples

@@ -21,11 +21,16 @@ object PgSql {
     "bool" -> "BOOLEAN", "bytea" -> "BINARY", "text" -> "STRING",
     "timestamptz" -> "TIMESTAMP", "name" -> "STRING")
 
-  /** Rewrite one non-literal segment. */
+  /** Rewrite one non-literal segment. The case-insensitive `~*`/`!~*`
+    * spellings are NOT touched here (their regexes exclude a trailing
+    * `*`) — they need the following pattern literal and are folded
+    * during assembly in [[rewrite]]. */
   private def rewriteSegment(s: String): String = {
     var out = s
-    // regex-operator spellings, most specific first; pattern-literal
-    // forms for the case-insensitive variants live in [[rewrite]]
+    // regex-operator spellings, most specific first (pg_operator.h:
+    // ~~ LIKE, ~~* ILIKE, !~~ NOT LIKE, !~~* NOT ILIKE, ~ regex)
+    out = out.replaceAll("!~~\\*", " NOT ILIKE ")
+    out = out.replaceAll("~~\\*", " ILIKE ")
     out = out.replaceAll("!~~", " NOT LIKE ")
     out = out.replaceAll("~~", " LIKE ")
     out = out.replaceAll("!~(?![*~])", " NOT RLIKE ")
@@ -35,41 +40,68 @@ object PgSql {
       out = out.replaceAll(s"(?i)(::\\s*)$pg\\b", "$1" + spark)
       out = out.replaceAll(s"(?i)(\\bAS\\s+)$pg\\b(\\s*\\))", "$1" + spark + "$2")
     }
+    // any ~* left here has a non-literal pattern (the literal-pattern
+    // form was consumed in rewrite's assembly): no Spark spelling, so
+    // fail loudly rather than let it silently match case-sensitively
+    if (out.contains("~*")) throw new IllegalArgumentException(
+      s"~* / !~* requires a string-literal pattern: $s")
     out
   }
 
+  // trailing ~* / !~* before a literal; the lookbehind keeps it off the
+  // tail of the ILIKE spellings ~~* / !~~* (those rewrite in-segment)
+  private val ciTail = "(!?)\\s*(?<!~)~\\*\\s*$".r
+
   /** Split into alternating non-literal / literal parts and rewrite
-    * only the non-literal ones. */
+    * only the non-literal ones — literals stay byte-identical, with one
+    * documented exception: a `~*`/`!~*` whose pattern is the literal
+    * that immediately follows becomes ` RLIKE ` with `(?i)` folded into
+    * that pattern (PG's case-insensitive regex op has no Spark
+    * spelling). A `~*` with a non-literal pattern fails loudly rather
+    * than silently matching case-sensitively. */
   def rewrite(sql: String): String = {
-    val sb = new StringBuilder
+    // alternating parts: (isLiteral, text), literals include their quotes
+    val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0
     var segStart = 0
     while (i < sql.length) {
       if (sql.charAt(i) == '\'') {
-        sb ++= rewriteSegment(sql.substring(segStart, i))
-        val lit = new StringBuilder("'")
+        parts += ((false, sql.substring(segStart, i)))
+        val litStart = i
         i += 1
         var done = false
         while (i < sql.length && !done) {
-          val c = sql.charAt(i)
-          lit += c
-          if (c == '\'') {
-            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
-              lit += '\''; i += 1
-            } else done = true
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 1
+            else done = true
           }
           i += 1
         }
-        sb ++= lit.toString
+        parts += ((true, sql.substring(litStart, i)))
         segStart = i
       } else i += 1
     }
-    sb ++= rewriteSegment(sql.substring(segStart))
-    // case-insensitive regex match with a literal pattern: PG `~*` has
-    // no Spark operator — fold the flag into the pattern. Runs after
-    // literal splitting because the replacement touches the literal.
+    parts += ((false, sql.substring(segStart)))
+    val ps = parts.result()
+    val sb = new StringBuilder
+    var k = 0
+    while (k < ps.length) {
+      val (isLit, text) = ps(k)
+      if (isLit) sb ++= text
+      else ciTail.findFirstMatchIn(text) match {
+        case Some(m) if k + 1 < ps.length && ps(k + 1)._1 =>
+          // fold (?i) into the following pattern literal
+          val op = if (m.group(1) == "!") " NOT RLIKE " else " RLIKE "
+          sb ++= rewriteSegment(text.substring(0, m.start)) ++= op
+          sb ++= "'(?i)" ++= ps(k + 1)._2.substring(1)
+          k += 1 // literal consumed
+        case Some(_) =>
+          throw new IllegalArgumentException(
+            s"~* / !~* requires a string-literal pattern: $sql")
+        case None => sb ++= rewriteSegment(text)
+      }
+      k += 1
+    }
     sb.toString
-      .replaceAll("~\\*\\s*'", " RLIKE '(?i)")
-      .replaceAll("!\\s*RLIKE '\\(\\?i\\)", " NOT RLIKE '(?i)") // !~* form
   }
 }

@@ -56,7 +56,10 @@ object ZOrder {
     val agg = df.agg(rangeCols.head, rangeCols.tail: _*)
       .head() // 1-row range aggregate — the only non-lazy step
     val dims = cols.zipWithIndex.map { case (c, i) =>
-      normalize(col(c), agg.getDouble(2 * i), agg.getDouble(2 * i + 1), bits)
+      // empty table / all-NULL column: min/max are NULL — that dimension
+      // carries no order, so its key contribution is a constant 0
+      if (agg.isNullAt(2 * i) || agg.isNullAt(2 * i + 1)) lit(0L)
+      else normalize(col(c), agg.getDouble(2 * i), agg.getDouble(2 * i + 1), bits)
     }
     interleave(dims, bits)
   }

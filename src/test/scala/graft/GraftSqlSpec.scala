@@ -37,6 +37,14 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql(rewrite("SELECT 'cast as text'")).head()
       .getString(0) == "cast as text")
     assert(rewrite("SELECT 'it''s ~ fine'") == "SELECT 'it''s ~ fine'")
+    // ILIKE spellings (pg_operator.h ~~* / !~~*)
+    assert(spark.sql(rewrite("SELECT 'ABC' ~~* 'a%'")).head().getBoolean(0))
+    assert(spark.sql(rewrite("SELECT 'ABC' !~~* 'z%'")).head().getBoolean(0))
+    // a literal ENDING in ~* must not be rewritten into RLIKE garbage
+    assert(rewrite("SELECT 'x ~*'") == "SELECT 'x ~*'")
+    assert(spark.sql(rewrite("SELECT 'x ~*'")).head().getString(0) == "x ~*")
+    // ~* against a non-literal pattern fails loudly, not case-sensitively
+    intercept[IllegalArgumentException] { rewrite("SELECT a ~* b FROM t") }
   }
 
   test("CREATE INDEX clusters the layout; the clustered scan reads fewer rows") {
@@ -101,6 +109,67 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql("DESCRIBE EXTENDED route_dml k").collect()
       .exists(r => r.getString(0) == "distinct_count" && r.getString(1) != "NULL"))
     drop("route_dml")
+  }
+
+  test("statement splitting is quote-aware: commas, '=', WHERE inside literals") {
+    drop("route_q")
+    spark.range(4).selectExpr("id AS k", "CAST('' AS STRING) AS a",
+      "CAST(0 AS BIGINT) AS b", "CAST(concat('w;v', CAST(id AS STRING)) AS STRING) AS c")
+      .write.saveAsTable("route_q")
+    // a comma and '=' inside a SET literal, a ';' inside the WHERE literal
+    Graft.execute(spark,
+      "UPDATE route_q SET a = 'x, y = z', b = 2 WHERE c = 'w;v1';")
+    val rows = spark.table("route_q").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows(1L) == (("x, y = z", 2L)))
+    assert(rows(0L) == (("", 0L)) && rows(2L) == (("", 0L)))
+    // a WHERE inside a SET literal must not cut the statement early
+    Graft.execute(spark,
+      "UPDATE route_q SET a = 'no WHERE cut' WHERE k = 3")
+    assert(spark.table("route_q").where(col("k") === 3L).head()
+      .getString(1) == "no WHERE cut")
+    // DELETE with ';' and quotes in the condition literal
+    Graft.execute(spark, "DELETE FROM route_q WHERE c = 'w;v0'")
+    assert(spark.table("route_q").count() == 3)
+    // an unparseable DELETE tail fails loudly instead of deleting all
+    intercept[IllegalArgumentException] {
+      Graft.execute(spark, "DELETE FROM route_q nonsense tail")
+    }
+    assert(spark.table("route_q").count() == 3)
+    drop("route_q")
+  }
+
+  test("execute routes cursor statements: DECLARE, FETCH, CLOSE") {
+    Tables.register(spark, TestSpark.sf0001)
+    val none = Graft.execute(spark,
+      "DECLARE rc CURSOR FOR SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey;")
+    assert(none.isEmpty)
+    val first = Graft.execute(spark, "FETCH 10 FROM rc").get.collect()
+    assert(first.length == 10 && first.head.getInt(0) == 0)
+    val second = Graft.execute(spark, "FETCH 10 FROM rc").get.collect()
+    assert(second.length == 10 && second.head.getInt(0) == 10)
+    val rest = Graft.execute(spark, "FETCH ALL FROM rc").get.collect()
+    assert(first.length + second.length + rest.length == 25)
+    assert(Graft.execute(spark, "CLOSE rc;").isEmpty)
+    intercept[IllegalArgumentException] {
+      Graft.execute(spark, "FETCH 1 FROM rc")
+    }
+  }
+
+  test("VACUUM ANALYZE runs both halves; bare VACUUM is rejected") {
+    drop("vac_an")
+    spark.range(50).selectExpr("id AS k", "CAST(id % 5 AS BIGINT) AS g")
+      .repartition(8).write.saveAsTable("vac_an")
+    def files() = new java.io.File("target/test-warehouse/vac_an")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files() == 8)
+    Graft.execute(spark, "VACUUM ANALYZE vac_an")
+    assert(files() == 1) // compacted
+    assert(spark.sql("DESCRIBE EXTENDED vac_an g").collect() // and analyzed
+      .exists(r => r.getString(0) == "distinct_count" && r.getString(1) != "NULL"))
+    intercept[IllegalArgumentException] { Graft.execute(spark, "VACUUM") }
+    intercept[IllegalArgumentException] { Graft.execute(spark, "VACUUM ANALYZE") }
+    drop("vac_an")
   }
 
   test("VACUUM compacts small files, content identical, both layouts") {

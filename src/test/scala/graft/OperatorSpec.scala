@@ -433,6 +433,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(feats4 == feats.map { case (k, v) => k -> v.sum_r })
   }
 
+  test("multimodal: RIFF walk honors the odd-chunk pad byte") {
+    // WAV with an odd-length LIST chunk before fmt/data: RIFF mandates
+    // a pad byte after odd chunks, so a walk without it misreads every
+    // following chunk tag
+    val samples = Array[Short](100, -200, 300, -400, 500)
+    val buf = java.nio.ByteBuffer.allocate(200)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(0); buf.put("WAVE".getBytes)
+    buf.put("LIST".getBytes); buf.putInt(3)
+    buf.put("abc".getBytes); buf.put(0.toByte) // odd len -> pad byte
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1); buf.putInt(8000); buf.putInt(16000)
+    buf.putShort(2); buf.putShort(16)
+    buf.put("data".getBytes); buf.putInt(samples.length * 2)
+    samples.foreach(buf.putShort)
+    val payload = java.util.Arrays.copyOf(buf.array(), buf.position())
+    val f = Multimodal.decodeMedia(
+      Seq(Multimodal.Blob(7L, payload, "wav")).toDS()).collect().head
+    assert(f.width == samples.length && f.channels == 1)
+    assert(f.sum_r == samples.map(_.toLong).sum)
+    val wins = Multimodal.audioWindows(
+      Seq(Multimodal.Blob(7L, payload, "wav")).toDS(), windowSamples = 2)
+      .collect().sortBy(_.win)
+    assert(wins.length == 3)
+    assert(wins.map(_.n).toSeq == Seq(2, 2, 1))
+    assert(wins.map(_.sum_sq).sum == samples.map(s => s.toLong * s).sum)
+  }
+
   test("multimodal: JPEG decodes through the real codec (lossy tolerance)") {
     val (w, h, r, g, b) = (40, 24, 120, 80, 200)
     val img = new java.awt.image.BufferedImage(

@@ -48,6 +48,21 @@ class ZOrderSpec extends AnyFunSuite {
       s"z-order read $zScanned rows vs $nScanned naturally — no pruning win")
   }
 
+  test("zorderValue on empty / all-NULL input degrades to a constant key") {
+    import graft.operators.ZOrder
+    // empty table: min/max are NULL — the key must not NPE
+    val empty = spark.range(0).selectExpr("id AS a", "id AS b")
+    assert(empty.withColumn("z", ZOrder.zorderValue(empty, Seq("a", "b")))
+      .count() == 0)
+    // all-NULL dimension contributes a constant; the other still orders
+    val mixed = spark.range(8).selectExpr(
+      "CAST(NULL AS BIGINT) AS a", "id AS b")
+    val keys = mixed.withColumn("z", ZOrder.zorderValue(mixed, Seq("a", "b")))
+      .orderBy("b").select("z").collect().map(_.getLong(0)).toSeq
+    assert(keys == keys.sorted, "surviving dimension must still order the key")
+    assert(keys.distinct.size > 1)
+  }
+
   test("morton interleave: bit planes land at i*k+j") {
     import spark.implicits._
     val df = Seq((3L, 1L)).toDF("a", "b")
