@@ -554,6 +554,24 @@ object GraftFunctions {
       FunctionIdentifier("to_char_pg"),
       info("to_char_pg", "to_char_pg(num, fmt) - PG numeric template formatting"),
       (args: Seq[Expression]) => ToChar(Cast(args(0), DoubleType), args(1)))
+    for (n <- Seq("network", "broadcast", "netmask", "hostmask"))
+      reg.registerFunction(
+        FunctionIdentifier(s"inet_$n"),
+        info(s"inet_$n", s"inet_$n(inet) - network.c $n, both families"),
+        (args: Seq[Expression]) => InetStrOp(args(0), n))
+    for (n <- Seq("masklen", "family"))
+      reg.registerFunction(
+        FunctionIdentifier(s"inet_$n"),
+        info(s"inet_$n", s"inet_$n(inet) - network.c $n, both families"),
+        (args: Seq[Expression]) => InetIntOp(args(0), n))
+    reg.registerFunction(
+      FunctionIdentifier("inet_sub"),
+      info("inet_sub", "inet_sub(ip, net) - PG << strict containment"),
+      (args: Seq[Expression]) => InetContains(args(0), args(1), strict = true))
+    reg.registerFunction(
+      FunctionIdentifier("inet_subeq"),
+      info("inet_subeq", "inet_subeq(ip, net) - PG <<= containment"),
+      (args: Seq[Expression]) => InetContains(args(0), args(1), strict = false))
     reg.registerFunction(
       FunctionIdentifier("winnow"),
       info("winnow", "winnow(text, k, w) - winnowed rolling-hash fingerprints"),

@@ -522,6 +522,32 @@ object FunctionQueries {
         Inet.containedIn(ip, net).as("in_net_strict"))
     }),
 
+    // IPv6 inet/cidr (network.c is family-generic over ip_bits(); so is
+    // InetOps): addresses built as 2001:db8:X::Y/mlen with mlen in
+    // {32,48,64}, every operator exercised plus cross-family
+    // containment. The oracle string-builds the inet_net_ntop output
+    // shape per mask length — matching forces parse, 128-bit mask
+    // algebra, zero-run compression, and family dispatch to all agree.
+    "q195_inet6" -> ((s, d) => {
+      import graft.functions.Inet
+      val x = lower(hex((lit(1) + col("c_custkey") % 4000).cast("int")))
+      val y = lower(hex((lit(1) + col("c_custkey") % 9).cast("int")))
+      val mlen = (lit(32) + (col("c_custkey") % 3) * 16).cast("int")
+      val ip = concat(lit("2001:db8:"), x, lit("::"), y,
+        lit("/"), mlen.cast("string"))
+      t(s, d, "customer").select(col("c_custkey"),
+        Inet.host(ip).as("host"),
+        Inet.masklen(ip).as("mlen"),
+        Inet.family(ip).as("fam"),
+        Inet.network(ip).as("network"),
+        Inet.broadcast(ip).as("bcast"),
+        Inet.netmask(ip).as("netmask"),
+        Inet.hostmask(ip).as("hostmask"),
+        Inet.containedInEq(ip, lit("2001:db8:7::/48")).as("in_net"),
+        Inet.containedIn(ip, lit("2001:db8:7::/48")).as("in_net_strict"),
+        Inet.containedInEq(lit("10.0.0.1"), lit("2001:db8::/32")).as("xfam"))
+    }),
+
     // pgcrypto crypt()/gen_salt() (contrib/pgcrypto/pgcrypto.c:203,
     // crypt-md5.c): gen_salt draws a fresh random salt per row, so the
     // hash itself is unpinnable — the catalog row verifies the CONTRACT:
@@ -1614,6 +1640,33 @@ object FunctionQueries {
         |  (16 <= mlen AND (ipl & 4294901760) = 170524672) AS in_net,
         |  (16 < mlen AND (ipl & 4294901760) = 170524672) AS in_net_strict
         |FROM v""".stripMargin,
+    // inet_net_ntop output shapes per mask length, string-built
+    "q195_inet6" ->
+      """WITH b AS (SELECT c_custkey,
+        |    lower(to_hex(CAST(1 + c_custkey % 4000 AS INT))) AS x,
+        |    lower(to_hex(CAST(1 + c_custkey % 9 AS INT))) AS y,
+        |    CAST(32 + (c_custkey % 3) * 16 AS INT) AS mlen
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  '2001:db8:' || x || '::' || y AS host,
+        |  mlen, CAST(6 AS INT) AS fam,
+        |  CASE mlen WHEN 32 THEN '2001:db8::/32'
+        |            WHEN 48 THEN '2001:db8:' || x || '::/48'
+        |            ELSE '2001:db8:' || x || '::/64' END AS network,
+        |  CASE mlen
+        |    WHEN 32 THEN '2001:db8:ffff:ffff:ffff:ffff:ffff:ffff/32'
+        |    WHEN 48 THEN '2001:db8:' || x || ':ffff:ffff:ffff:ffff:ffff/48'
+        |    ELSE '2001:db8:' || x || ':0:ffff:ffff:ffff:ffff/64' END AS bcast,
+        |  CASE mlen WHEN 32 THEN 'ffff:ffff::'
+        |            WHEN 48 THEN 'ffff:ffff:ffff::'
+        |            ELSE 'ffff:ffff:ffff:ffff::' END AS netmask,
+        |  CASE mlen WHEN 32 THEN '::ffff:ffff:ffff:ffff:ffff:ffff'
+        |            WHEN 48 THEN '::ffff:ffff:ffff:ffff:ffff'
+        |            ELSE '::ffff:ffff:ffff:ffff' END AS hostmask,
+        |  (x = '7' AND mlen >= 48) AS in_net,
+        |  (x = '7' AND mlen > 48) AS in_net_strict,
+        |  FALSE AS xfam
+        |FROM b""".stripMargin,
     "q167_pgcrypto_crypt" ->
       """SELECT c_custkey, TRUE AS matches, FALSE AS wrong_pw,
         |  '$1$saltsalt$qjXMvbEw8oaL.CzflDtaK/' AS pinned

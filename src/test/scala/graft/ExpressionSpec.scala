@@ -286,6 +286,43 @@ class ExpressionSpec extends AnyFunSuite {
     assert(!r.getBoolean(11))
   }
 
+  test("inet: IPv6 parse/format/mask algebra and cross-family edges") {
+    import graft.functions.Inet._
+    import org.apache.spark.sql.functions.lit
+    val r = spark.sql("SELECT 1").select(
+      family(lit("2001:db8::1")).as("f6"),
+      family(lit("10.0.0.1")).as("f4"),
+      masklen(lit("2001:db8::1")).as("m128"), // bare v6 -> /128
+      masklen(lit("2001:db8::/48")).as("m48"),
+      network(lit("2001:db8:aa:bb:cc::7/48")).as("nw"),
+      broadcast(lit("2001:db8:aa::/48")).as("bc"),
+      netmask(lit("::/64")).as("nm"),
+      hostmask(lit("::/96")).as("hm"),
+      network(lit("::ffff:10.1.2.3/112")).as("v4mapped"),
+      network(lit("8000::/1")).as("nonbyte"), // mask not on byte boundary
+      containedInEq(lit("2001:db8:aa::5"), lit("2001:db8:aa::/48")).as("sub"),
+      containedInEq(lit("2001:db8:bb::5"), lit("2001:db8:aa::/48")).as("out"),
+      containedInEq(lit("10.0.0.1"), lit("2001:db8::/32")).as("xfam"))
+      .head()
+    assert(r.getInt(0) == 6 && r.getInt(1) == 4)
+    assert(r.getInt(2) == 128 && r.getInt(3) == 48)
+    assert(r.getString(4) == "2001:db8:aa::/48")
+    assert(r.getString(5) == "2001:db8:aa:ffff:ffff:ffff:ffff:ffff/48")
+    assert(r.getString(6) == "ffff:ffff:ffff:ffff::")
+    assert(r.getString(7) == "::255.255.255.255") // v4-compatible form (inet_net_ntop)
+    assert(r.getString(8) == "::ffff:10.1.0.0/112") // embedded-v4 form kept
+    assert(r.getString(9) == "8000::/1")
+    assert(r.getBoolean(10))
+    assert(!r.getBoolean(11))
+    assert(!r.getBoolean(12)) // cross-family containment is false, not an error
+    // round-trip: compression picks the longest, leftmost run
+    val rt = spark.sql("SELECT 1").select(
+      host(lit("2001:0:0:1:0:0:0:1/64")).as("h1"),
+      network(lit("2001:0:0:1:0:0:0:1/128")).as("h2")).head()
+    assert(rt.getString(0) == "2001:0:0:1:0:0:0:1") // host is textual
+    assert(rt.getString(1) == "2001:0:0:1::1/128")  // formatter compresses
+  }
+
   test("jsonb_set: setPath semantics incl. negative index and strict steps") {
     def set(doc: String, path: String, v: String): String =
       spark.sql(s"SELECT jsonb_set('$doc', '$path', '$v') AS r").head().getString(0)
