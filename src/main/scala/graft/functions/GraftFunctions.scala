@@ -654,12 +654,12 @@ object GraftFunctions {
       })
     reg.registerFunction(
       FunctionIdentifier("crypt"),
-      info("crypt", "crypt(pw, salt_or_hash) - pgcrypto MD5-crypt password hash"),
+      info("crypt", "crypt(pw, salt_or_hash) - pgcrypto MD5-crypt or bcrypt password hash"),
       (args: Seq[Expression]) => Crypt(Cast(args(0), StringType),
         Cast(args(1), StringType)))
     reg.registerFunction(
       FunctionIdentifier("gen_salt"),
-      info("gen_salt", "gen_salt('md5') - random crypt salt"),
+      info("gen_salt", "gen_salt('md5'|'bf') - random crypt salt"),
       (args: Seq[Expression]) => GenSalt(args(0).eval().toString))
     reg.registerFunction(
       FunctionIdentifier("xpath_all"),

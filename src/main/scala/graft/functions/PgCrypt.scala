@@ -94,32 +94,36 @@ object Md5Crypt {
   }
 }
 
-/** `crypt(password, salt_or_hash)` expression. MD5 rounds dominate the
-  * cost, so interpreted eval (CodegenFallback) is not the bottleneck. */
+/** `crypt(password, salt_or_hash)` expression, dispatching on the salt
+  * prefix like the reference's px-crypt.c:86-110 scheme table: `$1$` →
+  * MD5-crypt, `$2a/b/y$` → bcrypt. Digest rounds dominate the cost, so
+  * interpreted eval (CodegenFallback) is not the bottleneck. */
 case class Crypt(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "crypt"
 
-  override def nullSafeEval(pw: Any, salt: Any): Any =
-    UTF8String.fromString(Md5Crypt.crypt(
-      pw.asInstanceOf[UTF8String].toString,
-      salt.asInstanceOf[UTF8String].toString))
+  override def nullSafeEval(pw: Any, salt: Any): Any = {
+    val p = pw.asInstanceOf[UTF8String].toString
+    val s = salt.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(
+      if (s.startsWith("$2")) BcryptAlg.crypt(p, s) else Md5Crypt.crypt(p, s))
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Crypt =
     copy(left = newLeft, right = newRight)
 }
 
-/** `gen_salt('md5')` — nondeterministic, like pgcrypto's (each call
-  * draws a fresh salt; results are validated via the roundtrip idiom,
-  * never by value). */
+/** `gen_salt('md5' | 'bf')` — nondeterministic, like pgcrypto's (each
+  * call draws a fresh salt; results are validated via the roundtrip
+  * idiom, never by value). */
 case class GenSalt(scheme: String) extends LeafExpression
     with Nondeterministic with CodegenFallback {
 
-  require(scheme == "md5",
-    s"gen_salt: only the 'md5' scheme is supported, got: $scheme")
+  require(scheme == "md5" || scheme == "bf",
+    s"gen_salt: supported schemes are 'md5' and 'bf', got: $scheme")
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
@@ -131,5 +135,6 @@ case class GenSalt(scheme: String) extends LeafExpression
     rng = new java.security.SecureRandom()
 
   override protected def evalInternal(input: InternalRow): Any =
-    UTF8String.fromString(Md5Crypt.genSalt(rng))
+    UTF8String.fromString(
+      if (scheme == "bf") BcryptAlg.genSalt(rng) else Md5Crypt.genSalt(rng))
 }

@@ -565,6 +565,19 @@ object FunctionQueries {
           (expr("crypt(concat(c_name, 'x'), h)") === col("h")).as("wrong_pw"),
           expr("crypt('password', '$1$saltsalt$')").as("pinned"))),
 
+    // pgcrypto bcrypt (px-crypt.c:86-110 scheme dispatch,
+    // crypt-blowfish.c): gen_salt('bf') + the same roundtrip contract as
+    // q167, with the pinned column the published OpenBSD/jBCrypt cost-6
+    // test vector. 2^6 eksblowfish key schedules per call BY DESIGN
+    // (the scheme's work factor, ~6 ms) — the slice keeps it bounded.
+    "q196_bcrypt" -> ((s, d) =>
+      t(s, d, "customer").where(col("c_custkey") % 100 === 0)
+        .withColumn("h", expr("crypt(c_name, gen_salt('bf'))"))
+        .select(col("c_custkey"),
+          (expr("crypt(c_name, h)") === col("h")).as("matches"),
+          (expr("crypt(concat(c_name, 'x'), h)") === col("h")).as("wrong_pw"),
+          expr("crypt('', '$2a$06$DCq7YPn5Rq63x1Lad4cll.')").as("pinned"))),
+
     // XML type + XPath surface (utils/adt/xml.c:57-148 xmlelement /
     // xpath; contrib xml2): documents are built per row, then values
     // extracted back — string, typed scalar, boolean predicate, and
@@ -1671,6 +1684,10 @@ object FunctionQueries {
       """SELECT c_custkey, TRUE AS matches, FALSE AS wrong_pw,
         |  '$1$saltsalt$qjXMvbEw8oaL.CzflDtaK/' AS pinned
         |FROM customer WHERE c_custkey % 20 = 0""".stripMargin,
+    "q196_bcrypt" ->
+      """SELECT c_custkey, TRUE AS matches, FALSE AS wrong_pw,
+        |  '$2a$06$DCq7YPn5Rq63x1Lad4cll.TV4S6ytwfsfvkgY8jIucDrjc8deX1s.' AS pinned
+        |FROM customer WHERE c_custkey % 100 = 0""".stripMargin,
     // xpath extraction must invert the row's XML construction
     "q142_xml_xpath" ->
       """SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority,

@@ -632,6 +632,37 @@ class ExpressionSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).distinct.length == 20)
   }
 
+  test("crypt/gen_salt: bcrypt matches published vectors; roundtrip verifies") {
+    import graft.functions.BcryptAlg
+    // the P-array/S-box seed IS π's hex expansion — the Machin-formula
+    // derivation must reproduce the published leading words
+    assert(BcryptAlg.piWords(0) == 0x243f6a88)
+    assert(BcryptAlg.piWords(17) == 0x8979fb1b) // last P word
+    assert(BcryptAlg.piWords(18) == 0xd1310ba6) // first S word
+    // pinned against the OpenBSD/jBCrypt published test vectors
+    assert(BcryptAlg.crypt("", "$2a$06$DCq7YPn5Rq63x1Lad4cll.") ==
+      "$2a$06$DCq7YPn5Rq63x1Lad4cll.TV4S6ytwfsfvkgY8jIucDrjc8deX1s.")
+    assert(BcryptAlg.crypt("a", "$2a$06$m0CrhHm10qJ3lXRY.5zDGO") ==
+      "$2a$06$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe")
+    // salt spec may be a full stored hash: the verify idiom holds
+    val h = BcryptAlg.crypt("s3cret", "$2a$06$DCq7YPn5Rq63x1Lad4cll.")
+    assert(BcryptAlg.crypt("s3cret", h) == h)
+    assert(BcryptAlg.crypt("wrong", h) != h)
+    // minor versions b/y are accepted (identical for UTF-8 input)
+    assert(BcryptAlg.crypt("pw", "$2b$06$DCq7YPn5Rq63x1Lad4cll.").startsWith("$2b$06$"))
+    intercept[IllegalArgumentException] {
+      BcryptAlg.crypt("pw", "$2x$06$DCq7YPn5Rq63x1Lad4cll.")
+    }
+    // SQL surface: scheme dispatch + fresh 'bf' salts, roundtrip verifies
+    val rows = spark.sql(
+      """SELECT h, crypt('pw', h) = h AS ok, crypt('no', h) = h AS bad
+        |FROM (SELECT crypt('pw', gen_salt('bf')) AS h
+        |      FROM range(8))""".stripMargin).collect()
+    assert(rows.forall(r => r.getString(0).startsWith("$2a$06$")))
+    assert(rows.forall(r => r.getBoolean(1) && !r.getBoolean(2)))
+    assert(rows.map(_.getString(0)).distinct.length == 8)
+  }
+
   test("ts_rewrite: subtree substitution with commutative AND/OR match") {
     import graft.functions.TsQuery
     import graft.functions.TsQuery._
