@@ -605,6 +605,10 @@ object GraftFunctions {
       info("porter_stem", "porter_stem(word) - Porter suffix-stripping stemmer"),
       (args: Seq[Expression]) => PorterStem(Cast(args(0), StringType)))
     reg.registerFunction(
+      FunctionIdentifier("german_stem"),
+      info("german_stem", "german_stem(word) - snowball German stemmer"),
+      (args: Seq[Expression]) => GermanStem(Cast(args(0), StringType)))
+    reg.registerFunction(
       FunctionIdentifier("to_number_pg"),
       info("to_number_pg", "to_number_pg(text, fmt) - PG numeric template parsing"),
       (args: Seq[Expression]) => ToNumberPg(Cast(args(0), StringType), args(1)))

@@ -150,6 +150,140 @@ case class PorterStem(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Snowball German stemmer (reference `src/backend/snowball/german.sbl`
+  * compiles the same published algorithm; re-implemented here from the
+  * snowballstem.org German-stemmer description: mark u/y between vowels,
+  * R1/R2 regions with the 3-letter R1 floor, three longest-match suffix
+  * steps, then unmark and strip umlauts). Proves the dictionary plumbing
+  * generalizes beyond Porter `english` — the lexize chain is shared. */
+object GermanStemmer {
+
+  private val vowels = "aeiouyäöü"
+  @inline private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+  /** Region start: after the first non-vowel following a vowel, scanning
+    * from `from` (snowball gopast v, gopast non-v). */
+  private def region(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && !isV(s.charAt(i))) i += 1
+    while (i < s.length && isV(s.charAt(i))) i += 1
+    if (i < s.length) i + 1 else s.length
+  }
+
+  private val sEndings = "bdfghklmnrt" // valid s-endings
+  private val stEndings = "bdfghklmnt" // valid st-endings (no r)
+
+  def stem(word: String): String = {
+    var s = word.toLowerCase.replace("ß", "ss")
+    // u/y between vowels are consonants for region purposes: mark upper
+    if (s.length >= 3) {
+      val cs = s.toCharArray
+      var i = 1
+      while (i < s.length - 1) {
+        val c = s.charAt(i)
+        if ((c == 'u' || c == 'y') && isV(s.charAt(i - 1)) && isV(s.charAt(i + 1)))
+          cs(i) = c.toUpper
+        i += 1
+      }
+      s = new String(cs)
+    }
+    val r1raw = region(s, 0)
+    val r1 = math.max(r1raw, 3) // region before R1 must hold ≥3 letters
+    val r2 = region(s, r1raw)
+
+    def inR1(sufLen: Int) = s.length - sufLen >= r1
+    def inR2(sufLen: Int) = s.length - sufLen >= r2
+
+    // step 1: longest of ern/em/er | e/en/es (niss proviso) | s
+    Seq("ern", "em", "er", "en", "es", "e", "s").find(s.endsWith) match {
+      case Some("s") =>
+        if (s.length >= 2 && sEndings.indexOf(s.charAt(s.length - 2)) >= 0 &&
+            inR1(1)) s = s.dropRight(1)
+      case Some(suf @ ("e" | "en" | "es")) =>
+        if (inR1(suf.length)) {
+          s = s.dropRight(suf.length)
+          if (s.endsWith("niss")) s = s.dropRight(1)
+        }
+      case Some(suf) => if (inR1(suf.length)) s = s.dropRight(suf.length)
+      case None =>
+    }
+
+    // step 2: longest of est/en/er | st (valid st-ending)
+    Seq("est", "en", "er", "st").find(s.endsWith) match {
+      case Some("st") =>
+        if (s.length >= 3 && stEndings.indexOf(s.charAt(s.length - 3)) >= 0 &&
+            inR1(2)) s = s.dropRight(2)
+      case Some(suf) => if (inR1(suf.length)) s = s.dropRight(suf.length)
+      case None =>
+    }
+
+    // step 3: d-suffixes, longest match
+    def notPrecededByE(sufLen: Int) =
+      s.length - sufLen - 1 < 0 || s.charAt(s.length - sufLen - 1) != 'e'
+    Seq("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik")
+      .find(s.endsWith) match {
+      case Some(suf @ ("end" | "ung")) =>
+        if (inR2(suf.length)) {
+          s = s.dropRight(suf.length)
+          if (s.endsWith("ig") && notPrecededByE(2) && inR2(2))
+            s = s.dropRight(2)
+        }
+      case Some(suf @ ("ig" | "ik" | "isch")) =>
+        if (inR2(suf.length) && notPrecededByE(suf.length))
+          s = s.dropRight(suf.length)
+      case Some(suf @ ("lich" | "heit")) =>
+        if (inR2(suf.length)) {
+          s = s.dropRight(suf.length)
+          Seq("er", "en").find(s.endsWith).foreach { p =>
+            if (inR1(p.length)) s = s.dropRight(p.length)
+          }
+        }
+      case Some("keit") =>
+        if (inR2(4)) {
+          s = s.dropRight(4)
+          Seq("lich", "ig").find(s.endsWith).foreach { p =>
+            if (inR2(p.length)) s = s.dropRight(p.length)
+          }
+        }
+      case _ =>
+    }
+
+    // unmark U/Y, strip umlauts
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      sb += (s.charAt(i) match {
+        case 'U' => 'u'
+        case 'Y' => 'y'
+        case 'ä' => 'a'
+        case 'ö' => 'o'
+        case 'ü' => 'u'
+        case c => c
+      })
+      i += 1
+    }
+    sb.toString
+  }
+
+  def stemUtf8(s: UTF8String): UTF8String = UTF8String.fromString(stem(s.toString))
+}
+
+/** `german_stem(word)` codegen expression. */
+case class GermanStem(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "german_stem"
+
+  override protected def nullSafeEval(v: Any): Any =
+    GermanStemmer.stemUtf8(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GermanStemmer.stemUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GermanStem =
+    copy(child = newChild)
+}
+
 /** The `english` text-search configuration's lexize chain. */
 object TsLexize {
 
@@ -173,23 +307,71 @@ object TsLexize {
     "than", "too", "very", "s", "t", "can", "will", "just", "don",
     "should", "now")
 
-  /** lowercase → drop stopwords → Porter-stem, one declarative pass
-    * (ts_lexize through the english configuration). The stopword test
-    * compiles to an InSet membership check and the stem is the codegen
-    * [[PorterStem]] expression; the surrounding filter/transform are
-    * Spark higher-order functions, which evaluate as expression islands
+  /** The standard snowball German stopword list PG ships as
+    * `src/backend/snowball/stopwords/german.stop` (public snowball
+    * project data). */
+  val germanStopwords: Seq[String] = Seq(
+    "aber", "alle", "allem", "allen", "aller", "alles", "als", "also",
+    "am", "an", "ander", "andere", "anderem", "anderen", "anderer",
+    "anderes", "anderm", "andern", "anderr", "anders", "auch", "auf",
+    "aus", "bei", "bin", "bis", "bist", "da", "damit", "dann", "der",
+    "den", "des", "dem", "die", "das", "daß", "derselbe", "derselben",
+    "denselben", "desselben", "demselben", "dieselbe", "dieselben",
+    "dasselbe", "dazu", "dein", "deine", "deinem", "deinen", "deiner",
+    "deines", "denn", "derer", "dessen", "dich", "dir", "du", "dies",
+    "diese", "diesem", "diesen", "dieser", "dieses", "doch", "dort",
+    "durch", "ein", "eine", "einem", "einen", "einer", "eines", "einig",
+    "einige", "einigem", "einigen", "einiger", "einiges", "einmal",
+    "er", "ihn", "ihm", "es", "etwas", "euer", "eure", "eurem", "euren",
+    "eurer", "eures", "für", "gegen", "gewesen", "hab", "habe", "haben",
+    "hat", "hatte", "hatten", "hier", "hin", "hinter", "ich", "mich",
+    "mir", "ihr", "ihre", "ihrem", "ihren", "ihrer", "ihres", "euch",
+    "im", "in", "indem", "ins", "ist", "jede", "jedem", "jeden",
+    "jeder", "jedes", "jene", "jenem", "jenen", "jener", "jenes",
+    "jetzt", "kann", "kein", "keine", "keinem", "keinen", "keiner",
+    "keines", "können", "könnte", "machen", "man", "manche", "manchem",
+    "manchen", "mancher", "manches", "mein", "meine", "meinem",
+    "meinen", "meiner", "meines", "mit", "muss", "musste", "nach",
+    "nicht", "nichts", "noch", "nun", "nur", "ob", "oder", "ohne",
+    "sehr", "sein", "seine", "seinem", "seinen", "seiner", "seines",
+    "selbst", "sich", "sie", "ihnen", "sind", "so", "solche", "solchem",
+    "solchen", "solcher", "solches", "soll", "sollte", "sondern",
+    "sonst", "über", "um", "und", "uns", "unse", "unsem", "unsen",
+    "unser", "unses", "unter", "viel", "vom", "von", "vor", "während",
+    "war", "waren", "warst", "was", "weg", "weil", "weiter", "welche",
+    "welchem", "welchen", "welcher", "welches", "wenn", "werde",
+    "werden", "wie", "wieder", "will", "wir", "wird", "wirst", "wo",
+    "wollen", "wollte", "würde", "würden", "zu", "zum", "zur", "zwar",
+    "zwischen")
+
+  private val configs: Map[String, (Seq[String], String)] = Map(
+    "english" -> (englishStopwords, "porter_stem"),
+    "german" -> (germanStopwords, "german_stem"))
+
+  /** lowercase → drop stopwords → stem, one declarative pass
+    * (ts_lexize through the named configuration — `english` and
+    * `german` dictionaries share this chain, like the reference's
+    * config → snowball-dictionary indirection). The stopword test
+    * compiles to an InSet membership check and the stem is a codegen
+    * expression; the surrounding filter/transform are Spark
+    * higher-order functions, which evaluate as expression islands
     * inside the stage (HOFs are CodegenFallback) — no UDF boundary, no
     * serialization, one pass. */
-  def lexize(words: Column): Column =
+  def lexize(words: Column, config: String = "english"): Column = {
+    val (stop, stemFn) = configs(config)
     transform(
-      filter(words, w => !lower(w).isInCollection(englishStopwords)),
-      w => call_function("porter_stem", lower(w)))
+      filter(words, w => !lower(w).isInCollection(stop)),
+      w => call_function(stemFn, lower(w)))
+  }
 
   /** Stem query terms driver-side (to_tsquery applies the same
     * dictionary to the query it applies to documents). */
-  def stemTerms(terms: Seq[String]): Seq[String] =
-    terms.map(t => PorterStemmer.stem(t.toLowerCase))
-      .filterNot(englishStopwords.contains)
+  def stemTerms(terms: Seq[String], config: String = "english"): Seq[String] = {
+    val (stop, _) = configs(config)
+    val stemmer: String => String =
+      if (config == "german") GermanStemmer.stem else PorterStemmer.stem
+    terms.map(_.toLowerCase).filterNot(stop.contains).map(stemmer)
+  }
 
   /** PG `plainto_tsquery('english', text)` (to_tsany.c): lexize free
     * text, AND the surviving lexemes — returns the tsquery string for

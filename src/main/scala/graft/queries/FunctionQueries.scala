@@ -727,6 +727,34 @@ object FunctionQueries {
           round(Ranges.tsRank(col("lexed"), stems), 6).as("rank"))
     }),
 
+    // Stemmed text search through the `german` configuration
+    // (snowball/german.sbl + stopwords/german.stop): the second
+    // snowball language through the SAME lexize chain — synthetic
+    // German sentences built from a closed vocabulary by doc_id
+    // arithmetic, stopwords dropped, snowball-German stems matched
+    // (query "häusern"/"laufen" stem to the same lexemes as the
+    // document words "häuser"/"laufen").
+    "q197_ts_german" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      val vocab = Seq("häuser", "kinder", "laufen", "bezeichnung",
+        "schönheit", "aufeinander", "geheimnisse", "kleinste",
+        "widerlich", "möglichkeit", "verstehen", "straße")
+      val va = array(vocab.map(lit): _*)
+      def pick(idx: org.apache.spark.sql.Column) =
+        element_at(va, (idx % 12).cast("int") + 1)
+      val text = concat_ws(" ",
+        pick(col("doc_id")), lit("und"),
+        pick(col("doc_id") + 2), lit("die"),
+        pick(col("doc_id") * 7 + 3))
+      val stems = TsLexize.stemTerms(Seq("häusern", "laufen"), "german")
+      t(s, d, "documents")
+        .select(col("doc_id"), text.as("text"))
+        .withColumn("lexed",
+          TsLexize.lexize(split(col("text"), " "), "german"))
+        .where(Ranges.tsMatch(col("lexed"), stems))
+        .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
+    }),
+
     // ts_headline through the stemming dictionary: covers computed on
     // stems, snippet shows the original inflected words, marked when
     // their stem matches a query stem.
@@ -1926,6 +1954,26 @@ object FunctionQueries {
          |  ) / CAST(1.64493406685 AS DOUBLE) / CAST(2 AS DOUBLE), 6) AS rank
          |FROM f
          |WHERE list_contains(lexed, 'queri') AND list_contains(lexed, 'merg')""".stripMargin
+    },
+    // same convention as q145: the oracle carries the closed vocabulary
+    // as its engine-generated stem list (the stemmer itself is pinned
+    // against hand-derived published-algorithm examples in
+    // ExpressionSpec); stopword fillers never reach the lexemes
+    "q197_ts_german" -> {
+      import graft.functions.GermanStemmer
+      val vocab = Seq("häuser", "kinder", "laufen", "bezeichnung",
+        "schönheit", "aufeinander", "geheimnisse", "kleinste",
+        "widerlich", "möglichkeit", "verstehen", "straße")
+      val stems = vocab.map(w => s"'${GermanStemmer.stem(w)}'").mkString(", ")
+      s"""WITH b AS (SELECT doc_id,
+         |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
+         |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,
+         |    [$stems][CAST(1 + (doc_id * 7 + 3) % 12 AS INT)] AS s3
+         |  FROM documents)
+         |SELECT doc_id, s1 || ' ' || s2 || ' ' || s3 AS lexed
+         |FROM b
+         |WHERE (s1 = 'haus' OR s2 = 'haus' OR s3 = 'haus')
+         |  AND (s1 = 'lauf' OR s2 = 'lauf' OR s3 = 'lauf')""".stripMargin
     },
     "q146_ts_headline_stemmed" -> {
       import graft.functions.PorterStemmer

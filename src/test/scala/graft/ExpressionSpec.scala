@@ -113,6 +113,44 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getString(4) == "$45.00")
   }
 
+  test("german_stem follows the published snowball German algorithm") {
+    import graft.functions.GermanStemmer.stem
+    // hand-derived through the published steps (regions, suffix groups,
+    // niss proviso, st-ending, d-suffixes, umlaut strip)
+    val pairs = Seq(
+      "laufen" -> "lauf",          // step1(b) en in R1
+      "kinder" -> "kind",          // step1(a) er
+      "kindern" -> "kind",         // step1(a) ern (longest wins)
+      "häuser" -> "haus",          // er + umlaut strip
+      "hauses" -> "haus",          // es
+      "geheimnisse" -> "geheimnis", // e + the niss proviso
+      "kleinste" -> "klein",       // e, then step2 st after valid ending
+      "aufeinander" -> "aufeinand",
+      "bezeichnung" -> "bezeichn", // step3 ung in R2
+      "schönheit" -> "schonheit",  // heit NOT in R2 -> kept, umlaut strips
+      "könig" -> "konig",          // ig not in R2 -> kept
+      "freundlich" -> "freundlich", // lich NOT in R2 (R2 starts at 9)
+      "widerlich" -> "wid",        // lich in R2, then er in R1
+      "möglichkeit" -> "moglich",  // keit in R2 (lich survives: not in R2)
+      "verstehen" -> "versteh",    // en
+      "straße" -> "strass",        // ß -> ss, then e
+      "trauung" -> "trauung",      // marked U blocks; ung not in R2
+      "und" -> "und", "der" -> "der") // too short / no suffix
+    for ((w, want) <- pairs)
+      assert(stem(w) == want, s"stem($w) = ${stem(w)}, want $want")
+    // codegen expression + the german lexize configuration
+    val r = spark.sql("SELECT german_stem('Kindern') AS a").head()
+    assert(r.getString(0) == "kind")
+    import graft.functions.TsLexize
+    val lx = spark.sql("SELECT 1").select(
+      TsLexize.lexize(org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.lit(
+          "die Kinder laufen und die Häuser"), " "), "german").as("l")).head()
+    assert(lx.getSeq[String](0) == Seq("kind", "lauf", "haus"))
+    assert(TsLexize.stemTerms(Seq("häusern", "laufen"), "german") ==
+      Seq("haus", "lauf"))
+  }
+
   test("porter_stem matches the published algorithm's examples (Porter 1980)") {
     import graft.functions.PorterStemmer.stem
     // step-by-step examples from the paper, carried to the final stem
