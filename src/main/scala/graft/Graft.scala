@@ -134,6 +134,28 @@ object Graft {
       if (words.exists(_.equalsIgnoreCase("ANALYZE")))
         spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
       None
+    } else if (is("(?is)^PREPARE\\b")) {
+      // prepared statements (commands/prepare.c); EXECUTE re-enters the
+      // router so any verb can be prepared
+      operators.Prepared.prepare(stripSemi(t)); None
+    } else if (is("(?is)^EXECUTE\\b")) {
+      execute(spark, operators.Prepared.executeText(stripSemi(t)))
+    } else if (is("(?is)^DEALLOCATE\\b")) {
+      operators.Prepared.deallocate(stripSemi(t)); None
+    } else if (is("(?is)^TRUNCATE\\b")) {
+      // PG allows bare TRUNCATE t and a table list; Spark needs TABLE
+      operators.GreengageDdl.splitTop(stripSemi(t)
+          .replaceFirst("(?is)^TRUNCATE\\s+(TABLE\\s+)?", ""))
+        .foreach(n => spark.sql(s"TRUNCATE TABLE ${n.replace("\"", "")}"))
+      None
+    } else if (is("(?is)^SET\\b")) {
+      // PG GUC form into the session conf; Spark's own SET otherwise
+      if (operators.Guc.trySet(spark, t)) None else Some(spark.sql(t))
+    } else if (is("(?is)^RESET\\b")) {
+      operators.Guc.reset(spark, t); None
+    } else if (is("(?is)^SHOW\\b")) {
+      operators.Guc.tryShow(spark, t)
+        .orElse(Some(spark.sql(operators.PgSql.rewrite(t))))
     } else if (is("(?is)^(DECLARE|CLOSE)\\b")) {
       // portal statements (commands/portalcmds.c) → cursor surface
       operators.Cursors.execute(spark, stripSemi(t)); None

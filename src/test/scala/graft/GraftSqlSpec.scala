@@ -156,6 +156,68 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("execute routes PREPARE / EXECUTE / DEALLOCATE with \\$n substitution") {
+    Tables.register(spark, TestSpark.sf0001)
+    assert(Graft.execute(spark,
+      "PREPARE topn (int) AS SELECT n_nationkey, n_name FROM nation " +
+        "WHERE n_nationkey < $1 ORDER BY n_nationkey;").isEmpty)
+    val r = Graft.execute(spark, "EXECUTE topn(3)").get.collect()
+    assert(r.length == 3 && r.head.getInt(0) == 0)
+    // a '$1' inside a string literal is data, not a parameter
+    Graft.execute(spark,
+      "PREPARE lit AS SELECT '$1 costs' AS s, $1 + 1 AS v")
+    val l = Graft.execute(spark, "EXECUTE lit(41)").get.head()
+    assert(l.getString(0) == "$1 costs" && l.getInt(1) == 42)
+    // duplicate PREPARE fails; DEALLOCATE frees the name
+    intercept[IllegalArgumentException] {
+      Graft.execute(spark, "PREPARE topn AS SELECT 1")
+    }
+    Graft.execute(spark, "DEALLOCATE topn")
+    intercept[IllegalArgumentException] {
+      Graft.execute(spark, "EXECUTE topn(3)")
+    }
+    // a prepared DML statement routes through its own subsystem
+    drop("prep_dml")
+    spark.range(5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .write.saveAsTable("prep_dml")
+    Graft.execute(spark, "PREPARE bump AS UPDATE prep_dml SET v = v + $1 WHERE k = $2")
+    Graft.execute(spark, "EXECUTE bump(100, 3)")
+    assert(spark.table("prep_dml").where(col("k") === 3L).head().getDouble(1) == 103.0)
+    Graft.execute(spark, "DEALLOCATE ALL")
+    drop("prep_dml")
+  }
+
+  test("execute routes SET / SHOW / RESET / TRUNCATE") {
+    // PG spellings land in the session conf; SHOW returns PG's shape
+    Graft.execute(spark, "SET application_name TO 'graft_test';")
+    val shown = Graft.execute(spark, "SHOW application_name").get.head()
+    assert(shown.getString(0) == "graft_test")
+    Graft.execute(spark, "SET application_name = other")
+    assert(Graft.execute(spark, "SHOW application_name").get.head()
+      .getString(0) == "other")
+    Graft.execute(spark, "RESET application_name")
+    intercept[IllegalArgumentException] {
+      Graft.execute(spark, "SHOW application_name")
+    }
+    // the mapped GUC actually changes engine behavior
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      Graft.execute(spark, "SET TIME ZONE 'America/New_York'")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "America/New_York")
+      assert(Graft.execute(spark, "SHOW timezone").get.head()
+        .getString(0) == "America/New_York")
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+    // Spark's own SHOW forms still fall through the router
+    assert(Graft.execute(spark, "SHOW TABLES").nonEmpty)
+    // PG's bare TRUNCATE (no TABLE keyword), incl. a two-table list
+    drop("tr_a", "tr_b")
+    spark.range(4).write.saveAsTable("tr_a")
+    spark.range(4).write.saveAsTable("tr_b")
+    Graft.execute(spark, "TRUNCATE tr_a, tr_b")
+    assert(spark.table("tr_a").count() == 0 && spark.table("tr_b").count() == 0)
+    drop("tr_a", "tr_b")
+  }
+
   test("VACUUM ANALYZE runs both halves; bare VACUUM is rejected") {
     drop("vac_an")
     spark.range(50).selectExpr("id AS k", "CAST(id % 5 AS BIGINT) AS g")
