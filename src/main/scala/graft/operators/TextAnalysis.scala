@@ -123,4 +123,60 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"),
         (col("tf") * log(col("n").cast("double") / col("df"))).as("tfidf"))
   }
+
+  /** Deterministic train/val/test assignment: the first 16 bits of
+    * md5(id) as a fraction. Reproducible across runs, engines, cluster
+    * sizes, and re-shuffles — no RNG, no ordering dependence, which is
+    * the property a 100 TB corpus split actually needs (a seeded
+    * `rand()` changes with partitioning; a key hash never does). Pure
+    * codegen per-row arithmetic, no shuffle. */
+  def deterministicSplit(docs: DataFrame, idCol: String = "doc_id",
+                         trainFrac: Double = 0.9,
+                         valFrac: Double = 0.05): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("double") / 65536.0
+    docs.withColumn("split",
+      when(h < trainFrac, lit("train"))
+        .when(h < trainFrac + valFrac, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Concat-and-chunk context packing: documents are laid end-to-end in
+    * id order and cut every `capacity` tokens (the standard LLM
+    * pretraining packing; a document may straddle two chunks —
+    * `chunk_first`/`chunk_last` give its span). Packing is SHARD-LOCAL
+    * (`id % shards`): the running sum is a window per shard, so at
+    * 100 TB the prefix-sum never serializes through one partition —
+    * chunk ids are (shard, chunk) pairs, exactly how a real corpus is
+    * packed per input shard. */
+  def contextPack(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", capacity: Int = 512,
+                  shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(idCol)
+    docs
+      .withColumn("shard", (col(idCol) % shards).cast("int"))
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("bigint"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $capacity").as("chunk_first"),
+        when(col("n_tokens") > 0, expr(s"(cum - 1) div $capacity"))
+          .otherwise(expr(s"(cum - n_tokens) div $capacity"))
+          .as("chunk_last"))
+  }
+
+  /** PII redaction for training text: email, IPv4, and international
+    * phone patterns → typed placeholders. One codegen regexp_replace
+    * chain; the patterns are written in the Java-regex ∩ RE2 dialect so
+    * the oracle replays them verbatim. */
+  def piiScrub(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+\\d[\\d-]{7,14}\\d"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ip, "<IP>"),
+      phone, "<PHONE>")
+  }
 }

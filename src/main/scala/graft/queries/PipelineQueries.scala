@@ -95,6 +95,31 @@ object PipelineQueries {
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
 
+    // Deterministic train/val/test split: first 16 bits of md5(doc_id)
+    // as a fraction — reproducible across engines/cluster sizes by
+    // construction, which the oracle proves by recomputing the same
+    // hash arithmetic in DuckDB.
+    "q198_split" -> ((s, d) =>
+      TextAnalysis.deterministicSplit(t(s, d, "documents"))
+        .select(col("doc_id"), col("split"))),
+
+    // Concat-and-chunk context packing (shard-local prefix sums — the
+    // 100 TB-safe layout; see TextAnalysis.contextPack).
+    "q199_pack_contexts" -> ((s, d) =>
+      TextAnalysis.contextPack(t(s, d, "documents"))),
+
+    // PII scrubbing: emails/IPs/phones injected deterministically from
+    // doc_id (both engines build the identical input), then redacted to
+    // typed placeholders by the same regex chain.
+    "q200_pii_scrub" -> ((s, d) => {
+      val injected = concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0.1 call +1-555-"), (lit(1000) + col("doc_id") % 9000).cast("string"))
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.piiScrub(injected).as("scrubbed"))
+    }),
+
     // Brute-force cosine top-k (exact baseline; broadcast query side).
     "q88_knn_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -760,6 +785,35 @@ object PipelineQueries {
       """SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens
+        |FROM documents""".stripMargin,
+    "q198_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN h < 0.9 THEN 'train'
+        |       WHEN h < 0.95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+        |    / 65536.0 AS h
+        |  FROM documents)""".stripMargin,
+    "q199_pack_contexts" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id % 32 AS INT) AS shard,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS chunk_first,
+        |  CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
+        |       ELSE (cum - n_tokens) // 512 END AS BIGINT) AS chunk_last
+        |FROM c""".stripMargin,
+    "q200_pii_scrub" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  text || ' contact user' || doc_id || '@example.com from 10.'
+        |    || (doc_id % 256) || '.0.1 call +1-555-' || (1000 + doc_id % 9000),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\+\d[\d-]{7,14}\d', '<PHONE>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
     "q88_knn_brute" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

@@ -356,6 +356,53 @@ class OperatorSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("exited 3")))
   }
 
+  test("deterministicSplit: stable, partition-invariant, near target fractions") {
+    val docs = spark.range(4000).selectExpr("id AS doc_id")
+    val a = TextAnalysis.deterministicSplit(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // re-partitioning must not move a single document between splits
+    val b = TextAnalysis.deterministicSplit(docs.repartition(13), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 4000.0).toMap
+    assert(math.abs(frac("train") - 0.9) < 0.02, frac)
+    assert(math.abs(frac("val") - 0.05) < 0.015, frac)
+    assert(math.abs(frac("test") - 0.05) < 0.015, frac)
+  }
+
+  test("contextPack: chunks account for every token, straddles span correctly") {
+    val docs = Seq(
+      (0L, Seq.fill(300)("w").mkString(" ")),  // 300 tokens
+      (32L, Seq.fill(300)("w").mkString(" ")), // same shard, cum 600
+      (64L, ""),                               // empty doc, cum stays 600
+      (96L, Seq.fill(100)("w").mkString(" ")), // cum 700
+      (1L, Seq.fill(10)("w").mkString(" ")))   // different shard
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.contextPack(docs, capacity = 512)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((0, 300L, 0L, 0L)))   // fits chunk 0
+    assert(got(32L) == ((0, 300L, 0L, 1L)))  // straddles 0->1 at 512
+    assert(got(64L) == ((0, 0L, 1L, 1L)))    // empty: degenerate span
+    assert(got(96L) == ((0, 100L, 1L, 1L)))  // fits chunk 1 (600..700)
+    assert(got(1L) == ((1, 10L, 0L, 0L)))    // shard-local numbering
+  }
+
+  test("piiScrub replaces emails, IPs and phones; plain text untouched") {
+    val r = Seq(
+      "mail a.user+tag@sub.example.org now",
+      "host 192.168.0.1 and 8.8.8.8",
+      "call +1-555-0100-22 today",
+      "version 1.2 costs 3.4.5 none@",
+      "plain words only").toDF("t")
+      .select(TextAnalysis.piiScrub($"t").as("s")).collect().map(_.getString(0))
+    assert(r(0) == "mail <EMAIL> now")
+    assert(r(1) == "host <IP> and <IP>")
+    assert(r(2) == "call <PHONE> today")
+    assert(r(3) == "version 1.2 costs 3.4.5 none@") // not PII-shaped
+    assert(r(4) == "plain words only")
+  }
+
   test("web source: per-segment HTTP slices, round-robin URLs, SREH applies") {
     import graft.sources.{FileDistServer, WebSource}
     val dir = new java.io.File("target/test-webdist")
