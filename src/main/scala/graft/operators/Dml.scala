@@ -123,10 +123,10 @@ object Dml {
             whenMatchedDeleteIf: Option[Column] = None,
             insertNotMatched: Boolean = true): MergeResult = {
     require(keys.nonEmpty, "MERGE requires at least one key column")
-    val dupes = source.groupBy(keys.map(col): _*)
-      .count().where(col("count") > 1).count()
-    require(dupes == 0,
-      s"MERGE source has $dupes duplicate key tuples " +
+    // existence probe, not a full count: limit-1 under the filter
+    require(source.groupBy(keys.map(col): _*)
+        .count().where(col("count") > 1).isEmpty,
+      "MERGE source has duplicate key tuples " +
         "(a target row cannot be affected twice)")
     val targetSchema = spark.table(table).schema
     val t = spark.table(table).withColumn("__t", lit(true)).alias("t")
@@ -141,11 +141,15 @@ object Dml {
       val sOnly = col("t.__t").isNull
       val del = whenMatchedDeleteIf
         .map(c => matched && coalesce(c, lit(false))).getOrElse(lit(false))
-      val deleted = joined.where(del).count()
-      val updated =
-        if (whenMatchedUpdate.isEmpty) 0L
-        else joined.where(matched && !del).count()
-      val inserted = if (insertNotMatched) joined.where(sOnly).count() else 0L
+      // one pass for all three affected counts (PG reports them once)
+      val cnts = joined.agg(
+        sum(when(del, 1L).otherwise(0L)),
+        sum(when(matched && !del, 1L).otherwise(0L)),
+        sum(when(sOnly, 1L).otherwise(0L))).head()
+      def cnt(i: Int) = if (cnts.isNullAt(i)) 0L else cnts.getLong(i)
+      val deleted = cnt(0)
+      val updated = if (whenMatchedUpdate.isEmpty) 0L else cnt(1)
+      val inserted = if (insertNotMatched) cnt(2) else 0L
       val kept = joined.where(!del &&
         (col("t.__t").isNotNull || lit(insertNotMatched)))
       val result = kept.select(targetSchema.fields.toIndexedSeq.map { f =>
