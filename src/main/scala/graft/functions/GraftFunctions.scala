@@ -605,6 +605,10 @@ object GraftFunctions {
       info("porter_stem", "porter_stem(word) - Porter suffix-stripping stemmer"),
       (args: Seq[Expression]) => PorterStem(Cast(args(0), StringType)))
     reg.registerFunction(
+      FunctionIdentifier("adjacent_uniq"),
+      info("adjacent_uniq", "adjacent_uniq(int[]) - intarray uniq(): adjacent dedup"),
+      (args: Seq[Expression]) => AdjacentUniq(args(0)))
+    reg.registerFunction(
       FunctionIdentifier("german_stem"),
       info("german_stem", "german_stem(word) - snowball German stemmer"),
       (args: Seq[Expression]) => GermanStem(Cast(args(0), StringType)))

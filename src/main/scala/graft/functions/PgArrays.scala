@@ -54,14 +54,36 @@ object PgArrays {
   /** intarray `uniq(int[])` (contrib/intarray/_int_tool.c): ADJACENT
     * duplicate removal — `uniq(sort(a))` is the canonical full-dedup
     * idiom, but uniq alone keeps non-adjacent repeats, unlike Spark's
-    * array_distinct. Indexed filter keeping each element that differs
-    * from its predecessor. */
-  def adjacentUniq(a: Column): Column =
-    transform(
-      filter(when(size(a) > 0, sequence(lit(1), size(a)))
-        .otherwise(array().cast("array<int>")),
-        i => i === 1 || !(element_at(a, i) <=> element_at(a, i - 1))),
-      i => element_at(a, i))
+    * array_distinct. A codegen-native expression (was a
+    * filter-over-sequence HOF pair — interpreted, ~3× slower). */
+  def adjacentUniq(a: Column): Column = call_function("adjacent_uniq", a)
+
+  /** Runtime of [[AdjacentUniq]] — called from generated code. Adjacent
+    * nulls collapse (null-safe-equal semantics, matching the previous
+    * `<=>` formulation; PG intarray itself rejects nulls). */
+  def adjacentUniqData(
+      a: org.apache.spark.sql.catalyst.util.ArrayData
+  ): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    if (n <= 1) return a
+    val out = new Array[Any](n)
+    var k = 0
+    var prevNull = false
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val isNull = a.isNullAt(i)
+      val v = if (isNull) 0 else a.getInt(i)
+      if (i == 0 || isNull != prevNull || (!isNull && v != prev)) {
+        out(k) = if (isNull) null else java.lang.Integer.valueOf(v)
+        k += 1
+      }
+      prevNull = isNull; prev = v
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], k))
+  }
 
   // ------------------------------------------------------------------
   // Non-default lower bounds (arrayfuncs.c array_lower/array_upper,
@@ -122,4 +144,39 @@ object PgArrays {
   def slice2d(m: Column, rlo: Int, rhi: Int, clo: Int, chi: Int): Column =
     transform(slice(m, rlo, math.max(0, rhi - rlo + 1)),
       row => slice(row, clo, math.max(0, chi - clo + 1)))
+}
+
+/** intarray `uniq(int[])` as a codegen-native unary expression (kept
+  * out of the HOF path: a per-row filter-over-sequence lambda pair
+  * evaluates interpreted and breaks whole-stage codegen). */
+case class AdjacentUniq(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: org.apache.spark.sql.types.DataType = child.dataType
+  override def prettyName: String = "adjacent_uniq"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"adjacent_uniq expects array<int> (intarray), got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    PgArrays.adjacentUniqData(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PgArrays.adjacentUniqData($c)")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): AdjacentUniq =
+    copy(child = newChild)
 }

@@ -413,7 +413,7 @@ object FunctionQueries {
           .as("idx7"),
         array_join(slice(a, 2, 2).cast("array<string>"), ",").as("sub"),
         size(a).as("card"),
-        array_join(filter(a, x => x =!= lit(3)).cast("array<string>"), ",")
+        array_join(array_remove(a, 3).cast("array<string>"), ",")
           .as("minus3"),
         arrays_overlap(a, b).as("overlaps"),
         forall(b, x => array_contains(a, x)).as("contains_b"))

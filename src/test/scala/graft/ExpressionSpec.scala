@@ -294,6 +294,20 @@ class ExpressionSpec extends AnyFunSuite {
     assert(d.getInt(1) <= 1)
   }
 
+  test("adjacent_uniq: intarray uniq() semantics as a codegen expression") {
+    val r = spark.sql(
+      """SELECT adjacent_uniq(array(1, 1, 2, 2, 1, 3, 3)) AS a,
+        |  adjacent_uniq(sort_array(array(1, 1, 2, 2, 1, 3, 3))) AS b,
+        |  adjacent_uniq(array(CAST(NULL AS INT), NULL, 1, NULL)) AS c,
+        |  adjacent_uniq(CAST(array() AS array<int>)) AS d,
+        |  adjacent_uniq(array(7)) AS e""".stripMargin).head()
+    assert(r.getSeq[Int](0) == Seq(1, 2, 1, 3)) // non-adjacent repeat kept
+    assert(r.getSeq[Int](1) == Seq(1, 2, 3))    // uniq(sort(a)) full dedup
+    assert(r.getSeq[Any](2) == Seq(null, 1, null)) // adjacent nulls collapse
+    assert(r.getSeq[Int](3) == Seq())
+    assert(r.getSeq[Int](4) == Seq(7))
+  }
+
   test("inet: mask arithmetic, bare-address default, containment edges") {
     import graft.functions.Inet._
     import org.apache.spark.sql.functions.{col, lit}
