@@ -27,17 +27,48 @@ object Bytea {
   }
 
   /** `position(sub IN b)` — 1-based offset of the first occurrence,
-    * 0 if absent (byteapos). Byte-aligned compare of each candidate
-    * window; the sequence is empty when sub is longer than b. */
-  def bytePosition(b: Column, sub: Column): Column = {
-    val span = octet_length(b) - octet_length(sub) + 1
-    coalesce(
-      try_element_at(
-        filter(
-          when(span >= 1, sequence(lit(1), span))
-            .otherwise(array().cast("array<int>")),
-          i => call_function("substring", b, i, octet_length(sub)) === sub),
-        lit(1)),
-      lit(0))
+    * 0 if absent (byteapos). Codegen-native expression (was a
+    * filter-over-sequence HOF — interpreted per row). */
+  def bytePosition(b: Column, sub: Column): Column =
+    call_function("byte_position", b, sub)
+
+  /** Runtime of [[BytePosition]] — a plain byte-window search. */
+  def bytePositionData(b: Array[Byte], sub: Array[Byte]): Int = {
+    val span = b.length - sub.length
+    var i = 0
+    while (i <= span) {
+      var j = 0
+      while (j < sub.length && b(i + j) == sub(j)) j += 1
+      if (j == sub.length) return i + 1
+      i += 1
+    }
+    0
   }
+}
+
+/** `position(sub IN bytea)` as a codegen-native binary expression. */
+case class BytePosition(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "byte_position"
+
+  override protected def nullSafeEval(b: Any, sub: Any): Any =
+    Bytea.bytePositionData(
+      b.asInstanceOf[Array[Byte]], sub.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (b, s) =>
+      s"graft.functions.Bytea.bytePositionData($b, $s)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): BytePosition =
+    copy(left = newLeft, right = newRight)
 }

@@ -605,6 +605,10 @@ object GraftFunctions {
       info("porter_stem", "porter_stem(word) - Porter suffix-stripping stemmer"),
       (args: Seq[Expression]) => PorterStem(Cast(args(0), StringType)))
     reg.registerFunction(
+      FunctionIdentifier("byte_position"),
+      info("byte_position", "byte_position(bytea, sub) - PG position(sub IN b)"),
+      (args: Seq[Expression]) => BytePosition(args(0), args(1)))
+    reg.registerFunction(
       FunctionIdentifier("adjacent_uniq"),
       info("adjacent_uniq", "adjacent_uniq(int[]) - intarray uniq(): adjacent dedup"),
       (args: Seq[Expression]) => AdjacentUniq(args(0)))
