@@ -319,6 +319,30 @@ object PipelineQueries {
       }
     }),
 
+    // Writable gpfdist external table (url_curl.c POST upload): each
+    // partition streams its rows as one chunked POST to the
+    // FileDistServer, which appends under a lock; the roundtrip reads
+    // the uploaded file back and aggregates — the oracle aggregates
+    // the source directly, so the upload must be lossless.
+    "q201_web_writable" -> ((s, d) => {
+      val dir = new java.io.File("target/web_write")
+      dir.mkdirs()
+      val f = new java.io.File(dir, "out.txt")
+      if (f.exists()) f.delete() // POST appends; start clean each run
+      graft.sources.FileDistServer.withServer(dir.getAbsolutePath) { srv =>
+        graft.sources.WebSink.writeCsv(
+          t(s, d, "orders").where(col("o_orderkey") % 100 === 0)
+            .select(col("o_orderkey"), col("o_orderstatus")),
+          srv.url("out.txt"))
+      }
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType)))
+      s.read.schema(schema).option("sep", "|").csv(f.getAbsolutePath)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_k"))
+    }),
+
     // Multimodal columns: REAL encoded payloads (ImageIO PNG/BMP/GIF +
     // 16-bit PCM WAV) decoded back through the actual codecs in one
     // batched mapPartitions pass; the oracle recomputes every dimension
@@ -930,6 +954,11 @@ object PipelineQueries {
     },
     // the execute: command's output re-derived arithmetically: segment
     // i emits k = i*25 + j for j in [0,25), j % 10 == 7 lines malformed
+    "q201_web_writable" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_k
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |GROUP BY o_orderstatus""".stripMargin,
     // same bytes the load streamed over HTTP (absolute path resolves
     // against this JVM's CWD, as q93); bad lines fail the BIGINT parse
     // and are ignore_errors-dropped, mirroring the SREH reject log

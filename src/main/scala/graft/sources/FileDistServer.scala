@@ -38,7 +38,22 @@ final class FileDistServer(dir: Path) {
     override def handle(ex: HttpExchange): Unit = {
       val rel = ex.getRequestURI.getPath.stripPrefix("/")
       val f = dir.resolve(rel).normalize()
-      if (!f.startsWith(dir.normalize()) || !Files.isRegularFile(f)) {
+      if (!f.startsWith(dir.normalize())) {
+        ex.sendResponseHeaders(404, -1); ex.close(); return
+      }
+      if (ex.getRequestMethod.equalsIgnoreCase("POST")) {
+        // writable external table: segments POST their rows; appends are
+        // serialized per server like gpfdist's file lock
+        val body = ex.getRequestBody.readAllBytes()
+        FileDistServer.appendLock.synchronized {
+          Files.createDirectories(f.getParent)
+          Files.write(f, body,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        }
+        ex.sendResponseHeaders(200, -1); ex.close(); return
+      }
+      if (!Files.isRegularFile(f)) {
         ex.sendResponseHeaders(404, -1); ex.close(); return
       }
       val hdr = ex.getRequestHeaders
@@ -81,6 +96,8 @@ final class FileDistServer(dir: Path) {
 }
 
 object FileDistServer {
+  private[sources] val appendLock = new Object
+
   /** Serve `dir` for the duration of `body` — the in-process equivalent
     * of "start gpfdist, run the load, stop gpfdist". */
   def withServer[A](dir: String)(body: FileDistServer => A): A = {

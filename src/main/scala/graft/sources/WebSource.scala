@@ -105,6 +105,45 @@ object WebSource {
   }
 }
 
+/** The WRITE side of gpfdist HTTP external tables — `CREATE WRITABLE
+  * EXTERNAL TABLE ... LOCATION('gpfdist://...')` (reference
+  * `url_curl.c` upload path: each segment POSTs its rows to the
+  * server, which appends under a lock). Each Spark partition streams
+  * its rows as delimited text in ONE chunked POST — N concurrent
+  * uploads, nothing buffered whole, no driver involvement. */
+object WebSink {
+
+  def writeCsv(df: DataFrame, url: String, delimiter: String = "|"): Unit =
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val conn = new URI(url).toURL.openConnection()
+          .asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.setChunkedStreamingMode(64 * 1024) // stream, never buffer
+        conn.setConnectTimeout(30000)
+        conn.setReadTimeout(120000)
+        val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          conn.getOutputStream, StandardCharsets.UTF_8))
+        while (rows.hasNext) {
+          val r = rows.next()
+          var i = 0
+          while (i < r.length) {
+            if (i > 0) out.write(delimiter)
+            if (!r.isNullAt(i)) out.write(r.get(i).toString)
+            i += 1
+          }
+          out.write('\n')
+        }
+        out.close()
+        val rc = conn.getResponseCode
+        if (rc < 200 || rc >= 300) throw new java.io.IOException(
+          s"web: HTTP $rc uploading to $url")
+        conn.disconnect()
+      }
+    }
+}
+
 private class WebTable(urls: Array[String], partitions: Int)
   extends Table with SupportsRead {
 

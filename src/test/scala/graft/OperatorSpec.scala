@@ -452,6 +452,18 @@ class OperatorSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("HTTP 404") ||
         Option(e.getCause).exists(_.getMessage.contains("HTTP 404")))
+      // writable side: concurrent partition POSTs land lossless
+      import graft.sources.WebSink
+      val up = new java.io.File(dir, "up.txt")
+      if (up.exists()) up.delete()
+      WebSink.writeCsv(
+        spark.range(100).selectExpr("id", "concat('v', id % 3) AS tag")
+          .repartition(4),
+        srv.url("up.txt"))
+      val back = scala.io.Source.fromFile(up, "UTF-8").getLines().toSeq
+      assert(back.length == 100)
+      assert(back.toSet ==
+        (0 until 100).map(i => s"$i|v${i % 3}").toSet)
     }
   }
 
