@@ -47,6 +47,8 @@ object Graft {
 
   private val copyRe =
     "(?is)^\\s*COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s+(TO|FROM)\\s+'([^']+)'\\s*(WITH\\s*\\(.*\\))?\\s*;?\\s*$".r
+  private val copyProgRe =
+    "(?is)^\\s*COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s+(TO|FROM)\\s+PROGRAM\\s+'([^']+)'\\s*(WITH\\s*\\(.*\\))?\\s*;?\\s*$".r
   private val deleteRe = "(?is)^\\s*DELETE\\s+FROM\\s+([\\w.\"]+)(.*)$".r
   private val updateRe = "(?is)^\\s*UPDATE\\s+([\\w.\"]+)\\s+SET\\s+(.+)$".r
 
@@ -193,9 +195,63 @@ object Graft {
       operators.Dml.updateWhere(spark, m.group(1).replace("\"", ""), cond,
         assignments)
       None
-    } else copyRe.findFirstMatchIn(t) match {
-      case Some(m) => runCopy(spark, m); None
-      case None => Some(spark.sql(operators.PgSql.rewrite(t)))
+    } else copyProgRe.findFirstMatchIn(t) match {
+      case Some(m) => runCopyProgram(spark, m); None
+      case None => copyRe.findFirstMatchIn(t) match {
+        case Some(m) => runCopy(spark, m); None
+        case None => Some(spark.sql(operators.PgSql.rewrite(t)))
+      }
+    }
+  }
+
+  /** COPY ... FROM/TO PROGRAM 'cmd' (commands/copy.c program form):
+    * FROM runs the command through the execute-protocol source (strict
+    * — any malformed line fails the load, PG's default) and appends;
+    * TO streams the rows into the command's stdin one partition at a
+    * time (the program runs once, as on PG's dispatching node). */
+  private def runCopyProgram(spark: SparkSession,
+                             m: scala.util.matching.Regex.Match): Unit = {
+    val target = m.group(1)
+    val cmd = m.group(3)
+    val optsRaw = Option(m.group(4)).getOrElse("")
+    val delim = s"(?is)\\bDELIMITER\\s+'([^']*)'".r
+      .findFirstMatchIn(optsRaw).map(_.group(1)).getOrElse(",")
+    if (m.group(2).equalsIgnoreCase("FROM")) {
+      val table = target.replace("\"", "")
+      require(!target.startsWith("("), "COPY FROM needs a table target")
+      val schema = spark.table(table).schema
+      sources.ExecSource
+        .readCsv(spark, cmd, schema, partitions = 1, rejectLimit = 0,
+          delimiter = delim)
+        .good.drop("segment")
+        .write.mode("append").insertInto(table)
+    } else {
+      val df =
+        if (target.startsWith("("))
+          spark.sql(operators.PgSql.rewrite(
+            target.stripPrefix("(").stripSuffix(")")))
+        else spark.table(target.replace("\"", ""))
+      val pb = new ProcessBuilder("/bin/sh", "-c", cmd)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        val it = df.toLocalIterator() // one partition in memory at a time
+        while (it.hasNext) {
+          val r = it.next()
+          var i = 0
+          while (i < r.length) {
+            if (i > 0) w.write(delim)
+            if (!r.isNullAt(i)) w.write(r.get(i).toString)
+            i += 1
+          }
+          w.write('\n')
+        }
+      } finally w.close()
+      val rc = proc.waitFor()
+      require(rc == 0, s"COPY TO PROGRAM exited $rc: $cmd")
     }
   }
 

@@ -218,6 +218,33 @@ class GraftSqlSpec extends AnyFunSuite {
     drop("tr_a", "tr_b")
   }
 
+  test("COPY FROM/TO PROGRAM pipes through shell commands") {
+    drop("cp_prog")
+    spark.sql("CREATE TABLE cp_prog (k BIGINT, tag STRING) USING parquet")
+    Graft.execute(spark,
+      "COPY cp_prog FROM PROGRAM 'seq 0 9 | while read i; do echo \"$i,t$((i % 2))\"; done'")
+    val rows = spark.table("cp_prog").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 10 && rows(3L) == "t1" && rows(8L) == "t0")
+    // a malformed line fails the load (PG COPY default: no reject limit)
+    intercept[graft.operators.Sreh.RejectLimitExceeded] {
+      Graft.execute(spark, "COPY cp_prog FROM PROGRAM 'echo oops'")
+    }
+    // TO PROGRAM: rows stream into the command's stdin
+    val outF = new java.io.File("target/cp_prog_out.txt").getAbsoluteFile
+    if (outF.exists()) outF.delete()
+    Graft.execute(spark,
+      s"COPY (SELECT k, tag FROM cp_prog WHERE k < 3) TO PROGRAM 'sort > $outF'")
+    val got = scala.io.Source.fromFile(outF, "UTF-8").getLines().toSeq
+    assert(got == Seq("0,t0", "1,t1", "2,t0"))
+    // a failing program fails the statement loudly (nonzero exit, or a
+    // broken pipe when it quits mid-stream)
+    intercept[Exception] {
+      Graft.execute(spark, "COPY cp_prog TO PROGRAM 'exit 3'")
+    }
+    drop("cp_prog")
+  }
+
   test("VACUUM ANALYZE runs both halves; bare VACUUM is rejected") {
     drop("vac_an")
     spark.range(50).selectExpr("id AS k", "CAST(id % 5 AS BIGINT) AS g")
