@@ -579,6 +579,120 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // TPC-H Q4 (order priority checking): correlated EXISTS over
+    // lineitem — plans as a left-semi join on (key, date) with the
+    // non-equi part as join condition, no subquery re-execution.
+    "q202_tpch_q4" -> ((s, d) =>
+      t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))),
+
+    // TPC-H Q7 (volume shipping): the two-nation self-join of nation —
+    // both nation sides broadcast; the symmetric pair filter sits on
+    // the joined result exactly as the spec writes it.
+    "q203_tpch_q7" -> ((s, d) => {
+      val rev = dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, d, "supplier")
+        .join(t(s, d, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .where(
+          (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(rev).cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q8 (national market share): nation's share of regional
+    // revenue per year — conditional-sum over total-sum on one pass of
+    // the 7-way join (never two scans), decimal sums, one double
+    // division at the end.
+    "q204_tpch_q8" -> ((s, d) => {
+      val vol = dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+      val n1 = t(s, d, "nation") // customer side: restricts to the region
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val n2 = t(s, d, "nation") // supplier side: the market-share nation
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      t(s, d, "part")
+        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("c_nationkey") === col("c_nk"))
+        .join(n2, col("s_nationkey") === col("s_nk"))
+        .join(t(s, d, "region"), col("c_rk") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA" && col("p_type") === "ECONOMY")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_5", vol)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            sum(vol).cast("double"), 6).as("mkt_share"))
+    }),
+
+    // TPC-H Q13 (customer order-count distribution): LEFT join so
+    // order-less customers land in the c_count = 0 bucket, then the
+    // distribution of distributions.
+    "q205_tpch_q13" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+
+    // TPC-H Q17 (small-quantity-order revenue): the per-part average
+    // as a grouped subquery joined back (Catalyst's decorrelation of
+    // the spec's correlated scalar subquery). Quantities are whole
+    // numbers and the 0.2·avg threshold is decimal-exact, so the
+    // boundary comparison is deterministic.
+    "q206_tpch_q17" -> ((s, d) => {
+      val avgQ = t(s, d, "lineitem").groupBy(col("l_partkey").as("ap_key"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty")) // double ÷ count, the oracle's exact shape
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .where(col("p_brand") === "Brand#23")
+        .join(avgQ, col("l_partkey") === col("ap_key"))
+        .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 2)
+          .as("avg_yearly"))
+    }),
+
+    // TPC-H Q22 (global sales opportunity): above-average balances with
+    // no orders — scalar aggregate broadcast + null-aware anti join,
+    // with the average in exact decimal so the cut is deterministic.
+    "q208_tpch_q22" -> ((s, d) => {
+      val avgBal = t(s, d, "customer")
+        .where(col("c_acctbal") > 0.0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("avg_bal")) // double ÷ count, the oracle's exact shape
+      val recent = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      t(s, d, "customer")
+        .crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sumd(col("c_acctbal")).as("totacctbal"))
+    }),
+
     // TPC-H Q19 shape (adapted to fixture columns): disjunction of
     // conjunctive band predicates across a join.
     "q35_disjunctive" -> ((s, d) => {
@@ -1171,6 +1285,69 @@ object RelationalQueries {
         |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 300.0)
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q202_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q203_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q204_tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        |    6) AS mkt_share
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |GROUP BY 1""".stripMargin,
+    "q205_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q206_tpch_q17" ->
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+        |  AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT l_partkey AS ap_key,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |      FROM lineitem GROUP BY l_partkey) a ON l_partkey = ap_key
+        |WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q208_tpch_q22" ->
+      """WITH a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(*) AS avg_bal
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, a
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
     "q35_disjunctive" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n
