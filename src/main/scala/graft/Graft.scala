@@ -158,11 +158,30 @@ object Graft {
     } else if (is("(?is)^SHOW\\b")) {
       operators.Guc.tryShow(spark, t)
         .orElse(Some(spark.sql(operators.PgSql.rewrite(t))))
-    } else if (is("(?is)^(DECLARE|CLOSE)\\b")) {
+    } else if (is("(?is)^(DECLARE|CLOSE|MOVE)\\b")) {
       // portal statements (commands/portalcmds.c) → cursor surface
       operators.Cursors.execute(spark, stripSemi(t)); None
     } else if (is("(?is)^FETCH\\b")) {
       Some(operators.Cursors.execute(spark, stripSemi(t)))
+    } else if (is("(?is)^(BEGIN|START\\s+TRANSACTION|COMMIT|END)\\b")) {
+      // transaction grouping (tcop): every routed statement is already
+      // atomic via the staged swap, so BEGIN/COMMIT are accepted no-ops
+      // for script compatibility; ROLLBACK below is rejected loudly —
+      // there is no multi-statement undo to honor silently
+      None
+    } else if (is("(?is)^ROLLBACK\\b")) {
+      throw new UnsupportedOperationException(
+        "ROLLBACK is not supported: statements commit atomically " +
+          "(staged swap); there is no open transaction to roll back")
+    } else if (is("(?is)^LOCK\\b")) {
+      // LOCK [TABLE] t [IN ... MODE] [NOWAIT]: existence-checked no-op —
+      // the single-writer staged-swap model needs no table locks
+      val name = stripSemi(t)
+        .replaceFirst("(?is)^LOCK\\s+(TABLE\\s+)?", "")
+        .replaceFirst("(?is)\\s+IN\\s+.+$", "")
+        .replaceFirst("(?is)\\s+NOWAIT$", "").trim.replace("\"", "")
+      spark.table(name)
+      None
     } else if (is("(?is)^DELETE\\s+FROM\\b")) {
       val m = deleteRe.findFirstMatchIn(stripSemi(t)).getOrElse(
         throw new IllegalArgumentException(s"cannot parse DELETE: $t"))

@@ -46,17 +46,24 @@ object Cursors {
     "(?is)^\\s*DECLARE\\s+(\\w+)\\s+(?:NO\\s+SCROLL\\s+)?CURSOR\\s+(?:WITH\\s+HOLD\\s+)?FOR\\s+(.*)$".r
   private val fetchRe =
     "(?is)^\\s*FETCH\\s+(?:FORWARD\\s+)?(\\d+|ALL)\\s+(?:FROM|IN)\\s+(\\w+)\\s*;?\\s*$".r
+  private val moveRe =
+    "(?is)^\\s*MOVE\\s+(?:FORWARD\\s+)?(\\d+|ALL)\\s+(?:FROM|IN)\\s+(\\w+)\\s*;?\\s*$".r
   private val closeRe = "(?is)^\\s*CLOSE\\s+(\\w+)\\s*;?\\s*$".r
 
   /** The PG statement surface: DECLARE c CURSOR FOR <q> / FETCH n FROM c
-    * / CLOSE c. DECLARE and CLOSE return an empty frame; FETCH returns
-    * the chunk. */
+    * / MOVE n FROM c / CLOSE c. DECLARE, MOVE and CLOSE return an empty
+    * frame; FETCH returns the chunk. Forward-only, like the reference's
+    * parallel-retrieve cursors (portalcmds.c rejects backward MOVE on
+    * no-scroll portals the same way). */
   def execute(spark: SparkSession, stmt: String): DataFrame = stmt match {
     case declareRe(name, query) =>
       declare(name, spark.sql(PgSql.rewrite(query.trim.stripSuffix(";"))))
       spark.emptyDataFrame
     case fetchRe(n, name) =>
       fetch(spark, name, if (n.equalsIgnoreCase("ALL")) Int.MaxValue else n.toInt)
+    case moveRe(n, name) => // advance without materializing rows to the caller
+      fetch(spark, name, if (n.equalsIgnoreCase("ALL")) Int.MaxValue else n.toInt)
+      spark.emptyDataFrame
     case closeRe(name) =>
       close(name)
       spark.emptyDataFrame

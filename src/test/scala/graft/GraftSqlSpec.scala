@@ -154,6 +154,31 @@ class GraftSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Graft.execute(spark, "FETCH 1 FROM rc")
     }
+    // MOVE advances the portal without returning rows
+    Graft.execute(spark,
+      "DECLARE mv CURSOR FOR SELECT n_nationkey FROM nation ORDER BY n_nationkey")
+    assert(Graft.execute(spark, "MOVE 20 FROM mv").isEmpty)
+    val afterMove = Graft.execute(spark, "FETCH ALL FROM mv").get.collect()
+    assert(afterMove.length == 5 && afterMove.head.getInt(0) == 20)
+    Graft.execute(spark, "CLOSE mv")
+  }
+
+  test("transaction verbs: BEGIN/COMMIT no-op, ROLLBACK loud, LOCK checks") {
+    drop("txn_t")
+    spark.range(3).write.saveAsTable("txn_t")
+    assert(Graft.execute(spark, "BEGIN;").isEmpty)
+    assert(Graft.execute(spark, "START TRANSACTION").isEmpty)
+    Graft.execute(spark, "LOCK TABLE txn_t IN ACCESS EXCLUSIVE MODE")
+    Graft.execute(spark, "DELETE FROM txn_t WHERE id = 0")
+    assert(Graft.execute(spark, "COMMIT").isEmpty)
+    assert(spark.table("txn_t").count() == 2)
+    intercept[UnsupportedOperationException] {
+      Graft.execute(spark, "ROLLBACK")
+    }
+    intercept[Exception] { // LOCK on a missing table is a real error
+      Graft.execute(spark, "LOCK TABLE no_such_table")
+    }
+    drop("txn_t")
   }
 
   test("execute routes PREPARE / EXECUTE / DEALLOCATE with \\$n substitution") {
