@@ -165,6 +165,51 @@ object TextAnalysis {
           .as("chunk_last"))
   }
 
+  /** Deterministic weighted subsampling for domain mixing: keep a row
+    * iff its md5-fraction is below the weight of its group (language,
+    * source, quality band...). The same hash trick as
+    * [[deterministicSplit]] — reproducible under any partitioning, and
+    * upweighting a domain later keeps every previously-kept row (the
+    * kept set grows monotonically with the weight), which makes mixture
+    * experiments diffable. Weights broadcast as a literal CASE — no
+    * join, no shuffle, pure codegen. */
+  def weightedSample(docs: DataFrame, groupCol: String,
+                     weights: Map[String, Double], idCol: String = "doc_id",
+                     defaultWeight: Double = 0.0): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("double") / 65536.0
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.where(h < w)
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word `n`-gram with a held-out/benchmark set (the published GPT-3
+    * appendix-C recipe: 13-gram collision). Both sides explode to
+    * (gram-hash, id) and meet in an equi-join — never all-pairs; the
+    * gram space grows with the corpus and has no skew concentration
+    * (hash keys), so the shuffle scales linearly at 100 TB. Returns
+    * distinct (train id, benchmark id) collision pairs. */
+  def contaminationPairs(train: DataFrame, bench: DataFrame, n: Int = 13,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    // explode positions, then hash each gram with plain codegen
+    // expressions (slice/concat_ws/xxhash64) — no interpreted lambdas
+    def grams(df: DataFrame, outId: String): DataFrame = df
+      .select(col(idCol).as(outId),
+        split(trim(lower(col(textCol))), "\\s+").as("w"))
+      .where(size(col("w")) >= n)
+      .select(col(outId), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"))
+      .select(col(outId),
+        xxhash64(concat_ws(" ", slice(col("w"), col("i"), lit(n)))).as("g"))
+      .distinct()
+    grams(train, "train_id")
+      .join(grams(bench, "bench_id"), "g")
+      .select("train_id", "bench_id").distinct()
+  }
+
   /** PII redaction for training text: email, IPv4, and international
     * phone patterns → typed placeholders. One codegen regexp_replace
     * chain; the patterns are written in the Java-regex ∩ RE2 dialect so

@@ -108,6 +108,26 @@ object PipelineQueries {
     "q199_pack_contexts" -> ((s, d) =>
       TextAnalysis.contextPack(t(s, d, "documents"))),
 
+    // Deterministic weighted domain mixing: per-language keep
+    // probabilities applied via the md5-fraction trick — the oracle
+    // replays the same hash arithmetic, so the exact kept set matches.
+    "q209_weighted_sample" -> ((s, d) =>
+      TextAnalysis.weightedSample(t(s, d, "documents"), "lang",
+        Map("en" -> 0.9, "fr" -> 0.5, "es" -> 0.25, "de" -> 0.1,
+          "zh" -> 0.05))
+        .select(col("doc_id"), col("lang"))),
+
+    // Benchmark decontamination (the published 13-gram collision
+    // recipe): training docs sharing any word 13-gram with the
+    // benchmark slice. Engine joins on xxhash64 of the gram (narrow
+    // shuffle rows); the oracle joins on the gram text itself — equal
+    // results absent a 64-bit hash collision.
+    "q210_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.contaminationPairs(
+        docs, docs.where(col("doc_id") % 37 === 0), n = 13)
+    }),
+
     // PII scrubbing: emails/IPs/phones injected deterministically from
     // doc_id (both engines build the identical input), then redacted to
     // typed placeholders by the same regex chain.
@@ -831,6 +851,26 @@ object PipelineQueries {
         |  CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
         |       ELSE (cum - n_tokens) // 512 END AS BIGINT) AS chunk_last
         |FROM c""".stripMargin,
+    "q209_weighted_sample" ->
+      """SELECT doc_id, lang
+        |FROM (SELECT doc_id, lang,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+        |    / 65536.0 AS h
+        |  FROM documents)
+        |WHERE h < CASE lang WHEN 'en' THEN 0.9 WHEN 'fr' THEN 0.5
+        |  WHEN 'es' THEN 0.25 WHEN 'de' THEN 0.1 WHEN 'zh' THEN 0.05
+        |  ELSE 0.0 END""".stripMargin,
+    "q210_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 11),
+        |    i -> array_to_string(ws[CAST(i AS INT):CAST(i + 12 AS INT)], ' ')))
+        |    AS gram
+        |  FROM w WHERE len(ws) >= 13)
+        |SELECT DISTINCT t.doc_id AS train_id, b.doc_id AS bench_id
+        |FROM g t JOIN g b USING (gram)
+        |WHERE b.doc_id % 37 = 0""".stripMargin,
     "q200_pii_scrub" ->
       """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
         |  text || ' contact user' || doc_id || '@example.com from 10.'

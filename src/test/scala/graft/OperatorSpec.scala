@@ -388,6 +388,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(1L) == ((1, 10L, 0L, 0L)))    // shard-local numbering
   }
 
+  test("weightedSample: kept set grows monotonically with the weight") {
+    val docs = spark.range(2000).selectExpr("id AS doc_id",
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END AS lang")
+    def kept(wEn: Double) = TextAnalysis.weightedSample(
+      docs, "lang", Map("en" -> wEn, "fr" -> 0.3))
+      .collect().map(_.getLong(0)).toSet
+    val low = kept(0.2)
+    val high = kept(0.6)
+    assert(low.subsetOf(high), "upweighting must never drop a kept row")
+    assert(low.size < high.size)
+    // unknown groups default to weight 0 (dropped)
+    val none = TextAnalysis.weightedSample(
+      docs, "lang", Map("zz" -> 1.0)).count()
+    assert(none == 0)
+  }
+
+  test("contaminationPairs: planted 13-gram overlap found, clean doc not") {
+    val words = (1 to 40).map(i => s"tok$i")
+    val benchText = words.mkString(" ")
+    val contaminated = ("x y z " + words.take(15).mkString(" ") + " q r").trim
+    val clean = (100 to 140).map(i => s"other$i").mkString(" ")
+    val train = Seq((1L, contaminated), (2L, clean)).toDF("doc_id", "text")
+    val bench = Seq((10L, benchText)).toDF("doc_id", "text")
+    val pairs = TextAnalysis.contaminationPairs(train, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L))) // 15 shared tokens ⊃ a 13-gram
+    // a 12-token overlap is below the n=13 bar
+    val short = Seq((3L, words.take(12).mkString(" ") + " unrelated tail " +
+      (200 to 230).map(i => s"p$i").mkString(" "))).toDF("doc_id", "text")
+    assert(TextAnalysis.contaminationPairs(short, bench).count() == 0)
+  }
+
   test("piiScrub replaces emails, IPs and phones; plain text untouched") {
     val r = Seq(
       "mail a.user+tag@sub.example.org now",
