@@ -136,6 +136,12 @@ object Graft {
       if (words.exists(_.equalsIgnoreCase("ANALYZE")))
         spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
       None
+    } else if (is("(?is)^EXPLAIN\\s+ANALYZE\\b")) {
+      // commands/explain.c with instrumentation: run the query and
+      // surface per-operator runtime metrics as rows
+      Some(operators.ExplainAnalyze.runAsDataFrame(spark.sql(
+        operators.PgSql.rewrite(
+          stripSemi(t).replaceFirst("(?is)^EXPLAIN\\s+ANALYZE\\s+", "")))))
     } else if (is("(?is)^PREPARE\\b")) {
       // prepared statements (commands/prepare.c); EXECUTE re-enters the
       // router so any verb can be prepared

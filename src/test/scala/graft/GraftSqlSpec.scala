@@ -163,6 +163,24 @@ class GraftSqlSpec extends AnyFunSuite {
     Graft.execute(spark, "CLOSE mv")
   }
 
+  test("EXPLAIN ANALYZE routes to instrumented metrics rows") {
+    Tables.register(spark, TestSpark.sf0001)
+    val m = Graft.execute(spark,
+      "EXPLAIN ANALYZE SELECT n_regionkey, count(*) FROM nation GROUP BY 1")
+      .get.collect()
+    assert(m.nonEmpty)
+    val cols = m.head.schema.fieldNames.toSet
+    assert(cols.contains("operator") && cols.contains("metric"))
+    // the scan's output-rows metric reflects the actual 25 nations
+    assert(m.exists(r =>
+      r.getAs[String]("metric").toLowerCase.contains("rows") &&
+        r.getAs[Long]("value") == 25L),
+      m.map(r => (r.getAs[String]("operator"), r.getAs[String]("metric"),
+        r.getAs[Long]("value"))).mkString("; "))
+    // plain EXPLAIN still falls through to Spark's own
+    assert(Graft.execute(spark, "EXPLAIN SELECT 1").nonEmpty)
+  }
+
   test("transaction verbs: BEGIN/COMMIT no-op, ROLLBACK loud, LOCK checks") {
     drop("txn_t")
     spark.range(3).write.saveAsTable("txn_t")
