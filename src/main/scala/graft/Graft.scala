@@ -151,9 +151,12 @@ object Graft {
     } else if (is("(?is)^DEALLOCATE\\b")) {
       operators.Prepared.deallocate(stripSemi(t)); None
     } else if (is("(?is)^TRUNCATE\\b")) {
-      // PG allows bare TRUNCATE t and a table list; Spark needs TABLE
+      // PG allows bare TRUNCATE t, a table list, ONLY, and trailing
+      // identity/cascade options; Spark needs TRUNCATE TABLE per table
       operators.GreengageDdl.splitTop(stripSemi(t)
-          .replaceFirst("(?is)^TRUNCATE\\s+(TABLE\\s+)?", ""))
+          .replaceFirst("(?is)^TRUNCATE\\s+(TABLE\\s+)?(ONLY\\s+)?", "")
+          .replaceFirst("(?is)\\s+(RESTART|CONTINUE)\\s+IDENTITY.*$", "")
+          .replaceFirst("(?is)\\s+(CASCADE|RESTRICT)\\s*$", ""))
         .foreach(n => spark.sql(s"TRUNCATE TABLE ${n.replace("\"", "")}"))
       None
     } else if (is("(?is)^SET\\b")) {
@@ -183,7 +186,7 @@ object Graft {
       // LOCK [TABLE] t [IN ... MODE] [NOWAIT]: existence-checked no-op —
       // the single-writer staged-swap model needs no table locks
       val name = stripSemi(t)
-        .replaceFirst("(?is)^LOCK\\s+(TABLE\\s+)?", "")
+        .replaceFirst("(?is)^LOCK\\s+(TABLE\\s+)?(ONLY\\s+)?", "")
         .replaceFirst("(?is)\\s+IN\\s+.+$", "")
         .replaceFirst("(?is)\\s+NOWAIT$", "").trim.replace("\"", "")
       spark.table(name)

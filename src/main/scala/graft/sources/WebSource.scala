@@ -110,7 +110,13 @@ object WebSource {
   * `url_curl.c` upload path: each segment POSTs its rows to the
   * server, which appends under a lock). Each Spark partition streams
   * its rows as delimited text in ONE chunked POST — N concurrent
-  * uploads, nothing buffered whole, no driver involvement. */
+  * uploads, nothing buffered whole, no driver involvement.
+  *
+  * Delivery contract: at-least-once under task retry (a re-run
+  * partition POSTs again) — the same hazard the reference documents
+  * for writable external tables, where an aborted INSERT can leave
+  * partial rows at the target; make the consumer idempotent or key
+  * the upload per attempt. */
 object WebSink {
 
   def writeCsv(df: DataFrame, url: String, delimiter: String = "|"): Unit =
