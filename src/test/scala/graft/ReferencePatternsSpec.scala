@@ -120,6 +120,55 @@ class ReferencePatternsSpec extends AnyFunSuite {
     assert(out == Map(1 -> 10, 2 -> 10, 3 -> 10, 4 -> 40)) // gap-fill carry-forward
   }
 
+  test("prepared statements: dup fails, re-prepare after dealloc, params (prepare.sql)") {
+    // prepare.sql:7-18 — PREPARE / EXECUTE / duplicate fails /
+    // DEALLOCATE then re-PREPARE succeeds
+    Graft.execute(spark, "PREPARE rq1 AS SELECT 1 AS a")
+    assert(Graft.execute(spark, "EXECUTE rq1").get.head().getInt(0) == 1)
+    intercept[IllegalArgumentException] {
+      Graft.execute(spark, "PREPARE rq1 AS SELECT 2 AS a")
+    }
+    Graft.execute(spark, "DEALLOCATE rq1")
+    Graft.execute(spark, "PREPARE rq1 AS SELECT 2 AS a")
+    assert(Graft.execute(spark, "EXECUTE rq1").get.head().getInt(0) == 2)
+    // prepare.sql:33-47 — parameterized form (type list accepted),
+    // $n order independent of use order, missing param errors
+    Graft.execute(spark,
+      "PREPARE rq3(text, int) AS SELECT $2 + 1 AS n, upper($1) AS s")
+    val r = Graft.execute(spark, "EXECUTE rq3('abc', 41)").get.head()
+    assert(r.getInt(0) == 42 && r.getString(1) == "ABC")
+    intercept[IllegalArgumentException] {
+      Graft.execute(spark, "EXECUTE rq3('abc')") // too few params
+    }
+    // sql92 spelling (prepare.sql:24)
+    Graft.execute(spark, "DEALLOCATE PREPARE rq3")
+    Graft.execute(spark, "DEALLOCATE PREPARE rq1")
+  }
+
+  test("interleaved portals keep independent positions (portals.sql foo1..foo4)") {
+    Tables.register(spark, TestSpark.sf0001)
+    for (i <- 1 to 4)
+      Graft.execute(spark,
+        s"DECLARE pfoo$i NO SCROLL CURSOR FOR SELECT n_nationkey FROM nation ORDER BY n_nationkey")
+    def fetchKeys(c: String, n: Int): Seq[Int] =
+      Graft.execute(spark, s"FETCH $n FROM $c").get.collect()
+        .map(_.getInt(0)).toSeq
+    // interleave: each portal advances independently
+    assert(fetchKeys("pfoo1", 3) == Seq(0, 1, 2))
+    assert(fetchKeys("pfoo2", 1) == Seq(0))
+    assert(fetchKeys("pfoo1", 2) == Seq(3, 4))
+    assert(fetchKeys("pfoo3", 5) == Seq(0, 1, 2, 3, 4))
+    assert(fetchKeys("pfoo2", 2) == Seq(1, 2))
+    Graft.execute(spark, "MOVE 20 FROM pfoo4")
+    assert(fetchKeys("pfoo4", 10) == Seq(20, 21, 22, 23, 24)) // clamped at end
+    assert(fetchKeys("pfoo1", 100).head == 5)
+    for (i <- 1 to 4) Graft.execute(spark, s"CLOSE pfoo$i")
+    // closed portal: further FETCH is an error (portals.sql end state)
+    intercept[IllegalArgumentException] {
+      Graft.execute(spark, "FETCH 1 FROM pfoo1")
+    }
+  }
+
   test("extended protocol analogs: parameterized query + cursor (SURVEY §3.2)") {
     Tables.register(spark, TestSpark.sf0001)
     // PREPARE/BIND/EXECUTE → spark.sql with named parameters
