@@ -306,4 +306,99 @@ object Multimodal {
         i => substring(col("payload"), (i * frameBytes * stride + 1).cast("int"), lit(frameBytes)))
         .as("frames"))
       .withColumn("n_frames", size(col("frames")))
+
+  // ------------------------------------------------------------------
+  // Video columns: a length-prefixed container of REAL encoded frames
+  // ("GVID" magic, BE frame count, then [BE length][BMP bytes] per
+  // frame). Frame sampling walks the index and decodes ONLY the
+  // selected frames through the actual codec — the strided-decode
+  // pattern a training pipeline uses so a 100 TB video column never
+  // pays full-decode cost for a 1-in-N frame sample.
+  // ------------------------------------------------------------------
+
+  /** Frames per video and the uniform color of frame `f` of video
+    * `id` — deterministic, so the oracle recomputes the sums. */
+  def videoParams(id: Long): (Int, Int, Int) = // (nFrames, w, h)
+    ((4 + (id % 9).toInt, 16 + (id % 16).toInt, 8 + (id % 8).toInt))
+
+  def videoFrameColor(id: Long, f: Int): (Int, Int, Int) =
+    (((id * 3 + f * 17) % 251).toInt, ((id * 7 + f * 29) % 251).toInt,
+      ((id * 13 + f * 41) % 251).toInt)
+
+  private def encodeVideo(id: Long): Array[Byte] = {
+    val (n, w, h) = videoParams(id)
+    val out = new ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    d.writeBytes("GVID")
+    d.writeInt(n)
+    var f = 0
+    while (f < n) {
+      val (r, g, b) = videoFrameColor(id, f)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val frame = new ByteArrayOutputStream()
+      require(ImageIO.write(img, "bmp", frame), "no BMP encoder")
+      d.writeInt(frame.size())
+      frame.writeTo(d)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  def synthesizeVideo(docs: DataFrame): Dataset[Blob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => Blob(id, encodeVideo(id), "gvid"))
+  }
+
+  final case class FrameFeatures(id: Long, frame_idx: Int, width: Int,
+                                 height: Int, sum_r: Long, sum_g: Long,
+                                 sum_b: Long)
+
+  /** Decode every `stride`th frame of each GVID payload. Non-sampled
+    * frames are SKIPPED by length, never decoded; one flatMap pass,
+    * rows ∝ frames/stride, no shuffle, no collect. */
+  def sampleVideoFrames(blobs: Dataset[Blob],
+                        stride: Int = 3): Dataset[FrameFeatures] = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.flatMap { b =>
+      val buf = java.nio.ByteBuffer.wrap(b.payload) // BE by default
+      require(buf.getInt(0) == 0x47564944, s"not GVID: id=${b.id}") // "GVID"
+      val n = buf.getInt(4)
+      var pos = 8
+      (0 until n).iterator.flatMap { f =>
+        val len = buf.getInt(pos)
+        val start = pos + 4
+        pos = start + len
+        if (f % stride != 0) None
+        else {
+          val img = ImageIO.read(
+            new ByteArrayInputStream(b.payload, start, len))
+          require(img != null, s"frame $f of id=${b.id} failed to decode")
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Some(FrameFeatures(b.id, f, img.getWidth, img.getHeight,
+            sr, sg, sb))
+        }
+      }
+    }
+  }
 }

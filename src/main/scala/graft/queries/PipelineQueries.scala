@@ -373,6 +373,17 @@ object PipelineQueries {
       graft.operators.Multimodal.decodeMedia(blobs).toDF()
     }),
 
+    // Video frame sampling: GVID containers of REAL BMP frames; every
+    // 3rd frame is decoded through the actual codec (others skipped by
+    // length, never decoded) — the strided-decode pattern of a video
+    // training pipeline. The oracle recomputes every sampled frame's
+    // exact per-channel pixel sums from doc_id arithmetic.
+    "q211_video_frames" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthesizeVideo(
+        t(s, d, "documents").where(col("doc_id") % 20 === 0))
+      graft.operators.Multimodal.sampleVideoFrames(blobs, stride = 3).toDF()
+    }),
+
     // COPY TO/FROM roundtrip (commands/copy.c): write CSV, read it back,
     // aggregate — oracle aggregates the source table directly, so the
     // roundtrip must be lossless.
@@ -851,6 +862,17 @@ object PipelineQueries {
         |  CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
         |       ELSE (cum - n_tokens) // 512 END AS BIGINT) AS chunk_last
         |FROM c""".stripMargin,
+    "q211_video_frames" ->
+      """WITH v AS (SELECT doc_id, CAST(4 + doc_id % 9 AS INT) AS n,
+        |    CAST(16 + doc_id % 16 AS INT) AS w, CAST(8 + doc_id % 8 AS INT) AS h
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |f AS (SELECT doc_id, w, h,
+        |    CAST(unnest(range(0, n, 3)) AS INT) AS frame_idx FROM v)
+        |SELECT doc_id AS id, frame_idx, w AS width, h AS height,
+        |  CAST(((doc_id * 3 + frame_idx * 17) % 251) * w * h AS BIGINT) AS sum_r,
+        |  CAST(((doc_id * 7 + frame_idx * 29) % 251) * w * h AS BIGINT) AS sum_g,
+        |  CAST(((doc_id * 13 + frame_idx * 41) % 251) * w * h AS BIGINT) AS sum_b
+        |FROM f""".stripMargin,
     "q209_weighted_sample" ->
       """SELECT doc_id, lang
         |FROM (SELECT doc_id, lang,

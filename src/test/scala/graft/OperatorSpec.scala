@@ -524,6 +524,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(feats4 == feats.map { case (k, v) => k -> v.sum_r })
   }
 
+  test("multimodal: video frame sampling decodes only the sampled frames") {
+    val docs = Seq(5L, 23L, 40L).toDF("doc_id")
+    val blobs = Multimodal.synthesizeVideo(docs)
+    val feats = Multimodal.sampleVideoFrames(blobs, stride = 3).collect()
+    for (f <- feats) {
+      val (_, w, h) = Multimodal.videoParams(f.id)
+      val (r, g, b) = Multimodal.videoFrameColor(f.id, f.frame_idx)
+      assert(f.frame_idx % 3 == 0)
+      assert(f.width == w && f.height == h)
+      assert(f.sum_r == r.toLong * w * h && f.sum_g == g.toLong * w * h &&
+        f.sum_b == b.toLong * w * h, f)
+    }
+    val (n5, _, _) = Multimodal.videoParams(5L)
+    assert(feats.count(_.id == 5L) == (n5 + 2) / 3)
+    // skipped-by-length means skipped-by-decode: corrupt frame 1's
+    // bytes (not its length prefix) — stride 3 never touches it,
+    // stride 1 must fail on it
+    val corrupted = blobs.collect().map { bl =>
+      val p = bl.payload.clone()
+      val len0 = java.nio.ByteBuffer.wrap(p).getInt(8)
+      val f1body = 8 + 4 + len0 + 4 // frame 1's first payload byte
+      java.util.Arrays.fill(p, f1body, f1body + 8, 0.toByte)
+      Multimodal.Blob(bl.id, p, bl.format)
+    }.toSeq.toDS()
+    assert(Multimodal.sampleVideoFrames(corrupted, stride = 3)
+      .count() == feats.length)
+    intercept[Exception] {
+      Multimodal.sampleVideoFrames(corrupted, stride = 1).collect()
+    }
+  }
+
   test("multimodal: RIFF walk honors the odd-chunk pad byte") {
     // WAV with an odd-length LIST chunk before fmt/data: RIFF mandates
     // a pad byte after odd chunks, so a walk without it misreads every
