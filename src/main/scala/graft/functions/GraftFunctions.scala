@@ -617,6 +617,10 @@ object GraftFunctions {
       info("german_stem", "german_stem(word) - snowball German stemmer"),
       (args: Seq[Expression]) => GermanStem(Cast(args(0), StringType)))
     reg.registerFunction(
+      FunctionIdentifier("french_stem"),
+      info("french_stem", "french_stem(word) - snowball French stemmer"),
+      (args: Seq[Expression]) => FrenchStem(Cast(args(0), StringType)))
+    reg.registerFunction(
       FunctionIdentifier("to_number_pg"),
       info("to_number_pg", "to_number_pg(text, fmt) - PG numeric template parsing"),
       (args: Seq[Expression]) => ToNumberPg(Cast(args(0), StringType), args(1)))

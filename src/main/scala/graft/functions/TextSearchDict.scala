@@ -284,6 +284,268 @@ case class GermanStem(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Snowball French stemmer (reference `src/backend/snowball/french.sbl`
+  * compiles the same published algorithm; re-implemented here from the
+  * snowballstem.org French-stemmer description: u/i/y/qu marking, RV
+  * with the two-vowel and par/col/tap provisos, R1/R2, the standard-
+  * suffix table with its per-group chains, the i-verb and other-verb
+  * steps, residual step 4, undoubling and un-accenting). */
+object FrenchStemmer {
+
+  private val vowels = "aeiouyâàëéêèïîôûù"
+  @inline private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+  private def region(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && !isV(s.charAt(i))) i += 1
+    while (i < s.length && isV(s.charAt(i))) i += 1
+    if (i < s.length) i + 1 else s.length
+  }
+
+  def stem(word: String): String = {
+    var s = word.toLowerCase
+    if (s.length <= 2) return s
+
+    // prelude: u/i between vowels -> U/I, y beside a vowel -> Y, qu -> qU
+    // (left-to-right, decisions against the current state, as the
+    // published cursor walk does)
+    {
+      val cs = s.toCharArray
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i)
+        if ((c == 'u' || c == 'i') && i > 0 && i + 1 < cs.length &&
+            isV(cs(i - 1)) && isV(cs(i + 1))) cs(i) = c.toUpper
+        else if (c == 'y' && ((i > 0 && isV(cs(i - 1))) ||
+            (i + 1 < cs.length && isV(cs(i + 1))))) cs(i) = 'Y'
+        else if (c == 'u' && i > 0 && cs(i - 1) == 'q') cs(i) = 'U'
+        i += 1
+      }
+      s = new String(cs)
+    }
+
+    // RV: after the third letter when the word begins with two vowels
+    // or par/col/tap; else after the first vowel not at position 0
+    val rv: Int = {
+      if (s.length >= 3 && ((isV(s.charAt(0)) && isV(s.charAt(1))) ||
+          Seq("par", "col", "tap").exists(s.startsWith))) 3
+      else {
+        var i = 1
+        while (i < s.length && !isV(s.charAt(i))) i += 1
+        if (i < s.length) i + 1 else s.length
+      }
+    }
+    val r1 = region(s, 0)
+    val r2 = region(s, r1)
+
+    def inRV(sufLen: Int) = s.length - sufLen >= rv
+    def inR1(sufLen: Int) = s.length - sufLen >= r1
+    def inR2(sufLen: Int) = s.length - sufLen >= r2
+    def endsIn(suffix: String, reg: Int): Boolean = // helper for chains
+      s.endsWith(suffix) && s.length - suffix.length >= reg
+
+    // ---- step 1: standard suffixes, longest match over the whole set
+    var step1Changed = false
+    var mnoFound = false
+    val st1 = Seq(
+      "issements", "issement", "atrices", "atrice", "ateurs", "ations",
+      "logies", "usions", "utions", "ements", "amment", "emment",
+      "ments", "ances", "iqUes", "ismes", "ables", "istes", "ateur",
+      "ation", "logie", "usion", "ution", "ences", "ement", "euses",
+      "ance", "iqUe", "isme", "able", "iste", "ence", "eaux", "ités",
+      "ives", "euse", "ment", "eux", "ité", "ifs", "ive", "aux", "if")
+    st1.find(s.endsWith) match {
+      case Some(suf) =>
+        val L = suf.length
+        suf match {
+          case "ance" | "iqUe" | "isme" | "able" | "iste" | "eux" |
+               "ances" | "iqUes" | "ismes" | "ables" | "istes" =>
+            if (inR2(L)) { s = s.dropRight(L); step1Changed = true }
+          case "atrice" | "ateur" | "ation" | "atrices" | "ateurs" |
+               "ations" =>
+            if (inR2(L)) {
+              s = s.dropRight(L); step1Changed = true
+              if (s.endsWith("ic")) {
+                if (inR2(2)) s = s.dropRight(2) else s = s.dropRight(2) + "iqU"
+              }
+            }
+          case "logie" | "logies" =>
+            if (inR2(L)) { s = s.dropRight(L) + "log"; step1Changed = true }
+          case "usion" | "ution" | "usions" | "utions" =>
+            if (inR2(L)) { s = s.dropRight(L) + "u"; step1Changed = true }
+          case "ence" | "ences" =>
+            if (inR2(L)) { s = s.dropRight(L) + "ent"; step1Changed = true }
+          case "ement" | "ements" =>
+            if (inRV(L)) {
+              s = s.dropRight(L); step1Changed = true
+              if (endsIn("iv", r2)) {
+                s = s.dropRight(2)
+                if (endsIn("at", r2)) s = s.dropRight(2)
+              } else if (s.endsWith("eus")) {
+                if (inR2(3)) s = s.dropRight(3)
+                else if (inR1(3)) s = s.dropRight(3) + "eux"
+              } else if (endsIn("abl", r2) || endsIn("iqU", r2))
+                s = s.dropRight(3)
+              else if (endsIn("ièr", rv) || endsIn("Ièr", rv))
+                s = s.dropRight(3) + "i"
+            }
+          case "ité" | "ités" =>
+            if (inR2(L)) {
+              s = s.dropRight(L); step1Changed = true
+              if (s.endsWith("abil")) {
+                if (inR2(4)) s = s.dropRight(4) else s = s.dropRight(4) + "abl"
+              } else if (s.endsWith("ic")) {
+                if (inR2(2)) s = s.dropRight(2) else s = s.dropRight(2) + "iqU"
+              } else if (endsIn("iv", r2)) s = s.dropRight(2)
+            }
+          case "if" | "ive" | "ifs" | "ives" =>
+            if (inR2(L)) {
+              s = s.dropRight(L); step1Changed = true
+              if (endsIn("at", r2)) {
+                s = s.dropRight(2)
+                if (s.endsWith("ic")) {
+                  if (inR2(2)) s = s.dropRight(2)
+                  else s = s.dropRight(2) + "iqU"
+                }
+              }
+            }
+          case "eaux" =>
+            s = s.dropRight(4) + "eau"; step1Changed = true
+          case "aux" =>
+            if (inR1(3)) { s = s.dropRight(3) + "al"; step1Changed = true }
+          case "euse" | "euses" =>
+            if (inR2(L)) { s = s.dropRight(L); step1Changed = true }
+            else if (inR1(L)) { s = s.dropRight(L) + "eux"; step1Changed = true }
+          case "issement" | "issements" =>
+            if (inR1(L) && s.length > L && !isV(s.charAt(s.length - L - 1))) {
+              s = s.dropRight(L); step1Changed = true
+            }
+          case "amment" =>
+            mnoFound = true
+            if (inRV(6)) s = s.dropRight(6) + "ant"
+          case "emment" =>
+            mnoFound = true
+            if (inRV(6)) s = s.dropRight(6) + "ent"
+          case "ment" | "ments" =>
+            mnoFound = true
+            if (s.length > L && isV(s.charAt(s.length - L - 1)) &&
+                s.length - L - 1 >= rv) s = s.dropRight(L)
+        }
+      case None =>
+    }
+
+    // ---- step 2a: i-verb suffixes (when step 1 removed nothing, or a
+    // ment-family ending was found)
+    var step2Changed = false
+    if (!step1Changed || mnoFound) {
+      val st2a = Seq(
+        "issaIent", "issantes", "issante", "issants", "issions",
+        "iraIent", "issais", "issait", "issant", "issent", "issiez",
+        "issons", "irions", "irais", "irait", "irent", "iriez",
+        "irons", "iront", "isses", "issez", "îmes", "îtes", "isse",
+        "irai", "iras", "irez", "ies", "ira", "ît", "ie", "ir", "is",
+        "it", "i")
+      val did2a = st2a.find(s.endsWith) match {
+        case Some(suf) =>
+          val L = suf.length
+          val p = s.length - L - 1 // preceding char
+          if (inRV(L) && p >= 0 && !isV(s.charAt(p)) && p >= rv) {
+            s = s.dropRight(L); step2Changed = true; true
+          } else false
+        case None => false
+      }
+      // ---- step 2b: other verb suffixes (2a ran but removed nothing)
+      if (!did2a) {
+        val eGroup = Set("eraIent", "erions", "èrent", "erais", "erait",
+          "eriez", "erons", "eront", "erai", "eras", "erez", "era",
+          "iez", "ées", "ez", "er", "és", "ée", "é")
+        val aGroup = Set("assions", "assiez", "assent", "asses",
+          "aIent", "antes", "âmes", "âtes", "asse", "ante", "ants",
+          "ais", "ait", "ant", "as", "ai", "ât", "a")
+        val all = (eGroup ++ aGroup + "ions").toSeq.sortBy(-_.length)
+        all.find(s.endsWith) match {
+          case Some("ions") =>
+            if (inR2(4)) { s = s.dropRight(4); step2Changed = true }
+          case Some(suf) if eGroup.contains(suf) =>
+            if (inRV(suf.length)) { s = s.dropRight(suf.length); step2Changed = true }
+          case Some(suf) => // aGroup
+            if (inRV(suf.length)) {
+              s = s.dropRight(suf.length); step2Changed = true
+              if (s.endsWith("e") && s.length - 1 >= rv) s = s.dropRight(1)
+            }
+          case None =>
+        }
+      }
+    }
+
+    if (step1Changed || step2Changed) {
+      // ---- step 3
+      if (s.endsWith("Y")) s = s.dropRight(1) + "i"
+      else if (s.endsWith("ç")) s = s.dropRight(1) + "c"
+    } else {
+      // ---- step 4: residual suffixes
+      if (s.endsWith("s") && s.length >= 2 &&
+          "aiouès".indexOf(s.charAt(s.length - 2)) < 0)
+        s = s.dropRight(1)
+      Seq("Ière", "ière", "Ier", "ier", "ion", "ë", "e").find(s.endsWith)
+        .foreach {
+          case "ion" =>
+            if (inR2(3) && inRV(3) && s.length > 3 &&
+                "st".indexOf(s.charAt(s.length - 4)) >= 0)
+              s = s.dropRight(3)
+          case suf @ ("ier" | "ière" | "Ier" | "Ière") =>
+            if (inRV(suf.length)) s = s.dropRight(suf.length) + "i"
+          case "e" =>
+            if (inRV(1)) s = s.dropRight(1)
+          case "ë" =>
+            if (inRV(1) && s.length >= 3 &&
+                s.substring(s.length - 3, s.length - 1) == "gu")
+              s = s.dropRight(1)
+          case _ =>
+        }
+    }
+
+    // ---- step 5: undouble
+    if (Seq("enn", "onn", "ett", "ell", "eill").exists(s.endsWith))
+      s = s.dropRight(1)
+
+    // ---- step 6: un-accent é/è before a trailing non-vowel run
+    {
+      var i = s.length - 1
+      var run = 0
+      while (i >= 0 && !isV(s.charAt(i))) { i -= 1; run += 1 }
+      if (run >= 1 && i >= 0 && (s.charAt(i) == 'é' || s.charAt(i) == 'è'))
+        s = s.substring(0, i) + 'e' + s.substring(i + 1)
+    }
+
+    // unmark
+    s.map {
+      case 'I' => 'i'
+      case 'U' => 'u'
+      case 'Y' => 'y'
+      case c => c
+    }
+  }
+
+  def stemUtf8(s: UTF8String): UTF8String = UTF8String.fromString(stem(s.toString))
+}
+
+/** `french_stem(word)` codegen expression. */
+case class FrenchStem(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "french_stem"
+
+  override protected def nullSafeEval(v: Any): Any =
+    FrenchStemmer.stemUtf8(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FrenchStemmer.stemUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FrenchStem =
+    copy(child = newChild)
+}
+
 /** The `english` text-search configuration's lexize chain. */
 object TsLexize {
 
@@ -344,9 +606,35 @@ object TsLexize {
     "wollen", "wollte", "würde", "würden", "zu", "zum", "zur", "zwar",
     "zwischen")
 
+  /** The standard snowball French stopword list PG ships as
+    * `src/backend/snowball/stopwords/french.stop` (public snowball
+    * project data). */
+  val frenchStopwords: Seq[String] = Seq(
+    "au", "aux", "avec", "ce", "ces", "dans", "de", "des", "du",
+    "elle", "en", "et", "eux", "il", "je", "la", "le", "leur", "lui",
+    "ma", "mais", "me", "même", "mes", "moi", "mon", "ne", "nos",
+    "notre", "nous", "on", "ou", "par", "pas", "pour", "qu", "que",
+    "qui", "sa", "se", "ses", "son", "sur", "ta", "te", "tes", "toi",
+    "ton", "tu", "un", "une", "vos", "votre", "vous", "c", "d", "j",
+    "l", "à", "m", "n", "s", "t", "y", "été", "étée", "étées",
+    "étés", "étant", "étante", "étants", "étantes", "suis", "es",
+    "est", "sommes", "êtes", "sont", "serai", "seras", "sera",
+    "serons", "serez", "seront", "serais", "serait", "serions",
+    "seriez", "seraient", "étais", "était", "étions", "étiez",
+    "étaient", "fus", "fut", "fûmes", "fûtes", "furent", "sois",
+    "soit", "soyons", "soyez", "soient", "fusse", "fusses", "fût",
+    "fussions", "fussiez", "fussent", "ayant", "ayante", "ayantes",
+    "ayants", "eu", "eue", "eues", "eus", "ai", "as", "avons", "avez",
+    "ont", "aurai", "auras", "aura", "aurons", "aurez", "auront",
+    "aurais", "aurait", "aurions", "auriez", "auraient", "avais",
+    "avait", "avions", "aviez", "avaient", "eut", "eûmes", "eûtes",
+    "eurent", "aie", "aies", "ait", "ayons", "ayez", "aient", "eusse",
+    "eusses", "eût", "eussions", "eussiez", "eussent")
+
   private val configs: Map[String, (Seq[String], String)] = Map(
     "english" -> (englishStopwords, "porter_stem"),
-    "german" -> (germanStopwords, "german_stem"))
+    "german" -> (germanStopwords, "german_stem"),
+    "french" -> (frenchStopwords, "french_stem"))
 
   /** lowercase → drop stopwords → stem, one declarative pass
     * (ts_lexize through the named configuration — `english` and
@@ -368,8 +656,11 @@ object TsLexize {
     * dictionary to the query it applies to documents). */
   def stemTerms(terms: Seq[String], config: String = "english"): Seq[String] = {
     val (stop, _) = configs(config)
-    val stemmer: String => String =
-      if (config == "german") GermanStemmer.stem else PorterStemmer.stem
+    val stemmer: String => String = config match {
+      case "german" => GermanStemmer.stem
+      case "french" => FrenchStemmer.stem
+      case _ => PorterStemmer.stem
+    }
     terms.map(_.toLowerCase).filterNot(stop.contains).map(stemmer)
   }
 

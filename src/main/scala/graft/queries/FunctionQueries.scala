@@ -755,6 +755,31 @@ object FunctionQueries {
         .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
     }),
 
+    // Stemmed text search through the `french` configuration — third
+    // snowball language through the same lexize chain (q197's German
+    // pattern; query "chapeaux"/"chanterions" stem to the lexemes of
+    // "chapeaux"/"chanter"-family document words).
+    "q212_ts_french" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      val vocab = Seq("chapeaux", "chanterions", "majestueux",
+        "continuellement", "sensibilité", "finissions", "animaux",
+        "jouer", "évidemment", "aimables", "volontairement", "yeux")
+      val va = array(vocab.map(lit): _*)
+      def pick(idx: org.apache.spark.sql.Column) =
+        element_at(va, (idx % 12).cast("int") + 1)
+      val text = concat_ws(" ",
+        pick(col("doc_id")), lit("et"),
+        pick(col("doc_id") + 2), lit("la"),
+        pick(col("doc_id") * 7 + 3))
+      val stems = TsLexize.stemTerms(Seq("chapeaux", "chanterions"), "french")
+      t(s, d, "documents")
+        .select(col("doc_id"), text.as("text"))
+        .withColumn("lexed",
+          TsLexize.lexize(split(col("text"), " "), "french"))
+        .where(Ranges.tsMatch(col("lexed"), stems))
+        .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
+    }),
+
     // ts_headline through the stemming dictionary: covers computed on
     // stems, snippet shows the original inflected words, marked when
     // their stem matches a query stem.
@@ -1974,6 +1999,23 @@ object FunctionQueries {
          |FROM b
          |WHERE (s1 = 'haus' OR s2 = 'haus' OR s3 = 'haus')
          |  AND (s1 = 'lauf' OR s2 = 'lauf' OR s3 = 'lauf')""".stripMargin
+    },
+    // same engine-generated-stem convention as q197
+    "q212_ts_french" -> {
+      import graft.functions.FrenchStemmer
+      val vocab = Seq("chapeaux", "chanterions", "majestueux",
+        "continuellement", "sensibilité", "finissions", "animaux",
+        "jouer", "évidemment", "aimables", "volontairement", "yeux")
+      val stems = vocab.map(w => s"'${FrenchStemmer.stem(w)}'").mkString(", ")
+      s"""WITH b AS (SELECT doc_id,
+         |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
+         |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,
+         |    [$stems][CAST(1 + (doc_id * 7 + 3) % 12 AS INT)] AS s3
+         |  FROM documents)
+         |SELECT doc_id, s1 || ' ' || s2 || ' ' || s3 AS lexed
+         |FROM b
+         |WHERE (s1 = 'chapeau' OR s2 = 'chapeau' OR s3 = 'chapeau')
+         |  AND (s1 = 'chant' OR s2 = 'chant' OR s3 = 'chant')""".stripMargin
     },
     "q146_ts_headline_stemmed" -> {
       import graft.functions.PorterStemmer

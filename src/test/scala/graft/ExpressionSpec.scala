@@ -151,6 +151,41 @@ class ExpressionSpec extends AnyFunSuite {
       Seq("haus", "lauf"))
   }
 
+  test("french_stem follows the published snowball French algorithm") {
+    import graft.functions.FrenchStemmer.stem
+    // hand-derived through the published steps (prelude marking, RV
+    // provisos, suffix groups and their chains, verb steps, residual
+    // step, undouble, un-accent)
+    val pairs = Seq(
+      "continuellement" -> "continuel", // ement in RV, then undouble ell
+      "majestueux" -> "majestu",        // eux in R2
+      "chanterions" -> "chant",         // step2b erions in RV
+      "finissions" -> "fin",            // step2a issions, non-vowel in RV
+      "évidemment" -> "évident",        // emment -> ent in RV
+      "sensibilité" -> "sensibil",      // ité in R2
+      "chapeaux" -> "chapeau",          // eaux -> eau
+      "animaux" -> "animal",            // aux -> al in R1
+      "jouer" -> "jou",                 // prelude joUer, step2b er in RV
+      "yeux" -> "yeux",                 // Yeux: eux not in R2; unmark
+      "aimables" -> "aimabl",           // step4: s off, then e in RV
+      "nationalisation" -> "nationalis", // ation in R2, no ic chain
+      "diplomatiqUes" -> "diplomat",    // hmm: exercised via lexize below
+      "volontairement" -> "volontair",  // ement in RV, no chain applies
+      "et" -> "et", "de" -> "de")       // too short
+    for ((w, want) <- pairs if w != "diplomatiqUes")
+      assert(stem(w) == want, s"stem($w) = ${stem(w)}, want $want")
+    // iqUe chain through the prelude: diplomatiques -> prelude leaves
+    // 'qu' marked -> iqUes matches in R2 -> diplomat
+    assert(stem("diplomatiques") == "diplomat",
+      s"got ${stem("diplomatiques")}")
+    // codegen expression registered
+    val r = spark.sql("SELECT french_stem('Chanterions') AS a").head()
+    assert(r.getString(0) == "chant")
+    import graft.functions.TsLexize
+    assert(TsLexize.stemTerms(Seq("chapeaux", "chanterions"), "french") ==
+      Seq("chapeau", "chant"))
+  }
+
   test("porter_stem matches the published algorithm's examples (Porter 1980)") {
     import graft.functions.PorterStemmer.stem
     // step-by-step examples from the paper, carried to the final stem
