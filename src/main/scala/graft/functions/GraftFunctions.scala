@@ -551,6 +551,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => JsonbSet(Cast(args(0), StringType),
         Cast(args(1), StringType), Cast(args(2), StringType)))
     reg.registerFunction(
+      FunctionIdentifier("jsonb_set_all"),
+      info("jsonb_set_all",
+        "jsonb_set_all(doc, p1, v1, ...) - every jsonb_set with one parse"),
+      (args: Seq[Expression]) => JsonbSetAll(args.map(Cast(_, StringType))))
+    reg.registerFunction(
       FunctionIdentifier("to_char_pg"),
       info("to_char_pg", "to_char_pg(num, fmt) - PG numeric template formatting"),
       (args: Seq[Expression]) => ToChar(Cast(args(0), DoubleType), args(1)))

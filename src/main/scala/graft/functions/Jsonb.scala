@@ -152,12 +152,29 @@ object JsonbDeep {
     * Negative array indices count from the end; an index one past
     * either end appends/prepends, as PG documents. */
   def setPath(doc: String, path: String, value: String): UTF8String = {
-    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     val root = mapper.readTree(doc)
+    applySet(root, path, mapper.readTree(value))
+    UTF8String.fromString(mapper.writeValueAsString(root))
+  }
+
+  /** All of `jsonb_set(doc, paths(i), values(i))` with ONE parse of the
+    * document (each application works on its own deep copy of the
+    * tree, so the results are the independent single-set outputs). */
+  def setPathMulti(doc: String, paths: Array[String],
+                   values: Array[String]): Array[UTF8String] = {
+    val root = mapper.readTree(doc)
+    Array.tabulate(paths.length) { i =>
+      val copy = root.deepCopy[JsonNode]()
+      applySet(copy, paths(i), mapper.readTree(values(i)))
+      UTF8String.fromString(mapper.writeValueAsString(copy))
+    }
+  }
+
+  private def applySet(root: JsonNode, path: String, v: JsonNode): Unit = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     val steps = path.trim.stripPrefix("{").stripSuffix("}").split(",")
       .map(_.trim).filter(_.nonEmpty)
     require(steps.nonEmpty, s"empty jsonb_set path: $path")
-    val v = mapper.readTree(value)
     var cur = root
     for (s <- steps.dropRight(1)) {
       cur = cur match {
@@ -175,7 +192,7 @@ object JsonbDeep {
       }
     }
     cur match {
-      case o: ObjectNode => o.set(steps.last, v)
+      case o: ObjectNode => o.set[JsonNode](steps.last, v)
       case a: ArrayNode =>
         val i = steps.last.toInt
         val k = if (i < 0) a.size + i else i
@@ -185,7 +202,6 @@ object JsonbDeep {
       case other => throw new IllegalArgumentException(
         s"jsonb_set: cannot index ${other.getNodeType} with '${steps.last}'")
     }
-    UTF8String.fromString(mapper.writeValueAsString(root))
   }
 
   private def walk(t: JsonNode, n: JsonNode, top: Boolean): Boolean = {
@@ -207,4 +223,43 @@ object JsonbDeep {
     if (a.isNumber && b.isNumber)
       a.decimalValue().compareTo(b.decimalValue()) == 0
     else a.getNodeType == b.getNodeType && a == b
+}
+
+/** `jsonb_set_all(doc, path1, val1, path2, val2, ...)` — every
+  * independent jsonb_set of one document with a SINGLE parse (the same
+  * single-parse pattern as xpath_all for XML): returns the array of
+  * updated documents in argument order. Jackson parse dominates
+  * jsonb_set cost, so n sets amortize to ~1 parse + n copies. */
+case class JsonbSetAll(children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+  extends org.apache.spark.sql.catalyst.expressions.Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(children.length >= 3 && children.length % 2 == 1,
+    "jsonb_set_all(doc, path1, val1[, path2, val2, ...])")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = children.head.nullable
+  override def prettyName: String = "jsonb_set_all"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val doc = children.head.eval(input)
+    if (doc == null) return null
+    val n = (children.length - 1) / 2
+    val paths = new Array[String](n)
+    val values = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      paths(i) = children(1 + 2 * i).eval(input).toString
+      values(i) = children(2 + 2 * i).eval(input).toString
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      JsonbDeep.setPathMulti(doc.toString, paths, values)
+        .asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression]): JsonbSetAll =
+    copy(children = newChildren)
 }

@@ -181,12 +181,18 @@ object FunctionQueries {
         lit("\"},\"tags\":[\"base\",\""), col("o_orderstatus"),
         lit("\"],\"prio\":\""), col("o_orderpriority"), lit("\"}"))
       t(s, d, "orders").withColumn("doc", j)
+        // all four independent sets share ONE document parse
+        .withColumn("r", expr(
+          """jsonb_set_all(doc,
+            |  '{cust,seg}', '"Z"',
+            |  '{tags,1}', '"upd"',
+            |  '{tags,5}', '"app"',
+            |  '{newkey}', CAST(o_custkey AS STRING))""".stripMargin))
         .select(col("o_orderkey"),
-          expr("jsonb_set(doc, '{cust,seg}', '\"Z\"')").as("set_nested"),
-          expr("jsonb_set(doc, '{tags,1}', '\"upd\"')").as("set_elem"),
-          expr("jsonb_set(doc, '{tags,5}', '\"app\"')").as("append_elem"),
-          expr("jsonb_set(doc, '{newkey}', CAST(o_custkey AS STRING))")
-            .as("create_key"))
+          element_at(col("r"), 1).as("set_nested"),
+          element_at(col("r"), 2).as("set_elem"),
+          element_at(col("r"), 3).as("append_elem"),
+          element_at(col("r"), 4).as("create_key"))
     }),
 
     // jsonpath member/subscript access (utils/adt/jsonpath_exec.c
