@@ -693,6 +693,101 @@ object RelationalQueries {
           sumd(col("c_acctbal")).as("totacctbal"))
     }),
 
+    // TPC-H Q9 (product-type profit; adapted: the fixtures have no
+    // partsupp, so supply cost is 0.6·p_retailprice·quantity): the
+    // 5-table star grouped by nation/year. Revenue and cost stay
+    // SEPARATE decimal sums combined as doubles at the end — a decimal
+    // product of three factors would blow Spark's 38-digit cap and
+    // round differently from the oracle.
+    "q213_tpch_q9" -> ((s, d) => {
+      val rev = dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+      val cost = dec(col("p_retailprice")) * dec(col("l_quantity"))
+      t(s, d, "part").where(col("p_name").like("%gear%"))
+        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(rev).cast("double") -
+          lit(0.6) * sum(cost).cast("double"), 2).as("sum_profit"))
+    }),
+
+    // TPC-H Q11 (important stock; adapted: lineitem revenue stands in
+    // for partsupp value): grouped value per part vs a scalar fraction
+    // of the grand total — the total is a 1-row broadcast, never a
+    // second scan shuffle.
+    "q214_tpch_q11" -> ((s, d) => {
+      val v = t(s, d, "lineitem")
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_name").isin("NATION_3", "NATION_7"))
+        .groupBy(col("l_partkey").as("ps_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("val"))
+      val thr = v.agg((sum(col("val")).cast("double") * lit(0.0012)).as("thr"))
+      v.crossJoin(broadcast(thr))
+        .where(col("val").cast("double") > col("thr"))
+        .select(col("ps_partkey"), col("val").cast("double").as("value"))
+    }),
+
+    // TPC-H Q15 (top supplier): quarterly revenue per supplier joined
+    // against its own MAX — the decimal sums compare exactly, so the
+    // argmax is deterministic; the 1-row max broadcasts.
+    "q215_tpch_q15" -> ((s, d) => {
+      val rev = dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+      val revenue = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(rev).as("total_rev"))
+      val top = revenue.agg(max(col("total_rev")).as("max_rev"))
+      t(s, d, "supplier")
+        .join(revenue, col("s_suppkey") === col("supplier_no"))
+        .crossJoin(broadcast(top))
+        .where(col("total_rev") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+    }),
+
+    // TPC-H Q16 (parts/supplier relationship; adapted: lineitem pairs
+    // stand in for partsupp, the complaint filter matches s_name): the
+    // NOT IN supplier set is an anti join (s_suppkey is non-nullable,
+    // so NOT IN ≡ anti), then COUNT(DISTINCT) per part attribute.
+    "q216_tpch_q16" -> ((s, d) => {
+      val excluded = t(s, d, "supplier")
+        .where(col("s_name").like("%00000009%")).select(col("s_suppkey"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .where(col("p_brand") =!= "Brand#12" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 7, 10, 14, 19, 25, 32))
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q20 (potential part promotion; adapted: the availqty
+    // threshold becomes a shipped-quantity HAVING over the year): the
+    // inner grouped-HAVING feeds a semi join — the reference plans the
+    // same nested-IN chain as a semijoin stack.
+    "q217_tpch_q20" -> ((s, d) => {
+      val qualified = t(s, d, "lineitem")
+        .join(t(s, d, "part").where(col("p_name").like("%bolt%")),
+          col("l_partkey") === col("p_partkey"))
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qty"))
+        .where(col("qty") > lit(50).cast("decimal(18,2)"))
+        .select(col("l_suppkey"))
+      t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4"))
+        .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+    }),
+
     // TPC-H Q19 shape (adapted to fixture columns): disjunction of
     // conjunctive band predicates across a join.
     "q35_disjunctive" -> ((s, d) => {
@@ -1348,6 +1443,56 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey""".stripMargin,
+    "q213_tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    - 0.6 * CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_profit
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q214_tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey AS ps_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3','NATION_7') GROUP BY l_partkey)
+        |SELECT ps_partkey, CAST(val AS DOUBLE) AS value
+        |FROM v
+        |WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.0012 FROM v)""".stripMargin,
+    "q215_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)""".stripMargin,
+    "q216_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 14, 19, 25, 32)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_name LIKE '%00000009%')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q217_tpch_q20" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        |    WHERE p_name LIKE '%bolt%'
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l_suppkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)""".stripMargin,
     "q35_disjunctive" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n
