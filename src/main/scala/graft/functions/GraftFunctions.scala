@@ -680,7 +680,7 @@ object GraftFunctions {
         Cast(args(1), StringType)))
     reg.registerFunction(
       FunctionIdentifier("gen_salt"),
-      info("gen_salt", "gen_salt('md5'|'bf') - random crypt salt"),
+      info("gen_salt", "gen_salt('des'|'xdes'|'md5'|'bf') - random crypt salt"),
       (args: Seq[Expression]) => GenSalt(args(0).eval().toString))
     reg.registerFunction(
       FunctionIdentifier("xpath_all"),

@@ -96,8 +96,10 @@ object Md5Crypt {
 
 /** `crypt(password, salt_or_hash)` expression, dispatching on the salt
   * prefix like the reference's px-crypt.c:86-110 scheme table: `$1$` →
-  * MD5-crypt, `$2a/b/y$` → bcrypt. Digest rounds dominate the cost, so
-  * interpreted eval (CodegenFallback) is not the bottleneck. */
+  * MD5-crypt, `$2a/b/y$` → bcrypt, `_` → BSDi extended DES, anything
+  * else → traditional DES crypt (the table's fallback row). Digest
+  * rounds dominate the cost, so interpreted eval (CodegenFallback) is
+  * not the bottleneck. */
 case class Crypt(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
@@ -108,7 +110,10 @@ case class Crypt(left: Expression, right: Expression)
     val p = pw.asInstanceOf[UTF8String].toString
     val s = salt.asInstanceOf[UTF8String].toString
     UTF8String.fromString(
-      if (s.startsWith("$2")) BcryptAlg.crypt(p, s) else Md5Crypt.crypt(p, s))
+      if (s.startsWith("$2")) BcryptAlg.crypt(p, s)
+      else if (s.startsWith("$1$")) Md5Crypt.crypt(p, s)
+      else if (s.startsWith("_")) DesCrypt.xcrypt(p, s)
+      else DesCrypt.crypt(p, s))
   }
 
   override protected def withNewChildrenInternal(
@@ -116,14 +121,14 @@ case class Crypt(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `gen_salt('md5' | 'bf')` — nondeterministic, like pgcrypto's (each
-  * call draws a fresh salt; results are validated via the roundtrip
-  * idiom, never by value). */
+/** `gen_salt('des' | 'xdes' | 'md5' | 'bf')` — nondeterministic, like
+  * pgcrypto's (each call draws a fresh salt; results are validated via
+  * the roundtrip idiom, never by value). */
 case class GenSalt(scheme: String) extends LeafExpression
     with Nondeterministic with CodegenFallback {
 
-  require(scheme == "md5" || scheme == "bf",
-    s"gen_salt: supported schemes are 'md5' and 'bf', got: $scheme")
+  require(Set("des", "xdes", "md5", "bf").contains(scheme),
+    s"gen_salt: supported schemes are 'des', 'xdes', 'md5', 'bf', got: $scheme")
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
@@ -135,6 +140,10 @@ case class GenSalt(scheme: String) extends LeafExpression
     rng = new java.security.SecureRandom()
 
   override protected def evalInternal(input: InternalRow): Any =
-    UTF8String.fromString(
-      if (scheme == "bf") BcryptAlg.genSalt(rng) else Md5Crypt.genSalt(rng))
+    UTF8String.fromString(scheme match {
+      case "bf" => BcryptAlg.genSalt(rng)
+      case "md5" => Md5Crypt.genSalt(rng)
+      case "xdes" => DesCrypt.genSaltExtended(rng)
+      case _ => DesCrypt.genSalt(rng)
+    })
 }

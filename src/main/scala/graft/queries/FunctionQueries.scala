@@ -584,6 +584,20 @@ object FunctionQueries {
           (expr("crypt(concat(c_name, 'x'), h)") === col("h")).as("wrong_pw"),
           expr("crypt('', '$2a$06$DCq7YPn5Rq63x1Lad4cll.')").as("pinned"))),
 
+    // pgcrypto DES + extended-DES crypt (px-crypt.c scheme-table
+    // fallback row + the '_' BSDi scheme, crypt-des.c): the same
+    // roundtrip contract as q167/q196, with pinned columns from
+    // libcrypt known-answer vectors for both schemes.
+    "q218_crypt_des" -> ((s, d) =>
+      t(s, d, "customer").where(col("c_custkey") % 50 === 0)
+        .withColumn("hd", expr("crypt(c_name, gen_salt('des'))"))
+        .withColumn("hx", expr("crypt(c_name, gen_salt('xdes'))"))
+        .select(col("c_custkey"),
+          (expr("crypt(c_name, hd)") === col("hd")).as("des_matches"),
+          (expr("crypt(concat(c_name, 'x'), hx)") === col("hx")).as("xdes_wrong_pw"),
+          expr("crypt('password', 'ab')").as("pinned_des"),
+          expr("crypt('password', '_J9..SALT')").as("pinned_xdes"))),
+
     // XML type + XPath surface (utils/adt/xml.c:57-148 xmlelement /
     // xpath; contrib xml2): documents are built per row, then values
     // extracted back — string, typed scalar, boolean predicate, and
@@ -1747,6 +1761,11 @@ object FunctionQueries {
       """SELECT c_custkey, TRUE AS matches, FALSE AS wrong_pw,
         |  '$2a$06$DCq7YPn5Rq63x1Lad4cll.TV4S6ytwfsfvkgY8jIucDrjc8deX1s.' AS pinned
         |FROM customer WHERE c_custkey % 100 = 0""".stripMargin,
+    "q218_crypt_des" ->
+      """SELECT c_custkey, TRUE AS des_matches, FALSE AS xdes_wrong_pw,
+        |  'abJnggxhB/yWI' AS pinned_des,
+        |  '_J9..SALT3cfudkaV5sE' AS pinned_xdes
+        |FROM customer WHERE c_custkey % 50 = 0""".stripMargin,
     // xpath extraction must invert the row's XML construction
     "q142_xml_xpath" ->
       """SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority,
