@@ -99,7 +99,12 @@ object Graft {
     val t = sql.trim
     def is(re: String) = re.r.findFirstIn(t).isDefined
     def stripSemi(s: String) = s.trim.stripSuffix(";").trim
-    if (is("(?is)^CREATE\\s+(TABLE|MATERIALIZED\\s+VIEW)\\b")) {
+    if (is("(?is)^CREATE\\s+(READABLE\\s+|WRITABLE\\s+)?EXTERNAL\\b")) {
+      operators.ExternalTable.create(spark, t); None
+    } else if (is("(?is)^DROP\\s+EXTERNAL\\s+TABLE\\b")) {
+      operators.ExternalTable.drop(spark,
+        stripSemi(t).split("\\s+").last); None
+    } else if (is("(?is)^CREATE\\s+(TABLE|MATERIALIZED\\s+VIEW)\\b")) {
       operators.GreengageDdl.execute(spark, t); None
     } else if (is("(?is)^CREATE\\s+SEQUENCE\\b")) {
       operators.GreengageDdl.createSequence(t); None
@@ -190,6 +195,17 @@ object Graft {
         .replaceFirst("(?is)\\s+IN\\s+.+$", "")
         .replaceFirst("(?is)\\s+NOWAIT$", "").trim.replace("\"", "")
       spark.table(name)
+      None
+    } else if (is("(?is)^INSERT\\s+INTO\\b") && {
+      val n = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)".r
+        .findFirstMatchIn(t).map(_.group(1))
+      n.exists(operators.ExternalTable.isWritable)
+    }) {
+      // INSERT into a WRITABLE EXTERNAL TABLE → its registered sink
+      val m = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)\\s+(.*)$".r
+        .findFirstMatchIn(stripSemi(t)).get
+      operators.ExternalTable.insertInto(spark, m.group(1),
+        spark.sql(operators.PgSql.rewrite(m.group(2))))
       None
     } else if (is("(?is)^DELETE\\s+FROM\\b")) {
       val m = deleteRe.findFirstMatchIn(stripSemi(t)).getOrElse(

@@ -51,15 +51,25 @@ object Sreh {
   }
 
   def readCsv(spark: SparkSession, path: String, schema: StructType,
-              rejectLimit: Long, header: Boolean = false): SrehResult = {
+              rejectLimit: Long, header: Boolean = false,
+              delimiter: String = ","): SrehResult =
+    readCsvPaths(spark, Seq(path), schema, rejectLimit, header, delimiter)
+
+  /** Multi-location form (a `LOCATION('file://h/a', 'file://h/b')`
+    * external table is one logical table over several files). */
+  def readCsvPaths(spark: SparkSession, paths: Seq[String],
+                   schema: StructType, rejectLimit: Long,
+                   header: Boolean = false,
+                   delimiter: String = ","): SrehResult = {
     val corrupt = "_corrupt_record"
     val withCorrupt = schema.add(corrupt, StringType)
     val parsed = spark.read
       .option("mode", "PERMISSIVE")
       .option("header", header.toString)
+      .option("sep", delimiter)
       .option("columnNameOfCorruptRecord", corrupt)
       .schema(withCorrupt)
-      .csv(path)
+      .csv(paths: _*)
       // input_file_name() must be captured during the file scan — after
       // cache() the lineage no longer carries a file source and it
       // evaluates to the empty string.

@@ -287,6 +287,28 @@ object PipelineQueries {
       Sreh.readCsv(s, f.getAbsolutePath, schema, rejectLimit = 20).good
     }),
 
+    // CREATE EXTERNAL TABLE DDL end-to-end (gram.y CreateExternalStmt →
+    // the statement router): the file:// protocol form with CSV options,
+    // LOG ERRORS, and a reject limit — querying the view the DDL
+    // registers, exactly how a migrated load script does. The oracle
+    // reads the same file with DuckDB's permissive CSV reader.
+    "q219_external_ddl" -> ((s, d) => {
+      val dir = new java.io.File("target/ext_ddl_demo")
+      dir.mkdirs()
+      val f = new java.io.File(dir, "load.csv")
+      val rows = (0 until 200).map { i =>
+        if (i % 50 == 17) s"broken_$i" else s"$i|v${i % 7}|${i * 3}"
+      }
+      java.nio.file.Files.write(f.toPath, rows.mkString("\n").getBytes)
+      graft.Graft.execute(s,
+        s"""CREATE EXTERNAL TABLE ext_catalog_demo (id int, tag text, amt bigint)
+           |LOCATION ('file://localhost${f.getAbsolutePath}')
+           |FORMAT 'CSV' (DELIMITER '|' NULL '')
+           |LOG ERRORS SEGMENT REJECT LIMIT 10 ROWS""".stripMargin)
+      s.sql("""SELECT tag, COUNT(*) AS n, SUM(amt) AS amt_sum, SUM(id) AS id_sum
+              |FROM ext_catalog_demo GROUP BY tag""".stripMargin)
+    }),
+
     // execute: external protocol (url.c:37-47 dispatch, fileam.c:518):
     // a shell command runs once per segment with GRAFT_SEGMENT_ID set
     // (the reference exports GP_SEGMENT_ID the same way), its stdout
@@ -1004,6 +1026,19 @@ object PipelineQueries {
         |  CAST(CASE WHEN fmt = 3 THEN 0 ELSE g * (w * h - 1) + 255 END AS BIGINT) AS sum_g,
         |  CAST(CASE WHEN fmt = 3 THEN 0 ELSE b * (w * h - 1) + 255 END AS BIGINT) AS sum_b
         |FROM m""".stripMargin,
+    // the same file the DDL's file:// LOCATION points at; DuckDB's
+    // ignore_errors drops the malformed rows the reject limit tolerated
+    // (integer SUMs cast to BIGINT — DuckDB's HUGEINT would land as
+    // float64 in the driver's compare)
+    "q219_external_ddl" -> {
+      val p = new java.io.File("target/ext_ddl_demo/load.csv").getAbsolutePath
+      s"""SELECT tag, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS amt_sum,
+         |  CAST(SUM(id) AS BIGINT) AS id_sum
+         |FROM read_csv('$p', header=false, delim='|',
+         |  columns={'id': 'INTEGER', 'tag': 'VARCHAR', 'amt': 'BIGINT'},
+         |  ignore_errors=true)
+         |GROUP BY tag""".stripMargin
+    },
     "q93_sreh_csv" -> {
       // same absolute path the Spark side writes (both resolve against
       // this JVM's CWD); rows with the wrong field count are the rejects

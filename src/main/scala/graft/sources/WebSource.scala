@@ -120,8 +120,16 @@ object WebSource {
 object WebSink {
 
   def writeCsv(df: DataFrame, url: String, delimiter: String = "|"): Unit =
+    writeCsv(df, Seq(url), delimiter)
+
+  /** Multi-URL form: partitions round-robin over the LOCATION list,
+    * the same URL assignment the read side uses. */
+  def writeCsv(df: DataFrame, urls: Seq[String], delimiter: String): Unit = {
+    val targets = urls.toArray
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
+        val url = targets(
+          org.apache.spark.TaskContext.getPartitionId() % targets.length)
         val conn = new URI(url).toURL.openConnection()
           .asInstanceOf[HttpURLConnection]
         conn.setRequestMethod("POST")
@@ -148,6 +156,7 @@ object WebSink {
         conn.disconnect()
       }
     }
+  }
 }
 
 private class WebTable(urls: Array[String], partitions: Int)

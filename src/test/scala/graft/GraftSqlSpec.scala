@@ -376,4 +376,76 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.table("route_mv").head().getLong(0) == 15L)
     drop("route_t", "route_mv", "route_copy")
   }
+
+  test("CREATE EXTERNAL TABLE: file://, gpfdist://, EXECUTE; writable INSERT routing") {
+    import graft.operators.Sreh
+    import graft.sources.FileDistServer
+    val dir = new java.io.File("target/test-exttab")
+    dir.mkdirs()
+    // file:// readable, CSV options, LOG ERRORS + reject limit
+    val f = new java.io.File(dir, "in.csv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try {
+      w.println("1|a"); w.println("garbage"); w.println("2|b"); w.println("3|c")
+    } finally w.close()
+    Graft.execute(spark,
+      s"""CREATE EXTERNAL TABLE ext_file (k int, tag text)
+         |LOCATION ('file://localhost${f.getAbsolutePath}')
+         |FORMAT 'CSV' (DELIMITER '|' NULL '')
+         |LOG ERRORS SEGMENT REJECT LIMIT 2 ROWS;""".stripMargin)
+    assert(spark.sql("SELECT SUM(k) FROM ext_file").head().getLong(0) == 6L)
+    assert(spark.table("ext_file_errors").count() == 1)
+    // without SEGMENT REJECT LIMIT one bad row fails the load (PG default)
+    intercept[Sreh.RejectLimitExceeded] {
+      Graft.execute(spark,
+        s"""CREATE EXTERNAL TABLE ext_strict (k int, tag text)
+           |LOCATION ('file://localhost${f.getAbsolutePath}')
+           |FORMAT 'CSV' (DELIMITER '|')""".stripMargin)
+    }
+    // gpfdist:// readable (gpfdist speaks http; served per-segment slices)
+    val g = new java.io.File(dir, "dist.txt")
+    val wg = new java.io.PrintWriter(g, "UTF-8")
+    try (0 until 12).foreach(i => wg.println(s"$i|t${i % 3}"))
+    finally wg.close()
+    FileDistServer.withServer(dir.getAbsolutePath) { srv =>
+      val gpfdist = srv.url("dist.txt").replace("http://", "gpfdist://")
+      Graft.execute(spark,
+        s"""CREATE EXTERNAL TABLE ext_web (k int, tag text)
+           |LOCATION ('$gpfdist') FORMAT 'TEXT' (DELIMITER '|')""".stripMargin)
+      assert(spark.sql("SELECT SUM(k) FROM ext_web").head().getLong(0) == 66L)
+      // WRITABLE + gpfdist → INSERT routes each partition as one POST
+      Graft.execute(spark,
+        s"""CREATE WRITABLE EXTERNAL TABLE ext_out (k int, tag text)
+           |LOCATION ('${srv.url("out.txt").replace("http://", "gpfdist://")}')
+           |FORMAT 'TEXT' (DELIMITER '|')""".stripMargin)
+      Graft.execute(spark,
+        "INSERT INTO ext_out SELECT k, tag FROM ext_web WHERE k < 3")
+      val posted = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "out.txt").toPath), "UTF-8")
+      assert(posted.split("\n").toSet == Set("0|t0", "1|t1", "2|t2"))
+    }
+    // EXECUTE readable: the command runs once per declared segment
+    Graft.execute(spark,
+      """CREATE EXTERNAL WEB TABLE ext_exec (i bigint)
+        |EXECUTE 'seq 0 9' ON 2 FORMAT 'TEXT'""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) AS n, SUM(i) AS s FROM ext_exec")
+      .head().toSeq == Seq(20L, 90L))
+    // WRITABLE EXECUTE: rows stream to the program's stdin
+    val sink = new java.io.File(dir, "prog_out.txt").getAbsolutePath
+    Graft.execute(spark,
+      s"""CREATE WRITABLE EXTERNAL TABLE ext_prog (k int)
+         |EXECUTE 'cat > $sink' FORMAT 'TEXT'""".stripMargin)
+    Graft.execute(spark, "INSERT INTO ext_prog VALUES (7), (8)")
+    val piped = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(sink)), "UTF-8")
+    assert(piped.split("\n").toSet == Set("7", "8"))
+    // DROP EXTERNAL TABLE unregisters both sides
+    Graft.execute(spark, "DROP EXTERNAL TABLE ext_file")
+    assert(!spark.catalog.tableExists("ext_file"))
+    Graft.execute(spark, "DROP EXTERNAL TABLE ext_prog")
+    intercept[IllegalArgumentException] {
+      graft.operators.ExternalTable.insertInto(spark, "ext_prog",
+        spark.sql("VALUES (1)"))
+    }
+  }
 }
