@@ -110,6 +110,16 @@ object Graft {
       operators.GreengageDdl.createSequence(t); None
     } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?FUNCTION\\b")) {
       operators.SqlFunctions.create(t); None
+    } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?PROCEDURE\\b")) {
+      operators.PlDo.createProcedure(t); None
+    } else if (is("(?is)^CALL\\b")) {
+      // procedures run for their side effects; notices go to the log
+      operators.PlDo.call(spark, t).foreach(n => System.err.println(s"[plpgsql] $n"))
+      None
+    } else if (is("(?is)^DO\\b")) {
+      // anonymous plpgsql block (commands/functioncmds.c ExecuteDoStmt)
+      operators.PlDo.executeDo(spark, t).foreach(n => System.err.println(s"[plpgsql] $n"))
+      None
     } else if (is("(?is)^ALTER\\s+TABLE\\b.*\\bPARTITION\\b")) {
       operators.GreengageDdl.alterPartition(spark, t); None
     } else if (is("(?is)^ALTER\\s+TABLE\\b")) {

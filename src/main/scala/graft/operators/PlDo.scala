@@ -1,0 +1,539 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.DataType
+
+/** Statement-level PL/pgSQL — `DO` anonymous blocks, `CREATE
+  * PROCEDURE`, and `CALL` (reference `src/pl/plpgsql/src/pl_exec.c`
+  * exec_stmt dispatch; `DO` in `commands/functioncmds.c`
+  * ExecuteDoStmt; procedures in `CreateFunction` with prokind 'p').
+  *
+  * Where [[SqlFunctions.compilePlpgsql]] compiles expression-shaped
+  * function bodies into ONE inline SQL expression (no runtime
+  * interpreter), a DO block is imperative glue around whole
+  * statements — DDL, DML, dynamic EXECUTE — so it runs here as a
+  * driver-side interpreter: control flow and scalar variables live on
+  * the driver, and every contained statement re-enters
+  * [[graft.Graft.execute]], keeping the actual data work distributed.
+  * That is the reference's own split: its PL interpreter runs on one
+  * backend and dispatches full statements to the executor.
+  *
+  * Supported statements: `DECLARE` scalars (typed, with `:=`/DEFAULT
+  * initializers), assignment `v := expr`, `IF/ELSIF/ELSE`, `FOR v IN
+  * [REVERSE] a..b LOOP`, `FOR rec IN <query> LOOP` (fields as
+  * `rec.col`), `WHILE`, `EXIT [WHEN]`, `CONTINUE [WHEN]`, dynamic
+  * `EXECUTE <expr> [INTO var]`, `PERFORM`, `RAISE NOTICE/INFO/WARNING/
+  * EXCEPTION 'fmt %' [, args]`, `NULL`, a trailing `EXCEPTION WHEN
+  * OTHERS THEN` handler, and any other statement verbatim through the
+  * router. Loops are bounded (100k iterations / 100k driver-side rows
+  * per FOR-query) — the driver-orchestration contract, stated loudly.
+  */
+object PlDo {
+
+  /** Loop/row bound: procedural driver-side work, not a data path. */
+  private val MaxIters = 100000
+
+  // ---------------------------------------------------------------
+  // statement AST
+  // ---------------------------------------------------------------
+  private sealed trait Stmt
+  private case class Assign(name: String, expr: String) extends Stmt
+  private case class DynExec(expr: String, into: Option[String]) extends Stmt
+  private case class Perform(query: String) extends Stmt
+  private case class Raise(level: String, fmt: String, args: Seq[String]) extends Stmt
+  private case class IfStmt(branches: Seq[(String, Seq[Stmt])],
+                            els: Seq[Stmt]) extends Stmt
+  private case class ForRange(v: String, from: String, to: String,
+                              reverse: Boolean, body: Seq[Stmt]) extends Stmt
+  private case class ForQuery(v: String, query: String,
+                              body: Seq[Stmt]) extends Stmt
+  private case class WhileStmt(cond: String, body: Seq[Stmt]) extends Stmt
+  private case class ExitStmt(when: Option[String], continue: Boolean) extends Stmt
+  private case class SqlStmt(text: String) extends Stmt
+
+  private final class ExitSignal(val continue: Boolean)
+    extends RuntimeException(null, null, false, false)
+
+  private final case class Block(decls: Seq[(String, String, Option[String])],
+                                 body: Seq[Stmt], handler: Option[Seq[Stmt]])
+
+  // ---------------------------------------------------------------
+  // lexical helpers (single-quoted literals with '' escapes)
+  // ---------------------------------------------------------------
+  private def skipLiteral(s: String, i0: Int): Int = {
+    var i = i0 + 1
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2 else return i + 1
+      } else i += 1
+    }
+    throw new IllegalArgumentException(s"unterminated literal in: $s")
+  }
+
+  private def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+
+  /** If the keyword phrase (words separated by whitespace) starts at
+    * `i`, the index just past it; else -1. */
+  private def phraseAt(s: String, i: Int, phrase: String): Int = {
+    if (i > 0 && (isWord(s.charAt(i - 1)) || s.charAt(i - 1) == '.')) return -1
+    var p = i
+    val words = phrase.split(' ')
+    var w = 0
+    while (w < words.length) {
+      if (w > 0) {
+        val p0 = p
+        while (p < s.length && s.charAt(p).isWhitespace) p += 1
+        if (p == p0) return -1
+      }
+      val word = words(w)
+      if (!s.regionMatches(true, p, word, 0, word.length)) return -1
+      p += word.length
+      w += 1
+    }
+    if (p < s.length && isWord(s.charAt(p))) -1 else p
+  }
+
+  /** Next top-level (outside literals/parens) occurrence of any of the
+    * phrases, scanning from `from`: (startIdx, phrase, endIdx) or
+    * (-1, "", -1). A bare ";" entry matches the separator char. */
+  private def findTop(s: String, from: Int,
+                      phrases: Seq[String]): (Int, String, Int) = {
+    var i = from
+    var depth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') i = skipLiteral(s, i)
+      else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0) {
+          var k = 0
+          while (k < phrases.length) {
+            val ph = phrases(k)
+            if (ph == ";") { if (c == ';') return (i, ";", i + 1) }
+            else if (ph == "..") {
+              if (c == '.' && i + 1 < s.length && s.charAt(i + 1) == '.')
+                return (i, "..", i + 2)
+            } else {
+              val e = phraseAt(s, i, ph)
+              if (e >= 0) return (i, ph, e)
+            }
+            k += 1
+          }
+        }
+        i += 1
+      }
+    }
+    (-1, "", -1)
+  }
+
+  /** Apply `f` to the segments of `text` outside single-quoted
+    * literals; literals pass through untouched. */
+  private def mapOutsideLiterals(text: String)(f: String => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var segStart = 0
+    while (i < text.length) {
+      if (text.charAt(i) == '\'') {
+        sb ++= f(text.substring(segStart, i))
+        val e = skipLiteral(text, i)
+        sb ++= text.substring(i, e)
+        i = e
+        segStart = e
+      } else i += 1
+    }
+    sb ++= f(text.substring(segStart))
+    sb.toString
+  }
+
+  /** Literal-aware split on top-level semicolons. */
+  private def splitOnSemicolons(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var pos = 0
+    while (pos < s.length) {
+      val (e, _, _) = findTop(s, pos, Seq(";"))
+      val end = if (e >= 0) e else s.length
+      out += s.substring(pos, end)
+      pos = end + 1
+    }
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------
+  // parsing
+  // ---------------------------------------------------------------
+  private def parseBlock(body: String): Block = {
+    val m = "(?is)^\\s*(?:DECLARE\\s+(.*?))??BEGIN\\s+(.*)\\s*END\\s*;?\\s*$".r
+      .findFirstMatchIn(body.trim).getOrElse(throw new IllegalArgumentException(
+        s"unsupported plpgsql body (expected [DECLARE ...] BEGIN ... END): $body"))
+    val decls = splitOnSemicolons(Option(m.group(1)).getOrElse("")).map { d =>
+      val withInit = mapOutsideLiterals(d) {
+        _.replaceAll("(?i)\\bDEFAULT\\b", ":=") }
+      val parts = withInit.split(":=", 2)
+      val head = parts(0).trim.split("\\s+", 2)
+      require(head.length == 2 && head(0).matches("(?i)\\w+"),
+        s"bad plpgsql declaration: $d")
+      val t = head(1).trim.replaceAll("(?i)^CONSTANT\\s+", "")
+      (head(0).toLowerCase, GreengageDdl.mapType(t),
+        parts.drop(1).headOption.map(_.trim))
+    }
+    val inner = m.group(2)
+    val (main, term, p) = parseSeq(inner, 0, Seq("EXCEPTION"))
+    val handler = if (term == "EXCEPTION") {
+      val h = "(?is)^\\s*WHEN\\s+OTHERS\\s+THEN\\b".r.findFirstMatchIn(
+        inner.substring(p)).getOrElse(throw new IllegalArgumentException(
+          "only EXCEPTION WHEN OTHERS THEN is supported in DO blocks"))
+      Some(parseSeq(inner, p + h.end, Nil)._1)
+    } else None
+    Block(decls, main, handler)
+  }
+
+  /** Parse statements until one of `terms` (or end of text, always an
+    * accepted terminator): (stmts, matchedTerm, posAfterTerm). */
+  private def parseSeq(s: String, start: Int,
+                       terms: Seq[String]): (Seq[Stmt], String, Int) = {
+    val out = Seq.newBuilder[Stmt]
+    var pos = start
+    while (true) {
+      while (pos < s.length &&
+        (s.charAt(pos).isWhitespace || s.charAt(pos) == ';')) pos += 1
+      if (pos >= s.length) return (out.result(), "", pos)
+      for (t <- terms) {
+        val e = phraseAt(s, pos, t)
+        if (e >= 0) return (out.result(), t, e)
+      }
+      if (phraseAt(s, pos, "IF") >= 0) {
+        val (ifStmt, p) = parseIf(s, phraseAt(s, pos, "IF"))
+        out += ifStmt; pos = p
+      } else if (phraseAt(s, pos, "FOR") >= 0) {
+        val hdrStart = phraseAt(s, pos, "FOR")
+        val (ls, _, le) = findTop(s, hdrStart, Seq("LOOP"))
+        require(ls >= 0, s"FOR without LOOP at: ${s.substring(pos).take(60)}")
+        val hdr = s.substring(hdrStart, ls).trim
+        val (body, _, p) = parseSeq(s, le, Seq("END LOOP"))
+        val hm = "(?is)^(\\w+)\\s+IN\\s+(REVERSE\\s+)?(.*)$".r
+          .findFirstMatchIn(hdr).getOrElse(throw new IllegalArgumentException(
+            s"cannot parse FOR header: $hdr"))
+        val range = findTop(hm.group(3), 0, Seq(".."))
+        out += (if (range._1 >= 0)
+          ForRange(hm.group(1).toLowerCase,
+            hm.group(3).substring(0, range._1).trim,
+            hm.group(3).substring(range._3).trim,
+            hm.group(2) != null, body)
+        else {
+          require(hm.group(2) == null, s"REVERSE needs a range: $hdr")
+          ForQuery(hm.group(1).toLowerCase, hm.group(3).trim, body)
+        })
+        pos = p
+      } else if (phraseAt(s, pos, "WHILE") >= 0) {
+        val cs = phraseAt(s, pos, "WHILE")
+        val (ls, _, le) = findTop(s, cs, Seq("LOOP"))
+        require(ls >= 0, s"WHILE without LOOP at: ${s.substring(pos).take(60)}")
+        val (body, _, p) = parseSeq(s, le, Seq("END LOOP"))
+        out += WhileStmt(s.substring(cs, ls).trim, body)
+        pos = p
+      } else if (phraseAt(s, pos, "LOOP") >= 0) {
+        // bare LOOP ... END LOOP (exits via EXIT WHEN)
+        val (body, _, p) = parseSeq(s, phraseAt(s, pos, "LOOP"), Seq("END LOOP"))
+        out += WhileStmt("true", body)
+        pos = p
+      } else {
+        val (se, _, _) = findTop(s, pos, Seq(";"))
+        val end = if (se >= 0) se else s.length
+        val text = s.substring(pos, end).trim
+        out += parseSimple(text)
+        pos = end + 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def parseIf(s: String, condStart: Int): (IfStmt, Int) = {
+    val branches = Seq.newBuilder[(String, Seq[Stmt])]
+    var pos = condStart
+    var els: Seq[Stmt] = Nil
+    var done = -1
+    while (done < 0) {
+      val (ts, _, te) = findTop(s, pos, Seq("THEN"))
+      require(ts >= 0, s"IF without THEN at: ${s.substring(pos).take(60)}")
+      val cond = s.substring(pos, ts).trim
+      val (stmts, term, p) = parseSeq(s, te, Seq("ELSIF", "ELSE", "END IF"))
+      branches += ((cond, stmts))
+      term match {
+        case "ELSIF" => pos = p
+        case "ELSE" =>
+          val (e, _, p2) = parseSeq(s, p, Seq("END IF"))
+          els = e; done = p2
+        case "END IF" => done = p
+        case "" => throw new IllegalArgumentException("IF without END IF")
+      }
+    }
+    (IfStmt(branches.result(), els), done)
+  }
+
+  private def parseSimple(text: String): Stmt = {
+    val assign = "(?s)^(\\w+)\\s*:=(.*)$".r
+    val raise = "(?is)^RAISE\\s+(NOTICE|INFO|WARNING|LOG|DEBUG|EXCEPTION)\\s+('(?:[^']|'')*')\\s*(?:,(.*))?$".r
+    text match {
+      case t if phraseAt(t, 0, "EXECUTE") >= 0 =>
+        val rest = t.substring(phraseAt(t, 0, "EXECUTE")).trim
+        val (is, _, ie) = findTop(rest, 0, Seq("INTO"))
+        if (is >= 0)
+          DynExec(rest.substring(0, is).trim,
+            Some(rest.substring(ie).trim.toLowerCase))
+        else DynExec(rest, None)
+      case t if phraseAt(t, 0, "PERFORM") >= 0 =>
+        Perform(t.substring(phraseAt(t, 0, "PERFORM")).trim)
+      case t if phraseAt(t, 0, "EXIT") >= 0 =>
+        val rest = t.substring(phraseAt(t, 0, "EXIT")).trim
+        ExitStmt(parseWhen(rest), continue = false)
+      case t if phraseAt(t, 0, "CONTINUE") >= 0 =>
+        val rest = t.substring(phraseAt(t, 0, "CONTINUE")).trim
+        ExitStmt(parseWhen(rest), continue = true)
+      case raise(level, fmt, args) =>
+        Raise(level.toUpperCase,
+          fmt.substring(1, fmt.length - 1).replace("''", "'"),
+          Option(args).map(GreengageDdl.splitTop(_)).getOrElse(Nil))
+      case t if t.equalsIgnoreCase("NULL") => SqlStmt("")
+      case assign(name, expr) => Assign(name.toLowerCase, expr.trim)
+      case t => SqlStmt(t)
+    }
+  }
+
+  private def parseWhen(rest: String): Option[String] = {
+    if (rest.isEmpty) None
+    else {
+      val m = "(?is)^WHEN\\s+(.*)$".r.findFirstMatchIn(rest).getOrElse(
+        throw new IllegalArgumentException(s"cannot parse EXIT/CONTINUE: $rest"))
+      Some(m.group(1).trim)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // execution
+  // ---------------------------------------------------------------
+  private final class Env {
+    val vars = mutable.LinkedHashMap.empty[String, String] // name → SQL literal
+    val notices = mutable.Buffer.empty[String]
+  }
+
+  /** Render a driver-side value as a typed SQL literal. */
+  private def render(v: Any, dt: DataType): String = v match {
+    case null => s"CAST(NULL AS ${dt.sql})"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case t: java.sql.Timestamp => s"CAST('$t' AS TIMESTAMP)"
+    case t: java.time.Instant => s"CAST('$t' AS TIMESTAMP)"
+    case t: java.time.LocalDateTime => s"CAST('$t' AS TIMESTAMP_NTZ)"
+    case d: java.sql.Date => s"DATE '$d'"
+    case d: java.time.LocalDate => s"DATE '$d'"
+    case d: java.math.BigDecimal => s"CAST($d AS ${dt.sql})"
+    case b: Array[Byte] => s"X'${b.map("%02x".format(_)).mkString}'"
+    case n: java.lang.Number => n.toString
+    case b: java.lang.Boolean => b.toString
+    case other => throw new IllegalArgumentException(
+      s"plpgsql: cannot render ${other.getClass.getName} as a literal")
+  }
+
+  /** Substitute environment variables (word-bounded, outside literals;
+    * longest names first so `rec.total` wins over `rec`). */
+  private def subst(text: String, env: Env): String = {
+    if (env.vars.isEmpty) return text
+    val keys = env.vars.keys.toSeq.sortBy(-_.length)
+    mapOutsideLiterals(text) { seg =>
+      keys.foldLeft(seg) { (acc, k) =>
+        acc.replaceAll(
+          "(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(k) + "(?![\\w.])",
+          java.util.regex.Matcher.quoteReplacement(env.vars(k)))
+      }
+    }
+  }
+
+  private def evalRow(spark: SparkSession, expr: String, env: Env) = {
+    val df = spark.sql(s"SELECT (${PgSql.rewrite(subst(expr, env))})")
+    (df.head().get(0), df.schema.head.dataType)
+  }
+
+  private def eval(spark: SparkSession, expr: String, env: Env): String = {
+    val (v, dt) = evalRow(spark, expr, env)
+    render(v, dt)
+  }
+
+  private def evalBool(spark: SparkSession, expr: String, env: Env): Boolean =
+    evalRow(spark, expr, env)._1 match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case null => false
+      case other => throw new IllegalArgumentException(
+        s"plpgsql condition is not boolean: $expr → $other")
+    }
+
+  private def run(spark: SparkSession, stmts: Seq[Stmt], env: Env): Unit =
+    stmts.foreach {
+      case Assign(n, e) => env.vars(n) = eval(spark, e, env)
+      case SqlStmt("") => ()
+      case SqlStmt(text) =>
+        graft.Graft.execute(spark, PgSql.rewrite(subst(text, env)))
+      case Perform(q) =>
+        // PERFORM = SELECT with the result discarded but FULLY
+        // evaluated (pl_exec.c exec_stmt_perform) — foreach forces
+        // every projected expression; count() would let Catalyst prune
+        // a side-effecting or failing column away
+        spark.sql(PgSql.rewrite("SELECT " + subst(q, env)))
+          .foreach(_ => (): Unit)
+      case DynExec(expr, into) =>
+        val sqlText = evalRow(spark, expr, env)._1
+        require(sqlText != null, "EXECUTE of NULL statement text")
+        val res = graft.Graft.execute(spark, sqlText.toString)
+        into.foreach { v =>
+          val df = res.getOrElse(throw new IllegalArgumentException(
+            s"EXECUTE ... INTO needs a query: $sqlText"))
+          val row = df.head()
+          env.vars(v) = render(row.get(0), df.schema.head.dataType)
+        }
+      case Raise(level, fmt, args) =>
+        val rendered = args.map(a => evalRow(spark, a, env)._1)
+        val msg = rendered.foldLeft(fmt) { (acc, v) =>
+          acc.replaceFirst("%", java.util.regex.Matcher.quoteReplacement(
+            if (v == null) "<NULL>" else v.toString))
+        }
+        if (level == "EXCEPTION") throw new RuntimeException(msg)
+        env.notices += s"$level: $msg"
+      case IfStmt(branches, els) =>
+        branches.find { case (c, _) => evalBool(spark, c, env) } match {
+          case Some((_, body)) => run(spark, body, env)
+          case None => run(spark, els, env)
+        }
+      case ExitStmt(when, cont) =>
+        if (when.forall(evalBool(spark, _, env))) throw new ExitSignal(cont)
+      case ForRange(v, a, b, rev, body) =>
+        // PG: FOR i IN a..b counts up; REVERSE a..b counts DOWN from a
+        // to b (pl_gram.y for_control) — empty when the direction is
+        // wrong, never an error
+        val first = evalRow(spark, a, env)._1.asInstanceOf[Number].longValue()
+        val second = evalRow(spark, b, env)._1.asInstanceOf[Number].longValue()
+        val step = if (rev) -1L else 1L
+        val n = math.max(0L, (second - first) * step + 1)
+        require(n <= MaxIters, s"plpgsql FOR range too large: $n > $MaxIters")
+        var i = 0L
+        var exited = false
+        while (i < n && !exited) {
+          env.vars(v) = (first + step * i).toString
+          try run(spark, body, env)
+          catch { case e: ExitSignal => if (!e.continue) exited = true }
+          i += 1
+        }
+        env.vars.remove(v)
+      case ForQuery(v, q, body) =>
+        val df = spark.sql(PgSql.rewrite(subst(q, env)))
+        val rows = df.limit(MaxIters + 1).collect()
+        require(rows.length <= MaxIters,
+          s"plpgsql FOR query exceeds $MaxIters driver-side rows")
+        val fields = df.schema.fields
+        var exited = false
+        for (row <- rows if !exited) {
+          fields.zipWithIndex.foreach { case (f, i) =>
+            env.vars(s"$v.${f.name.toLowerCase}") = render(row.get(i), f.dataType)
+          }
+          try run(spark, body, env)
+          catch { case e: ExitSignal => if (!e.continue) exited = true }
+        }
+        fields.foreach(f => env.vars.remove(s"$v.${f.name.toLowerCase}"))
+      case WhileStmt(cond, body) =>
+        var i = 0
+        var exited = false
+        while (!exited && evalBool(spark, cond, env)) {
+          i += 1
+          require(i <= MaxIters, s"plpgsql WHILE exceeded $MaxIters iterations")
+          try run(spark, body, env)
+          catch { case e: ExitSignal => if (!e.continue) exited = true }
+        }
+    }
+
+  private def runBlock(spark: SparkSession, block: Block, env: Env): Unit = {
+    for ((n, t, init) <- block.decls)
+      env.vars(n) = init match {
+        case Some(e) => eval(spark, s"CAST(($e) AS $t)", env)
+        case None => s"CAST(NULL AS $t)"
+      }
+    block.handler match {
+      case None => run(spark, block.body, env)
+      case Some(h) =>
+        try run(spark, block.body, env)
+        catch {
+          case _: ExitSignal => throw new IllegalArgumentException(
+            "EXIT outside any loop")
+          case scala.util.control.NonFatal(_) => run(spark, h, env)
+        }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // entry points
+  // ---------------------------------------------------------------
+  private val doRe =
+    ("(?is)^\\s*DO\\s+(?:LANGUAGE\\s+plpgsql\\s+)?" +
+      "(?:\\$(\\w*)\\$(.*)\\$\\1\\$|'((?:[^']|'')*)')" +
+      "(?:\\s+LANGUAGE\\s+plpgsql)?\\s*;?\\s*$").r
+
+  /** Execute a `DO` block; returns the RAISE NOTICE/INFO/WARNING lines
+    * (the reference streams them to the client). */
+  def executeDo(spark: SparkSession, stmt: String): Seq[String] = {
+    val m = doRe.findFirstMatchIn(stmt).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse DO statement: $stmt"))
+    val body = Option(m.group(2)).getOrElse(m.group(3).replace("''", "'"))
+    val env = new Env
+    runBlock(spark, parseBlock(body), env)
+    env.notices.toSeq
+  }
+
+  private final case class Proc(name: String, params: Seq[(String, String)],
+                                body: Block)
+  private val procedures = new ConcurrentHashMap[String, Proc]()
+
+  private val procRe =
+    ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?PROCEDURE\\s+([\\w.]+)\\s*" +
+      "\\(([^)]*)\\)\\s+AS\\s+\\$(\\w*)\\$(.*)\\$\\3\\$" +
+      "\\s+LANGUAGE\\s+PLPGSQL\\s*;?\\s*$").r
+
+  /** `CREATE PROCEDURE name(p type, ...) AS $$ ... $$ LANGUAGE
+    * plpgsql` — parsed once, bodies run through the same interpreter
+    * at CALL time. IN parameters only (OUT/INOUT rejected). */
+  def createProcedure(ddl: String): String = {
+    val m = procRe.findFirstMatchIn(ddl).getOrElse(
+      throw new IllegalArgumentException(
+        s"not a CREATE PROCEDURE ... LANGUAGE plpgsql statement: $ddl"))
+    val params = GreengageDdl.splitTop(m.group(2)).map { p =>
+      val parts = p.trim.replaceAll("(?i)^IN\\s+", "").split("\\s+", 2)
+      require(parts.length == 2 && !parts(0).matches("(?i)OUT|INOUT"),
+        s"only IN parameters are supported: '$p'")
+      (parts(0).toLowerCase, GreengageDdl.mapType(parts(1)))
+    }
+    val name = m.group(1).toLowerCase
+    procedures.put(name, Proc(name, params, parseBlock(m.group(4))))
+    name
+  }
+
+  private val callRe = "(?is)^\\s*CALL\\s+([\\w.]+)\\s*\\((.*)\\)\\s*;?\\s*$".r
+
+  /** `CALL name(args...)`: argument expressions evaluate in the
+    * session, bind to the declared parameters, and the stored body
+    * runs. Returns the notices, like [[executeDo]]. */
+  def call(spark: SparkSession, stmt: String): Seq[String] = {
+    val m = callRe.findFirstMatchIn(stmt).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse CALL: $stmt"))
+    val proc = Option(procedures.get(m.group(1).toLowerCase)).getOrElse(
+      throw new IllegalArgumentException(s"unknown procedure: ${m.group(1)}"))
+    val args = GreengageDdl.splitTop(m.group(2))
+    require(args.length == proc.params.length,
+      s"CALL ${proc.name}: ${args.length} args for ${proc.params.length} params")
+    val env = new Env
+    proc.params.zip(args).foreach { case ((n, t), a) =>
+      env.vars(n) = eval(spark, s"CAST(($a) AS $t)", env)
+    }
+    runBlock(spark, proc.body, env)
+    env.notices.toSeq
+  }
+}

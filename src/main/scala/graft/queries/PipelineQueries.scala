@@ -309,6 +309,35 @@ object PipelineQueries {
               |FROM ext_catalog_demo GROUP BY tag""".stripMargin)
     }),
 
+    // DO anonymous block end-to-end (ExecuteDoStmt → the PlDo
+    // statement interpreter): procedural driver-side control flow
+    // around distributed statements — a staging table built by dynamic
+    // EXECUTE, filled by a FOR-over-query loop whose per-group INSERT
+    // ... SELECT statements are whole distributed jobs. The oracle
+    // re-derives the same rows declaratively.
+    "q220_plpgsql_do" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s, "DROP TABLE IF EXISTS do_catalog_out")
+      graft.operators.PlDo.executeDo(s,
+        """DO $$
+          |DECLARE hi bigint;
+          |BEGIN
+          |  EXECUTE 'CREATE TABLE do_catalog_out (status text, bucket text, n bigint)';
+          |  EXECUTE 'SELECT MAX(o_custkey) FROM orders' INTO hi;
+          |  FOR r IN SELECT o_orderstatus AS st, COUNT(*) AS c FROM orders
+          |           GROUP BY o_orderstatus LOOP
+          |    IF r.c > 5000 THEN
+          |      INSERT INTO do_catalog_out SELECT o_orderstatus, 'big', COUNT(*)
+          |      FROM orders WHERE o_orderstatus = r.st AND o_custkey < hi / 2
+          |      GROUP BY o_orderstatus;
+          |    ELSE
+          |      INSERT INTO do_catalog_out VALUES (r.st, 'small', r.c);
+          |    END IF;
+          |  END LOOP;
+          |END $$;""".stripMargin)
+      s.table("do_catalog_out")
+    }),
+
     // execute: external protocol (url.c:37-47 dispatch, fileam.c:518):
     // a shell command runs once per segment with GRAFT_SEGMENT_ID set
     // (the reference exports GP_SEGMENT_ID the same way), its stdout
@@ -1026,6 +1055,19 @@ object PipelineQueries {
         |  CAST(CASE WHEN fmt = 3 THEN 0 ELSE g * (w * h - 1) + 255 END AS BIGINT) AS sum_g,
         |  CAST(CASE WHEN fmt = 3 THEN 0 ELSE b * (w * h - 1) + 255 END AS BIGINT) AS sum_b
         |FROM m""".stripMargin,
+    // declarative image of the DO block's procedural loop: big groups
+    // re-counted under the custkey cut, small groups passed through
+    "q220_plpgsql_do" ->
+      """WITH g AS (SELECT o_orderstatus AS st, COUNT(*) AS c
+        |           FROM orders GROUP BY 1),
+        |     hi AS (SELECT MAX(o_custkey) AS h FROM orders)
+        |SELECT st AS status, 'big' AS bucket,
+        |  (SELECT COUNT(*) FROM orders, hi
+        |   WHERE o_orderstatus = st AND o_custkey < h / 2) AS n
+        |FROM g WHERE c > 5000
+        |UNION ALL
+        |SELECT st AS status, 'small' AS bucket, c AS n
+        |FROM g WHERE c <= 5000""".stripMargin,
     // the same file the DDL's file:// LOCATION points at; DuckDB's
     // ignore_errors drops the malformed rows the reject limit tolerated
     // (integer SUMs cast to BIGINT — DuckDB's HUGEINT would land as

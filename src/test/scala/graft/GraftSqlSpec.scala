@@ -448,4 +448,77 @@ class GraftSqlSpec extends AnyFunSuite {
         spark.sql("VALUES (1)"))
     }
   }
+
+  test("DO blocks: variables, control flow, dynamic EXECUTE, FOR-over-query") {
+    import graft.operators.PlDo
+    drop("do_t")
+    // control flow + dynamic DDL/DML + RAISE formatting
+    val notices = PlDo.executeDo(spark,
+      """DO $$
+        |DECLARE total bigint := 0; label text;
+        |BEGIN
+        |  EXECUTE 'CREATE TABLE do_t (k int, v text)';
+        |  FOR i IN 1..5 LOOP
+        |    IF i % 2 = 0 THEN label := 'even'; ELSE label := 'odd'; END IF;
+        |    INSERT INTO do_t VALUES (i, label);
+        |    total := total + i;
+        |  END LOOP;
+        |  RAISE NOTICE 'inserted % rows, sum %', 5, total;
+        |END $$;""".stripMargin)
+    assert(notices == Seq("NOTICE: inserted 5 rows, sum 15"))
+    assert(spark.table("do_t").count() == 5)
+    assert(spark.sql("SELECT COUNT(*) FROM do_t WHERE v = 'even'")
+      .head().getLong(0) == 2)
+    // FOR over a query binds rec.col; EXECUTE INTO reads a scalar back
+    val n2 = PlDo.executeDo(spark,
+      """DO $$
+        |DECLARE seen bigint;
+        |BEGIN
+        |  FOR r IN SELECT v, COUNT(*) AS c FROM do_t GROUP BY v ORDER BY v LOOP
+        |    RAISE NOTICE '% -> %', r.v, r.c;
+        |  END LOOP;
+        |  EXECUTE 'SELECT COUNT(*) FROM do_t' INTO seen;
+        |  IF seen <> 5 THEN RAISE EXCEPTION 'bad count %', seen; END IF;
+        |END $$;""".stripMargin)
+    assert(n2 == Seq("NOTICE: even -> 2", "NOTICE: odd -> 3"))
+    // WHILE + EXIT WHEN + REVERSE range + string literal with keyword
+    val n3 = PlDo.executeDo(spark,
+      """DO $$
+        |DECLARE i int := 0; acc text := '';
+        |BEGIN
+        |  WHILE true LOOP
+        |    i := i + 1;
+        |    EXIT WHEN i >= 3;
+        |  END LOOP;
+        |  FOR j IN REVERSE 3..1 LOOP
+        |    acc := acc || CAST(j AS text);
+        |  END LOOP;
+        |  RAISE NOTICE 'i=% acc=% lit=%', i, acc, 'END IF; $$ inside';
+        |END $$;""".stripMargin)
+    assert(n3 == Seq("NOTICE: i=3 acc=321 lit=END IF; $$ inside"))
+    // EXCEPTION WHEN OTHERS runs the handler
+    val n4 = PlDo.executeDo(spark,
+      """DO $$
+        |BEGIN
+        |  PERFORM CAST('nope' AS int);
+        |  RAISE NOTICE 'unreachable';
+        |EXCEPTION WHEN OTHERS THEN
+        |  RAISE NOTICE 'caught';
+        |END $$;""".stripMargin)
+    assert(n4 == Seq("NOTICE: caught"))
+    // RAISE EXCEPTION aborts
+    intercept[RuntimeException] {
+      PlDo.executeDo(spark, "DO $$ BEGIN RAISE EXCEPTION 'boom %', 7; END $$")
+    }
+    // procedures: CREATE once, CALL with evaluated args via the router
+    Graft.execute(spark,
+      """CREATE PROCEDURE bump(delta int, tag text) AS $$
+        |BEGIN
+        |  INSERT INTO do_t SELECT k + delta, tag FROM do_t WHERE v = 'odd';
+        |END $$ LANGUAGE plpgsql;""".stripMargin)
+    Graft.execute(spark, "CALL bump(100, 'bumped')")
+    assert(spark.sql("SELECT COUNT(*) FROM do_t WHERE v = 'bumped' AND k > 100")
+      .head().getLong(0) == 3)
+    drop("do_t")
+  }
 }
