@@ -88,6 +88,18 @@ object Graft {
     -1
   }
 
+  /** Split a DML tail at its top-level RETURNING clause (gram.y
+    * returning_clause): (textBefore, Some(selectItems)) or (text,
+    * None). Items are PgSql-rewritten select expressions. */
+  private def splitReturning(rest: String): (String, Option[Seq[String]]) = {
+    val r = topKeyword(rest, "RETURNING")
+    if (r < 0) (rest, None)
+    else (rest.substring(0, r),
+      Some(operators.GreengageDdl.splitTop(
+          rest.substring(r + "RETURNING".length))
+        .map(operators.PgSql.rewrite)))
+  }
+
   /** Execute one Greengage SQL statement, routed to the subsystem that
     * implements its verb (the dispatch `src/backend/tcop/utility.c`
     * does in the reference): CREATE TABLE / MATERIALIZED VIEW /
@@ -217,22 +229,56 @@ object Graft {
       operators.ExternalTable.insertInto(spark, m.group(1),
         spark.sql(operators.PgSql.rewrite(m.group(2))))
       None
+    } else if (is("(?is)^INSERT\\s+INTO\\b") &&
+        topKeyword(stripSemi(t), "RETURNING") >= 0) {
+      // INSERT ... RETURNING: run the insert, then project the
+      // inserted rows under the table's column names (NEW image)
+      val st = stripSemi(t)
+      val r = topKeyword(st, "RETURNING")
+      val items = operators.GreengageDdl.splitTop(
+        st.substring(r + "RETURNING".length)).map(operators.PgSql.rewrite)
+      val insertSql = st.substring(0, r)
+      val m = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)\\s*(\\([^)]*\\))?\\s*(.*)$".r
+        .findFirstMatchIn(insertSql).get
+      val table = m.group(1).replace("\"", "")
+      val tbl = spark.table(table)
+      val body = spark.sql(operators.PgSql.rewrite(m.group(3)))
+      val named = Option(m.group(2)) match {
+        case None => body.toDF(tbl.columns.toSeq: _*)
+        case Some(colList) =>
+          val cols = operators.GreengageDdl.splitTop(
+            colList.stripPrefix("(").stripSuffix(")")).map(_.replace("\"", ""))
+          val renamed = body.toDF(cols: _*)
+          renamed.select(tbl.columns.map { c =>
+            if (cols.contains(c)) org.apache.spark.sql.functions.col(c)
+            else org.apache.spark.sql.functions.lit(null)
+              .cast(tbl.schema(c).dataType).as(c)
+          }.toSeq: _*)
+      }
+      spark.sql(operators.PgSql.rewrite(insertSql))
+      Some(named.selectExpr(items: _*))
     } else if (is("(?is)^DELETE\\s+FROM\\b")) {
       val m = deleteRe.findFirstMatchIn(stripSemi(t)).getOrElse(
         throw new IllegalArgumentException(s"cannot parse DELETE: $t"))
-      val rest = m.group(2)
+      val (rest, returning) = splitReturning(m.group(2))
       val w = topKeyword(rest, "WHERE")
       require(rest.trim.isEmpty || w >= 0, s"cannot parse DELETE tail: $rest")
       val cond =
         if (w >= 0) org.apache.spark.sql.functions.expr(
           operators.PgSql.rewrite(rest.substring(w + "WHERE".length)))
         else org.apache.spark.sql.functions.lit(true)
-      operators.Dml.deleteWhere(spark, m.group(1).replace("\"", ""), cond)
-      None
+      val table = m.group(1).replace("\"", "")
+      // RETURNING sees the deleted rows' OLD image — materialized
+      // BEFORE the staged swap replaces the files under the plan
+      val ret = returning.map(items =>
+        spark.table(table).where(cond)
+          .selectExpr(items: _*).localCheckpoint(true))
+      operators.Dml.deleteWhere(spark, table, cond)
+      ret
     } else if (is("(?is)^UPDATE\\b")) {
       val m = updateRe.findFirstMatchIn(stripSemi(t)).getOrElse(
         throw new IllegalArgumentException(s"cannot parse UPDATE: $t"))
-      val rest = m.group(2)
+      val (rest, returning) = splitReturning(m.group(2))
       // locate the top-level WHERE: one inside a SET literal or a
       // subquery must not cut the statement
       val w = topKeyword(rest, "WHERE")
@@ -246,9 +292,18 @@ object Graft {
         if (w >= 0) org.apache.spark.sql.functions.expr(
           operators.PgSql.rewrite(rest.substring(w + "WHERE".length)))
         else org.apache.spark.sql.functions.lit(true)
-      operators.Dml.updateWhere(spark, m.group(1).replace("\"", ""), cond,
-        assignments)
-      None
+      val table = m.group(1).replace("\"", "")
+      // RETURNING sees the NEW image of the updated rows (PG returns
+      // post-update values), materialized before the swap
+      val ret = returning.map { items =>
+        val src = spark.table(table).where(cond)
+        val updated = src.select(src.columns.map { c =>
+          assignments.getOrElse(c, org.apache.spark.sql.functions.col(c)).as(c)
+        }.toSeq: _*)
+        updated.selectExpr(items: _*).localCheckpoint(true)
+      }
+      operators.Dml.updateWhere(spark, table, cond, assignments)
+      ret
     } else copyProgRe.findFirstMatchIn(t) match {
       case Some(m) => runCopyProgram(spark, m); None
       case None => copyRe.findFirstMatchIn(t) match {

@@ -35,6 +35,13 @@ object PgSql {
     out = out.replaceAll("~~", " LIKE ")
     out = out.replaceAll("!~(?![*~])", " NOT RLIKE ")
     out = out.replaceAll("(?<![!<>=~])~(?![*~])", " RLIKE ")
+    // PG TABLESAMPLE methods (gram.y tablesample_clause): both map to
+    // Spark's row-level percent sampling — BERNOULLI is exactly that;
+    // SYSTEM is PG's page-level variant, same statistical contract at
+    // our block sizes. REPEATABLE (seed) passes through unchanged.
+    out = out.replaceAll(
+      "(?i)\\bTABLESAMPLE\\s+(SYSTEM|BERNOULLI)\\s*\\(\\s*([\\d.]+)\\s*\\)",
+      "TABLESAMPLE ($2 PERCENT)")
     // PG type aliases after :: or "AS <alias>" inside CAST
     for ((pg, spark) <- typeAlias) {
       out = out.replaceAll(s"(?i)(::\\s*)$pg\\b", "$1" + spark)

@@ -449,6 +449,51 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("DML RETURNING: INSERT/UPDATE/DELETE return the affected images") {
+    drop("ret_t")
+    Graft.execute(spark,
+      "CREATE TABLE ret_t (k int, v text, amt float8) DISTRIBUTED RANDOMLY")
+    // INSERT ... RETURNING: the NEW rows, expressions allowed
+    val ins = Graft.execute(spark,
+      "INSERT INTO ret_t VALUES (1, 'a', 10.0), (2, 'b', 20.0) " +
+        "RETURNING k, v || '!' AS vx").get.collect()
+    assert(ins.map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a!"), (2, "b!")))
+    // column-list form: missing columns are NULL in the returned image
+    val ins2 = Graft.execute(spark,
+      "INSERT INTO ret_t (k, v) VALUES (3, 'c') RETURNING k, amt").get.collect()
+    assert(ins2.map(r => (r.getInt(0), r.isNullAt(1))).toSet == Set((3, true)))
+    // UPDATE ... RETURNING sees the POST-update values
+    val upd = Graft.execute(spark,
+      "UPDATE ret_t SET amt = amt * 2 WHERE k <= 2 RETURNING k, amt")
+      .get.collect()
+    assert(upd.map(r => (r.getInt(0), r.getDouble(1))).toSet ==
+      Set((1, 20.0), (2, 40.0)))
+    assert(spark.sql("SELECT SUM(amt) FROM ret_t").head().getDouble(0) == 60.0)
+    // DELETE ... RETURNING sees the OLD image; rows really go away
+    val del = Graft.execute(spark,
+      "DELETE FROM ret_t WHERE v = 'b' RETURNING k, v, amt").get.collect()
+    assert(del.map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set((2, "b", 40.0)))
+    assert(spark.table("ret_t").count() == 2)
+    drop("ret_t")
+  }
+
+  test("TABLESAMPLE SYSTEM/BERNOULLI rewrites to percent sampling") {
+    import graft.operators.PgSql.rewrite
+    Tables.register(spark, TestSpark.sf0001)
+    assert(rewrite("SELECT * FROM orders TABLESAMPLE SYSTEM (10)") ==
+      "SELECT * FROM orders TABLESAMPLE (10 PERCENT)")
+    val n = spark.sql(rewrite(
+      "SELECT COUNT(*) FROM orders TABLESAMPLE BERNOULLI (50) REPEATABLE (42)"))
+      .head().getLong(0)
+    val total = spark.table("orders").count()
+    assert(n > 0 && n < total)
+    // literal safety: the word TABLESAMPLE inside a string survives
+    assert(rewrite("SELECT 'TABLESAMPLE SYSTEM (10)'") ==
+      "SELECT 'TABLESAMPLE SYSTEM (10)'")
+  }
+
   test("DO blocks: variables, control flow, dynamic EXECUTE, FOR-over-query") {
     import graft.operators.PlDo
     drop("do_t")
