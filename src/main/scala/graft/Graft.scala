@@ -308,7 +308,11 @@ object Graft {
       case Some(m) => runCopyProgram(spark, m); None
       case None => copyRe.findFirstMatchIn(t) match {
         case Some(m) => runCopy(spark, m); None
-        case None => Some(spark.sql(operators.PgSql.rewrite(t)))
+        case None =>
+          // introspection queries see a fresh catalog snapshot
+          if (operators.PgCatalog.mentionsCatalog(t))
+            operators.PgCatalog.register(spark)
+          Some(spark.sql(operators.PgSql.rewrite(t)))
       }
     }
   }

@@ -679,6 +679,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => Crypt(Cast(args(0), StringType),
         Cast(args(1), StringType)))
     reg.registerFunction(
+      FunctionIdentifier("version"),
+      info("version", "version() - server version string (PG compat)"),
+      (_: Seq[Expression]) => Literal.create(
+        "PostgreSQL 9.4 compatible graft engine on Apache Spark " +
+          org.apache.spark.SPARK_VERSION,
+        org.apache.spark.sql.types.StringType))
+    reg.registerFunction(
+      FunctionIdentifier("current_schema"),
+      info("current_schema", "current_schema() - always 'public' (PG compat)"),
+      (_: Seq[Expression]) => Literal.create("public",
+        org.apache.spark.sql.types.StringType))
+    reg.registerFunction(
       FunctionIdentifier("gen_salt"),
       info("gen_salt", "gen_salt('des'|'xdes'|'md5'|'bf') - random crypt salt"),
       (args: Seq[Expression]) => GenSalt(args(0).eval().toString))

@@ -123,11 +123,6 @@ object Dml {
             whenMatchedDeleteIf: Option[Column] = None,
             insertNotMatched: Boolean = true): MergeResult = {
     require(keys.nonEmpty, "MERGE requires at least one key column")
-    // existence probe, not a full count: limit-1 under the filter
-    require(source.groupBy(keys.map(col): _*)
-        .count().where(col("count") > 1).isEmpty,
-      "MERGE source has duplicate key tuples " +
-        "(a target row cannot be affected twice)")
     val targetSchema = spark.table(table).schema
     val t = spark.table(table).withColumn("__t", lit(true)).alias("t")
     val srcCols = source.columns.toSet
@@ -138,6 +133,16 @@ object Dml {
       .persist()
     try {
       val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
+      // PG's "cannot affect row a second time" check (nodeModifyTable.c)
+      // on the MATERIALIZED join — no second scan/shuffle of the
+      // source, and faithful scope: duplicate source keys are an error
+      // only when they hit the same target row (duplicate unmatched
+      // rows legally insert twice)
+      require(joined.where(matched)
+          .groupBy(keys.map(k => col(s"t.$k")): _*)
+          .count().where(col("count") > 1).isEmpty,
+        "MERGE source matches a target row more than once " +
+          "(a target row cannot be affected twice)")
       val sOnly = col("t.__t").isNull
       val del = whenMatchedDeleteIf
         .map(c => matched && coalesce(c, lit(false))).getOrElse(lit(false))

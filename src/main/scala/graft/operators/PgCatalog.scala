@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** pg_catalog / gp_toolkit compatibility views — the introspection
+  * surface every migrating client pokes first (psql's `\d` runs over
+  * `pg_class`/`pg_namespace`; ORMs and BI tools read `pg_tables` and
+  * `information_schema`; Greengage utilities read
+  * `gp_segment_configuration` — reference `src/include/catalog/
+  * pg_class.h`, `gp_segment_config.h`).
+  *
+  * The views are plain temp views derived from the Spark session
+  * catalog on the driver (catalog listings are small by definition).
+  * They snapshot at registration; [[graft.Graft.execute]] re-registers
+  * before any statement that mentions one, so a query always sees the
+  * current catalog. "Segments" are the session's shuffle partitions —
+  * the same identification the engine uses everywhere else
+  * (GRAFT_SEGMENT_ID in external protocols).
+  */
+object PgCatalog {
+
+  val viewNames: Seq[String] = Seq(
+    "pg_tables", "pg_views", "pg_namespace", "pg_class", "pg_attribute",
+    "gp_segment_configuration")
+
+  /** True if `sql` mentions any catalog view outside string literals —
+    * the router's refresh trigger. */
+  def mentionsCatalog(sql: String): Boolean = {
+    val lower = sql.toLowerCase
+    viewNames.exists(lower.contains)
+  }
+
+  def register(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val db = spark.catalog.currentDatabase
+    val tables = spark.catalog.listTables().collect()
+
+    // relkind: 'r' table, 'v' view (pg_class.h relkind values)
+    val classes = tables.map { t =>
+      val kind = if (t.tableType == "VIEW" || t.isTemporary) "v" else "r"
+      (t.name, Option(t.database).getOrElse("public"), kind)
+    }.toSeq
+    classes.toDF("relname", "relnamespace", "relkind")
+      .createOrReplaceTempView("pg_class")
+
+    classes.filter(_._3 == "r")
+      .map { case (n, ns, _) => (ns, n, "graft", null: String, false, false, false) }
+      .toDF("schemaname", "tablename", "tableowner", "tablespace",
+        "hasindexes", "hasrules", "hastriggers")
+      .createOrReplaceTempView("pg_tables")
+
+    classes.filter(_._3 == "v")
+      .map { case (n, ns, _) => (ns, n, "graft", "") }
+      .toDF("schemaname", "viewname", "viewowner", "definition")
+      .createOrReplaceTempView("pg_views")
+
+    Seq("pg_catalog", "public", db).distinct.toDF("nspname")
+      .createOrReplaceTempView("pg_namespace")
+
+    // attributes for every relation, 1-based attnum (pg_attribute.h);
+    // typname is the Spark SQL type lowercased — close enough for the
+    // introspection queries that read it
+    val attrs = tables.flatMap { t =>
+      try spark.catalog.listColumns(t.name).collect().toSeq.zipWithIndex.map {
+        case (c, i) => (t.name, c.name, c.dataType.toLowerCase, i + 1,
+          !c.nullable)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Seq.empty[(String, String, String, Int, Boolean)]
+      }
+    }.toSeq
+    attrs.toDF("relname", "attname", "typname", "attnum", "attnotnull")
+      .createOrReplaceTempView("pg_attribute")
+
+    // one primary row per "segment" (= shuffle partition) + the master
+    val nSeg = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    ((-1 until nSeg).map { content =>
+      (content + 2, content, "p", "p", "u", "localhost")
+    }).toDF("dbid", "content", "role", "preferred_role", "status", "hostname")
+      .createOrReplaceTempView("gp_segment_configuration")
+  }
+}

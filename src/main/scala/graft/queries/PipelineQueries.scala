@@ -318,6 +318,14 @@ object PipelineQueries {
     "q220_plpgsql_do" -> ((s, d) => {
       graft.Tables.register(s, d)
       graft.Graft.execute(s, "DROP TABLE IF EXISTS do_catalog_out")
+      // a previous JVM's warehouse dir survives DROP (the table is no
+      // longer in this session's in-memory catalog) — clear it
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(wh, "do_catalog_out"))
       graft.operators.PlDo.executeDo(s,
         """DO $$
           |DECLARE hi bigint;

@@ -494,6 +494,37 @@ class GraftSqlSpec extends AnyFunSuite {
       "SELECT 'TABLESAMPLE SYSTEM (10)'")
   }
 
+  test("pg_catalog compat: version(), pg_class/pg_tables/pg_attribute, segments") {
+    Tables.register(spark, TestSpark.sf0001)
+    val v = Graft.execute(spark, "SELECT version()").get.head().getString(0)
+    assert(v.contains("graft") && v.contains("Spark"))
+    assert(Graft.execute(spark, "SELECT current_schema()").get
+      .head().getString(0) == "public")
+    // temp-view fixtures surface as relkind 'v'
+    val kinds = Graft.execute(spark,
+      "SELECT relkind FROM pg_class WHERE relname = 'orders'").get.collect()
+    assert(kinds.map(_.getString(0)).toSeq == Seq("v"))
+    // a managed table lands in pg_tables — and the snapshot refreshes
+    // on the next catalog-touching statement
+    drop("cat_probe")
+    Graft.execute(spark, "CREATE TABLE cat_probe (a int, b text) DISTRIBUTED RANDOMLY")
+    assert(Graft.execute(spark,
+      "SELECT COUNT(*) FROM pg_tables WHERE tablename = 'cat_probe'")
+      .get.head().getLong(0) == 1)
+    // attribute order and the 1-based attnum
+    val attrs = Graft.execute(spark,
+      "SELECT attname, attnum FROM pg_attribute WHERE relname = 'cat_probe' " +
+        "ORDER BY attnum").get.collect()
+    assert(attrs.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 1), ("b", 2)))
+    // one primary row per segment plus the master entry
+    val segs = Graft.execute(spark,
+      "SELECT COUNT(*) FROM gp_segment_configuration WHERE content >= 0")
+      .get.head().getLong(0)
+    assert(segs == spark.conf.get("spark.sql.shuffle.partitions").toLong)
+    drop("cat_probe")
+  }
+
   test("DO blocks: variables, control flow, dynamic EXECUTE, FOR-over-query") {
     import graft.operators.PlDo
     drop("do_t")
