@@ -678,6 +678,45 @@ object GraftFunctions {
       info("crypt", "crypt(pw, salt_or_hash) - pgcrypto MD5-crypt or bcrypt password hash"),
       (args: Seq[Expression]) => Crypt(Cast(args(0), StringType),
         Cast(args(1), StringType)))
+    // PG string SRFs + variadic null counters (utils/adt/varlena.c
+    // text_to_table, regexp.c regexp_split_*, misc.c num_nulls) — all
+    // compose from codegen builtins: literal-delimiter splits use the
+    // non-regex StringSplitSQL, the regexp forms Spark's StringSplit
+    reg.registerFunction(
+      FunctionIdentifier("string_to_table"),
+      info("string_to_table", "string_to_table(s, delim) - one row per literal-delimited part"),
+      (args: Seq[Expression]) => Explode(StringSplitSQL(args(0), args(1))))
+    reg.registerFunction(
+      FunctionIdentifier("regexp_split_to_array"),
+      info("regexp_split_to_array", "regexp_split_to_array(s, re) - split on a regex"),
+      (args: Seq[Expression]) => StringSplit(args(0), args(1), Literal(-1)))
+    reg.registerFunction(
+      FunctionIdentifier("regexp_split_to_table"),
+      info("regexp_split_to_table", "regexp_split_to_table(s, re) - one row per regex-delimited part"),
+      (args: Seq[Expression]) => Explode(StringSplit(args(0), args(1), Literal(-1))))
+    reg.registerFunction(
+      FunctionIdentifier("starts_with"),
+      info("starts_with", "starts_with(s, prefix) - PG spelling of startswith"),
+      (args: Seq[Expression]) => StartsWith(args(0), args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("num_nulls"),
+      info("num_nulls", "num_nulls(a, b, ...) - how many arguments are NULL"),
+      (args: Seq[Expression]) => args.map(a =>
+        If(IsNull(a), Literal(1), Literal(0)): Expression).reduce(Add(_, _)))
+    reg.registerFunction(
+      FunctionIdentifier("num_nonnulls"),
+      info("num_nonnulls", "num_nonnulls(a, b, ...) - how many arguments are not NULL"),
+      (args: Seq[Expression]) => args.map(a =>
+        If(IsNull(a), Literal(0), Literal(1)): Expression).reduce(Add(_, _)))
+    reg.registerFunction(
+      FunctionIdentifier("quote_nullable"),
+      info("quote_nullable", "quote_nullable(s) - quote_literal, NULL as the keyword"),
+      (args: Seq[Expression]) => {
+        val s = Cast(args(0), StringType)
+        If(IsNull(s), Literal("NULL"),
+          Concat(Seq(Literal("'"),
+            StringReplace(s, Literal("'"), Literal("''")), Literal("'"))))
+      })
     reg.registerFunction(
       FunctionIdentifier("version"),
       info("version", "version() - server version string (PG compat)"),

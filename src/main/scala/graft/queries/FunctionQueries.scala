@@ -584,6 +584,21 @@ object FunctionQueries {
           (expr("crypt(concat(c_name, 'x'), h)") === col("h")).as("wrong_pw"),
           expr("crypt('', '$2a$06$DCq7YPn5Rq63x1Lad4cll.')").as("pinned"))),
 
+    // PG string SRFs + null counters (text_to_table, regexp_split_*,
+    // num_nulls/num_nonnulls, quote_nullable, starts_with): the SRF
+    // explodes one row per '-'-part; the scalar columns ride along.
+    "q221_string_srf" -> ((s, d) =>
+      t(s, d, "orders").where(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"),
+          expr("string_to_table(o_orderpriority, '-')").as("word"),
+          expr("array_join(regexp_split_to_array(o_orderpriority, '[AEIOU]+'), '_')")
+            .as("consonants"),
+          expr("num_nulls(NULLIF(o_orderstatus, 'O'), o_orderpriority)").as("nn"),
+          expr("num_nonnulls(NULLIF(o_orderstatus, 'O'), o_orderpriority)").as("nnn"),
+          expr("quote_nullable(NULLIF(o_orderstatus, 'F'))").as("qn"),
+          expr("CASE WHEN starts_with(o_orderpriority, '1') THEN 1 ELSE 0 END")
+            .as("sw"))),
+
     // pgcrypto DES + extended-DES crypt (px-crypt.c scheme-table
     // fallback row + the '_' BSDi scheme, crypt-des.c): the same
     // roundtrip contract as q167/q196, with pinned columns from
@@ -1766,6 +1781,19 @@ object FunctionQueries {
         |  'abJnggxhB/yWI' AS pinned_des,
         |  '_J9..SALT3cfudkaV5sE' AS pinned_xdes
         |FROM customer WHERE c_custkey % 50 = 0""".stripMargin,
+    "q221_string_srf" ->
+      """SELECT o_orderkey, unnest(str_split(o_orderpriority, '-')) AS word,
+        |  array_to_string(regexp_split_to_array(o_orderpriority, '[AEIOU]+'), '_')
+        |    AS consonants,
+        |  (CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END +
+        |   CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn,
+        |  (CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 0 ELSE 1 END +
+        |   CASE WHEN o_orderpriority IS NULL THEN 0 ELSE 1 END) AS nnn,
+        |  CASE WHEN NULLIF(o_orderstatus, 'F') IS NULL THEN 'NULL'
+        |       ELSE '''' || replace(NULLIF(o_orderstatus, 'F'), '''', '''''') || ''''
+        |  END AS qn,
+        |  CASE WHEN starts_with(o_orderpriority, '1') THEN 1 ELSE 0 END AS sw
+        |FROM orders WHERE o_orderkey % 20 = 0""".stripMargin,
     // xpath extraction must invert the row's XML construction
     "q142_xml_xpath" ->
       """SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority,
