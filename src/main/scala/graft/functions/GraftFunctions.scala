@@ -678,6 +678,22 @@ object GraftFunctions {
       info("crypt", "crypt(pw, salt_or_hash) - pgcrypto MD5-crypt or bcrypt password hash"),
       (args: Seq[Expression]) => Crypt(Cast(args(0), StringType),
         Cast(args(1), StringType)))
+    // Spark's runtime-filter bloom machinery, exposed as callable
+    // functions (the engine uses them for InjectRuntimeFilter already;
+    // registering them lets operators build explicit broadcast filters
+    // — Dedup.bloomAntiJoin's decontamination path)
+    reg.registerFunction(
+      FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg", "bloom_filter_agg(xxhash64(x), items, bits) - build a bloom filter"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2)).toAggregateExpression())
+    reg.registerFunction(
+      FunctionIdentifier("might_contain"),
+      info("might_contain", "might_contain(bloom, xxhash64(x)) - bloom membership probe"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1)))
     // PG string SRFs + variadic null counters (utils/adt/varlena.c
     // text_to_table, regexp.c regexp_split_*, misc.c num_nulls) — all
     // compose from codegen builtins: literal-delimiter splits use the

@@ -128,6 +128,34 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
+  /** Bloom-filter decontamination: remove from `big` every row whose
+    * key appears in `small` — EXACT semantics, but the corpus never
+    * shuffles. A bloom filter over `small`'s keys (10 bits/key ≈ 1%
+    * FPP, capped at 128 MiB) broadcasts to the scan; rows the filter
+    * rules out pass map-side, and only the bloom-positive candidates
+    * (true hits + ~1% false positives) run the exact anti join. Two
+    * cheap scans of the corpus replace a corpus-wide shuffle — the
+    * right trade at 100 TB, where the benchmark/blocklist side is
+    * millions of keys and the corpus side is billions of rows. */
+  def bloomAntiJoin(big: DataFrame, bigKey: String,
+                    small: DataFrame, smallKey: String,
+                    expectedItems: Long = 4000000L): DataFrame = {
+    val bits = math.min(expectedItems * 10L, 8L * (1L << 27))
+    // the filter materializes on the driver once and ships to tasks as
+    // a plan constant — exactly how Spark's InjectRuntimeFilter
+    // executes its scalar-subquery bloom (might_contain requires a
+    // constant filter operand)
+    val bytes = small.agg(call_function("bloom_filter_agg",
+        xxhash64(col(smallKey)), lit(expectedItems), lit(bits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val probe = call_function("might_contain", lit(bytes), xxhash64(col(bigKey)))
+    val clean = big.where(!probe)
+    val candidates = big.where(probe)
+    val smallKeys = small.select(col(smallKey).as("__sk")).distinct()
+    clean.unionByName(
+      candidates.join(smallKeys, col(bigKey) === col("__sk"), "left_anti"))
+  }
+
   /** Canonical-fingerprint dedup: md5 over the sorted distinct token set
     * — catches token-permutation/duplication near-dups exactly. */
   def withFingerprint(docs: DataFrame, textCol: String = "text",

@@ -309,6 +309,18 @@ object PipelineQueries {
               |FROM ext_catalog_demo GROUP BY tag""".stripMargin)
     }),
 
+    // Bloom-filter decontamination (the at-scale variant of the exact
+    // n-gram path): a bloom over the "benchmark" texts broadcasts to
+    // the corpus scan, clean rows pass map-side, bloom-positives do
+    // the exact anti join — same answer as NOT IN, no corpus shuffle.
+    "q222_bloom_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.where(col("doc_id") % 13 === 0).select(col("text"))
+      graft.operators.Dedup.bloomAntiJoin(docs, "text", bench, "text",
+          expectedItems = 10000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // DO anonymous block end-to-end (ExecuteDoStmt → the PlDo
     // statement interpreter): procedural driver-side control flow
     // around distributed statements — a staging table built by dynamic
@@ -1063,6 +1075,10 @@ object PipelineQueries {
         |  CAST(CASE WHEN fmt = 3 THEN 0 ELSE g * (w * h - 1) + 255 END AS BIGINT) AS sum_g,
         |  CAST(CASE WHEN fmt = 3 THEN 0 ELSE b * (w * h - 1) + 255 END AS BIGINT) AS sum_b
         |FROM m""".stripMargin,
+    // bloom pruning is exact after candidate verification → plain NOT IN
+    "q222_bloom_decontam" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 13 = 0)""".stripMargin,
     // declarative image of the DO block's procedural loop: big groups
     // re-counted under the custkey cut, small groups passed through
     "q220_plpgsql_do" ->

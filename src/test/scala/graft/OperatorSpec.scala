@@ -736,6 +736,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(!zbyK.contains(4L))
   }
 
+  test("bloom anti join: exact result, false positives resolved by verify join") {
+    import graft.operators.Dedup
+    val big = (1L to 2000L).map(i => (i, s"key_$i")).toDF("id", "k")
+    val blocked = (1L to 2000L by 7).map(i => s"key_$i").toDF("bk")
+    val got = Dedup.bloomAntiJoin(big, "k", blocked, "bk", expectedItems = 300L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = (1L to 2000L).filterNot(i => (i - 1) % 7 == 0).toSet
+    // EXACT despite the bloom's ~1% false-positive rate — candidates
+    // that are not really blocked survive via the verify anti join
+    assert(got == want)
+    // a deliberately tiny filter (high FP rate) still yields the exact set
+    val tiny = Dedup.bloomAntiJoin(big, "k", blocked, "bk", expectedItems = 10L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(tiny == want)
+    // the clean branch is a pure scan+filter: no join, no exchange
+    import org.apache.spark.sql.functions.{call_function, lit, xxhash64}
+    val bytes = blocked.agg(call_function("bloom_filter_agg",
+        xxhash64($"bk"), lit(300L), lit(3000L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val probePlan = big.where(
+      !call_function("might_contain", lit(bytes), xxhash64($"k")))
+    assert(!probePlan.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(probePlan.count() < 2000) // the filter really prunes
+  }
+
   test("text quality features handle empty and punct-only text") {
     val docs = Seq((1L, ""), (2L, "..."), (3L, "the cat sat."))
       .toDF("doc_id", "text")
