@@ -120,6 +120,36 @@ object Graft {
       operators.GreengageDdl.execute(spark, t); None
     } else if (is("(?is)^CREATE\\s+SEQUENCE\\b")) {
       operators.GreengageDdl.createSequence(t); None
+    } else if (is("(?is)^ALTER\\s+SEQUENCE\\b.*\\bRESTART\\b")) {
+      // ALTER SEQUENCE s RESTART [WITH n] (commands/sequence.c)
+      val m = ("(?is)^ALTER\\s+SEQUENCE\\s+([\\w.\"]+)\\s+RESTART" +
+        "(?:\\s+WITH)?\\s*(\\d+)?\\s*;?\\s*$").r.findFirstMatchIn(t).getOrElse(
+        throw new IllegalArgumentException(s"cannot parse ALTER SEQUENCE: $t"))
+      operators.GreengageDdl.setval(m.group(1).replace("\"", ""),
+        Option(m.group(2)).map(_.toLong).getOrElse(1L) - 1)
+      None
+    } else if (is("(?is)^DROP\\s+SEQUENCE\\b")) {
+      operators.GreengageDdl.dropSequence(stripSemi(t)
+        .replaceFirst("(?is)^DROP\\s+SEQUENCE\\s+(IF\\s+EXISTS\\s+)?", "")
+        .replace("\"", "")); None
+    } else if (is("(?is)^CREATE\\s+SCHEMA\\b")) {
+      // schemas ↔ Spark databases (namespace.c); AUTHORIZATION dropped
+      val name = stripSemi(t)
+        .replaceFirst("(?is)^CREATE\\s+SCHEMA\\s+(IF\\s+NOT\\s+EXISTS\\s+)?", "")
+        .replaceFirst("(?is)\\s+AUTHORIZATION\\s+.*$", "").trim.replace("\"", "")
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $name"); None
+    } else if (is("(?is)^(GRANT|REVOKE|COMMENT\\s+ON|ALTER\\s+ROLE|" +
+        "CREATE\\s+ROLE|DROP\\s+ROLE|ALTER\\s+DEFAULT\\s+PRIVILEGES)\\b")) {
+      // privilege/ownership/comment statements: accepted no-ops — a
+      // single-user Spark session has no ACLs to apply them to, and
+      // every migrated pg_dump script is full of them (utility.c routes
+      // these to aclchk.c/comment.c, both catalog-only)
+      None
+    } else if (is("(?is)^ALTER\\s+TABLE\\b.*\\bOWNER\\s+TO\\b")) {
+      spark.table(stripSemi(t) // existence-checked no-op, like LOCK
+        .replaceFirst("(?is)^ALTER\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(ONLY\\s+)?", "")
+        .replaceFirst("(?is)\\s+OWNER\\s+TO\\s+.*$", "").trim.replace("\"", ""))
+      None
     } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?FUNCTION\\b")) {
       operators.SqlFunctions.create(t); None
     } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?PROCEDURE\\b")) {

@@ -292,6 +292,12 @@ object GreengageDdl {
     name
   }
 
+  /** DROP SEQUENCE [IF EXISTS already stripped] name[, name...]. */
+  def dropSequence(names: String): Unit =
+    splitTop(names).foreach { n =>
+      sequences.synchronized { sequences.remove(n.trim); () }
+    }
+
   /** `setval(seq, v)` (commands/sequence.c): the next nextval hands out
     * ids strictly above v, PG's `is_called = true` form. */
   def setval(seqName: String, value: Long): Long = {

@@ -494,6 +494,35 @@ class GraftSqlSpec extends AnyFunSuite {
       "SELECT 'TABLESAMPLE SYSTEM (10)'")
   }
 
+  test("script-compat verbs: GRANT/COMMENT no-ops, schema, sequence lifecycle") {
+    // pg_dump boilerplate must pass through silently
+    assert(Graft.execute(spark, "GRANT SELECT ON TABLE orders TO analyst").isEmpty)
+    assert(Graft.execute(spark, "REVOKE ALL ON SCHEMA public FROM PUBLIC").isEmpty)
+    assert(Graft.execute(spark, "COMMENT ON TABLE orders IS 'fact table'").isEmpty)
+    assert(Graft.execute(spark, "CREATE ROLE etl LOGIN").isEmpty)
+    assert(Graft.execute(spark,
+      "ALTER DEFAULT PRIVILEGES IN SCHEMA public GRANT SELECT ON TABLES TO r").isEmpty)
+    drop("own_t")
+    Graft.execute(spark, "CREATE TABLE own_t (a int) DISTRIBUTED RANDOMLY")
+    assert(Graft.execute(spark, "ALTER TABLE own_t OWNER TO etl").isEmpty)
+    intercept[Exception] { // unknown table still surfaces loudly
+      Graft.execute(spark, "ALTER TABLE no_such_t OWNER TO etl")
+    }
+    // CREATE SCHEMA ↔ database namespace
+    Graft.execute(spark, "CREATE SCHEMA staging AUTHORIZATION etl")
+    assert(spark.catalog.databaseExists("staging"))
+    // sequence lifecycle: create → use → restart → drop
+    Graft.execute(spark, "CREATE SEQUENCE seq_r11 START WITH 100")
+    assert(graft.operators.GreengageDdl.nextBase("seq_r11") == 100L)
+    Graft.execute(spark, "ALTER SEQUENCE seq_r11 RESTART WITH 7")
+    assert(graft.operators.GreengageDdl.nextBase("seq_r11") == 7L)
+    Graft.execute(spark, "DROP SEQUENCE IF EXISTS seq_r11")
+    intercept[IllegalArgumentException] {
+      graft.operators.GreengageDdl.nextBase("seq_r11")
+    }
+    drop("own_t")
+  }
+
   test("pg_catalog compat: version(), pg_class/pg_tables/pg_attribute, segments") {
     Tables.register(spark, TestSpark.sf0001)
     val v = Graft.execute(spark, "SELECT version()").get.head().getString(0)
