@@ -139,7 +139,8 @@ object Graft {
         .replaceFirst("(?is)\\s+AUTHORIZATION\\s+.*$", "").trim.replace("\"", "")
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $name"); None
     } else if (is("(?is)^(GRANT|REVOKE|COMMENT\\s+ON|ALTER\\s+ROLE|" +
-        "CREATE\\s+ROLE|DROP\\s+ROLE|ALTER\\s+DEFAULT\\s+PRIVILEGES)\\b")) {
+        "CREATE\\s+ROLE|DROP\\s+ROLE|ALTER\\s+DEFAULT\\s+PRIVILEGES|" +
+        "CHECKPOINT|DISCARD)\\b")) {
       // privilege/ownership/comment statements: accepted no-ops — a
       // single-user Spark session has no ACLs to apply them to, and
       // every migrated pg_dump script is full of them (utility.c routes
@@ -287,6 +288,19 @@ object Graft {
       }
       spark.sql(operators.PgSql.rewrite(insertSql))
       Some(named.selectExpr(items: _*))
+    } else if (is("(?is)^SELECT\\b") &&
+        topKeyword(stripSemi(t), "INTO") >= 0) {
+      // SELECT ... INTO newtable FROM ... (gram.y into_clause): the
+      // pre-CTAS spelling — lift the INTO target out and run CTAS
+      val st = stripSemi(t)
+      val i = topKeyword(st, "INTO")
+      val m = ("(?is)^(?:(?:TEMP|TEMPORARY|UNLOGGED)\\s+)?(?:TABLE\\s+)?" +
+        "([\\w.\"]+)\\s*(.*)$").r.findFirstMatchIn(
+          st.substring(i + "INTO".length).trim).getOrElse(
+        throw new IllegalArgumentException(s"cannot parse SELECT INTO: $t"))
+      operators.GreengageDdl.execute(spark,
+        s"CREATE TABLE ${m.group(1)} AS ${st.substring(0, i)} ${m.group(2)}")
+      None
     } else if (is("(?is)^DELETE\\s+FROM\\b")) {
       val m = deleteRe.findFirstMatchIn(stripSemi(t)).getOrElse(
         throw new IllegalArgumentException(s"cannot parse DELETE: $t"))

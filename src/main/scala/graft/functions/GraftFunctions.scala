@@ -734,6 +734,10 @@ object GraftFunctions {
             StringReplace(s, Literal("'"), Literal("''")), Literal("'"))))
       })
     reg.registerFunction(
+      FunctionIdentifier("gp_segment_id"),
+      info("gp_segment_id", "gp_segment_id() - this row's segment (Spark partition id)"),
+      (_: Seq[Expression]) => SparkPartitionID())
+    reg.registerFunction(
       FunctionIdentifier("version"),
       info("version", "version() - server version string (PG compat)"),
       (_: Seq[Expression]) => Literal.create(

@@ -138,16 +138,25 @@ object GreengageDdl {
       val (colBlock, after) = balanced(rest, 0)
       rest = rest.substring(after).trim
       columns = splitTop(colBlock)
-        .filterNot(c => "(?i)^(primary key|unique|check|constraint|foreign key)"
-          .r.findFirstIn(c).isDefined) // table-level constraints: dropped
-        .map { cdef =>
+        .filterNot(c => "(?i)^(primary key|unique|check|constraint|foreign key|column\\s)"
+          .r.findFirstIn(c).isDefined) // table-level constraints and
+                                       // standalone COLUMN ... ENCODING
+                                       // storage directives: dropped
+        .map {
+          case like if "(?i)^LIKE\\s".r.findFirstIn(like.trim).isDefined =>
+            // (LIKE t [INCLUDING ...]) — resolved against the catalog
+            // at execute() time; INCLUDING/EXCLUDING options dropped
+            ("__like__", like.trim.split("\\s+")(1).replace("\"", ""))
+          case cdef =>
           val parts = cdef.trim.split("\\s+", 2)
           require(parts.length == 2, s"cannot parse column def: '$cdef'")
           // strip column constraints after the type — to FIXPOINT, so
           // combined constraints (`int NOT NULL DEFAULT 0`) all come off,
-          // not just the trailing one
+          // not just the trailing one. ENCODING (...) is the AOCO
+          // per-column compression clause (gram.y column_reference_
+          // storage_directive) — parquet already compresses per column.
           val conRe =
-            "(?i)\\s+(not\\s+null|null|default\\s+.*|primary\\s+key|unique|check\\s*\\(.*\\)|references\\s+.*)$"
+            "(?i)\\s+(not\\s+null|null|default\\s+.*|primary\\s+key|unique|check\\s*\\(.*\\)|references\\s+.*|encoding\\s*\\(.*\\))$"
           var typePart = parts(1)
           var prev = ""
           while (typePart != prev) { prev = typePart; typePart = typePart.replaceAll(conRe, "") }
@@ -193,13 +202,33 @@ object GreengageDdl {
         rest = rest.replaceAll("(?is)DISTRIBUTED\\s+(RANDOMLY|REPLICATED)", " ").trim
     }
 
-    // PARTITION BY RANGE|LIST (col) ( ...bound spec... )
+    // PARTITION BY RANGE|LIST (col) [SUBPARTITION BY ... (col)]*
+    // [SUBPARTITION TEMPLATE (...)] ( ...bound spec... ) — multi-level
+    // partitioning (gram.y:5241): every level's column becomes one more
+    // hive partition directory level; bound specs and templates are
+    // subsumed by dynamic partitioning.
     var partitionCols = Seq.empty[String]
     val partRe = "(?is)PARTITION\\s+BY\\s+(RANGE|LIST)\\s*\\(".r
     partRe.findFirstMatchIn(rest).foreach { p =>
       val (cols, after) = balanced(rest, p.end - 1)
       partitionCols = splitTop(cols).map(_.replace("\"", ""))
-      val tail = rest.substring(after).trim
+      var tail = rest.substring(after).trim
+      val subRe = "(?is)^SUBPARTITION\\s+BY\\s+(RANGE|LIST)\\s*\\(".r
+      val tmplRe = "(?is)^SUBPARTITION\\s+TEMPLATE\\s*\\(".r
+      var made = true
+      while (made) {
+        made = false
+        subRe.findFirstMatchIn(tail).foreach { s =>
+          val (sc, sAfter) = balanced(tail, s.end - 1)
+          partitionCols ++= splitTop(sc).map(_.replace("\"", ""))
+          tail = tail.substring(sAfter).trim
+          made = true
+        }
+        tmplRe.findFirstMatchIn(tail).foreach { s =>
+          tail = tail.substring(balanced(tail, s.end - 1)._2).trim
+          made = true
+        }
+      }
       // the START/END/EVERY or value-list spec: skipped (dynamic partitioning)
       rest =
         if (tail.startsWith("(")) tail.substring(balanced(tail, 0)._2).trim
@@ -252,7 +281,13 @@ object GreengageDdl {
 
   /** Parse + execute a Greengage CREATE TABLE against the session catalog. */
   def execute(spark: SparkSession, ddl: String, buckets: Int = 32): TableSpec = {
-    val spec = parse(ddl)
+    var spec = parse(ddl)
+    if (spec.columns.exists(_._1 == "__like__"))
+      spec = spec.copy(columns = spec.columns.flatMap {
+        case ("__like__", ref) =>
+          spark.table(ref).schema.fields.toSeq.map(f => (f.name, f.dataType.sql))
+        case other => Seq(other)
+      })
     spark.sql(toSparkSql(spec, buckets))
     spec
   }

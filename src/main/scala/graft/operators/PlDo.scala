@@ -43,6 +43,7 @@ object PlDo {
   private sealed trait Stmt
   private case class Assign(name: String, expr: String) extends Stmt
   private case class DynExec(expr: String, into: Option[String]) extends Stmt
+  private case class SelectInto(query: String, vars: Seq[String]) extends Stmt
   private case class Perform(query: String) extends Stmt
   private case class Raise(level: String, fmt: String, args: Seq[String]) extends Stmt
   private case class IfStmt(branches: Seq[(String, Seq[Stmt])],
@@ -300,6 +301,19 @@ object PlDo {
           Option(args).map(GreengageDdl.splitTop(_)).getOrElse(Nil))
       case t if t.equalsIgnoreCase("NULL") => SqlStmt("")
       case assign(name, expr) => Assign(name.toLowerCase, expr.trim)
+      case t if phraseAt(t, 0, "SELECT") >= 0 && {
+        val (i, _, _) = findTop(t, 0, Seq("INTO")); i >= 0
+      } =>
+        // SELECT ... INTO v[, v2 ...] [FROM ...] (pl_gram.y INTO
+        // capture): the INTO clause lifts out, the query runs, and the
+        // first row's columns bind positionally
+        val (is, _, ie) = findTop(t, 0, Seq("INTO"))
+        val (fs, _, _) = findTop(t, ie, Seq("FROM", "WHERE", "GROUP", "ORDER"))
+        val tail = if (fs >= 0) " " + t.substring(fs) else ""
+        val vars = GreengageDdl.splitTop(
+          t.substring(ie, if (fs >= 0) fs else t.length))
+          .map(_.trim.toLowerCase)
+        SelectInto(t.substring(0, is) + tail, vars)
       case t => SqlStmt(t)
     }
   }
@@ -383,6 +397,16 @@ object PlDo {
         // a side-effecting or failing column away
         spark.sql(PgSql.rewrite("SELECT " + subst(q, env)))
           .foreach(_ => (): Unit)
+      case SelectInto(q, vars) =>
+        val df = spark.sql(PgSql.rewrite(subst(q, env)))
+        require(vars.length <= df.schema.length,
+          s"SELECT INTO: ${vars.length} variables for ${df.schema.length} columns")
+        val rows = df.limit(1).collect()
+        vars.zipWithIndex.foreach { case (v, i) =>
+          env.vars(v) =
+            if (rows.isEmpty) s"CAST(NULL AS ${df.schema(i).dataType.sql})"
+            else render(rows(0).get(i), df.schema(i).dataType)
+        }
       case DynExec(expr, into) =>
         val sqlText = evalRow(spark, expr, env)._1
         require(sqlText != null, "EXECUTE of NULL statement text")

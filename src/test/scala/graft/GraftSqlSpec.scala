@@ -523,6 +523,36 @@ class GraftSqlSpec extends AnyFunSuite {
     drop("own_t")
   }
 
+  test("SELECT INTO table, CREATE TABLE LIKE, and plpgsql SELECT INTO var") {
+    drop("sel_into_t", "like_t")
+    Tables.register(spark, TestSpark.sf0001)
+    // statement-level SELECT INTO = the pre-CTAS spelling
+    Graft.execute(spark,
+      "SELECT o_orderstatus, COUNT(*) AS n INTO sel_into_t " +
+        "FROM orders GROUP BY o_orderstatus")
+    assert(spark.table("sel_into_t").columns.toSeq ==
+      Seq("o_orderstatus", "n"))
+    assert(spark.table("sel_into_t").count() >= 2)
+    // CREATE TABLE (LIKE t) copies the schema, plus extra columns
+    Graft.execute(spark,
+      "CREATE TABLE like_t (LIKE sel_into_t INCLUDING DEFAULTS, note text) " +
+        "DISTRIBUTED RANDOMLY")
+    assert(spark.table("like_t").columns.toSeq ==
+      Seq("o_orderstatus", "n", "note"))
+    // plpgsql SELECT ... INTO binds the first row's columns
+    val n = graft.operators.PlDo.executeDo(spark,
+      """DO $$
+        |DECLARE total bigint; statuses bigint;
+        |BEGIN
+        |  SELECT SUM(n), COUNT(*) INTO total, statuses FROM sel_into_t;
+        |  RAISE NOTICE 'total=% over %', total, statuses;
+        |END $$;""".stripMargin)
+    val expect = spark.table("orders").count()
+    assert(n.head == s"NOTICE: total=$expect over " +
+      spark.table("sel_into_t").count())
+    drop("sel_into_t", "like_t")
+  }
+
   test("pg_catalog compat: version(), pg_class/pg_tables/pg_attribute, segments") {
     Tables.register(spark, TestSpark.sf0001)
     val v = Graft.execute(spark, "SELECT version()").get.head().getString(0)
