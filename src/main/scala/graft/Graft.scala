@@ -46,7 +46,9 @@ object Graft {
     SparkEntry.queries
 
   private val copyRe =
-    "(?is)^\\s*COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s+(TO|FROM)\\s+'([^']+)'\\s*(WITH\\s*\\(.*\\))?\\s*;?\\s*$".r
+    ("(?is)^\\s*COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s+(TO|FROM)\\s+'([^']+)'\\s*" +
+      "(WITH\\s*\\(.*?\\))?\\s*(LOG\\s+ERRORS)?\\s*" +
+      "(?:SEGMENT\\s+REJECT\\s+LIMIT\\s+(\\d+)\\s*(ROWS|PERCENT)?)?\\s*;?\\s*$").r
   private val copyProgRe =
     "(?is)^\\s*COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s+(TO|FROM)\\s+PROGRAM\\s+'([^']+)'\\s*(WITH\\s*\\(.*\\))?\\s*;?\\s*$".r
   private val deleteRe = "(?is)^\\s*DELETE\\s+FROM\\s+([\\w.\"]+)(.*)$".r
@@ -194,12 +196,21 @@ object Graft {
       if (words.exists(_.equalsIgnoreCase("ANALYZE")))
         spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
       None
-    } else if (is("(?is)^EXPLAIN\\s+ANALYZE\\b")) {
+    } else if (is("(?is)^EXPLAIN\\s+ANALYZE\\b") ||
+        is("(?is)^EXPLAIN\\s*\\([^)]*\\bANALYZE\\b")) {
       // commands/explain.c with instrumentation: run the query and
-      // surface per-operator runtime metrics as rows
+      // surface per-operator runtime metrics as rows. Covers both the
+      // legacy EXPLAIN ANALYZE and the PG 9+ parenthesized
+      // EXPLAIN (ANALYZE [, option...]) spellings.
       Some(operators.ExplainAnalyze.runAsDataFrame(spark.sql(
-        operators.PgSql.rewrite(
-          stripSemi(t).replaceFirst("(?is)^EXPLAIN\\s+ANALYZE\\s+", "")))))
+        operators.PgSql.rewrite(stripSemi(t)
+          .replaceFirst("(?is)^EXPLAIN\\s*\\([^)]*\\)\\s*", "")
+          .replaceFirst("(?is)^EXPLAIN\\s+ANALYZE\\s+", "")))))
+    } else if (is("(?is)^EXPLAIN\\s*\\(")) {
+      // parenthesized non-ANALYZE options (COSTS, VERBOSE, FORMAT):
+      // Spark's EXPLAIN renders its own format — options drop
+      Some(spark.sql("EXPLAIN " + operators.PgSql.rewrite(stripSemi(t)
+        .replaceFirst("(?is)^EXPLAIN\\s*\\([^)]*\\)\\s*", ""))))
     } else if (is("(?is)^PREPARE\\b")) {
       // prepared statements (commands/prepare.c); EXECUTE re-enters the
       // router so any verb can be prepared
@@ -437,10 +448,33 @@ object Graft {
     } else {
       val table = target.replace("\"", "")
       require(!target.startsWith("("), "COPY FROM needs a table target")
-      spark.read.schema(spark.table(table).schema)
-        .option("header", header.toString).option("sep", delim)
-        .option("nullValue", nullTok).csv(path)
-        .write.mode("append").insertInto(table)
+      val schema = spark.table(table).schema
+      (Option(m.group(6)), Option(m.group(5))) match {
+        case (None, None) =>
+          spark.read.schema(schema)
+            .option("header", header.toString).option("sep", delim)
+            .option("nullValue", nullTok).csv(path)
+            .write.mode("append").insertInto(table)
+        case (limit, logErrors) =>
+          // Greengage COPY SREH (cdbsreh.c): tolerate up to N bad rows
+          // (or N percent), load the rest; LOG ERRORS registers the
+          // queryable <table>_errors view, like external tables
+          val res = limit match {
+            case Some(n) if m.group(7) != null &&
+                m.group(7).equalsIgnoreCase("PERCENT") =>
+              operators.Sreh.readCsvPercent(spark, path, schema,
+                n.toDouble, header, delim)
+            case Some(n) =>
+              operators.Sreh.readCsv(spark, path, schema, n.toLong,
+                header, delim, nullTok)
+            case None => // bare LOG ERRORS: strict limit, log anyway
+              operators.Sreh.readCsv(spark, path, schema, 0L, header,
+                delim, nullTok)
+          }
+          res.good.write.mode("append").insertInto(table)
+          if (logErrors.isDefined)
+            res.errorLog.createOrReplaceTempView(s"${table}_errors")
+      }
     }
   }
 }

@@ -206,7 +206,7 @@ object ExternalTable {
         require(spec.locations.forall(_.matches("(?i)^file://.*")),
           s"unsupported LOCATION protocol: ${spec.locations.head}")
         Sreh.readCsvPaths(spark, spec.locations.map(filePath), spec.schema,
-          limit, spec.header, spec.delimiter)
+          limit, spec.header, spec.delimiter, spec.nullToken)
     }
     spec.rejectPercent.foreach { pct =>
       val total = res.good.count() + res.rejected

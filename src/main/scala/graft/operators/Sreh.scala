@@ -41,9 +41,11 @@ object Sreh {
     * the load fails when rejects exceed `pct` percent of the input rows
     * seen, instead of an absolute count. */
   def readCsvPercent(spark: SparkSession, path: String, schema: StructType,
-                     pct: Double, header: Boolean = false): SrehResult = {
+                     pct: Double, header: Boolean = false,
+                     delimiter: String = ","): SrehResult = {
     require(pct > 0 && pct <= 100, s"reject percent out of range: $pct")
-    val res = readCsv(spark, path, schema, rejectLimit = Long.MaxValue, header)
+    val res = readCsv(spark, path, schema, rejectLimit = Long.MaxValue, header,
+      delimiter)
     val total = res.good.count() + res.rejected
     if (total > 0 && res.rejected * 100.0 > pct * total)
       throw RejectLimitExceeded(res.rejected, math.ceil(pct * total / 100.0).toLong)
@@ -52,21 +54,24 @@ object Sreh {
 
   def readCsv(spark: SparkSession, path: String, schema: StructType,
               rejectLimit: Long, header: Boolean = false,
-              delimiter: String = ","): SrehResult =
-    readCsvPaths(spark, Seq(path), schema, rejectLimit, header, delimiter)
+              delimiter: String = ",", nullToken: String = ""): SrehResult =
+    readCsvPaths(spark, Seq(path), schema, rejectLimit, header, delimiter,
+      nullToken)
 
   /** Multi-location form (a `LOCATION('file://h/a', 'file://h/b')`
     * external table is one logical table over several files). */
   def readCsvPaths(spark: SparkSession, paths: Seq[String],
                    schema: StructType, rejectLimit: Long,
                    header: Boolean = false,
-                   delimiter: String = ","): SrehResult = {
+                   delimiter: String = ",",
+                   nullToken: String = ""): SrehResult = {
     val corrupt = "_corrupt_record"
     val withCorrupt = schema.add(corrupt, StringType)
     val parsed = spark.read
       .option("mode", "PERMISSIVE")
       .option("header", header.toString)
       .option("sep", delimiter)
+      .option("nullValue", nullToken)
       .option("columnNameOfCorruptRecord", corrupt)
       .schema(withCorrupt)
       .csv(paths: _*)

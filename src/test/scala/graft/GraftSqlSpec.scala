@@ -523,6 +523,44 @@ class GraftSqlSpec extends AnyFunSuite {
     drop("own_t")
   }
 
+  test("COPY FROM with SREH reject limit; EXPLAIN option spellings") {
+    drop("copy_sreh_t")
+    Graft.execute(spark,
+      "CREATE TABLE copy_sreh_t (k int, v text) DISTRIBUTED RANDOMLY")
+    val dir = new java.io.File("target/test-copy-sreh")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "in.csv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try {
+      w.println("1|a"); w.println("junk_row"); w.println("2|NA"); w.println("3|c")
+    } finally w.close()
+    Graft.execute(spark,
+      s"COPY copy_sreh_t FROM '${f.getAbsolutePath}' " +
+        "WITH (DELIMITER '|', NULL 'NA') " +
+        "LOG ERRORS SEGMENT REJECT LIMIT 2 ROWS")
+    assert(spark.table("copy_sreh_t").count() == 3)
+    // the NULL token applied under SREH; the bad row landed in the log
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM copy_sreh_t WHERE v IS NULL").head().getLong(0) == 1)
+    assert(spark.table("copy_sreh_t_errors").count() == 1)
+    // over the limit → the load fails
+    intercept[graft.operators.Sreh.RejectLimitExceeded] {
+      Graft.execute(spark,
+        s"COPY copy_sreh_t FROM '${f.getAbsolutePath}' " +
+          "WITH (DELIMITER '|') SEGMENT REJECT LIMIT 0 ROWS")
+    }
+    // EXPLAIN (ANALYZE) routes to instrumented metrics; EXPLAIN (COSTS
+    // OFF) falls back to Spark's plan rendering
+    assert(Graft.execute(spark,
+      "EXPLAIN (ANALYZE, COSTS OFF) SELECT COUNT(*) FROM copy_sreh_t")
+      .get.count() > 0)
+    val plan = Graft.execute(spark,
+      "EXPLAIN (COSTS OFF) SELECT COUNT(*) FROM copy_sreh_t")
+      .get.head().getString(0)
+    assert(plan.contains("Aggregate"))
+    drop("copy_sreh_t")
+  }
+
   test("SELECT INTO table, CREATE TABLE LIKE, and plpgsql SELECT INTO var") {
     drop("sel_into_t", "like_t")
     Tables.register(spark, TestSpark.sf0001)
