@@ -214,6 +214,100 @@ object TextAnalysis {
     * phone patterns → typed placeholders. One codegen regexp_replace
     * chain; the patterns are written in the Java-regex ∩ RE2 dialect so
     * the oracle replays them verbatim. */
+  /** Train a BPE merge table (Sennrich et al. 2016, the published
+    * subword algorithm) over a corpus. Scale shape is the one real BPE
+    * trainers use: the corpus contributes exactly ONE distributed
+    * word-frequency aggregation (unique words are bounded by the
+    * language, not the corpus — `maxDict` caps the tail), and the
+    * merge loop then runs on the driver over that dictionary, each
+    * round a pair-count + merge over ≤ maxDict short arrays. Returns
+    * merges in rank order. Deterministic: ties break on (count desc,
+    * pair lexicographic asc), so the same corpus always yields the
+    * same vocabulary. */
+  def bpeTrain(docs: DataFrame, textCol: String = "text",
+               numMerges: Int = 200, maxDict: Int = 200000): Seq[(String, String)] = {
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(maxDict)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var dict: Array[(Array[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString).toArray :+ EndOfWord, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- dict; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + c
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        dict = dict.map { case (syms, c) => (mergePair(syms, best), c) }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  val EndOfWord = "</w>"
+
+  private def mergePair(syms: Array[String],
+                        pair: (String, String)): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Greedy BPE encode of one word against a rank table: repeatedly
+    * merge the lowest-rank adjacent pair (the published encode loop). */
+  def bpeEncodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = word.map(_.toString).toArray :+ EndOfWord
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = i }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else syms = mergePair(syms, (syms(bestAt), syms(bestAt + 1)))
+    }
+    syms
+  }
+
+  /** Tokenize a text column with a trained merge table: one array of
+    * subword tokens per row. The ranks map ships once per executor in
+    * the closure — per-row work only, no shuffle. */
+  def withBpeTokens(docs: DataFrame, merges: Seq[(String, String)],
+                    textCol: String = "text",
+                    out: String = "bpe_tokens"): DataFrame = {
+    val ranks = merges.zipWithIndex.toMap
+    val enc = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else "[^\\p{L}\\p{N}]+".r.split(text.toLowerCase)
+        .filter(_.nonEmpty)
+        .flatMap(w => bpeEncodeWord(w, ranks))
+    }
+    docs.withColumn(out, enc(col(textCol)))
+  }
+
   def piiScrub(text: Column): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

@@ -309,6 +309,21 @@ object PipelineQueries {
               |FROM ext_catalog_demo GROUP BY tag""".stripMargin)
     }),
 
+    // BPE tokenizer training + encoding (the published subword-merge
+    // algorithm): ONE distributed word-count aggregation feeds a
+    // driver-side merge loop over the bounded dictionary — the scale
+    // shape production BPE trainers use — then the learned table
+    // tokenizes the corpus per-row. Engine-defined output (no SQL
+    // oracle can replay the merge recursion): rows-only here, the
+    // known-answer + determinism assertions live in OperatorSpec.
+    "q223_bpe_tokenize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.TextAnalysis.bpeTrain(docs, numMerges = 80)
+      graft.operators.TextAnalysis.withBpeTokens(docs, merges)
+        .select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe"),
+          col("n_chars"))
+    }),
+
     // Bloom-filter decontamination (the at-scale variant of the exact
     // n-gram path): a bloom over the "benchmark" texts broadcasts to
     // the corpus scan, clean rows pass map-side, bloom-positives do

@@ -761,6 +761,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(probePlan.count() < 2000) // the filter really prunes
   }
 
+  test("BPE training matches the published example; encode is exact") {
+    import graft.operators.TextAnalysis
+    // the worked example corpus from the subword-NMT paper: the first
+    // merges must be (e,s), (es,t), (est,</w>), then (l,o) by the
+    // deterministic (count desc, pair asc) tie-break
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, corpus)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, numMerges = 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")))
+    // greedy encode applies merges by rank; unseen words still tokenize
+    val ranks = merges.zipWithIndex.toMap
+    assert(TextAnalysis.bpeEncodeWord("lowest", ranks).toSeq ==
+      Seq("lo", "w", "est</w>"))
+    assert(TextAnalysis.bpeEncodeWord("low", ranks).toSeq ==
+      Seq("lo", "w", "</w>"))
+    // corpus-level: tokens reconstruct the normalized text exactly
+    val toks = TextAnalysis.withBpeTokens(docs, merges).select("bpe_tokens")
+      .head().getSeq[String](0)
+    assert(toks.mkString("").replace("</w>", " ").trim ==
+      corpus.toLowerCase)
+    // determinism: retraining yields the identical table
+    assert(TextAnalysis.bpeTrain(docs, numMerges = 4) == merges)
+    // more merges never increase the token count (compression quality)
+    val docs2 = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val m0 = TextAnalysis.withBpeTokens(docs2, Nil)
+      .agg(sum(size($"bpe_tokens"))).head().getLong(0)
+    val m50 = TextAnalysis.withBpeTokens(docs2,
+        TextAnalysis.bpeTrain(docs2, numMerges = 50))
+      .agg(sum(size($"bpe_tokens"))).head().getLong(0)
+    assert(m50 < m0, s"50 merges should compress: $m50 !< $m0")
+  }
+
   test("text quality features handle empty and punct-only text") {
     val docs = Seq((1L, ""), (2L, "..."), (3L, "the cat sat."))
       .toDF("doc_id", "text")
