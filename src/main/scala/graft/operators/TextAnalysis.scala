@@ -214,6 +214,71 @@ object TextAnalysis {
     * phone patterns → typed placeholders. One codegen regexp_replace
     * chain; the patterns are written in the Java-regex ∩ RE2 dialect so
     * the oracle replays them verbatim. */
+  /** Train a character-trigram language model for perplexity-based
+    * quality filtering (the CCNet-style filter, Wenzek et al. 2020 —
+    * there an external KenLM; here a self-contained Katz-less add-one
+    * model so the whole pipeline stays in-engine). Distributed shape:
+    * ONE shuffle to count trigrams over the reference corpus, the
+    * model truncated to `maxNgrams` most-frequent entries (a bounded
+    * broadcast, like every dictionary here), scoring then per-row.
+    * Returns (trigram → count, bigram-context → count, vocabSize). */
+  def charLmTrain(reference: DataFrame, textCol: String = "text",
+                  maxNgrams: Int = 500000):
+      (Map[String, Long], Map[String, Long], Int) = {
+    val tri = reference
+      .select(explode(charNgrams(col(textCol), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g").asc).limit(maxNgrams)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val trigrams = tri.toMap
+    val contexts = tri.groupBy(_._1.substring(0, 2))
+      .map { case (ctx, gs) => (ctx, gs.map(_._2).sum) }
+    val vocab = tri.map(_._1.substring(2)).distinct.length.max(1)
+    (trigrams, contexts, vocab)
+  }
+
+  /** `charNgrams(text, n)`: normalized character n-grams (lowercased,
+    * runs of non-alphanumerics collapsed to one space) as a column.
+    * HOF-built (interpreted) — used on the one-shot training side
+    * only; the per-row scorer is a plain closure. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " ")
+    transform(
+      sequence(lit(1), greatest(length(norm) - (n - 1), lit(0))),
+      i => norm.substr(i, lit(n)))
+  }
+
+  /** Score documents by add-one-smoothed trigram perplexity against a
+    * trained model: low = looks like the reference corpus, high =
+    * boilerplate/garbled/other-language. Per-row work against the
+    * broadcast counts; no shuffle. */
+  def withPerplexity(docs: DataFrame,
+                     model: (Map[String, Long], Map[String, Long], Int),
+                     textCol: String = "text",
+                     out: String = "perplexity"): DataFrame = {
+    val (trigrams, contexts, vocab) = model
+    val score = udf { (text: String) =>
+      if (text == null) Double.MaxValue
+      else {
+        val norm = text.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", " ")
+        var logp = 0.0
+        var n = 0
+        var i = 0
+        while (i + 3 <= norm.length) {
+          val g = norm.substring(i, i + 3)
+          val ctx = g.substring(0, 2)
+          val num = trigrams.getOrElse(g, 0L) + 1.0
+          val den = contexts.getOrElse(ctx, 0L) + vocab.toDouble
+          logp += math.log(num / den)
+          n += 1
+          i += 1
+        }
+        if (n == 0) Double.MaxValue else math.exp(-logp / n)
+      }
+    }
+    docs.withColumn(out, score(col(textCol)))
+  }
+
   /** Train a BPE merge table (Sennrich et al. 2016, the published
     * subword algorithm) over a corpus. Scale shape is the one real BPE
     * trainers use: the corpus contributes exactly ONE distributed

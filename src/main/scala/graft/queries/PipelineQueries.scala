@@ -309,6 +309,20 @@ object PipelineQueries {
               |FROM ext_catalog_demo GROUP BY tag""".stripMargin)
     }),
 
+    // Perplexity quality filter (CCNet-shape, self-contained trigram
+    // LM): train on the English slice, score every document — other
+    // languages and garbled text surface as high perplexity. Model
+    // floats are engine-defined → rows-only; the separation assertions
+    // live in OperatorSpec.
+    "q224_perplexity_filter" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.TextAnalysis.charLmTrain(
+        docs.where(col("lang") === "en"))
+      graft.operators.TextAnalysis.withPerplexity(docs, model)
+        .select(col("doc_id"), col("lang"),
+          round(col("perplexity"), 3).as("ppl"))
+    }),
+
     // BPE tokenizer training + encoding (the published subword-merge
     // algorithm): ONE distributed word-count aggregation feeds a
     // driver-side merge loop over the bounded dictionary — the scale

@@ -761,6 +761,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(probePlan.count() < 2000) // the filter really prunes
   }
 
+  test("trigram perplexity separates reference-like text from noise") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val en = docs.where($"lang" === "en")
+    val model = TextAnalysis.charLmTrain(en)
+    // English-vs-noise margin on held-out style strings
+    val probe = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "zqxj wvkp qzzt xjvw kpqz ztxj vwkp qzzt")).toDF("doc_id", "text")
+    val scores = TextAnalysis.withPerplexity(probe, model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) < scores(2L),
+      s"noise must score higher perplexity: $scores")
+    // corpus-level: the training language scores lower than others
+    val byLang = TextAnalysis.withPerplexity(docs, model)
+      .groupBy("lang").agg(avg($"perplexity").as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byLang("en") < byLang("zh") && byLang("en") < byLang("de"),
+      s"en must look most reference-like: $byLang")
+    // deterministic model: same counts both times
+    assert(TextAnalysis.charLmTrain(en)._1 == model._1)
+  }
+
   test("BPE training matches the published example; encode is exact") {
     import graft.operators.TextAnalysis
     // the worked example corpus from the subword-NMT paper: the first
