@@ -14,6 +14,19 @@ object WindowQueries {
 
   val queries: Map[String, QueryFn] = Map(
 
+    // Named WINDOW clause (gram.y window_clause): one definition, two
+    // over-references — both engines parse the same text.
+    "q225_named_window" -> ((s, d) => sql(s, d,
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS running,
+        |  ROW_NUMBER() OVER w AS rn
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+        .stripMargin)),
+
     // Ranking family with ties: rank vs dense_rank diverge on equal acctbal.
     "q60_window_rank" -> ((s, d) => {
       val w = Window.partitionBy("c_nationkey")
@@ -199,6 +212,16 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q225_named_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS running,
+        |  ROW_NUMBER() OVER w AS rn
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
     "q126_window_filter" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
