@@ -90,6 +90,15 @@ object Graft {
     -1
   }
 
+  /** Parse one `table [AS] [alias]` FROM/USING item → (table, alias). */
+  private def parseFromItem(text: String): (String, String) = {
+    val m = "(?is)^\\s*([\\w.\"]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s*$".r
+      .findFirstMatchIn(text).getOrElse(throw new IllegalArgumentException(
+        s"cannot parse FROM/USING item (one table [alias]): $text"))
+    val name = m.group(1).replace("\"", "")
+    (name, Option(m.group(2)).getOrElse(name))
+  }
+
   /** Split a DML tail at its top-level RETURNING clause (gram.y
     * returning_clause): (textBefore, Some(selectItems)) or (text,
     * None). Items are PgSql-rewritten select expressions. */
@@ -317,12 +326,25 @@ object Graft {
         throw new IllegalArgumentException(s"cannot parse DELETE: $t"))
       val (rest, returning) = splitReturning(m.group(2))
       val w = topKeyword(rest, "WHERE")
+      val u = topKeyword(rest, "USING")
+      val table = m.group(1).replace("\"", "")
+      if (u >= 0) {
+        // DELETE FROM t USING s [alias] WHERE join-cond (gram.y
+        // using_clause) → anti join; RETURNING unsupported here
+        require(returning.isEmpty, "RETURNING with USING is not supported")
+        require(w > u, s"DELETE USING needs a WHERE join condition: $t")
+        val (src, alias) = parseFromItem(rest.substring(u + "USING".length, w))
+        operators.Dml.deleteUsing(spark, table, table,
+          spark.table(src).alias(alias),
+          org.apache.spark.sql.functions.expr(
+            operators.PgSql.rewrite(rest.substring(w + "WHERE".length))))
+        return None
+      }
       require(rest.trim.isEmpty || w >= 0, s"cannot parse DELETE tail: $rest")
       val cond =
         if (w >= 0) org.apache.spark.sql.functions.expr(
           operators.PgSql.rewrite(rest.substring(w + "WHERE".length)))
         else org.apache.spark.sql.functions.lit(true)
-      val table = m.group(1).replace("\"", "")
       // RETURNING sees the deleted rows' OLD image — materialized
       // BEFORE the staged swap replaces the files under the plan
       val ret = returning.map(items =>
@@ -337,12 +359,28 @@ object Graft {
       // locate the top-level WHERE: one inside a SET literal or a
       // subquery must not cut the statement
       val w = topKeyword(rest, "WHERE")
-      val setPart = if (w >= 0) rest.substring(0, w) else rest
+      val f = topKeyword(rest, "FROM")
+      val setPart =
+        if (f >= 0) rest.substring(0, f)
+        else if (w >= 0) rest.substring(0, w) else rest
       val assignments = operators.GreengageDdl.splitTop(setPart).map { a =>
         val Array(k, v) = a.split("=", 2)
         k.trim.replace("\"", "") ->
           org.apache.spark.sql.functions.expr(operators.PgSql.rewrite(v.trim))
       }.toMap
+      if (f >= 0) {
+        // UPDATE t SET ... FROM s [alias] WHERE join-cond (gram.y
+        // from_clause on UPDATE) → join-update
+        require(returning.isEmpty, "RETURNING with FROM is not supported")
+        require(w > f, s"UPDATE ... FROM needs a WHERE join condition: $t")
+        val (src, alias) = parseFromItem(rest.substring(f + "FROM".length, w))
+        operators.Dml.updateFrom(spark, m.group(1).replace("\"", ""),
+          m.group(1).replace("\"", ""), spark.table(src).alias(alias),
+          org.apache.spark.sql.functions.expr(
+            operators.PgSql.rewrite(rest.substring(w + "WHERE".length))),
+          assignments)
+        return None
+      }
       val cond =
         if (w >= 0) org.apache.spark.sql.functions.expr(
           operators.PgSql.rewrite(rest.substring(w + "WHERE".length)))

@@ -95,6 +95,57 @@ object Dml {
     }
   }
 
+  /** `DELETE FROM t USING s WHERE cond` (PG's join-delete): rows with
+    * ANY matching source row go away — exactly an anti join, the plan
+    * Spark would pick for NOT EXISTS. The whole table rewrites (the
+    * predicate spans the join, so no partition pruning shortcut). */
+  def deleteUsing(spark: SparkSession, table: String, targetAlias: String,
+                  source: DataFrame, cond: Column): Long = {
+    val t = spark.table(table).alias(targetAlias)
+    val before = spark.table(table).count()
+    val (kept, _) = stagedSwap(spark, table, t.join(source, cond, "left_anti"),
+      partitionColumns(spark, table), dynamic = false)
+    before - kept
+  }
+
+  /** `UPDATE t SET ... FROM s WHERE cond` (PG's join-update): target
+    * rows joined to the source take the assignments, which may
+    * reference source columns through the statement's aliases. PG uses
+    * an arbitrary source row when several match; here the pick is the
+    * lexicographically smallest source row per target row, so retries
+    * and re-runs agree. Target rows are identified by scan order
+    * (deterministic for a fixed parquet file set) — the one extra pass
+    * a join-update fundamentally needs on copy-on-write storage. */
+  def updateFrom(spark: SparkSession, table: String, targetAlias: String,
+                 source: DataFrame, cond: Column,
+                 assignments: Map[String, Column]): Long = {
+    val t0 = spark.table(table)
+    val withId = spark.createDataFrame(
+      t0.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      t0.schema.add("__rid", org.apache.spark.sql.types.LongType))
+      .alias(targetAlias)
+    val s = source.withColumn("__s", lit(true))
+    val joined = withId.join(s, cond, "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rid"))
+      .orderBy(source.columns.map(c => s.col(c).asc_nulls_last).toSeq: _*)
+    val picked = joined
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    val matched = col("__s").isNotNull
+    val n = picked.where(matched).count()
+    val result = picked.select(t0.columns.map { c =>
+      assignments.get(c) match {
+        case Some(v) => when(matched, v)
+          .otherwise(col(s"$targetAlias.$c")).as(c)
+        case None => col(s"$targetAlias.$c").as(c)
+      }
+    }.toIndexedSeq: _*)
+    stagedSwap(spark, table, result, partitionColumns(spark, table),
+      dynamic = false)
+    n
+  }
+
   final case class MergeResult(updated: Long, deleted: Long, inserted: Long)
 
   /** MERGE INTO target USING source ON equi-keys (the PG 15 / SQL:2003

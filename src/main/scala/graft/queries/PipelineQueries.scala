@@ -309,6 +309,39 @@ object PipelineQueries {
               |FROM ext_catalog_demo GROUP BY tag""".stripMargin)
     }),
 
+    // UPDATE ... FROM + DELETE ... USING (PG's join DML, gram.y
+    // from_clause/using_clause): prices bumped by the matching rich
+    // customer's balance, then poor customers' orders join-deleted; the
+    // oracle replays both joins declaratively. The update join key is
+    // unique (customer PK), so the multi-match pick rule never fires.
+    "q226_join_dml" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      s.sql("DROP TABLE IF EXISTS jdml_orders_rt")
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(wh, "jdml_orders_rt"))
+      s.table("orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.saveAsTable("jdml_orders_rt")
+      s.table("customer").where(col("c_acctbal") > 9000.0)
+        .select("c_custkey", "c_acctbal")
+        .createOrReplaceTempView("jdml_rich_cust")
+      s.table("customer").where(col("c_acctbal") < 100.0)
+        .select("c_custkey")
+        .createOrReplaceTempView("jdml_poor_cust")
+      graft.Graft.execute(s,
+        "UPDATE jdml_orders_rt SET o_totalprice = o_totalprice + rc.c_acctbal " +
+          "FROM jdml_rich_cust rc WHERE jdml_orders_rt.o_custkey = rc.c_custkey")
+      graft.Graft.execute(s,
+        "DELETE FROM jdml_orders_rt USING jdml_poor_cust pc " +
+          "WHERE jdml_orders_rt.o_custkey = pc.c_custkey")
+      s.table("jdml_orders_rt").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
+    }),
+
     // Perplexity quality filter (CCNet-shape, self-contained trigram
     // LM): train on the English slice, score every document — other
     // languages and garbled text surface as high perplexity. Model
@@ -1104,6 +1137,21 @@ object PipelineQueries {
         |  CAST(CASE WHEN fmt = 3 THEN 0 ELSE g * (w * h - 1) + 255 END AS BIGINT) AS sum_g,
         |  CAST(CASE WHEN fmt = 3 THEN 0 ELSE b * (w * h - 1) + 255 END AS BIGINT) AS sum_b
         |FROM m""".stripMargin,
+    // the join DML replayed declaratively: LEFT JOIN applies the
+    // update where matched, NOT IN applies the delete
+    "q226_join_dml" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN c.c_custkey IS NOT NULL
+        |         THEN o_totalprice + c.c_acctbal ELSE o_totalprice END AS p
+        |  FROM orders LEFT JOIN
+        |    (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0) c
+        |    ON o_custkey = c.c_custkey),
+        |del AS (SELECT * FROM upd WHERE o_custkey NOT IN
+        |        (SELECT c_custkey FROM customer WHERE c_acctbal < 100.0))
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM del GROUP BY 1""".stripMargin,
     // bloom pruning is exact after candidate verification → plain NOT IN
     "q222_bloom_decontam" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -523,6 +523,41 @@ class GraftSqlSpec extends AnyFunSuite {
     drop("own_t")
   }
 
+  test("UPDATE ... FROM and DELETE ... USING route to join DML") {
+    drop("jdml_t", "jdml_src")
+    Graft.execute(spark,
+      "CREATE TABLE jdml_t (k int, v text, amt float8) DISTRIBUTED RANDOMLY")
+    spark.sql("INSERT INTO jdml_t VALUES " +
+      "(1,'a',10.0),(2,'b',20.0),(3,'c',30.0),(4,'d',40.0)")
+    Graft.execute(spark,
+      "CREATE TABLE jdml_src (k int, bump float8) DISTRIBUTED RANDOMLY")
+    spark.sql("INSERT INTO jdml_src VALUES (1, 5.0), (3, 7.0), (99, 1.0)")
+    // join-update: assignments see the source through its alias
+    Graft.execute(spark,
+      "UPDATE jdml_t SET amt = amt + s.bump FROM jdml_src s " +
+        "WHERE jdml_t.k = s.k")
+    assert(spark.sql("SELECT k, amt FROM jdml_t ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((1, 15.0), (2, 20.0), (3, 37.0), (4, 40.0)))
+    // several matching source rows: the lexicographically smallest
+    // source row wins, deterministically
+    spark.sql("INSERT INTO jdml_src VALUES (2, 9.0), (2, 3.0)")
+    Graft.execute(spark,
+      "UPDATE jdml_t SET amt = s.bump FROM jdml_src s WHERE jdml_t.k = s.k " +
+        "AND jdml_t.k = 2")
+    assert(spark.sql("SELECT amt FROM jdml_t WHERE k = 2").head()
+      .getDouble(0) == 3.0)
+    // join-delete: ANY matching source row deletes — k=2 goes too
+    // (its (2, 9.0) source row passes bump > 6 even though (2, 3.0)
+    // was the update's pick)
+    Graft.execute(spark,
+      "DELETE FROM jdml_t USING jdml_src s " +
+        "WHERE jdml_t.k = s.k AND s.bump > 6")
+    assert(spark.sql("SELECT k FROM jdml_t ORDER BY k").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 4))
+    drop("jdml_t", "jdml_src")
+  }
+
   test("COPY FROM with SREH reject limit; EXPLAIN option spellings") {
     drop("copy_sreh_t")
     Graft.execute(spark,
