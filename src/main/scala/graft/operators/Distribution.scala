@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.{Column, DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-design surface mirroring the reference's distribution DDL
   * (`DISTRIBUTED BY (cols)` / `RANDOMLY` / `REPLICATED`,
@@ -45,6 +45,28 @@ object Distribution {
       .partitionBy(partitionCols: _*).saveAsTable(name)
 
   /** ANALYZE → CBO stats (reference `commands/analyze.c` → pg_statistic). */
+  /** Data-skew report for a distribution key — the gp_toolkit
+    * `gp_skew_coefficients` diagnostic (reference
+    * `gpMgmt/../gp_toolkit.sql` skew views): rows per segment under
+    * the key's hash distribution, plus the coefficient of variation
+    * (stddev/mean, in percent) that gp_toolkit reports. One
+    * aggregation; the per-segment histogram is `segments` rows. */
+  def skewReport(df: DataFrame, segments: Int,
+                 keys: String*): DataFrame =
+    skewReportBy(df, pmod(hash(keys.map(col): _*), lit(segments)))
+
+  /** Same report over an explicit segment expression (the catalog row
+    * uses a modulo key so the DuckDB oracle can replay it — murmur
+    * segment ids are engine-specific). */
+  def skewReportBy(df: DataFrame, segmentCol: Column): DataFrame =
+    df.groupBy(segmentCol.as("segment"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        round(stddev_pop(col("n")) / avg(col("n")) * 100.0, 4)
+          .as("skew_coeff_pct"),
+        min(col("n")).as("min_rows"), max(col("n")).as("max_rows"),
+        count(lit(1)).as("segments_hit"))
+
   def analyze(spark: SparkSession, table: String, cols: Seq[String]): Unit =
     spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
 }

@@ -309,6 +309,14 @@ object PipelineQueries {
               |FROM ext_catalog_demo GROUP BY tag""".stripMargin)
     }),
 
+    // gp_toolkit skew diagnostics (gp_skew_coefficients): rows per
+    // segment under the distribution key + the coefficient of
+    // variation. A modulo segment function here so DuckDB can replay
+    // it — the murmur variant is the same aggregation.
+    "q227_skew_report" -> ((s, d) =>
+      graft.operators.Distribution.skewReportBy(
+        t(s, d, "orders"), pmod(col("o_custkey"), lit(32)))),
+
     // UPDATE ... FROM + DELETE ... USING (PG's join DML, gram.y
     // from_clause/using_clause): prices bumped by the matching rich
     // customer's balance, then poor customers' orders join-deleted; the
@@ -1137,6 +1145,13 @@ object PipelineQueries {
         |  CAST(CASE WHEN fmt = 3 THEN 0 ELSE g * (w * h - 1) + 255 END AS BIGINT) AS sum_g,
         |  CAST(CASE WHEN fmt = 3 THEN 0 ELSE b * (w * h - 1) + 255 END AS BIGINT) AS sum_b
         |FROM m""".stripMargin,
+    // per-segment counts are exact ints; the coefficient rounds to 4dp
+    "q227_skew_report" ->
+      """WITH seg AS (SELECT o_custkey % 32 AS segment, COUNT(*) AS n
+        |             FROM orders GROUP BY 1)
+        |SELECT ROUND(stddev_pop(n) / avg(n) * 100.0, 4) AS skew_coeff_pct,
+        |  MIN(n) AS min_rows, MAX(n) AS max_rows, COUNT(*) AS segments_hit
+        |FROM seg""".stripMargin,
     // the join DML replayed declaratively: LEFT JOIN applies the
     // update where matched, NOT IN applies the delete
     "q226_join_dml" ->

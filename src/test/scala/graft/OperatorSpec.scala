@@ -761,6 +761,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(probePlan.count() < 2000) // the filter really prunes
   }
 
+  test("skew report: a hot key shows a higher coefficient than a uniform one") {
+    import graft.operators.Distribution
+    val uniform = (1L to 6400L).map(i => (i, i % 7)).toDF("k", "hot")
+    val skewed = uniform.withColumn("hot",
+      when($"k" % 10 === 0, $"hot").otherwise(lit(0L)))
+    def coeff(df: org.apache.spark.sql.DataFrame, key: String): Double =
+      Distribution.skewReport(df, 32, key).head().getDouble(0)
+    assert(coeff(uniform, "k") < 20.0, "uniform key should be near-flat")
+    assert(coeff(skewed, "hot") > coeff(uniform, "k") * 5,
+      "hot key must dominate the coefficient")
+  }
+
   test("trigram perplexity separates reference-like text from noise") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
