@@ -405,6 +405,7 @@ object GreengageDdl {
     case alterRenameRe(from, to) =>
       spark.sql(s"ALTER TABLE ${from.replace("\"", "")} RENAME TO ${to.replace("\"", "")}")
     case alterDistRe(name, distClause) =>
+      val table = name.replace("\"", "")
       val prop =
         if ("(?is)DISTRIBUTED\\s+REPLICATED".r.findFirstIn(distClause).isDefined)
           "replicated"
@@ -414,12 +415,44 @@ object GreengageDdl {
           val b = "(?is)DISTRIBUTED\\s+BY\\s*\\(".r.findFirstMatchIn(distClause)
             .getOrElse(throw new IllegalArgumentException(
               s"cannot parse distribution clause: $distClause"))
-          s"hash:${splitTop(balanced(distClause, b.end - 1)._1).mkString(",")}"
+          val keys = splitTop(balanced(distClause, b.end - 1)._1)
+            .map(_.replace("\"", ""))
+          // the reference physically redistributes on SET DISTRIBUTED
+          // BY (tablecmds.c ATExecSetDistributedBy → data movement);
+          // the Spark analog is a bucketed rewrite, so joins/aggs on
+          // the new key plan exchange-free afterwards
+          redistribute(spark, table, keys, buckets = 32)
+          s"hash:${keys.mkString(",")}"
         }
-      spark.sql(s"ALTER TABLE ${name.replace("\"", "")} " +
+      spark.sql(s"ALTER TABLE $table " +
         s"SET TBLPROPERTIES ('graft.distribution'='$prop')")
     case other =>
       throw new IllegalArgumentException(s"unsupported ALTER TABLE form: $other")
+  }
+
+  /** Rewrite a table bucketed on `keys`: CTAS into a staging table
+    * with the new bucket spec, then swap names — Spark bucket layout
+    * is fixed at write time, so redistribution IS a rewrite (the same
+    * data movement the reference performs segment-to-segment). */
+  private def redistribute(spark: SparkSession, table: String,
+                           keys: Seq[String], buckets: Int): Unit = {
+    val tmp = table + "__redist"
+    // carry user-visible table properties across the rewrite
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filterNot(_._1.startsWith("transient"))
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.table(table).write
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    if (props.nonEmpty)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+        props.map { case (k, v) =>
+          s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
+        }.mkString(", ") + ")")
   }
 
   // CREATE INDEX (gram.y IndexStmt; access methods under

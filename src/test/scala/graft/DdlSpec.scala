@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -948,6 +949,32 @@ class DdlSpec extends AnyFunSuite {
     val p = j.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), "replicated table not broadcast:\n" + p)
     assert(j.count() > 0)
+  }
+
+  test("SET DISTRIBUTED BY physically rebuckets: co-located join, no exchange") {
+    drop("redist_a", "redist_b", "redist_a__redist", "redist_b__redist")
+    Tables.register(spark, TestSpark.sf0001)
+    spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.saveAsTable("redist_a")
+    spark.table("orders").select(col("o_orderkey").as("k"), col("o_orderstatus"))
+      .write.saveAsTable("redist_b")
+    GreengageDdl.alter(spark, "ALTER TABLE redist_a SET DISTRIBUTED BY (o_orderkey)")
+    GreengageDdl.alter(spark, "ALTER TABLE redist_b SET DISTRIBUTED BY (k)")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("redist_a").join(spark.table("redist_b"),
+        col("o_orderkey") === col("k"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(j.count() == spark.table("redist_a").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    // the recorded distribution property survives the rewrite
+    val p = spark.sql("SHOW TBLPROPERTIES redist_a('graft.distribution')")
+      .head().getString(1)
+    assert(p == "hash:o_orderkey")
+    drop("redist_a", "redist_b")
   }
 
   test("full-boilerplate Greengage DDL: ENCODING, SUBPARTITION, templates") {
