@@ -550,6 +550,48 @@ object GraftFunctions {
       info("jsonb_set", "jsonb_set(doc, '{a,1,b}', newval) - PG setPath update"),
       (args: Seq[Expression]) => JsonbSet(Cast(args(0), StringType),
         Cast(args(1), StringType), Cast(args(2), StringType)))
+    // the PG JSON constructor/utility spellings users actually write
+    // (json.c/jsonfuncs.c) — thin trees over codegen built-ins where
+    // possible; text output is the engine's compact normal form
+    // PG keeps explicit nulls in built JSON (json_strip_nulls exists
+    // to remove them) — pin ignoreNullFields off
+    val keepNulls = Map("ignoreNullFields" -> "false")
+    reg.registerFunction(
+      FunctionIdentifier("json_build_object"),
+      info("json_build_object", "json_build_object(k1, v1, ...) - object from pairs"),
+      (args: Seq[Expression]) => StructsToJson(keepNulls, CreateNamedStruct(args)))
+    reg.registerFunction(
+      FunctionIdentifier("jsonb_build_object"),
+      info("jsonb_build_object", "jsonb_build_object(k1, v1, ...) - object from pairs"),
+      (args: Seq[Expression]) => StructsToJson(keepNulls, CreateNamedStruct(args)))
+    reg.registerFunction(
+      FunctionIdentifier("json_build_array"),
+      info("json_build_array", "json_build_array(v1, ...) - array from values"),
+      (args: Seq[Expression]) => StructsToJson(keepNulls, CreateArray(args)))
+    reg.registerFunction(
+      FunctionIdentifier("json_agg"),
+      info("json_agg", "json_agg(x) - aggregate values into one JSON array"),
+      (args: Seq[Expression]) => StructsToJson(keepNulls,
+        aggregate.CollectList(args(0)).toAggregateExpression()))
+    reg.registerFunction(
+      FunctionIdentifier("json_object_agg"),
+      info("json_object_agg", "json_object_agg(k, v) - aggregate pairs into one object"),
+      (args: Seq[Expression]) => StructsToJson(keepNulls,
+        MapFromEntries(aggregate.CollectList(
+          CreateStruct(Seq(Cast(args(0), StringType), args(1))))
+          .toAggregateExpression())))
+    reg.registerFunction(
+      FunctionIdentifier("jsonb_pretty"),
+      info("jsonb_pretty", "jsonb_pretty(doc) - 4-space indented form"),
+      (args: Seq[Expression]) => JsonbPretty(Cast(args(0), StringType)))
+    reg.registerFunction(
+      FunctionIdentifier("json_strip_nulls"),
+      info("json_strip_nulls", "json_strip_nulls(doc) - drop null object fields"),
+      (args: Seq[Expression]) => JsonStripNulls(Cast(args(0), StringType)))
+    reg.registerFunction(
+      FunctionIdentifier("json_array_elements"),
+      info("json_array_elements", "json_array_elements(doc) - one row per array element"),
+      (args: Seq[Expression]) => Explode(JsonArrayElements(Cast(args(0), StringType))))
     reg.registerFunction(
       FunctionIdentifier("jsonb_set_all"),
       info("jsonb_set_all",

@@ -135,9 +135,63 @@ case class JsonbSet(doc: Expression, path: Expression, value: Expression)
   * level only, as in PG. */
 object JsonbDeep {
 
-  private val mapper = new ObjectMapper()
+  private[functions] val mapper = new ObjectMapper()
 
   def parse(s: String): JsonNode = mapper.readTree(s)
+
+  /** PG jsonb_pretty layout: 4-space indent, `"key": value`, one
+    * element per line, `[]`/`{}` for empties. */
+  private[functions] def pretty(n: JsonNode, depth: Int,
+                                sb: StringBuilder): Unit = {
+    val pad = "    " * (depth + 1)
+    val close = "    " * depth
+    if (n.isObject) {
+      if (!n.fields().hasNext) { sb ++= "{}"; return }
+      sb ++= "{\n"
+      val it = n.fields()
+      var first = true
+      while (it.hasNext) {
+        val e = it.next()
+        if (!first) sb ++= ",\n"
+        first = false
+        sb ++= pad ++= mapper.writeValueAsString(e.getKey) ++= ": "
+        pretty(e.getValue, depth + 1, sb)
+      }
+      sb ++= "\n" ++= close ++= "}"
+    } else if (n.isArray) {
+      if (n.size == 0) { sb ++= "[]"; return }
+      sb ++= "[\n"
+      var i = 0
+      while (i < n.size) {
+        if (i > 0) sb ++= ",\n"
+        sb ++= pad
+        pretty(n.get(i), depth + 1, sb)
+        i += 1
+      }
+      sb ++= "\n" ++= close ++= "]"
+    } else sb ++= mapper.writeValueAsString(n)
+  }
+
+  /** Recursively drop null-valued OBJECT fields (array slots stay). */
+  private[functions] def stripNulls(n: JsonNode): JsonNode = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    n match {
+      case o: ObjectNode =>
+        val out = mapper.createObjectNode()
+        val it = o.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          if (!e.getValue.isNull) out.set[JsonNode](e.getKey, stripNulls(e.getValue))
+        }
+        out
+      case a: ArrayNode =>
+        val out = mapper.createArrayNode()
+        var i = 0
+        while (i < a.size) { out.add(stripNulls(a.get(i))); i += 1 }
+        out
+      case other => other
+    }
+  }
 
   def contains(doc: String, needle: String): Boolean =
     walk(mapper.readTree(doc), mapper.readTree(needle), top = true)
@@ -223,6 +277,72 @@ object JsonbDeep {
     if (a.isNumber && b.isNumber)
       a.decimalValue().compareTo(b.decimalValue()) == 0
     else a.getNodeType == b.getNodeType && a == b
+}
+
+/** `jsonb_pretty(doc)` — PG's pretty form (jsonfuncs.c jsonb_pretty):
+  * 4-space indent, `"key": value`, one element per line. */
+case class JsonbPretty(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "jsonb_pretty"
+
+  override def nullSafeEval(doc: Any): Any = {
+    val sb = new StringBuilder
+    JsonbDeep.pretty(JsonbDeep.mapper.readTree(doc.toString), 0, sb)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): JsonbPretty =
+    copy(child = c)
+}
+
+/** `json_strip_nulls(doc)` (json.c json_strip_nulls): object fields
+  * whose value is null disappear, recursively; array elements stay. */
+case class JsonStripNulls(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "json_strip_nulls"
+
+  override def nullSafeEval(doc: Any): Any = UTF8String.fromString(
+    JsonbDeep.mapper.writeValueAsString(
+      JsonbDeep.stripNulls(JsonbDeep.mapper.readTree(doc.toString))))
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): JsonStripNulls =
+    copy(child = c)
+}
+
+/** `json_array_elements(doc)` value array (jsonfuncs.c
+  * elements_worker): each element re-serialized as its own JSON text —
+  * explode it for the SRF form. */
+case class JsonArrayElements(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "json_array_elements"
+
+  override def nullSafeEval(doc: Any): Any = {
+    val n = JsonbDeep.mapper.readTree(doc.toString)
+    require(n.isArray, s"json_array_elements: not a JSON array: $doc")
+    val out = new Array[Any](n.size)
+    var i = 0
+    while (i < n.size) {
+      out(i) = UTF8String.fromString(JsonbDeep.mapper.writeValueAsString(n.get(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): JsonArrayElements =
+    copy(child = c)
 }
 
 /** `jsonb_set_all(doc, path1, val1, path2, val2, ...)` — every

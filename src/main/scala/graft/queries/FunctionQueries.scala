@@ -584,6 +584,21 @@ object FunctionQueries {
           (expr("crypt(concat(c_name, 'x'), h)") === col("h")).as("wrong_pw"),
           expr("crypt('', '$2a$06$DCq7YPn5Rq63x1Lad4cll.')").as("pinned"))),
 
+    // PG JSON constructor spellings (json.c json_build_object/_array,
+    // jsonb_pretty, json_strip_nulls, the json_array_elements SRF):
+    // built text is the engine's compact normal form; explicit nulls
+    // are KEPT (ignoreNullFields off) so strip_nulls has work to do.
+    "q228_json_builders" -> ((s, d) =>
+      t(s, d, "nation").select(col("n_nationkey"),
+        expr("json_build_object('name', n_name, 'region', n_regionkey)")
+          .as("obj"),
+        expr("json_build_array(n_nationkey, n_regionkey)").as("arr"),
+        expr("jsonb_pretty(json_build_object('k', n_nationkey))").as("pp"),
+        expr("json_strip_nulls(json_build_object('a', n_name, " +
+          "'b', nullif(n_name, n_name)))").as("stripped"),
+        expr("json_array_elements(json_build_array(n_nationkey, n_regionkey))")
+          .as("elem"))),
+
     // PG string SRFs + null counters (text_to_table, regexp_split_*,
     // num_nulls/num_nonnulls, quote_nullable, starts_with): the SRF
     // explodes one row per '-'-part; the scalar columns ride along.
@@ -1781,6 +1796,17 @@ object FunctionQueries {
         |  'abJnggxhB/yWI' AS pinned_des,
         |  '_J9..SALT3cfudkaV5sE' AS pinned_xdes
         |FROM customer WHERE c_custkey % 50 = 0""".stripMargin,
+    // expected JSON text replayed by string construction (DuckDB's own
+    // json functions format differently); chr(10) = the pretty newlines
+    "q228_json_builders" ->
+      """SELECT n_nationkey,
+        |  '{"name":"' || n_name || '","region":' || n_regionkey || '}' AS obj,
+        |  '[' || n_nationkey || ',' || n_regionkey || ']' AS arr,
+        |  '{' || chr(10) || '    "k": ' || n_nationkey || chr(10) || '}' AS pp,
+        |  '{"a":"' || n_name || '"}' AS stripped,
+        |  unnest([CAST(n_nationkey AS VARCHAR), CAST(n_regionkey AS VARCHAR)])
+        |    AS elem
+        |FROM nation""".stripMargin,
     "q221_string_srf" ->
       """SELECT o_orderkey, unnest(str_split(o_orderpriority, '-')) AS word,
         |  array_to_string(regexp_split_to_array(o_orderpriority, '[AEIOU]+'), '_')

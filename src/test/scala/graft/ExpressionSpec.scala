@@ -750,6 +750,31 @@ class ExpressionSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).distinct.length == 8)
   }
 
+  test("json builders: build/agg/pretty/strip_nulls/array_elements") {
+    Tables.register(spark, TestSpark.sf0001)
+    val r = spark.sql(
+      "SELECT json_build_object('a', 1, 'b', 'x', 'c', nullif(1,1)) AS o, " +
+        "json_build_array(1, 2, 3) AS a, " +
+        "json_strip_nulls(json_build_object('a', 1, 'c', nullif(1,1))) AS s, " +
+        "jsonb_pretty('{\"a\":[1,2],\"b\":{}}') AS p").head()
+    assert(r.getString(0) == """{"a":1,"b":"x","c":null}""")
+    assert(r.getString(1) == "[1,2,3]")
+    assert(r.getString(2) == """{"a":1}""")
+    assert(r.getString(3) ==
+      "{\n    \"a\": [\n        1,\n        2\n    ],\n    \"b\": {}\n}")
+    // aggregate spellings: order pinned by a single sorted partition
+    val agg = spark.sql(
+      """SELECT json_agg(v) AS ja, json_object_agg(k, v) AS oa
+        |FROM (SELECT * FROM VALUES ('x', 1), ('y', 2), ('z', 3) AS t(k, v)
+        |      ORDER BY k) """.stripMargin).coalesce(1).head()
+    assert(agg.getString(0) == "[1,2,3]")
+    assert(agg.getString(1) == """{"x":1,"y":2,"z":3}""")
+    // the SRF form explodes per element, objects re-serialized intact
+    val rows = spark.sql(
+      "SELECT json_array_elements('[{\"a\":1},2,\"s\"]') AS e").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("""{"a":1}""", "2", "\"s\""))
+  }
+
   test("crypt/gen_salt: DES and extended DES match libcrypt vectors") {
     import graft.functions.DesCrypt
     // traditional DES crypt, pinned against libcrypt's independent
