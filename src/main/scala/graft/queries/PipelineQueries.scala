@@ -309,6 +309,14 @@ object PipelineQueries {
               |FROM ext_catalog_demo GROUP BY tag""".stripMargin)
     }),
 
+    // Streaming CDC apply: foreachBatch + guarded MERGE — the final
+    // table is the global latest event per user regardless of batch
+    // slicing; the oracle takes the same argmax declaratively.
+    "q229_stream_cdc" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.streaming.Streams.cdcApply(s, d)
+    }),
+
     // gp_toolkit skew diagnostics (gp_skew_coefficients): rows per
     // segment under the distribution key + the coefficient of
     // variation. A modulo segment function here so DuckDB can replay
@@ -1145,6 +1153,17 @@ object PipelineQueries {
         |  CAST(CASE WHEN fmt = 3 THEN 0 ELSE g * (w * h - 1) + 255 END AS BIGINT) AS sum_g,
         |  CAST(CASE WHEN fmt = 3 THEN 0 ELSE b * (w * h - 1) + 255 END AS BIGINT) AS sum_b
         |FROM m""".stripMargin,
+    // the CDC loop's fixpoint, declaratively: latest event per user
+    // with the full (ts, event_id) tiebreak
+    "q229_stream_cdc" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_type AS last_type, value AS last_value,
+        |    event_id AS last_event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, last_type, last_value, last_event_id
+        |FROM latest WHERE rn = 1""".stripMargin,
     // per-segment counts are exact ints; the coefficient rounds to 4dp
     "q227_skew_report" ->
       """WITH seg AS (SELECT o_custkey % 32 AS segment, COUNT(*) AS n

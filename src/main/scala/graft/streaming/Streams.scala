@@ -308,6 +308,63 @@ object Streams {
       .agg(max(col("n_events")).as("n_events"))
   }
 
+  /** Streaming CDC apply — the lakehouse change-data loop: each
+    * micro-batch reduces to its per-key latest row, then MERGEs into a
+    * parquet table through `foreachBatch`, with the update guarded on
+    * (event-time, event-id) so an out-of-order or re-split batch can
+    * never regress a key. The final table is therefore the GLOBAL
+    * latest row per key no matter how AvailableNow slices the input —
+    * the determinism contract a CDC sink must give. Scale: per batch
+    * one bounded window reduce + one keyed MERGE; state lives in the
+    * table, not the stream. */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame =
+    cdcApplyFrom(spark, stagedDir(sfDir), maxFilesPerTrigger = 0)
+
+  /** Directory form, with an optional files-per-microbatch cap (0 = no
+    * cap) so tests can force multi-batch, out-of-order delivery. */
+  def cdcApplyFrom(spark: SparkSession, dir: String,
+                   maxFilesPerTrigger: Int): DataFrame = {
+    val table = "cdc_users_rt"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(wh, table))
+    spark.sql(s"CREATE TABLE $table (user_id BIGINT, last_type STRING, " +
+      "last_value DOUBLE, last_ts TIMESTAMP, last_event_id BIGINT) USING parquet")
+    val cols = Seq("last_type", "last_value", "last_ts", "last_event_id")
+    val reader = spark.readStream.schema(eventsRawSchema)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val src = reader.parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+          .select(col("user_id"), col("event_type").as("last_type"),
+            col("value").as("last_value"), col("ts").as("last_ts"),
+            col("event_id").as("last_event_id"))
+        val newer = struct(col("s.last_ts"), col("s.last_event_id")) >
+          struct(col("t.last_ts"), col("t.last_event_id"))
+        graft.operators.Dml.merge(spark, table, latest, Seq("user_id"),
+          whenMatchedUpdate = cols.map(c =>
+            c -> when(newer, col(s"s.$c")).otherwise(col(s"t.$c"))).toMap)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table)
+      .select("user_id", "last_type", "last_value", "last_event_id")
+  }
+
   /** Session windows per user with a fixed inactivity gap. */
   def sessionized(spark: SparkSession, sfDir: String,
                   gap: String = "10 minutes"): DataFrame = {

@@ -260,6 +260,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(sj.count() == pj.count())
   }
 
+  test("CDC apply: multi-batch out-of-order delivery never regresses a key") {
+    import graft.streaming.Streams
+    val dir = new java.io.File("target/test-cdc-src")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(dir)
+    dir.mkdirs()
+    // three files; the LAST-listed file carries OLDER events for users
+    // 1 and 2 — with one file per micro-batch the guarded merge must
+    // keep the newer rows already applied
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+      // the file source lists $dir flat — emit one bare parquet FILE
+      val tmp = new java.io.File(dir, s"__tmp_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir, s"$name.parquet").toPath)
+      rm(tmp)
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    }
+    val us = 1000000L // micros → ns fixture convention is ns
+    write("a", Seq((1L, 100L * us * 1000, 1L, "new", 1.0),
+      (2L, 100L * us * 1000, 2L, "new", 2.0)))
+    write("b", Seq((3L, 500L * us * 1000, 1L, "upd", 10.0),
+      (4L, 600L * us * 1000, 2L, "upd", 20.0)))
+    write("c", Seq((5L, 200L * us * 1000, 1L, "late", 99.0),
+      (6L, 600L * us * 1000, 2L, "tie", 42.0))) // ts tie, higher event_id
+    val out = Streams.cdcApplyFrom(spark, dir.getAbsolutePath,
+        maxFilesPerTrigger = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+    // user 1: the late (ts=200) event must NOT overwrite ts=500
+    assert(out(1L) == (("upd", 10.0, 3L)), s"regressed: $out")
+    // user 2: equal ts resolves by event_id — 6 beats 4
+    assert(out(2L) == (("tie", 42.0, 6L)), s"tie broke wrong: $out")
+  }
+
   test("PG null ordering shim") {
     import graft.operators.PgSort._
     val df = Seq(Some(2), None, Some(1)).toDF("x")
