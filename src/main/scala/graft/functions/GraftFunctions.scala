@@ -775,6 +775,21 @@ object GraftFunctions {
           Concat(Seq(Literal("'"),
             StringReplace(s, Literal("'"), Literal("''")), Literal("'"))))
       })
+    // PG's three timestamp readings (xact.c GetCurrentTransactionStart
+    // Timestamp / timestamp.c): transaction/statement time both map to
+    // the query-constant now(); clock_timestamp stays volatile per row
+    reg.registerFunction(
+      FunctionIdentifier("transaction_timestamp"),
+      info("transaction_timestamp", "transaction_timestamp() - query-constant now"),
+      (_: Seq[Expression]) => CurrentTimestamp())
+    reg.registerFunction(
+      FunctionIdentifier("statement_timestamp"),
+      info("statement_timestamp", "statement_timestamp() - query-constant now"),
+      (_: Seq[Expression]) => CurrentTimestamp())
+    reg.registerFunction(
+      FunctionIdentifier("clock_timestamp"),
+      info("clock_timestamp", "clock_timestamp() - wall clock, advances within a query"),
+      (_: Seq[Expression]) => ClockTimestamp())
     reg.registerFunction(
       FunctionIdentifier("gp_segment_id"),
       info("gp_segment_id", "gp_segment_id() - this row's segment (Spark partition id)"),
@@ -834,4 +849,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo("graft", null, "lang_id", "lang_id(text)", ""),
       (args: Seq[Expression]) => LangId(args(0))))
   }
+}
+
+/** `clock_timestamp()` (timestamp.c): the wall clock DURING execution —
+  * volatile per evaluation, unlike the query-constant now(). */
+case class ClockTimestamp() extends LeafExpression
+    with Nondeterministic with codegen.CodegenFallback {
+  override def dataType: DataType = TimestampType
+  override def nullable: Boolean = false
+  override def prettyName: String = "clock_timestamp"
+  override protected def initializeInternal(partitionIndex: Int): Unit = ()
+  override protected def evalInternal(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    System.currentTimeMillis() * 1000L // micros since epoch
 }

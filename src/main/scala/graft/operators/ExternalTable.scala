@@ -196,9 +196,12 @@ object ExternalTable {
         val r = ExecSource.readCsv(spark, cmd, spec.schema, spec.segments,
           limit, spec.delimiter)
         r.copy(good = r.good.drop("segment"))
-      case None if spec.locations.head.matches("(?i)^(gpfdist|https?)://.*") =>
-        // gpfdist speaks http: one segment per URL, round-robin
-        val urls = spec.locations.map(_.replaceFirst("(?i)^gpfdist://", "http://"))
+      case None if spec.locations.head.matches("(?i)^(gpfdists?|https?)://.*") =>
+        // gpfdist speaks http (gpfdists = the TLS variant): one
+        // segment per URL, round-robin
+        val urls = spec.locations.map(_
+          .replaceFirst("(?i)^gpfdists://", "https://")
+          .replaceFirst("(?i)^gpfdist://", "http://"))
         val r = WebSource.readCsv(spark, urls, spec.schema, spec.segments,
           limit, spec.delimiter)
         r.copy(good = r.good.drop("segment"))
@@ -236,8 +239,10 @@ object ExternalTable {
     }.toSeq: _*)
     spec.execCmd match {
       case Some(cmd) => pipeToProgram(cast, cmd, spec.delimiter)
-      case None if spec.locations.head.matches("(?i)^(gpfdist|https?)://.*") =>
-        val urls = spec.locations.map(_.replaceFirst("(?i)^gpfdist://", "http://"))
+      case None if spec.locations.head.matches("(?i)^(gpfdists?|https?)://.*") =>
+        val urls = spec.locations.map(_
+          .replaceFirst("(?i)^gpfdists://", "https://")
+          .replaceFirst("(?i)^gpfdist://", "http://"))
         WebSink.writeCsv(cast, urls, spec.delimiter)
       case None =>
         require(spec.locations.size == 1,

@@ -19,7 +19,11 @@ object PgSql {
     "float4" -> "FLOAT", "float8" -> "DOUBLE",
     "double\\s+precision" -> "DOUBLE",
     "bool" -> "BOOLEAN", "bytea" -> "BINARY", "text" -> "STRING",
-    "timestamptz" -> "TIMESTAMP", "name" -> "STRING")
+    "timestamptz" -> "TIMESTAMP", "name" -> "STRING",
+    // object-identifier pseudo-types (pg_type.h regclass/regtype/oid):
+    // catalog references degrade to their textual form here
+    "regclass" -> "STRING", "regtype" -> "STRING", "regproc" -> "STRING",
+    "oid" -> "BIGINT")
 
   /** Rewrite one non-literal segment. The case-insensitive `~*`/`!~*`
     * spellings are NOT touched here (their regexes exclude a trailing
@@ -35,6 +39,9 @@ object PgSql {
     out = out.replaceAll("~~", " LIKE ")
     out = out.replaceAll("!~(?![*~])", " NOT RLIKE ")
     out = out.replaceAll("(?<![!<>=~])~(?![*~])", " RLIKE ")
+    // PG 12 CTE materialization hints (gram.y opt_materialized):
+    // Catalyst decides reuse itself — the hint drops
+    out = out.replaceAll("(?i)\\bAS\\s+(NOT\\s+)?MATERIALIZED\\s*\\(", "AS (")
     // PG TABLESAMPLE methods (gram.y tablesample_clause): both map to
     // Spark's row-level percent sampling — BERNOULLI is exactly that;
     // SYSTEM is PG's page-level variant, same statistical contract at

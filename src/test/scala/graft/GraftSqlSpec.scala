@@ -523,6 +523,26 @@ class GraftSqlSpec extends AnyFunSuite {
     drop("own_t")
   }
 
+  test("CTE hints, regclass casts, timestamp readings") {
+    import graft.operators.PgSql.rewrite
+    Tables.register(spark, TestSpark.sf0001)
+    // PG 12 materialization hints drop; the CTE still runs
+    assert(spark.sql(rewrite(
+      "WITH x AS MATERIALIZED (SELECT 1 AS a), " +
+        "y AS NOT MATERIALIZED (SELECT 2 AS b) " +
+        "SELECT a + b FROM x, y")).head().getInt(0) == 3)
+    // regclass/oid degrade to text/bigint
+    assert(spark.sql(rewrite("SELECT 'orders'::regclass")).head()
+      .getString(0) == "orders")
+    assert(spark.sql(rewrite("SELECT '42'::oid + 1")).head().getLong(0) == 43L)
+    // transaction/statement timestamps are query-constant; the clock
+    // reading is monotone against them
+    val r = spark.sql(
+      "SELECT transaction_timestamp() = statement_timestamp() AS same, " +
+        "clock_timestamp() >= transaction_timestamp() AS ahead").head()
+    assert(r.getBoolean(0) && r.getBoolean(1))
+  }
+
   test("UPDATE ... FROM and DELETE ... USING route to join DML") {
     drop("jdml_t", "jdml_src")
     Graft.execute(spark,
