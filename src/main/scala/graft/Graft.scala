@@ -501,7 +501,7 @@ object Graft {
             case Some(n) if m.group(7) != null &&
                 m.group(7).equalsIgnoreCase("PERCENT") =>
               operators.Sreh.readCsvPercent(spark, path, schema,
-                n.toDouble, header, delim)
+                n.toDouble, header, delim, nullTok)
             case Some(n) =>
               operators.Sreh.readCsv(spark, path, schema, n.toLong,
                 header, delim, nullTok)

@@ -42,10 +42,11 @@ object Sreh {
     * seen, instead of an absolute count. */
   def readCsvPercent(spark: SparkSession, path: String, schema: StructType,
                      pct: Double, header: Boolean = false,
-                     delimiter: String = ","): SrehResult = {
+                     delimiter: String = ",",
+                     nullToken: String = ""): SrehResult = {
     require(pct > 0 && pct <= 100, s"reject percent out of range: $pct")
     val res = readCsv(spark, path, schema, rejectLimit = Long.MaxValue, header,
-      delimiter)
+      delimiter, nullToken)
     val total = res.good.count() + res.rejected
     if (total > 0 && res.rejected * 100.0 > pct * total)
       throw RejectLimitExceeded(res.rejected, math.ceil(pct * total / 100.0).toLong)
