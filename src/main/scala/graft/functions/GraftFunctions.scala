@@ -668,6 +668,10 @@ object GraftFunctions {
       info("french_stem", "french_stem(word) - snowball French stemmer"),
       (args: Seq[Expression]) => FrenchStem(Cast(args(0), StringType)))
     reg.registerFunction(
+      FunctionIdentifier("spanish_stem"),
+      info("spanish_stem", "spanish_stem(word) - snowball Spanish stemmer"),
+      (args: Seq[Expression]) => SpanishStem(Cast(args(0), StringType)))
+    reg.registerFunction(
       FunctionIdentifier("to_number_pg"),
       info("to_number_pg", "to_number_pg(text, fmt) - PG numeric template parsing"),
       (args: Seq[Expression]) => ToNumberPg(Cast(args(0), StringType), args(1)))

@@ -546,6 +546,205 @@ case class FrenchStem(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Snowball Spanish stemmer (reference `src/backend/snowball/
+  * spanish.sbl` compiles the same published algorithm; re-implemented
+  * here from the snowballstem.org Spanish-stemmer description: RV with
+  * the three starting-pattern cases, R1/R2, attached-pronoun step 0,
+  * the standard-suffix table with per-group chains, y-verb and other-
+  * verb steps, the residual step, final acute-accent removal). */
+object SpanishStemmer {
+
+  private val vowels = "aeiouáéíóúü"
+  @inline private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+  private def region(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && !isV(s.charAt(i))) i += 1
+    while (i < s.length && isV(s.charAt(i))) i += 1
+    if (i < s.length) i + 1 else s.length
+  }
+
+  private def unaccent(s: String): String = s.map {
+    case 'á' => 'a'; case 'é' => 'e'; case 'í' => 'i'
+    case 'ó' => 'o'; case 'ú' => 'u'; case c => c
+  }
+
+  def stem(word: String): String = {
+    var s = word.toLowerCase
+    if (s.length <= 2) return unaccent(s)
+
+    // RV: second letter consonant → after the next vowel; first two
+    // vowels → after the next consonant; consonant-vowel → after the
+    // third letter (end of word when the position does not exist)
+    val rv: Int =
+      if (!isV(s.charAt(1))) {
+        var i = 2
+        while (i < s.length && !isV(s.charAt(i))) i += 1
+        if (i < s.length) i + 1 else s.length
+      } else if (isV(s.charAt(0)) && isV(s.charAt(1))) {
+        var i = 2
+        while (i < s.length && isV(s.charAt(i))) i += 1
+        if (i < s.length) i + 1 else s.length
+      } else 3
+    val r1 = region(s, 0)
+    val r2 = region(s, r1)
+    def inRV(n: Int) = s.length - n >= rv
+    def inR1(n: Int) = s.length - n >= r1
+    def inR2(n: Int) = s.length - n >= r2
+
+    // ---- step 0: attached pronoun after a gerund/infinitive base
+    val pronouns = Seq("selas", "selos", "sela", "selo", "las", "les",
+      "los", "nos", "me", "se", "la", "le", "lo")
+    val accented = Seq("iéndo", "ándo", "ár", "ér", "ír")
+    val plain = Seq("iendo", "ando", "ar", "er", "ir")
+    pronouns.find(s.endsWith).foreach { p =>
+      val rvText = s.substring(rv.min(s.length))
+      if (rvText.endsWith(p)) {
+        val before = rvText.dropRight(p.length)
+        accented.find(before.endsWith) match {
+          case Some(a) =>
+            s = s.dropRight(p.length)
+            s = s.dropRight(a.length) + unaccent(a)
+          case None =>
+            if (plain.exists(before.endsWith)) s = s.dropRight(p.length)
+            else if (before.endsWith("yendo") &&
+              s.length > p.length + 5 &&
+              s.charAt(s.length - p.length - 6) == 'u')
+              s = s.dropRight(p.length)
+        }
+      }
+    }
+
+    // ---- step 1: standard suffixes, longest match then group rule
+    var removed = false
+    val st1 = Seq(
+      "amientos", "imientos", "amiento", "imiento", "aciones", "uciones",
+      "logías", "encias", "idades", "adoras", "adores", "ancias",
+      "amente", "logía", "encia", "ación", "ución", "antes", "ancia",
+      "mente", "adora", "anzas", "icos", "icas", "ismos", "ables",
+      "ibles", "istas", "osos", "osas", "idad", "ivas", "ivos", "ador",
+      "ante", "anza", "ico", "ica", "ismo", "able", "ible", "ista",
+      "oso", "osa", "iva", "ivo").sortBy(-_.length)
+    st1.find(s.endsWith).foreach { suf =>
+      val L = suf.length
+      suf match {
+        case "anza" | "anzas" | "ico" | "ica" | "icos" | "icas" |
+             "ismo" | "ismos" | "able" | "ables" | "ible" | "ibles" |
+             "ista" | "istas" | "oso" | "osa" | "osos" | "osas" |
+             "amiento" | "amientos" | "imiento" | "imientos" =>
+          if (inR2(L)) { s = s.dropRight(L); removed = true }
+        case "adora" | "ador" | "ación" | "adoras" | "adores" |
+             "aciones" | "ante" | "antes" | "ancia" | "ancias" =>
+          if (inR2(L)) {
+            s = s.dropRight(L); removed = true
+            if (s.endsWith("ic") && inR2(2)) s = s.dropRight(2)
+          }
+        case "logía" | "logías" =>
+          if (inR2(L)) { s = s.dropRight(L) + "log"; removed = true }
+        case "ución" | "uciones" =>
+          if (inR2(L)) { s = s.dropRight(L) + "u"; removed = true }
+        case "encia" | "encias" =>
+          if (inR2(L)) { s = s.dropRight(L) + "ente"; removed = true }
+        case "amente" =>
+          if (inR1(L)) {
+            s = s.dropRight(L); removed = true
+            if (s.endsWith("iv") && inR2(2)) {
+              s = s.dropRight(2)
+              if (s.endsWith("at") && inR2(2)) s = s.dropRight(2)
+            } else if ((s.endsWith("os") || s.endsWith("ic") ||
+                s.endsWith("ad")) && inR2(2)) s = s.dropRight(2)
+          }
+        case "mente" =>
+          if (inR2(L)) {
+            s = s.dropRight(L); removed = true
+            if ((s.endsWith("ante") || s.endsWith("able") ||
+              s.endsWith("ible")) && inR2(4)) s = s.dropRight(4)
+          }
+        case "idad" | "idades" =>
+          if (inR2(L)) {
+            s = s.dropRight(L); removed = true
+            if (s.endsWith("abil") && inR2(4)) s = s.dropRight(4)
+            else if ((s.endsWith("ic") || s.endsWith("iv")) && inR2(2))
+              s = s.dropRight(2)
+          }
+        case "iva" | "ivo" | "ivas" | "ivos" =>
+          if (inR2(L)) {
+            s = s.dropRight(L); removed = true
+            if (s.endsWith("at") && inR2(2)) s = s.dropRight(2)
+          }
+        case _ =>
+      }
+    }
+
+    // ---- step 2a: verb suffixes beginning with y, after u
+    if (!removed) {
+      val ySuf = Seq("yeron", "yendo", "yamos", "yais", "yas", "yes",
+        "yan", "yen", "ya", "ye", "yo", "yó").sortBy(-_.length)
+      ySuf.find(suf => s.endsWith(suf) && inRV(suf.length) &&
+        s.length > suf.length &&
+        s.charAt(s.length - suf.length - 1) == 'u').foreach { suf =>
+        s = s.dropRight(suf.length); removed = true
+      }
+    }
+
+    // ---- step 2b: other verb suffixes
+    if (!removed) {
+      val guGroup = Seq("éis", "emos", "en", "es")
+      val vb = (guGroup ++ Seq(
+        "aríamos", "eríamos", "iríamos", "iéramos", "iésemos", "aríais",
+        "aremos", "eríais", "eremos", "iríais", "iremos", "ierais",
+        "ieseis", "asteis", "isteis", "ábamos", "áramos", "ásemos",
+        "arían", "arías", "aréis", "erían", "erías", "eréis", "irían",
+        "irías", "iréis", "ieran", "iesen", "ieron", "iendo", "ieras",
+        "ieses", "abais", "arais", "aseis", "íamos", "arán", "arás",
+        "aría", "erán", "erás", "ería", "irán", "irás", "iría", "iera",
+        "iese", "aste", "iste", "aban", "aran", "asen", "aron", "ando",
+        "abas", "adas", "idas", "aras", "ases", "íais", "ados", "idos",
+        "amos", "imos", "ará", "aré", "erá", "eré", "irá", "iré", "aba",
+        "ada", "ida", "ara", "ase", "ían", "ado", "ido", "ías", "áis",
+        "ía", "ad", "ed", "id", "an", "ió", "ar", "er", "ir", "as",
+        "ís")).distinct.sortBy(-_.length)
+      vb.find(suf => s.endsWith(suf) && inRV(suf.length)).foreach { suf =>
+        s = s.dropRight(suf.length)
+        if (guGroup.contains(suf) && s.endsWith("gu") &&
+          s.length - 1 >= rv) s = s.dropRight(1)
+      }
+    }
+
+    // ---- step 3: residual suffix
+    val res1 = Seq("os", "a", "o", "á", "í", "ó")
+    val res2 = Seq("e", "é")
+    res1.find(suf => s.endsWith(suf) && inRV(suf.length)) match {
+      case Some(suf) => s = s.dropRight(suf.length)
+      case None =>
+        res2.find(suf => s.endsWith(suf) && inRV(suf.length)).foreach { suf =>
+          s = s.dropRight(suf.length)
+          if (s.endsWith("gu") && s.length - 1 >= rv) s = s.dropRight(1)
+        }
+    }
+
+    unaccent(s)
+  }
+
+  def stemUtf8(v: UTF8String): UTF8String =
+    UTF8String.fromString(stem(v.toString))
+}
+
+/** `spanish_stem(word)` codegen expression. */
+case class SpanishStem(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "spanish_stem"
+
+  override def nullSafeEval(v: Any): Any =
+    SpanishStemmer.stemUtf8(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SpanishStemmer.stemUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanishStem =
+    copy(child = newChild)
+}
+
 /** The `english` text-search configuration's lexize chain. */
 object TsLexize {
 
@@ -631,10 +830,64 @@ object TsLexize {
     "eurent", "aie", "aies", "ait", "ayons", "ayez", "aient", "eusse",
     "eusses", "eût", "eussions", "eussiez", "eussent")
 
+  /** The standard snowball Spanish stopword list PG ships as
+    * `src/backend/snowball/stopwords/spanish.stop` (public snowball
+    * project data). */
+  val spanishStopwords: Seq[String] = Seq(
+    "de", "la", "que", "el", "en", "y", "a", "los", "del", "se", "las",
+    "por", "un", "para", "con", "no", "una", "su", "al", "lo", "como",
+    "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque",
+    "esta", "entre", "cuando", "muy", "sin", "sobre", "también", "me",
+    "hasta", "hay", "donde", "quien", "desde", "todo", "nos", "durante",
+    "todos", "uno", "les", "ni", "contra", "otros", "ese", "eso",
+    "ante", "ellos", "e", "esto", "mí", "antes", "algunos", "qué",
+    "unos", "yo", "otro", "otras", "otra", "él", "tanto", "esa",
+    "estos", "mucho", "quienes", "nada", "muchos", "cual", "poco",
+    "ella", "estar", "estas", "algunas", "algo", "nosotros", "mi",
+    "mis", "tú", "te", "ti", "tu", "tus", "ellas", "nosotras",
+    "vosotros", "vosotras", "os", "mío", "mía", "míos", "mías", "tuyo",
+    "tuya", "tuyos", "tuyas", "suyo", "suya", "suyos", "suyas",
+    "nuestro", "nuestra", "nuestros", "nuestras", "vuestro", "vuestra",
+    "vuestros", "vuestras", "esos", "esas", "estoy", "estás", "está",
+    "estamos", "estáis", "están", "esté", "estés", "estemos", "estéis",
+    "estén", "estaré", "estarás", "estará", "estaremos", "estaréis",
+    "estarán", "estaría", "estarías", "estaríamos", "estaríais",
+    "estarían", "estaba", "estabas", "estábamos", "estabais",
+    "estaban", "estuve", "estuviste", "estuvo", "estuvimos",
+    "estuvisteis", "estuvieron", "estuviera", "estuvieras",
+    "estuviéramos", "estuvierais", "estuvieran", "estuviese",
+    "estuvieses", "estuviésemos", "estuvieseis", "estuviesen",
+    "estando", "estado", "estada", "estados", "estadas", "estad",
+    "he", "has", "ha", "hemos", "habéis", "han", "haya", "hayas",
+    "hayamos", "hayáis", "hayan", "habré", "habrás", "habrá",
+    "habremos", "habréis", "habrán", "habría", "habrías", "habríamos",
+    "habríais", "habrían", "había", "habías", "habíamos", "habíais",
+    "habían", "hube", "hubiste", "hubo", "hubimos", "hubisteis",
+    "hubieron", "hubiera", "hubieras", "hubiéramos", "hubierais",
+    "hubieran", "hubiese", "hubieses", "hubiésemos", "hubieseis",
+    "hubiesen", "habiendo", "habido", "habida", "habidos", "habidas",
+    "soy", "eres", "es", "somos", "sois", "son", "sea", "seas",
+    "seamos", "seáis", "sean", "seré", "serás", "será", "seremos",
+    "seréis", "serán", "sería", "serías", "seríamos", "seríais",
+    "serían", "era", "eras", "éramos", "erais", "eran", "fui",
+    "fuiste", "fue", "fuimos", "fuisteis", "fueron", "fuera", "fueras",
+    "fuéramos", "fuerais", "fueran", "fuese", "fueses", "fuésemos",
+    "fueseis", "fuesen", "siendo", "sido", "tengo", "tienes", "tiene",
+    "tenemos", "tenéis", "tienen", "tenga", "tengas", "tengamos",
+    "tengáis", "tengan", "tendré", "tendrás", "tendrá", "tendremos",
+    "tendréis", "tendrán", "tendría", "tendrías", "tendríamos",
+    "tendríais", "tendrían", "tenía", "tenías", "teníamos", "teníais",
+    "tenían", "tuve", "tuviste", "tuvo", "tuvimos", "tuvisteis",
+    "tuvieron", "tuviera", "tuvieras", "tuviéramos", "tuvierais",
+    "tuvieran", "tuviese", "tuvieses", "tuviésemos", "tuvieseis",
+    "tuviesen", "teniendo", "tenido", "tenida", "tenidos", "tenidas",
+    "tened")
+
   private val configs: Map[String, (Seq[String], String)] = Map(
     "english" -> (englishStopwords, "porter_stem"),
     "german" -> (germanStopwords, "german_stem"),
-    "french" -> (frenchStopwords, "french_stem"))
+    "french" -> (frenchStopwords, "french_stem"),
+    "spanish" -> (spanishStopwords, "spanish_stem"))
 
   /** lowercase → drop stopwords → stem, one declarative pass
     * (ts_lexize through the named configuration — `english` and
@@ -659,6 +912,7 @@ object TsLexize {
     val stemmer: String => String = config match {
       case "german" => GermanStemmer.stem
       case "french" => FrenchStemmer.stem
+      case "spanish" => SpanishStemmer.stem
       case _ => PorterStemmer.stem
     }
     terms.map(_.toLowerCase).filterNot(stop.contains).map(stemmer)

@@ -830,6 +830,30 @@ object FunctionQueries {
         .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
     }),
 
+    // Fourth snowball language through the same lexize chain (q197
+    // German / q212 French pattern): query "canciones"/"trabajando"
+    // stem to the lexemes of the same families in document text.
+    "q230_ts_spanish" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      val vocab = Seq("canciones", "trabajando", "importancia",
+        "rápidamente", "agradables", "guerra", "lógico", "niños",
+        "vayan", "diciéndoselo", "sensibilidad", "cantaremos")
+      val va = array(vocab.map(lit): _*)
+      def pick(idx: org.apache.spark.sql.Column) =
+        element_at(va, (idx % 12).cast("int") + 1)
+      val text = concat_ws(" ",
+        pick(col("doc_id")), lit("y"),
+        pick(col("doc_id") + 2), lit("las"),
+        pick(col("doc_id") * 7 + 3))
+      val stems = TsLexize.stemTerms(Seq("canciones", "trabajando"), "spanish")
+      t(s, d, "documents")
+        .select(col("doc_id"), text.as("text"))
+        .withColumn("lexed",
+          TsLexize.lexize(split(col("text"), " "), "spanish"))
+        .where(Ranges.tsMatch(col("lexed"), stems))
+        .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
+    }),
+
     // ts_headline through the stemming dictionary: covers computed on
     // stems, snippet shows the original inflected words, marked when
     // their stem matches a query stem.
@@ -2078,6 +2102,23 @@ object FunctionQueries {
          |FROM b
          |WHERE (s1 = 'haus' OR s2 = 'haus' OR s3 = 'haus')
          |  AND (s1 = 'lauf' OR s2 = 'lauf' OR s3 = 'lauf')""".stripMargin
+    },
+    // same engine-generated-stem convention as q197/q212
+    "q230_ts_spanish" -> {
+      import graft.functions.SpanishStemmer
+      val vocab = Seq("canciones", "trabajando", "importancia",
+        "rápidamente", "agradables", "guerra", "lógico", "niños",
+        "vayan", "diciéndoselo", "sensibilidad", "cantaremos")
+      val stems = vocab.map(w => s"'${SpanishStemmer.stem(w)}'").mkString(", ")
+      s"""WITH b AS (SELECT doc_id,
+         |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
+         |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,
+         |    [$stems][CAST(1 + (doc_id * 7 + 3) % 12 AS INT)] AS s3
+         |  FROM documents)
+         |SELECT doc_id, s1 || ' ' || s2 || ' ' || s3 AS lexed
+         |FROM b
+         |WHERE (s1 = 'cancion' OR s2 = 'cancion' OR s3 = 'cancion')
+         |  AND (s1 = 'trabaj' OR s2 = 'trabaj' OR s3 = 'trabaj')""".stripMargin
     },
     // same engine-generated-stem convention as q197
     "q212_ts_french" -> {

@@ -750,6 +750,32 @@ class ExpressionSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).distinct.length == 8)
   }
 
+  test("Spanish stemmer matches hand-derived snowball vectors") {
+    import graft.functions.SpanishStemmer.stem
+    // derived by hand from the published algorithm description
+    assert(stem("niños") == "niñ")           // residual os
+    assert(stem("canciones") == "cancion")   // verb-suffix es
+    assert(stem("trabajando") == "trabaj")   // verb-suffix ando
+    assert(stem("guerra") == "guerr")        // residual a
+    assert(stem("importancia") == "import")  // ancia in R2
+    assert(stem("lógico") == "logic")        // ico outside R2; residual o + unaccent
+    assert(stem("rápidamente") == "rapid")   // amente in R1
+    assert(stem("agradables") == "agrad")    // ables in R2
+    assert(stem("tuya") == "tuy")            // y-step blocked (no u); residual a
+    assert(stem("vayan") == "vay")           // verb-suffix an
+    assert(stem("diciéndoselo") == "dic")    // pronoun after accented iéndo
+    // the accented ending must START inside RV — here ándo begins at 1
+    // so the pronoun stays and only the residual o drops
+    assert(stem("dándoselo") == "dandosel")
+    // lexize chain: stopwords drop, stems apply
+    Tables.register(spark, TestSpark.sf0001)
+    val lexed = spark.sql(
+      "SELECT array_join(filter(transform(split('las canciones muy lógicas', ' '), " +
+        "w -> CASE WHEN w IN ('las','muy') THEN '' ELSE spanish_stem(w) END), " +
+        "x -> x <> ''), ' ') AS l").head().getString(0)
+    assert(lexed == "cancion logic")
+  }
+
   test("json builders: build/agg/pretty/strip_nulls/array_elements") {
     Tables.register(spark, TestSpark.sf0001)
     val r = spark.sql(
