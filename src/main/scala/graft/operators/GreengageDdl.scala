@@ -388,6 +388,13 @@ object GreengageDdl {
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+ADD\\s+(?:COLUMN\\s+)?(\\w+)\\s+(.+?)\\s*;?\\s*$".r
   private val alterRenameRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+RENAME\\s+TO\\s+([\\w.\"]+)\\s*;?\\s*$".r
+  private val alterDropColRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+DROP\\s+(?:COLUMN\\s+)?(?:IF\\s+EXISTS\\s+)?(\\w+)(?:\\s+(?:CASCADE|RESTRICT))?\\s*;?\\s*$".r
+  private val alterRenameColRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+RENAME\\s+(?:COLUMN\\s+)?(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$".r
+  private val alterTypeRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+ALTER\\s+(?:COLUMN\\s+)?(\\w+)\\s+" +
+      "(?:SET\\s+DATA\\s+)?TYPE\\s+([\\w() ,]+?)(?:\\s+USING\\s+(.+?))?\\s*;?\\s*$").r
   private val alterDistRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+SET\\s+(DISTRIBUTED\\s+.+?)\\s*;?\\s*$".r
 
@@ -404,6 +411,31 @@ object GreengageDdl {
         s"ADD COLUMNS ($colName ${mapType(typePart)})")
     case alterRenameRe(from, to) =>
       spark.sql(s"ALTER TABLE ${from.replace("\"", "")} RENAME TO ${to.replace("\"", "")}")
+    case alterDropColRe(name, colName) =>
+      // parquet v1 tables cannot drop in place (tablecmds.c rewrites
+      // too, for non-droppable cases) — project-away + table rewrite
+      val table = name.replace("\"", "")
+      val t = spark.table(table)
+      require(t.columns.exists(_.equalsIgnoreCase(colName)),
+        s"column $colName does not exist in $table")
+      rewriteTable(spark, table, t.drop(colName))
+    case alterRenameColRe(name, from, to) =>
+      val table = name.replace("\"", "")
+      val t = spark.table(table)
+      require(t.columns.exists(_.equalsIgnoreCase(from)),
+        s"column $from does not exist in $table")
+      rewriteTable(spark, table, t.withColumnRenamed(from, to))
+    case alterTypeRe(name, colName, newType, usingExpr) =>
+      // ALTER COLUMN TYPE [USING expr] (tablecmds.c ATExecAlterColumnType
+      // — a full-table rewrite there too)
+      val table = name.replace("\"", "")
+      val t = spark.table(table)
+      val target = mapType(newType.trim)
+      val value = Option(usingExpr)
+        .map(u => org.apache.spark.sql.functions.expr(PgSql.rewrite(u)))
+        .getOrElse(org.apache.spark.sql.functions.col(colName))
+      rewriteTable(spark, table, t.withColumn(colName,
+        value.cast(target)))
     case alterDistRe(name, distClause) =>
       val table = name.replace("\"", "")
       val prop =
@@ -428,6 +460,27 @@ object GreengageDdl {
         s"SET TBLPROPERTIES ('graft.distribution'='$prop')")
     case other =>
       throw new IllegalArgumentException(s"unsupported ALTER TABLE form: $other")
+  }
+
+  /** Replace a table's contents+schema with `data` via staging CTAS
+    * and name swap, carrying table properties (the generic form of
+    * [[redistribute]] for schema-changing ALTERs). */
+  private def rewriteTable(spark: SparkSession, table: String,
+                           data: DataFrame): Unit = {
+    val tmp = table + "__rewrite"
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filterNot(_._1.startsWith("transient"))
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // the staging write fully materializes before the source drops
+    data.write.format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    if (props.nonEmpty)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+        props.map { case (k, v) =>
+          s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
+        }.mkString(", ") + ")")
   }
 
   /** Rewrite a table bucketed on `keys`: CTAS into a staging table

@@ -977,6 +977,31 @@ class DdlSpec extends AnyFunSuite {
     drop("redist_a", "redist_b")
   }
 
+  test("ALTER TABLE column surgery: DROP, RENAME, TYPE USING rewrite") {
+    drop("surgery_t", "surgery_t__rewrite")
+    GreengageDdl.execute(spark,
+      "CREATE TABLE surgery_t (k int, v text, amt float8, junk text) " +
+        "DISTRIBUTED RANDOMLY")
+    spark.sql("INSERT INTO surgery_t VALUES (1, '10', 1.5, 'x'), (2, '20', 2.5, 'y')")
+    GreengageDdl.alter(spark, "ALTER TABLE surgery_t DROP COLUMN junk")
+    assert(spark.table("surgery_t").columns.toSeq == Seq("k", "v", "amt"))
+    GreengageDdl.alter(spark, "ALTER TABLE surgery_t RENAME COLUMN amt TO price")
+    assert(spark.table("surgery_t").columns.toSeq == Seq("k", "v", "price"))
+    // TYPE with USING transforms while converting
+    GreengageDdl.alter(spark,
+      "ALTER TABLE surgery_t ALTER COLUMN v TYPE int8 USING v::int8 * 2")
+    val rows = spark.sql("SELECT k, v, price FROM surgery_t ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1, 20L, 1.5), (2, 40L, 2.5)))
+    // data and properties survive the rewrites
+    assert(spark.sql("SHOW TBLPROPERTIES surgery_t('graft.distribution')")
+      .head().getString(1) == "random")
+    intercept[IllegalArgumentException] {
+      GreengageDdl.alter(spark, "ALTER TABLE surgery_t DROP COLUMN no_such")
+    }
+    drop("surgery_t")
+  }
+
   test("full-boilerplate Greengage DDL: ENCODING, SUBPARTITION, templates") {
     drop("boiler_t")
     val spec = GreengageDdl.parse(
