@@ -385,13 +385,19 @@ object GreengageDdl {
   // physical re-layout happens on the next data rewrite (the reference
   // likewise rewrites the table for ALTER ... SET DISTRIBUTED BY).
   private val alterAddRe =
-    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+ADD\\s+(?:COLUMN\\s+)?(\\w+)\\s+(.+?)\\s*;?\\s*$".r
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+ADD\\s+(?:COLUMN\\s+)?(?!CONSTRAINT\\b)(\\w+)\\s+(.+?)\\s*;?\\s*$".r
   private val alterRenameRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+RENAME\\s+TO\\s+([\\w.\"]+)\\s*;?\\s*$".r
   private val alterDropColRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+DROP\\s+(?:COLUMN\\s+)?(?:IF\\s+EXISTS\\s+)?(\\w+)(?:\\s+(?:CASCADE|RESTRICT))?\\s*;?\\s*$".r
   private val alterRenameColRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+RENAME\\s+(?:COLUMN\\s+)?(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$".r
+  private val constraintNoopRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+(?:" +
+      "ALTER\\s+(?:COLUMN\\s+)?\\w+\\s+(?:SET\\s+DEFAULT\\b.*|DROP\\s+DEFAULT|" +
+      "SET\\s+NOT\\s+NULL|DROP\\s+NOT\\s+NULL|SET\\s+STATISTICS\\s+\\d+)|" +
+      "ADD\\s+CONSTRAINT\\b.*|DROP\\s+CONSTRAINT\\b.*|VALIDATE\\s+CONSTRAINT\\b.*" +
+      ")\\s*;?\\s*$").r
   private val alterTypeRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+ALTER\\s+(?:COLUMN\\s+)?(\\w+)\\s+" +
       "(?:SET\\s+DATA\\s+)?TYPE\\s+([\\w() ,]+?)(?:\\s+USING\\s+(.+?))?\\s*;?\\s*$").r
@@ -436,6 +442,12 @@ object GreengageDdl {
         .getOrElse(org.apache.spark.sql.functions.col(colName))
       rewriteTable(spark, table, t.withColumn(colName,
         value.cast(target)))
+    case constraintNoopRe(name) =>
+      // constraint/default/statistics surgery: accepted no-ops, the
+      // same contract as CREATE TABLE (constraints parse and drop —
+      // Spark tables don't enforce them); existence-checked
+      spark.table(name.replace("\"", ""))
+      ()
     case alterDistRe(name, distClause) =>
       val table = name.replace("\"", "")
       val prop =

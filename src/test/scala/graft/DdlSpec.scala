@@ -999,6 +999,16 @@ class DdlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GreengageDdl.alter(spark, "ALTER TABLE surgery_t DROP COLUMN no_such")
     }
+    // constraint/default surgery: accepted no-ops, existence-checked
+    GreengageDdl.alter(spark,
+      "ALTER TABLE surgery_t ALTER COLUMN price SET DEFAULT 0.0")
+    GreengageDdl.alter(spark,
+      "ALTER TABLE surgery_t ADD CONSTRAINT pk PRIMARY KEY (k)")
+    GreengageDdl.alter(spark, "ALTER TABLE surgery_t ALTER k SET NOT NULL")
+    intercept[Exception] {
+      GreengageDdl.alter(spark, "ALTER TABLE no_such_t ADD CONSTRAINT c CHECK (1=1)")
+    }
+    assert(spark.table("surgery_t").count() == 2)
     drop("surgery_t")
   }
 
