@@ -167,15 +167,37 @@ object Dml {
     * aggregate instead of a runtime trip-wire. The rewritten content
     * goes through the same durable staged swap as UPDATE/DELETE. One
     * shuffle (the join), one write pass — at 100 TB this is the
-    * standard copy-on-write MERGE plan. */
+    * standard copy-on-write MERGE plan.
+    *
+    * PARTITION PRUNING: when the target's partition columns are a
+    * subset of the merge KEYS, any matched target row must agree with
+    * its source row on the partition value — so only partitions whose
+    * values appear in the source can change (the reference's routed-DML
+    * insight, `nodeSplitUpdate.c:234`: redistribute only affected
+    * rows). The join then scans ONLY the touched partitions and the
+    * staged swap replaces only them (`dynamic = true`); untouched
+    * partitions' files are never read or rewritten. This turns a
+    * steady-state CDC MERGE from O(|table|) per batch into
+    * O(|touched partitions|). */
   def merge(spark: SparkSession, table: String, source: DataFrame,
             keys: Seq[String],
             whenMatchedUpdate: Map[String, Column] = Map.empty,
             whenMatchedDeleteIf: Option[Column] = None,
             insertNotMatched: Boolean = true): MergeResult = {
     require(keys.nonEmpty, "MERGE requires at least one key column")
+    val partCols = partitionColumns(spark, table)
+    val prunable = partCols.nonEmpty && partCols.forall(keys.contains)
+    val touched: Seq[Row] =
+      if (prunable)
+        source.select(partCols.map(col): _*).distinct().collect().toSeq
+      else Nil
+    if (prunable && touched.isEmpty) return MergeResult(0L, 0L, 0L)
     val targetSchema = spark.table(table).schema
-    val t = spark.table(table).withColumn("__t", lit(true)).alias("t")
+    val base = spark.table(table)
+    val scoped =
+      if (prunable) touchedScope(spark, base, touched, partCols)(base)
+      else base
+    val t = scoped.withColumn("__t", lit(true)).alias("t")
     val srcCols = source.columns.toSet
     val s = source.withColumn("__s", lit(true)).alias("s")
     val joined = t.join(s,
@@ -218,8 +240,15 @@ object Dml {
           .otherwise(col(s"t.${f.name}"))
           .as(f.name)
       }: _*)
-      stagedSwap(spark, table, result,
-        partitionColumns(spark, table), dynamic = false)
+      if (prunable) {
+        val (_, survivors) =
+          stagedSwap(spark, table, result, partCols, dynamic = true)
+        // inserts may create partition values the catalog has never
+        // seen; a delete-all may empty a touched one
+        registerPartitions(spark, table, partCols, survivors)
+        clearVanishedPartitions(spark, table, partCols, touched, survivors)
+      } else
+        stagedSwap(spark, table, result, partCols, dynamic = false)
       MergeResult(updated, deleted, inserted)
     } finally { joined.unpersist(); () }
   }
@@ -462,17 +491,35 @@ object Dml {
                                       touched: Seq[Row],
                                       survivors: Seq[Row]): Unit = {
     val gone = touched.map(_.toSeq).toSet -- survivors.map(_.toSeq).toSet
-    for (p <- gone) {
-      val spec = partCols.zip(p).map { case (c, v) =>
-        val sqlLit = v match {
-          case s: String => "'" + s.replace("'", "''") + "'"
-          case other => String.valueOf(other)
-        }
-        s"$c = $sqlLit"
-      }.mkString(", ")
-      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
-    }
+    for (p <- gone)
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION " +
+        s"(${partitionSpecSql(partCols, p)})")
   }
+
+  /** Register staged partition values in the catalog — a pruned MERGE
+    * insert can create values the table has never held. Bounded by the
+    * batch's partition count, never a full-directory MSCK listing;
+    * null-valued tuples (the `__HIVE_DEFAULT_PARTITION__` directory)
+    * have no ADD PARTITION literal, so those fall back to one SYNC. */
+  private def registerPartitions(spark: SparkSession, table: String,
+                                 partCols: Seq[String],
+                                 values: Seq[Row]): Unit = {
+    val (withNull, plain) = values.map(_.toSeq).partition(_.contains(null))
+    for (p <- plain)
+      spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION " +
+        s"(${partitionSpecSql(partCols, p)})")
+    if (withNull.nonEmpty)
+      spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
+  }
+
+  private def partitionSpecSql(partCols: Seq[String], values: Seq[Any]): String =
+    partCols.zip(values).map { case (c, v) =>
+      val sqlLit = v match {
+        case s: String => "'" + s.replace("'", "''") + "'"
+        case other => String.valueOf(other)
+      }
+      s"$c = $sqlLit"
+    }.mkString(", ")
 
   private def rm(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))

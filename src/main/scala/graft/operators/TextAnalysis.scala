@@ -263,10 +263,14 @@ object TextAnalysis {
                      model: (Map[String, Long], Map[String, Long], Int),
                      textCol: String = "text",
                      out: String = "perplexity"): DataFrame = {
-    val (trigrams, contexts, vocab) = model
+    // broadcast the LM once; a closure-captured map would be serialized
+    // into EVERY stage's task binary (~tens of MB re-shipped per stage
+    // on a real cluster)
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
     val score = udf { (text: String) =>
       if (text == null) Double.MaxValue
       else {
+        val (trigrams, contexts, vocab) = bc.value
         val norm = text.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", " ")
         var logp = 0.0
         var n = 0

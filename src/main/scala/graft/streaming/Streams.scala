@@ -314,11 +314,20 @@ object Streams {
     * (event-time, event-id) so an out-of-order or re-split batch can
     * never regress a key. The final table is therefore the GLOBAL
     * latest row per key no matter how AvailableNow slices the input —
-    * the determinism contract a CDC sink must give. Scale: per batch
-    * one bounded window reduce + one keyed MERGE; state lives in the
-    * table, not the stream. */
+    * the determinism contract a CDC sink must give. Scale: the target
+    * is PARTITIONED by a key-hash bucket (`pmod(xxhash64(user_id), N)` —
+    * the reference's routed-DML shape, `nodeSplitUpdate.c:234`:
+    * redistribute only affected rows), the bucket rides in the MERGE
+    * keys, and Dml.merge prunes to the buckets the batch touches — each
+    * micro-batch scans and rewrites O(|touched buckets|) of the table,
+    * not O(|table|); state lives in the table, not the stream. */
   def cdcApply(spark: SparkSession, sfDir: String): DataFrame =
     cdcApplyFrom(spark, stagedDir(sfDir), maxFilesPerTrigger = 0)
+
+  /** Hash-bucket count for the CDC target table. At 100 TB this would
+    * scale with table size (e.g. key-count/target-partition-bytes); the
+    * pruning contract is bucket-count-independent. */
+  val CdcBuckets = 16
 
   /** Directory form, with an optional files-per-microbatch cap (0 = no
     * cap) so tests can force multi-batch, out-of-order delivery. */
@@ -333,7 +342,8 @@ object Streams {
     }
     rm(new java.io.File(wh, table))
     spark.sql(s"CREATE TABLE $table (user_id BIGINT, last_type STRING, " +
-      "last_value DOUBLE, last_ts TIMESTAMP, last_event_id BIGINT) USING parquet")
+      "last_value DOUBLE, last_ts TIMESTAMP, last_event_id BIGINT, " +
+      "bucket INT) USING parquet PARTITIONED BY (bucket)")
     val cols = Seq("last_type", "last_value", "last_ts", "last_event_id")
     val reader = spark.readStream.schema(eventsRawSchema)
     if (maxFilesPerTrigger > 0)
@@ -350,10 +360,16 @@ object Streams {
           .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
           .select(col("user_id"), col("event_type").as("last_type"),
             col("value").as("last_value"), col("ts").as("last_ts"),
-            col("event_id").as("last_event_id"))
+            col("event_id").as("last_event_id"),
+            cdcBucket(col("user_id")).as("bucket"))
         val newer = struct(col("s.last_ts"), col("s.last_event_id")) >
           struct(col("t.last_ts"), col("t.last_event_id"))
-        graft.operators.Dml.merge(spark, table, latest, Seq("user_id"),
+        // bucket is a pure function of user_id, so adding it to the keys
+        // changes nothing semantically — but it makes the partition
+        // columns a subset of the keys, which is what lets Dml.merge
+        // prune the join and the rewrite to the touched buckets
+        graft.operators.Dml.merge(spark, table, latest,
+          Seq("user_id", "bucket"),
           whenMatchedUpdate = cols.map(c =>
             c -> when(newer, col(s"s.$c")).otherwise(col(s"t.$c"))).toMap)
         ()
@@ -364,6 +380,11 @@ object Streams {
     spark.table(table)
       .select("user_id", "last_type", "last_value", "last_event_id")
   }
+
+  /** The CDC target's bucket expression — shared with tests so a spec
+    * can place a probe row in a known partition. */
+  def cdcBucket(userId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(userId), lit(CdcBuckets)).cast("int")
 
   /** Session windows per user with a fixed inactivity gap. */
   def sessionized(spark: SparkSession, sfDir: String,
