@@ -38,20 +38,35 @@ object Tables {
     // CJoinOrderDP; stats via Distribution.analyze).
     c.set("spark.sql.cbo.enabled", "true")
     c.set("spark.sql.cbo.joinReorder.enabled", "true")
-    // events.parquet stores timestamp[ns]; read as long nanos, convert
-    // explicitly (see register()) — avoids a silent nanos->micros cast.
+    // events.parquet stores timestamp[ns] in some generator versions;
+    // read those as long nanos and convert explicitly (see load()) —
+    // avoids a silent nanos->micros cast.
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // timestamp[us] columns written without isAdjustedToUTC should read
+    // as plain TIMESTAMP (session-UTC instants, matching what the
+    // DuckDB oracle sees as naive values), not TIMESTAMP_NTZ — and a
+    // plain TimestampType keeps min/max predicate pushdown on the scan.
+    c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // PG-style strict semantics (SURVEY §7.3): error on overflow/div0.
     c.set("spark.sql.ansi.enabled", "true")
   }
 
-  /** Raw table reader. `events.ts` arrives as long nanoseconds (parquet
-    * timestamp[ns]); convert with integer division — going through double
-    * would lose precision above 2^53 ns (~epoch 1970+104 days). */
+  /** Raw table reader. `events.ts` has shipped as parquet timestamp[ns]
+    * (arrives as long nanos under nanosAsLong — convert with integer
+    * division; going through double would lose precision above 2^53 ns)
+    * and as timestamp[us] (arrives as TIMESTAMP directly with NTZ
+    * inference off). Dispatch on the actual scan type so either
+    * generator vintage loads. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     else df
   }
 

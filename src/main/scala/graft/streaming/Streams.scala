@@ -20,11 +20,12 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet raw schema — ts is parquet timestamp[ns], surfaced as
-    * long nanos under spark.sql.legacy.parquet.nanosAsLong. */
+  /** events.parquet raw schema — ts is parquet timestamp[us]; requesting
+    * plain TimestampType reads the stored micros as session-UTC instants
+    * (matching the batch view Tables.load registers). */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -47,7 +48,6 @@ object Streams {
     spark.readStream
       .schema(eventsRawSchema)
       .parquet(stagedDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   private val runId = new AtomicInteger(0)
 
@@ -220,7 +220,6 @@ object Streams {
     val src = spark.readStream.schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1") // fixture, flush 1, flush 2 — in order
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val clicks = src.where(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
@@ -253,26 +252,28 @@ object Streams {
         java.nio.file.Files.createDirectories(dir)
         java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-        val maxNs = spark.read.schema(eventsRawSchema)
+        val maxUs = spark.read.schema(eventsRawSchema)
           .parquet(s"$sfDir/events.parquet")
-          .agg(max(col("ts"))).head().getLong(0)
+          .agg(max(unix_micros(col("ts")))).head().getLong(0)
         import spark.implicits._
-        val hourNs = 3600L * 1000 * 1000 * 1000
-        def writeFlush(idx: Int, baseNs: Long): Unit = {
+        val hourUs = 3600L * 1000 * 1000
+        def writeFlush(idx: Int, baseUs: Long): Unit = {
           val rows = Seq(
-            (-(idx * 2L), baseNs, -1L, "click", 0.0, "{}"),
-            (-(idx * 2L + 1), baseNs + 40 * 60 * 1000000000L, -1L, "purchase",
+            (-(idx * 2L), baseUs, -1L, "click", 0.0, "{}"),
+            (-(idx * 2L + 1), baseUs + 40 * 60 * 1000000L, -1L, "purchase",
               0.0, "{}"))
           val tmp = s"target/stream_src_flush/tmp_${name}_$idx"
           rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .withColumn("ts", timestamp_micros(col("ts")))
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
             .coalesce(1).write.mode("overwrite").parquet(tmp)
           val part = new java.io.File(tmp).listFiles()
             .find(_.getName.endsWith(".parquet")).get
           Thread.sleep(5) // distinct mtimes => deterministic batch order
           java.nio.file.Files.move(part.toPath, dir.resolve(s"flush$idx.parquet"))
         }
-        writeFlush(1, maxNs + 2 * hourNs)
-        writeFlush(2, maxNs + 8 * hourNs)
+        writeFlush(1, maxUs + 2 * hourUs)
+        writeFlush(2, maxUs + 8 * hourUs)
       }
       dir.toAbsolutePath.toString
     }
@@ -349,7 +350,6 @@ object Streams {
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     val src = reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        _: Long) =>

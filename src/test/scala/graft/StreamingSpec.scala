@@ -276,6 +276,8 @@ class StreamingSpec extends AnyFunSuite {
       // the file source lists $dir flat — emit one bare parquet FILE
       val tmp = new java.io.File(dir, s"__tmp_$name")
       rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
         .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
         .coalesce(1).write.parquet(tmp.getAbsolutePath)
       val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
