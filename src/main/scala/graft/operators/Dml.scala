@@ -186,7 +186,14 @@ object Dml {
             insertNotMatched: Boolean = true): MergeResult = {
     require(keys.nonEmpty, "MERGE requires at least one key column")
     val partCols = partitionColumns(spark, table)
-    val prunable = partCols.nonEmpty && partCols.forall(keys.contains)
+    // Pruning is sound only if matched rows cannot LEAVE their partition:
+    // partition cols must ride in the keys AND must not be reassigned by
+    // the update (an assigned partition col could move a row into a
+    // partition outside the touched scope, and the dynamic swap would
+    // then replace that destination partition with only the moved rows —
+    // the split-update hazard updateWhere already guards).
+    val prunable = partCols.nonEmpty && partCols.forall(keys.contains) &&
+      !partCols.exists(whenMatchedUpdate.contains)
     val touched: Seq[Row] =
       if (prunable)
         source.select(partCols.map(col): _*).distinct().collect().toSeq
@@ -485,41 +492,76 @@ object Dml {
   /** A touched partition whose every row was deleted is absent from the
     * staged snapshot, so dynamic overwrite leaves its old files behind —
     * drop it explicitly (PG DELETE leaves an empty heap; a dropped
-    * partition scans as empty just the same). */
+    * partition scans as empty just the same). Value tuples with no SQL
+    * literal rendering fall back to one MSCK SYNC (add+drop). */
   private def clearVanishedPartitions(spark: SparkSession, table: String,
                                       partCols: Seq[String],
                                       touched: Seq[Row],
                                       survivors: Seq[Row]): Unit = {
     val gone = touched.map(_.toSeq).toSet -- survivors.map(_.toSeq).toSet
-    for (p <- gone)
+    val (plain, unrenderable) = gone.toSeq.partition(partitionSpecSql(partCols, _).isDefined)
+    for (p <- plain)
       spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION " +
-        s"(${partitionSpecSql(partCols, p)})")
+        s"(${partitionSpecSql(partCols, p).get})")
+    if (unrenderable.nonEmpty)
+      spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
   }
 
   /** Register staged partition values in the catalog — a pruned MERGE
     * insert can create values the table has never held. Bounded by the
     * batch's partition count, never a full-directory MSCK listing;
-    * null-valued tuples (the `__HIVE_DEFAULT_PARTITION__` directory)
-    * have no ADD PARTITION literal, so those fall back to one SYNC. */
+    * tuples with no literal rendering (nulls — the
+    * `__HIVE_DEFAULT_PARTITION__` directory — or exotic types) fall
+    * back to one SYNC. */
   private def registerPartitions(spark: SparkSession, table: String,
                                  partCols: Seq[String],
                                  values: Seq[Row]): Unit = {
-    val (withNull, plain) = values.map(_.toSeq).partition(_.contains(null))
+    val (plain, unrenderable) =
+      values.map(_.toSeq).partition(partitionSpecSql(partCols, _).isDefined)
     for (p <- plain)
       spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION " +
-        s"(${partitionSpecSql(partCols, p)})")
-    if (withNull.nonEmpty)
+        s"(${partitionSpecSql(partCols, p).get})")
+    if (unrenderable.nonEmpty)
       spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
   }
 
-  private def partitionSpecSql(partCols: Seq[String], values: Seq[Any]): String =
-    partCols.zip(values).map { case (c, v) =>
-      val sqlLit = v match {
-        case s: String => "'" + s.replace("'", "''") + "'"
-        case other => String.valueOf(other)
-      }
-      s"$c = $sqlLit"
-    }.mkString(", ")
+  private val specTsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Render one collected partition-value tuple as a PARTITION (c = lit,
+    * ...) spec. None when any value has no safe literal form (null, or a
+    * type we don't render) — callers fall back to MSCK SYNC. Strings use
+    * backslash escaping: Spark's lexer reads adjacent '...''...' as two
+    * concatenated literals, not an embedded quote. Timestamps format in
+    * UTC, the engine's pinned session zone (Tables.tune), so the literal
+    * re-parses to the same instant regardless of JVM default zone. */
+  private def partitionSpecSql(partCols: Seq[String],
+                               values: Seq[Any]): Option[String] = {
+    val lits = values.map {
+      case null => None
+      case s: String =>
+        Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      case d: java.sql.Date => Some(s"DATE '$d'")
+      case d: java.time.LocalDate => Some(s"DATE '$d'")
+      case t: java.sql.Timestamp =>
+        Some("TIMESTAMP '" + specTsFmt.withZone(java.time.ZoneOffset.UTC)
+          .format(t.toInstant) + "'")
+      case t: java.time.Instant =>
+        Some("TIMESTAMP '" + specTsFmt.withZone(java.time.ZoneOffset.UTC)
+          .format(t) + "'")
+      case t: java.time.LocalDateTime =>
+        Some("TIMESTAMP_NTZ '" + specTsFmt.format(t) + "'")
+      case b: java.lang.Boolean => Some(b.toString)
+      case n @ (_: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+                _: java.lang.Long | _: java.math.BigDecimal) =>
+        Some(n.toString)
+      case d: scala.math.BigDecimal => Some(d.toString)
+      case _ => None // float/double/binary/struct partitions → MSCK SYNC
+    }
+    if (lits.exists(_.isEmpty)) None
+    else Some(partCols.zip(lits.map(_.get))
+      .map { case (c, l) => s"$c = $l" }.mkString(", "))
+  }
 
   private def rm(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))

@@ -259,14 +259,28 @@ object TextAnalysis {
     * trained model: low = looks like the reference corpus, high =
     * boilerplate/garbled/other-language. Per-row work against the
     * broadcast counts; no shuffle. */
+  private val lmBroadcasts = new java.util.WeakHashMap[
+    (Map[String, Long], Map[String, Long], Int),
+    org.apache.spark.broadcast.Broadcast[
+      (Map[String, Long], Map[String, Long], Int)]]()
+
   def withPerplexity(docs: DataFrame,
                      model: (Map[String, Long], Map[String, Long], Int),
                      textCol: String = "text",
                      out: String = "perplexity"): DataFrame = {
     // broadcast the LM once; a closure-captured map would be serialized
     // into EVERY stage's task binary (~tens of MB re-shipped per stage
-    // on a real cluster)
-    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    // on a real cluster). One broadcast per model identity: repeated
+    // scoring calls with the same model reuse the same blocks instead of
+    // accumulating one broadcast per call for the life of the context
+    // (block count is bounded by distinct trained models, not calls).
+    val bc = lmBroadcasts.synchronized {
+      Option(lmBroadcasts.get(model)).getOrElse {
+        val b = docs.sparkSession.sparkContext.broadcast(model)
+        lmBroadcasts.put(model, b)
+        b
+      }
+    }
     val score = udf { (text: String) =>
       if (text == null) Double.MaxValue
       else {

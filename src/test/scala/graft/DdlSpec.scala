@@ -804,6 +804,93 @@ class DdlSpec extends AnyFunSuite {
     drop("merge_t")
   }
 
+  test("MERGE pruning: touched-partition-only rewrite, hazard fallbacks") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dml
+    drop("merge_pt")
+    spark.range(40)
+      .selectExpr("id AS k", "CAST(id % 4 AS INT) AS b", "CAST(id AS DOUBLE) AS v")
+      .write.partitionBy("b").saveAsTable("merge_pt")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def partFiles(b: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$wh/merge_pt/b=$b")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = (0 to 3).map(partFiles)
+    // source touches ONLY bucket 1 (keys include the partition column,
+    // update does not assign it → prunable)
+    val src = spark.range(2).selectExpr("1 + id * 4 AS k",
+      "CAST(1 AS INT) AS b", "CAST(999 AS DOUBLE) AS v")
+    val r = Dml.merge(spark, "merge_pt", src, Seq("k", "b"),
+      whenMatchedUpdate = Map("v" -> col("s.v")))
+    assert(r == Dml.MergeResult(2, 0, 0))
+    // untouched partitions keep their exact files; the touched one moved
+    val after = (0 to 3).map(partFiles)
+    for (b <- Seq(0, 2, 3))
+      assert(after(b) == before(b), s"partition b=$b was rewritten")
+    assert(after(1) != before(1))
+    assert(spark.table("merge_pt").where("k = 1")
+      .select("v").head().getDouble(0) == 999.0)
+    assert(spark.table("merge_pt").where("k = 2")
+      .select("v").head().getDouble(0) == 2.0)
+    assert(spark.table("merge_pt").count() == 40)
+    // HAZARD: update assigns the partition column — a matched row moves
+    // OUT of its source-touched partition. Pruning must disable itself
+    // (fall back to the full staged rewrite) or the destination
+    // partition would be replaced by only the moved rows.
+    val destBefore = spark.table("merge_pt").where("b = 2").count()
+    val src2 = spark.range(1).selectExpr("1 AS k", "CAST(1 AS INT) AS b",
+      "CAST(-1 AS DOUBLE) AS v")
+    Dml.merge(spark, "merge_pt", src2, Seq("k", "b"),
+      whenMatchedUpdate = Map("b" -> lit(2), "v" -> col("s.v")))
+    val moved = spark.table("merge_pt").where("k = 1")
+      .select("b", "v").head()
+    assert(moved.getInt(0) == 2 && moved.getDouble(1) == -1.0)
+    assert(spark.table("merge_pt").where("b = 2").count() == destBefore + 1,
+      "destination partition lost pre-existing rows")
+    assert(spark.table("merge_pt").count() == 40)
+    drop("merge_pt")
+
+    // date-partitioned target: pruned path must render DATE literals in
+    // ADD/DROP PARTITION specs (bare yyyy-MM-dd would be arithmetic)
+    drop("merge_dt")
+    spark.sql("""CREATE TABLE merge_dt (k BIGINT, v DOUBLE, d DATE)
+                 USING parquet PARTITIONED BY (d)""")
+    spark.sql("""INSERT INTO merge_dt VALUES
+      (1, 1.0, DATE '2024-01-01'), (2, 2.0, DATE '2024-01-02')""")
+    val src3 = spark.sql(
+      """SELECT * FROM VALUES (1L, CAST(10.0 AS DOUBLE), DATE '2024-01-01'),
+                              (3L, CAST(3.0 AS DOUBLE), DATE '2024-01-03')
+         AS t(k, v, d)""")
+    val r3 = Dml.merge(spark, "merge_dt", src3, Seq("k", "d"),
+      whenMatchedUpdate = Map("v" -> col("s.v")))
+    assert(r3 == Dml.MergeResult(1, 0, 1))
+    val got = spark.table("merge_dt").collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getDate(2).toString))).toMap
+    assert(got == Map(1L -> ((10.0, "2024-01-01")),
+      2L -> ((2.0, "2024-01-02")), 3L -> ((3.0, "2024-01-03"))))
+    // delete-all of one date partition exercises the DROP PARTITION spec
+    val r4 = Dml.merge(spark, "merge_dt",
+      spark.sql("SELECT 2L AS k, DATE '2024-01-02' AS d"),
+      Seq("k", "d"), whenMatchedDeleteIf = Some(lit(true)),
+      insertNotMatched = false)
+    assert(r4 == Dml.MergeResult(0, 1, 0))
+    assert(spark.table("merge_dt").count() == 2)
+    // string partition values with embedded quote/backslash re-parse
+    drop("merge_st")
+    spark.sql("""CREATE TABLE merge_st (k BIGINT, v DOUBLE, s STRING)
+                 USING parquet PARTITIONED BY (s)""")
+    spark.sql("""INSERT INTO merge_st VALUES (1, 1.0, "o'brien")""")
+    val r5 = Dml.merge(spark, "merge_st",
+      spark.sql("""SELECT 2L AS k, CAST(2.0 AS DOUBLE) AS v, "o'brien" AS s"""),
+      Seq("k", "s"))
+    assert(r5 == Dml.MergeResult(0, 0, 1))
+    assert(spark.table("merge_st").where("k = 2").head().getString(2) == "o'brien")
+    drop("merge_dt"); drop("merge_st")
+  }
+
   test("plpgsql FOREACH and FOR-over-query fold arrays and collected records") {
     import org.apache.spark.sql.functions._
     import graft.operators.SqlFunctions

@@ -301,6 +301,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1L) == (("upd", 10.0, 3L)), s"regressed: $out")
     // user 2: equal ts resolves by event_id — 6 beats 4
     assert(out(2L) == (("tie", 42.0, 6L)), s"tie broke wrong: $out")
+
+    // SCALE CONTRACT: a batch touching ONE key rewrites only that key's
+    // hash bucket — every other bucket partition keeps its exact files
+    // (the O(|touched buckets|), not O(|table|), per-batch cost).
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def bucketFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(wh, "cdc_users_rt")
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles()
+          .map(_.getName).filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val filesBefore = bucketFiles()
+    val u1Bucket = spark.range(1)
+      .select(Streams.cdcBucket(org.apache.spark.sql.functions.lit(1L)))
+      .head().getInt(0)
+    val oneKey = Seq((1L, "newer", 123.0, 900L * us, 7L))
+      .toDF("user_id", "last_type", "last_value", "last_ts", "last_event_id")
+      .withColumn("last_ts", org.apache.spark.sql.functions
+        .timestamp_micros(col("last_ts")))
+      .withColumn("bucket", Streams.cdcBucket(col("user_id")))
+    graft.operators.Dml.upsert(spark, "cdc_users_rt", oneKey,
+      Seq("user_id", "bucket"))
+    val filesAfter = bucketFiles()
+    for ((b, fs) <- filesBefore if b != s"bucket=$u1Bucket")
+      assert(filesAfter(b) == fs, s"untouched $b was rewritten")
+    assert(filesAfter(s"bucket=$u1Bucket") != filesBefore(s"bucket=$u1Bucket"))
+    assert(spark.table("cdc_users_rt").where("user_id = 1")
+      .select("last_value").head().getDouble(0) == 123.0)
   }
 
   test("PG null ordering shim") {
