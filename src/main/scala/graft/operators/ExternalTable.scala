@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
-import graft.sources.{ExecSource, WebSink, WebSource}
+import graft.sources.{CloudLocation, ExecSource, WebSink, WebSource}
 
 /** `CREATE [READABLE|WRITABLE] EXTERNAL [WEB] TABLE` — the reference's
   * signature load/unload DDL (grammar `src/backend/parser/gram.y`
@@ -205,6 +205,13 @@ object ExternalTable {
         val r = WebSource.readCsv(spark, urls, spec.schema, spec.segments,
           limit, spec.delimiter)
         r.copy(good = r.good.drop("segment"))
+      case None if CloudLocation.isCloud(spec.locations.head) =>
+        // s3/gs/abfss: gpcloud-style URL + config options translate to
+        // Hadoop FS settings; the scan is the same SREH CSV reader,
+        // splittable and executor-parallel (gpcontrib/gpcloud)
+        Sreh.readCsvPaths(spark,
+          graft.sources.CloudLocation.resolve(spark, spec.locations),
+          spec.schema, limit, spec.header, spec.delimiter, spec.nullToken)
       case None =>
         require(spec.locations.forall(_.matches("(?i)^file://.*")),
           s"unsupported LOCATION protocol: ${spec.locations.head}")
@@ -244,6 +251,16 @@ object ExternalTable {
           .replaceFirst("(?i)^gpfdists://", "https://")
           .replaceFirst("(?i)^gpfdist://", "http://"))
         WebSink.writeCsv(cast, urls, spec.delimiter)
+      case None if CloudLocation.isCloud(spec.locations.head) =>
+        require(spec.locations.size == 1,
+          "writable cloud external table needs exactly one LOCATION")
+        val Seq(path) =
+          graft.sources.CloudLocation.resolve(spark, spec.locations)
+        cast.write.mode("append")
+          .option("sep", spec.delimiter)
+          .option("nullValue", spec.nullToken)
+          .option("header", spec.header.toString)
+          .csv(path)
       case None =>
         require(spec.locations.size == 1,
           "writable file:// external table needs exactly one LOCATION")

@@ -309,6 +309,36 @@ object PipelineQueries {
               |FROM ext_catalog_demo GROUP BY tag""".stripMargin)
     }),
 
+    // s3:// external table (gpcontrib/gpcloud): the gpcloud URL +
+    // config-file options translate to fs.s3a.* settings and the scan
+    // runs through the Hadoop FS + SREH layer. No connector jars or
+    // network in this container, so the s3a scheme is backed by the
+    // local-mapping mock FS — the DDL routing, config translation,
+    // bucket/prefix split, and permissive parse are all the real path.
+    "q231_s3_external" -> ((s, d) => {
+      val dir = new java.io.File("target/s3_ext_demo").getAbsoluteFile
+      dir.mkdirs()
+      val f = new java.io.File(dir, "load.csv")
+      val rows = (0 until 300).map { i =>
+        if (i % 60 == 13) s"corrupt_$i" else s"$i|b${i % 5}|${i * 7}"
+      }
+      java.nio.file.Files.write(f.toPath, rows.mkString("\n").getBytes)
+      val conf = new java.io.File(dir, "s3.conf")
+      java.nio.file.Files.write(conf.toPath,
+        "[default]\naccessid = AKDEMO\nsecret = SKDEMO\nencryption = true\n".getBytes)
+      s.sparkContext.hadoopConfiguration.set("fs.s3a.impl",
+        classOf[graft.sources.LocalSchemeFileSystem].getName)
+      graft.Graft.execute(s, "DROP EXTERNAL TABLE IF EXISTS ext_s3_demo")
+      graft.Graft.execute(s,
+        s"""CREATE EXTERNAL TABLE ext_s3_demo (id int, tag text, amt bigint)
+           |LOCATION ('s3://s3-us-west-2.amazonaws.com/graftbkt${f.getAbsolutePath}
+           |  config=${conf.getAbsolutePath} region=us-west-2')
+           |FORMAT 'CSV' (DELIMITER '|' NULL '')
+           |LOG ERRORS SEGMENT REJECT LIMIT 10 ROWS""".stripMargin)
+      s.sql("""SELECT tag, COUNT(*) AS n, SUM(amt) AS amt_sum, SUM(id) AS id_sum
+              |FROM ext_s3_demo GROUP BY tag""".stripMargin)
+    }),
+
     // Streaming CDC apply: foreachBatch + guarded MERGE — the final
     // table is the global latest event per user regardless of batch
     // slicing; the oracle takes the same argmax declaratively.
@@ -1209,6 +1239,15 @@ object PipelineQueries {
     // float64 in the driver's compare)
     "q219_external_ddl" -> {
       val p = new java.io.File("target/ext_ddl_demo/load.csv").getAbsolutePath
+      s"""SELECT tag, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS amt_sum,
+         |  CAST(SUM(id) AS BIGINT) AS id_sum
+         |FROM read_csv('$p', header=false, delim='|',
+         |  columns={'id': 'INTEGER', 'tag': 'VARCHAR', 'amt': 'BIGINT'},
+         |  ignore_errors=true)
+         |GROUP BY tag""".stripMargin
+    },
+    "q231_s3_external" -> {
+      val p = new java.io.File("target/s3_ext_demo/load.csv").getAbsolutePath
       s"""SELECT tag, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS amt_sum,
          |  CAST(SUM(id) AS BIGINT) AS id_sum
          |FROM read_csv('$p', header=false, delim='|',

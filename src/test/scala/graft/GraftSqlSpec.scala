@@ -449,6 +449,84 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE EXTERNAL TABLE s3://: gpcloud config translation over a mock FS") {
+    import graft.sources.{CloudLocation, LocalSchemeFileSystem}
+    val dir = new java.io.File("target/test-s3ext").getAbsoluteFile
+    dir.mkdirs()
+    val data = new java.io.File(dir, "part1.csv")
+    val w = new java.io.PrintWriter(data, "UTF-8")
+    try { w.println("1|a"); w.println("garbage"); w.println("2|b"); w.println("3|c") }
+    finally w.close()
+    val conf = new java.io.File(dir, "s3.conf")
+    val wc = new java.io.PrintWriter(conf, "UTF-8")
+    try wc.print(
+      """# gpcloud-style config (s3conf.cpp keys)
+        |[default]
+        |accessid = AKTESTID
+        |secret = SECRETTEST
+        |threadnum = 6
+        |chunksize = 671088640
+        |encryption = false
+        |proxy = http://squid.local:3128
+        |[other]
+        |accessid = WRONGSECTION
+        |""".stripMargin)
+    finally wc.close()
+    // no-network stand-in: s3a://bucket/<abs-path> resolves locally
+    // through the full Hadoop FileSystem + file-source machinery
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[LocalSchemeFileSystem].getName)
+    // hadoop maps scheme s3a to the S3A committer factory by default;
+    // the mock writes through the plain file committer
+    hc.set("mapreduce.outputcommitter.factory.scheme.s3a", "")
+    Graft.execute(spark,
+      s"""CREATE EXTERNAL TABLE ext_s3 (k int, tag text)
+         |LOCATION ('s3://s3-us-east-1.amazonaws.com/testbucket${data.getAbsolutePath}
+         |  config=${conf.getAbsolutePath} region=us-east-1 section=default')
+         |FORMAT 'CSV' (DELIMITER '|')
+         |LOG ERRORS SEGMENT REJECT LIMIT 2 ROWS""".stripMargin)
+    assert(spark.sql("SELECT SUM(k) FROM ext_s3").head().getLong(0) == 6L)
+    assert(spark.table("ext_s3_errors").count() == 1)
+    // every gpcloud option landed as its fs.s3a.* twin
+    assert(hc.get("fs.s3a.access.key") == "AKTESTID")
+    assert(hc.get("fs.s3a.secret.key") == "SECRETTEST")
+    assert(hc.get("fs.s3a.endpoint") == "s3-us-east-1.amazonaws.com")
+    assert(hc.get("fs.s3a.endpoint.region") == "us-east-1")
+    assert(hc.get("fs.s3a.connection.ssl.enabled") == "false")
+    assert(hc.get("fs.s3a.threads.max") == "6")
+    assert(hc.get("fs.s3a.multipart.size") == "671088640")
+    assert(hc.get("fs.s3a.proxy.host") == "squid.local")
+    assert(hc.get("fs.s3a.proxy.port") == "3128")
+    // WRITABLE s3 table: INSERT streams through the same FS layer
+    val outDir = new java.io.File(dir, "out")
+    Graft.execute(spark,
+      s"""CREATE WRITABLE EXTERNAL TABLE ext_s3_out (k int, tag text)
+         |LOCATION ('s3://s3-us-east-1.amazonaws.com/testbucket${outDir.getAbsolutePath}')
+         |FORMAT 'CSV' (DELIMITER '|')""".stripMargin)
+    Graft.execute(spark, "INSERT INTO ext_s3_out SELECT k, tag FROM ext_s3 WHERE k < 3")
+    val written = Option(outDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".csv"))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines()).toSet
+    assert(written == Set("1|a", "2|b"))
+    // native Hadoop scheme passes through untranslated
+    hc.set("fs.gs.impl", classOf[LocalSchemeFileSystem].getName)
+    Graft.execute(spark,
+      s"""CREATE EXTERNAL TABLE ext_gs (k int, tag text)
+         |LOCATION ('gs://testbucket${data.getAbsolutePath}')
+         |FORMAT 'CSV' (DELIMITER '|') SEGMENT REJECT LIMIT 2 ROWS""".stripMargin)
+    assert(spark.sql("SELECT SUM(k) FROM ext_gs").head().getLong(0) == 6L)
+    // translate() itself: bucket/prefix split and section selection
+    val r = CloudLocation.translate(
+      s"s3://edge.example.com:9000/bkt/pre/fix config=${conf.getAbsolutePath} section=other")
+    assert(r.path == "s3a://bkt/pre/fix")
+    assert(r.settings("fs.s3a.endpoint") == "edge.example.com:9000")
+    assert(r.settings("fs.s3a.access.key") == "WRONGSECTION")
+    assert(!r.settings.contains("fs.s3a.secret.key"))
+    Graft.execute(spark, "DROP EXTERNAL TABLE ext_s3")
+    Graft.execute(spark, "DROP EXTERNAL TABLE ext_gs")
+    Graft.execute(spark, "DROP EXTERNAL TABLE ext_s3_out")
+  }
+
   test("DML RETURNING: INSERT/UPDATE/DELETE return the affected images") {
     drop("ret_t")
     Graft.execute(spark,
