@@ -52,7 +52,12 @@ object ExternalTable {
       header: Boolean,
       logErrors: Boolean,
       rejectRows: Option[Long],
-      rejectPercent: Option[Double]) {
+      rejectPercent: Option[Double],
+      formatter: Option[String] = None, // FORMAT 'CUSTOM' (formatter=...)
+      fwWidths: Seq[(String, Int)] = Nil,
+      preserveBlanks: Boolean = false,
+      lineDelim: String = "\n",
+      fwNull: Option[String] = None) {
     def schema: StructType =
       StructType.fromDDL(columns.map { case (n, t) => s"$n $t" }.mkString(", "))
   }
@@ -114,24 +119,51 @@ object ExternalTable {
         rest = (rest.substring(0, e.start) + " " + rest.substring(e.end)).trim
     }
 
-    // FORMAT 'TEXT'|'CSV' [( options )]
+    // FORMAT 'TEXT'|'CSV'|'CUSTOM' [( options )]
     var format = "TEXT"
     var delimiter: Option[String] = None
     var nullToken: Option[String] = None
     var header = false
+    var formatter: Option[String] = None
+    var fwWidths = Seq.empty[(String, Int)]
+    var preserveBlanks = false
+    var lineDelim = "\n"
     val fmtRe = "(?is)\\bFORMAT\\s+'(\\w+)'\\s*".r
     fmtRe.findFirstMatchIn(rest).foreach { f =>
       format = f.group(1).toUpperCase
-      require(format == "TEXT" || format == "CSV",
-        s"unsupported external FORMAT '$format' (TEXT and CSV)")
+      require(format == "TEXT" || format == "CSV" || format == "CUSTOM",
+        s"unsupported external FORMAT '$format' (TEXT, CSV, CUSTOM)")
       var tail = rest.substring(f.end).trim
       if (tail.startsWith("(")) {
         val (opts, a3) = GreengageDdl.balanced(tail, 0)
-        val dRe = "(?is)\\bDELIMITER\\s+(?:AS\\s+)?'((?:[^']|'')*)'".r
-        val nRe = "(?is)\\bNULL\\s+(?:AS\\s+)?'((?:[^']|'')*)'".r
-        delimiter = dRe.findFirstMatchIn(opts).map(_.group(1).replace("''", "'"))
-        nullToken = nRe.findFirstMatchIn(opts).map(_.group(1).replace("''", "'"))
-        header = "(?i)\\bHEADER\\b".r.findFirstIn(opts).isDefined
+        if (format == "CUSTOM") {
+          // formatter=fixedwidth_in, col='width', ..., preserve_blanks,
+          // line_delim, null — ORDER of the width pairs defines the
+          // file layout (fixedwidth.c load_format_config:154-192)
+          val pairRe = "(?s)([\\w\"]+)\\s*=\\s*(?:'((?:[^']|'')*)'|([\\w.]+))".r
+          pairRe.findAllMatchIn(opts).foreach { p =>
+            val key = p.group(1).replace("\"", "")
+            val value = Option(p.group(2)).map(_.replace("''", "'"))
+              .getOrElse(p.group(3))
+            key.toLowerCase match {
+              case "formatter" => formatter = Some(value.toLowerCase)
+              case "preserve_blanks" =>
+                preserveBlanks = value.equalsIgnoreCase("on")
+              case "line_delim" => lineDelim = value
+              case "null" => nullToken = Some(value)
+              case colName => fwWidths :+= (colName -> value.trim.toInt)
+            }
+          }
+          require(formatter.exists(_.startsWith("fixedwidth")),
+            s"unsupported CUSTOM formatter ${formatter.getOrElse("(none)")}" +
+              " (fixedwidth_in/fixedwidth_out)")
+        } else {
+          val dRe = "(?is)\\bDELIMITER\\s+(?:AS\\s+)?'((?:[^']|'')*)'".r
+          val nRe = "(?is)\\bNULL\\s+(?:AS\\s+)?'((?:[^']|'')*)'".r
+          delimiter = dRe.findFirstMatchIn(opts).map(_.group(1).replace("''", "'"))
+          nullToken = nRe.findFirstMatchIn(opts).map(_.group(1).replace("''", "'"))
+          header = "(?i)\\bHEADER\\b".r.findFirstIn(opts).isDefined
+        }
         tail = tail.substring(a3).trim
       }
       rest = (rest.substring(0, f.start) + " " + tail).trim
@@ -158,7 +190,9 @@ object ExternalTable {
       }
 
     ExtSpec(name, writable, columns, locations, execCmd, segments, format,
-      delim, nullTok, header, logErrors, rejectRows, rejectPercent)
+      delim, nullTok, header, logErrors, rejectRows, rejectPercent,
+      formatter, fwWidths, preserveBlanks, lineDelim,
+      if (format == "CUSTOM") nullToken else None)
   }
 
   /** Parse + register: READABLE → temp view (+ `<name>_errors` under
@@ -192,6 +226,17 @@ object ExternalTable {
     val limit = if (spec.rejectPercent.isDefined) Long.MaxValue
       else spec.rejectRows.getOrElse(0L)
     val res = spec.execCmd match {
+      case _ if spec.format == "CUSTOM" =>
+        // fixedwidth_in over file or cloud LOCATIONs (contrib/
+        // formatter_fixedwidth); same SREH reject accounting
+        require(spec.execCmd.isEmpty,
+          "CUSTOM fixedwidth formatter needs LOCATION, not EXECUTE")
+        val paths =
+          if (CloudLocation.isCloud(spec.locations.head))
+            graft.sources.CloudLocation.resolve(spark, spec.locations)
+          else spec.locations.map(filePath)
+        FixedWidth.read(spark, paths, spec.schema, spec.fwWidths, limit,
+          spec.preserveBlanks, spec.fwNull, spec.lineDelim)
       case Some(cmd) =>
         val r = ExecSource.readCsv(spark, cmd, spec.schema, spec.segments,
           limit, spec.delimiter)
@@ -245,7 +290,16 @@ object ExternalTable {
       case (c, (n, t)) => col(c).cast(t).as(n)
     }.toSeq: _*)
     spec.execCmd match {
-      case Some(cmd) => pipeToProgram(cast, cmd, spec.delimiter)
+      case _ if spec.format == "CUSTOM" =>
+        // fixedwidth_out: blank-padded concatenation, one line per row
+        require(spec.locations.size == 1,
+          "writable fixedwidth external table needs exactly one LOCATION")
+        val Seq(path) =
+          if (CloudLocation.isCloud(spec.locations.head))
+            graft.sources.CloudLocation.resolve(spark, spec.locations)
+          else spec.locations.map(filePath)
+        FixedWidth.formatLines(cast, spec.fwWidths, spec.fwNull)
+          .write.mode("append").text(path)
       case None if spec.locations.head.matches("(?i)^(gpfdists?|https?)://.*") =>
         val urls = spec.locations.map(_
           .replaceFirst("(?i)^gpfdists://", "https://")

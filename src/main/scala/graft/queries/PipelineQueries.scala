@@ -339,6 +339,33 @@ object PipelineQueries {
               |FROM ext_s3_demo GROUP BY tag""".stripMargin)
     }),
 
+    // Fixed-width CUSTOM formatter (contrib/formatter_fixedwidth): the
+    // mainframe-ETL ingest form. The oracle replays the same slicing in
+    // SQL (substr/rtrim/try_cast over whole lines), so trim, null-token
+    // and reject semantics are verified value-exact.
+    "q232_fixedwidth" -> ((s, d) => {
+      val dir = new java.io.File("target/fw_demo").getAbsoluteFile
+      dir.mkdirs()
+      val f = new java.io.File(dir, "load.txt")
+      def pad(v: String, w: Int) = v.padTo(w, ' ')
+      val rows = (0 until 200).map { i =>
+        val amt = if (i % 25 == 9) "bad" else if (i % 10 == 3) "NA"
+          else String.valueOf(i * 7)
+        pad(String.valueOf(i), 5) + pad(s"name_${i % 6}", 10) + pad(amt, 8)
+      } :+ "too_short"
+      java.nio.file.Files.write(f.toPath, rows.mkString("\n").getBytes)
+      graft.Graft.execute(s, "DROP EXTERNAL TABLE IF EXISTS ext_fw_demo")
+      graft.Graft.execute(s,
+        s"""CREATE EXTERNAL TABLE ext_fw_demo (id int, name text, amt bigint)
+           |LOCATION ('file://localhost${f.getAbsolutePath}')
+           |FORMAT 'CUSTOM' (formatter=fixedwidth_in, id='5', name='10',
+           |  amt='8', null='NA')
+           |LOG ERRORS SEGMENT REJECT LIMIT 20 ROWS""".stripMargin)
+      s.sql("""SELECT name, COUNT(*) AS n, COUNT(amt) AS n_amt,
+              |  SUM(amt) AS amt_sum, SUM(id) AS id_sum
+              |FROM ext_fw_demo GROUP BY name""".stripMargin)
+    }),
+
     // Streaming CDC apply: foreachBatch + guarded MERGE — the final
     // table is the global latest event per user regardless of batch
     // slicing; the oracle takes the same argmax declaratively.
@@ -1254,6 +1281,26 @@ object PipelineQueries {
          |  columns={'id': 'INTEGER', 'tag': 'VARCHAR', 'amt': 'BIGINT'},
          |  ignore_errors=true)
          |GROUP BY tag""".stripMargin
+    },
+    "q232_fixedwidth" -> {
+      // replay the fixed-width slicing declaratively over raw lines:
+      // a row is good iff its length matches the layout and every
+      // non-string field either carries the null token or converts
+      val p = new java.io.File("target/fw_demo/load.txt").getAbsolutePath
+      s"""WITH l AS (SELECT line FROM read_csv('$p', header=false,
+         |  delim='|', quote='', columns={'line': 'VARCHAR'})),
+         |f AS (SELECT try_cast(rtrim(substr(line, 1, 5)) AS INTEGER) AS id,
+         |             rtrim(substr(line, 6, 10)) AS name,
+         |             rtrim(substr(line, 16, 8)) AS amt_raw,
+         |             length(line) AS len FROM l)
+         |SELECT name, COUNT(*) AS n,
+         |  COUNT(try_cast(amt_raw AS BIGINT)) AS n_amt,
+         |  CAST(SUM(try_cast(amt_raw AS BIGINT)) AS BIGINT) AS amt_sum,
+         |  CAST(SUM(id) AS BIGINT) AS id_sum
+         |FROM f
+         |WHERE len = 23 AND id IS NOT NULL
+         |  AND (amt_raw = 'NA' OR try_cast(amt_raw AS BIGINT) IS NOT NULL)
+         |GROUP BY name""".stripMargin
     },
     "q93_sreh_csv" -> {
       // same absolute path the Spark side writes (both resolve against

@@ -527,6 +527,60 @@ class GraftSqlSpec extends AnyFunSuite {
     Graft.execute(spark, "DROP EXTERNAL TABLE ext_s3_out")
   }
 
+  test("FORMAT 'CUSTOM' fixedwidth: trim, null token, rejects, preserve, write") {
+    val dir = new java.io.File("target/test-fixedwidth").getAbsoluteFile
+    dir.mkdirs()
+    val f = new java.io.File(dir, "fw.txt")
+    // layout: id 4 | name 8 | amt 6 (total 18)
+    def line(id: String, name: String, amt: String) =
+      id.padTo(4, ' ') + name.padTo(8, ' ') + amt.padTo(6, ' ')
+    val rows = Seq(
+      line("1", "alpha", "100"),
+      line("2", "beta", "NA"),      // null token
+      line("3", "gamma", "xx"),     // conversion failure → reject
+      "shortline",                   // wrong length → reject
+      line("4", "delta  x", "400")) // trailing-blank-significant name
+    java.nio.file.Files.write(f.toPath, rows.mkString("\n").getBytes)
+    Graft.execute(spark,
+      s"""CREATE EXTERNAL TABLE ext_fw (id int, name text, amt bigint)
+         |LOCATION ('file://localhost${f.getAbsolutePath}')
+         |FORMAT 'CUSTOM' (formatter=fixedwidth_in, id='4', name='8',
+         |  amt='6', null='NA')
+         |LOG ERRORS SEGMENT REJECT LIMIT 5 ROWS""".stripMargin)
+    val got = spark.sql("SELECT id, name, amt FROM ext_fw ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq == Seq((1, "alpha", 100L), (2, "beta", -1L),
+      (4, "delta  x", 400L)))
+    assert(spark.table("ext_fw_errors").count() == 2)
+    // preserve_blanks='on' keeps each field's trailing blanks
+    Graft.execute(spark,
+      s"""CREATE EXTERNAL TABLE ext_fwp (id text, name text, amt text)
+         |LOCATION ('file://localhost${f.getAbsolutePath}')
+         |FORMAT 'CUSTOM' (formatter=fixedwidth_in, id='4', name='8',
+         |  amt='6', preserve_blanks='on')
+         |SEGMENT REJECT LIMIT 5 ROWS""".stripMargin)
+    val p = spark.sql("SELECT name FROM ext_fwp WHERE id = '1   '")
+      .head().getString(0)
+    assert(p == "alpha   ")
+    // fixedwidth_out: write side pads back to the declared widths
+    val outDir = new java.io.File(dir, "out")
+    Graft.execute(spark,
+      s"""CREATE WRITABLE EXTERNAL TABLE ext_fw_out (id int, name text, amt bigint)
+         |LOCATION ('file://localhost${outDir.getAbsolutePath}')
+         |FORMAT 'CUSTOM' (formatter=fixedwidth_out, id='4', name='8',
+         |  amt='6', null='NA')""".stripMargin)
+    Graft.execute(spark,
+      "INSERT INTO ext_fw_out SELECT id, name, amt FROM ext_fw WHERE id <= 2")
+    val written = Option(outDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".txt"))
+      .flatMap(o => scala.io.Source.fromFile(o, "UTF-8").getLines()).toSet
+    assert(written == Set(line("1", "alpha", "100"), line("2", "beta", "NA")))
+    Graft.execute(spark, "DROP EXTERNAL TABLE ext_fw")
+    Graft.execute(spark, "DROP EXTERNAL TABLE ext_fwp")
+    Graft.execute(spark, "DROP EXTERNAL TABLE ext_fw_out")
+  }
+
   test("DML RETURNING: INSERT/UPDATE/DELETE return the affected images") {
     drop("ret_t")
     Graft.execute(spark,
