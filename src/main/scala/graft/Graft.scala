@@ -129,6 +129,19 @@ object Graft {
         stripSemi(t).split("\\s+").last); None
     } else if (is("(?is)^CREATE\\s+(TABLE|MATERIALIZED\\s+VIEW)\\b")) {
       operators.GreengageDdl.execute(spark, t); None
+    } else if (is("(?is)^CREATE\\s+TYPE\\b")) {
+      // enum/composite/shell types (typecmds.c DefineEnum:1126) — the
+      // first statements of a restored pg_dump
+      operators.PgTypes.createType(t); None
+    } else if (is("(?is)^CREATE\\s+DOMAIN\\b")) {
+      operators.PgTypes.createDomain(t); None
+    } else if (is("(?is)^ALTER\\s+TYPE\\b.*\\bADD\\s+VALUE\\b")) {
+      operators.PgTypes.alterAddValue(t); None
+    } else if (is("(?is)^ALTER\\s+(TYPE|DOMAIN)\\b")) {
+      // OWNER TO / SET SCHEMA / RENAME boilerplate: existence no-op
+      None
+    } else if (is("(?is)^DROP\\s+(TYPE|DOMAIN)\\b")) {
+      operators.PgTypes.drop(t); None
     } else if (is("(?is)^CREATE\\s+SEQUENCE\\b")) {
       operators.GreengageDdl.createSequence(t); None
     } else if (is("(?is)^ALTER\\s+SEQUENCE\\b.*\\bRESTART\\b")) {
@@ -306,8 +319,33 @@ object Graft {
               .cast(tbl.schema(c).dataType).as(c)
           }.toSeq: _*)
       }
+      operators.PgTypes.validate(named, table,
+        tbl.columns.map(c => c.toLowerCase -> c).toMap)
       spark.sql(operators.PgSql.rewrite(insertSql))
       Some(named.selectExpr(items: _*))
+    } else if (is("(?is)^INSERT\\s+INTO\\b") && {
+      val n = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)".r
+        .findFirstMatchIn(t).map(_.group(1).replace("\"", ""))
+      n.exists(nm => operators.PgTypes.constraintsFor(nm).nonEmpty)
+    }) {
+      // INSERT into a table with enum/domain columns: enforce the check
+      // constraints over the batch (ONE aggregate) before the write —
+      // PG's "invalid input value for enum" contract. The source is
+      // evaluated twice (validate + insert); dump-replay inserts are
+      // VALUES lists, so the recheck is a few rows.
+      val st = stripSemi(t)
+      val m = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)\\s*(\\([^)]*\\))?\\s*(.*)$".r
+        .findFirstMatchIn(st).get
+      val table = m.group(1).replace("\"", "")
+      val body = spark.sql(operators.PgSql.rewrite(m.group(3)))
+      val cols = Option(m.group(2)).map(cl => operators.GreengageDdl.splitTop(
+          cl.stripPrefix("(").stripSuffix(")")).map(_.replace("\"", "")))
+        .getOrElse(spark.table(table).columns.toSeq)
+      val byName = cols.zip(body.columns).map {
+        case (c, dc) => c.toLowerCase -> dc }.toMap
+      operators.PgTypes.validate(body, table, byName)
+      spark.sql(operators.PgSql.rewrite(st))
+      None
     } else if (is("(?is)^SELECT\\b") &&
         topKeyword(stripSemi(t), "INTO") >= 0) {
       // SELECT ... INTO newtable FROM ... (gram.y into_clause): the
@@ -487,11 +525,18 @@ object Graft {
       val table = target.replace("\"", "")
       require(!target.startsWith("("), "COPY FROM needs a table target")
       val schema = spark.table(table).schema
+      // enum/domain check constraints apply to COPY exactly as to
+      // INSERT (copy.c runs the same per-type input functions)
+      def checked(df: org.apache.spark.sql.DataFrame) = {
+        operators.PgTypes.validate(df, table,
+          df.columns.map(c => c.toLowerCase -> c).toMap)
+        df
+      }
       (Option(m.group(6)), Option(m.group(5))) match {
         case (None, None) =>
-          spark.read.schema(schema)
+          checked(spark.read.schema(schema)
             .option("header", header.toString).option("sep", delim)
-            .option("nullValue", nullTok).csv(path)
+            .option("nullValue", nullTok).csv(path))
             .write.mode("append").insertInto(table)
         case (limit, logErrors) =>
           // Greengage COPY SREH (cdbsreh.c): tolerate up to N bad rows
@@ -509,7 +554,7 @@ object Graft {
               operators.Sreh.readCsv(spark, path, schema, 0L, header,
                 delim, nullTok)
           }
-          res.good.write.mode("append").insertInto(table)
+          checked(res.good).write.mode("append").insertInto(table)
           if (logErrors.isDefined)
             res.errorLog.createOrReplaceTempView(s"${table}_errors")
       }

@@ -300,6 +300,7 @@ object ExternalTable {
           else spec.locations.map(filePath)
         FixedWidth.formatLines(cast, spec.fwWidths, spec.fwNull)
           .write.mode("append").text(path)
+      case Some(cmd) => pipeToProgram(cast, cmd, spec.delimiter)
       case None if spec.locations.head.matches("(?i)^(gpfdists?|https?)://.*") =>
         val urls = spec.locations.map(_
           .replaceFirst("(?i)^gpfdists://", "https://")

@@ -64,7 +64,8 @@ object GreengageDdl {
       case "timestamp" | "timestamp without time zone" => "TIMESTAMP_NTZ"
       case "timestamptz" | "timestamp with time zone" => "TIMESTAMP"
       case "bytea" => "BINARY"
-      case other => throw new IllegalArgumentException(s"unmapped PG type: '$other'")
+      case other => PgTypes.resolve(other).getOrElse(
+        throw new IllegalArgumentException(s"unmapped PG type: '$other'"))
     }
   }
 
@@ -134,6 +135,7 @@ object GreengageDdl {
 
     // column list (absent for CTAS)
     var columns = Seq.empty[(String, String)]
+    val typedCols = Seq.newBuilder[(String, String)] // col → registered PG type
     if (rest.startsWith("(")) {
       val (colBlock, after) = balanced(rest, 0)
       rest = rest.substring(after).trim
@@ -160,9 +162,14 @@ object GreengageDdl {
           var typePart = parts(1)
           var prev = ""
           while (typePart != prev) { prev = typePart; typePart = typePart.replaceAll(conRe, "") }
-          (parts(0).replace("\"", ""), mapType(typePart))
+          val colName = parts(0).replace("\"", "")
+          val head = typePart.takeWhile(_ != '(').trim
+          if (PgTypes.isRegistered(head)) typedCols += (colName -> head)
+          (colName, mapType(typePart))
         }
     }
+    // enum/domain columns carry check constraints enforced on INSERT/COPY
+    PgTypes.recordTable(name, typedCols.result())
 
     // WITH (storage options)
     var storageOpts = Map.empty[String, String]

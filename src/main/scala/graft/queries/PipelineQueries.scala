@@ -366,6 +366,25 @@ object PipelineQueries {
               |FROM ext_fw_demo GROUP BY name""".stripMargin)
     }),
 
+    // CREATE TYPE / CREATE DOMAIN routing (typecmds.c DefineEnum): the
+    // pg_dump replay sequence — enum maps to STRING + insert-time label
+    // check, domain to its base type + CHECK. Oracle replays the final
+    // table contents declaratively.
+    "q233_create_type" -> ((s, d) => {
+      for (stmt <- Seq(
+        "DROP TABLE IF EXISTS pgtype_demo",
+        "DROP TYPE IF EXISTS mood",
+        "DROP DOMAIN IF EXISTS rating",
+        "CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')",
+        "CREATE DOMAIN rating AS int CHECK (VALUE BETWEEN 1 AND 10)",
+        "CREATE TABLE pgtype_demo (id int, m mood, r rating)",
+        """INSERT INTO pgtype_demo VALUES (1, 'sad', 3), (2, 'ok', 5),
+           (3, 'happy', 9), (4, 'ok', 7), (5, NULL, NULL)"""))
+        graft.Graft.execute(s, stmt)
+      s.sql("""SELECT m, COUNT(*) AS n, SUM(r) AS r_sum
+              |FROM pgtype_demo GROUP BY m""".stripMargin)
+    }),
+
     // Streaming CDC apply: foreachBatch + guarded MERGE — the final
     // table is the global latest event per user regardless of batch
     // slicing; the oracle takes the same argmax declaratively.
@@ -1302,6 +1321,11 @@ object PipelineQueries {
          |  AND (amt_raw = 'NA' OR try_cast(amt_raw AS BIGINT) IS NOT NULL)
          |GROUP BY name""".stripMargin
     },
+    "q233_create_type" ->
+      """SELECT m, COUNT(*) AS n, CAST(SUM(r) AS BIGINT) AS r_sum
+        |FROM (VALUES (1, 'sad', 3), (2, 'ok', 5), (3, 'happy', 9),
+        |             (4, 'ok', 7), (5, NULL, NULL)) t(id, m, r)
+        |GROUP BY m""".stripMargin,
     "q93_sreh_csv" -> {
       // same absolute path the Spark side writes (both resolve against
       // this JVM's CWD); rows with the wrong field count are the rejects

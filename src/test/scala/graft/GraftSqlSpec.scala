@@ -581,6 +581,59 @@ class GraftSqlSpec extends AnyFunSuite {
     Graft.execute(spark, "DROP EXTERNAL TABLE ext_fw_out")
   }
 
+  test("CREATE TYPE/DOMAIN: pg_dump replay with enum + domain enforcement") {
+    drop("tickets")
+    // the exact statement sequence a restored dump emits
+    Seq(
+      "CREATE TYPE status AS ENUM ('new', 'open', 'closed');",
+      "CREATE TYPE addr AS (street text, zip int);",
+      "CREATE DOMAIN posint AS int CHECK (VALUE > 0);",
+      "COMMENT ON TYPE status IS 'ticket states';",
+      "ALTER TYPE status OWNER TO admin;",
+      "CREATE TABLE tickets (id int, st status NOT NULL, qty posint, loc addr);",
+      "INSERT INTO tickets VALUES (1, 'new', 5, named_struct('street', 'a', 'zip', 7)), (2, 'open', 2, NULL);")
+      .foreach(s => Graft.execute(spark, s))
+    assert(spark.sql("SELECT COUNT(*), SUM(qty) FROM tickets").head().toSeq
+      == Seq(2L, 7L))
+    assert(spark.sql("SELECT loc.zip FROM tickets WHERE id = 1")
+      .head().getInt(0) == 7)
+    // invalid enum label → rejected BEFORE any write
+    intercept[IllegalArgumentException](Graft.execute(spark,
+      "INSERT INTO tickets VALUES (3, 'bogus', 1, NULL)"))
+    // domain CHECK (VALUE > 0) enforced
+    intercept[IllegalArgumentException](Graft.execute(spark,
+      "INSERT INTO tickets VALUES (3, 'new', -4, NULL)"))
+    assert(spark.sql("SELECT COUNT(*) FROM tickets").head().getLong(0) == 2L)
+    // ALTER TYPE ADD VALUE unlocks the new label
+    Graft.execute(spark, "ALTER TYPE status ADD VALUE 'wontfix' AFTER 'open'")
+    Graft.execute(spark, "INSERT INTO tickets VALUES (3, 'wontfix', 1, NULL)")
+    // explicit (reordered) column list maps the check to the right slot
+    Graft.execute(spark, "INSERT INTO tickets (st, id) VALUES ('closed', 9)")
+    intercept[IllegalArgumentException](Graft.execute(spark,
+      "INSERT INTO tickets (st, id) VALUES ('nope', 10)"))
+    assert(spark.sql("SELECT COUNT(*) FROM tickets").head().getLong(0) == 4L)
+    // COPY FROM runs the same input checks (no struct col in csv)
+    drop("tstat")
+    Graft.execute(spark, "CREATE TABLE tstat (id int, st status)")
+    val dir = new java.io.File("target/test-pgtypes"); dir.mkdirs()
+    val good = new java.io.File(dir, "good.csv")
+    java.nio.file.Files.write(good.toPath, "1,new\n2,closed\n".getBytes)
+    Graft.execute(spark, s"COPY tstat FROM '${good.getAbsolutePath}'")
+    assert(spark.sql("SELECT COUNT(*) FROM tstat").head().getLong(0) == 2L)
+    val bad = new java.io.File(dir, "bad.csv")
+    java.nio.file.Files.write(bad.toPath, "3,invalid_label\n".getBytes)
+    intercept[IllegalArgumentException](Graft.execute(spark,
+      s"COPY tstat FROM '${bad.getAbsolutePath}'"))
+    assert(spark.sql("SELECT COUNT(*) FROM tstat").head().getLong(0) == 2L)
+    // DROP TYPE unregisters; a later CREATE TYPE may reuse the name
+    Graft.execute(spark, "DROP TYPE IF EXISTS status CASCADE")
+    Graft.execute(spark, "DROP TYPE addr")
+    Graft.execute(spark, "DROP DOMAIN posint")
+    Graft.execute(spark, "CREATE TYPE status AS ENUM ('a')")
+    Graft.execute(spark, "DROP TYPE status")
+    drop("tickets"); drop("tstat")
+  }
+
   test("DML RETURNING: INSERT/UPDATE/DELETE return the affected images") {
     drop("ret_t")
     Graft.execute(spark,
