@@ -539,4 +539,115 @@ class ReferencePatternsSpec extends AnyFunSuite {
         |RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) FROM wv_t""".stripMargin)
       .collect())
   }
+
+  test("grouping sets over constant grouping exprs (aggregate_with_groupingsets.sql:109-134)") {
+    Seq(0, 1).toDF("a").createOrReplaceTempView("gs_const")
+    // select 1, a ... grouping sets(1,2): the const is itself a grouping
+    // expression — nulled in the {a} set (window.out:214-220)
+    val g1 = spark.sql(
+      """SELECT x, a FROM (SELECT 1 AS x, a FROM gs_const)
+        |GROUP BY GROUPING SETS ((x), (a))""".stripMargin)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(g1 == Set((None, Some(0)), (None, Some(1)), (Some(1), None)))
+    // + DISTINCT aggregate alongside (expected :393-397)
+    val g2 = spark.sql(
+      """SELECT x, a, COUNT(DISTINCT a) AS c
+        |FROM (SELECT 1 AS x, a FROM gs_const)
+        |GROUP BY GROUPING SETS ((x), (a))""".stripMargin)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2))).toSet
+    assert(g2 == Set((None, Some(0), 1L), (None, Some(1), 1L), (Some(1), None, 2L)))
+    // outer filter over the grouping-set output (expected :289-293):
+    // only the const-grouped row has x=1 and sum=1
+    val g3 = spark.sql(
+      """SELECT * FROM (
+        |  SELECT x, a, SUM(a) AS s FROM (SELECT 1 AS x, a FROM gs_const)
+        |  GROUP BY GROUPING SETS ((x), (a))) ss
+        |WHERE x = 1 AND s = 1""".stripMargin).collect()
+    assert(g3.length == 1 && g3.head.getInt(0) == 1 && g3.head.isNullAt(1)
+      && g3.head.getLong(2) == 1L)
+    // only constants in a ROLLUP: every set groups the whole input —
+    // three rows, each counting both input rows (expected :302-306)
+    val g4 = spark.sql(
+      """SELECT c1, c2, COUNT(1) AS n
+        |FROM (SELECT '' AS c1, '' AS c2, a FROM gs_const)
+        |GROUP BY ROLLUP (c1, c2)""".stripMargin)
+      .collect().map(_.getLong(2)).toSeq
+    assert(g4 == Seq(2L, 2L, 2L))
+    val g5 = spark.sql(
+      """SELECT c1, c2, COUNT(DISTINCT a) AS n
+        |FROM (SELECT '' AS c1, '' AS c2, a FROM gs_const)
+        |GROUP BY ROLLUP (c1, c2)""".stripMargin)
+      .collect().map(_.getLong(2)).toSeq
+    assert(g5 == Seq(2L, 2L, 2L))
+  }
+
+  test("DISTINCT aggregate under grouping sets (aggregate_with_groupingsets.sql:139-147)") {
+    Seq((1, 1), (2, 1)).toDF("i", "j").createOrReplaceTempView("gs_dqa")
+    val out = spark.sql(
+      """SELECT i, j, COUNT(DISTINCT j) AS c FROM gs_dqa
+        |GROUP BY GROUPING SETS ((i), (j))""".stripMargin)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2))).toSet
+    // expected :387-392
+    assert(out == Set((None, Some(1), 1L), (Some(1), None, 1L),
+      (Some(2), None, 1L)))
+  }
+
+  test("coalesce filter over grouping-set output (aggregate_with_groupingsets.sql:71-97)") {
+    val out = spark.sql(
+      """WITH table1 AS (
+        |  SELECT 2 AS city_id, 5 AS cnt UNION ALL
+        |  SELECT 2 AS city_id, 1 AS cnt UNION ALL
+        |  SELECT 3 AS city_id, 2 AS cnt UNION ALL
+        |  SELECT 3 AS city_id, 7 AS cnt),
+        |fin AS (
+        |  SELECT coalesce(country_id, city_id) AS location_id, total
+        |  FROM (SELECT country_id, city_id, SUM(cnt) AS total
+        |        FROM (SELECT 1 AS country_id, city_id, cnt FROM table1)
+        |        GROUP BY GROUPING SETS ((country_id), (city_id))) base)
+        |SELECT * FROM fin WHERE location_id = 1""".stripMargin).collect()
+    assert(out.length == 1 && out.head.getInt(0) == 1
+      && out.head.getLong(1) == 15L)
+  }
+
+  test("empsalary peer frames and ties (window.sql:12-35, window.out:38-93)") {
+    // the canonical PG window fixture, results pinned to window.out
+    val emp = Seq(
+      ("develop", 10L, 5200), ("sales", 1L, 5000), ("personnel", 5L, 3500),
+      ("sales", 4L, 4800), ("personnel", 2L, 3900), ("develop", 7L, 4200),
+      ("develop", 9L, 4500), ("sales", 3L, 4800), ("develop", 8L, 6000),
+      ("develop", 11L, 5200)).toDF("depname", "empno", "salary")
+    emp.createOrReplaceTempView("empsalary")
+    // named window, partition only (window.out:80-93)
+    val sums = spark.sql(
+      """SELECT empno, SUM(salary) OVER w AS s FROM empsalary
+        |WINDOW w AS (PARTITION BY depname)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums(5L) == 7400L && sums(1L) == 14600L && sums(10L) == 25100L)
+    // rank over ties (window.out:38-51)
+    val ranks = spark.sql(
+      """SELECT empno, RANK() OVER (PARTITION BY depname ORDER BY salary) AS r
+        |FROM empsalary""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ranks == Map(5L -> 1, 2L -> 2, 3L -> 1, 4L -> 1, 1L -> 3,
+      7L -> 1, 9L -> 2, 10L -> 3, 11L -> 3, 8L -> 5))
+    // default RANGE frame: ORDER BY peers share the cumulative sum —
+    // both develop 5200 rows read 19100, both sales 4800 rows 9600
+    val cum = spark.sql(
+      """SELECT empno, SUM(salary) OVER
+        |  (PARTITION BY depname ORDER BY salary) AS s
+        |FROM empsalary""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cum == Map(7L -> 4200L, 9L -> 8700L, 10L -> 19100L,
+      11L -> 19100L, 8L -> 25100L, 3L -> 9600L, 4L -> 9600L, 1L -> 14600L,
+      5L -> 3500L, 2L -> 7400L))
+    // last_value under the default frame also reaches through peers
+    val lv = spark.sql(
+      """SELECT empno, LAST_VALUE(empno) OVER
+        |  (PARTITION BY depname ORDER BY salary) AS l
+        |FROM empsalary""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // peers (10, 11) and (3, 4) see the same last peer row
+    assert(lv(10L) == lv(11L) && lv(3L) == lv(4L))
+    assert(lv(8L) == 8L && lv(5L) == 5L)
+  }
 }
