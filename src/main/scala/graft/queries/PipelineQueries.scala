@@ -393,6 +393,24 @@ object PipelineQueries {
       graft.streaming.Streams.cdcApply(s, d)
     }),
 
+    // Salted hot-key join (AggregateWithSkew.mdp): a planted hot key —
+    // every third order rerouted to customer 1 — joined through
+    // Skew.saltedJoin. The oracle is the UNSALTED join: salting must be
+    // result-identical, only the physical fan-out differs (plan assert
+    // in PlanSpec).
+    "q234_salted_join" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      val large = s.table("orders").select(
+        when(col("o_orderkey") % 3 === 0, lit(1L))
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("o_totalprice"))
+      val dim = s.table("customer").select("c_custkey", "c_mktsegment")
+      graft.operators.Skew
+        .saltedJoin(large, dim, "c_custkey", 8, Seq(col("o_totalprice")))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), Q.sumd(col("o_totalprice")).as("total"))
+    }),
+
     // gp_toolkit skew diagnostics (gp_skew_coefficients): rows per
     // segment under the distribution key + the coefficient of
     // variation. A modulo segment function here so DuckDB can replay
@@ -1326,6 +1344,13 @@ object PipelineQueries {
         |FROM (VALUES (1, 'sad', 3), (2, 'ok', 5), (3, 'happy', 9),
         |             (4, 'ok', 7), (5, NULL, NULL)) t(id, m, r)
         |GROUP BY m""".stripMargin,
+    // the UNSALTED join: salting must not change a single value
+    "q234_salted_join" -> s"""
+      |SELECT c_mktsegment, COUNT(*) AS n, ${oSumd("o_totalprice")} AS total
+      |FROM (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE o_custkey END
+      |             AS k, o_totalprice FROM orders) o
+      |JOIN customer ON customer.c_custkey = o.k
+      |GROUP BY c_mktsegment""".stripMargin,
     "q93_sreh_csv" -> {
       // same absolute path the Spark side writes (both resolve against
       // this JVM's CWD); rows with the wrong field count are the rejects

@@ -218,6 +218,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join fans the hot key across (key, salt) reducers") {
+    import org.apache.spark.sql.functions.{col, when}
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val large = spark.range(0, 50000).select(
+        when(col("id") % 2 === 0, 7L).otherwise(col("id") % 100).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(0, 100)
+        .select(col("id").as("k"), col("id").as("attr"))
+      val sj = graft.operators.Skew
+        .saltedJoin(large, dim, "k", 8, Seq(col("payload")))
+      // the shuffle key is (k, __salt): the hot key's rows spread over
+      // saltFactor reducers instead of pinning one
+      val plan = sj.queryExecution.executedPlan.toString
+      assert("hashpartitioning\\([^)]*\\bk#\\d+[^)]*__salt".r
+        .findFirstIn(plan).isDefined,
+        "no (k, __salt) exchange in the salted plan:\n" + plan)
+      // result identity with the unsalted join
+      assert(sj.count() == large.join(dim, "k").count())
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("ANALYZE stats drive a CBO join reorder on a 3-table chain") {
     Tables.register(spark, sf)
     dropManaged("li_cbo", "ord_cbo", "cust_cbo")
