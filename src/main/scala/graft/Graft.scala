@@ -129,6 +129,17 @@ object Graft {
         stripSemi(t).split("\\s+").last); None
     } else if (is("(?is)^CREATE\\s+(TABLE|MATERIALIZED\\s+VIEW)\\b")) {
       operators.GreengageDdl.execute(spark, t); None
+    } else if (is("(?is)^CREATE\\s+TEXT\\s+SEARCH\\s+DICTIONARY\\b")) {
+      functions.TsDictionaries.create(spark, t); None
+    } else if (is("(?is)^ALTER\\s+TEXT\\s+SEARCH\\s+DICTIONARY\\b")) {
+      functions.TsDictionaries.alter(spark, t); None
+    } else if (is("(?is)^DROP\\s+TEXT\\s+SEARCH\\s+DICTIONARY\\b")) {
+      functions.TsDictionaries.drop(spark, t); None
+    } else if (is("(?is)^(CREATE|ALTER|DROP)\\s+TEXT\\s+SEARCH\\s+" +
+        "(CONFIGURATION|TEMPLATE|PARSER)\\b")) {
+      // configuration/template/parser DDL: accepted no-ops — the lexize
+      // chain is configuration-keyed internally (TsLexize.lexize)
+      None
     } else if (is("(?is)^CREATE\\s+TYPE\\b")) {
       // enum/composite/shell types (typecmds.c DefineEnum:1126) — the
       // first statements of a restored pg_dump

@@ -520,6 +520,7 @@ object GraftFunctions {
     new ExpressionInfo("graft", null, name, usage, "")
 
   def register(spark: SparkSession): Unit = {
+    TsDictionaries.refresh(spark) // ts_lexize over the dictionary registry
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(
       FunctionIdentifier("linear_interpolate"),

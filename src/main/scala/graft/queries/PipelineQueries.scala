@@ -393,6 +393,38 @@ object PipelineQueries {
       graft.streaming.Streams.cdcApply(s, d)
     }),
 
+    // Specialized text-search dictionaries (contrib/dict_int,
+    // contrib/dict_xsyn): intdict trims integer tokens distributed over
+    // events, xsyn expands synonym groups; both through CREATE TEXT
+    // SEARCH DICTIONARY DDL + ts_lexize. The oracle replays the trim as
+    // substring and the groups as CASE.
+    "q235_ts_dictionary" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      val dir = new java.io.File("target/tsdict_demo").getAbsoluteFile
+      dir.mkdirs()
+      val rules = new java.io.File(dir, "demo.rules")
+      java.nio.file.Files.write(rules.toPath,
+        "spark cluster engine\nparquet columnar\n".getBytes)
+      graft.Graft.execute(s, "DROP TEXT SEARCH DICTIONARY IF EXISTS demo_int")
+      graft.Graft.execute(s, "DROP TEXT SEARCH DICTIONARY IF EXISTS demo_xsyn")
+      graft.Graft.execute(s,
+        "CREATE TEXT SEARCH DICTIONARY demo_int (TEMPLATE = intdict_template, MAXLEN = 4)")
+      graft.Graft.execute(s,
+        s"""CREATE TEXT SEARCH DICTIONARY demo_xsyn (TEMPLATE = xsyn_template,
+           |RULES = '${rules.getAbsolutePath}', MATCHSYNONYMS = true)""".stripMargin)
+      s.sql("""
+        |SELECT lexed, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT array_join(ts_lexize('demo_int',
+        |    CAST(event_id % 100000 AS STRING)), '') AS lexed FROM events)
+        |GROUP BY lexed
+        |UNION ALL
+        |SELECT concat(w, '=', coalesce(
+        |  array_join(ts_lexize('demo_xsyn', w), ' '), 'none')) AS lexed,
+        |  CAST(1 AS BIGINT) AS n
+        |FROM VALUES ('spark'), ('cluster'), ('parquet'), ('unknown') t(w)
+        |""".stripMargin)
+    }),
+
     // Salted hot-key join (AggregateWithSkew.mdp): a planted hot key —
     // every third order rerouted to customer 1 — joined through
     // Skew.saltedJoin. The oracle is the UNSALTED join: salting must be
@@ -1344,6 +1376,18 @@ object PipelineQueries {
         |FROM (VALUES (1, 'sad', 3), (2, 'ok', 5), (3, 'happy', 9),
         |             (4, 'ok', 7), (5, NULL, NULL)) t(id, m, r)
         |GROUP BY m""".stripMargin,
+    "q235_ts_dictionary" ->
+      """SELECT substring(CAST(event_id % 100000 AS VARCHAR), 1, 4) AS lexed,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT w || '=' || CASE w
+        |    WHEN 'spark' THEN 'spark cluster engine'
+        |    WHEN 'cluster' THEN 'spark cluster engine'
+        |    WHEN 'parquet' THEN 'parquet columnar'
+        |    ELSE 'none' END AS lexed,
+        |  CAST(1 AS BIGINT) AS n
+        |FROM (VALUES ('spark'), ('cluster'), ('parquet'), ('unknown')) t(w)""".stripMargin,
     // the UNSALTED join: salting must not change a single value
     "q234_salted_join" -> s"""
       |SELECT c_mktsegment, COUNT(*) AS n, ${oSumd("o_totalprice")} AS total

@@ -634,6 +634,67 @@ class GraftSqlSpec extends AnyFunSuite {
     drop("tickets"); drop("tstat")
   }
 
+  test("text search dictionaries: dict_int, dict_xsyn, synonym vectors") {
+    Tables.register(spark, TestSpark.sf0001)
+    def lex(dict: String, token: String): Option[Seq[String]] = {
+      val r = spark.sql(s"SELECT ts_lexize('$dict', '$token')").head()
+      if (r.isNullAt(0)) None else Some(r.getSeq[String](0).toSeq)
+    }
+    // dict_int defaults: maxlen 6, trim (contrib/dict_int expected)
+    assert(lex("intdict", "511673") == Some(Seq("511673")))
+    assert(lex("intdict", "40865854") == Some(Seq("408658")))
+    assert(lex("intdict", "09810106") == Some(Seq("098101")))
+    assert(lex("intdict", "641439323669") == Some(Seq("641439")))
+    // ALTER: shrink + reject
+    Graft.execute(spark,
+      "ALTER TEXT SEARCH DICTIONARY intdict (MAXLEN = 4, REJECTLONG = true)")
+    assert(lex("intdict", "7778") == Some(Seq("7778")))
+    assert(lex("intdict", "511673") == Some(Seq())) // recognized, discarded
+    intercept[IllegalArgumentException](Graft.execute(spark,
+      "ALTER TEXT SEARCH DICTIONARY intdict (MAXLEN = -214783648)"))
+    Graft.execute(spark,
+      "ALTER TEXT SEARCH DICTIONARY intdict (MAXLEN = 6, REJECTLONG = false)")
+    // dict_xsyn: the sample rules file + all four option axes
+    val dir = new java.io.File("target/test-tsdict"); dir.mkdirs()
+    val rules = new java.io.File(dir, "xsyn_sample.rules")
+    java.nio.file.Files.write(rules.toPath,
+      "# sample rules\nsupernova sn sne 1987a\n".getBytes)
+    def alterXsyn(o: String): Unit = Graft.execute(spark,
+      s"ALTER TEXT SEARCH DICTIONARY xsyn (RULES='${rules.getAbsolutePath}', $o)")
+    alterXsyn("KEEPORIG=true, MATCHORIG=true, KEEPSYNONYMS=true, MATCHSYNONYMS=false")
+    assert(lex("xsyn", "supernova") == Some(Seq("supernova", "sn", "sne", "1987a")))
+    assert(lex("xsyn", "sn").isEmpty && lex("xsyn", "grb").isEmpty)
+    alterXsyn("KEEPORIG=false, MATCHORIG=true, KEEPSYNONYMS=true, MATCHSYNONYMS=false")
+    assert(lex("xsyn", "supernova") == Some(Seq("sn", "sne", "1987a")))
+    alterXsyn("KEEPORIG=true, MATCHORIG=true, KEEPSYNONYMS=true, MATCHSYNONYMS=true")
+    assert(lex("xsyn", "sn") == Some(Seq("supernova", "sn", "sne", "1987a")))
+    alterXsyn("KEEPORIG=false, MATCHORIG=true, KEEPSYNONYMS=true, MATCHSYNONYMS=true")
+    assert(lex("xsyn", "sn") == Some(Seq("sn", "sne", "1987a")))
+    alterXsyn("KEEPORIG=true, MATCHORIG=false, KEEPSYNONYMS=true, MATCHSYNONYMS=true")
+    assert(lex("xsyn", "supernova").isEmpty) // orig no longer matches
+    assert(lex("xsyn", "sne") == Some(Seq("supernova", "sn", "sne", "1987a")))
+    // CREATE via template
+    Graft.execute(spark,
+      "CREATE TEXT SEARCH DICTIONARY shortnum (TEMPLATE = intdict_template, MAXLEN = 3)")
+    assert(lex("shortnum", "12345") == Some(Seq("123")))
+    // core synonym template: word → single synonym, case-insensitive
+    val syn = new java.io.File(dir, "pg.syn")
+    java.nio.file.Files.write(syn.toPath,
+      "postgres pgsql\npostgresql pgsql\n".getBytes)
+    Graft.execute(spark,
+      s"CREATE TEXT SEARCH DICTIONARY pgdict (TEMPLATE = synonym, SYNONYMS = '${syn.getAbsolutePath}')")
+    assert(lex("pgdict", "PostgreSQL") == Some(Seq("pgsql")))
+    assert(lex("pgdict", "other").isEmpty)
+    // built-in stem dictionaries respond to ts_lexize too
+    assert(lex("english_stem", "stars") == Some(Seq("star")))
+    assert(lex("simple", "Stars") == Some(Seq("stars")))
+    // unknown dictionary is an error, configuration DDL is a no-op
+    intercept[Exception](spark.sql("SELECT ts_lexize('nodict', 'x')").collect())
+    Graft.execute(spark, "CREATE TEXT SEARCH CONFIGURATION mycfg (COPY = pg_catalog.english)")
+    Graft.execute(spark, "DROP TEXT SEARCH DICTIONARY shortnum")
+    Graft.execute(spark, "DROP TEXT SEARCH DICTIONARY pgdict")
+  }
+
   test("DML RETURNING: INSERT/UPDATE/DELETE return the affected images") {
     drop("ret_t")
     Graft.execute(spark,
