@@ -673,6 +673,10 @@ object GraftFunctions {
       info("spanish_stem", "spanish_stem(word) - snowball Spanish stemmer"),
       (args: Seq[Expression]) => SpanishStem(Cast(args(0), StringType)))
     reg.registerFunction(
+      FunctionIdentifier("russian_stem"),
+      info("russian_stem", "russian_stem(word) - snowball Russian stemmer"),
+      (args: Seq[Expression]) => RussianStem(Cast(args(0), StringType)))
+    reg.registerFunction(
       FunctionIdentifier("to_number_pg"),
       info("to_number_pg", "to_number_pg(text, fmt) - PG numeric template parsing"),
       (args: Seq[Expression]) => ToNumberPg(Cast(args(0), StringType), args(1)))

@@ -745,6 +745,125 @@ case class SpanishStem(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Snowball Russian stemmer — the published algorithm (snowball
+  * `russian.sbl`; the reference compiles the same spec into
+  * `src/backend/snowball/libstemmer/stem_UTF_8_russian.c` — suffix
+  * tables cross-checked against its symbol arrays s_0..s_7). Structure:
+  * within RV, step 1 removes a perfective gerund OR (reflexive, then
+  * adjectival | verb | noun); step 2 drops a trailing и; step 3 removes
+  * the derivational ость/ост in R2; step 4 undoubles нн, or removes
+  * the superlative ейш(е) then undoubles, or drops a soft sign. */
+object RussianStemmer {
+
+  private val vowels = "аеиоуыэюя"
+  @inline private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+  private def region(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && !isV(s.charAt(i))) i += 1
+    while (i < s.length && isV(s.charAt(i))) i += 1
+    if (i < s.length) i + 1 else s.length
+  }
+
+  // suffix groups, longest-first (stem_UTF_8_russian.c s_0..s_7)
+  private val gerund1 = Seq("вшись", "вши", "в")
+  private val gerund2 = Seq("ывшись", "ившись", "ывши", "ивши", "ыв", "ив")
+  private val adjective = Seq("ими", "ыми", "его", "ого", "ему", "ому",
+    "ее", "ие", "ые", "ое", "ей", "ий", "ый", "ой", "ем", "им", "ым",
+    "ом", "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+  private val participle1 = Seq("ющ", "нн", "вш", "ем", "щ")
+  private val participle2 = Seq("ующ", "ивш", "ывш")
+  private val verb1 = Seq("ешь", "нно", "ете", "йте", "ла", "на", "ли",
+    "ем", "ло", "но", "ет", "ют", "ны", "ть", "й", "л", "н")
+  private val verb2 = Seq("ейте", "уйте", "ила", "ыла", "ена", "ите",
+    "или", "ыли", "ило", "ыло", "ено", "ует", "уют", "ены", "ить",
+    "ыть", "ишь", "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ят",
+    "ит", "ыт", "ую", "ю")
+  private val noun = Seq("иями", "ями", "ами", "ией", "иям", "ием",
+    "иях", "ии", "еи", "ей", "ой", "ий", "ям", "ем", "ам", "ом", "ах",
+    "ях", "ию", "ью", "ия", "ья", "ев", "ов", "ие", "ье", "а", "е",
+    "и", "й", "о", "у", "ы", "ь", "ю", "я")
+
+  def stem(word: String): String = {
+    var s = word.toLowerCase.replace('ё', 'е')
+    val rv = {
+      var i = 0
+      while (i < s.length && !isV(s.charAt(i))) i += 1
+      if (i < s.length) i + 1 else s.length
+    }
+    val r1 = region(s, 0)
+    val r2 = region(s, r1)
+    def inRV(n: Int) = s.length - n >= rv
+    def inR2(n: Int) = s.length - n >= r2
+    // group-1 endings require a preceding а/я (retained); the marker
+    // letter must itself sit inside RV
+    def g1(suf: String): Boolean = inRV(suf.length + 1) && {
+      val c = s.charAt(s.length - suf.length - 1)
+      c == 'а' || c == 'я'
+    }
+
+    // ---- step 1
+    val ger = gerund2.find(x => s.endsWith(x) && inRV(x.length))
+      .orElse(gerund1.find(x => s.endsWith(x) && g1(x)))
+    ger match {
+      case Some(x) => s = s.dropRight(x.length)
+      case None =>
+        Seq("ся", "сь").find(x => s.endsWith(x) && inRV(x.length))
+          .foreach(x => s = s.dropRight(x.length))
+        adjective.find(x => s.endsWith(x) && inRV(x.length)) match {
+          case Some(adj) =>
+            s = s.dropRight(adj.length)
+            participle2.find(x => s.endsWith(x) && inRV(x.length))
+              .orElse(participle1.find(x => s.endsWith(x) && g1(x)))
+              .foreach(x => s = s.dropRight(x.length))
+          case None =>
+            verb2.find(x => s.endsWith(x) && inRV(x.length))
+              .orElse(verb1.find(x => s.endsWith(x) && g1(x))) match {
+              case Some(v) => s = s.dropRight(v.length)
+              case None =>
+                noun.find(x => s.endsWith(x) && inRV(x.length))
+                  .foreach(x => s = s.dropRight(x.length))
+            }
+        }
+    }
+    // ---- step 2: trailing и
+    if (s.endsWith("и") && inRV(1)) s = s.dropRight(1)
+    // ---- step 3: derivational, R2 only
+    Seq("ость", "ост").find(x => s.endsWith(x) && s.length - x.length >= r2)
+      .foreach(x => s = s.dropRight(x.length))
+    // ---- step 4
+    if (s.endsWith("нн") && inRV(2)) s = s.dropRight(1)
+    else {
+      Seq("ейше", "ейш").find(x => s.endsWith(x) && inRV(x.length)) match {
+        case Some(x) =>
+          s = s.dropRight(x.length)
+          if (s.endsWith("нн") && inRV(2)) s = s.dropRight(1)
+        case None =>
+          if (s.endsWith("ь") && inRV(1)) s = s.dropRight(1)
+      }
+    }
+    s
+  }
+
+  def stemUtf8(v: UTF8String): UTF8String =
+    UTF8String.fromString(stem(v.toString))
+}
+
+/** `russian_stem(word)` codegen expression. */
+case class RussianStem(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "russian_stem"
+
+  override def nullSafeEval(v: Any): Any =
+    RussianStemmer.stemUtf8(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RussianStemmer.stemUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RussianStem =
+    copy(child = newChild)
+}
+
 /** The `english` text-search configuration's lexize chain. */
 object TsLexize {
 
@@ -883,11 +1002,35 @@ object TsLexize {
     "tuviesen", "teniendo", "tenido", "tenida", "tenidos", "tenidas",
     "tened")
 
+  /** The standard snowball Russian stopword list PG ships as
+    * `src/backend/snowball/stopwords/russian.stop` (public snowball
+    * distribution). */
+  val russianStopwords: Seq[String] = Seq(
+    "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как",
+    "а", "то", "все", "она", "так", "его", "но", "да", "ты", "к", "у",
+    "же", "вы", "за", "бы", "по", "только", "ее", "мне", "было", "вот",
+    "от", "меня", "еще", "нет", "о", "из", "ему", "теперь", "когда",
+    "даже", "ну", "вдруг", "ли", "если", "уже", "или", "ни", "быть",
+    "был", "него", "до", "вас", "нибудь", "опять", "уж", "вам", "ведь",
+    "там", "потом", "себя", "ничего", "ей", "может", "они", "тут",
+    "где", "есть", "надо", "ней", "для", "мы", "тебя", "их", "чем",
+    "была", "сам", "чтоб", "без", "будто", "чего", "раз", "тоже",
+    "себе", "под", "будет", "ж", "тогда", "кто", "этот", "того",
+    "потому", "этого", "какой", "совсем", "ним", "здесь", "этом",
+    "один", "почти", "мой", "тем", "чтобы", "нее", "сейчас", "были",
+    "куда", "зачем", "всех", "никогда", "можно", "при", "наконец",
+    "два", "об", "другой", "хоть", "после", "над", "больше", "тот",
+    "через", "эти", "нас", "про", "всего", "них", "какая", "много",
+    "разве", "три", "эту", "моя", "впрочем", "хорошо", "свою", "этой",
+    "перед", "иногда", "лучше", "чуть", "том", "нельзя", "такой", "им",
+    "более", "всегда", "конечно", "всю", "между")
+
   private val configs: Map[String, (Seq[String], String)] = Map(
     "english" -> (englishStopwords, "porter_stem"),
     "german" -> (germanStopwords, "german_stem"),
     "french" -> (frenchStopwords, "french_stem"),
-    "spanish" -> (spanishStopwords, "spanish_stem"))
+    "spanish" -> (spanishStopwords, "spanish_stem"),
+    "russian" -> (russianStopwords, "russian_stem"))
 
   /** lowercase → drop stopwords → stem, one declarative pass
     * (ts_lexize through the named configuration — `english` and
@@ -913,6 +1056,7 @@ object TsLexize {
       case "german" => GermanStemmer.stem
       case "french" => FrenchStemmer.stem
       case "spanish" => SpanishStemmer.stem
+      case "russian" => RussianStemmer.stem
       case _ => PorterStemmer.stem
     }
     terms.map(_.toLowerCase).filterNot(stop.contains).map(stemmer)

@@ -51,7 +51,8 @@ object TsDictionaries {
     "english_stem" -> StemDict("english"),
     "german_stem" -> StemDict("german"),
     "french_stem" -> StemDict("french"),
-    "spanish_stem" -> StemDict("spanish"))
+    "spanish_stem" -> StemDict("spanish"),
+    "russian_stem" -> StemDict("russian"))
 
   /** PG ts_lexize contract: None = dictionary does not recognize the
     * token (SQL NULL); Some(Nil) = recognized and discarded. */
@@ -79,6 +80,7 @@ object TsDictionaries {
           case "german" => GermanStemmer.stem
           case "french" => FrenchStemmer.stem
           case "spanish" => SpanishStemmer.stem
+          case "russian" => RussianStemmer.stem
           case _ => PorterStemmer.stem
         }
         Some(Seq(stemmer(token.toLowerCase)))

@@ -853,6 +853,30 @@ object FunctionQueries {
         .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
     }),
 
+    // Fifth snowball language (Cyrillic) through the same lexize chain
+    // (q197/q212/q230 convention) — stemmer suffix tables cross-checked
+    // against the compiled stem_UTF_8_russian.c.
+    "q236_ts_russian" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      val vocab = Seq("книги", "бегала", "читавшийся", "возможность",
+        "деревянный", "начинается", "линии", "прочитав", "красивейший",
+        "важная", "делать", "осеннюю")
+      val va = array(vocab.map(lit): _*)
+      def pick(idx: org.apache.spark.sql.Column) =
+        element_at(va, (idx % 12).cast("int") + 1)
+      val text = concat_ws(" ",
+        pick(col("doc_id")), lit("и"),
+        pick(col("doc_id") + 2), lit("не"),
+        pick(col("doc_id") * 7 + 3))
+      val stems = TsLexize.stemTerms(Seq("книги", "бегала"), "russian")
+      t(s, d, "documents")
+        .select(col("doc_id"), text.as("text"))
+        .withColumn("lexed",
+          TsLexize.lexize(split(col("text"), " "), "russian"))
+        .where(Ranges.tsMatch(col("lexed"), stems))
+        .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
+    }),
+
     // ts_headline through the stemming dictionary: covers computed on
     // stems, snippet shows the original inflected words, marked when
     // their stem matches a query stem.
@@ -2135,6 +2159,23 @@ object FunctionQueries {
          |FROM b
          |WHERE (s1 = 'chapeau' OR s2 = 'chapeau' OR s3 = 'chapeau')
          |  AND (s1 = 'chant' OR s2 = 'chant' OR s3 = 'chant')""".stripMargin
+    },
+    // same engine-generated-stem convention as q197/q212/q230
+    "q236_ts_russian" -> {
+      import graft.functions.RussianStemmer
+      val vocab = Seq("книги", "бегала", "читавшийся", "возможность",
+        "деревянный", "начинается", "линии", "прочитав", "красивейший",
+        "важная", "делать", "осеннюю")
+      val stems = vocab.map(w => s"'${RussianStemmer.stem(w)}'").mkString(", ")
+      s"""WITH b AS (SELECT doc_id,
+         |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
+         |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,
+         |    [$stems][CAST(1 + (doc_id * 7 + 3) % 12 AS INT)] AS s3
+         |  FROM documents)
+         |SELECT doc_id, s1 || ' ' || s2 || ' ' || s3 AS lexed
+         |FROM b
+         |WHERE (s1 = 'книг' OR s2 = 'книг' OR s3 = 'книг')
+         |  AND (s1 = 'бега' OR s2 = 'бега' OR s3 = 'бега')""".stripMargin
     },
     "q146_ts_headline_stemmed" -> {
       import graft.functions.PorterStemmer

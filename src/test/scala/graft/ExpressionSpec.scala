@@ -776,6 +776,40 @@ class ExpressionSpec extends AnyFunSuite {
     assert(lexed == "cancion logic")
   }
 
+  test("Russian stemmer matches hand-derived snowball vectors") {
+    import graft.functions.RussianStemmer.stem
+    // each traced by hand through the published algorithm (suffix
+    // tables cross-checked against the compiled stem_UTF_8_russian.c)
+    assert(stem("книга") == "книг")          // noun а
+    assert(stem("книги") == "книг")          // noun и
+    assert(stem("важная") == "важн")         // adjective ая
+    assert(stem("красивое") == "красив")     // adjective ое
+    assert(stem("бегала") == "бега")         // verb ла after а (а kept)
+    assert(stem("делать") == "дела")         // verb ть after а
+    assert(stem("читавшийся") == "чита")     // reflexive + adj + participle вш
+    assert(stem("возможность") == "возможн") // noun ь + derivational ост in R2
+    assert(stem("злость") == "злост")        // derivational BLOCKED outside R2
+    // adjective ый, then the я-context participle нн strips too
+    assert(stem("деревянный") == "деревя")
+    // е-context blocks the participle нн; step 4 undoubles instead
+    assert(stem("осеннюю") == "осен")
+    // superlative ейш removal, then нн undouble
+    assert(stem("увереннейший") == "уверен")
+    assert(stem("начинается") == "начина")   // reflexive ся + verb ет after а
+    assert(stem("линии") == "лин")           // noun ии (longest match over и)
+    assert(stem("прочитав") == "прочита")    // perfective gerund в after а
+    assert(stem("красивейший") == "красив")  // adjective + superlative ейш
+    assert(stem("ёлка") == "елк")            // ё → е preliminary
+    // lexize chain: russian config drops stopwords, stems the rest
+    Tables.register(spark, TestSpark.sf0001)
+    val out = graft.functions.TsLexize.stemTerms(
+      Seq("и", "книги", "не", "бегала"), "russian")
+    assert(out == Seq("книг", "бега"))
+    // ts_lexize dictionary probe
+    val r = spark.sql("SELECT ts_lexize('russian_stem', 'книги')").head()
+    assert(r.getSeq[String](0).toSeq == Seq("книг"))
+  }
+
   test("json builders: build/agg/pretty/strip_nulls/array_elements") {
     Tables.register(spark, TestSpark.sf0001)
     val r = spark.sql(
