@@ -673,6 +673,10 @@ object GraftFunctions {
       info("spanish_stem", "spanish_stem(word) - snowball Spanish stemmer"),
       (args: Seq[Expression]) => SpanishStem(Cast(args(0), StringType)))
     reg.registerFunction(
+      FunctionIdentifier("portuguese_stem"),
+      info("portuguese_stem", "portuguese_stem(word) - snowball Portuguese stemmer"),
+      (args: Seq[Expression]) => PortugueseStem(Cast(args(0), StringType)))
+    reg.registerFunction(
       FunctionIdentifier("russian_stem"),
       info("russian_stem", "russian_stem(word) - snowball Russian stemmer"),
       (args: Seq[Expression]) => RussianStem(Cast(args(0), StringType)))

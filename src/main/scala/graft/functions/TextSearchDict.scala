@@ -745,6 +745,168 @@ case class SpanishStem(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Snowball Portuguese stemmer — the published algorithm (snowball
+  * `portuguese.sbl`; suffix tables cross-checked against the compiled
+  * `src/backend/snowball/libstemmer/stem_UTF_8_portuguese.c` amongs
+  * a_2..a_8). Nasalized ã/õ ride through the steps as the internal
+  * `a~`/`o~` pair exactly as the spec prescribes; step 1 follows strict
+  * among semantics (longest match, then its rule — no backtracking),
+  * step 2 matches the longest verb suffix lying inside RV. */
+object PortugueseStemmer {
+
+  private val vowels = "aeiouáéíóúâêô"
+  @inline private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+  private def region(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && !isV(s.charAt(i))) i += 1
+    while (i < s.length && isV(s.charAt(i))) i += 1
+    if (i < s.length) i + 1 else s.length
+  }
+
+  // step-1 standard suffixes with their rule codes (a_5): 1 delete-R2,
+  // 2 logía→log, 3 ución→u, 4 ência→ente, 5 amente-R1, 6 mente-R2,
+  // 7 idade-R2, 8 iva-R2(+at), 9 ira→ir after e in RV
+  private val st1: Seq[(String, Int)] = Seq(
+    "uciones" -> 3, "amentos" -> 1, "imentos" -> 1,
+    "aço~es" -> 1, "logías" -> 2, "ências" -> 4, "amente" -> 5,
+    "adoras" -> 1, "adores" -> 1, "amento" -> 1, "imento" -> 1,
+    "ância" -> 1, "ência" -> 4, "adora" -> 1, "logía" -> 2,
+    "idade" -> 7, "mente" -> 6, "ución" -> 3, "aça~o" -> 1,
+    "icas" -> 1, "iras" -> 9, "osas" -> 1, "istas" -> 1, "ivas" -> 8,
+    "ezas" -> 1, "idades" -> 7, "antes" -> 1, "icos" -> 1,
+    "ismos" -> 1, "osos" -> 1, "ivos" -> 8, "ável" -> 1, "ível" -> 1,
+    "ica" -> 1, "ira" -> 9, "osa" -> 1, "ista" -> 1, "iva" -> 8,
+    "eza" -> 1, "ante" -> 1, "ico" -> 1, "ismo" -> 1, "oso" -> 1,
+    "ivo" -> 8).sortBy(-_._1.length)
+
+  // step-2 verb suffixes (a_6), all delete-in-RV
+  private val verbs: Seq[String] = Seq(
+    "ada", "ida", "ia", "aria", "eria", "iria", "ara", "era", "ira",
+    "ava", "asse", "esse", "isse", "aste", "este", "iste", "ei",
+    "arei", "erei", "irei", "am", "iam", "ariam", "eriam", "iriam",
+    "aram", "eram", "iram", "avam", "em", "arem", "erem", "irem",
+    "assem", "essem", "issem", "ado", "ido", "ando", "endo", "indo",
+    "ara~o", "era~o", "ira~o", "ar", "er", "ir", "as", "adas", "idas",
+    "ias", "arias", "erias", "irias", "aras", "eras", "iras", "avas",
+    "es", "ardes", "erdes", "irdes", "ares", "eres", "ires", "asses",
+    "esses", "isses", "astes", "estes", "istes", "is", "ais", "eis",
+    "areis", "ereis", "ireis", "áreis", "éreis", "íreis", "ásseis",
+    "ésseis", "ísseis", "áveis", "íeis", "aríeis", "eríeis", "iríeis",
+    "ados", "idos", "amos", "áramos", "éramos", "íramos", "ávamos",
+    "íamos", "aríamos", "eríamos", "iríamos", "emos", "aremos",
+    "eremos", "iremos", "ássemos", "êssemos", "íssemos", "imos",
+    "armos", "ermos", "irmos", "ámos", "arás", "erás", "irás", "eu",
+    "iu", "ou", "ará", "erá", "irá").sortBy(-_.length)
+
+  private val residual = Seq("os", "a", "i", "o", "á", "í", "ó")
+
+  def stem(word: String): String = {
+    var s = word.toLowerCase.replace("ã", "a~").replace("õ", "o~")
+    if (word.length <= 2) return s.replace("a~", "ã").replace("o~", "õ")
+    val rv: Int =
+      if (s.length < 3) s.length
+      else if (!isV(s.charAt(1))) {
+        var i = 2
+        while (i < s.length && !isV(s.charAt(i))) i += 1
+        if (i < s.length) i + 1 else s.length
+      } else if (isV(s.charAt(0)) && isV(s.charAt(1))) {
+        var i = 2
+        while (i < s.length && isV(s.charAt(i))) i += 1
+        if (i < s.length) i + 1 else s.length
+      } else 3
+    val r1 = region(s, 0)
+    val r2 = region(s, r1)
+    def inRV(n: Int) = s.length - n >= rv
+    def inR1(n: Int) = s.length - n >= r1
+    def inR2(n: Int) = s.length - n >= r2
+
+    // ---- step 1: strict among — longest match, then its single rule
+    var changed = false
+    st1.find { case (suf, _) => s.endsWith(suf) }.foreach { case (suf, code) =>
+      val L = suf.length
+      code match {
+        case 1 => if (inR2(L)) { s = s.dropRight(L); changed = true }
+        case 2 => if (inR2(L)) { s = s.dropRight(L) + "log"; changed = true }
+        case 3 => if (inR2(L)) { s = s.dropRight(L) + "u"; changed = true }
+        case 4 => if (inR2(L)) { s = s.dropRight(L) + "ente"; changed = true }
+        case 5 => if (inR1(L)) {
+          s = s.dropRight(L); changed = true
+          if (s.endsWith("iv") && inR2(2)) {
+            s = s.dropRight(2)
+            if (s.endsWith("at") && inR2(2)) s = s.dropRight(2)
+          } else if ((s.endsWith("os") || s.endsWith("ic") ||
+            s.endsWith("ad")) && inR2(2)) s = s.dropRight(2)
+        }
+        case 6 => if (inR2(L)) {
+          s = s.dropRight(L); changed = true
+          if ((s.endsWith("ante") || s.endsWith("avel")) && inR2(4))
+            s = s.dropRight(4)
+          else if (s.endsWith("ível") && inR2(4)) s = s.dropRight(4)
+        }
+        case 7 => if (inR2(L)) {
+          s = s.dropRight(L); changed = true
+          if (s.endsWith("abil") && inR2(4)) s = s.dropRight(4)
+          else if ((s.endsWith("ic") || s.endsWith("iv")) && inR2(2))
+            s = s.dropRight(2)
+        }
+        case 8 => if (inR2(L)) {
+          s = s.dropRight(L); changed = true
+          if (s.endsWith("at") && inR2(2)) s = s.dropRight(2)
+        }
+        case 9 => if (inRV(L) && s.length > L &&
+          s.charAt(s.length - L - 1) == 'e') {
+          s = s.dropRight(L) + "ir"; changed = true
+        }
+        case _ =>
+      }
+    }
+    // ---- step 2: verb suffixes, longest lying inside RV
+    if (!changed)
+      verbs.find(v => s.endsWith(v) && inRV(v.length)).foreach { v =>
+        s = s.dropRight(v.length); changed = true
+      }
+    if (changed) {
+      // ---- step 3: i after c
+      if (s.endsWith("i") && inRV(1) && s.length > 1 &&
+        s.charAt(s.length - 2) == 'c') s = s.dropRight(1)
+    } else {
+      // ---- step 4: residual suffix
+      residual.find(x => s.endsWith(x) && inRV(x.length))
+        .foreach(x => s = s.dropRight(x.length))
+    }
+    // ---- step 5: residual e/é/ê, then guarded u/i; ç → c
+    val e5 = Seq("e", "é", "ê").find(x => s.endsWith(x) && inRV(1))
+    e5 match {
+      case Some(x) =>
+        s = s.dropRight(x.length)
+        if (s.endsWith("gu") && inRV(1)) s = s.dropRight(1)
+        else if (s.endsWith("ci") && inRV(1)) s = s.dropRight(1)
+      case None =>
+        if (s.endsWith("ç")) s = s.dropRight(1) + "c"
+    }
+    s.replace("a~", "ã").replace("o~", "õ")
+  }
+
+  def stemUtf8(v: UTF8String): UTF8String =
+    UTF8String.fromString(stem(v.toString))
+}
+
+/** `portuguese_stem(word)` codegen expression. */
+case class PortugueseStem(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "portuguese_stem"
+
+  override def nullSafeEval(v: Any): Any =
+    PortugueseStemmer.stemUtf8(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortugueseStemmer.stemUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PortugueseStem =
+    copy(child = newChild)
+}
+
 /** Snowball Russian stemmer — the published algorithm (snowball
   * `russian.sbl`; the reference compiles the same spec into
   * `src/backend/snowball/libstemmer/stem_UTF_8_russian.c` — suffix
@@ -1025,12 +1187,47 @@ object TsLexize {
     "перед", "иногда", "лучше", "чуть", "том", "нельзя", "такой", "им",
     "более", "всегда", "конечно", "всю", "между")
 
+  /** The standard snowball Portuguese stopword list PG ships as
+    * `src/backend/snowball/stopwords/portuguese.stop` (public snowball
+    * distribution). */
+  val portugueseStopwords: Seq[String] = Seq(
+    "de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "com",
+    "não", "uma", "os", "no", "se", "na", "por", "mais", "as", "dos",
+    "como", "mas", "ao", "ele", "das", "à", "seu", "sua", "ou",
+    "quando", "muito", "nos", "já", "eu", "também", "só", "pelo",
+    "pela", "até", "isso", "ela", "entre", "depois", "sem", "mesmo",
+    "aos", "seus", "quem", "nas", "me", "esse", "eles", "você", "essa",
+    "num", "nem", "suas", "meu", "às", "minha", "numa", "pelos",
+    "elas", "qual", "nós", "lhe", "deles", "essas", "esses", "pelas",
+    "este", "dele", "tu", "te", "vocês", "vos", "lhes", "meus",
+    "minhas", "teu", "tua", "teus", "tuas", "nosso", "nossa", "nossos",
+    "nossas", "dela", "delas", "esta", "estes", "estas", "aquele",
+    "aquela", "aqueles", "aquelas", "isto", "aquilo", "estou", "está",
+    "estamos", "estão", "estive", "esteve", "estivemos", "estiveram",
+    "estava", "estávamos", "estavam", "estivera", "estivéramos",
+    "esteja", "estejamos", "estejam", "estivesse", "estivéssemos",
+    "estivessem", "estiver", "estivermos", "estiverem", "hei", "há",
+    "havemos", "hão", "houve", "houvemos", "houveram", "houvera",
+    "houvéramos", "haja", "hajamos", "hajam", "houvesse",
+    "houvéssemos", "houvessem", "houver", "houvermos", "houverem",
+    "houverei", "houverá", "houveremos", "houverão", "houveria",
+    "houveríamos", "houveriam", "sou", "somos", "são", "era", "éramos",
+    "eram", "fui", "foi", "fomos", "foram", "fora", "fôramos", "seja",
+    "sejamos", "sejam", "fosse", "fôssemos", "fossem", "for", "formos",
+    "forem", "serei", "será", "seremos", "serão", "seria", "seríamos",
+    "seriam", "tenho", "tem", "temos", "tém", "tinha", "tínhamos",
+    "tinham", "tive", "teve", "tivemos", "tiveram", "tivera",
+    "tivéramos", "tenha", "tenhamos", "tenham", "tivesse",
+    "tivéssemos", "tivessem", "tiver", "tivermos", "tiverem", "terei",
+    "terá", "teremos", "terão", "teria", "teríamos", "teriam")
+
   private val configs: Map[String, (Seq[String], String)] = Map(
     "english" -> (englishStopwords, "porter_stem"),
     "german" -> (germanStopwords, "german_stem"),
     "french" -> (frenchStopwords, "french_stem"),
     "spanish" -> (spanishStopwords, "spanish_stem"),
-    "russian" -> (russianStopwords, "russian_stem"))
+    "russian" -> (russianStopwords, "russian_stem"),
+    "portuguese" -> (portugueseStopwords, "portuguese_stem"))
 
   /** lowercase → drop stopwords → stem, one declarative pass
     * (ts_lexize through the named configuration — `english` and
@@ -1057,6 +1254,7 @@ object TsLexize {
       case "french" => FrenchStemmer.stem
       case "spanish" => SpanishStemmer.stem
       case "russian" => RussianStemmer.stem
+      case "portuguese" => PortugueseStemmer.stem
       case _ => PorterStemmer.stem
     }
     terms.map(_.toLowerCase).filterNot(stop.contains).map(stemmer)

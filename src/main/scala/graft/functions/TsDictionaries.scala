@@ -52,7 +52,8 @@ object TsDictionaries {
     "german_stem" -> StemDict("german"),
     "french_stem" -> StemDict("french"),
     "spanish_stem" -> StemDict("spanish"),
-    "russian_stem" -> StemDict("russian"))
+    "russian_stem" -> StemDict("russian"),
+    "portuguese_stem" -> StemDict("portuguese"))
 
   /** PG ts_lexize contract: None = dictionary does not recognize the
     * token (SQL NULL); Some(Nil) = recognized and discarded. */
@@ -81,6 +82,7 @@ object TsDictionaries {
           case "french" => FrenchStemmer.stem
           case "spanish" => SpanishStemmer.stem
           case "russian" => RussianStemmer.stem
+          case "portuguese" => PortugueseStemmer.stem
           case _ => PorterStemmer.stem
         }
         Some(Seq(stemmer(token.toLowerCase)))

@@ -877,6 +877,30 @@ object FunctionQueries {
         .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
     }),
 
+    // Sixth snowball language through the same lexize chain — includes
+    // nasalized suffix handling (aça~o) and the ç → c finale.
+    "q237_ts_portuguese" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      val vocab = Seq("gatos", "meninas", "desenvolvimento", "felizmente",
+        "referência", "bandeira", "organização", "cantando", "falaríamos",
+        "antigamente", "administrativas", "abraço")
+      val va = array(vocab.map(lit): _*)
+      def pick(idx: org.apache.spark.sql.Column) =
+        element_at(va, (idx % 12).cast("int") + 1)
+      val text = concat_ws(" ",
+        pick(col("doc_id")), lit("as"),
+        pick(col("doc_id") + 2), lit("não"),
+        pick(col("doc_id") * 7 + 3))
+      val stems = TsLexize.stemTerms(
+        Seq("referência", "organização"), "portuguese")
+      t(s, d, "documents")
+        .select(col("doc_id"), text.as("text"))
+        .withColumn("lexed",
+          TsLexize.lexize(split(col("text"), " "), "portuguese"))
+        .where(Ranges.tsMatch(col("lexed"), stems))
+        .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
+    }),
+
     // ts_headline through the stemming dictionary: covers computed on
     // stems, snippet shows the original inflected words, marked when
     // their stem matches a query stem.
@@ -2176,6 +2200,23 @@ object FunctionQueries {
          |FROM b
          |WHERE (s1 = 'книг' OR s2 = 'книг' OR s3 = 'книг')
          |  AND (s1 = 'бега' OR s2 = 'бега' OR s3 = 'бега')""".stripMargin
+    },
+    // same engine-generated-stem convention as q197/q212/q230/q236
+    "q237_ts_portuguese" -> {
+      import graft.functions.PortugueseStemmer
+      val vocab = Seq("gatos", "meninas", "desenvolvimento", "felizmente",
+        "referência", "bandeira", "organização", "cantando", "falaríamos",
+        "antigamente", "administrativas", "abraço")
+      val stems = vocab.map(w => s"'${PortugueseStemmer.stem(w)}'").mkString(", ")
+      s"""WITH b AS (SELECT doc_id,
+         |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
+         |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,
+         |    [$stems][CAST(1 + (doc_id * 7 + 3) % 12 AS INT)] AS s3
+         |  FROM documents)
+         |SELECT doc_id, s1 || ' ' || s2 || ' ' || s3 AS lexed
+         |FROM b
+         |WHERE (s1 = 'referent' OR s2 = 'referent' OR s3 = 'referent')
+         |  AND (s1 = 'organiz' OR s2 = 'organiz' OR s3 = 'organiz')""".stripMargin
     },
     "q146_ts_headline_stemmed" -> {
       import graft.functions.PorterStemmer

@@ -810,6 +810,34 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getSeq[String](0).toSeq == Seq("книг"))
   }
 
+  test("Portuguese stemmer matches hand-derived snowball vectors") {
+    import graft.functions.PortugueseStemmer.stem
+    // hand-traced through the published algorithm (suffix tables
+    // cross-checked against the compiled stem_UTF_8_portuguese.c)
+    assert(stem("gatos") == "gat")             // residual os
+    assert(stem("bonita") == "bonit")          // residual a
+    assert(stem("meninas") == "menin")         // verb-table as
+    assert(stem("desenvolvimento") == "desenvolv") // imento in R2
+    assert(stem("felizmente") == "feliz")      // mente in R2
+    assert(stem("referência") == "referent")   // ência→ente + final e
+    assert(stem("bandeira") == "bandeir")      // ira→ir after e
+    assert(stem("organização") == "organiz")   // nasal aça~o in R2
+    assert(stem("cantando") == "cant")         // verb ando in RV
+    assert(stem("falaríamos") == "fal")        // verb aríamos
+    assert(stem("antigamente") == "antig")     // amente in R1
+    assert(stem("alugue") == "alug")           // final e + gu undouble
+    assert(stem("administrativas") == "administr") // ivas + at in R2
+    assert(stem("abraço") == "abrac")          // residual o + ç→c
+    assert(stem("irmã") == "irmã")             // nasal survives untouched
+    // lexize chain: portuguese config drops stopwords, stems the rest
+    Tables.register(spark, TestSpark.sf0001)
+    val out = graft.functions.TsLexize.stemTerms(
+      Seq("as", "meninas", "não", "cantando"), "portuguese")
+    assert(out == Seq("menin", "cant"))
+    val r = spark.sql("SELECT ts_lexize('portuguese_stem', 'gatos')").head()
+    assert(r.getSeq[String](0).toSeq == Seq("gat"))
+  }
+
   test("json builders: build/agg/pretty/strip_nulls/array_elements") {
     Tables.register(spark, TestSpark.sf0001)
     val r = spark.sql(
