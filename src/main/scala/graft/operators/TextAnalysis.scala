@@ -141,6 +141,28 @@ object TextAnalysis {
         .otherwise(lit("test")))
   }
 
+  /** Deterministic global shuffle — the training-data ordering step
+    * (every epoch of LLM pretraining consumes the corpus in a
+    * pseudo-random but REPRODUCIBLE order). The shuffle key is a pure
+    * hash of (id, seed): same inputs + seed → identical partition
+    * assignment and in-partition order on any cluster size, and a new
+    * seed is a fresh permutation. Scale shape: ONE keyed repartition +
+    * sortWithinPartitions — a global ORDER BY would range-partition and
+    * sample-scan the corpus twice; hash-bucketing + local sort gives
+    * the same statistical shuffle with one pass, which is the plan you
+    * want at 100 TB. */
+  def deterministicShuffle(docs: DataFrame, idCol: String = "doc_id",
+                           seed: Long = 42L,
+                           numPartitions: Int = 0): DataFrame = {
+    val key = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    val keyed = docs.withColumn("shuffle_key", key)
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    keyed.repartition(parts, col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
+  }
+
   /** Concat-and-chunk context packing: documents are laid end-to-end in
     * id order and cut every `capacity` tokens (the standard LLM
     * pretraining packing; a document may straddle two chunks —

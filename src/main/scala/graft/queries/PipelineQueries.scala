@@ -425,6 +425,18 @@ object PipelineQueries {
         |""".stripMargin)
     }),
 
+    // Deterministic global shuffle (training-data epoch ordering): one
+    // keyed repartition + local sort, never a global ORDER BY. The
+    // oracle recomputes the md5 shuffle key per row — hash-exact means
+    // the permutation is the declared pure function of (id, seed) and
+    // no row was lost or duplicated by the exchange.
+    "q238_shuffle" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      TextAnalysis.deterministicShuffle(
+        s.table("documents").select("doc_id"), seed = 7L)
+        .select(col("doc_id"), col("shuffle_key"))
+    }),
+
     // Salted hot-key join (AggregateWithSkew.mdp): a planted hot key —
     // every third order rerouted to customer 1 — joined through
     // Skew.saltedJoin. The oracle is the UNSALTED join: salting must be
@@ -1376,6 +1388,9 @@ object PipelineQueries {
         |FROM (VALUES (1, 'sad', 3), (2, 'ok', 5), (3, 'happy', 9),
         |             (4, 'ok', 7), (5, NULL, NULL)) t(id, m, r)
         |GROUP BY m""".stripMargin,
+    "q238_shuffle" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':7') AS shuffle_key
+        |FROM documents""".stripMargin,
     "q235_ts_dictionary" ->
       """SELECT substring(CAST(event_id % 100000 AS VARCHAR), 1, 4) AS lexed,
         |  CAST(COUNT(*) AS BIGINT) AS n

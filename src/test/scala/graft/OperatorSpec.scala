@@ -370,6 +370,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(frac("test") - 0.05) < 0.015, frac)
   }
 
+  test("deterministicShuffle: reproducible permutation, balanced, seed-sensitive") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val docs = spark.range(4000).selectExpr("id AS doc_id")
+    def run(seed: Long) = TextAnalysis
+      .deterministicShuffle(docs, seed = seed, numPartitions = 8)
+    // lossless permutation: every id exactly once
+    val ids = run(1L).select("doc_id").collect().map(_.getLong(0))
+    assert(ids.length == 4000 && ids.toSet == (0L until 4000L).toSet)
+    // reproducible: identical partition assignment AND in-partition
+    // order across runs and input partitionings
+    def image(df: org.apache.spark.sql.DataFrame): Seq[(Int, Seq[Long])] =
+      df.select(spark_partition_id().as("p"), $"doc_id")
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toSeq.sortBy(_._1)
+    val i1 = image(run(1L))
+    val i2 = image(TextAnalysis.deterministicShuffle(
+      docs.repartition(17), seed = 1L, numPartitions = 8))
+    assert(i1 == i2)
+    // a different seed is a genuinely different permutation
+    val order1 = run(1L).select("doc_id").collect().map(_.getLong(0)).toSeq
+    val order2 = run(2L).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(order1 != order2)
+    assert(order1 != (0L until 4000L).toSeq) // actually shuffled
+    // hash-bucketing balances: no partition more than 2x the mean
+    val sizes = i1.map(_._2.size)
+    assert(sizes.size == 8 && sizes.max <= 2 * 4000 / 8, sizes)
+  }
+
   test("contextPack: chunks account for every token, straddles span correctly") {
     val docs = Seq(
       (0L, Seq.fill(300)("w").mkString(" ")),  // 300 tokens
