@@ -371,6 +371,14 @@ object PipelineQueries {
     // check, domain to its base type + CHECK. Oracle replays the final
     // table contents declaratively.
     "q233_create_type" -> ((s, d) => {
+      // a fresh session's in-memory catalog doesn't know the table from
+      // a prior run, so DROP alone leaves the managed location behind
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(wh, "pgtype_demo"))
       for (stmt <- Seq(
         "DROP TABLE IF EXISTS pgtype_demo",
         "DROP TYPE IF EXISTS mood",
