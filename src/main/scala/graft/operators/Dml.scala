@@ -500,9 +500,13 @@ object Dml {
                                       survivors: Seq[Row]): Unit = {
     val gone = touched.map(_.toSeq).toSet -- survivors.map(_.toSeq).toSet
     val (plain, unrenderable) = gone.toSeq.partition(partitionSpecSql(partCols, _).isDefined)
-    for (p <- plain)
-      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION " +
-        s"(${partitionSpecSql(partCols, p).get})")
+    // ONE statement for every dropped partition — a per-spec loop costs
+    // a driver round-trip each, which dominates a CDC batch touching
+    // many partitions
+    if (plain.nonEmpty)
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS " + plain
+        .map(p => s"PARTITION (${partitionSpecSql(partCols, p).get})")
+        .mkString(", "))
     if (unrenderable.nonEmpty)
       spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
   }
@@ -518,9 +522,12 @@ object Dml {
                                  values: Seq[Row]): Unit = {
     val (plain, unrenderable) =
       values.map(_.toSeq).partition(partitionSpecSql(partCols, _).isDefined)
-    for (p <- plain)
-      spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION " +
-        s"(${partitionSpecSql(partCols, p).get})")
+    // one ADD statement carrying every spec (space-separated PARTITION
+    // clauses) — not a per-spec loop; see clearVanishedPartitions
+    if (plain.nonEmpty)
+      spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS " + plain
+        .map(p => s"PARTITION (${partitionSpecSql(partCols, p).get})")
+        .mkString(" "))
     if (unrenderable.nonEmpty)
       spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
   }
