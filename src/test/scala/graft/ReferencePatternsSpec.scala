@@ -609,6 +609,40 @@ class ReferencePatternsSpec extends AnyFunSuite {
       && out.head.getLong(1) == 15L)
   }
 
+  test("bfv_olap: window-in-IN, dead window branches, composite ROLLUP (bfv_olap.sql:296-340,447)") {
+    // window function inside an IN subquery used as a WHERE filter —
+    // failed an over-zealous "window functions not allowed in WHERE"
+    // check at one point (expected output :451-454 → 15)
+    assert(spark.sql(
+      """SELECT SUM(g) AS s FROM (SELECT explode(sequence(1, 5)) AS g)
+        |WHERE g IN (SELECT RANK() OVER (ORDER BY x)
+        |            FROM (SELECT explode(sequence(1, 5)) AS x))""".stripMargin)
+      .head().getLong(0) == 15L)
+    // CASE over constant selector with window functions only in the
+    // un-taken branches — crashed the logical-window planner once
+    Seq((1, 2, 3, 4, 5, 11), (6, 7, 8, 9, 10, 12))
+      .toDF("a", "b", "c", "d", "e", "f").createOrReplaceTempView("mpp23240")
+    val dead = spark.sql(
+      """SELECT a, b, CASE 1 WHEN 10 THEN SUM(c) OVER (PARTITION BY a)
+        |              WHEN 20 THEN SUM(d) OVER (PARTITION BY a)
+        |              ELSE 5 END AS sum1
+        |FROM (SELECT * FROM mpp23240 WHERE f > 10) x""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(dead == Set((1, 5L), (6, 5L)))
+    // composite grouping elements inside ROLLUP — crashed ROLLUP
+    // planning once: ROLLUP((dt,cn),(pn),(vn)) = 4 grouping levels
+    Seq((1, 10, 100, 7), (1, 20, 200, 8), (2, 10, 300, 9))
+      .toDF("dt", "cn", "pn", "vn").createOrReplaceTempView("sale_r")
+    val roll = spark.sql(
+      """SELECT vn FROM sale_r
+        |GROUP BY ROLLUP((dt, cn), (pn), (vn))""".stripMargin).collect()
+      .map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+    // full level: the 3 distinct vn; the 3 coarser levels: vn = null
+    assert(roll.length == 10)
+    assert(roll.filter(_ >= 0).sorted.toSeq == Seq(7, 8, 9))
+    assert(roll.count(_ == -1) == 7)
+  }
+
   test("empsalary peer frames and ties (window.sql:12-35, window.out:38-93)") {
     // the canonical PG window fixture, results pinned to window.out
     val emp = Seq(
