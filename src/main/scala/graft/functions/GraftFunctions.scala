@@ -673,6 +673,10 @@ object GraftFunctions {
       info("spanish_stem", "spanish_stem(word) - snowball Spanish stemmer"),
       (args: Seq[Expression]) => SpanishStem(Cast(args(0), StringType)))
     reg.registerFunction(
+      FunctionIdentifier("italian_stem"),
+      info("italian_stem", "italian_stem(word) - snowball Italian stemmer"),
+      (args: Seq[Expression]) => ItalianStem(Cast(args(0), StringType)))
+    reg.registerFunction(
       FunctionIdentifier("portuguese_stem"),
       info("portuguese_stem", "portuguese_stem(word) - snowball Portuguese stemmer"),
       (args: Seq[Expression]) => PortugueseStem(Cast(args(0), StringType)))

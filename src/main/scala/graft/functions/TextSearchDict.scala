@@ -745,6 +745,184 @@ case class SpanishStem(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Snowball Italian stemmer — the published algorithm (snowball
+  * `italian.sbl`; suffix tables cross-checked against the compiled
+  * `src/backend/snowball/libstemmer/stem_UTF_8_italian.c` amongs
+  * a_2..a_7). Prelude: acute → grave accents, `qu` → `qU`, and i/u
+  * between vowels marked I/U so they read as consonants through the
+  * region logic; step 0 strips attached pronouns after gerund or
+  * infinitive stems (the ar/er/ir case restores an `e`). */
+object ItalianStemmer {
+
+  private val vowels = "aeiouàèìòù"
+  @inline private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+  private def region(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && !isV(s.charAt(i))) i += 1
+    while (i < s.length && isV(s.charAt(i))) i += 1
+    if (i < s.length) i + 1 else s.length
+  }
+
+  private val pronouns = Seq("gliela", "gliele", "gliene", "glieli",
+    "glielo", "cela", "cele", "cene", "celi", "celo", "mela", "mele",
+    "mene", "meli", "melo", "sene", "tela", "tele", "tene", "teli",
+    "telo", "vela", "vele", "vene", "veli", "velo", "gli", "la", "le",
+    "ne", "ci", "li", "mi", "si", "ti", "vi", "lo").sortBy(-_.length)
+
+  // step-1 standard suffixes with rule codes (a_6): 1 delete-R2,
+  // 2 azione/atore(+ic)-R2, 3 logia→log, 4 uzione/usione→u,
+  // 5 enza→ente, 6 amento/imento delete-RV, 7 amente-R1, 8 ità-R2,
+  // 9 iva/ivo-R2(+at+ic)
+  private val st1: Seq[(String, Int)] = Seq(
+    "atrice" -> 1, "atrici" -> 1, "azione" -> 2, "azioni" -> 2,
+    "uzione" -> 4, "uzioni" -> 4, "usione" -> 4, "usioni" -> 4,
+    "amento" -> 6, "amenti" -> 6, "imento" -> 6, "imenti" -> 6,
+    "amente" -> 7, "abile" -> 1, "abili" -> 1, "ibile" -> 1,
+    "ibili" -> 1, "mente" -> 1, "atore" -> 2, "atori" -> 2,
+    "logia" -> 3, "logie" -> 3, "anza" -> 1, "anze" -> 1, "enza" -> 5,
+    "enze" -> 5, "iche" -> 1, "ichi" -> 1, "ismi" -> 1, "ismo" -> 1,
+    "ista" -> 1, "iste" -> 1, "isti" -> 1, "istà" -> 1, "istè" -> 1,
+    "istì" -> 1, "ante" -> 1, "anti" -> 1, "ica" -> 1, "ice" -> 1,
+    "ici" -> 1, "ico" -> 1, "osa" -> 1, "ose" -> 1, "osi" -> 1,
+    "oso" -> 1, "iva" -> 9, "ive" -> 9, "ivi" -> 9, "ivo" -> 9,
+    "ità" -> 8).sortBy(-_._1.length)
+
+  // step-2 verb suffixes (a_7), delete in RV
+  private val verbs: Seq[String] = Seq(
+    "erebbero", "irebbero", "assero", "essero", "issero", "eranno",
+    "iranno", "erebbe", "irebbe", "iscano", "iscono", "assimo",
+    "eremmo", "iremmo", "avamo", "evamo", "ivamo", "avano", "evano",
+    "ivano", "eremo", "iremo", "ereste", "ireste", "eresti", "iresti",
+    "avate", "evate", "ivate", "erete", "irete", "arono", "erono",
+    "irono", "isca", "enda", "isce", "ende", "asse", "isci", "endi",
+    "erei", "irei", "assi", "isco", "ando", "endo", "Yamo", "iamo",
+    "ammo", "emmo", "immo", "erai", "irai", "erà", "irà", "erò",
+    "irò", "ata", "ita", "uta", "ava", "eva", "iva", "are", "ere",
+    "ire", "ate", "ete", "ite", "ute", "ati", "iti", "uti", "avi",
+    "evi", "ivi", "ano", "ono", "ato", "ito", "uto", "avo", "evo",
+    "ivo", "ar", "ir").sortBy(-_.length)
+
+  def stem(word: String): String = {
+    var s = word.toLowerCase
+      .map { case 'á' => 'à'; case 'é' => 'è'; case 'í' => 'ì'
+             case 'ó' => 'ò'; case 'ú' => 'ù'; case c => c }
+    // mark intervocalic i/u and the u of qu as consonants
+    val marked = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c == 'i' || c == 'u') && i > 0 && i + 1 < s.length &&
+        isV(s.charAt(i - 1)) && isV(s.charAt(i + 1)))
+        marked.append(if (c == 'i') 'I' else 'U')
+      else if (c == 'u' && i > 0 && s.charAt(i - 1) == 'q')
+        marked.append('U')
+      else marked.append(c)
+      i += 1
+    }
+    s = marked.toString
+    if (s.length <= 2) return s.toLowerCase
+
+    val rv: Int =
+      if (!isV(s.charAt(1))) {
+        var j = 2
+        while (j < s.length && !isV(s.charAt(j))) j += 1
+        if (j < s.length) j + 1 else s.length
+      } else if (isV(s.charAt(0)) && isV(s.charAt(1))) {
+        var j = 2
+        while (j < s.length && isV(s.charAt(j))) j += 1
+        if (j < s.length) j + 1 else s.length
+      } else 3
+    val r1 = region(s, 0)
+    val r2 = region(s, r1)
+    def inRV(n: Int) = s.length - n >= rv
+    def inR1(n: Int) = s.length - n >= r1
+    def inR2(n: Int) = s.length - n >= r2
+
+    // ---- step 0: attached pronoun after gerund/infinitive, in RV
+    pronouns.find(p => s.endsWith(p) && inRV(p.length)).foreach { p =>
+      val before = s.dropRight(p.length)
+      if ((before.endsWith("ando") || before.endsWith("endo")) &&
+        s.length - p.length - 4 >= rv)
+        s = before
+      else if ((before.endsWith("ar") || before.endsWith("er") ||
+        before.endsWith("ir")) && s.length - p.length - 2 >= rv)
+        s = before + "e"
+    }
+    // ---- step 1: strict among — longest match, then its rule
+    var changed = false
+    st1.find { case (suf, _) => s.endsWith(suf) }.foreach { case (suf, code) =>
+      val L = suf.length
+      code match {
+        case 1 => if (inR2(L)) { s = s.dropRight(L); changed = true }
+        case 2 => if (inR2(L)) {
+          s = s.dropRight(L); changed = true
+          if (s.endsWith("ic") && inR2(2)) s = s.dropRight(2)
+        }
+        case 3 => if (inR2(L)) { s = s.dropRight(L) + "log"; changed = true }
+        case 4 => if (inR2(L)) { s = s.dropRight(L) + "u"; changed = true }
+        case 5 => if (inR2(L)) { s = s.dropRight(L) + "ente"; changed = true }
+        case 6 => if (inRV(L)) { s = s.dropRight(L); changed = true }
+        case 7 => if (inR1(L)) {
+          s = s.dropRight(L); changed = true
+          if (s.endsWith("iv") && inR2(2)) {
+            s = s.dropRight(2)
+            if (s.endsWith("at") && inR2(2)) s = s.dropRight(2)
+          } else if ((s.endsWith("os") || s.endsWith("ic") ||
+            s.endsWith("abil")) && inR2(if (s.endsWith("abil")) 4 else 2))
+            s = s.dropRight(if (s.endsWith("abil")) 4 else 2)
+        }
+        case 8 => if (inR2(L)) {
+          s = s.dropRight(L); changed = true
+          if (s.endsWith("abil") && inR2(4)) s = s.dropRight(4)
+          else if ((s.endsWith("ic") || s.endsWith("iv")) && inR2(2))
+            s = s.dropRight(2)
+        }
+        case 9 => if (inR2(L)) {
+          s = s.dropRight(L); changed = true
+          if (s.endsWith("at") && inR2(2)) {
+            s = s.dropRight(2)
+            if (s.endsWith("ic") && inR2(2)) s = s.dropRight(2)
+          }
+        }
+        case _ =>
+      }
+    }
+    // ---- step 2: verb suffixes inside RV
+    if (!changed)
+      verbs.find(v => s.endsWith(v) && inRV(v.length))
+        .foreach(v => s = s.dropRight(v.length))
+    // ---- step 3a: final vowel (then a preceding i), in RV
+    Seq("a", "e", "i", "o", "à", "è", "ì", "ò")
+      .find(x => s.endsWith(x) && inRV(1)).foreach { x =>
+        s = s.dropRight(1)
+        if (s.endsWith("i") && inRV(1)) s = s.dropRight(1)
+      }
+    // ---- step 3b: ch → c, gh → g, in RV
+    if ((s.endsWith("ch") || s.endsWith("gh")) && inRV(2))
+      s = s.dropRight(1)
+    s.toLowerCase
+  }
+
+  def stemUtf8(v: UTF8String): UTF8String =
+    UTF8String.fromString(stem(v.toString))
+}
+
+/** `italian_stem(word)` codegen expression. */
+case class ItalianStem(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "italian_stem"
+
+  override def nullSafeEval(v: Any): Any =
+    ItalianStemmer.stemUtf8(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ItalianStemmer.stemUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ItalianStem =
+    copy(child = newChild)
+}
+
 /** Snowball Portuguese stemmer — the published algorithm (snowball
   * `portuguese.sbl`; suffix tables cross-checked against the compiled
   * `src/backend/snowball/libstemmer/stem_UTF_8_portuguese.c` amongs
@@ -1221,13 +1399,58 @@ object TsLexize {
     "tivéssemos", "tivessem", "tiver", "tivermos", "tiverem", "terei",
     "terá", "teremos", "terão", "teria", "teríamos", "teriam")
 
+  /** The standard snowball Italian stopword list PG ships as
+    * `src/backend/snowball/stopwords/italian.stop` (public snowball
+    * distribution). */
+  val italianStopwords: Seq[String] = Seq(
+    "ad", "al", "allo", "ai", "agli", "all", "agl", "alla", "alle",
+    "con", "col", "coi", "da", "dal", "dallo", "dai", "dagli", "dall",
+    "dagl", "dalla", "dalle", "di", "del", "dello", "dei", "degli",
+    "dell", "degl", "della", "delle", "in", "nel", "nello", "nei",
+    "negli", "nell", "negl", "nella", "nelle", "su", "sul", "sullo",
+    "sui", "sugli", "sull", "sugl", "sulla", "sulle", "per", "tra",
+    "contro", "io", "tu", "lui", "lei", "noi", "voi", "loro", "mio",
+    "mia", "miei", "mie", "tuo", "tua", "tuoi", "tue", "suo", "sua",
+    "suoi", "sue", "nostro", "nostra", "nostri", "nostre", "vostro",
+    "vostra", "vostri", "vostre", "mi", "ti", "ci", "vi", "lo", "la",
+    "li", "le", "gli", "ne", "il", "un", "uno", "una", "ma", "ed",
+    "se", "perché", "anche", "come", "dov", "dove", "che", "chi",
+    "cui", "non", "più", "quale", "quanto", "quanti", "quanta",
+    "quante", "quello", "quelli", "quella", "quelle", "questo",
+    "questi", "questa", "queste", "si", "tutto", "tutti", "a", "c",
+    "e", "i", "l", "o", "ho", "hai", "ha", "abbiamo", "avete", "hanno",
+    "abbia", "abbiate", "abbiano", "avrò", "avrai", "avrà", "avremo",
+    "avrete", "avranno", "avrei", "avresti", "avrebbe", "avremmo",
+    "avreste", "avrebbero", "avevo", "avevi", "aveva", "avevamo",
+    "avevate", "avevano", "ebbi", "avesti", "ebbe", "avemmo", "aveste",
+    "ebbero", "avessi", "avesse", "avessimo", "avessero", "avendo",
+    "avuto", "avuta", "avuti", "avute", "sono", "sei", "è", "siamo",
+    "siete", "sia", "siate", "siano", "sarò", "sarai", "sarà",
+    "saremo", "sarete", "saranno", "sarei", "saresti", "sarebbe",
+    "saremmo", "sareste", "sarebbero", "ero", "eri", "era", "eravamo",
+    "eravate", "erano", "fui", "fosti", "fu", "fummo", "foste",
+    "furono", "fossi", "fosse", "fossimo", "fossero", "essendo",
+    "faccio", "fai", "facciamo", "fanno", "faccia", "facciate",
+    "facciano", "farò", "farai", "farà", "faremo", "farete", "faranno",
+    "farei", "faresti", "farebbe", "faremmo", "fareste", "farebbero",
+    "facevo", "facevi", "faceva", "facevamo", "facevate", "facevano",
+    "feci", "facesti", "fece", "facemmo", "faceste", "fecero",
+    "facessi", "facesse", "facessimo", "facessero", "facendo", "sto",
+    "stai", "sta", "stiamo", "stanno", "stia", "stiate", "stiano",
+    "starò", "starai", "starà", "staremo", "starete", "staranno",
+    "starei", "staresti", "starebbe", "staremmo", "stareste",
+    "starebbero", "stavo", "stavi", "stava", "stavamo", "stavate",
+    "stavano", "stetti", "stesti", "stette", "stemmo", "steste",
+    "stettero", "stessi", "stesse", "stessimo", "stessero", "stando")
+
   private val configs: Map[String, (Seq[String], String)] = Map(
     "english" -> (englishStopwords, "porter_stem"),
     "german" -> (germanStopwords, "german_stem"),
     "french" -> (frenchStopwords, "french_stem"),
     "spanish" -> (spanishStopwords, "spanish_stem"),
     "russian" -> (russianStopwords, "russian_stem"),
-    "portuguese" -> (portugueseStopwords, "portuguese_stem"))
+    "portuguese" -> (portugueseStopwords, "portuguese_stem"),
+    "italian" -> (italianStopwords, "italian_stem"))
 
   /** lowercase → drop stopwords → stem, one declarative pass
     * (ts_lexize through the named configuration — `english` and
@@ -1255,6 +1478,7 @@ object TsLexize {
       case "spanish" => SpanishStemmer.stem
       case "russian" => RussianStemmer.stem
       case "portuguese" => PortugueseStemmer.stem
+      case "italian" => ItalianStemmer.stem
       case _ => PorterStemmer.stem
     }
     terms.map(_.toLowerCase).filterNot(stop.contains).map(stemmer)

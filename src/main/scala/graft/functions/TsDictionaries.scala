@@ -53,7 +53,8 @@ object TsDictionaries {
     "french_stem" -> StemDict("french"),
     "spanish_stem" -> StemDict("spanish"),
     "russian_stem" -> StemDict("russian"),
-    "portuguese_stem" -> StemDict("portuguese"))
+    "portuguese_stem" -> StemDict("portuguese"),
+    "italian_stem" -> StemDict("italian"))
 
   /** PG ts_lexize contract: None = dictionary does not recognize the
     * token (SQL NULL); Some(Nil) = recognized and discarded. */
@@ -83,6 +84,7 @@ object TsDictionaries {
           case "spanish" => SpanishStemmer.stem
           case "russian" => RussianStemmer.stem
           case "portuguese" => PortugueseStemmer.stem
+          case "italian" => ItalianStemmer.stem
           case _ => PorterStemmer.stem
         }
         Some(Seq(stemmer(token.toLowerCase)))

@@ -901,6 +901,30 @@ object FunctionQueries {
         .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
     }),
 
+    // Seventh snowball language — includes the qU/intervocalic-I
+    // prelude and the attached-pronoun step 0.
+    "q239_ts_italian" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      val vocab = Seq("abbandonata", "cantando", "felicità",
+        "organizzazione", "mangiarlo", "allenamento", "rapidamente",
+        "psicologia", "luoghi", "amiche", "violenza", "nazione")
+      val va = array(vocab.map(lit): _*)
+      def pick(idx: org.apache.spark.sql.Column) =
+        element_at(va, (idx % 12).cast("int") + 1)
+      val text = concat_ws(" ",
+        pick(col("doc_id")), lit("le"),
+        pick(col("doc_id") + 2), lit("non"),
+        pick(col("doc_id") * 7 + 3))
+      val stems = TsLexize.stemTerms(
+        Seq("abbandonata", "cantando"), "italian")
+      t(s, d, "documents")
+        .select(col("doc_id"), text.as("text"))
+        .withColumn("lexed",
+          TsLexize.lexize(split(col("text"), " "), "italian"))
+        .where(Ranges.tsMatch(col("lexed"), stems))
+        .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
+    }),
+
     // ts_headline through the stemming dictionary: covers computed on
     // stems, snippet shows the original inflected words, marked when
     // their stem matches a query stem.
@@ -2217,6 +2241,23 @@ object FunctionQueries {
          |FROM b
          |WHERE (s1 = 'referent' OR s2 = 'referent' OR s3 = 'referent')
          |  AND (s1 = 'organiz' OR s2 = 'organiz' OR s3 = 'organiz')""".stripMargin
+    },
+    // same engine-generated-stem convention as the other languages
+    "q239_ts_italian" -> {
+      import graft.functions.ItalianStemmer
+      val vocab = Seq("abbandonata", "cantando", "felicità",
+        "organizzazione", "mangiarlo", "allenamento", "rapidamente",
+        "psicologia", "luoghi", "amiche", "violenza", "nazione")
+      val stems = vocab.map(w => s"'${ItalianStemmer.stem(w)}'").mkString(", ")
+      s"""WITH b AS (SELECT doc_id,
+         |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
+         |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,
+         |    [$stems][CAST(1 + (doc_id * 7 + 3) % 12 AS INT)] AS s3
+         |  FROM documents)
+         |SELECT doc_id, s1 || ' ' || s2 || ' ' || s3 AS lexed
+         |FROM b
+         |WHERE (s1 = 'abbandon' OR s2 = 'abbandon' OR s3 = 'abbandon')
+         |  AND (s1 = 'cant' OR s2 = 'cant' OR s3 = 'cant')""".stripMargin
     },
     "q146_ts_headline_stemmed" -> {
       import graft.functions.PorterStemmer

@@ -838,6 +838,33 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getSeq[String](0).toSeq == Seq("gat"))
   }
 
+  test("Italian stemmer matches hand-derived snowball vectors") {
+    import graft.functions.ItalianStemmer.stem
+    // hand-traced through the published algorithm (tables cross-checked
+    // against the compiled stem_UTF_8_italian.c)
+    assert(stem("abbandonata") == "abbandon")  // verb ata
+    assert(stem("cantando") == "cant")         // verb ando
+    assert(stem("felicità") == "felic")        // ità in R2
+    assert(stem("nazione") == "nazion")        // azione BLOCKED outside R2
+    assert(stem("organizzazione") == "organizz") // azione in R2
+    assert(stem("mangiarlo") == "mang")        // pronoun lo after ar → e
+    assert(stem("quale") == "qual")            // qu → qU marking
+    assert(stem("violenza") == "violenz")      // enza blocked outside R2
+    assert(stem("allenamento") == "allen")     // amento in RV
+    assert(stem("attiva") == "attiv")          // final vowel only
+    assert(stem("rapidamente") == "rapid")     // amente in R1
+    assert(stem("psicologia") == "psicolog")   // final a then preceding i
+    assert(stem("gioia") == "gioi")            // intervocalic I survives
+    assert(stem("luoghi") == "luog")           // final i + gh → g
+    assert(stem("amiche") == "amic")           // final e + ch → c
+    Tables.register(spark, TestSpark.sf0001)
+    val out = graft.functions.TsLexize.stemTerms(
+      Seq("le", "amiche", "non", "cantando"), "italian")
+    assert(out == Seq("amic", "cant"))
+    val r = spark.sql("SELECT ts_lexize('italian_stem', 'cantando')").head()
+    assert(r.getSeq[String](0).toSeq == Seq("cant"))
+  }
+
   test("json builders: build/agg/pretty/strip_nulls/array_elements") {
     Tables.register(spark, TestSpark.sf0001)
     val r = spark.sql(
