@@ -166,7 +166,9 @@ object TsDictionaries {
         SynonymDict(opts.get("synonyms").map(readSynonyms(_, cs))
           .getOrElse(Map.empty), cs)
       case "snowball" =>
-        StemDict(opts.getOrElse("language", "english"))
+        StemDict(opts.get("language")
+          .orElse(base.collect { case StemDict(l) => l })
+          .getOrElse("english"))
       case "simple" => SimpleDict
       case other =>
         throw new IllegalArgumentException(

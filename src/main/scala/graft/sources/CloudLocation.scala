@@ -131,6 +131,12 @@ object CloudLocation {
           case i => (segs.substring(0, i), segs.substring(i + 1))
         }
         settings("fs.s3a.endpoint") = host
+        // also write every fs.s3a.* setting under Hadoop's per-bucket
+        // namespace (fs.s3a.bucket.<name>.*): two external tables with
+        // different credential files then coexist instead of the last
+        // CREATE clobbering the global keys
+        for ((k, v) <- settings.toSeq if k.startsWith("fs.s3a."))
+          settings(s"fs.s3a.bucket.$bucket." + k.stripPrefix("fs.s3a.")) = v
         s"s3a://$bucket/$prefix"
       case u => u // native Hadoop scheme — pass through
     }

@@ -497,6 +497,10 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(hc.get("fs.s3a.multipart.size") == "671088640")
     assert(hc.get("fs.s3a.proxy.host") == "squid.local")
     assert(hc.get("fs.s3a.proxy.port") == "3128")
+    // per-bucket namespace too, so a second table's config can't
+    // clobber this one's credentials
+    assert(hc.get("fs.s3a.bucket.testbucket.access.key") == "AKTESTID")
+    assert(hc.get("fs.s3a.bucket.testbucket.secret.key") == "SECRETTEST")
     // WRITABLE s3 table: INSERT streams through the same FS layer
     val outDir = new java.io.File(dir, "out")
     Graft.execute(spark,

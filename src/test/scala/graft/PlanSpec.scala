@@ -244,6 +244,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("fixed-width parse is one codegen projection over the text scan") {
+    val dir = new java.io.File("target/test-fwplan").getAbsoluteFile
+    dir.mkdirs()
+    val f = new java.io.File(dir, "fw.txt")
+    java.nio.file.Files.write(f.toPath,
+      (0 until 50).map(i => f"$i%-4d${"v" + i}%-8s${i * 3}%-6d")
+        .mkString("\n").getBytes)
+    val res = graft.operators.FixedWidth.read(spark, Seq(f.getAbsolutePath),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id INT, name STRING, amt BIGINT"),
+      Seq("id" -> 4, "name" -> 8, "amt" -> 6), rejectLimit = 0)
+    // the substring/rtrim/try_cast projection must live INSIDE a
+    // whole-stage codegen span — no UDF, no CodegenFallback island
+    val spans = res.good.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty, res.good.queryExecution.executedPlan.toString)
+    val plan = res.good.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(res.good.count() == 50 && res.rejected == 0)
+  }
+
   test("ANALYZE stats drive a CBO join reorder on a 3-table chain") {
     Tables.register(spark, sf)
     dropManaged("li_cbo", "ord_cbo", "cust_cbo")
