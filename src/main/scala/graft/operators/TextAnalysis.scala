@@ -141,6 +141,33 @@ object TextAnalysis {
         .otherwise(lit("test")))
   }
 
+  /** Domain-blocklist filtering — the C4/RefinedWeb-style URL filter
+    * that drops documents whose source host (or any registrable parent
+    * domain: blocking `example.com` also blocks `ads.example.com`)
+    * appears on a blocklist. Scale shape: host extraction and suffix
+    * generation are pure codegen (`parse_url`/`split`/`transform`);
+    * matching EXPLODES each host into its ≤ depth domain suffixes and
+    * broadcast-semi-joins the blocklist — an equi-join on bounded
+    * fan-out, never a nested-loop `array_contains` probe against a
+    * million-domain list. Returns the surviving documents. */
+  def domainBlocklistFilter(docs: DataFrame, urlCol: String,
+                            blocklist: DataFrame, // one `domain` column
+                            idCol: String = "doc_id"): DataFrame = {
+    val host = regexp_replace(
+      lower(parse_url(col(urlCol), lit("HOST"))), "^www\\.", "")
+    val parts = split(host, "\\.")
+    val suffixes = transform(
+      sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, -i, i), "."))
+    val bl = broadcast(
+      blocklist.select(lower(col("domain")).as("__blocked")).distinct())
+    val blockedIds = docs
+      .select(col(idCol), explode(suffixes).as("__suffix"))
+      .join(bl, col("__suffix") === col("__blocked"), "left_semi")
+      .select(idCol).distinct()
+    docs.join(blockedIds, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic global shuffle — the training-data ordering step
     * (every epoch of LLM pretraining consumes the corpus in a
     * pseudo-random but REPRODUCIBLE order). The shuffle key is a pure

@@ -433,6 +433,28 @@ object PipelineQueries {
         |""".stripMargin)
     }),
 
+    // Domain-blocklist filtering (C4/RefinedWeb shape): deterministic
+    // synthetic URLs over documents, a blocklist carrying both an exact
+    // host and a registrable parent domain (which must catch its
+    // subdomains), exploded-suffix broadcast semi join. The oracle
+    // replays the blocking predicate directly from the URL structure.
+    "q240_domain_filter" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      val docs = s.table("documents").select(col("doc_id"), col("source"))
+        .withColumn("url", concat(lit("https://"),
+          when(col("doc_id") % 5 === 0, lit("www.")).otherwise(lit("")),
+          col("source"), lit(".example"), (col("doc_id") % 3).cast("string"),
+          lit(".com/page/"), col("doc_id").cast("string")))
+      val bl = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("example1.com"),
+          org.apache.spark.sql.Row("src4.example2.com")),
+        StructType(Seq(StructField("domain", StringType))))
+      TextAnalysis.domainBlocklistFilter(docs, "url", bl)
+        .groupBy("source").agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
+
     // Deterministic global shuffle (training-data epoch ordering): one
     // keyed repartition + local sort, never a global ORDER BY. The
     // oracle recomputes the md5 shuffle key per row — hash-exact means
@@ -1396,6 +1418,14 @@ object PipelineQueries {
         |FROM (VALUES (1, 'sad', 3), (2, 'ok', 5), (3, 'happy', 9),
         |             (4, 'ok', 7), (5, NULL, NULL)) t(id, m, r)
         |GROUP BY m""".stripMargin,
+    // kept = host suffix not on the blocklist: example1.com blocks every
+    // doc_id%3=1 host; src4.example2.com blocks src4's doc_id%3=2 hosts
+    "q240_domain_filter" ->
+      """SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE NOT (doc_id % 3 = 1
+        |           OR (source = 'src4' AND doc_id % 3 = 2))
+        |GROUP BY source""".stripMargin,
     "q238_shuffle" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':7') AS shuffle_key
         |FROM documents""".stripMargin,

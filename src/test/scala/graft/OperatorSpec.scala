@@ -370,6 +370,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(frac("test") - 0.05) < 0.015, frac)
   }
 
+  test("domainBlocklistFilter: parent-domain blocking on label boundaries") {
+    val docs = Seq(
+      (1L, "https://ads.tracker.com/x"),    // subdomain of blocked parent
+      (2L, "https://www.tracker.com/y"),    // www-stripped exact match
+      (3L, "https://tracker.company.org/z"),// same label, different domain
+      (4L, "https://safe.net/a"),
+      (5L, "https://nottracker.com/b"))     // substring but NOT a suffix label
+      .toDF("doc_id", "url")
+    val bl = Seq("tracker.com").toDF("domain")
+    val kept = TextAnalysis.domainBlocklistFilter(docs, "url", bl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L))
+  }
+
   test("deterministicShuffle: reproducible permutation, balanced, seed-sensitive") {
     import org.apache.spark.sql.functions.spark_partition_id
     val docs = spark.range(4000).selectExpr("id AS doc_id")
