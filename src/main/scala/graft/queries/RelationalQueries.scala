@@ -279,6 +279,21 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"),
         sumd(col("l_quantity")).as("sum_qty"))),
 
+    // Aggregate FILTER (WHERE ...) clauses (gram.y filter_clause,
+    // nodeAgg.c aggfilter) — the SQL:2003 spelling every migrated PG
+    // report uses; compiles to conditional aggregation, one pass.
+    "q241_agg_filter" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      s.sql("""SELECT l_returnflag,
+              |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+              |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              |       FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price,
+              |  COUNT(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F')
+              |    AS nd_supp_f
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    }),
+
     // ROLLUP + grouping_id (plangroupext.c, gram.y:723).
     "q21_rollup" -> ((s, d) =>
       t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
@@ -1192,6 +1207,15 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+    "q241_agg_filter" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price,
+        |  COUNT(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F')
+        |    AS nd_supp_f
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q18_cross_join" -> "SELECT n_name, r_name FROM nation CROSS JOIN region",
     "q19_band_join" ->
       """SELECT c_custkey, s_suppkey, c_acctbal - s_acctbal AS bal_diff
