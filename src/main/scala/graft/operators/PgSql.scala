@@ -42,6 +42,14 @@ object PgSql {
     // PG 12 CTE materialization hints (gram.y opt_materialized):
     // Catalyst decides reuse itself — the hint drops
     out = out.replaceAll("(?i)\\bAS\\s+(NOT\\s+)?MATERIALIZED\\s*\\(", "AS (")
+    // BETWEEN SYMMETRIC swaps its bounds when reversed (gram.y b_expr;
+    // Spark has no spelling). Lexical assist for simple token bounds —
+    // column refs / numbers; a bound that is a string literal or a
+    // parenthesized expression sits outside this segment and fails
+    // loudly in Spark's parser, per this file's contract
+    out = out.replaceAll(
+      "(?i)\\bBETWEEN\\s+SYMMETRIC\\s+([\\w.$]+)\\s+AND\\s+([\\w.$]+)",
+      "BETWEEN least($1, $2) AND greatest($1, $2)")
     // PG TABLESAMPLE methods (gram.y tablesample_clause): both map to
     // Spark's row-level percent sampling — BERNOULLI is exactly that;
     // SYSTEM is PG's page-level variant, same statistical contract at

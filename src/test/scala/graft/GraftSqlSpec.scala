@@ -45,6 +45,16 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql(rewrite("SELECT 'x ~*'")).head().getString(0) == "x ~*")
     // ~* against a non-literal pattern fails loudly, not case-sensitively
     intercept[IllegalArgumentException] { rewrite("SELECT a ~* b FROM t") }
+    // BETWEEN SYMMETRIC swaps reversed bounds (gram.y b_expr)
+    assert(spark.sql(rewrite("SELECT 7 BETWEEN SYMMETRIC 10 AND 5"))
+      .head().getBoolean(0))
+    assert(!spark.sql(rewrite("SELECT 3 BETWEEN SYMMETRIC 10 AND 5"))
+      .head().getBoolean(0))
+    assert(spark.sql(rewrite("SELECT 7 NOT BETWEEN SYMMETRIC 3 AND 5"))
+      .head().getBoolean(0))
+    // inside a literal: untouched
+    assert(rewrite("SELECT 'between symmetric 1 and 2'") ==
+      "SELECT 'between symmetric 1 and 2'")
   }
 
   test("CREATE INDEX clusters the layout; the clustered scan reads fewer rows") {
