@@ -74,6 +74,43 @@ object PgSql {
   // tail of the ILIKE spellings ~~* / !~~* (those rewrite in-segment)
   private val ciTail = "(!?)\\s*(?<!~)~\\*\\s*$".r
 
+  /** PG `ARRAY[...]` constructors → `ARRAY(...)` (Spark parses that as
+    * the array() function). One literal-aware pass that flips ONLY the
+    * bracket pair belonging to an ARRAY keyword — subscripts like
+    * `x[1]` and brackets inside string literals stay untouched; nested
+    * constructors each classify their own pair. */
+  private def arrayBrackets(sql: String): String = {
+    val chars = sql.toCharArray
+    val open = scala.collection.mutable.Stack[Boolean]() // isArray per '['
+    var inLit = false
+    var i = 0
+    while (i < chars.length) {
+      val c = chars(i)
+      if (inLit) {
+        if (c == '\'') {
+          if (i + 1 < chars.length && chars(i + 1) == '\'') i += 1
+          else inLit = false
+        }
+      } else c match {
+        case '\'' => inLit = true
+        case '[' =>
+          var j = i - 1
+          while (j >= 0 && chars(j).isWhitespace) j -= 1
+          val isArr = j >= 4 &&
+            sql.regionMatches(true, j - 4, "ARRAY", 0, 5) &&
+            (j - 5 < 0 || (!Character.isLetterOrDigit(chars(j - 5)) &&
+              chars(j - 5) != '_'))
+          open.push(isArr)
+          if (isArr) chars(i) = '('
+        case ']' if open.nonEmpty =>
+          if (open.pop()) chars(i) = ')'
+        case _ =>
+      }
+      i += 1
+    }
+    new String(chars)
+  }
+
   /** Split into alternating non-literal / literal parts and rewrite
     * only the non-literal ones — literals stay byte-identical, with one
     * documented exception: a `~*`/`!~*` whose pattern is the literal
@@ -81,7 +118,8 @@ object PgSql {
     * that pattern (PG's case-insensitive regex op has no Spark
     * spelling). A `~*` with a non-literal pattern fails loudly rather
     * than silently matching case-sensitively. */
-  def rewrite(sql: String): String = {
+  def rewrite(sqlIn: String): String = {
+    val sql = arrayBrackets(sqlIn)
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

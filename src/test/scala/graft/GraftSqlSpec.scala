@@ -55,6 +55,19 @@ class GraftSqlSpec extends AnyFunSuite {
     // inside a literal: untouched
     assert(rewrite("SELECT 'between symmetric 1 and 2'") ==
       "SELECT 'between symmetric 1 and 2'")
+    // ARRAY[...] constructors flip their bracket pair only
+    assert(spark.sql(rewrite("SELECT ARRAY[1, 2, 3]")).head()
+      .getSeq[Int](0).toSeq == Seq(1, 2, 3))
+    assert(spark.sql(rewrite("SELECT array [ 10, 20 ]")).head()
+      .getSeq[Int](0).toSeq == Seq(10, 20))
+    // nested constructors, literals with brackets, and subscripts
+    assert(spark.sql(rewrite("SELECT ARRAY[ARRAY[1], ARRAY[2]]")).head()
+      .getSeq[scala.collection.Seq[Int]](0).map(_.toSeq).toSeq
+      == Seq(Seq(1), Seq(2)))
+    assert(spark.sql(rewrite("SELECT ARRAY['a[b', 'c]d']")).head()
+      .getSeq[String](0).toSeq == Seq("a[b", "c]d"))
+    assert(rewrite("SELECT m['k'] FROM t") == "SELECT m['k'] FROM t")
+    assert(rewrite("SELECT subarray[1] FROM t") == "SELECT subarray[1] FROM t")
   }
 
   test("CREATE INDEX clusters the layout; the clustered scan reads fewer rows") {
