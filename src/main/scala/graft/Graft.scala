@@ -305,6 +305,54 @@ object Graft {
         spark.sql(operators.PgSql.rewrite(m.group(2))))
       None
     } else if (is("(?is)^INSERT\\s+INTO\\b") &&
+        topKeyword(stripSemi(t), "ON CONFLICT") >= 0) {
+      // INSERT ... ON CONFLICT (keys) DO NOTHING | DO UPDATE SET ...
+      // (PG 9.5 upsert, gram.y OnConflictExpr) → the MERGE special
+      // cases Dml.upsert/merge implement. Target-row references in SET
+      // must be qualified (excluded.col / <table>.col), as dump
+      // scripts write them.
+      val st = stripSemi(t)
+      val oc = topKeyword(st, "ON CONFLICT")
+      val insertSql = st.substring(0, oc)
+      val clause = st.substring(oc + "ON CONFLICT".length).trim
+      val m = "(?is)^(?:\\(([^)]*)\\)\\s*)?DO\\s+(NOTHING|UPDATE\\s+SET\\s+(.*))$".r
+        .findFirstMatchIn(clause).getOrElse(throw new IllegalArgumentException(
+          s"cannot parse ON CONFLICT clause: $t"))
+      val im = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)\\s*(\\([^)]*\\))?\\s*(.*)$".r
+        .findFirstMatchIn(insertSql).get
+      val table = im.group(1).replace("\"", "")
+      val keys = Option(m.group(1)).map(ks =>
+        operators.GreengageDdl.splitTop(ks).map(_.replace("\"", "").trim))
+        .getOrElse(throw new IllegalArgumentException(
+          "ON CONFLICT requires an explicit conflict target column list"))
+      val tbl = spark.table(table)
+      val body = spark.sql(operators.PgSql.rewrite(im.group(3)))
+      val cols = Option(im.group(2)).map(cl => operators.GreengageDdl.splitTop(
+          cl.stripPrefix("(").stripSuffix(")")).map(_.replace("\"", "")))
+        .getOrElse(tbl.columns.toSeq)
+      val source = body.toDF(cols: _*).select(tbl.columns.map { c =>
+        if (cols.contains(c)) org.apache.spark.sql.functions.col(c)
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(tbl.schema(c).dataType).as(c)
+      }.toSeq: _*)
+      operators.PgTypes.validate(source, table,
+        tbl.columns.map(c => c.toLowerCase -> c).toMap)
+      if (m.group(2).trim.equalsIgnoreCase("NOTHING"))
+        operators.Dml.upsert(spark, table, source, keys, doNothing = true)
+      else {
+        val sets = operators.GreengageDdl.splitTop(m.group(3)).map { a =>
+          val Array(l, r) = a.split("=", 2)
+          val ex = r.trim
+            .replaceAll("(?i)\\bexcluded\\.", "s.")
+            .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(table) + "\\.", "t.")
+          l.trim.replace("\"", "") ->
+            org.apache.spark.sql.functions.expr(operators.PgSql.rewrite(ex))
+        }.toMap
+        operators.Dml.merge(spark, table, source, keys,
+          whenMatchedUpdate = sets)
+      }
+      None
+    } else if (is("(?is)^INSERT\\s+INTO\\b") &&
         topKeyword(stripSemi(t), "RETURNING") >= 0) {
       // INSERT ... RETURNING: run the insert, then project the
       // inserted rows under the table's column names (NEW image)

@@ -722,6 +722,33 @@ class GraftSqlSpec extends AnyFunSuite {
     Graft.execute(spark, "DROP TEXT SEARCH DICTIONARY pgdict")
   }
 
+  test("INSERT ... ON CONFLICT routes to the upsert/merge semantics") {
+    drop("oc_t")
+    Graft.execute(spark, "CREATE TABLE oc_t (k bigint, v float8, tag text)")
+    Graft.execute(spark, "INSERT INTO oc_t VALUES (1, 1.0, 'a'), (2, 2.0, 'b')")
+    // DO NOTHING: matched rows untouched, unmatched insert
+    Graft.execute(spark,
+      "INSERT INTO oc_t VALUES (2, 99.0, 'x'), (3, 3.0, 'c') ON CONFLICT (k) DO NOTHING")
+    def row(k: Long) = spark.sql(s"SELECT v, tag FROM oc_t WHERE k = $k").head()
+    assert(spark.table("oc_t").count() == 3)
+    assert(row(2).getDouble(0) == 2.0 && row(2).getString(1) == "b")
+    // DO UPDATE with excluded./table. qualification
+    Graft.execute(spark,
+      """INSERT INTO oc_t VALUES (3, 30.0, 'cc'), (4, 4.0, 'd')
+        |ON CONFLICT (k) DO UPDATE SET v = excluded.v, tag = oc_t.tag""".stripMargin)
+    assert(spark.table("oc_t").count() == 4)
+    assert(row(3).getDouble(0) == 30.0 && row(3).getString(1) == "c")
+    assert(row(4).getDouble(0) == 4.0 && row(4).getString(1) == "d")
+    // explicit column list: unnamed columns insert as NULL
+    Graft.execute(spark,
+      "INSERT INTO oc_t (tag, k) VALUES ('e', 5) ON CONFLICT (k) DO NOTHING")
+    assert(row(5).isNullAt(0) && row(5).getString(1) == "e")
+    // missing conflict target is a loud error, not a silent insert
+    intercept[IllegalArgumentException](Graft.execute(spark,
+      "INSERT INTO oc_t VALUES (9, 9.0, 'z') ON CONFLICT DO NOTHING"))
+    drop("oc_t")
+  }
+
   test("DML RETURNING: INSERT/UPDATE/DELETE return the affected images") {
     drop("ret_t")
     Graft.execute(spark,
