@@ -373,6 +373,18 @@ object RelationalQueries {
           e => e.getField("name")), "|").as("names_by_balance"),
         count(lit(1)).as("n"))),
 
+    // string_agg(DISTINCT x, d ORDER BY x) — the PG ordered-distinct
+    // aggregation (gram.y within_group_clause); Spark 4's listagg
+    // WITHIN GROUP carries the same semantics.
+    "q242_string_agg_distinct" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      s.sql("""SELECT o_orderstatus,
+              |  listagg(DISTINCT o_orderpriority, ',')
+              |    WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+              |  COUNT(*) AS n
+              |FROM orders GROUP BY o_orderstatus""".stripMargin)
+    }),
+
     // PIVOT (utils/adt/pivot.c).
     "q27_pivot" -> ((s, d) =>
       t(s, d, "orders").join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
@@ -1216,6 +1228,12 @@ object RelationalQueries {
         |  COUNT(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F')
         |    AS nd_supp_f
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q242_string_agg_distinct" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+        |    AS priorities,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q18_cross_join" -> "SELECT n_name, r_name FROM nation CROSS JOIN region",
     "q19_band_join" ->
       """SELECT c_custkey, s_suppkey, c_acctbal - s_acctbal AS bal_diff
