@@ -245,4 +245,105 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .dropDuplicates("a_id", "b_id")
   }
+
+  /** Segment-level exact dedup — the "paragraph/line dedup" pass of
+    * modern pretraining pipelines (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"; RefinedWeb's
+    * line-level boilerplate removal): split each document into
+    * segments, drop every segment whose exact text appears in >=
+    * minDocFreq DISTINCT documents (cross-corpus boilerplate:
+    * navigation chrome, license headers, cookie banners), and
+    * reassemble each document from its surviving segments in order.
+    *
+    * Segmentation is delimiter-based when the corpus has newlines
+    * (`delimiter = "\n"`); for single-line corpora a fixed
+    * words-per-segment window applies (`wordsPerSegment`). Both are
+    * computed per-row with codegen HOFs (split/slice/array_join) — the
+    * corpus is never shuffled to segment it.
+    *
+    * Scale shape: ONE explode (rows ∝ total segments), one count
+    * shuffle keyed on segment text, one LEFT ANTI join back (shuffle
+    * keyed on segment — the duplicate set is corpus-sized in the worst
+    * case, so no broadcast), one reassembly shuffle keyed on doc id.
+    * All joins are equi-joins; nothing is quadratic, nothing collects.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   delimiter: String = "",
+                   wordsPerSegment: Int = 3,
+                   minDocFreq: Int = 2): DataFrame = {
+    val segsCol: Column =
+      if (delimiter.nonEmpty) split(col(textCol), java.util.regex.Pattern.quote(delimiter))
+      else {
+        val words = split(col(textCol), " ")
+        val nseg = ceil(size(words).cast("double") / lit(wordsPerSegment.toDouble)).cast("int")
+        transform(sequence(lit(0), greatest(nseg, lit(1)) - 1),
+          i => array_join(
+            slice(words, i * wordsPerSegment + 1, lit(wordsPerSegment)), " "))
+      }
+    val glue = if (delimiter.nonEmpty) delimiter else " "
+    val seg = docs.select(col(idCol), posexplode(segsCol).as(Seq("spos", "segment")))
+    val dup = seg.groupBy("segment")
+      .agg(count_distinct(col(idCol)).as("__ndocs"))
+      .where(col("__ndocs") >= minDocFreq)
+      .select("segment")
+    val kept = seg.join(dup, Seq("segment"), "left_anti")
+    val perDoc = kept.groupBy(col(idCol))
+      .agg(
+        concat_ws(glue,
+          transform(array_sort(collect_list(struct(col("spos"), col("segment")))),
+            s => s("segment"))).as("clean_text"),
+        count(lit(1)).as("__n_kept"))
+    docs
+      .select(col(idCol), size(segsCol).cast("long").as("__n_seg"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__n_seg") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication over document embeddings. Cluster the embedding
+    * space with k-means, compare vectors ONLY within their cluster
+    * (the paper's move that makes semantic dedup sub-quadratic), link
+    * pairs above the cosine threshold, and keep one representative
+    * (the min id) per connected semantic-duplicate group.
+    *
+    * Returns one row per vector: (idCol, cluster, component, keep) —
+    * `keep = false` marks semantic duplicates to drop; survivors are
+    * the `keep = true` rows.
+    *
+    * Scale shape: centroid training is sample-bounded
+    * ([[graft.operators.Knn.kmeansCentroids]] — Lloyd passes over a
+    * <= 200k-row seeded sample, k·dim floats on the driver); cluster
+    * assignment is a map-side codegen kernel (`best_centroid`, no
+    * join); the pair join is an equi-join on cluster id, so candidate
+    * count is Σ |cluster|² — bounded by cluster granularity, never
+    * |corpus|²; grouping is min-label propagation
+    * ([[connectedComponents]]), one join per round, O(diameter)
+    * rounds. */
+  def semanticDedup(vectors: DataFrame, threshold: Double = 0.96,
+                    nClusters: Int = 16, iters: Int = 3,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    dim: Int = 64): DataFrame = {
+    val (cids, cents) =
+      Knn.kmeansCentroids(vectors, nClusters, iters, idCol, vecCol, dim)
+    val assigned = vectors
+      .withColumn("cluster", call_function("best_centroid", col(vecCol),
+        typedLit(cids.toSeq), typedLit(cents.map(_.toSeq).toSeq)))
+    val l = assigned.select(col("cluster"),
+      col(idCol).as("a_id"), col(vecCol).as("av"))
+    val r = assigned.select(col("cluster"),
+      col(idCol).as("b_id"), col(vecCol).as("bv"))
+    val pairs = l.join(r, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        Knn.cosine(col("av"), col("bv")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+    val comp =
+      connectedComponents(pairs, vectors.select(col(idCol).as("id")), "id")
+    assigned.join(comp, assigned(idCol) === comp("id"))
+      .select(col(idCol), col("cluster"), col("component"),
+        (col(idCol) === col("component")).as("keep"))
+  }
 }

@@ -447,6 +447,100 @@ object TextAnalysis {
     docs.withColumn(out, enc(col(textCol)))
   }
 
+  /** Multinomial Naive Bayes text classifier — the in-engine stand-in
+    * for the linear quality/domain classifiers of pretraining pipelines
+    * (GPT-3's logistic-regression quality filter, CCNet's fastText
+    * language/domain scorer): train on a labeled seed set, score the
+    * corpus map-side. Self-contained counting model so the whole loop
+    * stays distributed and deterministic.
+    *
+    * Scale shape: training is TWO bounded aggregations — a global
+    * vocabulary count truncated to `maxVocab` (language-bounded, like
+    * the BPE dictionary) and a (label × vocab-token) count — plus a
+    * per-label doc count; all collects are model-sized, never
+    * corpus-sized. Scoring broadcasts the model once (cached per model
+    * identity, same discipline as the trigram LM) and is a per-row UDF
+    * — no shuffle, no join.
+    *
+    * Deterministic: vocab ties break (count desc, token asc); argmax
+    * ties break on label asc; per-document token order fixes the
+    * float-sum order. */
+  final case class NbModel(labels: Array[String],
+                           logPrior: Map[String, Double],
+                           logProb: Map[(String, String), Double],
+                           logUnseen: Map[String, Double],
+                           vocab: Set[String])
+
+  def nbTrain(docs: DataFrame, labelCol: String, textCol: String = "text",
+              maxVocab: Int = 65536): NbModel = {
+    val toks = docs
+      .select(col(labelCol).as("__lbl"),
+        explode(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+")).as("__tok"))
+      .where(length(col("__tok")) > 0)
+    val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("__tok").asc).limit(maxVocab)
+      .collect().map(_.getString(0)).toSet
+    // restrict to the vocab BEFORE collecting, so the driver fetch is
+    // bounded by labels × maxVocab, not the corpus's raw token space
+    val vocabDf = broadcast(docs.sparkSession
+      .createDataFrame(vocab.toSeq.map(Tuple1(_))).toDF("__tok"))
+    val pairCounts = toks.join(vocabDf, Seq("__tok"), "left_semi")
+      .groupBy("__lbl", "__tok").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val docCounts = docs.groupBy(col(labelCol).as("__lbl"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val totalDocs = docCounts.values.sum.toDouble
+    val labels = docCounts.keys.toArray.sorted
+    val tokTotals = pairCounts.groupBy(_._1._1)
+      .map { case (l, xs) => (l, xs.map(_._2).sum) }
+    val v = vocab.size.max(1).toDouble
+    val logProb = pairCounts.map { case ((l, t), c) =>
+      ((l, t), math.log((c + 1.0) / (tokTotals.getOrElse(l, 0L) + v)))
+    }.toMap
+    val logUnseen = labels.map(l =>
+      (l, math.log(1.0 / (tokTotals.getOrElse(l, 0L) + v)))).toMap
+    val logPrior = docCounts.map { case (l, n) =>
+      (l, math.log(n / totalDocs))
+    }
+    NbModel(labels, logPrior, logProb, logUnseen, vocab)
+  }
+
+  private val nbBroadcasts = new java.util.WeakHashMap[
+    NbModel, org.apache.spark.broadcast.Broadcast[NbModel]]()
+
+  def withNbPrediction(docs: DataFrame, model: NbModel,
+                       textCol: String = "text",
+                       out: String = "pred_label"): DataFrame = {
+    val bc = nbBroadcasts.synchronized {
+      Option(nbBroadcasts.get(model)).getOrElse {
+        val b = docs.sparkSession.sparkContext.broadcast(model)
+        nbBroadcasts.put(model, b)
+        b
+      }
+    }
+    val predict = udf { (text: String) =>
+      val m = bc.value
+      if (m.labels.isEmpty) null
+      else {
+        val toks =
+          if (text == null) Array.empty[String]
+          else "[^\\p{L}\\p{N}]+".r.split(text.toLowerCase).filter(_.nonEmpty)
+        var best: String = null
+        var bestScore = Double.NegativeInfinity
+        for (l <- m.labels) { // labels sorted asc: first max wins ties
+          var s = m.logPrior.getOrElse(l, Double.NegativeInfinity)
+          val unseen = m.logUnseen(l)
+          for (t <- toks) s += m.logProb.getOrElse((l, t), unseen)
+          if (s > bestScore) { bestScore = s; best = l }
+        }
+        best
+      }
+    }
+    docs.withColumn(out, predict(col(textCol)))
+  }
+
   def piiScrub(text: Column): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

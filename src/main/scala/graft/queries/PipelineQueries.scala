@@ -37,6 +37,37 @@ object PipelineQueries {
           (col("id") === col("component")).as("is_keeper"))
     }),
 
+    // Segment-level exact dedup (Lee et al. 2022 / RefinedWeb line
+    // dedup): 3-word segments, drop every segment text appearing in >=2
+    // DISTINCT docs (cross-corpus boilerplate), reassemble survivors in
+    // order. The oracle replays the identical segmentation in SQL.
+    "q242_segment_dedup" -> ((s, d) =>
+      Dedup.segmentDedup(t(s, d, "documents"),
+        wordsPerSegment = 3, minDocFreq = 2)),
+
+    // SemDeDup (Abbas et al. 2023): k-means clusters over embeddings,
+    // within-cluster cosine >= threshold linked, one representative
+    // (min id) kept per semantic group. Threshold 0.4 sits at the
+    // ~99.95th percentile of this synthetic corpus's pairwise cosine
+    // (near-random vectors; real corpora use ~0.95+), so the dedup
+    // path actually fires. rows-only: cluster geometry is
+    // engine-defined; planted-duplicate behavior asserted in
+    // OperatorSpec.
+    "q243_semdedup" -> ((s, d) =>
+      Dedup.semanticDedup(t(s, d, "embeddings"), threshold = 0.4)),
+
+    // Naive Bayes domain classifier (the GPT-3 quality-filter /
+    // CCNet fastText shape): train on the `source` label, score the
+    // same corpus map-side, output the confusion matrix. rows-only:
+    // float log-prob argmax is engine-defined; planted-vocab accuracy
+    // is asserted in OperatorSpec.
+    "q244_nb_classifier" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = TextAnalysis.nbTrain(docs, "source")
+      TextAnalysis.withNbPrediction(docs, model)
+        .groupBy("source", "pred_label").agg(count(lit(1)).as("n"))
+    }),
+
     // SimHash near-dup candidates via pigeonhole block join (rows-only:
     // the 64-bit fingerprint is engine-defined).
     "q82_simhash_pairs" -> ((s, d) =>
@@ -1429,6 +1460,27 @@ object PipelineQueries {
     "q238_shuffle" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':7') AS shuffle_key
         |FROM documents""".stripMargin,
+    // identical segmentation in SQL: 3-word chunks by word position,
+    // chunks repeated across >=2 distinct docs removed, survivors
+    // re-joined in order (docs losing every chunk keep an empty text)
+    "q242_segment_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |         generate_subscripts(string_split(text, ' '), 1) AS wpos
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, (wpos-1)//3 AS spos,
+        |         string_agg(word, ' ' ORDER BY wpos) AS segment
+        |  FROM w GROUP BY doc_id, (wpos-1)//3),
+        |dup AS (SELECT segment FROM seg GROUP BY segment
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT s.* FROM seg s ANTI JOIN dup d USING (segment)),
+        |r AS (SELECT doc_id, string_agg(segment, ' ' ORDER BY spos) AS clean_text,
+        |             COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_seg FROM seg GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |       CAST(tot.n_seg - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM documents d JOIN tot USING (doc_id) LEFT JOIN r USING (doc_id)""".stripMargin,
     "q235_ts_dictionary" ->
       """SELECT substring(CAST(event_id % 100000 AS VARCHAR), 1, 4) AS lexed,
         |  CAST(COUNT(*) AS BIGINT) AS n

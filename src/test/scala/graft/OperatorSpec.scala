@@ -871,6 +871,74 @@ class OperatorSpec extends AnyFunSuite {
     assert(m50 < m0, s"50 merges should compress: $m50 !< $m0")
   }
 
+  test("segmentDedup removes the planted cross-doc paragraph, keeps order") {
+    // newline-delimited mode: the shared license header appears in 2
+    // docs and must vanish from both; unique paragraphs survive in order
+    val docs = Seq(
+      (1L, "COMMON LICENSE HEADER\nalpha beta\ngamma delta"),
+      (2L, "intro text\nCOMMON LICENSE HEADER\nepsilon zeta"),
+      (3L, "solo document\nonly unique lines here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, delimiter = "\n", minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("alpha beta\ngamma delta", 1L))
+    assert(out(2L) == ("intro text\nepsilon zeta", 1L))
+    assert(out(3L) == ("solo document\nonly unique lines here", 0L))
+  }
+
+  test("segmentDedup word-window mode: doc losing every segment goes empty") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // segments: "a b c", "d e f"
+      (2L, "a b c d e f"),   // exact copy — both docs lose everything
+      (3L, "x y z a b")      // "x y z" unique; "a b" (short tail) unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, wordsPerSegment = 3, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("", 2L))
+    assert(out(2L) == ("", 2L))
+    assert(out(3L) == ("x y z a b", 0L))
+  }
+
+  test("semanticDedup links planted duplicate vectors, keeps the min id") {
+    val rnd = new scala.util.Random(7)
+    def v(): Array[Float] = Array.fill(8)(rnd.nextFloat() - 0.5f)
+    val base = v(); val near = base.map(x => x * 1.001f)
+    val uniques = (10L to 29L).map(i => (i, v()))
+    val vecs = (Seq((1L, base), (2L, base.clone()), (3L, near)) ++ uniques)
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, threshold = 0.99,
+        nClusters = 4, iters = 2, dim = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // the three planted dups share one component; only vec 1 survives
+    assert(out(1L)._1 == 1L && out(1L)._2)
+    assert(out(2L) == (1L, false) && out(3L) == (1L, false))
+    // every unique vector is its own component and kept
+    uniques.foreach { case (i, _) => assert(out(i) == (i, true), s"vec $i") }
+  }
+
+  test("naive Bayes classifier separates planted vocabularies") {
+    val train = Seq(
+      (1L, "apple banana cherry", "fruit"),
+      (2L, "banana apple grape", "fruit"),
+      (3L, "car truck engine", "vehicle"),
+      (4L, "engine wheel car", "vehicle"),
+      (5L, "tiger lion bear", "animal"),
+      (6L, "bear wolf tiger", "animal")
+    ).toDF("doc_id", "text", "topic")
+    val model = TextAnalysis.nbTrain(train, "topic")
+    val held = Seq(
+      (10L, "grape cherry apple"), (11L, "wheel truck engine"),
+      (12L, "wolf lion bear"), (13L, "")
+    ).toDF("doc_id", "text")
+    val preds = TextAnalysis.withNbPrediction(held, model)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(preds(10L) == "fruit")
+    assert(preds(11L) == "vehicle")
+    assert(preds(12L) == "animal")
+    // empty text falls back to the prior argmax tie-break: label asc
+    assert(preds(13L) == "animal")
+  }
+
   test("text quality features handle empty and punct-only text") {
     val docs = Seq((1L, ""), (2L, "..."), (3L, "the cat sat."))
       .toDF("doc_id", "text")
