@@ -111,6 +111,121 @@ object PgSql {
     new String(chars)
   }
 
+  /** PG `FROM ... unnest(expr) [WITH ORDINALITY] [AS] alias[(cols)]`
+    * (gram.y func_table / opt_ordinality) → Spark's lateral TVF forms.
+    * PG's SRF-in-FROM is implicitly LATERAL; Spark wants the keyword,
+    * so an unnest after a comma becomes `LATERAL (SELECT ... FROM
+    * posexplode(...))` and one directly after FROM (no left-hand item
+    * to correlate with) becomes a plain subquery. ORDINALITY is
+    * 1-based BIGINT per PG; posexplode's pos is 0-based, hence the
+    * +1 cast. Literal-aware balanced-paren scan; multi-array unnest
+    * and alias-less forms are left untouched (fail loudly in Spark's
+    * parser, per this file's contract). */
+  private val clauseWords = Seq("select", "from", "where", "group",
+    "order", "having", "limit", "window")
+
+  private def unnestFrom(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inLit = false
+    // current clause keyword per paren depth: a comma only introduces a
+    // FROM item (implicit-LATERAL position) when the enclosing clause
+    // at this depth is FROM — a SELECT-list or GROUP BY unnest stays
+    // untouched
+    val clause = scala.collection.mutable.Stack[String]("")
+    def word(at: Int, w: String): Boolean =
+      sql.regionMatches(true, at, w, 0, w.length) &&
+        (at == 0 || (!Character.isLetterOrDigit(sql.charAt(at - 1)) &&
+          sql.charAt(at - 1) != '_' && sql.charAt(at - 1) != '.')) &&
+        (at + w.length >= sql.length ||
+          (!Character.isLetterOrDigit(sql.charAt(at + w.length)) &&
+            sql.charAt(at + w.length) != '_'))
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inLit) {
+        out += c
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            out += '\''; i += 1
+          } else inLit = false
+        }
+        i += 1
+      } else if (c == '\'') { out += c; inLit = true; i += 1 }
+      else if (c == '(') { clause.push(""); out += c; i += 1 }
+      else if (c == ')') { if (clause.size > 1) clause.pop(); out += c; i += 1 }
+      else if (clauseWords.exists(word(i, _))) {
+        val w = clauseWords.find(word(i, _)).get
+        clause.pop(); clause.push(w)
+        out ++= sql.substring(i, i + w.length); i += w.length
+      }
+      else if (word(i, "unnest")) {
+        // preceding non-space token decides the form
+        var p = i - 1
+        while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+        val afterComma = p >= 0 && sql.charAt(p) == ',' &&
+          clause.top == "from"
+        val afterFrom = p >= 3 &&
+          sql.regionMatches(true, p - 3, "FROM", 0, 4) &&
+          (p - 4 < 0 || !Character.isLetterOrDigit(sql.charAt(p - 4)))
+        var j = i + 6
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (!(afterComma || afterFrom) || j >= sql.length ||
+          sql.charAt(j) != '(') { out += c; i += 1 }
+        else {
+          // balanced scan of the argument; top-level comma = multi-arg
+          var depth = 0; var lit = false; var multi = false
+          var k = j
+          var end = -1
+          while (k < sql.length && end < 0) {
+            val ch = sql.charAt(k)
+            if (lit) { if (ch == '\'') lit = false }
+            else ch match {
+              case '\'' => lit = true
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) end = k
+              case ',' if depth == 1 => multi = true
+              case _ =>
+            }
+            k += 1
+          }
+          val tail = if (end < 0) "" else sql.substring(end + 1)
+          val m = ("(?is)^\\s*(WITH\\s+ORDINALITY\\s+)?(?:AS\\s+)?" +
+            "([A-Za-z_][A-Za-z_0-9]*)\\s*(?:\\(\\s*([A-Za-z_][A-Za-z_0-9]*)" +
+            "\\s*(?:,\\s*([A-Za-z_][A-Za-z_0-9]*)\\s*)?\\))?").r
+            .findPrefixMatchOf(tail)
+          val keywordAlias = m.exists(mm => Set("where", "group", "order",
+            "limit", "join", "on", "inner", "left", "right", "full",
+            "cross", "union", "having", "with").contains(mm.group(2).toLowerCase))
+          // a 2-column alias list without ORDINALITY is invalid PG for
+          // a single-array unnest — leave it for Spark to reject
+          val badCols = m.exists(mm =>
+            mm.group(1) == null && mm.group(4) != null)
+          if (end < 0 || multi || m.isEmpty || keywordAlias || badCols) {
+            out += c; i += 1
+          } else {
+            val mm = m.get
+            val arg = sql.substring(j + 1, end)
+            val ord = mm.group(1) != null
+            val alias = mm.group(2)
+            val c1 = Option(mm.group(3))
+            val c2 = Option(mm.group(4))
+            val sel =
+              if (ord)
+                s"(SELECT col AS ${c1.getOrElse("unnest")}, " +
+                  s"CAST(pos + 1 AS BIGINT) AS ${c2.getOrElse("ordinality")} " +
+                  s"FROM posexplode($arg))"
+              else
+                s"(SELECT col AS ${c1.getOrElse(alias)} FROM explode($arg))"
+            out ++= (if (afterComma) "LATERAL " else "") ++= sel ++=
+              s" AS $alias"
+            i = end + 1 + mm.end
+          }
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
   /** Split into alternating non-literal / literal parts and rewrite
     * only the non-literal ones — literals stay byte-identical, with one
     * documented exception: a `~*`/`!~*` whose pattern is the literal
@@ -119,7 +234,7 @@ object PgSql {
     * spelling). A `~*` with a non-literal pattern fails loudly rather
     * than silently matching case-sensitively. */
   def rewrite(sqlIn: String): String = {
-    val sql = arrayBrackets(sqlIn)
+    val sql = unnestFrom(arrayBrackets(sqlIn))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

@@ -70,6 +70,42 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(rewrite("SELECT subarray[1] FROM t") == "SELECT subarray[1] FROM t")
   }
 
+  test("FROM unnest WITH ORDINALITY rewrites to lateral posexplode") {
+    import graft.operators.PgSql.rewrite
+    // standalone FROM: plain subquery, 1-based BIGINT ordinality
+    val r1 = spark.sql(rewrite(
+      "SELECT v, o FROM unnest(ARRAY['a','b','c']) WITH ORDINALITY AS t(v, o)"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(r1 == Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    // implicit-LATERAL comma form correlates with the left table
+    spark.sql("CREATE OR REPLACE TEMP VIEW uo_t AS " +
+      "SELECT * FROM VALUES (1, array(10, 20)), (2, array(30)) v(id, arr)")
+    val r2 = spark.sql(rewrite(
+      "SELECT id, e, o FROM uo_t, unnest(arr) WITH ORDINALITY AS u(e, o) ORDER BY id, o"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(r2 == Seq((1, 10, 1L), (1, 20, 2L), (2, 30, 1L)))
+    // PG default names without a column list: (unnest, ordinality)
+    val r3 = spark.sql(rewrite(
+      "SELECT unnest, ordinality FROM unnest(ARRAY[7, 8]) WITH ORDINALITY AS u"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(r3 == Seq((7, 1L), (8, 2L)))
+    // no ORDINALITY: alias names the COLUMN when no list (PG semantics)
+    val r4 = spark.sql(rewrite(
+      "SELECT x FROM unnest(ARRAY[1, 2]) AS x")).collect().map(_.getInt(0)).toSeq
+    assert(r4 == Seq(1, 2))
+    val r5 = spark.sql(rewrite(
+      "SELECT id, e FROM uo_t, unnest(arr) AS u(e) WHERE e > 15 ORDER BY e"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(r5 == Seq((1, 20), (2, 30)))
+    // SELECT-list unnest (SRF-in-targetlist) is NOT this rewrite's
+    // business: the text must come through untouched
+    assert(rewrite("SELECT a, unnest(arr) FROM t") ==
+      "SELECT a, unnest(arr) FROM t")
+    // inside a literal: untouched
+    assert(rewrite("SELECT 'from unnest(x) as t'") ==
+      "SELECT 'from unnest(x) as t'")
+  }
+
   test("CREATE INDEX clusters the layout; the clustered scan reads fewer rows") {
     Tables.register(spark, TestSpark.sf0001)
     drop("idx_t")
