@@ -685,6 +685,10 @@ object GraftFunctions {
       info("russian_stem", "russian_stem(word) - snowball Russian stemmer"),
       (args: Seq[Expression]) => RussianStem(Cast(args(0), StringType)))
     reg.registerFunction(
+      FunctionIdentifier("dutch_stem"),
+      info("dutch_stem", "dutch_stem(word) - snowball Dutch stemmer"),
+      (args: Seq[Expression]) => DutchStem(Cast(args(0), StringType)))
+    reg.registerFunction(
       FunctionIdentifier("to_number_pg"),
       info("to_number_pg", "to_number_pg(text, fmt) - PG numeric template parsing"),
       (args: Seq[Expression]) => ToNumberPg(Cast(args(0), StringType), args(1)))

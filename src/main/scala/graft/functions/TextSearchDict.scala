@@ -304,22 +304,28 @@ object FrenchStemmer {
 
   def stem(word: String): String = {
     var s = word.toLowerCase
-    if (s.length <= 2) return s
 
-    // prelude: u/i between vowels -> U/I, y beside a vowel -> Y, qu -> qU
-    // (left-to-right, decisions against the current state, as the
-    // published cursor walk does)
+    // prelude: u/i between vowels -> U/I, y beside a vowel -> Y, qu -> qU.
+    // Branch order matches the published cursor walk: standing at a
+    // VOWEL, the FOLLOWING u/i/y converts first (y unconditionally);
+    // only at a non-converted position does "y before a vowel" fire.
+    // So "yu<vowel>" marks the u (not the y), and in "hyya" only the
+    // second y converts — the first y's follower is a consonant by
+    // the time its own rule is tried.
     {
       val cs = s.toCharArray
-      var i = 0
-      while (i < cs.length) {
-        val c = cs(i)
-        if ((c == 'u' || c == 'i') && i > 0 && i + 1 < cs.length &&
-            isV(cs(i - 1)) && isV(cs(i + 1))) cs(i) = c.toUpper
-        else if (c == 'y' && ((i > 0 && isV(cs(i - 1))) ||
-            (i + 1 < cs.length && isV(cs(i + 1))))) cs(i) = 'Y'
-        else if (c == 'u' && i > 0 && cs(i - 1) == 'q') cs(i) = 'U'
-        i += 1
+      var p = 0
+      while (p < cs.length) {
+        if (isV(cs(p)) && p + 1 < cs.length) {
+          val n = cs(p + 1)
+          if ((n == 'u' || n == 'i') && p + 2 < cs.length && isV(cs(p + 2)))
+            cs(p + 1) = n.toUpper
+          else if (n == 'y') cs(p + 1) = 'Y'
+        }
+        if (cs(p) == 'y' && p + 1 < cs.length && isV(cs(p + 1))) cs(p) = 'Y'
+        else if (cs(p) == 'q' && p + 1 < cs.length && cs(p + 1) == 'u')
+          cs(p + 1) = 'U'
+        p += 1
       }
       s = new String(cs)
     }
@@ -438,6 +444,10 @@ object FrenchStemmer {
     // ment-family ending was found)
     var step2Changed = false
     if (!step1Changed || mnoFound) {
+      // steps 2a/2b run inside setlimit(RV): the among only SEES the
+      // RV slice, so a long suffix straddling the RV boundary is not
+      // a failed match — the longest suffix that FITS in RV matches
+      // instead (e.g. "tera": "era" starts before RV, so "a" matches)
       val st2a = Seq(
         "issaIent", "issantes", "issante", "issants", "issions",
         "iraIent", "issais", "issait", "issant", "issent", "issiez",
@@ -445,11 +455,11 @@ object FrenchStemmer {
         "irons", "iront", "isses", "issez", "îmes", "îtes", "isse",
         "irai", "iras", "irez", "ies", "ira", "ît", "ie", "ir", "is",
         "it", "i")
-      val did2a = st2a.find(s.endsWith) match {
+      val did2a = st2a.find(x => s.endsWith(x) && inRV(x.length)) match {
         case Some(suf) =>
           val L = suf.length
-          val p = s.length - L - 1 // preceding char
-          if (inRV(L) && p >= 0 && !isV(s.charAt(p)) && p >= rv) {
+          val p = s.length - L - 1 // preceding char, inside the limit
+          if (p >= rv && !isV(s.charAt(p))) {
             s = s.dropRight(L); step2Changed = true; true
           } else false
         case None => false
@@ -463,16 +473,14 @@ object FrenchStemmer {
           "aIent", "antes", "âmes", "âtes", "asse", "ante", "ants",
           "ais", "ait", "ant", "as", "ai", "ât", "a")
         val all = (eGroup ++ aGroup + "ions").toSeq.sortBy(-_.length)
-        all.find(s.endsWith) match {
+        all.find(x => s.endsWith(x) && inRV(x.length)) match {
           case Some("ions") =>
             if (inR2(4)) { s = s.dropRight(4); step2Changed = true }
           case Some(suf) if eGroup.contains(suf) =>
-            if (inRV(suf.length)) { s = s.dropRight(suf.length); step2Changed = true }
+            { s = s.dropRight(suf.length); step2Changed = true }
           case Some(suf) => // aGroup
-            if (inRV(suf.length)) {
-              s = s.dropRight(suf.length); step2Changed = true
-              if (s.endsWith("e") && s.length - 1 >= rv) s = s.dropRight(1)
-            }
+            s = s.dropRight(suf.length); step2Changed = true
+            if (s.endsWith("e") && s.length - 1 >= rv) s = s.dropRight(1)
           case None =>
         }
       }
@@ -483,22 +491,25 @@ object FrenchStemmer {
       if (s.endsWith("Y")) s = s.dropRight(1) + "i"
       else if (s.endsWith("ç")) s = s.dropRight(1) + "c"
     } else {
-      // ---- step 4: residual suffixes
+      // ---- step 4: residual suffixes. The s-removal is unlimited;
+      // the ion/ier/e among runs inside setlimit(RV) — longest suffix
+      // FITTING in RV matches (see the step-2 note)
       if (s.endsWith("s") && s.length >= 2 &&
           "aiouès".indexOf(s.charAt(s.length - 2)) < 0)
         s = s.dropRight(1)
-      Seq("Ière", "ière", "Ier", "ier", "ion", "ë", "e").find(s.endsWith)
+      Seq("Ière", "ière", "Ier", "ier", "ion", "ë", "e")
+        .find(x => s.endsWith(x) && inRV(x.length))
         .foreach {
           case "ion" =>
-            if (inR2(3) && inRV(3) && s.length > 3 &&
+            if (inR2(3) && s.length > 3 && s.length - 4 >= rv &&
                 "st".indexOf(s.charAt(s.length - 4)) >= 0)
               s = s.dropRight(3)
           case suf @ ("ier" | "ière" | "Ier" | "Ière") =>
-            if (inRV(suf.length)) s = s.dropRight(suf.length) + "i"
+            s = s.dropRight(suf.length) + "i"
           case "e" =>
-            if (inRV(1)) s = s.dropRight(1)
+            s = s.dropRight(1)
           case "ë" =>
-            if (inRV(1) && s.length >= 3 &&
+            if (s.length >= 3 && s.length - 3 >= rv &&
                 s.substring(s.length - 3, s.length - 1) == "gu")
               s = s.dropRight(1)
           case _ =>
@@ -807,21 +818,25 @@ object ItalianStemmer {
     var s = word.toLowerCase
       .map { case 'á' => 'à'; case 'é' => 'è'; case 'í' => 'ì'
              case 'ó' => 'ò'; case 'ú' => 'ù'; case c => c }
-    // mark intervocalic i/u and the u of qu as consonants
+    // mark intervocalic i/u and the u of qu as consonants. The
+    // preceding char reads from the MARKED prefix: an already
+    // converted I/U is a consonant for the next decision, exactly the
+    // in-place cursor walk of the published algorithm ("oiia" marks
+    // only the first i)
     val marked = new StringBuilder
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if ((c == 'i' || c == 'u') && i > 0 && i + 1 < s.length &&
-        isV(s.charAt(i - 1)) && isV(s.charAt(i + 1)))
+        isV(marked.charAt(i - 1)) && isV(s.charAt(i + 1)))
         marked.append(if (c == 'i') 'I' else 'U')
-      else if (c == 'u' && i > 0 && s.charAt(i - 1) == 'q')
+      else if (c == 'u' && i > 0 && marked.charAt(i - 1) == 'q')
         marked.append('U')
       else marked.append(c)
       i += 1
     }
     s = marked.toString
-    if (s.length <= 2) return s.toLowerCase
+    if (s.length < 2) return s.toLowerCase
 
     val rv: Int =
       if (!isV(s.charAt(1))) {
@@ -981,7 +996,6 @@ object PortugueseStemmer {
 
   def stem(word: String): String = {
     var s = word.toLowerCase.replace("ã", "a~").replace("õ", "o~")
-    if (word.length <= 2) return s.replace("a~", "ã").replace("o~", "õ")
     val rv: Int =
       if (s.length < 3) s.length
       else if (!isV(s.charAt(1))) {
@@ -1201,6 +1215,167 @@ case class RussianStem(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.RussianStemmer.stemUtf8($c)")
 
   override protected def withNewChildInternal(newChild: Expression): RussianStem =
+    copy(child = newChild)
+}
+
+/** Snowball Dutch stemmer — the published algorithm (snowball
+  * `dutch.sbl`; suffix tables cross-checked against the compiled
+  * `src/backend/snowball/libstemmer/stem_UTF_8_dutch.c` amongs
+  * a_0..a_5). Prelude removes umlaut/acute accents (è survives as a
+  * vowel) and upper-cases initial/post-vocalic y and intervocalic i
+  * so they read as consonants through the region logic; R1 starts no
+  * earlier than position 3; undoubling trims kk/dd/tt after en/e
+  * removal and one vowel of a final aa/ee/oo/uu pair. */
+object DutchStemmer {
+
+  private val vowels = "aeiouyè"
+  @inline private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+  /** gopast: index just past the first char (not) in the vowel group
+    * from `from`; -1 when no such char occurs. */
+  private def gopast(s: String, from: Int, inGroup: Boolean): Int = {
+    var i = from
+    while (i < s.length && isV(s.charAt(i)) != inGroup) i += 1
+    if (i < s.length) i + 1 else -1
+  }
+
+  def stem(word: String): String = {
+    var s = word.toLowerCase.map {
+      case 'á' | 'ä' => 'a'; case 'é' | 'ë' => 'e'; case 'í' | 'ï' => 'i'
+      case 'ó' | 'ö' => 'o'; case 'ú' | 'ü' => 'u'; case c => c
+    }
+    // initial y, y after a vowel, and i between vowels → consonant case
+    // (the preceding char is read from the MARKED prefix: an already
+    // converted Y/I is a consonant, exactly the in-place C scan)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val prevV = i > 0 && isV(sb.charAt(i - 1))
+      if (c == 'y' && (i == 0 || prevV)) sb.append('Y')
+      else if (c == 'i' && prevV && i + 1 < s.length && isV(s.charAt(i + 1)))
+        sb.append('I')
+      else sb.append(c)
+      i += 1
+    }
+    s = sb.toString
+
+    // R1 (clamped to >= 3; the R2 scan continues from the UNCLAMPED
+    // cursor) / R2; either stays unset when its gopast pair fails.
+    // The reference engine positions its cursor in UTF-8 BYTES and the
+    // R1 clamp is the raw byte constant 3 (`z->I[0] = 3`), so a word
+    // opening with a two-byte è reaches R1 one LETTER earlier than a
+    // char-counted clamp would allow ("èbs" → "èb"). Region
+    // comparisons therefore run in byte space; every suffix this
+    // stemmer touches is ASCII, and edits are tail-only, so byte
+    // offsets of surviving prefixes stay valid.
+    def bpos(k: Int): Int = {
+      var i = 0; var bs = 0
+      while (i < k) { bs += (if (s.charAt(i) < 0x80) 1 else 2); i += 1 }
+      bs
+    }
+    var r1b = Int.MaxValue; var r2b = Int.MaxValue
+    val a = gopast(s, 0, inGroup = true)
+    val b = if (a < 0) -1 else gopast(s, a, inGroup = false)
+    if (b >= 0) {
+      r1b = math.max(bpos(b), 3)
+      val c2 = gopast(s, b, inGroup = true)
+      val d = if (c2 < 0) -1 else gopast(s, c2, inGroup = false)
+      if (d >= 0) r2b = bpos(d)
+    }
+    def inR1(n: Int) = bpos(s.length - n) >= r1b
+    def inR2(n: Int) = bpos(s.length - n) >= r2b
+
+    def undouble(): Unit =
+      if (s.endsWith("kk") || s.endsWith("dd") || s.endsWith("tt"))
+        s = s.dropRight(1)
+
+    // valid en-ending: R1, preceded by an existing non-vowel, and not
+    // by the literal "gem"
+    def enEnding(len: Int): Unit = {
+      val stemEnd = s.length - len
+      if (inR1(len) && stemEnd > 0 && !isV(s.charAt(stemEnd - 1)) &&
+        !s.regionMatches(stemEnd - 3, "gem", 0, 3)) {
+        s = s.substring(0, stemEnd); undouble()
+      }
+    }
+
+    var eFound = false
+    def eEnding(): Unit = {
+      eFound = false
+      if (s.endsWith("e") && inR1(1) && s.length >= 2 &&
+        !isV(s.charAt(s.length - 2))) {
+        s = s.dropRight(1); eFound = true; undouble()
+      }
+    }
+
+    def validS(len: Int): Boolean = s.length >= len + 1 && {
+      val p = s.charAt(s.length - len - 1); !isV(p) && p != 'j'
+    }
+
+    // ---- step 1: strict among (longest match, no backtracking)
+    if (s.endsWith("heden")) {
+      if (inR1(5)) s = s.dropRight(5) + "heid"
+    } else if (s.endsWith("ene")) enEnding(3)
+    else if (s.endsWith("en")) enEnding(2)
+    else if (s.endsWith("se")) { if (inR1(2) && validS(2)) s = s.dropRight(2) }
+    else if (s.endsWith("s")) { if (inR1(1) && validS(1)) s = s.dropRight(1) }
+    // ---- step 2: suffix e
+    eEnding()
+    // ---- step 3a: heid (not after c), then a following en
+    if (s.endsWith("heid") && inR2(4) &&
+      !(s.length >= 5 && s.charAt(s.length - 5) == 'c')) {
+      s = s.dropRight(4)
+      if (s.endsWith("en")) enEnding(2)
+    }
+    // ---- step 3b: d-suffixes (longest match)
+    if (s.endsWith("lijk")) {
+      if (inR2(4)) { s = s.dropRight(4); eEnding() }
+    } else if (s.endsWith("baar")) {
+      if (inR2(4)) s = s.dropRight(4)
+    } else if (s.endsWith("end") || s.endsWith("ing")) {
+      if (inR2(3)) {
+        s = s.dropRight(3)
+        if (s.endsWith("ig") && inR2(2) &&
+          !(s.length >= 3 && s.charAt(s.length - 3) == 'e')) s = s.dropRight(2)
+        else undouble()
+      }
+    } else if (s.endsWith("bar")) {
+      if (inR2(3) && eFound) s = s.dropRight(3)
+    } else if (s.endsWith("ig")) {
+      if (inR2(2) && !(s.length >= 3 && s.charAt(s.length - 3) == 'e'))
+        s = s.dropRight(2)
+    }
+    // ---- step 4: undouble vowel — C V V D, D a non-vowel other than
+    // I, V V in {aa, ee, oo, uu}, C a non-vowel → drop one V
+    if (s.length >= 4) {
+      val d = s.charAt(s.length - 1)
+      val v1 = s.charAt(s.length - 2); val v2 = s.charAt(s.length - 3)
+      val c0 = s.charAt(s.length - 4)
+      if (!isV(d) && d != 'I' && v1 == v2 && "aeou".indexOf(v1) >= 0 &&
+        !isV(c0))
+        s = s.substring(0, s.length - 2) + d
+    }
+    // ---- postlude
+    s.map { case 'I' => 'i'; case 'Y' => 'y'; case c => c }
+  }
+
+  def stemUtf8(v: UTF8String): UTF8String =
+    UTF8String.fromString(stem(v.toString))
+}
+
+/** `dutch_stem(word)` codegen expression. */
+case class DutchStem(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "dutch_stem"
+
+  override def nullSafeEval(v: Any): Any =
+    DutchStemmer.stemUtf8(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DutchStemmer.stemUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DutchStem =
     copy(child = newChild)
 }
 
@@ -1443,6 +1618,23 @@ object TsLexize {
     "stavano", "stetti", "stesti", "stette", "stemmo", "steste",
     "stettero", "stessi", "stesse", "stessimo", "stessero", "stando")
 
+  /** The standard snowball Dutch stopword list PG ships as
+    * `src/backend/snowball/stopwords/dutch.stop` (public snowball
+    * distribution). */
+  val dutchStopwords: Seq[String] = Seq(
+    "de", "en", "van", "ik", "te", "dat", "die", "in", "een", "hij",
+    "het", "niet", "zijn", "is", "was", "op", "aan", "met", "als",
+    "voor", "had", "er", "maar", "om", "hem", "dan", "zou", "of",
+    "wat", "mijn", "men", "dit", "zo", "door", "over", "ze", "zich",
+    "bij", "ook", "tot", "je", "mij", "uit", "der", "daar", "haar",
+    "naar", "heb", "hoe", "heeft", "hebben", "deze", "u", "want",
+    "nog", "zal", "me", "zij", "nu", "ge", "geen", "omdat", "iets",
+    "worden", "toch", "al", "waren", "veel", "meer", "doen", "toen",
+    "moet", "ben", "zonder", "kan", "hun", "dus", "alles", "onder",
+    "ja", "eens", "hier", "wie", "werd", "altijd", "doch", "wordt",
+    "wezen", "kunnen", "ons", "zelf", "tegen", "na", "reeds", "wil",
+    "kon", "niets", "uw", "iemand", "geweest", "andere")
+
   private val configs: Map[String, (Seq[String], String)] = Map(
     "english" -> (englishStopwords, "porter_stem"),
     "german" -> (germanStopwords, "german_stem"),
@@ -1450,7 +1642,8 @@ object TsLexize {
     "spanish" -> (spanishStopwords, "spanish_stem"),
     "russian" -> (russianStopwords, "russian_stem"),
     "portuguese" -> (portugueseStopwords, "portuguese_stem"),
-    "italian" -> (italianStopwords, "italian_stem"))
+    "italian" -> (italianStopwords, "italian_stem"),
+    "dutch" -> (dutchStopwords, "dutch_stem"))
 
   /** lowercase → drop stopwords → stem, one declarative pass
     * (ts_lexize through the named configuration — `english` and
@@ -1479,6 +1672,7 @@ object TsLexize {
       case "russian" => RussianStemmer.stem
       case "portuguese" => PortugueseStemmer.stem
       case "italian" => ItalianStemmer.stem
+      case "dutch" => DutchStemmer.stem
       case _ => PorterStemmer.stem
     }
     terms.map(_.toLowerCase).filterNot(stop.contains).map(stemmer)

@@ -54,7 +54,8 @@ object TsDictionaries {
     "spanish_stem" -> StemDict("spanish"),
     "russian_stem" -> StemDict("russian"),
     "portuguese_stem" -> StemDict("portuguese"),
-    "italian_stem" -> StemDict("italian"))
+    "italian_stem" -> StemDict("italian"),
+    "dutch_stem" -> StemDict("dutch"))
 
   /** PG ts_lexize contract: None = dictionary does not recognize the
     * token (SQL NULL); Some(Nil) = recognized and discarded. */
@@ -85,6 +86,7 @@ object TsDictionaries {
           case "russian" => RussianStemmer.stem
           case "portuguese" => PortugueseStemmer.stem
           case "italian" => ItalianStemmer.stem
+          case "dutch" => DutchStemmer.stem
           case _ => PorterStemmer.stem
         }
         Some(Seq(stemmer(token.toLowerCase)))

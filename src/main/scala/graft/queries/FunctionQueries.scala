@@ -901,6 +901,32 @@ object FunctionQueries {
         .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
     }),
 
+    // Eighth snowball language — y/i consonant marking, clamped R1,
+    // kk/dd/tt and vowel-pair undoubling. The Scala stemmer is
+    // differential-tested bit-identical to the compiled reference
+    // stemmer over a 6k-word vocabulary (ExpressionSpec vectors).
+    "q245_ts_dutch" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      val vocab = Seq("lichamelijkheden", "opheldering", "vrouwen",
+        "huizen", "bakken", "aandeel", "onzichtbare", "gemeente",
+        "jongens", "draaien", "uitbarsting", "voortdurend")
+      val va = array(vocab.map(lit): _*)
+      def pick(idx: org.apache.spark.sql.Column) =
+        element_at(va, (idx % 12).cast("int") + 1)
+      val text = concat_ws(" ",
+        pick(col("doc_id")), lit("de"),
+        pick(col("doc_id") + 2), lit("het"),
+        pick(col("doc_id") * 7 + 3))
+      val stems = TsLexize.stemTerms(
+        Seq("lichamelijkheden", "vrouwen"), "dutch")
+      t(s, d, "documents")
+        .select(col("doc_id"), text.as("text"))
+        .withColumn("lexed",
+          TsLexize.lexize(split(col("text"), " "), "dutch"))
+        .where(Ranges.tsMatch(col("lexed"), stems))
+        .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
+    }),
+
     // Seventh snowball language — includes the qU/intervocalic-I
     // prelude and the attached-pronoun step 0.
     "q239_ts_italian" -> ((s, d) => {
@@ -2241,6 +2267,24 @@ object FunctionQueries {
          |FROM b
          |WHERE (s1 = 'referent' OR s2 = 'referent' OR s3 = 'referent')
          |  AND (s1 = 'organiz' OR s2 = 'organiz' OR s3 = 'organiz')""".stripMargin
+    },
+    "q245_ts_dutch" -> {
+      import graft.functions.DutchStemmer
+      val vocab = Seq("lichamelijkheden", "opheldering", "vrouwen",
+        "huizen", "bakken", "aandeel", "onzichtbare", "gemeente",
+        "jongens", "draaien", "uitbarsting", "voortdurend")
+      val stems = vocab.map(w => s"'${DutchStemmer.stem(w)}'").mkString(", ")
+      val q1 = DutchStemmer.stem("lichamelijkheden")
+      val q2 = DutchStemmer.stem("vrouwen")
+      s"""WITH b AS (SELECT doc_id,
+         |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
+         |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,
+         |    [$stems][CAST(1 + (doc_id * 7 + 3) % 12 AS INT)] AS s3
+         |  FROM documents)
+         |SELECT doc_id, s1 || ' ' || s2 || ' ' || s3 AS lexed
+         |FROM b
+         |WHERE (s1 = '$q1' OR s2 = '$q1' OR s3 = '$q1')
+         |  AND (s1 = '$q2' OR s2 = '$q2' OR s3 = '$q2')""".stripMargin
     },
     // same engine-generated-stem convention as the other languages
     "q239_ts_italian" -> {

@@ -865,6 +865,46 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getSeq[String](0).toSeq == Seq("cant"))
   }
 
+  test("Dutch stemmer matches hand-derived snowball vectors") {
+    import graft.functions.DutchStemmer.stem
+    // hand-traced through the published algorithm (tables cross-checked
+    // against the compiled stem_UTF_8_dutch.c)
+    assert(stem("lichamelijk") == "licham")       // lijk in R2 + e-ending
+    assert(stem("lichamelijke") == "licham")      // step-2 e then lijk
+    assert(stem("lichamelijkheden") == "licham")  // heden→heid→(3a)→lijk
+    assert(stem("mogelijkheden") == "mogelijk")   // heid off, lijk outside R2
+    assert(stem("mogelijkheid") == "mogelijk")    // heid in R2, not after c
+    assert(stem("opheldering") == "ophelder")     // ing in R2
+    assert(stem("aandeel") == "aandel")           // step-4 ee undouble
+    assert(stem("openbaar") == "open")            // baar in R2 (R2 = 4)
+    assert(stem("openbaarheid") == "open")        // heid then baar
+    assert(stem("onzichtbaar") == "onzicht")      // baar in R2
+    assert(stem("onzichtbare") == "onzicht")      // bar only after e-removal
+    assert(stem("kostbare") == "kostbar")         // bar BLOCKED outside R2
+    assert(stem("vrouwen") == "vrouw")            // en after non-vowel
+    assert(stem("huizen") == "huiz")
+    assert(stem("bakken") == "bak")               // kk undouble after en
+    assert(stem("heden") == "heden")              // heden BLOCKED outside R1
+    assert(stem("gemeente") == "gemeent")         // step-2 e, nt stays
+    assert(stem("gemen") == "gemen")              // gem guard blocks en
+    assert(stem("jongens") == "jongen")           // valid s-ending
+    assert(stem("mayonaise") == "mayonais")       // y→Y marking; se after
+                                                  // vowel blocked, e removed
+    assert(stem("draaien") == "draai")            // intervocalic i→I is a
+                                                  // consonant for en-ending
+    assert(stem("politie") == "politie")          // e after vowel survives
+    assert(stem("lopen") == "lop")
+    assert(stem("uitbarsting") == "uitbarst")     // ing; bar not re-matched
+    assert(stem("voortdurend") == "voortdur")     // end in R2
+    assert(stem("matige") == "matig")             // ig outside R2 survives
+    Tables.register(spark, TestSpark.sf0001)
+    val out = graft.functions.TsLexize.stemTerms(
+      Seq("de", "vrouwen", "het", "huizen"), "dutch")
+    assert(out == Seq("vrouw", "huiz"))
+    val r2 = spark.sql("SELECT ts_lexize('dutch_stem', 'bakken')").head()
+    assert(r2.getSeq[String](0).toSeq == Seq("bak"))
+  }
+
   test("json builders: build/agg/pretty/strip_nulls/array_elements") {
     Tables.register(spark, TestSpark.sf0001)
     val r = spark.sql(
