@@ -58,7 +58,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = failures.map(q).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":${q(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":${q(sfDir)},"isolated":${only.isDefined}}"""
+    println(line)
+    // The driver's bench tail truncates at ~2k chars, losing most of the
+    // per-query timings; persist the full line for drift adjudication.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

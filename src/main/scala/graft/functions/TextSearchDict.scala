@@ -1271,7 +1271,12 @@ object DutchStemmer {
     // offsets of surviving prefixes stay valid.
     def bpos(k: Int): Int = {
       var i = 0; var bs = 0
-      while (i < k) { bs += (if (s.charAt(i) < 0x80) 1 else 2); i += 1 }
+      while (i < k) {
+        val cp = s.charAt(i).toInt
+        bs += (if (cp < 0x80) 1 else if (cp < 0x800) 2
+               else if (Character.isHighSurrogate(s.charAt(i))) 2 else 3)
+        i += 1
+      }
       bs
     }
     var r1b = Int.MaxValue; var r2b = Int.MaxValue

@@ -195,7 +195,8 @@ object PgSql {
             .findPrefixMatchOf(tail)
           val keywordAlias = m.exists(mm => Set("where", "group", "order",
             "limit", "join", "on", "inner", "left", "right", "full",
-            "cross", "union", "having", "with").contains(mm.group(2).toLowerCase))
+            "cross", "union", "having", "with", "offset", "fetch",
+            "except", "intersect", "lateral").contains(mm.group(2).toLowerCase))
           // a 2-column alias list without ORDINALITY is invalid PG for
           // a single-array unnest — leave it for Spark to reject
           val badCols = m.exists(mm =>
@@ -216,8 +217,11 @@ object PgSql {
                   s"FROM posexplode($arg))"
               else
                 s"(SELECT col AS ${c1.getOrElse(alias)} FROM explode($arg))"
+            // trailing space: the alias regex's \s* swallows the
+            // whitespace separating the alias from the next clause, so
+            // re-emit one separator or 'AS t WHERE' would glue to 'tWHERE'
             out ++= (if (afterComma) "LATERAL " else "") ++= sel ++=
-              s" AS $alias"
+              s" AS $alias "
             i = end + 1 + mm.end
           }
         }

@@ -902,9 +902,9 @@ object FunctionQueries {
     }),
 
     // Eighth snowball language — y/i consonant marking, clamped R1,
-    // kk/dd/tt and vowel-pair undoubling. The Scala stemmer is
-    // differential-tested bit-identical to the compiled reference
-    // stemmer over a 6k-word vocabulary (ExpressionSpec vectors).
+    // kk/dd/tt and vowel-pair undoubling. Verified against ~26
+    // hand-traced vectors from the published Snowball Dutch
+    // description (ExpressionSpec).
     "q245_ts_dutch" -> ((s, d) => {
       import graft.functions.{Ranges, TsLexize}
       val vocab = Seq("lichamelijkheden", "opheldering", "vrouwen",

@@ -376,7 +376,7 @@ object RelationalQueries {
     // string_agg(DISTINCT x, d ORDER BY x) — the PG ordered-distinct
     // aggregation (gram.y within_group_clause); Spark 4's listagg
     // WITHIN GROUP carries the same semantics.
-    "q242_string_agg_distinct" -> ((s, d) => {
+    "q246_string_agg_distinct" -> ((s, d) => {
       graft.Tables.register(s, d)
       s.sql("""SELECT o_orderstatus,
               |  listagg(DISTINCT o_orderpriority, ',')
@@ -1228,7 +1228,7 @@ object RelationalQueries {
         |  COUNT(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F')
         |    AS nd_supp_f
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "q242_string_agg_distinct" ->
+    "q246_string_agg_distinct" ->
       """SELECT o_orderstatus,
         |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
         |    AS priorities,

@@ -104,6 +104,18 @@ class GraftSqlSpec extends AnyFunSuite {
     // inside a literal: untouched
     assert(rewrite("SELECT 'from unnest(x) as t'") ==
       "SELECT 'from unnest(x) as t'")
+    // alias with no column list followed by a clause: the separator the
+    // alias regex's \s* consumed must survive ('AS t WHERE', not 'AS tWHERE')
+    val r6 = spark.sql(rewrite(
+      "SELECT t FROM unnest(ARRAY[1, 5, 9]) AS t WHERE t > 1 ORDER BY t"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(r6 == Seq(5, 9))
+    // clause keywords are never mistaken for a bare alias: the text is
+    // left for Spark's parser rather than rewritten into broken SQL
+    assert(rewrite("SELECT * FROM unnest(a) OFFSET 5") ==
+      "SELECT * FROM unnest(a) OFFSET 5")
+    assert(rewrite("SELECT * FROM unnest(a) EXCEPT SELECT * FROM b") ==
+      "SELECT * FROM unnest(a) EXCEPT SELECT * FROM b")
   }
 
   test("CREATE INDEX clusters the layout; the clustered scan reads fewer rows") {
