@@ -252,11 +252,27 @@ object GreengageDdl {
     val colSql =
       if (spec.ctasQuery.isDefined || spec.columns.isEmpty) ""
       else spec.columns.map { case (n, t) => s"$n $t" }.mkString(" (", ", ", ")")
+    // Spark requires at least one data (non-partition) column; a
+    // reference table partitioned on EVERY column (legal there — rows
+    // live in leaf child tables) drops its DEEPEST subpartition levels
+    // until one data column survives. Pruning on the dropped level
+    // degrades to a data filter; row semantics are unchanged.
+    var partCols = spec.partitionCols
+    if (spec.columns.nonEmpty)
+      while (partCols.nonEmpty && spec.columns.forall { case (n, _) =>
+        partCols.exists(_.equalsIgnoreCase(n))
+      }) partCols = partCols.dropRight(1)
     val partSql =
-      if (spec.partitionCols.isEmpty) ""
-      else s" PARTITIONED BY (${spec.partitionCols.mkString(", ")})"
+      if (partCols.isEmpty) ""
+      else s" PARTITIONED BY (${partCols.mkString(", ")})"
+    // a distribution key that is itself a partition column is already
+    // co-located by the directory layout; Spark forbids bucketing on
+    // partition columns, so only the non-partition keys bucket
     val bucketSql = spec.dist match {
-      case HashDist(cols) => s" CLUSTERED BY (${cols.mkString(", ")}) INTO $buckets BUCKETS"
+      case HashDist(cols)
+        if cols.exists(c => !partCols.exists(_.equalsIgnoreCase(c))) =>
+        val bc = cols.filterNot(c => partCols.exists(_.equalsIgnoreCase(c)))
+        s" CLUSTERED BY (${bc.mkString(", ")}) INTO $buckets BUCKETS"
       case _ => ""
     }
     if (spec.materialized) require(spec.ctasQuery.isDefined,
@@ -437,7 +453,8 @@ object GreengageDdl {
       val t = spark.table(table)
       require(t.columns.exists(_.equalsIgnoreCase(from)),
         s"column $from does not exist in $table")
-      rewriteTable(spark, table, t.withColumnRenamed(from, to))
+      rewriteTable(spark, table, t.withColumnRenamed(from, to),
+        renames = Map(from -> to))
     case alterTypeRe(name, colName, newType, usingExpr) =>
       // ALTER COLUMN TYPE [USING expr] (tablecmds.c ATExecAlterColumnType
       // — a full-table rewrite there too)
@@ -485,16 +502,46 @@ object GreengageDdl {
     * and name swap, carrying table properties (the generic form of
     * [[redistribute]] for schema-changing ALTERs). */
   private def rewriteTable(spark: SparkSession, table: String,
-                           data: DataFrame): Unit = {
+                           data: DataFrame,
+                           renames: Map[String, String] = Map.empty): Unit = {
     val tmp = table + "__rewrite"
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => (r.getString(0), r.getString(1)))
       .filterNot(_._1.startsWith("transient"))
+    // physical layout must survive column surgery: a partitioned or
+    // bucketed table that silently loses its layout here would lose
+    // partition pruning / co-located joins on every later query — at
+    // 100 TB that's the difference between a pruned scan and a full one.
+    // A renamed partition/bucket column carries through `renames`; a
+    // DROPPED partition column falls out of the layout (PG forbids
+    // dropping it outright; we degrade to the surviving levels).
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    def surviving(c: String): Option[String] = {
+      val n = renames.getOrElse(c, c)
+      data.columns.find(_.equalsIgnoreCase(n))
+    }
+    val partCols = meta.partitionColumnNames.flatMap(surviving(_))
+    val bucket = meta.bucketSpec.filter(_.bucketColumnNames.forall(
+      surviving(_).isDefined))
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     // the staging write fully materializes before the source drops
-    data.write.format("parquet").saveAsTable(tmp)
+    var w = data.write.format("parquet")
+    if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
+    bucket.foreach { b =>
+      val bc = b.bucketColumnNames.map(surviving(_).get)
+      w = w.bucketBy(b.numBuckets, bc.head, bc.tail: _*)
+      val sc = b.sortColumnNames.flatMap(surviving(_))
+      if (sc.nonEmpty) w = w.sortBy(sc.head, sc.tail: _*)
+    }
+    w.saveAsTable(tmp)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // RENAME moves the managed directory but the catalog's per-partition
+    // locations still point at the staging path — resync them from the
+    // moved filesystem layout or every later scan comes back empty
+    if (partCols.nonEmpty)
+      spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
     if (props.nonEmpty)
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
         props.map { case (k, v) =>
