@@ -237,6 +237,14 @@ object PgSql {
     * that pattern (PG's case-insensitive regex op has no Spark
     * spelling). A `~*` with a non-literal pattern fails loudly rather
     * than silently matching case-sensitively. */
+  // `RANGE/ROWS/GROUPS ... -3 PRECEDING` — PG raises "frame starting
+  // offset must not be negative" (GPDB: "RANGE parameter cannot be
+  // negative"); Spark silently accepts the negative literal and flips
+  // the frame direction, returning WRONG rows, so the engine rejects it
+  // before Spark sees the text (checked on non-literal segments only).
+  private val negFrameRe =
+    "(?is)\\b(RANGE|ROWS|GROUPS)\\b[^()']{0,160}?-\\s*\\d+(?:\\.\\d+)?\\s+(PRECEDING|FOLLOWING)".r
+
   def rewrite(sqlIn: String): String = {
     val sql = unnestFrom(arrayBrackets(sqlIn))
     // alternating parts: (isLiteral, text), literals include their quotes
@@ -280,6 +288,12 @@ object PgSql {
         case None => sb ++= rewriteSegment(text)
       }
       k += 1
+    }
+    ps.foreach { case (isLit, text) =>
+      if (!isLit && negFrameRe.findFirstIn(text).isDefined)
+        throw new IllegalArgumentException(
+          "RANGE parameter cannot be negative (window frame offset must " +
+            "not be negative)")
     }
     sb.toString
   }
