@@ -319,24 +319,32 @@ object Dedup {
     * assignment is a map-side codegen kernel (`best_centroid`, no
     * join); the pair join is an equi-join on cluster id, so candidate
     * count is Σ |cluster|² — bounded by cluster granularity, never
-    * |corpus|²; grouping is min-label propagation
+    * |corpus|². Two guards keep that bound real at corpus scale:
+    * k grows with the corpus (k >= n / maxClusterRows, capped at 4096
+    * so the shipped centroid table stays bounded), and any cluster
+    * that STILL exceeds maxClusterRows (skew, degenerate centroids) is
+    * sub-bucketed by multi-table sign-LSH — pairs then join on
+    * (cluster, table, bucket), the same move [[embedNearDupPairs]]
+    * makes, so one hot cluster can no longer degenerate toward
+    * all-pairs. Grouping is min-label propagation
     * ([[connectedComponents]]), one join per round, O(diameter)
     * rounds. */
   def semanticDedup(vectors: DataFrame, threshold: Double = 0.96,
                     nClusters: Int = 16, iters: Int = 3,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    dim: Int = 64): DataFrame = {
+                    dim: Int = 64, maxClusterRows: Long = 100000L,
+                    subTables: Int = 4): DataFrame = {
+    val n = vectors.count()
+    val k = math.min(4096L, math.max(nClusters.toLong,
+      n / math.max(1L, maxClusterRows) + 1)).toInt
     val (cids, cents) =
-      Knn.kmeansCentroids(vectors, nClusters, iters, idCol, vecCol, dim)
+      Knn.kmeansCentroids(vectors, k, iters, idCol, vecCol, dim)
     val assigned = vectors
       .withColumn("cluster", call_function("best_centroid", col(vecCol),
         typedLit(cids.toSeq), typedLit(cents.map(_.toSeq).toSeq)))
-    val l = assigned.select(col("cluster"),
-      col(idCol).as("a_id"), col(vecCol).as("av"))
-    val r = assigned.select(col("cluster"),
-      col(idCol).as("b_id"), col(vecCol).as("bv"))
-    val pairs = l.join(r, Seq("cluster"))
-      .where(col("a_id") < col("b_id"))
+    val cand = semanticCandidates(assigned, maxClusterRows, subTables,
+      idCol, vecCol, dim)
+    val pairs = cand
       .select(col("a_id"), col("b_id"),
         Knn.cosine(col("av"), col("bv")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
@@ -345,5 +353,56 @@ object Dedup {
     assigned.join(comp, assigned(idCol) === comp("id"))
       .select(col(idCol), col("cluster"), col("component"),
         (col(idCol) === col("component")).as("keep"))
+  }
+
+  /** Candidate pairs for [[semanticDedup]]: rows of clusters within the
+    * row cap pair on cluster id alone; rows of oversized clusters carry
+    * a multi-table sign-LSH sub-bucket key so their pair count is
+    * Σ |bucket|² instead of |cluster|². Plane count is sized so the
+    * hottest cluster's expected bucket lands near the cap. Recall within
+    * an oversized cluster follows the LSH-table trade (subTables chances
+    * for a near pair to share a bucket) — the exact posture
+    * [[embedNearDupPairs]] already documents. */
+  private[graft] def semanticCandidates(assigned: DataFrame,
+                                        maxClusterRows: Long, subTables: Int,
+                                        idCol: String, vecCol: String,
+                                        dim: Int): DataFrame = {
+    // one row per cluster (<= 4096), only the oversized ones collected
+    val hot = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxClusterRows)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (hot.isEmpty) {
+      val l = assigned.select(col("cluster"),
+        col(idCol).as("a_id"), col(vecCol).as("av"))
+      val r = assigned.select(col("cluster"),
+        col(idCol).as("b_id"), col(vecCol).as("bv"))
+      l.join(r, Seq("cluster")).where(col("a_id") < col("b_id"))
+    } else {
+      // candidate volume across tables is ~ subTables/2^planes of the
+      // cluster's all-pairs — fold the table count into the plane count
+      // so the UNION of the tables' candidates still lands near the cap
+      val planes = math.min(20, math.max(1,
+        math.ceil(math.log(hot.map(_._2).max.toDouble * subTables /
+          math.max(1L, maxClusterRows)) / math.log(2.0)).toInt))
+      val hotIds = hot.map(_._1).toSeq
+      val cool = assigned.where(!col("cluster").isin(hotIds: _*))
+        .select(col("cluster"), lit(-1).as("tbl"), lit(0L).as("bucket"),
+          col(idCol), col(vecCol))
+      val sub = assigned.where(col("cluster").isin(hotIds: _*))
+        .select(col("cluster"), col(idCol), col(vecCol),
+          posexplode(call_function("lsh_buckets", col(vecCol),
+            lit(subTables), lit(planes), lit(dim), lit(9173L)))
+            .as(Seq("tbl", "bucket")))
+        .select(col("cluster"), col("tbl"), col("bucket").cast("long")
+          .as("bucket"), col(idCol), col(vecCol))
+      val keyed = cool.unionByName(sub)
+      val l = keyed.select(col("cluster"), col("tbl"), col("bucket"),
+        col(idCol).as("a_id"), col(vecCol).as("av"))
+      val r = keyed.select(col("cluster"), col("tbl"), col("bucket"),
+        col(idCol).as("b_id"), col(vecCol).as("bv"))
+      l.join(r, Seq("cluster", "tbl", "bucket"))
+        .where(col("a_id") < col("b_id"))
+        .dropDuplicates("a_id", "b_id")
+    }
   }
 }

@@ -916,6 +916,32 @@ class OperatorSpec extends AnyFunSuite {
     uniques.foreach { case (i, _) => assert(out(i) == (i, true), s"vec $i") }
   }
 
+  test("semanticDedup sub-buckets a hot cluster: candidates stay far below all-pairs") {
+    val rnd = new scala.util.Random(11)
+    // 600 diverse vectors all forced into ONE cluster — the degenerate
+    // case the cluster-size guard exists for
+    val assigned = (1L to 600L)
+      .map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f), 0L))
+      .toDF("vec_id", "embedding", "cluster")
+    val cand = Dedup.semanticCandidates(assigned, maxClusterRows = 50L,
+      subTables = 4, idCol = "vec_id", vecCol = "embedding", dim = 16)
+    val nCand = cand.count()
+    val allPairs = 600L * 599L / 2L
+    assert(nCand > 0, "sub-bucketing produced no candidates at all")
+    assert(nCand < allPairs / 8,
+      s"hot cluster still near-quadratic: $nCand of $allPairs pairs")
+    // identical vectors always share every sub-bucket — exact-duplicate
+    // recall survives the split
+    val base = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val withDup = assigned.unionByName(
+      Seq((1001L, base, 0L), (1002L, base.clone(), 0L))
+        .toDF("vec_id", "embedding", "cluster"))
+    val dupCand = Dedup.semanticCandidates(withDup, maxClusterRows = 50L,
+      subTables = 4, idCol = "vec_id", vecCol = "embedding", dim = 16)
+      .where("a_id = 1001 AND b_id = 1002")
+    assert(dupCand.count() == 1L)
+  }
+
   test("naive Bayes classifier separates planted vocabularies") {
     val train = Seq(
       (1L, "apple banana cherry", "fruit"),
