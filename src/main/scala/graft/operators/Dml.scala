@@ -213,25 +213,30 @@ object Dml {
       .persist()
     try {
       val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
-      // PG's "cannot affect row a second time" check (nodeModifyTable.c)
-      // on the MATERIALIZED join — no second scan/shuffle of the
-      // source, and faithful scope: duplicate source keys are an error
-      // only when they hit the same target row (duplicate unmatched
-      // rows legally insert twice)
-      require(joined.where(matched)
-          .groupBy(keys.map(k => col(s"t.$k")): _*)
-          .count().where(col("count") > 1).isEmpty,
-        "MERGE source matches a target row more than once " +
-          "(a target row cannot be affected twice)")
       val sOnly = col("t.__t").isNull
       val del = whenMatchedDeleteIf
         .map(c => matched && coalesce(c, lit(false))).getOrElse(lit(false))
-      // one pass for all three affected counts (PG reports them once)
-      val cnts = joined.agg(
-        sum(when(del, 1L).otherwise(0L)),
-        sum(when(matched && !del, 1L).otherwise(0L)),
-        sum(when(sOnly, 1L).otherwise(0L))).head()
+      // ONE job for the three affected counts AND PG's "cannot affect
+      // row a second time" check (nodeModifyTable.c): a per-target-key
+      // partial carries each key's matched-row count, the global roll-up
+      // takes its max — duplicate source keys are an error only when
+      // they hit the same target row (duplicate unmatched rows legally
+      // insert twice). Previously the check was a separate
+      // groupBy-count job over the materialized join — one extra pass
+      // on every CDC micro-batch.
+      val cnts = joined
+        .groupBy(keys.map(k => col(s"t.$k")): _*)
+        .agg(
+          sum(when(del, 1L).otherwise(0L)).as("__del"),
+          sum(when(matched && !del, 1L).otherwise(0L)).as("__upd"),
+          sum(when(sOnly, 1L).otherwise(0L)).as("__ins"),
+          sum(when(matched, 1L).otherwise(0L)).as("__match"))
+        .agg(sum("__del"), sum("__upd"), sum("__ins"), max("__match"))
+        .head()
       def cnt(i: Int) = if (cnts.isNullAt(i)) 0L else cnts.getLong(i)
+      require(cnt(3) <= 1L,
+        "MERGE source matches a target row more than once " +
+          "(a target row cannot be affected twice)")
       val deleted = cnt(0)
       val updated = if (whenMatchedUpdate.isEmpty) 0L else cnt(1)
       val inserted = if (insertNotMatched) cnt(2) else 0L

@@ -804,6 +804,39 @@ class DdlSpec extends AnyFunSuite {
     drop("merge_t")
   }
 
+  test("MERGE dup-match check rides the counts aggregate (one fewer job)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import graft.operators.Dml
+    drop("merge_jobs_t")
+    def reset(): Unit = {
+      drop("merge_jobs_t")
+      spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .write.saveAsTable("merge_jobs_t")
+    }
+    val src = spark.range(5, 15)
+      .selectExpr("id AS k", "CAST(id*2 AS DOUBLE) AS v")
+    reset()
+    Dml.merge(spark, "merge_jobs_t", src, Seq("k")) // warm codegen/cache paths
+    reset()
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Dml.merge(spark, "merge_jobs_t", src, Seq("k"))
+      Thread.sleep(1500) // let the listener bus drain
+    } finally spark.sparkContext.removeSparkListener(l)
+    // measured at 9 with the duplicate-match check folded into the
+    // counts aggregate (max per-key match count); the old separate
+    // groupBy-count job made it 10 — this pins the fold
+    assert(n.get() <= 9, s"MERGE spent ${n.get()} jobs — dup-check " +
+      "regressed to a separate pass?")
+    drop("merge_jobs_t")
+  }
+
   test("MERGE pruning: touched-partition-only rewrite, hazard fallbacks") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dml
