@@ -502,7 +502,8 @@ object Graft {
           // introspection queries see a fresh catalog snapshot
           if (operators.PgCatalog.mentionsCatalog(t))
             operators.PgCatalog.register(spark)
-          Some(spark.sql(operators.PgSql.rewrite(t)))
+          operators.Tablefunc.route(spark, t)
+            .orElse(Some(spark.sql(operators.PgSql.rewrite(t))))
       }
     }
   }

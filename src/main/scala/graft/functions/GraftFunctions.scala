@@ -741,6 +741,44 @@ object GraftFunctions {
       info("crypt", "crypt(pw, salt_or_hash) - pgcrypto MD5-crypt or bcrypt password hash"),
       (args: Seq[Expression]) => Crypt(Cast(args(0), StringType),
         Cast(args(1), StringType)))
+    // pgcrypto PGP symmetric family (contrib/pgcrypto/pgp-encrypt.c,
+    // pgp-armor.c) — RFC 4880 S2K + OpenPGP CFB, pinned against the
+    // reference's own pgp-decrypt.sql armored vectors
+    reg.registerFunction(
+      FunctionIdentifier("armor"),
+      info("armor", "armor(bytea) - OpenPGP ASCII armor with CRC24"),
+      (args: Seq[Expression]) => PgpArmor(Cast(args(0), BinaryType)))
+    reg.registerFunction(
+      FunctionIdentifier("dearmor"),
+      info("dearmor", "dearmor(text) - decode OpenPGP ASCII armor"),
+      (args: Seq[Expression]) => PgpDearmor(Cast(args(0), StringType)))
+    reg.registerFunction(
+      FunctionIdentifier("pgp_key_id"),
+      info("pgp_key_id", "pgp_key_id(bytea) - key id of a PGP message (SYMKEY for symmetric)"),
+      (args: Seq[Expression]) => PgpKeyId(Cast(args(0), BinaryType)))
+    def pgpArgs(args: Seq[Expression]): Expression =
+      if (args.length > 2) Cast(args(2), StringType)
+      else Literal(UTF8String.fromString(""), StringType)
+    reg.registerFunction(
+      FunctionIdentifier("pgp_sym_encrypt"),
+      info("pgp_sym_encrypt", "pgp_sym_encrypt(text, psw[, options]) - OpenPGP symmetric encryption"),
+      (args: Seq[Expression]) => PgpSymEncrypt(Cast(args(0), StringType),
+        Cast(args(1), StringType), pgpArgs(args), textMode = true))
+    reg.registerFunction(
+      FunctionIdentifier("pgp_sym_encrypt_bytea"),
+      info("pgp_sym_encrypt_bytea", "pgp_sym_encrypt_bytea(bytea, psw[, options])"),
+      (args: Seq[Expression]) => PgpSymEncrypt(Cast(args(0), BinaryType),
+        Cast(args(1), StringType), pgpArgs(args), textMode = false))
+    reg.registerFunction(
+      FunctionIdentifier("pgp_sym_decrypt"),
+      info("pgp_sym_decrypt", "pgp_sym_decrypt(bytea, psw[, options]) - OpenPGP symmetric decryption"),
+      (args: Seq[Expression]) => PgpSymDecrypt(Cast(args(0), BinaryType),
+        Cast(args(1), StringType), pgpArgs(args), textMode = true))
+    reg.registerFunction(
+      FunctionIdentifier("pgp_sym_decrypt_bytea"),
+      info("pgp_sym_decrypt_bytea", "pgp_sym_decrypt_bytea(bytea, psw[, options])"),
+      (args: Seq[Expression]) => PgpSymDecrypt(Cast(args(0), BinaryType),
+        Cast(args(1), StringType), pgpArgs(args), textMode = false))
     // Spark's runtime-filter bloom machinery, exposed as callable
     // functions (the engine uses them for InjectRuntimeFilter already;
     // registering them lets operators build explicit broadcast filters

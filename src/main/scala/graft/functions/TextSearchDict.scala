@@ -1666,20 +1666,26 @@ object TsLexize {
       w => call_function(stemFn, lower(w)))
   }
 
+  /** The driver/executor-side stemmer for a configuration language. */
+  def stemmerFor(config: String): String => String = config match {
+    case "german" => GermanStemmer.stem
+    case "french" => FrenchStemmer.stem
+    case "spanish" => SpanishStemmer.stem
+    case "russian" => RussianStemmer.stem
+    case "portuguese" => PortugueseStemmer.stem
+    case "italian" => ItalianStemmer.stem
+    case "dutch" => DutchStemmer.stem
+    case _ => PorterStemmer.stem
+  }
+
+  /** The configuration's stopword list as a set (lowercased). */
+  def stopwordSet(config: String): Set[String] = configs(config)._1.toSet
+
   /** Stem query terms driver-side (to_tsquery applies the same
     * dictionary to the query it applies to documents). */
   def stemTerms(terms: Seq[String], config: String = "english"): Seq[String] = {
     val (stop, _) = configs(config)
-    val stemmer: String => String = config match {
-      case "german" => GermanStemmer.stem
-      case "french" => FrenchStemmer.stem
-      case "spanish" => SpanishStemmer.stem
-      case "russian" => RussianStemmer.stem
-      case "portuguese" => PortugueseStemmer.stem
-      case "italian" => ItalianStemmer.stem
-      case "dutch" => DutchStemmer.stem
-      case _ => PorterStemmer.stem
-    }
+    val stemmer = stemmerFor(config)
     terms.map(_.toLowerCase).filterNot(stop.contains).map(stemmer)
   }
 

@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSession
   *    MATCHORIG/KEEPORIG/MATCHSYNONYMS/KEEPSYNONYMS axes;
   *  - `synonym` (`src/backend/tsearch/dict_synonym.c`): one-to-one
   *    word → synonym mapping;
+  *  - `thesaurus` (`src/backend/tsearch/dict_thesaurus.c`): multi-word
+  *    phrase substitution with subdictionary normalization, `?`
+  *    stopword wildcards, and `*` use-as-is substitutes — the phrase
+  *    pass over a token array is `ts_thesaurus_apply`;
   *  - the built-in stemmer dictionaries (english_stem etc.) and
   *    `simple`, so `ts_lexize` can probe any configured chain.
   *
@@ -42,6 +46,15 @@ object TsDictionaries {
                                caseSensitive: Boolean = false) extends Dict
   final case class StemDict(language: String) extends Dict
   case object SimpleDict extends Dict
+  /** Thesaurus (`src/backend/tsearch/dict_thesaurus.c`): multi-word
+    * sample phrases → substitute lexemes. Each sample token is either
+    * a subdictionary-normalized word or None for the `?` stopword
+    * wildcard; substitutes are stored fully resolved (the `*` use-as-is
+    * marker is applied at load). `subLang` is the subdictionary's
+    * language, used to normalize input tokens and test stopwords. */
+  final case class ThesaurusDict(
+      entries: Seq[(Seq[Option[String]], Seq[String])],
+      subLang: String) extends Dict
 
   private val registry = TrieMap[String, Dict](
     // contrib defaults available right after CREATE EXTENSION
@@ -79,27 +92,80 @@ object TsDictionaries {
       case Some(SynonymDict(pairs, cs)) =>
         pairs.get(if (cs) token else token.toLowerCase).map(Seq(_))
       case Some(StemDict(lang)) =>
-        val stemmer: String => String = lang match {
-          case "german" => GermanStemmer.stem
-          case "french" => FrenchStemmer.stem
-          case "spanish" => SpanishStemmer.stem
-          case "russian" => RussianStemmer.stem
-          case "portuguese" => PortugueseStemmer.stem
-          case "italian" => ItalianStemmer.stem
-          case "dutch" => DutchStemmer.stem
-          case _ => PorterStemmer.stem
-        }
-        Some(Seq(stemmer(token.toLowerCase)))
+        Some(Seq(TsLexize.stemmerFor(lang)(token.toLowerCase)))
       case Some(SimpleDict) => Some(Seq(token.toLowerCase))
+      case Some(ThesaurusDict(entries, subLang)) =>
+        // single-token lexize matches single-word samples only (the
+        // reference's stateful multi-token protocol lives in
+        // thesaurusApply; tsdicts.out pins ts_lexize('thesaurus',
+        // 'one') = {1})
+        val norm = TsLexize.stemmerFor(subLang)(token.toLowerCase)
+        entries.collectFirst {
+          case (Seq(Some(s)), subst) if s == norm => subst
+        }
     }
   }
 
-  /** (Re)register ts_lexize over an immutable registry snapshot. */
+  /** The thesaurus phrase pass (`dict_thesaurus.c` thesaurus_lexize's
+    * accumulating state machine, flattened over an in-hand token
+    * array): greedy LONGEST sample match at each position — matched
+    * phrases emit their substitute lexemes, `?` sample tokens match
+    * any stopword, unmatched tokens fall through to the
+    * subdictionary chain (stopword drop + stem), exactly the standard
+    * `thesaurus, <lang>_stem` configuration mapping the reference's
+    * tsdicts regress test wires up. */
+  private[functions] def thesaurusApplyWith(dicts: Map[String, Dict],
+                                            dict: String,
+                                            words: Seq[String]): Seq[String] = {
+    val d = dicts.get(dict.toLowerCase) match {
+      case Some(t: ThesaurusDict) => t
+      case Some(_) => throw new IllegalArgumentException(
+        s"text search dictionary \"$dict\" is not a thesaurus")
+      case None => throw new IllegalArgumentException(
+        s"text search dictionary \"$dict\" does not exist")
+    }
+    val stem = TsLexize.stemmerFor(d.subLang)
+    val stop = TsLexize.stopwordSet(d.subLang)
+    val lower = words.map(_.toLowerCase)
+    val norm = lower.map(stem)
+    // longest sample first; ties keep file order (checkMatch walks
+    // variants longest-last, returning the full-phrase hit)
+    val ordered = d.entries.sortBy(-_._1.length)
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < lower.length) {
+      val hit = ordered.find { case (sample, _) =>
+        sample.length <= lower.length - i && sample.indices.forall { j =>
+          sample(j) match {
+            case Some(s) => s == norm(i + j)
+            case None => stop.contains(lower(i + j)) // '?' wildcard
+          }
+        }
+      }
+      hit match {
+        case Some((sample, subst)) =>
+          out ++= subst
+          i += sample.length
+        case None =>
+          if (!stop.contains(lower(i))) out += stem(lower(i))
+          i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** (Re)register ts_lexize + the thesaurus phrase pass over an
+    * immutable registry snapshot. */
   def refresh(spark: SparkSession): Unit = {
     val snapshot: Map[String, Dict] = registry.toMap
     spark.udf.register("ts_lexize", (dict: String, token: String) =>
       if (dict == null || token == null) null
       else lexizeWith(snapshot, dict, token).map(_.toArray).orNull)
+    spark.udf.register("ts_thesaurus_apply",
+      (dict: String, words: Seq[String]) =>
+        if (dict == null || words == null) null
+        else thesaurusApplyWith(snapshot, dict,
+          words.filter(_ != null)).toArray)
     ()
   }
 
@@ -141,6 +207,35 @@ object TsDictionaries {
     }.toMap
   }
 
+  /** `.ths` file: `sample words : substitute words` per line, `#`
+    * comments; `?` sample token = stopword wildcard, `*`-prefixed
+    * substitute = use as-is (no subdictionary normalization)
+    * (dict_thesaurus.c thesaurusRead, and the format comment in the
+    * reference's own thesaurus_sample.ths). */
+  private def readThesaurus(path: String,
+                            subLang: String): Seq[(Seq[Option[String]], Seq[String])] = {
+    val f = new java.io.File(path)
+    require(f.isFile, s"thesaurus file not found: $path")
+    val stem = TsLexize.stemmerFor(subLang)
+    scala.io.Source.fromFile(f, "UTF-8").getLines().flatMap { raw =>
+      val line = raw.trim
+      if (line.isEmpty || line.startsWith("#") || !line.contains(":")) None
+      else {
+        val Array(sample, subst) = line.split(":", 2)
+        val sampleToks = sample.trim.toLowerCase.split("\\s+").toSeq
+          .filter(_.nonEmpty)
+          .map(w => if (w == "?") None else Some(stem(w)))
+        val substToks = subst.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+          .map { w =>
+            if (w.startsWith("*")) w.substring(1).toLowerCase
+            else stem(w.toLowerCase)
+          }
+        if (sampleToks.isEmpty || substToks.isEmpty) None
+        else Some(sampleToks -> substToks)
+      }
+    }.toSeq
+  }
+
   private def bool(v: String): Boolean =
     v.equalsIgnoreCase("true") || v.equalsIgnoreCase("t") ||
       v.equalsIgnoreCase("on") || v == "1" || v.equalsIgnoreCase("yes")
@@ -172,6 +267,16 @@ object TsDictionaries {
           .orElse(base.collect { case StemDict(l) => l })
           .getOrElse("english"))
       case "simple" => SimpleDict
+      case "thesaurus" =>
+        val subLang = opts.get("dictionary")
+          .map(_.toLowerCase.stripPrefix("public.").stripSuffix("_stem"))
+          .orElse(base.collect { case ThesaurusDict(_, l) => l })
+          .getOrElse("english")
+        val prior = base.collect { case d: ThesaurusDict => d.entries }
+        ThesaurusDict(
+          opts.get("dictfile").map(readThesaurus(_, subLang))
+            .orElse(prior).getOrElse(Nil),
+          subLang)
       case other =>
         throw new IllegalArgumentException(
           s"unsupported text search template \"$other\"")
@@ -208,6 +313,7 @@ object TsDictionaries {
       case _: SynonymDict => "synonym"
       case StemDict(_) => "snowball"
       case SimpleDict => "simple"
+      case _: ThesaurusDict => "thesaurus"
     }
     registry.put(name,
       buildFromOptions(template, options(m.group(2)), Some(base)))

@@ -398,6 +398,27 @@ object FunctionQueries {
         expr("base64(aes_encrypt('fixed vector', '0123456789abcdef', 'ECB'))")
           .as("ct_fixed"))),
 
+    // pgcrypto PGP symmetric family (contrib/pgcrypto/pgp-encrypt.c,
+    // pgp-armor.c — RFC 4880): encryption draws a random salt+prefix
+    // per call, so the catalog row asserts the roundtrip identities
+    // (decrypt∘encrypt = id across text/bytea/option paths, dearmor∘
+    // armor = id) plus the SYMKEY key id; the pinned reference vectors
+    // (the armored messages from pgp-decrypt.sql) live in PgpSpec.
+    "q249_pgp_sym" -> ((s, d) =>
+      t(s, d, "nation").select(
+        col("n_nationkey"),
+        expr("pgp_sym_decrypt(pgp_sym_encrypt(n_name, 'k3y'), 'k3y')")
+          .as("rt_text"),
+        expr("CAST(pgp_sym_decrypt_bytea(pgp_sym_encrypt_bytea(" +
+          "CAST(concat(n_name, '/', n_nationkey) AS BINARY), 'k3y'), 'k3y') " +
+          "AS STRING)").as("rt_bytea"),
+        expr("pgp_sym_decrypt(pgp_sym_encrypt(n_name, 'k3y', " +
+          "'cipher-algo=aes256, compress-algo=2, s2k-digest-algo=sha256'), " +
+          "'k3y')").as("rt_opts"),
+        expr("CAST(dearmor(armor(CAST(n_name AS BINARY))) AS STRING)")
+          .as("rt_armor"),
+        expr("pgp_key_id(pgp_sym_encrypt(n_name, 'k3y'))").as("kid"))),
+
     // intarray ops (contrib/intarray/_int_tool.c, _int_op.c): sort +
     // adjacent uniq (the canonical dedup idiom — uniq alone keeps
     // non-adjacent repeats), idx, subarray, #, element removal keeping
@@ -1745,6 +1766,10 @@ object FunctionQueries {
       """SELECT c_custkey, c_name AS rt_name, c_mktsegment AS rt_seg,
         |  '6zfc4HkP35/OR2AYopIk/w==' AS ct_fixed
         |FROM customer""".stripMargin,
+    "q249_pgp_sym" ->
+      """SELECT n_nationkey, n_name AS rt_text, n_name || '/' || n_nationkey AS rt_bytea,
+        |  n_name AS rt_opts, n_name AS rt_armor, 'SYMKEY' AS kid
+        |FROM nation""".stripMargin,
     // the contract columns are constants; the pinned hash is glibc's
     // crypt(3) output for the same (password, salt)
     "q193_intarray" ->

@@ -464,6 +464,45 @@ object PipelineQueries {
         |""".stripMargin)
     }),
 
+    // Thesaurus dictionary (src/backend/tsearch/dict_thesaurus.c):
+    // multi-word sample phrases replaced by substitute lexemes with
+    // longest-match scanning, '?' stopword wildcards and '*' as-is
+    // substitutes; samples/inputs normalized through the english_stem
+    // subdictionary. The fixture is the reference's own
+    // thesaurus_sample.ths and the expected lexeme streams are pinned
+    // from its tsdicts regress output (minus the synonym-dict step its
+    // configuration chains in front).
+    "q250_ts_thesaurus" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      val dir = new java.io.File("target/tsdict_demo").getAbsoluteFile
+      dir.mkdirs()
+      val ths = new java.io.File(dir, "demo.ths")
+      java.nio.file.Files.write(ths.toPath,
+        ("# reference thesaurus_sample.ths content\n" +
+          "one two three : *123\none two : *12\none : *1\ntwo : *2\n" +
+          "supernovae stars : *sn\nsupernovae : *sn\n" +
+          "booking tickets : order invitation cards\n" +
+          "booking ? tickets : order invitation Cards\n").getBytes)
+      graft.Graft.execute(s, "DROP TEXT SEARCH DICTIONARY IF EXISTS thes_demo")
+      graft.Graft.execute(s,
+        s"""CREATE TEXT SEARCH DICTIONARY thes_demo (TEMPLATE = thesaurus,
+           |DictFile = '${ths.getAbsolutePath}', Dictionary = english_stem)"""
+          .stripMargin)
+      s.sql("""
+        |SELECT id,
+        |  array_join(ts_thesaurus_apply('thes_demo',
+        |    filter(split(lower(phrase), '[^a-z0-9]+'), w -> w != '')),
+        |    ' ') AS lexemes,
+        |  coalesce(array_join(ts_lexize('thes_demo', probe), ' '), '∅')
+        |    AS single
+        |FROM VALUES
+        |  (1, 'one postgres one two one two three one', 'one'),
+        |  (2, 'Supernovae star is very new star and usually called supernovae (abbreviation SN)', 'two'),
+        |  (3, 'Booking tickets is looking like a booking a tickets', 'booking')
+        |  t(id, phrase, probe)
+        |""".stripMargin)
+    }),
+
     // Domain-blocklist filtering (C4/RefinedWeb shape): deterministic
     // synthetic URLs over documents, a blocklist carrying both an exact
     // host and a registrable parent domain (which must catch its
@@ -1493,6 +1532,13 @@ object PipelineQueries {
         |    ELSE 'none' END AS lexed,
         |  CAST(1 AS BIGINT) AS n
         |FROM (VALUES ('spark'), ('cluster'), ('parquet'), ('unknown')) t(w)""".stripMargin,
+    // expected lexeme streams pinned from the reference's tsdicts.out
+    "q250_ts_thesaurus" ->
+      """SELECT * FROM (VALUES
+        |  (1, '1 postgr 12 123 1', '1'),
+        |  (2, 'sn new star usual call sn abbrevi sn', '2'),
+        |  (3, 'order invit card look like order invit card', '∅'))
+        |  t(id, lexemes, single)""".stripMargin,
     // the UNSALTED join: salting must not change a single value
     "q234_salted_join" -> s"""
       |SELECT c_mktsegment, COUNT(*) AS n, ${oSumd("o_totalprice")} AS total

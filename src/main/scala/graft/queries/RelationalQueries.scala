@@ -294,6 +294,35 @@ object RelationalQueries {
               |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     }),
 
+    // contrib/tablefunc crosstab(text) — positional category pivot
+    // (tablefunc.c:349): values fill declared columns left-to-right in
+    // category order; routed through Graft.execute's function-scan
+    // rewrite onto one hash aggregation (collect_list bounded by the
+    // category count).
+    "q247_crosstab" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT * FROM crosstab(
+          |  'SELECT o_orderpriority, o_orderstatus, count(*)
+          |   FROM orders GROUP BY 1, 2 ORDER BY 1, 2')
+          |AS c(priority text, s1 int4, s2 int4, s3 int4)""".stripMargin).get
+    }),
+
+    // contrib/tablefunc crosstab(text, text) — hash crosstab
+    // (tablefunc.c:632): the category list pins column positions,
+    // missing categories -> NULL, extra columns between rowid and
+    // category carry through; maps to groupBy().pivot(cat, categories).
+    "q248_crosstab_hash" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT * FROM crosstab(
+          |  'SELECT o_orderpriority, length(o_orderpriority), o_orderstatus,
+          |          count(*) FROM orders GROUP BY 1, 2, 3 ORDER BY 1',
+          |  'SELECT DISTINCT o_orderstatus FROM orders ORDER BY 1')
+          |AS c(priority text, plen int4, st_f int8, st_o int8, st_p int8)"""
+          .stripMargin).get
+    }),
+
     // ROLLUP + grouping_id (plangroupext.c, gram.y:723).
     "q21_rollup" -> ((s, d) =>
       t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
@@ -1228,6 +1257,28 @@ object RelationalQueries {
         |  COUNT(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F')
         |    AS nd_supp_f
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q247_crosstab" ->
+      """SELECT rowid AS priority,
+        |  CAST(max(CASE WHEN pos = 1 THEN v END) AS INTEGER) AS s1,
+        |  CAST(max(CASE WHEN pos = 2 THEN v END) AS INTEGER) AS s2,
+        |  CAST(max(CASE WHEN pos = 3 THEN v END) AS INTEGER) AS s3
+        |FROM (
+        |  SELECT o_orderpriority AS rowid, cnt AS v,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_orderstatus) AS pos
+        |  FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        |        FROM orders GROUP BY 1, 2))
+        |GROUP BY rowid""".stripMargin,
+    "q248_crosstab_hash" ->
+      """SELECT priority, plen,
+        |  max(CASE WHEN st = 'F' THEN cnt END) AS st_f,
+        |  max(CASE WHEN st = 'O' THEN cnt END) AS st_o,
+        |  max(CASE WHEN st = 'P' THEN cnt END) AS st_p
+        |FROM (SELECT o_orderpriority AS priority,
+        |        CAST(length(o_orderpriority) AS INTEGER) AS plen,
+        |        o_orderstatus AS st, count(*) AS cnt
+        |      FROM orders GROUP BY 1, 2, 3)
+        |GROUP BY priority, plen""".stripMargin,
     "q246_string_agg_distinct" ->
       """SELECT o_orderstatus,
         |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)

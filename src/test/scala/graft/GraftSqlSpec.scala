@@ -770,6 +770,44 @@ class GraftSqlSpec extends AnyFunSuite {
     Graft.execute(spark, "DROP TEXT SEARCH DICTIONARY pgdict")
   }
 
+  test("thesaurus dictionary: longest match, '?' wildcard, '*' as-is (dict_thesaurus.c)") {
+    val dir = new java.io.File("target/test-tsdict"); dir.mkdirs()
+    val ths = new java.io.File(dir, "sample.ths")
+    // the reference's thesaurus_sample.ths, verbatim semantics
+    java.nio.file.Files.write(ths.toPath,
+      ("one two three : *123\none two : *12\none : *1\ntwo : *2\n" +
+        "supernovae stars : *sn\nsupernovae : *sn\n" +
+        "booking tickets : order invitation cards\n" +
+        "booking ? tickets : order invitation Cards\n").getBytes)
+    Graft.execute(spark, "DROP TEXT SEARCH DICTIONARY IF EXISTS thes")
+    Graft.execute(spark,
+      s"CREATE TEXT SEARCH DICTIONARY thes (TEMPLATE = thesaurus, " +
+        s"DictFile = '${ths.getAbsolutePath}', Dictionary = english_stem)")
+    // ts_lexize single-token probe (tsdicts.out: {1})
+    val one = spark.sql("SELECT ts_lexize('thes', 'one')").head()
+    assert(one.getSeq[String](0).toSeq == Seq("1"))
+    assert(spark.sql("SELECT ts_lexize('thes', 'booking')").head().isNullAt(0))
+    def apply(words: String*): Seq[String] =
+      spark.sql(s"SELECT ts_thesaurus_apply('thes', array(${
+        words.map(w => s"'$w'").mkString(",")}))").head().getSeq[String](0).toSeq
+    // longest match beats shorter prefixes (one two three > one two > one)
+    assert(apply("one", "two", "one", "two", "three", "one") ==
+      Seq("12", "123", "1"))
+    // sample + input both normalize through the subdictionary
+    // (Supernovae star ~ supernovae stars), stopwords drop, unmatched stem
+    assert(apply("Supernovae", "star", "is", "very", "new", "star") ==
+      Seq("sn", "new", "star"))
+    // '?' matches exactly one stopword; '*'-less substitutes are stemmed
+    assert(apply("booking", "a", "tickets") == Seq("order", "invit", "card"))
+    assert(apply("booking", "tickets") == Seq("order", "invit", "card"))
+    // '?' does NOT match a non-stopword (no bare "booking xyz tickets" rule)
+    assert(apply("booking", "xyz", "tickets") == Seq("book", "xyz", "ticket"))
+    // non-thesaurus dictionary through the apply function errors
+    intercept[Exception](
+      spark.sql("SELECT ts_thesaurus_apply('simple', array('x'))").collect())
+    Graft.execute(spark, "DROP TEXT SEARCH DICTIONARY thes")
+  }
+
   test("INSERT ... ON CONFLICT routes to the upsert/merge semantics") {
     drop("oc_t")
     Graft.execute(spark, "CREATE TABLE oc_t (k bigint, v float8, tag text)")
@@ -1096,5 +1134,93 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM do_t WHERE v = 'bumped' AND k > 100")
       .head().getLong(0) == 3)
     drop("do_t")
+  }
+
+  test("crosstab: positional, typed shorthands, hash variant (tablefunc.c)") {
+    import graft.operators.Tablefunc
+    // contrib/tablefunc/data/ct.data group1 slice, including the
+    // NULL-rowid group; expected rows pinned to expected/tablefunc.out.
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  ('test1','att1','val1'),('test1','att2','val2'),
+        |  ('test1','att3','val3'),('test1','att4','val4'),
+        |  ('test2','att1','val5'),('test2','att2','val6'),
+        |  ('test2','att3','val7'),('test2','att4','val8'),
+        |  (CAST(NULL AS STRING),'att1','val9'),(NULL,'att2','val10'),
+        |  (NULL,'att3','val11'),(NULL,'att4','val12')
+        |  AS ct(rowid, attribute, val)""".stripMargin)
+      .createOrReplaceTempView("ct")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+        .sortBy(r => Option(r.head).map(_.toString).getOrElse("￿"))
+    // crosstab3: (row_name, category_1..2) — truncates the 4-value groups
+    val c3 = Graft.execute(spark,
+      "SELECT * FROM crosstab3('SELECT rowid, attribute, val FROM ct ORDER BY 1,2')").get
+    assert(c3.columns.toSeq == Seq("row_name", "category_1", "category_2"))
+    assert(rows(c3) == Seq(
+      Seq("test1", "val1", "val2"),
+      Seq("test2", "val5", "val6"),
+      Seq(null, "val9", "val10")))
+    // generic form with AS c(...) — NULL-pads a filtered (short) group
+    val cg = Graft.execute(spark,
+      """SELECT * FROM crosstab(
+        |  'SELECT rowid, attribute, val FROM ct
+        |   WHERE attribute IN (''att2'',''att3'') OR rowid = ''test1''
+        |   ORDER BY 1,2')
+        |AS c(rowid text, att1 text, att2 text, att3 text, att4 text)"""
+        .stripMargin).get
+    assert(rows(cg) == Seq(
+      Seq("test1", "val1", "val2", "val3", "val4"),
+      Seq("test2", "val6", "val7", null, null),
+      Seq(null, "val10", "val11", null, null)))
+    // hash variant: categories pin positions, missing category -> NULL,
+    // extra column (rowdt) carried through, declared types applied
+    // (expected/tablefunc.out "hash based crosstab" block).
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  ('test1', TIMESTAMP_NTZ'2003-03-01 00:00:00','temperature','42'),
+        |  ('test1', TIMESTAMP_NTZ'2003-03-01 00:00:00','test_result','PASS'),
+        |  ('test1', TIMESTAMP_NTZ'2003-03-01 00:00:00','volts','2.6987'),
+        |  ('test2', TIMESTAMP_NTZ'2003-03-02 00:00:00','temperature','53'),
+        |  ('test2', TIMESTAMP_NTZ'2003-03-02 00:00:00','test_result','FAIL'),
+        |  ('test2', TIMESTAMP_NTZ'2003-03-02 00:00:00','test_startdate','01 March 2003'),
+        |  ('test2', TIMESTAMP_NTZ'2003-03-02 00:00:00','volts','3.1234')
+        |  AS cth(rowid, rowdt, attribute, val)""".stripMargin)
+      .createOrReplaceTempView("cth")
+    val ch = Graft.execute(spark,
+      """SELECT * FROM crosstab(
+        |  'SELECT rowid, rowdt, attribute, val FROM cth ORDER BY 1',
+        |  'SELECT DISTINCT attribute FROM cth ORDER BY 1')
+        |AS c(rowid text, rowdt timestamp, temperature int4, test_result text,
+        |     test_startdate text, volts float8)""".stripMargin).get
+    assert(ch.schema("temperature").dataType.typeName == "integer")
+    assert(ch.schema("volts").dataType.typeName == "double")
+    val hr = rows(ch)
+    assert(hr.map(r => (r.head, r(2), r(3), r(4), r(5))) == Seq(
+      ("test1", 42, "PASS", null, 2.6987),
+      ("test2", 53, "FAIL", "01 March 2003", 3.1234)))
+    // category list out of sync with the source: extra source rows drop
+    val sync = Graft.execute(spark,
+      """SELECT * FROM crosstab(
+        |  'SELECT rowid, attribute, val FROM cth ORDER BY 1',
+        |  'SELECT DISTINCT attribute FROM cth
+        |   WHERE attribute IN (''temperature'',''test_result'') ORDER BY 1')
+        |AS c(rowid text, temperature int4, test_result text)""".stripMargin).get
+    assert(rows(sync) == Seq(Seq("test1", 42, "PASS"), Seq("test2", 53, "FAIL")))
+    // empty category list errors like tablefunc.c:668
+    val err = intercept[Exception] {
+      Graft.execute(spark,
+        """SELECT * FROM crosstab(
+          |  'SELECT rowid, attribute, val FROM cth ORDER BY 1',
+          |  'SELECT DISTINCT attribute FROM cth WHERE attribute = ''a''')
+          |AS c(rowid text, a text)""".stripMargin)
+    }
+    assert(err.getMessage.contains("at least one row"))
+    // direct API: 3-column source contract enforced
+    intercept[IllegalArgumentException] {
+      Tablefunc.crosstab(spark.table("cth"), Seq(("r", "text"), ("a", "text")))
+    }
+    spark.catalog.dropTempView("ct")
+    spark.catalog.dropTempView("cth")
   }
 }
