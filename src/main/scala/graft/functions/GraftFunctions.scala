@@ -689,6 +689,18 @@ object GraftFunctions {
       info("dutch_stem", "dutch_stem(word) - snowball Dutch stemmer"),
       (args: Seq[Expression]) => DutchStem(Cast(args(0), StringType)))
     reg.registerFunction(
+      FunctionIdentifier("danish_stem"),
+      info("danish_stem", "danish_stem(word) - snowball Danish stemmer"),
+      (args: Seq[Expression]) => DanishStem(Cast(args(0), StringType)))
+    reg.registerFunction(
+      FunctionIdentifier("norwegian_stem"),
+      info("norwegian_stem", "norwegian_stem(word) - snowball Norwegian stemmer"),
+      (args: Seq[Expression]) => NorwegianStem(Cast(args(0), StringType)))
+    reg.registerFunction(
+      FunctionIdentifier("swedish_stem"),
+      info("swedish_stem", "swedish_stem(word) - snowball Swedish stemmer"),
+      (args: Seq[Expression]) => SwedishStem(Cast(args(0), StringType)))
+    reg.registerFunction(
       FunctionIdentifier("to_number_pg"),
       info("to_number_pg", "to_number_pg(text, fmt) - PG numeric template parsing"),
       (args: Seq[Expression]) => ToNumberPg(Cast(args(0), StringType), args(1)))

@@ -1384,6 +1384,196 @@ case class DutchStem(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The three Scandinavian snowball stemmers share one shape
+  * (danish.sbl / norwegian.sbl / swedish.sbl as compiled into the
+  * reference's `src/backend/snowball/libstemmer/stem_UTF_8_danish.c`,
+  * `..._norwegian.c`, `..._swedish.c`, whose among tables and grouping
+  * bitmaps these suffix lists are decoded from): R1 with the
+  * three-letter minimum clamp, a main-suffix among with the
+  * valid-s-ending rule, a consonant-pair truncation, and an
+  * other-suffix among. Danish adds the final undouble step. */
+private[functions] object ScandinavianStem {
+
+  /** R1 start: after the first non-vowel following the first vowel,
+    * clamped to >= 3 (mark_regions' `hop 3` + `try`); length (empty
+    * R1) when the pattern never completes or the word is short. */
+  def r1(s: String, vowels: String): Int = {
+    if (s.length < 3) return s.length
+    var i = 0
+    while (i < s.length && vowels.indexOf(s.charAt(i)) < 0) i += 1
+    while (i < s.length && vowels.indexOf(s.charAt(i)) >= 0) i += 1
+    if (i >= s.length) s.length else math.max(i + 1, 3)
+  }
+}
+
+/** Snowball Danish stemmer. */
+object DanishStemmer {
+  private val vowels = "aeiouyæåø"
+  private val sEndings = "abcdfghjklmnoprtvyzå"
+  // a_0, longest-first (stem_UTF_8_danish.c a_0 — all delete except 's')
+  private val step1 = Seq("hed", "ethed", "ered", "e", "erede", "ende",
+    "erende", "ene", "erne", "ere", "en", "heden", "eren", "er", "heder",
+    "erer", "s", "heds", "es", "endes", "erendes", "enes", "ernes",
+    "eres", "ens", "hedens", "erens", "ers", "ets", "erets", "et",
+    "eret").sortBy(-_.length)
+  private val step3 = Seq("elig", "lig", "els", "ig").sortBy(-_.length)
+
+  private def pairDrop(s: String, p1: Int): String =
+    if (s.length - 2 >= p1 &&
+      Seq("gd", "dt", "gt", "kt").exists(s.endsWith))
+      s.substring(0, s.length - 1)
+    else s
+
+  def stem(word: String): String = {
+    var s = word.toLowerCase
+    val p1 = ScandinavianStem.r1(s, vowels)
+    // step 1: longest suffix wholly in R1; 's' needs a valid s-ending
+    // immediately before it (the s-ending char itself may sit outside R1)
+    step1.find(suf => s.endsWith(suf) && s.length - suf.length >= p1)
+      .foreach { suf =>
+        if (suf == "s") {
+          if (s.length >= 2 && sEndings.indexOf(s.charAt(s.length - 2)) >= 0)
+            s = s.substring(0, s.length - 1)
+        } else s = s.substring(0, s.length - suf.length)
+      }
+    // step 2: consonant pair gd/dt/gt/kt in R1 -> drop last letter
+    s = pairDrop(s, p1)
+    // step 3: igst loses st unconditionally; then ig/lig/elig/els in R1
+    // delete (and re-run step 2), løst -> løs
+    if (s.endsWith("igst")) s = s.substring(0, s.length - 2)
+    if (s.endsWith("løst") && s.length - 4 >= p1)
+      s = s.substring(0, s.length - 1)
+    else step3.find(suf => s.endsWith(suf) && s.length - suf.length >= p1)
+      .foreach { suf =>
+        s = s.substring(0, s.length - suf.length)
+        s = pairDrop(s, p1)
+      }
+    // step 4 (undouble): final double consonant with the last char in R1
+    if (s.length >= 2 && s.length - 1 >= p1 &&
+      vowels.indexOf(s.charAt(s.length - 1)) < 0 &&
+      s.charAt(s.length - 1) == s.charAt(s.length - 2))
+      s = s.substring(0, s.length - 1)
+    s
+  }
+
+  def stemUtf8(v: UTF8String): UTF8String = UTF8String.fromString(stem(v.toString))
+}
+
+/** Snowball Norwegian stemmer. */
+object NorwegianStemmer {
+  private val vowels = "aeiouyæåø"
+  private val sEndings = "bcdfghjlmnoprtvyz" // k is conditional
+  private val step1 = Seq("hetenes", "hetene", "hetens", "heten", "heter",
+    "endes", "edes", "enes", "erte", "ande", "ende", "ane", "ene", "ens",
+    "ers", "ets", "het", "ast", "ert", "ede", "en", "ar", "er", "as",
+    "es", "et", "a", "e", "s").sortBy(-_.length)
+  private val step3 = Seq("hetslov", "eleg", "elig", "elov", "slov",
+    "leg", "eig", "lig", "els", "lov", "ig").sortBy(-_.length)
+
+  def stem(word: String): String = {
+    var s = word.toLowerCase
+    val p1 = ScandinavianStem.r1(s, vowels)
+    step1.find(suf => s.endsWith(suf) && s.length - suf.length >= p1)
+      .foreach {
+        case suf @ ("erte" | "ert") => // replace with er
+          s = s.substring(0, s.length - suf.length) + "er"
+        case "s" =>
+          // valid s-ending, or 'k' preceded by a non-vowel
+          val ok = s.length >= 2 && {
+            val c = s.charAt(s.length - 2)
+            sEndings.indexOf(c) >= 0 ||
+              (c == 'k' && s.length >= 3 &&
+                vowels.indexOf(s.charAt(s.length - 3)) < 0)
+          }
+          if (ok) s = s.substring(0, s.length - 1)
+        case suf => s = s.substring(0, s.length - suf.length)
+      }
+    // step 2: dt/vt in R1 -> drop the t
+    if (s.length - 2 >= p1 && (s.endsWith("dt") || s.endsWith("vt")))
+      s = s.substring(0, s.length - 1)
+    // step 3: delete if in R1
+    step3.find(suf => s.endsWith(suf) && s.length - suf.length >= p1)
+      .foreach(suf => s = s.substring(0, s.length - suf.length))
+    s
+  }
+
+  def stemUtf8(v: UTF8String): UTF8String = UTF8String.fromString(stem(v.toString))
+}
+
+/** Snowball Swedish stemmer. */
+object SwedishStemmer {
+  private val vowels = "aeiouyäåö"
+  private val sEndings = "bcdfghjklmnoprtvy"
+  private val step1 = Seq("heterna", "hetens", "arnas", "ernas", "ornas",
+    "heten", "heter", "anden", "arens", "andes", "arna", "erna", "orna",
+    "ande", "arne", "aste", "aren", "ades", "erns", "andet", "ad", "ade",
+    "are", "ern", "ens", "het", "ast", "as", "es", "at", "en", "ar",
+    "er", "or", "a", "e", "s").sortBy(-_.length)
+  private val step3del = Seq("lig", "els", "ig").sortBy(-_.length)
+
+  def stem(word: String): String = {
+    var s = word.toLowerCase
+    val p1 = ScandinavianStem.r1(s, vowels)
+    step1.find(suf => s.endsWith(suf) && s.length - suf.length >= p1)
+      .foreach { suf =>
+        if (suf == "s") {
+          if (s.length >= 2 && sEndings.indexOf(s.charAt(s.length - 2)) >= 0)
+            s = s.substring(0, s.length - 1)
+        } else s = s.substring(0, s.length - suf.length)
+      }
+    // step 2: dd/gd/nn/dt/gt/kt/tt in R1 -> drop last letter
+    if (s.length - 2 >= p1 &&
+      Seq("dd", "gd", "nn", "dt", "gt", "kt", "tt").exists(s.endsWith))
+      s = s.substring(0, s.length - 1)
+    // step 3: lig/ig/els delete in R1; löst -> lös; fullt -> full
+    if (s.endsWith("löst") && s.length - 4 >= p1)
+      s = s.substring(0, s.length - 1)
+    else if (s.endsWith("fullt") && s.length - 5 >= p1)
+      s = s.substring(0, s.length - 1)
+    else step3del.find(suf => s.endsWith(suf) && s.length - suf.length >= p1)
+      .foreach(suf => s = s.substring(0, s.length - suf.length))
+    s
+  }
+
+  def stemUtf8(v: UTF8String): UTF8String = UTF8String.fromString(stem(v.toString))
+}
+
+/** `danish_stem(word)` codegen expression. */
+case class DanishStem(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "danish_stem"
+  override def nullSafeEval(v: Any): Any =
+    DanishStemmer.stemUtf8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DanishStemmer.stemUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): DanishStem =
+    copy(child = newChild)
+}
+
+/** `norwegian_stem(word)` codegen expression. */
+case class NorwegianStem(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "norwegian_stem"
+  override def nullSafeEval(v: Any): Any =
+    NorwegianStemmer.stemUtf8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NorwegianStemmer.stemUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): NorwegianStem =
+    copy(child = newChild)
+}
+
+/** `swedish_stem(word)` codegen expression. */
+case class SwedishStem(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "swedish_stem"
+  override def nullSafeEval(v: Any): Any =
+    SwedishStemmer.stemUtf8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SwedishStemmer.stemUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): SwedishStem =
+    copy(child = newChild)
+}
+
 /** The `english` text-search configuration's lexize chain. */
 object TsLexize {
 
@@ -1640,6 +1830,68 @@ object TsLexize {
     "wezen", "kunnen", "ons", "zelf", "tegen", "na", "reeds", "wil",
     "kon", "niets", "uw", "iemand", "geweest", "andere")
 
+  /** The standard snowball Danish stopword list PG ships as
+    * `src/backend/snowball/stopwords/danish.stop` (public snowball
+    * project data). */
+  val danishStopwords: Seq[String] = Seq(
+    "og", "i", "jeg", "det", "at", "en", "den", "til", "er", "som",
+    "på", "de", "med", "han", "af", "for", "ikke", "der", "var", "mig",
+    "sig", "men", "et", "har", "om", "vi", "min", "havde", "ham",
+    "hun", "nu", "over", "da", "fra", "du", "ud", "sin", "dem", "os",
+    "op", "man", "hans", "hvor", "eller", "hvad", "skal", "selv",
+    "her", "alle", "vil", "blev", "kunne", "ind", "når", "være", "dog",
+    "noget", "ville", "jo", "deres", "efter", "ned", "skulle", "denne",
+    "end", "dette", "mit", "også", "under", "have", "dig", "anden",
+    "hende", "mine", "alt", "meget", "sit", "sine", "vor", "mod",
+    "disse", "hvis", "din", "nogle", "hos", "blive", "mange", "ad",
+    "bliver", "hendes", "været", "thi", "jer", "sådan")
+
+  /** The standard snowball Norwegian stopword list PG ships as
+    * `src/backend/snowball/stopwords/norwegian.stop` (public snowball
+    * project data; includes the nynorsk forms the file carries). */
+  val norwegianStopwords: Seq[String] = Seq(
+    "og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er",
+    "som", "på", "de", "med", "han", "av", "ikke", "ikkje", "der",
+    "så", "var", "meg", "seg", "men", "ett", "har", "om", "vi", "min",
+    "mitt", "ha", "hadde", "hun", "nå", "over", "da", "ved", "fra",
+    "du", "ut", "sin", "dem", "oss", "opp", "man", "kan", "hans",
+    "hvor", "eller", "hva", "skal", "selv", "sjøl", "her", "alle",
+    "vil", "bli", "ble", "blei", "blitt", "kunne", "inn", "når",
+    "være", "kom", "noen", "noe", "ville", "dere", "som", "deres",
+    "kun", "ja", "etter", "ned", "skulle", "denne", "for", "deg", "si",
+    "sine", "sitt", "mot", "å", "meget", "hvorfor", "dette", "disse",
+    "uten", "hvordan", "ingen", "din", "ditt", "blir", "samme",
+    "hvilken", "hvilke", "sånn", "inni", "mellom", "vår", "hver",
+    "hvem", "vors", "hvis", "både", "bare", "enn", "fordi", "før",
+    "mange", "også", "slik", "vært", "være", "båe", "begge", "siden",
+    "dykk", "dykkar", "dei", "deira", "deires", "deim", "di", "då",
+    "eg", "ein", "eit", "eitt", "elles", "honom", "hjå", "ho", "hoe",
+    "henne", "hennar", "hennes", "hoss", "hossen", "ikkje", "ingi",
+    "inkje", "korleis", "korso", "kva", "kvar", "kvarhelst", "kven",
+    "kvi", "kvifor", "me", "medan", "mi", "mine", "mykje", "no",
+    "nokon", "noka", "nokor", "noko", "nokre", "si", "sia", "sidan",
+    "so", "somt", "somme", "um", "upp", "vere", "vore", "verte",
+    "vort", "varte", "vart")
+
+  /** The standard snowball Swedish stopword list PG ships as
+    * `src/backend/snowball/stopwords/swedish.stop` (public snowball
+    * project data). */
+  val swedishStopwords: Seq[String] = Seq(
+    "och", "det", "att", "i", "en", "jag", "hon", "som", "han", "på",
+    "den", "med", "var", "sig", "för", "så", "till", "är", "men",
+    "ett", "om", "hade", "de", "av", "icke", "mig", "du", "henne",
+    "då", "sin", "nu", "har", "inte", "hans", "honom", "skulle",
+    "hennes", "där", "min", "man", "ej", "vid", "kunde", "något",
+    "från", "ut", "när", "efter", "upp", "vi", "dem", "vara", "vad",
+    "över", "än", "dig", "kan", "sina", "här", "ha", "mot", "alla",
+    "under", "någon", "eller", "allt", "mycket", "sedan", "ju",
+    "denna", "själv", "detta", "åt", "utan", "varit", "hur", "ingen",
+    "mitt", "ni", "bli", "blev", "oss", "din", "dessa", "några",
+    "deras", "blir", "mina", "samma", "vilken", "er", "sådan", "vår",
+    "blivit", "dess", "inom", "mellan", "sådant", "varför", "varje",
+    "vilka", "ditt", "vem", "vilket", "sitta", "sådana", "vart",
+    "dina", "vars", "vårt", "våra", "ert", "era", "vilkas")
+
   private val configs: Map[String, (Seq[String], String)] = Map(
     "english" -> (englishStopwords, "porter_stem"),
     "german" -> (germanStopwords, "german_stem"),
@@ -1648,7 +1900,10 @@ object TsLexize {
     "russian" -> (russianStopwords, "russian_stem"),
     "portuguese" -> (portugueseStopwords, "portuguese_stem"),
     "italian" -> (italianStopwords, "italian_stem"),
-    "dutch" -> (dutchStopwords, "dutch_stem"))
+    "dutch" -> (dutchStopwords, "dutch_stem"),
+    "danish" -> (danishStopwords, "danish_stem"),
+    "norwegian" -> (norwegianStopwords, "norwegian_stem"),
+    "swedish" -> (swedishStopwords, "swedish_stem"))
 
   /** lowercase → drop stopwords → stem, one declarative pass
     * (ts_lexize through the named configuration — `english` and
@@ -1675,6 +1930,9 @@ object TsLexize {
     case "portuguese" => PortugueseStemmer.stem
     case "italian" => ItalianStemmer.stem
     case "dutch" => DutchStemmer.stem
+    case "danish" => DanishStemmer.stem
+    case "norwegian" => NorwegianStemmer.stem
+    case "swedish" => SwedishStemmer.stem
     case _ => PorterStemmer.stem
   }
 

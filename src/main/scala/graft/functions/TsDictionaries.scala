@@ -68,7 +68,10 @@ object TsDictionaries {
     "russian_stem" -> StemDict("russian"),
     "portuguese_stem" -> StemDict("portuguese"),
     "italian_stem" -> StemDict("italian"),
-    "dutch_stem" -> StemDict("dutch"))
+    "dutch_stem" -> StemDict("dutch"),
+    "danish_stem" -> StemDict("danish"),
+    "norwegian_stem" -> StemDict("norwegian"),
+    "swedish_stem" -> StemDict("swedish"))
 
   /** PG ts_lexize contract: None = dictionary does not recognize the
     * token (SQL NULL); Some(Nil) = recognized and discarded. */

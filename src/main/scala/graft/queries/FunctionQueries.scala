@@ -972,6 +972,76 @@ object FunctionQueries {
         .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
     }),
 
+    // Tenth/eleventh/twelfth snowball languages — the Scandinavian
+    // trio (stem_UTF_8_danish/norwegian/swedish.c), differential-
+    // tested bit-identical against the compiled reference stemmers
+    // over ~1200-1400 words each (ScandinavianStemSpec).
+    "q251_ts_danish" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      val vocab = Seq("indtagelse", "undersøgelse", "betjeningen",
+        "hurtigste", "billederne", "vennerne", "følelserne",
+        "danskerne", "løbende", "smukkeste", "vinduet", "katten")
+      val va = array(vocab.map(lit): _*)
+      def pick(idx: org.apache.spark.sql.Column) =
+        element_at(va, (idx % 12).cast("int") + 1)
+      val text = concat_ws(" ",
+        pick(col("doc_id")), lit("og"),
+        pick(col("doc_id") + 2), lit("det"),
+        pick(col("doc_id") * 7 + 3))
+      val stems = TsLexize.stemTerms(
+        Seq("indtagelse", "undersøgelse"), "danish")
+      t(s, d, "documents")
+        .select(col("doc_id"), text.as("text"))
+        .withColumn("lexed",
+          TsLexize.lexize(split(col("text"), " "), "danish"))
+        .where(Ranges.tsMatch(col("lexed"), stems))
+        .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
+    }),
+
+    "q252_ts_norwegian" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      val vocab = Seq("havnedistriktene", "erobringen", "tilhørighet",
+        "reserverte", "bygdelagsungdommen", "bildene", "vennene",
+        "løpende", "raskest", "vakrest", "nordmennene", "følelsene")
+      val va = array(vocab.map(lit): _*)
+      def pick(idx: org.apache.spark.sql.Column) =
+        element_at(va, (idx % 12).cast("int") + 1)
+      val text = concat_ws(" ",
+        pick(col("doc_id")), lit("og"),
+        pick(col("doc_id") + 2), lit("det"),
+        pick(col("doc_id") * 7 + 3))
+      val stems = TsLexize.stemTerms(
+        Seq("havnedistriktene", "erobringen"), "norwegian")
+      t(s, d, "documents")
+        .select(col("doc_id"), text.as("text"))
+        .withColumn("lexed",
+          TsLexize.lexize(split(col("text"), " "), "norwegian"))
+        .where(Ranges.tsMatch(col("lexed"), stems))
+        .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
+    }),
+
+    "q253_ts_swedish" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      val vocab = Seq("jordbruksgrödorna", "intäkterna", "följare",
+        "klockan", "meningsfullt", "verksamheterna", "bilderna",
+        "vännerna", "springande", "snabbast", "vackrast", "känslorna")
+      val va = array(vocab.map(lit): _*)
+      def pick(idx: org.apache.spark.sql.Column) =
+        element_at(va, (idx % 12).cast("int") + 1)
+      val text = concat_ws(" ",
+        pick(col("doc_id")), lit("och"),
+        pick(col("doc_id") + 2), lit("det"),
+        pick(col("doc_id") * 7 + 3))
+      val stems = TsLexize.stemTerms(
+        Seq("jordbruksgrödorna", "intäkterna"), "swedish")
+      t(s, d, "documents")
+        .select(col("doc_id"), text.as("text"))
+        .withColumn("lexed",
+          TsLexize.lexize(split(col("text"), " "), "swedish"))
+        .where(Ranges.tsMatch(col("lexed"), stems))
+        .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
+    }),
+
     // ts_headline through the stemming dictionary: covers computed on
     // stems, snippet shows the original inflected words, marked when
     // their stem matches a query stem.
@@ -2327,6 +2397,63 @@ object FunctionQueries {
          |FROM b
          |WHERE (s1 = 'abbandon' OR s2 = 'abbandon' OR s3 = 'abbandon')
          |  AND (s1 = 'cant' OR s2 = 'cant' OR s3 = 'cant')""".stripMargin
+    },
+    // same engine-generated-stem convention as the other languages;
+    // the stemmers themselves are pinned bit-identical to the compiled
+    // reference in ScandinavianStemSpec
+    "q251_ts_danish" -> {
+      import graft.functions.DanishStemmer
+      val vocab = Seq("indtagelse", "undersøgelse", "betjeningen",
+        "hurtigste", "billederne", "vennerne", "følelserne",
+        "danskerne", "løbende", "smukkeste", "vinduet", "katten")
+      val stems = vocab.map(w => s"'${DanishStemmer.stem(w)}'").mkString(", ")
+      val q1 = DanishStemmer.stem("indtagelse")
+      val q2 = DanishStemmer.stem("undersøgelse")
+      s"""WITH b AS (SELECT doc_id,
+         |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
+         |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,
+         |    [$stems][CAST(1 + (doc_id * 7 + 3) % 12 AS INT)] AS s3
+         |  FROM documents)
+         |SELECT doc_id, s1 || ' ' || s2 || ' ' || s3 AS lexed
+         |FROM b
+         |WHERE (s1 = '$q1' OR s2 = '$q1' OR s3 = '$q1')
+         |  AND (s1 = '$q2' OR s2 = '$q2' OR s3 = '$q2')""".stripMargin
+    },
+    "q252_ts_norwegian" -> {
+      import graft.functions.NorwegianStemmer
+      val vocab = Seq("havnedistriktene", "erobringen", "tilhørighet",
+        "reserverte", "bygdelagsungdommen", "bildene", "vennene",
+        "løpende", "raskest", "vakrest", "nordmennene", "følelsene")
+      val stems = vocab.map(w => s"'${NorwegianStemmer.stem(w)}'").mkString(", ")
+      val q1 = NorwegianStemmer.stem("havnedistriktene")
+      val q2 = NorwegianStemmer.stem("erobringen")
+      s"""WITH b AS (SELECT doc_id,
+         |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
+         |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,
+         |    [$stems][CAST(1 + (doc_id * 7 + 3) % 12 AS INT)] AS s3
+         |  FROM documents)
+         |SELECT doc_id, s1 || ' ' || s2 || ' ' || s3 AS lexed
+         |FROM b
+         |WHERE (s1 = '$q1' OR s2 = '$q1' OR s3 = '$q1')
+         |  AND (s1 = '$q2' OR s2 = '$q2' OR s3 = '$q2')""".stripMargin
+    },
+    "q253_ts_swedish" -> {
+      import graft.functions.SwedishStemmer
+      val vocab = Seq("jordbruksgrödorna", "intäkterna", "följare",
+        "klockan", "meningsfullt", "verksamheterna", "bilderna",
+        "vännerna", "springande", "snabbast", "vackrast", "känslorna")
+      val stems = vocab.map(w => s"'${SwedishStemmer.stem(w)}'").mkString(", ")
+      val q1 = SwedishStemmer.stem("jordbruksgrödorna")
+      val q2 = SwedishStemmer.stem("intäkterna")
+      s"""WITH b AS (SELECT doc_id,
+         |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
+         |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,
+         |    [$stems][CAST(1 + (doc_id * 7 + 3) % 12 AS INT)] AS s3
+         |  FROM documents)
+         |SELECT doc_id, s1 || ' ' || s2 || ' ' || s3 AS lexed
+         |FROM b
+         |WHERE (s1 = '$q1' OR s2 = '$q1' OR s3 = '$q1')
+         |  AND (s1 = '$q2' OR s2 = '$q2' OR s3 = '$q2')""".stripMargin
     },
     "q146_ts_headline_stemmed" -> {
       import graft.functions.PorterStemmer
