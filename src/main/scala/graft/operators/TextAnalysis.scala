@@ -541,6 +541,36 @@ object TextAnalysis {
     docs.withColumn(out, predict(col(textCol)))
   }
 
+  /** Model-based quality filtering, the DCLM / FineWeb-Edu shape
+    * (Li et al. 2024 "DataComp-LM" §4.4, Penedo et al. 2024: a small
+    * classifier trained on a curated seed set gates the corpus; GPT-3's
+    * quality filter is the same recipe with logistic regression):
+    * train the in-engine multinomial NB on `goodSeed` vs `badSeed`,
+    * score the corpus map-side, and keep documents the model votes
+    * good AND that clear the heuristic floor (token count + the q85
+    * quality score) — classifier and heuristics compose, mirroring how
+    * production pipelines stack fastText scores on Gopher rules.
+    *
+    * Scale shape: seed sets are curation-sized (bounded); training is
+    * nbTrain's two bounded aggregations; scoring is one broadcast +
+    * per-row UDF and the heuristic columns are codegen expressions —
+    * the corpus is touched in a single map-side pass, no shuffle, no
+    * join. */
+  def qualityClassifierFilter(docs: DataFrame, goodSeed: DataFrame,
+                              badSeed: DataFrame, textCol: String = "text",
+                              minTokens: Int = 5,
+                              minQuality: Double = 0.0): DataFrame = {
+    val seed = goodSeed.select(col(textCol)).withColumn("__lbl", lit("good"))
+      .unionByName(badSeed.select(col(textCol)).withColumn("__lbl", lit("bad")))
+    val model = nbTrain(seed, "__lbl", textCol)
+    val scored = withQuality(
+      withNbPrediction(docs, model, textCol, "quality_label"), textCol)
+    scored.withColumn("keep",
+      col("quality_label") === "good" &&
+        col("n_tokens") >= minTokens &&
+        col("quality_score") >= minQuality)
+  }
+
   def piiScrub(text: Column): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

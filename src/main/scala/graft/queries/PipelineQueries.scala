@@ -68,6 +68,47 @@ object PipelineQueries {
         .groupBy("source", "pred_label").agg(count(lit(1)).as("n"))
     }),
 
+    // Model-based quality filtering (DCLM / FineWeb-Edu / GPT-3 filter
+    // shape): NB classifier trained on good/bad seed sets gates the
+    // corpus, stacked on the heuristic token floor. Planted fixture:
+    // disjoint vocabulary pools keyed off doc_id make every decision
+    // exactly replayable in the oracle — docs 0 mod 3 carry the
+    // educational pool (kept), 1 mod 3 the spam pool (dropped by the
+    // classifier), 2 mod 3 are unseen-vocab two-token stubs (prior
+    // tie -> 'bad' by the documented label-asc tie-break, and dropped
+    // by the token floor regardless). Mixed-vocabulary separation is
+    // asserted in OperatorSpec.
+    "q254_quality_filter" -> ((s, d) => {
+      val goodPool = Seq("study", "analysis", "theory", "evidence")
+      val badPool = Seq("pills", "prize", "clickbait", "jackpot")
+      def pick(pool: Seq[String]) =
+        element_at(array(pool.map(lit): _*), (col("doc_id") % 4).cast("int") + 1)
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("the rigorous "), pick(goodPool),
+            lit(" examines careful "), pick(goodPool.reverse),
+            lit(" with method")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("buy cheap "), pick(badPool),
+              lit(" click free "), pick(badPool.reverse),
+              lit(" now money")))
+          .otherwise(lit("zqx wvt")).as("text"))
+      val good = s.sql(
+        """SELECT stack(3,
+          |  'the rigorous study examines careful analysis with method',
+          |  'rigorous theory examines careful evidence with method',
+          |  'the study of analysis and theory examines evidence') AS text"""
+          .stripMargin)
+      val bad = s.sql(
+        """SELECT stack(3,
+          |  'buy cheap pills click free prize now money',
+          |  'cheap clickbait click free jackpot now buy money',
+          |  'buy pills prize clickbait jackpot free now') AS text"""
+          .stripMargin)
+      TextAnalysis.qualityClassifierFilter(docs, good, bad, minTokens = 5)
+        .select(col("doc_id"), col("quality_label"), col("keep"))
+    }),
+
     // SimHash near-dup candidates via pigeonhole block join (rows-only:
     // the 64-bit fingerprint is engine-defined).
     "q82_simhash_pairs" -> ((s, d) =>
@@ -1197,6 +1238,14 @@ object PipelineQueries {
         |  ROUND(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
         |FROM tf JOIN dfreq USING (term), nn
         |WHERE length(term) > 3 AND tf >= 2""".stripMargin,
+    // planted disjoint-vocabulary fixture: every decision replayable
+    // from doc_id alone (prior ties documented label-asc -> 'bad')
+    "q254_quality_filter" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'good' ELSE 'bad' END
+        |    AS quality_label,
+        |  (doc_id % 3 = 0) AS keep
+        |FROM documents""".stripMargin,
     "q85_quality_score" ->
       """WITH f AS (
         |  SELECT doc_id,

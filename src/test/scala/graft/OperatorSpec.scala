@@ -965,6 +965,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(preds(13L) == "animal")
   }
 
+  test("quality classifier filter: separation, noise robustness, heuristic gate") {
+    // DCLM-shape seeds sharing common glue words; only the distinctive
+    // vocabulary separates the classes
+    val good = Seq(
+      "the study of mathematics provides careful rigorous analysis",
+      "research in physics explains the structure of careful theory",
+      "this essay examines historical evidence with rigorous method")
+      .map(Tuple1(_)).toDF("text")
+    val bad = Seq(
+      "buy cheap pills now click here for free money",
+      "winner click this link now for your free prize money",
+      "cheap deals buy now limited offer click here")
+      .map(Tuple1(_)).toDF("text")
+    val docs = Seq(
+      (1L, "a careful study of the evidence and rigorous analysis of theory"),
+      (2L, "click here to buy cheap pills and win free money now"),
+      // noisy: one spammy token amid educational text must stay good
+      (3L, "the rigorous analysis of historical evidence examines one cheap method"),
+      // short: classifier would vote good, the token floor drops it
+      (4L, "rigorous analysis"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityClassifierFilter(docs, good, bad,
+      minTokens = 5)
+      .select("doc_id", "quality_label", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == (("good", true)))
+    assert(out(2L) == (("bad", false)))
+    assert(out(3L) == (("good", true))) // one bad token does not flip it
+    assert(out(4L) == (("good", false))) // classifier yes, floor no
+    assert(!out(5L)._2)
+  }
+
   test("text quality features handle empty and punct-only text") {
     val docs = Seq((1L, ""), (2L, "..."), (3L, "the cat sat."))
       .toDF("doc_id", "text")
