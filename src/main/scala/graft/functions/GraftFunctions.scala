@@ -701,6 +701,14 @@ object GraftFunctions {
       info("swedish_stem", "swedish_stem(word) - snowball Swedish stemmer"),
       (args: Seq[Expression]) => SwedishStem(Cast(args(0), StringType)))
     reg.registerFunction(
+      FunctionIdentifier("finnish_stem"),
+      info("finnish_stem", "finnish_stem(word) - snowball Finnish stemmer"),
+      (args: Seq[Expression]) => FinnishStem(Cast(args(0), StringType)))
+    reg.registerFunction(
+      FunctionIdentifier("hungarian_stem"),
+      info("hungarian_stem", "hungarian_stem(word) - snowball Hungarian stemmer"),
+      (args: Seq[Expression]) => HungarianStem(Cast(args(0), StringType)))
+    reg.registerFunction(
       FunctionIdentifier("to_number_pg"),
       info("to_number_pg", "to_number_pg(text, fmt) - PG numeric template parsing"),
       (args: Seq[Expression]) => ToNumberPg(Cast(args(0), StringType), args(1)))

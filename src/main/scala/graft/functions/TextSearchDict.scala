@@ -1538,6 +1538,333 @@ object SwedishStemmer {
   def stemUtf8(v: UTF8String): UTF8String = UTF8String.fromString(stem(v.toString))
 }
 
+/** Snowball Finnish stemmer (finnish.sbl as compiled into the
+  * reference's `stem_UTF_8_finnish.c`; among tables a_0..a_9, the
+  * g_V1/g_V2/g_AEI/g_particle_end groupings, and the VI/LONG
+  * table-functions — with their among-fallback semantics — decoded
+  * from that file and differential-tested bit-identical against the
+  * compiled original). Steps: particle, possessive, case ending (sets
+  * the ending_removed flag), comparative/other endings in R2, then
+  * i-plural or t-plural depending on the flag, and the tidy pass
+  * (long-vowel shortening, trailing AEI after consonant, oj/uj/jo, and
+  * the final unbounded consonant undouble). */
+object FinnishStemmer {
+  private val V1 = "aeiouyäö"
+  private val V2 = "aeiouäö"
+  private val AEI = "aeiä"
+  private val particleEnd = "aeinotuyäö"
+  private val longPairs = Set("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+  private def regionAfter(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && V1.indexOf(s.charAt(i)) < 0) i += 1
+    while (i < s.length && V1.indexOf(s.charAt(i)) >= 0) i += 1
+    if (i >= s.length) s.length else i + 1
+  }
+
+  def stem(word: String): String = {
+    var s = word.toLowerCase
+    val p1 = regionAfter(s, 0)
+    val p2 = regionAfter(s, p1)
+    var endingRemoved = false
+    def fitsR1(n: Int) = s.length - n >= p1
+    def fitsR2(n: Int) = s.length - n >= p2
+    def del(n: Int): Unit = s = s.substring(0, s.length - n)
+    def endsAt(end: Int, p: String): Boolean =
+      end >= p.length && s.regionMatches(end - p.length, p, 0, p.length)
+
+    // ---- step 1: particle etc (a_0, whole suffix in R1)
+    Seq("kään", "kaan", "sti", "han", "kin", "hän", "ko", "pa", "pä", "kö")
+      .sortBy(-_.length)
+      .find(c => s.endsWith(c) && fitsR1(c.length))
+      .foreach { c =>
+        if (c == "sti") { if (fitsR2(3)) del(3) }
+        else {
+          val pre = s.length - c.length - 1
+          if (pre >= 0 && particleEnd.indexOf(s.charAt(pre)) >= 0) del(c.length)
+        }
+      }
+
+    // ---- step 2: possessive (a_4 in R1; preceded-by checks unbounded)
+    Seq("nsa", "nsä", "mme", "nne", "ni", "si", "an", "en", "än")
+      .sortBy(-_.length)
+      .find(c => s.endsWith(c) && fitsR1(c.length))
+      .foreach {
+        case "si" =>
+          if (!(s.length >= 3 && s.charAt(s.length - 3) == 'k')) del(2)
+        case "ni" =>
+          del(2)
+          if (s.endsWith("kse")) s = s.substring(0, s.length - 3) + "ksi"
+        case "an" =>
+          if (Seq("lla", "na", "ssa", "ta", "lta", "sta")
+            .exists(endsAt(s.length - 2, _))) del(2)
+        case "än" =>
+          if (Seq("llä", "nä", "ssä", "tä", "ltä", "stä")
+            .exists(endsAt(s.length - 2, _))) del(2)
+        case "en" =>
+          if (Seq("lle", "ine").exists(endsAt(s.length - 2, _))) del(2)
+        case _ => del(3) // nsa nsä mme nne
+      }
+
+    // ---- step 3: case endings (a_6 in R1). VI/LONG are among
+    // table-functions: their failure FALLS BACK to the next shorter
+    // candidate; switch-body conditions (han-after-a etc.) abort.
+    locally {
+      // (suffix, table-cond: evaluated inside the R1 limit)
+      def viCond(e: Int): Boolean =
+        e - 2 >= p1 && s.charAt(e - 1) == 'i' &&
+          V2.indexOf(s.charAt(e - 2)) >= 0
+      def longCond(e: Int): Boolean =
+        e - 2 >= p1 && longPairs.contains(s.substring(e - 2, e))
+      val cands: Seq[(String, Int => Boolean)] = Seq(
+        ("seen", longCond _), ("tten", viCond _), ("siin", viCond _),
+        ("den", viCond _),
+        ("lla", null), ("ssa", null), ("tta", null), ("lle", null),
+        ("ine", null), ("ksi", null), ("han", null), ("hen", null),
+        ("hin", null), ("hon", null), ("hän", null), ("hön", null),
+        ("llä", null), ("ssä", null), ("ltä", null), ("stä", null),
+        ("ttä", null), ("lta", null), ("sta", null),
+        ("na", null), ("ta", null), ("nä", null), ("tä", null),
+        ("n", null), ("a", null), ("ä", null)
+      ).sortBy(-_._1.length)
+      cands.find { case (c, cond) =>
+        s.endsWith(c) && fitsR1(c.length) &&
+          (cond == null || cond(s.length - c.length))
+      }.foreach { case (c, _) =>
+        val e = s.length - c.length
+        def pre(ch: Char) = e >= 1 && s.charAt(e - 1) == ch
+        c match {
+          case "han" => if (pre('a')) { del(3); endingRemoved = true }
+          case "hen" => if (pre('e')) { del(3); endingRemoved = true }
+          case "hin" => if (pre('i')) { del(3); endingRemoved = true }
+          case "hon" => if (pre('o')) { del(3); endingRemoved = true }
+          case "hän" => if (pre('ä')) { del(3); endingRemoved = true }
+          case "hön" => if (pre('ö')) { del(3); endingRemoved = true }
+          case "tta" | "ttä" =>
+            if (pre('e')) { del(3); endingRemoved = true }
+          case "a" | "ä" =>
+            // preceded by V1 preceded by non-V1 (both unbounded)
+            if (e >= 2 && V1.indexOf(s.charAt(e - 1)) >= 0 &&
+              V1.indexOf(s.charAt(e - 2)) < 0) {
+              del(1); endingRemoved = true
+            }
+          case "n" =>
+            del(1)
+            endingRemoved = true
+            // try: LONG or 'ie' before the n -> drop one more char
+            val m = s.length
+            if ((m >= 2 && longPairs.contains(s.substring(m - 2))) ||
+              s.endsWith("ie")) del(1)
+          case other =>
+            del(other.length); endingRemoved = true
+        }
+      }
+    }
+
+    // ---- step 4: other endings (a_7, whole suffix in R2)
+    Seq("impi", "impa", "impä", "immi", "imma", "immä", "eja", "ejä",
+      "mpi", "mpa", "mpä", "mmi", "mma", "mmä").sortBy(-_.length)
+      .find(c => s.endsWith(c) && fitsR2(c.length))
+      .foreach { c =>
+        if (Set("mpi", "mpa", "mpä", "mmi", "mma", "mmä").contains(c)) {
+          if (!endsAt(s.length - 3, "po")) del(3)
+        } else del(c.length)
+      }
+
+    // ---- step 5: i-plural (after a removed case ending) or t-plural
+    if (endingRemoved) {
+      if ((s.endsWith("i") || s.endsWith("j")) && fitsR1(1)) del(1)
+    } else {
+      // t preceded by a V1 vowel, both within R1
+      if (s.endsWith("t") && fitsR1(1) && s.length - 2 >= p1 &&
+        V1.indexOf(s.charAt(s.length - 2)) >= 0) {
+        del(1)
+        // then mma/imma in R2 (mma blocked by a preceding po)
+        if (s.endsWith("imma") && fitsR2(4)) del(4)
+        else if (s.endsWith("mma") && fitsR2(3)) {
+          if (!endsAt(s.length - 3, "po")) del(3)
+        }
+      }
+    }
+
+    // ---- step 6: tidy (all but the undouble limited to R1)
+    if (s.length >= 2 && s.length - 2 >= p1 &&
+      longPairs.contains(s.substring(s.length - 2))) del(1)
+    if (s.length >= 2 && s.length - 2 >= p1 &&
+      AEI.indexOf(s.charAt(s.length - 1)) >= 0 &&
+      V1.indexOf(s.charAt(s.length - 2)) < 0) del(1)
+    if (s.length >= 2 && s.length - 2 >= p1 && s.endsWith("j") &&
+      (s.charAt(s.length - 2) == 'o' || s.charAt(s.length - 2) == 'u'))
+      del(1)
+    if (s.length >= 2 && s.length - 2 >= p1 && s.endsWith("o") &&
+      s.charAt(s.length - 2) == 'j') del(1)
+    // unbounded final undouble: skip trailing vowels, drop one of a
+    // doubled consonant pair
+    var k = s.length
+    while (k > 0 && V1.indexOf(s.charAt(k - 1)) >= 0) k -= 1
+    if (k > 0 && k >= 2 && s.charAt(k - 2) == s.charAt(k - 1))
+      s = s.substring(0, k - 1) + s.substring(k)
+    s
+  }
+
+  def stemUtf8(v: UTF8String): UTF8String = UTF8String.fromString(stem(v.toString))
+}
+
+/** Snowball Hungarian stemmer (hungarian.sbl as compiled into the
+  * reference's `stem_UTF_8_hungarian.c`; among tables a_0..a_11 and
+  * the result→action maps decoded from that file and differential-
+  * tested bit-identical against the compiled original). R1: after the
+  * first consonant UNIT (digraphs cs/dzs/gy/ly/ny/sz/ty/zs count as
+  * one) for vowel-initial words, after the first vowel otherwise.
+  * Note the era-faithful vowel grouping: this libstemmer revision uses
+  * õ/û (Latin-1) where modern Hungarian writes ő/ű — preserved
+  * bug-compatibly, as the reference engine ships exactly this table.
+  * Steps (each an independent `do`): instrum, case (+v_ending),
+  * case_special, case_other, factive, owned, sing_owner, plur_owner,
+  * plural. */
+object HungarianStemmer {
+  private val V = "aeiouáéíóõöúûü"
+  private val digraphs = Seq("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+  private val doubles = Seq("ccs", "zzs", "ggy", "lly", "nny", "tty", "ssz",
+    "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn", "pp",
+    "rr", "ss", "tt", "vv", "zz")
+
+  private def markR1(s: String): Int = {
+    if (s.isEmpty) return s.length
+    if (V.indexOf(s.charAt(0)) >= 0) {
+      // vowel start: advance to first non-vowel, then past the
+      // consonant unit (digraph counts once)
+      var i = 1
+      while (i < s.length && V.indexOf(s.charAt(i)) >= 0) i += 1
+      if (i >= s.length) s.length
+      else digraphs.find(d => s.regionMatches(i, d, 0, d.length)) match {
+        case Some(d) => i + d.length
+        case None => i + 1
+      }
+    } else {
+      // consonant start: after the first vowel
+      var i = 1
+      while (i < s.length && V.indexOf(s.charAt(i)) < 0) i += 1
+      if (i >= s.length) s.length else i + 1
+    }
+  }
+
+  def stem(word: String): String = {
+    var s = word.toLowerCase
+    val p1 = markR1(s)
+    def inR1(sufLen: Int) = s.length - sufLen >= p1
+    def del(n: Int): Unit = s = s.substring(0, s.length - n)
+    def repl(n: Int, c: Char): Unit =
+      s = s.substring(0, s.length - n) + c
+    def doubleBefore(sufLen: Int): Boolean = {
+      val head = s.substring(0, s.length - sufLen)
+      doubles.exists(head.endsWith)
+    }
+    def undouble(): Unit =
+      // remove the second-to-last char (one of the doubled pair;
+      // correct for 3-letter doubles like ssz -> sz too)
+      s = s.substring(0, s.length - 2) + s.substring(s.length - 1)
+    def vEnding(): Unit =
+      if (s.endsWith("á") && inR1(1)) repl(1, 'a')
+      else if (s.endsWith("é") && inR1(1)) repl(1, 'e')
+    // longest unbounded match, then R1 on that one (no fallback)
+    def among(cands: Seq[String])(act: String => Unit): Unit =
+      cands.sortBy(-_.length).find(s.endsWith).foreach { c =>
+        if (inR1(c.length)) act(c)
+      }
+
+    // instrum: al/el after a double consonant
+    among(Seq("al", "el")) { c =>
+      if (doubleBefore(2)) { del(2); undouble() }
+    }
+    // case endings: delete, then v_ending
+    among(Seq("ba", "ra", "be", "re", "ig", "nak", "nek", "val", "vel",
+      "ul", "nál", "nél", "ból", "ról", "tól", "bõl", "rõl", "tõl",
+      "ül", "n", "an", "ban", "en", "ben", "képpen", "on", "ön",
+      "képp", "kor", "t", "at", "et", "ként", "anként", "enként",
+      "onként", "ot", "ért", "öt", "hez", "hoz", "höz", "vá", "vé")) { c =>
+      del(c.length); vEnding()
+    }
+    // case_special: án -> a, én -> e, ánként -> a
+    among(Seq("án", "én", "ánként")) {
+      case "én" => repl(2, 'e')
+      case c => repl(c.length, 'a')
+    }
+    // case_other: stul/stül/astul/estül delete; ástul -> a; éstül -> e
+    among(Seq("stul", "astul", "ástul", "stül", "estül", "éstül")) {
+      case "ástul" => repl(5, 'a')
+      case "éstül" => repl(5, 'e')
+      case c => del(c.length)
+    }
+    // factive: á/é after a double consonant
+    among(Seq("á", "é")) { c =>
+      if (doubleBefore(1)) { del(1); undouble() }
+    }
+    // owned
+    among(Seq("éi", "áéi", "ééi", "é", "ké", "aké", "eké", "oké",
+      "áké", "éké", "öké", "éé")) {
+      case c @ ("ééi" | "éké" | "éé") => repl(c.length, 'e')
+      case c @ ("áéi" | "áké") => repl(c.length, 'a')
+      case c => del(c.length)
+    }
+    // sing_owner
+    among(Seq("a", "ja", "d", "ad", "ed", "od", "ád", "éd", "öd", "e",
+      "je", "nk", "unk", "ánk", "énk", "ünk", "uk", "juk", "ájuk",
+      "ük", "jük", "éjük", "m", "am", "em", "om", "ám", "ém", "o",
+      "á", "é")) {
+      case c @ ("ád" | "ánk" | "ájuk" | "ám" | "á") => repl(c.length, 'a')
+      case c @ ("éd" | "énk" | "éjük" | "ém" | "é") => repl(c.length, 'e')
+      case c => del(c.length)
+    }
+    // plur_owner
+    among(Seq("id", "aid", "jaid", "eid", "jeid", "áid", "éid", "i",
+      "ai", "jai", "ei", "jei", "ái", "éi", "itek", "eitek", "jeitek",
+      "éitek", "ik", "aik", "jaik", "eik", "jeik", "áik", "éik", "ink",
+      "aink", "jaink", "eink", "jeink", "áink", "éink", "aitok",
+      "jaitok", "áitok", "im", "aim", "jaim", "eim", "jeim", "áim",
+      "éim")) {
+      case c @ ("áid" | "ái" | "áik" | "áink" | "áitok" | "áim") =>
+        repl(c.length, 'a')
+      case c @ ("éid" | "éi" | "éitek" | "éik" | "éink" | "éim") =>
+        repl(c.length, 'e')
+      case c => del(c.length)
+    }
+    // plural: ák -> a, ék -> e, k/ak/ok/ek/ök delete
+    among(Seq("k", "ak", "ek", "ok", "ák", "ék", "ök")) {
+      case "ák" => repl(2, 'a')
+      case "ék" => repl(2, 'e')
+      case c => del(c.length)
+    }
+    s
+  }
+
+  def stemUtf8(v: UTF8String): UTF8String = UTF8String.fromString(stem(v.toString))
+}
+
+/** `hungarian_stem(word)` codegen expression. */
+case class HungarianStem(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "hungarian_stem"
+  override def nullSafeEval(v: Any): Any =
+    HungarianStemmer.stemUtf8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HungarianStemmer.stemUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): HungarianStem =
+    copy(child = newChild)
+}
+
+/** `finnish_stem(word)` codegen expression. */
+case class FinnishStem(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "finnish_stem"
+  override def nullSafeEval(v: Any): Any =
+    FinnishStemmer.stemUtf8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FinnishStemmer.stemUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): FinnishStem =
+    copy(child = newChild)
+}
+
 /** `danish_stem(word)` codegen expression. */
 case class DanishStem(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -1892,6 +2219,79 @@ object TsLexize {
     "vilka", "ditt", "vem", "vilket", "sitta", "sådana", "vart",
     "dina", "vars", "vårt", "våra", "ert", "era", "vilkas")
 
+  /** The standard snowball Finnish stopword list PG ships as
+    * `src/backend/snowball/stopwords/finnish.stop` (public snowball
+    * project data). */
+  val finnishStopwords: Seq[String] = Seq(
+    "olla", "olen", "olet", "on", "olemme", "olette", "ovat", "ole",
+    "oli", "olisi", "olisit", "olisin", "olisimme", "olisitte",
+    "olisivat", "olit", "olin", "olimme", "olitte", "olivat", "ollut",
+    "olleet", "en", "et", "ei", "emme", "ette", "eivät", "minä",
+    "minun", "minut", "minua", "minussa", "minusta", "minuun",
+    "minulla", "minulta", "minulle", "sinä", "sinun", "sinut", "sinua",
+    "sinussa", "sinusta", "sinuun", "sinulla", "sinulta", "sinulle",
+    "hän", "hänen", "hänet", "häntä", "hänessä", "hänestä", "häneen",
+    "hänellä", "häneltä", "hänelle", "me", "meidän", "meidät", "meitä",
+    "meissä", "meistä", "meihin", "meillä", "meiltä", "meille", "te",
+    "teidän", "teidät", "teitä", "teissä", "teistä", "teihin",
+    "teillä", "teiltä", "teille", "he", "heidän", "heidät", "heitä",
+    "heissä", "heistä", "heihin", "heillä", "heiltä", "heille", "tämä",
+    "tämän", "tätä", "tässä", "tästä", "tähän", "tallä", "tältä",
+    "tälle", "tänä", "täksi", "tuo", "tuon", "tuotä", "tuossa",
+    "tuosta", "tuohon", "tuolla", "tuolta", "tuolle", "tuona",
+    "tuoksi", "se", "sen", "sitä", "siinä", "siitä", "siihen", "sillä",
+    "siltä", "sille", "sinä", "siksi", "nämä", "näiden", "näitä",
+    "näissä", "näistä", "näihin", "näillä", "näiltä", "näille",
+    "näinä", "näiksi", "nuo", "noiden", "noita", "noissa", "noista",
+    "noihin", "noilla", "noilta", "noille", "noina", "noiksi", "ne",
+    "niiden", "niitä", "niissä", "niistä", "niihin", "niillä",
+    "niiltä", "niille", "niinä", "niiksi", "kuka", "kenen", "kenet",
+    "ketä", "kenessä", "kenestä", "keneen", "kenellä", "keneltä",
+    "kenelle", "kenenä", "keneksi", "ketkä", "keiden", "ketkä",
+    "keitä", "keissä", "keistä", "keihin", "keillä", "keiltä",
+    "keille", "keinä", "keiksi", "mikä", "minkä", "minkä", "mitä",
+    "missä", "mistä", "mihin", "millä", "miltä", "mille", "minä",
+    "miksi", "mitkä", "joka", "jonka", "jota", "jossa", "josta",
+    "johon", "jolla", "jolta", "jolle", "jona", "joksi", "jotka",
+    "joiden", "joita", "joissa", "joista", "joihin", "joilla",
+    "joilta", "joille", "joina", "joiksi", "että", "ja", "jos",
+    "koska", "kuin", "mutta", "niin", "sekä", "sillä", "tai", "vaan",
+    "vai", "vaikka", "kanssa", "mukaan", "noin", "poikki", "yli",
+    "kun", "niin", "nyt", "itse")
+
+  /** The standard snowball Hungarian stopword list PG ships as
+    * `src/backend/snowball/stopwords/hungarian.stop` (public snowball
+    * project data). */
+  val hungarianStopwords: Seq[String] = Seq(
+    "a", "ahogy", "ahol", "aki", "akik", "akkor", "alatt", "által",
+    "általában", "amely", "amelyek", "amelyekben", "amelyeket",
+    "amelyet", "amelynek", "ami", "amit", "amolyan", "amíg", "amikor",
+    "át", "abban", "ahhoz", "annak", "arra", "arról", "az", "azok",
+    "azon", "azt", "azzal", "azért", "aztán", "azután", "azonban",
+    "bár", "be", "belül", "benne", "cikk", "cikkek", "cikkeket",
+    "csak", "de", "e", "eddig", "egész", "egy", "egyes", "egyetlen",
+    "egyéb", "egyik", "egyre", "ekkor", "el", "elég", "ellen", "elő",
+    "először", "előtt", "első", "én", "éppen", "ebben", "ehhez",
+    "emilyen", "ennek", "erre", "ez", "ezt", "ezek", "ezen", "ezzel",
+    "ezért", "és", "fel", "felé", "hanem", "hiszen", "hogy", "hogyan",
+    "igen", "így", "illetve", "ill.", "ill", "ilyen", "ilyenkor",
+    "ison", "ismét", "itt", "jó", "jól", "jobban", "kell", "kellett",
+    "keresztül", "keressünk", "ki", "kívül", "között", "közül",
+    "legalább", "lehet", "lehetett", "legyen", "lenne", "lenni",
+    "lesz", "lett", "maga", "magát", "majd", "majd", "már", "más",
+    "másik", "meg", "még", "mellett", "mert", "mely", "melyek", "mi",
+    "mit", "míg", "miért", "milyen", "mikor", "minden", "mindent",
+    "mindenki", "mindig", "mint", "mintha", "mivel", "most", "nagy",
+    "nagyobb", "nagyon", "ne", "néha", "nekem", "neki", "nem",
+    "néhány", "nélkül", "nincs", "olyan", "ott", "össze", "ő", "ők",
+    "őket", "pedig", "persze", "rá", "s", "saját", "sem", "semmi",
+    "sok", "sokat", "sokkal", "számára", "szemben", "szerint",
+    "szinte", "talán", "tehát", "teljes", "tovább", "továbbá", "több",
+    "úgy", "ugyanis", "új", "újabb", "újra", "után", "utána", "utolsó",
+    "vagy", "vagyis", "valaki", "valami", "valamint", "való", "vagyok",
+    "van", "vannak", "volt", "voltam", "voltak", "voltunk", "vissza",
+    "vele", "viszont", "volna")
+
   private val configs: Map[String, (Seq[String], String)] = Map(
     "english" -> (englishStopwords, "porter_stem"),
     "german" -> (germanStopwords, "german_stem"),
@@ -1903,7 +2303,9 @@ object TsLexize {
     "dutch" -> (dutchStopwords, "dutch_stem"),
     "danish" -> (danishStopwords, "danish_stem"),
     "norwegian" -> (norwegianStopwords, "norwegian_stem"),
-    "swedish" -> (swedishStopwords, "swedish_stem"))
+    "swedish" -> (swedishStopwords, "swedish_stem"),
+    "finnish" -> (finnishStopwords, "finnish_stem"),
+    "hungarian" -> (hungarianStopwords, "hungarian_stem"))
 
   /** lowercase → drop stopwords → stem, one declarative pass
     * (ts_lexize through the named configuration — `english` and
@@ -1933,6 +2335,8 @@ object TsLexize {
     case "danish" => DanishStemmer.stem
     case "norwegian" => NorwegianStemmer.stem
     case "swedish" => SwedishStemmer.stem
+    case "finnish" => FinnishStemmer.stem
+    case "hungarian" => HungarianStemmer.stem
     case _ => PorterStemmer.stem
   }
 

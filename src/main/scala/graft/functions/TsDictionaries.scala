@@ -71,7 +71,9 @@ object TsDictionaries {
     "dutch_stem" -> StemDict("dutch"),
     "danish_stem" -> StemDict("danish"),
     "norwegian_stem" -> StemDict("norwegian"),
-    "swedish_stem" -> StemDict("swedish"))
+    "swedish_stem" -> StemDict("swedish"),
+    "finnish_stem" -> StemDict("finnish"),
+    "hungarian_stem" -> StemDict("hungarian"))
 
   /** PG ts_lexize contract: None = dictionary does not recognize the
     * token (SQL NULL); Some(Nil) = recognized and discarded. */

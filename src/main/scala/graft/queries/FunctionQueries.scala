@@ -1042,6 +1042,55 @@ object FunctionQueries {
         .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
     }),
 
+    // Thirteenth/fourteenth snowball languages — Finnish and Hungarian,
+    // the two structurally hardest in the reference's libstemmer
+    // (Finnish: particle/possessive/case/tidy chain with the VI/LONG
+    // among-fallbacks; Hungarian: digraph-aware R1). Differential-
+    // tested bit-identical over 7.6k/10.3k words (ScandinavianStemSpec).
+    "q255_ts_finnish" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      val vocab = Seq("taloissa", "kirjastossa", "opiskelijat",
+        "kaupungissa", "yliopistossa", "tutkimuksissa", "kysymyksiin",
+        "opettajien", "nopeasti", "kauniisti", "ikkunoissa", "lapsille")
+      val va = array(vocab.map(lit): _*)
+      def pick(idx: org.apache.spark.sql.Column) =
+        element_at(va, (idx % 12).cast("int") + 1)
+      val text = concat_ws(" ",
+        pick(col("doc_id")), lit("ja"),
+        pick(col("doc_id") + 2), lit("on"),
+        pick(col("doc_id") * 7 + 3))
+      val stems = TsLexize.stemTerms(
+        Seq("taloissa", "kirjastossa"), "finnish")
+      t(s, d, "documents")
+        .select(col("doc_id"), text.as("text"))
+        .withColumn("lexed",
+          TsLexize.lexize(split(col("text"), " "), "finnish"))
+        .where(Ranges.tsMatch(col("lexed"), stems))
+        .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
+    }),
+
+    "q256_ts_hungarian" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      val vocab = Seq("asztalok", "emberek", "házakban", "kutyáknak",
+        "iskolában", "tanárok", "könyveket", "ablakon", "autóval",
+        "városokban", "országok", "leveleket")
+      val va = array(vocab.map(lit): _*)
+      def pick(idx: org.apache.spark.sql.Column) =
+        element_at(va, (idx % 12).cast("int") + 1)
+      val text = concat_ws(" ",
+        pick(col("doc_id")), lit("és"),
+        pick(col("doc_id") + 2), lit("nem"),
+        pick(col("doc_id") * 7 + 3))
+      val stems = TsLexize.stemTerms(
+        Seq("asztalok", "emberek"), "hungarian")
+      t(s, d, "documents")
+        .select(col("doc_id"), text.as("text"))
+        .withColumn("lexed",
+          TsLexize.lexize(split(col("text"), " "), "hungarian"))
+        .where(Ranges.tsMatch(col("lexed"), stems))
+        .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
+    }),
+
     // ts_headline through the stemming dictionary: covers computed on
     // stems, snippet shows the original inflected words, marked when
     // their stem matches a query stem.
@@ -2445,6 +2494,42 @@ object FunctionQueries {
       val stems = vocab.map(w => s"'${SwedishStemmer.stem(w)}'").mkString(", ")
       val q1 = SwedishStemmer.stem("jordbruksgrödorna")
       val q2 = SwedishStemmer.stem("intäkterna")
+      s"""WITH b AS (SELECT doc_id,
+         |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
+         |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,
+         |    [$stems][CAST(1 + (doc_id * 7 + 3) % 12 AS INT)] AS s3
+         |  FROM documents)
+         |SELECT doc_id, s1 || ' ' || s2 || ' ' || s3 AS lexed
+         |FROM b
+         |WHERE (s1 = '$q1' OR s2 = '$q1' OR s3 = '$q1')
+         |  AND (s1 = '$q2' OR s2 = '$q2' OR s3 = '$q2')""".stripMargin
+    },
+    "q255_ts_finnish" -> {
+      import graft.functions.FinnishStemmer
+      val vocab = Seq("taloissa", "kirjastossa", "opiskelijat",
+        "kaupungissa", "yliopistossa", "tutkimuksissa", "kysymyksiin",
+        "opettajien", "nopeasti", "kauniisti", "ikkunoissa", "lapsille")
+      val stems = vocab.map(w => s"'${FinnishStemmer.stem(w)}'").mkString(", ")
+      val q1 = FinnishStemmer.stem("taloissa")
+      val q2 = FinnishStemmer.stem("kirjastossa")
+      s"""WITH b AS (SELECT doc_id,
+         |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
+         |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,
+         |    [$stems][CAST(1 + (doc_id * 7 + 3) % 12 AS INT)] AS s3
+         |  FROM documents)
+         |SELECT doc_id, s1 || ' ' || s2 || ' ' || s3 AS lexed
+         |FROM b
+         |WHERE (s1 = '$q1' OR s2 = '$q1' OR s3 = '$q1')
+         |  AND (s1 = '$q2' OR s2 = '$q2' OR s3 = '$q2')""".stripMargin
+    },
+    "q256_ts_hungarian" -> {
+      import graft.functions.HungarianStemmer
+      val vocab = Seq("asztalok", "emberek", "házakban", "kutyáknak",
+        "iskolában", "tanárok", "könyveket", "ablakon", "autóval",
+        "városokban", "országok", "leveleket")
+      val stems = vocab.map(w => s"'${HungarianStemmer.stem(w)}'").mkString(", ")
+      val q1 = HungarianStemmer.stem("asztalok")
+      val q2 = HungarianStemmer.stem("emberek")
       s"""WITH b AS (SELECT doc_id,
          |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
          |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,

@@ -2,13 +2,15 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{DanishStemmer, NorwegianStemmer, SwedishStemmer}
+import graft.functions.{DanishStemmer, FinnishStemmer, HungarianStemmer, NorwegianStemmer, SwedishStemmer}
 
-/** Differential test for the Scandinavian snowball stemmers: every
+/** Differential test for the Scandinavian + Finnish + Hungarian
+  * snowball stemmers: every
   * (word, stem) pair in `scandinavian_stem_vectors.json` was produced
   * by compiling the reference's own libstemmer sources
   * (`src/backend/snowball/libstemmer/stem_UTF_8_{danish,norwegian,
-  * swedish}.c` + api.c/utilities.c) and running ~1200-1400 words per
+  * swedish,finnish,hungarian}.c` + api.c/utilities.c) and running
+  * 1200-10000 words per
   * language through them — root×suffix combinations covering every
   * among entry, the valid-s-ending classes, R1-clamp short words, and
   * realistic inflected vocabulary. Our implementation must be
@@ -62,5 +64,13 @@ class ScandinavianStemSpec extends AnyFunSuite {
 
   test("swedish stemmer matches the compiled reference on all vectors") {
     check("swedish", SwedishStemmer.stem)
+  }
+
+  test("finnish stemmer matches the compiled reference on all vectors") {
+    check("finnish", FinnishStemmer.stem)
+  }
+
+  test("hungarian stemmer matches the compiled reference on all vectors") {
+    check("hungarian", HungarianStemmer.stem)
   }
 }
