@@ -709,6 +709,10 @@ object GraftFunctions {
       info("hungarian_stem", "hungarian_stem(word) - snowball Hungarian stemmer"),
       (args: Seq[Expression]) => HungarianStem(Cast(args(0), StringType)))
     reg.registerFunction(
+      FunctionIdentifier("romanian_stem"),
+      info("romanian_stem", "romanian_stem(word) - snowball Romanian stemmer"),
+      (args: Seq[Expression]) => RomanianStem(Cast(args(0), StringType)))
+    reg.registerFunction(
       FunctionIdentifier("to_number_pg"),
       info("to_number_pg", "to_number_pg(text, fmt) - PG numeric template parsing"),
       (args: Seq[Expression]) => ToNumberPg(Cast(args(0), StringType), args(1)))

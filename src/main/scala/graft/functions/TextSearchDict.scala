@@ -1841,6 +1841,187 @@ object HungarianStemmer {
   def stemUtf8(v: UTF8String): UTF8String = UTF8String.fromString(stem(v.toString))
 }
 
+/** Snowball Romanian stemmer (romanian.sbl as compiled into the
+  * reference's `stem_UTF_8_romanian.c`; among tables a_0..a_5 decoded
+  * from that file, differential-tested bit-identical against the
+  * compiled original). Romance shape: the u/i-between-vowels prelude
+  * (U/I markers), Spanish-style RV/R1/R2, step 0 plural/article
+  * removal, a repeated combo-suffix pass feeding the standard-suffix
+  * R2 step, verb suffixes in RV only when no standard suffix was
+  * removed, the final vowel suffix, and the unmarking postlude.
+  * Diacritics follow the era's cedilla forms (ş/ţ), as the reference
+  * ships them. */
+object RomanianStemmer {
+  private val vowels = "aeiouâîă"
+  @inline private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+  private def region(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && !isV(s.charAt(i))) i += 1
+    while (i < s.length && isV(s.charAt(i))) i += 1
+    if (i < s.length) i + 1 else s.length
+  }
+
+  // verb suffixes (a_4): class 2 deletes unconditionally; class 1
+  // needs a consonant or 'u' immediately before (within RV)
+  private val verbClass2 = Set("se", "sese", "sei", "seşi", "seseşi",
+    "aţi", "eţi", "iţi", "âţi", "serăţi", "seserăţi", "em", "sesem",
+    "im", "ăm", "âm", "serăm", "seserăm", "seră", "seseră")
+  private val verbSuffixes: Seq[String] = (Seq("ea", "ia", "esc", "ăsc",
+    "ind", "ând", "are", "ere", "ire", "âre", "ase", "ise", "use",
+    "âse", "eşte", "ăşte", "eze", "ai", "eai", "iai", "eşti", "ăşti",
+    "ui", "ezi", "aşi", "aseşi", "iseşi", "useşi", "âseşi", "işi",
+    "uşi", "âşi", "âi", "eaţi", "iaţi", "arăţi", "aserăţi", "iserăţi",
+    "userăţi", "âserăţi", "irăţi", "urăţi", "ârăţi", "am", "eam",
+    "iam", "asem", "isem", "usem", "âsem", "arăm", "aserăm",
+    "iserăm", "userăm", "âserăm", "irăm", "urăm", "ârăm", "au", "eau",
+    "iau", "indu", "ându", "ez", "ească", "ară", "aseră", "iseră",
+    "useră", "âseră", "iră", "ură", "âră", "ează") ++ verbClass2)
+    .sortBy(-_.length)
+
+  def stem(word: String): String = {
+    var s = word.toLowerCase
+    // prelude: u/i between vowels -> marker U/I (state-aware scan)
+    if (s.length >= 3) {
+      val sb = new StringBuilder(s)
+      var i = 1
+      while (i + 1 < sb.length) {
+        val c = sb.charAt(i)
+        if ((c == 'u' || c == 'i') && isV(sb.charAt(i - 1)) &&
+          isV(sb.charAt(i + 1)))
+          sb.setCharAt(i, if (c == 'u') 'U' else 'I')
+        i += 1
+      }
+      s = sb.toString
+    }
+    // regions on the marked string (U/I are not vowels)
+    val rv: Int =
+      if (s.length < 2) s.length
+      else if (!isV(s.charAt(1))) {
+        var i = 2
+        while (i < s.length && !isV(s.charAt(i))) i += 1
+        if (i < s.length) i + 1 else s.length
+      } else if (isV(s.charAt(0))) {
+        var i = 2
+        while (i < s.length && isV(s.charAt(i))) i += 1
+        if (i < s.length) i + 1 else s.length
+      } else if (s.length > 2) 3
+      else s.length
+    val r1 = region(s, 0)
+    val r2 = region(s, r1)
+    def inR1(n: Int) = s.length - n >= r1
+    def inR2(n: Int) = s.length - n >= r2
+    def inRV(n: Int) = s.length - n >= rv
+    def replaceSuf(sufLen: Int, repl: String): Unit =
+      s = s.substring(0, s.length - sufLen) + repl
+
+    // ---- step 0 (a_1): unbounded longest match, then R1 on it
+    Seq("ea", "aţia", "aua", "iua", "aţie", "ele", "ile", "iile",
+      "iei", "atei", "ii", "ului", "ul", "elor", "ilor", "iilor")
+      .sortBy(-_.length).find(s.endsWith).foreach { c =>
+      if (inR1(c.length)) c match {
+        case "ul" | "ului" => replaceSuf(c.length, "")
+        case "aua" => replaceSuf(3, "a")
+        case "ea" | "ele" | "elor" => replaceSuf(c.length, "e")
+        case "ile" =>
+          if (!(s.length >= 5 && s.regionMatches(s.length - 5, "ab", 0, 2)))
+            replaceSuf(3, "i")
+        case "atei" => replaceSuf(4, "at")
+        case "aţia" | "aţie" => replaceSuf(4, "aţi")
+        case _ => replaceSuf(c.length, "i") // iua iile iei ii ilor iilor
+      }
+    }
+
+    // ---- standard suffixes: repeated combo pass, then the R2 among
+    var flag = false
+    var comboAgain = true
+    while (comboAgain) {
+      comboAgain = false
+      val combo = Seq(
+        ("abilitate", "abil"), ("abilitati", "abil"), ("abilităi", "abil"),
+        ("abilităţi", "abil"), ("ibilitate", "ibil"),
+        ("ivitate", "iv"), ("ivitati", "iv"), ("ivităi", "iv"),
+        ("ivităţi", "iv"),
+        ("icala", "ic"), ("icale", "ic"), ("icali", "ic"), ("icală", "ic"),
+        ("iciva", "ic"), ("icive", "ic"), ("icivi", "ic"), ("icivă", "ic"),
+        ("iciv", "ic"), ("ical", "ic"),
+        ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"),
+        ("icităţi", "ic"), ("icatori", "ic"), ("icator", "ic"),
+        ("ativa", "at"), ("ative", "at"), ("ativi", "at"), ("ativă", "at"),
+        ("ativ", "at"), ("aţiune", "at"), ("atoare", "at"), ("ătoare", "at"),
+        ("atori", "at"), ("ători", "at"), ("ator", "at"), ("ător", "at"),
+        ("itiva", "it"), ("itive", "it"), ("itivi", "it"), ("itivă", "it"),
+        ("itiv", "it"), ("iţiune", "it"), ("itoare", "it"), ("itori", "it"),
+        ("itor", "it")).sortBy(-_._1.length)
+      combo.find { case (c, _) => s.endsWith(c) }.foreach { case (c, r) =>
+        if (inR1(c.length)) {
+          replaceSuf(c.length, r)
+          flag = true
+          comboAgain = true
+        }
+      }
+    }
+    Seq("ica", "abila", "ibila", "oasa", "ata", "ita", "anta", "ista",
+      "uta", "iva", "ic", "ice", "abile", "ibile", "isme", "iune",
+      "oase", "ate", "itate", "ite", "ante", "iste", "ute", "ive",
+      "ici", "abili", "ibili", "iuni", "atori", "osi", "ati", "itati",
+      "iti", "anti", "isti", "uti", "işti", "ivi", "ităi", "oşi",
+      "ităţi", "abil", "ibil", "ism", "ator", "os", "at", "it", "ant",
+      "ist", "ut", "iv", "ică", "abilă", "ibilă", "oasă", "ată", "ită",
+      "antă", "istă", "ută", "ivă").sortBy(-_.length)
+      .find(s.endsWith).foreach { c =>
+      if (inR2(c.length)) c match {
+        case "iune" | "iuni" =>
+          if (s.length >= c.length + 1 &&
+            s.charAt(s.length - c.length - 1) == 'ţ') {
+            replaceSuf(c.length + 1, "t")
+            flag = true
+          }
+        case "ism" | "isme" | "ist" | "ista" | "iste" | "isti" |
+             "istă" | "işti" =>
+          replaceSuf(c.length, "ist"); flag = true
+        case _ => replaceSuf(c.length, ""); flag = true
+      }
+    }
+
+    // ---- verb suffixes: only when nothing standard was removed;
+    // the among itself is RV-limited (shorter candidates fall back)
+    if (!flag) {
+      verbSuffixes.find(c => s.endsWith(c) && inRV(c.length)).foreach { c =>
+        if (verbClass2.contains(c)) replaceSuf(c.length, "")
+        else {
+          val e = s.length - c.length
+          if (e - 1 >= rv &&
+            (!isV(s.charAt(e - 1)) || s.charAt(e - 1) == 'u'))
+            replaceSuf(c.length, "")
+        }
+      }
+    }
+
+    // ---- final vowel suffix (a_5 in RV)
+    Seq("ie", "a", "e", "i", "ă").find(s.endsWith).foreach { c =>
+      if (inRV(c.length)) replaceSuf(c.length, "")
+    }
+
+    // ---- postlude: unmark
+    s.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
+  }
+
+  def stemUtf8(v: UTF8String): UTF8String = UTF8String.fromString(stem(v.toString))
+}
+
+/** `romanian_stem(word)` codegen expression. */
+case class RomanianStem(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "romanian_stem"
+  override def nullSafeEval(v: Any): Any =
+    RomanianStemmer.stemUtf8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RomanianStemmer.stemUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): RomanianStem =
+    copy(child = newChild)
+}
+
 /** `hungarian_stem(word)` codegen expression. */
 case class HungarianStem(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -2305,7 +2486,10 @@ object TsLexize {
     "norwegian" -> (norwegianStopwords, "norwegian_stem"),
     "swedish" -> (swedishStopwords, "swedish_stem"),
     "finnish" -> (finnishStopwords, "finnish_stem"),
-    "hungarian" -> (hungarianStopwords, "hungarian_stem"))
+    "hungarian" -> (hungarianStopwords, "hungarian_stem"),
+    // the reference ships no romanian.stop (snowball/Makefile installs
+    // stopword files only where present) — empty stopword list
+    "romanian" -> (Seq.empty[String], "romanian_stem"))
 
   /** lowercase → drop stopwords → stem, one declarative pass
     * (ts_lexize through the named configuration — `english` and
@@ -2337,6 +2521,7 @@ object TsLexize {
     case "swedish" => SwedishStemmer.stem
     case "finnish" => FinnishStemmer.stem
     case "hungarian" => HungarianStemmer.stem
+    case "romanian" => RomanianStemmer.stem
     case _ => PorterStemmer.stem
   }
 

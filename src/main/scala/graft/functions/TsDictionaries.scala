@@ -73,7 +73,8 @@ object TsDictionaries {
     "norwegian_stem" -> StemDict("norwegian"),
     "swedish_stem" -> StemDict("swedish"),
     "finnish_stem" -> StemDict("finnish"),
-    "hungarian_stem" -> StemDict("hungarian"))
+    "hungarian_stem" -> StemDict("hungarian"),
+    "romanian_stem" -> StemDict("romanian"))
 
   /** PG ts_lexize contract: None = dictionary does not recognize the
     * token (SQL NULL); Some(Nil) = recognized and discarded. */

@@ -1091,6 +1091,31 @@ object FunctionQueries {
         .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
     }),
 
+    // Fifteenth snowball language — Romanian (the Romance RV/R1/R2
+    // shape with the U/I prelude; no stopword file in the reference,
+    // so the lexize chain is stem-only). Differential-tested over
+    // 14.4k words (ScandinavianStemSpec).
+    "q257_ts_romanian" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      val vocab = Seq("lucrurile", "frumoasa", "copilului", "cartea",
+        "oraşele", "muntelui", "florile", "prietenii", "şcolile",
+        "cuvintele", "naţiunea", "călătorii")
+      val va = array(vocab.map(lit): _*)
+      def pick(idx: org.apache.spark.sql.Column) =
+        element_at(va, (idx % 12).cast("int") + 1)
+      val text = concat_ws(" ",
+        pick(col("doc_id")), pick(col("doc_id") + 2),
+        pick(col("doc_id") * 7 + 3))
+      val stems = TsLexize.stemTerms(
+        Seq("lucrurile", "frumoasa"), "romanian")
+      t(s, d, "documents")
+        .select(col("doc_id"), text.as("text"))
+        .withColumn("lexed",
+          TsLexize.lexize(split(col("text"), " "), "romanian"))
+        .where(Ranges.tsMatch(col("lexed"), stems))
+        .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
+    }),
+
     // ts_headline through the stemming dictionary: covers computed on
     // stems, snippet shows the original inflected words, marked when
     // their stem matches a query stem.
@@ -2530,6 +2555,24 @@ object FunctionQueries {
       val stems = vocab.map(w => s"'${HungarianStemmer.stem(w)}'").mkString(", ")
       val q1 = HungarianStemmer.stem("asztalok")
       val q2 = HungarianStemmer.stem("emberek")
+      s"""WITH b AS (SELECT doc_id,
+         |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
+         |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,
+         |    [$stems][CAST(1 + (doc_id * 7 + 3) % 12 AS INT)] AS s3
+         |  FROM documents)
+         |SELECT doc_id, s1 || ' ' || s2 || ' ' || s3 AS lexed
+         |FROM b
+         |WHERE (s1 = '$q1' OR s2 = '$q1' OR s3 = '$q1')
+         |  AND (s1 = '$q2' OR s2 = '$q2' OR s3 = '$q2')""".stripMargin
+    },
+    "q257_ts_romanian" -> {
+      import graft.functions.RomanianStemmer
+      val vocab = Seq("lucrurile", "frumoasa", "copilului", "cartea",
+        "oraşele", "muntelui", "florile", "prietenii", "şcolile",
+        "cuvintele", "naţiunea", "călătorii")
+      val stems = vocab.map(w => s"'${RomanianStemmer.stem(w)}'").mkString(", ")
+      val q1 = RomanianStemmer.stem("lucrurile")
+      val q2 = RomanianStemmer.stem("frumoasa")
       s"""WITH b AS (SELECT doc_id,
          |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
          |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,

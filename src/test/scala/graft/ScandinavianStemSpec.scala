@@ -2,14 +2,14 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{DanishStemmer, FinnishStemmer, HungarianStemmer, NorwegianStemmer, SwedishStemmer}
+import graft.functions.{DanishStemmer, FinnishStemmer, HungarianStemmer, NorwegianStemmer, RomanianStemmer, SwedishStemmer}
 
 /** Differential test for the Scandinavian + Finnish + Hungarian
   * snowball stemmers: every
   * (word, stem) pair in `scandinavian_stem_vectors.json` was produced
   * by compiling the reference's own libstemmer sources
   * (`src/backend/snowball/libstemmer/stem_UTF_8_{danish,norwegian,
-  * swedish,finnish,hungarian}.c` + api.c/utilities.c) and running
+  * swedish,finnish,hungarian,romanian}.c` + api.c/utilities.c) and running
   * 1200-10000 words per
   * language through them — root×suffix combinations covering every
   * among entry, the valid-s-ending classes, R1-clamp short words, and
@@ -72,5 +72,9 @@ class ScandinavianStemSpec extends AnyFunSuite {
 
   test("hungarian stemmer matches the compiled reference on all vectors") {
     check("hungarian", HungarianStemmer.stem)
+  }
+
+  test("romanian stemmer matches the compiled reference on all vectors") {
+    check("romanian", RomanianStemmer.stem)
   }
 }
