@@ -713,6 +713,10 @@ object GraftFunctions {
       info("romanian_stem", "romanian_stem(word) - snowball Romanian stemmer"),
       (args: Seq[Expression]) => RomanianStem(Cast(args(0), StringType)))
     reg.registerFunction(
+      FunctionIdentifier("turkish_stem"),
+      info("turkish_stem", "turkish_stem(word) - snowball Turkish stemmer"),
+      (args: Seq[Expression]) => TurkishStem(Cast(args(0), StringType)))
+    reg.registerFunction(
       FunctionIdentifier("to_number_pg"),
       info("to_number_pg", "to_number_pg(text, fmt) - PG numeric template parsing"),
       (args: Seq[Expression]) => ToNumberPg(Cast(args(0), StringType), args(1)))

@@ -2010,6 +2010,543 @@ object RomanianStemmer {
   def stemUtf8(v: UTF8String): UTF8String = UTF8String.fromString(stem(v.toString))
 }
 
+/** Snowball Turkish stemmer (turkish.sbl as compiled into the
+  * reference's `stem_UTF_8_turkish.c`; groupings and among tables
+  * a_0..a_23 decoded from the generated tables, control flow traced
+  * from the generated routines; differentially tested against the
+  * compiled reference stemmer over a generated suffix-chain
+  * vocabulary — pinned vectors in ExpressionSpec).
+  *
+  * Unlike the European stemmers, Turkish has no R1/R2 regions: the
+  * whole algorithm is backward suffix stripping under vowel-harmony
+  * and optional-letter (y/n/s consonant, high-vowel) checks, then
+  * last-consonant devoicing (b→p c→ç d→t ğ→k) and a harmony-matched
+  * vowel append after a final d/g. The generated code's backtracking
+  * or/try control flow is mirrored with an explicit backward cursor;
+  * saves are distances from the string END (as in the generated
+  * code), so suffix deletions between a save and its restore keep
+  * the restored position meaningful. */
+object TurkishStemmer {
+  private val vowel = "aeıioöuü"
+  private val highV = "ıiuü" // g_U
+
+  private final class Env(var s: String) {
+    var c: Int = s.length // backward cursor: s(c-1) is the next char
+    var lb: Int = 0
+    var ket: Int = 0 // right slice mark
+    var bra: Int = 0 // left slice mark
+    var continueNoun: Boolean = true
+
+    def mark: Int = s.length - c
+    def reset(m: Int): Unit = c = s.length - m
+    def sliceDel(): Unit = { s = s.substring(0, bra) + s.substring(ket); c = bra }
+
+    def eqSB(t: String): Boolean =
+      if (c - t.length >= lb && s.startsWith(t, c - t.length)) { c -= t.length; true }
+      else false
+
+    /** longest candidate matching as a suffix at the cursor, consumed */
+    def amongB(cands: Seq[String]): Boolean =
+      cands.find(t => c - t.length >= lb && s.startsWith(t, c - t.length)) match {
+        case Some(t) => c -= t.length; true
+        case None => false
+      }
+
+    def inB(group: String): Boolean =
+      if (c > lb && group.indexOf(s.charAt(c - 1)) >= 0) { c -= 1; true } else false
+
+    /** backward goto: position the cursor so the next char is in `group` */
+    def gotoB(group: String): Boolean = {
+      var i = c
+      while (i > lb && group.indexOf(s.charAt(i - 1)) < 0) i -= 1
+      if (i > lb) { c = i; true } else false
+    }
+
+    /** the last vowel before the cursor harmonizes with an earlier
+      * vowel of its front/back + rounded/unrounded class (test-only:
+      * cursor restored) */
+    def harmony(): Boolean = {
+      val m0 = mark
+      val ok = gotoB(vowel) && {
+        val m1 = mark
+        def alt(v: String, grp: String): Boolean = { reset(m1); eqSB(v) && gotoB(grp) }
+        alt("a", "aoıu") || alt("e", "eiöü") || alt("ı", "aı") || alt("i", "ei") ||
+          alt("o", "ou") || alt("ö", "öü") || alt("u", "ou") || alt("ü", "öü")
+      }
+      reset(m0)
+      ok
+    }
+
+    /** optional suffix-initial consonant `x` (n/s/y): when present it
+      * must follow a vowel and is consumed; when absent the preceding
+      * char must itself follow a vowel (nothing consumed) */
+    def optCons(x: Char): Boolean =
+      if (c > lb && s.charAt(c - 1) == x) {
+        if (c - 2 >= lb && vowel.indexOf(s.charAt(c - 2)) >= 0) { c -= 1; true } else false
+      } else c - 2 >= lb && vowel.indexOf(s.charAt(c - 2)) >= 0
+
+    /** optional suffix-initial high vowel: when present it must follow
+      * a consonant and is consumed; when absent the preceding char
+      * must itself follow a consonant */
+    def optU(): Boolean =
+      if (c > lb && highV.indexOf(s.charAt(c - 1)) >= 0) {
+        if (c - 2 >= lb && vowel.indexOf(s.charAt(c - 2)) < 0) { c -= 1; true } else false
+      } else c - 2 >= lb && vowel.indexOf(s.charAt(c - 2)) < 0
+  }
+
+  // among tables (longest-first within each)
+  private val aPoss = Seq("miz", "niz", "muz", "nuz", "mız", "nız", "müz", "nüz", "m", "n")
+  private val aYDU = Seq(
+    "dik", "tik", "duk", "tuk", "dık", "tık", "dük", "tük",
+    "dim", "tim", "dum", "tum", "dım", "tım", "düm", "tüm",
+    "din", "tin", "dun", "tun", "dın", "tın", "dün", "tün",
+    "di", "ti", "du", "tu", "dı", "tı", "dü", "tü")
+  private val aYsA = Seq("sak", "sek", "sam", "sem", "san", "sen", "sa", "se")
+
+  private def markPossessives(z: Env) = z.amongB(aPoss) && z.optU()
+  private def markSU(z: Env) = z.harmony() && z.inB(highV) && z.optCons('s')
+  private def markLArI(z: Env) = z.amongB(Seq("leri", "ları"))
+  private def markYU(z: Env) = z.harmony() && z.inB(highV) && z.optCons('y')
+  private def markNU(z: Env) = z.harmony() && z.amongB(Seq("ni", "nu", "nı", "nü"))
+  private def markNUn(z: Env) =
+    z.harmony() && z.amongB(Seq("in", "un", "ın", "ün")) && z.optCons('n')
+  private def markYA(z: Env) = z.harmony() && z.amongB(Seq("a", "e")) && z.optCons('y')
+  private def markNA(z: Env) = z.harmony() && z.amongB(Seq("na", "ne"))
+  private def markDA(z: Env) = z.harmony() && z.amongB(Seq("da", "ta", "de", "te"))
+  private def markNdA(z: Env) = z.harmony() && z.amongB(Seq("nda", "nde"))
+  private def markDAn(z: Env) = z.harmony() && z.amongB(Seq("dan", "tan", "den", "ten"))
+  private def markNdAn(z: Env) = z.harmony() && z.amongB(Seq("ndan", "nden"))
+  private def markYlA(z: Env) = z.harmony() && z.amongB(Seq("la", "le")) && z.optCons('y')
+  private def markKi(z: Env) = z.eqSB("ki")
+  private def markNcA(z: Env) = z.harmony() && z.amongB(Seq("ca", "ce")) && z.optCons('n')
+  private def markYUm(z: Env) =
+    z.harmony() && z.amongB(Seq("im", "um", "ım", "üm")) && z.optCons('y')
+  private def markSUn(z: Env) = z.harmony() && z.amongB(Seq("sin", "sun", "sın", "sün"))
+  private def markYUz(z: Env) =
+    z.harmony() && z.amongB(Seq("iz", "uz", "ız", "üz")) && z.optCons('y')
+  private def markSUnUz(z: Env) = z.amongB(Seq("siniz", "sunuz", "sınız", "sünüz"))
+  private def markLAr(z: Env) = z.harmony() && z.amongB(Seq("lar", "ler"))
+  private def markNUz(z: Env) = z.harmony() && z.amongB(Seq("niz", "nuz", "nız", "nüz"))
+  private def markDUr(z: Env) =
+    z.harmony() && z.amongB(Seq("dir", "tir", "dur", "tur", "dır", "tır", "dür", "tür"))
+  private def markCAsInA(z: Env) = z.amongB(Seq("casına", "cesine"))
+  private def markYDU(z: Env) = z.harmony() && z.amongB(aYDU) && z.optCons('y')
+  private def markYsA(z: Env) = z.amongB(aYsA) && z.optCons('y')
+  private def markYmUs(z: Env) =
+    z.harmony() && z.amongB(Seq("miş", "muş", "mış", "müş")) && z.optCons('y')
+  private def markYken(z: Env) = z.eqSB("ken") && z.optCons('y')
+
+  /** past/conditional/evidential copula chains off nominal predicates;
+    * the -lAr branch unsets continue_stemming_noun_suffixes */
+  private def stemNominalVerbSuffixes(z: Env): Boolean = {
+    z.ket = z.c
+    z.continueNoun = true
+    val m1 = z.mark
+    var matched = {
+      val m2 = z.mark
+      markYmUs(z) || { z.reset(m2); markYDU(z) } ||
+        { z.reset(m2); markYsA(z) } || { z.reset(m2); markYken(z) }
+    }
+    if (!matched) {
+      z.reset(m1)
+      if (markCAsInA(z)) {
+        val m3 = z.mark
+        if (!markSUnUz(z)) { z.reset(m3)
+          if (!markLAr(z)) { z.reset(m3)
+            if (!markYUm(z)) { z.reset(m3)
+              if (!markSUn(z)) { z.reset(m3)
+                if (!markYUz(z)) z.reset(m3) } } } }
+        matched = markYmUs(z)
+      }
+    }
+    if (!matched) {
+      z.reset(m1)
+      if (markLAr(z)) {
+        z.bra = z.c; z.sliceDel()
+        val mKeep = z.mark
+        z.ket = z.c
+        val m4 = z.mark
+        val t = markDUr(z) || { z.reset(m4); markYDU(z) } ||
+          { z.reset(m4); markYsA(z) } || { z.reset(m4); markYmUs(z) }
+        if (!t) z.reset(mKeep)
+        z.continueNoun = false
+        matched = true
+      }
+    }
+    if (!matched) {
+      z.reset(m1)
+      if (markNUz(z)) {
+        val m5 = z.mark
+        matched = markYDU(z) || { z.reset(m5); markYsA(z) }
+      }
+    }
+    if (!matched) {
+      z.reset(m1)
+      val m6 = z.mark
+      val hit = markSUnUz(z) || { z.reset(m6); markYUz(z) } ||
+        { z.reset(m6); markSUn(z) } || { z.reset(m6); markYUm(z) }
+      if (hit) {
+        z.bra = z.c; z.sliceDel()
+        val mKeep = z.mark
+        z.ket = z.c
+        if (!markYmUs(z)) z.reset(mKeep)
+        matched = true
+      }
+    }
+    if (!matched) {
+      z.reset(m1)
+      if (!markDUr(z)) return false
+      z.bra = z.c; z.sliceDel()
+      val mKeep = z.mark
+      z.ket = z.c
+      val m7 = z.mark
+      if (!markSUnUz(z)) { z.reset(m7)
+        if (!markLAr(z)) { z.reset(m7)
+          if (!markYUm(z)) { z.reset(m7)
+            if (!markSUn(z)) { z.reset(m7)
+              if (!markYUz(z)) z.reset(m7) } } } }
+      if (!markYmUs(z)) z.reset(mKeep)
+    }
+    z.bra = z.c
+    z.sliceDel()
+    true
+  }
+
+  /** the relativizer -ki restarts the case/possessive chain */
+  private def chainKi(z: Env): Boolean = {
+    z.ket = z.c
+    if (!markKi(z)) return false
+    val m1 = z.mark
+    if (markDA(z)) {
+      z.bra = z.c; z.sliceDel()
+      val mKeep = z.mark
+      z.ket = z.c
+      val m2 = z.mark
+      if (markLAr(z)) {
+        z.bra = z.c; z.sliceDel()
+        val mk = z.mark
+        if (!chainKi(z)) z.reset(mk)
+      } else {
+        z.reset(m2)
+        if (markPossessives(z)) {
+          z.bra = z.c; z.sliceDel()
+          val mk = z.mark
+          z.ket = z.c
+          if (markLAr(z)) {
+            z.bra = z.c; z.sliceDel()
+            if (!chainKi(z)) z.reset(mk)
+          } else z.reset(mk)
+        } else z.reset(mKeep)
+      }
+      return true
+    }
+    z.reset(m1)
+    if (markNUn(z)) {
+      z.bra = z.c; z.sliceDel()
+      val mKeep = z.mark
+      z.ket = z.c
+      val m3 = z.mark
+      if (markLArI(z)) { z.bra = z.c; z.sliceDel() }
+      else {
+        z.reset(m3)
+        z.ket = z.c
+        val m4 = z.mark
+        if (markPossessives(z) || { z.reset(m4); markSU(z) }) {
+          z.bra = z.c; z.sliceDel()
+          val mk = z.mark
+          z.ket = z.c
+          if (markLAr(z)) {
+            z.bra = z.c; z.sliceDel()
+            if (!chainKi(z)) z.reset(mk)
+          } else z.reset(mk)
+        } else {
+          z.reset(m3)
+          if (!chainKi(z)) z.reset(mKeep)
+        }
+      }
+      return true
+    }
+    z.reset(m1)
+    if (!markNdA(z)) return false
+    val m5 = z.mark
+    if (markLArI(z)) { z.bra = z.c; z.sliceDel(); true }
+    else {
+      z.reset(m5)
+      if (markSU(z)) {
+        z.bra = z.c; z.sliceDel()
+        val mk = z.mark
+        z.ket = z.c
+        if (markLAr(z)) {
+          z.bra = z.c; z.sliceDel()
+          if (!chainKi(z)) z.reset(mk)
+        } else z.reset(mk)
+        true
+      } else {
+        z.reset(m5)
+        chainKi(z)
+      }
+    }
+  }
+
+  /** case, possessive, plural and -ki chains on nouns */
+  private def stemNounSuffixes(z: Env): Boolean = {
+    val m1 = z.mark
+    z.ket = z.c
+    if (markLAr(z)) {
+      z.bra = z.c; z.sliceDel()
+      val mKeep = z.mark
+      if (!chainKi(z)) z.reset(mKeep)
+      return true
+    }
+    z.reset(m1)
+    z.ket = z.c
+    if (markNcA(z)) {
+      z.bra = z.c; z.sliceDel()
+      val mKeep = z.mark
+      val m2 = z.mark
+      z.ket = z.c
+      if (markLArI(z)) { z.bra = z.c; z.sliceDel() }
+      else {
+        z.reset(m2)
+        z.ket = z.c
+        val m3 = z.mark
+        if (markPossessives(z) || { z.reset(m3); markSU(z) }) {
+          z.bra = z.c; z.sliceDel()
+          val mk = z.mark
+          z.ket = z.c
+          if (markLAr(z)) {
+            z.bra = z.c; z.sliceDel()
+            if (!chainKi(z)) z.reset(mk)
+          } else z.reset(mk)
+        } else {
+          z.reset(m2)
+          z.ket = z.c
+          if (markLAr(z)) {
+            z.bra = z.c; z.sliceDel()
+            if (!chainKi(z)) z.reset(mKeep)
+          } else z.reset(mKeep)
+        }
+      }
+      return true
+    }
+    z.reset(m1)
+    z.ket = z.c
+    locally {
+      val m4 = z.mark
+      if (markNdA(z) || { z.reset(m4); markNA(z) }) {
+        val m5 = z.mark
+        if (markLArI(z)) { z.bra = z.c; z.sliceDel(); return true }
+        z.reset(m5)
+        if (markSU(z)) {
+          z.bra = z.c; z.sliceDel()
+          val mk = z.mark
+          z.ket = z.c
+          if (markLAr(z)) {
+            z.bra = z.c; z.sliceDel()
+            if (!chainKi(z)) z.reset(mk)
+          } else z.reset(mk)
+          return true
+        }
+        z.reset(m5)
+        if (chainKi(z)) return true
+      }
+    }
+    z.reset(m1)
+    z.ket = z.c
+    locally {
+      val m6 = z.mark
+      if (markNdAn(z) || { z.reset(m6); markNU(z) }) {
+        val m7 = z.mark
+        if (markSU(z)) {
+          z.bra = z.c; z.sliceDel()
+          val mk = z.mark
+          z.ket = z.c
+          if (markLAr(z)) {
+            z.bra = z.c; z.sliceDel()
+            if (!chainKi(z)) z.reset(mk)
+          } else z.reset(mk)
+          return true
+        }
+        z.reset(m7)
+        if (markLArI(z)) return true // marks only; the generated code slices nothing here
+      }
+    }
+    z.reset(m1)
+    z.ket = z.c
+    if (markDAn(z)) {
+      z.bra = z.c; z.sliceDel()
+      val mKeep = z.mark
+      z.ket = z.c
+      val m8 = z.mark
+      if (markPossessives(z)) {
+        z.bra = z.c; z.sliceDel()
+        val mk = z.mark
+        z.ket = z.c
+        if (markLAr(z)) {
+          z.bra = z.c; z.sliceDel()
+          if (!chainKi(z)) z.reset(mk)
+        } else z.reset(mk)
+      } else {
+        z.reset(m8)
+        if (markLAr(z)) {
+          z.bra = z.c; z.sliceDel()
+          val mk = z.mark
+          if (!chainKi(z)) z.reset(mk)
+        } else {
+          z.reset(m8)
+          if (!chainKi(z)) z.reset(mKeep)
+        }
+      }
+      return true
+    }
+    z.reset(m1)
+    z.ket = z.c
+    locally {
+      val m9 = z.mark
+      if (markNUn(z) || { z.reset(m9); markYlA(z) }) {
+        z.bra = z.c; z.sliceDel()
+        val mKeep = z.mark
+        val m10 = z.mark
+        var inner = false
+        z.ket = z.c
+        if (markLAr(z)) {
+          z.bra = z.c; z.sliceDel()
+          inner = chainKi(z)
+        }
+        if (!inner) {
+          z.reset(m10)
+          z.ket = z.c
+          val m11 = z.mark
+          if (markPossessives(z) || { z.reset(m11); markSU(z) }) {
+            z.bra = z.c; z.sliceDel()
+            val mk = z.mark
+            z.ket = z.c
+            if (markLAr(z)) {
+              z.bra = z.c; z.sliceDel()
+              if (!chainKi(z)) z.reset(mk)
+            } else z.reset(mk)
+          } else {
+            z.reset(m10)
+            if (!chainKi(z)) z.reset(mKeep)
+          }
+        }
+        return true
+      }
+    }
+    z.reset(m1)
+    z.ket = z.c
+    if (markLArI(z)) {
+      z.bra = z.c; z.sliceDel()
+      return true
+    }
+    z.reset(m1)
+    if (chainKi(z)) return true
+    z.reset(m1)
+    z.ket = z.c
+    locally {
+      val m12 = z.mark
+      if (markDA(z) || { z.reset(m12); markYU(z) } || { z.reset(m12); markYA(z) }) {
+        z.bra = z.c; z.sliceDel()
+        val mKeep = z.mark
+        z.ket = z.c
+        val m13 = z.mark
+        var toLab48 = false
+        if (markPossessives(z)) {
+          z.bra = z.c; z.sliceDel()
+          val mk = z.mark
+          z.ket = z.c
+          if (!markLAr(z)) z.reset(mk)
+          toLab48 = true
+        } else {
+          z.reset(m13)
+          if (markLAr(z)) toLab48 = true
+          else z.reset(mKeep)
+        }
+        if (toLab48) {
+          z.bra = z.c; z.sliceDel()
+          z.ket = z.c
+          if (!chainKi(z)) z.reset(mKeep)
+        }
+        return true
+      }
+    }
+    z.reset(m1)
+    z.ket = z.c
+    val m14 = z.mark
+    if (!(markPossessives(z) || { z.reset(m14); markSU(z) })) return false
+    z.bra = z.c; z.sliceDel()
+    val mKeep = z.mark
+    z.ket = z.c
+    if (markLAr(z)) {
+      z.bra = z.c; z.sliceDel()
+      if (!chainKi(z)) z.reset(mKeep)
+    } else z.reset(mKeep)
+    true
+  }
+
+  /** after a final d/g, append the high vowel harmonizing with the
+    * last vowel of the stem */
+  private def appendUAfterDOrG(z: Env): Boolean = {
+    if (z.c <= z.lb) return false
+    val last = z.s.charAt(z.c - 1)
+    if (last != 'd' && last != 'g') return false
+    var i = z.c
+    while (i > z.lb && vowel.indexOf(z.s.charAt(i - 1)) < 0) i -= 1
+    if (i <= z.lb) return false
+    val app = z.s.charAt(i - 1) match {
+      case 'a' | 'ı' => "ı"
+      case 'e' | 'i' => "i"
+      case 'o' | 'u' => "u"
+      case _ => "ü" // ö | ü
+    }
+    z.s = z.s.substring(0, z.c) + app + z.s.substring(z.c)
+    true
+  }
+
+  /** final-consonant devoicing: b→p c→ç d→t ğ→k */
+  private def postProcessLastConsonants(z: Env): Boolean = {
+    if (z.c <= z.lb) return false
+    val repl = z.s.charAt(z.c - 1) match {
+      case 'b' => "p"
+      case 'c' => "ç"
+      case 'd' => "t"
+      case 'ğ' => "k"
+      case _ => return false
+    }
+    z.ket = z.c
+    z.bra = z.c - 1
+    z.s = z.s.substring(0, z.bra) + repl + z.s.substring(z.ket)
+    true
+  }
+
+  def stem(word: String): String = {
+    val w = word.toLowerCase
+    // more_than_one_syllable_word: at least two vowels, else untouched
+    if (w.count(ch => vowel.indexOf(ch) >= 0) < 2) return w
+    val z = new Env(w)
+    val m1 = z.mark
+    stemNominalVerbSuffixes(z)
+    z.reset(m1)
+    // the -lAr verb branch ends stemming before noun suffixes + postlude
+    if (!z.continueNoun) return z.s
+    val m2 = z.mark
+    stemNounSuffixes(z)
+    z.reset(m2)
+    // postlude: reserved words skip the whole post-processing step
+    if (z.s == "ad" || z.s == "soyad") return z.s
+    z.c = z.s.length
+    val m3 = z.mark
+    appendUAfterDOrG(z)
+    z.reset(m3)
+    val m4 = z.mark
+    postProcessLastConsonants(z)
+    z.reset(m4)
+    z.s
+  }
+
+  def stemUtf8(v: UTF8String): UTF8String = UTF8String.fromString(stem(v.toString))
+}
+
 /** `romanian_stem(word)` codegen expression. */
 case class RomanianStem(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -2019,6 +2556,18 @@ case class RomanianStem(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.RomanianStemmer.stemUtf8($c)")
   override protected def withNewChildInternal(newChild: Expression): RomanianStem =
+    copy(child = newChild)
+}
+
+/** `turkish_stem(word)` codegen expression. */
+case class TurkishStem(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "turkish_stem"
+  override def nullSafeEval(v: Any): Any =
+    TurkishStemmer.stemUtf8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TurkishStemmer.stemUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): TurkishStem =
     copy(child = newChild)
 }
 
@@ -2473,6 +3022,18 @@ object TsLexize {
     "van", "vannak", "volt", "voltam", "voltak", "voltunk", "vissza",
     "vele", "viszont", "volna")
 
+  /** The standard snowball Turkish stopword list PG ships as
+    * `src/backend/snowball/stopwords/turkish.stop` (public snowball
+    * project data). */
+  val turkishStopwords: Seq[String] = Seq(
+    "acaba", "ama", "aslında", "az", "bazı", "belki", "biri",
+    "birkaç", "birşey", "biz", "bu", "çok", "çünkü", "da", "daha",
+    "de", "defa", "diye", "eğer", "en", "gibi", "hem", "hep",
+    "hepsi", "her", "hiç", "için", "ile", "ise", "kez", "ki", "kim",
+    "mı", "mu", "mü", "nasıl", "ne", "neden", "nerde", "nerede",
+    "nereye", "niçin", "niye", "o", "sanki", "şey", "siz", "şu",
+    "tüm", "ve", "veya", "ya", "yani")
+
   private val configs: Map[String, (Seq[String], String)] = Map(
     "english" -> (englishStopwords, "porter_stem"),
     "german" -> (germanStopwords, "german_stem"),
@@ -2489,7 +3050,8 @@ object TsLexize {
     "hungarian" -> (hungarianStopwords, "hungarian_stem"),
     // the reference ships no romanian.stop (snowball/Makefile installs
     // stopword files only where present) — empty stopword list
-    "romanian" -> (Seq.empty[String], "romanian_stem"))
+    "romanian" -> (Seq.empty[String], "romanian_stem"),
+    "turkish" -> (turkishStopwords, "turkish_stem"))
 
   /** lowercase → drop stopwords → stem, one declarative pass
     * (ts_lexize through the named configuration — `english` and
@@ -2522,6 +3084,7 @@ object TsLexize {
     case "finnish" => FinnishStemmer.stem
     case "hungarian" => HungarianStemmer.stem
     case "romanian" => RomanianStemmer.stem
+    case "turkish" => TurkishStemmer.stem
     case _ => PorterStemmer.stem
   }
 

@@ -74,7 +74,8 @@ object TsDictionaries {
     "swedish_stem" -> StemDict("swedish"),
     "finnish_stem" -> StemDict("finnish"),
     "hungarian_stem" -> StemDict("hungarian"),
-    "romanian_stem" -> StemDict("romanian"))
+    "romanian_stem" -> StemDict("romanian"),
+    "turkish_stem" -> StemDict("turkish"))
 
   /** PG ts_lexize contract: None = dictionary does not recognize the
     * token (SQL NULL); Some(Nil) = recognized and discarded. */

@@ -1116,6 +1116,34 @@ object FunctionQueries {
         .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
     }),
 
+    // Sixteenth (and final reference-shipped) snowball language —
+    // Turkish: no R1/R2 regions, backward suffix chains under
+    // vowel-harmony and optional-letter checks, final-consonant
+    // devoicing and harmony-matched vowel append. Differential-tested
+    // bit-identical to the compiled reference stemmer over 62k
+    // generated words (pinned vectors in ExpressionSpec).
+    "q258_ts_turkish" -> ((s, d) => {
+      import graft.functions.{Ranges, TsLexize}
+      val vocab = Seq("kitapları", "evlerinden", "çocukların",
+        "okullarda", "öğretmenler", "arabamla", "şehirden",
+        "günlerde", "arkadaşımız", "sorularına", "cevapları",
+        "denizlerde")
+      val va = array(vocab.map(lit): _*)
+      def pick(idx: org.apache.spark.sql.Column) =
+        element_at(va, (idx % 12).cast("int") + 1)
+      val text = concat_ws(" ",
+        pick(col("doc_id")), pick(col("doc_id") + 2),
+        pick(col("doc_id") * 7 + 3))
+      val stems = TsLexize.stemTerms(
+        Seq("kitapları", "evlerinden"), "turkish")
+      t(s, d, "documents")
+        .select(col("doc_id"), text.as("text"))
+        .withColumn("lexed",
+          TsLexize.lexize(split(col("text"), " "), "turkish"))
+        .where(Ranges.tsMatch(col("lexed"), stems))
+        .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
+    }),
+
     // ts_headline through the stemming dictionary: covers computed on
     // stems, snippet shows the original inflected words, marked when
     // their stem matches a query stem.
@@ -2573,6 +2601,25 @@ object FunctionQueries {
       val stems = vocab.map(w => s"'${RomanianStemmer.stem(w)}'").mkString(", ")
       val q1 = RomanianStemmer.stem("lucrurile")
       val q2 = RomanianStemmer.stem("frumoasa")
+      s"""WITH b AS (SELECT doc_id,
+         |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
+         |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,
+         |    [$stems][CAST(1 + (doc_id * 7 + 3) % 12 AS INT)] AS s3
+         |  FROM documents)
+         |SELECT doc_id, s1 || ' ' || s2 || ' ' || s3 AS lexed
+         |FROM b
+         |WHERE (s1 = '$q1' OR s2 = '$q1' OR s3 = '$q1')
+         |  AND (s1 = '$q2' OR s2 = '$q2' OR s3 = '$q2')""".stripMargin
+    },
+    "q258_ts_turkish" -> {
+      import graft.functions.TurkishStemmer
+      val vocab = Seq("kitapları", "evlerinden", "çocukların",
+        "okullarda", "öğretmenler", "arabamla", "şehirden",
+        "günlerde", "arkadaşımız", "sorularına", "cevapları",
+        "denizlerde")
+      val stems = vocab.map(w => s"'${TurkishStemmer.stem(w)}'").mkString(", ")
+      val q1 = TurkishStemmer.stem("kitapları")
+      val q2 = TurkishStemmer.stem("evlerinden")
       s"""WITH b AS (SELECT doc_id,
          |    [$stems][CAST(1 + doc_id % 12 AS INT)] AS s1,
          |    [$stems][CAST(1 + (doc_id + 2) % 12 AS INT)] AS s2,

@@ -2,15 +2,15 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{DanishStemmer, FinnishStemmer, HungarianStemmer, NorwegianStemmer, RomanianStemmer, SwedishStemmer}
+import graft.functions.{DanishStemmer, FinnishStemmer, HungarianStemmer, NorwegianStemmer, RomanianStemmer, SwedishStemmer, TurkishStemmer}
 
-/** Differential test for the Scandinavian + Finnish + Hungarian
-  * snowball stemmers: every
+/** Differential test for the Scandinavian + Finnish + Hungarian +
+  * Romanian + Turkish snowball stemmers: every
   * (word, stem) pair in `scandinavian_stem_vectors.json` was produced
   * by compiling the reference's own libstemmer sources
   * (`src/backend/snowball/libstemmer/stem_UTF_8_{danish,norwegian,
-  * swedish,finnish,hungarian,romanian}.c` + api.c/utilities.c) and running
-  * 1200-10000 words per
+  * swedish,finnish,hungarian,romanian,turkish}.c` + api.c/utilities.c)
+  * and running 1200-10000 words per
   * language through them — root×suffix combinations covering every
   * among entry, the valid-s-ending classes, R1-clamp short words, and
   * realistic inflected vocabulary. Our implementation must be
@@ -76,5 +76,9 @@ class ScandinavianStemSpec extends AnyFunSuite {
 
   test("romanian stemmer matches the compiled reference on all vectors") {
     check("romanian", RomanianStemmer.stem)
+  }
+
+  test("turkish stemmer matches the compiled reference on all vectors") {
+    check("turkish", TurkishStemmer.stem)
   }
 }
