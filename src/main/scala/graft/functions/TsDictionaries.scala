@@ -55,6 +55,10 @@ object TsDictionaries {
   final case class ThesaurusDict(
       entries: Seq[(Seq[Option[String]], Seq[String])],
       subLang: String) extends Dict
+  /** ispell template (`dict_ispell.c` + `spell.c`): affix-stripping
+    * morphology with controlled compound splitting — see
+    * [[IspellDict]]. */
+  final case class IspellD(data: IspellDict.IspellData) extends Dict
 
   private val registry = TrieMap[String, Dict](
     // contrib defaults available right after CREATE EXTENSION
@@ -101,6 +105,7 @@ object TsDictionaries {
       case Some(StemDict(lang)) =>
         Some(Seq(TsLexize.stemmerFor(lang)(token.toLowerCase)))
       case Some(SimpleDict) => Some(Seq(token.toLowerCase))
+      case Some(IspellD(data)) => IspellDict.lexize(data, token)
       case Some(ThesaurusDict(entries, subLang)) =>
         // single-token lexize matches single-word samples only (the
         // reference's stateful multi-token protocol lives in
@@ -284,6 +289,27 @@ object TsDictionaries {
           opts.get("dictfile").map(readThesaurus(_, subLang))
             .orElse(prior).getOrElse(Nil),
           subLang)
+      case "ispell" =>
+        def readLines(path: String, ext: String): Seq[String] = {
+          val tries = Seq(path, path + ext)
+          val f = tries.map(new java.io.File(_)).find(_.isFile)
+            .getOrElse(throw new IllegalArgumentException(
+              s"ispell file not found: $path"))
+          scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq
+        }
+        (opts.get("dictfile"), opts.get("afffile")) match {
+          case (Some(dp), Some(ap)) =>
+            val stop = opts.get("stopwords")
+              .map(readLines(_, ".stop").map(_.trim).filter(_.nonEmpty)
+                .map(_.toLowerCase).toSet)
+              .getOrElse(Set.empty[String])
+            IspellD(IspellDict.build(
+              readLines(dp, ".dict"), readLines(ap, ".affix"), stop))
+          case _ =>
+            base.collect { case d: IspellD => d }.getOrElse(
+              throw new IllegalArgumentException(
+                "ispell template requires DictFile and AffFile"))
+        }
       case other =>
         throw new IllegalArgumentException(
           s"unsupported text search template \"$other\"")
@@ -321,6 +347,7 @@ object TsDictionaries {
       case StemDict(_) => "snowball"
       case SimpleDict => "simple"
       case _: ThesaurusDict => "thesaurus"
+      case _: IspellD => "ispell"
     }
     registry.put(name,
       buildFromOptions(template, options(m.group(2)), Some(base)))

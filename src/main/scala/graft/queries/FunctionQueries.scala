@@ -1144,6 +1144,45 @@ object FunctionQueries {
         .select(col("doc_id"), array_join(col("lexed"), " ").as("lexed"))
     }),
 
+    // ispell dictionary template (spell.c + dict_ispell.c): affix
+    // stripping with cross-product prefix+suffix combination and
+    // controlled compound splitting, over the reference's own sample
+    // grammar. The oracle pins the tsdicts.out lexeme streams as
+    // literals — nothing is recomputed on the DuckDB side.
+    "q259_ts_ispell" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      val dir = new java.io.File("target/tsdict_demo").getAbsoluteFile
+      dir.mkdirs()
+      val dict = new java.io.File(dir, "ispell_demo.dict")
+      java.nio.file.Files.write(dict.toPath,
+        ("book/GJUS\nbooking/SB\nfootballklubber\nfoot/ZS\nfootball/Z\n" +
+          "ball/SZ\\\nklubber/Z\nsky/A\n").getBytes)
+      val aff = new java.io.File(dir, "ispell_demo.affix")
+      java.nio.file.Files.write(aff.toPath,
+        ("compoundwords controlled Z\nprefixes\n" +
+          "flag *B:\n\t. > RE\nflag U:\n\t. > UN\n" +
+          "suffixes\n" +
+          "flag *J:\n\t[^E] > INGS\nflag *G:\n\t[^E] > ING\n" +
+          "flag *S:\n\t[^SXZHY] > S\nflag *A:\n\t[^AEIOU]Y > -Y,IES\n" +
+          "flag ~\\\\:\n\t[^Y] > Y\n").getBytes)
+      graft.Graft.execute(s, "DROP TEXT SEARCH DICTIONARY IF EXISTS isp_demo")
+      graft.Graft.execute(s,
+        s"CREATE TEXT SEARCH DICTIONARY isp_demo (TEMPLATE = ispell, " +
+          s"DictFile = '${dict.getAbsolutePath}', " +
+          s"AffFile = '${aff.getAbsolutePath}')")
+      val vocab = Seq("skies", "bookings", "rebookings", "unbookings",
+        "foots", "rebook", "footklubber", "footballklubber",
+        "ballyklubber", "footballyklubber")
+      val va = array(vocab.map(lit): _*)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          element_at(va, (col("doc_id") % 10).cast("int") + 1).as("word"))
+        .withColumn("lexemes",
+          coalesce(array_join(call_function("ts_lexize",
+            lit("isp_demo"), col("word")), " "), lit("∅")))
+        .select(col("doc_id"), col("word"), col("lexemes"))
+    }),
+
     // ts_headline through the stemming dictionary: covers computed on
     // stems, snippet shows the original inflected words, marked when
     // their stem matches a query stem.
@@ -2629,6 +2668,26 @@ object FunctionQueries {
          |FROM b
          |WHERE (s1 = '$q1' OR s2 = '$q1' OR s3 = '$q1')
          |  AND (s1 = '$q2' OR s2 = '$q2' OR s3 = '$q2')""".stripMargin
+    },
+    "q259_ts_ispell" -> {
+      // lexeme streams pinned verbatim from the reference's tsdicts.out
+      val pinned = Seq(
+        "skies" -> "sky",
+        "bookings" -> "booking book",
+        "rebookings" -> "booking book",
+        "unbookings" -> "book",
+        "foots" -> "foot",
+        "rebook" -> "∅",
+        "footklubber" -> "foot klubber",
+        "footballklubber" -> "footballklubber foot ball klubber football klubber",
+        "ballyklubber" -> "ball klubber",
+        "footballyklubber" -> "foot ball klubber")
+      val words = pinned.map(p => s"'${p._1}'").mkString(", ")
+      val lexs = pinned.map(p => s"'${p._2}'").mkString(", ")
+      s"""SELECT doc_id,
+         |  [$words][CAST(doc_id % 10 AS INT) + 1] AS word,
+         |  [$lexs][CAST(doc_id % 10 AS INT) + 1] AS lexemes
+         |FROM documents""".stripMargin
     },
     "q146_ts_headline_stemmed" -> {
       import graft.functions.PorterStemmer

@@ -808,6 +808,65 @@ class GraftSqlSpec extends AnyFunSuite {
     Graft.execute(spark, "DROP TEXT SEARCH DICTIONARY thes")
   }
 
+  test("ispell dictionary: affix stripping + compound splitting (spell.c)") {
+    val dir = new java.io.File("target/test-tsdict"); dir.mkdirs()
+    // the reference's ispell_sample.{dict,affix} + hunspell_sample.affix
+    // grammar, expected lexemes pinned from its tsdicts regress output
+    val dict = new java.io.File(dir, "sample.dict")
+    java.nio.file.Files.write(dict.toPath,
+      ("book/GJUS\nbooking/SB\nfootballklubber\nfoot/ZS\nfootball/Z\n" +
+        "ball/SZ\\\nklubber/Z\nsky/A\n").getBytes)
+    val iaff = new java.io.File(dir, "sample.affix")
+    java.nio.file.Files.write(iaff.toPath,
+      ("compoundwords controlled Z\n\nprefixes\n\n" +
+        "flag *B:\n\t.       >   RE\n\nflag U:\n    .       >   UN\n\n" +
+        "suffixes\n\n" +
+        "flag *J:\n\t[^E]    >   INGS\n\n" +
+        "flag *G:\n\t[^E]    >   ING\n\n" +
+        "flag *S:\n\t[^SXZHY]    >   S\n\n" +
+        "flag *A:\n\t[^AEIOU]Y   >   -Y,IES\n\n" +
+        "flag ~\\\\:\n\t[^Y]        >   Y\n").getBytes)
+    val haff = new java.io.File(dir, "sample_hun.affix")
+    java.nio.file.Files.write(haff.toPath,
+      ("COMPOUNDFLAG Z\nONLYINCOMPOUND L\n\n" +
+        "PFX B Y 1\nPFX B   0\tre\t.\n\nPFX U N 1\nPFX U   0\tun\t.\n\n" +
+        "SFX J Y 1\nSFX J   0\tINGS\t[^E]\n\nSFX G Y 1\nSFX G   0\tING\t\t[^E]\n\n" +
+        "SFX S Y 1\nSFX S   0\tS\t[^SXZHY]\n\nSFX A Y 1\nSFX A   Y\tIES\t[^AEIOU]Y\n\n" +
+        "SFX \\ N 1\nSFX \\   0\tY/L\t[^Y]\n").getBytes)
+    for ((name, aff) <- Seq(("isp", iaff), ("hunsp", haff))) {
+      Graft.execute(spark, s"DROP TEXT SEARCH DICTIONARY IF EXISTS $name")
+      Graft.execute(spark,
+        s"CREATE TEXT SEARCH DICTIONARY $name (TEMPLATE = ispell, " +
+          s"DictFile = '${dict.getAbsolutePath}', " +
+          s"AffFile = '${aff.getAbsolutePath}')")
+      def lex(w: String): Option[Seq[String]] = {
+        val r = spark.sql(s"SELECT ts_lexize('$name', '$w')").head()
+        if (r.isNullAt(0)) None else Some(r.getSeq[String](0).toSeq)
+      }
+      // pinned from the reference's tsdicts.out (identical for both
+      // affix formats over the shared sample dict)
+      assert(lex("skies") == Some(Seq("sky")), name)
+      assert(lex("bookings") == Some(Seq("booking", "book")), name)
+      assert(lex("booking") == Some(Seq("booking", "book")), name)
+      assert(lex("foot") == Some(Seq("foot")), name)
+      assert(lex("foots") == Some(Seq("foot")), name)
+      assert(lex("rebookings") == Some(Seq("booking", "book")), name)
+      assert(lex("rebooking") == Some(Seq("booking", "book")), name)
+      assert(lex("rebook") == None, name)
+      assert(lex("unbookings") == Some(Seq("book")), name)
+      assert(lex("unbooking") == Some(Seq("book")), name)
+      assert(lex("unbook") == Some(Seq("book")), name)
+      assert(lex("footklubber") == Some(Seq("foot", "klubber")), name)
+      assert(lex("footballklubber") == Some(Seq(
+        "footballklubber", "foot", "ball", "klubber", "football",
+        "klubber")), name)
+      assert(lex("ballyklubber") == Some(Seq("ball", "klubber")), name)
+      assert(lex("footballyklubber") ==
+        Some(Seq("foot", "ball", "klubber")), name)
+      Graft.execute(spark, s"DROP TEXT SEARCH DICTIONARY $name")
+    }
+  }
+
   test("INSERT ... ON CONFLICT routes to the upsert/merge semantics") {
     drop("oc_t")
     Graft.execute(spark, "CREATE TABLE oc_t (k bigint, v float8, tag text)")
