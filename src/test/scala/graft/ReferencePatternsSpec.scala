@@ -684,4 +684,165 @@ class ReferencePatternsSpec extends AnyFunSuite {
     assert(lv(10L) == lv(11L) && lv(3L) == lv(4L))
     assert(lv(8L) == 8L && lv(5L) == 5L)
   }
+
+  // ---- qp_subquery.sql ports: tuple NOT IN null semantics ----------
+  // fixtures from qp_subquery.sql:300-330; expected row sets pinned to
+  // qp_subquery.out:820-1030 (the .out rows, not the sometimes-stale
+  // inline comments)
+
+  private def subqFixtures(): Unit = {
+    Seq((1, 2), (3, 4), (5, 6)).toDF("a", "b").createOrReplaceTempView("tbl04")
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("tbl05")
+    Seq((1, 2), (3, 4)).toDF("a", "b").createOrReplaceTempView("tbl06")
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("i3")
+    Seq[(Option[Int], Option[Int])]((Some(1), Some(2)), (Some(3), Some(4)),
+      (None, None)).toDF("a", "b").createOrReplaceTempView("tbl07")
+    Seq[(Option[Int], Option[Int])]((Some(1), Some(2)), (Some(3), Some(4)),
+      (None, None)).toDF("a", "b").createOrReplaceTempView("tbl08")
+    Seq[(Option[Int], Option[Int])]((Some(1), Some(2)), (Some(5), None),
+      (None, Some(8))).toDF("a", "b").createOrReplaceTempView("tbl09")
+  }
+
+  private def rows(sql: String): Set[(Int, Int)] =
+    spark.sql(sql).collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+
+  test("tuple NOT IN with non-null inner side anti-joins (qp_subquery.out:820-906)") {
+    subqFixtures()
+    // inner join keeps the inner side null-free
+    assert(rows("""SELECT tbl04.* FROM tbl04 WHERE (a,b) NOT IN
+      (SELECT tbl05.a, tbl05.b FROM tbl05, tbl06
+       WHERE tbl05.a = tbl06.a AND tbl05.b < 10)""") == Set((3, 4), (5, 6)))
+    // where-clause conditions imply non-nullability
+    assert(rows("""SELECT tbl04.* FROM tbl04 WHERE (a,b) NOT IN
+      (SELECT tbl05.a, tbl05.b FROM tbl05
+       WHERE tbl05.a < 2 AND tbl05.b < 10)""") == Set((3, 4), (5, 6)))
+    assert(rows("""SELECT tbl04.* FROM tbl04 WHERE (a,b) NOT IN
+      (SELECT tbl07.a, tbl07.b FROM tbl07 FULL OUTER JOIN tbl08 USING (a)
+       WHERE tbl07.a IS NOT NULL AND tbl07.b IS NOT NULL)""") == Set((5, 6)))
+    // non-null constants and rewritten forms
+    assert(rows("SELECT tbl04.* FROM tbl04 WHERE (a,b) NOT IN (SELECT 1, 2)")
+      == Set((3, 4), (5, 6)))
+    // PG writes `NOT IN (VALUES ...)`; Spark spells the table
+    // constructor as a subquery
+    assert(rows("""SELECT tbl04.* FROM tbl04
+      WHERE (a,b) NOT IN (SELECT * FROM VALUES (1,2), (3,4))""")
+      == Set((5, 6)))
+    assert(rows("""SELECT tbl04.* FROM tbl04 WHERE (a,b) NOT IN
+      (SELECT i3.a+2, i3.b+2 FROM i3)""") == Set((1, 2), (5, 6)))
+    // multiple NOT IN conjuncts, and the NOT(x IN ... OR x IN ...) form
+    assert(rows("""SELECT tbl04.* FROM tbl04
+      WHERE (a,b) NOT IN (SELECT tbl06.a, tbl06.b FROM tbl06)
+        AND (a,b) NOT IN (SELECT i3.a, i3.b FROM i3)""") == Set((5, 6)))
+    assert(rows("""SELECT tbl04.* FROM tbl04
+      WHERE NOT ((a,b) IN (SELECT tbl06.a, tbl06.b FROM tbl06)
+              OR (a,b) IN (SELECT i3.a, i3.b FROM i3))""") == Set((5, 6)))
+    assert(rows("""SELECT tbl04.* FROM tbl04 WHERE (a,b) NOT IN
+      (SELECT 1, 2 UNION SELECT 3, 4)""") == Set((5, 6)))
+  }
+
+  test("tuple NOT IN with nullable inner tuples kills rows (qp_subquery.out:845-980)") {
+    subqFixtures()
+    // a fully-NULL inner tuple makes every NOT IN unknown → no rows
+    assert(rows("""SELECT tbl04.* FROM tbl04 WHERE (a,b) NOT IN
+      (SELECT tbl07.a, tbl07.b FROM tbl07, tbl08
+       WHERE tbl07.a IS NOT DISTINCT FROM tbl08.a
+         AND tbl07.b IS NOT DISTINCT FROM tbl08.b)""").isEmpty)
+    assert(rows("""SELECT tbl04.* FROM tbl04 WHERE (a,b) NOT IN
+      (SELECT tbl07.a, tbl07.b FROM tbl07 LEFT JOIN tbl08
+       ON tbl07.a = tbl08.a AND tbl07.b = tbl08.b
+       WHERE tbl07.a IS NULL AND tbl07.b IS NULL)""").isEmpty)
+    assert(rows("""SELECT tbl04.* FROM tbl04 WHERE (a,b) NOT IN
+      (SELECT i3.a, i3.b FROM i3
+       UNION SELECT tbl07.a, tbl07.b FROM tbl07)""").isEmpty)
+    assert(rows("""SELECT tbl04.* FROM tbl04 WHERE (a,b) NOT IN
+      (SELECT i3.a, i3.b FROM i3
+       UNION ALL SELECT tbl07.a, tbl07.b FROM tbl07)""").isEmpty)
+    // PARTIALLY null inner tuples: a definite column mismatch still
+    // rejects the tuple — (3,4) survives tbl09 = {(1,2),(5,∅),(∅,8)}
+    assert(rows("""SELECT tbl04.* FROM tbl04 WHERE (a,b) NOT IN
+      (SELECT tbl09.a, tbl09.b FROM tbl09)""") == Set((3, 4)))
+    assert(rows("""SELECT tbl04.* FROM tbl04 WHERE (a,b) NOT IN
+      (SELECT tbl09.a, tbl09.b FROM tbl09
+       GROUP BY tbl09.a, tbl09.b)""") == Set((3, 4)))
+    // single-column NOT IN over a filtered nullable column
+    assert(rows("""SELECT tbl04.* FROM tbl04 WHERE a NOT IN
+      (SELECT tbl09.a FROM tbl09 WHERE tbl09.b IS NULL)""")
+      == Set((1, 2), (3, 4)))
+    // OR of two NOT INs: the non-null branch saves (3,4) and (5,6)
+    assert(rows("""SELECT tbl04.* FROM tbl04
+      WHERE (a,b) NOT IN (SELECT i3.a, i3.b FROM i3)
+         OR (a,b) NOT IN (SELECT tbl07.a, tbl07.b FROM tbl07)""")
+      == Set((3, 4), (5, 6)))
+    // (x,y) NOT IN {(1,∅)}: (1,2) unknown-killed, (3,4) survives on x
+    Seq((1, 2), (3, 4)).toDF("x", "y").createOrReplaceTempView("tbl04xy")
+    Seq[(Option[Int], Option[Int])]((Some(1), None)).toDF("x", "y")
+      .createOrReplaceTempView("tbl10")
+    assert(rows("""SELECT * FROM tbl04xy WHERE (x,y) NOT IN
+      (SELECT x, y FROM tbl10)""") == Set((3, 4)))
+    assert(rows("""SELECT * FROM tbl04xy WHERE (x,y) NOT IN
+      (SELECT 1, y FROM tbl10)""") == Set((3, 4)))
+    // empty inner side: everything passes, including the NULL-y row
+    val t10 = spark.sql(
+      "SELECT * FROM tbl10 WHERE y NOT IN (SELECT 1 WHERE false)").collect()
+    assert(t10.length == 1 && t10(0).getInt(0) == 1 && t10(0).isNullAt(1))
+  }
+
+  test("correlated IN over expressions and tuple IN (qp_subquery.out:1-140)") {
+    Seq((1, 2, Some(3.0)), (2, 3, Some(4.0)), (3, 4, Some(5.0)),
+      (1, 1, Some(1.0)), (2, 2, Some(2.0)), (3, 3, Some(3.0)),
+      (6, 7, Some(8.0)), (8, 9, None))
+      .toDF("f1", "f2", "f3").createOrReplaceTempView("subselect_tbl1")
+    // uncorrelated and nested IN
+    assert(spark.sql("""SELECT f1 FROM subselect_tbl1
+      WHERE f1 IN (SELECT f2 FROM subselect_tbl1)""").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 1, 2, 2, 3, 3))
+    assert(spark.sql("""SELECT f1 FROM subselect_tbl1
+      WHERE f1 IN (SELECT f2 FROM subselect_tbl1
+                   WHERE f2 IN (SELECT f1 FROM subselect_tbl1))""").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 1, 2, 2, 3, 3))
+    // tuple NOT IN with a NULL-filtered inner side
+    assert(rows("""SELECT f1, f2 FROM subselect_tbl1
+      WHERE (f1, f2) NOT IN (SELECT f2, CAST(f3 AS int) FROM subselect_tbl1
+                             WHERE f3 IS NOT NULL)""")
+      == Set((1, 2), (6, 7), (8, 9)))
+    // correlated IN referencing the outer row in the select list
+    assert(rows("""SELECT f1, CAST(f3 AS int) FROM subselect_tbl1 upper
+      WHERE f3 IN (SELECT upper.f1 + f2 FROM subselect_tbl1
+                   WHERE f2 = CAST(f3 AS int))""")
+      == Set((1, 3), (2, 4), (3, 5), (6, 8)))
+    // correlated IN through a cast comparison
+    assert(rows("""SELECT f1, CAST(f3 AS int) FROM subselect_tbl1 upper
+      WHERE f1 IN (SELECT f2 FROM subselect_tbl1
+                   WHERE CAST(upper.f2 AS double) = f3)""")
+      == Set((3, 5), (3, 3), (2, 4), (1, 1), (2, 2)))
+    // tuple IN (positive form)
+    assert(spark.sql("""SELECT f1 FROM subselect_tbl1
+      WHERE (f1, f2) IN (SELECT f2, CAST(f3 AS int) FROM subselect_tbl1
+                         WHERE f3 IS NOT NULL)""").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 2, 3, 3))
+  }
+
+  test("EXISTS over NULL-keyed rows keeps/drops per key presence (qp_subquery.out:245-265)") {
+    Seq[(Option[Int], Option[Int], String)](
+      (Some(1), Some(4), "one"), (Some(2), Some(3), "two"),
+      (Some(3), Some(2), "three"), (Some(4), Some(1), "four"),
+      (Some(5), Some(0), "five"), (Some(6), Some(6), "six"),
+      (Some(7), Some(7), "seven"), (Some(8), Some(8), "eight"),
+      (Some(0), None, "zero"), (None, None, "null"), (None, Some(0), "zero"))
+      .toDF("i", "j", "t").createOrReplaceTempView("join_tab1")
+    Seq[(Option[Int], Option[Int])](
+      (Some(1), Some(-1)), (Some(2), Some(2)), (Some(3), Some(-3)),
+      (Some(2), Some(4)), (Some(5), Some(-5)), (Some(5), Some(-5)),
+      (Some(0), None), (None, None), (None, Some(0)))
+      .toDF("i", "k").createOrReplaceTempView("join_tab2")
+    val ex = spark.sql("""SELECT t FROM join_tab1 WHERE EXISTS
+      (SELECT * FROM join_tab2 WHERE join_tab1.i = join_tab2.i)""")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(ex == Seq("five", "one", "three", "two", "zero"))
+    // NOT EXISTS keeps both NULL-keyed probe rows (no match possible)
+    val nex = spark.sql("""SELECT t FROM join_tab1 WHERE NOT EXISTS
+      (SELECT * FROM join_tab2 WHERE join_tab1.i = join_tab2.i)""")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(nex == Seq("eight", "four", "null", "seven", "six", "zero"))
+  }
 }
