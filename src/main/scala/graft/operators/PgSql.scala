@@ -245,8 +245,130 @@ object PgSql {
   private val negFrameRe =
     "(?is)\\b(RANGE|ROWS|GROUPS)\\b[^()']{0,160}?-\\s*\\d+(?:\\.\\d+)?\\s+(PRECEDING|FOLLOWING)".r
 
+  /** Literal-masked copy (quotes kept, contents replaced) so regex /
+    * paren scans can't be fooled by text inside strings. */
+  private def maskLiterals(sql: String): String = {
+    val a = sql.toCharArray
+    var i = 0
+    while (i < a.length) {
+      if (a(i) == '\'') {
+        i += 1
+        var done = false
+        while (i < a.length && !done) {
+          if (a(i) == '\'') {
+            if (i + 1 < a.length && a(i + 1) == '\'') { a(i) = 'x'; a(i + 1) = 'x'; i += 1 }
+            else done = true
+          } else a(i) = 'x'
+          i += 1
+        }
+      } else i += 1
+    }
+    new String(a)
+  }
+
+  private def matchingParen(masked: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < masked.length) {
+      masked.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced parentheses in quantified comparison")
+  }
+
+  // lhs restricted to identifier chains / numbers — a parenthesized or
+  // function-call lhs is out of this lexical assist's scope and fails
+  // loudly in Spark's parser, per this file's contract
+  private val quantRe =
+    ("(?is)([\\w$]+(?:\\.[\\w$]+)*|'[^']*')\\s*(=|<>|!=|<=|>=|<|>)\\s*" +
+      "(ANY|SOME|ALL)\\s*\\(").r
+
+  /** PG quantified comparisons `lhs op ANY|SOME|ALL (rhs)` (gram.y
+    * a_expr sub_type; parse_expr.c ANY_SUBLINK/ALL_SUBLINK). Spark has
+    * only IN/EXISTS, so:
+    *  - `= ANY (subquery)` → IN, `<> ALL (subquery)` → NOT IN (the
+    *    null-aware native forms);
+    *  - other subquery ops → a null-correct CASE over scalar
+    *    aggregates of the subquery: empty set decides (FALSE for ANY,
+    *    TRUE for ALL), a NULL lhs is NULL, a definite witness decides
+    *    (`x < max` proves `< ANY`; `x ≥ min` refutes `< ALL`), and
+    *    remaining NULL elements make the result NULL — the three-
+    *    valued quantifier semantics;
+    *  - array rhs (not starting with SELECT/WITH/VALUES/TABLE) →
+    *    `exists()` / `forall()` higher-order functions, whose lambda
+    *    comparison already carries three-valued logic. */
+  private def quantified(sql: String): String = {
+    val masked = maskLiterals(sql)
+    quantRe.findFirstMatchIn(masked) match {
+      case None => sql
+      case Some(m) =>
+        val lhs = sql.substring(m.start(1), m.end(1))
+        // UNION ALL ( / keyword collisions can't match: an operator is
+        // required between lhs and the quantifier
+        val op0 = m.group(2)
+        val quant = m.group(3).toUpperCase
+        val open = m.end - 1
+        val close = matchingParen(masked, open)
+        val inner = quantified(sql.substring(open + 1, close))
+        val head = sql.substring(0, m.start)
+        val tail = quantified(sql.substring(close + 1))
+        head + buildQuantified(lhs, op0, quant, inner) + tail
+    }
+  }
+
+  private def buildQuantified(lhs: String, op0: String, quant: String,
+                              inner: String): String = {
+    val op = if (op0 == "!=") "<>" else op0
+    val isSub = inner.trim.toUpperCase
+      .matches("(?s)^(SELECT|WITH|TABLE|VALUES)\\b.*")
+    val any = quant != "ALL"
+    if (!isSub) {
+      // PG '{...}' array literals (arrayfuncs.c array_in) become an
+      // array() constructor; other expressions pass through as-is
+      val arrLit = "(?s)^\\s*'\\{(.*)\\}'\\s*(?:::\\s*\\w+(?:\\[\\])?)?\\s*$".r
+      val rhs = inner match {
+        case arrLit(body) =>
+          val elems = body.split(",").map(_.trim).map { e =>
+            if (e.matches("-?\\d+(\\.\\d+)?") || e.equalsIgnoreCase("null")) e
+            else "'" + e.stripPrefix("\"").stripSuffix("\"") + "'"
+          }
+          s"array(${elems.mkString(", ")})"
+        case other => s"($other)"
+      }
+      val lam = s"__v -> ($lhs) $op __v"
+      if (any) s"exists($rhs, $lam)" else s"forall($rhs, $lam)"
+    } else if (any && op == "=") s"(($lhs) IN ($inner))"
+    else if (!any && op == "<>") s"(($lhs) NOT IN ($inner))"
+    else {
+      // Two EXISTS legs carrying the three-valued quantifier: a
+      // decisive witness (some v satisfying the comparison proves ANY;
+      // some v refuting it disproves ALL) beats NULLs, then a
+      // nullability leg (a NULL element, or a NULL lhs beside a
+      // nonempty set) yields NULL, else the vacuous answer. Outer
+      // references sit in the subquery WHERE clauses (the one place
+      // Spark allows them), so a correlated quantifier decorrelates
+      // into two semi joins — no aggregation legs, no per-aggregate
+      // scan fan-out.
+      val negated = Map("<" -> ">=", "<=" -> ">", ">" -> "<=",
+        ">=" -> "<", "=" -> "<>", "<>" -> "=")
+      val cmp = if (any) op else negated(op)
+      val decisive =
+        s"EXISTS (SELECT 1 FROM ($inner) __q(__v) WHERE ($lhs) $cmp __v)"
+      val nullish =
+        s"EXISTS (SELECT 1 FROM ($inner) __q(__v) " +
+          s"WHERE __v IS NULL OR ($lhs) IS NULL)"
+      val (decided, vacuous) = if (any) ("TRUE", "FALSE") else ("FALSE", "TRUE")
+      s"(CASE WHEN $decisive THEN $decided " +
+        s"WHEN $nullish THEN CAST(NULL AS BOOLEAN) ELSE $vacuous END)"
+    }
+  }
+
   def rewrite(sqlIn: String): String = {
-    val sql = unnestFrom(arrayBrackets(sqlIn))
+    val sql = quantified(unnestFrom(arrayBrackets(sqlIn)))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

@@ -1071,6 +1071,29 @@ object RelationalQueries {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         |WHERE c.c_acctbal > 9500""".stripMargin)),
 
+    // Quantified comparisons (parse_expr.c ANY_SUBLINK/ALL_SUBLINK):
+    // Spark has only IN/EXISTS, so the engine rewrites op ANY/ALL
+    // (subquery) into null-correct min/max scalar-aggregate CASE forms
+    // (PgSql.quantified). The correlated > ALL decorrelates into
+    // aggregated joins that MergeScalarSubqueries folds back into one
+    // aggregate per order — the plan a hand-written rewrite would
+    // produce. DuckDB runs the identical text natively.
+    "q260_quantified_subqueries" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT 'corr_all' AS tag, o_orderpriority AS grp, count(*) AS n
+          |FROM orders
+          |WHERE o_totalprice > ALL (SELECT l_extendedprice FROM lineitem
+          |                          WHERE l_orderkey = o_orderkey)
+          |GROUP BY o_orderpriority
+          |UNION ALL
+          |SELECT 'any_grouped' AS tag, c_mktsegment AS grp, count(*) AS n
+          |FROM customer
+          |WHERE c_acctbal < ANY (SELECT max(c_acctbal) FROM customer
+          |                       GROUP BY c_nationkey)
+          |GROUP BY c_mktsegment""".stripMargin).get
+    }),
+
     // Recursive CTE (RecursiveUnion nodeRecursiveunion.c) — driver-side
     // fixpoint, distributed per-iteration work. Hierarchy: nations →
     // regions (+100) → synthetic root 999.
@@ -1695,6 +1718,18 @@ object RelationalQueries {
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
         |                   FROM customer)""".stripMargin,
+    "q260_quantified_subqueries" ->
+      """SELECT 'corr_all' AS tag, o_orderpriority AS grp, count(*) AS n
+        |FROM orders
+        |WHERE o_totalprice > ALL (SELECT l_extendedprice FROM lineitem
+        |                          WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'any_grouped' AS tag, c_mktsegment AS grp, count(*) AS n
+        |FROM customer
+        |WHERE c_acctbal < ANY (SELECT max(c_acctbal) FROM customer
+        |                       GROUP BY c_nationkey)
+        |GROUP BY c_mktsegment""".stripMargin,
     "q53_lateral_topn" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
         |FROM customer c JOIN LATERAL (

@@ -867,6 +867,45 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("quantified comparisons ANY/SOME/ALL: three-valued semantics (parse_expr.c sublinks)") {
+    def b(sql: String): Option[Boolean] = {
+      val r = Graft.execute(spark, sql).get.head()
+      if (r.isNullAt(0)) None else Some(r.getBoolean(0))
+    }
+    val T = Some(true); val F = Some(false); val N = None
+    // array rhs incl. PG '{...}' literals (qp_subquery.out:268-287)
+    assert(b("SELECT 25 = ANY ('{1,2,3,4}')") == F)
+    assert(b("SELECT 25 = ANY ('{1,2,25}')") == T)
+    assert(b("SELECT 'abc' = ANY ('{abc,d,e}')") == T)
+    assert(b("SELECT 3 < ALL (array(4, 5))") == T)
+    assert(b("SELECT 3 < ALL (array(2, 5))") == F)
+    // subquery rhs: witness decides even with NULLs present
+    assert(b("SELECT 5 > ANY (SELECT * FROM VALUES (3), (NULL) t(v))") == T)
+    assert(b("SELECT 5 > ANY (SELECT * FROM VALUES (7), (NULL) t(v))") == N)
+    assert(b("SELECT 5 < ALL (SELECT * FROM VALUES (3), (20) t(v))") == F)
+    assert(b("SELECT 5 < ALL (SELECT * FROM VALUES (10), (NULL) t(v))") == N)
+    assert(b("SELECT 5 < ALL (SELECT * FROM VALUES (10), (20) t(v))") == T)
+    // empty set: ALL vacuously true, ANY vacuously false (even NULL lhs)
+    assert(b("SELECT 5 < ALL (SELECT * FROM VALUES (1) t(v) WHERE false)") == T)
+    assert(b("SELECT 5 < ANY (SELECT * FROM VALUES (1) t(v) WHERE false)") == F)
+    // NULL lhs over a nonempty set is unknown (lhs must be a simple
+    // operand — a CAST(...) lhs is outside the lexical assist's scope)
+    assert(b("SELECT v2 < ALL (SELECT * FROM VALUES (1) t(v)) " +
+      "FROM VALUES (CAST(NULL AS INT)) s(v2)") == N)
+    // = ALL / <> ANY via min-max witnesses
+    assert(b("SELECT 5 = ALL (SELECT * FROM VALUES (5), (5) t(v))") == T)
+    assert(b("SELECT 5 = ALL (SELECT * FROM VALUES (5), (6) t(v))") == F)
+    assert(b("SELECT 5 = ALL (SELECT * FROM VALUES (5), (NULL) t(v))") == N)
+    assert(b("SELECT 5 = ALL (SELECT * FROM VALUES (6), (NULL) t(v))") == F)
+    assert(b("SELECT 5 <> ANY (SELECT * FROM VALUES (5), (5) t(v))") == F)
+    assert(b("SELECT 5 <> ANY (SELECT * FROM VALUES (5), (6) t(v))") == T)
+    assert(b("SELECT 5 <> ANY (SELECT * FROM VALUES (5), (NULL) t(v))") == N)
+    // SOME is a synonym of ANY; = ANY is IN, <> ALL is NOT IN
+    assert(b("SELECT 2 = SOME (SELECT * FROM VALUES (1), (2) t(v))") == T)
+    assert(b("SELECT 3 <> ALL (SELECT * FROM VALUES (1), (2) t(v))") == T)
+    assert(b("SELECT 2 <> ALL (SELECT * FROM VALUES (1), (2) t(v))") == F)
+  }
+
   test("INSERT ... ON CONFLICT routes to the upsert/merge semantics") {
     drop("oc_t")
     Graft.execute(spark, "CREATE TABLE oc_t (k bigint, v float8, tag text)")
