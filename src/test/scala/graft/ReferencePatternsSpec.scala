@@ -685,6 +685,82 @@ class ReferencePatternsSpec extends AnyFunSuite {
     assert(lv(8L) == 8L && lv(5L) == 5L)
   }
 
+  // ---- qp_misc_jiras.sql ports: planner-bug regressions ------------
+
+  test("scalar DISTINCT-agg subquery beside GROUP BY (qp_misc_jiras.sql:52, tbl2859)") {
+    Seq((1, 1, "A", 1), (2, 1, "A", 0), (3, 0, "B", 1))
+      .toDF("domain", "class", "attr", "value")
+      .createOrReplaceTempView("tbl2859")
+    val out = spark.sql(
+      """SELECT attr, class,
+        |  (SELECT count(DISTINCT class) FROM tbl2859) AS dclass
+        |FROM tbl2859 GROUP BY attr, class ORDER BY attr""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(out == Seq(("A", 1, 2L), ("B", 0, 2L)))
+    // and the same under SELECT DISTINCT MAX (tbl3511)
+    Seq(1, 2, 3, 4, 5).toDF("i").createOrReplaceTempView("tbl3511")
+    val m = spark.sql(
+      "SELECT * FROM tbl3511 WHERE i = (SELECT DISTINCT max(i) FROM tbl3511)")
+      .collect()
+    assert(m.map(_.getInt(0)).toSeq == Seq(5))
+  }
+
+  test("row_number in a column-aliased derived table under GROUP BY (qp_misc_jiras.sql:530)") {
+    // PG permits an order-less row_number (nondeterministic numbering);
+    // Spark demands ORDER BY — same numbering over a single-row input
+    val a = spark.sql(
+      """SELECT n FROM
+        |  (SELECT row_number() OVER (PARTITION BY x ORDER BY x)
+        |   FROM VALUES (0) AS t(x)) AS r(n)
+        |GROUP BY n""".stripMargin).collect()
+    assert(a.map(_.getInt(0)).toSeq == Seq(1))
+    val b = spark.sql(
+      """SELECT n FROM
+        |  (SELECT row_number() OVER (ORDER BY x) FROM VALUES (0) AS t(x))
+        |  AS r(n)
+        |GROUP BY n""".stripMargin).collect()
+    assert(b.map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("window over grouped aggregate output (qp_misc_jiras.sql:~880, tbl6027)") {
+    (1 to 500).map(i => (i, i % 100, i % 123)).toDF("i", "j", "k")
+      .createOrReplaceTempView("tbl6027")
+    val out = spark.sql(
+      """SELECT j, sum(k) AS sk,
+        |  row_number() OVER (PARTITION BY j ORDER BY sum(k)) AS rn
+        |FROM tbl6027 GROUP BY j ORDER BY j LIMIT 10""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    val expect = (1 to 500).groupBy(_ % 100).view
+      .mapValues(_.map(_ % 123).sum.toLong).toMap
+    assert(out.forall { case (j, sk, rn) => sk == expect(j) && rn == 1 })
+    assert(out.map(_._1).toSeq == (0 to 9))
+  }
+
+  test("UNION ALL probe against UNION ALL IN-list (qp_misc_jiras.sql:420, tbl3183)") {
+    Seq(1, 1).toDF("i").createOrReplaceTempView("tbl3183_t2")
+    Seq(1, 1).toDF("i").createOrReplaceTempView("tbl3183_t3")
+    val out = spark.sql(
+      """SELECT i FROM (SELECT i FROM tbl3183_t2
+        |               UNION ALL SELECT i FROM tbl3183_t3) tmpt
+        |WHERE i IN (SELECT i FROM tbl3183_t2
+        |            UNION ALL SELECT i FROM tbl3183_t3)""".stripMargin)
+      .collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 1, 1, 1))
+  }
+
+  test("set-returning function beside * multiplies view rows (qp_misc_jiras.sql:662, tbl4255)") {
+    // PG: SELECT generate_series(1,3), * FROM union_v → 3 rows per
+    // view row; Spark spells the SRF as explode
+    spark.sql("SELECT 1 AS value UNION ALL SELECT 2")
+      .createOrReplaceTempView("tbl4255_union_v")
+    val out = spark.sql(
+      """SELECT explode(sequence(1, 3)) AS g, value
+        |FROM tbl4255_union_v""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(out == (1 to 3).flatMap(g => Seq((g, 1), (g, 2))).toSet)
+    assert(out.size == 6)
+  }
+
   // ---- qp_subquery.sql ports: tuple NOT IN null semantics ----------
   // fixtures from qp_subquery.sql:300-330; expected row sets pinned to
   // qp_subquery.out:820-1030 (the .out rows, not the sometimes-stale
