@@ -50,6 +50,28 @@ object PgSql {
     out = out.replaceAll(
       "(?i)\\bBETWEEN\\s+SYMMETRIC\\s+([\\w.$]+)\\s+AND\\s+([\\w.$]+)",
       "BETWEEN least($1, $2) AND greatest($1, $2)")
+    // SQL-standard limit spellings (gram.y limit_clause): FETCH
+    // {FIRST|NEXT} [n] {ROW|ROWS} ONLY → LIMIT n (default 1); the
+    // standard's OFFSET n ROWS keeps its count; LIMIT ALL drops.
+    // FETCH ... WITH TIES stays untouched (fails loudly; rank-based
+    // ties need a window, out of lexical scope). Cursor FETCH verbs
+    // (FETCH 10 FROM c) are routed before this rewrite ever runs.
+    // the standard's OFFSET-before-FETCH order flips to Spark's
+    // LIMIT-before-OFFSET
+    out = out.replaceAll(
+      "(?i)\\bOFFSET\\s+(\\d+)\\s+(?:ROWS?\\s+)?" +
+        "FETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY",
+      "LIMIT $2 OFFSET $1")
+    out = out.replaceAll(
+      "(?i)\\bOFFSET\\s+(\\d+)\\s+(?:ROWS?\\s+)?" +
+        "FETCH\\s+(?:FIRST|NEXT)\\s+ROWS?\\s+ONLY",
+      "LIMIT 1 OFFSET $1")
+    out = out.replaceAll(
+      "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY", "LIMIT $1")
+    out = out.replaceAll(
+      "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+ROWS?\\s+ONLY", "LIMIT 1")
+    out = out.replaceAll("(?i)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\b", "OFFSET $1")
+    out = out.replaceAll("(?i)\\bLIMIT\\s+ALL\\b", "")
     // PG TABLESAMPLE methods (gram.y tablesample_clause): both map to
     // Spark's row-level percent sampling — BERNOULLI is exactly that;
     // SYSTEM is PG's page-level variant, same statistical contract at
@@ -283,8 +305,12 @@ object PgSql {
   // lhs restricted to identifier chains / numbers — a parenthesized or
   // function-call lhs is out of this lexical assist's scope and fails
   // loudly in Spark's parser, per this file's contract
+  // word-operator alternatives need a separator lookbehind so a
+  // trailing identifier char can't backtrack into them (xLIKE is a
+  // name, not x LIKE)
   private val quantRe =
-    ("(?is)([\\w$]+(?:\\.[\\w$]+)*|'[^']*')\\s*(=|<>|!=|<=|>=|<|>)\\s*" +
+    ("(?is)([\\w$]+(?:\\.[\\w$]+)*|'[^']*')\\s*" +
+      "(=|<>|!=|<=|>=|<|>|(?<=[\\s)'])(?:NOT\\s+)?I?LIKE\\b)\\s*" +
       "(ANY|SOME|ALL)\\s*\\(").r
 
   /** PG quantified comparisons `lhs op ANY|SOME|ALL (rhs)` (gram.y
@@ -322,7 +348,10 @@ object PgSql {
 
   private def buildQuantified(lhs: String, op0: String, quant: String,
                               inner: String): String = {
-    val op = if (op0 == "!=") "<>" else op0
+    val op = op0.toUpperCase.replaceAll("\\s+", " ") match {
+      case "!=" => "<>"
+      case o => o
+    }
     val isSub = inner.trim.toUpperCase
       .matches("(?s)^(SELECT|WITH|TABLE|VALUES)\\b.*")
     val any = quant != "ALL"
@@ -354,7 +383,9 @@ object PgSql {
       // into two semi joins — no aggregation legs, no per-aggregate
       // scan fan-out.
       val negated = Map("<" -> ">=", "<=" -> ">", ">" -> "<=",
-        ">=" -> "<", "=" -> "<>", "<>" -> "=")
+        ">=" -> "<", "=" -> "<>", "<>" -> "=",
+        "LIKE" -> "NOT LIKE", "NOT LIKE" -> "LIKE",
+        "ILIKE" -> "NOT ILIKE", "NOT ILIKE" -> "ILIKE")
       val cmp = if (any) op else negated(op)
       val decisive =
         s"EXISTS (SELECT 1 FROM ($inner) __q(__v) WHERE ($lhs) $cmp __v)"
@@ -367,8 +398,120 @@ object PgSql {
     }
   }
 
+  /** Split a paren-group body on top-level commas (masked scan). */
+  private def topLevelSplit(body: String, maskedBody: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < maskedBody.length) {
+      maskedBody.charAt(i) match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 =>
+          parts += body.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    parts += body.substring(start)
+    parts.result().map(_.trim)
+  }
+
+  /** PG row-constructor comparisons `(a, b) op (c, d)` / `ROW(...)`
+    * (gram.y row; rowcomparison semantics in execExpr ROWCOMPARE):
+    * Spark parses the syntax but compares structs by SORT order, so a
+    * NULL field decides instead of yielding unknown — (1, NULL) <
+    * (1, 3) is TRUE in Spark, NULL in PG. Expand to the SQL-standard
+    * lexicographic form, which carries three-valued logic natively:
+    * `(a < c) OR (a = c AND b < d)`, pairwise AND for `=`, pairwise
+    * OR for `<>`. Groups must both have ≥2 top-level elements, and a
+    * group preceded by an identifier other than ROW is a call's
+    * argument list, left untouched. */
+  private def rowCompare(sqlIn: String): String = {
+    var sql = sqlIn
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(sql)
+      val opRe = "\\)\\s*(<=|>=|<>|!=|=|<|>)\\s*(ROW\\s*)?\\(".r
+      val hit = opRe.findAllMatchIn(masked).find { m =>
+        // lhs group: scan back to its '('
+        val lhsClose = m.start
+        var depth = 0
+        var j = lhsClose
+        var lhsOpen = -1
+        while (j >= 0 && lhsOpen < 0) {
+          masked.charAt(j) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1; if (depth == 0) lhsOpen = j
+            case _ =>
+          }
+          j -= 1
+        }
+        lhsOpen >= 0 && {
+          // an identifier ADJACENT to lhs '(' is a call's argument
+          // list (blocks the rewrite) unless it is ROW; an identifier
+          // separated by whitespace is just keyword context (SELECT,
+          // WHERE, AND, ...) — only ROW matters there
+          var k = lhsOpen - 1
+          val adjacentId = k >= 0 && (masked.charAt(k).isLetterOrDigit ||
+            masked.charAt(k) == '_')
+          while (k >= 0 && masked.charAt(k).isWhitespace) k -= 1
+          val idEnd = k
+          while (k >= 0 && (masked.charAt(k).isLetterOrDigit ||
+            masked.charAt(k) == '_')) k -= 1
+          val precededBy = masked.substring(k + 1, idEnd + 1)
+          val rowKw = precededBy.equalsIgnoreCase("row")
+          (rowKw || !adjacentId) && {
+            val rhsOpen = m.end - 1
+            val rhsClose = matchingParen(masked, rhsOpen)
+            val lhsParts = topLevelSplit(
+              sql.substring(lhsOpen + 1, lhsClose),
+              masked.substring(lhsOpen + 1, lhsClose))
+            val rhsParts = topLevelSplit(
+              sql.substring(rhsOpen + 1, rhsClose),
+              masked.substring(rhsOpen + 1, rhsClose))
+            lhsParts.length >= 2 && lhsParts.length == rhsParts.length && {
+              val op = m.group(1) match {
+                case "!=" => "<>"
+                case o => o
+              }
+              val expanded = expandRowCompare(lhsParts, rhsParts, op)
+              val start = if (rowKw) k + 1 else lhsOpen
+              sql = sql.substring(0, start) + expanded +
+                sql.substring(rhsClose + 1)
+              changed = true
+              true
+            }
+          }
+        }
+      }
+      val _ = hit
+    }
+    sql
+  }
+
+  private def expandRowCompare(ls: Seq[String], rs: Seq[String],
+                               op: String): String = op match {
+    case "=" =>
+      ls.zip(rs).map { case (l, r) => s"($l) = ($r)" }
+        .mkString("(", " AND ", ")")
+    case "<>" =>
+      ls.zip(rs).map { case (l, r) => s"($l) <> ($r)" }
+        .mkString("(", " OR ", ")")
+    case _ =>
+      val strict = op.take(1) // "<" for <,<= ; ">" for >,>=
+      def lex(i: Int): String = {
+        val (l, r) = (ls(i), rs(i))
+        if (i == ls.length - 1) s"($l) $op ($r)"
+        else s"($l) $strict ($r) OR (($l) = ($r) AND (${lex(i + 1)}))"
+      }
+      s"(${lex(0)})"
+  }
+
   def rewrite(sqlIn: String): String = {
-    val sql = quantified(unnestFrom(arrayBrackets(sqlIn)))
+    val sql = rowCompare(quantified(unnestFrom(arrayBrackets(sqlIn))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

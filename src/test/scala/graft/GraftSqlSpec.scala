@@ -906,6 +906,55 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(b("SELECT 2 <> ALL (SELECT * FROM VALUES (1), (2) t(v))") == F)
   }
 
+  test("FETCH FIRST / OFFSET ROWS / LIMIT ALL / LIKE ANY spellings (gram.y limit_clause)") {
+    def rows(sql: String): Seq[Int] =
+      Graft.execute(spark, sql).get.collect().map(_.getInt(0)).toSeq
+    val src = "FROM VALUES (1), (2), (3), (4), (5) t(v) ORDER BY v"
+    assert(rows(s"SELECT v $src FETCH FIRST 2 ROWS ONLY") == Seq(1, 2))
+    assert(rows(s"SELECT v $src FETCH NEXT 3 ROWS ONLY") == Seq(1, 2, 3))
+    assert(rows(s"SELECT v $src FETCH FIRST ROW ONLY") == Seq(1))
+    assert(rows(s"SELECT v $src OFFSET 3 ROWS") == Seq(4, 5))
+    assert(rows(s"SELECT v $src OFFSET 2 ROWS FETCH NEXT 2 ROWS ONLY")
+      == Seq(3, 4))
+    assert(rows(s"SELECT v $src LIMIT ALL") == Seq(1, 2, 3, 4, 5))
+    // LIKE/ILIKE quantifiers over arrays and subqueries
+    def b(sql: String): Option[Boolean] = {
+      val r = Graft.execute(spark, sql).get.head()
+      if (r.isNullAt(0)) None else Some(r.getBoolean(0))
+    }
+    assert(b("SELECT 'foobar' LIKE ANY ('{foo%,xyz}')") == Some(true))
+    assert(b("SELECT 'foobar' LIKE ALL ('{foo%,%bar}')") == Some(true))
+    assert(b("SELECT 'foobar' NOT LIKE ALL ('{xyz%,%qux}')") == Some(true))
+    assert(b("SELECT 'FooBar' ILIKE ANY ('{foo%,xyz}')") == Some(true))
+    assert(b("SELECT 'foobar' LIKE ANY (SELECT * FROM VALUES ('z%'), ('foo%') t(p))")
+      == Some(true))
+    assert(b("SELECT 'foobar' LIKE ALL (SELECT * FROM VALUES ('z%'), ('foo%') t(p))")
+      == Some(false))
+  }
+
+  test("row-constructor comparisons carry PG three-valued semantics (execExpr ROWCOMPARE)") {
+    def b(sql: String): Option[Boolean] = {
+      val r = Graft.execute(spark, sql).get.head()
+      if (r.isNullAt(0)) None else Some(r.getBoolean(0))
+    }
+    val T = Some(true); val F = Some(false); val N = None
+    assert(b("SELECT (1, 2) < (1, 3)") == T)
+    assert(b("SELECT (1, 2) < (1, 2)") == F)
+    assert(b("SELECT (2, 1) <= (2, 1)") == T)
+    assert(b("SELECT (3, 2, 1) > (3, 1, 5)") == T)
+    assert(b("SELECT ROW(1, 2) = ROW(1, 2)") == T)
+    // a NULL in a deciding position is unknown — Spark's native struct
+    // comparison would return a sort-order answer here
+    assert(b("SELECT (1, v) < (1, 3) FROM VALUES (CAST(NULL AS INT)) t(v)") == N)
+    assert(b("SELECT (1, v) = (1, 3) FROM VALUES (CAST(NULL AS INT)) t(v)") == N)
+    // ... but an earlier decisive column wins despite the NULL
+    assert(b("SELECT (1, v) < (2, 3) FROM VALUES (CAST(NULL AS INT)) t(v)") == T)
+    assert(b("SELECT (1, v) <> (2, 3) FROM VALUES (CAST(NULL AS INT)) t(v)") == T)
+    // function calls and scalar-subquery parens are not row constructors
+    assert(b("SELECT greatest(1, 2) < 5") == T)
+    assert(b("SELECT (SELECT 1) < (SELECT 2)") == T)
+  }
+
   test("INSERT ... ON CONFLICT routes to the upsert/merge semantics") {
     drop("oc_t")
     Graft.execute(spark, "CREATE TABLE oc_t (k bigint, v float8, tag text)")
