@@ -366,7 +366,7 @@ object Graft {
       val table = m.group(1).replace("\"", "")
       val tbl = spark.table(table)
       val body = spark.sql(operators.PgSql.rewrite(m.group(3)))
-      val named = Option(m.group(2)) match {
+      val named0 = Option(m.group(2)) match {
         case None => body.toDF(tbl.columns.toSeq: _*)
         case Some(colList) =>
           val cols = operators.GreengageDdl.splitTop(
@@ -378,6 +378,11 @@ object Graft {
               .cast(tbl.schema(c).dataType).as(c)
           }.toSeq: _*)
       }
+      // RETURNING carries the table's column types, not the VALUES
+      // literals' (PG applies the input functions before returning)
+      val named = named0.select(tbl.columns.map(c =>
+        org.apache.spark.sql.functions.col(c)
+          .cast(tbl.schema(c).dataType).as(c)).toSeq: _*)
       operators.PgTypes.validate(named, table,
         tbl.columns.map(c => c.toLowerCase -> c).toMap)
       spark.sql(operators.PgSql.rewrite(insertSql))
@@ -502,7 +507,10 @@ object Graft {
           // introspection queries see a fresh catalog snapshot
           if (operators.PgCatalog.mentionsCatalog(t))
             operators.PgCatalog.register(spark)
-          operators.Tablefunc.route(spark, t)
+          // data-modifying CTEs re-enter the router per wCTE
+          if (is("(?is)^WITH\\b") && operators.DmlCte.hasDml(stripSemi(t)))
+            operators.DmlCte.run(spark, stripSemi(t), execute)
+          else operators.Tablefunc.route(spark, t)
             .orElse(Some(spark.sql(operators.PgSql.rewrite(t))))
       }
     }

@@ -269,7 +269,7 @@ object PgSql {
 
   /** Literal-masked copy (quotes kept, contents replaced) so regex /
     * paren scans can't be fooled by text inside strings. */
-  private def maskLiterals(sql: String): String = {
+  private[operators] def maskLiterals(sql: String): String = {
     val a = sql.toCharArray
     var i = 0
     while (i < a.length) {
@@ -288,7 +288,7 @@ object PgSql {
     new String(a)
   }
 
-  private def matchingParen(masked: String, open: Int): Int = {
+  private[operators] def matchingParen(masked: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < masked.length) {

@@ -1094,6 +1094,31 @@ object RelationalQueries {
           |GROUP BY c_mktsegment""".stripMargin).get
     }),
 
+    // Data-modifying CTE (wCTE; rewriteHandler.c): UPDATE ...
+    // RETURNING consumed as the statement's relation, then the final
+    // table state — the oracle replays both effects arithmetically
+    // from the orders base table.
+    "q261_dml_cte" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s, "DROP TABLE IF EXISTS wcte_q261")
+      graft.Graft.execute(s, "CREATE TABLE wcte_q261 (k bigint, v float8)")
+      graft.Graft.execute(s,
+        """INSERT INTO wcte_q261
+          |SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_orderkey % 37 = 0""".stripMargin)
+      val returned = graft.Graft.execute(s,
+        """WITH up AS (UPDATE wcte_q261 SET v = v * 2
+          |            WHERE k % 2 = 0 RETURNING k, v)
+          |SELECT 'returned' AS part, count(*) AS n,
+          |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s
+          |FROM up""".stripMargin).get
+      val finalState = s.sql(
+        """SELECT 'final' AS part, count(*) AS n,
+          |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s
+          |FROM wcte_q261""".stripMargin)
+      returned.union(finalState)
+    }),
+
     // Recursive CTE (RecursiveUnion nodeRecursiveunion.c) — driver-side
     // fixpoint, distributed per-iteration work. Hierarchy: nations →
     // regions (+100) → synthetic root 999.
@@ -1718,6 +1743,18 @@ object RelationalQueries {
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
         |                   FROM customer)""".stripMargin,
+    "q261_dml_cte" ->
+      """SELECT 'returned' AS part, count(*) AS n,
+        |  CAST(sum(CAST(2 * o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM orders
+        |WHERE o_orderkey % 37 = 0 AND o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'final' AS part, count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN o_orderkey % 2 = 0
+        |                     THEN 2 * o_totalprice
+        |                     ELSE o_totalprice END AS DECIMAL(18,2)))
+        |       AS DOUBLE) AS s
+        |FROM orders WHERE o_orderkey % 37 = 0""".stripMargin,
     "q260_quantified_subqueries" ->
       """SELECT 'corr_all' AS tag, o_orderpriority AS grp, count(*) AS n
         |FROM orders

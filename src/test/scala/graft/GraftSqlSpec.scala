@@ -955,6 +955,45 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(b("SELECT (SELECT 1) < (SELECT 2)") == T)
   }
 
+  test("data-modifying CTEs: RETURNING as relation, pre-DML snapshot (with_clause.sql:116-122)") {
+    drop("wcte_y")
+    Graft.execute(spark, "CREATE TABLE wcte_y (m bigint)")
+    Graft.execute(spark,
+      "INSERT INTO wcte_y SELECT explode(sequence(1, 15))")
+    // UPDATE ... RETURNING consumed as the CTE relation (the regress
+    // query: all returned m land in [100, 1500])
+    val r = Graft.execute(spark,
+      """WITH t AS (UPDATE wcte_y SET m = m * 100 RETURNING *)
+        |SELECT m BETWEEN 100 AND 1500 FROM t LIMIT 1""".stripMargin)
+      .get.head()
+    assert(r.getBoolean(0))
+    // the update itself took effect for later statements
+    val after = spark.table("wcte_y").collect().map(_.getLong(0)).sorted
+    assert(after.toSeq == (1 to 15).map(_ * 100L))
+    // same-snapshot rule: the main statement sees the PRE-DML table
+    // image beside the CTE's RETURNING rows
+    val snap = Graft.execute(spark,
+      """WITH ins AS (INSERT INTO wcte_y VALUES (7) RETURNING m)
+        |SELECT (SELECT count(*) FROM wcte_y) AS pre,
+        |       (SELECT count(*) FROM ins) AS ret,
+        |       (SELECT m FROM ins) AS newval""".stripMargin).get.head()
+    assert(snap.getLong(0) == 15 && snap.getLong(1) == 1 &&
+      snap.getLong(2) == 7L)
+    assert(spark.table("wcte_y").count() == 16)
+    // DELETE ... RETURNING with a column alias list, mixed with a
+    // plain CTE in the same WITH
+    val del = Graft.execute(spark,
+      """WITH gone(g) AS (DELETE FROM wcte_y WHERE m <= 300 RETURNING m),
+        |     keep AS (SELECT 1 AS one)
+        |SELECT count(*), sum(g), max(one) FROM gone, keep""".stripMargin)
+      .get.head()
+    // deleted: 7, 100, 200, 300 → count 4, sum 607
+    assert(del.getLong(0) == 4 && del.getLong(1) == 607L &&
+      del.getInt(2) == 1)
+    assert(spark.table("wcte_y").count() == 12)
+    drop("wcte_y")
+  }
+
   test("INSERT ... ON CONFLICT routes to the upsert/merge semantics") {
     drop("oc_t")
     Graft.execute(spark, "CREATE TABLE oc_t (k bigint, v float8, tag text)")
