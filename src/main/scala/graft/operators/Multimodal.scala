@@ -295,6 +295,38 @@ object Multimodal {
     }
   }
 
+  /** Deterministic nearest-neighbor image resize over the binary
+    * column — the training pipeline's "resize to model input" step.
+    * A REAL ImageIO decode, an explicit source-index mapping
+    * (sx = x*w/tw with integer division, so the result is bit-stable
+    * across JVMs — no AWT interpolation variance), and a lossless PNG
+    * re-encode. One mapPartitions pass over the blobs: no shuffle,
+    * decode-bound, embarrassingly parallel at corpus scale — the same
+    * posture as decodeMedia. Non-image payloads (wav) are dropped. */
+  def resizeImages(blobs: Dataset[Blob], tw: Int, th: Int): Dataset[Blob] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.filter(_.format != "wav").mapPartitions(_.map { b =>
+      val img = ImageIO.read(new ByteArrayInputStream(b.payload))
+      require(img != null, s"ImageIO could not decode payload for id=${b.id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new BufferedImage(tw, th, BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < th) {
+        val sy = (y.toLong * h / th).toInt
+        var x = 0
+        while (x < tw) {
+          out.setRGB(x, y, img.getRGB((x.toLong * w / tw).toInt, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      Blob(b.id, bos.toByteArray, "png")
+    })
+  }
+
   /** Frame sampling for "video" payloads: every strideth 16-byte slice as
     * a frame — pure expression pipeline (codegen'd, no UDF). */
   def sampleFrames(blobs: DataFrame, stride: Int = 4,

@@ -801,6 +801,20 @@ object PipelineQueries {
       graft.operators.Multimodal.decodeMedia(blobs).toDF()
     }),
 
+    // Image resize (training-pipeline "resize to model input"): REAL
+    // ImageIO decode → deterministic nearest-neighbor remap → lossless
+    // PNG re-encode → REAL re-decode to exact pixel sums. The oracle
+    // recomputes the resized sums arithmetically: a target pixel is the
+    // forced-white source (0,0) iff x*w/64 = 0 and y*h/48 = 0, so the
+    // white count is ceil(64/w)*ceil(48/h) and the rest is solid fill.
+    "q262_image_resize" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthesizeMedia(
+        t(s, d, "documents").where(col("doc_id") % 10 < 5))
+      graft.operators.Multimodal.decodeMedia(
+        graft.operators.Multimodal.resizeImages(blobs, 64, 48)).toDF()
+        .select("id", "width", "height", "sum_r", "sum_g", "sum_b")
+    }),
+
     // Video frame sampling: GVID containers of REAL BMP frames; every
     // 3rd frame is decoded through the actual codec (others skipped by
     // length, never decoded) — the strided-decode pattern of a video
@@ -1421,6 +1435,18 @@ object PipelineQueries {
         |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 10 MINUTE AS s_end,
         |       user_id, COUNT(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q262_image_resize" ->
+      """WITH m AS (SELECT doc_id AS id,
+        |  16 + doc_id % 64 AS w, 16 + doc_id % 48 AS h,
+        |  doc_id % 251 AS r, (doc_id * 7) % 251 AS g, (doc_id * 13) % 251 AS b
+        |FROM documents WHERE doc_id % 10 < 5 AND doc_id % 4 <> 3),
+        |n AS (SELECT *,
+        |  ((64 + w - 1) // w) * ((48 + h - 1) // h) AS nw FROM m)
+        |SELECT id, CAST(64 AS INTEGER) AS width, CAST(48 AS INTEGER) AS height,
+        |  CAST((64*48 - nw) * r + nw * 255 AS BIGINT) AS sum_r,
+        |  CAST((64*48 - nw) * g + nw * 255 AS BIGINT) AS sum_g,
+        |  CAST((64*48 - nw) * b + nw * 255 AS BIGINT) AS sum_b
+        |FROM n""".stripMargin,
     "q95_multimodal" ->
       """WITH m AS (SELECT doc_id AS id, doc_id % 4 AS fmt,
         |  16 + doc_id % 64 AS w, 16 + doc_id % 48 AS h,
