@@ -327,6 +327,43 @@ object Multimodal {
     })
   }
 
+  /** Deterministic nearest-neighbor PCM resample to a fixed sample
+    * count — the audio pipeline's "fixed-length model input" step.
+    * Walks the real RIFF chunks to the 16-bit data, remaps with
+    * integer-division source indices (bit-stable), re-encodes WAV.
+    * Same one-pass no-shuffle posture as resizeImages; non-audio
+    * payloads are dropped. */
+  def resampleAudio(blobs: Dataset[Blob], targetN: Int): Dataset[Blob] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.filter(_.format == "wav").mapPartitions(_.map { b =>
+      val buf = java.nio.ByteBuffer.wrap(b.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(buf.getInt(0) == 0x46464952, s"not RIFF: id=${b.id}")
+      var pos = 12
+      var rate = 16000
+      var src: Array[Short] = null
+      while (pos + 8 <= b.payload.length) {
+        val tag = buf.getInt(pos)
+        val len = buf.getInt(pos + 4)
+        if (tag == 0x20746d66) rate = buf.getInt(pos + 12)
+        else if (tag == 0x61746164) {
+          src = Array.tabulate(len / 2)(i => buf.getShort(pos + 8 + 2 * i))
+        }
+        pos += 8 + len + (len & 1)
+      }
+      require(src != null, s"no data chunk: id=${b.id}")
+      val body = java.nio.ByteBuffer.allocate(2 * targetN)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < targetN) {
+        body.putShort(src((i.toLong * src.length / targetN).toInt))
+        i += 1
+      }
+      Blob(b.id, Headers.wav(1, rate, body.array()), "wav")
+    })
+  }
+
   /** Frame sampling for "video" payloads: every strideth 16-byte slice as
     * a frame — pure expression pipeline (codegen'd, no UDF). */
   def sampleFrames(blobs: DataFrame, stride: Int = 4,

@@ -815,6 +815,19 @@ object PipelineQueries {
         .select("id", "width", "height", "sum_r", "sum_g", "sum_b")
     }),
 
+    // Audio resample to a fixed model-input length: real RIFF walk →
+    // nearest-neighbor 16-bit PCM remap → WAV re-encode → real
+    // re-decode to the exact sample sum. The oracle replays the
+    // resampled signal arithmetically: sample i of the output is
+    // source sample i*n/512 (integer division).
+    "q263_audio_resample" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthesizeMedia(
+        t(s, d, "documents").where(col("doc_id") % 10 < 5))
+      graft.operators.Multimodal.decodeMedia(
+        graft.operators.Multimodal.resampleAudio(blobs, 512)).toDF()
+        .select("id", "n_px", "sum_r")
+    }),
+
     // Video frame sampling: GVID containers of REAL BMP frames; every
     // 3rd frame is decoded through the actual codec (others skipped by
     // length, never decoded) — the strided-decode pattern of a video
@@ -1435,6 +1448,12 @@ object PipelineQueries {
         |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 10 MINUTE AS s_end,
         |       user_id, COUNT(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q263_audio_resample" ->
+      """SELECT doc_id AS id, CAST(512 AS BIGINT) AS n_px,
+        |  CAST(list_sum(list_transform(range(0, 512),
+        |    i -> (doc_id + 37 * ((i * (800 + doc_id % 256)) // 512))
+        |         % 2003 - 1001)) AS BIGINT) AS sum_r
+        |FROM documents WHERE doc_id % 10 < 5 AND doc_id % 4 = 3""".stripMargin,
     "q262_image_resize" ->
       """WITH m AS (SELECT doc_id AS id,
         |  16 + doc_id % 64 AS w, 16 + doc_id % 48 AS h,
