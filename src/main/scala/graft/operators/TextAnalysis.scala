@@ -168,6 +168,40 @@ object TextAnalysis {
     docs.join(blockedIds, Seq(idCol), "left_anti")
   }
 
+  /** URL canonicalization — the dedup key of C4/RefinedWeb/FineWeb
+    * URL-level deduplication: lowercase scheme + host, strip a
+    * leading `www.`, default ports (:80/:443), the fragment, and
+    * tracking parameters (utm_*, fbclid, gclid, ref), tidying the
+    * query separators the removals leave behind, and dropping a
+    * slash-only path. A pure codegen regexp chain — no UDF, no
+    * shuffle; at corpus scale this runs inside the scan's projection. */
+  def urlNormalize(url: Column): Column = {
+    val headRe = "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)(.*)$"
+    val head0 = lower(regexp_extract(url, headRe, 1))
+    val head = regexp_replace(
+      regexp_replace(head0, "^(https?://)www\\.", "$1"),
+      ":(80|443)$", "")
+    val rest0 = regexp_extract(url, headRe, 2)
+    val noFrag = regexp_replace(rest0, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "(?:utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*&?", "")
+    val tidy = regexp_replace(regexp_replace(noTrack, "[?&]$", ""),
+      "\\?&", "?")
+    val path = regexp_replace(tidy, "^/$", "")
+    concat(head, path)
+  }
+
+  /** URL-level exact deduplication: canonicalize, hash-group, keep the
+    * smallest id per canonical URL (the deterministic representative).
+    * One shuffle on the canonical key. */
+  def urlDedup(docs: DataFrame, urlCol: String,
+               idCol: String = "doc_id"): DataFrame = {
+    docs.withColumn("__canon", urlNormalize(col(urlCol)))
+      .groupBy("__canon")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+      .withColumnRenamed("__canon", "canonical_url")
+  }
+
   /** Deterministic global shuffle — the training-data ordering step
     * (every epoch of LLM pretraining consumes the corpus in a
     * pseudo-random but REPRODUCIBLE order). The shuffle key is a pure

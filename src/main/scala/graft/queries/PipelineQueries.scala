@@ -828,6 +828,31 @@ object PipelineQueries {
         .select("id", "n_px", "sum_r")
     }),
 
+    // URL canonicalization + URL-level dedup (C4/RefinedWeb/FineWeb):
+    // deterministic messy URLs (mixed-case www hosts, default ports,
+    // tracking params, fragments) whose canonical form the oracle
+    // computes directly from doc_id arithmetic — the normalizer must
+    // strip every decoration exactly to match.
+    "q264_url_dedup" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      val id = col("doc_id")
+      val scheme = when(id % 2 === 0, lit("http")).otherwise(lit("https"))
+      val host = concat(
+        when(id % 7 === 0, lit("WWW.Site")).otherwise(lit("site")),
+        (id % 3).cast("string"), lit(".example.com"))
+      val port = when(id % 11 === 0,
+        when(id % 2 === 0, lit(":80")).otherwise(lit(":443")))
+        .otherwise(lit(""))
+      val qs = when(id % 3 === 0,
+        concat(lit("?utm_source=x&q="), (id % 5).cast("string")))
+        .otherwise(concat(lit("?q="), (id % 5).cast("string")))
+      val frag = when(id % 5 === 0, lit("#frag")).otherwise(lit(""))
+      val url = concat(scheme, lit("://"), host, port, lit("/p/"),
+        (id % 100).cast("string"), qs, frag)
+      graft.operators.TextAnalysis.urlDedup(
+        s.table("documents").select(id, url.as("url")), "url")
+    }),
+
     // Video frame sampling: GVID containers of REAL BMP frames; every
     // 3rd frame is decoded through the actual codec (others skipped by
     // length, never decoded) — the strided-decode pattern of a video
@@ -1448,6 +1473,15 @@ object PipelineQueries {
         |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 10 MINUTE AS s_end,
         |       user_id, COUNT(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q264_url_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+        |  || '://site' || CAST(doc_id % 3 AS VARCHAR) || '.example.com/p/'
+        |  || CAST(doc_id % 100 AS VARCHAR) || '?q=' || CAST(doc_id % 5 AS VARCHAR)
+        |  AS canonical_url
+        |FROM documents)
+        |SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM c GROUP BY canonical_url""".stripMargin,
     "q263_audio_resample" ->
       """SELECT doc_id AS id, CAST(512 AS BIGINT) AS n_px,
         |  CAST(list_sum(list_transform(range(0, 512),
