@@ -267,8 +267,9 @@ object PgSql {
   private val negFrameRe =
     "(?is)\\b(RANGE|ROWS|GROUPS)\\b[^()']{0,160}?-\\s*\\d+(?:\\.\\d+)?\\s+(PRECEDING|FOLLOWING)".r
 
-  /** Literal-masked copy (quotes kept, contents replaced) so regex /
-    * paren scans can't be fooled by text inside strings. */
+  /** Literal-masked copy (quotes kept, contents replaced; `--` and
+    * nested `/* */` comment bodies masked too) so regex / paren scans
+    * can't be fooled by text inside strings or comments. */
   private[operators] def maskLiterals(sql: String): String = {
     val a = sql.toCharArray
     var i = 0
@@ -282,6 +283,18 @@ object PgSql {
             else done = true
           } else a(i) = 'x'
           i += 1
+        }
+      } else if (a(i) == '-' && i + 1 < a.length && a(i + 1) == '-') {
+        while (i < a.length && a(i) != '\n') { a(i) = ' '; i += 1 }
+      } else if (a(i) == '/' && i + 1 < a.length && a(i + 1) == '*') {
+        var depth = 0
+        while (i < a.length && (depth > 0 || (i + 1 < a.length &&
+          a(i) == '/' && a(i + 1) == '*'))) {
+          if (a(i) == '/' && i + 1 < a.length && a(i + 1) == '*') {
+            depth += 1; a(i) = ' '; a(i + 1) = ' '; i += 2
+          } else if (a(i) == '*' && i + 1 < a.length && a(i + 1) == '/') {
+            depth -= 1; a(i) = ' '; a(i + 1) = ' '; i += 2
+          } else { a(i) = ' '; i += 1 }
         }
       } else i += 1
     }

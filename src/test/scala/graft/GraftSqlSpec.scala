@@ -953,6 +953,10 @@ class GraftSqlSpec extends AnyFunSuite {
     // function calls and scalar-subquery parens are not row constructors
     assert(b("SELECT greatest(1, 2) < 5") == T)
     assert(b("SELECT (SELECT 1) < (SELECT 2)") == T)
+    // comments (line and nested block) don't confuse the masked scans
+    assert(b("SELECT (1, 2) < (1, 3) -- trailing (unbalanced\n") == T)
+    assert(b("SELECT /* (( */ 5 < ANY (SELECT * FROM VALUES (9) t(v)) /* ) */")
+      == T)
   }
 
   test("data-modifying CTEs: RETURNING as relation, pre-DML snapshot (with_clause.sql:116-122)") {
