@@ -302,4 +302,22 @@ class PlanSpec extends AnyFunSuite {
     assert(reordered != heuristic, s"CBO did not reorder: $reordered")
     assert(reordered.indexOf("cust_cbo") < reordered.indexOf("li_cbo"), reordered)
   }
+
+  test("correlated ALL quantifier plans as two existence joins, no aggregate legs") {
+    graft.Tables.register(spark, sf)
+    val df = Graft.execute(spark,
+      """SELECT o_orderkey FROM orders
+        |WHERE o_totalprice > ALL (SELECT l_extendedprice FROM lineitem
+        |                          WHERE l_orderkey = o_orderkey)""".stripMargin).get
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==")(0) // final AQE plan only
+    // the EXISTS-leg rewrite: decisive witness + nullability leg, each
+    // an existence join over ONE scan of the inner relation — never
+    // the one-aggregated-join-per-statistic shape
+    assert("ExistenceJoin".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("HashAggregate"),
+      "quantifier grew aggregate legs:\n" + p)
+    assert("lineitem\\.parquet".r.findAllIn(p).length <= 2, p)
+  }
 }
