@@ -499,6 +499,12 @@ object Graft {
       }
       operators.Dml.updateWhere(spark, table, cond, assignments)
       ret
+    } else if (is("(?is)^SELECT\\b") &&
+        operators.PgSql.topLevelInto(stripSemi(t)).isDefined) {
+      // SELECT ... INTO name (gram.y into_clause) is CTAS with the
+      // select list as the new table's shape; TEMP/UNLOGGED drop
+      val (name, rest) = operators.PgSql.topLevelInto(stripSemi(t)).get
+      execute(spark, s"CREATE TABLE $name AS $rest")
     } else copyProgRe.findFirstMatchIn(t) match {
       case Some(m) => runCopyProgram(spark, m); None
       case None => copyRe.findFirstMatchIn(t) match {

@@ -15,7 +15,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * statement's execution (temp-view shadowing, dropped afterwards —
   * the returned DataFrame is already analyzed against the snapshot).
   * A DML CTE without RETURNING still executes but contributes no
-  * relation (PG forbids referencing it). */
+  * relation (PG forbids referencing it).
+  *
+  * Scale note: the pre-image checkpoint is a full materialization of
+  * the re-read table — the price of PG's MVCC snapshot without MVCC.
+  * It is paid ONLY for the self-referential form (a wCTE modifying a
+  * table the same statement re-reads); the common consume-the-
+  * RETURNING-rows shape checkpoints nothing but the (small) RETURNING
+  * set. */
 object DmlCte {
 
   final case class Cte(name: String, cols: Seq[String], body: String)

@@ -523,6 +523,23 @@ object PgSql {
       s"(${lex(0)})"
   }
 
+  /** Find a top-level `INTO [TEMP|TEMPORARY|UNLOGGED] [TABLE] name`
+    * clause in a SELECT (gram.y into_clause): returns (table name,
+    * query text with the clause removed) — the SelectStmt→CTAS
+    * equivalence the router applies. */
+  def topLevelInto(sql: String): Option[(String, String)] = {
+    val masked = maskLiterals(sql)
+    val re = ("(?is)\\bINTO\\s+(?:(?:TEMP|TEMPORARY|UNLOGGED)\\s+)?" +
+      "(?:TABLE\\s+)?([\\w.\"]+)\\s*").r
+    re.findAllMatchIn(masked).find { m =>
+      val before = masked.substring(0, m.start)
+      before.count(_ == '(') == before.count(_ == ')')
+    }.map { m =>
+      val name = sql.substring(m.start(1), m.end(1)).replace("\"", "")
+      (name, sql.substring(0, m.start) + sql.substring(m.end))
+    }
+  }
+
   def rewrite(sqlIn: String): String = {
     val sql = rowCompare(quantified(unnestFrom(arrayBrackets(sqlIn))))
     // alternating parts: (isLiteral, text), literals include their quotes

@@ -998,6 +998,23 @@ class GraftSqlSpec extends AnyFunSuite {
     drop("wcte_y")
   }
 
+  test("SELECT ... INTO routes to CTAS (gram.y into_clause; qp_misc_jiras tbl3183)") {
+    drop("into_t1"); drop("into_t2"); drop("into_t3")
+    Graft.execute(spark, "CREATE TABLE into_t1 (i int)")
+    Graft.execute(spark, "INSERT INTO into_t1 VALUES (1), (1)")
+    Graft.execute(spark, "SELECT * INTO into_t2 FROM into_t1")
+    Graft.execute(spark, "SELECT i * 2 AS j INTO TEMP TABLE into_t3 FROM into_t1")
+    assert(spark.table("into_t2").collect().map(_.getInt(0)).toSeq == Seq(1, 1))
+    assert(spark.table("into_t3").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(2, 2))
+    // an IN-subquery's paren-depth hides nothing: INTO only at top level
+    val n = Graft.execute(spark,
+      """SELECT count(*) FROM into_t1
+        |WHERE i IN (SELECT i FROM into_t2)""".stripMargin).get.head().getLong(0)
+    assert(n == 2)
+    drop("into_t1"); drop("into_t2"); drop("into_t3")
+  }
+
   test("INSERT ... ON CONFLICT routes to the upsert/merge semantics") {
     drop("oc_t")
     Graft.execute(spark, "CREATE TABLE oc_t (k bigint, v float8, tag text)")
