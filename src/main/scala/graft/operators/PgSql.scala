@@ -523,6 +523,36 @@ object PgSql {
       s"(${lex(0)})"
   }
 
+  /** PG `ARRAY(subquery)` constructor (gram.y ARRAY select_with_parens;
+    * parse_expr ARRAY_SUBLINK): Spark has no spelling — rewrite to a
+    * scalar subquery collecting the single output column, struct-
+    * wrapped so NULL elements survive collect_list. An empty subquery
+    * yields an empty array (PG '{}'). Element order follows the
+    * subquery's partition order: preserved for an ORDER BY over an
+    * unshuffled input, which is the scope of PG's own guarantee.
+    * `array(expr, ...)` calls (no leading SELECT/WITH) are untouched. */
+  private def arraySubquery(sqlIn: String): String = {
+    var sql = sqlIn
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(sql)
+      "(?i)\\bARRAY\\s*\\(".r.findAllMatchIn(masked).find { m =>
+        val open = m.end - 1
+        val close = matchingParen(masked, open)
+        val inner = sql.substring(open + 1, close)
+        inner.trim.toUpperCase.matches("(?s)^(SELECT|WITH)\\b.*") && {
+          sql = sql.substring(0, m.start) +
+            s"(SELECT transform(collect_list(struct(__v)), __s -> __s.__v) " +
+            s"FROM ($inner) __q(__v))" + sql.substring(close + 1)
+          changed = true
+          true
+        }
+      }
+    }
+    sql
+  }
+
   /** Find a top-level `INTO [TEMP|TEMPORARY|UNLOGGED] [TABLE] name`
     * clause in a SELECT (gram.y into_clause): returns (table name,
     * query text with the clause removed) — the SelectStmt→CTAS
@@ -541,7 +571,8 @@ object PgSql {
   }
 
   def rewrite(sqlIn: String): String = {
-    val sql = rowCompare(quantified(unnestFrom(arrayBrackets(sqlIn))))
+    val sql = rowCompare(quantified(arraySubquery(
+      unnestFrom(arrayBrackets(sqlIn)))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

@@ -998,6 +998,24 @@ class GraftSqlSpec extends AnyFunSuite {
     drop("wcte_y")
   }
 
+  test("ARRAY(subquery) constructor collects with NULLs kept (parse_expr ARRAY_SUBLINK)") {
+    def arr(sql: String): Seq[Any] = {
+      val r = Graft.execute(spark, sql).get.head()
+      r.getSeq[Any](0).toSeq
+    }
+    // subselect_gp.sql:138-141 — single-element collections
+    assert(arr("SELECT ARRAY(SELECT 1)") == Seq(1))
+    assert(arr("SELECT ARRAY(SELECT v FROM VALUES (3), (1), (2) t(v) ORDER BY v)")
+      == Seq(1, 2, 3))
+    // empty subquery → empty array (PG '{}'), not NULL
+    assert(arr("SELECT ARRAY(SELECT v FROM VALUES (1) t(v) WHERE false)").isEmpty)
+    // NULL elements survive (collect_list alone would drop them)
+    assert(arr("SELECT ARRAY(SELECT v FROM VALUES (1), (NULL), (3) t(v) ORDER BY v NULLS LAST)")
+      == Seq(1, 3, null))
+    // array(expr, ...) function calls are untouched
+    assert(arr("SELECT array(9, 8)") == Seq(9, 8))
+  }
+
   test("SELECT ... INTO routes to CTAS (gram.y into_clause; qp_misc_jiras tbl3183)") {
     drop("into_t1"); drop("into_t2"); drop("into_t3")
     Graft.execute(spark, "CREATE TABLE into_t1 (i int)")

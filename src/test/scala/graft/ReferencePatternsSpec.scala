@@ -761,6 +761,63 @@ class ReferencePatternsSpec extends AnyFunSuite {
     assert(out.size == 6)
   }
 
+  // ---- subselect_gp.sql ports: correlated-subquery families --------
+
+  test("correlated > ALL and targetlist correlations (subselect_gp.out:35-55)") {
+    Seq((1, 2), (2, 1), (4, 2)).toDF("x", "y")
+      .createOrReplaceTempView("csq_t1")
+    Seq((3, 2), (3, 2), (3, 2), (3, 2), (3, 1)).toDF("x", "y")
+      .createOrReplaceTempView("csq_t2")
+    val all = Graft.execute(spark,
+      """SELECT * FROM csq_t1
+        |WHERE csq_t1.x > ALL (SELECT csq_t2.x FROM csq_t2
+        |                      WHERE csq_t2.y = csq_t1.y)""".stripMargin)
+      .get.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(all == Seq((4, 2)))
+    val tl = spark.sql(
+      """SELECT csq_t1.x, (SELECT sum(bar.x) FROM csq_t1 bar
+        |                  WHERE bar.x >= csq_t1.x) AS s
+        |FROM csq_t1 ORDER BY csq_t1.x""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(tl == Seq((1, 7L), (2, 6L), (4, 4L)))
+  }
+
+  test("correlated scalar agg inside a derived table keeps its initplan (subselect_gp.out:490)") {
+    (1 to 100).map(i => (i, i / 3, i % 2, 100 - i)).toDF("a", "b", "c", "d")
+      .createOrReplaceTempView("csq_big")
+    // plain correlated average: a > avg(a where t2.a = t1.d) → a in 51..99
+    val direct = spark.sql(
+      """SELECT count(*) FROM csq_big t1
+        |WHERE a > (SELECT CAST(avg(a) AS INT) FROM csq_big t2
+        |           WHERE t2.a = t1.d)""".stripMargin).head().getLong(0)
+    assert(direct == 49)
+    // the same through an extra derived-table level (MPP-14441 shape)
+    val nested = spark.sql(
+      """SELECT count(*) FROM csq_big t1
+        |WHERE a > (SELECT x.b FROM
+        |  (SELECT CAST(avg(a) AS INT) AS b FROM csq_big t2
+        |   WHERE t2.a = t1.d) x)""".stripMargin).head().getLong(0)
+    assert(nested == 49)
+  }
+
+  test("IN-subquery under OR stays disjunctive (subselect_gp.out:280-310)") {
+    (1 to 20).toDF("x").createOrReplaceTempView("mrs_t1")
+    val out = spark.sql(
+      """SELECT * FROM mrs_t1
+        |WHERE x IN (SELECT x - 95 FROM mrs_t1) OR x < 5
+        |ORDER BY 1""".stripMargin).collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(1, 2, 3, 4))
+    Seq((1, 2), (11, 22)).toDF("a", "b").createOrReplaceTempView("mrs_u1")
+    Seq((1, 2), (11, 22), (33, 44)).toDF("a", "b")
+      .createOrReplaceTempView("mrs_u2")
+    val joined = spark.sql(
+      """SELECT mrs_u1.a FROM mrs_u1 JOIN mrs_u2 ON mrs_u1.a = mrs_u2.a
+        |WHERE mrs_u1.a IN (1, 11)
+        |   OR mrs_u2.a IN (SELECT a FROM mrs_u1 WHERE a = 1)
+        |ORDER BY 1""".stripMargin).collect().map(_.getInt(0)).toSeq
+    assert(joined == Seq(1, 11))
+  }
+
   // ---- qp_subquery.sql ports: tuple NOT IN null semantics ----------
   // fixtures from qp_subquery.sql:300-330; expected row sets pinned to
   // qp_subquery.out:820-1030 (the .out rows, not the sometimes-stale
