@@ -25,12 +25,55 @@ object PgSql {
     "regclass" -> "STRING", "regtype" -> "STRING", "regproc" -> "STRING",
     "oid" -> "BIGINT")
 
+  private def mapType(pg: String): String =
+    typeAlias.collectFirst {
+      case (p, s) if pg.matches("(?i)" + p) => s
+    }.getOrElse(pg.toUpperCase)
+
+  /** PG `'{...}'::type[]` array-literal casts (arrayfuncs.c array_in):
+    * the braces literal becomes an array() constructor with each
+    * element cast to the mapped Spark type; `'{}'` casts an empty
+    * array. Runs on the raw text (the literal is the subject). */
+  private def arrayLiteralBody(raw: String, pgType: String): String = {
+    val t = mapType(pgType)
+    val elems = raw.split(",").map(_.trim).filter(_.nonEmpty)
+    if (elems.isEmpty) s"CAST(array() AS ARRAY<$t>)"
+    else elems.map { e =>
+      val lit =
+        if (e.matches("-?\\d+(\\.\\d+)?") || e.equalsIgnoreCase("null")) e
+        else "'" + e.stripPrefix("\"").stripSuffix("\"") + "'"
+      s"CAST($lit AS $t)"
+    }.mkString("array(", ", ", ")")
+  }
+
+  private def arrayLiteralCasts(sql: String): String = {
+    val colonForm =
+      "'\\{([^']*)\\}'\\s*::\\s*([a-zA-Z0-9_]+)\\s*\\[\\s*\\]".r
+        .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+          arrayLiteralBody(m.group(1), m.group(2))))
+    "(?i)CAST\\s*\\(\\s*'\\{([^']*)\\}'\\s+AS\\s+([a-zA-Z0-9_]+)\\s*\\[\\s*\\]\\s*\\)".r
+      .replaceAllIn(colonForm, m => java.util.regex.Matcher.quoteReplacement(
+        arrayLiteralBody(m.group(1), m.group(2))))
+  }
+
   /** Rewrite one non-literal segment. The case-insensitive `~*`/`!~*`
     * spellings are NOT touched here (their regexes exclude a trailing
     * `*`) — they need the following pattern literal and are folded
     * during assembly in [[rewrite]]. */
   private def rewriteSegment(s: String): String = {
     var out = s
+    // expr::type[] → ::ARRAY<type> with the element type mapped
+    // through the PG alias table (gram.y Typename opt_array_bounds)
+    out = "(::\\s*)([a-zA-Z0-9_]+)\\s*\\[\\s*\\]".r.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + "ARRAY<" + mapType(m.group(2)) + ">"))
+    out = "(?i)(\\bAS\\s+)([a-zA-Z0-9_]+)\\s*\\[\\s*\\](\\s*\\))".r
+      .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + "ARRAY<" + mapType(m.group(2)) + ">" + m.group(3)))
+    // COLLATE "C" / COLLATE locale (gram.y a_expr COLLATE any_name):
+    // Spark's binary UTF8 comparison IS the "C" collation; named
+    // locales degrade to it — the clause drops
+    out = out.replaceAll("(?i)\\bCOLLATE\\s+(\"[^\"]+\"|[\\w.]+)", "")
     // regex-operator spellings, most specific first (pg_operator.h:
     // ~~ LIKE, ~~* ILIKE, !~~ NOT LIKE, !~~* NOT ILIKE, ~ regex)
     out = out.replaceAll("!~~\\*", " NOT ILIKE ")
@@ -572,7 +615,7 @@ object PgSql {
 
   def rewrite(sqlIn: String): String = {
     val sql = rowCompare(quantified(arraySubquery(
-      unnestFrom(arrayBrackets(sqlIn)))))
+      unnestFrom(arrayBrackets(arrayLiteralCasts(sqlIn))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

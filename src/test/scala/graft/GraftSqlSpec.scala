@@ -1016,6 +1016,24 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(arr("SELECT array(9, 8)") == Seq(9, 8))
   }
 
+  test("array-typed casts and COLLATE clauses (gram.y Typename / a_expr COLLATE)") {
+    def one(sql: String): Any = Graft.execute(spark, sql).get.head().get(0)
+    assert(one("SELECT '{1,2,3}'::int[]") ==
+      scala.collection.immutable.ArraySeq(1, 2, 3))
+    assert(one("SELECT CAST('{1,2}' AS int[])") ==
+      scala.collection.immutable.ArraySeq(1, 2))
+    assert(one("SELECT '{a,b}'::text[]") ==
+      scala.collection.immutable.ArraySeq("a", "b"))
+    assert(one("SELECT '{}'::int8[]") ==
+      scala.collection.immutable.ArraySeq.empty[Long])
+    assert(one("SELECT array[1,2]::bigint[]") ==
+      scala.collection.immutable.ArraySeq(1L, 2L))
+    assert(one("SELECT 'x' COLLATE \"C\" = 'x'") == true)
+    assert(Graft.execute(spark,
+      "SELECT v FROM VALUES ('b'), ('a') t(v) ORDER BY v COLLATE \"C\" LIMIT 1")
+      .get.head().getString(0) == "a")
+  }
+
   test("SELECT ... INTO routes to CTAS (gram.y into_clause; qp_misc_jiras tbl3183)") {
     drop("into_t1"); drop("into_t2"); drop("into_t3")
     Graft.execute(spark, "CREATE TABLE into_t1 (i int)")
