@@ -566,6 +566,55 @@ object PgSql {
       s"(${lex(0)})"
   }
 
+  /** PG string-literal syntaxes Spark's lexer rejects (gram.y / scan.l):
+    *  - `E'...'` escape strings: the prefix drops — Spark's default
+    *    string lexer applies the same C-style backslash escapes;
+    *  - `B'...'` bit strings: degrade to their textual form;
+    *  - `$$...$$` / `$tag$...$tag$` dollar quoting: becomes a standard
+    *    literal with internal quotes doubled. `$1`-style parameters
+    *    never match (a tag is `$[A-Za-z_]\w*$` or `$$`). */
+  private def pgStringSyntax(sql: String): String = {
+    val out = new StringBuilder
+    val tagRe = "^\\$([A-Za-z_][A-Za-z0-9_]*)?\\$".r
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        // standard literal: copy verbatim through its closing quote
+        val start = i
+        i += 1
+        var done = false
+        while (i < sql.length && !done) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 1
+            else done = true
+          }
+          i += 1
+        }
+        out ++= sql.substring(start, i)
+      } else if ((c == 'E' || c == 'e' || c == 'B' || c == 'b') &&
+        i + 1 < sql.length && sql.charAt(i + 1) == '\'' &&
+        (i == 0 || { val p = sql.charAt(i - 1)
+          !p.isLetterOrDigit && p != '_' && p != '\'' })) {
+        i += 1 // drop the prefix; the literal itself copies next round
+      } else if (c == '$') {
+        tagRe.findFirstMatchIn(sql.substring(i)) match {
+          case Some(m) =>
+            val tag = m.matched
+            val bodyStart = i + tag.length
+            val end = sql.indexOf(tag, bodyStart)
+            require(end >= 0, s"unterminated dollar-quoted string: $tag")
+            out += '\'' ++= sql.substring(bodyStart, end)
+              .replace("'", "''") += '\''
+            i = end + tag.length
+          case None =>
+            out += c; i += 1
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
   /** PG `ARRAY(subquery)` constructor (gram.y ARRAY select_with_parens;
     * parse_expr ARRAY_SUBLINK): Spark has no spelling — rewrite to a
     * scalar subquery collecting the single output column, struct-
@@ -615,7 +664,7 @@ object PgSql {
 
   def rewrite(sqlIn: String): String = {
     val sql = rowCompare(quantified(arraySubquery(
-      unnestFrom(arrayBrackets(arrayLiteralCasts(sqlIn))))))
+      unnestFrom(arrayBrackets(arrayLiteralCasts(pgStringSyntax(sqlIn)))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

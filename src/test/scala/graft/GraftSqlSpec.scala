@@ -1016,6 +1016,19 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(arr("SELECT array(9, 8)") == Seq(9, 8))
   }
 
+  test("dollar quoting, E-strings, bit strings (scan.l xdolq/xe/xb)") {
+    def one(sql: String): Any = Graft.execute(spark, sql).get.head().get(0)
+    assert(one("SELECT $$abc's$$") == "abc's")
+    assert(one("SELECT $tag$x$y$tag$") == "x$y")
+    assert(one("SELECT $$$$") == "")
+    assert(one("SELECT E'a\\nb'") == "a\nb")
+    assert(one("SELECT length(E'tab\\there')") == 8)
+    assert(one("SELECT B'1010'") == "1010")
+    // an E inside an identifier or literal is untouched
+    assert(one("SELECT 'SIZE' || 'x'") == "SIZEx")
+    assert(one("SELECT upper(case when true then 'e' end)") == "E")
+  }
+
   test("array-typed casts and COLLATE clauses (gram.y Typename / a_expr COLLATE)") {
     def one(sql: String): Any = Graft.execute(spark, sql).get.head().get(0)
     assert(one("SELECT '{1,2,3}'::int[]") ==
