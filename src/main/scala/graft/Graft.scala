@@ -499,6 +499,16 @@ object Graft {
       }
       operators.Dml.updateWhere(spark, table, cond, assignments)
       ret
+    } else if (is("(?is)^(SELECT|WITH)\\b") &&
+        operators.PgSql.withTies(t).isDefined) {
+      // FETCH FIRST n ROWS WITH TIES (PG 13): peers of the n-th row on
+      // the ORDER BY key are kept — a rank() window, since Spark has
+      // no TIES spelling; the rank column drops from the result
+      val (base, keys, n) = operators.PgSql.withTies(t).get
+      Some(spark.sql(operators.PgSql.rewrite(
+        s"""SELECT * FROM (SELECT __t.*, rank() OVER (ORDER BY $keys)
+           |AS __tie_r FROM ($base) __t) WHERE __tie_r <= $n
+           |ORDER BY $keys""".stripMargin)).drop("__tie_r"))
     } else if (is("(?is)^SELECT\\b") &&
         operators.PgSql.topLevelInto(stripSemi(t)).isDefined) {
       // SELECT ... INTO name (gram.y into_clause) is CTAS with the

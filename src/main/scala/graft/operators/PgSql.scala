@@ -645,6 +645,29 @@ object PgSql {
     sql
   }
 
+  /** Split a `... ORDER BY K FETCH FIRST n ROWS WITH TIES` statement
+    * (gram.y limit_clause WITH TIES, PG 13) into (base query without
+    * the ORDER BY tail, order-key text, n). The router turns it into
+    * a rank() window ≤ n — Spark has no TIES spelling. Top-level
+    * clauses only; returns None otherwise. */
+  def withTies(sqlIn: String): Option[(String, String, Long)] = {
+    val sql = sqlIn.trim.stripSuffix(";").trim
+    val masked = maskLiterals(sql)
+    val tiesRe = ("(?is)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+" +
+      "ROWS?\\s+WITH\\s+TIES\\s*$").r
+    tiesRe.findFirstMatchIn(masked).flatMap { tm =>
+      "(?is)\\bORDER\\s+BY\\b".r.findAllMatchIn(masked).toSeq
+        .reverseIterator.find { m =>
+          val before = masked.substring(0, m.start)
+          before.count(_ == '(') == before.count(_ == ')')
+        }.map { m =>
+          (sql.substring(0, m.start).trim,
+            sql.substring(m.end, tm.start).trim,
+            tm.group(1).toLong)
+        }
+    }
+  }
+
   /** Find a top-level `INTO [TEMP|TEMPORARY|UNLOGGED] [TABLE] name`
     * clause in a SELECT (gram.y into_clause): returns (table name,
     * query text with the clause removed) — the SelectStmt→CTAS

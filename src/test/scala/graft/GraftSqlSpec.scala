@@ -1016,6 +1016,31 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(arr("SELECT array(9, 8)") == Seq(9, 8))
   }
 
+  test("FETCH FIRST n ROWS WITH TIES keeps the nth row's peers (PG 13 limit_clause)") {
+    def vals(sql: String): Seq[Int] =
+      Graft.execute(spark, sql).get.collect().map(_.getInt(0)).toSeq
+    val src = "FROM VALUES (1), (2), (2), (3), (3), (4) t(v)"
+    // ties of the 2nd row (both 2s) ride along
+    assert(vals(s"SELECT v $src ORDER BY v FETCH FIRST 2 ROWS WITH TIES")
+      == Seq(1, 2, 2))
+    // a clean boundary behaves like LIMIT
+    assert(vals(s"SELECT v $src ORDER BY v FETCH FIRST 1 ROW WITH TIES")
+      == Seq(1))
+    assert(vals(s"SELECT v $src ORDER BY v DESC FETCH NEXT 1 ROWS WITH TIES")
+      == Seq(4))
+    assert(vals(s"SELECT v $src ORDER BY v DESC FETCH FIRST 2 ROWS WITH TIES")
+      == Seq(4, 3, 3))
+    // ties already inside the window don't extend it (n=3 ends at a 2)
+    assert(vals(s"SELECT v $src ORDER BY v FETCH FIRST 3 ROWS WITH TIES")
+      == Seq(1, 2, 2))
+    // ... but a boundary inside a peer group pulls the whole group
+    val r = Graft.execute(spark,
+      s"SELECT v, v * 10 AS w $src ORDER BY v FETCH FIRST 4 ROWS WITH TIES")
+      .get
+    assert(r.columns.toSeq == Seq("v", "w"))
+    assert(r.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 2, 3, 3))
+  }
+
   test("dollar quoting, E-strings, bit strings (scan.l xdolq/xe/xb)") {
     def one(sql: String): Any = Graft.execute(spark, sql).get.head().get(0)
     assert(one("SELECT $$abc's$$") == "abc's")
