@@ -643,6 +643,25 @@ object GraftFunctions {
       FunctionIdentifier("to_char_dt"),
       info("to_char_dt", "to_char_dt(ts, fmt) - PG DCH date/time templates"),
       (args: Seq[Expression]) => ToCharDt(Cast(args(0), TimestampNTZType), args(1)))
+    // `to_char` itself overrides Spark's builtin (Spark keeps a zero
+    // integer digit under a 9-mask where PG blanks it). PG dispatches
+    // on the VALUE's type; unresolved args force dispatching on the
+    // format literal instead — DCH tokens → datetime, else numeric
+    // masks. A non-literal format falls to the numeric side.
+    reg.registerFunction(
+      FunctionIdentifier("to_char"),
+      info("to_char", "to_char(value, fmt) - PG numeric masks + DCH templates"),
+      (args: Seq[Expression]) => {
+        val fmt = try {
+          if (args(1).foldable) Option(args(1).eval()).map(_.toString)
+          else None
+        } catch { case _: Exception => None }
+        val isDch = fmt.exists(f => ("(?i)(YY|MM|DD|HH|SS|MS|US|TZ|" +
+          "AM|PM|A\\.M|P\\.M|DAY|DY|MON|IW|ID|[JQW])").r
+          .findFirstIn(f).isDefined)
+        if (isDch) ToCharDt(Cast(args(0), TimestampNTZType), args(1))
+        else ToChar(Cast(args(0), DoubleType), args(1))
+      })
     reg.registerFunction(
       FunctionIdentifier("plpgsql_catch"),
       info("plpgsql_catch", "plpgsql_catch(body, handler, cond) - EXCEPTION block"),

@@ -41,7 +41,11 @@ object ToCharFmt {
     // its own position and every position to its right
     val leftZero = intTpl.indexOf('0')
     val sb = new java.lang.StringBuilder
-    var di = intStr0.length - 1
+    // a lone zero integer digit is a LEADING zero when a fraction
+    // follows: 9-masks blank it (to_char(0.5,'9.9') = " .5"; an
+    // explicit 0 mask keeps it — the PG docs' 9.9-vs-0.9 pair)
+    val suppressLoneZero = intStr0 == "0" && fracDigits > 0 && leftZero < 0
+    var di = if (suppressLoneZero) -1 else intStr0.length - 1
     var i = intTpl.length - 1
     while (i >= 0) {
       val zeroForced = leftZero >= 0 && i >= leftZero
@@ -60,7 +64,8 @@ object ToCharFmt {
       i -= 1
     }
     var intPart = sb.reverse.toString
-    if (intPart.replace(" ", "").isEmpty) intPart = intPart.drop(1) + "0"
+    if (intPart.replace(" ", "").isEmpty && fracDigits == 0)
+      intPart = intPart.drop(1) + "0"
 
     val frac = if (fracDigits > 0) "." + parts(1) else ""
     val core = (if (dollar) "$" else "") + intPart.trim + frac
