@@ -82,4 +82,11 @@ object Tables {
       registeredFor = Some((spark, sfDir))
     }
   }
+
+  /** Test hook: forget the memo so the next register re-creates the
+    * views (used by suites that shadow fixture names with their own
+    * temp views). */
+  private[graft] def invalidate(): Unit = synchronized {
+    registeredFor = None
+  }
 }

@@ -73,7 +73,8 @@ object PgSql {
     // COLLATE "C" / COLLATE locale (gram.y a_expr COLLATE any_name):
     // Spark's binary UTF8 comparison IS the "C" collation; named
     // locales degrade to it — the clause drops
-    out = out.replaceAll("(?i)\\bCOLLATE\\s+(\"[^\"]+\"|[\\w.]+)", "")
+    // (quotedIdents may have backticked a quoted collation name first)
+    out = out.replaceAll("(?i)\\bCOLLATE\\s+(\"[^\"]+\"|`[^`]+`|[\\w.]+)", "")
     // regex-operator spellings, most specific first (pg_operator.h:
     // ~~ LIKE, ~~* ILIKE, !~~ NOT LIKE, !~~* NOT ILIKE, ~ regex)
     out = out.replaceAll("!~~\\*", " NOT ILIKE ")
@@ -115,6 +116,20 @@ object PgSql {
       "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+ROWS?\\s+ONLY", "LIMIT 1")
     out = out.replaceAll("(?i)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\b", "OFFSET $1")
     out = out.replaceAll("(?i)\\bLIMIT\\s+ALL\\b", "")
+    // GPDB GROUP BY () empty-set spellings (gram.y group_elem): a lone
+    // () is the grand total (GROUPING SETS (())); a () item inside a
+    // plain grouping list is a no-op and drops. GROUPING SETS bodies
+    // keep their ()s — the empty set is meaningful there.
+    if (!"(?i)GROUPING\\s+SETS".r.findFirstIn(out).isDefined) {
+      out = out.replaceAll("(?i)\\bGROUP\\s+BY\\s+\\(\\)\\s*(?![,(])",
+        "GROUP BY GROUPING SETS (()) ")
+      out = out.replaceAll("(?i)(\\bGROUP\\s+BY\\s+)\\(\\)\\s*,", "$1")
+      var prev: String = null
+      while (prev != out) {
+        prev = out
+        out = out.replaceAll("(?i)(\\bGROUP\\s+BY\\s+[^;()]*?),\\s*\\(\\)", "$1")
+      }
+    }
     // PG TABLESAMPLE methods (gram.y tablesample_clause): both map to
     // Spark's row-level percent sampling — BERNOULLI is exactly that;
     // SYSTEM is PG's page-level variant, same statistical contract at
@@ -615,6 +630,73 @@ object PgSql {
     out.toString
   }
 
+  /** PG double-quoted identifiers (scan.l xd) → Spark backticks, for
+    * the simple-word subset. In PG, "..." is ALWAYS an identifier; in
+    * Spark's default mode it's a string literal — so a PG statement
+    * like `r(a, b, "sum")` would silently become a string. Only
+    * `"word"` forms rewrite; quoted identifiers with spaces or
+    * punctuation stay (fail loudly rather than guess). */
+  private def quotedIdents(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- "\"([A-Za-z_][A-Za-z0-9_]*)\"".r.findAllMatchIn(masked)) {
+      sb ++= sql.substring(last, m.start) += '`' ++=
+        sql.substring(m.start + 1, m.end - 1) += '`'
+      last = m.end
+    }
+    sb ++= sql.substring(last)
+    sb.toString
+  }
+
+  /** PG `GROUP BY (a, b)` composite items (gram.y group_by_item): a
+    * parenthesized expression list groups by EACH member — Spark would
+    * group by one struct. Flatten parens whose item contains a
+    * top-level comma and isn't a ROLLUP/CUBE/GROUPING SETS body; runs
+    * per GROUP BY list on the masked text. */
+  private def flattenGroupByParens(sqlIn: String): String = {
+    var sql = sqlIn
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(sql)
+      "(?i)(\\bGROUP\\s+BY\\s+|,\\s*)\\(".r.findAllMatchIn(masked).find { m =>
+        val open = m.end - 1
+        // only GROUP-BY-list parens: scan back — the nearest preceding
+        // keyword at this nesting must be GROUP BY (a comma alone can
+        // be a call argument list)
+        val before = masked.substring(0, m.start(1) + m.group(1).length)
+        val gb = "(?i)\\bGROUP\\s+BY\\b".r.findAllMatchIn(before)
+          .toSeq.lastOption
+        gb.exists { g =>
+          val between = masked.substring(g.end, open)
+          // still in the same list: balanced parens, no clause keyword
+          between.count(_ == '(') == between.count(_ == ')') &&
+          !"(?i)\\b(HAVING|ORDER|LIMIT|WINDOW|FROM|WHERE|SELECT|UNION|INTERSECT|EXCEPT|ROLLUP|CUBE|SETS)\\b".r
+            .findFirstIn(between).isDefined
+        } && {
+          val close = matchingParen(masked, open)
+          val innerMasked = masked.substring(open + 1, close)
+          var depth = 0
+          var topComma = false
+          innerMasked.foreach {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 0 => topComma = true
+            case _ =>
+          }
+          topComma && !innerMasked.contains("(") && {
+            sql = sql.substring(0, open) + " " +
+              sql.substring(open + 1, close) + " " + sql.substring(close + 1)
+            changed = true
+            true
+          }
+        }
+      }
+    }
+    sql
+  }
+
   /** PG `ARRAY(subquery)` constructor (gram.y ARRAY select_with_parens;
     * parse_expr ARRAY_SUBLINK): Spark has no spelling — rewrite to a
     * scalar subquery collecting the single output column, struct-
@@ -686,8 +768,9 @@ object PgSql {
   }
 
   def rewrite(sqlIn: String): String = {
-    val sql = rowCompare(quantified(arraySubquery(
-      unnestFrom(arrayBrackets(arrayLiteralCasts(pgStringSyntax(sqlIn)))))))
+    val sql = rowCompare(quantified(arraySubquery(flattenGroupByParens(
+      unnestFrom(arrayBrackets(arrayLiteralCasts(quotedIdents(
+        pgStringSyntax(sqlIn)))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

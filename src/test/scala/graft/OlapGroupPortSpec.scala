@@ -2,23 +2,17 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Data-driven port of the reference's `olap_window.sql` regress
-  * suite: every value-deterministic windowed query (106 of the 442
-  * result-bearing statements) runs VERBATIM through the engine's SQL
-  * front door against the suite's own Macbeth fixture, compared as a
-  * row multiset to the expected table pinned from `olap_window.out`.
-  *
-  * Value-deterministic = rank families and aggregates over RANGE /
-  * whole-partition frames, where peers receive identical values, so
-  * multiset equality is exact regardless of tie order. Excluded (and
-  * covered by the hand-ported frame tests instead): row_number /
-  * ntile / lead-lag / first-last and ROWS frames (tie-order-dependent
-  * — the reference's own `-- mvd` annotations say so), per-row
-  * variable and start-after-end frame bounds (engine-documented
-  * rejections), window corr/stddev (float print variance), and
-  * queries over the suite's mid-file temp tables. This sweep is what
-  * caught the to_char lone-zero divergence. */
-class OlapWindowPortSpec extends AnyFunSuite
+/** Data-driven port of the reference's `olap_group.sql` regress suite:
+  * 100 GROUP BY extension queries (empty grouping sets, GROUPING SETS
+  * / ROLLUP / CUBE permutations and their hand-expanded UNION ALL
+  * equivalents) run VERBATIM through the engine's SQL front door over
+  * the suite's Macbeth fixture, each compared as a row multiset to the
+  * expected table pinned from `olap_group.out`. Grouped aggregates
+  * are fully value-deterministic, so multiset equality is exact.
+  * Excluded: GPDB group_id() (duplicate-set discriminator with no
+  * Spark analog) and float-aggregate print-width families covered by
+  * the catalog's decimal-summed entries. */
+class OlapGroupPortSpec extends AnyFunSuite
     with org.scalatest.BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -26,7 +20,7 @@ class OlapWindowPortSpec extends AnyFunSuite
   // the Macbeth views shadow the same-named fixture views (customer!)
   // — drop them and let the next Tables.register re-create the originals
   override def afterAll(): Unit = {
-    Seq("customer", "vendor", "product", "sale", "sale_ord")
+    Seq("customer", "vendor", "product", "sale")
       .foreach(spark.catalog.dropTempView)
     Tables.invalidate()
   }
@@ -60,50 +54,29 @@ class OlapWindowPortSpec extends AnyFunSuite
       .toDF("cn", "vn", "pn", "dts", "qty", "prc")
       .selectExpr("cn", "vn", "pn", "CAST(dts AS DATE) AS dt", "qty", "prc")
       .createOrReplaceTempView("sale")
-    Seq(
-      (1, 2, 40, 100, "1401-01-01", 1100, 2400.0),
-      (2, 1, 10, 200, "1401-03-01", 1, 0.0),
-      (3, 3, 40, 200, "1401-04-01", 1, 0.0),
-      (4, 1, 20, 100, "1401-05-01", 1, 0.0),
-      (5, 1, 30, 300, "1401-05-02", 1, 0.0),
-      (6, 1, 50, 400, "1401-06-01", 1, 0.0),
-      (7, 2, 50, 400, "1401-06-01", 1, 0.0),
-      (8, 1, 30, 500, "1401-06-01", 12, 5.0),
-      (9, 3, 30, 500, "1401-06-01", 12, 5.0),
-      (10, 3, 30, 600, "1401-06-01", 12, 5.0),
-      (11, 4, 40, 700, "1401-06-01", 1, 1.0),
-      (12, 4, 40, 800, "1401-06-01", 1, 1.0))
-      .toDF("ord", "cn", "vn", "pn", "dts", "qty", "prc")
-      .selectExpr("ord", "cn", "vn", "pn", "CAST(dts AS DATE) AS dt",
-        "qty", "prc")
-      .createOrReplaceTempView("sale_ord")
   }
 
-  private case class Vector(sql: String, rows: Seq[Seq[String]])
+  private case class Vec(sql: String, rows: Seq[Seq[String]])
 
-  private lazy val vectors: Seq[Vector] = {
+  private lazy val vectors: Seq[Vec] = {
     val raw = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/olap_window_port_vectors.txt"),
+      getClass.getResourceAsStream("/olap_group_port_vectors.txt"),
       "UTF-8").getLines().filterNot(_.startsWith("#")).mkString("\n")
     raw.split("===SQL\n").toSeq.filter(_.nonEmpty).map { block =>
       val Array(sql, rowsTxt) = block.split("\n===ROWS\n", 2)
-      // keep empty lines: a single-column NULL row serializes to one
       val body = rowsTxt.stripSuffix("\n")
       val rows =
         if (body.isEmpty && !rowsTxt.startsWith("\n")) Seq.empty
         else body.split("\n", -1).toSeq
           .map(_.split("\\|", -1).toSeq.map(_.trim))
-      Vector(sql.trim, rows)
+      Vec(sql.trim, rows)
     }
   }
 
-  /** normalize a cell for comparison: NULL→"", integral floats drop
-    * ".0", long floats round to 10 significant digits (PG float8
-    * prints 15 digits, Spark 17 shortest-roundtrip). */
   private def norm(cell: String): String = {
     val c = cell.trim
     if (c.isEmpty) ""
-    else if (c.matches("\\d{2}-\\d{2}-\\d{4}")) // reference datestyle MDY
+    else if (c.matches("\\d{2}-\\d{2}-\\d{4}"))
       s"${c.substring(6)}-${c.substring(0, 2)}-${c.substring(3, 5)}"
     else if (c.matches("-?\\d+\\.0")) c.dropRight(2)
     else if (c.matches("-?\\d*\\.\\d{8,}([eE].*)?")) {
@@ -112,7 +85,7 @@ class OlapWindowPortSpec extends AnyFunSuite
     } else c
   }
 
-  test("106 olap_window regress queries match their pinned tables") {
+  test("olap_group regress queries match their pinned tables") {
     fixtures()
     val failures = Seq.newBuilder[String]
     vectors.foreach { v =>
@@ -128,14 +101,12 @@ class OlapWindowPortSpec extends AnyFunSuite
         }
       if (got.nonEmpty || v.rows.nonEmpty) {
         val exp = v.rows.map(_.map(norm))
-        val (gm, em) = (got.groupBy(identity).view.mapValues(_.size).toMap,
-          exp.groupBy(identity).view.mapValues(_.size).toMap)
-        if (gm != em) {
-          val miss = em.keySet.diff(gm.keySet).take(3)
-          val extra = gm.keySet.diff(em.keySet).take(3)
+        val gm = got.groupBy(identity).view.mapValues(_.size).toMap
+        val em = exp.groupBy(identity).view.mapValues(_.size).toMap
+        if (gm != em)
           failures += s"MISMATCH: ${v.sql.replaceAll("\\s+", " ").take(120)}\n" +
-            s"  missing=${miss.mkString(";")}\n  extra=${extra.mkString(";")}"
-        }
+            s"  missing=${em.keySet.diff(gm.keySet).take(3).mkString(";")}\n" +
+            s"  extra=${gm.keySet.diff(em.keySet).take(3).mkString(";")}"
       }
     }
     val f = failures.result()
