@@ -58,9 +58,9 @@ class OlapGroupPortSpec extends AnyFunSuite
 
   private case class Vec(sql: String, rows: Seq[Seq[String]])
 
-  private lazy val vectors: Seq[Vec] = {
+  private def loadVectors(resource: String): Seq[Vec] = {
     val raw = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/olap_group_port_vectors.txt"),
+      getClass.getResourceAsStream(resource),
       "UTF-8").getLines().filterNot(_.startsWith("#")).mkString("\n")
     raw.split("===SQL\n").toSeq.filter(_.nonEmpty).map { block =>
       val Array(sql, rowsTxt) = block.split("\n===ROWS\n", 2)
@@ -72,6 +72,9 @@ class OlapGroupPortSpec extends AnyFunSuite
       Vec(sql.trim, rows)
     }
   }
+
+  private lazy val vectors: Seq[Vec] =
+    loadVectors("/olap_group_port_vectors.txt")
 
   private def norm(cell: String): String = {
     val c = cell.trim
@@ -86,9 +89,13 @@ class OlapGroupPortSpec extends AnyFunSuite
   }
 
   test("olap_group regress queries match their pinned tables") {
+    runVectors(vectors)
+  }
+
+  private def runVectors(vs: Seq[Vec]): Unit = {
     fixtures()
     val failures = Seq.newBuilder[String]
-    vectors.foreach { v =>
+    vs.foreach { v =>
       val got: Seq[Seq[String]] =
         try Graft.execute(spark, v.sql).get.collect().toSeq.map(r =>
           (0 until r.length).map(i =>
@@ -110,7 +117,7 @@ class OlapGroupPortSpec extends AnyFunSuite
       }
     }
     val f = failures.result()
-    assert(f.isEmpty, s"${f.size} of ${vectors.size} failed:\n" +
+    assert(f.isEmpty, s"${f.size} of ${vs.size} failed:\n" +
       f.take(8).mkString("\n"))
   }
 }
