@@ -1101,6 +1101,19 @@ object RelationalQueries {
     "q261_dml_cte" -> ((s, d) => {
       graft.Tables.register(s, d)
       graft.Graft.execute(s, "DROP TABLE IF EXISTS wcte_q261")
+      // a crashed earlier run can leave the managed location behind
+      // without a catalog entry; clear it so CREATE TABLE can't trip
+      // over LOCATION_ALREADY_EXISTS
+      locally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        val wh = new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath
+        val leftover = new java.io.File(wh, "wcte_q261")
+        if (leftover.exists()) rm(leftover)
+      }
       graft.Graft.execute(s, "CREATE TABLE wcte_q261 (k bigint, v float8)")
       graft.Graft.execute(s,
         """INSERT INTO wcte_q261

@@ -44,8 +44,8 @@ class WorldCtePortSpec extends AnyFunSuite
     spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters
         .SeqHasAsJava(rows).asJava), schema)
-      .createOrReplaceTempView(schema.typeName match { case _ => resource
-        .stripPrefix("/world_").stripSuffix(".tsv") })
+      .createOrReplaceTempView(
+        resource.stripPrefix("/world_").stripSuffix(".tsv"))
   }
 
   private def fixtures(): Unit = {
