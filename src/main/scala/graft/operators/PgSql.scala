@@ -537,11 +537,17 @@ object PgSql {
           (rowKw || !adjacentId) && {
             val rhsOpen = m.end - 1
             val rhsClose = matchingParen(masked, rhsOpen)
-            val lhsParts = topLevelSplit(
-              sql.substring(lhsOpen + 1, lhsClose),
+            // a subquery side is NOT a row constructor — its select-
+            // list commas must not be split ((a,b) = (SELECT x, y...)
+            // is PG's row-valued scalar subquery, left untouched)
+            val lhsInner = sql.substring(lhsOpen + 1, lhsClose)
+            val rhsInner = sql.substring(rhsOpen + 1, rhsClose)
+            def isSub(s: String) = s.trim.toUpperCase
+              .matches("(?s)^(SELECT|WITH|VALUES|TABLE)\\b.*")
+            !isSub(lhsInner) && !isSub(rhsInner) && {
+            val lhsParts = topLevelSplit(lhsInner,
               masked.substring(lhsOpen + 1, lhsClose))
-            val rhsParts = topLevelSplit(
-              sql.substring(rhsOpen + 1, rhsClose),
+            val rhsParts = topLevelSplit(rhsInner,
               masked.substring(rhsOpen + 1, rhsClose))
             lhsParts.length >= 2 && lhsParts.length == rhsParts.length && {
               val op = m.group(1) match {
@@ -554,6 +560,7 @@ object PgSql {
                 sql.substring(rhsClose + 1)
               changed = true
               true
+            }
             }
           }
         }

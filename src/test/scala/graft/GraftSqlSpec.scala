@@ -957,6 +957,11 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(b("SELECT (1, 2) < (1, 3) -- trailing (unbalanced\n") == T)
     assert(b("SELECT /* (( */ 5 < ANY (SELECT * FROM VALUES (9) t(v)) /* ) */")
       == T)
+    // a row-valued scalar subquery's select-list commas are NOT a row
+    // constructor — the comparison must reach Spark untouched (where a
+    // single-column form works; multi-column fails loudly)
+    assert(b("SELECT (v) = (SELECT min(x) FROM VALUES (7), (9) t(x)) " +
+      "FROM VALUES (7) s(v)") == T)
   }
 
   test("data-modifying CTEs: RETURNING as relation, pre-DML snapshot (with_clause.sql:116-122)") {
