@@ -3,21 +3,22 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Data-driven port of the reference's `olap_window.sql` regress
-  * suite: every value-deterministic windowed query (106 of the 442
-  * result-bearing statements) runs VERBATIM through the engine's SQL
-  * front door against the suite's own Macbeth fixture, compared as a
+  * suite: 161 deterministic windowed queries (of the 442 result-
+  * bearing statements) run VERBATIM through the engine's SQL front
+  * door against the suite's own Macbeth fixture, each compared as a
   * row multiset to the expected table pinned from `olap_window.out`.
   *
-  * Value-deterministic = rank families and aggregates over RANGE /
-  * whole-partition frames, where peers receive identical values, so
-  * multiset equality is exact regardless of tie order. Excluded (and
-  * covered by the hand-ported frame tests instead): row_number /
-  * ntile / lead-lag / first-last and ROWS frames (tie-order-dependent
-  * — the reference's own `-- mvd` annotations say so), per-row
-  * variable and start-after-end frame bounds (engine-documented
-  * rejections), window corr/stddev (float print variance), and
-  * queries over the suite's mid-file temp tables. This sweep is what
-  * caught the to_char lone-zero divergence. */
+  * Two determinism classes: (1) value-deterministic shapes — rank
+  * families and aggregates over RANGE / whole-partition frames, where
+  * peers receive identical values; (2) order-dependent functions
+  * (row_number / lead / lag / first-last, ROWS frames) whose every
+  * window orders by sale_ord's UNIQUE ord key, making the tie order
+  * itself deterministic. Excluded: remaining tie-order-dependent
+  * permutations (the reference's own `-- mvd` annotations mark them),
+  * per-row variable frame bounds and lead/lag offsets plus
+  * start-after-end frames (engine-documented rejections), window
+  * corr/stddev (float print variance), and the suite's mid-file temp
+  * tables. This sweep caught the to_char lone-zero divergence. */
 class OlapWindowPortSpec extends AnyFunSuite
     with org.scalatest.BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
@@ -81,21 +82,8 @@ class OlapWindowPortSpec extends AnyFunSuite
 
   private case class Vector(sql: String, rows: Seq[Seq[String]])
 
-  private lazy val vectors: Seq[Vector] = {
-    val raw = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/olap_window_port_vectors.txt"),
-      "UTF-8").getLines().filterNot(_.startsWith("#")).mkString("\n")
-    raw.split("===SQL\n").toSeq.filter(_.nonEmpty).map { block =>
-      val Array(sql, rowsTxt) = block.split("\n===ROWS\n", 2)
-      // keep empty lines: a single-column NULL row serializes to one
-      val body = rowsTxt.stripSuffix("\n")
-      val rows =
-        if (body.isEmpty && !rowsTxt.startsWith("\n")) Seq.empty
-        else body.split("\n", -1).toSeq
-          .map(_.split("\\|", -1).toSeq.map(_.trim))
-      Vector(sql.trim, rows)
-    }
-  }
+  private lazy val vectors: Seq[Vector] =
+    loadVectors("/olap_window_port_vectors.txt")
 
   /** normalize a cell for comparison: NULL→"", integral floats drop
     * ".0", long floats round to 10 significant digits (PG float8
@@ -112,10 +100,35 @@ class OlapWindowPortSpec extends AnyFunSuite
     } else c
   }
 
-  test("106 olap_window regress queries match their pinned tables") {
+  test("144 value-deterministic olap_window regress queries match their pinned tables") {
+    runVectors(vectors)
+  }
+
+  test("21 order-dependent window queries over the unique ord key match") {
+    // row_number/lead/lag/first_value/last_value and ROWS frames ARE
+    // deterministic when every window orders by sale_ord's unique ord
+    runVectors(loadVectors("/olap_window_ord_vectors.txt"))
+  }
+
+  private def loadVectors(resource: String): Seq[Vector] = {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream(resource),
+      "UTF-8").getLines().filterNot(_.startsWith("#")).mkString("\n")
+    raw.split("===SQL\n").toSeq.filter(_.nonEmpty).map { block =>
+      val Array(sql, rowsTxt) = block.split("\n===ROWS\n", 2)
+      val body = rowsTxt.stripSuffix("\n")
+      val rows =
+        if (body.isEmpty && !rowsTxt.startsWith("\n")) Seq.empty
+        else body.split("\n", -1).toSeq
+          .map(_.split("\\|", -1).toSeq.map(_.trim))
+      Vector(sql.trim, rows)
+    }
+  }
+
+  private def runVectors(vs: Seq[Vector]): Unit = {
     fixtures()
     val failures = Seq.newBuilder[String]
-    vectors.foreach { v =>
+    vs.foreach { v =>
       val got: Seq[Seq[String]] =
         try Graft.execute(spark, v.sql).get.collect().toSeq.map(r =>
           (0 until r.length).map(i =>
@@ -139,7 +152,7 @@ class OlapWindowPortSpec extends AnyFunSuite
       }
     }
     val f = failures.result()
-    assert(f.isEmpty, s"${f.size} of ${vectors.size} failed:\n" +
+    assert(f.isEmpty, s"${f.size} of ${vs.size} failed:\n" +
       f.take(8).mkString("\n"))
   }
 }
