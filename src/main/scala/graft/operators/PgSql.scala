@@ -130,6 +130,13 @@ object PgSql {
         out = out.replaceAll("(?i)(\\bGROUP\\s+BY\\s+[^;()]*?),\\s*\\(\\)", "$1")
       }
     }
+    // Row-locking clauses (gram.y for_locking_clause): FOR [NO KEY]
+    // UPDATE / FOR [KEY] SHARE [OF tables] [NOWAIT | SKIP LOCKED].
+    // The single-writer staged-swap model needs no row locks — drop.
+    out = out.replaceAll(
+      "(?i)\\bFOR\\s+((NO\\s+KEY\\s+)?UPDATE|(KEY\\s+)?SHARE)" +
+        "(\\s+OF\\s+[\\w.\"]+(\\s*,\\s*[\\w.\"]+)*)?" +
+        "(\\s+NOWAIT|\\s+SKIP\\s+LOCKED)?", "")
     // PG TABLESAMPLE methods (gram.y tablesample_clause): both map to
     // Spark's row-level percent sampling — BERNOULLI is exactly that;
     // SYSTEM is PG's page-level variant, same statistical contract at

@@ -917,6 +917,11 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(rows(s"SELECT v $src OFFSET 2 ROWS FETCH NEXT 2 ROWS ONLY")
       == Seq(3, 4))
     assert(rows(s"SELECT v $src LIMIT ALL") == Seq(1, 2, 3, 4, 5))
+    // row-locking clauses drop (no row locks under the staged swap)
+    assert(rows(s"SELECT v $src FOR UPDATE") == Seq(1, 2, 3, 4, 5))
+    assert(rows(s"SELECT v $src LIMIT 2 FOR SHARE SKIP LOCKED") == Seq(1, 2))
+    assert(rows(s"SELECT v $src FOR NO KEY UPDATE OF t NOWAIT")
+      == Seq(1, 2, 3, 4, 5))
     // LIKE/ILIKE quantifiers over arrays and subqueries
     def b(sql: String): Option[Boolean] = {
       val r = Graft.execute(spark, sql).get.head()
