@@ -663,6 +663,54 @@ object PgSql {
     sb.toString
   }
 
+  /** PG EXTRACT / date_part fields Spark lacks or counts differently
+    * (timestamp.c date_part): EPOCH (seconds-with-microseconds since
+    * 1970), DOW (0=Sunday — Spark's is 1-based), ISODOW (1=Monday),
+    * CENTURY / DECADE / MILLENNIUM. Other fields pass through to
+    * Spark's native EXTRACT. */
+  private def extractFields(sqlIn: String): String = {
+    var sql = sqlIn
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(sql)
+      "(?i)\\b(EXTRACT|DATE_PART)\\s*\\(".r.findAllMatchIn(masked).find { m =>
+        val open = m.end - 1
+        val close = matchingParen(masked, open)
+        val inner = sql.substring(open + 1, close)
+        val parsed =
+          if (m.group(1).equalsIgnoreCase("EXTRACT"))
+            "(?is)^\\s*(\\w+)\\s+FROM\\s+(.*)$".r.findFirstMatchIn(inner)
+              .map(mm => (mm.group(1), mm.group(2)))
+          else
+            "(?is)^\\s*'(\\w+)'\\s*,\\s*(.*)$".r.findFirstMatchIn(inner)
+              .map(mm => (mm.group(1), mm.group(2)))
+        parsed.exists { case (field0, expr) =>
+          val repl = field0.toLowerCase match {
+            case "epoch" =>
+              Some(s"(CAST(unix_micros(CAST(($expr) AS TIMESTAMP)) " +
+                "AS DOUBLE) / 1000000.0)")
+            case "dow" => Some(s"(dayofweek($expr) - 1)")
+            case "isodow" => Some(s"(weekday($expr) + 1)")
+            case "century" =>
+              Some(s"CAST(ceil(year($expr) / 100.0) AS BIGINT)")
+            case "decade" =>
+              Some(s"CAST(floor(year($expr) / 10.0) AS BIGINT)")
+            case "millennium" =>
+              Some(s"CAST(ceil(year($expr) / 1000.0) AS BIGINT)")
+            case _ => None
+          }
+          repl.exists { r =>
+            sql = sql.substring(0, m.start) + r + sql.substring(close + 1)
+            changed = true
+            true
+          }
+        }
+      }
+    }
+    sql
+  }
+
   /** PG `GROUP BY (a, b)` composite items (gram.y group_by_item): a
     * parenthesized expression list groups by EACH member — Spark would
     * group by one struct. Flatten parens whose item contains a
@@ -783,8 +831,8 @@ object PgSql {
 
   def rewrite(sqlIn: String): String = {
     val sql = rowCompare(quantified(arraySubquery(flattenGroupByParens(
-      unnestFrom(arrayBrackets(arrayLiteralCasts(quotedIdents(
-        pgStringSyntax(sqlIn)))))))))
+      extractFields(unnestFrom(arrayBrackets(arrayLiteralCasts(quotedIdents(
+        pgStringSyntax(sqlIn))))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

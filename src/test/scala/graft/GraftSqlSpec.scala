@@ -1051,6 +1051,27 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(r.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 2, 3, 3))
   }
 
+  test("EXTRACT epoch/dow/isodow/century/decade/millennium (timestamp.c date_part)") {
+    def one(sql: String): Any = Graft.execute(spark, sql).get.head().get(0)
+    assert(one("SELECT EXTRACT(EPOCH FROM TIMESTAMP '2020-01-01 00:00:00')")
+      == 1577836800.0)
+    assert(one("SELECT EXTRACT(EPOCH FROM TIMESTAMP '2020-01-01 00:00:00.5')")
+      == 1577836800.5)
+    assert(one("SELECT date_part('epoch', DATE '1970-01-02')") == 86400.0)
+    // 2020-01-01 was a Wednesday: PG dow = 3 (0 = Sunday), isodow = 3
+    assert(one("SELECT EXTRACT(DOW FROM DATE '2020-01-01')") == 3)
+    assert(one("SELECT EXTRACT(DOW FROM DATE '2020-01-05')") == 0) // Sunday
+    assert(one("SELECT EXTRACT(ISODOW FROM DATE '2020-01-05')") == 7)
+    assert(one("SELECT EXTRACT(ISODOW FROM DATE '2020-01-06')") == 1) // Monday
+    assert(one("SELECT EXTRACT(CENTURY FROM DATE '2001-01-01')") == 21L)
+    assert(one("SELECT EXTRACT(CENTURY FROM DATE '2000-01-01')") == 20L)
+    assert(one("SELECT EXTRACT(DECADE FROM DATE '2020-01-01')") == 202L)
+    assert(one("SELECT EXTRACT(MILLENNIUM FROM DATE '2001-01-01')") == 3L)
+    // untouched fields still pass through to Spark's native EXTRACT
+    assert(one("SELECT EXTRACT(QUARTER FROM DATE '2020-05-01')") == 2)
+    assert(one("SELECT EXTRACT(YEAR FROM DATE '2020-05-01')") == 2020)
+  }
+
   test("dollar quoting, E-strings, bit strings (scan.l xdolq/xe/xb)") {
     def one(sql: String): Any = Graft.execute(spark, sql).get.head().get(0)
     assert(one("SELECT $$abc's$$") == "abc's")
