@@ -872,15 +872,8 @@ object GraftFunctions {
       info("num_nonnulls", "num_nonnulls(a, b, ...) - how many arguments are not NULL"),
       (args: Seq[Expression]) => args.map(a =>
         If(IsNull(a), Literal(0), Literal(1)): Expression).reduce(Add(_, _)))
-    reg.registerFunction(
-      FunctionIdentifier("quote_nullable"),
-      info("quote_nullable", "quote_nullable(s) - quote_literal, NULL as the keyword"),
-      (args: Seq[Expression]) => {
-        val s = Cast(args(0), StringType)
-        If(IsNull(s), Literal("NULL"),
-          Concat(Seq(Literal("'"),
-            StringReplace(s, Literal("'"), Literal("''")), Literal("'"))))
-      })
+    // (quote_nullable now defined as a SQL function over quote_literal
+    // at the end of register, sharing its E-backslash form)
     // PG's three timestamp readings (xact.c GetCurrentTransactionStart
     // Timestamp / timestamp.c): transaction/statement time both map to
     // the query-constant now(); clock_timestamp stays volatile per row
@@ -929,6 +922,51 @@ object GraftFunctions {
     spark.udf.register("wavg", org.apache.spark.sql.functions.udaf(
       new WeightedAvg, org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble)))
+
+    // PG misc builtins Spark lacks, as inlined SQL scalar functions
+    // (quote.c quote_literal/quote_ident/quote_nullable; varlena.c
+    // string_to_array / array_to_string / strpos; numutils.c to_hex;
+    // uuid.c gen_random_uuid). chr(39)/chr(92) sidestep quote/escape
+    // layering; \Q..\E quotes the delimiter so split's regex matches
+    // it literally.
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION quote_literal(s STRING)
+      RETURNS STRING RETURN CASE
+        WHEN s IS NULL THEN NULL
+        WHEN instr(s, chr(92)) > 0 THEN concat('E', chr(39),
+          replace(replace(s, chr(92), repeat(chr(92), 2)),
+                  chr(39), repeat(chr(39), 2)), chr(39))
+        ELSE concat(chr(39),
+          replace(s, chr(39), repeat(chr(39), 2)), chr(39)) END""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION quote_nullable(s STRING)
+      RETURNS STRING RETURN coalesce(quote_literal(s), 'NULL')""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION quote_ident(s STRING)
+      RETURNS STRING RETURN CASE
+        WHEN s RLIKE '^[a-z_][a-z0-9_]*$' THEN s
+        ELSE concat('"', replace(s, '"', '""'), '"') END""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION string_to_array(
+        s STRING, d STRING)
+      RETURNS ARRAY<STRING> RETURN CASE
+        WHEN s IS NULL THEN NULL
+        WHEN s = '' THEN array()
+        WHEN d IS NULL THEN split(s, '')
+        WHEN d = '' THEN array(s)
+        ELSE split(s, concat(chr(92), 'Q', d, chr(92), 'E'), -1) END""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION array_to_string(
+        a ARRAY<STRING>, d STRING)
+      RETURNS STRING RETURN array_join(a, d)""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING)
+      RETURNS INT RETURN instr(s, sub)""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION to_hex(n BIGINT)
+      RETURNS STRING RETURN lower(hex(n))""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION gen_random_uuid()
+      RETURNS STRING RETURN uuid()""")
+    // script-compat side-effect functions (misc.c pg_sleep, xact.c
+    // txid_current): a sleep can't inline; a txid is epoch-micros
+    spark.udf.register("pg_sleep", (sec: Double) => {
+      Thread.sleep(math.max(0L, (sec * 1000).toLong)); ""
+    })
+    spark.udf.register("txid_current",
+      () => System.currentTimeMillis() * 1000L)
   }
 }
 

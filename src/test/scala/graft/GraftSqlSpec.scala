@@ -1072,6 +1072,35 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(one("SELECT EXTRACT(YEAR FROM DATE '2020-05-01')") == 2020)
   }
 
+  test("PG misc builtins: quote_*, string_to_array, strpos, to_hex (quote.c/varlena.c)") {
+    def one(sql: String): Any = {
+      val r = Graft.execute(spark, sql).get.head()
+      if (r.isNullAt(0)) null else r.get(0)
+    }
+    assert(one("SELECT quote_literal('it''s')") == "'it''s'")
+    assert(one("SELECT quote_literal('a' || chr(92) || 'b')") == "E'a\\\\b'")
+    assert(one("SELECT quote_literal(NULL)") == null)
+    assert(one("SELECT quote_nullable(NULL)") == "NULL")
+    assert(one("SELECT quote_nullable('x')") == "'x'")
+    assert(one("SELECT quote_ident('simple_name')") == "simple_name")
+    assert(one("SELECT quote_ident('weird name')") == "\"weird name\"")
+    assert(one("SELECT quote_ident('MixedCase')") == "\"MixedCase\"")
+    assert(one("SELECT string_to_array('a,b,c', ',')") ==
+      scala.collection.immutable.ArraySeq("a", "b", "c"))
+    assert(one("SELECT string_to_array('a.|b', '.|')") ==
+      scala.collection.immutable.ArraySeq("a", "b")) // delim is literal
+    assert(one("SELECT string_to_array('', ',')") ==
+      scala.collection.immutable.ArraySeq.empty[String])
+    assert(one("SELECT string_to_array('abc', NULL)") ==
+      scala.collection.immutable.ArraySeq("a", "b", "c"))
+    assert(one("SELECT array_to_string(array(1, 2, 3), '-')") == "1-2-3")
+    assert(one("SELECT strpos('hello', 'll')") == 3)
+    assert(one("SELECT strpos('hello', 'zz')") == 0)
+    assert(one("SELECT to_hex(255)") == "ff")
+    assert(one("SELECT length(gen_random_uuid())") == 36)
+    assert(one("SELECT txid_current() > 0") == true)
+  }
+
   test("dollar quoting, E-strings, bit strings (scan.l xdolq/xe/xb)") {
     def one(sql: String): Any = Graft.execute(spark, sql).get.head().get(0)
     assert(one("SELECT $$abc's$$") == "abc's")
