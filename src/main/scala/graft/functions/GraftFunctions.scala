@@ -752,6 +752,15 @@ object GraftFunctions {
       info("age_pg", "age_pg(t1, t2) - PG symbolic timestamp difference"),
       (args: Seq[Expression]) => AgePg(
         Cast(args(0), TimestampType), Cast(args(1), TimestampType)))
+    reg.registerFunction(
+      FunctionIdentifier("age"),
+      info("age", "age([t1,] t2) - PG age; one-arg form is vs current_date"),
+      (args: Seq[Expression]) =>
+        if (args.length == 2)
+          AgePg(Cast(args(0), TimestampType), Cast(args(1), TimestampType))
+        else
+          AgePg(Cast(org.apache.spark.sql.catalyst.expressions.CurrentDate(),
+            TimestampType), Cast(args(0), TimestampType)))
     Seq("days", "hours", "interval").foreach { mode =>
       reg.registerFunction(
         FunctionIdentifier(s"justify_$mode"),
@@ -960,6 +969,36 @@ object GraftFunctions {
       RETURNS STRING RETURN lower(hex(n))""")
     spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION gen_random_uuid()
       RETURNS STRING RETURN uuid()""")
+    // PG array helpers (arrayfuncs.c): dimension-1 length with PG's
+    // NULL-for-empty contract; concatenation; element replace (string-
+    // typed — N-d and typed variants live in PgArrays' expression API)
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION array_length(
+        a ARRAY<STRING>, d INT)
+      RETURNS INT RETURN CASE
+        WHEN a IS NULL OR d IS NULL OR d < 1 THEN NULL
+        WHEN size(a) = 0 THEN NULL
+        WHEN d = 1 THEN size(a) ELSE NULL END""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION array_cat(
+        a ARRAY<STRING>, b ARRAY<STRING>)
+      RETURNS ARRAY<STRING> RETURN concat(a, b)""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION array_replace(
+        a ARRAY<STRING>, f STRING, t STRING)
+      RETURNS ARRAY<STRING> RETURN
+        transform(a, x -> CASE WHEN x <=> f THEN t ELSE x END)""")
+    // jsonb aliases over the json implementations (jsonfuncs.c)
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION jsonb_array_length(
+        j STRING) RETURNS INT RETURN json_array_length(j)""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION jsonb_typeof(j STRING)
+      RETURNS STRING RETURN CASE
+        WHEN j IS NULL THEN NULL
+        WHEN ltrim(j) LIKE '{%' THEN 'object'
+        WHEN ltrim(j) LIKE '[%' THEN 'array'
+        WHEN ltrim(j) LIKE concat(chr(34), '%') THEN 'string'
+        WHEN trim(j) IN ('true', 'false') THEN 'boolean'
+        WHEN trim(j) = 'null' THEN 'null'
+        ELSE 'number' END""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION json_typeof(j STRING)
+      RETURNS STRING RETURN jsonb_typeof(j)""")
     // script-compat side-effect functions (misc.c pg_sleep, xact.c
     // txid_current): a sleep can't inline; a txid is epoch-micros
     spark.udf.register("pg_sleep", (sec: Double) => {

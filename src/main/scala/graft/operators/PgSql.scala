@@ -711,6 +711,45 @@ object PgSql {
     sql
   }
 
+  /** PG regex substring(string FROM 'pattern') (varlena.c
+    * textregexsubstr): first match, or capture group 1 when the
+    * pattern declares one, NULL when nothing matches. The positional
+    * substring(s FROM n [FOR m]) form is native Spark and passes
+    * through (the rewrite fires only when the FROM operand is a
+    * string literal with no FOR clause). */
+  private def regexSubstring(sqlIn: String): String = {
+    var sql = sqlIn
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(sql)
+      "(?i)\\bSUBSTRING\\s*\\(".r.findAllMatchIn(masked).find { m =>
+        val open = m.end - 1
+        val close = matchingParen(masked, open)
+        val innerMasked = masked.substring(open + 1, close)
+        "(?is)^(.*\\S)\\s+FROM\\s+('x*')\\s*$".r
+          .findFirstMatchIn(innerMasked).exists { im =>
+            val expr = sql.substring(open + 1 + im.start(1),
+              open + 1 + im.end(1))
+            val pat = sql.substring(open + 1 + im.start(2),
+              open + 1 + im.end(2))
+            val body = pat.substring(1, pat.length - 1).replace("''", "'")
+            val hasGroup =
+              "(?<!\\\\)\\((?!\\?)".r.findFirstIn(body).isDefined
+            val repl =
+              if (hasGroup)
+                s"(CASE WHEN ($expr) RLIKE $pat " +
+                  s"THEN regexp_extract(($expr), $pat, 1) END)"
+              else s"regexp_substr(($expr), $pat)"
+            sql = sql.substring(0, m.start) + repl + sql.substring(close + 1)
+            changed = true
+            true
+          }
+      }
+    }
+    sql
+  }
+
   /** PG `GROUP BY (a, b)` composite items (gram.y group_by_item): a
     * parenthesized expression list groups by EACH member — Spark would
     * group by one struct. Flatten parens whose item contains a
@@ -831,8 +870,8 @@ object PgSql {
 
   def rewrite(sqlIn: String): String = {
     val sql = rowCompare(quantified(arraySubquery(flattenGroupByParens(
-      extractFields(unnestFrom(arrayBrackets(arrayLiteralCasts(quotedIdents(
-        pgStringSyntax(sqlIn))))))))))
+      regexSubstring(extractFields(unnestFrom(arrayBrackets(
+        arrayLiteralCasts(quotedIdents(pgStringSyntax(sqlIn)))))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

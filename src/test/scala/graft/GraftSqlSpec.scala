@@ -1101,6 +1101,35 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(one("SELECT txid_current() > 0") == true)
   }
 
+  test("array helpers, jsonb aliases, regex substring, age (arrayfuncs.c/varlena.c)") {
+    def one(sql: String): Any = {
+      val r = Graft.execute(spark, sql).get.head()
+      if (r.isNullAt(0)) null else r.get(0)
+    }
+    assert(one("SELECT array_length(array(1,2,3), 1)") == 3)
+    assert(one("SELECT array_length(array(), 1)") == null) // PG: NULL on empty
+    assert(one("SELECT array_cat(array('a'), array('b'))") ==
+      scala.collection.immutable.ArraySeq("a", "b"))
+    assert(one("SELECT array_replace(array('x','y','x'), 'x', 'z')") ==
+      scala.collection.immutable.ArraySeq("z", "y", "z"))
+    assert(one("SELECT jsonb_array_length('[1,2,3]')") == 3)
+    assert(one("SELECT jsonb_typeof('{\"a\":1}')") == "object")
+    assert(one("SELECT jsonb_typeof('[1]')") == "array")
+    assert(one("SELECT jsonb_typeof('3.14')") == "number")
+    assert(one("SELECT json_typeof('true')") == "boolean")
+    // regex substring: whole match, group-1 when declared, NULL on miss
+    assert(one("SELECT substring('foo123bar' from '[0-9]+')") == "123")
+    assert(one("SELECT substring('foo123bar' from 'o([0-9]+)b')") == "123")
+    assert(one("SELECT substring('foobar' from '[0-9]+')") == null)
+    // positional FROM/FOR stays native
+    assert(one("SELECT substring('hello' from 2 for 3)") == "ell")
+    // age(): two-arg symbolic difference, the age_pg parts contract
+    // (years, months, days, ...) — 1 month 2 days here; one-arg is vs
+    // current_date
+    assert(one("SELECT age(TIMESTAMP '2020-02-03', TIMESTAMP '2020-01-01')")
+      .toString == "[0,1,2,0,0,0]")
+  }
+
   test("dollar quoting, E-strings, bit strings (scan.l xdolq/xe/xb)") {
     def one(sql: String): Any = Graft.execute(spark, sql).get.head().get(0)
     assert(one("SELECT $$abc's$$") == "abc's")
