@@ -116,6 +116,41 @@ object PgSql {
       "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+ROWS?\\s+ONLY", "LIMIT 1")
     out = out.replaceAll("(?i)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\b", "OFFSET $1")
     out = out.replaceAll("(?i)\\bLIMIT\\s+ALL\\b", "")
+    // PG numeric/array operator spellings (pg_operator.h): ^ is POWER
+    // — Spark's ^ is XOR, a silent wrong answer — # is XOR, @ is abs,
+    // |/ sqrt, ||/ cbrt; @> / <@ array containment, && array overlap.
+    // Simple-token and one-call operands rewrite in place; a leftover
+    // ^ outside comments fails loudly rather than XOR silently.
+    val operand = "((?:[\\w.$]+\\([^()]*\\))|[\\w.$]+)"
+    out = out.replaceAll(s"$operand\\s*@>\\s*$operand",
+      "forall($2, __v -> array_contains($1, __v))")
+    out = out.replaceAll(s"$operand\\s*<@\\s*$operand",
+      "forall($1, __v -> array_contains($2, __v))")
+    out = out.replaceAll(s"$operand\\s*&&\\s*$operand",
+      "arrays_overlap($1, $2)")
+    out = out.replaceAll("\\|\\|/\\s*" + operand, "cbrt($1)")
+    out = out.replaceAll("(?<!\\|)\\|/\\s*" + operand, "sqrt($1)")
+    out = out.replaceAll("(?<![\\w.$<])@(?![>@])\\s*(-?[\\w.$]+)", "abs($1)")
+    var prevPow: String = null
+    while (prevPow != out) {
+      prevPow = out
+      out = out.replaceAll(s"$operand\\s*\\^\\s*$operand", "power($1, $2)")
+    }
+    locally { // a ^ we could not rewrite would silently XOR — reject
+      val checkable = out.replaceAll("--[^\n]*", "")
+        .replaceAll("(?s)/\\*.*?\\*/", "")
+      if (checkable.contains("^"))
+        throw new IllegalArgumentException(
+          "PG ^ is power(); operand too complex for the lexical assist" +
+            " — spell power(a, b) explicitly")
+    }
+    // PG # is bitwise XOR — which is exactly Spark's ^ (emitted only
+    // after the leftover-^ check above)
+    prevPow = null
+    while (prevPow != out) {
+      prevPow = out
+      out = out.replaceAll(s"$operand\\s*#(?![>#])\\s*$operand", "($1 ^ $2)")
+    }
     // GPDB GROUP BY () empty-set spellings (gram.y group_elem): a lone
     // () is the grand total (GROUPING SETS (())); a () item inside a
     // plain grouping list is a no-op and drops. GROUPING SETS bodies

@@ -1130,6 +1130,24 @@ class GraftSqlSpec extends AnyFunSuite {
       .toString == "[0,1,2,0,0,0]")
   }
 
+  test("PG operator spellings: ^ # @ |/ ||/ @> <@ && (pg_operator.h)") {
+    def one(sql: String): Any = Graft.execute(spark, sql).get.head().get(0)
+    // ^ is POWER in PG; Spark's ^ is XOR — a silent wrong answer
+    assert(one("SELECT 2 ^ 10") == 1024.0)
+    assert(one("SELECT 2 ^ 2 ^ 3") == 64.0) // left-assoc: (2^2)^3
+    assert(one("SELECT 17 # 5") == 20) // PG # IS xor
+    assert(one("SELECT @ -5") == 5)
+    assert(one("SELECT |/ 16.0") == 4.0)
+    assert(one("SELECT ||/ 27.0") == 3.0)
+    assert(one("SELECT array(1,2,3) @> array(2)") == true)
+    assert(one("SELECT array(1,2,3) @> array(9)") == false)
+    assert(one("SELECT array(1) <@ array(1,2)") == true)
+    assert(one("SELECT array(1,2) && array(2,9)") == true)
+    assert(one("SELECT array(1,2) && array(8,9)") == false)
+    // unrewritable ^ operands fail loudly instead of XORing silently
+    intercept[Exception](Graft.execute(spark, "SELECT (1+1) ^ (2+1)"))
+  }
+
   test("dollar quoting, E-strings, bit strings (scan.l xdolq/xe/xb)") {
     def one(sql: String): Any = Graft.execute(spark, sql).get.head().get(0)
     assert(one("SELECT $$abc's$$") == "abc's")
