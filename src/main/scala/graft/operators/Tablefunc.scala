@@ -118,7 +118,7 @@ object Tablefunc {
         case (Some(n), _) => // crosstab2/3/4: fixed row_name/category_i text schema
           val k = n.toInt
           crosstab(src, ("row_name", "text") +:
-            (1 to k - 1).map(i => (s"category_$i", "text")))
+            (1 to k).map(i => (s"category_$i", "text")))
         case (None, None) =>
           crosstab(src, declared.getOrElse(throw new IllegalArgumentException(
             "crosstab(text) requires a column definition list: AS c(col type, ...)")))

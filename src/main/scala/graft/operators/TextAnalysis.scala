@@ -32,9 +32,14 @@ object TextAnalysis {
     val chars = length(t)
     val toks = tokenCount(t)
     val punct = length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", ""))
-    val stopHits = enStop.map(w =>
-      size(filter(split(t, " "), x => x === lit(w))))
-      .reduce(_ + _)
+    // Count split-on-space tokens equal to a stopword in ONE codegen
+    // regex pass: a token equals w iff the maximal non-space run
+    // bounded by spaces/string-ends is exactly w, which the fixed-width
+    // lookarounds encode. (The per-stopword split + interpreted-HOF
+    // filter chain this replaces cost 10 splits/row and ran 6.4x the
+    // oracle; regexp_count is whole-stage codegen.)
+    val stopHits = regexp_count(
+      t, lit("(?<![^ ])(?:" + enStop.mkString("|") + ")(?![^ ])")).cast("int")
     docs
       .withColumn("n_chars_m", chars)
       .withColumn("n_tokens", toks)

@@ -1541,11 +1541,20 @@ class GraftSqlSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
       df.collect().toSeq.map(_.toSeq)
         .sortBy(r => Option(r.head).map(_.toString).getOrElse("￿"))
-    // crosstab3: (row_name, category_1..2) — truncates the 4-value groups
+    // crosstab3: (row_name, category_1..3) per tablefunc--1.1.sql's
+    // tablefunc_crosstab_3 type — truncates the 4-value groups to 3
     val c3 = Graft.execute(spark,
       "SELECT * FROM crosstab3('SELECT rowid, attribute, val FROM ct ORDER BY 1,2')").get
-    assert(c3.columns.toSeq == Seq("row_name", "category_1", "category_2"))
+    assert(c3.columns.toSeq == Seq("row_name", "category_1", "category_2", "category_3"))
     assert(rows(c3) == Seq(
+      Seq("test1", "val1", "val2", "val3"),
+      Seq("test2", "val5", "val6", "val7"),
+      Seq(null, "val9", "val10", "val11")))
+    // crosstab2: (row_name, category_1..2)
+    val c2 = Graft.execute(spark,
+      "SELECT * FROM crosstab2('SELECT rowid, attribute, val FROM ct ORDER BY 1,2')").get
+    assert(c2.columns.toSeq == Seq("row_name", "category_1", "category_2"))
+    assert(rows(c2) == Seq(
       Seq("test1", "val1", "val2"),
       Seq("test2", "val5", "val6"),
       Seq(null, "val9", "val10")))
