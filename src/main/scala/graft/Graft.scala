@@ -503,12 +503,29 @@ object Graft {
         operators.PgSql.withTies(t).isDefined) {
       // FETCH FIRST n ROWS WITH TIES (PG 13): peers of the n-th row on
       // the ORDER BY key are kept — a rank() window, since Spark has
-      // no TIES spelling; the rank column drops from the result
+      // no TIES spelling; the rank column drops from the result.
+      // Ordinal keys (ORDER BY 1) must be resolved to output columns
+      // first: Spark's orderByOrdinal applies only to top-level sorts,
+      // so a bare integer inside the window spec would be a CONSTANT
+      // (rank 1 for every row — all rows returned silently).
       val (base, keys, n) = operators.PgSql.withTies(t).get
+      val baseDf = spark.sql(operators.PgSql.rewrite(base))
+      val cols = baseDf.columns
+      val resolved = operators.GreengageDdl.splitTop(keys).map { item =>
+        val it = item.trim
+        "^(\\d+)\\b(.*)$".r.findFirstMatchIn(it) match {
+          case Some(m) =>
+            val i = m.group(1).toInt
+            require(i >= 1 && i <= cols.length,
+              s"ORDER BY position $i is not in select list (1..${cols.length})")
+            "`" + cols(i - 1).replace("`", "``") + "`" + m.group(2)
+          case None => it
+        }
+      }.mkString(", ")
       Some(spark.sql(operators.PgSql.rewrite(
-        s"""SELECT * FROM (SELECT __t.*, rank() OVER (ORDER BY $keys)
+        s"""SELECT * FROM (SELECT __t.*, rank() OVER (ORDER BY $resolved)
            |AS __tie_r FROM ($base) __t) WHERE __tie_r <= $n
-           |ORDER BY $keys""".stripMargin)).drop("__tie_r"))
+           |ORDER BY $resolved""".stripMargin)).drop("__tie_r"))
     } else if (is("(?is)^SELECT\\b") &&
         operators.PgSql.topLevelInto(stripSemi(t)).isDefined) {
       // SELECT ... INTO name (gram.y into_clause) is CTAS with the

@@ -77,25 +77,71 @@ object DmlCte {
     "(?is)^\\s*(?:INSERT\\s+INTO|UPDATE|DELETE\\s+FROM)\\s+([\\w.\"]+)".r
       .findFirstMatchIn(body).map(_.group(1).replace("\"", ""))
 
+  /** Whole-word, literal-masked, case-insensitive name mention. */
+  private def mentions(text: String, name: String): Boolean =
+    ("(?s).*\\b" + java.util.regex.Pattern.quote(name.toLowerCase) + "\\b.*")
+      .r.pattern.matcher(PgSql.maskLiterals(text).toLowerCase).matches()
+
   def run(spark: SparkSession, sql: String,
           router: (SparkSession, String) => Option[DataFrame])
       : Option[DataFrame] = {
     val p = parse(sql).getOrElse(
       throw new IllegalArgumentException(s"cannot parse WITH statement: $sql"))
     val (dml, plain) = p.ctes.partition(c => isDml(c.body))
-    // tables the rest of the statement re-reads get a pre-DML snapshot
-    val restText = (plain.map(_.body) :+ p.main).mkString(" ").toLowerCase
-    val snapshots = dml.flatMap(c => targetTable(c.body)).distinct
-      .filter(t => !t.contains(".") && // temp-view shadowing needs a bare name
-        ("(?s).*\\b" + java.util.regex.Pattern.quote(t.toLowerCase) + "\\b.*")
-          .r.pattern.matcher(restText).matches())
+    // Plain CTEs a DML body references — directly or through other
+    // plain CTEs — must exist as relations BEFORE the DML body routes
+    // standalone (otherwise the name is unresolved). Fixpoint over
+    // name mentions; evaluation happens in CTE order below, so the
+    // common `WITH s AS (SELECT ...), i AS (INSERT ... FROM s ...)`
+    // shape materializes s against the pre-DML image.
+    val needed = scala.collection.mutable.LinkedHashSet[String]()
+    var changed = true
+    while (changed) {
+      changed = false
+      val texts = dml.map(_.body) ++
+        plain.filter(c => needed.contains(c.name)).map(_.body)
+      plain.foreach { c =>
+        if (!needed.contains(c.name) && texts.exists(t2 => mentions(t2, c.name))) {
+          needed += c.name; changed = true
+        }
+      }
+    }
+    // Tables the rest of the statement re-reads get a pre-DML
+    // snapshot (PG's same-snapshot rule). Targets normalize through
+    // the PG default schema; a genuinely schema-qualified re-read
+    // target cannot be shadowed by a temp view, so it fails LOUDLY
+    // instead of silently showing the post-DML image.
+    val restText = (plain.map(_.body) :+ p.main).mkString(" ")
+    val targets = dml.flatMap(c => targetTable(c.body)).distinct
+      .map(_.toLowerCase.stripPrefix("public."))
+    def reread(t: String): Boolean = mentions(restText, t.split("\\.").last)
+    targets.filter(t => t.contains(".") && reread(t)).foreach { t =>
+      throw new UnsupportedOperationException(
+        s"data-modifying CTE target '$t' is schema-qualified and re-read by " +
+          "the same statement: the pre-DML snapshot cannot shadow a " +
+          "qualified name — reference the table unqualified or split the " +
+          "statement")
+    }
+    val snapshots = targets.filter(t => !t.contains(".") && reread(t))
       .map(t => t -> spark.table(t).localCheckpoint(true))
     val registered = scala.collection.mutable.ListBuffer[String]()
     try {
-      dml.foreach { c =>
-        val res = router(spark, c.body)
-        res.foreach { df =>
-          // PG runs the wCTE to completion before readers see it
+      // original CTE order: a DML body may read an earlier plain CTE,
+      // a later plain CTE may read an earlier DML's RETURNING rows
+      p.ctes.foreach { c =>
+        if (isDml(c.body)) {
+          val res = router(spark, c.body)
+          res.foreach { df =>
+            // PG runs the wCTE to completion before readers see it
+            val mat = df.localCheckpoint(true)
+            val named = if (c.cols.nonEmpty) mat.toDF(c.cols: _*) else mat
+            named.createOrReplaceTempView(c.name)
+            registered += c.name
+          }
+        } else if (needed.contains(c.name)) {
+          val df = router(spark, c.body).getOrElse(
+            throw new IllegalArgumentException(
+              s"CTE ${c.name} body returned no relation: ${c.body}"))
           val mat = df.localCheckpoint(true)
           val named = if (c.cols.nonEmpty) mat.toDF(c.cols: _*) else mat
           named.createOrReplaceTempView(c.name)
@@ -106,10 +152,13 @@ object DmlCte {
         pre.createOrReplaceTempView(t)
         registered += t
       }
+      // plain CTEs no DML touches stay INLINED (no materialization
+      // cost); materialized ones resolve through their temp views
+      val inlined = plain.filterNot(c => needed.contains(c.name))
       val mainSql =
-        if (plain.isEmpty) p.main
+        if (inlined.isEmpty) p.main
         else "WITH " + (if (p.recursive) "RECURSIVE " else "") +
-          plain.map(c => c.name +
+          inlined.map(c => c.name +
             (if (c.cols.nonEmpty) c.cols.mkString("(", ", ", ")") else "") +
             " AS (" + c.body + ")").mkString(", ") + " " + p.main
       router(spark, mainSql)

@@ -30,20 +30,52 @@ object PgSql {
       case (p, s) if pg.matches("(?i)" + p) => s
     }.getOrElse(pg.toUpperCase)
 
+  /** Tokenize a `{...}` array-literal body per array_in's rules
+    * (arrayfuncs.c ReadArrayStr): elements split on commas OUTSIDE
+    * double quotes; a double-quoted element may contain commas and
+    * preserves its whitespace; a backslash escapes the next character
+    * both inside and outside quotes. Returns (text, wasQuoted) — the
+    * quoted flag distinguishes the NULL keyword (unquoted → SQL NULL)
+    * from the literal string "NULL". */
+  private[operators] def arrayElems(raw: String): Seq[(String, Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val cur = new StringBuilder
+    var sawQuote = false
+    var inQ = false
+    var i = 0
+    def flush(): Unit = {
+      val s = if (sawQuote) cur.toString else cur.toString.trim
+      if (s.nonEmpty || sawQuote) out += ((s, sawQuote))
+      cur.clear(); sawQuote = false
+    }
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '\\' && i + 1 < raw.length) { cur.append(raw.charAt(i + 1)); i += 2 }
+      else if (c == '"') { inQ = !inQ; sawQuote = true; i += 1 }
+      else if (c == ',' && !inQ) { flush(); i += 1 }
+      else { cur.append(c); i += 1 }
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** Render one array_in element as a SQL literal: unquoted NULL is
+    * SQL NULL, unquoted numbers stay numeric, everything else becomes
+    * a single-quoted string (internal quotes doubled). */
+  private def arrayElemLit(e: String, wasQuoted: Boolean): String =
+    if (!wasQuoted && (e.matches("-?\\d+(\\.\\d+)?") || e.equalsIgnoreCase("null"))) e
+    else "'" + e.replace("'", "''") + "'"
+
   /** PG `'{...}'::type[]` array-literal casts (arrayfuncs.c array_in):
     * the braces literal becomes an array() constructor with each
     * element cast to the mapped Spark type; `'{}'` casts an empty
     * array. Runs on the raw text (the literal is the subject). */
   private def arrayLiteralBody(raw: String, pgType: String): String = {
     val t = mapType(pgType)
-    val elems = raw.split(",").map(_.trim).filter(_.nonEmpty)
+    val elems = arrayElems(raw)
     if (elems.isEmpty) s"CAST(array() AS ARRAY<$t>)"
-    else elems.map { e =>
-      val lit =
-        if (e.matches("-?\\d+(\\.\\d+)?") || e.equalsIgnoreCase("null")) e
-        else "'" + e.stripPrefix("\"").stripSuffix("\"") + "'"
-      s"CAST($lit AS $t)"
-    }.mkString("array(", ", ", ")")
+    else elems.map { case (e, q) => s"CAST(${arrayElemLit(e, q)} AS $t)" }
+      .mkString("array(", ", ", ")")
   }
 
   private def arrayLiteralCasts(sql: String): String = {
@@ -474,10 +506,7 @@ object PgSql {
       val arrLit = "(?s)^\\s*'\\{(.*)\\}'\\s*(?:::\\s*\\w+(?:\\[\\])?)?\\s*$".r
       val rhs = inner match {
         case arrLit(body) =>
-          val elems = body.split(",").map(_.trim).map { e =>
-            if (e.matches("-?\\d+(\\.\\d+)?") || e.equalsIgnoreCase("null")) e
-            else "'" + e.stripPrefix("\"").stripSuffix("\"") + "'"
-          }
+          val elems = arrayElems(body).map { case (e, q) => arrayElemLit(e, q) }
           s"array(${elems.mkString(", ")})"
         case other => s"($other)"
       }

@@ -1005,6 +1005,36 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(del.getLong(0) == 4 && del.getLong(1) == 607L &&
       del.getInt(2) == 1)
     assert(spark.table("wcte_y").count() == 12)
+    // a DML CTE reading a PRECEDING plain CTE: the plain CTE
+    // materializes (pre-DML image) before the DML body routes
+    val viaPlain = Graft.execute(spark,
+      """WITH src AS (SELECT m + 1 AS m FROM wcte_y WHERE m = 400),
+        |     ins AS (INSERT INTO wcte_y SELECT m FROM src RETURNING m)
+        |SELECT m FROM ins""".stripMargin).get.head()
+    assert(viaPlain.getLong(0) == 401L)
+    assert(spark.table("wcte_y").count() == 13)
+    // transitive: DML → plain s2 → plain s1
+    val viaChain = Graft.execute(spark,
+      """WITH s1 AS (SELECT max(m) AS mm FROM wcte_y),
+        |     s2 AS (SELECT mm + 1 AS m FROM s1),
+        |     ins AS (INSERT INTO wcte_y SELECT m FROM s2 RETURNING m)
+        |SELECT m FROM ins""".stripMargin).get.head()
+    assert(viaChain.getLong(0) == 1501L)
+    // a schema-qualified DML target re-read by the main statement
+    // fails LOUDLY (the pre-image snapshot cannot shadow `a.b`)
+    val qerr = intercept[UnsupportedOperationException] {
+      Graft.execute(spark,
+        """WITH ins AS (INSERT INTO spark_catalog.default.wcte_y VALUES (9) RETURNING m)
+          |SELECT count(*) FROM wcte_y""".stripMargin)
+    }
+    assert(qerr.getMessage.contains("schema-qualified"))
+    // ... while public.-qualified targets normalize to the bare name
+    // and keep the same-snapshot rule
+    val pub = Graft.execute(spark,
+      """WITH ins AS (INSERT INTO wcte_y VALUES (8) RETURNING m)
+        |SELECT (SELECT count(*) FROM wcte_y) AS pre FROM ins""".stripMargin)
+      .get.head()
+    assert(pub.getLong(0) == 14)
     drop("wcte_y")
   }
 
@@ -1049,6 +1079,23 @@ class GraftSqlSpec extends AnyFunSuite {
       .get
     assert(r.columns.toSeq == Seq("v", "w"))
     assert(r.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 2, 3, 3))
+    // ordinal ORDER BY keys resolve to select-list columns: inside the
+    // rank() window a bare 1 would be a CONSTANT (every row rank 1 →
+    // all rows silently returned) because Spark's orderByOrdinal only
+    // applies to top-level sorts
+    assert(vals(s"SELECT v $src ORDER BY 1 FETCH FIRST 2 ROWS WITH TIES")
+      == Seq(1, 2, 2))
+    assert(vals(s"SELECT v $src ORDER BY 1 DESC FETCH FIRST 2 ROWS WITH TIES")
+      == Seq(4, 3, 3))
+    val ord = Graft.execute(spark,
+      s"SELECT v * 10 AS w, v $src ORDER BY 2 DESC, 1 FETCH FIRST 2 ROWS WITH TIES")
+      .get
+    assert(ord.collect().map(_.getInt(1)).toSeq == Seq(4, 3, 3))
+    // out-of-range ordinal fails loudly, not silently
+    val e = intercept[Exception] {
+      Graft.execute(spark, s"SELECT v $src ORDER BY 3 FETCH FIRST 2 ROWS WITH TIES")
+    }
+    assert(e.getMessage.contains("not in select list"))
   }
 
   test("EXTRACT epoch/dow/isodow/century/decade/millennium (timestamp.c date_part)") {
@@ -1173,6 +1220,20 @@ class GraftSqlSpec extends AnyFunSuite {
       scala.collection.immutable.ArraySeq.empty[Long])
     assert(one("SELECT array[1,2]::bigint[]") ==
       scala.collection.immutable.ArraySeq(1L, 2L))
+    // array_in quoting rules (arrayfuncs.c ReadArrayStr): a
+    // double-quoted element may contain commas; backslash escapes;
+    // unquoted NULL is SQL NULL while quoted "NULL" is the string
+    assert(one("SELECT '{\"a,b\",c}'::text[]") ==
+      scala.collection.immutable.ArraySeq("a,b", "c"))
+    assert(one("SELECT '{\"x\\\"y\",z}'::text[]") ==
+      scala.collection.immutable.ArraySeq("x\"y", "z"))
+    assert(one("SELECT '{\" a \",b}'::text[]") ==
+      scala.collection.immutable.ArraySeq(" a ", "b"))
+    assert(one("SELECT '{NULL,\"NULL\"}'::text[]") ==
+      scala.collection.immutable.ArraySeq(null, "NULL"))
+    // quantified comparison over the same literal honors the quoting
+    assert(one("SELECT 'a,b' = ANY('{\"a,b\",c}'::text[])") == true)
+    assert(one("SELECT 'b' = ANY('{\"a,b\",c}')") == false)
     assert(one("SELECT 'x' COLLATE \"C\" = 'x'") == true)
     assert(Graft.execute(spark,
       "SELECT v FROM VALUES ('b'), ('a') t(v) ORDER BY v COLLATE \"C\" LIMIT 1")
