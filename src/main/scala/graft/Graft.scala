@@ -119,7 +119,13 @@ object Graft {
     * `spark.sql` after the [[operators.PgSql]] lexical rewrites.
     * Returns the result DataFrame for queries, None for commands. */
   def execute(spark: SparkSession, sql: String): Option[DataFrame] = {
-    val t = sql.trim
+    // PG TEMP/TEMPORARY/UNLOGGED tables (gram.y OptTemp): Spark's
+    // CREATE TEMPORARY TABLE is a different (provider-required, V1)
+    // beast, so these land as ordinary tables — same visibility within
+    // the session; the drop-at-session-end lifecycle is not replicated
+    val t = sql.trim.replaceFirst(
+      "(?is)^CREATE\\s+(?:GLOBAL\\s+|LOCAL\\s+)?(?:TEMP|TEMPORARY|UNLOGGED)\\s+TABLE",
+      "CREATE TABLE")
     def is(re: String) = re.r.findFirstIn(t).isDefined
     def stripSemi(s: String) = s.trim.stripSuffix(";").trim
     if (is("(?is)^CREATE\\s+(READABLE\\s+|WRITABLE\\s+)?EXTERNAL\\b")) {
@@ -532,6 +538,34 @@ object Graft {
       // select list as the new table's shape; TEMP/UNLOGGED drop
       val (name, rest) = operators.PgSql.topLevelInto(stripSemi(t)).get
       execute(spark, s"CREATE TABLE $name AS $rest")
+    } else if (is("(?is)^INSERT\\s+INTO\\b") &&
+        insertNeedsReorder(spark, t)) {
+      // positional INSERT into a partition-reordered table: map by the
+      // PG-declared order, not the physical schema (silent column
+      // mis-assignment otherwise when the types happen to line up)
+      insertWithAssignmentCasts(spark, stripSemi(t)); None
+    } else if (is("(?is)^DROP\\s+(TABLE|VIEW)\\b") && {
+      val names = operators.GreengageDdl.splitTop(
+        "(?is)^DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?".r
+          .replaceFirstIn(stripSemi(t), "")
+          .replaceAll("(?is)\\s+(CASCADE|RESTRICT)\\s*$", ""))
+      names.length > 1 ||
+        "(?is)\\b(CASCADE|RESTRICT)\\s*$".r.findFirstIn(stripSemi(t)).isDefined
+    }) {
+      // PG's multi-target DROP a, b, c and CASCADE/RESTRICT tails
+      // (gram.y DropStmt) — Spark drops one relation, no tail. CASCADE
+      // degrades to dropping just the named relation: dependent views
+      // aren't tracked (they fail at next use instead, loudly).
+      val m = "(?is)^DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?".r
+        .findFirstMatchIn(stripSemi(t)).get
+      val kind = m.group(1).toUpperCase
+      val ifE = if (m.group(2) != null) "IF EXISTS " else ""
+      operators.GreengageDdl.splitTop(
+        "(?is)^DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?".r
+          .replaceFirstIn(stripSemi(t), "")
+          .replaceAll("(?is)\\s+(CASCADE|RESTRICT)\\s*$", ""))
+        .foreach(n => spark.sql(s"DROP $kind $ifE${n.trim}"))
+      None
     } else copyProgRe.findFirstMatchIn(t) match {
       case Some(m) => runCopyProgram(spark, m); None
       case None => copyRe.findFirstMatchIn(t) match {
@@ -544,9 +578,106 @@ object Graft {
           if (is("(?is)^WITH\\b") && operators.DmlCte.hasDml(stripSemi(t)))
             operators.DmlCte.run(spark, stripSemi(t), execute)
           else operators.Tablefunc.route(spark, t)
-            .orElse(Some(spark.sql(operators.PgSql.rewrite(t))))
+            .orElse {
+              try Some(spark.sql(operators.PgSql.rewrite(t)))
+              catch {
+                case e: org.apache.spark.sql.AnalysisException
+                    if is("(?is)^INSERT\\s+INTO\\b") &&
+                      Option(e.getErrorClass).exists(c =>
+                        c.startsWith("INCOMPATIBLE_DATA_FOR_TABLE") ||
+                          // PG fills unmentioned trailing columns with
+                          // NULL; Spark requires full arity
+                          c.startsWith("INSERT_COLUMN_ARITY_MISMATCH")) =>
+                  insertWithAssignmentCasts(spark, stripSemi(t)); None
+              }
+            }
       }
     }
+  }
+
+  /** PG assignment coercion on INSERT (parse_coerce.c
+    * COERCION_ASSIGNMENT): source rows coerce column-by-column to the
+    * target types — '2018-1-10' into a date column, text into
+    * numerics — where Spark's store-assignment check refuses the
+    * implicit cast. Engaged only as the fallback when the native
+    * INSERT fails that check, so typed inserts keep their original
+    * plan; the cast projection runs through a SQL INSERT so
+    * bucketed/partitioned writes stay native. Malformed values error
+    * at runtime exactly as PG's input functions do (ANSI cast). */
+  /** The PG-declared column order recorded at CREATE time for tables
+    * whose hive partition layout reordered the physical schema. */
+  private def declaredOrder(spark: SparkSession,
+                            table: String): Option[Seq[String]] =
+    try {
+      spark.sql(s"SHOW TBLPROPERTIES $table('graft.pgcolorder')")
+        .collect().headOption.map(_.getString(1))
+        .filterNot(_.contains("does not have property"))
+        .map(_.split(",").toSeq)
+    } catch { case _: Exception => None }
+
+  /** True when a positional INSERT into `table` would mis-map columns
+    * because the physical schema order differs from the PG-declared
+    * one (partitioned tables — hive layout puts partition keys last). */
+  private def insertNeedsReorder(spark: SparkSession, t: String): Boolean = {
+    val m = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)\\s*(\\([^)]*\\))?".r
+      .findFirstMatchIn(t)
+    m.exists(mm => mm.group(2) == null && {
+      val tbl = mm.group(1).replace("\"", "")
+      declaredOrder(spark, tbl).exists(d =>
+        try d.map(_.toLowerCase) !=
+          spark.table(tbl).columns.map(_.toLowerCase).toSeq
+        catch { case _: Exception => false })
+    })
+  }
+
+  private def insertWithAssignmentCasts(spark: SparkSession,
+                                        st: String): Unit = {
+    val m = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)\\s*(\\([^)]*\\))?\\s*(.*)$".r
+      .findFirstMatchIn(st).getOrElse(
+        throw new IllegalArgumentException(s"cannot parse INSERT: $st"))
+    val table = m.group(1).replace("\"", "")
+    val tgt = spark.table(table).schema
+    val cols = Option(m.group(2)).map(cl => operators.GreengageDdl.splitTop(
+        cl.stripPrefix("(").stripSuffix(")")).map(_.replace("\"", "").trim))
+      .orElse(declaredOrder(spark, table))
+      .getOrElse(tgt.fieldNames.toSeq)
+    val body = spark.sql(operators.PgSql.rewrite(m.group(3)))
+    require(body.columns.length <= cols.length,
+      s"INSERT has more expressions than target columns: $st")
+    val b2 = body.toDF(body.columns.indices.map(i => s"__c$i"): _*)
+    import org.apache.spark.sql.functions.{col, lit, coalesce, try_to_timestamp}
+    import org.apache.spark.sql.types._
+    val aligned = tgt.fields.map { f =>
+      val i = cols.indexWhere(_.equalsIgnoreCase(f.name))
+      if (i >= 0 && i < b2.columns.length) {
+        val src = col(s"__c$i")
+        val lenient = (f.dataType, b2.schema(s"__c$i").dataType) match {
+          // PG's timestamp input function takes many spellings
+          // (datetime.c DecodeDateTime); ANSI cast alone rejects them
+          case (TimestampType | TimestampNTZType | DateType, StringType) =>
+            coalesce(
+              try_to_timestamp(src),
+              try_to_timestamp(src, lit("yyyy/M/d h:mm:ss a")),
+              try_to_timestamp(src, lit("yyyy/M/d H:mm:ss")),
+              try_to_timestamp(src, lit("M/d/yyyy h:mm:ss a")),
+              try_to_timestamp(src, lit("yyyy-M-d")),
+              src) // truly malformed input: the final cast raises
+          case (st: StructType, StringType) =>
+            // PG composite literal '(1,2)' (rowtypes record_in) — strip
+            // the parens, parse fields per the declared struct
+            org.apache.spark.sql.functions.from_csv(
+              org.apache.spark.sql.functions.regexp_replace(
+                src, "^\\(|\\)$", ""),
+              st, Map.empty[String, String])
+          case _ => src
+        }
+        lenient.cast(f.dataType).as(f.name)
+      } else lit(null).cast(f.dataType).as(f.name)
+    }
+    val view = "__graft_ins_src"
+    b2.select(aligned.toIndexedSeq: _*).createOrReplaceTempView(view)
+    try spark.sql(s"INSERT INTO $table SELECT * FROM $view")
+    finally spark.catalog.dropTempView(view)
   }
 
   /** COPY ... FROM/TO PROGRAM 'cmd' (commands/copy.c program form):

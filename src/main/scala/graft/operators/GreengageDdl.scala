@@ -151,7 +151,11 @@ object GreengageDdl {
             ("__like__", like.trim.split("\\s+")(1).replace("\"", ""))
           case cdef =>
           val parts = cdef.trim.split("\\s+", 2)
-          require(parts.length == 2, s"cannot parse column def: '$cdef'")
+          // a bare name is legal only as a CTAS rename list
+          // (gram.y CreateAsStmt create_as_target opt_column_list);
+          // resolved after the AS body is found below
+          if (parts.length == 1) (parts(0).replace("\"", ""), "")
+          else {
           // strip column constraints after the type — to FIXPOINT, so
           // combined constraints (`int NOT NULL DEFAULT 0`) all come off,
           // not just the trailing one. ENCODING (...) is the AOCO
@@ -166,6 +170,7 @@ object GreengageDdl {
           val head = typePart.takeWhile(_ != '(').trim
           if (PgTypes.isRegistered(head)) typedCols += (colName -> head)
           (colName, mapType(typePart))
+          }
         }
     }
     // enum/domain columns carry check constraints enforced on INSERT/COPY
@@ -191,9 +196,19 @@ object GreengageDdl {
     val preDist = distSplit.map(d => rest.substring(0, d.start)).getOrElse(rest).trim
     val asRe = "(?is)^AS\\s+(.*)$".r
     asRe.findFirstMatchIn(preDist).foreach { a =>
-      ctas = Some(a.group(1).trim)
+      // the CTAS body is PG SQL — full lexical rewrite before Spark
+      ctas = Some(PgSql.rewrite(a.group(1).trim))
       rest = distSplit.map(d => rest.substring(d.start)).getOrElse("")
     }
+    // CTAS rename list `CREATE TABLE t (a, b) AS SELECT ...`: the bare
+    // names rename the query's output positionally
+    if (columns.nonEmpty && columns.forall(_._2.isEmpty)) {
+      require(ctas.isDefined, s"column definitions need types: $ddl")
+      ctas = ctas.map(q =>
+        s"SELECT * FROM ($q) AS __ctas_cols(${columns.map(_._1).mkString(", ")})")
+      columns = Seq.empty
+    } else require(columns.forall(_._2.nonEmpty),
+      s"cannot parse column def (missing type) in: $ddl")
 
     // DISTRIBUTED clause
     var dist: Dist = RandomDist // Greengage default with no PK: random
@@ -285,7 +300,13 @@ object GreengageDdl {
       }) ++
       // matviews persist their defining query so REFRESH can re-run it
       spec.ctasQuery.filter(_ => spec.materialized)
-        .map(q => s"'graft.matview.sql'='${q.replace("'", "''")}'")
+        .map(q => s"'graft.matview.sql'='${q.replace("'", "''")}'") ++
+      // hive layout moves partition columns to the END of the schema;
+      // the PG-declared order is recorded so positional INSERTs keep
+      // PG's column mapping (parse_target.c)
+      (if (spec.partitionCols.nonEmpty && spec.columns.nonEmpty)
+        Seq(s"'graft.pgcolorder'='${spec.columns.map(_._1).mkString(",")}'")
+      else Nil)
     val propSql = s" TBLPROPERTIES (${props.mkString(", ")})"
     // WITH (compresstype=...) really drives the parquet codec, not just
     // a recorded property (zlib has no parquet codec; gzip is its
@@ -585,9 +606,12 @@ object GreengageDdl {
   // recorded as a table property; DROP INDEX removes the record (the
   // layout keeps serving until the next rewrite, exactly like a
   // dropped-but-not-vacuumed index's pages).
+  // the index name is optional (PG 9.x+ IndexStmt: `CREATE INDEX ON
+  // t (c)` auto-names t_c_idx); `(?!ON\b)` keeps ON from being taken
+  // for the name in the anonymous form
   private val createIndexRe =
     ("(?is)^\\s*CREATE\\s+(?:UNIQUE\\s+)?INDEX\\s+(?:CONCURRENTLY\\s+)?" +
-      "([\\w\"]+)\\s+ON\\s+([\\w.\"]+)(?:\\s+USING\\s+(\\w+))?\\s*\\(([^)]*)\\)\\s*;?\\s*$").r
+      "(?:(?!ON\\b)([\\w\"]+)\\s+)?ON\\s+([\\w.\"]+)(?:\\s+USING\\s+(\\w+))?\\s*\\(([^)]*)\\)\\s*;?\\s*$").r
   private val dropIndexRe =
     "(?is)^\\s*DROP\\s+INDEX\\s+(?:IF\\s+EXISTS\\s+)?([\\w\"]+)(?:\\s+ON\\s+([\\w.\"]+))?\\s*;?\\s*$".r
 
@@ -603,11 +627,13 @@ object GreengageDdl {
                   files: Int = 8): Seq[String] = {
     val m = createIndexRe.findFirstMatchIn(ddl).getOrElse(
       throw new IllegalArgumentException(s"not a CREATE INDEX statement: $ddl"))
-    val (idxName, table) =
-      (m.group(1).replace("\"", ""), m.group(2).replace("\"", ""))
+    val table = m.group(2).replace("\"", "")
     // column specs may carry opclass / ASC / DESC / NULLS tokens
     val cols = splitTop(m.group(4))
       .map(_.trim.split("\\s+")(0).replace("\"", ""))
+    // anonymous form auto-names like PG's ChooseIndexName: t_c1_c2_idx
+    val idxName = Option(m.group(1)).map(_.replace("\"", "")).getOrElse(
+      (table.split("\\.").last +: cols).mkString("_") + "_idx")
     val schema = spark.table(table).schema
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"index column $c not in $table"))

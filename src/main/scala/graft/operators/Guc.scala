@@ -38,12 +38,26 @@ object Guc {
 
   /** Apply a PG-shaped SET; false when the text isn't one (e.g. bare
     * `SET` or `SET -v` — the router falls back to Spark's own form). */
+  /** `search_path` maps to Spark's current database (namespace.c →
+    * catalog namespace): the FIRST existing schema on the path becomes
+    * current, so unqualified CREATE/SELECT land there and `DROP SCHEMA
+    * ... CASCADE` takes its tables with it, exactly PG's behavior.
+    * `public` (and `"$user"`) are the default database. */
+  private def applySearchPath(spark: SparkSession, v: String): Unit = {
+    val first = v.split(",").map(_.trim.replace("\"", ""))
+      .filter(_.nonEmpty)
+      .map { case "$user" | "public" => "default"; case s => s }
+      .find(spark.catalog.databaseExists)
+    spark.catalog.setCurrentDatabase(first.getOrElse("default"))
+  }
+
   def trySet(spark: SparkSession, stmt: String): Boolean =
     setRe.findFirstMatchIn(stmt) match {
       case None => false
       case Some(m) =>
         val k = key(m.group(1))
         val v = unquote(m.group(2))
+        if (k == "search_path") applySearchPath(spark, v)
         if (v.equalsIgnoreCase("default")) spark.conf.unset(k)
         else spark.conf.set(k, v)
         true
@@ -52,7 +66,9 @@ object Guc {
   def reset(spark: SparkSession, stmt: String): Unit = {
     val m = resetRe.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"cannot parse RESET: $stmt"))
-    spark.conf.unset(key(m.group(1)))
+    val k = key(m.group(1))
+    if (k == "search_path") spark.catalog.setCurrentDatabase("default")
+    spark.conf.unset(k)
   }
 
   /** Spark's own SHOW objects (fall through to spark.sql, not a GUC). */

@@ -35,12 +35,17 @@ object PgCatalog {
     val db = spark.catalog.currentDatabase
     val tables = spark.catalog.listTables().collect()
 
-    // relkind: 'r' table, 'v' view (pg_class.h relkind values)
+    // relkind: 'r' table, 'v' view (pg_class.h relkind values); oid is
+    // a deterministic surrogate (name hash) — stable within a snapshot,
+    // which is all a catalog join needs; relisshared is false for every
+    // user relation (only global catalogs are shared, pg_class.h)
     val classes = tables.map { t =>
       val kind = if (t.tableType == "VIEW" || t.isTemporary) "v" else "r"
       (t.name, Option(t.database).getOrElse("public"), kind)
     }.toSeq
-    classes.toDF("relname", "relnamespace", "relkind")
+    classes.map { case (n, ns, k) =>
+      ((n.hashCode.toLong & 0x7fffffffL), n, ns, k, false)
+    }.toDF("oid", "relname", "relnamespace", "relkind", "relisshared")
       .createOrReplaceTempView("pg_class")
 
     classes.filter(_._3 == "r")

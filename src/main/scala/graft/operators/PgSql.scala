@@ -102,6 +102,19 @@ object PgSql {
     out = "(?i)(\\bAS\\s+)([a-zA-Z0-9_]+)\\s*\\[\\s*\\](\\s*\\))".r
       .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
         m.group(1) + "ARRAY<" + mapType(m.group(2)) + ">" + m.group(3)))
+    // multi-word PG type names in casts (gram.y SimpleTypename):
+    // `character varying[(n)]` / `bit varying` / `double precision`
+    out = out.replaceAll(
+      "(?i)\\bcharacter\\s+varying(\\s*\\(\\s*\\d+\\s*\\))?", "STRING")
+    out = out.replaceAll("(?i)\\bbit\\s+varying(\\s*\\(\\s*\\d+\\s*\\))?", "STRING")
+    out = out.replaceAll("(?i)\\bdouble\\s+precision\\b", "DOUBLE")
+    // PG typed-literal spellings Spark's parser rejects: timestamptz
+    // 'v' / timestamp with[out] time zone 'v' → TIMESTAMP 'v' (the
+    // session zone carries tz semantics, datatype.c); segment ends at
+    // the literal so a trailing match is the typed-literal position
+    out = out.replaceAll(
+      "(?i)\\btimestamp\\s+with(?:out)?\\s+time\\s+zone\\b", "TIMESTAMP")
+    out = out.replaceAll("(?i)\\btimestamptz\\b", "TIMESTAMP")
     // COLLATE "C" / COLLATE locale (gram.y a_expr COLLATE any_name):
     // Spark's binary UTF8 comparison IS the "C" collation; named
     // locales degrade to it — the clause drops
@@ -384,6 +397,468 @@ object PgSql {
     out.toString
   }
 
+  /** PG 1-based array subscripts (arrayfuncs.c array_get_element):
+    * `expr[i]` → `try_element_at(expr, i)`. Spark's own `x[i]` is
+    * 0-based and ANSI-errors out of range — a silent off-by-one for
+    * EVERY migrated PG query — while try_element_at is 1-based and
+    * NULL out-of-bounds, exactly PG's subscript contract (map
+    * subscripts keep identical semantics through the same call).
+    * Untouched: empty `[]` (type names, rewritten later), slices
+    * `[a:b]` (array_get_slice — PgArrays API), brackets in literals.
+    * Chained `x[1][2]` resolves over the fixpoint iterations. */
+  private def subscripts(sqlIn: String): String = {
+    var cur = sqlIn
+    var guard = 0
+    while (guard < 256) {
+      val next = subscriptOnce(cur)
+      if (next == cur) return cur
+      cur = next; guard += 1
+    }
+    cur
+  }
+
+  private def subscriptOnce(sql: String): String = {
+    val masked = maskLiterals(sql)
+    var i = 0
+    while (i < masked.length) {
+      if (masked.charAt(i) == '[') {
+        // matching close bracket (masked scan: literals can't fool it)
+        var depth = 0; var j = i; var close = -1
+        while (j < masked.length && close < 0) {
+          masked.charAt(j) match {
+            case '[' => depth += 1
+            case ']' => depth -= 1; if (depth == 0) close = j
+            case _ =>
+          }
+          j += 1
+        }
+        if (close < 0) return sql
+        val content = sql.substring(i + 1, close)
+        val mContent = masked.substring(i + 1, close)
+        // top-level ':' → slice; empty → type decl
+        var d2 = 0; var topColon = false
+        mContent.foreach {
+          case '(' | '[' => d2 += 1
+          case ')' | ']' => d2 -= 1
+          case ':' if d2 == 0 => topColon = true
+          case _ =>
+        }
+        if (content.trim.nonEmpty && !topColon) {
+          // backward scan for the subscripted base expression
+          var b = i - 1
+          while (b >= 0 && masked.charAt(b).isWhitespace) b -= 1
+          var start = -1
+          var more = b >= 0
+          while (more) {
+            more = false
+            val c = if (b >= 0) masked.charAt(b) else ' '
+            if (c == ')' || c == ']') {
+              val openCh = if (c == ')') '(' else '['
+              var d3 = 0; var k = b; var op = -1
+              while (k >= 0 && op < 0) {
+                val ch = masked.charAt(k)
+                if (ch == c) d3 += 1
+                else if (ch == openCh) { d3 -= 1; if (d3 == 0) op = k }
+                k -= 1
+              }
+              if (op >= 0) { start = op; b = op - 1; more = true }
+              else start = -1
+            } else if (c == '`') {
+              var k = b - 1
+              while (k >= 0 && masked.charAt(k) != '`') k -= 1
+              if (k >= 0) { start = k; b = k - 1; more = true }
+              else start = -1
+            } else if (c == '\'') {
+              // a string literal base ('...'[1] is legal after a cast
+              // rewrite); find its opening quote in the masked copy
+              var k = b - 1
+              while (k >= 0 && masked.charAt(k) != '\'') k -= 1
+              if (k >= 0) { start = k; b = k - 1; more = false }
+              else start = -1
+            } else if (Character.isLetterOrDigit(c) || c == '_' || c == '$') {
+              var k = b
+              while (k >= 0 && (Character.isLetterOrDigit(masked.charAt(k)) ||
+                masked.charAt(k) == '_' || masked.charAt(k) == '$')) k -= 1
+              start = k + 1; b = k; more = true
+            } else if (c == '.' && start >= 0) {
+              b -= 1; more = true
+            }
+            // after consuming a component, a '.' continues the chain
+            if (!more && start >= 0 && b >= 0 && masked.charAt(b) == '.') {
+              b -= 1; more = true
+            }
+          }
+          if (start >= 0) {
+            val base = sql.substring(start, i).trim
+            // a bare word base could be a TYPE name mid-declaration
+            // (e.g. `int[3]` has no PG meaning; leave) — only rewrite
+            // when the base is not immediately preceded by a type
+            // context like '::'; '::' bases are array-typed casts whose
+            // brackets the cast rewrites own
+            val before = masked.substring(0, start).reverse.dropWhile(_.isWhitespace)
+            if (!before.startsWith("::")) {
+              return sql.substring(0, start) +
+                s"try_element_at($base, $content)" + sql.substring(close + 1)
+            }
+          }
+        }
+        i = close + 1
+      } else i += 1
+    }
+    sql
+  }
+
+  /** `gp_dist_random('t')` (cdbutil.c) reads a table's segment-local
+    * slices without the final gather — on Spark the scan IS already
+    * motion-free, so the call degrades to the table itself (keeping
+    * its name as the from-item alias, which is how GP resolves columns
+    * under it). */
+  private def gpDistRandom(sql: String): String =
+    "(?i)\\bgp_dist_random\\s*\\(\\s*'([\\w.\"]+)'\\s*\\)".r
+      .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+        m.group(1).replace("\"", "")))
+
+  /** `generate_series` through the SQL front door (int.c / timestamp.c
+    * generate_series SRFs). Two positions PG allows:
+    *  - FROM item `FROM generate_series(a,b[,s]) [AS] g [(c)]` →
+    *    `(SELECT explode(<seq>) AS col) AS alias`; PG names the single
+    *    output column after the ALIAS when one is given (function name
+    *    otherwise), and a comma-position item becomes LATERAL.
+    *  - select-list item `SELECT k, generate_series(a,b)` →
+    *    `explode(<seq>) AS generate_series` — Spark's generator-in-
+    *    projection IS the targetlist-SRF expansion for a single SRF
+    *    (multiple SRFs fail loudly; Srf.projectSet* is the API path
+    *    for the reference's LCM protocol).
+    * <seq>: plain `sequence(...)` — except that PG yields ZERO rows
+    * when the direction contradicts the step (generate_series(5,1)
+    * is empty; Spark's 2-arg sequence would count DOWN), so numeric
+    * forms get a direction guard. Interval steps pass through
+    * (sequence enforces the same sign rule PG does there). */
+  private def generateSeriesRewrite(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val out = new StringBuilder
+    var i = 0
+    val clause = scala.collection.mutable.Stack[String]("")
+    def word(at: Int, w: String): Boolean =
+      masked.regionMatches(true, at, w, 0, w.length) &&
+        (at == 0 || (!Character.isLetterOrDigit(masked.charAt(at - 1)) &&
+          masked.charAt(at - 1) != '_' && masked.charAt(at - 1) != '.')) &&
+        (at + w.length >= masked.length ||
+          (!Character.isLetterOrDigit(masked.charAt(at + w.length)) &&
+            masked.charAt(at + w.length) != '_'))
+    while (i < sql.length) {
+      val c = masked.charAt(i)
+      if (c == '(') { clause.push(""); out += sql.charAt(i); i += 1 }
+      else if (c == ')') {
+        if (clause.size > 1) clause.pop(); out += sql.charAt(i); i += 1
+      } else if (clauseWords.exists(word(i, _))) {
+        val w = clauseWords.find(word(i, _)).get
+        clause.pop(); clause.push(w)
+        out ++= sql.substring(i, i + w.length); i += w.length
+      } else if (word(i, "generate_series")) {
+        var p = i - 1
+        while (p >= 0 && masked.charAt(p).isWhitespace) p -= 1
+        val prevComma = p >= 0 && masked.charAt(p) == ','
+        val fromPos = (clause.top == "from" && (prevComma ||
+          word(p - 3, "from") || word(p - 3, "join"))) ||
+          (clause.top == "" && word(p - 3, "join"))
+        val selPos = clause.top == "select" &&
+          (prevComma || word(p - 5, "select") || word(p - 7, "distinct"))
+        var j = i + "generate_series".length
+        while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+        if ((!fromPos && !selPos) || j >= masked.length ||
+            masked.charAt(j) != '(') {
+          out += sql.charAt(i); i += 1
+        } else {
+          // balanced argument scan on the masked copy
+          var depth = 0; var k = j; var end = -1
+          val commas = Seq.newBuilder[Int]
+          while (k < masked.length && end < 0) {
+            masked.charAt(k) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) end = k
+              case ',' if depth == 1 => commas += k
+              case _ =>
+            }
+            k += 1
+          }
+          if (end < 0) { out += sql.charAt(i); i += 1 }
+          else {
+            val cuts = j +: commas.result() :+ end
+            val args = cuts.sliding(2).map(w2 =>
+              sql.substring(w2.head + 1, w2.last).trim).toSeq
+            val seq = seqExpr(args)
+            if (fromPos) {
+              val tail = sql.substring(end + 1)
+              val m = ("(?is)^\\s*(?:AS\\s+)?([A-Za-z_][A-Za-z_0-9]*)" +
+                "\\s*(?:\\(\\s*([A-Za-z_][A-Za-z_0-9]*)\\s*\\))?").r
+                .findPrefixMatchOf(tail)
+              val kw = Set("where", "group", "order", "limit", "join",
+                "on", "inner", "left", "right", "full", "cross", "union",
+                "having", "with", "offset", "fetch", "except",
+                "intersect", "lateral", "using")
+              val (alias, colName, consumed) = m match {
+                case Some(mm) if !kw.contains(mm.group(1).toLowerCase) =>
+                  (mm.group(1),
+                    Option(mm.group(2)).getOrElse(mm.group(1)), mm.end)
+                case _ => ("generate_series", "generate_series", 0)
+              }
+              out ++= (if (prevComma) "LATERAL " else "") ++=
+                s"(SELECT explode($seq) AS $colName) AS $alias "
+              i = end + 1 + consumed
+            } else {
+              // select-list: only a bare item (next token ends it)
+              val tail = masked.substring(end + 1)
+              val bare = tail.matches("(?is)^\\s*(,|;|\\bfrom\\b|\\bas\\b|$).*")
+              if (!bare) { out += sql.charAt(i); i += 1 }
+              else {
+                val hasAs = tail.matches("(?is)^\\s*as\\b.*")
+                out ++= s"explode($seq)" ++=
+                  (if (hasAs) "" else " AS generate_series")
+                i = end + 1
+              }
+            }
+          }
+        }
+      } else { out += sql.charAt(i); i += 1 }
+    }
+    out.toString
+  }
+
+  /** sequence(...) with PG's empty-set direction guard for numeric
+    * steps; interval steps (quoted or INTERVAL-typed) pass through. */
+  private def seqExpr(args: Seq[String]): String = args match {
+    case Seq(a, b) =>
+      s"(CASE WHEN ($a) <= ($b) THEN sequence($a, $b) ELSE array() END)"
+    case Seq(a, b, s) if s.matches("-?\\s*\\d+") =>
+      s"(CASE WHEN (($s) > 0 AND ($a) <= ($b)) OR (($s) < 0 AND ($a) >= ($b))" +
+        s" THEN sequence($a, $b, $s) ELSE array() END)"
+    case Seq(a, b, s) => s"sequence($a, $b, $s)"
+    case other => throw new IllegalArgumentException(
+      s"generate_series takes 2 or 3 arguments, got ${other.length}")
+  }
+
+  /** Correlated scalar subqueries inside INNER JOIN ... ON conditions:
+    * Spark's analyzer only supports them in Filter/Project/Aggregate,
+    * so `a JOIN b ON (x = (SELECT ...))` fails analysis. For a FROM
+    * clause of pure inner joins the ON conditions are
+    * filter-equivalent — the join list flattens to comma items and
+    * every ON condition moves into WHERE, where Catalyst both allows
+    * the subquery and still re-derives the equi-join for the plain
+    * conjuncts. Applied ONLY when an ON condition contains a
+    * subquery (normal queries keep their explicit join tree). */
+  private def joinOnSubqueryToFilter(sqlIn: String): String = {
+    // the trailing semicolon would otherwise ride into the last ON
+    // condition when it gets moved into WHERE
+    val sql = sqlIn.trim.stripSuffix(";")
+    val masked = maskLiterals(sql)
+    if (!"(?i)\\bJOIN\\b".r.findFirstIn(masked).isDefined ||
+        !"(?i)\\(\\s*SELECT\\b".r.findFirstIn(masked).isDefined) return sqlIn
+    def wordAt(at: Int, w: String): Boolean =
+      masked.regionMatches(true, at, w, 0, w.length) &&
+        (at == 0 || !Character.isLetterOrDigit(masked.charAt(at - 1)) &&
+          masked.charAt(at - 1) != '_') &&
+        (at + w.length >= masked.length ||
+          (!Character.isLetterOrDigit(masked.charAt(at + w.length)) &&
+            masked.charAt(at + w.length) != '_'))
+    // top-level FROM
+    var depth = 0; var i = 0; var fromAt = -1
+    while (i < masked.length && fromAt < 0) {
+      masked.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => if (depth == 0 && wordAt(i, "from")) fromAt = i
+      }
+      i += 1
+    }
+    if (fromAt < 0) return sql
+    // end of the FROM span = next depth-0 clause keyword
+    val enders = Seq("where", "group", "order", "having", "limit",
+      "window", "union", "intersect", "except", "offset", "fetch",
+      "returning")
+    depth = 0; i = fromAt + 4; var endAt = masked.length
+    var scanning = true
+    while (i < masked.length && scanning) {
+      masked.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && enders.exists(wordAt(i, _))) {
+            endAt = i; scanning = false
+          }
+      }
+      i += 1
+    }
+    val span = masked.substring(fromAt + 4, endAt)
+    // only pure inner joins are filter-equivalent
+    if ("(?i)\\b(LEFT|RIGHT|FULL|NATURAL|OUTER|USING)\\b".r
+        .findFirstIn(span).isDefined) return sql
+    // collect depth-0 JOIN/ON positions inside the span
+    case class Tok(kind: String, at: Int)
+    val toks = Seq.newBuilder[Tok]
+    depth = 0; i = 0
+    while (i < span.length) {
+      span.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 =>
+          def w(s2: String) = wordAt(fromAt + 4 + i, s2)
+          if (w("join")) toks += Tok("join", i)
+          else if (w("on")) toks += Tok("on", i)
+          else if (w("cross")) toks += Tok("cross", i)
+          else if (w("inner")) toks += Tok("inner", i)
+        case _ =>
+      }
+      i += 1
+    }
+    val ts = toks.result()
+    if (!ts.exists(_.kind == "on")) return sql
+    // segments: item boundaries at each join/cross/inner start; each
+    // ON condition runs to the next join-ish token or span end
+    val rawSpan = sql.substring(fromAt + 4, endAt)
+    val items = Seq.newBuilder[String]
+    val conds = Seq.newBuilder[String]
+    var cursor = 0
+    var idx = 0
+    while (idx < ts.length) {
+      val t0 = ts(idx)
+      if (t0.kind == "join" || t0.kind == "cross" || t0.kind == "inner") {
+        if (cursor < t0.at) {
+          val piece = rawSpan.substring(cursor, t0.at).trim
+          if (piece.nonEmpty) items += piece.stripSuffix(",").trim
+        }
+        // the joined item spans from after JOIN to the ON (or next tok)
+        if (t0.kind == "join") {
+          val next = ts.drop(idx + 1).headOption
+          next match {
+            case Some(Tok("on", onAt)) =>
+              items += rawSpan.substring(t0.at + 4, onAt).trim
+              // condition: to the next join-ish token after the ON
+              val after = ts.drop(idx + 2)
+                .find(t2 => t2.kind != "on").map(_.at)
+                .getOrElse(rawSpan.length)
+              conds += rawSpan.substring(onAt + 2, after).trim
+              cursor = after
+              idx += 2
+            case _ =>
+              // JOIN without ON at depth 0 → cross-ish; next boundary
+              val after = next.map(_.at).getOrElse(rawSpan.length)
+              items += rawSpan.substring(t0.at + 4, after).trim
+              cursor = after
+              idx += 1
+          }
+        } else { // cross/inner prefix: skip the keyword itself
+          cursor = t0.at + t0.kind.length
+          idx += 1
+        }
+      } else idx += 1
+    }
+    if (cursor < rawSpan.length) {
+      val piece = rawSpan.substring(cursor).trim
+      if (piece.nonEmpty) items += piece.stripSuffix(",").trim
+    }
+    val cs = conds.result()
+    if (!cs.exists(c => "(?i)\\(\\s*SELECT\\b".r.findFirstIn(
+      maskLiterals(c)).isDefined)) return sql
+    val itemSql = items.result().filter(_.nonEmpty)
+      .map(_.stripPrefix(",").trim).mkString(", ")
+    val rest = sql.substring(endAt)
+    val mRest = masked.substring(endAt)
+    val condSql = cs.map(c => s"($c)").mkString(" AND ")
+    val newRest =
+      if (mRest.matches("(?is)^\\s*WHERE\\b.*")) {
+        val wIdx = mRest.toLowerCase.indexOf("where")
+        // splice into the existing WHERE: its predicate runs to the
+        // next depth-0 clause keyword
+        var d4 = 0; var k = wIdx + 5; var wEnd = mRest.length
+        var on2 = true
+        while (k < mRest.length && on2) {
+          mRest.charAt(k) match {
+            case '(' => d4 += 1
+            case ')' => d4 -= 1
+            case _ => if (d4 == 0 && enders.exists(e =>
+              mRest.regionMatches(true, k, e, 0, e.length) &&
+                !Character.isLetterOrDigit(mRest.charAt(k - 1)) &&
+                (k + e.length >= mRest.length ||
+                  !Character.isLetterOrDigit(mRest.charAt(k + e.length))))) {
+              wEnd = k; on2 = false
+            }
+          }
+          k += 1
+        }
+        " WHERE " + condSql + " AND (" +
+          rest.substring(wIdx + 5, wEnd).trim + ") " + rest.substring(wEnd)
+      } else " WHERE " + condSql + rest
+    sql.substring(0, fromAt) + "FROM " + itemSql + newRest
+  }
+
+  /** PG interval literals glue quantity and unit (`'5year'`,
+    * `'1h30min'` — datetime.c DecodeInterval tokenizes on type
+    * change); Spark's parser requires the space. Inserted inside
+    * INTERVAL-prefixed literals only. */
+  private def intervalSpacing(sql: String): String =
+    "(?is)\\binterval\\s*'([^']*)'".r.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        "interval '" + m.group(1).replaceAll("(?<=\\d)(?=[A-Za-z])", " ") + "'"))
+
+  /** Spark requires ORDER BY for ranking window functions; PG runs
+    * them over arbitrary order when none is given (nodeWindowAgg.c —
+    * the ordering is simply unspecified). A constant key expresses
+    * exactly that: every row is a peer, the order is arbitrary, and
+    * (unlike top-level sorts) window keys never resolve ordinals, so
+    * `ORDER BY 1` is the constant. Only OVER clauses attached to a
+    * ranking/offset function get the injection — aggregates are legal
+    * unordered and adding a key would cost a needless sort. */
+  private val needsOrder = Set("row_number", "rank", "dense_rank",
+    "percent_rank", "cume_dist", "ntile", "lag", "lead")
+
+  private def windowOrder(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val out = new StringBuilder
+    var i = 0
+    var last = 0
+    val overRe = "(?i)\\bover\\s*\\(".r
+    overRe.findAllMatchIn(masked).foreach { m =>
+      val open = m.end - 1
+      val close = try matchingParen(masked, open) catch { case _: Exception => -1 }
+      if (close > open) {
+        val content = masked.substring(open + 1, close)
+        val hasOrder = "(?i)\\border\\s+by\\b".r.findFirstIn(content).isDefined ||
+          // a named-window reference `OVER (w ...)` inherits the base
+          // window's ordering — never inject into it
+          "(?i)^\\s*(?!partition\\b|order\\b|rows\\b|range\\b|groups\\b)[a-z_][\\w]*".r
+            .findFirstIn(content).isDefined
+        // function name: identifier before the () call preceding OVER
+        var p = m.start - 1
+        while (p >= 0 && masked.charAt(p).isWhitespace) p -= 1
+        val fn = if (p >= 0 && masked.charAt(p) == ')') {
+          var d = 0; var k = p; var op2 = -1
+          while (k >= 0 && op2 < 0) {
+            masked.charAt(k) match {
+              case ')' => d += 1
+              case '(' => d -= 1; if (d == 0) op2 = k
+              case _ =>
+            }
+            k -= 1
+          }
+          if (op2 > 0) {
+            var s2 = op2 - 1
+            while (s2 >= 0 && (masked.charAt(s2).isLetterOrDigit ||
+              masked.charAt(s2) == '_')) s2 -= 1
+            masked.substring(s2 + 1, op2).toLowerCase
+          } else ""
+        } else ""
+        if (!hasOrder && needsOrder.contains(fn) && last <= close) {
+          out ++= sql.substring(last, close) ++= " ORDER BY 1"
+          last = close
+        }
+      }
+      i = m.end
+    }
+    out ++= sql.substring(last)
+    out.toString
+  }
+
   /** Split into alternating non-literal / literal parts and rewrite
     * only the non-literal ones — literals stay byte-identical, with one
     * documented exception: a `~*`/`!~*` whose pattern is the literal
@@ -497,7 +972,13 @@ object PgSql {
       case "!=" => "<>"
       case o => o
     }
-    val isSub = inner.trim.toUpperCase
+    // `= ANY (ARRAY(subquery))` collapses to the subquery itself
+    // (parse_expr.c treats ARRAY_SUBLINK + ANY as the sublink) — vital
+    // here because the HOF path can't host a subquery inside a lambda
+    val arrSub = "(?is)^\\s*ARRAY\\s*\\(\\s*((?:SELECT|WITH)\\b.*)\\)\\s*$".r
+      .findFirstMatchIn(inner).map(_.group(1))
+    val innerEff = arrSub.getOrElse(inner)
+    val isSub = innerEff.trim.toUpperCase
       .matches("(?s)^(SELECT|WITH|TABLE|VALUES)\\b.*")
     val any = quant != "ALL"
     if (!isSub) {
@@ -512,8 +993,8 @@ object PgSql {
       }
       val lam = s"__v -> ($lhs) $op __v"
       if (any) s"exists($rhs, $lam)" else s"forall($rhs, $lam)"
-    } else if (any && op == "=") s"(($lhs) IN ($inner))"
-    else if (!any && op == "<>") s"(($lhs) NOT IN ($inner))"
+    } else if (any && op == "=") s"(($lhs) IN ($innerEff))"
+    else if (!any && op == "<>") s"(($lhs) NOT IN ($innerEff))"
     else {
       // Two EXISTS legs carrying the three-valued quantifier: a
       // decisive witness (some v satisfying the comparison proves ANY;
@@ -530,9 +1011,9 @@ object PgSql {
         "ILIKE" -> "NOT ILIKE", "NOT ILIKE" -> "ILIKE")
       val cmp = if (any) op else negated(op)
       val decisive =
-        s"EXISTS (SELECT 1 FROM ($inner) __q(__v) WHERE ($lhs) $cmp __v)"
+        s"EXISTS (SELECT 1 FROM ($innerEff) __q(__v) WHERE ($lhs) $cmp __v)"
       val nullish =
-        s"EXISTS (SELECT 1 FROM ($inner) __q(__v) " +
+        s"EXISTS (SELECT 1 FROM ($innerEff) __q(__v) " +
           s"WHERE __v IS NULL OR ($lhs) IS NULL)"
       val (decided, vacuous) = if (any) ("TRUE", "FALSE") else ("FALSE", "TRUE")
       s"(CASE WHEN $decisive THEN $decided " +
@@ -933,9 +1414,13 @@ object PgSql {
   }
 
   def rewrite(sqlIn: String): String = {
-    val sql = rowCompare(quantified(arraySubquery(flattenGroupByParens(
-      regexSubstring(extractFields(unnestFrom(arrayBrackets(
-        arrayLiteralCasts(quotedIdents(pgStringSyntax(sqlIn)))))))))))
+    // quantified runs BEFORE arraySubquery so `= ANY(ARRAY(subquery))`
+    // is seen as the sublink it is, not a collect()'d scalar array
+    val sql = rowCompare(arraySubquery(quantified(flattenGroupByParens(
+      regexSubstring(extractFields(unnestFrom(generateSeriesRewrite(
+        windowOrder(subscripts(arrayBrackets(arrayLiteralCasts(
+          quotedIdents(joinOnSubqueryToFilter(gpDistRandom(
+            intervalSpacing(pgStringSyntax(sqlIn)))))))))))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

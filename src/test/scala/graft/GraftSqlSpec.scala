@@ -66,8 +66,16 @@ class GraftSqlSpec extends AnyFunSuite {
       == Seq(Seq(1), Seq(2)))
     assert(spark.sql(rewrite("SELECT ARRAY['a[b', 'c]d']")).head()
       .getSeq[String](0).toSeq == Seq("a[b", "c]d"))
-    assert(rewrite("SELECT m['k'] FROM t") == "SELECT m['k'] FROM t")
-    assert(rewrite("SELECT subarray[1] FROM t") == "SELECT subarray[1] FROM t")
+    // PG subscripts are 1-based with NULL out-of-bounds — both map to
+    // try_element_at (identical semantics for map keys; Spark's own []
+    // would be a silent off-by-one for arrays)
+    assert(rewrite("SELECT m['k'] FROM t") == "SELECT try_element_at(m, 'k') FROM t")
+    assert(rewrite("SELECT subarray[1] FROM t")
+      == "SELECT try_element_at(subarray, 1) FROM t")
+    assert(spark.sql(rewrite("SELECT (ARRAY[10, 20])[2]")).head().getInt(0) == 20)
+    assert(spark.sql(rewrite("SELECT (ARRAY[10])[3]")).head().isNullAt(0))
+    assert(spark.sql(rewrite("SELECT (ARRAY[ARRAY[1,2],ARRAY[3,4]])[2][1]"))
+      .head().getInt(0) == 3)
   }
 
   test("FROM unnest WITH ORDINALITY rewrites to lateral posexplode") {
