@@ -579,8 +579,19 @@ object Graft {
             operators.DmlCte.run(spark, stripSemi(t), execute)
           else operators.Tablefunc.route(spark, t)
             .orElse {
-              try Some(spark.sql(operators.PgSql.rewrite(t)))
+              // registered CREATE FUNCTION macros inline first (no-op
+              // scan when none is called), then the PG lexical rewrite
+              try Some(operators.PgIntDiv(spark, spark.sql(
+                operators.PgSql.rewrite(operators.SqlFunctions.expand(t)))))
               catch {
+                case e: org.apache.spark.sql.AnalysisException
+                    if is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b") &&
+                      Option(e.getErrorClass).exists(
+                        _.startsWith("CREATE_PERMANENT_VIEW_WITHOUT_ALIAS")) =>
+                  // PG auto-names view columns after the expression's
+                  // function (parse_target FigureColname); Spark
+                  // demands explicit aliases — synthesize them
+                  createViewAutoAlias(spark, stripSemi(t)); None
                 case e: org.apache.spark.sql.AnalysisException
                     if is("(?is)^INSERT\\s+INTO\\b") &&
                       Option(e.getErrorClass).exists(c =>
@@ -604,6 +615,36 @@ object Graft {
     * plan; the cast projection runs through a SQL INSERT so
     * bucketed/partitioned writes stay native. Malformed values error
     * at runtime exactly as PG's input functions do (ANSI cast). */
+  /** CREATE VIEW whose body has unnamed expression columns: derive
+    * each missing alias the way PG's FigureColname does — the leading
+    * identifier of the generated column text (`percentile_cont(...)` →
+    * `percentile_cont`) — dedupe, and re-issue with explicit aliases. */
+  private def createViewAutoAlias(spark: SparkSession, st: String): Unit = {
+    val m = ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+([\\w.\"]+)\\s*" +
+      "(\\([^)]*\\))?\\s*AS\\s+(.*)$").r.findFirstMatchIn(st).getOrElse(
+        throw new IllegalArgumentException(s"cannot parse CREATE VIEW: $st"))
+    val body = operators.PgIntDiv(spark,
+      spark.sql(operators.PgSql.rewrite(m.group(4))))
+    val used = scala.collection.mutable.Set[String]()
+    val aliases = body.columns.map { c =>
+      val base0 = c.takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+      val base = if (base0.isEmpty || base0.head.isDigit) "column" else base0
+      var a = base; var i = 1
+      while (used.contains(a.toLowerCase)) { a = s"$base$i"; i += 1 }
+      used += a.toLowerCase
+      a
+    }
+    // registered as a session view: a catalog view can't reference the
+    // plan-level rewrites (PgIntDiv) the body needs, and PG regress
+    // views are session-lived anyway
+    val named = Option(m.group(3)) match {
+      case Some(cl) => body.toDF(operators.GreengageDdl.splitTop(
+        cl.stripPrefix("(").stripSuffix(")")).map(_.trim): _*)
+      case None => body.toDF(aliases.toIndexedSeq: _*)
+    }
+    named.createOrReplaceTempView(m.group(2).replace("\"", ""))
+  }
+
   /** The PG-declared column order recorded at CREATE time for tables
     * whose hive partition layout reordered the physical schema. */
   private def declaredOrder(spark: SparkSession,
@@ -615,19 +656,33 @@ object Graft {
         .map(_.split(",").toSeq)
     } catch { case _: Exception => None }
 
-  /** True when a positional INSERT into `table` would mis-map columns
-    * because the physical schema order differs from the PG-declared
-    * one (partitioned tables — hive layout puts partition keys last). */
+  /** True when a plain INSERT must route through the cast-projection
+    * path: (a) a positional insert into a partition-reordered table
+    * would silently mis-map columns (hive layout puts partition keys
+    * last), or (b) the body contains coerced integer division, which
+    * only the DataFrame path can give PG's truncating semantics (a
+    * command executes eagerly inside spark.sql, before PgIntDiv could
+    * see it). */
   private def insertNeedsReorder(spark: SparkSession, t: String): Boolean = {
-    val m = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)\\s*(\\([^)]*\\))?".r
-      .findFirstMatchIn(t)
-    m.exists(mm => mm.group(2) == null && {
-      val tbl = mm.group(1).replace("\"", "")
-      declaredOrder(spark, tbl).exists(d =>
-        try d.map(_.toLowerCase) !=
-          spark.table(tbl).columns.map(_.toLowerCase).toSeq
-        catch { case _: Exception => false })
-    })
+    val m = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)\\s*(\\([^)]*\\))?\\s*(.*)$".r
+      .findFirstMatchIn(t.trim.stripSuffix(";"))
+    m.exists { mm =>
+      val reorder = mm.group(2) == null && {
+        val tbl = mm.group(1).replace("\"", "")
+        declaredOrder(spark, tbl).exists(d =>
+          try d.map(_.toLowerCase) !=
+            spark.table(tbl).columns.map(_.toLowerCase).toSeq
+          catch { case _: Exception => false })
+      }
+      reorder || (mm.group(3).contains("/") && {
+        try {
+          val body = spark.sql(operators.PgSql.rewrite(
+            operators.SqlFunctions.expand(mm.group(3))))
+          val analyzed = body.queryExecution.analyzed
+          !operators.PgIntDiv.transformPlan(analyzed).fastEquals(analyzed)
+        } catch { case _: Exception => false }
+      })
+    }
   }
 
   private def insertWithAssignmentCasts(spark: SparkSession,
@@ -641,7 +696,8 @@ object Graft {
         cl.stripPrefix("(").stripSuffix(")")).map(_.replace("\"", "").trim))
       .orElse(declaredOrder(spark, table))
       .getOrElse(tgt.fieldNames.toSeq)
-    val body = spark.sql(operators.PgSql.rewrite(m.group(3)))
+    val body = operators.PgIntDiv(spark, spark.sql(
+      operators.PgSql.rewrite(operators.SqlFunctions.expand(m.group(3)))))
     require(body.columns.length <= cols.length,
       s"INSERT has more expressions than target columns: $st")
     val b2 = body.toDF(body.columns.indices.map(i => s"__c$i"): _*)

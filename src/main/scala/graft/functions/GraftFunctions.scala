@@ -602,6 +602,27 @@ object GraftFunctions {
       FunctionIdentifier("to_char_pg"),
       info("to_char_pg", "to_char_pg(num, fmt) - PG numeric template formatting"),
       (args: Seq[Expression]) => ToChar(Cast(args(0), DoubleType), args(1)))
+    // PG decode(text, format) → bytea (utils/adt/encode.c): base64 /
+    // hex / escape. Fires ONLY on the 2-arg form with one of PG's
+    // three format literals; every other shape delegates to Spark's
+    // own Decode (which carries both the Oracle-style CASE form the
+    // reference ships as DECODE and the charset form).
+    reg.registerFunction(
+      FunctionIdentifier("decode"),
+      info("decode", "decode(text, fmt) - PG base64/hex/escape to binary; else Spark decode"),
+      (args: Seq[Expression]) => {
+        val fmt = try {
+          if (args.length == 2 && args(1).foldable)
+            Option(args(1).eval()).map(_.toString.toLowerCase)
+          else None
+        } catch { case _: Exception => None }
+        fmt match {
+          case Some("base64") => UnBase64(args(0))
+          case Some("hex") => Unhex(args(0))
+          case Some("escape") => Cast(args(0), BinaryType)
+          case _ => new Decode(args.toIndexedSeq.toSeq)
+        }
+      })
     for (n <- Seq("network", "broadcast", "netmask", "hostmask"))
       reg.registerFunction(
         FunctionIdentifier(s"inet_$n"),

@@ -332,7 +332,23 @@ object GreengageDdl {
           spark.table(ref).schema.fields.toSeq.map(f => (f.name, f.dataType.sql))
         case other => Seq(other)
       })
-    spark.sql(toSparkSql(spec, buckets))
+    // the CTAS body gets PG integer-division fidelity (PgIntDiv) —
+    // routed through a temp view only when the plan actually changed
+    val ctasView = spec.ctasQuery.filter(_ => !spec.materialized)
+      .flatMap { q =>
+        val raw = spark.sql(q)
+        val fixed = PgIntDiv(spark, raw)
+        if (fixed eq raw) None
+        else {
+          fixed.createOrReplaceTempView("__graft_ctas_body")
+          Some("SELECT * FROM __graft_ctas_body")
+        }
+      }
+    val execSpec = ctasView.map(v => spec.copy(ctasQuery = Some(v)))
+      .getOrElse(spec)
+    try spark.sql(toSparkSql(execSpec, buckets))
+    finally if (ctasView.isDefined)
+      spark.catalog.dropTempView("__graft_ctas_body")
     spec
   }
 

@@ -21,7 +21,7 @@ object PgCatalog {
 
   val viewNames: Seq[String] = Seq(
     "pg_tables", "pg_views", "pg_namespace", "pg_class", "pg_attribute",
-    "gp_segment_configuration")
+    "gp_segment_configuration", "gp_id")
 
   /** True if `sql` mentions any catalog view outside string literals —
     * the router's refresh trigger. */
@@ -61,6 +61,12 @@ object PgCatalog {
 
     Seq("pg_catalog", "public", db).distinct.toDF("nspname")
       .createOrReplaceTempView("pg_namespace")
+
+    // gp_id (gp_id.h): the cluster-identity singleton scripts read for
+    // a one-row relation; local mode is one "segment"
+    Seq(("graft", 1, 1, -1))
+      .toDF("gpname", "numsegments", "dbid", "content")
+      .createOrReplaceTempView("gp_id")
 
     // attributes for every relation, 1-based attnum (pg_attribute.h);
     // typname is the Spark SQL type lowercased — close enough for the

@@ -20,6 +20,8 @@ object PgSql {
     "double\\s+precision" -> "DOUBLE",
     "bool" -> "BOOLEAN", "bytea" -> "BINARY", "text" -> "STRING",
     "timestamptz" -> "TIMESTAMP", "name" -> "STRING",
+    // bare varchar/bpchar (no length) are unlimited text in PG
+    "varchar" -> "STRING", "bpchar" -> "STRING",
     // object-identifier pseudo-types (pg_type.h regclass/regtype/oid):
     // catalog references degrade to their textual form here
     "regclass" -> "STRING", "regtype" -> "STRING", "regproc" -> "STRING",
@@ -115,6 +117,13 @@ object PgSql {
     out = out.replaceAll(
       "(?i)\\btimestamp\\s+with(?:out)?\\s+time\\s+zone\\b", "TIMESTAMP")
     out = out.replaceAll("(?i)\\btimestamptz\\b", "TIMESTAMP")
+    // percentile_cont/disc(NULL) WITHIN GROUP: PG returns NULL
+    // (ordered-set agg with NULL fraction, orderedsetaggs.c); Spark
+    // rejects a NULL percentage outright — the whole call folds to a
+    // typed NULL (still one row per group: it's a constant, not an agg)
+    out = out.replaceAll(
+      "(?i)\\bpercentile_(?:cont|disc)\\s*\\(\\s*null\\s*\\)\\s*within\\s+group\\s*\\([^)]*\\)",
+      "max(CAST(NULL AS DOUBLE))") // stays an aggregate: one row per group
     // COLLATE "C" / COLLATE locale (gram.y a_expr COLLATE any_name):
     // Spark's binary UTF8 comparison IS the "C" collation; named
     // locales degrade to it — the clause drops
@@ -224,9 +233,11 @@ object PgSql {
     out = out.replaceAll(
       "(?i)\\bTABLESAMPLE\\s+(SYSTEM|BERNOULLI)\\s*\\(\\s*([\\d.]+)\\s*\\)",
       "TABLESAMPLE ($2 PERCENT)")
-    // PG type aliases after :: or "AS <alias>" inside CAST
+    // PG type aliases after :: or "AS <alias>" inside CAST; the
+    // lookahead keeps length-parameterized spellings (varchar(32) —
+    // Spark parses those natively) from mapping to a bare STRING(32)
     for ((pg, spark) <- typeAlias) {
-      out = out.replaceAll(s"(?i)(::\\s*)$pg\\b", "$1" + spark)
+      out = out.replaceAll(s"(?i)(::\\s*)$pg\\b(?!\\s*\\()", "$1" + spark)
       out = out.replaceAll(s"(?i)(\\bAS\\s+)$pg\\b(\\s*\\))", "$1" + spark + "$2")
     }
     // any ~* left here has a non-literal pattern (the literal-pattern

@@ -22,22 +22,69 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlFunctions {
 
+  /** `defaults` aligns with `params` (None = required); `variadic`
+    * marks the LAST parameter as PG VARIADIC (extra call-site args
+    * collect into one array argument, funcapi.c). */
   final case class SqlFn(name: String, params: Seq[String], body: String,
-                         setof: Boolean = false)
+                         setof: Boolean = false,
+                         defaults: Seq[Option[String]] = Seq.empty,
+                         variadic: Boolean = false)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, SqlFn]()
 
+  // function attributes PG allows after LANGUAGE (gram.y
+  // createfunc_opt_item / common_func_opt_item): volatility, strict-
+  // ness, security, SQL-data access, costs — all irrelevant to an
+  // inlined expression macro, all dropped
+  private val fnAttrs =
+    "(?:\\s+(?:VOLATILE|STABLE|IMMUTABLE|STRICT|(?:NOT\\s+)?LEAKPROOF|" +
+      "CALLED\\s+ON\\s+NULL\\s+INPUT|RETURNS\\s+NULL\\s+ON\\s+NULL\\s+INPUT|" +
+      "SECURITY\\s+(?:DEFINER|INVOKER)|PARALLEL\\s+\\w+|COST\\s+\\d+|" +
+      "ROWS\\s+\\d+|NO\\s+SQL|CONTAINS\\s+SQL|READS\\s+SQL\\s+DATA|" +
+      "MODIFIES\\s+SQL\\s+DATA|EXECUTE\\s+ON\\s+\\w+))*"
+
+  // the parameter list is matched NON-GREEDILY up to `) RETURNS` so a
+  // parenthesized parameter type (`char(2)`) can't truncate it
   private val fnRe =
     ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+([\\w.]+)\\s*" +
-      "\\(([^)]*)\\)\\s*RETURNS\\s+(TABLE\\s*\\([^)]*\\)|SETOF\\s+[\\w.]+|" +
+      "\\((.*?)\\)\\s*RETURNS\\s+(TABLE\\s*\\([^)]*\\)|SETOF\\s+[\\w.]+|" +
       "[\\w ]+?(?:\\([\\d, ]*\\))?)\\s+AS\\s+" +
-      "(?:'(.*?)'|\\$\\$(.*?)\\$\\$)\\s+LANGUAGE\\s+SQL\\s*;?\\s*$").r
+      "(?:'(.*?)'|\\$\\$(.*?)\\$\\$)\\s+LANGUAGE\\s+SQL" +
+      fnAttrs + "\\s*;?\\s*$").r
 
   private val plRe =
     ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+([\\w.]+)\\s*" +
-      "\\(([^)]*)\\)\\s*RETURNS\\s+([\\w ]+?(?:\\([\\d, ]*\\))?)\\s+AS\\s+" +
-      "\\$\\$(.*?)\\$\\$\\s+LANGUAGE\\s+PLPGSQL\\s*;?\\s*$").r
+      "\\((.*?)\\)\\s*RETURNS\\s+([\\w ]+?(?:\\([\\d, ]*\\))?)\\s+AS\\s+" +
+      "\\$\\$(.*?)\\$\\$\\s+LANGUAGE\\s+PLPGSQL" +
+      fnAttrs + "\\s*;?\\s*$").r
+
+  /** Parse a parameter list (gram.y func_arg_with_default): per item
+    * `[IN|OUT|INOUT|VARIADIC] name type [DEFAULT expr | = expr]` →
+    * (names, default expressions, last-param-variadic). */
+  private[operators] def parseParams(
+      text: String): (Seq[String], Seq[Option[String]], Boolean) = {
+    val items = GreengageDdl.splitTop(text).map(_.trim).filter(_.nonEmpty)
+    var variadic = false
+    val parsed = items.map { it =>
+      val dm = "(?is)^(.*?)(?:\\s+DEFAULT\\s+|\\s*=\\s*)(.+)$".r
+        .findFirstMatchIn(it)
+      val head = dm.map(_.group(1)).getOrElse(it).trim
+      val dflt = dm.map(_.group(2).trim)
+      val toks = head.split("\\s+").toSeq
+      val afterMode = toks.head.toLowerCase match {
+        case "in" | "out" | "inout" => toks.drop(1)
+        case "variadic" => variadic = true; toks.drop(1)
+        case _ => toks
+      }
+      (afterMode.head.toLowerCase, dflt)
+    }
+    // PG: every parameter after the first defaulted one has a default
+    val firstDflt = parsed.indexWhere(_._2.isDefined)
+    require(firstDflt < 0 || parsed.drop(firstDflt).forall(_._2.isDefined),
+      s"parameter after one with a default must have a default: $text")
+    (parsed.map(_._1), parsed.map(_._2), variadic)
+  }
 
   /** Parse + register a CREATE FUNCTION statement — `LANGUAGE SQL`
     * single-expression bodies, or the `LANGUAGE plpgsql` subset
@@ -48,8 +95,7 @@ object SqlFunctions {
   def create(ddl: String): SqlFn = fnRe.findFirstMatchIn(ddl) match {
     case Some(m) =>
       val name = m.group(1).toLowerCase
-      val params = GreengageDdl.splitTop(m.group(2))
-        .map(_.trim.split("\\s+")(0).toLowerCase)
+      val (params, defaults, variadic) = parseParams(m.group(2))
       val rt = m.group(3).trim.toLowerCase
       // RETURNS TABLE(...)/SETOF: the body stays a full SELECT and the
       // call site inlines as a derived table — PG's SQL table function
@@ -59,7 +105,7 @@ object SqlFunctions {
       require(raw.toLowerCase.startsWith("select"),
         s"SQL function body must be 'SELECT ...': $raw")
       val body = if (setof) raw else raw.substring("select".length).trim
-      val fn = SqlFn(name, params, body, setof)
+      val fn = SqlFn(name, params, body, setof, defaults, variadic)
       registry.put(name, fn)
       fn
     case None =>
@@ -67,10 +113,10 @@ object SqlFunctions {
         throw new IllegalArgumentException(
           s"not a CREATE FUNCTION ... LANGUAGE SQL/plpgsql statement: $ddl"))
       val name = m.group(1).toLowerCase
-      val params = GreengageDdl.splitTop(m.group(2))
-        .map(_.trim.split("\\s+")(0).toLowerCase)
+      val (params, defaults, variadic) = parseParams(m.group(2))
       val returns = pgTypeToSpark(m.group(3).trim)
-      val fn = SqlFn(name, params, compilePlpgsql(m.group(4), returns))
+      val fn = SqlFn(name, params, compilePlpgsql(m.group(4), returns),
+        defaults = defaults, variadic = variadic)
       registry.put(name, fn)
       fn
   }
@@ -146,6 +192,24 @@ object SqlFunctions {
       if (rest.matches("(?is)^RETURN\\b.*")) {
         val (stmt, _) = takeStatement(rest)
         return substNamed(stmt.substring("return".length).trim, env)
+      } else if (rest.matches("(?is)^RAISE\\s+EXCEPTION\\b.*")) {
+        // the branch ends by aborting: raise_error carries PG's
+        // message (pl_exec.c exec_stmt_raise); % placeholders become
+        // format_string %s slots
+        val (stmt, _) = takeStatement(rest)
+        val argText = stmt.replaceFirst("(?is)^RAISE\\s+EXCEPTION\\s+", "")
+        val parts = GreengageDdl.splitTop(argText).map(_.trim)
+        val msg = substNamed(parts.head, env)
+        return if (parts.length == 1) s"raise_error($msg)"
+        else {
+          // replace % inside the (single-literal) format with %s
+          val fmtd =
+            if (msg.startsWith("'")) "'" +
+              msg.stripPrefix("'").stripSuffix("'").replace("%", "%s") + "'"
+            else msg
+          s"raise_error(format_string($fmtd, ${
+            parts.tail.map(a => substNamed(a, env)).mkString(", ")}))"
+        }
       } else if (rest.matches("(?is)^IF\\b.*")) {
         return compileIfChain(rest, env)
       } else if (rest.matches("(?is)^FOREACH\\b.*")) {
@@ -665,9 +729,28 @@ object SqlFunctions {
       for (m <- re.findAllMatchIn(sql).find(mm => !insideLiteral(mm.start))) {
         val (argText, after) = GreengageDdl.balanced(sql, m.end - 1)
         val args = GreengageDdl.splitTop(argText).map(a => s"(${a.trim})")
-        require(args.length == fn.params.length,
-          s"${fn.name} expects ${fn.params.length} args, got ${args.length}: $argText")
-        val body = substitute(fn.body, fn.params, args)
+          .filter(_ != "()")
+        val np = fn.params.length
+        // VARIADIC: the tail collects into one array argument;
+        // DEFAULTs fill unsupplied trailing parameters (funcapi.c /
+        // gram.y func_arg_with_default)
+        val filled: Seq[String] =
+          if (fn.variadic) {
+            require(args.length >= np - 1,
+              s"${fn.name} expects at least ${np - 1} args, got ${args.length}: $argText")
+            args.take(np - 1) :+
+              s"array(${args.drop(np - 1).mkString(", ")})"
+          } else if (args.length < np && fn.defaults.nonEmpty) {
+            val fills = fn.defaults.drop(args.length).map(_.getOrElse(
+              throw new IllegalArgumentException(
+                s"${fn.name} expects $np args, got ${args.length}: $argText")))
+            args ++ fills.map(d => s"($d)")
+          } else {
+            require(args.length == np,
+              s"${fn.name} expects $np args, got ${args.length}: $argText")
+            args
+          }
+        val body = substitute(fn.body, fn.params, filled)
         return sql.substring(0, m.start) + "(" + body + ")" + sql.substring(after)
       }
     }

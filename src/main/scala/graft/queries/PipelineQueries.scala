@@ -1564,7 +1564,10 @@ object PipelineQueries {
         |     hi AS (SELECT MAX(o_custkey) AS h FROM orders)
         |SELECT st AS status, 'big' AS bucket,
         |  (SELECT COUNT(*) FROM orders, hi
-        |   WHERE o_orderstatus = st AND o_custkey < h / 2) AS n
+        |   -- PG int division truncates (int8div): the engine is
+        |   -- faithful to it, so the oracle floors the positive ratio
+        |   WHERE o_orderstatus = st
+        |     AND o_custkey < CAST(FLOOR(h / 2.0) AS BIGINT)) AS n
         |FROM g WHERE c > 5000
         |UNION ALL
         |SELECT st AS status, 'small' AS bucket, c AS n

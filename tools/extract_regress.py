@@ -62,8 +62,10 @@ while i < n:
             continue
         i += 1
         continue
-    if s.startswith("\\"):  # psql meta-command; its output has no (N rows) fence
-        i += 1
+    if s.startswith("\\"):  # psql meta-command; its output has no (N rows)
+        i += 1              # fence — skip it AND its output block (ends at
+        while i < n and lines[i].strip():  # the next blank line)
+            i += 1
         continue
     if re.match(r"^(NOTICE|HINT|WARNING|DETAIL|CONTEXT|INFO|LINE \d+|\s*\^)", s):
         i += 1
@@ -76,25 +78,55 @@ while i < n:
         i += 1
         continue
     # accumulate a statement until a line ending with ';' outside
-    # quotes. Per-line '--' comments are stripped (with quote state
-    # carried across lines) so an interior comment can't hide the
-    # terminator and a trailing comment can't mask it either.
-    def strip_comment(text, in_q):
+    # single quotes AND outside $tag$ dollar quotes. Per-line '--'
+    # comments are stripped (state carried across lines) so an interior
+    # comment can't hide the terminator; comments inside dollar-quoted
+    # bodies are preserved (they are part of the function source).
+    def scan_line(text, in_q, dtag):
         j = 0
+        out = []
         while j < len(text):
-            if text[j] == "'":
-                in_q = not in_q
-            elif not in_q and text[j:j+2] == "--":
-                return text[:j], in_q
-            j += 1
-        return text, in_q
-    eff, carry_q = strip_comment(line, False)
+            c = text[j]
+            if dtag is not None:
+                if text.startswith(dtag, j):
+                    out.append(dtag)
+                    j += len(dtag)
+                    dtag = None
+                    continue
+                out.append(c)
+                j += 1
+            elif in_q:
+                if c == "'":
+                    in_q = False
+                out.append(c)
+                j += 1
+            else:
+                if c == "'":
+                    in_q = True
+                    out.append(c)
+                    j += 1
+                elif c == "$":
+                    m2 = re.match(r"\$[A-Za-z_0-9]*\$", text[j:])
+                    if m2:
+                        dtag = m2.group(0)
+                        out.append(dtag)
+                        j += len(dtag)
+                    else:
+                        out.append(c)
+                        j += 1
+                elif text[j:j+2] == "--":
+                    break  # trailing comment: cut
+                else:
+                    out.append(c)
+                    j += 1
+        return "".join(out), in_q, dtag
+    eff, carry_q, carry_d = scan_line(line, False, None)
     eff_lines = [eff]
-    while not (eff.rstrip().endswith(";") and not carry_q):
+    while not (eff.rstrip().endswith(";") and not carry_q and carry_d is None):
         i += 1
         if i >= n:
             break
-        eff, carry_q = strip_comment(lines[i], carry_q)
+        eff, carry_q, carry_d = scan_line(lines[i], carry_q, carry_d)
         eff_lines.append(eff)
     i += 1
     stmt = "\n".join(eff_lines).strip()
