@@ -62,12 +62,52 @@ object Bench {
     println(line)
     // The driver's bench tail truncates at ~2k chars, losing most of the
     // per-query timings; persist the full line for drift adjudication.
-    try {
+    // Filtered (spot-set) invocations must not clobber the full board.
+    if (only.isEmpty) try {
       val out = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     spark.stop()
+    // Isolated drift artifact: after a FULL board run, re-measure a
+    // fixed spot set in a FRESH JVM (full-catalog runs carry ~3x JVM
+    // contention noise on sub-second queries — the isolation probe is
+    // what round-over-round drift adjudication needs). Skipped when
+    // this run IS a filtered (isolated) invocation.
+    if (only.isEmpty) writeIsoArtifact()
+  }
+
+  /** The standing 10-query spot set (the 6 queries prior rounds'
+    * drift adjudication used + the 4 work-dominated anchors). */
+  private val isoSpotSet = Seq(
+    "q01_tpch_q1_agg", "q40_topk", "q42_distinct", "q62_window_rows_frame",
+    "q63_window_range_frame", "q65_window_multiwindow", "q72_json_funcs",
+    "q73_array_funcs", "q81_neardup_lsh", "q85_quality_score")
+
+  private def writeIsoArtifact(): Unit = {
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val cp = sys.props("java.class.path")
+      val pb = new ProcessBuilder(
+        javaBin, "-cp", cp, "graft.Bench", isoSpotSet.mkString(","))
+      pb.environment().putAll(System.getenv())
+      // the child's Spark WARN chatter must not fill a blocked pipe
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      val outLines = scala.io.Source.fromInputStream(
+        p.getInputStream, "UTF-8").getLines().toList
+      p.waitFor()
+      outLines.reverseIterator.find(_.startsWith("{\"metric\"")).foreach {
+        json =>
+          val out = java.nio.file.Paths.get("target", "bench_iso.json")
+          java.nio.file.Files.write(out,
+            json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] iso artifact failed: ${e.getMessage}")
+    }
   }
 }

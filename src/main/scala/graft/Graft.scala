@@ -235,6 +235,15 @@ object Graft {
       if (words.exists(_.equalsIgnoreCase("ANALYZE")))
         spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
       None
+    } else if (is("(?is)^EXPLAIN\\s*\\([^)]*\\bFORMAT\\s+JSON\\b")) {
+      // EXPLAIN (FORMAT JSON [, ANALYZE]) (explain.c json format):
+      // one row, one "QUERY PLAN" column holding the JSON document
+      val analyze = is("(?is)^EXPLAIN\\s*\\([^)]*\\bANALYZE\\b")
+      val inner = spark.sql(operators.PgSql.rewrite(stripSemi(t)
+        .replaceFirst("(?is)^EXPLAIN\\s*\\([^)]*\\)\\s*", "")))
+      val json = operators.ExplainAnalyze.explainJson(inner, analyze)
+      import spark.implicits._
+      Some(Seq(json).toDF("QUERY PLAN"))
     } else if (is("(?is)^EXPLAIN\\s+ANALYZE\\b") ||
         is("(?is)^EXPLAIN\\s*\\([^)]*\\bANALYZE\\b")) {
       // commands/explain.c with instrumentation: run the query and
@@ -414,7 +423,16 @@ object Graft {
       val byName = cols.zip(body.columns).map {
         case (c, dc) => c.toLowerCase -> dc }.toMap
       operators.PgTypes.validate(body, table, byName)
-      spark.sql(operators.PgSql.rewrite(st))
+      try spark.sql(operators.PgSql.rewrite(st))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getErrorClass).exists(c =>
+              c.startsWith("INCOMPATIBLE_DATA_FOR_TABLE") ||
+                c.startsWith("INSERT_COLUMN_ARITY_MISMATCH")) =>
+          // composite-typed targets (e.g. COMPLEX) take their string
+          // literals through the input-function coercion path
+          insertWithAssignmentCasts(spark, st)
+      }
       None
     } else if (is("(?is)^SELECT\\b") &&
         topKeyword(stripSemi(t), "INTO") >= 0) {
@@ -718,6 +736,11 @@ object Graft {
               try_to_timestamp(src, lit("M/d/yyyy h:mm:ss a")),
               try_to_timestamp(src, lit("yyyy-M-d")),
               src) // truly malformed input: the final cast raises
+          case (st: StructType, StringType)
+              if operators.PgComplex.isComplexStruct(st) =>
+            // COMPLEX input function (' 5 + 3i ', complex_type.c)
+            org.apache.spark.sql.functions.expr(
+              operators.PgComplex.inExprSql(s"__c$i"))
           case (st: StructType, StringType) =>
             // PG composite literal '(1,2)' (rowtypes record_in) — strip
             // the parens, parse fields per the declared struct
@@ -728,7 +751,16 @@ object Graft {
           case _ => src
         }
         lenient.cast(f.dataType).as(f.name)
-      } else lit(null).cast(f.dataType).as(f.name)
+      } else {
+        // unmentioned column: its declared DEFAULT (Spark keeps the
+        // SQL text in the field metadata), else NULL — PG's rule
+        val dflt =
+          if (f.metadata.contains("CURRENT_DEFAULT"))
+            org.apache.spark.sql.functions.expr(
+              f.metadata.getString("CURRENT_DEFAULT"))
+          else lit(null)
+        dflt.cast(f.dataType).as(f.name)
+      }
     }
     val view = "__graft_ins_src"
     b2.select(aligned.toIndexedSeq: _*).createOrReplaceTempView(view)

@@ -602,6 +602,101 @@ object GraftFunctions {
       FunctionIdentifier("to_char_pg"),
       info("to_char_pg", "to_char_pg(num, fmt) - PG numeric template formatting"),
       (args: Seq[Expression]) => ToChar(Cast(args(0), DoubleType), args(1)))
+    // COMPLEX builtin surface (complex_type.c) — constructor, field
+    // accessors, conjugate/negate/magnitude — over the re/im struct.
+    // The constructor takes PG float8in spellings ('infinity', 'nan')
+    // through the same template the typed literal uses.
+    locally {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+      import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      def cfield(e: Expression, f: String): Expression =
+        UnresolvedExtractValue(e, Literal(UTF8String.fromString(f), StringType))
+      def pgFloat(e: Expression): Expression = {
+        val tmpl = CatalystSqlParser.parseExpression(
+          graft.operators.PgComplex.pgFloatSql("__arg0"))
+        tmpl.transformUp {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.name.equalsIgnoreCase("__arg0") => e
+        }
+      }
+      def mkComplex(re0: Expression, im0: Expression): Expression =
+        CreateNamedStruct(Seq(
+          Literal(UTF8String.fromString("re"), StringType), re0,
+          Literal(UTF8String.fromString("im"), StringType), im0))
+      reg.registerFunction(
+        FunctionIdentifier("complex"),
+        info("complex", "complex(re, im) - complex constructor"),
+        (args: Seq[Expression]) =>
+          mkComplex(pgFloat(args(0)), pgFloat(args(1))))
+      reg.registerFunction(
+        FunctionIdentifier("re"),
+        info("re", "re(z) - real part"),
+        (args: Seq[Expression]) => cfield(args(0), "re"))
+      reg.registerFunction(
+        FunctionIdentifier("im"),
+        info("im", "im(z) - imaginary part"),
+        (args: Seq[Expression]) => cfield(args(0), "im"))
+      reg.registerFunction(
+        FunctionIdentifier("conj"),
+        info("conj", "conj(z) - complex conjugate"),
+        (args: Seq[Expression]) => mkComplex(cfield(args(0), "re"),
+          UnaryMinus(cfield(args(0), "im"))))
+      reg.registerFunction(
+        FunctionIdentifier("complex_neg"),
+        info("complex_neg", "complex_neg(z) - unary minus"),
+        (args: Seq[Expression]) => mkComplex(
+          UnaryMinus(cfield(args(0), "re")),
+          UnaryMinus(cfield(args(0), "im"))))
+      reg.registerFunction(
+        FunctionIdentifier("complex_abs"),
+        info("complex_abs", "complex_abs(z) - magnitude (hypot)"),
+        (args: Seq[Expression]) => Hypot(cfield(args(0), "re"),
+          cfield(args(0), "im")))
+      // complex_dot_product (complex_type.c): Σ a[i]·b[i] under
+      // complex multiplication — pure HOF expressions (a Column
+      // round-trip would leave an un-codegen-able ColumnNode wrapper,
+      // so the tree is parsed directly)
+      def tpl2(sqlText: String, a0: Expression, a1: Expression): Expression =
+        CatalystSqlParser.parseExpression(sqlText).transformUp {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.name.equalsIgnoreCase("__arg0") => a0
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.name.equalsIgnoreCase("__arg1") => a1
+        }
+      // a NULL element nulls a field of the running sum; the whole
+      // result then collapses to NULL (PG's strict-function behavior)
+      val dotAgg =
+        """aggregate(
+          |  zip_with(__arg0, __arg1, (x, y) -> named_struct(
+          |    're', x.re * y.re - x.im * y.im,
+          |    'im', x.re * y.im + x.im * y.re)),
+          |  named_struct('re', CAST(0 AS DOUBLE), 'im', CAST(0 AS DOUBLE)),
+          |  (acc, p) -> named_struct(
+          |    're', acc.re + p.re, 'im', acc.im + p.im))""".stripMargin
+      val dotSql =
+        s"""CASE WHEN ($dotAgg).re IS NULL OR ($dotAgg).im IS NULL
+           |THEN CAST(NULL AS STRUCT<re: DOUBLE, im: DOUBLE>)
+           |ELSE $dotAgg END""".stripMargin
+      for (n <- Seq("dot_product", "dotproduct"))
+        reg.registerFunction(
+          FunctionIdentifier(n),
+          info(n, s"$n(complex[], complex[]) - complex dot product"),
+          (args: Seq[Expression]) => tpl2(dotSql, args(0), args(1)))
+      // nextval('seq') in expression position (sequence.c): the name
+      // must be a literal — each call site reserves its own id block
+      reg.registerFunction(
+        FunctionIdentifier("nextval"),
+        info("nextval", "nextval('seq') - next block of sequence ids"),
+        (args: Seq[Expression]) => {
+          val base = graft.operators.GreengageDdl.nextvalBase0(
+            args(0).eval().toString)
+          CatalystSqlParser.parseExpression(
+            s"CASE WHEN spark_partition_id() < 2048 " +
+              s"THEN monotonically_increasing_id() + ${base}L " +
+              "ELSE CAST(raise_error('nextval: >2047 partitions " +
+              "overflows the reserved id block') AS BIGINT) END")
+        })
+    }
     // PG decode(text, format) → bytea (utils/adt/encode.c): base64 /
     // hex / escape. Fires ONLY on the 2-arg form with one of PG's
     // three format literals; every other shape delegates to Spark's

@@ -43,6 +43,34 @@ object ExplainAnalyze {
     case other => other
   }
 
+  /** EXPLAIN (FORMAT JSON[, ANALYZE]) (explain.c ExplainPrintPlan
+    * json format): the plan tree as `[{"Plan": {...}}]` — node type,
+    * children under "Plans", and with ANALYZE each node's runtime
+    * metrics. Node names are this engine's physical operators (the
+    * shape, not PG's node vocabulary, is the contract tooling parses). */
+  def explainJson(df: DataFrame, analyze: Boolean): String = {
+    val qe = df.queryExecution
+    if (analyze) qe.toRdd.foreach(_ => ())
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def node(p: SparkPlan): String = {
+      val ms = p.metrics.toSeq.sortBy(_._1).map { case (n, m) =>
+        s""""${esc(n)}": ${m.value}""" }
+      val metrics =
+        if (!analyze || ms.isEmpty) "" else ms.mkString(", ", ", ", "")
+      val kids = p.children.map(c => node(finalPlan(c)))
+      val plans = if (kids.isEmpty) ""
+        else s""", "Plans": [${kids.mkString(", ")}]"""
+      s"""{"Node Type": "${esc(p.nodeName)}"$metrics$plans}"""
+    }
+    s"""[{"Plan": ${node(finalPlan(qe.executedPlan))}}]"""
+  }
+
   private def collect(p: SparkPlan, depth: Int): Seq[OpMetric] = {
     val own = p.metrics.toSeq.sortBy(_._1).map { case (name, m) =>
       val unit = m.metricType match {

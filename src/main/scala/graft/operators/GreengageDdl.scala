@@ -44,7 +44,10 @@ object GreengageDdl {
       partitionCols: Seq[String],
       storageOpts: Map[String, String],
       ctasQuery: Option[String],
-      materialized: Boolean = false)
+      materialized: Boolean = false,
+      // simple-literal column DEFAULTs kept for Spark's own default
+      // machinery (NEXTVAL and other expressions still drop)
+      colDefaults: Map[String, String] = Map.empty)
 
   /** PG/Greengage type name → Spark SQL type (SURVEY §1.2 mapping). */
   private[operators] def mapType(pg: String): String = {
@@ -136,6 +139,7 @@ object GreengageDdl {
     // column list (absent for CTAS)
     var columns = Seq.empty[(String, String)]
     val typedCols = Seq.newBuilder[(String, String)] // col → registered PG type
+    val colDefaults = scala.collection.mutable.Map[String, String]()
     if (rest.startsWith("(")) {
       val (colBlock, after) = balanced(rest, 0)
       rest = rest.substring(after).trim
@@ -167,6 +171,12 @@ object GreengageDdl {
           var prev = ""
           while (typePart != prev) { prev = typePart; typePart = typePart.replaceAll(conRe, "") }
           val colName = parts(0).replace("\"", "")
+          // keep SIMPLE-LITERAL defaults (number / string / bool /
+          // NULL) — Spark's own DEFAULT machinery fills them on
+          // insert; expression defaults (NEXTVAL(...)) still drop
+          "(?i)\\bdefault\\s+('(?:[^']|'')*'|-?\\d+(?:\\.\\d+)?|true|false|null)(?:\\s|$)".r
+            .findFirstMatchIn(parts(1))
+            .foreach(d => colDefaults += colName.toLowerCase -> d.group(1))
           val head = typePart.takeWhile(_ != '(').trim
           if (PgTypes.isRegistered(head)) typedCols += (colName -> head)
           (colName, mapType(typePart))
@@ -258,7 +268,7 @@ object GreengageDdl {
     }
 
     TableSpec(name, ifNotExists, columns, dist, partitionCols, storageOpts,
-      ctas, materialized)
+      ctas, materialized, colDefaults.toMap)
   }
 
   /** Lower the parsed spec onto a Spark SQL DDL statement. */
@@ -266,7 +276,10 @@ object GreengageDdl {
     val ine = if (spec.ifNotExists) "IF NOT EXISTS " else ""
     val colSql =
       if (spec.ctasQuery.isDefined || spec.columns.isEmpty) ""
-      else spec.columns.map { case (n, t) => s"$n $t" }.mkString(" (", ", ", ")")
+      else spec.columns.map { case (n, t) =>
+        s"$n $t" + spec.colDefaults.get(n.toLowerCase)
+          .map(d => s" DEFAULT $d").getOrElse("")
+      }.mkString(" (", ", ", ")")
     // Spark requires at least one data (non-partition) column; a
     // reference table partitioned on EVERY column (legal there — rows
     // live in leaf child tables) drops its DEEPEST subpartition levels
@@ -421,14 +434,17 @@ object GreengageDdl {
     * a fresh 2^44-id block so repeated nextval uses of one sequence never
     * overlap (PG nextval never repeats), provided each DataFrame stays
     * under 2^11 partitions. */
+  /** Reserve one nextval invocation's id block, returning its base. */
+  def nextvalBase0(seqName: String): Long = sequences.synchronized {
+    val cur = Option(sequences.get(seqName)).getOrElse(
+      throw new IllegalArgumentException(s"unknown sequence: $seqName"))
+    sequences.put(seqName, cur + SeqBlock)
+    cur
+  }
+
   def nextvalColumn(seqName: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val base = sequences.synchronized {
-      val cur = Option(sequences.get(seqName)).getOrElse(
-        throw new IllegalArgumentException(s"unknown sequence: $seqName"))
-      sequences.put(seqName, cur + SeqBlock)
-      cur
-    }
+    val base = nextvalBase0(seqName)
     // the ≤2^11-partition contract is CHECKED, not hoped: partition ids
     // ≥2048 would spill monotonically_increasing_id past the reserved
     // block and silently repeat — fail the job instead

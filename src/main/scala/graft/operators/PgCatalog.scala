@@ -21,7 +21,7 @@ object PgCatalog {
 
   val viewNames: Seq[String] = Seq(
     "pg_tables", "pg_views", "pg_namespace", "pg_class", "pg_attribute",
-    "gp_segment_configuration", "gp_id")
+    "gp_segment_configuration", "gp_id", "information_schema")
 
   /** True if `sql` mentions any catalog view outside string literals —
     * the router's refresh trigger. */
@@ -81,7 +81,49 @@ object PgCatalog {
       }
     }.toSeq
     attrs.toDF("relname", "attname", "typname", "attnum", "attnotnull")
+      // attrelid: regclass degrades to the relation NAME ('r'::regclass
+      // → 'r'), so the join key is the name itself
+      .withColumn("attrelid", org.apache.spark.sql.functions.col("relname"))
       .createOrReplaceTempView("pg_attribute")
+
+    // information_schema (upstream PG information_schema.sql): the SQL
+    // front door maps information_schema.X to these views. PG-style
+    // type names for data_type (infschema column domains).
+    def pgTypeName(spark0: String): String = spark0.toLowerCase match {
+      case "int" | "integer" => "integer"
+      case "bigint" => "bigint"
+      case "smallint" => "smallint"
+      case "double" => "double precision"
+      case "float" => "real"
+      case "string" => "text"
+      case "binary" => "bytea"
+      case "timestamp_ntz" => "timestamp without time zone"
+      case "timestamp" => "timestamp with time zone"
+      case s if s.startsWith("decimal") =>
+        s.replace("decimal", "numeric")
+      case s if s.startsWith("varchar") || s.startsWith("char") =>
+        "character varying"
+      case s if s.startsWith("array") => "ARRAY"
+      case other => other
+    }
+    def pgSchema(ns: String): String = if (ns == "default") "public" else ns
+    classes.map { case (n, ns, k) =>
+      ("graft", pgSchema(ns), n, if (k == "v") "VIEW" else "BASE TABLE")
+    }.toDF("table_catalog", "table_schema", "table_name", "table_type")
+      .createOrReplaceTempView("__is_tables")
+    attrs.map { case (rel, col, typ, num, notnull) =>
+      ("graft", "public", rel, col, num, pgTypeName(typ),
+        if (notnull) "NO" else "YES")
+    }.toDF("table_catalog", "table_schema", "table_name", "column_name",
+      "ordinal_position", "data_type", "is_nullable")
+      .createOrReplaceTempView("__is_columns")
+    classes.filter(_._3 == "v").map { case (n, ns, _) =>
+      ("graft", pgSchema(ns), n, null: String)
+    }.toDF("table_catalog", "table_schema", "table_name", "view_definition")
+      .createOrReplaceTempView("__is_views")
+    (spark.catalog.listDatabases().collect().map(_.name).toSeq :+ "public")
+      .distinct.map(("graft", _)).toDF("catalog_name", "schema_name")
+      .createOrReplaceTempView("__is_schemata")
 
     // one primary row per "segment" (= shuffle partition) + the master
     val nSeg = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt

@@ -110,6 +110,9 @@ object PgSql {
       "(?i)\\bcharacter\\s+varying(\\s*\\(\\s*\\d+\\s*\\))?", "STRING")
     out = out.replaceAll("(?i)\\bbit\\s+varying(\\s*\\(\\s*\\d+\\s*\\))?", "STRING")
     out = out.replaceAll("(?i)\\bdouble\\s+precision\\b", "DOUBLE")
+    // gp_segment_id pseudo-column (cdbvars.h): single-instance Spark
+    // is one "segment" — the constant 0 (COUNT(DISTINCT) = 1 etc.)
+    out = out.replaceAll("(?i)\\bgp_segment_id\\b", "0")
     // PG typed-literal spellings Spark's parser rejects: timestamptz
     // 'v' / timestamp with[out] time zone 'v' → TIMESTAMP 'v' (the
     // session zone carries tz semantics, datatype.c); segment ends at
@@ -117,6 +120,17 @@ object PgSql {
     out = out.replaceAll(
       "(?i)\\btimestamp\\s+with(?:out)?\\s+time\\s+zone\\b", "TIMESTAMP")
     out = out.replaceAll("(?i)\\btimestamptz\\b", "TIMESTAMP")
+    // information_schema: the standard views resolve to PgCatalog's
+    // snapshot temp views (temp views can't be schema-qualified); the
+    // infschema column DOMAINS degrade to their base types
+    out = out.replaceAll(
+      "(?i)\\binformation_schema\\.(tables|columns|views|schemata)\\b",
+      "__is_$1")
+    out = out.replaceAll(
+      "(?i)\\binformation_schema\\.cardinal_number\\b", "INT")
+    out = out.replaceAll(
+      "(?i)\\binformation_schema\\.(sql_identifier|character_data|yes_or_no)\\b",
+      "STRING")
     // percentile_cont/disc(NULL) WITHIN GROUP: PG returns NULL
     // (ordered-set agg with NULL fraction, orderedsetaggs.c); Spark
     // rejects a NULL percentage outright — the whole call folds to a
@@ -517,6 +531,38 @@ object PgSql {
       } else i += 1
     }
     sql
+  }
+
+  /** COMPLEX spellings (complex_type.c): the typed literal
+    * `COMPLEX '5+3i'` and the `'...'::complex` / `n::complex` casts
+    * become the complex_in expression / constructor; the no-op unary
+    * `+(COMPLEX...)` drops and unary `-(COMPLEX...)` → complex_neg;
+    * `abs(COMPLEX...)` dispatches to complex_abs (Spark's abs can't
+    * take a struct). Runs on raw text — literals are the subject. */
+  private def complexRewrites(sql: String): String = {
+    var out = sql
+    out = "(?i)\\bCOMPLEX\\s*'((?:[^']|'')*)'".r.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        PgComplex.inExprSql("'" + m.group(1) + "'")))
+    out = "(?i)'((?:[^']|'')*)'\\s*::\\s*complex\\b".r.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        PgComplex.inExprSql("'" + m.group(1) + "'")))
+    out = "(?i)\\b(\\d+(?:\\.\\d+)?)\\s*::\\s*complex\\b".r
+      .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
+        s"named_struct('re', CAST(${m.group(1)} AS DOUBLE), " +
+          "'im', CAST(0 AS DOUBLE))"))
+    out = "(?i)([,(]\\s*|\\bSELECT\\s+)\\+\\s*\\((?=\\s*COMPLEX\\b)".r
+      .replaceAllIn(out, "$1(")
+    out = "(?i)([,(]\\s*|\\bSELECT\\s+)-\\s*\\((?=\\s*COMPLEX\\b)".r
+      .replaceAllIn(out, "$1complex_neg(")
+    out = "(?i)\\babs\\s*\\(\\s*(?=COMPLEX\\b)".r
+      .replaceAllIn(out, "complex_abs(")
+    // FLOAT8/FLOAT4 typed literals (Spark's parser lacks them), with
+    // PG float8in's case-insensitive nan/infinity spellings
+    out = "(?i)\\bFLOAT[48]\\s*'((?:[^']|'')*)'".r.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        PgComplex.pgFloatSql("'" + m.group(1) + "'")))
+    out
   }
 
   /** `gp_dist_random('t')` (cdbutil.c) reads a table's segment-local
@@ -1431,7 +1477,8 @@ object PgSql {
       regexSubstring(extractFields(unnestFrom(generateSeriesRewrite(
         windowOrder(subscripts(arrayBrackets(arrayLiteralCasts(
           quotedIdents(joinOnSubqueryToFilter(gpDistRandom(
-            intervalSpacing(pgStringSyntax(sqlIn)))))))))))))))))
+            complexRewrites(intervalSpacing(
+              pgStringSyntax(sqlIn))))))))))))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

@@ -32,6 +32,10 @@ object PgTypes {
   private val enums = TrieMap[String, EnumType]()
   private val domains = TrieMap[String, DomainType]()
   private val composites = TrieMap[String, CompositeType]()
+  // the reference ships COMPLEX as a builtin (complex_type.c,
+  // pg_type.h) — modeled as the re/im struct per SURVEY §1.2
+  composites.put("complex",
+    CompositeType(Seq("re" -> "DOUBLE", "im" -> "DOUBLE")))
   // table → (column, registered type name) for constraint enforcement
   private val tableCols = TrieMap[String, Seq[(String, String)]]()
 

@@ -258,6 +258,35 @@ class GraftSqlSpec extends AnyFunSuite {
         r.getAs[Long]("value"))).mkString("; "))
     // plain EXPLAIN still falls through to Spark's own
     assert(Graft.execute(spark, "EXPLAIN SELECT 1").nonEmpty)
+    // EXPLAIN (FORMAT JSON): [{"Plan": {...}}], machine-parseable
+    val j = Graft.execute(spark,
+      "EXPLAIN (FORMAT JSON) SELECT n_regionkey, count(*) FROM nation GROUP BY 1")
+      .get.head().getString(0)
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
+    assert(tree.isArray && tree.get(0).has("Plan"))
+    assert(tree.get(0).get("Plan").has("Node Type"))
+    // ANALYZE adds runtime metrics to the nodes
+    val ja = Graft.execute(spark,
+      "EXPLAIN (ANALYZE, FORMAT JSON) SELECT count(*) FROM nation")
+      .get.head().getString(0)
+    val ta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(ja)
+    def anyMetric(n: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+      val fields = n.fieldNames()
+      var found = false
+      while (fields.hasNext && !found) {
+        val f = fields.next()
+        if (f != "Node Type" && f != "Plans" && n.get(f).isNumber) found = true
+      }
+      found || (n.has("Plans") && {
+        val it = n.get("Plans").elements()
+        var f2 = false
+        while (it.hasNext && !f2) f2 = anyMetric(it.next())
+        f2
+      })
+    }
+    assert(anyMetric(ta.get(0).get("Plan")))
+    // text mode unchanged by the JSON path
+    assert(Graft.execute(spark, "EXPLAIN (VERBOSE) SELECT 1").nonEmpty)
   }
 
   test("transaction verbs: BEGIN/COMMIT no-op, ROLLBACK loud, LOCK checks") {
