@@ -323,6 +323,117 @@ object RelationalQueries {
           .stripMargin).get
     }),
 
+    // generate_series through the SQL front door (int.c SRF): FROM
+    // position with alias naming the column, plus PG's empty-set
+    // direction guard — all codegen explode(sequence).
+    "q265_generate_series_sql" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT g, g % 3 AS m, g / 4 AS b
+          |FROM generate_series(1, 20) AS g
+          |UNION ALL
+          |SELECT g, g, g FROM generate_series(5, 1) AS g""".stripMargin).get
+    }),
+
+    // PG integer division (int4div): int / int TRUNCATES through the
+    // front door (PgIntDiv analyzed-plan rewrite); an explicit float
+    // cast keeps exact division.
+    "q266_int_division" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT o_custkey / 100 AS bucket,
+          |       o_custkey::float8 / 200 AS exact_half,
+          |       count(*) AS n
+          |FROM orders WHERE o_orderkey <= 64 GROUP BY 1, 2""".stripMargin).get
+    }),
+
+    // PG 1-based array subscripts (arrayfuncs.c): expr[i] through the
+    // front door is try_element_at — 1-based, NULL out of bounds.
+    "q267_subscript_1based" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT n_name,
+          |  (string_to_array(n_name, 'A'))[1] AS first_piece,
+          |  (string_to_array(n_name, 'A'))[99] AS oob
+          |FROM nation""".stripMargin).get
+    }),
+
+    // information_schema compat views (upstream information_schema.sql
+    // via PgCatalog snapshots): column introspection over the catalog.
+    "q268_information_schema" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT table_name, column_name, ordinal_position
+          |FROM information_schema.columns
+          |WHERE table_name IN ('nation', 'region')""".stripMargin).get
+    }),
+
+    // FETCH FIRST ... WITH TIES with an ORDINAL order key (PG 13
+    // limit_clause): the ordinal resolves to the select list — inside
+    // the rank() window a bare integer would be a constant.
+    "q269_with_ties_ordinal" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT o_orderpriority, o_orderkey FROM orders
+          |WHERE o_orderkey <= 200
+          |ORDER BY 1 FETCH FIRST 5 ROWS WITH TIES""".stripMargin).get
+    }),
+
+    // COMPLEX through the SQL front door (complex_type.c): typed
+    // literal, constructor, field access, magnitude — all plain
+    // struct<re,im> column algebra.
+    "q270_complex_sql" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT o_orderkey,
+          |  re(c) AS re, im(c) AS im,
+          |  round(complex_abs(c), 6) AS mag,
+          |  re(conj(c)) AS conj_re, im(conj(c)) AS conj_im,
+          |  c = COMPLEX '3+4i' AS is_3_4
+          |FROM (SELECT o_orderkey,
+          |        complex(CAST(o_orderkey % 5 AS DOUBLE), 4) AS c
+          |      FROM orders WHERE o_orderkey <= 100) t""".stripMargin).get
+    }),
+
+    // CREATE FUNCTION DEFAULT + VARIADIC parameter binding (gram.y
+    // func_arg_with_default / funcapi.c): defaulted trailing args fill,
+    // the variadic tail collects into one array argument.
+    "q271_fn_default_variadic" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        "CREATE OR REPLACE FUNCTION gsum_q271(a int, b int DEFAULT 10) " +
+          "RETURNS int AS 'SELECT a + b' LANGUAGE SQL")
+      graft.Graft.execute(s,
+        "CREATE OR REPLACE FUNCTION vmax_q271(VARIADIC nums int[]) " +
+          "RETURNS int AS 'SELECT array_max(nums)' LANGUAGE SQL")
+      graft.Graft.execute(s,
+        """SELECT o_orderkey,
+          |  gsum_q271(CAST(o_orderkey % 5 AS INT)) AS defaulted,
+          |  gsum_q271(CAST(o_orderkey % 5 AS INT), 100) AS explicit,
+          |  vmax_q271(CAST(o_orderkey % 3 AS INT), 7, 2) AS vmax
+          |FROM orders WHERE o_orderkey <= 100""".stripMargin).get
+    }),
+
+    // PG decode(text, 'hex'|'base64') → bytea (encode.c), beside the
+    // Oracle-style CASE decode both engines share.
+    "q272_decode_bytea" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT n_name,
+          |  CAST(decode(hex(n_name), 'hex') AS STRING) AS roundtrip,
+          |  CAST(decode(base64(n_name), 'base64') AS STRING) AS roundtrip64
+          |FROM nation""".stripMargin).get
+    }),
+
+    // EXPLAIN (FORMAT JSON): machine-parseable plan document (one row;
+    // plan shape is engine-defined → rows-only check).
+    "q273_explain_json" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        "EXPLAIN (FORMAT JSON) SELECT n_regionkey, count(*) " +
+          "FROM nation GROUP BY 1").get
+    }),
+
     // ROLLUP + grouping_id (plangroupext.c, gram.y:723).
     "q21_rollup" -> ((s, d) =>
       t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
@@ -1346,6 +1457,48 @@ object RelationalQueries {
         |    AS priorities,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q265_generate_series_sql" ->
+      """SELECT CAST(gs AS INT) AS g, CAST(gs % 3 AS INT) AS m,
+        |       CAST(gs // 4 AS DOUBLE) AS b
+        |FROM generate_series(1, 20) t(gs)""".stripMargin,
+    "q266_int_division" ->
+      """SELECT CAST(o_custkey // 100 AS DOUBLE) AS bucket,
+        |       CAST(o_custkey AS DOUBLE) / 200 AS exact_half,
+        |       count(*) AS n
+        |FROM orders WHERE o_orderkey <= 64 GROUP BY 1, 2""".stripMargin,
+    "q267_subscript_1based" ->
+      """SELECT n_name,
+        |  string_split(n_name, 'A')[1] AS first_piece,
+        |  string_split(n_name, 'A')[99] AS oob
+        |FROM nation""".stripMargin,
+    "q268_information_schema" ->
+      """SELECT table_name, column_name,
+        |  CAST(ordinal_position AS INT) AS ordinal_position
+        |FROM information_schema.columns
+        |WHERE table_name IN ('nation', 'region')""".stripMargin,
+    "q269_with_ties_ordinal" ->
+      """SELECT o_orderpriority, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         rank() OVER (ORDER BY o_orderpriority) AS r
+        |  FROM orders WHERE o_orderkey <= 200) t
+        |WHERE r <= 5""".stripMargin,
+    "q270_complex_sql" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey % 5 AS DOUBLE) AS re,
+        |  CAST(4 AS DOUBLE) AS im,
+        |  ROUND(sqrt((o_orderkey % 5) * (o_orderkey % 5) + 16.0), 6) AS mag,
+        |  CAST(o_orderkey % 5 AS DOUBLE) AS conj_re,
+        |  CAST(-4 AS DOUBLE) AS conj_im,
+        |  (o_orderkey % 5 = 3) AS is_3_4
+        |FROM orders WHERE o_orderkey <= 100""".stripMargin,
+    "q271_fn_default_variadic" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey % 5 + 10 AS INT) AS defaulted,
+        |  CAST(o_orderkey % 5 + 100 AS INT) AS explicit,
+        |  CAST(GREATEST(o_orderkey % 3, 7, 2) AS INT) AS vmax
+        |FROM orders WHERE o_orderkey <= 100""".stripMargin,
+    "q272_decode_bytea" ->
+      "SELECT n_name, n_name AS roundtrip, n_name AS roundtrip64 FROM nation",
     "q18_cross_join" -> "SELECT n_name, r_name FROM nation CROSS JOIN region",
     "q19_band_join" ->
       """SELECT c_custkey, s_suppkey, c_acctbal - s_acctbal AS bal_diff
