@@ -562,6 +562,20 @@ object PgSql {
     out = "(?i)\\bFLOAT[48]\\s*'((?:[^']|'')*)'".r.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
         PgComplex.pgFloatSql("'" + m.group(1) + "'")))
+    // BOOL 'spelling' typed literals (bool.c parse_bool_with_len:
+    // any unique prefix of true/false/yes/no/on/off plus 1/0,
+    // case-insensitive, trimmed) — resolved here at rewrite time
+    out = "(?i)\\bBOOL(?:EAN)?\\s*'((?:[^']|'')*)'".r.replaceAllIn(out, m => {
+      val b = m.group(1).trim.toLowerCase
+      val v =
+        if (b.nonEmpty && ("true".startsWith(b) || "yes".startsWith(b) ||
+          b == "on" || b == "1" || b == "t" || b == "y")) Some("TRUE")
+        else if (b.nonEmpty && ("false".startsWith(b) || "no".startsWith(b) ||
+          ("off".startsWith(b) && b.length >= 2) || b == "0")) Some("FALSE")
+        else None
+      java.util.regex.Matcher.quoteReplacement(v.getOrElse(
+        s"CAST('${m.group(1)}' AS BOOLEAN)")) // malformed → loud
+    })
     out
   }
 
@@ -1256,9 +1270,13 @@ object PgSql {
     val masked = maskLiterals(sql)
     val sb = new StringBuilder
     var last = 0
-    for (m <- "\"([A-Za-z_][A-Za-z0-9_]*)\"".r.findAllMatchIn(masked)) {
-      sb ++= sql.substring(last, m.start) += '`' ++=
-        sql.substring(m.start + 1, m.end - 1) += '`'
+    // any non-empty quoted identifier ("" escapes a quote; PG allows
+    // spaces, punctuation, keywords — `AS "Simple WHEN"`); backticks
+    // inside double so Spark's quoting stays closed
+    for (m <- "\"((?:[^\"]|\"\")+)\"".r.findAllMatchIn(masked)) {
+      val body = sql.substring(m.start + 1, m.end - 1)
+        .replace("\"\"", "\"").replace("`", "``")
+      sb ++= sql.substring(last, m.start) += '`' ++= body += '`'
       last = m.end
     }
     sb ++= sql.substring(last)

@@ -56,7 +56,7 @@ object SqlFunctions {
   private val plRe =
     ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+([\\w.]+)\\s*" +
       "\\((.*?)\\)\\s*RETURNS\\s+([\\w ]+?(?:\\([\\d, ]*\\))?)\\s+AS\\s+" +
-      "\\$\\$(.*?)\\$\\$\\s+LANGUAGE\\s+PLPGSQL" +
+      "(?:\\$\\$(.*?)\\$\\$|'((?:[^']|'')*)')\\s+LANGUAGE\\s+PLPGSQL" +
       fnAttrs + "\\s*;?\\s*$").r
 
   /** Parse a parameter list (gram.y func_arg_with_default): per item
@@ -66,7 +66,7 @@ object SqlFunctions {
       text: String): (Seq[String], Seq[Option[String]], Boolean) = {
     val items = GreengageDdl.splitTop(text).map(_.trim).filter(_.nonEmpty)
     var variadic = false
-    val parsed = items.map { it =>
+    val parsed = items.zipWithIndex.map { case (it, idx) =>
       val dm = "(?is)^(.*?)(?:\\s+DEFAULT\\s+|\\s*=\\s*)(.+)$".r
         .findFirstMatchIn(it)
       val head = dm.map(_.group(1)).getOrElse(it).trim
@@ -77,7 +77,13 @@ object SqlFunctions {
         case "variadic" => variadic = true; toks.drop(1)
         case _ => toks
       }
-      (afterMode.head.toLowerCase, dflt)
+      // a lone token is an UNNAMED parameter's type (`vol(text)`);
+      // the body addresses it positionally as $n, so the placeholder
+      // name just has to never match a word in the body
+      val name =
+        if (afterMode.length == 1) s"$$${idx + 1}"
+        else afterMode.head.toLowerCase
+      (name, dflt)
     }
     // PG: every parameter after the first defaulted one has a default
     val firstDflt = parsed.indexWhere(_._2.isDefined)
@@ -115,7 +121,9 @@ object SqlFunctions {
       val name = m.group(1).toLowerCase
       val (params, defaults, variadic) = parseParams(m.group(2))
       val returns = pgTypeToSpark(m.group(3).trim)
-      val fn = SqlFn(name, params, compilePlpgsql(m.group(4), returns),
+      val rawBody = Option(m.group(4))
+        .getOrElse(m.group(5).replace("''", "'"))
+      val fn = SqlFn(name, params, compilePlpgsql(rawBody, returns),
         defaults = defaults, variadic = variadic)
       registry.put(name, fn)
       fn
