@@ -239,9 +239,20 @@ object Graft {
       // EXPLAIN (FORMAT JSON [, ANALYZE]) (explain.c json format):
       // one row, one "QUERY PLAN" column holding the JSON document
       val analyze = is("(?is)^EXPLAIN\\s*\\([^)]*\\bANALYZE\\b")
-      val inner = spark.sql(operators.PgSql.rewrite(stripSemi(t)
-        .replaceFirst("(?is)^EXPLAIN\\s*\\([^)]*\\)\\s*", "")))
-      val json = operators.ExplainAnalyze.explainJson(inner, analyze)
+      val body = operators.PgSql.rewrite(stripSemi(t)
+        .replaceFirst("(?is)^EXPLAIN\\s*\\([^)]*\\)\\s*", ""))
+      // without ANALYZE, a command body (INSERT/CTAS) must be PLANNED
+      // but not run — spark.sql executes commands eagerly, so those
+      // route through a CommandExecutionMode.SKIP QueryExecution
+      // (explain.c: only ANALYZE executes the statement)
+      val isCommand = "(?is)^\\s*(INSERT|CREATE|REPLACE|DELETE|UPDATE|MERGE|TRUNCATE|DROP|ALTER)\\b"
+        .r.findFirstIn(body).isDefined
+      val json =
+        if (isCommand && !analyze)
+          operators.ExplainAnalyze.explainJsonQe(
+            org.apache.spark.sql.graft.GraftInternals
+              .lazyQueryExecution(spark, body), analyze = false)
+        else operators.ExplainAnalyze.explainJson(spark.sql(body), analyze)
       import spark.implicits._
       Some(Seq(json).toDF("QUERY PLAN"))
     } else if (is("(?is)^EXPLAIN\\s+ANALYZE\\b") ||
@@ -450,7 +461,19 @@ object Graft {
     } else if (is("(?is)^DELETE\\s+FROM\\b")) {
       val m = deleteRe.findFirstMatchIn(stripSemi(t)).getOrElse(
         throw new IllegalArgumentException(s"cannot parse DELETE: $t"))
-      val (rest, returning) = splitReturning(m.group(2))
+      // DELETE FROM t [AS] alias (gram.y relation_expr_opt_alias):
+      // references in the WHERE are alias-qualified — strip the alias
+      // qualifier so the condition resolves against the bare table
+      val (rest0, returning) = splitReturning(m.group(2))
+      val aliasM = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)\\b(.*)$".r
+        .findFirstMatchIn(rest0).filter(am => !Set("where", "using")
+          .contains(am.group(1).toLowerCase))
+      val rest = aliasM match {
+        case Some(am) =>
+          am.group(2).replaceAll(
+            "(?i)\\b" + java.util.regex.Pattern.quote(am.group(1)) + "\\.", "")
+        case None => rest0
+      }
       val w = topKeyword(rest, "WHERE")
       val u = topKeyword(rest, "USING")
       val table = m.group(1).replace("\"", "")
@@ -600,7 +623,8 @@ object Graft {
               // registered CREATE FUNCTION macros inline first (no-op
               // scan when none is called), then the PG lexical rewrite
               try Some(operators.PgIntDiv(spark, spark.sql(
-                operators.PgSql.rewrite(operators.SqlFunctions.expand(t)))))
+                operators.PgSql.rewrite(operators.SqlFunctions.expand(
+                  expandReorderedStar(spark, t))))))
               catch {
                 case e: org.apache.spark.sql.AnalysisException
                     if is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b") &&
@@ -663,6 +687,30 @@ object Graft {
     named.createOrReplaceTempView(m.group(2).replace("\"", ""))
   }
 
+  /** `SELECT [DISTINCT] * FROM t ...` on a partition-reordered table:
+    * the hive layout moved partition keys to the schema's end, so a
+    * bare star would expose physical order (and ORDER BY ordinals
+    * would bind to it). Expand the star to the PG-declared column list
+    * (parse_target.c ExpandAllTables order). */
+  private def expandReorderedStar(spark: SparkSession, t: String): String = {
+    val re = ("(?is)^(\\s*SELECT\\s+(?:DISTINCT\\s+)?)\\*" +
+      "(\\s+FROM\\s+([\\w.\"]+)\\s*(?:;|\\s+(?:WHERE|ORDER|GROUP|LIMIT|OFFSET)\\b.*)?)$").r
+    re.findFirstMatchIn(t) match {
+      case Some(m) =>
+        val tbl = m.group(3).replace("\"", "")
+        declaredOrder(spark, tbl) match {
+          case Some(d) if {
+            val phys =
+              try spark.table(tbl).columns.toSeq.map(_.toLowerCase)
+              catch { case _: Exception => Seq.empty[String] }
+            phys.nonEmpty && d.map(_.toLowerCase) != phys
+          } => m.group(1) + d.mkString(", ") + m.group(2)
+          case _ => t
+        }
+      case None => t
+    }
+  }
+
   /** The PG-declared column order recorded at CREATE time for tables
     * whose hive partition layout reordered the physical schema. */
   private def declaredOrder(spark: SparkSession,
@@ -692,7 +740,22 @@ object Graft {
             spark.table(tbl).columns.map(_.toLowerCase).toSeq
           catch { case _: Exception => false })
       }
-      reorder || (mm.group(3).contains("/") && {
+      // (c) a SERIAL column the statement does not mention needs its
+      // sequence default — only the projection path can assign it
+      val serialMissing = {
+        val tbl = mm.group(1).replace("\"", "")
+        val fields =
+          try spark.table(tbl).schema.fieldNames.toSeq
+          catch { case _: Exception => Seq.empty[String] }
+        val listed = Option(mm.group(2)).map(cl =>
+          operators.GreengageDdl.splitTop(
+            cl.stripPrefix("(").stripSuffix(")"))
+            .map(_.replace("\"", "").trim.toLowerCase).toSet)
+        fields.exists(f =>
+          operators.GreengageDdl.serialSeq(tbl, f).isDefined &&
+            listed.exists(!_.contains(f.toLowerCase)))
+      }
+      reorder || serialMissing || (mm.group(3).contains("/") && {
         try {
           val body = spark.sql(operators.PgSql.rewrite(
             operators.SqlFunctions.expand(mm.group(3))))
@@ -735,6 +798,10 @@ object Graft {
               try_to_timestamp(src, lit("yyyy/M/d H:mm:ss")),
               try_to_timestamp(src, lit("M/d/yyyy h:mm:ss a")),
               try_to_timestamp(src, lit("yyyy-M-d")),
+              // PG compact ISO date '20210202' (datetime.c DecodeDate);
+              // gated on 8 digits so plain numbers can't mis-parse
+              org.apache.spark.sql.functions.when(
+                src.rlike("^\\d{8}$"), try_to_timestamp(src, lit("yyyyMMdd"))),
               src) // truly malformed input: the final cast raises
           case (st: StructType, StringType)
               if operators.PgComplex.isComplexStruct(st) =>
@@ -751,15 +818,30 @@ object Graft {
           case _ => src
         }
         lenient.cast(f.dataType).as(f.name)
-      } else {
-        // unmentioned column: its declared DEFAULT (Spark keeps the
-        // SQL text in the field metadata), else NULL — PG's rule
-        val dflt =
-          if (f.metadata.contains("CURRENT_DEFAULT"))
-            org.apache.spark.sql.functions.expr(
-              f.metadata.getString("CURRENT_DEFAULT"))
-          else lit(null)
-        dflt.cast(f.dataType).as(f.name)
+      } else operators.GreengageDdl.serialSeq(table, f.name) match {
+        case Some(seq) =>
+          // SERIAL column (gram.y: serial → int + nextval default):
+          // dense PG-exact ids for this statement's rows. The whole
+          // statement reserves one contiguous block, then row_number
+          // assigns within it — a single-partition window, fine for the
+          // per-statement INSERT path (PG sequences serialize the same
+          // way); bulk loads at scale use the blocked nextvalColumn.
+          val n = b2.count()
+          val base = operators.GreengageDdl.nextvalDense(seq, n)
+          import org.apache.spark.sql.expressions.Window
+          (org.apache.spark.sql.functions.row_number().over(
+            Window.orderBy(
+              org.apache.spark.sql.functions.monotonically_increasing_id()))
+            + lit(base - 1)).cast(f.dataType).as(f.name)
+        case None =>
+          // unmentioned column: its declared DEFAULT (Spark keeps the
+          // SQL text in the field metadata), else NULL — PG's rule
+          val dflt =
+            if (f.metadata.contains("CURRENT_DEFAULT"))
+              org.apache.spark.sql.functions.expr(
+                f.metadata.getString("CURRENT_DEFAULT"))
+            else lit(null)
+          dflt.cast(f.dataType).as(f.name)
       }
     }
     val view = "__graft_ins_src"

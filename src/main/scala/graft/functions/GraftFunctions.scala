@@ -132,6 +132,84 @@ object GraftStrings {
     }
     UTF8String.fromString(best)
   }
+
+  /** ONE byte-level pass over a document for the q85 quality features:
+    * character count, whitespace-run token count, punctuation count
+    * ([.,;:!?]), and split-on-single-space stopword hits — replacing
+    * three separate regex passes (semantics pinned by the q85 oracle:
+    * tokens are `\s+` runs of the trimmed text, stop tokens are exact
+    * matches between single spaces / string ends). Every tested byte
+    * is ASCII and UTF-8 continuation bytes can never equal an ASCII
+    * byte, so multi-byte codepoints simply count as non-space — the
+    * same classification the regexes made. */
+  def qualityFeatures(s: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    var nPunct = 0
+    var nTokens = 0
+    var inTok = false
+    var stop = 0
+    var tokStart = 0 // current split-on-single-space token start
+    def checkStop(from: Int, to: Int): Unit = {
+      val hit = (to - from) match {
+        case 1 => b(from) == 'a'
+        case 2 =>
+          val c0 = b(from); val c1 = b(from + 1)
+          (c0 == 'o' && c1 == 'f') || (c0 == 't' && c1 == 'o') ||
+            (c0 == 'i' && (c1 == 'n' || c1 == 's'))
+        case 3 =>
+          val c0 = b(from); val c1 = b(from + 1); val c2 = b(from + 2)
+          (c0 == 't' && c1 == 'h' && c2 == 'e') ||
+            (c0 == 'a' && c1 == 'n' && c2 == 'd') ||
+            (c0 == 'f' && c1 == 'o' && c2 == 'r')
+        case 4 =>
+          val c0 = b(from); val c1 = b(from + 1)
+          val c2 = b(from + 2); val c3 = b(from + 3)
+          (c0 == 't' && c1 == 'h' && c2 == 'a' && c3 == 't') ||
+            (c0 == 'w' && c1 == 'i' && c2 == 't' && c3 == 'h')
+        case _ => false
+      }
+      if (hit) stop += 1
+    }
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' ||
+        c == '?') nPunct += 1
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == 0x0B ||
+        c == '\f' || c == '\r'
+      if (!ws && !inTok) { nTokens += 1; inTok = true }
+      else if (ws) inTok = false
+      if (c == ' ') { checkStop(tokStart, i); tokStart = i + 1 }
+      i += 1
+    }
+    checkStop(tokStart, n)
+    new GenericInternalRow(
+      Array[Any](s.numChars(), nTokens, nPunct, stop))
+  }
+}
+
+/** `quality_features(text)` — the q85 feature struct in one
+  * whole-stage-codegen pass (see GraftStrings.qualityFeatures). */
+case class QualityFeatures(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+  override def prettyName: String = "quality_features"
+
+  override protected def nullSafeEval(v: Any): Any =
+    GraftStrings.qualityFeatures(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftStrings.qualityFeatures($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): QualityFeatures =
+    copy(child = newChild)
 }
 
 /** `str SIMILAR TO pattern` (reference `src/backend/utils/adt/
@@ -302,13 +380,16 @@ object PgFormat {
     when(c.isNull, lit("NULL"))
       .otherwise(concat(lit("'"), regexp_replace(c, "'", "''"), lit("'")))
 
-  def format(fmt: String, args: Column*): Column = {
-    val parts = Seq.newBuilder[Column]
+  /** One parse shared by the Column and Expression renderers: a token
+    * is literal text, or (argIndex, spec) for %s / %I / %L. */
+  private[functions] def parseFmt(fmt: String,
+                                  nArgs: Int): Seq[scala.util.Either[String, (Int, Char)]] = {
+    val parts = Seq.newBuilder[scala.util.Either[String, (Int, Char)]]
     val sb = new StringBuilder
     var next = 0 // next implicit argument index
     var i = 0
     def flush(): Unit =
-      if (sb.nonEmpty) { parts += lit(sb.toString); sb.clear() }
+      if (sb.nonEmpty) { parts += scala.Left(sb.toString); sb.clear() }
     while (i < fmt.length) {
       val c = fmt.charAt(i)
       if (c != '%') { sb.append(c); i += 1 }
@@ -330,14 +411,10 @@ object PgFormat {
             val k =
               if (idx >= 0) { next = idx + 1; idx }
               else { val n = next; next += 1; n }
-            require(k < args.length,
-              s"format placeholder ${'%'}$spec needs argument ${k + 1} (${args.length} given)")
+            require(k < nArgs,
+              s"format placeholder ${'%'}$spec needs argument ${k + 1} ($nArgs given)")
             flush()
-            parts += (spec match {
-              case 's' => coalesce(args(k).cast("string"), lit(""))
-              case 'I' => quoteIdent(args(k).cast("string"))
-              case 'L' => quoteLiteral(args(k).cast("string"))
-            })
+            parts += scala.Right((k, spec))
           case other => throw new IllegalArgumentException(
             s"unsupported format specifier %$other in: $fmt")
         }
@@ -345,8 +422,44 @@ object PgFormat {
       }
     }
     flush()
-    val ps = parts.result()
+    parts.result()
+  }
+
+  def format(fmt: String, args: Column*): Column = {
+    val ps = parseFmt(fmt, args.length).map {
+      case scala.Left(s) => lit(s)
+      case scala.Right((k, 's')) => coalesce(args(k).cast("string"), lit(""))
+      case scala.Right((k, 'I')) => quoteIdent(args(k).cast("string"))
+      case scala.Right((k, 'L')) => quoteLiteral(args(k).cast("string"))
+      case scala.Right((_, sp)) => throw new IllegalStateException(sp.toString)
+    }
     if (ps.isEmpty) lit("") else concat(ps: _*)
+  }
+
+  /** Catalyst renderer for the SQL front door's FunctionRegistry entry
+    * (a Column built from unresolved functions cannot resolve there). */
+  def formatExpr(fmt: String, args: Seq[Expression]): Expression = {
+    def str(e: Expression) = Cast(e, StringType)
+    def qi(e: Expression): Expression = {
+      val s = str(e)
+      CaseWhen(Seq((RLike(s, Literal("^[a-z_][a-z0-9_]*$")), s)),
+        Concat(Seq(Literal("\""),
+          StringReplace(s, Literal("\""), Literal("\"\"")), Literal("\""))))
+    }
+    def ql(e: Expression): Expression = {
+      val s = str(e)
+      If(IsNull(s), Literal("NULL"),
+        Concat(Seq(Literal("'"),
+          StringReplace(s, Literal("'"), Literal("''")), Literal("'"))))
+    }
+    val ps: Seq[Expression] = parseFmt(fmt, args.length).map {
+      case scala.Left(s) => Literal(s)
+      case scala.Right((k, 's')) => Coalesce(Seq(str(args(k)), Literal("")))
+      case scala.Right((k, 'I')) => qi(args(k))
+      case scala.Right((k, 'L')) => ql(args(k))
+      case scala.Right((_, sp)) => throw new IllegalStateException(sp.toString)
+    }
+    if (ps.isEmpty) Literal("") else Concat(ps)
   }
 }
 
@@ -987,6 +1100,47 @@ object GraftFunctions {
       FunctionIdentifier("starts_with"),
       info("starts_with", "starts_with(s, prefix) - PG spelling of startswith"),
       (args: Seq[Expression]) => StartsWith(args(0), args(1)))
+    // PG format(fmt, args...) for the SQL front door (varlena.c
+    // text_format): the fmt string must be foldable — PgFormat compiles
+    // it driver-side into ONE codegen concat over the argument columns
+    reg.registerFunction(
+      FunctionIdentifier("format"),
+      info("format", "format(fmt, args...) - PG text_format (%s/%I/%L/%n$)"),
+      (args: Seq[Expression]) => {
+        val fmt = args.head.eval() match {
+          case null => throw new IllegalArgumentException(
+            "format() requires a non-NULL literal format string")
+          case v => v.toString
+        }
+        PgFormat.formatExpr(fmt, args.tail)
+      })
+    // bool comparison operator functions (bool.c booleq/boolne + the
+    // btree ops) — callable-by-name spellings the regress suites use
+    reg.registerFunction(
+      FunctionIdentifier("booleq"),
+      info("booleq", "booleq(a, b) - bool ="),
+      (args: Seq[Expression]) => EqualTo(args(0), args(1)))
+    for (alias <- Seq("boolne", "boolneq"))
+      reg.registerFunction(
+        FunctionIdentifier(alias),
+        info(alias, s"$alias(a, b) - bool <>"),
+        (args: Seq[Expression]) => Not(EqualTo(args(0), args(1))))
+    reg.registerFunction(
+      FunctionIdentifier("boollt"),
+      info("boollt", "boollt(a, b) - bool <"),
+      (args: Seq[Expression]) => LessThan(args(0), args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("boolgt"),
+      info("boolgt", "boolgt(a, b) - bool >"),
+      (args: Seq[Expression]) => GreaterThan(args(0), args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("boolle"),
+      info("boolle", "boolle(a, b) - bool <="),
+      (args: Seq[Expression]) => LessThanOrEqual(args(0), args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("boolge"),
+      info("boolge", "boolge(a, b) - bool >="),
+      (args: Seq[Expression]) => GreaterThanOrEqual(args(0), args(1)))
     reg.registerFunction(
       FunctionIdentifier("num_nulls"),
       info("num_nulls", "num_nulls(a, b, ...) - how many arguments are NULL"),

@@ -125,12 +125,27 @@ object DmlCte {
     val snapshots = targets.filter(t => !t.contains(".") && reread(t))
       .map(t => t -> spark.table(t).localCheckpoint(true))
     val registered = scala.collection.mutable.ListBuffer[String]()
+    val snapMap = snapshots.toMap
     try {
-      // original CTE order: a DML body may read an earlier plain CTE,
-      // a later plain CTE may read an earlier DML's RETURNING rows
+      // PG gives EVERY CTE the same pre-statement snapshot: the
+      // re-read shadows register BEFORE the CTE loop so a plain CTE
+      // positioned after a DML on the same table still reads the
+      // pre-DML image; each DML body briefly unshadows its own target
+      // (the write must hit the real table, not the snapshot view)
+      snapshots.foreach { case (t, pre) =>
+        pre.createOrReplaceTempView(t)
+        registered += t
+      }
       p.ctes.foreach { c =>
         if (isDml(c.body)) {
-          val res = router(spark, c.body)
+          val shadowed = targetTable(c.body).toSeq
+            .map(_.toLowerCase.stripPrefix("public."))
+            .filter(snapMap.contains)
+          shadowed.foreach(t => spark.catalog.dropTempView(t))
+          val res =
+            try router(spark, c.body)
+            finally shadowed.foreach(t =>
+              snapMap(t).createOrReplaceTempView(t))
           res.foreach { df =>
             // PG runs the wCTE to completion before readers see it
             val mat = df.localCheckpoint(true)
@@ -147,10 +162,6 @@ object DmlCte {
           named.createOrReplaceTempView(c.name)
           registered += c.name
         }
-      }
-      snapshots.foreach { case (t, pre) =>
-        pre.createOrReplaceTempView(t)
-        registered += t
       }
       // plain CTEs no DML touches stay INLINED (no materialization
       // cost); materialized ones resolve through their temp views

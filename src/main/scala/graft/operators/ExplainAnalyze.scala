@@ -48,8 +48,11 @@ object ExplainAnalyze {
     * children under "Plans", and with ANALYZE each node's runtime
     * metrics. Node names are this engine's physical operators (the
     * shape, not PG's node vocabulary, is the contract tooling parses). */
-  def explainJson(df: DataFrame, analyze: Boolean): String = {
-    val qe = df.queryExecution
+  def explainJson(df: DataFrame, analyze: Boolean): String =
+    explainJsonQe(df.queryExecution, analyze)
+
+  def explainJsonQe(qe: org.apache.spark.sql.execution.QueryExecution,
+                    analyze: Boolean): String = {
     if (analyze) qe.toRdd.foreach(_ => ())
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""

@@ -47,7 +47,10 @@ object GreengageDdl {
       materialized: Boolean = false,
       // simple-literal column DEFAULTs kept for Spark's own default
       // machinery (NEXTVAL and other expressions still drop)
-      colDefaults: Map[String, String] = Map.empty)
+      colDefaults: Map[String, String] = Map.empty,
+      // SERIAL/BIGSERIAL columns: execute() creates their implicit
+      // sequence and records them for the INSERT default path
+      serialCols: Seq[String] = Seq.empty)
 
   /** PG/Greengage type name → Spark SQL type (SURVEY §1.2 mapping). */
   private[operators] def mapType(pg: String): String = {
@@ -140,6 +143,7 @@ object GreengageDdl {
     var columns = Seq.empty[(String, String)]
     val typedCols = Seq.newBuilder[(String, String)] // col → registered PG type
     val colDefaults = scala.collection.mutable.Map[String, String]()
+    val serialCols = Seq.newBuilder[String]
     if (rest.startsWith("(")) {
       val (colBlock, after) = balanced(rest, 0)
       rest = rest.substring(after).trim
@@ -179,6 +183,8 @@ object GreengageDdl {
             .foreach(d => colDefaults += colName.toLowerCase -> d.group(1))
           val head = typePart.takeWhile(_ != '(').trim
           if (PgTypes.isRegistered(head)) typedCols += (colName -> head)
+          if ("(?i)^(small|big)?serial[248]?$".r.findFirstIn(head).isDefined)
+            serialCols += colName
           (colName, mapType(typePart))
           }
         }
@@ -268,7 +274,7 @@ object GreengageDdl {
     }
 
     TableSpec(name, ifNotExists, columns, dist, partitionCols, storageOpts,
-      ctas, materialized, colDefaults.toMap)
+      ctas, materialized, colDefaults.toMap, serialCols.result())
   }
 
   /** Lower the parsed spec onto a Spark SQL DDL statement. */
@@ -362,7 +368,32 @@ object GreengageDdl {
     try spark.sql(toSparkSql(execSpec, buckets))
     finally if (ctasView.isDefined)
       spark.catalog.dropTempView("__graft_ctas_body")
+    // SERIAL columns get their implicit sequence (catalog/heap.c
+    // behavior: <table>_<col>_seq, starting at 1)
+    spec.serialCols.foreach { c =>
+      val seq = s"${spec.name}_${c}_seq"
+      createSequence(s"CREATE SEQUENCE $seq")
+      serialRegistry.put(s"${spec.name.toLowerCase}.${c.toLowerCase}", seq)
+    }
     spec
+  }
+
+  // SERIAL column → implicit sequence name, keyed "table.col"
+  private val serialRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The implicit sequence backing a SERIAL column, if any. */
+  def serialSeq(table: String, col: String): Option[String] =
+    Option(serialRegistry.get(
+      s"${table.toLowerCase.replace("\"", "")}.${col.toLowerCase}"))
+
+  /** Reserve EXACTLY n contiguous ids (PG nextval semantics for one
+    * statement's rows — dense, unlike the blocked nextvalColumn). */
+  def nextvalDense(seqName: String, n: Long): Long = sequences.synchronized {
+    val cur = Option(sequences.get(seqName)).getOrElse(
+      throw new IllegalArgumentException(s"unknown sequence: $seqName"))
+    sequences.put(seqName, cur + n)
+    cur
   }
 
   /** REFRESH MATERIALIZED VIEW (reference `commands/matview.c`): re-run

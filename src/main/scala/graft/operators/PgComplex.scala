@@ -42,6 +42,7 @@ object PgComplex {
     val g3 = s"regexp_extract($x, $b, 3)"
     val im1 = s"regexp_extract($x, $i, 1)"
     s"""(CASE
+       | WHEN $x IS NULL THEN CAST(NULL AS STRUCT<re: DOUBLE, im: DOUBLE>)
        | WHEN $sep != '' THEN named_struct(
        |   're', ${pgFloatSql(g1)},
        |   'im', CASE WHEN $sep = '-' THEN -${pgFloatSql(g3)}

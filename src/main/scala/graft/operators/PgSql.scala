@@ -183,7 +183,23 @@ object PgSql {
     out = out.replaceAll(
       "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+ROWS?\\s+ONLY", "LIMIT 1")
     out = out.replaceAll("(?i)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\b", "OFFSET $1")
+    // PG accepts OFFSET before LIMIT (gram.y select_limit lists both
+    // orders); Spark only parses LIMIT-then-OFFSET
+    out = out.replaceAll("(?i)\\bOFFSET\\s+(\\d+)\\s+LIMIT\\s+(\\d+)\\b",
+      "LIMIT $2 OFFSET $1")
     out = out.replaceAll("(?i)\\bLIMIT\\s+ALL\\b", "")
+    // ORDER BY x USING < / > (gram.y sortby USING qual_all_Op): the
+    // default btree operators spell ASC / DESC; other operator classes
+    // have no Spark analog and fail loudly in the parser
+    out = out.replaceAll("(?i)\\bUSING\\s*<(?![=<>])", "ASC")
+    out = out.replaceAll("(?i)\\bUSING\\s*>(?![=<>])", "DESC")
+    // Inheritance spellings (gram.y relation_expr): `tbl*` includes
+    // children, `ONLY tbl` excludes them. This engine has no table
+    // inheritance — fixtures flatten children into the parent, so both
+    // spellings resolve to the plain table (documented divergence:
+    // ONLY on a flattened fixture still sees child rows).
+    out = out.replaceAll("(?i)\\b(FROM|JOIN)\\s+([a-z_][\\w.]*)\\s*\\*", "$1 $2")
+    out = out.replaceAll("(?i)\\b(FROM|JOIN)\\s+ONLY\\s+(?=[a-z_\"])", "$1 ")
     // PG numeric/array operator spellings (pg_operator.h): ^ is POWER
     // — Spark's ^ is XOR, a silent wrong answer — # is XOR, @ is abs,
     // |/ sqrt, ||/ cbrt; @> / <@ array containment, && array overlap.
@@ -522,8 +538,15 @@ object PgSql {
             // brackets the cast rewrites own
             val before = masked.substring(0, start).reverse.dropWhile(_.isWhitespace)
             if (!before.startsWith("::")) {
+              // PG: a subscript below the array's lower bound yields
+              // NULL (arrayfuncs.c array_ref); try_element_at(-1) would
+              // return the LAST element. Guard indexes that cast to a
+              // number < 1; map keys try_cast to NULL and take the
+              // plain call through the ELSE arm.
               return sql.substring(0, start) +
-                s"try_element_at($base, $content)" + sql.substring(close + 1)
+                s"(CASE WHEN try_cast(($content) AS BIGINT) < 1 THEN NULL " +
+                s"ELSE try_element_at($base, $content) END)" +
+                sql.substring(close + 1)
             }
           }
         }
@@ -870,7 +893,8 @@ object PgSql {
   private def intervalSpacing(sql: String): String =
     "(?is)\\binterval\\s*'([^']*)'".r.replaceAllIn(sql, m =>
       java.util.regex.Matcher.quoteReplacement(
-        "interval '" + m.group(1).replaceAll("(?<=\\d)(?=[A-Za-z])", " ") + "'"))
+        "interval '" + m.group(1).replaceAll(
+          "(?<=\\d)(?=[A-Za-z])|(?<=[A-Za-z])(?=[-+]?\\d)", " ") + "'"))
 
   /** Spark requires ORDER BY for ranking window functions; PG runs
     * them over arbitrary order when none is given (nodeWindowAgg.c —
@@ -1110,6 +1134,77 @@ object PgSql {
     }
     parts += body.substring(start)
     parts.result().map(_.trim)
+  }
+
+  /** PG resolves an ORDER BY item textually identical to a SELECT-list
+    * expression as that output column (parse_clause.c
+    * transformSortClause resolves against the targetlist first). Spark
+    * re-resolves the expression against the aggregate's child, which
+    * fails when HAVING lifts the Sort above the Aggregate (`ORDER BY
+    * lower(c)` after `GROUP BY lower(c) HAVING ...` → unresolved `c`).
+    * Rewriting the item to its output ordinal is semantics-preserving
+    * in both engines. Applied only when a top-level HAVING is present —
+    * the one shape Spark cannot resolve natively. */
+  private def orderByOrdinal(sqlIn: String): String = {
+    val masked = maskLiterals(sqlIn)
+    val depth = new Array[Int](masked.length + 1)
+    var d = 0
+    var i = 0
+    while (i < masked.length) {
+      depth(i) = d
+      masked.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    depth(masked.length) = d
+    def topAll(re: String): Seq[scala.util.matching.Regex.Match] =
+      re.r.findAllMatchIn(masked).filter(m => depth(m.start) == 0).toSeq
+    val selM = "(?is)^\\s*SELECT(\\s+DISTINCT)?\\b".r.findFirstMatchIn(masked)
+    val havingAt = topAll("(?i)\\bHAVING\\b").headOption
+    val obM = topAll("(?i)\\bORDER\\s+BY\\b").lastOption
+    val fromAt = topAll("(?i)\\bFROM\\b").headOption
+    if (selM.isEmpty || havingAt.isEmpty || obM.isEmpty || fromAt.isEmpty)
+      sqlIn
+    else {
+      val ob = obM.get
+      val selEnd = selM.get.end
+      val items = topLevelSplit(
+        sqlIn.substring(selEnd, fromAt.get.start),
+        masked.substring(selEnd, fromAt.get.start))
+      def normE(s: String) = s.toLowerCase.replaceAll("\\s+", "")
+      def exprOf(item: String): String =
+        "(?is)^(.*?)\\s+AS\\s+[\\w\"]+\\s*$".r.findFirstMatchIn(item)
+          .map(_.group(1)).getOrElse(item)
+      val selNorm = items.map(it => normE(exprOf(it)))
+      val obEnd = topAll("(?i)\\b(LIMIT|OFFSET|FETCH)\\b")
+        .map(_.start).filter(_ > ob.end).sorted.headOption
+        .getOrElse(sqlIn.length)
+      val bodyRaw = sqlIn.substring(ob.end, obEnd)
+      val semi = bodyRaw.reverse.takeWhile(c => c == ';' || c.isWhitespace)
+        .reverse
+      val body = bodyRaw.stripSuffix(semi)
+      val obItems = topLevelSplit(body, masked.substring(ob.end, obEnd)
+        .stripSuffix(semi))
+      val itemRe =
+        "(?is)^(.*?)(\\s+(?:ASC|DESC))?(\\s+NULLS\\s+(?:FIRST|LAST))?\\s*$".r
+      val rewritten = obItems.map { it =>
+        itemRe.findFirstMatchIn(it) match {
+          case Some(m) =>
+            val k = selNorm.indexOf(normE(m.group(1)))
+            if (k >= 0)
+              (k + 1).toString + Option(m.group(2)).getOrElse("") +
+                Option(m.group(3)).getOrElse("")
+            else it
+          case None => it
+        }
+      }
+      if (rewritten == obItems) sqlIn
+      else sqlIn.substring(0, ob.end) + " " + rewritten.mkString(", ") +
+        semi + sqlIn.substring(obEnd)
+    }
   }
 
   /** PG row-constructor comparisons `(a, b) op (c, d)` / `ROW(...)`
@@ -1496,7 +1591,7 @@ object PgSql {
         windowOrder(subscripts(arrayBrackets(arrayLiteralCasts(
           quotedIdents(joinOnSubqueryToFilter(gpDistRandom(
             complexRewrites(intervalSpacing(
-              pgStringSyntax(sqlIn))))))))))))))))))
+              pgStringSyntax(orderByOrdinal(sqlIn)))))))))))))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

@@ -28,19 +28,19 @@ object TextAnalysis {
   /** Deterministic quality features + a fixed-weight score. All
     * components are expressible in ANSI SQL (see the oracle). */
   def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    val chars = length(t)
-    val toks = tokenCount(t)
-    val punct = length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", ""))
-    // Count split-on-space tokens equal to a stopword in ONE codegen
-    // regex pass: a token equals w iff the maximal non-space run
-    // bounded by spaces/string-ends is exactly w, which the fixed-width
-    // lookarounds encode. (The per-stopword split + interpreted-HOF
-    // filter chain this replaces cost 10 splits/row and ran 6.4x the
-    // oracle; regexp_count is whole-stage codegen.)
-    val stopHits = regexp_count(
-      t, lit("(?<![^ ])(?:" + enStop.mkString("|") + ")(?![^ ])")).cast("int")
-    docs
+    // ALL four features in ONE byte-level codegen pass (the previous
+    // three regex passes — token split, punct regexp_replace, stopword
+    // regexp_count — each re-walked the document; regex automata also
+    // cost per-char dispatch that a straight byte scan doesn't)
+    val qf = org.apache.spark.sql.graft.GraftInternals.exprColumn(
+      graft.functions.QualityFeatures(
+        org.apache.spark.sql.graft.GraftInternals.columnExpr(col(textCol))))
+    val docs1 = docs.withColumn("__qf", qf)
+    val chars = col("__qf.n_chars")
+    val toks = col("__qf.n_tokens")
+    val punct = col("__qf.n_punct")
+    val stopHits = col("__qf.n_stop")
+    docs1
       .withColumn("n_chars_m", chars)
       .withColumn("n_tokens", toks)
       .withColumn("avg_token_len",
@@ -53,6 +53,7 @@ object TextAnalysis {
         least(lit(1.0), col("n_tokens").cast("double") / lit(400.0)) * lit(0.4)
           + col("stopword_ratio") * lit(2.0)
           + (lit(1.0) - col("punct_ratio")) * lit(0.2))
+      .drop("__qf")
   }
 
   /** Repetition signals for training-data filtering (the published

@@ -19,4 +19,17 @@ object GraftInternals {
   def exprColumn(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** A QueryExecution that PLANS a statement without running it:
+    * CommandExecutionMode.SKIP keeps eagerly-executed commands
+    * (INSERT/CTAS) un-run, so EXPLAIN on a DML statement can print the
+    * plan without mutating data — PG's EXPLAIN-without-ANALYZE
+    * contract. */
+  def lazyQueryExecution(spark: ApiSparkSession, sqlText: String)
+      : org.apache.spark.sql.execution.QueryExecution = {
+    val cs = spark.asInstanceOf[SparkSession]
+    new org.apache.spark.sql.execution.QueryExecution(cs,
+      cs.sessionState.sqlParser.parsePlan(sqlText),
+      mode = org.apache.spark.sql.execution.CommandExecutionMode.SKIP)
+  }
 }

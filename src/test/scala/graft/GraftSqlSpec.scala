@@ -66,14 +66,20 @@ class GraftSqlSpec extends AnyFunSuite {
       == Seq(Seq(1), Seq(2)))
     assert(spark.sql(rewrite("SELECT ARRAY['a[b', 'c]d']")).head()
       .getSeq[String](0).toSeq == Seq("a[b", "c]d"))
-    // PG subscripts are 1-based with NULL out-of-bounds — both map to
-    // try_element_at (identical semantics for map keys; Spark's own []
-    // would be a silent off-by-one for arrays)
-    assert(rewrite("SELECT m['k'] FROM t") == "SELECT try_element_at(m, 'k') FROM t")
-    assert(rewrite("SELECT subarray[1] FROM t")
-      == "SELECT try_element_at(subarray, 1) FROM t")
+    // PG subscripts are 1-based with NULL out-of-bounds IN BOTH
+    // DIRECTIONS — below-lower-bound indexes (expr[-1], expr[0]) are
+    // NULL too (arrayfuncs.c array_ref), where a bare try_element_at
+    // would return the LAST element; the guard handles that, and a
+    // map's non-numeric key try_casts to NULL so it takes the plain
+    // ELSE arm
+    assert(rewrite("SELECT m['k'] FROM t").contains(
+      "ELSE try_element_at(m, 'k') END"))
+    assert(rewrite("SELECT subarray[1] FROM t").contains(
+      "ELSE try_element_at(subarray, 1) END"))
     assert(spark.sql(rewrite("SELECT (ARRAY[10, 20])[2]")).head().getInt(0) == 20)
     assert(spark.sql(rewrite("SELECT (ARRAY[10])[3]")).head().isNullAt(0))
+    assert(spark.sql(rewrite("SELECT (ARRAY[10, 20])[-1]")).head().isNullAt(0))
+    assert(spark.sql(rewrite("SELECT (ARRAY[10, 20])[0]")).head().isNullAt(0))
     assert(spark.sql(rewrite("SELECT (ARRAY[ARRAY[1,2],ARRAY[3,4]])[2][1]"))
       .head().getInt(0) == 3)
   }

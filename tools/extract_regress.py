@@ -35,7 +35,51 @@ ap.add_argument("out_file")
 ap.add_argument("vectors_file")
 ap.add_argument("--skip", action="append", default=[],
                 help="regex: statements matching become ===STMT-skipped entirely")
+ap.add_argument("--sql-file", default=None,
+                help="companion .sql (default: derived from the .out path); "
+                     "source of COPY FROM STDIN inline data")
 args = ap.parse_args()
+
+# COPY t FROM STDIN blocks: the .out omits the stdin data (psql does
+# not echo it), so pull each block's lines from the companion .sql and
+# rewrite the COPY into a literal multi-row INSERT.
+sql_path = args.sql_file or args.out_file.replace("/expected/", "/sql/") \
+    .rsplit(".", 1)[0] + ".sql"
+stdin_blocks = {}  # lowercased table -> list of (data_rows) in file order
+try:
+    sql_text = open(sql_path, encoding="utf-8", errors="replace").read()
+    for m in re.finditer(
+            r"(?im)^copy\s+([\w\"]+)(?:\s*\([^)]*\))?\s+from\s+stdin"
+            r"([^;\n]*);\n(.*?)^\\\.$", sql_text, re.S | re.M):
+        tbl = m.group(1).replace('"', "").lower()
+        rows = [r for r in m.group(3).split("\n") if r != ""]
+        stdin_blocks.setdefault(tbl, []).append((m.group(2), rows))
+except OSError:
+    pass
+
+def copy_stdin_to_insert(stmt):
+    """COPY t FROM STDIN [opts] -> INSERT INTO t VALUES ... using the
+    next queued stdin block for that table (file order)."""
+    m = re.match(r"(?is)^copy\s+([\w\"]+)(?:\s*\([^)]*\))?\s+from\s+stdin(.*?);?\s*$",
+                 stmt)
+    if not m:
+        return None
+    tbl = m.group(1).replace('"', "").lower()
+    q = stdin_blocks.get(tbl)
+    if not q:
+        return None
+    opts, rows = q.pop(0)
+    nm = re.search(r"(?i)\bnull\s+'([^']*)'", opts + " " + m.group(2))
+    null_marker = nm.group(1) if nm else "\\N"
+    def cell(v):
+        if v == null_marker:
+            return "NULL"
+        return "'" + v.replace("'", "''") + "'"
+    vals = ", ".join(
+        "(" + ", ".join(cell(c) for c in r.split("\t")) + ")" for r in rows)
+    if not vals:
+        return None
+    return "INSERT INTO " + m.group(1) + " VALUES " + vals + ";"
 
 lines = open(args.out_file, encoding="utf-8", errors="replace").read().split("\n")
 skip_res = [re.compile(p, re.I | re.S) for p in args.skip]
@@ -170,11 +214,55 @@ while i < n:
     if rows is not None:
         entries.append(("SQL", stmt, rows))
     else:
-        entries.append(("STMT", stmt, []))
+        ins = copy_stdin_to_insert(stmt)
+        entries.append(("STMT", ins if ins else stmt, []))
+
+# Transaction blocks: the engine commits each statement atomically
+# (staged swap) and has no ROLLBACK, so a BEGIN..ROLLBACK/ABORT block
+# would leave its effects applied — wrong rows downstream. The correct
+# port is to SKIP the whole block. A BEGIN..COMMIT/END block keeps its
+# body (each statement commits on its own) and drops only the wrappers.
+# SAVEPOINT forms only appear inside blocks that roll back entirely in
+# the ported suites; a block using them is skipped wholesale.
+def strip_txn_blocks(entries):
+    out = []
+    i = 0
+    n = len(entries)
+    while i < n:
+        kind, stmt, rows = entries[i]
+        first = stmt.split(None, 1)[0].rstrip(";").lower() if stmt else ""
+        if first in ("begin", "start"):
+            j = i + 1
+            term = None
+            while j < n:
+                w = entries[j][1].split(None, 1)[0].rstrip(";").lower()
+                if w in ("rollback", "abort", "commit", "end"):
+                    term = w
+                    break
+                j += 1
+            body = entries[i + 1:j]
+            uses_savepoint = any(
+                e[1].split(None, 1)[0].rstrip(";").lower() in
+                ("savepoint", "release") for e in body)
+            if term in ("commit", "end") and not uses_savepoint:
+                out.extend(body)
+            # rollback/abort (or unterminated): whole block dropped
+            i = j + 1 if term else n
+        elif first in ("rollback", "abort", "commit", "end",
+                       "savepoint", "release"):
+            i += 1  # stray wrapper with no matching BEGIN: drop
+        else:
+            out.append(entries[i])
+            i += 1
+    return out
+
+entries = strip_txn_blocks(entries)
 
 with open(args.vectors_file, "w", encoding="utf-8") as f:
     f.write("# generated by tools/extract_regress.py from " +
             args.out_file.split("/root/reference/")[-1] + "\n")
+    for p in args.skip:
+        f.write("# excluded at extraction (--skip): " + p + "\n")
     for kind, stmt, rows in entries:
         if kind == "ERR":
             f.write("===ERR\n" + stmt + "\n")
