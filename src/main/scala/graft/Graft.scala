@@ -123,7 +123,9 @@ object Graft {
     // CREATE TEMPORARY TABLE is a different (provider-required, V1)
     // beast, so these land as ordinary tables — same visibility within
     // the session; the drop-at-session-end lifecycle is not replicated
-    val t = sql.trim.replaceFirst(
+    // pg_temp schema = the session temp namespace; one session here,
+    // so the qualifier drops everywhere (CREATE and call sites alike)
+    val t = sql.trim.replaceAll("(?i)\\bpg_temp\\.", "").replaceFirst(
       "(?is)^CREATE\\s+(?:GLOBAL\\s+|LOCAL\\s+)?(?:TEMP|TEMPORARY|UNLOGGED)\\s+TABLE",
       "CREATE TABLE")
     def is(re: String) = re.r.findFirstIn(t).isDefined
@@ -194,6 +196,15 @@ object Graft {
       None
     } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?FUNCTION\\b")) {
       operators.SqlFunctions.create(t); None
+    } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?AGGREGATE\\b")) {
+      operators.PgAggregates.create(stripSemi(t)); None
+    } else if (is("(?is)^ALTER\\s+AGGREGATE\\b.*\\bRENAME\\s+TO\\b")) {
+      operators.PgAggregates.alterRename(stripSemi(t)); None
+    } else if (is("(?is)^DROP\\s+AGGREGATE\\b")) {
+      operators.PgAggregates.drop(stripSemi(t)
+        .replaceFirst("(?is)^DROP\\s+AGGREGATE\\s+(IF\\s+EXISTS\\s+)?", "")
+        .replaceFirst("(?s)\\s*\\(.*$", "").trim)
+      None
     } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?PROCEDURE\\b")) {
       operators.PlDo.createProcedure(t); None
     } else if (is("(?is)^CALL\\b")) {
@@ -318,6 +329,28 @@ object Graft {
         .replaceFirst("(?is)\\s+IN\\s+.+$", "")
         .replaceFirst("(?is)\\s+NOWAIT$", "").trim.replace("\"", "")
       spark.table(name)
+      None
+    } else if (is("(?is)^INSERT\\s+INTO\\s+[\\w.\"]+\\s+DEFAULT\\s+VALUES\\s*;?\\s*$")) {
+      // INSERT ... DEFAULT VALUES (gram.y insert_rest): one row of
+      // column defaults (SERIAL sequences advance, like PG)
+      val tbl = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)".r
+        .findFirstMatchIn(t).get.group(1).replace("\"", "")
+      import org.apache.spark.sql.functions.lit
+      val cols = spark.table(tbl).schema.fields.map { f =>
+        (operators.GreengageDdl.serialSeq(tbl, f.name) match {
+          case Some(seq) =>
+            lit(operators.GreengageDdl.nextvalDense(seq, 1))
+          case None =>
+            if (f.metadata.contains("CURRENT_DEFAULT"))
+              org.apache.spark.sql.functions.expr(
+                f.metadata.getString("CURRENT_DEFAULT"))
+            else lit(null)
+        }).cast(f.dataType).as(f.name)
+      }
+      val one = spark.range(1).select(cols.toIndexedSeq: _*)
+      one.createOrReplaceTempView("__graft_defv")
+      try spark.sql(s"INSERT INTO $tbl SELECT * FROM __graft_defv")
+      finally spark.catalog.dropTempView("__graft_defv")
       None
     } else if (is("(?is)^INSERT\\s+INTO\\b") && {
       val n = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)".r
@@ -482,11 +515,25 @@ object Graft {
         // using_clause) → anti join; RETURNING unsupported here
         require(returning.isEmpty, "RETURNING with USING is not supported")
         require(w > u, s"DELETE USING needs a WHERE join condition: $t")
-        val (src, alias) = parseFromItem(rest.substring(u + "USING".length, w))
-        operators.Dml.deleteUsing(spark, table, table,
-          spark.table(src).alias(alias),
-          org.apache.spark.sql.functions.expr(
-            operators.PgSql.rewrite(rest.substring(w + "WHERE".length))))
+        val usingText = rest.substring(u + "USING".length, w)
+        val condText = rest.substring(w + "WHERE".length)
+        try {
+          val (src, alias) = parseFromItem(usingText)
+          operators.Dml.deleteUsing(spark, table, table,
+            spark.table(src).alias(alias),
+            org.apache.spark.sql.functions.expr(
+              operators.PgSql.rewrite(condText)))
+        } catch {
+          case _: IllegalArgumentException =>
+            // a join-shaped USING list (`USING t1 JOIN t2 USING (a)`,
+            // gram.y from_list): semantically NOT EXISTS over the
+            // joined source — build the kept-rows set in SQL (the
+            // outer table name qualifies its own columns) and swap
+            val kept = spark.sql(operators.PgSql.rewrite(
+              s"SELECT * FROM $table WHERE NOT EXISTS " +
+                s"(SELECT 1 FROM $usingText WHERE $condText)"))
+            operators.Dml.deleteKeeping(spark, table, kept)
+        }
         return None
       }
       require(rest.trim.isEmpty || w >= 0, s"cannot parse DELETE tail: $rest")

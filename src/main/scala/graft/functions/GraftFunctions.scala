@@ -1218,6 +1218,19 @@ object GraftFunctions {
           replace(s, chr(39), repeat(chr(39), 2)), chr(39)) END""")
     spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION quote_nullable(s STRING)
       RETURNS STRING RETURN coalesce(quote_literal(s), 'NULL')""")
+    // bool_and/bool_or transition functions (bool.c booland_statefunc):
+    // STRICT in PG — any NULL argument yields NULL, unlike plain AND's
+    // three-valued FALSE-dominance
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION booland_statefunc(
+        a BOOLEAN, b BOOLEAN)
+      RETURNS BOOLEAN RETURN CASE
+        WHEN a IS NULL OR b IS NULL THEN CAST(NULL AS BOOLEAN)
+        ELSE a AND b END""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION boolor_statefunc(
+        a BOOLEAN, b BOOLEAN)
+      RETURNS BOOLEAN RETURN CASE
+        WHEN a IS NULL OR b IS NULL THEN CAST(NULL AS BOOLEAN)
+        ELSE a OR b END""")
     spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION quote_ident(s STRING)
       RETURNS STRING RETURN CASE
         WHEN s RLIKE '^[a-z_][a-z0-9_]*$' THEN s

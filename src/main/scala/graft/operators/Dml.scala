@@ -108,6 +108,17 @@ object Dml {
     before - kept
   }
 
+  /** DELETE expressed as the set of rows to KEEP (already joined /
+    * filtered by the caller — e.g. the NOT EXISTS form of a
+    * join-shaped USING list). Same durable staged swap. */
+  def deleteKeeping(spark: SparkSession, table: String,
+                    kept: DataFrame): Long = {
+    val before = spark.table(table).count()
+    val (keptN, _) = stagedSwap(spark, table, kept,
+      partitionColumns(spark, table), dynamic = false)
+    before - keptN
+  }
+
   /** `UPDATE t SET ... FROM s WHERE cond` (PG's join-update): target
     * rows joined to the source take the assignments, which may
     * reference source columns through the statement's aliases. PG uses

@@ -66,6 +66,7 @@ object GreengageDdl {
       case "text" | "varchar" | "character varying" | "char" | "character"
            | "bpchar" | "name" | "uuid" | "json" | "jsonb" | "xml" => "STRING"
       case "bool" | "boolean" => "BOOLEAN"
+      case "bit" | "bit varying" | "varbit" => "STRING"
       case "date" => "DATE"
       case "timestamp" | "timestamp without time zone" => "TIMESTAMP_NTZ"
       case "timestamptz" | "timestamp with time zone" => "TIMESTAMP"
@@ -189,6 +190,13 @@ object GreengageDdl {
           }
         }
     }
+    // PG allows zero-column tables (CREATE TABLE dual()); parquet
+    // needs a schema, so a hidden placeholder column stands in
+    // (divergence: SELECT * shows it — row COUNT semantics, the part
+    // queries use a zero-column table for, are preserved)
+    if (columns.isEmpty && m.group(4).trim.startsWith("(") &&
+      "^\\(\\s*\\)".r.findFirstIn(m.group(4).trim).isDefined)
+      columns = Seq(("__dummy", "INT"))
     // enum/domain columns carry check constraints enforced on INSERT/COPY
     PgTypes.recordTable(name, typedCols.result())
 

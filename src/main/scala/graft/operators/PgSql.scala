@@ -25,6 +25,9 @@ object PgSql {
     // object-identifier pseudo-types (pg_type.h regclass/regtype/oid):
     // catalog references degrade to their textual form here
     "regclass" -> "STRING", "regtype" -> "STRING", "regproc" -> "STRING",
+    // bare numeric/decimal are UNCONSTRAINED in PG; Spark's bare
+    // spelling is DECIMAL(10,0) — a silent fraction-truncation
+    "numeric" -> "DECIMAL(38,18)", "decimal" -> "DECIMAL(38,18)",
     "oid" -> "BIGINT")
 
   private def mapType(pg: String): String =
@@ -199,6 +202,12 @@ object PgSql {
     // spellings resolve to the plain table (documented divergence:
     // ONLY on a flattened fixture still sees child rows).
     out = out.replaceAll("(?i)\\b(FROM|JOIN)\\s+([a-z_][\\w.]*)\\s*\\*", "$1 $2")
+    // the standard regress inheritance family keeps parent-only
+    // fixtures under <name>__only; other tables have no children here,
+    // so their ONLY is the table itself
+    out = out.replaceAll(
+      "(?i)\\b(FROM|JOIN)\\s+ONLY\\s+(person|emp|student|stud_emp)\\b",
+      "$1 $2__only")
     out = out.replaceAll("(?i)\\b(FROM|JOIN)\\s+ONLY\\s+(?=[a-z_\"])", "$1 ")
     // PG numeric/array operator spellings (pg_operator.h): ^ is POWER
     // — Spark's ^ is XOR, a silent wrong answer — # is XOR, @ is abs,
@@ -235,6 +244,12 @@ object PgSql {
       prevPow = out
       out = out.replaceAll(s"$operand\\s*#(?![>#])\\s*$operand", "($1 ^ $2)")
     }
+    // GP accepts zero-argument count() (parse_func.c special-case);
+    // Spark demands the star
+    out = out.replaceAll("(?i)\\bcount\\s*\\(\\s*\\)", "count(*)")
+    // pg_temp schema = the session's temp namespace — this engine has
+    // exactly one session namespace, so the qualifier drops
+    out = out.replaceAll("(?i)\\bpg_temp\\.", "")
     // GPDB GROUP BY () empty-set spellings (gram.y group_elem): a lone
     // () is the grand total (GROUPING SETS (())); a () item inside a
     // plain grouping list is a no-op and drops. GROUPING SETS bodies
@@ -375,9 +390,14 @@ object PgSql {
         val afterFrom = p >= 3 &&
           sql.regionMatches(true, p - 3, "FROM", 0, 4) &&
           (p - 4 < 0 || !Character.isLetterOrDigit(sql.charAt(p - 4)))
+        // JOIN unnest(outer_col) — PG treats SRFs in FROM as
+        // implicitly LATERAL; Spark needs the keyword spelled
+        val afterJoin = p >= 3 &&
+          sql.regionMatches(true, p - 3, "JOIN", 0, 4) &&
+          (p - 4 < 0 || !Character.isLetterOrDigit(sql.charAt(p - 4)))
         var j = i + 6
         while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
-        if (!(afterComma || afterFrom) || j >= sql.length ||
+        if (!(afterComma || afterFrom || afterJoin) || j >= sql.length ||
           sql.charAt(j) != '(') { out += c; i += 1 }
         else {
           // balanced scan of the argument; top-level comma = multi-arg
@@ -428,8 +448,8 @@ object PgSql {
             // trailing space: the alias regex's \s* swallows the
             // whitespace separating the alias from the next clause, so
             // re-emit one separator or 'AS t WHERE' would glue to 'tWHERE'
-            out ++= (if (afterComma) "LATERAL " else "") ++= sel ++=
-              s" AS $alias "
+            out ++= (if (afterComma || afterJoin) "LATERAL " else "") ++=
+              sel ++= s" AS $alias "
             i = end + 1 + mm.end
           }
         }
@@ -653,7 +673,10 @@ object PgSql {
         var p = i - 1
         while (p >= 0 && masked.charAt(p).isWhitespace) p -= 1
         val prevComma = p >= 0 && masked.charAt(p) == ','
-        val fromPos = (clause.top == "from" && (prevComma ||
+        // `, lateral generate_series(a, corr)` — explicit LATERAL with
+        // correlated bounds; the subquery form below supports it as-is
+        val prevLateral = p >= 6 && word(p - 6, "lateral")
+        val fromPos = (clause.top == "from" && (prevComma || prevLateral ||
           word(p - 3, "from") || word(p - 3, "join"))) ||
           (clause.top == "" && word(p - 3, "join"))
         val selPos = clause.top == "select" &&
@@ -719,14 +742,64 @@ object PgSql {
     out.toString
   }
 
+  /** PG `LATERAL (VALUES (e1, e2)) v(c1, c2)` with correlated
+    * expressions: Spark refuses outer references inside an inline
+    * table, but a lateral SELECT projects them fine — the single-row
+    * form rewrites to `LATERAL (SELECT e1 AS c1, e2 AS c2) AS v`
+    * (multi-row correlated VALUES has no lexical equivalent and fails
+    * loudly in the parser as before). */
+  private def lateralValues(sqlIn: String): String = {
+    var sql = sqlIn
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(sql)
+      val m = "(?i)\\blateral\\s*\\(\\s*values\\s*\\(".r
+        .findFirstMatchIn(masked)
+      m.foreach { mm =>
+        val open0 = masked.indexOf('(', mm.start)
+        val vOpen = mm.end - 1
+        val rowClose = matchingParen(masked, vOpen)
+        var k = rowClose + 1
+        while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
+        if (k < masked.length && masked.charAt(k) == ')') {
+          val latClose = k
+          val tail = masked.substring(latClose + 1)
+          val am = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)\\s*\\(([^)]*)\\)".r
+            .findPrefixMatchOf(tail)
+          am.foreach { a =>
+            val exprs = topLevelSplit(sql.substring(vOpen + 1, rowClose),
+              masked.substring(vOpen + 1, rowClose))
+            val cols = a.group(2).split(",").map(_.trim).toSeq
+            if (cols.length == exprs.length) {
+              val sel = exprs.zip(cols).map { case (e, c2) => s"$e AS $c2" }
+                .mkString(", ")
+              sql = sql.substring(0, open0) +
+                s"(SELECT $sel) AS ${a.group(1)}" +
+                sql.substring(latClose + 1 + a.end)
+              changed = true
+            }
+          }
+        }
+      }
+    }
+    sql
+  }
+
   /** sequence(...) with PG's empty-set direction guard for numeric
     * steps; interval steps (quoted or INTERVAL-typed) pass through. */
   private def seqExpr(args: Seq[String]): String = args match {
+    // numeric endpoints cast to ONE integral type: Spark's sequence
+    // demands identical start/stop/step types, while PG coerces (a
+    // BIGINT bound from int8 division against an INT literal is fine
+    // there); BIGINT covers every PG integral width
     case Seq(a, b) =>
-      s"(CASE WHEN ($a) <= ($b) THEN sequence($a, $b) ELSE array() END)"
+      s"(CASE WHEN ($a) <= ($b) THEN sequence(CAST(($a) AS BIGINT), " +
+        s"CAST(($b) AS BIGINT)) ELSE array() END)"
     case Seq(a, b, s) if s.matches("-?\\s*\\d+") =>
       s"(CASE WHEN (($s) > 0 AND ($a) <= ($b)) OR (($s) < 0 AND ($a) >= ($b))" +
-        s" THEN sequence($a, $b, $s) ELSE array() END)"
+        s" THEN sequence(CAST(($a) AS BIGINT), CAST(($b) AS BIGINT), " +
+        s"CAST(($s) AS BIGINT)) ELSE array() END)"
     case Seq(a, b, s) => s"sequence($a, $b, $s)"
     case other => throw new IllegalArgumentException(
       s"generate_series takes 2 or 3 arguments, got ${other.length}")
@@ -827,10 +900,24 @@ object PgSql {
           next match {
             case Some(Tok("on", onAt)) =>
               items += rawSpan.substring(t0.at + 4, onAt).trim
-              // condition: to the next join-ish token after the ON
-              val after = ts.drop(idx + 2)
+              // condition: to the next join-ish token after the ON —
+              // or a depth-0 comma (a following comma-join item, e.g.
+              // `, lateral (...)`, is NOT part of the condition)
+              val afterTok = ts.drop(idx + 2)
                 .find(t2 => t2.kind != "on").map(_.at)
                 .getOrElse(rawSpan.length)
+              val maskedSpan = masked.substring(fromAt + 4, endAt)
+              var cj = onAt + 2; var dj = 0; var commaAt = -1
+              while (cj < afterTok && commaAt < 0) {
+                maskedSpan.charAt(cj) match {
+                  case '(' => dj += 1
+                  case ')' => dj -= 1
+                  case ',' if dj == 0 => commaAt = cj
+                  case _ =>
+                }
+                cj += 1
+              }
+              val after = if (commaAt >= 0) commaAt else afterTok
               conds += rawSpan.substring(onAt + 2, after).trim
               cursor = after
               idx += 2
@@ -1136,6 +1223,492 @@ object PgSql {
     parts.result().map(_.trim)
   }
 
+  /** PG's joined_table grammar is right-recursive (gram.y): an ON may
+    * be DEFERRED past nested joins — `a left join b join c on bc on
+    * ab` groups as `a left join (b join c on bc) on ab`. Spark's
+    * parser demands each ON directly after its join, so deferred
+    * shapes rewrite into the explicit parenthesized tree. Applied to
+    * every FROM span at any depth; items without deferral pass
+    * through verbatim. */
+  private def nestedJoinOns(sqlIn: String): String = {
+    val masked = maskLiterals(sqlIn)
+    val fromRe = "(?i)\\bfrom\\b".r
+    val enders = Seq("where", "group", "order", "having", "limit",
+      "window", "union", "intersect", "except", "offset", "fetch",
+      "returning", "on", "when")
+    // process the LAST from first so earlier offsets stay valid
+    val froms = fromRe.findAllMatchIn(masked).map(_.start).toSeq.reverse
+    var sql = sqlIn
+    var msk = masked
+    froms.foreach { f =>
+      // span: from after FROM to the first same-depth ender keyword /
+      // depth-underflow / end
+      var i = f + 4
+      var d = 0
+      var end = msk.length
+      var scanning = true
+      def wordAt(m: String, at: Int, w: String): Boolean =
+        m.regionMatches(true, at, w, 0, w.length) &&
+          (at == 0 || (!Character.isLetterOrDigit(m.charAt(at - 1)) &&
+            m.charAt(at - 1) != '_')) &&
+          (at + w.length >= m.length ||
+            (!Character.isLetterOrDigit(m.charAt(at + w.length)) &&
+              m.charAt(at + w.length) != '_'))
+      while (i < msk.length && scanning) {
+        msk.charAt(i) match {
+          case '(' => d += 1
+          case ')' =>
+            d -= 1
+            if (d < 0) { end = i; scanning = false }
+          case ';' if d == 0 => end = i; scanning = false
+          case _ =>
+            if (d == 0 && enders.exists(wordAt(msk, i, _)) &&
+              // ON belongs to the join tree itself, never ends a span;
+              // it is in the list only for the WHEN of MERGE routing
+              !wordAt(msk, i, "on")) { end = i; scanning = false }
+        }
+        i += 1
+      }
+      val span = sql.substring(f + 4, end)
+      val mspan = msk.substring(f + 4, end)
+      val rewritten = nestedJoinItem(span, mspan)
+      if (rewritten != span) {
+        sql = sql.substring(0, f + 4) + " " + rewritten + " " +
+          sql.substring(end)
+        msk = maskLiterals(sql)
+      }
+    }
+    sql
+  }
+
+  /** One FROM span: parse the join/ON token stream per comma item and
+    * re-emit parenthesized trees for any item whose ONs were deferred. */
+  private def nestedJoinItem(span: String, mspan: String): String = {
+    def wordAt(at: Int, w: String): Boolean =
+      mspan.regionMatches(true, at, w, 0, w.length) &&
+        (at == 0 || (!Character.isLetterOrDigit(mspan.charAt(at - 1)) &&
+          mspan.charAt(at - 1) != '_')) &&
+        (at + w.length >= mspan.length ||
+          (!Character.isLetterOrDigit(mspan.charAt(at + w.length)) &&
+            mspan.charAt(at + w.length) != '_'))
+    val opRe = ("(?i)\\b(?:natural\\s+)?(?:(?:left|right|full)" +
+      "(?:\\s+outer)?\\s+|inner\\s+|cross\\s+)?join\\b").r
+    val toks = Seq.newBuilder[JTok]
+    var d = 0
+    var i = 0
+    while (i < mspan.length) {
+      mspan.charAt(i) match {
+        case '(' => d += 1; i += 1
+        case ')' => d -= 1; i += 1
+        case ',' if d == 0 => toks += JTok(",", i, i + 1); i += 1
+        case _ if d == 0 =>
+          val m = opRe.findPrefixMatchOf(mspan.subSequence(i, mspan.length))
+          if (m.isDefined && wordAt(i, mspan.substring(i, i + m.get.end)
+            .split("\\s+")(0))) {
+            toks += JTok("op", i, i + m.get.end); i += m.get.end
+          } else if (wordAt(i, "on")) {
+            toks += JTok("on", i, i + 2); i += 2
+          } else if (wordAt(i, "using") && {
+            var j = i + 5
+            while (j < mspan.length && mspan.charAt(j).isWhitespace) j += 1
+            j < mspan.length && mspan.charAt(j) == '('
+          }) {
+            var j = i + 5
+            while (mspan.charAt(j) != '(') j += 1
+            val close = matchingParen(mspan, j)
+            toks += JTok("using", i, close + 1); i = close + 1
+          } else i += 1
+        case _ => i += 1
+      }
+    }
+    val ts = toks.result()
+    if (!ts.exists(_.kind == "on")) return span
+    // split into comma items; rebuild each
+    val itemBounds = {
+      val commas = ts.filter(_.kind == ",").map(_.start)
+      (Seq(-1) ++ commas).zip(commas.map(_ + 1) ++ Seq(span.length + 1))
+        .map { case (a, b) => (a + 1, b - 1) }
+    }
+    val rebuilt = itemBounds.map { case (s0, e0) =>
+      val itemToks = ts.filter(t => t.kind != "," && t.start >= s0 && t.end <= e0)
+      rebuildJoinTree(span, s0, e0, itemToks)
+    }
+    val out = rebuilt.mkString(", ")
+    if (out.replaceAll("\\s+", " ").trim ==
+      span.replaceAll("\\s+", " ").trim) span
+    else out
+  }
+
+  /** Depth-0 token in a FROM span: kind ∈ op | on | using | ",". */
+  private case class JTok(kind: String, start: Int, end: Int)
+
+  private def rebuildJoinTree(span: String, s0: Int, e0: Int,
+                              tt: Seq[JTok]): String = {
+    if (tt.isEmpty) return span.substring(s0, e0).trim
+    val item = span.substring(s0, e0)
+    // nodes/ops stacks; prims are the gaps between tokens
+    val nodes = scala.collection.mutable.Stack[String]()
+    val ops = scala.collection.mutable.Stack[String]()
+    var deferred = false
+    var cursor = s0
+    def pushPrim(upTo: Int): Unit = {
+      val p = span.substring(cursor, upTo).trim
+      if (p.nonEmpty) nodes.push(p)
+      cursor = upTo
+    }
+    var k = 0
+    while (k < tt.length) {
+      val t = tt(k)
+      t.kind match {
+        case "op" =>
+          pushPrim(t.start)
+          ops.push(span.substring(t.start, t.end))
+          cursor = t.end
+          // natural / cross joins take no ON: combine as soon as the
+          // right operand lands (next token or item end marks it)
+          val opLow = span.substring(t.start, t.end).toLowerCase
+          val nextAt = tt.drop(k + 1).headOption.map(_.start).getOrElse(e0)
+          if (opLow.contains("natural") || opLow.contains("cross")) {
+            val right = span.substring(t.end, nextAt).trim
+            cursor = nextAt
+            val op = ops.pop()
+            val left = nodes.pop()
+            nodes.push(s"$left $op $right")
+          }
+        case "on" =>
+          pushPrim(t.start)
+          // condition runs to the next token start or item end
+          val condEnd = tt.drop(k + 1).headOption.map(_.start).getOrElse(e0)
+          val cond = span.substring(t.end, condEnd).trim
+          cursor = condEnd
+          if (ops.size >= 2) deferred = true
+          val op = ops.pop()
+          val right = nodes.pop()
+          val left = nodes.pop()
+          nodes.push(s"($left $op $right ON $cond)")
+        case "using" =>
+          pushPrim(t.start)
+          val u = span.substring(t.start, t.end)
+          val op = ops.pop()
+          val right = nodes.pop()
+          val left = nodes.pop()
+          nodes.push(s"($left $op $right $u)")
+        case _ =>
+      }
+      k += 1
+    }
+    pushPrim(e0)
+    if (!deferred || ops.nonEmpty || nodes.size != 1)
+      item.trim
+    else nodes.top
+  }
+
+  /** SQL `WINDOW name AS (spec)` clause (gram.y window_clause): Spark
+    * parses it but does not resolve references from every clause
+    * position (ORDER BY rank() OVER w) nor the frame-refinement form
+    * `OVER (w RANGE ...)`. Expand every reference to the inline spec
+    * and drop the clause — semantics identical (window_clause is pure
+    * naming). */
+  private def windowClauseExpand(sqlIn: String): String = {
+    var sql = sqlIn
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val masked = maskLiterals(sql)
+      val m = "(?i)\\bWINDOW\\s+(\\w+)\\s+AS\\s*\\(".r.findFirstMatchIn(masked)
+      m.foreach { mm =>
+        // defs: name AS (spec) [, name AS (spec)]*
+        val defs = scala.collection.mutable.LinkedHashMap[String, String]()
+        var at = mm.start + "WINDOW".length
+        var more = true
+        var end = mm.start
+        while (more) {
+          val dm = "(?is)^\\s*(\\w+)\\s+AS\\s*\\(".r
+            .findPrefixMatchOf(masked.substring(at))
+          dm match {
+            case Some(d) =>
+              val open = at + d.end - 1
+              val close = matchingParen(masked, open)
+              defs += d.group(1).toLowerCase -> sql.substring(open + 1, close)
+              end = close + 1
+              val cont = "(?s)^\\s*,".r
+                .findPrefixMatchOf(masked.substring(close + 1))
+              cont match {
+                case Some(c2) => at = close + 1 + c2.end
+                case None => more = false
+              }
+            case None => more = false
+          }
+        }
+        if (defs.nonEmpty) {
+          // a def may itself reference an earlier window (`wx AS (w)`,
+          // gram.y window_definition existing_window_name) — resolve
+          // to fixpoint before substituting call sites
+          var settled = false
+          while (!settled) {
+            settled = true
+            for ((n, spec) <- defs) {
+              val rm = "(?is)^\\s*(\\w+)\\b(.*)$".r.findFirstMatchIn(spec)
+              rm.filter(r => defs.contains(r.group(1).toLowerCase) &&
+                r.group(1).toLowerCase != n).foreach { r =>
+                defs(n) = defs(r.group(1).toLowerCase) + r.group(2)
+                settled = false
+              }
+            }
+          }
+          var out = sql.substring(0, mm.start) + " " + sql.substring(end)
+          for ((name, spec) <- defs) {
+            out = out.replaceAll(
+              "(?i)\\bOVER\\s*\\(\\s*" + name + "\\b",
+              java.util.regex.Matcher.quoteReplacement(s"OVER ($spec "))
+            out = out.replaceAll("(?i)\\bOVER\\s+" + name + "\\b",
+              java.util.regex.Matcher.quoteReplacement(s"OVER ($spec)"))
+          }
+          sql = out
+          changed = true
+        }
+      }
+    }
+    sql
+  }
+
+  /** Hypothetical-set aggregates with DIRECT arguments (orderedsetaggs.c
+    * hypothetical_rank_common): `rank(v) WITHIN GROUP (ORDER BY x)` asks
+    * where v would rank among the x values. Spark has no spelling; each
+    * form compiles to its defining count over the group:
+    * rank = 1+|{x < v}|, dense_rank counts distinct, percent_rank =
+    * (rank-1)/N, cume_dist = (1+|{x <= v}|)/(N+1). DESC flips the
+    * comparison. Single order key only (the multi-key forms in the
+    * reference suites are all over excluded custom aggregates). */
+  private def hypotheticalSetAgg(sqlIn: String): String = {
+    var sql = sqlIn
+    var guard = 0
+    while (guard < 32) {
+      guard += 1
+      val masked = maskLiterals(sql)
+      val m = ("(?i)\\b(rank|dense_rank|percent_rank|cume_dist)\\s*\\(").r
+        .findAllMatchIn(masked).find { mm =>
+        val close = matchingParen(masked, mm.end - 1)
+        masked.substring(mm.end, close).trim.nonEmpty &&
+          "(?is)^\\s*within\\s+group\\s*\\(".r
+            .findPrefixMatchOf(masked.substring(close + 1)).isDefined
+      }
+      m match {
+        case None => return sql
+        case Some(mm) =>
+          val fn = mm.group(1).toLowerCase
+          val close = matchingParen(masked, mm.end - 1)
+          val v = sql.substring(mm.end, close).trim
+          val wg = "(?is)^\\s*within\\s+group\\s*\\(".r
+            .findPrefixMatchOf(masked.substring(close + 1)).get
+          val wgOpen = close + 1 + wg.end - 1
+          val wgClose = matchingParen(masked, wgOpen)
+          val ob = sql.substring(wgOpen + 1, wgClose).trim
+          val om = "(?is)^ORDER\\s+BY\\s+(.*?)(\\s+ASC|\\s+DESC)?\\s*$".r
+            .findFirstMatchIn(ob).getOrElse(
+              throw new IllegalArgumentException(
+                s"WITHIN GROUP needs ORDER BY: $ob"))
+          val x = om.group(1).trim
+          val desc = Option(om.group(2)).exists(_.trim.equalsIgnoreCase("DESC"))
+          val lt = if (desc) ">" else "<"
+          val le = if (desc) ">=" else "<="
+          val repl = fn match {
+            case "rank" =>
+              s"(1 + count(CASE WHEN ($x) $lt ($v) THEN 1 END))"
+            case "dense_rank" =>
+              s"(1 + count(DISTINCT CASE WHEN ($x) $lt ($v) THEN ($x) END))"
+            case "percent_rank" =>
+              s"(CASE WHEN count(*) = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+                s"CAST(count(CASE WHEN ($x) $lt ($v) THEN 1 END) AS DOUBLE)" +
+                s" / count(*) END)"
+            case "cume_dist" =>
+              s"(CAST(1 + count(CASE WHEN ($x) $le ($v) THEN 1 END) AS " +
+                s"DOUBLE) / (count(*) + 1))"
+          }
+          sql = sql.substring(0, mm.start) + repl + sql.substring(wgClose + 1)
+      }
+    }
+    sql
+  }
+
+  /** Multi-fraction ordered-set aggregates (orderedsetaggs.c
+    * percentile_cont/disc over a fraction ARRAY): expand the literal
+    * fraction array into one native scalar call per element, wrapped
+    * in array(...) — `percentile_disc(array[a,b]) WITHIN GROUP (o)` →
+    * `array(percentile_disc(a) WITHIN GROUP (o), ...)`. */
+  private def percentileArray(sqlIn: String): String = {
+    var sql = sqlIn
+    var guard = 0
+    while (guard < 32) {
+      guard += 1
+      val masked = maskLiterals(sql)
+      val m = "(?i)\\bpercentile_(cont|disc)\\s*\\(\\s*array\\s*\\[".r
+        .findAllMatchIn(masked).find { mm =>
+        val close = matchingParen(masked, masked.indexOf('(', mm.start))
+        "(?is)^\\s*within\\s+group\\s*\\(".r
+          .findPrefixMatchOf(masked.substring(close + 1)).isDefined
+      }
+      m match {
+        case None => return sql
+        case Some(mm) =>
+          val fn = mm.group(1).toLowerCase
+          val open = masked.indexOf('(', mm.start)
+          val close = matchingParen(masked, open)
+          val brOpen = masked.indexOf('[', mm.start)
+          // matching ']' via a bracket scan
+          var d2 = 0; var k = brOpen; var brClose = -1
+          while (k < masked.length && brClose < 0) {
+            masked.charAt(k) match {
+              case '[' => d2 += 1
+              case ']' => d2 -= 1; if (d2 == 0) brClose = k
+              case _ =>
+            }
+            k += 1
+          }
+          // nested array[[..]] (2-D) is out of scope — leave untouched
+          val inner = sql.substring(brOpen + 1, brClose)
+          if (inner.contains("[")) return sql
+          val fracs = topLevelSplit(inner, masked.substring(brOpen + 1, brClose))
+          val wg = "(?is)^\\s*within\\s+group\\s*\\(".r
+            .findPrefixMatchOf(masked.substring(close + 1)).get
+          val wgOpen = close + 1 + wg.end - 1
+          val wgClose = matchingParen(masked, wgOpen)
+          val obText = sql.substring(close + 1, wgClose + 1)
+          val calls =
+            if (fn == "cont") fracs.map(f => s"percentile_cont($f) $obText")
+            else {
+              // percentile_disc works on ANY orderable type in PG
+              // (strings included); Spark's builtin is numeric-only, so
+              // disc compiles to its definition — the first sorted
+              // value at cumulative fraction >= p (index ceil(p*n),
+              // floor 1 for p=0)
+              val ob = sql.substring(wgOpen + 1, wgClose).trim
+              val om = "(?is)^ORDER\\s+BY\\s+(.*?)(\\s+ASC|\\s+DESC)?\\s*$".r
+                .findFirstMatchIn(ob).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"WITHIN GROUP needs ORDER BY: $ob"))
+              val x = om.group(1).trim
+              val desc = Option(om.group(2))
+                .exists(_.trim.equalsIgnoreCase("DESC"))
+              val arr =
+                if (desc) s"reverse(array_sort(collect_list(($x))))"
+                else s"array_sort(collect_list(($x)))"
+              fracs.map(f => s"element_at($arr, greatest(1, " +
+                s"CAST(ceil(($f) * count(($x))) AS INT)))")
+            }
+          sql = sql.substring(0, mm.start) +
+            calls.mkString("array(", ", ", ")") + sql.substring(wgClose + 1)
+      }
+    }
+    sql
+  }
+
+  /** Aggregate-internal ORDER BY (gram.y func_arg_list with
+    * agg_order): `array_agg(v ORDER BY k [DESC] [NULLS ...])` /
+    * `string_agg(v, d ORDER BY k)`. Spark's parser has no spelling, so
+    * the ordered collection compiles to an explicit
+    * collect→sort→project chain: structs carry (key, value) so NULL
+    * values survive collect_list, a comparator lambda encodes
+    * direction and null placement (PG defaults: NULLS LAST for ASC,
+    * FIRST for DESC), DISTINCT dedups the struct pairs. Single order
+    * key (the reference's multi-key forms ride excluded custom
+    * aggregates). */
+  private def orderedAgg(sqlIn: String): String = {
+    var sql = sqlIn
+    var guard = 0
+    while (guard < 32) {
+      guard += 1
+      val masked = maskLiterals(sql)
+      val hit = "(?i)\\b(array_agg|string_agg)\\s*\\(".r
+        .findAllMatchIn(masked).flatMap { mm =>
+        val open = masked.indexOf('(', mm.start)
+        val close = matchingParen(masked, open)
+        val argsMasked = masked.substring(open + 1, close)
+        // top-level ORDER BY inside the call?
+        var d2 = 0; var obAt = -1; var j = 0
+        while (j < argsMasked.length && obAt < 0) {
+          argsMasked.charAt(j) match {
+            case '(' | '[' => d2 += 1
+            case ')' | ']' => d2 -= 1
+            case _ =>
+              if (d2 == 0 &&
+                argsMasked.regionMatches(true, j, "order", 0, 5) &&
+                (j == 0 || !Character.isLetterOrDigit(argsMasked.charAt(j - 1))) &&
+                "(?is)^order\\s+by\\b".r
+                  .findPrefixMatchOf(argsMasked.substring(j)).isDefined)
+                obAt = j
+          }
+          j += 1
+        }
+        // DISTINCT array_agg without ORDER BY also rewrites: Spark's
+        // native collect drops NULL elements, PG's array_agg keeps them
+        val bareDistinct = obAt < 0 &&
+          mm.group(1).equalsIgnoreCase("array_agg") &&
+          "(?is)^\\s*DISTINCT\\b".r.findFirstIn(argsMasked).isDefined
+        if (obAt < 0 && !bareDistinct) None
+        else Some((mm, open, close, obAt))
+      }.toSeq.headOption
+      hit match {
+        case None => return sql
+        case Some((mm, open, close, obAt)) if obAt < 0 =>
+          // array_agg(DISTINCT x): struct-wrap so NULLs survive collect
+          val x = sql.substring(open + 1, close)
+            .replaceAll("(?is)^\\s*DISTINCT\\b", "").trim
+          sql = sql.substring(0, mm.start) +
+            s"transform(array_distinct(collect_list(struct(($x) AS v)))" +
+            s", s -> s.v)" + sql.substring(close + 1)
+        case Some((mm, open, close, obAt)) =>
+          val fn = mm.group(1).toLowerCase
+          val rawArgs = sql.substring(open + 1, close)
+          val pre = rawArgs.substring(0, obAt).trim
+          val obBody = "(?is)^order\\s+by\\s+(.*)$".r
+            .findFirstMatchIn(rawArgs.substring(obAt)).get.group(1).trim
+          val km = ("(?is)^(.*?)(\\s+ASC|\\s+DESC)?" +
+            "(\\s+NULLS\\s+(?:FIRST|LAST))?\\s*$").r
+            .findFirstMatchIn(obBody).get
+          if (km.group(1).contains(",")) return sql // multi-key: leave
+          val key = km.group(1).trim
+          val desc = Option(km.group(2)).exists(_.trim.equalsIgnoreCase("DESC"))
+          val nullsFirst = Option(km.group(3)) match {
+            case Some(nf) => nf.trim.toUpperCase.endsWith("FIRST")
+            case None => desc // PG default: NULLS LAST asc, FIRST desc
+          }
+          val distinct = "(?is)^\\s*DISTINCT\\b".r.findFirstIn(pre).isDefined
+          val pre2 = pre.replaceAll("(?is)^\\s*DISTINCT\\b", "").trim
+          val items = topLevelSplit(pre2, maskLiterals(pre2))
+          val (v, delim) = fn match {
+            case "string_agg" =>
+              require(items.length == 2,
+                s"string_agg takes (value, delimiter): $rawArgs")
+              (items(0), Some(items(1)))
+            case _ =>
+              require(items.length == 1,
+                s"array_agg takes one argument: $rawArgs")
+              (items(0), None)
+          }
+          val nf = if (nullsFirst) "-1" else "1"
+          val (ltR, gtR) = if (desc) ("1", "-1") else ("-1", "1")
+          val cmp = s"(l, r) -> CASE " +
+            s"WHEN l.k IS NULL AND r.k IS NULL THEN 0 " +
+            s"WHEN l.k IS NULL THEN $nf WHEN r.k IS NULL THEN ${if (nullsFirst) "1" else "-1"} " +
+            s"WHEN l.k < r.k THEN $ltR WHEN l.k > r.k THEN $gtR ELSE 0 END"
+          val collected0 = s"collect_list(struct(($key) AS k, ($v) AS v))"
+          val collected =
+            if (distinct) s"array_distinct($collected0)" else collected0
+          val sorted = s"array_sort($collected, $cmp)"
+          val repl = delim match {
+            case Some(d) =>
+              s"array_join(transform($sorted, s -> s.v), $d)"
+            case None => s"transform($sorted, s -> s.v)"
+          }
+          sql = sql.substring(0, mm.start) + repl + sql.substring(close + 1)
+      }
+    }
+    sql
+  }
+
   /** PG resolves an ORDER BY item textually identical to a SELECT-list
     * expression as that output column (parse_clause.c
     * transformSortClause resolves against the targetlist first). Spark
@@ -1166,7 +1739,10 @@ object PgSql {
     val havingAt = topAll("(?i)\\bHAVING\\b").headOption
     val obM = topAll("(?i)\\bORDER\\s+BY\\b").lastOption
     val fromAt = topAll("(?i)\\bFROM\\b").headOption
-    if (selM.isEmpty || havingAt.isEmpty || obM.isEmpty || fromAt.isEmpty)
+    val anyWindowItem = obM.exists(ob =>
+      "(?i)\\bover\\b".r.findFirstIn(masked.substring(ob.end)).isDefined)
+    if (selM.isEmpty || obM.isEmpty || fromAt.isEmpty ||
+      (havingAt.isEmpty && !anyWindowItem))
       sqlIn
     else {
       val ob = obM.get
@@ -1193,8 +1769,12 @@ object PgSql {
       val rewritten = obItems.map { it =>
         itemRe.findFirstMatchIn(it) match {
           case Some(m) =>
-            val k = selNorm.indexOf(normE(m.group(1)))
-            if (k >= 0)
+            val core = normE(m.group(1))
+            val k = selNorm.indexOf(core)
+            // rewrite under HAVING (the unresolvable-Sort shape) and
+            // for window-function items (Spark refuses a window call
+            // in ORDER BY; PG binds it to the identical output column)
+            if (k >= 0 && (havingAt.isDefined || core.contains("over")))
               (k + 1).toString + Option(m.group(2)).getOrElse("") +
                 Option(m.group(3)).getOrElse("")
             else it
@@ -1587,11 +2167,13 @@ object PgSql {
     // quantified runs BEFORE arraySubquery so `= ANY(ARRAY(subquery))`
     // is seen as the sublink it is, not a collect()'d scalar array
     val sql = rowCompare(arraySubquery(quantified(flattenGroupByParens(
-      regexSubstring(extractFields(unnestFrom(generateSeriesRewrite(
+      regexSubstring(extractFields(unnestFrom(generateSeriesRewrite(lateralValues(
         windowOrder(subscripts(arrayBrackets(arrayLiteralCasts(
           quotedIdents(joinOnSubqueryToFilter(gpDistRandom(
             complexRewrites(intervalSpacing(
-              pgStringSyntax(orderByOrdinal(sqlIn)))))))))))))))))))
+              pgStringSyntax(orderedAgg(percentileArray(hypotheticalSetAgg(
+                windowClauseExpand(nestedJoinOns(
+                  orderByOrdinal(sqlIn)))))))))))))))))))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

@@ -649,7 +649,7 @@ object SqlFunctions {
   /** Inline every registered SQL-function call site, to fixpoint
     * (functions may call other functions; recursion throws). */
   def expand(sql: String): String = {
-    var cur = sql
+    var cur = PgAggregates.substituteNames(sql)
     var rounds = 0
     var changed = true
     while (changed) {

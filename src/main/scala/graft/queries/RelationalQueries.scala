@@ -434,6 +434,138 @@ object RelationalQueries {
           "FROM nation GROUP BY 1").get
     }),
 
+    // Hypothetical-set aggregates with DIRECT arguments
+    // (orderedsetaggs.c hypothetical_rank_common): where would v rank
+    // among the group's values — each form compiles to its defining
+    // count, fully codegen.
+    "q274_hypothetical_direct" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT
+          |  rank(15) within group (order by o_orderkey) AS r,
+          |  dense_rank(15) within group (order by o_orderkey) AS dr,
+          |  percent_rank(15) within group (order by o_orderkey) AS pr,
+          |  cume_dist(15) within group (order by o_orderkey) AS cd
+          |FROM orders WHERE o_orderkey <= 100""".stripMargin).get
+    }),
+
+    // Multi-fraction ordered-set aggregates (percentile over a
+    // fraction ARRAY): cont expands to native per-element calls, disc
+    // compiles to its sorted-position definition (works on strings,
+    // which Spark's numeric-only builtin cannot).
+    "q275_percentile_array" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT
+          |  percentile_cont(array[0.25, 0.5, 0.75])
+          |    within group (order by o_orderkey) AS cont,
+          |  percentile_disc(array[0.25, 0.5, 0.75])
+          |    within group (order by o_orderpriority) AS disc
+          |FROM orders WHERE o_orderkey <= 1000""".stripMargin).get
+    }),
+
+    // SQL WINDOW clause (gram.y window_clause): named specs referenced
+    // from any clause position, frame refinement `OVER (w ROWS ...)`,
+    // and window-over-window definitions — all expanded inline.
+    "q276_window_clause" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT o_orderkey, rank() OVER w AS rnk,
+          |  count(*) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+          |    AS near
+          |FROM orders WHERE o_orderkey <= 100
+          |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+          |ORDER BY rank() OVER w, o_orderkey""".stripMargin).get
+    }),
+
+    // Deferred JOIN ... ON nesting (gram.y joined_table is
+    // right-recursive): `a left join b join c ON bc ON ab` groups as
+    // `a left join (b join c ON bc) ON ab`.
+    "q277_nested_join_on" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT n.n_name, r.r_name, c.c_custkey
+          |FROM nation n
+          |  LEFT JOIN region r
+          |    JOIN customer c
+          |    ON c.c_custkey % 5 = r.r_regionkey AND c.c_custkey <= 50
+          |  ON r.r_regionkey = n.n_regionkey""".stripMargin).get
+    }),
+
+    // Aggregate-internal ORDER BY (gram.y agg_order): ordered
+    // array_agg / string_agg through collect->sort->project (NULL
+    // elements survive via struct wrapping — PG keeps them).
+    "q278_ordered_agg_sql" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT o_orderstatus,
+          |  array_agg(o_orderkey ORDER BY o_orderkey DESC) AS keys_desc,
+          |  string_agg(CAST(o_orderkey AS STRING), '|'
+          |             ORDER BY o_orderkey) AS keys_asc
+          |FROM orders WHERE o_orderkey <= 200
+          |GROUP BY o_orderstatus""".stripMargin).get
+    }),
+
+    // DML battery: SERIAL dense sequence defaults, INSERT DEFAULT
+    // VALUES, DELETE with an alias and a JOIN-shaped USING list
+    // (NOT EXISTS keep-rows swap).
+    "q279_dml_serial_delete" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s, "DROP TABLE IF EXISTS t279")
+      graft.Graft.execute(s, "CREATE TABLE t279 (id SERIAL, k INT, v TEXT)")
+      graft.Graft.execute(s,
+        "INSERT INTO t279 (k, v) VALUES (0, 'a'), (5, 'b'), (3, 'c'), (99, 'd')")
+      graft.Graft.execute(s, "INSERT INTO t279 DEFAULT VALUES")
+      graft.Graft.execute(s,
+        """DELETE FROM t279 AS t
+          |USING nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+          |WHERE t.k = n.n_nationkey AND r.r_regionkey = 0""".stripMargin)
+      graft.Graft.execute(s, "SELECT id, k, v FROM t279").get
+    }),
+
+    // CREATE AGGREGATE over catalog transition functions
+    // (create_aggregate.sql shapes): the sfunc/finalfunc pair resolves
+    // to the builtin it reconstructs; the name is a pure alias.
+    "q280_create_aggregate" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        "CREATE AGGREGATE myavg280 (sfunc = int4_avg_accum, " +
+          "basetype = int4, stype = _int8, finalfunc = int8_avg)")
+      graft.Graft.execute(s,
+        "CREATE AGGREGATE mycnt280 (*) (sfunc = int8inc, stype = int8)")
+      graft.Graft.execute(s,
+        """SELECT o_orderstatus,
+          |  myavg280(CAST(o_orderkey % 97 AS INT)) AS a,
+          |  mycnt280(*) AS n
+          |FROM orders WHERE o_orderkey <= 500
+          |GROUP BY o_orderstatus""".stripMargin).get
+    }),
+
+    // Correlated SRFs in FROM: explicit LATERAL generate_series with a
+    // correlated bound, and correlated single-row VALUES (both compile
+    // to lateral subqueries).
+    "q281_lateral_srf" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT n.n_nationkey, g.g, v.x
+          |FROM nation n,
+          |  lateral generate_series(1, CAST(n.n_nationkey % 3 AS INT)) g,
+          |  lateral (values (upper(n.n_name))) v(x)""".stripMargin).get
+    }),
+
+    // format() + bool operator functions through the SQL front door
+    // (varlena.c text_format, bool.c booleq): the format string
+    // compiles driver-side into ONE codegen concat.
+    "q282_format_fn" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT n_name,
+          |  format('%s #%s is %L', n_name, n_nationkey, lower(n_name))
+          |    AS described,
+          |  booleq(n_nationkey % 2 = 0, true) AS is_even
+          |FROM nation""".stripMargin).get
+    }),
+
     // ROLLUP + grouping_id (plangroupext.c, gram.y:723).
     "q21_rollup" -> ((s, d) =>
       t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
@@ -1499,6 +1631,67 @@ object RelationalQueries {
         |FROM orders WHERE o_orderkey <= 100""".stripMargin,
     "q272_decode_bytea" ->
       "SELECT n_name, n_name AS roundtrip, n_name AS roundtrip64 FROM nation",
+    "q274_hypothetical_direct" ->
+      """SELECT
+        |  1 + count(CASE WHEN o_orderkey < 15 THEN 1 END) AS r,
+        |  1 + count(DISTINCT CASE WHEN o_orderkey < 15
+        |                          THEN o_orderkey END) AS dr,
+        |  CAST(count(CASE WHEN o_orderkey < 15 THEN 1 END) AS DOUBLE)
+        |    / count(*) AS pr,
+        |  CAST(1 + count(CASE WHEN o_orderkey <= 15 THEN 1 END) AS DOUBLE)
+        |    / (count(*) + 1) AS cd
+        |FROM orders WHERE o_orderkey <= 100""".stripMargin,
+    "q275_percentile_array" ->
+      """SELECT
+        |  quantile_cont(o_orderkey, [0.25, 0.5, 0.75]) AS cont,
+        |  quantile_disc(o_orderpriority, [0.25, 0.5, 0.75]) AS disc
+        |FROM orders WHERE o_orderkey <= 1000""".stripMargin,
+    "q276_window_clause" ->
+      """SELECT o_orderkey,
+        |  rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |    AS rnk,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |                 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS near
+        |FROM orders WHERE o_orderkey <= 100""".stripMargin,
+    "q277_nested_join_on" ->
+      """SELECT n.n_name, r.r_name, c.c_custkey
+        |FROM nation n
+        |  LEFT JOIN (region r JOIN customer c
+        |             ON c.c_custkey % 5 = r.r_regionkey
+        |                AND c.c_custkey <= 50)
+        |  ON r.r_regionkey = n.n_regionkey""".stripMargin,
+    "q278_ordered_agg_sql" ->
+      """SELECT o_orderstatus,
+        |  array_agg(o_orderkey ORDER BY o_orderkey DESC) AS keys_desc,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), '|'
+        |             ORDER BY o_orderkey) AS keys_asc
+        |FROM orders WHERE o_orderkey <= 200
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q279_dml_serial_delete" ->
+      """SELECT * FROM (VALUES (1, 0, 'a'), (2, 5, 'b'), (3, 3, 'c'),
+        |                      (4, 99, 'd'),
+        |                      (5, CAST(NULL AS INT), CAST(NULL AS VARCHAR)))
+        |         t(id, k, v)
+        |WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |                  WHERE t.k = n.n_nationkey
+        |                    AND r.r_regionkey = 0)""".stripMargin,
+    "q280_create_aggregate" ->
+      """SELECT o_orderstatus,
+        |  avg(o_orderkey % 97) AS a, count(*) AS n
+        |FROM orders WHERE o_orderkey <= 500
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q281_lateral_srf" ->
+      """SELECT n.n_nationkey, g.g, upper(n.n_name) AS x
+        |FROM nation n JOIN (SELECT CAST(range AS BIGINT) + 1 AS g
+        |                    FROM range(3)) g
+        |  ON g.g <= n.n_nationkey % 3""".stripMargin,
+    "q282_format_fn" ->
+      """SELECT n_name,
+        |  n_name || ' #' || CAST(n_nationkey AS VARCHAR) || ' is '
+        |    || '''' || lower(n_name) || '''' AS described,
+        |  (n_nationkey % 2 = 0) = true AS is_even
+        |FROM nation""".stripMargin,
     "q18_cross_join" -> "SELECT n_name, r_name FROM nation CROSS JOIN region",
     "q19_band_join" ->
       """SELECT c_custkey, s_suppkey, c_acctbal - s_acctbal AS bal_diff
