@@ -200,6 +200,13 @@ object Graft {
       operators.PgAggregates.create(stripSemi(t)); None
     } else if (is("(?is)^ALTER\\s+AGGREGATE\\b.*\\bRENAME\\s+TO\\b")) {
       operators.PgAggregates.alterRename(stripSemi(t)); None
+    } else if (is("(?is)^DROP\\s+FUNCTION\\b")) {
+      // `DROP FUNCTION f(int)` — the PG signature form names argument
+      // types; the registry keys on the bare name
+      operators.SqlFunctions.drop(stripSemi(t)
+        .replaceFirst("(?is)^DROP\\s+FUNCTION\\s+(IF\\s+EXISTS\\s+)?", "")
+        .replaceFirst("(?s)\\s*\\(.*$", "").trim.replace("\"", ""))
+      None
     } else if (is("(?is)^DROP\\s+AGGREGATE\\b")) {
       operators.PgAggregates.drop(stripSemi(t)
         .replaceFirst("(?is)^DROP\\s+AGGREGATE\\s+(IF\\s+EXISTS\\s+)?", "")
@@ -638,7 +645,8 @@ object Graft {
           .replaceFirstIn(stripSemi(t), "")
           .replaceAll("(?is)\\s+(CASCADE|RESTRICT)\\s*$", ""))
       names.length > 1 ||
-        "(?is)\\b(CASCADE|RESTRICT)\\s*$".r.findFirstIn(stripSemi(t)).isDefined
+        "(?is)\\b(CASCADE|RESTRICT)\\s*$".r.findFirstIn(stripSemi(t)).isDefined ||
+        names.exists(n => operators.GreengageDdl.isInheritanceMember(n.trim))
     }) {
       // PG's multi-target DROP a, b, c and CASCADE/RESTRICT tails
       // (gram.y DropStmt) — Spark drops one relation, no tail. CASCADE
@@ -652,7 +660,12 @@ object Graft {
         "(?is)^DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?".r
           .replaceFirstIn(stripSemi(t), "")
           .replaceAll("(?is)\\s+(CASCADE|RESTRICT)\\s*$", ""))
-        .foreach(n => spark.sql(s"DROP $kind $ifE${n.trim}"))
+        .foreach { n =>
+          // inheritance: dropping a parent drops its view + __only;
+          // dropping a child detaches it from its parents' views
+          if (!operators.GreengageDdl.handleInheritanceDrop(spark, n.trim))
+            spark.sql(s"DROP $kind $ifE${n.trim}")
+        }
       None
     } else copyProgRe.findFirstMatchIn(t) match {
       case Some(m) => runCopyProgram(spark, m); None
@@ -818,7 +831,10 @@ object Graft {
     val m = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)\\s*(\\([^)]*\\))?\\s*(.*)$".r
       .findFirstMatchIn(st).getOrElse(
         throw new IllegalArgumentException(s"cannot parse INSERT: $st"))
-    val table = m.group(1).replace("\"", "")
+    // INSERT into an inheritance parent stores into the parent's own
+    // physical table (<parent>__only) — PG routes to the parent rel
+    val table = operators.GreengageDdl.physicalTarget(
+      m.group(1).replace("\"", ""))
     val tgt = spark.table(table).schema
     val cols = Option(m.group(2)).map(cl => operators.GreengageDdl.splitTop(
         cl.stripPrefix("(").stripSuffix(")")).map(_.replace("\"", "").trim))

@@ -13,6 +13,74 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftStrings {
 
+  // PG regexp_replace (reference src/backend/utils/adt/regexp.c
+  // textregexreplace + parse_re_flags): compiled patterns cached per
+  // (pattern, flags) — regex tests re-use a handful of patterns over
+  // many rows
+  private val pgReCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      java.util.regex.Pattern]()
+
+  private def compilePgRe(pat: String,
+                          flags: String): java.util.regex.Pattern =
+    pgReCache.computeIfAbsent((pat, flags), { _ =>
+      import java.util.regex.Pattern
+      var fl = 0
+      // PG default matching is NON-newline-sensitive: `.` crosses
+      // lines (Java needs DOTALL for that); n/m select line mode
+      var dotAll = true
+      var multiline = false
+      flags.foreach {
+        case 'g' | 'c' => ()
+        case 'i' => fl |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
+        case 'n' | 'm' => dotAll = false; multiline = true
+        case 's' => dotAll = true; multiline = false
+        case 'p' => dotAll = false; multiline = false
+        case 'w' => dotAll = true; multiline = true
+        case 'q' => fl |= Pattern.LITERAL
+        case 'x' => fl |= Pattern.COMMENTS
+        case other => throw new IllegalArgumentException(
+          s"invalid regular expression option: $other")
+      }
+      if (dotAll) fl |= Pattern.DOTALL
+      if (multiline) fl |= Pattern.MULTILINE
+      Pattern.compile(pat, fl)
+    })
+
+  /** PG replacement text (`\1`..`\9`, `\&` whole match) → Java
+    * replacement (`$1`, `$0`; `$` escaped). */
+  private def pgReplacement(r: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < r.length) {
+      val c = r.charAt(i)
+      if (c == '\\' && i + 1 < r.length) {
+        val n = r.charAt(i + 1)
+        if (n.isDigit) { sb += '$' += n; i += 2 }
+        else if (n == '&') { sb ++= "$0"; i += 2 }
+        else if (n == '\\') { sb ++= "\\\\"; i += 2 }
+        else { sb += '\\' += n; i += 2 }
+      } else if (c == '$') { sb ++= "\\$"; i += 1 }
+      else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** regexp.c textregexreplace: WITHOUT 'g' only the FIRST match is
+    * replaced (Spark's builtin is always-global — a silent wrong
+    * answer for ported scripts). */
+  def pgRegexpReplace(s: UTF8String, p: UTF8String, r: UTF8String,
+                      f: UTF8String): UTF8String = {
+    val flags = f.toString
+    val m = compilePgRe(p.toString, flags).matcher(s.toString)
+    val rep =
+      if (flags.contains('q'))
+        java.util.regex.Matcher.quoteReplacement(r.toString)
+      else pgReplacement(r.toString)
+    UTF8String.fromString(
+      if (flags.contains('g')) m.replaceAll(rep) else m.replaceFirst(rep))
+  }
+
   /** Character-trigram Jaccard similarity, our analog of pg_trgm's
     * `similarity()` (reference `contrib/pg_trgm/trgm_op.c`). Semantics
     * (documented, matched by the SQL oracle): lowercase the string, pad
@@ -1141,6 +1209,18 @@ object GraftFunctions {
       FunctionIdentifier("boolge"),
       info("boolge", "boolge(a, b) - bool >="),
       (args: Seq[Expression]) => GreaterThanOrEqual(args(0), args(1)))
+    // array_dims (arrayfuncs.c): '[1:n]' text for a 1-D array, NULL
+    // for NULL/empty — type-generic via a catalyst builder
+    reg.registerFunction(
+      FunctionIdentifier("array_dims"),
+      info("array_dims", "array_dims(arr) - '[1:n]' dimension text"),
+      (args: Seq[Expression]) => {
+        val a = args.head
+        If(Or(IsNull(a), EqualTo(Size(a), Literal(0))),
+          Literal.create(null, StringType),
+          Concat(Seq(Literal("[1:"), Cast(Size(a), StringType),
+            Literal("]"))))
+      })
     reg.registerFunction(
       FunctionIdentifier("num_nulls"),
       info("num_nulls", "num_nulls(a, b, ...) - how many arguments are NULL"),

@@ -50,11 +50,17 @@ object GreengageDdl {
       colDefaults: Map[String, String] = Map.empty,
       // SERIAL/BIGSERIAL columns: execute() creates their implicit
       // sequence and records them for the INSERT default path
-      serialCols: Seq[String] = Seq.empty)
+      serialCols: Seq[String] = Seq.empty,
+      // INHERITS (parents): execute() prepends the parents' columns
+      // and attaches the new table as a child
+      inherits: Seq[String] = Seq.empty)
 
   /** PG/Greengage type name → Spark SQL type (SURVEY §1.2 mapping). */
   private[operators] def mapType(pg: String): String = {
     val t = pg.trim.toLowerCase.replaceAll("\\s+", " ")
+    // array column types `int[]` / `text[][]` (gram.y opt_array_bounds)
+    if (t.endsWith("[]"))
+      return s"ARRAY<${mapType(t.stripSuffix("[]"))}>"
     val paren = "\\((.*)\\)".r.findFirstMatchIn(t).map(_.group(1))
     t.takeWhile(_ != '(').trim match {
       case "int2" | "smallint" => "SMALLINT"
@@ -63,10 +69,14 @@ object GreengageDdl {
       case "real" | "float4" => "FLOAT"
       case "float8" | "double precision" | "float" => "DOUBLE"
       case "numeric" | "decimal" => paren.map(p => s"DECIMAL($p)").getOrElse("DECIMAL(38,18)")
-      case "text" | "varchar" | "character varying" | "char" | "character"
+      case "text" | "varchar" | "character varying" | "char varying"
+           | "char" | "character"
            | "bpchar" | "name" | "uuid" | "json" | "jsonb" | "xml" => "STRING"
       case "bool" | "boolean" => "BOOLEAN"
       case "bit" | "bit varying" | "varbit" => "STRING"
+      // int2vector/oidvector: space-separated vector literals keep
+      // their textual form (their tests compare/print them verbatim)
+      case "int2vector" | "oidvector" => "STRING"
       case "date" => "DATE"
       case "timestamp" | "timestamp without time zone" => "TIMESTAMP_NTZ"
       case "timestamptz" | "timestamp with time zone" => "TIMESTAMP"
@@ -171,7 +181,7 @@ object GreengageDdl {
           // per-column compression clause (gram.y column_reference_
           // storage_directive) — parquet already compresses per column.
           val conRe =
-            "(?i)\\s+(not\\s+null|null|default\\s+.*|primary\\s+key|unique|check\\s*\\(.*\\)|references\\s+.*|encoding\\s*\\(.*\\))$"
+            "(?i)\\s+(not\\s+null|null|default\\s+.*|primary\\s+key|unique|check\\s*\\(.*\\)|constraint\\s+.*|references\\s+.*|encoding\\s*\\(.*\\))$"
           var typePart = parts(1)
           var prev = ""
           while (typePart != prev) { prev = typePart; typePart = typePart.replaceAll(conRe, "") }
@@ -190,11 +200,21 @@ object GreengageDdl {
           }
         }
     }
+    // INHERITS (parents) — gram.y OptInherit, directly after the
+    // column list; execute() resolves the parents' columns
+    var inherits = Seq.empty[String]
+    val inhRe = "(?is)^INHERITS\\s*\\(".r
+    inhRe.findFirstMatchIn(rest).foreach { h =>
+      val (ps, after) = balanced(rest, h.end - 1)
+      inherits = splitTop(ps).map(_.trim.replace("\"", "").toLowerCase)
+      rest = rest.substring(after).trim
+    }
     // PG allows zero-column tables (CREATE TABLE dual()); parquet
     // needs a schema, so a hidden placeholder column stands in
     // (divergence: SELECT * shows it — row COUNT semantics, the part
     // queries use a zero-column table for, are preserved)
-    if (columns.isEmpty && m.group(4).trim.startsWith("(") &&
+    if (columns.isEmpty && inherits.isEmpty &&
+      m.group(4).trim.startsWith("(") &&
       "^\\(\\s*\\)".r.findFirstIn(m.group(4).trim).isDefined)
       columns = Seq(("__dummy", "INT"))
     // enum/domain columns carry check constraints enforced on INSERT/COPY
@@ -282,7 +302,7 @@ object GreengageDdl {
     }
 
     TableSpec(name, ifNotExists, columns, dist, partitionCols, storageOpts,
-      ctas, materialized, colDefaults.toMap, serialCols.result())
+      ctas, materialized, colDefaults.toMap, serialCols.result(), inherits)
   }
 
   /** Lower the parsed spec onto a Spark SQL DDL statement. */
@@ -353,6 +373,18 @@ object GreengageDdl {
   /** Parse + execute a Greengage CREATE TABLE against the session catalog. */
   def execute(spark: SparkSession, ddl: String, buckets: Int = 32): TableSpec = {
     var spec = parse(ddl)
+    if (spec.inherits.nonEmpty) {
+      // the child's schema is parents' columns ++ its own new ones
+      // (tablecmds.c MergeAttributes)
+      val parentCols = spec.inherits.flatMap(p =>
+        spark.table(p).schema.fields.toSeq.map(f => (f.name, f.dataType.sql)))
+        .foldLeft(Seq.empty[(String, String)]) { (acc, c) =>
+          if (acc.exists(_._1.equalsIgnoreCase(c._1))) acc else acc :+ c
+        }
+      val own = spec.columns.filterNot { case (n, _) =>
+        parentCols.exists(_._1.equalsIgnoreCase(n)) }
+      spec = spec.copy(columns = parentCols ++ own)
+    }
     if (spec.columns.exists(_._1 == "__like__"))
       spec = spec.copy(columns = spec.columns.flatMap {
         case ("__like__", ref) =>
@@ -383,7 +415,86 @@ object GreengageDdl {
       createSequence(s"CREATE SEQUENCE $seq")
       serialRegistry.put(s"${spec.name.toLowerCase}.${c.toLowerCase}", seq)
     }
+    spec.inherits.foreach(p => attachChild(spark, p, spec.name))
     spec
+  }
+
+  // ---------------------------------------------------------------
+  // Table inheritance (gram.y OptInherit, tablecmds.c ATExecAddInherit):
+  // once the first child attaches, the parent's OWN rows move to
+  // <parent>__only and the parent name becomes a UNION ALL view over
+  // all members projected to the parent's columns — the same append-
+  // over-members plan PG builds for an inheritance scan. `ONLY parent`
+  // (PgSql rewrite) and parent-targeted INSERTs resolve to
+  // <parent>__only; SELECTs on the parent see child rows, as PG does.
+  private val inheritReg =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  def isInheritanceParent(t: String): Boolean =
+    inheritReg.containsKey(t.toLowerCase.replace("\"", ""))
+
+  /** Parent or child of any inheritance family. */
+  def isInheritanceMember(t: String): Boolean = {
+    val n = t.toLowerCase.replace("\"", "")
+    if (inheritReg.containsKey(n)) return true
+    var hit = false
+    inheritReg.forEach { (_, cs) => if (cs.contains(n)) hit = true }
+    hit
+  }
+
+  /** The physical table holding the parent's own rows (DML target). */
+  def physicalTarget(t: String): String = {
+    val n = t.toLowerCase.replace("\"", "")
+    if (inheritReg.containsKey(n)) n + "__only" else t
+  }
+
+  def attachChild(spark: SparkSession, parent0: String,
+                  child0: String): Unit = {
+    val parent = parent0.toLowerCase.replace("\"", "")
+    val child = child0.toLowerCase.replace("\"", "")
+    if (!inheritReg.containsKey(parent)) {
+      spark.sql(s"DROP TABLE IF EXISTS ${parent}__only")
+      spark.sql(s"ALTER TABLE $parent RENAME TO ${parent}__only")
+      inheritReg.put(parent, Seq.empty)
+    }
+    inheritReg.put(parent, (inheritReg.get(parent) :+ child).distinct)
+    rebuildInheritView(spark, parent)
+  }
+
+  def detachChild(spark: SparkSession, parent0: String,
+                  child0: String): Unit = {
+    val parent = parent0.toLowerCase.replace("\"", "")
+    val child = child0.toLowerCase.replace("\"", "")
+    if (inheritReg.containsKey(parent)) {
+      inheritReg.put(parent, inheritReg.get(parent).filterNot(_ == child))
+      rebuildInheritView(spark, parent)
+    }
+  }
+
+  private def rebuildInheritView(spark: SparkSession,
+                                 parent: String): Unit = {
+    val cols = spark.table(parent + "__only").schema.fieldNames
+      .map(c => s"`$c`").mkString(", ")
+    val members = (parent + "__only") +: inheritReg.get(parent)
+    spark.sql(s"CREATE OR REPLACE VIEW $parent AS " +
+      members.map(m => s"SELECT $cols FROM $m").mkString(" UNION ALL "))
+  }
+
+  /** DROP TABLE hook: a converted parent needs its view + __only
+    * dropped; a dropped child leaves its parents' views. Returns true
+    * when the drop was fully handled here. */
+  def handleInheritanceDrop(spark: SparkSession, name0: String): Boolean = {
+    val name = name0.toLowerCase.replace("\"", "")
+    // dropping a child: detach everywhere first
+    inheritReg.forEach { (p, cs) =>
+      if (cs.contains(name)) detachChild(spark, p, name)
+    }
+    if (inheritReg.containsKey(name)) {
+      inheritReg.remove(name)
+      spark.sql(s"DROP VIEW IF EXISTS $name")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}__only")
+      true
+    } else false
   }
 
   // SERIAL column → implicit sequence name, keyed "table.col"
@@ -518,9 +629,14 @@ object GreengageDdl {
       "(?:SET\\s+DATA\\s+)?TYPE\\s+([\\w() ,]+?)(?:\\s+USING\\s+(.+?))?\\s*;?\\s*$").r
   private val alterDistRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+SET\\s+(DISTRIBUTED\\s+.+?)\\s*;?\\s*$".r
+  private val alterInheritRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(?:ONLY\\s+)?([\\w.\"]+)\\s+(NO\\s+)?INHERIT\\s+([\\w.\"]+)\\s*;?\\s*$".r
 
   /** Translate + execute a Greengage ALTER TABLE statement. */
   def alter(spark: SparkSession, ddl: String): Unit = ddl match {
+    case alterInheritRe(child, no, parent) =>
+      if (no == null) attachChild(spark, parent, child)
+      else detachChild(spark, parent, child)
     case alterAddRe(name, colName, typeAndCons) =>
       // same fixpoint constraint-strip the CREATE path uses
       val conRe =
@@ -682,7 +798,7 @@ object GreengageDdl {
   // for the name in the anonymous form
   private val createIndexRe =
     ("(?is)^\\s*CREATE\\s+(?:UNIQUE\\s+)?INDEX\\s+(?:CONCURRENTLY\\s+)?" +
-      "(?:(?!ON\\b)([\\w\"]+)\\s+)?ON\\s+([\\w.\"]+)(?:\\s+USING\\s+(\\w+))?\\s*\\(([^)]*)\\)\\s*;?\\s*$").r
+      "(?:(?!ON\\b)([\\w\"]+)\\s+)?ON\\s+([\\w.\"]+)(?:\\s+USING\\s+(\\w+))?\\s*\\((.*)\\)\\s*;?\\s*$").r
   private val dropIndexRe =
     "(?is)^\\s*DROP\\s+INDEX\\s+(?:IF\\s+EXISTS\\s+)?([\\w\"]+)(?:\\s+ON\\s+([\\w.\"]+))?\\s*;?\\s*$".r
 
@@ -700,8 +816,18 @@ object GreengageDdl {
       throw new IllegalArgumentException(s"not a CREATE INDEX statement: $ddl"))
     val table = m.group(2).replace("\"", "")
     // column specs may carry opclass / ASC / DESC / NULLS tokens
-    val cols = splitTop(m.group(4))
-      .map(_.trim.split("\\s+")(0).replace("\"", ""))
+    val specs = splitTop(m.group(4)).map(_.trim)
+    // an EXPRESSION index (`((a || b))`, `(f(x))`, indexelem gram.y):
+    // no single column to cluster the layout on — record the index
+    // (DROP INDEX still resolves it) and leave the layout alone
+    if (specs.exists(s => s.contains("(") || s.contains("|"))) {
+      val idxName = Option(m.group(1)).map(_.replace("\"", "")).getOrElse(
+        table.split("\\.").last + "_expr_idx")
+      spark.table(table) // existence check
+      indexTables.put(idxName, table)
+      return Nil
+    }
+    val cols = specs.map(_.split("\\s+")(0).replace("\"", ""))
     // anonymous form auto-names like PG's ChooseIndexName: t_c1_c2_idx
     val idxName = Option(m.group(1)).map(_.replace("\"", "")).getOrElse(
       (table.split("\\.").last +: cols).mkString("_") + "_idx")

@@ -44,8 +44,9 @@ object Guc {
     * ... CASCADE` takes its tables with it, exactly PG's behavior.
     * `public` (and `"$user"`) are the default database. */
   private def applySearchPath(spark: SparkSession, v: String): Unit = {
-    val first = v.split(",").map(_.trim.replace("\"", ""))
-      .filter(_.nonEmpty)
+    val first = v.split(",")
+      .map(_.trim.stripPrefix("'").stripSuffix("'").trim.replace("\"", ""))
+      .filter(s => s.nonEmpty && s.matches("[\\w$]+"))
       .map { case "$user" | "public" => "default"; case s => s }
       .find(spark.catalog.databaseExists)
     spark.catalog.setCurrentDatabase(first.getOrElse("default"))

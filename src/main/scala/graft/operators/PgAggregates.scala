@@ -27,6 +27,8 @@ object PgAggregates {
     "float4_accum" -> "avg", "float8_accum" -> "avg",
     "int2pl" -> "sum", "int4pl" -> "sum", "int8pl" -> "sum",
     "float4pl" -> "sum", "float8pl" -> "sum", "numeric_add" -> "sum",
+    "int2_sum" -> "sum", "int4_sum" -> "sum", "int8_sum" -> "sum",
+    "float4_sum" -> "sum", "float8_sum" -> "sum",
     "int8inc" -> "count", "int8inc_any" -> "count")
 
   private val finalMap = Map(

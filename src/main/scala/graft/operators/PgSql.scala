@@ -114,8 +114,9 @@ object PgSql {
     out = out.replaceAll("(?i)\\bbit\\s+varying(\\s*\\(\\s*\\d+\\s*\\))?", "STRING")
     out = out.replaceAll("(?i)\\bdouble\\s+precision\\b", "DOUBLE")
     // gp_segment_id pseudo-column (cdbvars.h): single-instance Spark
-    // is one "segment" — the constant 0 (COUNT(DISTINCT) = 1 etc.)
-    out = out.replaceAll("(?i)\\bgp_segment_id\\b", "0")
+    // is one "segment" — the constant 0, CAST so a GROUP BY position
+    // can't read it as an ordinal
+    out = out.replaceAll("(?i)\\bgp_segment_id\\b", "CAST(0 AS INT)")
     // PG typed-literal spellings Spark's parser rejects: timestamptz
     // 'v' / timestamp with[out] time zone 'v' → TIMESTAMP 'v' (the
     // session zone carries tz semantics, datatype.c); segment ends at
@@ -724,9 +725,13 @@ object PgSql {
                 s"(SELECT explode($seq) AS $colName) AS $alias "
               i = end + 1 + consumed
             } else {
-              // select-list: only a bare item (next token ends it)
+              // select-list: only a bare item (next token ends it —
+              // incl. a subquery's closing paren and clause keywords,
+              // the shapes SETOF function inlining produces)
               val tail = masked.substring(end + 1)
-              val bare = tail.matches("(?is)^\\s*(,|;|\\bfrom\\b|\\bas\\b|$).*")
+              val bare = tail.matches("(?is)^\\s*(,|;|\\)|\\bfrom\\b|" +
+                "\\bas\\b|\\border\\b|\\bunion\\b|\\blimit\\b|" +
+                "\\bwhere\\b|\\bgroup\\b|$).*")
               if (!bare) { out += sql.charAt(i); i += 1 }
               else {
                 val hasAs = tail.matches("(?is)^\\s*as\\b.*")
@@ -780,6 +785,139 @@ object PgSql {
               changed = true
             }
           }
+        }
+      }
+    }
+    sql
+  }
+
+  /** SRF arithmetic / repetition in a SELECT list (ExecProjectSet):
+    * `SELECT gs(1,100), gs(1,100)*3, gs(1,100)%6` — every call with
+    * IDENTICAL arguments is ONE row source in PG's LCM protocol, so
+    * the calls hoist to a single LATERAL item and the select items
+    * become expressions over its column. (Distinct-argument SRF zips
+    * stay loud — Srf.projectSet is the API for the full protocol.)
+    * Triggered only when a plain bare-item rewrite can't apply:
+    * several calls, or a call nested in arithmetic. */
+  private def srfSelectHoist(sqlIn: String): String = {
+    if ("(?i)generate_series".r.findFirstIn(sqlIn).isEmpty) return sqlIn
+    var sql = sqlIn
+    var hoists = 0
+    var changed = true
+    while (changed && hoists < 8) {
+      changed = false
+      val masked = maskLiterals(sql)
+      val depth = new Array[Int](masked.length + 1)
+      var d = 0
+      var i = 0
+      while (i < masked.length) {
+        depth(i) = d
+        masked.charAt(i) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      depth(masked.length) = d
+      def word(at: Int, w: String): Boolean =
+        masked.regionMatches(true, at, w, 0, w.length) &&
+          (at == 0 || (!Character.isLetterOrDigit(masked.charAt(at - 1)) &&
+            masked.charAt(at - 1) != '_' && masked.charAt(at - 1) != '.')) &&
+          (at + w.length >= masked.length ||
+            (!Character.isLetterOrDigit(masked.charAt(at + w.length)) &&
+              masked.charAt(at + w.length) != '_'))
+      // select-position calls: nearest preceding depth-equal SELECT
+      // with no intervening FROM
+      val calls = "(?i)\\bgenerate_series\\s*\\(".r.findAllMatchIn(masked)
+        .toSeq.filter { m =>
+          val myd = depth(m.start)
+          var k = m.start - 1
+          var verdict = false
+          var scanning = true
+          while (k >= 0 && scanning) {
+            if (depth(k) == myd) {
+              if (word(k, "select")) { verdict = true; scanning = false }
+              else if (word(k, "from") || word(k, "where") ||
+                word(k, "group") || word(k, "order") || word(k, "having") ||
+                word(k, "values") || word(k, "on")) scanning = false
+            } else if (depth(k) < myd - 1) scanning = false
+            k -= 1
+          }
+          verdict
+        }
+      if (calls.size >= 2 || (calls.size == 1 && {
+        val open = masked.indexOf('(', calls.head.start)
+        val close = matchingParen(masked, open)
+        !masked.substring(close + 1).matches("(?is)^\\s*(,|;|\\)|" +
+          "\\bfrom\\b|\\bas\\b|\\border\\b|\\bunion\\b|\\blimit\\b|" +
+          "\\bwhere\\b|\\bgroup\\b|$).*")
+      })) {
+        // identical-argument calls only; same enclosing depth
+        val texts = calls.map { m =>
+          val open = masked.indexOf('(', m.start)
+          val close = matchingParen(masked, open)
+          (m.start, close + 1,
+            sql.substring(m.start, close + 1).replaceAll("\\s+", " "))
+        }
+        val sameDepth = calls.map(m => depth(m.start)).distinct.size == 1
+        if (sameDepth && texts.map(_._3).distinct.size == 1) {
+          hoists += 1
+          val v = s"__gs_h$hoists"
+          val callText = sql.substring(texts.head._1, texts.head._2)
+          // replace right-to-left
+          texts.sortBy(-_._1).foreach { case (s0, e0, _) =>
+            sql = sql.substring(0, s0) + v + sql.substring(e0)
+          }
+          // insertion point: end of the FROM item list (or no FROM)
+          val masked2 = maskLiterals(sql)
+          val d2 = new Array[Int](masked2.length + 1)
+          var dd = 0
+          var j = 0
+          while (j < masked2.length) {
+            d2(j) = dd
+            masked2.charAt(j) match {
+              case '(' => dd += 1
+              case ')' => dd -= 1
+              case _ =>
+            }
+            j += 1
+          }
+          d2(masked2.length) = dd
+          val myd = depth(calls.head.start)
+          def word2(at: Int, w: String): Boolean =
+            masked2.regionMatches(true, at, w, 0, w.length) &&
+              (at == 0 || (!Character.isLetterOrDigit(masked2.charAt(at - 1)) &&
+                masked2.charAt(at - 1) != '_')) &&
+              (at + w.length >= masked2.length ||
+                (!Character.isLetterOrDigit(masked2.charAt(at + w.length)) &&
+                  masked2.charAt(at + w.length) != '_'))
+          var k = texts.head._1
+          var fromAt = -1
+          while (k < masked2.length && fromAt < 0 && d2(k) >= myd) {
+            if (d2(k) == myd && word2(k, "from")) fromAt = k
+            k += 1
+          }
+          val enders = Seq("where", "group", "having", "order", "limit",
+            "union", "intersect", "except", "window", "fetch", "offset",
+            "returning")
+          var end = masked2.length
+          var scan2 = true
+          var p = if (fromAt >= 0) fromAt + 4 else texts.head._1
+          while (p < masked2.length && scan2) {
+            if (d2(p) < myd) { end = p; scan2 = false }
+            else if (d2(p) == myd && (masked2.charAt(p) == ';' ||
+              enders.exists(word2(p, _)))) { end = p; scan2 = false }
+            else p += 1
+          }
+          val item = s"(SELECT $callText AS $v)"
+          sql =
+            if (fromAt >= 0)
+              sql.substring(0, end) + s", LATERAL $item AS __gs_t$hoists " +
+                sql.substring(end)
+            else sql.substring(0, end) + s" FROM $item AS __gs_t$hoists " +
+              sql.substring(end)
+          changed = true
         }
       }
     }
@@ -971,6 +1109,36 @@ object PgSql {
           rest.substring(wIdx + 5, wEnd).trim + ") " + rest.substring(wEnd)
       } else " WHERE " + condSql + rest
     sql.substring(0, fromAt) + "FROM " + itemSql + newRest
+  }
+
+  /** PG to_date/to_timestamp format templates (formatting.c DCH
+    * keywords: YYYY/DD/HH24/MI/SS/Mon) → Spark's DateTimeFormatter
+    * letters, when the 2nd argument is a plain literal containing a PG
+    * token. Spark-style formats pass through untouched. */
+  private def pgDateTemplates(sqlIn: String): String = {
+    if ("(?i)to_(date|timestamp)".r.findFirstIn(sqlIn).isEmpty) return sqlIn
+    val ms = "(?i)\\bto_(date|timestamp)\\s*\\(".r
+      .findAllMatchIn(maskLiterals(sqlIn)).toSeq.reverse
+    var sql = sqlIn
+    ms.foreach { m =>
+      val masked = maskLiterals(sql)
+      val open = masked.indexOf('(', m.start)
+      val close = matchingParen(masked, open)
+      val args = topLevelSplit(sql.substring(open + 1, close),
+        masked.substring(open + 1, close))
+      if (args.length == 2 && args(1).trim.matches("'[^']*'")) {
+        val fmt = args(1).trim.stripPrefix("'").stripSuffix("'")
+        if ("YYYY|\\bDD\\b|HH24|HH12|\\bMI\\b|\\bSS\\b|\\bMon\\b".r
+          .findFirstIn(fmt).isDefined) {
+          val t2 = fmt.replace("HH24", "HH").replace("HH12", "hh")
+            .replace("YYYY", "yyyy").replace("DD", "dd")
+            .replace("MI", "mm").replace("SS", "ss").replace("Mon", "MMM")
+          sql = sql.substring(0, open + 1) + args(0) + ", '" + t2 + "'" +
+            sql.substring(close)
+        }
+      }
+    }
+    sql
   }
 
   /** PG interval literals glue quantity and unit (`'5year'`,
@@ -1401,6 +1569,79 @@ object PgSql {
     if (!deferred || ops.nonEmpty || nodes.size != 1)
       item.trim
     else nodes.top
+  }
+
+  /** PG's default NULL sort position is NULLS LAST for ASC and NULLS
+    * FIRST for DESC (gram.y sortby: nulls_ordering defaults,
+    * nodeSort); Spark's defaults are the OPPOSITE (NULLS FIRST asc).
+    * Every ORDER BY item without an explicit NULLS spec gets PG's
+    * default spelled out — top-level sorts, subqueries, and window
+    * ORDER BYs alike. WITHIN GROUP order clauses are skipped (Spark's
+    * ordered-set aggregates own their ordering and reject the
+    * modifier). */
+  private def orderByNulls(sqlIn: String): String = {
+    val masked0 = maskLiterals(sqlIn)
+    val obs = "(?i)\\border\\s+by\\b".r.findAllMatchIn(masked0)
+      .map(m => (m.start, m.end)).toSeq.reverse
+    var sql = sqlIn
+    obs.foreach { case (obStart, obEnd) =>
+      val masked = maskLiterals(sql)
+      // WITHIN GROUP (ORDER BY ...)? look back past '(' for the words
+      var p = obStart - 1
+      while (p >= 0 && masked.charAt(p).isWhitespace) p -= 1
+      val inWithinGroup = p >= 0 && masked.charAt(p) == '(' && {
+        val before = masked.substring(0, p).trim.toLowerCase
+        before.endsWith("group") &&
+          before.dropRight(5).trim.endsWith("within")
+      }
+      if (!inWithinGroup) {
+        // span: to depth-underflow ')', a depth-0 clause keyword, or ';'
+        val enders = Seq("limit", "offset", "fetch", "for", "union",
+          "intersect", "except", "returning", "window", "having",
+          "rows", "range", "groups")
+        var d = 0
+        var i = obEnd
+        var end = masked.length
+        var scanning = true
+        def wordAt(at: Int, w: String): Boolean =
+          masked.regionMatches(true, at, w, 0, w.length) &&
+            (at == 0 || (!Character.isLetterOrDigit(masked.charAt(at - 1)) &&
+              masked.charAt(at - 1) != '_')) &&
+            (at + w.length >= masked.length ||
+              (!Character.isLetterOrDigit(masked.charAt(at + w.length)) &&
+                masked.charAt(at + w.length) != '_'))
+        while (i < masked.length && scanning) {
+          masked.charAt(i) match {
+            case '(' | '[' => d += 1
+            case ')' | ']' =>
+              d -= 1
+              if (d < 0) { end = i; scanning = false }
+            case ';' if d == 0 => end = i; scanning = false
+            case _ =>
+              if (d == 0 && enders.exists(wordAt(i, _))) {
+                end = i; scanning = false
+              }
+          }
+          i += 1
+        }
+        val body = sql.substring(obEnd, end)
+        val items = topLevelSplit(body, masked.substring(obEnd, end))
+        val rebuilt = items.map { it =>
+          val t2 = it.trim
+          if (t2.isEmpty ||
+            "(?is)\\bNULLS\\s+(FIRST|LAST)\\s*$".r.findFirstIn(t2).isDefined)
+            t2
+          else if ("(?is)(\\bDESC|\\bUSING\\s*>)\\s*$".r
+            .findFirstIn(t2).isDefined) s"$t2 NULLS FIRST"
+          else s"$t2 NULLS LAST"
+        }
+        if (rebuilt != items.map(_.trim))
+          sql = sql.substring(0, obEnd) + " " + rebuilt.mkString(", ") +
+            (if (end < sql.length && !sql.charAt(end).isWhitespace) " "
+             else "") + sql.substring(end)
+      }
+    }
+    sql
   }
 
   /** SQL `WINDOW name AS (spec)` clause (gram.y window_clause): Spark
@@ -2163,17 +2404,80 @@ object PgSql {
     }
   }
 
+  /** PG json operators (jsonfuncs.c): `j ->> 'k'` / `j -> 'k'` field
+    * access, `j -> n` / `j ->> n` array element — get_json_object
+    * paths. The RHS must be a string literal or an integer, so Spark
+    * lambda arrows (`x -> expr`) never match; chains (`j->'a'->>'b'`)
+    * resolve by repeated application (the call result is itself an
+    * operand). Matches are FOUND on masked text (an arrow inside a
+    * string literal is data) and spliced on the raw text. */
+  private def jsonArrows(sqlIn: String): String = {
+    if (!sqlIn.contains("->")) return sqlIn
+    val re = ("((?:[\\w.$]+\\([^()]*\\))|[\\w.$]+)" +
+      "\\s*(->>|->)\\s*('(?:[^']|'')*'|\\d+)").r
+    var sql = sqlIn
+    var changed = true
+    while (changed) {
+      changed = false
+      re.findFirstMatchIn(maskLiterals(sql)) match {
+        case Some(m) =>
+          val lhs = sql.substring(m.start(1), m.end(1))
+          val rhs = sql.substring(m.start(3), m.end(3))
+          val path =
+            if (rhs.startsWith("'"))
+              "'$." + rhs.substring(1, rhs.length - 1) + "'"
+            else "'$[" + rhs + "]'"
+          sql = sql.substring(0, m.start) +
+            s"get_json_object($lhs, $path)" + sql.substring(m.end)
+          changed = true
+        case None =>
+      }
+    }
+    sql
+  }
+
+  /** `x [NOT] SIMILAR TO 'pat' [ESCAPE 'e']` (regexp.c similar_escape)
+    * → `[NOT] RLIKE` on the translated, anchored POSIX regex. The
+    * pattern must be a literal (PG computes the regex per row for
+    * non-literals; none of the reference suites need that). */
+  private def similarToOp(sqlIn: String): String = {
+    if ("(?i)similar\\s+to".r.findFirstIn(sqlIn).isEmpty) return sqlIn
+    val re = ("(?i)\\b(NOT\\s+)?SIMILAR\\s+TO\\s+('(?:[^']|'')*')" +
+      "(?:\\s+ESCAPE\\s+('(?:[^']|'')*'))?").r
+    var sql = sqlIn
+    var changed = true
+    while (changed) {
+      changed = false
+      re.findFirstMatchIn(maskLiterals(sql)) match {
+        case Some(m) =>
+          def lit(g: Int): Option[String] =
+            Option(m.group(g)).map(_ => sql.substring(m.start(g) + 1,
+              m.end(g) - 1).replace("''", "'"))
+          val pat = lit(2).get
+          val esc = lit(3).map(_.headOption.getOrElse('\\')).getOrElse('\\')
+          val rx = graft.functions.SimilarTo.similarToRegex(pat, esc)
+            .replace("'", "''")
+          val not = if (m.group(1) != null) "NOT " else ""
+          sql = sql.substring(0, m.start) + s" ${not}RLIKE '$rx'" +
+            sql.substring(m.end)
+          changed = true
+        case None =>
+      }
+    }
+    sql
+  }
+
   def rewrite(sqlIn: String): String = {
     // quantified runs BEFORE arraySubquery so `= ANY(ARRAY(subquery))`
     // is seen as the sublink it is, not a collect()'d scalar array
     val sql = rowCompare(arraySubquery(quantified(flattenGroupByParens(
-      regexSubstring(extractFields(unnestFrom(generateSeriesRewrite(lateralValues(
+      regexSubstring(extractFields(unnestFrom(generateSeriesRewrite(srfSelectHoist(lateralValues(
         windowOrder(subscripts(arrayBrackets(arrayLiteralCasts(
           quotedIdents(joinOnSubqueryToFilter(gpDistRandom(
-            complexRewrites(intervalSpacing(
-              pgStringSyntax(orderedAgg(percentileArray(hypotheticalSetAgg(
+            complexRewrites(intervalSpacing(pgDateTemplates(
+              pgStringSyntax(orderByNulls(orderedAgg(percentileArray(hypotheticalSetAgg(
                 windowClauseExpand(nestedJoinOns(
-                  orderByOrdinal(sqlIn)))))))))))))))))))))))))
+                  orderByOrdinal(jsonArrows(similarToOp(sqlIn))))))))))))))))))))))))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

@@ -59,6 +59,18 @@ object SqlFunctions {
       "(?:\\$\\$(.*?)\\$\\$|'((?:[^']|'')*)')\\s+LANGUAGE\\s+PLPGSQL" +
       fnAttrs + "\\s*;?\\s*$").r
 
+  /** The canonical SETOF plpgsql shape — `FOR r IN <query> LOOP RETURN
+    * NEXT r; END LOOP; RETURN;` (pl_exec.c exec_stmt_return_next): the
+    * function IS the query, so it registers exactly like a LANGUAGE
+    * SQL table function (qp_functions_in_contexts_setup.sql:39). */
+  private val plSetofRe =
+    ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+([\\w.]+)\\s*" +
+      "\\((.*?)\\)\\s*RETURNS\\s+SETOF\\s+[\\w.]+\\s+AS\\s+\\$\\$\\s*" +
+      "(?:DECLARE\\s+.*?)?BEGIN\\s+" +
+      "FOR\\s+(\\w+)\\s+IN\\s+(.*?)\\s+LOOP\\s+RETURN\\s+NEXT\\s+\\3\\s*;" +
+      "\\s*END\\s+LOOP\\s*;\\s*RETURN\\s*;\\s*END\\s*;?\\s*" +
+      "\\$\\$\\s+LANGUAGE\\s+PLPGSQL" + fnAttrs + "\\s*;?\\s*$").r
+
   /** Parse a parameter list (gram.y func_arg_with_default): per item
     * `[IN|OUT|INOUT|VARIADIC] name type [DEFAULT expr | = expr]` →
     * (names, default expressions, last-param-variadic). */
@@ -98,7 +110,18 @@ object SqlFunctions {
     * is ONE SQL expression, so call sites inline into a single
     * declarative plan for Catalyst (no interpreter, no per-row
     * re-entry). */
-  def create(ddl: String): SqlFn = fnRe.findFirstMatchIn(ddl) match {
+  def create(ddl0: String): SqlFn = {
+    // gram.y allows the attribute list in any order: normalize the
+    // `LANGUAGE SQL [IMMUTABLE STRICT COST n ...] AS $$...$$` spelling
+    // to `AS $$...$$ LANGUAGE SQL <attrs>`
+    val ddl = ("(?is)\\bLANGUAGE\\s+(SQL|PLPGSQL)(" + fnAttrs +
+      ")\\s+AS\\s+(\\$\\$.*?\\$\\$|'(?:[^']|'')*')").r.replaceAllIn(ddl0, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"AS ${m.group(3)} LANGUAGE ${m.group(1)}${m.group(2)}"))
+    createOrdered(ddl)
+  }
+
+  private def createOrdered(ddl: String): SqlFn = fnRe.findFirstMatchIn(ddl) match {
     case Some(m) =>
       val name = m.group(1).toLowerCase
       val (params, defaults, variadic) = parseParams(m.group(2))
@@ -114,7 +137,19 @@ object SqlFunctions {
       val fn = SqlFn(name, params, body, setof, defaults, variadic)
       registry.put(name, fn)
       fn
-    case None =>
+    case None => plSetofRe.findFirstMatchIn(ddl) match {
+      case Some(sm) =>
+        val name = sm.group(1).toLowerCase
+        val (params, defaults, variadic) = parseParams(sm.group(2))
+        val fn = SqlFn(name, params, sm.group(4).trim, setof = true,
+          defaults = defaults, variadic = variadic)
+        registry.put(name, fn)
+        fn
+      case None => createPl(ddl)
+    }
+  }
+
+  private def createPl(ddl: String): SqlFn = {
       val m = plRe.findFirstMatchIn(ddl).getOrElse(
         throw new IllegalArgumentException(
           s"not a CREATE FUNCTION ... LANGUAGE SQL/plpgsql statement: $ddl"))
@@ -218,6 +253,38 @@ object SqlFunctions {
           s"raise_error(format_string($fmtd, ${
             parts.tail.map(a => substNamed(a, env)).mkString(", ")}))"
         }
+      } else if (rest.matches("(?is)^SELECT\\b.*")) {
+        // `SELECT ... INTO var` (pl_exec.c exec_stmt_execsql): the
+        // query's single value binds the variable. A trailing LIMIT 1
+        // becomes max() — Spark rejects LIMIT inside a correlated
+        // scalar subquery, and an un-ordered LIMIT 1 is arbitrary-row
+        // in PG anyway, so the deterministic refinement is faithful.
+        val (stmt, tail) = takeStatement(rest)
+        val spans2 = literalSpans(stmt)
+        def inL(p: Int) = spans2.exists { case (s, e) => p >= s && p < e }
+        val im = "(?i)\\bINTO\\s+(\\w+)\\b".r.findAllMatchIn(stmt)
+          .find(t => !inL(t.start)).getOrElse(
+            throw new IllegalArgumentException(
+              s"plpgsql SELECT without INTO: $stmt"))
+        val varName = im.group(1).toLowerCase
+        val sansInto = (stmt.substring(0, im.start) + " " +
+          stmt.substring(im.end)).trim.stripSuffix(";").trim
+        val hasFrom = "(?i)\\bFROM\\b".r.findAllMatchIn(sansInto)
+          .exists(t => !inL(t.start))
+        val expr =
+          if (!hasFrom) sansInto.replaceFirst("(?is)^SELECT", "").trim
+          else {
+            val lim = sansInto.replaceFirst("(?is)\\s+LIMIT\\s+1\\s*$", "")
+            if (lim != sansInto) {
+              val m2 = "(?is)^SELECT\\s+(.*?)\\s+(FROM\\b.*)$".r
+                .findFirstMatchIn(lim).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"cannot parse plpgsql SELECT INTO: $stmt"))
+              s"(SELECT max(${m2.group(1)}) ${m2.group(2)})"
+            } else s"($sansInto)"
+          }
+        env += varName -> ("(" + substNamed(expr, env) + ")")
+        rest = tail.trim
       } else if (rest.matches("(?is)^IF\\b.*")) {
         return compileIfChain(rest, env)
       } else if (rest.matches("(?is)^FOREACH\\b.*")) {
@@ -655,7 +722,7 @@ object SqlFunctions {
     while (changed) {
       require(rounds < 256,
         "SQL function expansion did not converge (recursive function?)")
-      val next = expandOnce(cur)
+      val next = expandOnce(setofToLateral(cur))
       changed = next != cur
       cur = next
       rounds += 1
@@ -727,6 +794,128 @@ object SqlFunctions {
   }
 
   /** Replace the first call site found (the fixpoint loop does the rest). */
+  /** The clause keyword governing position `at` (parens scope). */
+  private def clauseAt(masked: String, at: Int): String = {
+    val clause = scala.collection.mutable.Stack[String]("")
+    val kws = Seq("select", "from", "where", "group", "having", "order",
+      "values", "returning", "limit", "window", "on", "using", "set")
+    var i = 0
+    while (i < at) {
+      masked.charAt(i) match {
+        case '(' => clause.push(""); i += 1
+        case ')' => if (clause.size > 1) clause.pop(); i += 1
+        case _ =>
+          val kw = kws.find(w =>
+            masked.regionMatches(true, i, w, 0, w.length) &&
+              (i == 0 || (!Character.isLetterOrDigit(masked.charAt(i - 1)) &&
+                masked.charAt(i - 1) != '_' && masked.charAt(i - 1) != '.')) &&
+              (i + w.length >= masked.length ||
+                (!Character.isLetterOrDigit(masked.charAt(i + w.length)) &&
+                  masked.charAt(i + w.length) != '_')))
+          kw match {
+            case Some(w) =>
+              clause.pop(); clause.push(w); i += w.length
+            case None => i += 1
+          }
+      }
+    }
+    clause.top
+  }
+
+  /** SRFs in the SELECT list (ExecProjectSet): `SELECT f_setof(x) FROM
+    * t` multiplies rows. Spark has no ProjectSet over SQL-function
+    * bodies, so the call moves to a LATERAL FROM item and the select
+    * item becomes its column — identical semantics for a single-column
+    * SRF (an empty set drops the row, as PG does). */
+  private def setofToLateral(sql0: String): String = {
+    import scala.jdk.CollectionConverters._
+    var sql = sql0
+    var n = 0
+    var changed = true
+    while (changed && n < 16) {
+      changed = false
+      val masked = PgSql.maskLiterals(sql)
+      val depth = new Array[Int](masked.length + 1)
+      var d = 0
+      var i = 0
+      while (i < masked.length) {
+        depth(i) = d
+        masked.charAt(i) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      depth(masked.length) = d
+      val hit = registry.values().asScala.filter(_.setof).flatMap { fn =>
+        ("(?i)\\b" + Pattern.quote(fn.name) + "\\s*\\(").r
+          .findAllMatchIn(masked)
+          .filter(m => clauseAt(masked, m.start) == "select")
+          .map(m => (fn, m))
+      }.headOption
+      hit match {
+        case None =>
+        case Some((fn, m)) =>
+          n += 1
+          val open = masked.indexOf('(', m.start)
+          val (_, after) = GreengageDdl.balanced(sql, open)
+          val call = sql.substring(m.start, after)
+          val tAlias = s"__graft_srf_$n"
+          val vCol = s"__graft_srfv_$n"
+          val myDepth = depth(m.start)
+          def word(at: Int, w: String): Boolean =
+            masked.regionMatches(true, at, w, 0, w.length) &&
+              (at == 0 || (!Character.isLetterOrDigit(masked.charAt(at - 1)) &&
+                masked.charAt(at - 1) != '_')) &&
+              (at + w.length >= masked.length ||
+                (!Character.isLetterOrDigit(masked.charAt(at + w.length)) &&
+                  masked.charAt(at + w.length) != '_'))
+          // the enclosing SELECT's FROM at the same depth, after the call
+          var j = after
+          var fromAt = -1
+          while (j < masked.length && fromAt < 0 && depth(j) >= myDepth) {
+            if (depth(j) == myDepth && word(j, "from")) fromAt = j
+            j += 1
+          }
+          val enders = Seq("where", "group", "having", "order", "limit",
+            "union", "intersect", "except", "window", "fetch", "offset",
+            "returning")
+          if (fromAt >= 0) {
+            // end of the FROM item list
+            var k = fromAt + 4
+            var end = masked.length
+            var scanning = true
+            while (k < masked.length && scanning) {
+              if (depth(k) < myDepth) { end = k; scanning = false }
+              else if (depth(k) == myDepth && enders.exists(word(k, _))) {
+                end = k; scanning = false
+              } else k += 1
+            }
+            sql = sql.substring(0, m.start) + vCol +
+              sql.substring(after, end).stripSuffix(" ") +
+              s", LATERAL $call AS $tAlias($vCol) " + sql.substring(end)
+          } else {
+            // no FROM clause: the SRF becomes the sole FROM item
+            var k = after
+            var end = masked.length
+            var scanning = true
+            while (k < masked.length && scanning) {
+              if (depth(k) < myDepth) { end = k; scanning = false }
+              else if (depth(k) == myDepth && enders.exists(word(k, _))) {
+                end = k; scanning = false
+              } else k += 1
+            }
+            sql = sql.substring(0, m.start) + vCol +
+              sql.substring(after, end) +
+              s" FROM $call AS $tAlias($vCol) " + sql.substring(end)
+          }
+          changed = true
+      }
+    }
+    sql
+  }
+
   private def expandOnce(sql: String): String = {
     import scala.jdk.CollectionConverters._
     val spans = literalSpans(sql)
@@ -759,7 +948,15 @@ object SqlFunctions {
             args
           }
         val body = substitute(fn.body, fn.params, filled)
-        return sql.substring(0, m.start) + "(" + body + ")" + sql.substring(after)
+        // a SCALAR function referenced in FROM is a one-row function
+        // RTE in PG (parse_relation.c) — inline as a one-row subquery;
+        // everywhere else the body inlines as a parenthesized expression
+        val repl =
+          if (!fn.setof &&
+            clauseAt(PgSql.maskLiterals(sql), m.start) == "from")
+            "(SELECT (" + body + "))"
+          else "(" + body + ")"
+        return sql.substring(0, m.start) + repl + sql.substring(after)
       }
     }
     sql

@@ -566,6 +566,55 @@ object RelationalQueries {
           |FROM nation""".stripMargin).get
     }),
 
+    // SRF repetition/arithmetic in the SELECT list (ExecProjectSet,
+    // execSRF.c): identical-argument calls are ONE row source in PG's
+    // LCM protocol — they hoist to a single shared LATERAL item.
+    "q283_srf_select_hoist" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT generate_series(1, 12) AS g,
+          |  generate_series(1, 12) * 3 AS g3,
+          |  generate_series(1, 12) % 5 AS g5""".stripMargin).get
+    }),
+
+    // The canonical plpgsql SETOF shape (pl_exec.c
+    // exec_stmt_return_next): `FOR r IN <q> LOOP RETURN NEXT r` — the
+    // function IS the query, registered as a table function.
+    "q284_plpgsql_setof" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """CREATE OR REPLACE FUNCTION evens284(lim INT) RETURNS SETOF INT
+          |AS $$
+          |BEGIN
+          |  FOR r IN SELECT CAST(n_nationkey AS INT) AS k FROM nation
+          |           WHERE n_nationkey % 2 = 0 AND n_nationkey <= lim
+          |  LOOP RETURN NEXT r; END LOOP;
+          |  RETURN;
+          |END;
+          |$$ LANGUAGE plpgsql""".stripMargin)
+      graft.Graft.execute(s, "SELECT * FROM evens284(20)").get
+    }),
+
+    // plpgsql `SELECT ... INTO var` (pl_exec.c exec_stmt_execsql):
+    // the scalar query binds the variable; the whole function still
+    // inlines to one correlated-subquery expression for Catalyst.
+    "q285_plpgsql_select_into" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """CREATE OR REPLACE FUNCTION natcnt285(rk INT) RETURNS BIGINT
+          |AS $$
+          |DECLARE c BIGINT;
+          |BEGIN
+          |  SELECT count(*) INTO c FROM nation WHERE n_regionkey = rk;
+          |  RETURN c * 10;
+          |END;
+          |$$ LANGUAGE plpgsql""".stripMargin)
+      graft.Graft.execute(s,
+        """SELECT r_regionkey,
+          |  natcnt285(CAST(r_regionkey AS INT)) AS cnt10
+          |FROM region""".stripMargin).get
+    }),
+
     // ROLLUP + grouping_id (plangroupext.c, gram.y:723).
     "q21_rollup" -> ((s, d) =>
       t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
@@ -1590,7 +1639,7 @@ object RelationalQueries {
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q265_generate_series_sql" ->
-      """SELECT CAST(gs AS INT) AS g, CAST(gs % 3 AS INT) AS m,
+      """SELECT CAST(gs AS BIGINT) AS g, CAST(gs % 3 AS BIGINT) AS m,
         |       CAST(gs // 4 AS DOUBLE) AS b
         |FROM generate_series(1, 20) t(gs)""".stripMargin,
     "q266_int_division" ->
@@ -1692,6 +1741,18 @@ object RelationalQueries {
         |    || '''' || lower(n_name) || '''' AS described,
         |  (n_nationkey % 2 = 0) = true AS is_even
         |FROM nation""".stripMargin,
+    "q283_srf_select_hoist" ->
+      """SELECT CAST(g AS BIGINT) AS g, CAST(g * 3 AS BIGINT) AS g3,
+        |       CAST(g % 5 AS BIGINT) AS g5
+        |FROM generate_series(1, 12) t(g)""".stripMargin,
+    "q284_plpgsql_setof" ->
+      """SELECT CAST(n_nationkey AS INT) AS k FROM nation
+        |WHERE n_nationkey % 2 = 0 AND n_nationkey <= 20""".stripMargin,
+    "q285_plpgsql_select_into" ->
+      """SELECT r_regionkey,
+        |  (SELECT count(*) * 10 FROM nation
+        |   WHERE n_regionkey = r_regionkey) AS cnt10
+        |FROM region""".stripMargin,
     "q18_cross_join" -> "SELECT n_name, r_name FROM nation CROSS JOIN region",
     "q19_band_join" ->
       """SELECT c_custkey, s_suppkey, c_acctbal - s_acctbal AS bal_diff

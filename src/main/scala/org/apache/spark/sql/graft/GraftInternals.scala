@@ -20,6 +20,13 @@ object GraftInternals {
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** Stop the state-store maintenance executor so a benchmark JVM can
+    * exit without the maintenance thread's post-shutdown WARN chatter
+    * (it is restarted lazily if streaming runs again). */
+  def stopStateStoreMaintenance(): Unit =
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+
   /** A QueryExecution that PLANS a statement without running it:
     * CommandExecutionMode.SKIP keeps eagerly-executed commands
     * (INSERT/CTAS) un-run, so EXPLAIN on a DML statement can print the

@@ -107,11 +107,29 @@ while i < n:
         i += 1
         continue
     if s.startswith("\\"):  # psql meta-command; its output has no (N rows)
-        i += 1              # fence — skip it AND its output block (ends at
-        while i < n and lines[i].strip():  # the next blank line)
+        # \copy t from 'data/f' is a client-side data load: rewrite to
+        # the SQL COPY the engine runs (the spec resolves data/ paths
+        # to test resources)
+        cm = re.match(r"(?i)^\\copy\s+(?:public\.)?([\w\"]+)\s+from\s+"
+                      r"'([^']+)'(.*)$", s)
+        if cm:
+            dm = re.search(r"(?i)delimiter(?:\s+as)?\s+'([^']*)'", cm.group(3))
+            opts = " WITH (DELIMITER '%s')" % dm.group(1) if dm else ""
+            entries.append(("STMT",
+                            "COPY %s FROM '%s'%s;" % (cm.group(1),
+                                                      cm.group(2), opts),
+                            []))
             i += 1
+            continue
+        i += 1              # skip it AND its output block (ends at
+        # \copy/\set/... emit nothing: skipping to the next blank line
+        # would swallow the statements that follow them
+        if not re.match(r"\\(copy|set|unset|cd|echo|timing|pset)\b", s):
+            while i < n and lines[i].strip():  # the next blank line
+                i += 1
         continue
-    if re.match(r"^(NOTICE|HINT|WARNING|DETAIL|CONTEXT|INFO|LINE \d+|\s*\^)", s):
+    if re.match(r"^(NOTICE|HINT|WARNING|DETAIL|CONTEXT|INFO|LINE \d+|\s*\^"
+                r"|PL/pgSQL function|SQL statement |SQL function )", s):
         i += 1
         continue
     if re.match(r"^ERROR", s):
