@@ -119,6 +119,11 @@ object Graft {
     * `spark.sql` after the [[operators.PgSql]] lexical rewrites.
     * Returns the result DataFrame for queries, None for commands. */
   def execute(spark: SparkSession, sql: String): Option[DataFrame] = {
+    // standard_conforming_strings: pick the session GUC up per
+    // statement so SET/RESET take effect lexically (PgSql.stdStrings)
+    operators.PgSql.stdStrings = spark.conf
+      .getOption("standard_conforming_strings")
+      .exists(v => v.equalsIgnoreCase("on") || v.equalsIgnoreCase("true"))
     // PG TEMP/TEMPORARY/UNLOGGED tables (gram.y OptTemp): Spark's
     // CREATE TEMPORARY TABLE is a different (provider-required, V1)
     // beast, so these land as ordinary tables — same visibility within
@@ -182,7 +187,8 @@ object Graft {
         .replaceFirst("(?is)\\s+AUTHORIZATION\\s+.*$", "").trim.replace("\"", "")
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $name"); None
     } else if (is("(?is)^(GRANT|REVOKE|COMMENT\\s+ON|ALTER\\s+ROLE|" +
-        "CREATE\\s+ROLE|DROP\\s+ROLE|ALTER\\s+DEFAULT\\s+PRIVILEGES|" +
+        "CREATE\\s+ROLE|DROP\\s+ROLE|CREATE\\s+USER|DROP\\s+USER|" +
+        "ALTER\\s+USER|ALTER\\s+DEFAULT\\s+PRIVILEGES|" +
         "CHECKPOINT|DISCARD)\\b")) {
       // privilege/ownership/comment statements: accepted no-ops — a
       // single-user Spark session has no ACLs to apply them to, and
@@ -194,9 +200,22 @@ object Graft {
         .replaceFirst("(?is)^ALTER\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(ONLY\\s+)?", "")
         .replaceFirst("(?is)\\s+OWNER\\s+TO\\s+.*$", "").trim.replace("\"", ""))
       None
+    } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?FUNCTION\\b") &&
+        is("(?is)\\bLANGUAGE\\s+internal\\b")) {
+      // re-exposing a catalog C function under a local name (regress
+      // suites build aggregates from these) — record the alias
+      val m = ("(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+" +
+        "([\\w.\"]+)[\\s\\S]*?AS\\s+'([\\w]+)'").r
+        .findFirstMatchIn(stripSemi(t)).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot parse LANGUAGE internal function: $t"))
+      operators.PgAggregates.registerInternal(
+        m.group(1).replace("\"", ""), m.group(2))
+      None
     } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?FUNCTION\\b")) {
       operators.SqlFunctions.create(t); None
-    } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?AGGREGATE\\b")) {
+    } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?" +
+        "(ORDERED\\s+)?AGGREGATE\\b")) {
       operators.PgAggregates.create(stripSemi(t)); None
     } else if (is("(?is)^ALTER\\s+AGGREGATE\\b.*\\bRENAME\\s+TO\\b")) {
       operators.PgAggregates.alterRename(stripSemi(t)); None
@@ -482,6 +501,13 @@ object Graft {
                 c.startsWith("INSERT_COLUMN_ARITY_MISMATCH")) =>
           // composite-typed targets (e.g. COMPLEX) take their string
           // literals through the input-function coercion path
+          insertWithAssignmentCasts(spark, st)
+        case e: Exception
+            if String.valueOf(e.getMessage)
+              .contains("CAST_INVALID_INPUT") =>
+          // ANSI store-assignment cast failed at RUNTIME (e.g. a PG
+          // datestyle timestamp string); the failed job did not
+          // commit — retry through the input-function coercion path
           insertWithAssignmentCasts(spark, st)
       }
       None
@@ -865,7 +891,30 @@ object Graft {
               // gated on 8 digits so plain numbers can't mis-parse
               org.apache.spark.sql.functions.when(
                 src.rlike("^\\d{8}$"), try_to_timestamp(src, lit("yyyyMMdd"))),
+              // 'Thu Sep 14 03:19:54 EDT 2023' postgres datestyle —
+              // Spark's formatter lacks day-name (EEE) and zone-abbrev
+              // patterns, so strip both and parse the rest (the local
+              // time is kept; datetime.c DecodeDateTime)
+              try_to_timestamp(
+                org.apache.spark.sql.functions.regexp_replace(
+                  org.apache.spark.sql.functions.regexp_replace(
+                    src, "^[A-Za-z]{3}\\s+", ""),
+                  "\\s+[A-Z]{2,5}\\s+(\\d{4})$", " $1"),
+                lit("MMM d HH:mm:ss yyyy")),
               src) // truly malformed input: the final cast raises
+          case (at: ArrayType, StringType) =>
+            // PG array literal '{1,2,3}' (arrayfuncs.c array_in) —
+            // parse to nested strings at the declared depth; the
+            // final .cast converts the elements
+            def depthOf(t: org.apache.spark.sql.types.DataType): Int =
+              t match {
+                case ArrayType(e, _) => 1 + depthOf(e)
+                case _ => 0
+              }
+            org.apache.spark.sql.graft.GraftInternals.exprColumn(
+              graft.functions.PgArrayInExpr(
+                org.apache.spark.sql.graft.GraftInternals.columnExpr(src),
+                depthOf(at)))
           case (st: StructType, StringType)
               if operators.PgComplex.isComplexStruct(st) =>
             // COMPLEX input function (' 5 + 3i ', complex_type.c)

@@ -44,8 +44,98 @@ object GraftStrings {
       }
       if (dotAll) fl |= Pattern.DOTALL
       if (multiline) fl |= Pattern.MULTILINE
-      Pattern.compile(pat, fl)
+      // PG's multiline ^ also matches at END of input when the last
+      // char is a newline (the empty final line); Java's MULTILINE ^
+      // never matches at end of input — translate explicitly
+      val pat1 =
+        if (multiline) translateMultilineCaret(pat) else pat
+      Pattern.compile(adjustGreediness(pat1), fl)
     })
+
+  private def translateMultilineCaret(pat: String): String = {
+    val sb = new StringBuilder
+    var inClass = false
+    var i = 0
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      if (c == '\\' && i + 1 < pat.length) {
+        sb.append(c).append(pat.charAt(i + 1)); i += 2
+      } else if (inClass) {
+        sb.append(c); if (c == ']') inClass = false; i += 1
+      } else if (c == '[') { inClass = true; sb.append(c); i += 1 }
+      else if (c == '^') { sb.append("(?:\\A|(?<=\\n))"); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** PG's ARE engine gives the WHOLE match the preference of the RE's
+    * FIRST quantifier (regex docs, regcomp.c): `Y*?([0-9]{1,3})`
+    * matches the SHORTEST total text, so the group yields "1", not
+    * "123". Java quantifiers are independent — emulate by making every
+    * greedy quantifier lazy when the first one is lazy. */
+  private def adjustGreediness(pat: String): String = {
+    var firstLazy = false
+    var found = false
+    var inClass = false
+    var i = 0
+    while (i < pat.length && !found) {
+      val c = pat.charAt(i)
+      if (c == '\\') i += 2
+      else if (inClass) { if (c == ']') inClass = false; i += 1 }
+      else c match {
+        case '[' => inClass = true; i += 1
+        case '?' if i > 0 && pat.charAt(i - 1) == '(' =>
+          i += 1 // (?: / (?= group syntax, not a quantifier
+        case '*' | '+' | '?' =>
+          found = true
+          firstLazy = i + 1 < pat.length && pat.charAt(i + 1) == '?'
+        case '{' =>
+          val close = pat.indexOf('}', i)
+          if (close > 0 && pat.substring(i + 1, close).matches("\\d+(,\\d*)?")) {
+            found = true
+            firstLazy = close + 1 < pat.length && pat.charAt(close + 1) == '?'
+          }
+          i += 1
+        case _ => i += 1
+      }
+    }
+    if (!firstLazy) pat
+    else {
+      // flip every remaining greedy quantifier to lazy
+      val sb = new StringBuilder
+      inClass = false
+      i = 0
+      while (i < pat.length) {
+        val c = pat.charAt(i)
+        if (c == '\\' && i + 1 < pat.length) {
+          sb.append(c).append(pat.charAt(i + 1)); i += 2
+        } else if (inClass) {
+          sb.append(c); if (c == ']') inClass = false; i += 1
+        } else c match {
+          case '[' => inClass = true; sb.append(c); i += 1
+          case '?' if i > 0 && pat.charAt(i - 1) == '(' =>
+            sb.append(c); i += 1 // group syntax
+          case '*' | '+' | '?' =>
+            sb.append(c)
+            if (i + 1 < pat.length && pat.charAt(i + 1) == '?') {
+              sb.append('?'); i += 2
+            } else { sb.append('?'); i += 1 }
+          case '{' =>
+            val close = pat.indexOf('}', i)
+            if (close > 0 &&
+              pat.substring(i + 1, close).matches("\\d+(,\\d*)?")) {
+              sb.append(pat.substring(i, close + 1))
+              if (close + 1 < pat.length && pat.charAt(close + 1) == '?') {
+                sb.append('?'); i = close + 2
+              } else { sb.append('?'); i = close + 1 }
+            } else { sb.append(c); i += 1 }
+          case _ => sb.append(c); i += 1
+        }
+      }
+      sb.toString
+    }
+  }
 
   /** PG replacement text (`\1`..`\9`, `\&` whole match) → Java
     * replacement (`$1`, `$0`; `$` escaped). */
@@ -79,6 +169,321 @@ object GraftStrings {
       else pgReplacement(r.toString)
     UTF8String.fromString(
       if (flags.contains('g')) m.replaceAll(rep) else m.replaceFirst(rep))
+  }
+
+  /** regexp.c regexp_matches: capture-group text[] per match — one
+    * row without 'g', every non-overlapping match with it. Whole
+    * match when the pattern has no groups; NULL elements for
+    * non-participating groups. Returned as array<array<string>>; the
+    * SQL registration explodes it (setof text[]). */
+  def pgRegexpMatches(s: UTF8String, p: UTF8String,
+                      f: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val flags = f.toString
+    val m = compilePgRe(p.toString, flags.replace("g", "")).matcher(str)
+    val global = flags.contains('g')
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var from = 0
+    var go = true
+    while (go && from <= str.length && m.find(from)) {
+      val row: Array[Any] =
+        if (m.groupCount == 0)
+          Array(UTF8String.fromString(m.group(0)))
+        else (1 to m.groupCount).map { g =>
+          val v = m.group(g)
+          if (v == null) null else UTF8String.fromString(v)
+        }.toArray
+      out += new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      if (!global) go = false
+      else from = if (m.end == m.start) m.end + 1 else m.end
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** regexp.c regexp_split_to_array/table field scan: zero-length
+    * matches at the start of the string, at its end, or immediately
+    * after a previous match are IGNORED (they would make empty
+    * fields); non-zero adjacent separators still yield empty fields,
+    * exactly PG's documented contract. */
+  def pgRegexpSplit(s: UTF8String, p: UTF8String,
+                    f: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val flags = f.toString
+    if (flags.contains('g')) throw new IllegalArgumentException(
+      "regexp_split_to_table() does not support the \"global\" option")
+    val m = compilePgRe(p.toString, flags).matcher(str)
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var start = 0
+    var from = 0
+    while (from <= str.length && m.find(from)) {
+      if (m.end == m.start) {
+        if (m.start != start && m.start != str.length) {
+          out += UTF8String.fromString(str.substring(start, m.start))
+          start = m.start
+        }
+        from = m.start + 1
+      } else {
+        out += UTF8String.fromString(str.substring(start, m.start))
+        start = m.end
+        from = m.end
+      }
+    }
+    out += UTF8String.fromString(str.substring(start))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** regexp.c textregexsubstr — `substring(string, pattern)`: the
+    * first match's text, or capture group 1 when the pattern declares
+    * one, NULL when nothing matches (or the group didn't participate). */
+  def pgRegexpSubstr(s: UTF8String, p: UTF8String): UTF8String = {
+    val m = compilePgRe(p.toString, "").matcher(s.toString)
+    if (!m.find()) null
+    else {
+      val v = if (m.groupCount > 0) m.group(1) else m.group(0)
+      if (v == null) null else UTF8String.fromString(v)
+    }
+  }
+
+  // SQL:1999 SIMILAR substring pattern → compiled java regex, cached
+  // per (pattern, escape)
+  private val similarSubstrCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Char),
+      java.util.regex.Pattern]()
+
+  /** regexp.c similar_escape for the 3-argument substring form
+    * (`substring(s FROM pat FOR esc)`): the SIMILAR TO language with
+    * `esc"` marking the reported section. The whole string must match
+    * the whole pattern; user parens become non-capturing so the
+    * marked section is always group 1. */
+  private def similarSubstrRegex(pat: String,
+                                 esc: Char): java.util.regex.Pattern =
+    similarSubstrCache.computeIfAbsent((pat, esc), { _ =>
+      val sb = new StringBuilder("^")
+      var inClass = false
+      var markers = 0
+      var i = 0
+      while (i < pat.length) {
+        val c = pat.charAt(i)
+        if (inClass) {
+          sb.append(c)
+          if (c == ']') inClass = false
+          i += 1
+        } else if (c == esc && i + 1 < pat.length &&
+          pat.charAt(i + 1) == '"') {
+          markers += 1
+          sb.append(if (markers % 2 == 1) "(" else ")")
+          i += 2
+        } else if (c == esc && i + 1 < pat.length) {
+          sb.append(java.util.regex.Pattern.quote(
+            pat.charAt(i + 1).toString))
+          i += 2
+        } else {
+          c match {
+            case '%' => sb.append(".*")
+            case '_' => sb.append('.')
+            case '[' => inClass = true; sb.append('[')
+            case '(' => sb.append("(?:")
+            case '|' | '*' | '+' | '?' | ')' | '{' | '}' | ',' =>
+              sb.append(c)
+            case d if d.isLetterOrDigit || d == ' ' => sb.append(d)
+            case other => sb.append('\\').append(other)
+          }
+          i += 1
+        }
+      }
+      sb.append('$')
+      java.util.regex.Pattern.compile(sb.toString,
+        java.util.regex.Pattern.DOTALL)
+    })
+
+  def pgSimilarSubstr(s: UTF8String, pat: UTF8String,
+                      escS: UTF8String): UTF8String = {
+    val e = escS.toString
+    val esc = if (e.isEmpty) '\\' else e.charAt(0)
+    val m = similarSubstrRegex(pat.toString, esc).matcher(s.toString)
+    if (!m.matches()) null
+    else {
+      val v = if (m.groupCount > 0) m.group(1) else m.group(0)
+      if (v == null) null else UTF8String.fromString(v)
+    }
+  }
+
+  /** arrayfuncs.c array_in — parse a `{...}` literal into nested
+    * arrays of strings (NULL keyword → null; double-quoted elements
+    * keep whitespace/commas; backslash escapes). PG array VALUES carry
+    * their own dimensionality regardless of the declared type, so the
+    * result is wrapped to `depth` when the literal is shallower. */
+  def pgArrayIn(s0: UTF8String,
+                depth: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val s = s0.toString.trim
+    var i = 0
+    def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def parseElem(): Any = {
+      if (s.charAt(i) == '"') {
+        i += 1
+        val sb = new StringBuilder
+        while (i < s.length && s.charAt(i) != '"') {
+          if (s.charAt(i) == '\\' && i + 1 < s.length) {
+            sb += s.charAt(i + 1); i += 2
+          } else { sb += s.charAt(i); i += 1 }
+        }
+        i += 1
+        UTF8String.fromString(sb.toString)
+      } else {
+        val sb = new StringBuilder
+        while (i < s.length && s.charAt(i) != ',' && s.charAt(i) != '}') {
+          if (s.charAt(i) == '\\' && i + 1 < s.length) {
+            sb += s.charAt(i + 1); i += 2
+          } else { sb += s.charAt(i); i += 1 }
+        }
+        val t = sb.toString.trim
+        if (t.equalsIgnoreCase("null")) null else UTF8String.fromString(t)
+      }
+    }
+    def parseArr(): GenericArrayData = {
+      if (i >= s.length || s.charAt(i) != '{')
+        throw new IllegalArgumentException(
+          s"""malformed array literal: "$s"""")
+      i += 1
+      skipWs()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      if (i < s.length && s.charAt(i) == '}') {
+        i += 1
+        return new GenericArrayData(out.toArray)
+      }
+      var done = false
+      while (!done) {
+        skipWs()
+        if (i < s.length && s.charAt(i) == '{') out += parseArr()
+        else out += parseElem()
+        skipWs()
+        if (i >= s.length) throw new IllegalArgumentException(
+          s"""malformed array literal: "$s"""")
+        s.charAt(i) match {
+          case ',' => i += 1
+          case '}' => i += 1; done = true
+          case c => throw new IllegalArgumentException(
+            s"""malformed array literal: "$s" at '$c'""")
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+    // explicit-bounds prefix [lo:hi]= — bounds drop (Spark arrays are
+    // 1-based); the braces body follows
+    if (s.startsWith("[")) i = s.indexOf('=') + 1
+    skipWs()
+    var v = parseArr()
+    def depthOf(a: Any): Int = a match {
+      case g: GenericArrayData =>
+        1 + (if (g.numElements() > 0) depthOf(g.array(0)) else 0)
+      case _ => 0
+    }
+    var d = depthOf(v)
+    while (d < depth) {
+      v = new GenericArrayData(Array[Any](v))
+      d += 1
+    }
+    v
+  }
+
+  /** varlena.c byteain: `\x...` hex input (whitespace between pairs
+    * allowed) or PG escape format (`\\` backslash, `\nnn` octal,
+    * anything else its own byte — non-ASCII via UTF-8). */
+  def byteaIn(s0: UTF8String): Array[Byte] = {
+    val s = s0.toString
+    if (s.length >= 2 && s.charAt(0) == '\\' &&
+      (s.charAt(1) == 'x' || s.charAt(1) == 'X')) {
+      val out = new java.io.ByteArrayOutputStream(s.length / 2)
+      var hi = -1
+      var i = 2
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (!Character.isWhitespace(c)) {
+          val d = Character.digit(c, 16)
+          if (d < 0) throw new IllegalArgumentException(
+            s"""invalid hexadecimal digit: "$c"""")
+          if (hi < 0) hi = d else { out.write(hi * 16 + d); hi = -1 }
+        }
+        i += 1
+      }
+      if (hi >= 0) throw new IllegalArgumentException(
+        "invalid hexadecimal data: odd number of digits")
+      out.toByteArray
+    } else {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val out = new java.io.ByteArrayOutputStream(bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        if (bytes(i) == '\\') {
+          if (i + 1 < bytes.length && bytes(i + 1) == '\\') {
+            out.write('\\'); i += 2
+          } else if (i + 3 < bytes.length &&
+            bytes(i + 1) >= '0' && bytes(i + 1) <= '3' &&
+            bytes(i + 2) >= '0' && bytes(i + 2) <= '7' &&
+            bytes(i + 3) >= '0' && bytes(i + 3) <= '7') {
+            out.write((bytes(i + 1) - '0') * 64 +
+              (bytes(i + 2) - '0') * 8 + (bytes(i + 3) - '0'))
+            i += 4
+          } else throw new IllegalArgumentException(
+            "invalid input syntax for type bytea")
+        } else { out.write(bytes(i)); i += 1 }
+      }
+      out.toByteArray
+    }
+  }
+
+  /** varlena.c byteaout, escape mode: printable ASCII as-is,
+    * backslash doubled, everything else 3-digit octal. */
+  def byteaOutEscape(b: Array[Byte]): String = {
+    val sb = new StringBuilder(b.length)
+    var i = 0
+    while (i < b.length) {
+      val u = b(i) & 0xff
+      if (u == 0x5c) sb.append("\\\\")
+      else if (u >= 0x20 && u <= 0x7e) sb.append(u.toChar)
+      else {
+        sb.append('\\')
+        sb.append(('0' + (u >> 6)).toChar)
+        sb.append(('0' + ((u >> 3) & 7)).toChar)
+        sb.append(('0' + (u & 7)).toChar)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** encode.c esc_encode — bytea → text: NUL and high-bit bytes as
+    * `\nnn` octal, backslash doubled, EVERYTHING else raw (control
+    * chars included — unlike byteaout's escape mode). */
+  def escEncode(b: Array[Byte]): String = {
+    val sb = new StringBuilder(b.length)
+    var i = 0
+    while (i < b.length) {
+      val u = b(i) & 0xff
+      if (u == 0 || u >= 0x80) {
+        sb.append('\\')
+        sb.append(('0' + (u >> 6)).toChar)
+        sb.append(('0' + ((u >> 3) & 7)).toChar)
+        sb.append(('0' + (u & 7)).toChar)
+      } else if (u == 0x5c) sb.append("\\\\")
+      else sb.append(u.toChar)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** varlena.c byteatrim: strip from both ends every byte present in
+    * the set; the empty set strips nothing. */
+  def byteaTrim(b: Array[Byte], set: Array[Byte]): Array[Byte] = {
+    if (set.isEmpty) return b
+    val s = new java.util.HashSet[Byte]()
+    set.foreach(x => s.add(x))
+    var lo = 0
+    var hi = b.length
+    while (lo < hi && s.contains(b(lo))) lo += 1
+    while (hi > lo && s.contains(b(hi - 1))) hi -= 1
+    java.util.Arrays.copyOfRange(b, lo, hi)
   }
 
   /** Character-trigram Jaccard similarity, our analog of pg_trgm's
@@ -561,31 +966,83 @@ object PgBin {
   * reference's `linear_interpolate` returning y0 when the abscissas
   * coincide).
   */
-case class LinearInterpolate(
-    x: Expression, x0: Expression, y0: Expression,
-    x1: Expression, y1: Expression,
-    replacement: Expression)
-  extends RuntimeReplaceable with InheritAnalysisRules {
-
-  def this(x: Expression, x0: Expression, y0: Expression,
-           x1: Expression, y1: Expression) =
-    this(x, x0, y0, x1, y1, LinearInterpolate.rewrite(x, x0, y0, x1, y1))
-
-  override def parameters: Seq[Expression] = Seq(x, x0, y0, x1, y1)
-  override def prettyName: String = "linear_interpolate"
-  override protected def withNewChildInternal(newChild: Expression): LinearInterpolate =
-    copy(replacement = newChild)
+/** Interval → seconds for the interpolation domains (PgIntervalOps
+  * calendar assumptions). */
+case class IntervalSecs(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "interval_secs"
+  override protected def nullSafeEval(v: Any): Any =
+    PgIntervalOps.toSeconds(v)
+  override protected def withNewChildInternal(c: Expression): IntervalSecs =
+    copy(child = c)
 }
 
-object LinearInterpolate {
-  def rewrite(x: Expression, x0: Expression, y0: Expression,
-              x1: Expression, y1: Expression): Expression = {
-    def d(e: Expression) = Cast(e, DoubleType)
-    val dx = Subtract(d(x1), d(x0))
-    val slope = Divide(Subtract(d(y1), d(y0)), dx)
-    If(EqualTo(d(x1), d(x0)), d(y0),
-      Add(d(y0), Multiply(slope, Subtract(d(x), d(x0)))))
+/** GP timeseries linear_interpolate(x, x0, y0, x1, y1) — the reference
+  * `src/backend/utils/adt/float.c` linear_interpolate family: every
+  * abscissa/ordinate type collapses to a double domain (timestamps →
+  * epoch seconds, dates → days-as-seconds, intervals → seconds), the
+  * result converts back to the ordinate type. Equal abscissas return
+  * NULL (the reference's two-point contract); NaN anywhere propagates
+  * (the `x1-x0 = 0` spelling keeps Spark's NaN==NaN equality from
+  * turning the NaN case into NULL). Replacement is LAZY so the type
+  * dispatch sees resolved children. */
+case class LinearInterpolate(
+    x: Expression, x0: Expression, y0: Expression,
+    x1: Expression, y1: Expression)
+  extends RuntimeReplaceable {
+
+  override def children: Seq[Expression] = Seq(x, x0, y0, x1, y1)
+  override def prettyName: String = "linear_interpolate"
+
+  private def toD(e: Expression): Expression = e.dataType match {
+    // UnixDate avoids a date→timestamp cast, which would need a
+    // resolved time zone this lazily-built tree does not get
+    case DateType => Multiply(Cast(UnixDate(e), DoubleType),
+      Literal(86400.0))
+    case _: DayTimeIntervalType | _: YearMonthIntervalType |
+         CalendarIntervalType => IntervalSecs(e)
+    case _ => Cast(e, DoubleType)
   }
+
+  private def fromD(e: Expression, like: DataType): Expression = like match {
+    case TimestampType | TimestampNTZType => Cast(e, like)
+    case DateType => DateFromUnixDate(Cast(
+      Round(Divide(e, Literal(86400.0)), Literal(0)), IntegerType))
+    case _: DayTimeIntervalType | CalendarIntervalType =>
+      MakeDTInterval(Literal(0), Literal(0), Literal(0),
+        Cast(e, DecimalType(18, 6)))
+    case ByteType | ShortType | IntegerType | LongType =>
+      Round(e, Literal(0)) // linterp_int* round() to the ordinate grid
+    case _ => e
+  }
+
+  override lazy val replacement: Expression = {
+    val xd = toD(x)
+    val x0d = toD(x0)
+    val x1d = toD(x1)
+    val y0d = toD(y0)
+    val y1d = toD(y1)
+    // interpolate.c linterp_abscissa + linterp_*: x0 == x1 (C float
+    // compare — NaN unequal to NaN, hence the IsNaN guards against
+    // Spark's NaN==NaN semantics) is "equal bounds": the result is y0
+    // when x == x0 AND y0 == y1, else NULL. Otherwise the standard
+    // two-point form.
+    val eqBounds = And(EqualTo(x1d, x0d), Not(IsNaN(x0d)))
+    val eqAbscissas = And(EqualTo(xd, x0d), Not(IsNaN(xd)))
+    val eqOrdinates = And(EqualTo(y0d, y1d), Not(IsNaN(y0d)))
+    val p = Divide(Subtract(xd, x0d), Subtract(x1d, x0d))
+    val value = Add(y0d, Multiply(p, Subtract(y1d, y0d)))
+    val out = fromD(value, y0.dataType)
+    If(eqBounds,
+      If(And(eqAbscissas, eqOrdinates),
+        fromD(y0d, y0.dataType), Literal.create(null, out.dataType)),
+      out)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): LinearInterpolate =
+    copy(x = c(0), x0 = c(1), y0 = c(2), x1 = c(3), y1 = c(4))
 }
 
 /** `similarity(a, b)` — trigram similarity as a native binary expression
@@ -609,6 +1066,545 @@ case class TrigramSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): TrigramSimilarity =
     copy(left = newLeft, right = newRight)
+}
+
+/** PG regexp_matches(s, pat, flags) match array — array<array<string>>
+  * of capture groups per match; the SQL registration wraps it in
+  * Explode for the setof-text[] surface (regexp.c:904 regexp_matches). */
+case class PgRegexpMatches(first: Expression, second: Expression,
+                           third: Expression) extends TernaryExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(StringType, containsNull = true),
+      containsNull = false)
+  override def prettyName: String = "regexp_matches"
+  override protected def nullSafeEval(s: Any, p: Any, f: Any): Any =
+    GraftStrings.pgRegexpMatches(s.asInstanceOf[UTF8String],
+      p.asInstanceOf[UTF8String], f.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, p, f) =>
+      s"graft.functions.GraftStrings.pgRegexpMatches($s, $p, $f)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PgRegexpMatches =
+    copy(first = f, second = s, third = t)
+}
+
+/** PG regexp_split field array with the zero-length-match rules
+  * (regexp.c regexp_split_to_array). */
+case class PgRegexpSplitArr(first: Expression, second: Expression,
+                            third: Expression) extends TernaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "regexp_split_to_array"
+  override protected def nullSafeEval(s: Any, p: Any, f: Any): Any =
+    GraftStrings.pgRegexpSplit(s.asInstanceOf[UTF8String],
+      p.asInstanceOf[UTF8String], f.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, p, f) =>
+      s"graft.functions.GraftStrings.pgRegexpSplit($s, $p, $f)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PgRegexpSplitArr =
+    copy(first = f, second = s, third = t)
+}
+
+/** PG 4-argument regexp_replace with PG's flag language and its
+  * replace-FIRST-only default (regexp.c:600 textregexreplace). */
+case class PgRegexpReplaceExpr(s: Expression, p: Expression,
+                               r: Expression, f: Expression)
+  extends QuaternaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "regexp_replace"
+  override def first: Expression = s
+  override def second: Expression = p
+  override def third: Expression = r
+  override def fourth: Expression = f
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GraftStrings.pgRegexpReplace(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], c.asInstanceOf[UTF8String],
+      d.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.GraftStrings.pgRegexpReplace($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression,
+      d: Expression): PgRegexpReplaceExpr =
+    copy(s = a, p = b, r = c, f = d)
+}
+
+/** `substring(string, pattern)` regex form (regexp.c textregexsubstr). */
+case class PgRegexpSubstr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // NULL on no match
+  override def prettyName: String = "pg_regexp_substr"
+  override protected def nullSafeEval(s: Any, p: Any): Any =
+    GraftStrings.pgRegexpSubstr(
+      s.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, p) => s"""
+      ${ev.value} = graft.functions.GraftStrings.pgRegexpSubstr($s, $p);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PgRegexpSubstr =
+    copy(left = l, right = r)
+}
+
+/** `substring(string FROM similar_pattern FOR escape)` (SQL:1999,
+  * regexp.c similar_escape + textregexsubstr_escape). */
+case class PgSimilarSubstr(first: Expression, second: Expression,
+                           third: Expression) extends TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // NULL on no match
+  override def prettyName: String = "pg_similar_substr"
+  override protected def nullSafeEval(s: Any, p: Any, e: Any): Any =
+    GraftStrings.pgSimilarSubstr(s.asInstanceOf[UTF8String],
+      p.asInstanceOf[UTF8String], e.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, p, e) => s"""
+      ${ev.value} = graft.functions.GraftStrings.pgSimilarSubstr($s, $p, $e);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PgSimilarSubstr =
+    copy(first = f, second = s, third = t)
+}
+
+/** arrayfuncs.c array_in — `{...}` text → nested array<string> of
+  * the requested depth; an outer CAST converts elements to the
+  * target type. */
+case class PgArrayInExpr(child: Expression, depth: Int)
+  extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType =
+    (1 to depth).foldLeft(StringType: DataType)((t, _) =>
+      ArrayType(t, containsNull = true))
+  override def prettyName: String = "pg_array_in"
+  override protected def nullSafeEval(v: Any): Any =
+    GraftStrings.pgArrayIn(v.asInstanceOf[UTF8String], depth)
+  override protected def withNewChildInternal(c: Expression): PgArrayInExpr =
+    copy(child = c)
+}
+
+/** arrayfuncs.c array_ndims / array_dims helpers over Spark's typed
+  * arrays: the dimension count is the TYPE's nesting depth (values
+  * store at the declared depth here); an empty array reports NULL,
+  * PG's contract. */
+case class PgArrayNdims(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  private lazy val depth: Int = {
+    def d(t: DataType): Int = t match {
+      case ArrayType(e, _) => 1 + d(e)
+      case _ => 0
+    }
+    d(child.dataType)
+  }
+  override def prettyName: String = "array_ndims"
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (a.numElements() == 0) null else depth
+  }
+  override protected def withNewChildInternal(c: Expression): PgArrayNdims =
+    copy(child = c)
+}
+
+/** arrayfuncs.c cardinality — TOTAL element count across all
+  * dimensions (Spark's builtin counts only the top level). */
+case class PgCardinality(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "cardinality"
+  override protected def nullSafeEval(v: Any): Any = {
+    def count(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              t: DataType): Int = t match {
+      case ArrayType(inner: ArrayType, _) =>
+        (0 until a.numElements()).map { i =>
+          if (a.isNullAt(i)) 0 else count(a.getArray(i), inner)
+        }.sum
+      case _ => a.numElements()
+    }
+    count(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      child.dataType match { case ArrayType(e, _) => ArrayType(e)
+        case other => other })
+  }
+  override protected def withNewChildInternal(c: Expression): PgCardinality =
+    copy(child = c)
+}
+
+/** arrayfuncs.c array_length(anyarray, dim): the requested
+  * dimension's extent (walking first elements); out-of-range or
+  * empty dimensions are NULL. */
+case class PgArrayLength(left: Expression, right: Expression)
+  extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "array_length"
+  override protected def nullSafeEval(v: Any, d0: Any): Any = {
+    val dim = d0.asInstanceOf[Number].intValue()
+    var t = left.dataType
+    var a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (dim < 1) return null
+    var level = 1
+    while (level < dim) {
+      t match {
+        case ArrayType(inner: ArrayType, _) =>
+          if (a.numElements() == 0 || a.isNullAt(0)) return null
+          a = a.getArray(0)
+          t = inner
+          level += 1
+        case _ => return null
+      }
+    }
+    if (a.numElements() == 0) null else a.numElements()
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PgArrayLength = copy(left = l, right = r)
+}
+
+/** arrayfuncs.c array_fill(value, dims): a dims-shaped array filled
+  * with value (lower-bound arrays are accepted and ignored — Spark
+  * arrays are 1-based). The dims argument must be foldable so the
+  * result TYPE is known at plan time. */
+case class PgArrayFill(value: Expression, dims: Seq[Int])
+  extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def child: Expression = value
+  override def dataType: DataType =
+    if (dims.isEmpty) ArrayType(value.dataType, containsNull = true)
+    else dims.foldLeft(value.dataType)((t, _) =>
+      ArrayType(t, containsNull = true))
+  override def nullable: Boolean = false
+  override def prettyName: String = "array_fill"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = value.eval(input)
+    if (dims.isEmpty) // array_fill(v, '{}') → the empty array
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    def build(ds: Seq[Int]): Any = ds match {
+      case Seq() => v
+      case head +: tail =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.fill[Any](head)(build(tail)))
+    }
+    build(dims)
+  }
+  override protected def withNewChildInternal(c: Expression): PgArrayFill =
+    copy(value = c)
+}
+
+/** arrayfuncs.c array_cat + the `||` operator's element forms: equal
+  * depths concatenate; a depth-(n-1) operand pushes/prepends as ONE
+  * element (PG's array || element and matrix || row semantics). */
+case class PgArrayConcat(left: Expression, right: Expression)
+  extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  private def depth(t: DataType): Int = t match {
+    case ArrayType(e, _) => 1 + depth(e)
+    case _ => 0
+  }
+  private lazy val mode: String = {
+    val dl = depth(left.dataType)
+    val dr = depth(right.dataType)
+    if (dl == dr && dl > 0) "cat"
+    else if (dl == dr + 1) "append"
+    else if (dr == dl + 1) "prepend"
+    else throw new IllegalArgumentException(
+      s"cannot concatenate ${left.dataType} and ${right.dataType}")
+  }
+  override def dataType: DataType =
+    if (mode == "prepend") right.dataType else left.dataType
+  override def prettyName: String = "array_cat"
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    def elems(a: Any, t: DataType): Array[Any] = {
+      val ad = a.asInstanceOf[ArrayData]
+      val et = t.asInstanceOf[ArrayType].elementType
+      ad.toObjectArray(et).asInstanceOf[Array[Any]]
+    }
+    mode match {
+      case "cat" =>
+        new GenericArrayData(
+          elems(l, left.dataType) ++ elems(r, right.dataType))
+      case "append" =>
+        new GenericArrayData(elems(l, left.dataType) :+ r)
+      case _ =>
+        new GenericArrayData(l +: elems(r, right.dataType))
+    }
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PgArrayConcat = copy(left = l, right = r)
+}
+
+/** varlena.c text_to_array — PG's exact edge semantics: NULL
+  * delimiter → one element per CHARACTER; empty delimiter → the whole
+  * string as a single element; a third argument is the null-string
+  * marker (fields equal to it become NULL). */
+case class PgStringToArray(first: Expression, second: Expression,
+                           third: Expression) extends TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "string_to_array"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val s0 = first.eval(input)
+    if (s0 == null) return null
+    val s = s0.asInstanceOf[UTF8String].toString
+    val delim0 = second.eval(input)
+    val nullStr = Option(third.eval(input)).map(_.toString)
+    if (s.isEmpty) // text_to_array: empty input → empty array
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val parts: Seq[String] =
+      if (delim0 == null) s.map(_.toString)
+      else {
+        val d = delim0.toString
+        if (d.isEmpty) Seq(s)
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var from = 0
+          var at = s.indexOf(d, from)
+          while (at >= 0) {
+            out += s.substring(from, at)
+            from = at + d.length
+            at = s.indexOf(d, from)
+          }
+          out += s.substring(from)
+          out.toSeq
+        }
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      parts.map { p =>
+        if (nullStr.contains(p)) null else UTF8String.fromString(p)
+      }.toArray[Any])
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PgStringToArray =
+    copy(first = f, second = s, third = t)
+}
+
+/** varlena.c byteain — text → bytea honoring PG's hex (`\x...`) and
+  * escape (`\\`, `\nnn`) input formats. A binary child passes
+  * through so `col::bytea` on an already-binary column is identity. */
+case class PgByteaIn(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "byteain"
+  override protected def nullSafeEval(v: Any): Any = child.dataType match {
+    case BinaryType => v
+    case _ => GraftStrings.byteaIn(v.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case BinaryType => defineCodeGen(ctx, ev, c => c)
+      case _ => defineCodeGen(ctx, ev,
+        c => s"graft.functions.GraftStrings.byteaIn($c)")
+    }
+  override protected def withNewChildInternal(c: Expression): PgByteaIn =
+    copy(child = c)
+}
+
+/** GP timeseries interval/interval arithmetic (reference
+  * `src/backend/utils/adt/timestamp.c` interval_interval_div /
+  * interval_interval_mod): both operands collapse to seconds with
+  * PG's calendar assumptions (month = 30 days, day = 24 h); div is
+  * the double ratio, mod the truncated remainder as a day-time
+  * interval. Cold path — interpreted eval. */
+object PgIntervalOps {
+  def toSeconds(v: Any): Double = v match {
+    case d: java.time.Duration => d.toNanos / 1e9
+    case p: java.time.Period =>
+      (p.toTotalMonths * 30L * 86400L + p.getDays * 86400L).toDouble
+    case c: org.apache.spark.unsafe.types.CalendarInterval =>
+      c.months * 30.0 * 86400 + c.days * 86400.0 + c.microseconds / 1e6
+    case l: java.lang.Long => l.toDouble / 1e6 // DayTimeIntervalType micros
+    case i: java.lang.Integer => i.toDouble * 30 * 86400 // YM months
+    case other => throw new IllegalArgumentException(
+      s"not an interval: $other")
+  }
+}
+
+case class PgIntervalDiv(left: Expression, right: Expression)
+  extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "interval_interval_div"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PgIntervalOps.toSeconds(a) / PgIntervalOps.toSeconds(b)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PgIntervalDiv = copy(left = l, right = r)
+}
+
+case class PgIntervalMod(left: Expression, right: Expression)
+  extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType =
+    DayTimeIntervalType(DayTimeIntervalType.DAY, DayTimeIntervalType.SECOND)
+  override def prettyName: String = "interval_interval_mod"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = PgIntervalOps.toSeconds(a)
+    val y = PgIntervalOps.toSeconds(b)
+    val rem = x - (x / y).toLong * y // trunc toward zero, PG's C '/'
+    (rem * 1e6).toLong // DayTimeIntervalType internal micros
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PgIntervalMod = copy(left = l, right = r)
+}
+
+/** GP timeseries interval_bound(value, width[, shift[, reg]]) —
+  * reference `utils/adt/timestamp.c:328` timestamp_interval_bound_common
+  * and `numeric.c:2335` numeric_interval_bound_common. The largest
+  * multiple of `width` (registered to `reg`, default the 1970 epoch /
+  * zero) not above `value`, plus `shift` widths. Numeric: NaN
+  * propagates, floor arithmetic. Timestamps: the C convergence search
+  * with calendar-aware stepping — month/day components step wall-clock
+  * time (NTZ naive; LTZ in the session zone), exactly
+  * timestamp_offset_multiple. NULL value/width → NULL; NULL
+  * shift → 0; NULL reg → the default. */
+case class PgIntervalBound(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = children.head.dataType match {
+    case TimestampType => TimestampType
+    case TimestampNTZType => TimestampNTZType
+    case _ => DoubleType
+  }
+
+  private def numD(v: Any): Double = v match {
+    case n: Number => n.doubleValue()
+    case d: Decimal => d.toDouble
+    case other => other.toString.toDouble
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vv = children(0).eval(input)
+    val ww = children(1).eval(input)
+    if (vv == null || ww == null) return null
+    val sh = if (children.length > 2) children(2).eval(input) else null
+    val shift = if (sh == null) 0L else sh.asInstanceOf[Number].longValue()
+    val rg = if (children.length > 3) children(3).eval(input) else null
+    children.head.dataType match {
+      case TimestampType | TimestampNTZType =>
+        val naive = children.head.dataType == TimestampNTZType
+        val valMicros = vv.asInstanceOf[Long]
+        val (months, days, micros) = ww match {
+          case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+            (ci.months.toLong, ci.days.toLong, ci.microseconds)
+          case l: java.lang.Long => (0L, 0L, l.longValue) // DT micros
+          case i: java.lang.Integer => (i.longValue, 0L, 0L) // YM months
+        }
+        val widthSecs = months * 30.0 * 86400 + days * 86400.0 + micros / 1e6
+        if (widthSecs <= 0) throw new IllegalArgumentException(
+          "width of time interval not positive")
+        val regMicros = if (rg == null) 0L else rg.asInstanceOf[Long]
+        val zone =
+          if (naive) java.time.ZoneOffset.UTC
+          else org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        def offsetMultiple(n: Long): Long =
+          if (months == 0 && days == 0) regMicros + n * micros
+          else {
+            val zdt = java.time.Instant.ofEpochSecond(
+              Math.floorDiv(regMicros, 1000000L),
+              Math.floorMod(regMicros, 1000000L) * 1000L).atZone(zone)
+            val stepped = zdt.plusMonths(n * months).plusDays(n * days)
+              .plus(n * micros, java.time.temporal.ChronoUnit.MICROS)
+            stepped.toEpochSecond * 1000000L + stepped.getNano / 1000L
+          }
+        var index = ((valMicros - regMicros) / 1e6 / widthSecs).toLong
+        var safety = 64
+        var low = 0L
+        var done = false
+        while (!done) {
+          safety -= 1
+          if (safety <= 0) throw new IllegalStateException(
+            "interval_bound failed to converge")
+          low = offsetMultiple(index)
+          val high = offsetMultiple(index + 1)
+          if (valMicros >= high) {
+            val quo = ((valMicros - high) / 1e6 / widthSecs).toLong
+            index += (if (quo > 0) quo else 1)
+          } else if (valMicros < low) {
+            val quo = ((low - valMicros) / 1e6 / widthSecs).toLong
+            index -= (if (quo > 0) quo else 1)
+          } else done = true
+        }
+        if (shift != 0) offsetMultiple(index + shift) else low
+      case _ =>
+        val vd = numD(vv)
+        val wd = numD(ww)
+        val rd = if (rg == null) 0.0 else numD(rg)
+        if (vd.isNaN || wd.isNaN || rd.isNaN) Double.NaN
+        else {
+          if (wd <= 0) throw new IllegalArgumentException(
+            "width of numeric interval not positive")
+          math.floor((vd - rd) / wd) * wd + shift * wd + rd
+        }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): PgIntervalBound = copy(children = c)
+}
+
+/** encode.c esc_encode — the `encode(bytea, 'escape')` form (octal
+  * only for NUL/high-bit; control bytes pass raw). */
+case class PgEscEncode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "esc_encode"
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      GraftStrings.escEncode(v.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.GraftStrings.escEncode($c))")
+  override protected def withNewChildInternal(c: Expression): PgEscEncode =
+    copy(child = c)
+}
+
+/** PG btrim over EITHER type family (varlena.c btrim / byteatrim):
+  * binary children trim by byte set; everything else trims chars as
+  * text. Dispatch is on the resolved child type, so the one SQL name
+  * serves both — cold path, interpreted eval. */
+case class PgBtrim(left: Expression, right: Expression)
+  extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = left.dataType match {
+    case BinaryType => BinaryType
+    case _ => StringType
+  }
+  override def prettyName: String = "btrim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    (a, b) match {
+      case (x: Array[Byte], y: Array[Byte]) =>
+        GraftStrings.byteaTrim(x, y)
+      case _ =>
+        val s = a.asInstanceOf[UTF8String].toString
+        val set = b.asInstanceOf[UTF8String].toString.toSet
+        var lo = 0
+        var hi = s.length
+        while (lo < hi && set.contains(s.charAt(lo))) lo += 1
+        while (hi > lo && set.contains(s.charAt(hi - 1))) hi -= 1
+        UTF8String.fromString(s.substring(lo, hi))
+    }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PgBtrim =
+    copy(left = l, right = r)
+}
+
+/** varlena.c byteaout, escape mode — bytea → text with printable
+  * ASCII as-is, `\\` for backslash, `\nnn` octal otherwise. */
+case class PgByteaOutEscape(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "byteaout_escape"
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      GraftStrings.byteaOutEscape(v.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.GraftStrings.byteaOutEscape($c))")
+  override protected def withNewChildInternal(c: Expression): PgByteaOutEscape =
+    copy(child = c)
 }
 
 /** `simhash64(text)` — 64-bit SimHash fingerprint (near-dup detection at
@@ -895,9 +1891,71 @@ object GraftFunctions {
         fmt match {
           case Some("base64") => UnBase64(args(0))
           case Some("hex") => Unhex(args(0))
-          case Some("escape") => Cast(args(0), BinaryType)
+          case Some("escape") => PgByteaIn(args(0)) // byteain semantics
           case _ => new Decode(args.toIndexedSeq.toSeq)
         }
+      })
+    // PG encode(bytea, format) → text (encode.c): base64 / hex /
+    // escape. Other shapes delegate to Spark's charset Encode.
+    reg.registerFunction(
+      FunctionIdentifier("encode"),
+      info("encode", "encode(bytea, fmt) - PG base64/hex/escape to text; else Spark encode"),
+      (args: Seq[Expression]) => {
+        val fmt = try {
+          if (args.length == 2 && args(1).foldable)
+            Option(args(1).eval()).map(_.toString.toLowerCase)
+          else None
+        } catch { case _: Exception => None }
+        fmt match {
+          case Some("base64") => Base64(args(0))
+          case Some("hex") => Lower(Hex(args(0)))
+          case Some("escape") => PgEscEncode(args(0))
+          case _ => new Encode(args(0), args(1))
+        }
+      })
+    // btrim over bytea OR text children (the bytea form would
+    // otherwise silently cast to string and trim chars)
+    reg.registerFunction(
+      FunctionIdentifier("btrim"),
+      info("btrim", "btrim(s[, chars]) - PG both-ends trim, text or bytea"),
+      (args: Seq[Expression]) =>
+        if (args.length >= 2) PgBtrim(args(0), args(1))
+        else StringTrim(args(0)))
+    // PG ltrim/rtrim argument order is (string, characters) —
+    // varlena.c ltrim; Spark's own 2-arg spelling is REVERSED
+    // (trimStr first). pg_-prefixed for the same name-routing reason
+    // as pg_regexp_replace; the front door renames the calls.
+    reg.registerFunction(
+      FunctionIdentifier("pg_ltrim"),
+      info("pg_ltrim", "ltrim(s[, chars]) - PG argument order"),
+      (args: Seq[Expression]) =>
+        if (args.length >= 2) StringTrimLeft(args(0), Some(args(1)))
+        else StringTrimLeft(args(0)))
+    reg.registerFunction(
+      FunctionIdentifier("pg_rtrim"),
+      info("pg_rtrim", "rtrim(s[, chars]) - PG argument order"),
+      (args: Seq[Expression]) =>
+        if (args.length >= 2) StringTrimRight(args(0), Some(args(1)))
+        else StringTrimRight(args(0)))
+    // PG text_substr bound clamping (varlena.c:854): a start below 1
+    // shifts INTO the string — substr('abc', -1, 5) reads positions
+    // -1..3 → 'abc'; Spark's negative start counts from the END
+    reg.registerFunction(
+      FunctionIdentifier("substr"),
+      info("substr", "substr(s, start[, len]) - PG bound clamping"),
+      (args: Seq[Expression]) => {
+        val s = args(0)
+        val st = Cast(args(1), IntegerType)
+        if (args.length >= 3) {
+          val len = Cast(args(2), IntegerType)
+          val lenAdj = Add(len,
+            Least(Seq(Subtract(st, Literal(1)), Literal(0))))
+          If(LessThanOrEqual(lenAdj, Literal(0)),
+            Literal(UTF8String.fromString(""), StringType),
+            Substring(s, Greatest(Seq(st, Literal(1))), lenAdj))
+        } else
+          Substring(s, Greatest(Seq(st, Literal(1))),
+            Literal(Int.MaxValue))
       })
     for (n <- Seq("network", "broadcast", "netmask", "hostmask"))
       reg.registerFunction(
@@ -1152,18 +2210,142 @@ object GraftFunctions {
     // text_to_table, regexp.c regexp_split_*, misc.c num_nulls) — all
     // compose from codegen builtins: literal-delimiter splits use the
     // non-regex StringSplitSQL, the regexp forms Spark's StringSplit
+    def s2aArgs(args: Seq[Expression]): PgStringToArray =
+      PgStringToArray(args(0), args(1),
+        if (args.length > 2) args(2) else Literal(null, StringType))
     reg.registerFunction(
       FunctionIdentifier("string_to_table"),
-      info("string_to_table", "string_to_table(s, delim) - one row per literal-delimited part"),
-      (args: Seq[Expression]) => Explode(StringSplitSQL(args(0), args(1))))
+      info("string_to_table", "string_to_table(s, delim[, nullstr]) - one row per literal-delimited part"),
+      (args: Seq[Expression]) => Explode(s2aArgs(args)))
+    reg.registerFunction(
+      FunctionIdentifier("string_to_array"),
+      info("string_to_array", "string_to_array(s, delim[, nullstr]) - varlena.c text_to_array"),
+      (args: Seq[Expression]) => s2aArgs(args))
+    // PG unnest as a select-list SRF (FROM-position unnest rewrites
+    // to explode earlier, in PgSql.unnestFrom)
+    reg.registerFunction(
+      FunctionIdentifier("unnest"),
+      info("unnest", "unnest(anyarray) - one row per element"),
+      (args: Seq[Expression]) => Explode(args(0)))
+    reg.registerFunction(
+      FunctionIdentifier("pg_array_in"),
+      info("pg_array_in", "pg_array_in(text, depth) - array_in literal parse"),
+      (args: Seq[Expression]) => PgArrayInExpr(args(0),
+        args(1).eval() match {
+          case n: Number => n.intValue()
+          case other => other.toString.toInt
+        }))
+    reg.registerFunction(
+      FunctionIdentifier("array_ndims"),
+      info("array_ndims", "array_ndims(arr) - dimension count, NULL for empty"),
+      (args: Seq[Expression]) => PgArrayNdims(args(0)))
+    reg.registerFunction(
+      FunctionIdentifier("cardinality"),
+      info("cardinality", "cardinality(arr) - total element count, all dims"),
+      (args: Seq[Expression]) => PgCardinality(args(0)))
+    reg.registerFunction(
+      FunctionIdentifier("array_length"),
+      info("array_length", "array_length(arr, dim) - extent of one dimension"),
+      (args: Seq[Expression]) => PgArrayLength(args(0), args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("array_fill"),
+      info("array_fill", "array_fill(value, dims[, lbounds]) - filled array"),
+      (args: Seq[Expression]) => {
+        val dims = args(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toIntArray().toSeq
+          case s: UTF8String => // '{3,3}' literal spelling
+            GraftStrings.pgArrayIn(s, 1).toObjectArray(StringType)
+              .map(_.toString.toInt).toSeq
+          case other => throw new IllegalArgumentException(
+            s"array_fill dims must be a literal int array, got $other")
+        }
+        PgArrayFill(args(0), dims)
+      })
+    reg.registerFunction(
+      FunctionIdentifier("array_cat"),
+      info("array_cat", "array_cat(a, b) - PG concatenation incl. matrix||row"),
+      (args: Seq[Expression]) => PgArrayConcat(args(0), args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("pg_array_cat"),
+      info("pg_array_cat", "the || operator's array concatenation forms"),
+      (args: Seq[Expression]) => PgArrayConcat(args(0), args(1)))
+    // PG array_prepend takes (element, array) — Spark's builtin is
+    // reversed
+    reg.registerFunction(
+      FunctionIdentifier("array_prepend"),
+      info("array_prepend", "array_prepend(elem, arr) - PG argument order"),
+      (args: Seq[Expression]) => ArrayPrepend(args(1), args(0)))
+    reg.registerFunction(
+      FunctionIdentifier("array_to_string"),
+      info("array_to_string", "array_to_string(arr, delim[, nullstr])"),
+      (args: Seq[Expression]) => {
+        // a NULL null-string behaves like the 2-arg form (text_to_array
+        // is not strict on this argument: NULL elements are skipped)
+        val nullStr = args.lift(2).filter {
+          case Literal(null, _) => false
+          case _ => true
+        }
+        ArrayJoin(args(0), args(1), nullStr)
+      })
+    def flagArg(args: Seq[Expression], at: Int): Expression =
+      if (args.length > at) args(at)
+      else Literal(UTF8String.fromString(""), StringType)
     reg.registerFunction(
       FunctionIdentifier("regexp_split_to_array"),
-      info("regexp_split_to_array", "regexp_split_to_array(s, re) - split on a regex"),
-      (args: Seq[Expression]) => StringSplit(args(0), args(1), Literal(-1)))
+      info("regexp_split_to_array", "regexp_split_to_array(s, re[, flags]) - PG regex split"),
+      (args: Seq[Expression]) =>
+        PgRegexpSplitArr(args(0), args(1), flagArg(args, 2)))
     reg.registerFunction(
       FunctionIdentifier("regexp_split_to_table"),
-      info("regexp_split_to_table", "regexp_split_to_table(s, re) - one row per regex-delimited part"),
-      (args: Seq[Expression]) => Explode(StringSplit(args(0), args(1), Literal(-1))))
+      info("regexp_split_to_table", "regexp_split_to_table(s, re[, flags]) - one row per regex-delimited part"),
+      (args: Seq[Expression]) =>
+        Explode(PgRegexpSplitArr(args(0), args(1), flagArg(args, 2))))
+    // PG regexp_matches: setof text[] — a generator in Spark terms, so
+    // a bare select-list call explodes natively (regexp.c:904)
+    reg.registerFunction(
+      FunctionIdentifier("regexp_matches"),
+      info("regexp_matches", "regexp_matches(s, re[, flags]) - setof capture-group text[]"),
+      (args: Seq[Expression]) =>
+        Explode(PgRegexpMatches(args(0), args(1), flagArg(args, 2))))
+    // PG regexp_replace: flags string as the 4th argument and PG's
+    // replace-FIRST-only default (Spark's builtin is always-global —
+    // a silent wrong answer for migrated SQL, regexp.c:600).
+    // Registered under pg_regexp_replace and renamed at the SQL front
+    // door: in this Spark, functions.regexp_replace resolves BY NAME
+    // through this registry, so overriding the builtin name would
+    // silently flip every internal DataFrame call site to
+    // first-match semantics.
+    reg.registerFunction(
+      FunctionIdentifier("pg_regexp_replace"),
+      info("pg_regexp_replace", "regexp_replace(s, re, rep[, flags]) - PG semantics (first match unless 'g')"),
+      (args: Seq[Expression]) =>
+        PgRegexpReplaceExpr(args(0), args(1), args(2), flagArg(args, 3)))
+    reg.registerFunction(
+      FunctionIdentifier("pg_regexp_substr"),
+      info("pg_regexp_substr", "pg_regexp_substr(s, re) - substring(s, pattern) regex form"),
+      (args: Seq[Expression]) => PgRegexpSubstr(args(0), args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("pg_similar_substr"),
+      info("pg_similar_substr", "pg_similar_substr(s, pat, esc) - SQL:1999 substring w/ escape"),
+      (args: Seq[Expression]) => PgSimilarSubstr(args(0), args(1), args(2)))
+    reg.registerFunction(
+      FunctionIdentifier("byteain"),
+      info("byteain", "byteain(text) - PG bytea input (hex or escape format)"),
+      (args: Seq[Expression]) => PgByteaIn(args(0)))
+    reg.registerFunction(
+      FunctionIdentifier("interval_interval_div"),
+      info("interval_interval_div", "interval / interval - double ratio (GP timeseries)"),
+      (args: Seq[Expression]) => PgIntervalDiv(args(0), args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("interval_interval_mod"),
+      info("interval_interval_mod", "interval % interval - truncated remainder interval"),
+      (args: Seq[Expression]) => PgIntervalMod(args(0), args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("interval_bound"),
+      info("interval_bound",
+        "interval_bound(v, w[, shift[, reg]]) - GP timeseries bucket lower bound"),
+      (args: Seq[Expression]) => PgIntervalBound(args))
     reg.registerFunction(
       FunctionIdentifier("starts_with"),
       info("starts_with", "starts_with(s, prefix) - PG spelling of startswith"),
@@ -1315,35 +2497,17 @@ object GraftFunctions {
       RETURNS STRING RETURN CASE
         WHEN s RLIKE '^[a-z_][a-z0-9_]*$' THEN s
         ELSE concat('"', replace(s, '"', '""'), '"') END""")
-    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION string_to_array(
-        s STRING, d STRING)
-      RETURNS ARRAY<STRING> RETURN CASE
-        WHEN s IS NULL THEN NULL
-        WHEN s = '' THEN array()
-        WHEN d IS NULL THEN split(s, '')
-        WHEN d = '' THEN array(s)
-        ELSE split(s, concat(chr(92), 'Q', d, chr(92), 'E'), -1) END""")
-    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION array_to_string(
-        a ARRAY<STRING>, d STRING)
-      RETURNS STRING RETURN array_join(a, d)""")
+    // string_to_array / array_to_string are registry expressions now
+    // (PgStringToArray / ArrayJoin) — the old SQL temp-function forms
+    // lacked the 3-arg null-marker variants
     spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING)
       RETURNS INT RETURN instr(s, sub)""")
     spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION to_hex(n BIGINT)
       RETURNS STRING RETURN lower(hex(n))""")
     spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION gen_random_uuid()
       RETURNS STRING RETURN uuid()""")
-    // PG array helpers (arrayfuncs.c): dimension-1 length with PG's
-    // NULL-for-empty contract; concatenation; element replace (string-
-    // typed — N-d and typed variants live in PgArrays' expression API)
-    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION array_length(
-        a ARRAY<STRING>, d INT)
-      RETURNS INT RETURN CASE
-        WHEN a IS NULL OR d IS NULL OR d < 1 THEN NULL
-        WHEN size(a) = 0 THEN NULL
-        WHEN d = 1 THEN size(a) ELSE NULL END""")
-    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION array_cat(
-        a ARRAY<STRING>, b ARRAY<STRING>)
-      RETURNS ARRAY<STRING> RETURN concat(a, b)""")
+    // PG array helpers (arrayfuncs.c): element replace (string-typed;
+    // array_length / array_cat are typed registry expressions now)
     spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION array_replace(
         a ARRAY<STRING>, f STRING, t STRING)
       RETURNS ARRAY<STRING> RETURN

@@ -57,7 +57,12 @@ object GreengageDdl {
 
   /** PG/Greengage type name → Spark SQL type (SURVEY §1.2 mapping). */
   private[operators] def mapType(pg: String): String = {
-    val t = pg.trim.toLowerCase.replaceAll("\\s+", " ")
+    val t0 = pg.trim.toLowerCase.replaceAll("\\s+", " ")
+    // SQL-standard `int ARRAY[4]` / `int ARRAY` spellings (gram.y
+    // opt_array_bounds) are the bracket form; declared sizes drop
+    // (PG ignores them too)
+    val t = t0.replaceAll("(?i)\\s+array(\\s*\\[\\s*\\d*\\s*\\])?$", "[]")
+      .replaceAll("\\[\\s*\\d+\\s*\\]", "[]")
     // array column types `int[]` / `text[][]` (gram.y opt_array_bounds)
     if (t.endsWith("[]"))
       return s"ARRAY<${mapType(t.stripSuffix("[]"))}>"
@@ -108,8 +113,8 @@ object GreengageDdl {
             i += 1
           }
           i -= 1 // outer loop advances past the closing quote
-        case '(' => depth += 1
-        case ')' => depth -= 1
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
         case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
         case _ =>
       }
@@ -370,6 +375,35 @@ object GreengageDdl {
     s"CREATE TABLE $ine${spec.name}$colSql USING parquet$optSql$partSql$bucketSql$propSql$asSql"
   }
 
+  /** A prior JVM's managed-table directory can survive under the
+    * warehouse with no entry in THIS session's in-memory catalog —
+    * `DROP TABLE IF EXISTS` then no-ops and CREATE trips on
+    * LOCATION_ALREADY_EXISTS. When the catalog has no such table but
+    * its default location exists on disk, the directory is an orphan:
+    * clear it so CREATE behaves as on a fresh warehouse. */
+  private def clearOrphanLocation(spark: SparkSession, name0: String): Unit = {
+    try {
+      val parts = name0.toLowerCase.replace("`", "").split("\\.")
+      val (db, table) =
+        if (parts.length >= 2) (parts(parts.length - 2), parts.last)
+        else (spark.catalog.currentDatabase, parts.last)
+      if (!spark.catalog.tableExists(s"$db.$table")) {
+        val wh = new java.net.URI(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath
+        val dir = new java.io.File(
+          if (db == "default") new java.io.File(wh, table).getPath
+          else new java.io.File(new java.io.File(wh, s"$db.db"), table).getPath)
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(dir)
+        }
+      }
+    } catch { case _: Exception => () } // best-effort; CREATE reports
+  }
+
   /** Parse + execute a Greengage CREATE TABLE against the session catalog. */
   def execute(spark: SparkSession, ddl: String, buckets: Int = 32): TableSpec = {
     var spec = parse(ddl)
@@ -405,6 +439,7 @@ object GreengageDdl {
       }
     val execSpec = ctasView.map(v => spec.copy(ctasQuery = Some(v)))
       .getOrElse(spec)
+    clearOrphanLocation(spark, spec.name)
     try spark.sql(toSparkSql(execSpec, buckets))
     finally if (ctasView.isDefined)
       spark.catalog.dropTempView("__graft_ctas_body")
@@ -621,7 +656,10 @@ object GreengageDdl {
   private val constraintNoopRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+(?:" +
       "ALTER\\s+(?:COLUMN\\s+)?\\w+\\s+(?:SET\\s+DEFAULT\\b.*|DROP\\s+DEFAULT|" +
-      "SET\\s+NOT\\s+NULL|DROP\\s+NOT\\s+NULL|SET\\s+STATISTICS\\s+\\d+)|" +
+      "SET\\s+NOT\\s+NULL|DROP\\s+NOT\\s+NULL|SET\\s+STATISTICS\\s+\\d+|" +
+      // SET STORAGE (tablecmds.c ATExecSetStorage): TOAST strategy —
+      // parquet's own encoding applies; accepted no-op
+      "SET\\s+STORAGE\\s+\\w+)|" +
       "ADD\\s+CONSTRAINT\\b.*|DROP\\s+CONSTRAINT\\b.*|VALIDATE\\s+CONSTRAINT\\b.*" +
       ")\\s*;?\\s*$").r
   private val alterTypeRe =

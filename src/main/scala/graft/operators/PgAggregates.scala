@@ -29,7 +29,8 @@ object PgAggregates {
     "float4pl" -> "sum", "float8pl" -> "sum", "numeric_add" -> "sum",
     "int2_sum" -> "sum", "int4_sum" -> "sum", "int8_sum" -> "sum",
     "float4_sum" -> "sum", "float8_sum" -> "sum",
-    "int8inc" -> "count", "int8inc_any" -> "count")
+    "int8inc" -> "count", "int8inc_any" -> "count",
+    "array_agg_transfn" -> "array_agg")
 
   private val finalMap = Map(
     "rank_final" -> "rank", "dense_rank_final" -> "dense_rank",
@@ -38,10 +39,27 @@ object PgAggregates {
     "percentile_disc_final" -> "percentile_disc",
     "percentile_cont_float8_final" -> "percentile_cont",
     "percentile_cont_interval_final" -> "percentile_cont",
-    "int8_avg" -> "avg", "numeric_avg" -> "avg")
+    "int8_avg" -> "avg", "numeric_avg" -> "avg",
+    "array_agg_finalfn" -> "array_agg")
+
+  /** `CREATE FUNCTION name(...) ... AS 'cname' LANGUAGE internal`:
+    * the regress suites re-expose catalog C functions under local
+    * names and build aggregates from them (arrays.sql int_agg_state →
+    * array_agg_transfn). name → catalog C name. */
+  private val internalFns =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def registerInternal(name: String, cname: String): Unit = {
+    internalFns.put(name.toLowerCase.split("\\.").last,
+      cname.toLowerCase)
+    ()
+  }
+
+  private def dealias(fn: String): String =
+    Option(internalFns.get(fn)).getOrElse(fn)
 
   private val createRe =
-    ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?AGGREGATE\\s+" +
+    ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:ORDERED\\s+)?AGGREGATE\\s+" +
       "([\\w.\"]+)\\s*(?:\\([^()]*\\)\\s*)?\\((.*)\\)\\s*;?\\s*$").r
 
   /** Route a CREATE AGGREGATE statement; throws on a user-transition
@@ -59,8 +77,8 @@ object PgAggregates {
         case _ => None
       }
     }.toMap
-    val sfunc = opts.get("sfunc").orElse(opts.get("sfunc1"))
-    val ffunc = opts.get("finalfunc")
+    val sfunc = opts.get("sfunc").orElse(opts.get("sfunc1")).map(dealias)
+    val ffunc = opts.get("finalfunc").map(dealias)
     val builtin = ffunc.flatMap(finalMap.get)
       .orElse(sfunc.flatMap(sfuncMap.get))
       .getOrElse(throw new UnsupportedOperationException(

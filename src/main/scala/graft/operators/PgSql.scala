@@ -14,6 +14,14 @@ package graft.operators
   */
 object PgSql {
 
+  /** standard_conforming_strings (scan.l / guc.c): ON lexes '...'
+    * bodies verbatim (backslash is an ordinary char); OFF applies
+    * C-style escapes — which is what Spark's lexer does natively, so
+    * OFF is the engine default and ON doubles backslashes at rewrite.
+    * Set per statement by Graft.execute from the session GUC; a
+    * plain var because statements execute serially per session. */
+  @volatile var stdStrings: Boolean = false
+
   private val typeAlias = Seq(
     "int2" -> "SMALLINT", "int4" -> "INT", "int8" -> "BIGINT",
     "float4" -> "FLOAT", "float8" -> "DOUBLE",
@@ -77,6 +85,15 @@ object PgSql {
     * array. Runs on the raw text (the literal is the subject). */
   private def arrayLiteralBody(raw: String, pgType: String): String = {
     val t = mapType(pgType)
+    if (raw.contains("{")) {
+      // nested literal: PG array VALUES carry their own dims
+      // regardless of the declared `type[]` — parse at the literal's
+      // depth through the runtime array_in (pg_array_in), then cast
+      val depth = 1 + raw.trim.takeWhile(_ == '{').length
+      val target = (1 to depth).foldLeft(t)((acc, _) => s"ARRAY<$acc>")
+      val lit0 = ("{" + raw + "}").replace("'", "''")
+      return s"CAST(pg_array_in('$lit0', $depth) AS $target)"
+    }
     val elems = arrayElems(raw)
     if (elems.isEmpty) s"CAST(array() AS ARRAY<$t>)"
     else elems.map { case (e, q) => s"CAST(${arrayElemLit(e, q)} AS $t)" }
@@ -84,9 +101,27 @@ object PgSql {
   }
 
   private def arrayLiteralCasts(sql: String): String = {
+    // explicit-bounds literals '[2:4]={5,6,7}'::int[] (array_in
+    // bounds prefix — the bounds drop, Spark arrays are 1-based)
+    val boundsForm =
+      "'(\\[[^'{]*\\])=\\{([^']*)\\}'\\s*::\\s*_?([a-zA-Z0-9]+)\\s*(?:\\[\\s*\\])?".r
+        .replaceAllIn(sql, m => {
+          val t = mapType(m.group(3))
+          val depth = 1 + m.group(2).trim.takeWhile(_ == '{').length
+          val target = (1 to depth).foldLeft(t)((acc, _) => s"ARRAY<$acc>")
+          val lit0 = ("{" + m.group(2) + "}").replace("'", "''")
+          java.util.regex.Matcher.quoteReplacement(
+            s"CAST(pg_array_in('$lit0', $depth) AS $target)")
+        })
+    // PG internal array-type names: '_int2' ≡ int2[] (pg_type.h)
+    val underscoreForm =
+      "'\\s*\\{([^']*)\\}\\s*'\\s*::\\s*_([a-zA-Z0-9]+)\\b".r
+        .replaceAllIn(boundsForm, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            arrayLiteralBody(m.group(1), m.group(2))))
     val colonForm =
-      "'\\{([^']*)\\}'\\s*::\\s*([a-zA-Z0-9_]+)\\s*\\[\\s*\\]".r
-        .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+      "'\\s*\\{([^']*)\\}\\s*'\\s*::\\s*([a-zA-Z0-9_]+)\\s*\\[\\s*\\]".r
+        .replaceAllIn(underscoreForm, m => java.util.regex.Matcher.quoteReplacement(
           arrayLiteralBody(m.group(1), m.group(2))))
     "(?i)CAST\\s*\\(\\s*'\\{([^']*)\\}'\\s+AS\\s+([a-zA-Z0-9_]+)\\s*\\[\\s*\\]\\s*\\)".r
       .replaceAllIn(colonForm, m => java.util.regex.Matcher.quoteReplacement(
@@ -117,6 +152,18 @@ object PgSql {
     // is one "segment" — the constant 0, CAST so a GROUP BY position
     // can't read it as an ordinal
     out = out.replaceAll("(?i)\\bgp_segment_id\\b", "CAST(0 AS INT)")
+    // pg_catalog schema qualifier: functions live in the session
+    // registry and the compat views are unqualified temp views —
+    // the explicit qualifier drops (namespace.c search_path)
+    out = out.replaceAll("(?i)\\bpg_catalog\\.", "")
+    // PG-semantics string functions live under pg_ names (the builtin
+    // names are resolved BY NAME by the DataFrame API too, so
+    // overriding them would flip internal call sites): regexp_replace
+    // gets PG's replace-FIRST default + flags, ltrim/rtrim PG's
+    // (string, chars) argument order
+    out = out.replaceAll("(?i)\\bregexp_replace\\s*\\(", "pg_regexp_replace(")
+    out = out.replaceAll("(?i)\\bltrim\\s*\\(", "pg_ltrim(")
+    out = out.replaceAll("(?i)\\brtrim\\s*\\(", "pg_rtrim(")
     // PG typed-literal spellings Spark's parser rejects: timestamptz
     // 'v' / timestamp with[out] time zone 'v' → TIMESTAMP 'v' (the
     // session zone carries tz semantics, datatype.c); segment ends at
@@ -304,35 +351,53 @@ object PgSql {
     * `x[1]` and brackets inside string literals stay untouched; nested
     * constructors each classify their own pair. */
   private def arrayBrackets(sql: String): String = {
-    val chars = sql.toCharArray
+    val out = new StringBuilder(sql.length + 16)
     val open = scala.collection.mutable.Stack[Boolean]() // isArray per '['
     var inLit = false
     var i = 0
-    while (i < chars.length) {
-      val c = chars(i)
+    while (i < sql.length) {
+      val c = sql.charAt(i)
       if (inLit) {
+        out += c
         if (c == '\'') {
-          if (i + 1 < chars.length && chars(i + 1) == '\'') i += 1
-          else inLit = false
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            out += '\''; i += 1
+          } else inLit = false
         }
       } else c match {
-        case '\'' => inLit = true
+        case '\'' => out += c; inLit = true
         case '[' =>
           var j = i - 1
-          while (j >= 0 && chars(j).isWhitespace) j -= 1
-          val isArr = j >= 4 &&
+          while (j >= 0 && sql.charAt(j).isWhitespace) j -= 1
+          def prevOut: Char = {
+            var k = out.length - 1
+            while (k >= 0 && out.charAt(k).isWhitespace) k -= 1
+            if (k >= 0) out.charAt(k) else ' '
+          }
+          val afterKeyword = j >= 4 &&
             sql.regionMatches(true, j - 4, "ARRAY", 0, 5) &&
-            (j - 5 < 0 || (!Character.isLetterOrDigit(chars(j - 5)) &&
-              chars(j - 5) != '_'))
-          open.push(isArr)
-          if (isArr) chars(i) = '('
+            (j - 5 < 0 || (!Character.isLetterOrDigit(sql.charAt(j - 5)) &&
+              sql.charAt(j - 5) != '_'))
+          // a nested row of a multi-dim constructor —
+          // ARRAY[[1,2],[3,4]] (gram.y a_expr ARRAY array_expr): the
+          // '[' directly follows the constructor's opening or a ','
+          // inside it; it becomes its own array(...) level
+          val nestedRow = !afterKeyword && open.nonEmpty && open.top && {
+            val p = prevOut
+            p == '(' || p == ','
+          }
+          open.push(afterKeyword || nestedRow)
+          if (afterKeyword) out += '('
+          else if (nestedRow) out ++= "array("
+          else out += '['
         case ']' if open.nonEmpty =>
-          if (open.pop()) chars(i) = ')'
-        case _ =>
+          if (open.pop()) out += ')' else out += ']'
+        case ']' => out += ']'
+        case other => out += other
       }
       i += 1
     }
-    new String(chars)
+    out.toString
   }
 
   /** PG `FROM ... unnest(expr) [WITH ORDINALITY] [AS] alias[(cols)]`
@@ -382,7 +447,10 @@ object PgSql {
         clause.pop(); clause.push(w)
         out ++= sql.substring(i, i + w.length); i += w.length
       }
-      else if (word(i, "unnest")) {
+      else if (word(i, "unnest") || word(i, "regexp_split_to_table") ||
+        word(i, "string_to_table") || word(i, "generate_subscripts")) {
+        val fname = Seq("unnest", "regexp_split_to_table",
+          "string_to_table", "generate_subscripts").find(word(i, _)).get
         // preceding non-space token decides the form
         var p = i - 1
         while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
@@ -396,7 +464,7 @@ object PgSql {
         val afterJoin = p >= 3 &&
           sql.regionMatches(true, p - 3, "JOIN", 0, 4) &&
           (p - 4 < 0 || !Character.isLetterOrDigit(sql.charAt(p - 4)))
-        var j = i + 6
+        var j = i + fname.length
         while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
         if (!(afterComma || afterFrom || afterJoin) || j >= sql.length ||
           sql.charAt(j) != '(') { out += c; i += 1 }
@@ -426,12 +494,28 @@ object PgSql {
             "limit", "join", "on", "inner", "left", "right", "full",
             "cross", "union", "having", "with", "offset", "fetch",
             "except", "intersect", "lateral").contains(mm.group(2).toLowerCase))
+          // alias-less SRF in FROM (PG names the column after the
+          // function): synthesize the function name as the alias
+          val aliasless = m.isEmpty || keywordAlias
           // a 2-column alias list without ORDINALITY is invalid PG for
           // a single-array unnest — leave it for Spark to reject
-          val badCols = m.exists(mm =>
+          val badCols = !aliasless && m.exists(mm =>
             mm.group(1) == null && mm.group(4) != null)
-          if (end < 0 || multi || m.isEmpty || keywordAlias || badCols) {
+          if (end < 0 || (multi && fname == "unnest") || badCols) {
             out += c; i += 1
+          } else if (aliasless) {
+            val arg = sql.substring(j + 1, end)
+            val arrExpr0 = fname match {
+              case "unnest" => arg
+              case "regexp_split_to_table" => s"regexp_split_to_array($arg)"
+              case "string_to_table" => s"string_to_array($arg)"
+              case "generate_subscripts" =>
+                s"sequence(1, array_length($arg))"
+            }
+            val an = fname
+            out ++= (if (afterComma || afterJoin) "LATERAL " else "") ++=
+              s"(SELECT col AS $an FROM explode($arrExpr0)) AS $an"
+            i = end + 1
           } else {
             val mm = m.get
             val arg = sql.substring(j + 1, end)
@@ -439,13 +523,22 @@ object PgSql {
             val alias = mm.group(2)
             val c1 = Option(mm.group(3))
             val c2 = Option(mm.group(4))
+            // split SRFs wrap their args into the PG-semantics array
+            // function; unnest's arg IS the array
+            val arrExpr = fname match {
+              case "unnest" => arg
+              case "regexp_split_to_table" => s"regexp_split_to_array($arg)"
+              case "string_to_table" => s"string_to_array($arg)"
+              case "generate_subscripts" =>
+                s"sequence(1, array_length($arg))"
+            }
             val sel =
               if (ord)
                 s"(SELECT col AS ${c1.getOrElse("unnest")}, " +
                   s"CAST(pos + 1 AS BIGINT) AS ${c2.getOrElse("ordinality")} " +
-                  s"FROM posexplode($arg))"
+                  s"FROM posexplode($arrExpr))"
               else
-                s"(SELECT col AS ${c1.getOrElse(alias)} FROM explode($arg))"
+                s"(SELECT col AS ${c1.getOrElse(alias)} FROM explode($arrExpr))"
             // trailing space: the alias regex's \s* swallows the
             // whitespace separating the alias from the next clause, so
             // re-emit one separator or 'AS t WHERE' would glue to 'tWHERE'
@@ -573,6 +666,186 @@ object PgSql {
         }
         i = close + 1
       } else i += 1
+    }
+    sql
+  }
+
+  /** The `||` operator's ARRAY forms (pg_operator.h array_cat /
+    * array_append / array_prepend): fires only when one operand is a
+    * syntactic ARRAY(...) constructor (or an already-built
+    * pg_array_cat chain) — string `||` stays Spark's concat. Runs
+    * AFTER arrayBrackets (constructors are ARRAY(...) by then). */
+  private def arrayConcatOps(sqlIn: String): String = {
+    if ("(?i)\\barray\\s*\\(".r.findFirstIn(sqlIn).isEmpty) return sqlIn
+    var sql = sqlIn
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(sql)
+      "\\|\\|".r.findAllMatchIn(masked).find { m =>
+        // RHS operand extent
+        var r0 = m.end
+        while (r0 < masked.length && masked.charAt(r0).isWhitespace) r0 += 1
+        var r1 = r0
+        if (r1 < masked.length && masked.charAt(r1) == '\'') {
+          r1 += 1
+          while (r1 < masked.length && masked.charAt(r1) != '\'') r1 += 1
+          r1 += 1
+        } else {
+          while (r1 < masked.length && (masked.charAt(r1).isLetterOrDigit ||
+            masked.charAt(r1) == '_' || masked.charAt(r1) == '.' ||
+            masked.charAt(r1) == '$')) r1 += 1
+          if (r1 < masked.length && masked.charAt(r1) == '(')
+            r1 = matchingParen(masked, r1) + 1
+        }
+        // LHS operand extent
+        var l1 = m.start - 1
+        while (l1 >= 0 && masked.charAt(l1).isWhitespace) l1 -= 1
+        var l0 = l1
+        if (l0 >= 0 && masked.charAt(l0) == ')') {
+          var d = 0
+          var k = l0
+          var open = -1
+          while (k >= 0 && open < 0) {
+            masked.charAt(k) match {
+              case ')' => d += 1
+              case '(' => d -= 1; if (d == 0) open = k
+              case _ =>
+            }
+            k -= 1
+          }
+          l0 = open
+          var t = l0 - 1
+          while (t >= 0 && (masked.charAt(t).isLetterOrDigit ||
+            masked.charAt(t) == '_' || masked.charAt(t) == '.')) t -= 1
+          l0 = t + 1
+        } else if (l0 >= 0 && masked.charAt(l0) == '\'') {
+          var k = l0 - 1
+          while (k >= 0 && masked.charAt(k) != '\'') k -= 1
+          l0 = k
+        } else {
+          while (l0 >= 0 && (masked.charAt(l0).isLetterOrDigit ||
+            masked.charAt(l0) == '_' || masked.charAt(l0) == '.' ||
+            masked.charAt(l0) == '$')) l0 -= 1
+          l0 += 1
+        }
+        val lhs = sql.substring(l0, l1 + 1)
+        val rhs = sql.substring(r0, r1)
+        val arrayish = "(?is)^(array|pg_array_cat)\\s*\\(".r
+        if (l0 > l1 || r0 >= r1 ||
+          (arrayish.findFirstIn(lhs).isEmpty &&
+            arrayish.findFirstIn(rhs).isEmpty)) false
+        else {
+          sql = sql.substring(0, l0) + s"pg_array_cat($lhs, $rhs)" +
+            sql.substring(r1)
+          changed = true
+          true
+        }
+      }
+    }
+    sql
+  }
+
+  /** PG array slices `a[1:3]`, incl. multi-dim chains
+    * `b[1:1][1:2][1:2]` (arrayfuncs.c array_get_slice): level 1 is a
+    * 1-based `slice(...)`; deeper levels apply through nested
+    * `transform`s. In slice mode a bare index is the UPPER bound with
+    * lower 1 (PG's array_ref slice rules). Slice ASSIGNMENT targets
+    * (`SET a[1:2] = …`) are left alone. */
+  private def arraySlices(sqlIn: String): String = {
+    var sql = sqlIn
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(sql)
+      "([A-Za-z_][\\w.]*)\\s*\\[".r.findAllMatchIn(masked).find { m =>
+        val base = sql.substring(m.start(1), m.end(1))
+        if (base.equalsIgnoreCase("array")) false
+        else {
+          // collect the chain of bracket groups
+          var groups = List.empty[(Int, Int)]
+          var p = m.end - 1
+          var ok = true
+          while (ok && p < masked.length && masked.charAt(p) == '[') {
+            var d = 0
+            var q = p
+            var close = -1
+            while (q < masked.length && close < 0) {
+              masked.charAt(q) match {
+                case '[' => d += 1
+                case ']' => d -= 1; if (d == 0) close = q
+                case _ =>
+              }
+              q += 1
+            }
+            if (close < 0) ok = false
+            else {
+              groups = groups :+ ((p, close))
+              p = close + 1
+            }
+          }
+          def topColon(o: Int, c: Int): Boolean = {
+            var d = 0
+            var col = false
+            masked.substring(o + 1, c).foreach {
+              case '[' | '(' => d += 1
+              case ']' | ')' => d -= 1
+              case ':' if d == 0 => col = true
+              case _ =>
+            }
+            col
+          }
+          val sliceMode = ok && groups.nonEmpty &&
+            groups.exists { case (o, c) => topColon(o, c) } &&
+            groups.head._2 - groups.head._1 > 1 // non-empty first group
+          val before = masked.substring(0, m.start(1)).reverse
+            .dropWhile(_.isWhitespace)
+          // an assignment target (UPDATE SET a[1:2] = …) stays
+          var after = groups.lastOption.map(_._2 + 1).getOrElse(0)
+          while (after < masked.length && masked.charAt(after).isWhitespace)
+            after += 1
+          val isAssign = after < masked.length &&
+            masked.charAt(after) == '=' &&
+            (after + 1 >= masked.length || masked.charAt(after + 1) != '=')
+          if (!sliceMode || before.startsWith("::") || isAssign) false
+          else {
+            def bounds(o: Int, c: Int): (String, String) = {
+              val body = sql.substring(o + 1, c)
+              val mbody = masked.substring(o + 1, c)
+              var d = 0
+              var colonAt = -1
+              var k = 0
+              while (k < mbody.length) {
+                mbody.charAt(k) match {
+                  case '[' | '(' => d += 1
+                  case ']' | ')' => d -= 1
+                  case ':' if d == 0 && colonAt < 0 => colonAt = k
+                  case _ =>
+                }
+                k += 1
+              }
+              if (colonAt < 0) ("1", body.trim)
+              else (body.substring(0, colonAt).trim,
+                body.substring(colonAt + 1).trim)
+            }
+            var expr = base
+            var level = 0
+            groups.foreach { case (o, c) =>
+              val (lo, hi) = bounds(o, c)
+              def core(v: String) = s"slice($v, ($lo), ($hi) - ($lo) + 1)"
+              def wrap(l: Int, v: String): String =
+                if (l == 0) core(v)
+                else s"transform($v, __sl$l -> ${wrap(l - 1, s"__sl$l")})"
+              expr = wrap(level, expr)
+              level += 1
+            }
+            sql = sql.substring(0, m.start(1)) + s"($expr)" +
+              sql.substring(groups.last._2 + 1)
+            changed = true
+            true
+          }
+        }
+      }
     }
     sql
   }
@@ -800,7 +1073,7 @@ object PgSql {
     * Triggered only when a plain bare-item rewrite can't apply:
     * several calls, or a call nested in arithmetic. */
   private def srfSelectHoist(sqlIn: String): String = {
-    if ("(?i)generate_series".r.findFirstIn(sqlIn).isEmpty) return sqlIn
+    if ("(?i)generate_series|unnest".r.findFirstIn(sqlIn).isEmpty) return sqlIn
     var sql = sqlIn
     var hoists = 0
     var changed = true
@@ -829,7 +1102,7 @@ object PgSql {
               masked.charAt(at + w.length) != '_'))
       // select-position calls: nearest preceding depth-equal SELECT
       // with no intervening FROM
-      val calls = "(?i)\\bgenerate_series\\s*\\(".r.findAllMatchIn(masked)
+      val calls = "(?i)\\b(?:generate_series|unnest)\\s*\\(".r.findAllMatchIn(masked)
         .toSeq.filter { m =>
           val myd = depth(m.start)
           var k = m.start - 1
@@ -1279,7 +1552,8 @@ object PgSql {
   // trailing identifier char can't backtrack into them (xLIKE is a
   // name, not x LIKE)
   private val quantRe =
-    ("(?is)([\\w$]+(?:\\.[\\w$]+)*|'[^']*')\\s*" +
+    ("(?is)([\\w$]+(?:\\.[\\w$]+)*(?:\\s*::\\s*\\w+)?|" +
+      "'[^']*'(?:\\s*::\\s*\\w+)?)\\s*" +
       "(=|<>|!=|<=|>=|<|>|(?<=[\\s)'])(?:NOT\\s+)?I?LIKE\\b)\\s*" +
       "(ANY|SOME|ALL)\\s*\\(").r
 
@@ -1942,7 +2216,9 @@ object PgSql {
           val repl = delim match {
             case Some(d) =>
               s"array_join(transform($sorted, s -> s.v), $d)"
-            case None => s"transform($sorted, s -> s.v)"
+            // PG array_agg over ZERO rows is NULL, not the empty array
+            case None =>
+              s"if(size($sorted) = 0, null, transform($sorted, s -> s.v))"
           }
           sql = sql.substring(0, mm.start) + repl + sql.substring(close + 1)
       }
@@ -2137,11 +2413,73 @@ object PgSql {
   private def pgStringSyntax(sql: String): String = {
     val out = new StringBuilder
     val tagRe = "^\\$([A-Za-z_][A-Za-z0-9_]*)?\\$".r
+    // decode a U& body's unicode escapes (scan.l xus/xui): \XXXX,
+    // \+XXXXXX, doubled escape = the escape char itself
+    def decodeUescape(body: String, esc: Char): String = {
+      val sb = new StringBuilder
+      var j = 0
+      while (j < body.length) {
+        val ch = body.charAt(j)
+        if (ch == esc) {
+          if (j + 1 < body.length && body.charAt(j + 1) == esc) {
+            sb += esc; j += 2
+          } else if (j + 6 < body.length && body.charAt(j + 1) == '+') {
+            sb.appendAll(Character.toChars(
+              Integer.parseInt(body.substring(j + 2, j + 8), 16)))
+            j += 8
+          } else if (j + 4 < body.length) {
+            sb.appendAll(Character.toChars(
+              Integer.parseInt(body.substring(j + 1, j + 5), 16)))
+            j += 5
+          } else throw new IllegalArgumentException(
+            s"invalid Unicode escape in: $body")
+        } else { sb += ch; j += 1 }
+      }
+      sb.toString
+    }
+    // a trailing `UESCAPE 'c'` clause after a U& literal/identifier
+    def uescapeAt(at: Int): Option[(Char, Int)] = {
+      val m = "^\\s*(?i:UESCAPE)\\s*'(.)'".r
+        .findPrefixMatchOf(sql.substring(at))
+      m.map(mm => (mm.group(1).charAt(0), at + mm.end))
+    }
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '\'') {
-        // standard literal: copy verbatim through its closing quote
+      if ((c == 'U' || c == 'u') && i + 2 < sql.length &&
+        sql.charAt(i + 1) == '&' &&
+        (sql.charAt(i + 2) == '\'' || sql.charAt(i + 2) == '"') &&
+        (i == 0 || { val p = sql.charAt(i - 1)
+          !p.isLetterOrDigit && p != '_' })) {
+        // U&'...' unicode literal / U&"..." unicode identifier
+        val q = sql.charAt(i + 2)
+        var j = i + 3
+        var done = false
+        while (j < sql.length && !done) {
+          if (sql.charAt(j) == q) {
+            if (j + 1 < sql.length && sql.charAt(j + 1) == q) j += 1
+            else done = true
+          }
+          j += 1
+        }
+        val rawBody = sql.substring(i + 3, j - 1)
+          .replace(s"$q$q", s"$q")
+        val (esc, next) = uescapeAt(j) match {
+          case Some((e, n)) => (e, n)
+          case None => ('\\', j)
+        }
+        val decoded = decodeUescape(rawBody, esc)
+        if (q == '\'')
+          out += '\'' ++= decoded.replace("\\", "\\\\")
+            .replace("'", "''") += '\''
+        else
+          out += '"' ++= decoded.replace("\"", "\"\"") += '"'
+        i = next
+      } else if (c == '\'') {
+        // standard literal. With standard_conforming_strings ON
+        // (scan.l xq), the body is VERBATIM — Spark's lexer applies
+        // C-style escapes, so backslashes must double. The engine
+        // default (OFF) keeps Spark's escaping, PG's legacy mode.
         val start = i
         i += 1
         var done = false
@@ -2152,7 +2490,9 @@ object PgSql {
           }
           i += 1
         }
-        out ++= sql.substring(start, i)
+        if (stdStrings)
+          out ++= sql.substring(start, i).replace("\\", "\\\\")
+        else out ++= sql.substring(start, i)
       } else if ((c == 'E' || c == 'e' || c == 'B' || c == 'b') &&
         i + 1 < sql.length && sql.charAt(i + 1) == '\'' &&
         (i == 0 || { val p = sql.charAt(i - 1)
@@ -2165,8 +2505,11 @@ object PgSql {
             val bodyStart = i + tag.length
             val end = sql.indexOf(tag, bodyStart)
             require(end >= 0, s"unterminated dollar-quoted string: $tag")
+            // dollar-quoted bodies are VERBATIM in PG; Spark's lexer
+            // applies C-style escapes, so backslashes must double or
+            // $re$\s+$re$ silently becomes the regex "s+"
             out += '\'' ++= sql.substring(bodyStart, end)
-              .replace("'", "''") += '\''
+              .replace("\\", "\\\\").replace("'", "''") += '\''
             i = end + tag.length
           case None =>
             out += c; i += 1
@@ -2263,24 +2606,32 @@ object PgSql {
         val open = m.end - 1
         val close = matchingParen(masked, open)
         val innerMasked = masked.substring(open + 1, close)
-        "(?is)^(.*\\S)\\s+FROM\\s+('x*')\\s*$".r
-          .findFirstMatchIn(innerMasked).exists { im =>
-            val expr = sql.substring(open + 1 + im.start(1),
-              open + 1 + im.end(1))
-            val pat = sql.substring(open + 1 + im.start(2),
-              open + 1 + im.end(2))
-            val body = pat.substring(1, pat.length - 1).replace("''", "'")
-            val hasGroup =
-              "(?<!\\\\)\\((?!\\?)".r.findFirstIn(body).isDefined
-            val repl =
-              if (hasGroup)
-                s"(CASE WHEN ($expr) RLIKE $pat " +
-                  s"THEN regexp_extract(($expr), $pat, 1) END)"
-              else s"regexp_substr(($expr), $pat)"
-            sql = sql.substring(0, m.start) + repl + sql.substring(close + 1)
-            changed = true
-            true
+        def at(s0: Int, e0: Int): String =
+          sql.substring(open + 1 + s0, open + 1 + e0)
+        // three-operand escape forms first (FROM..FOR / two trailing
+        // literals): SQL:1999 SIMILAR substring with #" markers
+        val threeFrom = "(?is)^(.*\\S)\\s+FROM\\s+('x*')\\s+FOR\\s+('x*')\\s*$".r
+          .findFirstMatchIn(innerMasked)
+        val threeComma = "(?is)^(.*\\S)\\s*,\\s*('x*')\\s*,\\s*('x*')\\s*$".r
+          .findFirstMatchIn(innerMasked)
+        val twoFrom = "(?is)^(.*\\S)\\s+FROM\\s+('x*')\\s*$".r
+          .findFirstMatchIn(innerMasked)
+        val twoComma = "(?is)^(.*\\S)\\s*,\\s*('x*')\\s*$".r
+          .findFirstMatchIn(innerMasked)
+        val repl = (threeFrom.orElse(threeComma) match {
+          case Some(im) => Some(
+            s"pg_similar_substr((${at(im.start(1), im.end(1))}), " +
+              s"${at(im.start(2), im.end(2))}, ${at(im.start(3), im.end(3))})")
+          case None => twoFrom.orElse(twoComma).map { im =>
+            s"pg_regexp_substr((${at(im.start(1), im.end(1))}), " +
+              s"${at(im.start(2), im.end(2))})"
           }
+        })
+        repl.exists { r =>
+          sql = sql.substring(0, m.start) + r + sql.substring(close + 1)
+          changed = true
+          true
+        }
       }
     }
     sql
@@ -2467,17 +2818,403 @@ object PgSql {
     sql
   }
 
+  /** An UNTYPED `{…}` literal (body without the outer braces) as a
+    * Spark expression: flat literals become an `array(…)` constructor
+    * (numbers stay numeric so comparisons against typed array columns
+    * coerce naturally); nested literals go through pg_array_in. */
+  private def arrayLiteralExpr(raw: String): String = {
+    val body = raw.substring(1, raw.length - 1) // strip { }
+    if (body.contains("{")) {
+      val depth = raw.takeWhile(_ == '{').length
+      s"pg_array_in('${raw.replace("'", "''")}', $depth)"
+    } else {
+      val elems = arrayElems(body)
+      if (elems.isEmpty) "array()"
+      else elems.map { case (e, q) => arrayElemLit(e, q) }
+        .mkString("array(", ", ", ")")
+    }
+  }
+
+  /** Casts the generic alias map can't express (they change VALUES,
+    * not just type names):
+    *  - `x::bytea` → `byteain(x)` — varlena.c byteain honors PG's hex
+    *    (`\x…`) and escape (`\nnn`) TEXT formats; a bare BINARY cast
+    *    would take the literal's UTF-8 bytes, a silent wrong answer;
+    *  - `x::char(n)` / `CAST(x AS char(n))` → truncate to n
+    *    (varchar.c bpchar; the blank PAD is deliberately omitted —
+    *    bpchar comparison ignores it, and padding would break UNION
+    *    dedup against unpadded char columns);
+    *  - `name '…'` typed literals → plain string literals. */
+  private def pgValueCasts(sqlIn: String): String = {
+    var sql = sqlIn
+    var changed = true
+    def baseStartOf(masked: String, s1: Int, e1: Int): Int =
+      if (masked.charAt(e1 - 1) == ')') {
+        var depth = 0
+        var k = e1 - 1
+        var s0 = -1
+        while (k >= 0 && s0 < 0) {
+          masked.charAt(k) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1; if (depth == 0) s0 = k
+            case _ =>
+          }
+          k -= 1
+        }
+        // include a preceding function name: f(x)::bytea
+        var t = s0 - 1
+        while (t >= 0 && (masked.charAt(t).isLetterOrDigit ||
+          masked.charAt(t) == '_' || masked.charAt(t) == '.')) t -= 1
+        t + 1
+      } else s1
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(sql)
+      val byteaRe =
+        "(?i)('x*'|[A-Za-z_][\\w.]*\\s*\\([^()]*\\)|[A-Za-z_][\\w.]*|\\))\\s*::\\s*bytea\\b(?!\\s*\\[)".r
+      byteaRe.findFirstMatchIn(masked) match {
+        case Some(m) =>
+          val s0 = baseStartOf(masked, m.start(1), m.end(1))
+          val base = sql.substring(s0, m.end(1))
+          sql = sql.substring(0, s0) + s"byteain($base)" +
+            sql.substring(m.end)
+          changed = true
+        case None =>
+      }
+      if (!changed) {
+        val charRe =
+          ("(?i)('x*'|[A-Za-z_][\\w.]*|\\))\\s*::\\s*" +
+            "(?:char|character|bpchar)\\s*\\(\\s*(\\d+)\\s*\\)").r
+        charRe.findFirstMatchIn(maskLiterals(sql)) match {
+          case Some(m) =>
+            val masked2 = maskLiterals(sql)
+            val s0 = baseStartOf(masked2, m.start(1), m.end(1))
+            val base = sql.substring(s0, m.end(1))
+            val n = m.group(2)
+            sql = sql.substring(0, s0) +
+              s"substr(CAST(($base) AS STRING), 1, $n)" +
+              sql.substring(m.end)
+            changed = true
+          case None =>
+        }
+      }
+      if (!changed) {
+        "(?i)\\bCAST\\s*\\(".r.findAllMatchIn(maskLiterals(sql)).find { m =>
+          val masked2 = maskLiterals(sql)
+          val open = m.end - 1
+          val close = matchingParen(masked2, open)
+          val innerM = masked2.substring(open + 1, close)
+          ("(?is)^(.*\\S)\\s+AS\\s+(?:char|character|bpchar)" +
+            "\\s*\\(\\s*(\\d+)\\s*\\)\\s*$").r
+            .findFirstMatchIn(innerM).exists { im =>
+              val expr = sql.substring(open + 1 + im.start(1),
+                open + 1 + im.end(1))
+              val n = im.group(2)
+              sql = sql.substring(0, m.start) +
+                s"substr(CAST(($expr) AS STRING), 1, $n)" +
+                sql.substring(close + 1)
+              changed = true
+              true
+            }
+        }
+      }
+      if (!changed) {
+        // typed string literals of the string family (gram.y
+        // AexprConst): `name '…'` / `text '…'` / `varchar '…'` /
+        // `char(20) '…'` are all plain text values here (the char(n)
+        // pad is invisible after PG's bpchar→text cast strips it)
+        ("(?i)\\b(?:name|text|varchar|bpchar|char\\s*\\(\\s*\\d+\\s*\\)|char)" +
+          "\\s+('x*')").r.findFirstMatchIn(maskLiterals(sql)) match {
+          case Some(m) =>
+            sql = sql.substring(0, m.start) +
+              sql.substring(m.start(1), m.end(1)) + sql.substring(m.end)
+            changed = true
+          case None =>
+        }
+      }
+      if (!changed) {
+        // bare array-literal comparisons `col = '{a,b}'` (array_in
+        // coercion of an unknown literal): fires only on multi-element
+        // or empty bodies with no ':' — a JSON-ish or plain-text
+        // string comparison stays a string
+        ("([\\w.$]+(?:\\([^()]*\\))?)?\\s*" +
+          "(?<![@<>=!])(=|<>|!=|>=|<=|>|<)(?![@<>=])\\s*('x*')").r
+          .findFirstMatchIn(maskLiterals(sql)).filter { m =>
+            val raw = sql.substring(m.start(3) + 1, m.end(3) - 1)
+            raw.startsWith("{") && raw.endsWith("}") && {
+              val body = raw.substring(1, raw.length - 1).trim
+              !body.contains(":") && (body.isEmpty || body.contains(",") ||
+                body.equalsIgnoreCase("null"))
+            }
+          } match {
+          case Some(m) =>
+            val raw = sql.substring(m.start(3) + 1, m.end(3) - 1)
+            val body = raw.substring(1, raw.length - 1).trim
+            val lhsOpt = Option(m.group(1)).filter(_.nonEmpty)
+            // the empty array compares by SIZE (an ARRAY<VOID> literal
+            // would not coerce against a typed column)
+            val repl = (body.isEmpty, m.group(2), lhsOpt) match {
+              case (true, "=", Some(l)) => s"size($l) = 0"
+              case (true, "<>" | "!=", Some(l)) => s"size($l) <> 0"
+              case _ =>
+                lhsOpt.getOrElse("") +
+                  s" ${m.group(2)} ${arrayLiteralExpr(raw)}"
+            }
+            sql = sql.substring(0, m.start) + repl + sql.substring(m.end)
+            changed = true
+          case None =>
+        }
+      }
+      if (!changed) {
+        // array containment/overlap against a '{…}' literal
+        // (pg_operator.h @> <@ &&): the operand rewrite in
+        // rewriteSegment can't see literals, so these fire here
+        ("([\\w.$]+(?:\\([^()]*\\))?)\\s*(@>|<@|&&)\\s*('x*')").r
+          .findFirstMatchIn(maskLiterals(sql)).filter { m =>
+            val raw = sql.substring(m.start(3) + 1, m.end(3) - 1)
+            raw.startsWith("{") && raw.endsWith("}")
+          } match {
+          case Some(m) =>
+            val lhs = sql.substring(m.start(1), m.end(1))
+            val raw = sql.substring(m.start(3) + 1, m.end(3) - 1)
+            val body = raw.substring(1, raw.length - 1).trim
+            val elems = if (body.isEmpty) Seq.empty else arrayElems(body)
+            val allNull = elems.nonEmpty &&
+              elems.forall { case (e, q) => !q && e.equalsIgnoreCase("null") }
+            val arr = arrayLiteralExpr(raw)
+            // arrayfuncs.c array_contain_compare: the empty array is
+            // contained in everything; NULL elements never match
+            val repl = (m.group(2), body.isEmpty, allNull) match {
+              case ("@>", true, _) => s"($lhs IS NOT NULL)"
+              case ("<@", true, _) => s"(size($lhs) = 0)"
+              case ("&&", true, _) => s"($lhs IS NOT NULL AND FALSE)"
+              case ("@>", _, true) | ("&&", _, true) =>
+                s"($lhs IS NOT NULL AND FALSE)"
+              case ("@>", _, _) =>
+                s"forall($arr, __v -> array_contains($lhs, __v))"
+              case ("<@", _, _) =>
+                s"forall($lhs, __v -> array_contains($arr, __v))"
+              case _ => s"arrays_overlap($lhs, $arr)"
+            }
+            sql = sql.substring(0, m.start) + repl + sql.substring(m.end)
+            changed = true
+          case None =>
+        }
+      }
+      if (!changed) {
+        // compact-ISO date strings inside a timestamp-array cast
+        // (datetime.c DecodeDate accepts '19620326'; ANSI cast does
+        // not) — hyphenate in place
+        ("(?i)(ARRAY\\s*\\[[^\\]\\[]*\\]\\s*::\\s*timestamp(?:tz)?\\s*\\[)").r
+          .findFirstMatchIn(sql)
+          .filter(m => "'(\\d{8})'".r.findFirstIn(m.group(1)).isDefined)
+        match {
+          case Some(m) =>
+            val fixed = "'(\\d{4})(\\d{2})(\\d{2})'".r
+              .replaceAllIn(m.group(1), mm =>
+                s"'${mm.group(1)}-${mm.group(2)}-${mm.group(3)}'")
+            sql = sql.substring(0, m.start) + fixed + sql.substring(m.end)
+            changed = true
+          case None =>
+        }
+      }
+      if (!changed) {
+        // array_remove(a, NULL): PG strips the NULL elements; Spark's
+        // builtin returns NULL for a NULL needle — rewrite to a filter
+        "(?i)\\barray_remove\\s*\\(".r
+          .findAllMatchIn(maskLiterals(sql)).find { m =>
+            val masked2 = maskLiterals(sql)
+            val open = m.end - 1
+            val close = matchingParen(masked2, open)
+            val innerM = masked2.substring(open + 1, close)
+            "(?is)^(.*\\S)\\s*,\\s*NULL\\s*$".r.findFirstMatchIn(innerM)
+              .exists { im =>
+                val arr = sql.substring(open + 1 + im.start(1),
+                  open + 1 + im.end(1))
+                sql = sql.substring(0, m.start) +
+                  s"filter(($arr), __x -> __x IS NOT NULL)" +
+                  sql.substring(close + 1)
+                changed = true
+                true
+              }
+          }
+      }
+      if (!changed) {
+        // INSERT target-column slice bounds `INSERT INTO t (a[1:5],
+        // b[1:1][1:2])` (gram.y insert_column_item): Spark arrays are
+        // whole-valued — the bounds drop, the whole value stores
+        "(?is)\\b(INSERT\\s+INTO\\s+[\\w.\"]+\\s*\\()([^)]*\\[[^)]*)\\)".r
+          .findFirstMatchIn(maskLiterals(sql)) match {
+          case Some(m) =>
+            val cols = sql.substring(m.start(2), m.end(2))
+              .replaceAll("\\[[^\\]]*\\]", "")
+            sql = sql.substring(0, m.start) + m.group(1) + cols + ")" +
+              sql.substring(m.end)
+            changed = true
+          case None =>
+        }
+      }
+      if (!changed) {
+        // '…'::interval → INTERVAL '…' typed literal: Spark's CAST AS
+        // INTERVAL yields the legacy calendar type, which cannot be
+        // compared; the typed literal lands in the comparable
+        // day-time/year-month types
+        "'((?:x)*)'\\s*::\\s*interval\\b(?!\\s*\\[)".r
+          .findFirstMatchIn(maskLiterals(sql)).filter { m =>
+            // a literal mixing year-month and day-time units must stay
+            // a CAST (Spark's typed literal rejects the mix)
+            val body = sql.substring(m.start + 1,
+              m.start + 1 + m.group(1).length).toLowerCase
+            val ym = "(year|month|mon\\b)".r.findFirstIn(body).isDefined
+            val dt = "(day|hour|min|sec|week|ms|us)".r
+              .findFirstIn(body).isDefined
+            !(ym && dt)
+          } match {
+          case Some(m) =>
+            val lit0 = sql.substring(m.start, m.start + m.group(1).length + 2)
+            sql = sql.substring(0, m.start) + s"INTERVAL $lit0" +
+              sql.substring(m.end)
+            changed = true
+          case None =>
+        }
+      }
+      if (!changed) {
+        // interval / interval and interval % interval (GP timeseries
+        // interval_interval_div / _mod — no Spark operator spelling)
+        ("(?i)(interval\\s+'x*')\\s*(/|%)\\s*(interval\\s+'x*')").r
+          .findFirstMatchIn(maskLiterals(sql)) match {
+          case Some(m) =>
+            val a = sql.substring(m.start(1), m.end(1))
+            val b = sql.substring(m.start(3), m.end(3))
+            val fn = if (m.group(2) == "/") "interval_interval_div"
+            else "interval_interval_mod"
+            sql = sql.substring(0, m.start) + s"$fn($a, $b)" +
+              sql.substring(m.end)
+            changed = true
+          case None =>
+        }
+      }
+      if (!changed) {
+        // LIKE … ESCAPE 'c' with a custom escape char: Spark only
+        // accepts the escape before % _ or itself (PG accepts any
+        // char) — re-encode the pattern with the default backslash
+        // escape and drop the clause (gram.y a_expr ESCAPE)
+        ("(?i)\\b(LIKE|ILIKE)\\s+('x*')\\s+ESCAPE\\s+('x*')").r
+          .findFirstMatchIn(maskLiterals(sql)) match {
+          case Some(m) =>
+            val rawPat = sql.substring(m.start(2) + 1, m.end(2) - 1)
+              .replace("''", "'")
+            val escLit = sql.substring(m.start(3) + 1, m.end(3) - 1)
+              .replace("''", "'")
+            val esc = if (escLit.isEmpty) '\\' else escLit.charAt(0)
+            val sb = new StringBuilder
+            var k = 0
+            while (k < rawPat.length) {
+              val c = rawPat.charAt(k)
+              if (c == esc && k + 1 < rawPat.length) {
+                val n = rawPat.charAt(k + 1)
+                if (n == '%' || n == '_' || n == '\\')
+                  sb.append('\\').append(n)
+                else sb.append(n)
+                k += 2
+              } else if (c == esc) { k += 1 } // trailing escape: drop
+              else if (c == '\\') { sb.append("\\\\"); k += 1 }
+              else { sb.append(c); k += 1 }
+            }
+            // the literal passes Spark's lexer next: double the
+            // backslashes and the quotes
+            val lit = sb.toString.replace("\\", "\\\\")
+              .replace("'", "''")
+            sql = sql.substring(0, m.start) +
+              s"${m.group(1)} '$lit'" + sql.substring(m.end)
+            changed = true
+          case None =>
+        }
+      }
+    }
+    sql
+  }
+
+  /** Inline-table literal unification (gram.y values_clause → Spark
+    * INVALID_INLINE_TABLE): PG coerces a VALUES column to one type;
+    * Spark requires compatible literal types up front. Inside a VALUES
+    * body that mixes interval spellings (or NaN/Infinity with
+    * numbers):
+    *  - `interval '…'` → `CAST('…' AS INTERVAL)` so year-month and
+    *    day-time interval literals land in ONE (calendar) type;
+    *  - bare `'NaN'`/`'Infinity'` literals → typed DOUBLE casts;
+    *  - when no timestamptz is present, `timestamp '…'` → TIMESTAMP_NTZ
+    *    (PG's naive timestamp — keeps interval_bound's wall-clock
+    *    arithmetic naive, as the reference computes it). */
+  private def valuesPgLiterals(sqlIn: String): String = {
+    var sql = sqlIn
+    var searchFrom = 0
+    var scanning = true
+    while (scanning) {
+      val masked = maskLiterals(sql)
+      "(?i)\\bvalues\\b".r.findFirstMatchIn(masked.substring(searchFrom)) match {
+        case None => scanning = false
+        case Some(m0) =>
+          val start = searchFrom + m0.end
+          var depth = 0
+          var k = start
+          var end = masked.length
+          var go = true
+          while (k < masked.length && go) {
+            masked.charAt(k) match {
+              case '(' => depth += 1
+              case ')' =>
+                if (depth == 0) { end = k; go = false } else depth -= 1
+              case ';' if depth == 0 => end = k; go = false
+              case _ =>
+            }
+            k += 1
+          }
+          val span = sql.substring(start, end)
+          val hasIv = "(?i)\\binterval\\s+'".r.findFirstIn(span).isDefined
+          val hasNaN =
+            "'(?i:nan|-?infinity)'".r.findFirstIn(span).isDefined
+          if (hasIv || hasNaN) {
+            var s2 = span
+            if (hasIv) {
+              if ("(?i)\\btimestamptz\\b".r.findFirstIn(s2).isEmpty) {
+                s2 = "(?i)\\btimestamp\\s+('(?:[^']|'')*')".r
+                  .replaceAllIn(s2, mm =>
+                    java.util.regex.Matcher.quoteReplacement(
+                      s"TIMESTAMP_NTZ ${mm.group(1)}"))
+                s2 = "(?i)\\bnull\\s*::\\s*timestamp\\b".r
+                  .replaceAllIn(s2, "CAST(NULL AS TIMESTAMP_NTZ)")
+              }
+              s2 = "(?i)\\binterval\\s+('(?:[^']|'')*')".r
+                .replaceAllIn(s2, mm =>
+                  java.util.regex.Matcher.quoteReplacement(
+                    s"CAST(${mm.group(1)} AS INTERVAL)"))
+              s2 = "(?i)\\bnull\\s*::\\s*interval\\b".r
+                .replaceAllIn(s2, "CAST(NULL AS INTERVAL)")
+            }
+            if (hasNaN)
+              s2 = "'((?i:nan|-?infinity))'".r.replaceAllIn(s2, mm =>
+                java.util.regex.Matcher.quoteReplacement(
+                  s"CAST('${mm.group(1)}' AS DOUBLE)"))
+            sql = sql.substring(0, start) + s2 + sql.substring(end)
+            searchFrom = start + s2.length
+          } else searchFrom = end
+      }
+    }
+    sql
+  }
+
   def rewrite(sqlIn: String): String = {
     // quantified runs BEFORE arraySubquery so `= ANY(ARRAY(subquery))`
     // is seen as the sublink it is, not a collect()'d scalar array
     val sql = rowCompare(arraySubquery(quantified(flattenGroupByParens(
       regexSubstring(extractFields(unnestFrom(generateSeriesRewrite(srfSelectHoist(lateralValues(
-        windowOrder(subscripts(arrayBrackets(arrayLiteralCasts(
+        windowOrder(arraySlices(subscripts(arrayConcatOps(arrayBrackets(arrayLiteralCasts(
           quotedIdents(joinOnSubqueryToFilter(gpDistRandom(
             complexRewrites(intervalSpacing(pgDateTemplates(
-              pgStringSyntax(orderByNulls(orderedAgg(percentileArray(hypotheticalSetAgg(
+              valuesPgLiterals(pgValueCasts(pgStringSyntax(orderByNulls(orderedAgg(percentileArray(hypotheticalSetAgg(
                 windowClauseExpand(nestedJoinOns(
-                  orderByOrdinal(jsonArrows(similarToOp(sqlIn))))))))))))))))))))))))))))))
+                  orderByOrdinal(jsonArrows(similarToOp(sqlIn))))))))))))))))))))))))))))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

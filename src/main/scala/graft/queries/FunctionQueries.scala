@@ -495,7 +495,7 @@ object FunctionQueries {
         |  nvl(NULLIF(o_orderstatus, 'P'), 'PENDING') AS nv,
         |  nvl2(NULLIF(o_orderstatus, 'P'), 'SET', 'UNSET') AS nv2,
         |  CAST(instr(o_orderpriority, '-') AS INT) AS ins,
-        |  substr(o_orderpriority, -4, 3) AS sub
+        |  substring(o_orderpriority, -4, 3) AS sub
         |FROM orders""".stripMargin)),
 
     // contrib/earthdistance geo_distance (earthdistance.c:60-77): the
@@ -2189,15 +2189,20 @@ object FunctionQueries {
         |       COUNT(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
     "q77_interpolate" ->
+      // interpolate.c shape: p = (x-x0)/(x1-x0), then y0 + p*(y1-y0)
+      // — the SAME association order as the engine expression, so the
+      // doubles agree bit-for-bit; equal abscissas are NULL (x != x0
+      // here, so eq_abscissas can never hold)
       """SELECT event_id, user_id,
         |  CASE WHEN CAST(epoch_us(LEAD(CAST(ts AS TIMESTAMP)) OVER w) AS DOUBLE)
         |            = CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
-        |       THEN value
-        |       ELSE value + (LEAD(value) OVER w - value) /
-        |            (CAST(epoch_us(LEAD(CAST(ts AS TIMESTAMP)) OVER w) AS DOUBLE)
-        |             - CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)) *
-        |            (CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) + 30e6
-        |             - CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE))
+        |       THEN NULL
+        |       ELSE value +
+        |            ((CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) + 30e6
+        |              - CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)) /
+        |             (CAST(epoch_us(LEAD(CAST(ts AS TIMESTAMP)) OVER w) AS DOUBLE)
+        |              - CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE))) *
+        |            (LEAD(value) OVER w - value)
         |  END AS interp_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,

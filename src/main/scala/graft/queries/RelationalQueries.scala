@@ -455,12 +455,15 @@ object RelationalQueries {
     // which Spark's numeric-only builtin cannot).
     "q275_percentile_array" -> ((s, d) => {
       graft.Tables.register(s, d)
+      // the fraction ARRAYS are the capability under test; the result
+      // arrays are stringified because the driver harness's pandas
+      // compare cannot sort list-typed columns (r16 adjudication)
       graft.Graft.execute(s,
         """SELECT
-          |  percentile_cont(array[0.25, 0.5, 0.75])
-          |    within group (order by o_orderkey) AS cont,
-          |  percentile_disc(array[0.25, 0.5, 0.75])
-          |    within group (order by o_orderpriority) AS disc
+          |  array_to_string(percentile_cont(array[0.25, 0.5, 0.75])
+          |    within group (order by o_orderkey), ',') AS cont,
+          |  array_to_string(percentile_disc(array[0.25, 0.5, 0.75])
+          |    within group (order by o_orderpriority), ',') AS disc
           |FROM orders WHERE o_orderkey <= 1000""".stripMargin).get
     }),
 
@@ -497,9 +500,13 @@ object RelationalQueries {
     // elements survive via struct wrapping — PG keeps them).
     "q278_ordered_agg_sql" -> ((s, d) => {
       graft.Tables.register(s, d)
+      // ordered array_agg is the capability; stringified so the
+      // driver's pandas compare can sort the column (r16 adjudication)
       graft.Graft.execute(s,
         """SELECT o_orderstatus,
-          |  array_agg(o_orderkey ORDER BY o_orderkey DESC) AS keys_desc,
+          |  array_to_string(
+          |    array_agg(o_orderkey ORDER BY o_orderkey DESC), ',')
+          |    AS keys_desc,
           |  string_agg(CAST(o_orderkey AS STRING), '|'
           |             ORDER BY o_orderkey) AS keys_asc
           |FROM orders WHERE o_orderkey <= 200
@@ -613,6 +620,46 @@ object RelationalQueries {
         """SELECT r_regionkey,
           |  natcnt285(CAST(r_regionkey AS INT)) AS cnt10
           |FROM region""".stripMargin).get
+    }),
+
+    // PG regex surface (regexp.c): replace-FIRST default vs 'g',
+    // substring-regex, and the zero-length-match split rules.
+    "q286_pg_regex" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT p_partkey,
+          |  regexp_replace(p_name, '[aeiou]', '_') AS first_devowel,
+          |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS all_devowel,
+          |  substring(p_name, '([a-z]+)') AS first_word,
+          |  array_to_string(regexp_split_to_array(p_name, ' +'), '|')
+          |    AS toks
+          |FROM part WHERE p_partkey <= 200""".stripMargin).get
+    }),
+
+    // GP timeseries interval_bound bucketing (timestamp.c:328 /
+    // numeric.c:2335) — default epoch registration plus shift+reg.
+    "q287_interval_bound" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT CAST(interval_bound(o_totalprice, 25000) AS BIGINT)
+          |    AS bucket,
+          |  CAST(interval_bound(o_totalprice, 25000, 1, 100) AS BIGINT)
+          |    AS shifted,
+          |  count(*) AS n
+          |FROM orders GROUP BY 1, 2""".stripMargin).get
+    }),
+
+    // Array function family over text_to_array splits
+    // (arrayfuncs.c/varlena.c): cardinality, array_length, 1-based
+    // element access.
+    "q288_array_funcs" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT p_partkey,
+          |  cardinality(string_to_array(p_name, ' ')) AS n_tok,
+          |  array_length(string_to_array(p_name, ' '), 1) AS len1,
+          |  (string_to_array(p_name, ' '))[1] AS tok1
+          |FROM part WHERE p_partkey <= 500""".stripMargin).get
     }),
 
     // ROLLUP + grouping_id (plangroupext.c, gram.y:723).
@@ -1393,19 +1440,8 @@ object RelationalQueries {
     "q261_dml_cte" -> ((s, d) => {
       graft.Tables.register(s, d)
       graft.Graft.execute(s, "DROP TABLE IF EXISTS wcte_q261")
-      // a crashed earlier run can leave the managed location behind
-      // without a catalog entry; clear it so CREATE TABLE can't trip
-      // over LOCATION_ALREADY_EXISTS
-      locally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        val wh = new java.net.URI(
-          s.conf.get("spark.sql.warehouse.dir")).getPath
-        val leftover = new java.io.File(wh, "wcte_q261")
-        if (leftover.exists()) rm(leftover)
-      }
+      // orphaned managed locations from a crashed prior JVM are
+      // cleared generically in GreengageDdl.clearOrphanLocation
       graft.Graft.execute(s, "CREATE TABLE wcte_q261 (k bigint, v float8)")
       graft.Graft.execute(s,
         """INSERT INTO wcte_q261
@@ -1692,8 +1728,10 @@ object RelationalQueries {
         |FROM orders WHERE o_orderkey <= 100""".stripMargin,
     "q275_percentile_array" ->
       """SELECT
-        |  quantile_cont(o_orderkey, [0.25, 0.5, 0.75]) AS cont,
-        |  quantile_disc(o_orderpriority, [0.25, 0.5, 0.75]) AS disc
+        |  array_to_string(quantile_cont(o_orderkey, [0.25, 0.5, 0.75]),
+        |                  ',') AS cont,
+        |  array_to_string(quantile_disc(o_orderpriority,
+        |                                [0.25, 0.5, 0.75]), ',') AS disc
         |FROM orders WHERE o_orderkey <= 1000""".stripMargin,
     "q276_window_clause" ->
       """SELECT o_orderkey,
@@ -1711,7 +1749,9 @@ object RelationalQueries {
         |  ON r.r_regionkey = n.n_regionkey""".stripMargin,
     "q278_ordered_agg_sql" ->
       """SELECT o_orderstatus,
-        |  array_agg(o_orderkey ORDER BY o_orderkey DESC) AS keys_desc,
+        |  array_to_string(
+        |    array_agg(o_orderkey ORDER BY o_orderkey DESC), ',')
+        |    AS keys_desc,
         |  string_agg(CAST(o_orderkey AS VARCHAR), '|'
         |             ORDER BY o_orderkey) AS keys_asc
         |FROM orders WHERE o_orderkey <= 200
@@ -1753,6 +1793,26 @@ object RelationalQueries {
         |  (SELECT count(*) * 10 FROM nation
         |   WHERE n_regionkey = r_regionkey) AS cnt10
         |FROM region""".stripMargin,
+    "q286_pg_regex" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '_') AS first_devowel,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS all_devowel,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |  array_to_string(string_split_regex(p_name, ' +'), '|') AS toks
+        |FROM part WHERE p_partkey <= 200""".stripMargin,
+    "q287_interval_bound" ->
+      """SELECT CAST(floor(o_totalprice / 25000) * 25000 AS BIGINT)
+        |    AS bucket,
+        |  CAST(floor((o_totalprice - 100) / 25000) * 25000
+        |       + 25000 + 100 AS BIGINT) AS shifted,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q288_array_funcs" ->
+      """SELECT p_partkey,
+        |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_tok,
+        |  CAST(len(string_split(p_name, ' ')) AS INT) AS len1,
+        |  string_split(p_name, ' ')[1] AS tok1
+        |FROM part WHERE p_partkey <= 500""".stripMargin,
     "q18_cross_join" -> "SELECT n_name, r_name FROM nation CROSS JOIN region",
     "q19_band_join" ->
       """SELECT c_custkey, s_suppkey, c_acctbal - s_acctbal AS bal_diff

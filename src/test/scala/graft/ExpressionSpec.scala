@@ -75,11 +75,15 @@ class ExpressionSpec extends AnyFunSuite {
     val rows = spark.sql(
       """SELECT linear_interpolate(15.0, 10.0, 100.0, 20.0, 200.0) AS mid,
         |       linear_interpolate(15.0, 10.0, 100.0, 10.0, 999.0) AS degen,
+        |       linear_interpolate(10.0, 10.0, 100.0, 10.0, 100.0) AS pin,
         |       linear_interpolate(15.0, 10.0, 100.0, CAST(NULL AS DOUBLE), 200.0) AS nul
         |""".stripMargin).head()
     assert(rows.getDouble(0) == 150.0)
-    assert(rows.getDouble(1) == 100.0) // x1 == x0 -> y0 (interpolate.c:234 semantics)
-    assert(rows.isNullAt(2))
+    // equal abscissas: NULL unless x == x0 AND y0 == y1
+    // (interpolate.c linterp_abscissa eq_bounds/eq_abscissas)
+    assert(rows.isNullAt(1))
+    assert(rows.getDouble(2) == 100.0)
+    assert(rows.isNullAt(3))
   }
 
   test("lang_id: CJK detection and stopword scoring") {

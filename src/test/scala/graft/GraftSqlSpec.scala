@@ -124,12 +124,14 @@ class GraftSqlSpec extends AnyFunSuite {
       "SELECT t FROM unnest(ARRAY[1, 5, 9]) AS t WHERE t > 1 ORDER BY t"))
       .collect().map(_.getInt(0)).toSeq
     assert(r6 == Seq(5, 9))
-    // clause keywords are never mistaken for a bare alias: the text is
-    // left for Spark's parser rather than rewritten into broken SQL
+    // clause keywords are never mistaken for a bare alias: the
+    // alias-less form synthesizes the FUNCTION NAME as alias (PG
+    // names the SRF column after the function) and the clause survives
     assert(rewrite("SELECT * FROM unnest(a) OFFSET 5") ==
-      "SELECT * FROM unnest(a) OFFSET 5")
+      "SELECT * FROM (SELECT col AS unnest FROM explode(a)) AS unnest OFFSET 5")
     assert(rewrite("SELECT * FROM unnest(a) EXCEPT SELECT * FROM b") ==
-      "SELECT * FROM unnest(a) EXCEPT SELECT * FROM b")
+      "SELECT * FROM (SELECT col AS unnest FROM explode(a)) AS unnest " +
+        "EXCEPT SELECT * FROM b")
   }
 
   test("CREATE INDEX clusters the layout; the clustered scan reads fewer rows") {

@@ -88,6 +88,13 @@ i = 0
 entries = []  # (kind, stmt, rows)
 n = len(lines)
 
+# standard_conforming_strings mode (scan.l): ON (the PG default) lexes
+# '...' verbatim; OFF makes backslash an escape INSIDE the literal, so
+# '\'' stays open. The suites toggle it mid-script (strings.sql);
+# without tracking, the statement scanner desyncs on \' and glues
+# WARNING chatter into the statement text.
+std_strings = [True]
+
 def is_sep(line):
     s = line.strip()
     return bool(s) and set(s) <= set("-+") and "-" in s
@@ -144,7 +151,7 @@ while i < n:
     # comments are stripped (state carried across lines) so an interior
     # comment can't hide the terminator; comments inside dollar-quoted
     # bodies are preserved (they are part of the function source).
-    def scan_line(text, in_q, dtag):
+    def scan_line(text, in_q, dtag, in_uq=False):
         j = 0
         out = []
         while j < len(text):
@@ -158,6 +165,15 @@ while i < n:
                 out.append(c)
                 j += 1
             elif in_q:
+                # scan.l: backslash escapes inside a REGULAR literal
+                # only when standard_conforming_strings is off; U&
+                # literals (xus) never treat backslash lexically
+                if c == "\\" and not std_strings[0] and not in_uq \
+                        and j + 1 < len(text):
+                    out.append(c)
+                    out.append(text[j + 1])
+                    j += 2
+                    continue
                 if c == "'":
                     in_q = False
                 out.append(c)
@@ -165,6 +181,7 @@ while i < n:
             else:
                 if c == "'":
                     in_q = True
+                    in_uq = text[max(0, j - 2):j].upper() == "U&"
                     out.append(c)
                     j += 1
                 elif c == "$":
@@ -181,17 +198,24 @@ while i < n:
                 else:
                     out.append(c)
                     j += 1
-        return "".join(out), in_q, dtag
-    eff, carry_q, carry_d = scan_line(line, False, None)
+        return "".join(out), in_q, dtag, in_uq
+    eff, carry_q, carry_d, carry_uq = scan_line(line, False, None)
     eff_lines = [eff]
     while not (eff.rstrip().endswith(";") and not carry_q and carry_d is None):
         i += 1
         if i >= n:
             break
-        eff, carry_q, carry_d = scan_line(lines[i], carry_q, carry_d)
+        eff, carry_q, carry_d, carry_uq = scan_line(
+            lines[i], carry_q, carry_d, carry_uq)
         eff_lines.append(eff)
     i += 1
     stmt = "\n".join(eff_lines).strip()
+    sm = re.match(r"(?is)^\s*(?:set\s+standard_conforming_strings"
+                  r"\s*(?:to|=)?\s*(on|off|true|false)"
+                  r"|(reset)\s+standard_conforming_strings)\s*;?\s*$", stmt)
+    if sm:
+        std_strings[0] = sm.group(2) is not None or \
+            sm.group(1).lower() in ("on", "true")
     # a result table directly follows?  header line, ---+--- separator.
     # The header can't be a statement (no trailing ';') or a comment
     # banner ('--' prefix) — a dash banner after a ';' line would
@@ -199,6 +223,14 @@ while i < n:
     # everything to the next (N rows) fence.
     rows = None
     j = i
+    # WARNING/HINT chatter can sit between a statement and its result
+    # table (escape_string_warning); skip it before the header check
+    while j < n and re.match(
+            r"^(NOTICE|HINT|WARNING|DETAIL|CONTEXT|INFO|LINE \d+|\s*\^)",
+            lines[j].strip()):
+        j += 1
+    if j > i:
+        i = j
     header_ok = (j < n and lines[j].strip() and
                  not lines[j].rstrip().endswith(";") and
                  not lines[j].strip().startswith("--"))
@@ -214,7 +246,15 @@ while i < n:
             count = int(m.group(1))
             # multi-line cells would break the count; only accept clean tables
             if len(body) == count:
-                rows = [[c.strip() for c in r.split("|")] for r in body]
+                ncols = lines[j].count("|") + 1
+                if ncols == 1:
+                    # a single-column result may CONTAIN pipes (e.g.
+                    # string_to_array('1|2|3', …)); escape them with a
+                    # sentinel the loader translates back after its
+                    # cell split
+                    rows = [[r.strip().replace("|", "⎮")] for r in body]
+                else:
+                    rows = [[c.strip() for c in r.split("|")] for r in body]
                 i = k + 1
             else:
                 rows = None
