@@ -135,6 +135,22 @@ object Graft {
       "CREATE TABLE")
     def is(re: String) = re.r.findFirstIn(t).isDefined
     def stripSemi(s: String) = s.trim.stripSuffix(";").trim
+    // transaction control (xact.c StartTransactionCommand): BEGIN /
+    // COMMIT / ROLLBACK as table-state scopes — see operators.Txn
+    if (is("(?is)^(BEGIN|START\\s+TRANSACTION)\\s*" +
+        "(TRANSACTION|WORK|ISOLATION\\b.*|READ\\b.*)?;?\\s*$")) {
+      operators.Txn.begin(spark); return None
+    }
+    if (is("(?is)^(COMMIT|END)\\s*(TRANSACTION|WORK)?;?\\s*$")) {
+      operators.Txn.commit(spark); return None
+    }
+    if (is("(?is)^(ROLLBACK|ABORT)\\s*(TRANSACTION|WORK)?;?\\s*$")) {
+      operators.Txn.rollback(spark); return None
+    }
+    if (is("(?is)^(SAVEPOINT|RELEASE)\\b"))
+      throw new UnsupportedOperationException(
+        "SAVEPOINT/sub-transactions are not supported (Txn scopes are flat)")
+    if (operators.Txn.active) operators.Txn.interceptDml(spark, t)
     if (is("(?is)^CREATE\\s+(READABLE\\s+|WRITABLE\\s+)?EXTERNAL\\b")) {
       operators.ExternalTable.create(spark, t); None
     } else if (is("(?is)^DROP\\s+EXTERNAL\\s+TABLE\\b")) {

@@ -1064,6 +1064,94 @@ object PgSql {
     sql
   }
 
+  /** SRF inside `INSERT .. VALUES` rows (PG transformInsertStmt turns
+    * a VALUES list with set-returning expressions into a per-row set
+    * product; since PG 10 multiple SRFs in one row advance in LOCKSTEP
+    * and the shorter pads NULL — ExecProjectSet): rewrite the VALUES
+    * list into a UNION ALL of SELECTs, expanding each SRF row through
+    * `explode(arrays_zip(sequence(..), ..))` whose zip-pad semantics
+    * are exactly PG's. `INSERT INTO t VALUES (generate_series(1,10),
+    * generate_series(1,100), 'x')` inserts 100 rows, the first column
+    * NULL past 10. */
+  private def srfInsertValues(sqlIn: String): String = {
+    if ("(?i)\\bvalues\\b".r.findFirstIn(sqlIn).isEmpty ||
+        "(?i)generate_series".r.findFirstIn(sqlIn).isEmpty) return sqlIn
+    val masked = maskLiterals(sqlIn)
+    val head = ("(?is)^(\\s*INSERT\\s+INTO\\s+[\\w.\"]+\\s*" +
+      "(?:\\([^)]*\\))?\\s*)VALUES\\s*\\(").r.findFirstMatchIn(masked)
+      .getOrElse(return sqlIn)
+    // parse the row list by paren matching on the masked text
+    var i = masked.indexOf('(', head.end - 1)
+    val rows = Seq.newBuilder[(Int, Int)] // (open, close) per row
+    var ok = true
+    var done = false
+    while (!done && ok) {
+      val close = matchingParen(masked, i)
+      if (close < 0) ok = false
+      else {
+        rows += ((i, close))
+        var k = close + 1
+        while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
+        if (k < masked.length && masked.charAt(k) == ',') {
+          var j = k + 1
+          while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+          if (j < masked.length && masked.charAt(j) == '(') i = j
+          else ok = false
+        } else if (k >= masked.length || masked.charAt(k) == ';' ||
+                   masked.substring(k).trim.isEmpty) done = true
+        else ok = false // VALUES .. RETURNING etc: leave to other paths
+      }
+    }
+    val rowSpans = rows.result()
+    if (!ok || rowSpans.isEmpty) return sqlIn
+    val srfRe = "(?i)\\bgenerate_series\\s*\\(".r
+    if (!rowSpans.exists { case (o, c) =>
+        srfRe.findFirstIn(masked.substring(o, c)).isDefined })
+      return sqlIn
+    val selects = rowSpans.zipWithIndex.map { case ((o, c), ri) =>
+      val body = sqlIn.substring(o + 1, c)
+      val mbody = masked.substring(o + 1, c)
+      // distinct SRF call texts in this row (whitespace-normalized)
+      val calls = srfRe.findAllMatchIn(mbody).toSeq.map { m2 =>
+        val open = mbody.indexOf('(', m2.start)
+        val close = matchingParen(mbody, open)
+        (m2.start, close + 1, body.substring(m2.start, close + 1)
+          .replaceAll("\\s+", " "))
+      }
+      val distinct = calls.map(_._3).distinct
+      val exprs = topLevelSplit(body, mbody)
+      if (distinct.isEmpty)
+        "SELECT " + exprs.zipWithIndex.map { case (e, k) =>
+          s"$e AS __vc$k" }.mkString(", ")
+      else {
+        val arrays = distinct.map(ct => ct.replaceFirst(
+          "(?i)generate_series\\s*\\(", "sequence("))
+        val (fromSql, ref) =
+          if (distinct.size == 1)
+            (s"(SELECT explode(${arrays.head}) AS __z$ri)",
+             (_: Int) => s"__z$ri")
+          else
+            (s"(SELECT explode(arrays_zip(${arrays.mkString(", ")})) AS __z$ri)",
+             (k: Int) => s"__z$ri.`$k`")
+        val rewritten = exprs.zipWithIndex.map { case (e, k) =>
+          var e2 = e
+          distinct.zipWithIndex.foreach { case (ct, di) =>
+            // replace each occurrence of this call text (normalized)
+            val pat = java.util.regex.Pattern.quote(ct)
+              .replace(" ", "\\E\\s*\\Q")
+            e2 = e2.replaceAll("(?i)" + pat,
+              java.util.regex.Matcher.quoteReplacement(ref(di)))
+          }
+          s"$e2 AS __vc$k"
+        }
+        s"SELECT ${rewritten.mkString(", ")} FROM $fromSql"
+      }
+    }
+    sqlIn.substring(0, head.start) + head.group(1) +
+      selects.mkString(" UNION ALL ") +
+      sqlIn.substring(rowSpans.last._2 + 1)
+  }
+
   /** SRF arithmetic / repetition in a SELECT list (ExecProjectSet):
     * `SELECT gs(1,100), gs(1,100)*3, gs(1,100)%6` — every call with
     * IDENTICAL arguments is ONE row source in PG's LCM protocol, so
@@ -3208,13 +3296,13 @@ object PgSql {
     // quantified runs BEFORE arraySubquery so `= ANY(ARRAY(subquery))`
     // is seen as the sublink it is, not a collect()'d scalar array
     val sql = rowCompare(arraySubquery(quantified(flattenGroupByParens(
-      regexSubstring(extractFields(unnestFrom(generateSeriesRewrite(srfSelectHoist(lateralValues(
+      regexSubstring(extractFields(unnestFrom(generateSeriesRewrite(srfSelectHoist(srfInsertValues(lateralValues(
         windowOrder(arraySlices(subscripts(arrayConcatOps(arrayBrackets(arrayLiteralCasts(
           quotedIdents(joinOnSubqueryToFilter(gpDistRandom(
             complexRewrites(intervalSpacing(pgDateTemplates(
               valuesPgLiterals(pgValueCasts(pgStringSyntax(orderByNulls(orderedAgg(percentileArray(hypotheticalSetAgg(
                 windowClauseExpand(nestedJoinOns(
-                  orderByOrdinal(jsonArrows(similarToOp(sqlIn))))))))))))))))))))))))))))))))))
+                  orderByOrdinal(jsonArrows(similarToOp(sqlIn)))))))))))))))))))))))))))))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BEGIN/COMMIT/ROLLBACK table-state scopes (operators.Txn) and the
+  * SRF-in-VALUES expansion (PgSql.srfInsertValues) the ported DML
+  * suites rely on. Reference semantics: xact.c transaction blocks;
+  * ExecProjectSet lockstep SRF expansion (PG ≥10). */
+class TxnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ex(sql: String) = Graft.execute(spark, sql)
+  private def rows(sql: String): Seq[Seq[Any]] =
+    ex(sql).get.collect().toSeq.map(r => (0 until r.length).map(r.get).toList)
+
+  test("ROLLBACK restores INSERT/UPDATE/DELETE on a touched table") {
+    operators.Txn.reset(spark)
+    ex("DROP TABLE IF EXISTS txn_t1")
+    ex("CREATE TABLE txn_t1 (a INT, b TEXT)")
+    ex("INSERT INTO txn_t1 VALUES (1, 'x'), (2, 'y')")
+    ex("BEGIN")
+    ex("INSERT INTO txn_t1 VALUES (3, 'z')")
+    ex("UPDATE txn_t1 SET b = 'q' WHERE a = 1")
+    ex("DELETE FROM txn_t1 WHERE a = 2")
+    assert(rows("SELECT count(*) FROM txn_t1") == Seq(Seq(2L)))
+    ex("ROLLBACK")
+    assert(rows("SELECT a, b FROM txn_t1 ORDER BY a") ==
+      Seq(Seq(1, "x"), Seq(2, "y")))
+    ex("DROP TABLE txn_t1")
+  }
+
+  test("COMMIT keeps changes; snapshots are cleaned up") {
+    operators.Txn.reset(spark)
+    ex("DROP TABLE IF EXISTS txn_t2")
+    ex("CREATE TABLE txn_t2 (a INT)")
+    ex("BEGIN")
+    ex("INSERT INTO txn_t2 VALUES (1), (2)")
+    ex("COMMIT")
+    assert(rows("SELECT count(*) FROM txn_t2") == Seq(Seq(2L)))
+    assert(!spark.catalog.listTables("default").collect()
+      .exists(_.name.startsWith("__txn_snap")))
+    ex("DROP TABLE txn_t2")
+  }
+
+  test("ROLLBACK drops tables created inside the scope, restores TRUNCATE") {
+    operators.Txn.reset(spark)
+    ex("DROP TABLE IF EXISTS txn_t3")
+    ex("DROP TABLE IF EXISTS txn_t4")
+    ex("CREATE TABLE txn_t3 (a INT)")
+    ex("INSERT INTO txn_t3 VALUES (7)")
+    ex("BEGIN")
+    ex("CREATE TABLE txn_t4 AS SELECT * FROM txn_t3")
+    ex("TRUNCATE TABLE txn_t3")
+    assert(rows("SELECT count(*) FROM txn_t3") == Seq(Seq(0L)))
+    ex("ROLLBACK")
+    assert(rows("SELECT a FROM txn_t3") == Seq(Seq(7)))
+    assert(!spark.catalog.tableExists("txn_t4"))
+    ex("DROP TABLE txn_t3")
+  }
+
+  test("ROLLBACK recreates a table dropped inside the scope") {
+    operators.Txn.reset(spark)
+    ex("DROP TABLE IF EXISTS txn_t5")
+    ex("CREATE TABLE txn_t5 (a INT, b TEXT)")
+    ex("INSERT INTO txn_t5 VALUES (1, 'k')")
+    ex("BEGIN")
+    ex("DROP TABLE txn_t5")
+    assert(!spark.catalog.tableExists("txn_t5"))
+    ex("ROLLBACK")
+    assert(rows("SELECT a, b FROM txn_t5") == Seq(Seq(1, "k")))
+    ex("DROP TABLE txn_t5")
+  }
+
+  test("SRF in INSERT VALUES: single call expands to N rows") {
+    ex("DROP TABLE IF EXISTS txn_srf1")
+    ex("CREATE TABLE txn_srf1 (a INT, b INT, c TEXT)")
+    ex("INSERT INTO txn_srf1 VALUES(generate_series(1,10), NULL, 'text')")
+    assert(rows("SELECT count(*), min(a), max(a) FROM txn_srf1") ==
+      Seq(Seq(10L, 1, 10)))
+    ex("DROP TABLE txn_srf1")
+  }
+
+  test("SRF in INSERT VALUES: lockstep zip pads the shorter with NULL") {
+    ex("DROP TABLE IF EXISTS txn_srf2")
+    ex("CREATE TABLE txn_srf2 (a INT, b INT, c TEXT)")
+    ex("INSERT INTO txn_srf2 VALUES(generate_series(1,10), " +
+      "generate_series(1,100), 'text')")
+    // PG ≥10 ExecProjectSet: 100 rows, a NULL past 10
+    assert(rows("SELECT count(*) FROM txn_srf2") == Seq(Seq(100L)))
+    assert(rows("SELECT count(*) FROM txn_srf2 WHERE a IS NULL") ==
+      Seq(Seq(90L)))
+    ex("DROP TABLE txn_srf2")
+  }
+
+  test("SRF in INSERT VALUES: expression over the call + plain rows mix") {
+    ex("DROP TABLE IF EXISTS txn_srf3")
+    ex("CREATE TABLE txn_srf3 (a INT, b INT)")
+    ex("INSERT INTO txn_srf3 VALUES(generate_series(1,3), " +
+      "generate_series(1,3) * 10), (99, 100)")
+    assert(rows("SELECT a, b FROM txn_srf3 ORDER BY a") ==
+      Seq(Seq(1, 10), Seq(2, 20), Seq(3, 30), Seq(99, 100)))
+    ex("DROP TABLE txn_srf3")
+  }
+}

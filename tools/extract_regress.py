@@ -35,6 +35,10 @@ ap.add_argument("out_file")
 ap.add_argument("vectors_file")
 ap.add_argument("--skip", action="append", default=[],
                 help="regex: statements matching become ===STMT-skipped entirely")
+ap.add_argument("--keep-txn", action="store_true",
+                help="keep BEGIN..ROLLBACK blocks as statements (the "
+                     "engine's Txn scope emulation restores table "
+                     "state); SAVEPOINT blocks still drop wholesale")
 ap.add_argument("--sql-file", default=None,
                 help="companion .sql (default: derived from the .out path); "
                      "source of COPY FROM STDIN inline data")
@@ -304,7 +308,14 @@ def strip_txn_blocks(entries):
                 ("savepoint", "release") for e in body)
             if term in ("commit", "end") and not uses_savepoint:
                 out.extend(body)
-            # rollback/abort (or unterminated): whole block dropped
+            elif args.keep_txn and term and not uses_savepoint:
+                # keep the whole block: the engine's Txn emulation
+                # snapshots touched tables at first mutation and
+                # restores them at ROLLBACK
+                out.append(("STMT", "BEGIN;", []))
+                out.extend(body)
+                out.append(("STMT", "ROLLBACK;", []))
+            # else rollback/abort (or unterminated): block dropped
             i = j + 1 if term else n
         elif first in ("rollback", "abort", "commit", "end",
                        "savepoint", "release"):
