@@ -228,6 +228,11 @@ object Graft {
       operators.PgAggregates.registerInternal(
         m.group(1).replace("\"", ""), m.group(2))
       None
+    } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?FUNCTION\\b") &&
+        operators.PlDo.isVoidFunctionDdl(stripSemi(t))) {
+      // RETURNS VOID plpgsql = a side-effect body: the procedure
+      // interpreter runs it (SELECT f(..) / PERFORM route there)
+      operators.PlDo.createVoidFunction(stripSemi(t)); None
     } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?FUNCTION\\b")) {
       operators.SqlFunctions.create(t); None
     } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?" +
@@ -273,7 +278,7 @@ object Graft {
     } else if (is("(?is)^ANALYZE\\s+(?!TABLE\\b)[\\w.\"]+\\s*;?\\s*$")) {
       // PG's bare `ANALYZE t` -> CBO statistics (SURVEY §4.1)
       val name = t.split("\\s+").last.stripSuffix(";").replace("\"", "")
-      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+      analyzeTable(spark, name)
       None
     } else if (is("(?is)^VACUUM\\b")) {
       // VACUUM [FULL] [FREEZE] [VERBOSE] [ANALYZE] t (commands/vacuum.c)
@@ -286,7 +291,7 @@ object Graft {
         .replace("\"", "")
       operators.Dml.vacuum(spark, name)
       if (words.exists(_.equalsIgnoreCase("ANALYZE")))
-        spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+        analyzeTable(spark, name)
       None
     } else if (is("(?is)^EXPLAIN\\s*\\([^)]*\\bFORMAT\\s+JSON\\b")) {
       // EXPLAIN (FORMAT JSON [, ANALYZE]) (explain.c json format):
@@ -598,7 +603,18 @@ object Graft {
       operators.Dml.deleteWhere(spark, table, cond)
       ret
     } else if (is("(?is)^UPDATE\\b")) {
-      val m = updateRe.findFirstMatchIn(stripSemi(t)).getOrElse(
+      // UPDATE t [AS] alias SET (gram.y relation_expr_opt_alias):
+      // strip the alias, alias-qualified refs fall back to the table
+      val tNoAlias = "(?is)^(UPDATE\\s+[\\w.\"]+)\\s+(?:AS\\s+)?(\\w+)\\s+SET\\b".r
+        .findFirstMatchIn(stripSemi(t)) match {
+        case Some(am) if !am.group(2).equalsIgnoreCase("SET") =>
+          val tbl = am.group(1).replaceFirst("(?is)^UPDATE\\s+", "")
+          (am.group(1) + " SET" + stripSemi(t).substring(am.end))
+            .replaceAll("(?i)\\b" +
+              java.util.regex.Pattern.quote(am.group(2)) + "\\.", tbl + ".")
+        case _ => stripSemi(t)
+      }
+      val m = updateRe.findFirstMatchIn(tNoAlias).getOrElse(
         throw new IllegalArgumentException(s"cannot parse UPDATE: $t"))
       val (rest, returning) = splitReturning(m.group(2))
       // locate the top-level WHERE: one inside a SET literal or a
@@ -608,22 +624,84 @@ object Graft {
       val setPart =
         if (f >= 0) rest.substring(0, f)
         else if (w >= 0) rest.substring(0, w) else rest
+      val updTable = m.group(1).replace("\"", "")
       val assignments = operators.GreengageDdl.splitTop(setPart).map { a =>
         val Array(k, v) = a.split("=", 2)
-        k.trim.replace("\"", "") ->
-          org.apache.spark.sql.functions.expr(operators.PgSql.rewrite(v.trim))
+        val colName = k.trim.replace("\"", "")
+        val vt = v.trim
+        colName -> (
+          if (vt.equalsIgnoreCase("DEFAULT")) {
+            // SET col = DEFAULT (rewriteTargetListIU): the declared
+            // column default, NULL when none
+            val fld = spark.table(updTable).schema
+              .find(_.name.equalsIgnoreCase(colName))
+            val dflt = fld.filter(_.metadata.contains("CURRENT_DEFAULT"))
+              .map(_.metadata.getString("CURRENT_DEFAULT"))
+            org.apache.spark.sql.functions.expr(
+              dflt.getOrElse("CAST(NULL AS " +
+                fld.map(_.dataType.sql).getOrElse("STRING") + ")"))
+          } else org.apache.spark.sql.functions.expr(
+            operators.PgSql.rewrite(vt)))
       }.toMap
       if (f >= 0) {
         // UPDATE t SET ... FROM s [alias] WHERE join-cond (gram.y
         // from_clause on UPDATE) → join-update
         require(returning.isEmpty, "RETURNING with FROM is not supported")
         require(w > f, s"UPDATE ... FROM needs a WHERE join condition: $t")
-        val (src, alias) = parseFromItem(rest.substring(f + "FROM".length, w))
-        operators.Dml.updateFrom(spark, m.group(1).replace("\"", ""),
-          m.group(1).replace("\"", ""), spark.table(src).alias(alias),
-          org.apache.spark.sql.functions.expr(
-            operators.PgSql.rewrite(rest.substring(w + "WHERE".length))),
-          assignments)
+        val fromText = rest.substring(f + "FROM".length, w)
+        val condText = rest.substring(w + "WHERE".length)
+        try {
+          val (src, alias) = parseFromItem(fromText)
+          operators.Dml.updateFrom(spark, m.group(1).replace("\"", ""),
+            m.group(1).replace("\"", ""), spark.table(src).alias(alias),
+            org.apache.spark.sql.functions.expr(
+              operators.PgSql.rewrite(condText)),
+            assignments)
+        } catch {
+          case _: IllegalArgumentException =>
+            // a FROM LIST (`FROM r, s` — gram.y from_list) or derived
+            // items (`FROM (VALUES(..)) AS v(i,j)`): flatten the
+            // joined source into uniquely-named columns so the
+            // condition and assignments keep their table qualifiers
+            // (`r.b` → `r__b`) over one derived source
+            val items: Seq[(String, Seq[String])] =
+              operators.GreengageDdl.splitTop(fromText).map { it0 =>
+                val it = it0.trim
+                if (it.startsWith("(")) {
+                  val am = "(?is)\\)\\s*(?:AS\\s+)?(\\w+)\\s*(\\(([^)]*)\\))?\\s*$".r
+                    .findFirstMatchIn(it).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"cannot parse derived FROM item: $it"))
+                  val cols = Option(am.group(3))
+                    .map(_.split(",").map(_.trim).toSeq)
+                    .getOrElse(spark.sql(operators.PgSql.rewrite(
+                      s"SELECT * FROM $it")).columns.toSeq)
+                  (am.group(1), cols)
+                } else {
+                  val (tbl, al) = parseFromItem(it)
+                  (al, spark.table(tbl).columns.toSeq)
+                }
+              }
+            val srcSql = "SELECT " + items.flatMap { case (al, cols) =>
+              cols.map(c => s"$al.$c AS ${al}__$c")
+            }.mkString(", ") + " FROM " + fromText
+            def q(s: String) = items.foldLeft(s) { case (acc, (al, _)) =>
+              acc.replaceAll(
+                "(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\.(\\w+)",
+                al + "__$1")
+            }
+            val reAssign = operators.GreengageDdl.splitTop(setPart).map { a =>
+              val Array(k, v) = a.split("=", 2)
+              k.trim.replace("\"", "") -> org.apache.spark.sql.functions
+                .expr(operators.PgSql.rewrite(q(v.trim)))
+            }.toMap
+            operators.Dml.updateFrom(spark, m.group(1).replace("\"", ""),
+              m.group(1).replace("\"", ""),
+              spark.sql(operators.PgSql.rewrite(srcSql)),
+              org.apache.spark.sql.functions.expr(
+                operators.PgSql.rewrite(q(condText))),
+              reAssign)
+        }
         return None
       }
       val cond =
@@ -669,6 +747,18 @@ object Graft {
         s"""SELECT * FROM (SELECT __t.*, rank() OVER (ORDER BY $resolved)
            |AS __tie_r FROM ($base) __t) WHERE __tie_r <= $n
            |ORDER BY $resolved""".stripMargin)).drop("__tie_r"))
+    } else if ({
+      val m = "(?is)^\\s*SELECT\\s+([\\w.]+)\\s*\\((.*)\\)\\s*;?\\s*$".r
+        .findFirstMatchIn(t)
+      m.exists(mm => operators.PlDo.isVoidFunction(mm.group(1)))
+    }) {
+      // SELECT f(args) of a VOID plpgsql function: run the body for
+      // its side effects; PG's result is one row of an empty VOID cell
+      val mm = "(?is)^\\s*SELECT\\s+([\\w.]+)\\s*\\((.*)\\)\\s*;?\\s*$".r
+        .findFirstMatchIn(t).get
+      operators.PlDo.callVoidFunction(spark, mm.group(1), mm.group(2))
+      Some(spark.sql("SELECT CAST(NULL AS STRING) AS " +
+        mm.group(1).split("\\.").last.toLowerCase))
     } else if (is("(?is)^SELECT\\b") &&
         operators.PgSql.topLevelInto(stripSemi(t)).isDefined) {
       // SELECT ... INTO name (gram.y into_clause) is CTAS with the
@@ -726,7 +816,8 @@ object Graft {
               // scan when none is called), then the PG lexical rewrite
               try Some(operators.PgIntDiv(spark, spark.sql(
                 operators.PgSql.rewrite(operators.SqlFunctions.expand(
-                  expandReorderedStar(spark, t))))))
+                  expandQualifiedStars(spark,
+                    expandReorderedStar(spark, t)))))))
               catch {
                 case e: org.apache.spark.sql.AnalysisException
                     if is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b") &&
@@ -748,6 +839,24 @@ object Graft {
             }
       }
     }
+  }
+
+  /** ANALYZE → table + column CBO statistics. TIMESTAMP_NTZ columns
+    * are excluded from the column pass: Spark's FilterEstimation
+    * crashes on NTZ column stats (EstimationUtils.toDouble has no
+    * TimestampNTZType case — MatchError inside the optimizer), and a
+    * missing column stat only degrades the estimate. */
+  private def analyzeTable(spark: SparkSession, name: String): Unit = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val fields = spark.table(name).schema.fields
+    val safe = fields.filterNot(_.dataType == TimestampNTZType)
+    if (safe.length == fields.length)
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+    else if (safe.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS " +
+        safe.map(f => s"`${f.name}`").mkString(", "))
+    else
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
   }
 
   /** PG assignment coercion on INSERT (parse_coerce.c
@@ -813,6 +922,28 @@ object Graft {
     }
   }
 
+  /** Qualified stars (`t.*` / `alias.*`) over partition-reordered
+    * tables, in any FROM shape (joins included): expanded to the
+    * declared column order for the same reason as the bare star. */
+  private def expandQualifiedStars(spark: SparkSession, t: String): String =
+    "([A-Za-z_]\\w*)\\s*\\.\\s*\\*".r.replaceAllIn(t, m => {
+      val name = m.group(1)
+      val tbl =
+        if (declaredOrder(spark, name).isDefined) Some(name)
+        else ("(?is)\\b(?:FROM|JOIN|,)\\s+([\\w.\"]+)\\s+(?:AS\\s+)?" +
+          java.util.regex.Pattern.quote(name) + "\\b").r
+          .findFirstMatchIn(t).map(_.group(1).replace("\"", ""))
+      tbl.flatMap(tb => declaredOrder(spark, tb).filter { d =>
+        val phys = try spark.table(tb).columns.toSeq.map(_.toLowerCase)
+          catch { case _: Exception => Seq.empty[String] }
+        phys.nonEmpty && d.map(_.toLowerCase) != phys
+      }) match {
+        case Some(d) => java.util.regex.Matcher.quoteReplacement(
+          d.map(c => s"$name.$c").mkString(", "))
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      }
+    })
+
   /** The PG-declared column order recorded at CREATE time for tables
     * whose hive partition layout reordered the physical schema. */
   private def declaredOrder(spark: SparkSession,
@@ -857,7 +988,13 @@ object Graft {
           operators.GreengageDdl.serialSeq(tbl, f).isDefined &&
             listed.exists(!_.contains(f.toLowerCase)))
       }
-      reorder || serialMissing || (mm.group(3).contains("/") && {
+      // (d) blank-padded char(n) columns: values store right-trimmed
+      // so bpchar comparison/length semantics hold (varlena.c bpchareq
+      // ignores trailing blanks) — only the projection path trims
+      val hasCharCols = operators.GreengageDdl.charCols(
+        mm.group(1).replace("\"", "")).nonEmpty
+      reorder || serialMissing || hasCharCols ||
+        (mm.group(3).contains("/") && {
         try {
           val body = spark.sql(operators.PgSql.rewrite(
             operators.SqlFunctions.expand(mm.group(3))))
@@ -903,6 +1040,8 @@ object Graft {
               try_to_timestamp(src, lit("yyyy/M/d H:mm:ss")),
               try_to_timestamp(src, lit("M/d/yyyy h:mm:ss a")),
               try_to_timestamp(src, lit("yyyy-M-d")),
+              // slash datestyle '2016/11/09' (datetime.c DecodeDate)
+              try_to_timestamp(src, lit("yyyy/M/d")),
               // PG compact ISO date '20210202' (datetime.c DecodeDate);
               // gated on 8 digits so plain numbers can't mis-parse
               org.apache.spark.sql.functions.when(
@@ -945,7 +1084,13 @@ object Graft {
               st, Map.empty[String, String])
           case _ => src
         }
-        lenient.cast(f.dataType).as(f.name)
+        val castd = lenient.cast(f.dataType)
+        // bpchar columns store right-trimmed (varlena.c bpchareq
+        // ignores trailing blanks; length()/casts drop them too)
+        (if (operators.GreengageDdl.charCols(table)
+            .contains(f.name.toLowerCase))
+          org.apache.spark.sql.functions.rtrim(castd)
+        else castd).as(f.name)
       } else operators.GreengageDdl.serialSeq(table, f.name) match {
         case Some(seq) =>
           // SERIAL column (gram.y: serial → int + nextval default):

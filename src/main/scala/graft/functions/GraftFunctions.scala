@@ -2540,8 +2540,43 @@ object GraftFunctions {
   * point (idiomatic library packaging; Verify/Bench call
   * [[GraftFunctions.register]] directly).
   */
+/** PG datetime arithmetic (timestamp.c date_pl_interval via an
+  * implicit date→timestamp cast): `date + interval` ALWAYS yields a
+  * timestamp — `'1401-01-01'::date + interval '5 days'` prints
+  * `1401-01-06 00:00:00`. Spark's coercion keeps DATE for day and
+  * year-month intervals (dropping any sub-day component); this rule
+  * re-types those to TIMESTAMP_NTZ arithmetic. date_add(d, n) and
+  * d + n (integer days) stay DATE in both systems — untouched. */
+object PgDateIntervalRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.resolveOperatorsUp { case p =>
+      p.transformExpressionsUp {
+        case DateAdd(d, ExtractANSIIntervalDays(iv))
+            if d.resolved && iv.resolved && d.dataType == DateType =>
+          TimestampAddInterval(Cast(d, TimestampNTZType), iv)
+        case DateAdd(d, UnaryMinus(ExtractANSIIntervalDays(iv), fail))
+            if d.resolved && iv.resolved && d.dataType == DateType =>
+          TimestampAddInterval(Cast(d, TimestampNTZType),
+            UnaryMinus(iv, fail))
+        case DateAddYMInterval(d, ym)
+            if d.resolved && ym.resolved && d.dataType == DateType =>
+          TimestampAddYMInterval(Cast(d, TimestampNTZType), ym)
+        // a sub-day interval coerces the date to LTZ timestamp in
+        // Spark; PG's result is timestamp WITHOUT time zone
+        case TimestampAddInterval(Cast(d, TimestampType, tz, mode), iv, _)
+            if d.resolved && iv.resolved && d.dataType == DateType =>
+          TimestampAddInterval(Cast(d, TimestampNTZType, tz, mode), iv)
+      }
+    }
+}
+
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(_ => PgDateIntervalRule)
     ext.injectFunction((
       FunctionIdentifier("linear_interpolate"),
       new ExpressionInfo("graft", null, "linear_interpolate", "linear_interpolate(x, x0, y0, x1, y1)", ""),

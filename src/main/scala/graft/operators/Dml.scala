@@ -411,9 +411,39 @@ object Dml {
     val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
     val dir = new java.io.File(new java.io.File(wh, ".dml_staging"),
       s"${table}_${UUID.randomUUID().toString.take(8)}")
-    val w = data.write.mode("overwrite")
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-      .parquet(dir.getAbsolutePath)
+    // rewritten rows must carry the table's EXACT column types —
+    // assignment arithmetic widens (float + int literal → double) and
+    // a moved-in file with a wider physical type breaks later scans
+    val declared = spark.table(table).schema
+    val data0 = data.select(declared.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    // a DISTRIBUTED BY table is bucketed: the staged rewrite must keep
+    // the SAME bucketing (file-name bucket ids included) or later
+    // bucket-aware scans reject the files — write through a bucketed
+    // staging table and move its files (distribution survives DML,
+    // exactly the reference's behavior)
+    val bucketSpec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+    bucketSpec match {
+      case Some(bs) =>
+        val tmp = s"__dml_bstage_${UUID.randomUUID().toString.take(8)}"
+        val w0 = data0.write.mode("overwrite").format("parquet")
+          .option("path", dir.getAbsolutePath)
+        val w1 = if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0
+        val w2 = w1.bucketBy(bs.numBuckets,
+          bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+        (if (bs.sortColumnNames.nonEmpty)
+          w2.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+        else w2).saveAsTable(tmp)
+        // drop ONLY the catalog entry; the files move out below
+        spark.sessionState.catalog.dropTable(
+          org.apache.spark.sql.catalyst.TableIdentifier(tmp),
+          ignoreIfNotExists = true, purge = false)
+      case None =>
+        val w = data0.write.mode("overwrite")
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+          .parquet(dir.getAbsolutePath)
+    }
     // the snapshot is now durable; only now is the table touched.
     // explicit schema: partition-directory values must come back with the
     // catalog's types, not path-inference's guess

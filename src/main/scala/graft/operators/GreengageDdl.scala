@@ -71,6 +71,9 @@ object GreengageDdl {
       case "int2" | "smallint" => "SMALLINT"
       case "int4" | "int" | "integer" | "serial" => "INT"
       case "int8" | "bigint" | "bigserial" => "BIGINT"
+      // oid is an unsigned 32-bit row identifier (pg_type.h) — BIGINT
+      // covers its full range
+      case "oid" => "BIGINT"
       case "real" | "float4" => "FLOAT"
       case "float8" | "double precision" | "float" => "DOUBLE"
       case "numeric" | "decimal" => paren.map(p => s"DECIMAL($p)").getOrElse("DECIMAL(38,18)")
@@ -158,6 +161,7 @@ object GreengageDdl {
     // column list (absent for CTAS)
     var columns = Seq.empty[(String, String)]
     val typedCols = Seq.newBuilder[(String, String)] // col → registered PG type
+    val bpcharCols = Seq.newBuilder[String] // blank-padded char(n) columns
     val colDefaults = scala.collection.mutable.Map[String, String]()
     val serialCols = Seq.newBuilder[String]
     if (rest.startsWith("(")) {
@@ -198,6 +202,9 @@ object GreengageDdl {
             .findFirstMatchIn(parts(1))
             .foreach(d => colDefaults += colName.toLowerCase -> d.group(1))
           val head = typePart.takeWhile(_ != '(').trim
+          if ("(?i)^(bpchar|char|character)$".r.findFirstIn(head).isDefined &&
+              !"(?i)\\bvarying\\b".r.findFirstIn(typePart).isDefined)
+            bpcharCols += colName.toLowerCase
           if (PgTypes.isRegistered(head)) typedCols += (colName -> head)
           if ("(?i)^(small|big)?serial[248]?$".r.findFirstIn(head).isDefined)
             serialCols += colName
@@ -224,6 +231,7 @@ object GreengageDdl {
       columns = Seq(("__dummy", "INT"))
     // enum/domain columns carry check constraints enforced on INSERT/COPY
     PgTypes.recordTable(name, typedCols.result())
+    recordCharCols(name, bpcharCols.result().toSet)
 
     // WITH (storage options)
     var storageOpts = Map.empty[String, String]
@@ -232,7 +240,8 @@ object GreengageDdl {
       val (opts, after) = balanced(rest, w.end - 1)
       storageOpts = splitTop(opts).map { o =>
         o.split("=", 2) match {
-          case Array(k, v) => k.trim.toLowerCase -> v.trim
+          case Array(k, v) => k.trim.toLowerCase ->
+            v.trim.stripPrefix("'").stripSuffix("'") // COMPRESSTYPE='zlib'
           case Array(k) => k.trim.toLowerCase -> "true"
         }
       }.toMap
@@ -265,7 +274,11 @@ object GreengageDdl {
     byRe.findFirstMatchIn(rest) match {
       case Some(b) =>
         val (cols, after) = balanced(rest, b.end - 1)
-        dist = HashDist(splitTop(cols).map(_.replace("\"", "")))
+        // a distribution column may carry an operator class
+        // (`DISTRIBUTED BY (b cdbhash_float4_ops)`, gram.y
+        // OptDistributedBy) — hashing strategy only; keep the column
+        dist = HashDist(splitTop(cols).map(
+          _.replace("\"", "").trim.split("\\s+").head))
         rest = (rest.substring(0, b.start) + " " + rest.substring(after)).trim
       case None =>
         if ("(?is)DISTRIBUTED\\s+REPLICATED".r.findFirstIn(rest).isDefined)
@@ -283,6 +296,7 @@ object GreengageDdl {
     partRe.findFirstMatchIn(rest).foreach { p =>
       val (cols, after) = balanced(rest, p.end - 1)
       partitionCols = splitTop(cols).map(_.replace("\"", ""))
+      val level1Cols = partitionCols
       var tail = rest.substring(after).trim
       val subRe = "(?is)^SUBPARTITION\\s+BY\\s+(RANGE|LIST)\\s*\\(".r
       val tmplRe = "(?is)^SUBPARTITION\\s+TEMPLATE\\s*\\(".r
@@ -300,10 +314,15 @@ object GreengageDdl {
           made = true
         }
       }
-      // the START/END/EVERY or value-list spec: skipped (dynamic partitioning)
-      rest =
-        if (tail.startsWith("(")) tail.substring(balanced(tail, 0)._2).trim
-        else tail
+      // the START/END/EVERY or value-list spec: storage is dynamic
+      // value partitioning, but the declared BOUNDS are recorded so
+      // DROP/TRUNCATE DEFAULT PARTITION can identify the rows outside
+      // every explicit partition (cdbpartition.c default part)
+      if (tail.startsWith("(")) {
+        val (spec0, after2) = balanced(tail, 0)
+        recordPartBounds(name, level1Cols, spec0)
+        rest = tail.substring(after2).trim
+      } else rest = tail
     }
 
     TableSpec(name, ifNotExists, columns, dist, partitionCols, storageOpts,
@@ -536,6 +555,21 @@ object GreengageDdl {
   private val serialRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // blank-padded char(n) columns per table: stored right-trimmed so
+  // bpchar comparison/length semantics hold (varlena.c bpchareq)
+  private val charRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  /** The declared char(n)/bpchar columns of `table` (lower-cased). */
+  def charCols(table: String): Set[String] =
+    Option(charRegistry.get(table.toLowerCase.replace("\"", "")))
+      .getOrElse(Set.empty)
+
+  private[operators] def recordCharCols(table: String,
+                                        cols: Set[String]): Unit =
+    if (cols.nonEmpty)
+      charRegistry.put(table.toLowerCase.replace("\"", ""), cols)
+
   /** The implicit sequence backing a SERIAL column, if any. */
   def serialSeq(table: String, col: String): Option[String] =
     Option(serialRegistry.get(
@@ -682,8 +716,19 @@ object GreengageDdl {
       var typePart = typeAndCons
       var prev = ""
       while (typePart != prev) { prev = typePart; typePart = typePart.replaceAll(conRe, "") }
-      spark.sql(s"ALTER TABLE ${name.replace("\"", "")} " +
-        s"ADD COLUMNS ($colName ${mapType(typePart)})")
+      val tbl = name.replace("\"", "")
+      if (spark.table(tbl).columns.toSeq == Seq("__dummy")) {
+        // the first real column REPLACES the zero-column placeholder
+        // (parquet required a schema; PG's table was truly empty-armed)
+        val n = spark.table(tbl).count()
+        spark.sql(s"DROP TABLE $tbl")
+        execute(spark,
+          s"CREATE TABLE $tbl ($colName ${mapType(typePart)})")
+        if (n > 0) spark.sql(s"INSERT INTO $tbl " +
+          s"SELECT CAST(NULL AS ${mapType(typePart)}) FROM range($n)")
+      } else
+        spark.sql(s"ALTER TABLE $tbl " +
+          s"ADD COLUMNS ($colName ${mapType(typePart)})")
     case alterRenameRe(from, to) =>
       spark.sql(s"ALTER TABLE ${from.replace("\"", "")} RENAME TO ${to.replace("\"", "")}")
     case alterDropColRe(name, colName) =>
@@ -943,6 +988,56 @@ object GreengageDdl {
   // exist to manage explicit bound lists, which dynamic value
   // partitioning subsumes (every distinct value is already its own
   // directory); both are rejected with a pointer to this mapping.
+  // declared level-1 partition bounds per table: a predicate that is
+  // true for rows covered by an EXPLICIT partition (the default
+  // partition holds the complement, NULLs included)
+  private val partBoundsReg =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Parse a GP partition bound-spec list into a coverage predicate
+    * (gram.y TabPartitionElem: `start(a) end(b) [inclusive] [every(n)]`
+    * ranges and `values (...)` lists, names and storage WITH options
+    * ignored; `default partition` contributes nothing). */
+  private[operators] def recordPartBounds(table: String, cols: Seq[String],
+                                          spec: String): Unit = try {
+    val items = splitTop(spec.trim.stripPrefix("(").stripSuffix(")"))
+    val col1 = cols.headOption.getOrElse(return)
+    val preds = items.flatMap { it0 =>
+      val it = it0.trim
+      if ("(?is)^default\\s+partition\\b.*".r.findFirstIn(it).isDefined) None
+      else {
+        val vm = "(?is)\\bvalues\\s*\\(".r.findFirstMatchIn(it)
+        val sm = "(?is)\\bstart\\s*\\(".r.findFirstMatchIn(it)
+        if (vm.isDefined) {
+          val (vals, _) = balanced(it, vm.get.end - 1)
+          val lhs = if (cols.length > 1) s"(${cols.mkString(", ")})" else col1
+          Some(s"$lhs IN ($vals)")
+        } else if (sm.isDefined) {
+          val (a, aAfter) = balanced(it, sm.get.end - 1)
+          val em = "(?is)\\bend\\s*\\(".r.findFirstMatchIn(it.substring(aAfter))
+          val endPred = em.map { e =>
+            val (b, bAfter) = balanced(it.substring(aAfter), e.end - 1)
+            val incl = "(?is)^\\s*inclusive\\b".r
+              .findFirstIn(it.substring(aAfter + bAfter)).isDefined
+            s" AND $col1 <${if (incl) "=" else ""} ($b)"
+          }.getOrElse("")
+          Some(s"($col1 >= ($a)$endPred)")
+        } else None
+      }
+    }
+    if (preds.nonEmpty)
+      partBoundsReg.put(table.toLowerCase.replace("\"", ""),
+        preds.mkString("(", " OR ", ")"))
+  } catch { case _: Exception => () } // bounds stay best-effort
+
+  /** The explicit-partition coverage predicate recorded at CREATE. */
+  def partBounds(table: String): Option[String] =
+    Option(partBoundsReg.get(table.toLowerCase.replace("\"", "")))
+
+  private val partDefaultRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+(ADD|DROP|TRUNCATE)\\s+" +
+      "DEFAULT\\s+PARTITION\\b.*$").r
+
   private val partForRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+(ADD|DROP|TRUNCATE)\\s+PARTITION\\s+(?:IF\\s+EXISTS\\s+)?FOR\\s*\\(".r
   private val partExchRe =
@@ -985,6 +1080,22 @@ object GreengageDdl {
     * reference's check that every incoming row belongs to the target
     * partition. */
   def alterPartition(spark: SparkSession, ddl: String): Unit = {
+    partDefaultRe.findFirstMatchIn(ddl).foreach { m =>
+      val table = m.group(1).replace("\"", "")
+      m.group(2).toUpperCase match {
+        case "ADD" => () // dynamic partitioning accepts any value
+        case "DROP" | "TRUNCATE" =>
+          // the default partition holds rows OUTSIDE every explicit
+          // bound (NULL part keys included): drop = delete them
+          val pred = partBounds(table).getOrElse(
+            throw new IllegalArgumentException(
+              s"$table has no recorded partition bounds — cannot " +
+                "identify its default partition"))
+          Dml.deleteWhere(spark, table, org.apache.spark.sql.functions
+            .expr(s"NOT coalesce(($pred), false)"))
+      }
+      return
+    }
     partUnsupportedRe.findFirstMatchIn(ddl).foreach { m =>
       throw new IllegalArgumentException(
         s"${m.group(1).toUpperCase} PARTITION manages explicit bound lists, " +

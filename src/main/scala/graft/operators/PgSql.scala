@@ -1266,7 +1266,10 @@ object PgSql {
           var scan2 = true
           var p = if (fromAt >= 0) fromAt + 4 else texts.head._1
           while (p < masked2.length && scan2) {
-            if (d2(p) < myd) { end = p; scan2 = false }
+            // depth(p) is the depth BEFORE char p: a drop below the
+            // call's depth means char p-1 closed the enclosing
+            // subselect — the hoisted item must land INSIDE it
+            if (d2(p) < myd) { end = p - 1; scan2 = false }
             else if (d2(p) == myd && (masked2.charAt(p) == ';' ||
               enders.exists(word2(p, _)))) { end = p; scan2 = false }
             else p += 1
@@ -1287,18 +1290,25 @@ object PgSql {
 
   /** sequence(...) with PG's empty-set direction guard for numeric
     * steps; interval steps (quoted or INTERVAL-typed) pass through. */
+  private def intLit(x: String): Boolean =
+    x.trim.matches("-?\\s*\\d{1,9}")
+
   private def seqExpr(args: Seq[String]): String = args match {
     // numeric endpoints cast to ONE integral type: Spark's sequence
     // demands identical start/stop/step types, while PG coerces (a
     // BIGINT bound from int8 division against an INT literal is fine
     // there); BIGINT covers every PG integral width
     case Seq(a, b) =>
-      s"(CASE WHEN ($a) <= ($b) THEN sequence(CAST(($a) AS BIGINT), " +
-        s"CAST(($b) AS BIGINT)) ELSE array() END)"
+      // int-literal bounds keep PG's int4 result type (generate_series
+      // is overloaded; date - series_value needs INT in Spark)
+      val ty = if (intLit(a) && intLit(b)) "INT" else "BIGINT"
+      s"(CASE WHEN ($a) <= ($b) THEN sequence(CAST(($a) AS $ty), " +
+        s"CAST(($b) AS $ty)) ELSE array() END)"
     case Seq(a, b, s) if s.matches("-?\\s*\\d+") =>
+      val ty = if (intLit(a) && intLit(b) && intLit(s)) "INT" else "BIGINT"
       s"(CASE WHEN (($s) > 0 AND ($a) <= ($b)) OR (($s) < 0 AND ($a) >= ($b))" +
-        s" THEN sequence(CAST(($a) AS BIGINT), CAST(($b) AS BIGINT), " +
-        s"CAST(($s) AS BIGINT)) ELSE array() END)"
+        s" THEN sequence(CAST(($a) AS $ty), CAST(($b) AS $ty), " +
+        s"CAST(($s) AS $ty)) ELSE array() END)"
     case Seq(a, b, s) => s"sequence($a, $b, $s)"
     case other => throw new IllegalArgumentException(
       s"generate_series takes 2 or 3 arguments, got ${other.length}")
@@ -1476,6 +1486,18 @@ object PgSql {
     * keywords: YYYY/DD/HH24/MI/SS/Mon) → Spark's DateTimeFormatter
     * letters, when the 2nd argument is a plain literal containing a PG
     * token. Spark-style formats pass through untouched. */
+  /** Slash datestyle in TYPED date/timestamp literals
+    * (`timestamp '2016/11/11'` — datetime.c DecodeDate accepts
+    * y/m/d): normalize to the dash form Spark's literal parser
+    * takes. Only typed literals rewrite — a plain string is not
+    * provably a date. */
+  private def slashDateLiterals(sqlIn: String): String =
+    ("(?i)\\b(date|timestamptz|timestamp)(\\s*)'(\\d{4})/(\\d{1,2})/" +
+      "(\\d{1,2})([^']*)'").r.replaceAllIn(sqlIn, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}${m.group(2)}'${m.group(3)}-${m.group(4)}-" +
+          s"${m.group(5)}${m.group(6)}'"))
+
   private def pgDateTemplates(sqlIn: String): String = {
     if ("(?i)to_(date|timestamp)".r.findFirstIn(sqlIn).isEmpty) return sqlIn
     val ms = "(?i)\\bto_(date|timestamp)\\s*\\(".r
@@ -1510,7 +1532,13 @@ object PgSql {
     "(?is)\\binterval\\s*'([^']*)'".r.replaceAllIn(sql, m =>
       java.util.regex.Matcher.quoteReplacement(
         "interval '" + m.group(1).replaceAll(
-          "(?<=\\d)(?=[A-Za-z])|(?<=[A-Za-z])(?=[-+]?\\d)", " ") + "'"))
+          "(?<=\\d)(?=[A-Za-z])|(?<=[A-Za-z])(?=[-+]?\\d)", " ")
+          // PG unit abbreviations (datetime.c deltas[]) Spark lacks
+          .replaceAll("(?i)\\bmins?\\b", "minute")
+          .replaceAll("(?i)\\bsecs?\\b", "second")
+          .replaceAll("(?i)\\bhrs?\\b", "hour")
+          .replaceAll("(?i)\\bmons?\\b", "month")
+          .replaceAll("(?i)\\byrs?\\b", "year") + "'"))
 
   /** Spark requires ORDER BY for ranking window functions; PG runs
     * them over arbitrary order when none is given (nodeWindowAgg.c —
@@ -2730,6 +2758,572 @@ object PgSql {
     * group by one struct. Flatten parens whose item contains a
     * top-level comma and isn't a ROLLUP/CUBE/GROUPING SETS body; runs
     * per GROUP BY list on the masked text. */
+  /** PG grouping-sets composition (parse_agg.c expand_grouping_sets):
+    * a GROUP BY list mixing ROLLUP/CUBE/GROUPING SETS with plain items
+    * is the CROSS PRODUCT of each item's set list, each final set the
+    * per-set UNION of its parts — `GROUP BY ROLLUP((q),(q,c)), q`
+    * means every set includes q, so q is never nulled. Spark instead
+    * keeps the analytics item and the plain item as SEPARATE grouping
+    * columns (the select list then binds to the nulled instance), so
+    * this pass expands the PG product to explicit GROUPING SETS with
+    * select-list aliases resolved to their expressions. Duplicate sets
+    * survive (PG keeps them; so does Spark's Expand) and GROUP_ID()
+    * becomes a per-duplicate row_number window — 0 for unique sets,
+    * 0..n-1 across copies, PG's numbering up to copy permutation. */
+  private def pgGroupingSets(sqlIn: String): String = {
+    if ("(?i)\\b(rollup|cube|grouping)\\b".r.findFirstIn(sqlIn).isEmpty)
+      return sqlIn
+    // every GROUP BY (subqueries included), processed right-to-left so
+    // earlier indices stay valid after a rewrite
+    val masked0 = maskLiterals(sqlIn)
+    val gbs = "(?i)\\bGROUP\\s+BY\\s+".r.findAllMatchIn(masked0)
+      .map(_.start).toSeq.reverse
+    var out = sqlIn
+    gbs.foreach { at => out = rewriteOneGroupBy(out, at) }
+    out
+  }
+
+  private def rewriteOneGroupBy(sqlIn: String, gbAt: Int): String = {
+    val masked = maskLiterals(sqlIn)
+    val depth = new Array[Int](masked.length + 1)
+    var d0 = 0
+    for (i <- masked.indices) {
+      depth(i) = d0
+      masked.charAt(i) match {
+        case '(' => d0 += 1
+        case ')' => d0 -= 1
+        case _ =>
+      }
+    }
+    depth(masked.length) = d0
+    val gb = "(?i)\\bGROUP\\s+BY\\s+".r
+      .findPrefixMatchOf(masked.substring(gbAt))
+      .map(m => (gbAt, gbAt + m.end)).getOrElse(return sqlIn)
+    val dgb = depth(gb._1)
+    // clause end: next clause keyword at the SAME depth, the paren
+    // closing this subselect, or ';'/end
+    val endRe = ("(?i)\\b(HAVING|WINDOW|ORDER\\s+BY|LIMIT|OFFSET|FETCH|" +
+      "UNION|INTERSECT|EXCEPT|RETURNING)\\b").r
+    val kwEnd = endRe.findAllMatchIn(masked).map(_.start)
+      .find(p => p > gb._2 && depth(p) == dgb)
+    val parenEnd = (gb._2 until masked.length).find(p => depth(p) < dgb)
+      .map(_ - 1)
+    val semiEnd = (gb._2 until masked.length)
+      .find(p => masked.charAt(p) == ';' && depth(p) == dgb)
+    val end = Seq(kwEnd, parenEnd, semiEnd).flatten
+      .reduceOption(_ min _).getOrElse(masked.length)
+    val items = topLevelSplit(sqlIn.substring(gb._2, end),
+      masked.substring(gb._2, end)).map(_.trim)
+    def isAnalytic(it: String) =
+      "(?is)^(rollup|cube|grouping\\s+sets)\\s*\\(".r.findFirstIn(it).isDefined
+    if (!items.exists(isAnalytic)) return sqlIn
+    // this GROUP BY's own SELECT: nearest preceding at the same depth
+    val selStart = "(?i)\\bSELECT\\b".r.findAllMatchIn(masked)
+      .filter(m => m.start < gb._1 && depth(m.start) == dgb)
+      .toSeq.lastOption.map(_.end).getOrElse(return sqlIn)
+    val fromAt = "(?i)\\bFROM\\b".r.findAllMatchIn(masked)
+      .find(m => m.start > selStart && depth(m.start) == dgb)
+      .map(_.start).getOrElse(return sqlIn)
+    val selItems = topLevelSplit(sqlIn.substring(selStart, fromAt),
+      masked.substring(selStart, fromAt))
+    val aliasMap: Map[String, String] = selItems.flatMap { si =>
+      "(?is)^(.*\\S)\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(si.trim)
+        .map(m2 => m2.group(2).toLowerCase -> s"(${m2.group(1)})")
+    }.toMap
+    def unwrap(e0: String): String = {
+      var e = e0.trim
+      var go = true
+      while (go && e.startsWith("(") &&
+          matchingParen(maskLiterals(e), 0) == e.length - 1) {
+        val inner = e.substring(1, e.length - 1).trim
+        // never unwrap a composite (top-level comma) — not that sets
+        // contain composites after atoms(), but stay safe
+        val im = maskLiterals(inner)
+        var dd = 0
+        var comma = false
+        im.foreach {
+          case '(' => dd += 1
+          case ')' => dd -= 1
+          case ',' if dd == 0 => comma = true
+          case _ =>
+        }
+        if (comma) go = false else e = inner
+      }
+      e
+    }
+    def subst(e: String): String = {
+      var out = e
+      aliasMap.foreach { case (a, ex) =>
+        out = ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(a) +
+          "(?![\\w(])").r.replaceAllIn(out,
+          java.util.regex.Matcher.quoteReplacement(ex))
+      }
+      unwrap(out)
+    }
+    def norm(e: String) = unwrap(e).toLowerCase.replaceAll("\\s+", "")
+    // expand one item to its list of sets (each set = ordered exprs)
+    def splitArgs(body: String): Seq[String] =
+      topLevelSplit(body, maskLiterals(body)).map(_.trim)
+    def atoms(part: String): Seq[String] = {
+      val p = part.trim
+      if (p.isEmpty) Seq.empty
+      else if (p.startsWith("(") &&
+          matchingParen(maskLiterals(p), 0) == p.length - 1)
+        splitArgs(p.substring(1, p.length - 1)).filter(_.nonEmpty)
+      else Seq(p)
+    }
+    def expand(it: String): Seq[Seq[String]] = {
+      val m = "(?is)^(rollup|cube|grouping\\s+sets)\\s*\\(".r
+        .findFirstMatchIn(it)
+      m match {
+        case Some(mm) =>
+          val open = it.indexOf('(', mm.end - 1)
+          val close = matchingParen(maskLiterals(it), open)
+          val parts = splitArgs(it.substring(open + 1, close))
+          mm.group(1).toLowerCase.replaceAll("\\s+", " ") match {
+            case "rollup" =>
+              (0 to parts.length).map(k =>
+                parts.take(k).flatMap(atoms))
+            case "cube" =>
+              parts.indices.foldLeft(Seq(Seq.empty[String])) { (acc, i) =>
+                acc ++ acc.map(_ ++ atoms(parts(i)))
+              }
+            case _ => // grouping sets: nested ROLLUP/CUBE/SETS inside
+              // contribute their whole set LIST (parse_agg.c
+              // transformGroupingSet unions nested lists)
+              parts.flatMap { p =>
+                if ("(?is)^(rollup|cube|grouping\\s+sets)\\s*\\(".r
+                    .findFirstIn(p.trim).isDefined) expand(p.trim)
+                else Seq(atoms(p))
+              }
+          }
+        case None => Seq(atoms(it))
+      }
+    }
+    // GP numbers group_id duplicates on the final set of TARGETLIST
+    // REFERENCES (parse_clause.c findTargetlistEntrySQL92 +
+    // transformGroupClause sortgroupref): a bare expression matches
+    // the FIRST targetlist entry with an equal expression, an alias
+    // names its own entry — so `newalias3` (tle 3) and `sale.cn`
+    // (matched tle 1, both sale.cn) are DISTINCT refs even though the
+    // grouping value is identical. Verified against the reference's
+    // pinned qp_olap_mdqa output (both the rollup 33/12 and the cube
+    // 85×4 group_id histograms).
+    val selExprNorm: Seq[(String, String)] = selItems.zipWithIndex.map {
+      case (si, i) =>
+        val m2 = "(?is)^(.*\\S)\\s+AS\\s+(\\w+)\\s*$".r
+          .findFirstMatchIn(si.trim)
+        m2 match {
+          case Some(mm) => (norm(mm.group(1)), s"tle$i")
+          case None => (norm(si), s"tle$i")
+        }
+    }
+    val aliasToTle: Map[String, String] = selItems.zipWithIndex.flatMap {
+      case (si, i) =>
+        "(?is)\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(si.trim)
+          .map(mm => mm.group(1).toLowerCase -> s"tle$i")
+    }.toMap
+    // tle indices referenced from the GROUP BY (by alias or by a bare
+    // expression matching a select item — parse_clause.c
+    // findTargetlistEntrySQL92 assigns the sortgroupref)
+    val refTles = scala.collection.mutable.Set[Int]()
+    def tleOf(atom: String): Option[Int] = {
+      val a = atom.trim
+      if (a.matches("(?i)[a-z_]\\w*") && aliasToTle.contains(a.toLowerCase))
+        Some(aliasToTle(a.toLowerCase).stripPrefix("tle").toInt)
+      else selExprNorm.zipWithIndex.find(_._1._1 == norm(a)).map(_._2)
+    }
+    def refKey(atom: String): String =
+      tleOf(atom) match {
+        case Some(i) => refTles += i; s"tle$i"
+        case None => "e:" + norm(subst(atom))
+      }
+    val expanded = items.map(expand)
+    val productKeyed = expanded
+      .foldLeft(Seq((Seq.empty[String], Set.empty[String]))) {
+        (acc, sets) => acc.flatMap { case (exprs, refs) =>
+          sets.map(s => (exprs ++ s, refs ++ s.map(refKey)))
+        }
+      }
+    // select items, alias stripped (the tle expression text)
+    val tleExpr = selItems.map(si =>
+      "(?is)^(.*\\S)\\s+AS\\s+\\w+\\s*$".r.findFirstMatchIn(si.trim)
+        .map(_.group(1)).getOrElse(si.trim))
+    def isSimpleCol(e: String) = e.trim.matches("[A-Za-z_][\\w.]*")
+    // a group-REFERENCED complex tle renders as a uniquely-TAGGED
+    // no-op CASE: PG matches select items to grouping entries by
+    // sortgroupref, so two textually identical expressions in
+    // different tles are DIFFERENT grouping entries — one grouped,
+    // the other NULL — which Spark's expression-equality matching
+    // cannot see without the tag (folded away post-analysis)
+    def tagged(i: Int) = s"(CASE WHEN $i = $i THEN (${tleExpr(i)}) END)"
+    def render(atom: String): String = tleOf(atom) match {
+      case Some(i) if !isSimpleCol(tleExpr(i)) => tagged(i)
+      case Some(i) => tleExpr(i)
+      case None => subst(atom)
+    }
+    val product = productKeyed.map { case (set, _) =>
+      val seen = scala.collection.mutable.LinkedHashMap[String, String]()
+      set.map(render).foreach(e => seen.getOrElseUpdate(norm(e), e))
+      seen.values.toSeq
+    }
+    // per-set group_id: count of earlier sets with the same final refs
+    val gids = {
+      val seen = scala.collection.mutable.Map[Set[String], Int]()
+      productKeyed.map { case (_, key) =>
+        val n = seen.getOrElse(key, 0)
+        seen(key) = n + 1
+        n
+      }
+    }
+    def setsSqlOf(ss: Seq[Seq[String]]): String = ss.map(s =>
+      if (s.isEmpty) "()" else s"(${s.mkString(", ")})").mkString(", ")
+    // HAVING over GROUPING(): Spark's UnresolvedHaving cannot bind
+    // grouping columns once the duplicate-set Expand adds
+    // _gen_grouping_pos (qualified or bare), but grouping() in the
+    // SELECT list resolves fine — so such a predicate moves into a
+    // hidden `__keep` output column and an outer WHERE filters on it.
+    // A HAVING over GROUP_ID() alone needs nothing: GROUP_ID becomes
+    // a literal (0, or the branch id), leaving a constant predicate.
+    var havingCutEnd = end
+    var havingPred: Option[String] = None
+    locally {
+      val hm = "(?is)^\\s*HAVING\\b".r
+        .findPrefixMatchOf(masked.substring(end))
+      hm.foreach { h =>
+        val hStart = end + h.end
+        val hEndRe = ("(?i)\\b(WINDOW|ORDER\\s+BY|LIMIT|OFFSET|FETCH|" +
+          "UNION|INTERSECT|EXCEPT|RETURNING)\\b").r
+        val hEnd = hEndRe.findAllMatchIn(masked).map(_.start)
+          .find(p => p > hStart && depth(p) == dgb)
+          .orElse((hStart until masked.length)
+            .find(p => masked.charAt(p) == ';' && depth(p) == dgb))
+          .orElse((hStart until masked.length).find(p => depth(p) < dgb))
+          .getOrElse(masked.length)
+        val pred = sqlIn.substring(hStart, hEnd).trim
+        if ("(?i)\\bGROUPING\\s*\\(".r.findFirstIn(pred).isDefined) {
+          havingPred = Some(pred)
+          havingCutEnd = hEnd
+        }
+      }
+    }
+    val refsGroupId =
+      "(?i)\\bgroup_id\\s*\\(".r.findFirstIn(sqlIn).isDefined
+    // ---- select-list transformation (ExecInitExprRec over the
+    // grouping-sets targetlist): per tle,
+    //  - group-referenced complex expr → its TAG (Expand supplies the
+    //    per-set value or NULL);
+    //  - unreferenced complex expr over grouping columns → guarded by
+    //    grouping(col)=0 for each referenced column (PG yields NULL
+    //    for any set that aggregates a referenced column away, NOT
+    //    the expression-over-NULL value);
+    //  - simple columns, aggregates, grouping fns → unchanged.
+    val plainColText: Map[String, String] = product.flatten
+      .filter(isSimpleCol).map(c =>
+        c.toLowerCase.split("\\.").last -> c).toMap
+    val kwStop = Set("case", "when", "then", "else", "end", "and", "or",
+      "not", "null", "as", "in", "is", "between", "like", "interval",
+      "cast", "true", "false", "distinct", "from", "asc", "desc",
+      "day", "days", "month", "months", "year", "years", "hour",
+      "minute", "second", "mins", "secs")
+    def colRefs(e: String): Seq[String] = {
+      // `expr::type` casts: the type name is not a column reference
+      val m = maskLiterals(e).replaceAll("::\\s*[A-Za-z_]\\w*(\\s*\\([\\d,\\s]*\\))?", "")
+      "[A-Za-z_]\\w*(?:\\.[A-Za-z_]\\w*)*".r.findAllMatchIn(m).toSeq
+        .filter { t =>
+          val after = m.drop(t.end).dropWhile(_.isWhitespace)
+          !(after.startsWith("(")) &&
+            !kwStop.contains(t.matched.toLowerCase)
+        }.map(_.matched.toLowerCase.split("\\.").last).distinct
+    }
+    val aggRe = ("(?i)\\b(sum|count|min|max|avg|stddev|stddev_samp|" +
+      "stddev_pop|variance|var_samp|var_pop|corr|covar_pop|covar_samp|" +
+      "percentile_cont|percentile_disc|array_agg|string_agg|bool_and|" +
+      "bool_or|every|bit_and|bit_or|median)\\s*\\(").r
+    val groupFnRe = "(?i)\\b(grouping|group_id|grouping_id)\\s*\\(".r
+    // bare (tle-less) complex grouping entries, as rendered: a select
+    // expr equal to one of these matches in Spark natively
+    val rawMemberNorms: Set[String] = productKeyed.flatMap(_._1)
+      .filter(a => tleOf(a).isEmpty).map(a => norm(subst(a))).toSet
+    // Left((j, sfx)): item is tle j's TAG — but only while some set of
+    // the emitted statement actually groups by it; a branch without it
+    // renders typed NULL (PG: per-set value of an absent entry).
+    // Right(text): emitted verbatim.
+    val selItemSpec: Seq[Either[(Int, String), String]] =
+      selItems.zipWithIndex.map { case (si, i) =>
+        val e = tleExpr(i)
+        val aliasSfx = if (si.trim.length > e.length)
+          si.trim.substring(e.length) else ""
+        if (aggRe.findFirstIn(e).isDefined ||
+            groupFnRe.findFirstIn(e).isDefined || isSimpleCol(e)) Right(si)
+        else if (refTles.contains(i)) Left((i, aliasSfx))
+        else refTles.find(j => norm(tleExpr(j)) == norm(e)) match {
+          // setrefs.c fix_upper_expr: an unreferenced output expr that
+          // EQUALS a referenced grouping entry takes that entry's
+          // per-set value — same tag, same Expand column
+          case Some(j) => Left((j, aliasSfx))
+          case None if rawMemberNorms.contains(norm(e)) => Right(si)
+          case None =>
+            val refs = colRefs(e)
+            if (refs.isEmpty) Right(si)
+            else {
+              val conds = refs.map(c => plainColText.get(c) match {
+                case Some(txt) => s"grouping($txt) = 0"
+                case None => "1=0"
+              })
+              Right(s"(CASE WHEN ${conds.mkString(" AND ")} THEN ($e) END)" +
+                aliasSfx)
+            }
+        }
+      }
+    def selItemsFor(ss: Seq[Seq[String]]): Seq[String] = {
+      val avail = ss.flatten.map(norm).toSet
+      selItemSpec.map {
+        case Left((j, sfx)) =>
+          if (avail.contains(norm(tagged(j)))) tagged(j) + sfx
+          else s"(CASE WHEN 1=0 THEN (${tleExpr(j)}) END)" + sfx
+        case Right(txt) => txt
+      }
+    }
+    val selKwAt = selStart - "SELECT".length
+    // one grouped SELECT over a given set list; when a grouping-only
+    // HAVING was lifted, wrap it so the predicate computes in the
+    // select list and filters outside
+    def grouped(ss: Seq[Seq[String]], suffix: String): String = {
+      val base = sqlIn.substring(fromAt, gb._2) // FROM..WHERE..GROUP BY
+      val itemsHere = selItemsFor(ss)
+      havingPred match {
+        case None =>
+          "SELECT " + itemsHere.mkString(", ") + " " + base +
+            s"GROUPING SETS (${setsSqlOf(ss)}) "
+        case Some(pred) =>
+          val inner = "SELECT " + itemsHere.zipWithIndex.map {
+            case (it, i) =>
+              val e = "(?is)^(.*\\S)\\s+AS\\s+\\w+\\s*$".r
+                .findFirstMatchIn(it.trim).map(_.group(1))
+                .getOrElse(it.trim)
+              s"($e) AS __hc$i" }.mkString(", ") +
+            s", ($pred) AS __keep " + base +
+            s"GROUPING SETS (${setsSqlOf(ss)})"
+          s"SELECT ${itemsHere.indices.map(i => s"__hc$i")
+            .mkString(", ")} FROM ($inner) __hv$suffix WHERE __keep "
+      }
+    }
+    var out =
+      if (!refsGroupId || gids.forall(_ == 0)) {
+        val one = sqlIn.substring(0, selKwAt) + grouped(product, "0") +
+          sqlIn.substring(havingCutEnd)
+        "(?i)\\bGROUP_ID\\s*\\(\\s*\\)".r.replaceAllIn(one, "0")
+      } else {
+        // GROUP_ID() + duplicate sets: one UNION ALL branch per id
+        // class, the id a literal per branch — exact GP numbering.
+        // A pure-GROUP_ID HAVING then compares two literals and needs
+        // no further treatment.
+        val branchEndRe =
+          "(?i)\\b(ORDER\\s+BY|LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT)\\b".r
+        val branchEnd = branchEndRe.findAllMatchIn(masked).map(_.start)
+          .find(p => p > gb._2 && depth(p) == dgb)
+          .getOrElse(havingCutEnd max semiEnd.getOrElse(masked.length)
+            min masked.length)
+        val between = sqlIn.substring(havingCutEnd, branchEnd)
+        val branches = gids.distinct.sorted.map { g =>
+          val ss = product.zip(gids).collect { case (s, gg) if gg == g => s }
+          val b = grouped(ss, g.toString) + between
+          "(?i)\\bGROUP_ID\\s*\\(\\s*\\)".r.replaceAllIn(b, g.toString)
+        }
+        sqlIn.substring(0, selKwAt) + branches.mkString(" UNION ALL ") +
+          " " + sqlIn.substring(branchEnd)
+      }
+    // select aliases inside GROUPING(...) args resolve like set exprs
+    val outMasked = maskLiterals(out)
+    val gcalls = "(?i)\\bGROUPING\\s*\\(".r.findAllMatchIn(outMasked).toSeq
+      .reverse
+    gcalls.foreach { g =>
+      val open = outMasked.indexOf('(', g.start)
+      val close = matchingParen(outMasked, open)
+      if (close > open) {
+        val inner = out.substring(open + 1, close)
+        val sInner = subst(inner)
+        if (sInner != inner)
+          out = out.substring(0, open + 1) + sInner + out.substring(close)
+      }
+    }
+    // GROUPING() inside HAVING: with duplicate grouping sets Spark's
+    // Expand adds _gen_grouping_pos and drops attribute QUALIFIERS, so
+    // `grouping(sale.cn)` fails to resolve under UnresolvedHaving while
+    // the bare `grouping(cn)` binds — strip qualifiers there
+    locally {
+      val hMasked = maskLiterals(out)
+      "(?i)\\bHAVING\\b".r.findAllMatchIn(hMasked).toSeq.foreach { hm =>
+        "(?i)\\bGROUPING\\s*\\(".r.findAllMatchIn(maskLiterals(out)).toSeq
+          .filter(_.start > hm.start).reverse.foreach { g =>
+            val m2 = maskLiterals(out)
+            val open = m2.indexOf('(', g.start)
+            val close = matchingParen(m2, open)
+            if (close > open) {
+              val inner = out.substring(open + 1, close)
+              val stripped = "(?i)\\b[A-Za-z_]\\w*\\.(?=[A-Za-z_])".r
+                .replaceAllIn(inner, "")
+              if (stripped != inner)
+                out = out.substring(0, open + 1) + stripped +
+                  out.substring(close)
+            }
+          }
+      }
+    }
+    // the trailing ORDER BY: Spark cannot sort Expand output by an
+    // underlying column that is not in the select list, and the UNION
+    // form only exposes output columns — map each sort key to its
+    // select ordinal; keys with no output column drop (they ordered
+    // tie presentation only, never row content)
+    locally {
+      val oMasked = maskLiterals(out)
+      val oDepth = new Array[Int](oMasked.length + 1)
+      var dd = 0
+      for (i <- oMasked.indices) {
+        oDepth(i) = dd
+        oMasked.charAt(i) match {
+          case '(' => dd += 1
+          case ')' => dd -= 1
+          case _ =>
+        }
+      }
+      "(?i)\\bORDER\\s+BY\\s+".r.findAllMatchIn(oMasked).toSeq
+        .filter(m => oDepth(m.start) == dgb).lastOption.foreach { om =>
+          val tEnd = "(?i)\\b(LIMIT|OFFSET|FETCH)\\b".r
+            .findAllMatchIn(oMasked).map(_.start)
+            .find(p => p > om.end && oDepth(p) == dgb)
+            .orElse((om.end until oMasked.length)
+              .find(p => oMasked.charAt(p) == ';' && oDepth(p) == dgb))
+            .orElse((om.end until oMasked.length)
+              .find(p => oDepth(p) < dgb))
+            .getOrElse(oMasked.length)
+          val obItems = topLevelSplit(out.substring(om.end, tEnd),
+            oMasked.substring(om.end, tEnd)).map(_.trim)
+          val mapped = obItems.flatMap { it =>
+            val dm = "(?is)^(.*?)(\\s+(?:ASC|DESC)\\b.*|\\s+NULLS\\b.*)?$".r
+              .findFirstMatchIn(it).get
+            val e = dm.group(1).trim
+            val sfx = Option(dm.group(2)).getOrElse("")
+            if (e.matches("\\d+")) Some(it)
+            else {
+              val pos = selExprNorm.indexWhere(_._1 == norm(e)) match {
+                case -1 =>
+                  val a = e.toLowerCase
+                  if (aliasToTle.contains(a))
+                    aliasToTle(a).stripPrefix("tle").toInt
+                  else -1
+                case i => i
+              }
+              if (pos >= 0) Some(s"${pos + 1}$sfx") else None
+            }
+          }
+          out = out.substring(0, om.start) +
+            (if (mapped.nonEmpty) "ORDER BY " + mapped.mkString(", ") + " "
+             else "") + out.substring(tEnd)
+        }
+    }
+    out
+  }
+
+  /** MDQA grouping surface (parse_agg.c):
+    *  - `GROUPING(a, b, ...)` with several args is PG's bitmask form —
+    *    Spark spells that `grouping_id(a, b, ...)` (identical bit
+    *    order, leftmost arg = highest bit);
+    *  - `GROUP_ID()` numbers DUPLICATE grouping sets 0..n-1; for the
+    *    non-duplicated sets these suites pin it is constantly 0 (a
+    *    true duplicate-set query would fail its row compare loudly);
+    *  - a bare `()` item in a GROUP BY list alongside other items is
+    *    the cross-product identity — dropped (inside GROUPING SETS it
+    *    is meaningful and kept). */
+  private def mdqaGrouping(sqlIn: String): String = {
+    var sql = sqlIn
+    if ("(?i)\\bgroup_id\\s*\\(".r.findFirstIn(sql).isDefined)
+      sql = "(?i)\\bGROUP_ID\\s*\\(\\s*\\)".r.replaceAllIn(sql, "0")
+    // GROUPING over a PLAIN GROUP BY returns 0 for grouped columns
+    // (GP parse_agg: no set is ever aggregated away) — Spark refuses
+    // grouping() without grouping analytics, so constant-fold it
+    if ("(?i)\\bgrouping\\s*\\(".r.findFirstIn(sql).isDefined &&
+        "(?i)\\b(rollup|cube|grouping\\s+sets)\\b".r
+          .findFirstIn(sql).isEmpty) {
+      var changed0 = true
+      while (changed0) {
+        changed0 = false
+        val masked0 = maskLiterals(sql)
+        "(?i)\\bGROUPING\\s*\\(".r.findFirstMatchIn(masked0).foreach { m =>
+          val open = masked0.indexOf('(', m.start)
+          val close = matchingParen(masked0, open)
+          if (close > open) {
+            sql = sql.substring(0, m.start) + "0" + sql.substring(close + 1)
+            changed0 = true
+          }
+        }
+      }
+    }
+    // multi-arg GROUPING(a,b,c) = PG's bitmask (leftmost arg highest
+    // bit); composed from single-column grouping() because Spark's
+    // grouping_id demands its args equal the FULL grouping-column list
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(sql)
+      "(?i)\\bGROUPING\\s*\\(".r.findAllMatchIn(masked).find { m =>
+        val open = masked.indexOf('(', m.start)
+        val close = matchingParen(masked, open)
+        close > open && {
+          val inner = masked.substring(open + 1, close)
+          var d = 0
+          var commas = 0
+          inner.foreach {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case ',' if d == 0 => commas += 1
+            case _ =>
+          }
+          commas > 0 && !sql.substring(m.start, open).toLowerCase
+            .contains("sets")
+        }
+      }.foreach { m =>
+        val open = masked.indexOf('(', m.start)
+        val close = matchingParen(masked, open)
+        val args = topLevelSplit(sql.substring(open + 1, close),
+          masked.substring(open + 1, close)).map(_.trim)
+        val k = args.length
+        val bits = args.zipWithIndex.map { case (a, i) =>
+          val w = 1 << (k - 1 - i)
+          if (w == 1) s"grouping($a)" else s"grouping($a) * $w"
+        }
+        sql = sql.substring(0, m.start) + s"(${bits.mkString(" + ")})" +
+          sql.substring(close + 1)
+        changed = true
+      }
+    }
+    // bare () item in a GROUP BY list with other items
+    changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(sql)
+      val it = "(?i)(,\\s*\\(\\s*\\))|(\\(\\s*\\)\\s*,)".r
+        .findAllMatchIn(masked).find { m =>
+          val gb = "(?i)\\bGROUP\\s+BY\\b".r
+            .findAllMatchIn(masked.substring(0, m.start)).toSeq.lastOption
+          gb.exists { g =>
+            val between = masked.substring(g.end, m.start)
+            between.count(_ == '(') == between.count(_ == ')') &&
+            !("(?i)\\b(HAVING|ORDER|LIMIT|WINDOW|FROM|WHERE|SELECT|UNION" +
+              "|INTERSECT|EXCEPT)\\b").r.findFirstIn(between).isDefined &&
+            !"(?i)\\bSETS\\s*\\($".r.findFirstIn(
+              masked.substring(0, m.start).trim).isDefined
+          }
+        }
+      it.foreach { m =>
+        sql = sql.substring(0, m.start) + sql.substring(m.end)
+        changed = true
+      }
+    }
+    sql
+  }
+
   private def flattenGroupByParens(sqlIn: String): String = {
     var sql = sqlIn
     var changed = true
@@ -3295,14 +3889,14 @@ object PgSql {
   def rewrite(sqlIn: String): String = {
     // quantified runs BEFORE arraySubquery so `= ANY(ARRAY(subquery))`
     // is seen as the sublink it is, not a collect()'d scalar array
-    val sql = rowCompare(arraySubquery(quantified(flattenGroupByParens(
+    val sql = rowCompare(arraySubquery(quantified(flattenGroupByParens(mdqaGrouping(pgGroupingSets(
       regexSubstring(extractFields(unnestFrom(generateSeriesRewrite(srfSelectHoist(srfInsertValues(lateralValues(
         windowOrder(arraySlices(subscripts(arrayConcatOps(arrayBrackets(arrayLiteralCasts(
           quotedIdents(joinOnSubqueryToFilter(gpDistRandom(
-            complexRewrites(intervalSpacing(pgDateTemplates(
+            complexRewrites(intervalSpacing(slashDateLiterals(pgDateTemplates(
               valuesPgLiterals(pgValueCasts(pgStringSyntax(orderByNulls(orderedAgg(percentileArray(hypotheticalSetAgg(
                 windowClauseExpand(nestedJoinOns(
-                  orderByOrdinal(jsonArrows(similarToOp(sqlIn)))))))))))))))))))))))))))))))))))
+                  orderByOrdinal(jsonArrows(similarToOp(sqlIn))))))))))))))))))))))))))))))))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

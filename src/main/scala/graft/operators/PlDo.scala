@@ -167,7 +167,11 @@ object PlDo {
   // ---------------------------------------------------------------
   // parsing
   // ---------------------------------------------------------------
-  private def parseBlock(body: String): Block = {
+  private def parseBlock(body0: String): Block = {
+    // `--` line comments are lexical (pl_scanner shares scan.l): strip
+    // them outside literals so the ';' splitter can't glue a comment
+    // onto the next statement
+    val body = mapOutsideLiterals(body0)(_.replaceAll("--[^\n]*", ""))
     val m = "(?is)^\\s*(?:DECLARE\\s+(.*?))??BEGIN\\s+(.*)\\s*END\\s*;?\\s*$".r
       .findFirstMatchIn(body.trim).getOrElse(throw new IllegalArgumentException(
         s"unsupported plpgsql body (expected [DECLARE ...] BEGIN ... END): $body"))
@@ -262,10 +266,12 @@ object PlDo {
       val (ts, _, te) = findTop(s, pos, Seq("THEN"))
       require(ts >= 0, s"IF without THEN at: ${s.substring(pos).take(60)}")
       val cond = s.substring(pos, ts).trim
-      val (stmts, term, p) = parseSeq(s, te, Seq("ELSIF", "ELSE", "END IF"))
+      // ELSEIF is PG's accepted alternate spelling (pl_gram.y K_ELSIF)
+      val (stmts, term, p) =
+        parseSeq(s, te, Seq("ELSEIF", "ELSIF", "ELSE", "END IF"))
       branches += ((cond, stmts))
       term match {
-        case "ELSIF" => pos = p
+        case "ELSIF" | "ELSEIF" => pos = p
         case "ELSE" =>
           val (e, _, p2) = parseSeq(s, p, Seq("END IF"))
           els = e; done = p2
@@ -301,6 +307,18 @@ object PlDo {
           Option(args).map(GreengageDdl.splitTop(_)).getOrElse(Nil))
       case t if t.equalsIgnoreCase("NULL") => SqlStmt("")
       case assign(name, expr) => Assign(name.toLowerCase, expr.trim)
+      // `var = expr;` — plpgsql accepts plain `=` for assignment
+      // (pl_gram.y: assign_operator is ':=' or '='); only a lone
+      // leading identifier can be one, so SQL verbs fall through
+      case t if "(?s)^(\\w+)\\s*=[^=].*$".r.findFirstIn(t).isDefined && {
+        val head = t.takeWhile(c => Character.isLetterOrDigit(c) || c == '_')
+        !Set("select", "insert", "update", "delete", "truncate", "merge",
+          "create", "drop", "alter", "copy", "call", "set", "values",
+          "with", "begin", "commit", "rollback", "grant", "revoke")
+          .contains(head.toLowerCase)
+      } =>
+        val m2 = "(?s)^(\\w+)\\s*=(.*)$".r.findFirstMatchIn(t).get
+        Assign(m2.group(1).toLowerCase, m2.group(2).trim)
       case t if phraseAt(t, 0, "SELECT") >= 0 && {
         val (i, _, _) = findTop(t, 0, Seq("INTO")); i >= 0
       } =>
@@ -394,9 +412,15 @@ object PlDo {
         // PERFORM = SELECT with the result discarded but FULLY
         // evaluated (pl_exec.c exec_stmt_perform) — foreach forces
         // every projected expression; count() would let Catalyst prune
-        // a side-effecting or failing column away
-        spark.sql(PgSql.rewrite("SELECT " + subst(q, env)))
-          .foreach(_ => (): Unit)
+        // a side-effecting or failing column away. A call to a
+        // registered VOID plpgsql function routes to the interpreter.
+        val qq = subst(q, env)
+        val fm = "(?is)^\\s*([\\w.]+)\\s*\\((.*)\\)\\s*;?\\s*$".r
+          .findFirstMatchIn(qq)
+        if (fm.exists(f => isVoidFunction(f.group(1))))
+          callVoidFunction(spark, fm.get.group(1), fm.get.group(2))
+        else
+          spark.sql(PgSql.rewrite("SELECT " + qq)).foreach(_ => (): Unit)
       case SelectInto(q, vars) =>
         val df = spark.sql(PgSql.rewrite(subst(q, env)))
         require(vars.length <= df.schema.length,
@@ -538,6 +562,58 @@ object PlDo {
     val name = m.group(1).toLowerCase
     procedures.put(name, Proc(name, params, parseBlock(m.group(4))))
     name
+  }
+
+  /** `CREATE FUNCTION f(...) RETURNS VOID AS $$ ... $$ LANGUAGE
+    * plpgsql` — a function run for SIDE EFFECTS (pl_exec.c: prokind
+    * 'f' with a VOID result): same interpreter as procedures.
+    * Positional `$n` parameter references rewrite to synthetic names
+    * (`__p_n`); unnamed parameters get those names too. Invoked via
+    * `SELECT f(args)` (Graft routes it here) or PERFORM. */
+  private val voidFnRe =
+    ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+([\\w.]+)\\s*" +
+      "\\(([^)]*)\\)\\s+RETURNS\\s+VOID\\s+AS\\s+\\$(\\w*)\\$(.*)\\$\\3\\$" +
+      "\\s+LANGUAGE\\s+PLPGSQL\\s*;?\\s*$").r
+
+  def isVoidFunctionDdl(ddl: String): Boolean =
+    voidFnRe.findFirstMatchIn(ddl).isDefined
+
+  def createVoidFunction(ddl: String): String = {
+    val m = voidFnRe.findFirstMatchIn(ddl).getOrElse(
+      throw new IllegalArgumentException(
+        s"not a CREATE FUNCTION ... RETURNS VOID plpgsql statement: $ddl"))
+    val params = GreengageDdl.splitTop(m.group(2)).zipWithIndex.map {
+      case (p, i) =>
+        val parts = p.trim.replaceAll("(?i)^IN\\s+", "").split("\\s+", 2)
+        if (parts.length == 2)
+          (parts(0).toLowerCase, GreengageDdl.mapType(parts(1)))
+        else (s"__p_${i + 1}", GreengageDdl.mapType(parts(0)))
+    }
+    val body = m.group(4).replaceAll("\\$(\\d+)", "__p_$1")
+    val name = m.group(1).toLowerCase
+    procedures.put(name, Proc(name, params, parseBlock(body)))
+    name
+  }
+
+  def isVoidFunction(name: String): Boolean =
+    procedures.containsKey(name.toLowerCase)
+
+  /** Run a registered void function with the given argument
+    * EXPRESSIONS (evaluated in the session). */
+  def callVoidFunction(spark: SparkSession, name: String,
+                       argList: String): Unit = {
+    val proc = Option(procedures.get(name.toLowerCase)).getOrElse(
+      throw new IllegalArgumentException(s"unknown function: $name"))
+    val args =
+      if (argList.trim.isEmpty) Seq.empty
+      else GreengageDdl.splitTop(argList)
+    require(args.length == proc.params.length,
+      s"$name: ${args.length} args for ${proc.params.length} params")
+    val env = new Env
+    proc.params.zip(args).foreach { case ((n, t), a) =>
+      env.vars(n) = eval(spark, s"CAST(($a) AS $t)", env)
+    }
+    runBlock(spark, proc.body, env)
   }
 
   private val callRe = "(?is)^\\s*CALL\\s+([\\w.]+)\\s*\\((.*)\\)\\s*;?\\s*$".r

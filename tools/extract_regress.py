@@ -109,11 +109,52 @@ while i < n:
     if not s:
         i += 1
         continue
+    if re.match(r"^\(\d+ rows?\)$", s):
+        i += 1  # stray fence from a zero-column result table
+        continue
     if s.startswith("--"):
         if "start_ignore" in s:
+            # the block's OUTPUT is unverifiable, but its STATEMENTS
+            # change state (drop/create setup) — run them with errors
+            # tolerated (===TRY)
+            block = []
+            i += 1
             while i < n and "end_ignore" not in lines[i]:
+                block.append(lines[i])
                 i += 1
             i += 1
+            txt = "\n".join(block)
+            # strip result tables / chatter: keep only lines that are
+            # part of SQL statements (accumulate to ';' like the main
+            # scanner, skipping obvious output)
+            stmt_acc = []
+            last_try = -1
+            for ln in txt.split("\n"):
+                t2 = ln.strip()
+                if not t2 or t2.startswith("--") or t2.startswith("\\"):
+                    continue
+                if re.match(r"^(NOTICE|HINT|WARNING|DETAIL|CONTEXT|INFO|"
+                            r"ERROR|LINE \d+|\s*\^|\(\d+ rows?\)|[\w ]*\|"
+                            r"|[-+ ]+$)", t2):
+                    if not stmt_acc:
+                        # the reference ERRORED on the ignored statement
+                        # — its effect was NONE; drop it so the engine
+                        # (which may SUPPORT the form) stays in sync
+                        if t2.startswith("ERROR") and last_try >= 0 \
+                                and last_try == len(entries) - 1:
+                            entries.pop()
+                            last_try = -1
+                        continue
+                stmt_acc.append(ln)
+                if t2.endswith(";"):
+                    st2 = "\n".join(stmt_acc).strip()
+                    stmt_acc = []
+                    if re.match(r"(?i)^(drop|create|insert|update|delete|"
+                                r"truncate|alter|set|reset|vacuum|analyze|"
+                                r"copy|select|begin|commit|rollback)\b", st2) \
+                            and not any(r.search(st2) for r in skip_res):
+                        entries.append(("TRY", st2, []))
+                        last_try = len(entries) - 1
             continue
         i += 1
         continue
@@ -277,7 +318,19 @@ while i < n:
         entries.append(("SQL", stmt, rows))
     else:
         ins = copy_stdin_to_insert(stmt)
-        entries.append(("STMT", ins if ins else stmt, []))
+        if ins:
+            entries.append(("STMT", ins, []))
+        else:
+            # psql runs `reset a; reset b; reset c;` on one line as
+            # three statements; the engine takes one verb per call
+            segs = [x.strip() for x in stmt.split(";") if x.strip()]
+            if len(segs) > 1 and "'" not in stmt and all(
+                    re.match(r"(?i)^(set|reset|analyze|vacuum)\b", x)
+                    for x in segs):
+                for x in segs:
+                    entries.append(("STMT", x + ";", []))
+            else:
+                entries.append(("STMT", stmt, []))
 
 # Transaction blocks: the engine commits each statement atomically
 # (staged swap) and has no ROLLBACK, so a BEGIN..ROLLBACK/ABORT block
@@ -333,8 +386,8 @@ with open(args.vectors_file, "w", encoding="utf-8") as f:
     for p in args.skip:
         f.write("# excluded at extraction (--skip): " + p + "\n")
     for kind, stmt, rows in entries:
-        if kind == "ERR":
-            f.write("===ERR\n" + stmt + "\n")
+        if kind in ("ERR", "TRY"):
+            f.write("===" + kind + "\n" + stmt + "\n")
         elif kind == "SQL":
             f.write("===SQL\n" + stmt + "\n===ROWS\n")
             for r in rows:
