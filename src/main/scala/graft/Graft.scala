@@ -130,11 +130,28 @@ object Graft {
     // the session; the drop-at-session-end lifecycle is not replicated
     // pg_temp schema = the session temp namespace; one session here,
     // so the qualifier drops everywhere (CREATE and call sites alike)
-    val t = sql.trim.replaceAll("(?i)\\bpg_temp\\.", "").replaceFirst(
+    var t = sql.trim.replaceAll("(?i)\\bpg_temp\\.", "").replaceFirst(
       "(?is)^CREATE\\s+(?:GLOBAL\\s+|LOCAL\\s+)?(?:TEMP|TEMPORARY|UNLOGGED)\\s+TABLE",
       "CREATE TABLE")
     def is(re: String) = re.r.findFirstIn(t).isDefined
     def stripSemi(s: String) = s.trim.stripSuffix(";").trim
+    // `INSERT INTO t ( SELECT ... )` (gram.y insert_rest accepts a
+    // parenthesized select_no_parens): unwrap so the body parsers see
+    // the SELECT directly
+    locally {
+      val mm = ("(?is)^(\\s*INSERT\\s+INTO\\s+[\\w.\"]+\\s*)\\(" +
+        "(?=\\s*SELECT\\b)").r.findFirstMatchIn(
+          operators.PgSql.maskLiterals(t))
+      mm.foreach { m0 =>
+        val masked = operators.PgSql.maskLiterals(t)
+        val open = m0.end - 1
+        val close = operators.PgSql.matchingParen(masked, open)
+        if (close > open && t.substring(close + 1).trim.stripSuffix(";")
+            .trim.isEmpty)
+          t = t.substring(0, open) + " " + t.substring(open + 1, close) +
+            " " + t.substring(close + 1)
+      }
+    }
     // transaction control (xact.c StartTransactionCommand): BEGIN /
     // COMMIT / ROLLBACK as table-state scopes — see operators.Txn
     if (is("(?is)^(BEGIN|START\\s+TRANSACTION)\\s*" +
@@ -566,9 +583,29 @@ object Graft {
       val table = m.group(1).replace("\"", "")
       if (u >= 0) {
         // DELETE FROM t USING s [alias] WHERE join-cond (gram.y
-        // using_clause) → anti join; RETURNING unsupported here
-        require(returning.isEmpty, "RETURNING with USING is not supported")
-        require(w > u, s"DELETE USING needs a WHERE join condition: $t")
+        // using_clause) → anti join. RETURNING materializes the OLD
+        // images of rows with a match BEFORE the swap (wCTE contract)
+        val retUsing = returning.map { items =>
+          val usingTxt0 = rest.substring(u + "USING".length,
+            if (w > u) w else rest.length)
+          val condTxt0 = if (w > u) rest.substring(w + "WHERE".length) else "1=1"
+          spark.sql(operators.PgSql.rewrite(
+            s"""SELECT ${items.mkString(", ")} FROM $table
+               |WHERE EXISTS (SELECT 1 FROM $usingTxt0
+               |              WHERE $condTxt0)""".stripMargin))
+            .localCheckpoint(true)
+        }
+        if (w < 0) {
+          // DELETE FROM t USING s — no WHERE: a cross join qualifies
+          // EVERY target row as soon as the source has one row
+          val usingText = rest.substring(u + "USING".length)
+          val any = spark.sql(operators.PgSql.rewrite(
+            s"SELECT 1 FROM $usingText LIMIT 1")).count()
+          if (any > 0)
+            operators.Dml.deleteWhere(spark, table,
+              org.apache.spark.sql.functions.lit(true))
+          return retUsing
+        }
         val usingText = rest.substring(u + "USING".length, w)
         val condText = rest.substring(w + "WHERE".length)
         try {
@@ -588,7 +625,7 @@ object Graft {
                 s"(SELECT 1 FROM $usingText WHERE $condText)"))
             operators.Dml.deleteKeeping(spark, table, kept)
         }
-        return None
+        return retUsing
       }
       require(rest.trim.isEmpty || w >= 0, s"cannot parse DELETE tail: $rest")
       val cond =
@@ -685,10 +722,28 @@ object Graft {
             val srcSql = "SELECT " + items.flatMap { case (al, cols) =>
               cols.map(c => s"$al.$c AS ${al}__$c")
             }.mkString(", ") + " FROM " + fromText
-            def q(s: String) = items.foldLeft(s) { case (acc, (al, _)) =>
-              acc.replaceAll(
-                "(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\.(\\w+)",
-                al + "__$1")
+            val targetCols = spark.table(m.group(1).replace("\"", ""))
+              .columns.map(_.toLowerCase).toSet
+            // a bare column name resolves across the joint namespace
+            // (transformExpr): target first, else the UNIQUE source
+            val bareMap: Map[String, String] = items
+              .flatMap { case (al, cols) => cols.map(c =>
+                c.toLowerCase -> s"${al}__$c") }
+              .groupBy(_._1).collect {
+                case (c, hits)
+                    if hits.size == 1 && !targetCols.contains(c) =>
+                  c -> hits.head._2
+              }
+            def q(s: String) = {
+              val qualified = items.foldLeft(s) { case (acc, (al, _)) =>
+                acc.replaceAll(
+                  "(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\.(\\w+)",
+                  al + "__$1")
+              }
+              bareMap.foldLeft(qualified) { case (acc, (c, repl)) =>
+                acc.replaceAll("(?i)(?<![\\w.])" +
+                  java.util.regex.Pattern.quote(c) + "(?![\\w(])", repl)
+              }
             }
             val reAssign = operators.GreengageDdl.splitTop(setPart).map { a =>
               val Array(k, v) = a.split("=", 2)
@@ -847,9 +902,12 @@ object Graft {
     * TimestampNTZType case — MatchError inside the optimizer), and a
     * missing column stat only degrades the estimate. */
   private def analyzeTable(spark: SparkSession, name: String): Unit = {
-    import org.apache.spark.sql.types.TimestampNTZType
+    import org.apache.spark.sql.types._
     val fields = spark.table(name).schema.fields
-    val safe = fields.filterNot(_.dataType == TimestampNTZType)
+    val safe = fields.filterNot(f => f.dataType == TimestampNTZType ||
+      f.dataType.isInstanceOf[ArrayType] ||
+      f.dataType.isInstanceOf[MapType] ||
+      f.dataType.isInstanceOf[StructType]) // no column stats for these
     if (safe.length == fields.length)
       spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
     else if (safe.nonEmpty)
@@ -925,8 +983,13 @@ object Graft {
   /** Qualified stars (`t.*` / `alias.*`) over partition-reordered
     * tables, in any FROM shape (joins included): expanded to the
     * declared column order for the same reason as the bare star. */
-  private def expandQualifiedStars(spark: SparkSession, t: String): String =
-    "([A-Za-z_]\\w*)\\s*\\.\\s*\\*".r.replaceAllIn(t, m => {
+  private def expandQualifiedStars(spark: SparkSession, t: String): String = {
+    // positions found on the literal-masked text: a regex pattern
+    // '.*' inside a string must never look like a qualified star
+    val masked = operators.PgSql.maskLiterals(t)
+    val ms = "([A-Za-z_]\\w*)\\s*\\.\\s*\\*".r.findAllMatchIn(masked)
+      .toSeq.reverse
+    ms.foldLeft(t) { (acc, m) =>
       val name = m.group(1)
       val tbl =
         if (declaredOrder(spark, name).isDefined) Some(name)
@@ -938,11 +1001,13 @@ object Graft {
           catch { case _: Exception => Seq.empty[String] }
         phys.nonEmpty && d.map(_.toLowerCase) != phys
       }) match {
-        case Some(d) => java.util.regex.Matcher.quoteReplacement(
-          d.map(c => s"$name.$c").mkString(", "))
-        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        case Some(d) =>
+          acc.substring(0, m.start) + d.map(c => s"$name.$c")
+            .mkString(", ") + acc.substring(m.end)
+        case None => acc
       }
-    })
+    }
+  }
 
   /** The PG-declared column order recorded at CREATE time for tables
     * whose hive partition layout reordered the physical schema. */
@@ -1019,8 +1084,33 @@ object Graft {
         cl.stripPrefix("(").stripSuffix(")")).map(_.replace("\"", "").trim))
       .orElse(declaredOrder(spark, table))
       .getOrElse(tgt.fieldNames.toSeq)
+    // `DEFAULT` items in VALUES rows (gram.y set_clause DEFAULT):
+    // resolved here to the declared column default (or typed NULL) —
+    // a bare VALUES body cannot carry Spark's DEFAULT resolution
+    val bodyTxt = {
+      val b0 = m.group(3)
+      if ("(?is)^\\s*VALUES\\b".r.findFirstIn(b0).isDefined &&
+          "(?i)\\bDEFAULT\\b".r.findFirstIn(b0).isDefined) {
+        val inner = b0.trim.replaceFirst("(?is)^VALUES\\s*", "")
+        val rows = operators.GreengageDdl.splitTop(inner)
+        "VALUES " + rows.map { r0 =>
+          val r = r0.trim.stripPrefix("(").stripSuffix(")")
+          val items = operators.GreengageDdl.splitTop(r)
+          "(" + items.zipWithIndex.map { case (it, k) =>
+            if (it.trim.equalsIgnoreCase("DEFAULT") && k < cols.length) {
+              val fld = tgt.fields.find(_.name.equalsIgnoreCase(cols(k)))
+              fld.filter(_.metadata.contains("CURRENT_DEFAULT"))
+                .map(_.metadata.getString("CURRENT_DEFAULT"))
+                .getOrElse("CAST(NULL AS " +
+                  fld.map(_.dataType.sql).getOrElse("STRING") + ")")
+            } else it
+          }.mkString(", ") + ")"
+        }.mkString(", ")
+      } else b0
+    }
     val body = operators.PgIntDiv(spark, spark.sql(
-      operators.PgSql.rewrite(operators.SqlFunctions.expand(m.group(3)))))
+      operators.PgSql.rewrite(operators.SqlFunctions.expand(
+        expandQualifiedStars(spark, bodyTxt)))))
     require(body.columns.length <= cols.length,
       s"INSERT has more expressions than target columns: $st")
     val b2 = body.toDF(body.columns.indices.map(i => s"__c$i"): _*)
@@ -1086,9 +1176,13 @@ object Graft {
         }
         val castd = lenient.cast(f.dataType)
         // bpchar columns store right-trimmed (varlena.c bpchareq
-        // ignores trailing blanks; length()/casts drop them too)
-        (if (operators.GreengageDdl.charCols(table)
-            .contains(f.name.toLowerCase))
+        // ignores trailing blanks; length()/casts drop them too).
+        // Guarded on the TARGET type: the char registry is keyed by
+        // bare table name, and a re-created same-named table with an
+        // INT column must never take the trim (it would force STRING)
+        (if (f.dataType == org.apache.spark.sql.types.StringType &&
+            operators.GreengageDdl.charCols(table)
+              .contains(f.name.toLowerCase))
           org.apache.spark.sql.functions.rtrim(castd)
         else castd).as(f.name)
       } else operators.GreengageDdl.serialSeq(table, f.name) match {

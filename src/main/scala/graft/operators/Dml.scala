@@ -553,8 +553,23 @@ object Dml {
       spark.sql(s"ALTER TABLE $table DROP IF EXISTS " + plain
         .map(p => s"PARTITION (${partitionSpecSql(partCols, p).get})")
         .mkString(", "))
-    if (unrenderable.nonEmpty)
+    if (unrenderable.nonEmpty) {
+      // a NULL partition value has no DROP PARTITION literal; its
+      // DIRECTORY must go before the catalog re-sync, or the old files
+      // simply re-register (the rows would survive their own DELETE)
+      val tableDir = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .location.toString).getPath)
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      unrenderable.foreach { p =>
+        val d = new java.io.File(tableDir,
+          partitionPath(partCols, Row.fromSeq(p), zone))
+        if (d.exists()) rm(d)
+      }
       spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
+    }
   }
 
   /** Register staged partition values in the catalog — a pruned MERGE

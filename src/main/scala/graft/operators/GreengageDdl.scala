@@ -202,8 +202,15 @@ object GreengageDdl {
             .findFirstMatchIn(parts(1))
             .foreach(d => colDefaults += colName.toLowerCase -> d.group(1))
           val head = typePart.takeWhile(_ != '(').trim
-          if ("(?i)^(bpchar|char|character)$".r.findFirstIn(head).isDefined &&
-              !"(?i)\\bvarying\\b".r.findFirstIn(typePart).isDefined)
+          // char(n) AND varchar(n): PG compares bpchar ignoring
+          // trailing blanks and coerces varchar→bpchar in mixed
+          // comparisons (parse_coerce.c), so both store right-trimmed;
+          // TEXT keeps its spaces (char=text compares as text)
+          if (("(?i)^(bpchar|char|character|varchar)$".r
+                .findFirstIn(head).isDefined &&
+              !"(?i)\\bvarying\\b".r.findFirstIn(typePart).isDefined) ||
+              "(?i)^(character|char)\\s+varying".r
+                .findFirstIn(typePart).isDefined)
             bpcharCols += colName.toLowerCase
           if (PgTypes.isRegistered(head)) typedCols += (colName -> head)
           if ("(?i)^(small|big)?serial[248]?$".r.findFirstIn(head).isDefined)
@@ -325,6 +332,8 @@ object GreengageDdl {
       } else rest = tail
     }
 
+    if (partitionCols.isEmpty) // re-CREATE without partitions: clear
+      partBoundsReg.remove(name.toLowerCase.replace("\"", ""))
     TableSpec(name, ifNotExists, columns, dist, partitionCols, storageOpts,
       ctas, materialized, colDefaults.toMap, serialCols.result(), inherits)
   }
@@ -566,9 +575,13 @@ object GreengageDdl {
       .getOrElse(Set.empty)
 
   private[operators] def recordCharCols(table: String,
-                                        cols: Set[String]): Unit =
-    if (cols.nonEmpty)
-      charRegistry.put(table.toLowerCase.replace("\"", ""), cols)
+                                        cols: Set[String]): Unit = {
+    val key = table.toLowerCase.replace("\"", "")
+    // a re-CREATE with no char columns must clear a same-named entry
+    // (the registry is session-global, keyed by bare name)
+    if (cols.nonEmpty) charRegistry.put(key, cols)
+    else charRegistry.remove(key)
+  }
 
   /** The implicit sequence backing a SERIAL column, if any. */
   def serialSeq(table: String, col: String): Option[String] =

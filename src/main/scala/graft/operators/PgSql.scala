@@ -1077,8 +1077,10 @@ object PgSql {
     if ("(?i)\\bvalues\\b".r.findFirstIn(sqlIn).isEmpty ||
         "(?i)generate_series".r.findFirstIn(sqlIn).isEmpty) return sqlIn
     val masked = maskLiterals(sqlIn)
-    val head = ("(?is)^(\\s*INSERT\\s+INTO\\s+[\\w.\"]+\\s*" +
-      "(?:\\([^)]*\\))?\\s*)VALUES\\s*\\(").r.findFirstMatchIn(masked)
+    // full INSERT form, or the bare VALUES body the assignment-cast
+    // INSERT path evaluates on its own
+    val head = ("(?is)^((?:\\s*INSERT\\s+INTO\\s+[\\w.\"]+\\s*" +
+      "(?:\\([^)]*\\))?)?\\s*)VALUES\\s*\\(").r.findFirstMatchIn(masked)
       .getOrElse(return sqlIn)
     // parse the row list by paren matching on the masked text
     var i = masked.indexOf('(', head.end - 1)
@@ -1616,7 +1618,7 @@ object PgSql {
   /** Literal-masked copy (quotes kept, contents replaced; `--` and
     * nested `/* */` comment bodies masked too) so regex / paren scans
     * can't be fooled by text inside strings or comments. */
-  private[operators] def maskLiterals(sql: String): String = {
+  private[graft] def maskLiterals(sql: String): String = {
     val a = sql.toCharArray
     var i = 0
     while (i < a.length) {
@@ -1647,7 +1649,7 @@ object PgSql {
     new String(a)
   }
 
-  private[operators] def matchingParen(masked: String, open: Int): Int = {
+  private[graft] def matchingParen(masked: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < masked.length) {
@@ -2758,6 +2760,187 @@ object PgSql {
     * group by one struct. Flatten parens whose item contains a
     * top-level comma and isn't a ROLLUP/CUBE/GROUPING SETS body; runs
     * per GROUP BY list on the masked text. */
+  /** ORDER BY items inside a SUBQUERY that reference an OUTER table
+    * (`b in (select b from s order by r.c)`): PG decorrelates these —
+    * the ordering is irrelevant to IN/EXISTS membership — while Spark
+    * rejects outer references outside WHERE/HAVING. Drop exactly the
+    * outer-referencing items (qualifier not among the subquery's own
+    * FROM aliases); an emptied ORDER BY drops entirely. */
+  private def stripCorrelatedOrderBy(sqlIn: String): String = {
+    if ("(?i)\\border\\s+by\\b".r.findFirstIn(sqlIn).isEmpty) return sqlIn
+    var sql = sqlIn
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val masked = maskLiterals(sql)
+      val depth = new Array[Int](masked.length + 1)
+      var d0 = 0
+      for (i <- masked.indices) {
+        depth(i) = d0
+        masked.charAt(i) match {
+          case '(' => d0 += 1
+          case ')' => d0 -= 1
+          case _ =>
+        }
+      }
+      depth(masked.length) = d0
+      "(?i)\\bORDER\\s+BY\\s+".r.findAllMatchIn(masked)
+        .filter(m => depth(m.start) > 0).toSeq.reverse.foreach { m =>
+          if (!changed) {
+            val d = depth(m.start)
+            // the subquery's own FROM aliases: scan back to its SELECT
+            val selAt = "(?i)\\bSELECT\\b".r.findAllMatchIn(masked)
+              .filter(s0 => s0.start < m.start && depth(s0.start) == d)
+              .toSeq.lastOption
+            val fromAt = selAt.flatMap(s0 =>
+              "(?i)\\bFROM\\b".r.findAllMatchIn(masked)
+                .find(f => f.start > s0.end && f.start < m.start &&
+                  depth(f.start) == d))
+            val aliases: Set[String] = fromAt.map { f =>
+              val fEnd = ("(?i)\\b(WHERE|GROUP|HAVING|ORDER|LIMIT)\\b").r
+                .findAllMatchIn(masked)
+                .find(k => k.start > f.end && depth(k.start) == d)
+                .map(_.start).getOrElse(m.start)
+              topLevelSplit(sql.substring(f.end, fEnd),
+                masked.substring(f.end, fEnd)).flatMap { it =>
+                it.trim.split("(?i)\\s+(?:AS\\s+)?").toSeq.map(
+                  _.trim.replace("\"", "").split("\\.").last.toLowerCase)
+              }.toSet
+            }.getOrElse(Set.empty)
+            if (aliases.nonEmpty) {
+              val end = (m.end until masked.length)
+                .find(p => depth(p) < d || (depth(p) == d &&
+                  ("(?i)\\b(LIMIT|OFFSET|FETCH)\\b".r
+                    .findPrefixMatchOf(masked.substring(p)).isDefined ||
+                    masked.charAt(p) == ';')))
+                .map(p => if (depth(p) < d) p - 1 else p)
+                .getOrElse(masked.length)
+              val items = topLevelSplit(sql.substring(m.end, end),
+                masked.substring(m.end, end)).map(_.trim)
+              val kept = items.filterNot { it =>
+                "([A-Za-z_]\\w*)\\s*\\.\\s*[A-Za-z_]".r.findAllMatchIn(
+                  maskLiterals(it)).exists(q =>
+                    !aliases.contains(q.group(1).toLowerCase))
+              }
+              if (kept.length != items.length) {
+                sql = sql.substring(0, m.start) +
+                  (if (kept.isEmpty) " "
+                   else s" ORDER BY ${kept.mkString(", ")} ") +
+                  sql.substring(end)
+                changed = true
+              }
+            }
+          }
+        }
+    }
+    sql
+  }
+
+  /** `SELECT DISTINCT ON (keys) list FROM ... [ORDER BY o]` at ANY
+    * subquery depth (parse_clause.c transformDistinctOnClause): first
+    * row per key group under the ORDER BY — rewritten to a
+    * row_number window over the keys, outer-filtered to 1. The outer
+    * ORDER BY keeps items that are select-list members (as ordinals);
+    * a window with no ORDER BY falls back to the keys themselves. */
+  private def distinctOn(sqlIn: String): String = {
+    if ("(?i)\\bdistinct\\s+on\\b".r.findFirstIn(sqlIn).isEmpty) return sqlIn
+    var sql = sqlIn
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val masked = maskLiterals(sql)
+      val depth = new Array[Int](masked.length + 1)
+      var d0 = 0
+      for (i <- masked.indices) {
+        depth(i) = d0
+        masked.charAt(i) match {
+          case '(' => d0 += 1
+          case ')' => d0 -= 1
+          case _ =>
+        }
+      }
+      depth(masked.length) = d0
+      "(?i)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(".r.findFirstMatchIn(masked)
+        .foreach { m =>
+          val d = depth(m.start)
+          val open = masked.indexOf('(', m.end - 1)
+          val close = matchingParen(masked, open)
+          val keys = sql.substring(open + 1, close)
+          def at(re: String, from: Int): Option[Int] =
+            re.r.findAllMatchIn(masked).map(_.start)
+              .find(p => p >= from && depth(p) == d)
+          val fromAt = at("(?i)\\bFROM\\b", close + 1).getOrElse(return sql)
+          val obAt = at("(?i)\\bORDER\\s+BY\\b", fromAt)
+          // depth(p) is the depth BEFORE char p: a drop below d means
+          // char p-1 is the subquery's closing paren — keep it
+          val end = (close + 1 until masked.length)
+            .find(p => depth(p) < d ||
+              (depth(p) == d && masked.charAt(p) == ';'))
+            .map(p => if (depth(p) < d) p - 1 else p)
+            .getOrElse(masked.length)
+          val limAt = at("(?i)\\b(LIMIT|OFFSET|FETCH)\\b", fromAt)
+            .filter(_ < end)
+          val bodyEnd = Seq(obAt, limAt, Some(end)).flatten.min
+          val items = topLevelSplit(sql.substring(close + 1, fromAt),
+            masked.substring(close + 1, fromAt)).map(_.trim)
+          val parsed = items.zipWithIndex.map { case (si, i) =>
+            val am = "(?is)^(.*\\S)\\s+AS\\s+(\\w+)\\s*$".r
+              .findFirstMatchIn(si)
+            val (e, alias) = am match {
+              case Some(a) => (a.group(1), Some(a.group(2)))
+              case None => (si,
+                if (si.matches("[A-Za-z_][\\w.]*"))
+                  Some(si.split("\\.").last)
+                else None)
+            }
+            (e, alias, s"__dn$i")
+          }
+          val obTxt = obAt.map(o => sql.substring(
+            o + "ORDER BY".length + 1, Seq(limAt, Some(end)).flatten.min))
+          // no ORDER BY: PG picks the physically-first row — emulate
+          // with the remaining select items as a deterministic
+          // tiebreak after the keys (insertion order in practice)
+          val fallbackOrder = (keys +: parsed.map(_._1)).distinct
+            .mkString(", ")
+          val inner = "SELECT " + parsed.map { case (e, _, n) =>
+            s"($e) AS $n" }.mkString(", ") +
+            s", row_number() OVER (PARTITION BY $keys ORDER BY " +
+            obTxt.getOrElse(fallbackOrder) + ") AS __don " +
+            sql.substring(fromAt, bodyEnd)
+          def norm0(s0: String) = s0.toLowerCase.replaceAll("\\s+", "")
+          val outerOb = obTxt.map { ot =>
+            val obItems = topLevelSplit(ot, maskLiterals(ot)).map(_.trim)
+            val mapped = obItems.flatMap { it =>
+              val dm = "(?is)^(.*?)(\\s+(?:ASC|DESC)\\b.*|\\s+NULLS\\b.*)?$".r
+                .findFirstMatchIn(it).get
+              val e = dm.group(1).trim
+              val sfx = Option(dm.group(2)).getOrElse("")
+              parsed.indexWhere { case (pe, al, _) =>
+                norm0(pe) == norm0(e) || al.exists(_.equalsIgnoreCase(e))
+              } match {
+                case -1 => None // not an output column: tie order only
+                case i => Some(s"${i + 1}$sfx")
+              }
+            }
+            if (mapped.nonEmpty) s" ORDER BY ${mapped.mkString(", ")} " else " "
+          }.getOrElse(" ")
+          val tail = // LIMIT/OFFSET survive outside
+            (limAt.map(l => sql.substring(l, end)).getOrElse("")) +
+              sql.substring(end)
+          sql = sql.substring(0, m.start) +
+            "SELECT " + parsed.map { case (_, al, n) =>
+              al.map(a => s"$n AS $a").getOrElse(n) }.mkString(", ") +
+            s" FROM ($inner) __dot${guard} WHERE __don = 1" + outerOb + tail
+          changed = true
+        }
+    }
+    sql
+  }
+
   /** PG grouping-sets composition (parse_agg.c expand_grouping_sets):
     * a GROUP BY list mixing ROLLUP/CUBE/GROUPING SETS with plain items
     * is the CROSS PRODUCT of each item's set list, each final set the
@@ -3896,7 +4079,10 @@ object PgSql {
             complexRewrites(intervalSpacing(slashDateLiterals(pgDateTemplates(
               valuesPgLiterals(pgValueCasts(pgStringSyntax(orderByNulls(orderedAgg(percentileArray(hypotheticalSetAgg(
                 windowClauseExpand(nestedJoinOns(
-                  orderByOrdinal(jsonArrows(similarToOp(sqlIn))))))))))))))))))))))))))))))))))))))
+                  orderByOrdinal(jsonArrows(similarToOp(distinctOn(stripCorrelatedOrderBy(
+                    // LIMIT/OFFSET NULL = no limit (select_limit gram)
+                    "(?i)\\b(LIMIT|OFFSET)\\s+NULL\\b".r.replaceAllIn(
+                      sqlIn, "")))))))))))))))))))))))))))))))))))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

@@ -662,6 +662,103 @@ object RelationalQueries {
           |FROM part WHERE p_partkey <= 500""".stripMargin).get
     }),
 
+    // BEGIN/ROLLBACK transaction scopes (xact.c via operators.Txn):
+    // the rolled-back mutations leave no trace; COMMITted ones stay.
+    "q289_txn_rollback" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s, "DROP TABLE IF EXISTS t289")
+      graft.Graft.execute(s,
+        """CREATE TABLE t289 AS
+          |SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk
+          |FROM nation""".stripMargin)
+      graft.Graft.execute(s, "BEGIN")
+      graft.Graft.execute(s, "UPDATE t289 SET nm = 'GONE' WHERE rk = 1")
+      graft.Graft.execute(s, "DELETE FROM t289 WHERE rk = 2")
+      graft.Graft.execute(s, "INSERT INTO t289 VALUES (999, 'PHANTOM', 9)")
+      graft.Graft.execute(s, "ROLLBACK")
+      graft.Graft.execute(s, "BEGIN")
+      graft.Graft.execute(s, "DELETE FROM t289 WHERE rk = 0")
+      graft.Graft.execute(s, "COMMIT")
+      graft.Graft.execute(s,
+        "SELECT k, nm, rk FROM t289").get
+    }),
+
+    // GP grouping-sets composition (parse_agg.c expand_grouping_sets):
+    // ROLLUP with composite/alias parts crossed with plain items —
+    // every set unions the plain columns — plus multi-arg GROUPING
+    // bits and GROUP_ID() numbering of duplicate sets (tle-reference
+    // canonicalization; see PgSql.pgGroupingSets).
+    "q290_grouping_sets_mix" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT o_orderstatus AS st, o_orderpriority AS pr,
+          |  GROUPING(o_orderstatus, o_orderpriority) AS gbits,
+          |  GROUP_ID() AS gid, count(*) AS n
+          |FROM orders WHERE o_orderkey <= 2000
+          |GROUP BY ROLLUP((st), (st, o_orderpriority), (pr)),
+          |         o_orderstatus""".stripMargin).get
+    }),
+
+    // SRF inside INSERT..VALUES rows (transformInsertStmt +
+    // ExecProjectSet lockstep zip, PG >= 10): the shorter series pads
+    // NULL; expressions over the call expand per row.
+    "q291_srf_values" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s, "DROP TABLE IF EXISTS t291")
+      graft.Graft.execute(s, "CREATE TABLE t291 (a INT, b INT, c TEXT)")
+      graft.Graft.execute(s,
+        "INSERT INTO t291 VALUES (generate_series(1,5), " +
+          "generate_series(1,8) * 10, 'z'), (100, 200, 'lit')")
+      graft.Graft.execute(s, "SELECT a, b, c FROM t291").get
+    }),
+
+    // UPDATE .. FROM a from_list (gram.y from_clause on UPDATE): the
+    // joined multi-table source drives the assignment per target row.
+    "q292_update_from_list" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s, "DROP TABLE IF EXISTS t292")
+      graft.Graft.execute(s,
+        """CREATE TABLE t292 AS
+          |SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk
+          |FROM nation""".stripMargin)
+      graft.Graft.execute(s,
+        """UPDATE t292 SET nm = r_name
+          |FROM region reg, nation n2
+          |WHERE t292.k = n2.n_nationkey
+          |  AND n2.n_regionkey = reg.r_regionkey
+          |  AND reg.r_regionkey = 3""".stripMargin)
+      graft.Graft.execute(s, "SELECT k, nm, rk FROM t292").get
+    }),
+
+    // DROP DEFAULT PARTITION (cdbpartition.c): deletes exactly the
+    // rows outside every declared bound — NULL keys included.
+    "q293_default_partition_drop" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s, "DROP TABLE IF EXISTS t293")
+      graft.Graft.execute(s,
+        """CREATE TABLE t293 (a INT, b INT)
+          |DISTRIBUTED BY (a)
+          |PARTITION BY RANGE (b)
+          |  (START (1) END (4) EVERY (1), DEFAULT PARTITION rest)""".stripMargin)
+      graft.Graft.execute(s,
+        "INSERT INTO t293 VALUES (generate_series(1,8), " +
+          "generate_series(1,8)), (99, NULL)")
+      graft.Graft.execute(s, "ALTER TABLE t293 DROP DEFAULT PARTITION")
+      graft.Graft.execute(s, "SELECT a, b FROM t293").get
+    }),
+
+    // PG datetime arithmetic: date + interval is a TIMESTAMP for day,
+    // month and sub-day units alike (timestamp.c date_pl_interval).
+    "q294_date_interval_ts" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT o_orderkey,
+          |  o_orderdate + interval '1 day' AS next_day,
+          |  o_orderdate + interval '2 months' AS in_two_months,
+          |  o_orderdate + interval '90 mins' AS late_start
+          |FROM orders WHERE o_orderkey <= 100""".stripMargin).get
+    }),
+
     // ROLLUP + grouping_id (plangroupext.c, gram.y:723).
     "q21_rollup" -> ((s, d) =>
       t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
@@ -1813,6 +1910,44 @@ object RelationalQueries {
         |  CAST(len(string_split(p_name, ' ')) AS INT) AS len1,
         |  string_split(p_name, ' ')[1] AS tok1
         |FROM part WHERE p_partkey <= 500""".stripMargin,
+    "q289_txn_rollback" ->
+      """SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk
+        |FROM nation WHERE n_regionkey <> 0""".stripMargin,
+    "q290_grouping_sets_mix" ->
+      """SELECT st, pr, gbits, gid, n FROM (
+        |  SELECT o_orderstatus AS st, CAST(NULL AS VARCHAR) AS pr,
+        |         1 AS gbits, 0 AS gid, count(*) AS n
+        |  FROM orders WHERE o_orderkey <= 2000 GROUP BY 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(NULL AS VARCHAR), 1, 1, count(*)
+        |  FROM orders WHERE o_orderkey <= 2000 GROUP BY 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderpriority, 0, 0, count(*)
+        |  FROM orders WHERE o_orderkey <= 2000 GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderpriority, 0, 1, count(*)
+        |  FROM orders WHERE o_orderkey <= 2000 GROUP BY 1, 2) u""".stripMargin,
+    "q291_srf_values" ->
+      """SELECT CAST(CASE WHEN i <= 5 THEN i END AS INT) AS a,
+        |       CAST(i * 10 AS INT) AS b, 'z' AS c
+        |FROM range(1, 9) t(i)
+        |UNION ALL SELECT 100, 200, 'lit'""".stripMargin,
+    "q292_update_from_list" ->
+      """SELECT n_nationkey AS k,
+        |  CASE WHEN n_regionkey = 3
+        |       THEN (SELECT r_name FROM region WHERE r_regionkey = 3)
+        |       ELSE n_name END AS nm,
+        |  n_regionkey AS rk
+        |FROM nation""".stripMargin,
+    "q293_default_partition_drop" ->
+      """SELECT CAST(i AS INT) AS a, CAST(i AS INT) AS b
+        |FROM range(1, 4) t(i)""".stripMargin,
+    "q294_date_interval_ts" ->
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 1 DAY AS next_day,
+        |  o_orderdate + INTERVAL 2 MONTH AS in_two_months,
+        |  o_orderdate + INTERVAL 90 MINUTE AS late_start
+        |FROM orders WHERE o_orderkey <= 100""".stripMargin,
     "q18_cross_join" -> "SELECT n_name, r_name FROM nation CROSS JOIN region",
     "q19_band_join" ->
       """SELECT c_custkey, s_suppkey, c_acctbal - s_acctbal AS bal_diff

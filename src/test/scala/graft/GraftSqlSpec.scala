@@ -297,17 +297,27 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(Graft.execute(spark, "EXPLAIN (VERBOSE) SELECT 1").nonEmpty)
   }
 
-  test("transaction verbs: BEGIN/COMMIT no-op, ROLLBACK loud, LOCK checks") {
+  test("transaction verbs: BEGIN/COMMIT, live ROLLBACK, LOCK checks") {
+    operators.Txn.reset(spark)
     drop("txn_t")
     spark.range(3).write.saveAsTable("txn_t")
     assert(Graft.execute(spark, "BEGIN;").isEmpty)
-    assert(Graft.execute(spark, "START TRANSACTION").isEmpty)
+    assert(Graft.execute(spark, "START TRANSACTION").isEmpty) // nested: WARN
     Graft.execute(spark, "LOCK TABLE txn_t IN ACCESS EXCLUSIVE MODE")
     Graft.execute(spark, "DELETE FROM txn_t WHERE id = 0")
     assert(Graft.execute(spark, "COMMIT").isEmpty)
     assert(spark.table("txn_t").count() == 2)
+    // ROLLBACK outside a transaction: accepted no-op (PG warns)
+    assert(Graft.execute(spark, "ROLLBACK").isEmpty)
+    // a real scope restores the deleted row (operators.Txn)
+    Graft.execute(spark, "BEGIN")
+    Graft.execute(spark, "DELETE FROM txn_t WHERE id = 1")
+    assert(spark.table("txn_t").count() == 1)
+    Graft.execute(spark, "ROLLBACK")
+    assert(spark.table("txn_t").count() == 2)
+    // SAVEPOINT stays a loud unsupported error
     intercept[UnsupportedOperationException] {
-      Graft.execute(spark, "ROLLBACK")
+      Graft.execute(spark, "SAVEPOINT sp1")
     }
     intercept[Exception] { // LOCK on a missing table is a real error
       Graft.execute(spark, "LOCK TABLE no_such_table")

@@ -73,14 +73,17 @@ def copy_stdin_to_insert(stmt):
     if not q:
         return None
     opts, rows = q.pop(0)
-    nm = re.search(r"(?i)\bnull\s+'([^']*)'", opts + " " + m.group(2))
+    allopts = opts + " " + m.group(2)
+    nm = re.search(r"(?i)\bnull\s+(?:as\s+)?'([^']*)'", allopts)
     null_marker = nm.group(1) if nm else "\\N"
+    dm = re.search(r"(?i)\bdelimiter\s+(?:as\s+)?'([^']*)'", allopts)
+    delim = dm.group(1) if dm else "\t"
     def cell(v):
         if v == null_marker:
             return "NULL"
         return "'" + v.replace("'", "''") + "'"
     vals = ", ".join(
-        "(" + ", ".join(cell(c) for c in r.split("\t")) + ")" for r in rows)
+        "(" + ", ".join(cell(c) for c in r.split(delim)) + ")" for r in rows)
     if not vals:
         return None
     return "INSERT INTO " + m.group(1) + " VALUES " + vals + ";"
