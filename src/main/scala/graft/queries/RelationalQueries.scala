@@ -759,6 +759,18 @@ object RelationalQueries {
           |FROM orders WHERE o_orderkey <= 100""".stripMargin).get
     }),
 
+    // DISTINCT ON at the SQL front door (transformDistinctOnClause):
+    // first row per key under the ORDER BY — the window rewrite
+    // PgSql.distinctOn builds (q49 is the DataFrame twin).
+    "q295_distinct_on_sql" -> ((s, d) => {
+      graft.Tables.register(s, d)
+      graft.Graft.execute(s,
+        """SELECT DISTINCT ON (o_custkey)
+          |  o_custkey, o_orderkey, o_totalprice
+          |FROM orders WHERE o_orderkey <= 2000
+          |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin).get
+    }),
+
     // ROLLUP + grouping_id (plangroupext.c, gram.y:723).
     "q21_rollup" -> ((s, d) =>
       t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
@@ -1948,6 +1960,11 @@ object RelationalQueries {
         |  o_orderdate + INTERVAL 2 MONTH AS in_two_months,
         |  o_orderdate + INTERVAL 90 MINUTE AS late_start
         |FROM orders WHERE o_orderkey <= 100""".stripMargin,
+    "q295_distinct_on_sql" ->
+      """SELECT DISTINCT ON (o_custkey)
+        |  o_custkey, o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q18_cross_join" -> "SELECT n_name, r_name FROM nation CROSS JOIN region",
     "q19_band_join" ->
       """SELECT c_custkey, s_suppkey, c_acctbal - s_acctbal AS bal_diff
