@@ -43,7 +43,9 @@ object Cursors {
     require(open.remove(name.toLowerCase) != null, s"cursor $name is not open")
 
   private val declareRe =
-    "(?is)^\\s*DECLARE\\s+(\\w+)\\s+(?:NO\\s+SCROLL\\s+)?CURSOR\\s+(?:WITH\\s+HOLD\\s+)?FOR\\s+(.*)$".r
+    ("(?is)^\\s*DECLARE\\s+(\\w+)\\s+(?:BINARY\\s+)?(?:INSENSITIVE\\s+)?" +
+      "(?:NO\\s+SCROLL\\s+|SCROLL\\s+)?CURSOR\\s+" +
+      "(?:WITH(?:OUT)?\\s+HOLD\\s+)?FOR\\s+(.*)$").r
   private val fetchRe =
     "(?is)^\\s*FETCH\\s+(?:FORWARD\\s+)?(\\d+|ALL)\\s+(?:FROM|IN)\\s+(\\w+)\\s*;?\\s*$".r
   private val moveRe =

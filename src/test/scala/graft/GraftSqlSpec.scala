@@ -241,6 +241,14 @@ class GraftSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Graft.execute(spark, "FETCH 1 FROM rc")
     }
+    // SCROLL / BINARY / WITHOUT HOLD keywords parse (gram.y
+    // cursor_options); behavior stays forward-only
+    Graft.execute(spark,
+      "DECLARE sc SCROLL CURSOR WITHOUT HOLD FOR " +
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey")
+    assert(Graft.execute(spark, "FETCH FORWARD 3 FROM sc").get
+      .collect().length == 3)
+    Graft.execute(spark, "CLOSE sc")
     // MOVE advances the portal without returning rows
     Graft.execute(spark,
       "DECLARE mv CURSOR FOR SELECT n_nationkey FROM nation ORDER BY n_nationkey")
