@@ -1500,6 +1500,31 @@ object PgSql {
         s"${m.group(1)}${m.group(2)}'${m.group(3)}-${m.group(4)}-" +
           s"${m.group(5)}${m.group(6)}'"))
 
+  /** PG compact datetime input (datetime.c DecodeDateTime accepts
+    * `20110521`, `20081225130000` and `20081225 130000`) in TYPED
+    * literals and `::`-casts — normalized to the dashed forms Spark's
+    * parser takes. Only provably-datetime contexts rewrite. */
+  private def compactDateLiterals(sqlIn: String): String = {
+    if ("(?i)(::\\s*(timestamp|date)|\\b(timestamp|date)\\s*')".r
+        .findFirstIn(sqlIn).isEmpty) return sqlIn
+    def norm(v: String): String = {
+      val digits = v.replace(" ", "")
+      if (digits.length == 8)
+        s"${digits.substring(0, 4)}-${digits.substring(4, 6)}-${digits.substring(6)}"
+      else
+        s"${digits.substring(0, 4)}-${digits.substring(4, 6)}-${digits.substring(6, 8)} " +
+          s"${digits.substring(8, 10)}:${digits.substring(10, 12)}:${digits.substring(12)}"
+    }
+    val lit = "(\\d{8}(?: ?\\d{6})?)"
+    var out = ("(?i)\\b(date|timestamptz|timestamp)(\\s*)'" + lit + "'").r
+      .replaceAllIn(sqlIn, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}${m.group(2)}'${norm(m.group(3))}'"))
+    out = ("'" + lit + "'(\\s*::\\s*)(timestamptz|timestamp|date)\\b").r
+      .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
+        s"'${norm(m.group(1))}'${m.group(2)}${m.group(3)}"))
+    out
+  }
+
   private def pgDateTemplates(sqlIn: String): String = {
     if ("(?i)to_(date|timestamp)".r.findFirstIn(sqlIn).isEmpty) return sqlIn
     val ms = "(?i)\\bto_(date|timestamp)\\s*\\(".r
@@ -4076,13 +4101,13 @@ object PgSql {
       regexSubstring(extractFields(unnestFrom(generateSeriesRewrite(srfSelectHoist(srfInsertValues(lateralValues(
         windowOrder(arraySlices(subscripts(arrayConcatOps(arrayBrackets(arrayLiteralCasts(
           quotedIdents(joinOnSubqueryToFilter(gpDistRandom(
-            complexRewrites(intervalSpacing(slashDateLiterals(pgDateTemplates(
+            complexRewrites(intervalSpacing(slashDateLiterals(compactDateLiterals(pgDateTemplates(
               valuesPgLiterals(pgValueCasts(pgStringSyntax(orderByNulls(orderedAgg(percentileArray(hypotheticalSetAgg(
                 windowClauseExpand(nestedJoinOns(
                   orderByOrdinal(jsonArrows(similarToOp(distinctOn(stripCorrelatedOrderBy(
                     // LIMIT/OFFSET NULL = no limit (select_limit gram)
                     "(?i)\\b(LIMIT|OFFSET)\\s+NULL\\b".r.replaceAllIn(
-                      sqlIn, "")))))))))))))))))))))))))))))))))))))))))
+                      sqlIn, ""))))))))))))))))))))))))))))))))))))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

@@ -226,6 +226,20 @@ class GraftSqlSpec extends AnyFunSuite {
     drop("route_q")
   }
 
+  test("compact PG datetime literals: '20081225130000'::timestamp forms") {
+    val r = Graft.execute(spark,
+      "SELECT '20081225130000'::timestamp AS a, " +
+        "'20081225 130000'::timestamp AS b, " +
+        "'20110521'::date AS c, date '20110521' AS d, " +
+        "timestamp '20081225 130000' AS e").get.head()
+    def day(v: Any) = v.toString.replace('T', ' ')
+    assert(day(r.get(0)).startsWith("2008-12-25 13:00"))
+    assert(day(r.get(1)).startsWith("2008-12-25 13:00"))
+    assert(r.get(2).toString == "2011-05-21")
+    assert(r.get(3).toString == "2011-05-21")
+    assert(day(r.get(4)).startsWith("2008-12-25 13:00"))
+  }
+
   test("execute routes cursor statements: DECLARE, FETCH, CLOSE") {
     Tables.register(spark, TestSpark.sf0001)
     val none = Graft.execute(spark,
