@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** User-facing entry point: a Greengage-capability engine on Spark.
@@ -154,8 +156,11 @@ object Graft {
     }
     // transaction control (xact.c StartTransactionCommand): BEGIN /
     // COMMIT / ROLLBACK as table-state scopes — see operators.Txn
-    if (is("(?is)^(BEGIN|START\\s+TRANSACTION)\\s*" +
-        "(TRANSACTION|WORK|ISOLATION\\b.*|READ\\b.*)?;?\\s*$")) {
+    // gram.y TransactionStmt: BEGIN [TRANSACTION|WORK] followed by any
+    // transaction_mode_list (ISOLATION LEVEL ..., READ ONLY/WRITE,
+    // [NOT] DEFERRABLE) — keyword combinations stack
+    if (is("(?is)^(BEGIN|START\\s+TRANSACTION)(\\s+(TRANSACTION|WORK))?" +
+        "(\\s+(ISOLATION|READ|NOT\\s+DEFERRABLE|DEFERRABLE)\\b[^;]*)?;?\\s*$")) {
       operators.Txn.begin(spark); return None
     }
     if (is("(?is)^(COMMIT|END)\\s*(TRANSACTION|WORK)?;?\\s*$")) {
@@ -170,7 +175,7 @@ object Graft {
     if (operators.Txn.active) operators.Txn.interceptDml(spark, t)
     if (is("(?is)^CREATE\\s+(READABLE\\s+|WRITABLE\\s+)?EXTERNAL\\b")) {
       operators.ExternalTable.create(spark, t); None
-    } else if (is("(?is)^DROP\\s+EXTERNAL\\s+TABLE\\b")) {
+    } else if (is("(?is)^DROP\\s+EXTERNAL\\s+(WEB\\s+)?TABLE\\b")) {
       operators.ExternalTable.drop(spark,
         stripSemi(t).split("\\s+").last); None
     } else if (is("(?is)^CREATE\\s+(TABLE|MATERIALIZED\\s+VIEW)\\b")) {
@@ -209,6 +214,14 @@ object Graft {
       operators.GreengageDdl.setval(m.group(1).replace("\"", ""),
         Option(m.group(2)).map(_.toLong).getOrElse(1L) - 1)
       None
+    } else if (is("(?is)^ALTER\\s+SEQUENCE\\b")) {
+      // OWNED BY / CACHE / INCREMENT surgery (commands/sequence.c
+      // AlterSequence): existence-checked no-op — ownership only
+      // drives DROP cascades, and the id-block allocator has no cache
+      val name = ("(?is)^ALTER\\s+SEQUENCE\\s+(?:IF\\s+EXISTS\\s+)?" +
+        "([\\w.\"]+)").r.findFirstMatchIn(t).get.group(1).replace("\"", "")
+      operators.GreengageDdl.nextBase(name)
+      None
     } else if (is("(?is)^DROP\\s+SEQUENCE\\b")) {
       operators.GreengageDdl.dropSequence(stripSemi(t)
         .replaceFirst("(?is)^DROP\\s+SEQUENCE\\s+(IF\\s+EXISTS\\s+)?", "")
@@ -233,6 +246,15 @@ object Graft {
         .replaceFirst("(?is)^ALTER\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(ONLY\\s+)?", "")
         .replaceFirst("(?is)\\s+OWNER\\s+TO\\s+.*$", "").trim.replace("\"", ""))
       None
+    } else if (operators.Triggers.isTriggerFunctionDdl(t)) {
+      operators.Triggers.createFunction(stripSemi(t)); None
+    } else if (operators.Triggers.isCreateTrigger(t)) {
+      operators.Triggers.createTrigger(stripSemi(t)); None
+    } else if (is("(?is)^DROP\\s+TRIGGER\\b")) {
+      val m = ("(?is)^DROP\\s+TRIGGER\\s+(?:IF\\s+EXISTS\\s+)?([\\w\"]+)" +
+        "\\s+ON\\s+([\\w.\"]+)").r.findFirstMatchIn(t).getOrElse(
+        throw new IllegalArgumentException(s"cannot parse DROP TRIGGER: $t"))
+      operators.Triggers.dropTrigger(m.group(1), m.group(2)); None
     } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?FUNCTION\\b") &&
         is("(?is)\\bLANGUAGE\\s+internal\\b")) {
       // re-exposing a catalog C function under a local name (regress
@@ -260,9 +282,11 @@ object Graft {
     } else if (is("(?is)^DROP\\s+FUNCTION\\b")) {
       // `DROP FUNCTION f(int)` — the PG signature form names argument
       // types; the registry keys on the bare name
-      operators.SqlFunctions.drop(stripSemi(t)
+      val fname = stripSemi(t)
         .replaceFirst("(?is)^DROP\\s+FUNCTION\\s+(IF\\s+EXISTS\\s+)?", "")
-        .replaceFirst("(?s)\\s*\\(.*$", "").trim.replace("\"", ""))
+        .replaceFirst("(?s)\\s*\\(.*$", "").trim.replace("\"", "")
+      operators.SqlFunctions.drop(fname)
+      operators.Triggers.dropFunction(fname)
       None
     } else if (is("(?is)^DROP\\s+AGGREGATE\\b")) {
       operators.PgAggregates.drop(stripSemi(t)
@@ -394,6 +418,31 @@ object Graft {
         .replaceFirst("(?is)\\s+NOWAIT$", "").trim.replace("\"", "")
       spark.table(name)
       None
+    } else if (is("(?is)^INSERT\\s+INTO\\b") && {
+      val n = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)".r
+        .findFirstMatchIn(t).map(_.group(1))
+      n.exists(operators.Rules.hasInsertRules)
+    }) {
+      // ON INSERT rewrite rules (rewriteHandler.c): fire each
+      // qualifying rule's action over the inserted row set
+      operators.Rules.routeInsert(spark, stripSemi(t), s => { execute(spark, s); () })
+      None
+    } else if (is("(?is)^INSERT\\s+INTO\\b") && {
+      val n = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)".r
+        .findFirstMatchIn(t).map(_.group(1))
+      n.exists(operators.Triggers.hasInsertTrigger)
+    }) {
+      // BEFORE INSERT row triggers (trigger.c): the NEW.col
+      // assignments fuse into the insert's own projection
+      operators.Triggers.routeInsert(spark, stripSemi(t), s => { execute(spark, s); () })
+      None
+    } else if (operators.Rules.isCreateRule(t)) {
+      operators.Rules.create(spark, stripSemi(t)); None
+    } else if (is("(?is)^DROP\\s+RULE\\b")) {
+      val m = ("(?is)^DROP\\s+RULE\\s+(?:IF\\s+EXISTS\\s+)?(\"?[\\w]+\"?)" +
+        "\\s+ON\\s+([\\w.\"]+)").r.findFirstMatchIn(t).getOrElse(
+        throw new IllegalArgumentException(s"cannot parse DROP RULE: $t"))
+      operators.Rules.dropRule(m.group(1), m.group(2).replace("\"", "")); None
     } else if (is("(?is)^INSERT\\s+INTO\\s+[\\w.\"]+\\s+DEFAULT\\s+VALUES\\s*;?\\s*$")) {
       // INSERT ... DEFAULT VALUES (gram.y insert_rest): one row of
       // column defaults (SERIAL sequences advance, like PG)
@@ -646,9 +695,13 @@ object Graft {
         .findFirstMatchIn(stripSemi(t)) match {
         case Some(am) if !am.group(2).equalsIgnoreCase("SET") =>
           val tbl = am.group(1).replaceFirst("(?is)^UPDATE\\s+", "")
-          (am.group(1) + " SET" + stripSemi(t).substring(am.end))
-            .replaceAll("(?i)\\b" +
-              java.util.regex.Pattern.quote(am.group(2)) + "\\.", tbl + ".")
+          // masked replacement: an alias token inside a string
+          // literal (SET txt = 'm.x') must survive untouched
+          operators.PgSql.replaceAllOutsideLiterals(
+            am.group(1) + " SET" + stripSemi(t).substring(am.end),
+            "(?i)\\b" +
+              java.util.regex.Pattern.quote(am.group(2)) + "\\.",
+            java.util.regex.Matcher.quoteReplacement(tbl) + ".")
         case _ => stripSemi(t)
       }
       val m = updateRe.findFirstMatchIn(tNoAlias).getOrElse(
@@ -679,7 +732,30 @@ object Graft {
                 fld.map(_.dataType.sql).getOrElse("STRING") + ")"))
           } else org.apache.spark.sql.functions.expr(
             operators.PgSql.rewrite(vt)))
-      }.toMap
+      }.toMap pipe { setAssigns =>
+        // BEFORE UPDATE row triggers fire over the NEW image (SET
+        // already applied): NEW.x in a trigger rhs reads the SET
+        // expression when x is assigned, the stored column otherwise
+        val trig = operators.Triggers.rowAssigns(updTable, "UPDATE")
+        if (trig.isEmpty) setAssigns
+        else {
+          val setTexts = operators.GreengageDdl.splitTop(setPart).map { a =>
+            val Array(k, v) = a.split("=", 2)
+            k.trim.replace("\"", "").toLowerCase -> v.trim
+          }.toMap
+          trig.foldLeft(setAssigns) { case (acc, (c, rhs)) =>
+            val resolved = rhs.replaceAll("(?i)\\bNEW\\s*\\.\\s*(\\w+)", "$1")
+            val inlined = setTexts.foldLeft(resolved) { case (s, (sc, sv)) =>
+              operators.PgSql.replaceAllOutsideLiterals(s,
+                "(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(sc) +
+                  "(?![\\w(])",
+                java.util.regex.Matcher.quoteReplacement(s"($sv)"))
+            }
+            acc + (c -> org.apache.spark.sql.functions.expr(
+              operators.PgSql.rewrite(inlined)))
+          }
+        }
+      }
       if (f >= 0) {
         // UPDATE t SET ... FROM s [alias] WHERE join-cond (gram.y
         // from_clause on UPDATE) → join-update
@@ -735,14 +811,18 @@ object Graft {
                   c -> hits.head._2
               }
             def q(s: String) = {
+              // masked replacements: qualifiers/columns inside string
+              // literals must not be rewritten
               val qualified = items.foldLeft(s) { case (acc, (al, _)) =>
-                acc.replaceAll(
+                operators.PgSql.replaceAllOutsideLiterals(acc,
                   "(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\.(\\w+)",
-                  al + "__$1")
+                  java.util.regex.Matcher.quoteReplacement(al) + "__$1")
               }
               bareMap.foldLeft(qualified) { case (acc, (c, repl)) =>
-                acc.replaceAll("(?i)(?<![\\w.])" +
-                  java.util.regex.Pattern.quote(c) + "(?![\\w(])", repl)
+                operators.PgSql.replaceAllOutsideLiterals(acc,
+                  "(?i)(?<![\\w.])" +
+                    java.util.regex.Pattern.quote(c) + "(?![\\w(])",
+                  java.util.regex.Matcher.quoteReplacement(repl))
               }
             }
             val reAssign = operators.GreengageDdl.splitTop(setPart).map { a =>
@@ -850,6 +930,8 @@ object Graft {
         .foreach { n =>
           // inheritance: dropping a parent drops its view + __only;
           // dropping a child detaches it from its parents' views
+          operators.Rules.clearTable(n.trim)
+          operators.Triggers.clearTable(n.trim)
           if (!operators.GreengageDdl.handleInheritanceDrop(spark, n.trim))
             spark.sql(s"DROP $kind $ifE${n.trim}")
         }
@@ -862,6 +944,11 @@ object Graft {
           // introspection queries see a fresh catalog snapshot
           if (operators.PgCatalog.mentionsCatalog(t))
             operators.PgCatalog.register(spark)
+          // get_ao_distribution('t'::regclass) (pg_proc.sql:149):
+          // per-segment tuple counts under the table's DISTRIBUTED BY
+          // placement, via the bit-exact cdbhash (functions.GpHash)
+          if (t.toLowerCase.contains("get_ao_distribution"))
+            t = rewriteAoDistribution(spark, t)
           // data-modifying CTEs re-enter the router per wCTE
           if (is("(?is)^WITH\\b") && operators.DmlCte.hasDml(stripSemi(t)))
             operators.DmlCte.run(spark, stripSemi(t), execute)
@@ -869,10 +956,11 @@ object Graft {
             .orElse {
               // registered CREATE FUNCTION macros inline first (no-op
               // scan when none is called), then the PG lexical rewrite
-              try Some(operators.PgIntDiv(spark, spark.sql(
-                operators.PgSql.rewrite(operators.SqlFunctions.expand(
-                  expandQualifiedStars(spark,
-                    expandReorderedStar(spark, t)))))))
+              try Some(operators.BpcharEq(spark,
+                operators.PgIntDiv(spark, spark.sql(
+                  operators.PgSql.rewrite(operators.SqlFunctions.expand(
+                    expandQualifiedStars(spark,
+                      expandReorderedStar(spark, t))))))))
               catch {
                 case e: org.apache.spark.sql.AnalysisException
                     if is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b") &&
@@ -1058,7 +1146,11 @@ object Graft {
       // ignores trailing blanks) — only the projection path trims
       val hasCharCols = operators.GreengageDdl.charCols(
         mm.group(1).replace("\"", "")).nonEmpty
-      reorder || serialMissing || hasCharCols ||
+      // (e) an inheritance parent is a VIEW — the projection path
+      // redirects to the parent's own physical table (__only)
+      val inhParent = operators.GreengageDdl.isInheritanceParent(
+        mm.group(1).replace("\"", ""))
+      reorder || serialMissing || hasCharCols || inhParent ||
         (mm.group(3).contains("/") && {
         try {
           val body = spark.sql(operators.PgSql.rewrite(
@@ -1271,6 +1363,21 @@ object Graft {
   /** COPY (commands/copy.c subset): csv with HEADER / DELIMITER /
     * NULL options. TO writes a table or `(query)`; FROM appends into
     * an existing table using its catalog schema. */
+  /** `get_ao_distribution('t'::regclass)` in a FROM clause → a temp
+    * view holding the per-segment (segmentid, tupcount) placement
+    * counts (functions.GpHash — the bit-exact cdbhash placement). */
+  private val aoDistRe =
+    ("(?i)(?:pg_catalog\\s*\\.\\s*)?get_ao_distribution\\s*\\(\\s*" +
+      "'([^']+)'\\s*(?:::\\s*regclass)?\\s*\\)").r
+  private def rewriteAoDistribution(spark: SparkSession, sql: String): String =
+    aoDistRe.replaceAllIn(sql, m => {
+      val tbl = m.group(1)
+      val vname = "__gp_aodist_" + tbl.replaceAll("[^A-Za-z0-9]", "_")
+      functions.GpHash.aoDistribution(spark, tbl)
+        .createOrReplaceTempView(vname)
+      vname
+    })
+
   private def runCopy(spark: SparkSession,
                       m: scala.util.matching.Regex.Match): Unit = {
     val target = m.group(1)

@@ -7,6 +7,31 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** PG `chr(n)` (reference src/backend/utils/adt/oracle_compat.c chr):
+  * in a UTF-8 database n is a Unicode CODE POINT — chr(1000) is U+03E8.
+  * Spark's builtin wraps to n % 256 above 255 (MySQL semantics), a
+  * silent wrong answer; this expression replaces it at registration. */
+case class PgChr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(n: Any): Any =
+    UTF8String.fromString(PgChr.str(n.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.PgChr.str($c))")
+  override protected def withNewChildInternal(newChild: Expression): PgChr =
+    copy(child = newChild)
+}
+
+object PgChr {
+  def str(n: Long): String = {
+    require(n != 0, "null character not permitted")
+    require(n >= 0 && n <= 0x10FFFF, s"requested character too large: $n")
+    new String(Character.toChars(n.toInt))
+  }
+}
+
 /** Pure helpers invoked from both interpreted eval and generated code.
   * (An `object` with no companion class gets static forwarders, so
   * codegen can call `graft.functions.GraftStrings.m(...)` directly.)
@@ -1707,6 +1732,22 @@ object GraftFunctions {
       FunctionIdentifier("similarity"),
       info("similarity", "similarity(a, b) - trigram jaccard similarity"),
       (args: Seq[Expression]) => TrigramSimilarity(args(0), args(1)))
+    // the PG median CREATE AGGREGATE idiom (array_append transition +
+    // avg-of-middle final): continuous-interpolation percentile at 0.5
+    // is value-for-value the same result (odd n → middle, even n →
+    // mean of the two middles) — PgAggregates.create aliases to this
+    // PG chr(): code-point semantics above 255 (oracle_compat.c) —
+    // replaces Spark's MySQL-style n % 256 builtin
+    reg.registerFunction(
+      FunctionIdentifier("chr"),
+      info("chr", "chr(n) - the character with Unicode code point n"),
+      (args: Seq[Expression]) => PgChr(Cast(args(0), LongType)))
+    reg.registerFunction(
+      FunctionIdentifier("pg_median"),
+      info("pg_median", "pg_median(x) - median (percentile_cont 0.5)"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(
+          args(0), org.apache.spark.sql.catalyst.expressions.Literal(0.5)))
     reg.registerFunction(
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit simhash fingerprint"),

@@ -245,6 +245,9 @@ object DchParseFmt {
     def skipSpaces(): Unit = while (vi < v.length && v.charAt(vi) == ' ') vi += 1
     def readInt(maxW: Int): Int = {
       skipSpaces()
+      // missing trailing components parse as 0 (formatting.c
+      // do_to_timestamp: absent fields keep their defaults)
+      if (vi >= v.length) return 0
       val st = vi
       while (vi < v.length && vi - st < maxW && v.charAt(vi).isDigit) vi += 1
       require(vi > st, s"to_date/to_timestamp: expected digits at '$v'[$st] for '$fmt'")
@@ -271,7 +274,15 @@ object DchParseFmt {
       } else if (at("FM")) i += 2 // all our numeric reads are width-capped
       else {
         val consumed: Int =
-          if (at("YYYY")) { year = readInt(4); 4 }
+          if (at("YYYY")) {
+            // PG reads GREEDILY when the next format node is a
+            // separator or end-of-format (from_char_parse_int
+            // is_next_separator): 'YYYY-MMDD' on '20000-1130' takes
+            // the 5-digit year 20000
+            val greedy = i + 4 >= n ||
+              !Character.isLetterOrDigit(fmt.charAt(i + 4))
+            year = readInt(if (greedy) 9 else 4); 4
+          }
           else if (at("YY")) { // PG century rule: <70 → 20xx, else 19xx
             val y2 = readInt(2); year = if (y2 < 70) 2000 + y2 else 1900 + y2; 2
           }

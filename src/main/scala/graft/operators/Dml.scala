@@ -39,6 +39,12 @@ import org.apache.spark.sql.functions._
   */
 object Dml {
 
+  /** Parse a possibly schema-qualified name into a TableIdentifier —
+    * the bare constructor would treat `schema.table` as a single-part
+    * name in the current database. */
+  private def tableIdent(spark: SparkSession, table: String) =
+    spark.sessionState.sqlParser.parseTableIdentifier(table)
+
   /** DELETE FROM table WHERE cond. Returns rows deleted. */
   def deleteWhere(spark: SparkSession, table: String, cond: Column): Long = {
     val t = spark.table(table)
@@ -310,7 +316,7 @@ object Dml {
       else {
         val dir = new java.io.File(new java.net.URI(
           spark.sessionState.catalog.getTableMetadata(
-            org.apache.spark.sql.catalyst.TableIdentifier(table))
+            tableIdent(spark, table))
             .location.toString).getPath)
         val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(dir)
         val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
@@ -423,7 +429,7 @@ object Dml {
     // staging table and move its files (distribution survives DML,
     // exactly the reference's behavior)
     val bucketSpec = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+      tableIdent(spark, table)).bucketSpec
     bucketSpec match {
       case Some(bs) =>
         val tmp = s"__dml_bstage_${UUID.randomUUID().toString.take(8)}"
@@ -456,7 +462,7 @@ object Dml {
       else staged.select(partCols.map(col): _*).distinct().collect().toSeq
     val tableDir = new java.io.File(new java.net.URI(
       spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString)
+        tableIdent(spark, table)).location.toString)
       .getPath)
     val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     if (partCols.isEmpty || !dynamic) {
@@ -559,7 +565,7 @@ object Dml {
       // simply re-register (the rows would survive their own DELETE)
       val tableDir = new java.io.File(new java.net.URI(
         spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(table))
+          tableIdent(spark, table))
           .location.toString).getPath)
       val zone = java.time.ZoneId.of(
         spark.sessionState.conf.sessionLocalTimeZone)

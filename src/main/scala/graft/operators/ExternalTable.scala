@@ -86,9 +86,15 @@ object ExternalTable {
     val (colBlock, after) = GreengageDdl.balanced(rest, 0)
     rest = rest.substring(after).trim
     val columns = GreengageDdl.splitTop(colBlock).map { cdef =>
-      val parts = cdef.trim.split("\\s+", 2)
-      require(parts.length == 2, s"cannot parse column def: '$cdef'")
-      (parts(0).replace("\"", ""), GreengageDdl.mapType(parts(1)))
+      // (LIKE t) column shorthand (gram.y TableLikeClause): resolved
+      // against the catalog here — external tables snapshot eagerly
+      if ("(?i)^LIKE\\s".r.findFirstIn(cdef.trim).isDefined)
+        ("__like__", cdef.trim.split("\\s+")(1).replace("\"", ""))
+      else {
+        val parts = cdef.trim.split("\\s+", 2)
+        require(parts.length == 2, s"cannot parse column def: '$cdef'")
+        (parts(0).replace("\"", ""), GreengageDdl.mapType(parts(1)))
+      }
     }
 
     // LOCATION ('url', ...) | EXECUTE 'cmd' [ON ...]
@@ -198,26 +204,50 @@ object ExternalTable {
   /** Parse + register: READABLE → temp view (+ `<name>_errors` under
     * LOG ERRORS); WRITABLE → sink registry for INSERT routing. */
   def create(spark: SparkSession, ddl: String): ExtSpec = {
-    val spec = parse(ddl)
+    val spec0 = parse(ddl)
+    // (LIKE t): borrow the referenced table's columns (catalog lookup
+    // deferred to here, where a session exists)
+    val spec =
+      if (spec0.columns.exists(_._1 == "__like__"))
+        spec0.copy(columns = spec0.columns.flatMap {
+          case ("__like__", ref) =>
+            spark.table(ref).schema.fields.toSeq
+              .map(f => (f.name, f.dataType.sql))
+          case other => Seq(other)
+        })
+      else spec0
     if (spec.writable) {
       require(spec.rejectRows.isEmpty && spec.rejectPercent.isEmpty,
         "SEGMENT REJECT LIMIT applies to readable external tables")
       writables.put(spec.name, spec)
     } else {
       val res = read(spark, spec)
-      res.good.createOrReplaceTempView(spec.name)
+      register(spark, spec.name, res.good)
       if (spec.logErrors)
-        res.errorLog.createOrReplaceTempView(s"${spec.name}_errors")
+        register(spark, s"${spec.name}_errors", res.errorLog)
     }
     spec
   }
+
+  /** Temp views cannot carry a schema-qualified name — a qualified
+    * external table materializes its snapshot as a real table in its
+    * schema instead (the read already happened eagerly either way). */
+  private def register(spark: SparkSession, name: String,
+                       df: org.apache.spark.sql.DataFrame): Unit =
+    if (name.contains(".")) {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.mode("overwrite").format("parquet").saveAsTable(name)
+    } else df.createOrReplaceTempView(name)
 
   /** DROP EXTERNAL TABLE: unregister whichever side holds the name. */
   def drop(spark: SparkSession, name: String): Unit = {
     val n = name.replace("\"", "")
     if (writables.remove(n) == null) {
-      spark.catalog.dropTempView(n)
-      spark.catalog.dropTempView(s"${n}_errors")
+      if (n.contains(".")) spark.sql(s"DROP TABLE IF EXISTS $n")
+      else {
+        spark.catalog.dropTempView(n)
+        spark.catalog.dropTempView(s"${n}_errors")
+      }
     }
   }
 

@@ -82,6 +82,17 @@ object GreengageDdl {
            | "bpchar" | "name" | "uuid" | "json" | "jsonb" | "xml" => "STRING"
       case "bool" | "boolean" => "BOOLEAN"
       case "bit" | "bit varying" | "varbit" => "STRING"
+      // network + geometric types (network.c, geo_ops.c) and PG's
+      // single-byte "char": values keep their canonical TEXT form —
+      // the operator surface (functions.Inet, to_lseg, …) works over
+      // that form, exactly how parquet would store them at scale
+      case "inet" | "cidr" | "macaddr" | "macaddr8"
+           | "box" | "lseg" | "point" | "path" | "polygon" | "circle"
+           | "\"char\"" | "money" | "tid" => "STRING"
+      // time-of-day types: Spark has no TIME type — canonical text
+      // (HH:MM:SS[.us][+TZ]), same rendering PG's time_out produces
+      case "time" | "time without time zone"
+           | "timetz" | "time with time zone" => "STRING"
       // int2vector/oidvector: space-separated vector literals keep
       // their textual form (their tests compare/print them verbatim)
       case "int2vector" | "oidvector" => "STRING"
@@ -202,15 +213,14 @@ object GreengageDdl {
             .findFirstMatchIn(parts(1))
             .foreach(d => colDefaults += colName.toLowerCase -> d.group(1))
           val head = typePart.takeWhile(_ != '(').trim
-          // char(n) AND varchar(n): PG compares bpchar ignoring
-          // trailing blanks and coerces varchar→bpchar in mixed
-          // comparisons (parse_coerce.c), so both store right-trimmed;
-          // TEXT keeps its spaces (char=text compares as text)
-          if (("(?i)^(bpchar|char|character|varchar)$".r
+          // char(n)/bpchar only: PG compares bpchar ignoring trailing
+          // blanks (varlena.c bpchareq), so those store right-trimmed.
+          // varchar and TEXT keep trailing spaces as SIGNIFICANT
+          // (varchar.out: 'a '::varchar retains its blank;
+          // length()/||/equality all see it) — never trim them
+          if ("(?i)^(bpchar|char|character)$".r
                 .findFirstIn(head).isDefined &&
-              !"(?i)\\bvarying\\b".r.findFirstIn(typePart).isDefined) ||
-              "(?i)^(character|char)\\s+varying".r
-                .findFirstIn(typePart).isDefined)
+              !"(?i)\\bvarying\\b".r.findFirstIn(typePart).isDefined)
             bpcharCols += colName.toLowerCase
           if (PgTypes.isRegistered(head)) typedCols += (colName -> head)
           if ("(?i)^(small|big)?serial[248]?$".r.findFirstIn(head).isDefined)
@@ -328,12 +338,15 @@ object GreengageDdl {
       if (tail.startsWith("(")) {
         val (spec0, after2) = balanced(tail, 0)
         recordPartBounds(name, level1Cols, spec0)
+        recordPartChildren(name, p.group(1).toLowerCase, spec0)
         rest = tail.substring(after2).trim
       } else rest = tail
     }
 
-    if (partitionCols.isEmpty) // re-CREATE without partitions: clear
+    if (partitionCols.isEmpty) { // re-CREATE without partitions: clear
       partBoundsReg.remove(name.toLowerCase.replace("\"", ""))
+      partChildrenReg.remove(name.toLowerCase.replace("\"", ""))
+    }
     TableSpec(name, ifNotExists, columns, dist, partitionCols, storageOpts,
       ctas, materialized, colDefaults.toMap, serialCols.result(), inherits)
   }
@@ -409,7 +422,7 @@ object GreengageDdl {
     * LOCATION_ALREADY_EXISTS. When the catalog has no such table but
     * its default location exists on disk, the directory is an orphan:
     * clear it so CREATE behaves as on a fresh warehouse. */
-  private def clearOrphanLocation(spark: SparkSession, name0: String): Unit = {
+  private[operators] def clearOrphanLocation(spark: SparkSession, name0: String): Unit = {
     try {
       val parts = name0.toLowerCase.replace("`", "").split("\\.")
       val (db, table) =
@@ -618,14 +631,18 @@ object GreengageDdl {
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
   private val seqRe =
-    "(?is)^\\s*CREATE\\s+SEQUENCE\\s+([\\w.\"]+)(?:\\s+START(?:\\s+WITH)?\\s+(\\d+))?\\s*;?\\s*$".r
+    "(?is)^\\s*CREATE\\s+(?:TEMP(?:ORARY)?\\s+)?SEQUENCE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.\"]+)((?:\\s+(?:AS\\s+\\w+|START(?:\\s+WITH)?\\s+-?\\d+|INCREMENT(?:\\s+BY)?\\s+-?\\d+|NO\\s+MAXVALUE|NO\\s+MINVALUE|MAXVALUE\\s+-?\\d+|MINVALUE\\s+-?\\d+|CACHE\\s+\\d+|NO\\s+CYCLE|CYCLE|OWNED\\s+BY\\s+[\\w.\"]+))*)\\s*;?\\s*$".r
 
-  /** Parse + register a CREATE SEQUENCE statement. */
+  /** Parse + register a CREATE SEQUENCE statement. All of gram.y's
+    * OptSeqOptList is accepted; only START matters here (the id-block
+    * allocator hands out unique increasing longs — CACHE/MAXVALUE
+    * shape contiguity PG itself does not guarantee across sessions). */
   def createSequence(ddl: String): String = {
     val m = seqRe.findFirstMatchIn(ddl).getOrElse(
       throw new IllegalArgumentException(s"not a CREATE SEQUENCE statement: $ddl"))
     val name = m.group(1).replace("\"", "")
-    val start = Option(m.group(2)).map(_.toLong).getOrElse(1L)
+    val start = "(?i)START(?:\\s+WITH)?\\s+(-?\\d+)".r
+      .findFirstMatchIn(m.group(2)).map(_.group(1).toLong).getOrElse(1L)
     // same lock as nextvalColumn's read-modify-write, so a concurrent
     // CREATE SEQUENCE reset can't be lost between its get and put
     sequences.synchronized { sequences.put(name, start) }
@@ -701,13 +718,17 @@ object GreengageDdl {
   private val alterRenameColRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+RENAME\\s+(?:COLUMN\\s+)?(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$".r
   private val constraintNoopRe =
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+(?:" +
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+(?:" +
       "ALTER\\s+(?:COLUMN\\s+)?\\w+\\s+(?:SET\\s+DEFAULT\\b.*|DROP\\s+DEFAULT|" +
       "SET\\s+NOT\\s+NULL|DROP\\s+NOT\\s+NULL|SET\\s+STATISTICS\\s+\\d+|" +
       // SET STORAGE (tablecmds.c ATExecSetStorage): TOAST strategy —
       // parquet's own encoding applies; accepted no-op
       "SET\\s+STORAGE\\s+\\w+)|" +
-      "ADD\\s+CONSTRAINT\\b.*|DROP\\s+CONSTRAINT\\b.*|VALIDATE\\s+CONSTRAINT\\b.*" +
+      "ADD\\s+CONSTRAINT\\b.*|DROP\\s+CONSTRAINT\\b.*|VALIDATE\\s+CONSTRAINT\\b.*|" +
+      // SET WITH (reorganize=…) (GP tablecmds.c ATExecSetDistributedBy
+      // data-movement flag) and other storage-parameter SETs: the data
+      // keeps its bucketed layout — accepted no-op
+      "SET\\s+WITH\\s*\\(.*\\)|SET\\s*\\((?:FILLFACTOR|fillfactor)\\s*=.*\\)" +
       ")\\s*;?\\s*$").r
   private val alterTypeRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+ALTER\\s+(?:COLUMN\\s+)?(\\w+)\\s+" +
@@ -895,8 +916,10 @@ object GreengageDdl {
   private val createIndexRe =
     ("(?is)^\\s*CREATE\\s+(?:UNIQUE\\s+)?INDEX\\s+(?:CONCURRENTLY\\s+)?" +
       "(?:(?!ON\\b)([\\w\"]+)\\s+)?ON\\s+([\\w.\"]+)(?:\\s+USING\\s+(\\w+))?\\s*\\((.*)\\)\\s*;?\\s*$").r
+  // the index name may be schema-qualified (PG resolves it through the
+  // search path; indexes live in their table's schema)
   private val dropIndexRe =
-    "(?is)^\\s*DROP\\s+INDEX\\s+(?:IF\\s+EXISTS\\s+)?([\\w\"]+)(?:\\s+ON\\s+([\\w.\"]+))?\\s*;?\\s*$".r
+    "(?is)^\\s*DROP\\s+INDEX\\s+(?:IF\\s+EXISTS\\s+)?([\\w.\"]+?)(?:\\s+ON\\s+([\\w.\"]+))?\\s*(?:CASCADE|RESTRICT)?\\s*;?\\s*$".r
 
   // index name -> table (PG's DROP INDEX names only the index)
   private val indexTables =
@@ -983,7 +1006,12 @@ object GreengageDdl {
   def dropIndex(spark: SparkSession, ddl: String): Unit = {
     val m = dropIndexRe.findFirstMatchIn(ddl).getOrElse(
       throw new IllegalArgumentException(s"not a DROP INDEX statement: $ddl"))
-    val idxName = m.group(1).replace("\"", "")
+    val idxQual = m.group(1).replace("\"", "")
+    // createIndex records the bare index name (PG's pg_class entry is
+    // unqualified too); a schema-qualified DROP INDEX falls back to it
+    val idxName =
+      if (indexTables.containsKey(idxQual)) idxQual
+      else idxQual.split("\\.").last
     val table = Option(m.group(2)).map(_.replace("\"", ""))
       .orElse(Option(indexTables.get(idxName))).getOrElse(
         throw new IllegalArgumentException(s"unknown index: $idxName"))
@@ -1006,6 +1034,129 @@ object GreengageDdl {
   // partition holds the complement, NULLs included)
   private val partBoundsReg =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One child partition's introspection row (what the reference's
+    * pg_partitions view exposes per pg_partition_rule —
+    * system_views.sql:763, cdbpartition.c child naming
+    * `<tbl>_<level>_prt_<n|name>`). */
+  final case class PartChild(schemaname: String, tablename: String,
+      partitiontablename: String, partitionname: String,
+      partitiontype: String, partitionlevel: Int,
+      partitionrank: Option[Long], partitionposition: Long,
+      partitionlistvalues: String, partitionrangestart: String,
+      partitionstartinclusive: Option[Boolean], partitionrangeend: String,
+      partitionendinclusive: Option[Boolean], partitioneveryclause: String,
+      partitionisdefault: Boolean, partitionboundary: String)
+
+  /** table (as written, lowercased) → level-1 child partitions. */
+  private val partChildrenReg =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[PartChild]]()
+
+  /** Parse + expand the level-1 bound-spec into pg_partitions child
+    * rows. EVERY ranges expand numerically when the bounds are plain
+    * numbers (the common case; non-numeric EVERY keeps one row with
+    * the declared bounds). Best-effort like recordPartBounds — a spec
+    * this can't model just yields no introspection rows. */
+  private def recordPartChildren(table: String, partType: String,
+                                 spec: String): Unit = try {
+    val (schema, bare) = {
+      val t = table.toLowerCase.replace("\"", "")
+      val i = t.lastIndexOf('.')
+      if (i > 0) (t.substring(0, i), t.substring(i + 1)) else ("public", t)
+    }
+    val items = splitTop(spec.trim.stripPrefix("(").stripSuffix(")"))
+    val children = Seq.newBuilder[PartChild]
+    var pos = 0L
+    var rank = 0L
+    items.foreach { it0 =>
+      val it = it0.trim
+      val dm = "(?is)^default\\s+partition\\s+([\\w\"]+)".r
+        .findFirstMatchIn(it)
+      val nm = "(?is)^partition\\s+([\\w\"]+)".r.findFirstMatchIn(it)
+      val pname = dm.orElse(nm).map(_.group(1).replace("\"", "")).orNull
+      if (dm.isDefined) {
+        // default partition: parruleord 0, rank NULL (system_views.sql
+        // rank CASE), boundary prints the DEFAULT form
+        children += PartChild(schema, bare, s"${bare}_1_prt_$pname",
+          pname, partType, 0, None, 0L, null, null,
+          None, null, None, null, partitionisdefault = true,
+          s"DEFAULT PARTITION $pname")
+      } else {
+        val vm = "(?is)\\bvalues\\s*\\(".r.findFirstMatchIn(it)
+        val sm = "(?is)\\bstart\\s*\\(".r.findFirstMatchIn(it)
+        if (vm.isDefined) {
+          pos += 1
+          val (vals, _) = balanced(it, vm.get.end - 1)
+          val child = if (pname != null) s"${bare}_1_prt_$pname"
+            else s"${bare}_1_prt_$pos"
+          val bprefix = if (pname != null) s"PARTITION $pname " else ""
+          children += PartChild(schema, bare, child, pname, "list", 0,
+            None, pos, vals, null, None, null, None, null,
+            partitionisdefault = false, s"${bprefix}VALUES($vals)")
+        } else if (sm.isDefined) {
+          val (a, aAfter) = balanced(it, sm.get.end - 1)
+          val em = "(?is)\\bend\\s*\\(".r
+            .findFirstMatchIn(it.substring(aAfter))
+          val b = em.map { e =>
+            balanced(it.substring(aAfter), e.end - 1)._1 }.orNull
+          val endIncl = em.exists { e =>
+            val after = it.substring(aAfter)
+            "(?is)^\\s*inclusive\\b".r.findFirstIn(
+              after.substring(balanced(after, e.end - 1)._2)).isDefined
+          }
+          val evm = "(?is)\\bevery\\s*\\(".r.findFirstMatchIn(it)
+          val ev = evm.map(e => balanced(it, e.end - 1)._1).orNull
+          // numeric EVERY expansion: one child per step (cdbpartition.c
+          // atpxPart_validate_spec); non-numeric stays one row
+          val steps: Seq[(String, String)] =
+            (for {
+              e <- Option(ev)
+              bb <- Option(b)
+              av <- scala.util.Try(BigDecimal(a.trim)).toOption
+              bv <- scala.util.Try(BigDecimal(bb.trim)).toOption
+              evv <- scala.util.Try(BigDecimal(e.trim)).toOption
+              if evv > 0 && bv > av && ((bv - av) / evv) <= 10000
+            } yield Iterator.iterate(av)(_ + evv)
+              .takeWhile(_ < bv)
+              .map(s => (fmtNum(s), fmtNum((s + evv).min(bv))))
+              .toSeq).getOrElse(Seq((a, b)))
+          steps.foreach { case (cs, ce) =>
+            pos += 1; rank += 1
+            val child = if (pname != null && steps.length == 1)
+              s"${bare}_1_prt_$pname"
+            else if (pname != null) s"${bare}_1_prt_${pname}_$rank"
+            else s"${bare}_1_prt_$pos"
+            val bprefix =
+              if (pname != null && steps.length == 1) s"PARTITION $pname "
+              else ""
+            val boundary = s"${bprefix}START ($cs) END ($ce)" +
+              (if (ev != null) s" EVERY ($ev)" else "") +
+              (if (endIncl) " INCLUSIVE" else "")
+            children += PartChild(schema, bare, child, pname, "range", 0,
+              Some(rank), pos, null, cs, Some(true), ce,
+              Some(endIncl), ev, partitionisdefault = false, boundary)
+          }
+        }
+      }
+    }
+    val rows = children.result()
+    if (rows.nonEmpty)
+      partChildrenReg.put(table.toLowerCase.replace("\"", ""), rows)
+  } catch { case _: Exception => () } // introspection stays best-effort
+
+  private def fmtNum(b: BigDecimal): String =
+    if (b.isWhole) b.toBigInt.toString else b.toString
+
+  /** All recorded child-partition rows whose parent table still
+    * exists — feeds the pg_partitions compat view. */
+  def partChildren(spark: SparkSession): Seq[PartChild] = {
+    import scala.jdk.CollectionConverters._
+    partChildrenReg.asScala.toSeq.flatMap { case (tbl, rows) =>
+      val exists = try spark.catalog.tableExists(tbl)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (exists) rows else { partChildrenReg.remove(tbl); Seq.empty }
+    }
+  }
 
   /** Parse a GP partition bound-spec list into a coverage predicate
     * (gram.y TabPartitionElem: `start(a) end(b) [inclusive] [every(n)]`
@@ -1178,6 +1329,15 @@ object GreengageDdl {
     spark.catalog.refreshTable(table)
     spark.catalog.refreshTable(withTable)
   }
+
+  /** The DISTRIBUTED BY columns recorded at CREATE (the
+    * 'graft.distribution'='hash:...' table property); None for
+    * random/replicated placement or an untracked table. */
+  def hashDistCols(spark: SparkSession, name: String): Option[Seq[String]] =
+    spark.sql(s"SHOW TBLPROPERTIES $name('graft.distribution')")
+      .collect().map(_.getString(1))
+      .collectFirst { case v if v.startsWith("hash:") =>
+        v.stripPrefix("hash:").split(",").map(_.trim).toSeq }
 
   /** Read a DDL-created table, honoring DISTRIBUTED REPLICATED: replicated
     * tables come back with the broadcast hint applied so every join ships

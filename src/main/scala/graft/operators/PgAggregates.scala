@@ -79,12 +79,22 @@ object PgAggregates {
     }.toMap
     val sfunc = opts.get("sfunc").orElse(opts.get("sfunc1")).map(dealias)
     val ffunc = opts.get("finalfunc").map(dealias)
-    val builtin = ffunc.flatMap(finalMap.get)
-      .orElse(sfunc.flatMap(sfuncMap.get))
-      .getOrElse(throw new UnsupportedOperationException(
-        s"CREATE AGGREGATE over user transition function " +
-          s"'${sfunc.getOrElse("?")}' has no builtin equivalent; use the " +
-          "Aggregator API for custom aggregates"))
+    // the classic user-median idiom: array_append transition (the
+    // state is the collected group) + a final that averages the middle
+    // element(s) of the sorted array — exactly percentile_cont(0.5)
+    val arrayMedian = sfunc.contains("array_append") &&
+      ffunc.flatMap(SqlFunctions.bodyOf).exists { b =>
+        val lb = b.toLowerCase
+        lb.contains("unnest") && lb.contains("avg") && lb.contains("offset")
+      }
+    val builtin =
+      if (arrayMedian) "pg_median"
+      else ffunc.flatMap(finalMap.get)
+        .orElse(sfunc.flatMap(sfuncMap.get))
+        .getOrElse(throw new UnsupportedOperationException(
+          s"CREATE AGGREGATE over user transition function " +
+            s"'${sfunc.getOrElse("?")}' has no builtin equivalent; use the " +
+            "Aggregator API for custom aggregates"))
     aliases.put(name, builtin)
   }
 
@@ -107,14 +117,16 @@ object PgAggregates {
   }
 
   /** Substitute registered aggregate names at call sites (name only —
-    * arguments, DISTINCT, `*`, WITHIN GROUP all pass through). */
+    * arguments, DISTINCT, `*`, WITHIN GROUP all pass through). The
+    * quoted spelling `"median"(x)` resolves to the same entry. */
   def substituteNames(sql: String): String = {
     if (aliases.isEmpty) return sql
     import scala.jdk.CollectionConverters._
     var out = sql
     for (e <- aliases.entrySet().asScala)
       out = out.replaceAll(
-        "(?i)\\b" + java.util.regex.Pattern.quote(e.getKey) + "(\\s*\\()",
+        "(?i)(?<![\\w.])\"?" + java.util.regex.Pattern.quote(e.getKey) +
+          "\"?(\\s*\\()",
         java.util.regex.Matcher.quoteReplacement(e.getValue) + "$1")
     out
   }

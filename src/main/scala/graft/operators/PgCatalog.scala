@@ -21,7 +21,8 @@ object PgCatalog {
 
   val viewNames: Seq[String] = Seq(
     "pg_tables", "pg_views", "pg_namespace", "pg_class", "pg_attribute",
-    "gp_segment_configuration", "gp_id", "information_schema")
+    "gp_segment_configuration", "gp_id", "information_schema",
+    "pg_partitions", "pg_settings")
 
   /** True if `sql` mentions any catalog view outside string literals —
     * the router's refresh trigger. */
@@ -32,6 +33,8 @@ object PgCatalog {
 
   def register(spark: SparkSession): Unit = {
     import spark.implicits._
+    def f(n: String) = org.apache.spark.sql.types.StructField(
+      n, org.apache.spark.sql.types.StringType)
     val db = spark.catalog.currentDatabase
     val tables = spark.catalog.listTables().collect()
 
@@ -124,6 +127,57 @@ object PgCatalog {
     (spark.catalog.listDatabases().collect().map(_.name).toSeq :+ "public")
       .distinct.map(("graft", _)).toDF("catalog_name", "schema_name")
       .createOrReplaceTempView("__is_schemata")
+
+    // pg_partitions (system_views.sql:763): the partition
+    // introspection view every GP maintenance script reads. Rows come
+    // from the bound registry GreengageDdl records at CREATE — the
+    // child tables are virtual (dynamic value partitioning stores the
+    // data), but their DECLARED identity (name, rank, bounds,
+    // boundary text) is exactly what the reference reports.
+    val partRows = GreengageDdl.partChildren(spark).map { c =>
+      (c.schemaname, c.tablename, c.schemaname, c.partitiontablename,
+        c.partitionname, null: String, null: String, c.partitiontype,
+        c.partitionlevel,
+        c.partitionrank.map(java.lang.Long.valueOf).orNull,
+        c.partitionposition, c.partitionlistvalues, c.partitionrangestart,
+        c.partitionstartinclusive.map(java.lang.Boolean.valueOf).orNull,
+        c.partitionrangeend,
+        c.partitionendinclusive.map(java.lang.Boolean.valueOf).orNull,
+        c.partitioneveryclause, c.partitionisdefault, c.partitionboundary,
+        "pg_default", "pg_default")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(partRows.map(org.apache.spark.sql.Row
+        .fromTuple), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        f("schemaname"), f("tablename"), f("partitionschemaname"),
+        f("partitiontablename"), f("partitionname"),
+        f("parentpartitiontablename"), f("parentpartitionname"),
+        f("partitiontype"),
+        org.apache.spark.sql.types.StructField("partitionlevel",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("partitionrank",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("partitionposition",
+          org.apache.spark.sql.types.LongType),
+        f("partitionlistvalues"), f("partitionrangestart"),
+        org.apache.spark.sql.types.StructField("partitionstartinclusive",
+          org.apache.spark.sql.types.BooleanType),
+        f("partitionrangeend"),
+        org.apache.spark.sql.types.StructField("partitionendinclusive",
+          org.apache.spark.sql.types.BooleanType),
+        f("partitioneveryclause"),
+        org.apache.spark.sql.types.StructField("partitionisdefault",
+          org.apache.spark.sql.types.BooleanType),
+        f("partitionboundary"), f("parenttablespace"),
+        f("partitiontablespace"))))
+      .createOrReplaceTempView("pg_partitions")
+
+    // pg_settings (guc.c show_all_settings): the GUC metadata + the
+    // session's live values
+    Guc.pgSettingsRows(spark)
+      .toDF("name", "setting", "unit", "category", "vartype", "boot_val")
+      .createOrReplaceTempView("pg_settings")
 
     // one primary row per "segment" (= shuffle partition) + the master
     val nSeg = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt

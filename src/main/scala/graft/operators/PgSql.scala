@@ -33,6 +33,11 @@ object PgSql {
     // object-identifier pseudo-types (pg_type.h regclass/regtype/oid):
     // catalog references degrade to their textual form here
     "regclass" -> "STRING", "regtype" -> "STRING", "regproc" -> "STRING",
+    // network/geometric/time-of-day types store their canonical text
+    // form (same mapping as GreengageDdl.mapType)
+    "inet" -> "STRING", "cidr" -> "STRING", "macaddr" -> "STRING",
+    "lseg" -> "STRING", "box" -> "STRING", "point" -> "STRING",
+    "timetz" -> "STRING", "money" -> "STRING",
     // bare numeric/decimal are UNCONSTRAINED in PG; Spark's bare
     // spelling is DECIMAL(10,0) — a silent fraction-truncation
     "numeric" -> "DECIMAL(38,18)", "decimal" -> "DECIMAL(38,18)",
@@ -1126,8 +1131,15 @@ object PgSql {
         "SELECT " + exprs.zipWithIndex.map { case (e, k) =>
           s"$e AS __vc$k" }.mkString(", ")
       else {
-        val arrays = distinct.map(ct => ct.replaceFirst(
-          "(?i)generate_series\\s*\\(", "sequence("))
+        // route each call's arguments through seqExpr so the
+        // direction/empty-set guard and integral casts apply here too:
+        // VALUES (generate_series(5,1)) inserts ZERO rows in PG, and
+        // mixed-width bounds need seqExpr's same-type casts for Spark
+        val arrays = distinct.map { ct =>
+          val open = ct.indexOf('(')
+          val inner = ct.substring(open + 1, ct.length - 1)
+          seqExpr(topLevelSplit(inner, maskLiterals(inner)).map(_.trim))
+        }
         val (fromSql, ref) =
           if (distinct.size == 1)
             (s"(SELECT explode(${arrays.head}) AS __z$ri)",
@@ -1540,11 +1552,13 @@ object PgSql {
         val fmt = args(1).trim.stripPrefix("'").stripSuffix("'")
         if ("YYYY|\\bDD\\b|HH24|HH12|\\bMI\\b|\\bSS\\b|\\bMon\\b".r
           .findFirstIn(fmt).isDefined) {
-          val t2 = fmt.replace("HH24", "HH").replace("HH12", "hh")
-            .replace("YYYY", "yyyy").replace("DD", "dd")
-            .replace("MI", "mm").replace("SS", "ss").replace("Mon", "MMM")
-          sql = sql.substring(0, open + 1) + args(0) + ", '" + t2 + "'" +
-            sql.substring(close)
+          // route to the native DCH parser (functions.DchParseFmt) —
+          // it carries PG's whole template surface: leading-blank
+          // skipping, greedy year before a separator ('YYYY-MMDD' on
+          // '20000-1130' → year 20000), absent trailing fields as 0
+          sql = sql.substring(0, m.start) +
+            s"to_${m.group(1).toLowerCase}_pg(${args(0)}, ${args(1).trim})" +
+            sql.substring(close + 1)
         }
       }
     }
@@ -1672,6 +1686,32 @@ object PgSql {
       } else i += 1
     }
     new String(a)
+  }
+
+  /** replaceAll that matches on the literal-masked copy and splices
+    * the replacements back into the ORIGINAL text, so an alias/column
+    * token occurring inside a string literal or comment is never
+    * rewritten (maskLiterals is length-preserving, so match offsets
+    * line up; group refs `$n` in `repl` expand per Matcher rules —
+    * safe because a match outside literals reads identical text in
+    * both copies). */
+  private[graft] def replaceAllOutsideLiterals(
+      text: String, regex: String, repl: String): String = {
+    val masked = maskLiterals(text)
+    val m = java.util.regex.Pattern.compile(regex).matcher(masked)
+    // java.lang.StringBuilder: the scala one lacks the 3-arg
+    // append(CharSequence, start, end) and would auto-tuple
+    val sb = new java.lang.StringBuilder
+    var prevEnd = 0
+    while (m.find()) {
+      sb.append(text, prevEnd, m.start)
+      val tmp = new StringBuffer
+      m.appendReplacement(tmp, repl)
+      sb.append(tmp.substring(m.start - prevEnd))
+      prevEnd = m.end
+    }
+    sb.append(text.substring(prevEnd))
+    sb.toString
   }
 
   private[graft] def matchingParen(masked: String, open: Int): Int = {
@@ -2844,10 +2884,36 @@ object PgSql {
                 .getOrElse(masked.length)
               val items = topLevelSplit(sql.substring(m.end, end),
                 masked.substring(m.end, end)).map(_.trim)
+              // drop ONLY items whose references are exclusively
+              // outer-qualified (constant per outer row, so ordering
+              // is irrelevant); an item MIXING inner and outer refs
+              // (`s.x - r.c` under LIMIT 1) changes which row a
+              // LIMITed subquery returns — keep it and let Spark
+              // report the unsupported correlation loudly
               val kept = items.filterNot { it =>
-                "([A-Za-z_]\\w*)\\s*\\.\\s*[A-Za-z_]".r.findAllMatchIn(
-                  maskLiterals(it)).exists(q =>
-                    !aliases.contains(q.group(1).toLowerCase))
+                val mIt = maskLiterals(it)
+                val quals = "([A-Za-z_]\\w*)\\s*\\.\\s*[A-Za-z_]".r
+                  .findAllMatchIn(mIt).map(_.group(1).toLowerCase).toSeq
+                val hasOuter = quals.exists(q => !aliases.contains(q))
+                val hasInner = quals.exists(aliases.contains)
+                // bare identifiers (potential inner columns) other
+                // than sort keywords / function names
+                val sortKw = Set("asc", "desc", "nulls", "first",
+                  "last", "using", "collate")
+                val hasBare = "\\b([A-Za-z_]\\w*)\\b".r
+                  .findAllMatchIn(mIt).exists { b =>
+                    val before = mIt.lastIndexWhere(
+                      !_.isWhitespace, b.start - 1)
+                    val afterIdx = mIt.indexWhere(
+                      !_.isWhitespace, b.end)
+                    val isQualified = (before >= 0 &&
+                      mIt.charAt(before) == '.') ||
+                      (afterIdx >= 0 && mIt.charAt(afterIdx) == '.')
+                    val isFn = afterIdx >= 0 && mIt.charAt(afterIdx) == '('
+                    !isQualified && !isFn &&
+                      !sortKw.contains(b.group(1).toLowerCase)
+                  }
+                hasOuter && !hasInner && !hasBare
               }
               if (kept.length != items.length) {
                 sql = sql.substring(0, m.start) +
@@ -4107,7 +4173,16 @@ object PgSql {
                   orderByOrdinal(jsonArrows(similarToOp(distinctOn(stripCorrelatedOrderBy(
                     // LIMIT/OFFSET NULL = no limit (select_limit gram)
                     "(?i)\\b(LIMIT|OFFSET)\\s+NULL\\b".r.replaceAllIn(
-                      sqlIn, ""))))))))))))))))))))))))))))))))))))))))))
+                      // count(a.*) — a whole-row var (parse_func.c):
+                      // count of non-null composites. Spark's struct
+                      // over the qualified star carries the same rows
+                      // for base-relation refs (an outer join's
+                      // null-extended composite differs — PG skips it,
+                      // struct() does not; none of the ported suites
+                      // count over null-extended whole rows)
+                      "(?i)\\bcount\\s*\\(\\s*(\\w+)\\s*\\.\\s*\\*\\s*\\)".r
+                        .replaceAllIn(sqlIn, "count(struct($1.*))"),
+                      ""))))))))))))))))))))))))))))))))))))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

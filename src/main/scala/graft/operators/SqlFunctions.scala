@@ -50,13 +50,13 @@ object SqlFunctions {
     ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+([\\w.]+)\\s*" +
       "\\((.*?)\\)\\s*RETURNS\\s+(TABLE\\s*\\([^)]*\\)|SETOF\\s+[\\w.]+|" +
       "[\\w ]+?(?:\\([\\d, ]*\\))?)\\s+AS\\s+" +
-      "(?:'(.*?)'|\\$\\$(.*?)\\$\\$)\\s+LANGUAGE\\s+SQL" +
+      "(?:'(.*?)'|\\$\\$(.*?)\\$\\$)\\s*LANGUAGE\\s+'?SQL'?" +
       fnAttrs + "\\s*;?\\s*$").r
 
   private val plRe =
     ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+([\\w.]+)\\s*" +
       "\\((.*?)\\)\\s*RETURNS\\s+([\\w ]+?(?:\\([\\d, ]*\\))?)\\s+AS\\s+" +
-      "(?:\\$\\$(.*?)\\$\\$|'((?:[^']|'')*)')\\s+LANGUAGE\\s+PLPGSQL" +
+      "(?:\\$\\$(.*?)\\$\\$|'((?:[^']|'')*)')\\s*LANGUAGE\\s+'?PLPGSQL'?" +
       fnAttrs + "\\s*;?\\s*$").r
 
   /** The canonical SETOF plpgsql shape — `FOR r IN <query> LOOP RETURN
@@ -69,7 +69,7 @@ object SqlFunctions {
       "(?:DECLARE\\s+.*?)?BEGIN\\s+" +
       "FOR\\s+(\\w+)\\s+IN\\s+(.*?)\\s+LOOP\\s+RETURN\\s+NEXT\\s+\\3\\s*;" +
       "\\s*END\\s+LOOP\\s*;\\s*RETURN\\s*;\\s*END\\s*;?\\s*" +
-      "\\$\\$\\s+LANGUAGE\\s+PLPGSQL" + fnAttrs + "\\s*;?\\s*$").r
+      "\\$\\$\\s*LANGUAGE\\s+'?PLPGSQL'?" + fnAttrs + "\\s*;?\\s*$").r
 
   /** Parse a parameter list (gram.y func_arg_with_default): per item
     * `[IN|OUT|INOUT|VARIADIC] name type [DEFAULT expr | = expr]` →
@@ -104,6 +104,11 @@ object SqlFunctions {
     (parsed.map(_._1), parsed.map(_._2), variadic)
   }
 
+  /** The registered body of a SQL function, if any (PgAggregates
+    * inspects FINALFUNC bodies to recognize aggregate idioms). */
+  def bodyOf(name: String): Option[String] =
+    Option(registry.get(name.toLowerCase)).map(_.body)
+
   /** Parse + register a CREATE FUNCTION statement — `LANGUAGE SQL`
     * single-expression bodies, or the `LANGUAGE plpgsql` subset
     * compiled by [[compilePlpgsql]]. Either way the registered function
@@ -114,7 +119,7 @@ object SqlFunctions {
     // gram.y allows the attribute list in any order: normalize the
     // `LANGUAGE SQL [IMMUTABLE STRICT COST n ...] AS $$...$$` spelling
     // to `AS $$...$$ LANGUAGE SQL <attrs>`
-    val ddl = ("(?is)\\bLANGUAGE\\s+(SQL|PLPGSQL)(" + fnAttrs +
+    val ddl = ("(?is)\\bLANGUAGE\\s+'?(SQL|PLPGSQL)'?(" + fnAttrs +
       ")\\s+AS\\s+(\\$\\$.*?\\$\\$|'(?:[^']|'')*')").r.replaceAllIn(ddl0, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"AS ${m.group(3)} LANGUAGE ${m.group(1)}${m.group(2)}"))

@@ -69,6 +69,10 @@ object Txn {
       st.seq += 1
       val snap = s"default.__txn_snap_${st.seq}"
       spark.sql(s"DROP TABLE IF EXISTS $snap")
+      // a killed prior session can leave the snapshot's directory on
+      // disk with no catalog entry — clear it or CREATE trips on
+      // LOCATION_ALREADY_EXISTS (same contract as the CREATE path)
+      GreengageDdl.clearOrphanLocation(spark, snap)
       spark.table(key).write.format("parquet").saveAsTable(snap)
       st.snapshots(key) = snap
     }

@@ -53,7 +53,7 @@ stdin_blocks = {}  # lowercased table -> list of (data_rows) in file order
 try:
     sql_text = open(sql_path, encoding="utf-8", errors="replace").read()
     for m in re.finditer(
-            r"(?im)^copy\s+([\w\"]+)(?:\s*\([^)]*\))?\s+from\s+stdin"
+            r"(?im)^copy\s+([\w\".]+)(?:\s*\([^)]*\))?\s+from\s+stdin"
             r"([^;\n]*);\n(.*?)^\\\.$", sql_text, re.S | re.M):
         tbl = m.group(1).replace('"', "").lower()
         rows = [r for r in m.group(3).split("\n") if r != ""]
@@ -64,7 +64,7 @@ except OSError:
 def copy_stdin_to_insert(stmt):
     """COPY t FROM STDIN [opts] -> INSERT INTO t VALUES ... using the
     next queued stdin block for that table (file order)."""
-    m = re.match(r"(?is)^copy\s+([\w\"]+)(?:\s*\([^)]*\))?\s+from\s+stdin(.*?);?\s*$",
+    m = re.match(r"(?is)^copy\s+([\w\".]+)(?:\s*\([^)]*\))?\s+from\s+stdin(.*?);?\s*$",
                  stmt)
     if not m:
         return None
@@ -186,6 +186,11 @@ while i < n:
     if re.match(r"^(NOTICE|HINT|WARNING|DETAIL|CONTEXT|INFO|LINE \d+|\s*\^"
                 r"|PL/pgSQL function|SQL statement |SQL function )", s):
         i += 1
+        # multi-line DETAIL continuations print WITHOUT a prefix
+        # ('drop cascades to table x' per dropped object) — they
+        # belong to the message, not the statement stream
+        while i < n and re.match(r"^drop cascades to ", lines[i].strip()):
+            i += 1
         continue
     if re.match(r"^ERROR", s):
         # attach to the previous statement
@@ -277,6 +282,11 @@ while i < n:
             r"^(NOTICE|HINT|WARNING|DETAIL|CONTEXT|INFO|LINE \d+|\s*\^)",
             lines[j].strip()):
         j += 1
+        # unprefixed DETAIL continuations (one 'drop cascades to ...'
+        # line per dropped object)
+        while j < n and re.match(r"^drop cascades to ",
+                                 lines[j].strip()):
+            j += 1
     if j > i:
         i = j
     header_ok = (j < n and lines[j].strip() and
@@ -340,8 +350,47 @@ while i < n:
 # would leave its effects applied — wrong rows downstream. The correct
 # port is to SKIP the whole block. A BEGIN..COMMIT/END block keeps its
 # body (each statement commits on its own) and drops only the wrappers.
-# SAVEPOINT forms only appear inside blocks that roll back entirely in
-# the ported suites; a block using them is skipped wholesale.
+# SAVEPOINT handling inside a kept block: a [SAVEPOINT s .. ROLLBACK TO
+# s] span is a net no-op on table state (everything in it rolled back),
+# so the span drops and the rest of the body survives; RELEASE and
+# stray ROLLBACK TO are wrappers with no state effect and drop alone.
+# NOTE `ROLLBACK TO ...` is NOT a block terminator (xact.c treats it as
+# a savepoint rewind, the transaction stays open).
+def _is_rollback_to(stmt):
+    return re.match(r"(?is)^\s*rollback\s+(?:work\s+|transaction\s+)?to\b",
+                    stmt) is not None
+
+def _drop_savepoint_spans(body):
+    out = []
+    k = 0
+    while k < len(body):
+        st = body[k][1].strip().rstrip(";")
+        low = st.lower()
+        if low.startswith("savepoint"):
+            parts = low.split()
+            name = parts[1] if len(parts) > 1 else ""
+            m = k + 1
+            found = None
+            while m < len(body):
+                s2 = body[m][1].strip().rstrip(";").lower()
+                if _is_rollback_to(s2) and s2.split()[-1] == name:
+                    found = m
+                    break
+                if s2.startswith("release") and name in s2:
+                    break  # released: span effects commit — keep body
+                m += 1
+            if found is not None:
+                k = found + 1  # rolled-back span: net no-op, drop it
+            else:
+                k += 1  # savepoint marker alone
+            continue
+        if low.startswith("release") or _is_rollback_to(st):
+            k += 1
+            continue
+        out.append(body[k])
+        k += 1
+    return out
+
 def strip_txn_blocks(entries):
     out = []
     i = 0
@@ -353,18 +402,17 @@ def strip_txn_blocks(entries):
             j = i + 1
             term = None
             while j < n:
-                w = entries[j][1].split(None, 1)[0].rstrip(";").lower()
-                if w in ("rollback", "abort", "commit", "end"):
+                st_j = entries[j][1]
+                w = st_j.split(None, 1)[0].rstrip(";").lower()
+                if w in ("rollback", "abort", "commit", "end") \
+                        and not _is_rollback_to(st_j):
                     term = w
                     break
                 j += 1
-            body = entries[i + 1:j]
-            uses_savepoint = any(
-                e[1].split(None, 1)[0].rstrip(";").lower() in
-                ("savepoint", "release") for e in body)
-            if term in ("commit", "end") and not uses_savepoint:
+            body = _drop_savepoint_spans(entries[i + 1:j])
+            if term in ("commit", "end"):
                 out.extend(body)
-            elif args.keep_txn and term and not uses_savepoint:
+            elif args.keep_txn and term:
                 # keep the whole block: the engine's Txn emulation
                 # snapshots touched tables at first mutation and
                 # restores them at ROLLBACK
@@ -373,8 +421,9 @@ def strip_txn_blocks(entries):
                 out.append(("STMT", "ROLLBACK;", []))
             # else rollback/abort (or unterminated): block dropped
             i = j + 1 if term else n
-        elif first in ("rollback", "abort", "commit", "end",
-                       "savepoint", "release"):
+        elif first in ("savepoint", "release") or _is_rollback_to(stmt):
+            i += 1  # stray savepoint wrapper outside a block: drop
+        elif first in ("rollback", "abort", "commit", "end"):
             i += 1  # stray wrapper with no matching BEGIN: drop
         else:
             out.append(entries[i])
