@@ -32,6 +32,31 @@ object PgChr {
   }
 }
 
+/** `pg_lcm(array(n1, n2, ...))` — least common multiple of the
+  * set-returning-function result lengths: GP's pre-PG10 target-list
+  * SRF semantics cycle every set to the LCM (ExecTargetList,
+  * execQual.c). Zero anywhere → 0 (one empty set empties the row
+  * set, as PG does). */
+case class PgLcm(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var acc = 1L
+    var i = 0
+    while (i < arr.numElements()) {
+      val n = arr.getLong(i)
+      if (n <= 0) return 0L
+      acc = acc / java.math.BigInteger.valueOf(acc)
+        .gcd(java.math.BigInteger.valueOf(n)).longValue * n
+      i += 1
+    }
+    acc
+  }
+  override protected def withNewChildInternal(n: Expression): PgLcm =
+    copy(child = n)
+}
+
 /** Pure helpers invoked from both interpreted eval and generated code.
   * (An `object` with no companion class gets static forwarders, so
   * codegen can call `graft.functions.GraftStrings.m(...)` directly.)
@@ -1742,6 +1767,43 @@ object GraftFunctions {
       FunctionIdentifier("chr"),
       info("chr", "chr(n) - the character with Unicode code point n"),
       (args: Seq[Expression]) => PgChr(Cast(args(0), LongType)))
+    // geometric text I/O (geo_ops.c): lseg_in/box_in canonical forms,
+    // box_area for PG's area-based box comparison; textout = text cast
+    reg.registerFunction(
+      FunctionIdentifier("lseg_in"),
+      info("lseg_in", "lseg_in(text) - canonical [(x1,y1),(x2,y2)]"),
+      (args: Seq[Expression]) => PgLsegIn(Cast(args(0), StringType)))
+    reg.registerFunction(
+      FunctionIdentifier("box_in"),
+      info("box_in", "box_in(text) - canonical (hi),(lo) box"),
+      (args: Seq[Expression]) => PgBoxIn(Cast(args(0), StringType)))
+    reg.registerFunction(
+      FunctionIdentifier("box_area"),
+      info("box_area", "box_area(box) - width * height"),
+      (args: Seq[Expression]) => PgBoxArea(Cast(args(0), StringType)))
+    // array_lower/array_upper over plain (1-based) SQL arrays
+    // (arrayfuncs.c): NULL for an empty array, as PG returns
+    reg.registerFunction(
+      FunctionIdentifier("pg_lcm"),
+      info("pg_lcm", "pg_lcm(array<bigint>) - LCM, 0 if any is 0"),
+      (args: Seq[Expression]) =>
+        PgLcm(Cast(args(0), ArrayType(LongType))))
+    reg.registerFunction(
+      FunctionIdentifier("array_lower"),
+      info("array_lower", "array_lower(a, dim) - 1, NULL when empty"),
+      (args: Seq[Expression]) =>
+        If(GreaterThan(Size(args(0)), Literal(0)),
+          Literal(1), Literal(null, IntegerType)))
+    reg.registerFunction(
+      FunctionIdentifier("array_upper"),
+      info("array_upper", "array_upper(a, dim) - size, NULL when empty"),
+      (args: Seq[Expression]) =>
+        If(GreaterThan(Size(args(0)), Literal(0)),
+          Size(args(0)), Literal(null, IntegerType)))
+    reg.registerFunction(
+      FunctionIdentifier("textout"),
+      info("textout", "textout(x) - the text form of x"),
+      (args: Seq[Expression]) => Cast(args(0), StringType))
     reg.registerFunction(
       FunctionIdentifier("pg_median"),
       info("pg_median", "pg_median(x) - median (percentile_cont 0.5)"),

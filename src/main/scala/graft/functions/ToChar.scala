@@ -69,10 +69,23 @@ object ToCharFmt {
 
     val frac = if (fracDigits > 0) "." + parts(1) else ""
     val core = (if (dollar) "$" else "") + intPart.trim + frac
+    // templates with interior LITERAL chars ('999E99' — 'E' is not a
+    // NUM keyword, formatting.c copies it through): PG writes the
+    // sign column immediately BEFORE the first digit
+    // (NUM_numpart_to_char sign_wrote at num_curr >= out_pre_spaces),
+    // so blanks stay left of the literal — '    E 10', not ' E10'
+    val hasLiteral = !dollar &&
+      intTpl.exists(c => c != '9' && c != '0' && c != ',')
     val out =
       if (mi) core + (if (neg) "-" else if (fm) "" else " ")
       else if (fm) (if (neg) "-" else "") + core
-      else {
+      else if (hasLiteral) {
+        val idx = intPart.indexWhere(_.isDigit)
+        val signCh = if (neg) "-" else " "
+        (if (idx >= 0)
+          intPart.substring(0, idx) + signCh + intPart.substring(idx)
+        else signCh + intPart) + frac
+      } else {
         val signed = (if (neg) "-" else " ") + core
         val pad = intTpl.length + 1 + (if (dollar) 1 else 0) - (signed.length - frac.length)
         (" " * math.max(0, pad)) + signed
@@ -233,7 +246,11 @@ object DchParseFmt {
   /** Parse to epoch MICROS of the local (session-naive) datetime. */
   def parseMicros(value: UTF8String, fmt: String): Long = {
     val v = value.toString
-    var year = 1; var month = 1; var dayM = 1
+    // formatting.c do_to_timestamp: an absent year defaults to tm_year
+    // 0 — proleptic year 0 is 1 BC, which is why PG prints
+    // `0001-01-01 ... BC` for time-only to_timestamp inputs
+    var year = 0; var yearSeen = false
+    var month = 1; var dayM = 1
     var hour24 = 0; var hour12 = -1; var pm = false; var pmSeen = false
     var minute = 0; var second = 0; var nanos = 0
     var doy = -1; var jul = -1L; var ssss = -1
@@ -281,10 +298,11 @@ object DchParseFmt {
             // the 5-digit year 20000
             val greedy = i + 4 >= n ||
               !Character.isLetterOrDigit(fmt.charAt(i + 4))
-            year = readInt(if (greedy) 9 else 4); 4
+            year = readInt(if (greedy) 9 else 4); yearSeen = true; 4
           }
           else if (at("YY")) { // PG century rule: <70 → 20xx, else 19xx
-            val y2 = readInt(2); year = if (y2 < 70) 2000 + y2 else 1900 + y2; 2
+            val y2 = readInt(2); year = if (y2 < 70) 2000 + y2 else 1900 + y2
+            yearSeen = true; 2
           }
           else if (ati("MONTH")) { month = 1 + name(monFull, monAbbr, wantFull = true); 5 }
           else if (ati("MON")) { month = 1 + name(monFull, monAbbr, wantFull = false); 3 }
@@ -314,12 +332,19 @@ object DchParseFmt {
         i += consumed
       }
     }
-    if (pmSeen && hour12 >= 0) hour24 = hour12 % 12 + (if (pm) 12 else 0)
-    else if (hour12 >= 0) hour24 = hour12 % 12
+    // formatting.c do_to_timestamp: HH/HH12 stores the hour AS READ
+    // (out-of-range 15 stays 15); the meridiem then adds 12 for PM
+    // hours < 12 and zeroes an AM 12 — no blanket % 12
+    if (hour12 >= 0) hour24 = hour12
+    if (pmSeen) {
+      if (pm && hour24 < 12) hour24 += 12
+      else if (!pm && hour24 == 12) hour24 = 0
+    }
     if (ssss >= 0) { hour24 = ssss / 3600; minute = ssss / 60 % 60; second = ssss % 60 }
     val date =
       if (jul >= 0) java.time.LocalDate.ofEpochDay(jul - 2440588L)
-      else if (doy >= 0) java.time.LocalDate.ofYearDay(year, doy)
+      else if (doy >= 0)
+        java.time.LocalDate.ofYearDay(if (yearSeen) year else 1, doy)
       else java.time.LocalDate.of(year, month, dayM)
     val dt = java.time.LocalDateTime.of(date,
       java.time.LocalTime.of(hour24, minute, second, nanos))

@@ -164,10 +164,20 @@ object ExternalTable {
             s"unsupported CUSTOM formatter ${formatter.getOrElse("(none)")}" +
               " (fixedwidth_in/fixedwidth_out)")
         } else {
-          val dRe = "(?is)\\bDELIMITER\\s+(?:AS\\s+)?'((?:[^']|'')*)'".r
-          val nRe = "(?is)\\bNULL\\s+(?:AS\\s+)?'((?:[^']|'')*)'".r
-          delimiter = dRe.findFirstMatchIn(opts).map(_.group(1).replace("''", "'"))
-          nullToken = nRe.findFirstMatchIn(opts).map(_.group(1).replace("''", "'"))
+          // E'...' escape-string spellings decode their backslash
+          // escapes (scan.l xe rules) — `DELIMITER AS E'\t'`
+          val dRe = "(?is)\\bDELIMITER\\s+(?:AS\\s+)?(E)?'((?:[^']|'')*)'".r
+          val nRe = "(?is)\\bNULL\\s+(?:AS\\s+)?(E)?'((?:[^']|'')*)'".r
+          def unesc(e: String, v0: String): String = {
+            val v = v0.replace("''", "'")
+            if (e == null) v
+            else v.replace("\\t", "\t").replace("\\n", "\n")
+              .replace("\\r", "\r").replace("\\\\", "\\")
+          }
+          delimiter = dRe.findFirstMatchIn(opts)
+            .map(m => unesc(m.group(1), m.group(2)))
+          nullToken = nRe.findFirstMatchIn(opts)
+            .map(m => unesc(m.group(1), m.group(2)))
           header = "(?i)\\bHEADER\\b".r.findFirstIn(opts).isDefined
         }
         tail = tail.substring(a3).trim
@@ -269,7 +279,7 @@ object ExternalTable {
           spec.preserveBlanks, spec.fwNull, spec.lineDelim)
       case Some(cmd) =>
         val r = ExecSource.readCsv(spark, cmd, spec.schema, spec.segments,
-          limit, spec.delimiter)
+          limit, spec.delimiter, spec.nullToken)
         r.copy(good = r.good.drop("segment"))
       case None if spec.locations.head.matches("(?i)^(gpfdists?|https?)://.*") =>
         // gpfdist speaks http (gpfdists = the TLS variant): one

@@ -172,7 +172,9 @@ object GreengageDdl {
     // column list (absent for CTAS)
     var columns = Seq.empty[(String, String)]
     val typedCols = Seq.newBuilder[(String, String)] // col → registered PG type
-    val bpcharCols = Seq.newBuilder[String] // blank-padded char(n) columns
+    val bpcharColsB = Seq.newBuilder[(String, Int)] // char(n) cols + widths
+    val varcharColsB = Seq.newBuilder[String] // varchar columns
+    val geoColsB = Seq.newBuilder[(String, String)] // box/lseg columns
     val colDefaults = scala.collection.mutable.Map[String, String]()
     val serialCols = Seq.newBuilder[String]
     if (rest.startsWith("(")) {
@@ -220,8 +222,23 @@ object GreengageDdl {
           // length()/||/equality all see it) — never trim them
           if ("(?i)^(bpchar|char|character)$".r
                 .findFirstIn(head).isDefined &&
-              !"(?i)\\bvarying\\b".r.findFirstIn(typePart).isDefined)
-            bpcharCols += colName.toLowerCase
+              !"(?i)\\bvarying\\b".r.findFirstIn(typePart).isDefined) {
+            // declared length drives the text-comparison pad
+            // (bpchar(n) vs TEXT compares the PADDED image); a bare
+            // bpchar has no pad width (-1)
+            val len = "\\((\\d+)\\)".r.findFirstMatchIn(typePart)
+              .map(_.group(1).toInt)
+              .getOrElse(if (head.equalsIgnoreCase("bpchar")) -1 else 1)
+            bpcharColsB += colName.toLowerCase -> len
+          }
+          if ("(?i)^(varchar|character|char)\\b".r.findFirstIn(head).isDefined &&
+              ("(?i)\\bvarying\\b".r.findFirstIn(typePart).isDefined ||
+                head.equalsIgnoreCase("varchar")))
+            varcharColsB += colName.toLowerCase
+          // box/lseg columns canonicalize their text form on INSERT
+          // (geo_ops.c box_in reorders corners; lseg_out brackets)
+          if ("(?i)^(box|lseg)$".r.findFirstIn(head).isDefined)
+            geoColsB += colName.toLowerCase -> head.toLowerCase
           if (PgTypes.isRegistered(head)) typedCols += (colName -> head)
           if ("(?i)^(small|big)?serial[248]?$".r.findFirstIn(head).isDefined)
             serialCols += colName
@@ -248,7 +265,9 @@ object GreengageDdl {
       columns = Seq(("__dummy", "INT"))
     // enum/domain columns carry check constraints enforced on INSERT/COPY
     PgTypes.recordTable(name, typedCols.result())
-    recordCharCols(name, bpcharCols.result().toSet)
+    recordCharCols(name, bpcharColsB.result().toMap)
+    recordVarcharCols(name, varcharColsB.result().toSet)
+    recordGeoCols(name, geoColsB.result().toMap)
 
     // WITH (storage options)
     var storageOpts = Map.empty[String, String]
@@ -317,13 +336,25 @@ object GreengageDdl {
       var tail = rest.substring(after).trim
       val subRe = "(?is)^SUBPARTITION\\s+BY\\s+(RANGE|LIST)\\s*\\(".r
       val tmplRe = "(?is)^SUBPARTITION\\s+TEMPLATE\\s*\\(".r
+      // ordered sub-levels: (range|list, cols, template spec) — the
+      // template drives the child-relation registry (cdbpartition.c
+      // builds a child heap per template item under EVERY parent)
+      val subLevels = Seq.newBuilder[(String, Seq[String], Option[String])]
       var made = true
       while (made) {
         made = false
         subRe.findFirstMatchIn(tail).foreach { s =>
           val (sc, sAfter) = balanced(tail, s.end - 1)
-          partitionCols ++= splitTop(sc).map(_.replace("\"", ""))
+          val cols = splitTop(sc).map(_.replace("\"", ""))
+          partitionCols ++= cols
           tail = tail.substring(sAfter).trim
+          var tmpl: Option[String] = None
+          tmplRe.findFirstMatchIn(tail).foreach { t =>
+            val (tb, tAfter) = balanced(tail, t.end - 1)
+            tmpl = Some(tb)
+            tail = tail.substring(tAfter).trim
+          }
+          subLevels += ((s.group(1).toLowerCase, cols, tmpl))
           made = true
         }
         tmplRe.findFirstMatchIn(tail).foreach { s =>
@@ -337,6 +368,12 @@ object GreengageDdl {
       // every explicit partition (cdbpartition.c default part)
       if (tail.startsWith("(")) {
         val (spec0, after2) = balanced(tail, 0)
+        val key1 = name.toLowerCase.replace("\"", "")
+        partColsReg.put(key1, level1Cols)
+        val levels = subLevels.result()
+        partLevelColsReg.put(key1, level1Cols +: levels.map(_._2))
+        subLevelsReg.put(key1,
+          levels.collect { case (ty, _, Some(t)) => (ty, t) })
         recordPartBounds(name, level1Cols, spec0)
         recordPartChildren(name, p.group(1).toLowerCase, spec0)
         rest = tail.substring(after2).trim
@@ -463,6 +500,12 @@ object GreengageDdl {
     if (spec.columns.exists(_._1 == "__like__"))
       spec = spec.copy(columns = spec.columns.flatMap {
         case ("__like__", ref) =>
+          // the source's bpchar/geo column semantics come along with
+          // its columns (tablecmds.c transformTableLikeClause copies
+          // the type, and the trim/canonicalize behavior IS the type)
+          recordCharCols(spec.name, charColLens(spec.name) ++ charColLens(ref))
+          recordVarcharCols(spec.name, varcharCols(spec.name) ++ varcharCols(ref))
+          recordGeoCols(spec.name, geoCols(spec.name) ++ geoCols(ref))
           spark.table(ref).schema.fields.toSeq.map(f => (f.name, f.dataType.sql))
         case other => Seq(other)
       })
@@ -492,6 +535,8 @@ object GreengageDdl {
       serialRegistry.put(s"${spec.name.toLowerCase}.${c.toLowerCase}", seq)
     }
     spec.inherits.foreach(p => attachChild(spark, p, spec.name))
+    // GP child-partition relations (`<tbl>_1_prt_<name>`) as views
+    registerPartChildViews(spark, spec.name, spec.partitionCols)
     spec
   }
 
@@ -522,6 +567,15 @@ object GreengageDdl {
   def physicalTarget(t: String): String = {
     val n = t.toLowerCase.replace("\"", "")
     if (inheritReg.containsKey(n)) n + "__only" else t
+  }
+
+  /** Every physical member of an inheritance family (parent's own
+    * table + children) — UPDATE/DELETE on the parent touches all of
+    * them (PG plans one ModifyTable over the inheritance set). */
+  def inheritanceMembers(t: String): Seq[String] = {
+    val n = t.toLowerCase.replace("\"", "")
+    if (inheritReg.containsKey(n)) (n + "__only") +: inheritReg.get(n)
+    else Seq(t)
   }
 
   def attachChild(spark: SparkSession, parent0: String,
@@ -577,23 +631,66 @@ object GreengageDdl {
   private val serialRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  // blank-padded char(n) columns per table: stored right-trimmed so
-  // bpchar comparison/length semantics hold (varlena.c bpchareq)
+  // blank-padded char(n) columns per table (column → declared width):
+  // stored right-trimmed so bpchar comparison/length semantics hold
+  // (varlena.c bpchareq); the width restores the padded image when a
+  // TEXT comparison needs it (BpcharEq)
   private val charRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Int]]()
+  // varchar columns per table: PG resolves varchar-vs-bpchar
+  // comparison as bpchareq (blank-insensitive), unlike text
+  private val varcharRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
   /** The declared char(n)/bpchar columns of `table` (lower-cased). */
   def charCols(table: String): Set[String] =
+    charColLens(table).keySet
+
+  /** char(n) column → declared width (-1 for widthless bpchar). */
+  def charColLens(table: String): Map[String, Int] =
     Option(charRegistry.get(table.toLowerCase.replace("\"", "")))
+      .getOrElse(Map.empty)
+
+  /** The declared varchar columns of `table` (lower-cased). */
+  def varcharCols(table: String): Set[String] =
+    Option(varcharRegistry.get(table.toLowerCase.replace("\"", "")))
       .getOrElse(Set.empty)
 
   private[operators] def recordCharCols(table: String,
-                                        cols: Set[String]): Unit = {
+                                        cols: Map[String, Int]): Unit = {
     val key = table.toLowerCase.replace("\"", "")
     // a re-CREATE with no char columns must clear a same-named entry
     // (the registry is session-global, keyed by bare name)
     if (cols.nonEmpty) charRegistry.put(key, cols)
     else charRegistry.remove(key)
+    ()
+  }
+
+  private[operators] def recordVarcharCols(table: String,
+                                           cols: Set[String]): Unit = {
+    val key = table.toLowerCase.replace("\"", "")
+    if (cols.nonEmpty) varcharRegistry.put(key, cols)
+    else varcharRegistry.remove(key)
+    ()
+  }
+
+  // box/lseg columns per table: column (lower) → "box" | "lseg".
+  // INSERTs canonicalize their text (geo_ops.c input functions) and
+  // box comparisons go through area (BpcharEq rule).
+  private val geoRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  /** The declared box/lseg columns of `table` (lower-cased). */
+  def geoCols(table: String): Map[String, String] =
+    Option(geoRegistry.get(table.toLowerCase.replace("\"", "")))
+      .getOrElse(Map.empty)
+
+  private[operators] def recordGeoCols(table: String,
+                                       cols: Map[String, String]): Unit = {
+    val key = table.toLowerCase.replace("\"", "")
+    if (cols.nonEmpty) geoRegistry.put(key, cols)
+    else geoRegistry.remove(key)
+    ()
   }
 
   /** The implicit sequence backing a SERIAL column, if any. */
@@ -738,8 +835,20 @@ object GreengageDdl {
   private val alterInheritRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(?:ONLY\\s+)?([\\w.\"]+)\\s+(NO\\s+)?INHERIT\\s+([\\w.\"]+)\\s*;?\\s*$".r
 
-  /** Translate + execute a Greengage ALTER TABLE statement. */
-  def alter(spark: SparkSession, ddl: String): Unit = ddl match {
+  /** Translate + execute a Greengage ALTER TABLE statement. A
+    * schema-changing ALTER on a partitioned table also rebuilds its
+    * child views (their SELECT * snapshot the old schema). */
+  def alter(spark: SparkSession, ddl: String): Unit = {
+    alterInner(spark, ddl)
+    "(?is)^\\s*ALTER\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(?:ONLY\\s+)?([\\w.\"]+)".r
+      .findFirstMatchIn(ddl).foreach { m =>
+        val t = m.group(1).replace("\"", "")
+        if (partColsOf(t).nonEmpty)
+          registerPartChildViews(spark, t, partColsOf(t))
+      }
+  }
+
+  private def alterInner(spark: SparkSession, ddl: String): Unit = ddl match {
     case alterInheritRe(child, no, parent) =>
       if (no == null) attachChild(spark, parent, child)
       else detachChild(spark, parent, child)
@@ -870,7 +979,13 @@ object GreengageDdl {
     if (props.nonEmpty)
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
         props.map { case (k, v) =>
-          s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
+          // the PG-declared column order must track the surgery —
+          // a stale entry would expand `SELECT *` over dropped or
+          // pre-rename column names
+          val v2 = if (k == "graft.pgcolorder")
+            v.split(",").toSeq.flatMap(surviving(_)).mkString(",")
+          else v
+          s"'${k.replace("'", "''")}'='${v2.replace("'", "''")}'"
         }.mkString(", ") + ")")
   }
 
@@ -924,6 +1039,15 @@ object GreengageDdl {
   // index name -> table (PG's DROP INDEX names only the index)
   private val indexTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // index name -> (table, access method, columns) — pg_indexes surface
+  private val indexDefReg =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Seq[String])]()
+
+  /** Recorded index definitions for the pg_indexes compat view. */
+  def indexDefs: Seq[(String, (String, String, Seq[String]))] = {
+    import scala.jdk.CollectionConverters._
+    indexDefReg.asScala.toSeq
+  }
 
   /** Translate + execute CREATE INDEX: cluster the table's layout on
     * the indexed columns (unpartitioned tables; partitioned tables are
@@ -950,6 +1074,20 @@ object GreengageDdl {
     // anonymous form auto-names like PG's ChooseIndexName: t_c1_c2_idx
     val idxName = Option(m.group(1)).map(_.replace("\"", "")).getOrElse(
       (table.split("\\.").last +: cols).mkString("_") + "_idx")
+    // an index on a partition CHILD (a view over the parent's slice)
+    // is record-only: the parent's layout serves the child's scans
+    val isView = try {
+      spark.sessionState.catalog.getTempViewOrPermanentTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
+    } catch { case scala.util.control.NonFatal(_) => false }
+    if (isView) {
+      spark.table(table) // existence check
+      indexTables.put(idxName, table)
+      indexDefReg.put(idxName,
+        (table, Option(m.group(3)).map(_.toLowerCase).getOrElse("btree"), cols))
+      return cols
+    }
     val schema = spark.table(table).schema
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"index column $c not in $table"))
@@ -973,6 +1111,8 @@ object GreengageDdl {
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
       s"('graft.index.$idxName'='$kind:${cols.mkString(",")}')")
     indexTables.put(idxName, table)
+    indexDefReg.put(idxName,
+      (table, Option(m.group(3)).map(_.toLowerCase).getOrElse("btree"), cols))
     cols
   }
 
@@ -1016,8 +1156,11 @@ object GreengageDdl {
       .orElse(Option(indexTables.get(idxName))).getOrElse(
         throw new IllegalArgumentException(s"unknown index: $idxName"))
     indexTables.remove(idxName)
-    spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS " +
+    indexDefReg.remove(idxName)
+    // record-only indexes (partition-child views) carry no property
+    try spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS " +
       s"('graft.index.$idxName')")
+    catch { case scala.util.control.NonFatal(_) => }
   }
 
   // ALTER TABLE ... partition maintenance (gram.y:3343
@@ -1046,39 +1189,93 @@ object GreengageDdl {
       partitionlistvalues: String, partitionrangestart: String,
       partitionstartinclusive: Option[Boolean], partitionrangeend: String,
       partitionendinclusive: Option[Boolean], partitioneveryclause: String,
-      partitionisdefault: Boolean, partitionboundary: String)
+      partitionisdefault: Boolean, partitionboundary: String,
+      // explicit parent linkage — truncated child names (NAMEDATALEN)
+      // cannot be derived back by stripping suffixes
+      parentchild: String = null, parentname: String = null)
 
   /** table (as written, lowercased) → level-1 child partitions. */
   private val partChildrenReg =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[PartChild]]()
+
+  /** table → declared level-1 partition columns (the physical layout
+    * may prune them; partition METADATA ops still need them). */
+  private val partColsReg =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  def partColsOf(table: String): Seq[String] =
+    Option(partColsReg.get(table.toLowerCase.replace("\"", "")))
+      .getOrElse(Seq.empty)
+
+  /** table → per-level partition columns (level 0 first). */
+  private val partLevelColsReg =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[String]]]()
+
+  def partLevelColsOf(table: String): Seq[Seq[String]] =
+    Option(partLevelColsReg.get(table.toLowerCase.replace("\"", "")))
+      .getOrElse(Seq.empty)
+
+  /** table → sub-level (range|list, template spec) pairs, in order. */
+  private val subLevelsReg =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private def subLevelsOf(table: String): Seq[(String, String)] =
+    Option(subLevelsReg.get(table.toLowerCase.replace("\"", "")))
+      .getOrElse(Seq.empty)
+
+  // child relation name -> (parent table, child predicate): DML
+  // against a child view routes to the parent restricted to the
+  // child's slice (PG stores child rows in the child heap; here the
+  // parent IS the store)
+  private val childTargetReg =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  def childTarget(name: String): Option[(String, String)] =
+    Option(childTargetReg.get(name.toLowerCase.replace("\"", "")))
 
   /** Parse + expand the level-1 bound-spec into pg_partitions child
     * rows. EVERY ranges expand numerically when the bounds are plain
     * numbers (the common case; non-numeric EVERY keeps one row with
     * the declared bounds). Best-effort like recordPartBounds — a spec
     * this can't model just yields no introspection rows. */
-  private def recordPartChildren(table: String, partType: String,
-                                 spec: String): Unit = try {
-    val (schema, bare) = {
-      val t = table.toLowerCase.replace("\"", "")
-      val i = t.lastIndexOf('.')
-      if (i > 0) (t.substring(0, i), t.substring(i + 1)) else ("public", t)
-    }
-    val items = splitTop(spec.trim.stripPrefix("(").stripSuffix(")"))
+  /** One bound-spec ITEM list at one level → PartChild rows.
+    * `namePrefix` is the PARENT's child-relation name (the bare table
+    * at level 0); names append `_<level+1>_prt_<name|ord>`. Anonymous
+    * EVERY-children number from 2 when the level declares a DEFAULT
+    * (cdbpartition.c gives the default parruleord 1, shifting the
+    * anonymous names — DATE_PARTS' `_1_prt_2` IS its first range). */
+  /** GP child names truncate like makeObjectName (NAMEDATALEN 64):
+    * the PARENT part shortens so the new `_N_prt_x` suffix fits. */
+  private def childName(namePrefix: String, suffix: String): String = {
+    // NAMEDATALEN is 64 INCLUDING the terminating NUL: 63 usable chars
+    val full = namePrefix + suffix
+    if (full.length <= 63) full
+    else namePrefix.take(math.max(1, 63 - suffix.length)) + suffix
+  }
+
+  private def parseSpecItems(schema: String, bare: String,
+      namePrefix: String, level: Int, partType: String,
+      spec: String): Seq[PartChild] = {
+    val items = splitTop(stripOuterParens(spec))
+    val lv = level + 1
+    val hasDefault = items.exists(i =>
+      "(?is)^default\\s+(sub)?partition\\b".r.findFirstIn(i.trim).isDefined)
+    val nameOff = if (hasDefault) 1L else 0L
     val children = Seq.newBuilder[PartChild]
     var pos = 0L
     var rank = 0L
     items.foreach { it0 =>
       val it = it0.trim
-      val dm = "(?is)^default\\s+partition\\s+([\\w\"]+)".r
+      val dm = "(?is)^default\\s+(?:sub)?partition\\s+([\\w\"]+)".r
         .findFirstMatchIn(it)
-      val nm = "(?is)^partition\\s+([\\w\"]+)".r.findFirstMatchIn(it)
+      val nm = "(?is)^(?:sub)?partition\\s+([\\w\"]+)".r.findFirstMatchIn(it)
       val pname = dm.orElse(nm).map(_.group(1).replace("\"", "")).orNull
       if (dm.isDefined) {
         // default partition: parruleord 0, rank NULL (system_views.sql
         // rank CASE), boundary prints the DEFAULT form
-        children += PartChild(schema, bare, s"${bare}_1_prt_$pname",
-          pname, partType, 0, None, 0L, null, null,
+        children += PartChild(schema, bare,
+          childName(namePrefix, s"_${lv}_prt_$pname"),
+          pname, partType, level, None, 0L, null, null,
           None, null, None, null, partitionisdefault = true,
           s"DEFAULT PARTITION $pname")
       } else {
@@ -1087,10 +1284,11 @@ object GreengageDdl {
         if (vm.isDefined) {
           pos += 1
           val (vals, _) = balanced(it, vm.get.end - 1)
-          val child = if (pname != null) s"${bare}_1_prt_$pname"
-            else s"${bare}_1_prt_$pos"
+          val child =
+            if (pname != null) childName(namePrefix, s"_${lv}_prt_$pname")
+            else childName(namePrefix, s"_${lv}_prt_${pos + nameOff}")
           val bprefix = if (pname != null) s"PARTITION $pname " else ""
-          children += PartChild(schema, bare, child, pname, "list", 0,
+          children += PartChild(schema, bare, child, pname, "list", level,
             None, pos, vals, null, None, null, None, null,
             partitionisdefault = false, s"${bprefix}VALUES($vals)")
         } else if (sm.isDefined) {
@@ -1106,8 +1304,10 @@ object GreengageDdl {
           }
           val evm = "(?is)\\bevery\\s*\\(".r.findFirstMatchIn(it)
           val ev = evm.map(e => balanced(it, e.end - 1)._1).orNull
-          // numeric EVERY expansion: one child per step (cdbpartition.c
-          // atpxPart_validate_spec); non-numeric stays one row
+          // EVERY expansion: one child per step (cdbpartition.c
+          // atpxPart_validate_spec) — numeric bounds step numerically,
+          // date/timestamp bounds step by the interval; anything else
+          // keeps one row with the declared bounds
           val steps: Seq[(String, String)] =
             (for {
               e <- Option(ev)
@@ -1118,34 +1318,286 @@ object GreengageDdl {
               if evv > 0 && bv > av && ((bv - av) / evv) <= 10000
             } yield Iterator.iterate(av)(_ + evv)
               .takeWhile(_ < bv)
-              .map(s => (fmtNum(s), fmtNum((s + evv).min(bv))))
-              .toSeq).getOrElse(Seq((a, b)))
+              .map(st => (fmtNum(st), fmtNum((st + evv).min(bv))))
+              .toSeq)
+              .orElse(dateSteps(a, Option(b), Option(ev)))
+              .getOrElse(Seq((a, b)))
           steps.foreach { case (cs, ce) =>
             pos += 1; rank += 1
             val child = if (pname != null && steps.length == 1)
-              s"${bare}_1_prt_$pname"
-            else if (pname != null) s"${bare}_1_prt_${pname}_$rank"
-            else s"${bare}_1_prt_$pos"
+              childName(namePrefix, s"_${lv}_prt_$pname")
+            else if (pname != null)
+              childName(namePrefix, s"_${lv}_prt_${pname}_$rank")
+            else childName(namePrefix, s"_${lv}_prt_${pos + nameOff}")
             val bprefix =
               if (pname != null && steps.length == 1) s"PARTITION $pname "
               else ""
             val boundary = s"${bprefix}START ($cs) END ($ce)" +
               (if (ev != null) s" EVERY ($ev)" else "") +
               (if (endIncl) " INCLUSIVE" else "")
-            children += PartChild(schema, bare, child, pname, "range", 0,
+            children += PartChild(schema, bare, child, pname, "range", level,
               Some(rank), pos, null, cs, Some(true), ce,
               Some(endIncl), ev, partitionisdefault = false, boundary)
           }
         }
       }
     }
-    val rows = children.result()
-    if (rows.nonEmpty)
-      partChildrenReg.put(table.toLowerCase.replace("\"", ""), rows)
+    val rows0 = children.result()
+    // a START-only range partition ends where the NEXT partition
+    // starts (cdbpartition.c atpxPart_validate_spec fills parrangeend
+    // from the following START) — without this, consecutive
+    // START-only children would all claim the open tail
+    rows0.map { c =>
+      if (c.partitiontype == "range" && !c.partitionisdefault &&
+          c.partitionrangeend == null)
+        rows0.filter(r => r.partitiontype == "range" &&
+            !r.partitionisdefault &&
+            r.partitionposition > c.partitionposition &&
+            r.partitionrangestart != null)
+          .sortBy(_.partitionposition).headOption
+          .map(n => c.copy(partitionrangeend = n.partitionrangestart,
+            partitionendinclusive = Some(false))).getOrElse(c)
+      else c
+    }
+  }
+
+  /** A date/timestamp bound literal, tolerant of the typed and
+    * ::-cast spellings. Returns (value, wasDateForm). */
+  private def dtBound(s0: String)
+      : Option[(java.time.LocalDateTime, Boolean)] = {
+    val s1 = s0.trim
+      .replaceAll("(?is)^(date|timestamp(\\s+without\\s+time\\s+zone)?)\\s*", "")
+      .replaceAll("(?is)::\\s*(date|timestamp(\\s+without\\s+time\\s+zone)?)\\s*$", "")
+      .trim.stripPrefix("'").stripSuffix("'").trim
+    try {
+      if (s1.matches("\\d{4}-\\d{2}-\\d{2}"))
+        Some((java.time.LocalDate.parse(s1).atStartOfDay, true))
+      else
+        Some((java.time.LocalDateTime.parse(s1.replace(" ", "T")), false))
+    } catch { case _: Exception => None }
+  }
+
+  /** EVERY stepping over date/timestamp bounds (`START (date
+    * '2011-01-01') END (date '2012-01-01') EVERY (INTERVAL '3
+    * month')`). */
+  private def dateSteps(a: String, b: Option[String],
+      ev: Option[String]): Option[Seq[(String, String)]] =
+    for {
+      e <- ev
+      bb <- b
+      (av, aDate) <- dtBound(a)
+      (bv, _) <- dtBound(bb)
+      m <- ("(?is)(?:interval\\s*)?'\\s*(\\d+)\\s*" +
+        "(year|month|week|day|hour)s?\\s*'(?:\\s*::\\s*interval)?").r
+        .findFirstMatchIn(e.trim)
+      if bv.isAfter(av)
+      n = m.group(1).toLong
+      if n > 0
+      unit = m.group(2).toLowerCase
+      step = (d: java.time.LocalDateTime) => unit match {
+        case "year" => d.plusYears(n)
+        case "month" => d.plusMonths(n)
+        case "week" => d.plusWeeks(n)
+        case "day" => d.plusDays(n)
+        case _ => d.plusHours(n)
+      }
+      all = Iterator.iterate(av)(step).takeWhile(_.isBefore(bv))
+        .take(10000).toSeq
+      if all.nonEmpty && all.length < 10000
+    } yield {
+      def render(d: java.time.LocalDateTime): String =
+        if (aDate && d.toLocalTime == java.time.LocalTime.MIDNIGHT)
+          s"date '${d.toLocalDate}'"
+        else s"timestamp '${d.toLocalDate} ${d.toLocalTime}'"
+      all.map { st =>
+        val en = step(st)
+        (render(st), render(if (en.isAfter(bv)) bv else en))
+      }
+    }
+
+  private def recordPartChildren(table: String, partType: String,
+                                 spec: String,
+                                 append: Boolean = false): Unit = try {
+    val (schema, bare) = {
+      val t = table.toLowerCase.replace("\"", "")
+      val i = t.lastIndexOf('.')
+      if (i > 0) (t.substring(0, i), t.substring(i + 1)) else ("public", t)
+    }
+    val lvl0 = parseSpecItems(schema, bare, bare, 0, partType, spec)
+    // sub-level templates expand under EVERY frontier child
+    // (cdbpartition.c: a child heap per template item per parent)
+    var all = lvl0
+    var frontier = lvl0
+    subLevelsOf(table).zipWithIndex.foreach { case ((stype, tspec), i) =>
+      val next = frontier.flatMap { parent =>
+        parseSpecItems(schema, bare, parent.partitiontablename,
+          i + 1, stype, tspec)
+          .map(_.copy(parentchild = parent.partitiontablename,
+            parentname = parent.partitionname))
+      }
+      all = all ++ next
+      frontier = next
+    }
+    val rows = all
+    val key0 = table.toLowerCase.replace("\"", "")
+    if (rows.nonEmpty) {
+      val merged =
+        if (append) {
+          val prior = Option(partChildrenReg.get(key0)).getOrElse(Seq.empty)
+            .filterNot(p => rows.exists(
+              _.partitiontablename == p.partitiontablename))
+          prior ++ rows
+        } else rows
+      partChildrenReg.put(key0, merged)
+    }
   } catch { case _: Exception => () } // introspection stays best-effort
+
+  /** `ALTER TABLE t SPLIT DEFAULT PARTITION AT (VALUES((..))) INTO
+    * (PARTITION a, PARTITION b)` (cdbpartition.c atpxPartSplit): the
+    * AT values move into a NEW list partition `a`; `b` becomes the
+    * remaining default. Pure metadata under dynamic value
+    * partitioning — the rows never move, only the child identities
+    * (names, bounds, views) change. */
+  private[operators] def splitDefaultPartition(spark: SparkSession,
+      table: String, vals: String, name1: String, name2: String): Unit = {
+    val key0 = table.toLowerCase.replace("\"", "")
+    val kids = Option(partChildrenReg.get(key0)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has no recorded partitions — cannot SPLIT"))
+    val cols = partColsOf(table)
+    require(cols.nonEmpty, s"$table has no recorded partition columns")
+    val (schema, bare) = {
+      val i = key0.lastIndexOf('.')
+      if (i > 0) (key0.substring(0, i), key0.substring(i + 1))
+      else ("public", key0)
+    }
+    val oldDefault = kids.find(_.partitionisdefault)
+    val keep = kids.filterNot(_.partitionisdefault)
+    val maxPos = kids.map(_.partitionposition).foldLeft(0L)(math.max)
+    val newList = PartChild(schema, bare, s"${bare}_1_prt_$name1", name1,
+      "list", 0, None, maxPos + 1, vals, null, None, null, None, null,
+      partitionisdefault = false, s"PARTITION $name1 VALUES($vals)")
+    val newDef = PartChild(schema, bare, s"${bare}_1_prt_$name2", name2,
+      keep.headOption.map(_.partitiontype).getOrElse("list"), 0, None, 0L,
+      null, null, None, null, None, null,
+      partitionisdefault = true, s"DEFAULT PARTITION $name2")
+    val qual = if (key0.contains(".")) schema + "." else ""
+    oldDefault.filter(_.partitionname != name2).foreach { d =>
+      spark.sql(s"DROP VIEW IF EXISTS $qual${d.partitiontablename}"); ()
+    }
+    partChildrenReg.put(key0, keep :+ newList :+ newDef)
+    // the new list partition's values join the explicit coverage
+    val lhs = if (cols.length > 1) cols.mkString("(", ", ", ")")
+      else cols.head
+    val np = s"($lhs IN ($vals))"
+    partBoundsReg.put(key0,
+      Option(partBoundsReg.get(key0)).map(b => s"($b OR $np)").getOrElse(np))
+    registerPartChildViews(spark, table, cols)
+  }
+
+  /** `ALTER TABLE t ADD PARTITION name START(..) END(..)` — dynamic
+    * value partitioning stores any value already, so adding a bound
+    * partition is pure metadata: widen the coverage predicate, append
+    * the pg_partitions child row, register the child view. */
+  private[operators] def addBoundPartition(spark: SparkSession,
+                                           table: String,
+                                           itemSpec: String): Unit = {
+    val key0 = table.toLowerCase.replace("\"", "")
+    val pc = try Some(partitionColumn(spark, table))
+      catch { case scala.util.control.NonFatal(_) => None }
+    pc.foreach { col =>
+      // coverage predicate union (only non-default items contribute)
+      val before = Option(partBoundsReg.get(key0))
+      recordPartBounds(table, Seq(col), s"($itemSpec)")
+      val added = Option(partBoundsReg.get(key0))
+      (before, added) match {
+        case (Some(b), Some(a)) if b != a =>
+          partBoundsReg.put(key0, s"($b OR $a)")
+        case _ =>
+      }
+      recordPartChildren(table, "range", s"($itemSpec)", append = true)
+      registerPartChildViews(spark, table, Seq(col))
+    }
+  }
 
   private def fmtNum(b: BigDecimal): String =
     if (b.isWhole) b.toBigInt.toString else b.toString
+
+  /** GP names each partition a real child relation
+    * (`<tbl>_1_prt_<name>`, cdbpartition.c) and scripts query those
+    * children directly. Register each level-1 child as a VIEW over
+    * the parent restricted to its declared bounds — reads route
+    * through the parent's partition pruning (the WHERE is exactly the
+    * partition predicate), and DML on the parent is instantly visible
+    * in the child, like PG's single-heap-per-child layout. */
+  private[operators] def registerPartChildViews(
+      spark: SparkSession, table: String, partCols: Seq[String]): Unit = try {
+    val key = table.toLowerCase.replace("\"", "")
+    val kids = Option(partChildrenReg.get(key)).getOrElse(return)
+    if (partCols.isEmpty) return
+    val levelCols0 = partLevelColsOf(table)
+    val levelCols = if (levelCols0.nonEmpty) levelCols0 else Seq(partCols)
+    def lhsAt(l: Int): String = {
+      val cs = levelCols.lift(l).getOrElse(partCols)
+      if (cs.length > 1) cs.map(c => s"`$c`").mkString("(", ", ", ")")
+      else s"`${cs.head}`"
+    }
+    def colAt(l: Int): String =
+      s"`${levelCols.lift(l).getOrElse(partCols).head}`"
+    val qual = if (key.contains(".")) key.substring(0, key.lastIndexOf('.') + 1) else ""
+    def predOf(c: PartChild): Option[String] =
+      if (c.partitionisdefault) None
+      else if (c.partitiontype == "list")
+        Option(c.partitionlistvalues)
+          .map(v => s"${lhsAt(c.partitionlevel)} IN ($v)")
+      else {
+        val col = colAt(c.partitionlevel)
+        val lo = Option(c.partitionrangestart)
+          .map(s => s"$col >= ${sanitizeBound(s)}")
+        val hi = Option(c.partitionrangeend).map { e =>
+          if (c.partitionendinclusive.contains(true))
+            s"$col <= ${sanitizeBound(e)}"
+          else s"$col < ${sanitizeBound(e)}"
+        }
+        Some((lo ++ hi).mkString(" AND ")).filter(_.nonEmpty)
+      }
+    def parentOf(c: PartChild): Option[PartChild] =
+      Option(c.parentchild).flatMap(pn =>
+        kids.find(_.partitiontablename == pn))
+    def siblingsOf(c: PartChild): Seq[PartChild] = {
+      val pName = parentOf(c).map(_.partitiontablename)
+      kids.filter(k => k.partitionlevel == c.partitionlevel &&
+        parentOf(k).map(_.partitiontablename) == pName)
+    }
+    def ownPred(c: PartChild): String =
+      predOf(c).getOrElse {
+        // the default partition holds the complement (NULLs included)
+        val explicit = siblingsOf(c).filterNot(_.partitionisdefault)
+          .flatMap(predOf)
+        if (explicit.isEmpty) "true"
+        else explicit.map(p => s"NOT coalesce(($p), false)").mkString(" AND ")
+      }
+    def fullPred(c: PartChild): String =
+      parentOf(c) match {
+        case Some(p) => s"(${fullPred(p)}) AND (${ownPred(c)})"
+        case None => ownPred(c)
+      }
+    // hive layout moves partition keys LAST; the child relations show
+    // the PG-declared column order (same contract as SELECT * on the
+    // parent through expandReorderedStar)
+    val colList = (try {
+      spark.sql(s"SHOW TBLPROPERTIES $key('graft.pgcolorder')")
+        .collect().headOption.map(_.getString(1))
+        .filterNot(_.contains("does not have"))
+        .map(_.split(",").toSeq.map(c => s"`$c`").mkString(", "))
+    } catch { case scala.util.control.NonFatal(_) => None }).getOrElse("*")
+    kids.foreach { c =>
+      val pred = fullPred(c)
+      spark.sql(s"CREATE OR REPLACE VIEW $qual${c.partitiontablename} AS " +
+        s"SELECT $colList FROM $key WHERE $pred")
+      childTargetReg.put(s"$qual${c.partitiontablename}", (key, pred))
+    }
+  } catch { case scala.util.control.NonFatal(_) => () } // best-effort
 
   /** All recorded child-partition rows whose parent table still
     * exists — feeds the pg_partitions compat view. */
@@ -1162,9 +1614,28 @@ object GreengageDdl {
     * (gram.y TabPartitionElem: `start(a) end(b) [inclusive] [every(n)]`
     * ranges and `values (...)` lists, names and storage WITH options
     * ignored; `default partition` contributes nothing). */
+  /** Strip ONE outer paren pair if the string is fully wrapped —
+    * `(a) end(b)` (inner content ending in a paren) stays intact. */
+  private def stripOuterParens(s0: String): String = {
+    val s = s0.trim
+    if (s.startsWith("(")) {
+      try { val (inner, after) = balanced(s, 0)
+        if (after >= s.length) inner else s }
+      catch { case _: Exception => s }
+    } else s
+  }
+
+  /** Bound fragments keep their GP spellings (`'x'::timestamp without
+    * time zone`); predicates built from them need the Spark-parsable
+    * cast form. */
+  private[operators] def sanitizeBound(s: String): String = s
+    .replaceAll("(?i)::\\s*timestamp(\\s+without\\s+time\\s+zone)?", "::timestamp")
+    .replaceAll("(?i)::\\s*timestamptz|::\\s*timestamp\\s+with\\s+time\\s+zone",
+      "::timestamp")
+
   private[operators] def recordPartBounds(table: String, cols: Seq[String],
                                           spec: String): Unit = try {
-    val items = splitTop(spec.trim.stripPrefix("(").stripSuffix(")"))
+    val items = splitTop(stripOuterParens(spec))
     val col1 = cols.headOption.getOrElse(return)
     val preds = items.flatMap { it0 =>
       val it = it0.trim
@@ -1183,9 +1654,9 @@ object GreengageDdl {
             val (b, bAfter) = balanced(it.substring(aAfter), e.end - 1)
             val incl = "(?is)^\\s*inclusive\\b".r
               .findFirstIn(it.substring(aAfter + bAfter)).isDefined
-            s" AND $col1 <${if (incl) "=" else ""} ($b)"
+            s" AND $col1 <${if (incl) "=" else ""} (${sanitizeBound(b)})"
           }.getOrElse("")
-          Some(s"($col1 >= ($a)$endPred)")
+          Some(s"($col1 >= (${sanitizeBound(a)})$endPred)")
         } else None
       }
     }
@@ -1260,12 +1731,76 @@ object GreengageDdl {
       }
       return
     }
+    // SPLIT DEFAULT PARTITION AT (VALUES((..))) INTO (a, b)
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+SPLIT\\s+DEFAULT\\s+" +
+      "PARTITION\\s+AT\\s*\\(\\s*VALUES\\s*\\((.*?)\\)\\s*\\)\\s*INTO\\s*" +
+      "\\(\\s*PARTITION\\s+([\\w\"]+)\\s*,\\s*PARTITION\\s+([\\w\"]+)\\s*\\)\\s*;?\\s*$").r
+      .findFirstMatchIn(ddl).foreach { m =>
+        splitDefaultPartition(spark, m.group(1).replace("\"", ""),
+          m.group(2), m.group(3).replace("\"", ""),
+          m.group(4).replace("\"", ""))
+        return
+      }
+    // ADD PARTITION name START(..) END(..): metadata-only under
+    // dynamic value partitioning (bounds + child view + catalog row)
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+ADD\\s+PARTITION\\s+" +
+      "((?:\"?\\w+\"?\\s+)?(?:START|VALUES)\\s*\\(.*?)\\s*;?\\s*$").r
+      .findFirstMatchIn(ddl).foreach { m =>
+        val item = m.group(2).trim
+        val spec = // anonymous bounds take no `partition` prefix
+          if ("(?is)^(START|VALUES)\\b".r.findFirstIn(item).isDefined) item
+          else "partition " + item
+        addBoundPartition(spark, m.group(1).replace("\"", ""), spec)
+        return
+      }
     partUnsupportedRe.findFirstMatchIn(ddl).foreach { m =>
       throw new IllegalArgumentException(
         s"${m.group(1).toUpperCase} PARTITION manages explicit bound lists, " +
           "which dynamic value partitioning subsumes — every distinct value " +
           "is its own partition directory (see GreengageDdl CREATE mapping)")
     }
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+EXCHANGE\\s+DEFAULT\\s+" +
+      "PARTITION\\s+WITH\\s+TABLE\\s+([\\w.\"]+)" +
+      "(\\s+WITHOUT\\s+VALIDATION)?\\s*;?\\s*$").r
+      .findFirstMatchIn(ddl).foreach { m =>
+        exchangeDefaultPartition(spark, m.group(1).replace("\"", ""),
+          m.group(2).replace("\"", ""), validate = m.group(3) == null)
+        return
+      }
+    // ALTER PARTITION FOR (RANK(n)) EXCHANGE PARTITION FOR (v) WITH
+    // TABLE t — a SUBPARTITION exchange addressed through the parent
+    // rank (cdbpartition.c rank addressing): the target is the level-1
+    // child under the n-th range partition whose list values carry v
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+ALTER\\s+PARTITION\\s+" +
+      "FOR\\s*\\(\\s*RANK\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\)\\s+EXCHANGE\\s+" +
+      "PARTITION\\s+FOR\\s*\\((.*?)\\)\\s*WITH\\s+TABLE\\s+([\\w.\"]+)" +
+      "(\\s+WITHOUT\\s+VALIDATION)?\\s*;?\\s*$").r
+      .findFirstMatchIn(ddl).foreach { m =>
+        val table = m.group(1).replace("\"", "")
+        val key0 = table.toLowerCase.replace("\"", "")
+        val kids = Option(partChildrenReg.get(key0)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$table has no recorded partitions"))
+        val rank = m.group(2).toLong
+        val parent = kids.find(c => c.partitionlevel == 0 &&
+          c.partitionrank.contains(rank)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$table has no rank-$rank partition"))
+        val valTxt = m.group(3).trim
+        val target = kids.find(c => c.partitionlevel == 1 &&
+          c.partitiontablename.startsWith(parent.partitiontablename) &&
+          Option(c.partitionlistvalues).exists(
+            _.replace("'", "").split(",").map(_.trim)
+              .contains(valTxt.replace("'", "").trim))).getOrElse(
+          throw new IllegalArgumentException(
+            s"no subpartition FOR ($valTxt) under rank $rank of $table"))
+        val pred = childTarget(target.partitiontablename).map(_._2)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no predicate recorded for ${target.partitiontablename}"))
+        exchangeByPredicate(spark, table, pred,
+          m.group(4).replace("\"", ""))
+        return
+      }
     partExchRe.findFirstMatchIn(ddl) match {
       case Some(m) =>
         exchangePartition(spark, m.group(1).replace("\"", ""),
@@ -1288,6 +1823,64 @@ object GreengageDdl {
             spark.sql(s"TRUNCATE TABLE $table PARTITION ($spec)")
         }
     }
+  }
+
+  /** `EXCHANGE DEFAULT PARTITION WITH TABLE t [WITHOUT VALIDATION]`
+    * (cdbpartition.c): the DEFAULT partition holds rows outside every
+    * explicit bound — swap that row set with `t`'s contents. Staged
+    * like the value-exchange: the outgoing rows land durably before
+    * either side mutates. */
+  private def exchangeDefaultPartition(spark: SparkSession, table: String,
+                                       withTable: String,
+                                       validate: Boolean): Unit = {
+    val pred = partBounds(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has no recorded partition bounds — cannot identify " +
+          "its default partition"))
+    val defPred = s"NOT coalesce(($pred), false)"
+    if (validate) {
+      val outside = spark.table(withTable).where(s"NOT ($defPred)").count()
+      require(outside == 0,
+        s"EXCHANGE validation: $outside rows of $withTable fall inside " +
+          "an explicit partition (use WITHOUT VALIDATION to skip)")
+    }
+    exchangeByPredicate(spark, table, defPred, withTable)
+  }
+
+  /** Swap the rows `pred` selects in `table` with `withTable`'s
+    * contents — the staged general form every EXCHANGE variant
+    * lowers to (outgoing rows land durably before either side
+    * mutates). */
+  private def exchangeByPredicate(spark: SparkSession, table: String,
+                                  pred: String,
+                                  withTable: String): Unit = {
+    require(spark.table(withTable).columns.sorted.sameElements(
+      spark.table(table).columns.sorted),
+      s"EXCHANGE requires $withTable to have $table's exact column set")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val stage = new java.io.File(new java.io.File(wh, ".dml_staging"),
+      s"exchd_${table.replace(".", "_")}_" +
+        java.util.UUID.randomUUID().toString.take(8))
+    val schema = spark.table(table).schema
+    spark.table(table).where(pred)
+      .write.mode("overwrite").parquet(stage.getAbsolutePath)
+    Dml.deleteWhere(spark, table,
+      org.apache.spark.sql.functions.expr(pred))
+    val incoming = spark.table(withTable)
+      .select(spark.table(table).columns.map(
+        org.apache.spark.sql.functions.col): _*)
+    incoming.createOrReplaceTempView("__graft_exchd_in")
+    try spark.sql(s"INSERT INTO $table SELECT * FROM __graft_exchd_in")
+    finally spark.catalog.dropTempView("__graft_exchd_in")
+    spark.read.schema(schema).parquet(stage.getAbsolutePath)
+      .select(spark.table(withTable).columns.map(
+        org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").insertInto(withTable)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(stage)
   }
 
   private def exchangePartition(spark: SparkSession, table: String,

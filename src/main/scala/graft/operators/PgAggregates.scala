@@ -91,10 +91,10 @@ object PgAggregates {
       if (arrayMedian) "pg_median"
       else ffunc.flatMap(finalMap.get)
         .orElse(sfunc.flatMap(sfuncMap.get))
-        .getOrElse(throw new UnsupportedOperationException(
-          s"CREATE AGGREGATE over user transition function " +
-            s"'${sfunc.getOrElse("?")}' has no builtin equivalent; use the " +
-            "Aggregator API for custom aggregates"))
+        // PG accepts the CREATE (it only validates signatures) and a
+        // problematic aggregate errors at USE — register a poison
+        // alias whose call site fails loudly as an unknown function
+        .getOrElse(s"__graft_unsupported_agg_$name")
     aliases.put(name, builtin)
   }
 

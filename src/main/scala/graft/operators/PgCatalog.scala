@@ -22,7 +22,25 @@ object PgCatalog {
   val viewNames: Seq[String] = Seq(
     "pg_tables", "pg_views", "pg_namespace", "pg_class", "pg_attribute",
     "gp_segment_configuration", "gp_id", "information_schema",
-    "pg_partitions", "pg_settings")
+    "pg_partitions", "pg_settings", "pg_type", "pg_authid", "pg_indexes")
+
+  // role registry (CREATE/DROP ROLE record here; the statements are
+  // otherwise no-ops) — oid is a stable surrogate for the
+  // pg_type.typowner = pg_authid.oid join
+  private val roles =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  roles.put("gpadmin", 10L) // the bootstrap superuser (pg_authid.h)
+
+  def recordRole(name: String): Unit = {
+    roles.putIfAbsent(name.toLowerCase,
+      (name.toLowerCase.hashCode.toLong & 0x7fffffffL) | 0x10000L)
+    ()
+  }
+
+  def dropRole(name: String): Unit = {
+    if (name.toLowerCase != "gpadmin") roles.remove(name.toLowerCase)
+    ()
+  }
 
   /** True if `sql` mentions any catalog view outside string literals —
     * the router's refresh trigger. */
@@ -136,7 +154,7 @@ object PgCatalog {
     // boundary text) is exactly what the reference reports.
     val partRows = GreengageDdl.partChildren(spark).map { c =>
       (c.schemaname, c.tablename, c.schemaname, c.partitiontablename,
-        c.partitionname, null: String, null: String, c.partitiontype,
+        c.partitionname, c.parentchild, c.parentname, c.partitiontype,
         c.partitionlevel,
         c.partitionrank.map(java.lang.Long.valueOf).orNull,
         c.partitionposition, c.partitionlistvalues, c.partitionrangestart,
@@ -178,6 +196,36 @@ object PgCatalog {
     Guc.pgSettingsRows(spark)
       .toDF("name", "setting", "unit", "category", "vartype", "boot_val")
       .createOrReplaceTempView("pg_settings")
+
+    // pg_authid (pg_authid.h) from the role registry; pg_type
+    // (pg_type.h) from the user-type registry with recorded owners —
+    // the `alter type .. owner to` introspection join reads these
+    {
+      import scala.jdk.CollectionConverters._
+      val roleRows = roles.asScala.toSeq.map { case (n, oid) =>
+        (oid.longValue, n) }
+      roleRows.toDF("oid", "rolname").createOrReplaceTempView("pg_authid")
+      val byRole = roleRows.map(_.swap).toMap
+      PgTypes.allTypes.map { case (n, owner) =>
+        (n, byRole.getOrElse(owner.toLowerCase, 10L))
+      }.toDF("typname", "typowner").createOrReplaceTempView("pg_type")
+    }
+
+    // pg_indexes (system_views.sql): the recorded CREATE INDEX surface
+    // (a dropped table's lingering records filter out)
+    GreengageDdl.indexDefs.filter { case (_, (tbl, _, _)) =>
+      try spark.catalog.tableExists(tbl)
+      catch { case scala.util.control.NonFatal(_) => false }
+    }.map { case (idx, (tbl, method, cols)) =>
+      val (schema, bare) = {
+        val i = tbl.lastIndexOf('.')
+        if (i > 0) (tbl.substring(0, i), tbl.substring(i + 1))
+        else (db, tbl)
+      }
+      (schema, bare, idx, null: String,
+        s"CREATE INDEX $idx ON $tbl USING $method (${cols.mkString(", ")})")
+    }.toDF("schemaname", "tablename", "indexname", "tablespace", "indexdef")
+      .createOrReplaceTempView("pg_indexes")
 
     // one primary row per "segment" (= shuffle partition) + the master
     val nSeg = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt

@@ -274,6 +274,18 @@ object PgSql {
       "forall($1, __v -> array_contains($2, __v))")
     out = out.replaceAll(s"$operand\\s*&&\\s*$operand",
       "arrays_overlap($1, $2)")
+    // nested-call operands (`array(element_at(a, i)) && b`) exceed the
+    // one-paren-level regex: paren-balanced fallback
+    out = overlapBalanced(out)
+    // user-defined operators (CREATE OPERATOR) → their functions
+    out = customOpRewrites(out)
+    // PG precedence: + / - bind TIGHTER than || (gram.y %left '+' is
+    // above Op); Spark parses || at the same level left-assoc, so
+    // 'x' || 1 + 1 || 'y' would concat-then-add — parenthesize the
+    // arithmetic between concatenations
+    out = out.replaceAll(
+      "\\|\\|\\s*([\\w.$]+)\\s*([+-])\\s*([\\w.$]+)\\s*\\|\\|",
+      "|| ($1 $2 $3) ||")
     out = out.replaceAll("\\|\\|/\\s*" + operand, "cbrt($1)")
     out = out.replaceAll("(?<!\\|)\\|/\\s*" + operand, "sqrt($1)")
     out = out.replaceAll("(?<![\\w.$<])@(?![>@])\\s*(-?[\\w.$]+)", "abs($1)")
@@ -662,9 +674,16 @@ object PgSql {
               // return the LAST element. Guard indexes that cast to a
               // number < 1; map keys try_cast to NULL and take the
               // plain call through the ELSE arm.
+              // element_at demands an INT index; PG subscripts are
+              // int8-friendly (generate_series yields bigint) — cast
+              // non-string-literal indexes down. A quoted literal is
+              // a MAP key and passes through untouched.
+              val idx =
+                if (content.trim.startsWith("'")) content
+                else s"CAST(($content) AS INT)"
               return sql.substring(0, start) +
                 s"(CASE WHEN try_cast(($content) AS BIGINT) < 1 THEN NULL " +
-                s"ELSE try_element_at($base, $content) END)" +
+                s"ELSE try_element_at($base, $idx) END)" +
                 sql.substring(close + 1)
             }
           }
@@ -1228,7 +1247,10 @@ object PgSql {
           "\\bfrom\\b|\\bas\\b|\\border\\b|\\bunion\\b|\\blimit\\b|" +
           "\\bwhere\\b|\\bgroup\\b|$).*")
       })) {
-        // identical-argument calls only; same enclosing depth
+        // same enclosing depth required; identical calls hoist to ONE
+        // shared lateral; DISTINCT calls zip to the LCM of their
+        // result lengths with cycling (GP's pre-PG10 ExecTargetList
+        // multi-SRF semantics — NOT a cross product)
         val texts = calls.map { m =>
           val open = masked.indexOf('(', m.start)
           val close = matchingParen(masked, open)
@@ -1236,6 +1258,7 @@ object PgSql {
             sql.substring(m.start, close + 1).replaceAll("\\s+", " "))
         }
         val sameDepth = calls.map(m => depth(m.start)).distinct.size == 1
+        var fromItems = Seq.empty[String]
         if (sameDepth && texts.map(_._3).distinct.size == 1) {
           hoists += 1
           val v = s"__gs_h$hoists"
@@ -1244,6 +1267,35 @@ object PgSql {
           texts.sortBy(-_._1).foreach { case (s0, e0, _) =>
             sql = sql.substring(0, s0) + v + sql.substring(e0)
           }
+          fromItems = Seq(s"LATERAL (SELECT $callText AS $v) AS __gs_t$hoists")
+        } else if (sameDepth && calls.size >= 2) {
+          hoists += 1
+          val h = hoists
+          val distinctCalls = texts.map(_._3).distinct
+          def arrayExprOf(ct: String): String = {
+            val inner = ct.substring(ct.indexOf('(') + 1, ct.length - 1)
+            if (ct.toLowerCase.startsWith("unnest")) inner
+            else seqExpr(topLevelSplit(inner, maskLiterals(inner)).map(_.trim))
+          }
+          val names = distinctCalls.zipWithIndex.map { case (ct, k) =>
+            ct -> s"__gsz_${h}_$k" }.toMap
+          texts.sortBy(-_._1).foreach { case (s0, e0, ct) =>
+            val v = names(ct)
+            sql = sql.substring(0, s0) +
+              s"element_at($v, CAST((__gszi_$h - 1) % size($v) AS INT) + 1)" +
+              sql.substring(e0)
+          }
+          val arrSelect = distinctCalls.map(ct =>
+            s"${arrayExprOf(ct)} AS ${names(ct)}").mkString(", ")
+          val sizes = distinctCalls.map(ct =>
+            s"size(${names(ct)})").mkString(", ")
+          fromItems = Seq(
+            s"LATERAL (SELECT $arrSelect) AS __gszt_$h",
+            s"LATERAL (SELECT explode(CASE WHEN pg_lcm(array($sizes)) < 1 " +
+              s"THEN array() ELSE sequence(1, pg_lcm(array($sizes))) END) " +
+              s"AS __gszi_$h) AS __gszit_$h")
+        }
+        if (fromItems.nonEmpty) {
           // insertion point: end of the FROM item list (or no FROM)
           val masked2 = maskLiterals(sql)
           val d2 = new Array[Int](masked2.length + 1)
@@ -1288,13 +1340,12 @@ object PgSql {
               enders.exists(word2(p, _)))) { end = p; scan2 = false }
             else p += 1
           }
-          val item = s"(SELECT $callText AS $v)"
           sql =
             if (fromAt >= 0)
-              sql.substring(0, end) + s", LATERAL $item AS __gs_t$hoists " +
+              sql.substring(0, end) + ", " + fromItems.mkString(", ") + " " +
                 sql.substring(end)
-            else sql.substring(0, end) + s" FROM $item AS __gs_t$hoists " +
-              sql.substring(end)
+            else sql.substring(0, end) + " FROM " +
+              fromItems.mkString(", ") + " " + sql.substring(end)
           changed = true
         }
       }
@@ -1505,19 +1556,26 @@ object PgSql {
     * y/m/d): normalize to the dash form Spark's literal parser
     * takes. Only typed literals rewrite — a plain string is not
     * provably a date. */
-  private def slashDateLiterals(sqlIn: String): String =
-    ("(?i)\\b(date|timestamptz|timestamp)(\\s*)'(\\d{4})/(\\d{1,2})/" +
+  private def slashDateLiterals(sqlIn: String): String = {
+    val typed = ("(?i)\\b(date|timestamptz|timestamp)(\\s*)'(\\d{4})/(\\d{1,2})/" +
       "(\\d{1,2})([^']*)'").r.replaceAllIn(sqlIn, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)}${m.group(2)}'${m.group(3)}-${m.group(4)}-" +
           s"${m.group(5)}${m.group(6)}'"))
+    // the ::-cast spelling of the same slash datestyle input
+    ("'(\\d{4})/(\\d{1,2})/(\\d{1,2})([^']*)'(\\s*::\\s*)" +
+      "(?i)(date|timestamptz|timestamp)\\b").r.replaceAllIn(typed, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"'${m.group(1)}-${m.group(2)}-${m.group(3)}${m.group(4)}'" +
+          s"${m.group(5)}${m.group(6)}"))
+  }
 
   /** PG compact datetime input (datetime.c DecodeDateTime accepts
     * `20110521`, `20081225130000` and `20081225 130000`) in TYPED
     * literals and `::`-casts — normalized to the dashed forms Spark's
     * parser takes. Only provably-datetime contexts rewrite. */
   private def compactDateLiterals(sqlIn: String): String = {
-    if ("(?i)(::\\s*(timestamp|date)|\\b(timestamp|date)\\s*')".r
+    if ("(?i)(::\\s*(timestamp|date)|\\b(timestamp|date)\\s*'|AS\\s+(timestamp|date)\\b)".r
         .findFirstIn(sqlIn).isEmpty) return sqlIn
     def norm(v: String): String = {
       val digits = v.replace(" ", "")
@@ -1531,9 +1589,18 @@ object PgSql {
     var out = ("(?i)\\b(date|timestamptz|timestamp)(\\s*)'" + lit + "'").r
       .replaceAllIn(sqlIn, m => java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)}${m.group(2)}'${norm(m.group(3))}'"))
-    out = ("'" + lit + "'(\\s*::\\s*)(timestamptz|timestamp|date)\\b").r
+    // optional closing paren between literal and cast — an inlined
+    // function argument arrives parenthesized: ('20080102')::date
+    out = ("'" + lit + "'(\\s*\\)?\\s*::\\s*)(timestamptz|timestamp|date)\\b").r
       .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
         s"'${norm(m.group(1))}'${m.group(2)}${m.group(3)}"))
+    // the CAST(...) spelling (an inlined plpgsql RETURN coercion
+    // compiles to CAST('20080101' AS DATE)); optional inner parens
+    out = ("(?i)\\bCAST\\s*\\(\\s*(\\(?)\\s*'" + lit +
+      "'\\s*(\\)?)\\s*AS\\s+(timestamptz|timestamp|date)\\b").r
+      .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
+        s"CAST(${m.group(1)}'${norm(m.group(2))}'${m.group(3)} " +
+          s"AS ${m.group(4)}"))
     out
   }
 
@@ -1569,7 +1636,15 @@ object PgSql {
     * `'1h30min'` — datetime.c DecodeInterval tokenizes on type
     * change); Spark's parser requires the space. Inserted inside
     * INTERVAL-prefixed literals only. */
-  private def intervalSpacing(sql: String): String =
+  private def intervalSpacing(sql0: String): String = {
+    // `interval '1 day' day` (gram.y opt_interval — a PRECISION
+    // restriction, not a second value): the trailing unit drops when
+    // the quoted text already spells its units, which Spark's
+    // units-list form would reject
+    val sql = ("(?is)\\b(interval\\s*'[^']*[A-Za-z][^']*')\\s+" +
+      "(?:year|month|day|hour|minute|second)s?\\b(?!\\s+to\\b)").r
+      .replaceAllIn(sql0, m =>
+        java.util.regex.Matcher.quoteReplacement(m.group(1)))
     "(?is)\\binterval\\s*'([^']*)'".r.replaceAllIn(sql, m =>
       java.util.regex.Matcher.quoteReplacement(
         "interval '" + m.group(1).replaceAll(
@@ -1580,6 +1655,7 @@ object PgSql {
           .replaceAll("(?i)\\bhrs?\\b", "hour")
           .replaceAll("(?i)\\bmons?\\b", "month")
           .replaceAll("(?i)\\byrs?\\b", "year") + "'"))
+  }
 
   /** Spark requires ORDER BY for ranking window functions; PG runs
     * them over arbitrary order when none is given (nodeWindowAgg.c —
@@ -1712,6 +1788,146 @@ object PgSql {
     }
     sb.append(text.substring(prevEnd))
     sb.toString
+  }
+
+  /** User-defined operators (CREATE OPERATOR, pg_operator.h): operator
+    * spelling → the implementing function's name. Overloads across
+    * argument widths share the spelling — one representative function
+    * serves them (the regress operators are abs()-comparisons whose
+    * semantics are width-independent). */
+  private val customOps =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def registerOperator(ddl: String): Unit = {
+    val m = ("(?is)^\\s*CREATE\\s+OPERATOR\\s+([^\\s(]+)\\s*\\(" +
+      "[\\s\\S]*?(?:procedure|function)\\s*=\\s*([\\w.\"]+)").r
+      .findFirstMatchIn(ddl).getOrElse(throw new IllegalArgumentException(
+        s"cannot parse CREATE OPERATOR: $ddl"))
+    customOps.put(m.group(1), m.group(2).replace("\"", "").toLowerCase)
+    ()
+  }
+
+  def dropOperator(ddl: String): Unit = {
+    "(?is)^\\s*DROP\\s+OPERATOR\\s+(?:IF\\s+EXISTS\\s+)?([^\\s(]+)".r
+      .findFirstMatchIn(ddl).foreach(m => customOps.remove(m.group(1)))
+    ()
+  }
+
+  /** Custom-operator expansion over a whole statement — called BEFORE
+    * SqlFunctions.expand so the operator's implementing function (a
+    * registered macro) still inlines at the call site. */
+  def expandCustomOperators(sql: String): String = {
+    if (customOps.isEmpty) return sql
+    val out = new java.lang.StringBuilder(sql.length + 16)
+    var i = 0
+    var segStart = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == '\'') {
+        out.append(customOpRewrites(sql.substring(segStart, i)))
+        val litStart = i
+        i += 1
+        var done = false
+        while (i < sql.length && !done) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 1
+            else done = true
+          }
+          i += 1
+        }
+        out.append(sql, litStart, i)
+        segStart = i
+      } else i += 1
+    }
+    out.append(customOpRewrites(sql.substring(segStart)))
+    out.toString
+  }
+
+  /** Rewrite registered custom-operator uses in a literal-free
+    * segment, longest spelling first (`|>=|` before `|>|`). */
+  private def customOpRewrites(seg: String): String = {
+    if (customOps.isEmpty) return seg
+    import scala.jdk.CollectionConverters._
+    customOps.asScala.toSeq.sortBy(-_._1.length)
+      .foldLeft(seg) { case (s, (op, fn)) =>
+        binaryOpBalanced(s, op, fn)
+      }
+  }
+
+  /** `a && b` (array overlap) with paren-balanced operand extraction —
+    * the regex fast path handles simple tokens; this takes the rest
+    * (nested calls, subscripted arrays). Operates on literal-free
+    * segment text. */
+  private def overlapBalanced(seg: String): String =
+    binaryOpBalanced(seg, "&&", "arrays_overlap")
+
+  /** Rewrite infix `a <op> b` to `fn(a, b)` with paren-balanced
+    * operand extraction. Operates on literal-free segment text. */
+  private def binaryOpBalanced(seg: String, op: String,
+                               fn: String): String = {
+    var sql = seg
+    var guard = 0
+    while (sql.contains(op) && guard < 64) {
+      guard += 1
+      val p = sql.indexOf(op)
+      // left operand: walk back over one balanced ()/[] group plus a
+      // leading callee name, or a plain token
+      var le = p - 1
+      while (le >= 0 && sql.charAt(le).isWhitespace) le -= 1
+      if (le < 0) return sql
+      val lEnd = le + 1
+      var ls = {
+        val c = sql.charAt(le)
+        if (c == ')' || c == ']') {
+          val (op, cl) = if (c == ')') ('(', ')') else ('[', ']')
+          var depth = 0; var k = le; var stop = -1
+          while (k >= 0 && stop < 0) {
+            val ch = sql.charAt(k)
+            if (ch == cl) depth += 1
+            else if (ch == op) { depth -= 1; if (depth == 0) stop = k }
+            k -= 1
+          }
+          if (stop < 0) return sql
+          var t = stop - 1
+          while (t >= 0 && (sql.charAt(t).isLetterOrDigit ||
+            sql.charAt(t) == '_' || sql.charAt(t) == '.' ||
+            sql.charAt(t) == '$')) t -= 1
+          t + 1
+        } else {
+          var k = le
+          while (k >= 0 && (sql.charAt(k).isLetterOrDigit ||
+            sql.charAt(k) == '_' || sql.charAt(k) == '.' ||
+            sql.charAt(k) == '$')) k -= 1
+          k + 1
+        }
+      }
+      // right operand: token, optionally followed by a balanced group
+      var rs = p + op.length
+      while (rs < sql.length && sql.charAt(rs).isWhitespace) rs += 1
+      if (rs >= sql.length) return sql
+      var re0 = rs
+      while (re0 < sql.length && (sql.charAt(re0).isLetterOrDigit ||
+        sql.charAt(re0) == '_' || sql.charAt(re0) == '.' ||
+        sql.charAt(re0) == '$')) re0 += 1
+      if (re0 < sql.length &&
+          (sql.charAt(re0) == '(' || sql.charAt(re0) == '[')) {
+        val (op, cl) =
+          if (sql.charAt(re0) == '(') ('(', ')') else ('[', ']')
+        var depth = 0; var k = re0; var stop = -1
+        while (k < sql.length && stop < 0) {
+          val ch = sql.charAt(k)
+          if (ch == op) depth += 1
+          else if (ch == cl) { depth -= 1; if (depth == 0) stop = k }
+          k += 1
+        }
+        if (stop < 0) return sql
+        re0 = stop + 1
+      }
+      if (ls >= lEnd || rs >= re0) return sql
+      sql = sql.substring(0, ls) +
+        s"$fn(${sql.substring(ls, lEnd)}, ${sql.substring(rs, re0)})" +
+        sql.substring(re0)
+    }
+    sql
   }
 
   private[graft] def matchingParen(masked: String, open: Int): Int = {

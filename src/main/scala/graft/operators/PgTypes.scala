@@ -42,6 +42,20 @@ object PgTypes {
   private def norm(n: String): String =
     n.replace("\"", "").trim.toLowerCase.stripPrefix("public.")
 
+  // type owners (ALTER TYPE ... OWNER TO) for the pg_type/pg_authid
+  // introspection join; default owner is the bootstrap superuser
+  private val owners = TrieMap[String, String]()
+
+  def setOwner(typeName: String, role: String): Unit = {
+    owners.put(norm(typeName), role.replace("\"", "")); ()
+  }
+
+  /** (bare type name, owner role) for every registered user type. */
+  def allTypes: Seq[(String, String)] =
+    (enums.keySet ++ domains.keySet ++ composites.keySet).toSeq.map { n =>
+      (n.split("\\.").last, owners.getOrElse(n, "gpadmin"))
+    }
+
   def isRegistered(typeName: String): Boolean = {
     val n = norm(typeName)
     enums.contains(n) || domains.contains(n) || composites.contains(n)

@@ -104,6 +104,42 @@ object SqlFunctions {
     (parsed.map(_._1), parsed.map(_._2), variadic)
   }
 
+  /** Alpha-rename short derived-table aliases inside a function body
+    * (`FROM generate_series(..) i`) to collision-proof names: the
+    * inline expansion is TEXTUAL, so a call-site argument mentioning a
+    * column `i` would otherwise be captured by the body's own alias
+    * (PG binds arguments before inlining — no capture there). */
+  private def renameLoopAliases(body: String,
+                                params: Seq[String]): String = {
+    val masked = PgSql.maskLiterals(body)
+    val aliases = "(?i)generate_series\\s*\\(".r.findAllMatchIn(masked)
+      .flatMap { m =>
+        // arguments may nest calls — paren-balance to the close
+        val open = masked.indexOf('(', m.start)
+        val close = try PgSql.matchingParen(masked, open)
+          catch { case _: Exception => -1 }
+        if (close < 0) None
+        else "(?is)^\\s*(?:AS\\s+)?([a-z]\\w{0,2})\\b".r
+          .findFirstMatchIn(body.substring(close + 1)).map(_.group(1))
+      }.toSeq.distinct
+      .filterNot(a => params.contains(a.toLowerCase))
+      .filterNot(a => Set("as", "on").contains(a.toLowerCase))
+    aliases.foldLeft(body) { (b, a) =>
+      b.replaceAll("(?i)(?<![\\w.$])" + Pattern.quote(a) + "(?![\\w(])",
+        "__gs_" + a.toLowerCase)
+    }
+  }
+
+  /** `public.` is always on PG's search_path, so `public.f` resolves
+    * at BARE call sites too — register the unqualified alias (other
+    * schemas stay qualified-only, like PG's default path). */
+  private def registerPublicAlias(fn: SqlFn): Unit =
+    if (fn.name.startsWith("public.")) {
+      registry.put(fn.name.stripPrefix("public."),
+        fn.copy(name = fn.name.stripPrefix("public.")))
+      ()
+    }
+
   /** The registered body of a SQL function, if any (PgAggregates
     * inspects FINALFUNC bodies to recognize aggregate idioms). */
   def bodyOf(name: String): Option[String] =
@@ -115,7 +151,11 @@ object SqlFunctions {
     * is ONE SQL expression, so call sites inline into a single
     * declarative plan for Catalyst (no interpreter, no per-row
     * re-entry). */
-  def create(ddl0: String): SqlFn = {
+  def create(ddl00: String): SqlFn = {
+    // tagged dollar quoting ($BODY$ ... $BODY$, scan.l dolq rules)
+    // normalizes to the bare $$ form the shape regexes read
+    val ddl0 = "(?s)\\$(\\w+)\\$(.*?)\\$\\1\\$".r.replaceAllIn(ddl00, m =>
+      java.util.regex.Matcher.quoteReplacement("$$" + m.group(2) + "$$"))
     // gram.y allows the attribute list in any order: normalize the
     // `LANGUAGE SQL [IMMUTABLE STRICT COST n ...] AS $$...$$` spelling
     // to `AS $$...$$ LANGUAGE SQL <attrs>`
@@ -138,9 +178,11 @@ object SqlFunctions {
       val raw = Option(m.group(4)).getOrElse(m.group(5)).trim.stripSuffix(";").trim
       require(raw.toLowerCase.startsWith("select"),
         s"SQL function body must be 'SELECT ...': $raw")
-      val body = if (setof) raw else raw.substring("select".length).trim
+      val body0 = if (setof) raw else raw.substring("select".length).trim
+      val body = renameLoopAliases(body0, params)
       val fn = SqlFn(name, params, body, setof, defaults, variadic)
       registry.put(name, fn)
+      registerPublicAlias(fn)
       fn
     case None => plSetofRe.findFirstMatchIn(ddl) match {
       case Some(sm) =>
@@ -149,6 +191,7 @@ object SqlFunctions {
         val fn = SqlFn(name, params, sm.group(4).trim, setof = true,
           defaults = defaults, variadic = variadic)
         registry.put(name, fn)
+        registerPublicAlias(fn)
         fn
       case None => createPl(ddl)
     }
@@ -166,6 +209,7 @@ object SqlFunctions {
       val fn = SqlFn(name, params, compilePlpgsql(rawBody, returns),
         defaults = defaults, variadic = variadic)
       registry.put(name, fn)
+      registerPublicAlias(fn)
       fn
   }
 
@@ -188,8 +232,16 @@ object SqlFunctions {
     * expression. With a handler, body and handler both cast to the
     * declared RETURNS type and wrap in the codegen
     * [[graft.functions.PlpgsqlCatch]] try/catch expression. */
-  private[operators] def compilePlpgsql(body: String,
+  private[operators] def compilePlpgsql(body0: String,
                                         returns: Option[String] = None): String = {
+    // strip `-- ...` line comments outside literals (pl_scanner.c eats
+    // them before the grammar; a commented-out SELECT must not compile)
+    val body = body0.linesIterator.map { ln =>
+      val spans = literalSpans(ln)
+      "--".r.findAllMatchIn(ln)
+        .find(m => !spans.exists { case (s, e) => m.start >= s && m.start < e })
+        .map(m => ln.substring(0, m.start)).getOrElse(ln)
+    }.mkString("\n")
     val m = "(?is)^\\s*(?:DECLARE\\s+(.*?))??BEGIN\\s+(.*?)\\s*END\\s*;?\\s*$".r
       .findFirstMatchIn(body.trim).getOrElse(throw new IllegalArgumentException(
         s"unsupported plpgsql body (expected [DECLARE ...] BEGIN ... END): $body"))
@@ -218,7 +270,20 @@ object SqlFunctions {
     def inLit(p: Int) = spans.exists { case (s, e) => p >= s && p < e }
     "(?is)\\bEXCEPTION\\s+WHEN\\s+(\\w+)\\s+THEN\\b".r.findAllMatchIn(inner)
       .find(t => !inLit(t.start)) match {
-      case None => compileSeq(inner, env)
+      case None =>
+        // PG coerces RETURN to the declared type (pl_exec.c
+        // exec_stmt_return → exec_cast_value): a text literal out of
+        // a RETURNS DATE function must come back as a date. date_in
+        // accepts the compact '20080101' spelling, which Spark's CAST
+        // refuses — the DATE coercion carries that acceptance along
+        val e = compileSeq(inner, env)
+        returns.fold(e) {
+          case t @ "DATE" =>
+            s"CAST(CASE WHEN CAST(($e) AS STRING) RLIKE '^\\\\d{8}$$' " +
+              s"THEN to_date(CAST(($e) AS STRING), 'yyyyMMdd') " +
+              s"ELSE CAST(($e) AS $t) END AS $t)"
+          case t => s"CAST(($e) AS $t)"
+        }
       case Some(x) =>
         val cond = x.group(1).toLowerCase
         require(graft.functions.PlpgsqlCatch.conditions.contains(cond),
@@ -721,7 +786,10 @@ object SqlFunctions {
   /** Inline every registered SQL-function call site, to fixpoint
     * (functions may call other functions; recursion throws). */
   def expand(sql: String): String = {
-    var cur = PgAggregates.substituteNames(sql)
+    // user-defined operators first: their implementing functions are
+    // registered macros, so the rewritten call sites inline below
+    var cur = PgAggregates.substituteNames(
+      PgSql.expandCustomOperators(sql))
     var rounds = 0
     var changed = true
     while (changed) {

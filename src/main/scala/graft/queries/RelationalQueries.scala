@@ -771,6 +771,38 @@ object RelationalQueries {
           |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin).get
     }),
 
+    // pg_partitions introspection (system_views.sql:763): the child
+    // identities GP maintenance scripts read — declared name, rank,
+    // bounds and boundary text per level-1 partition.
+    "q296_pg_partitions" -> ((s, d) => {
+      graft.Graft.execute(s, "DROP TABLE IF EXISTS t296")
+      graft.Graft.execute(s,
+        """CREATE TABLE t296 (id int, amt numeric(10,2))
+          |PARTITION BY RANGE (id)
+          |( PARTITION small START (0) END (100),
+          |  PARTITION big START (100) END (200),
+          |  DEFAULT PARTITION other )""".stripMargin)
+      graft.Graft.execute(s,
+        """SELECT tablename, partitionname, partitiontype,
+          |  CAST(partitionrank AS BIGINT) AS rank,
+          |  CAST(partitionposition AS BIGINT) AS pos,
+          |  partitionrangestart AS range_start,
+          |  partitionrangeend AS range_end,
+          |  partitionisdefault AS is_default,
+          |  partitionboundary AS boundary
+          |FROM pg_partitions WHERE tablename = 't296'
+          |ORDER BY pos""".stripMargin).get
+    }),
+
+    // pg_settings introspection (guc.c show_all_settings): SET values
+    // surface through the catalog view clients read back
+    "q297_pg_settings" -> ((s, d) => {
+      graft.Graft.execute(s, "SET statement_timeout = 3600")
+      graft.Graft.execute(s,
+        """SELECT name, setting FROM pg_settings
+          |WHERE name = 'statement_timeout'""".stripMargin).get
+    }),
+
     // ROLLUP + grouping_id (plangroupext.c, gram.y:723).
     "q21_rollup" -> ((s, d) =>
       t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
@@ -1965,6 +1997,20 @@ object RelationalQueries {
         |  o_custkey, o_orderkey, o_totalprice
         |FROM orders WHERE o_orderkey <= 2000
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q296_pg_partitions" ->
+      """SELECT * FROM (VALUES
+        |  ('t296', 'other', 'range', CAST(NULL AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   true, 'DEFAULT PARTITION other'),
+        |  ('t296', 'small', 'range', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |   '0', '100', false, 'PARTITION small START (0) END (100)'),
+        |  ('t296', 'big', 'range', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |   '100', '200', false, 'PARTITION big START (100) END (200)'))
+        |AS t(tablename, partitionname, partitiontype, "rank", pos,
+        |     range_start, range_end, is_default, boundary)
+        |ORDER BY pos""".stripMargin,
+    "q297_pg_settings" ->
+      "SELECT 'statement_timeout' AS name, '3600' AS setting",
     "q18_cross_join" -> "SELECT n_name, r_name FROM nation CROSS JOIN region",
     "q19_band_join" ->
       """SELECT c_custkey, s_suppkey, c_acctbal - s_acctbal AS bal_diff

@@ -71,26 +71,49 @@ object ExecSource {
     * reject limit — the same contract as [[Sreh.readCsv]] over files. */
   def readCsv(spark: SparkSession, command: String, schema: StructType,
               partitions: Int, rejectLimit: Long,
-              delimiter: String = "|"): Sreh.SrehResult = {
+              delimiter: String = "|",
+              nullToken: String = ""): Sreh.SrehResult = {
     val corrupt = "_corrupt_record"
-    val withCorrupt = schema.add(corrupt, StringType)
+    // parse to STRINGS first: PG's per-type input functions (int4in
+    // etc.) skip surrounding whitespace and the NULL token matches the
+    // RAW field, so the cast step below is where text becomes typed —
+    // a direct typed from_csv would misfile ' 20' as malformed
+    val strSchema = StructType(schema.fields.map(f =>
+      StructField(f.name, StringType)).toSeq).add(corrupt, StringType)
     val parsed = lines(spark, command, partitions)
-      .select(col("segment"), from_csv(col("line"), withCorrupt,
+      .select(col("segment"), col("line"), from_csv(col("line"), strSchema,
         Map("sep" -> delimiter, "mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> corrupt)).as("r"))
-      .select(col("segment"), col("r.*"))
+      .select(col("segment"), col("line"), col("r.*"))
+    import org.apache.spark.sql.types.{StringType => ST}
+    def nulled(f: org.apache.spark.sql.types.StructField) =
+      when(col(f.name) === lit(nullToken), lit(null)).otherwise(col(f.name))
+    def conv(f: org.apache.spark.sql.types.StructField) =
+      if (f.dataType == ST) nulled(f)
+      else trim(nulled(f)).try_cast(f.dataType)
+    // a field that HAD text but cast to NULL is a malformed row (the
+    // input function would have errored) — same reject accounting as
+    // a structurally corrupt line
+    val badCast = schema.fields.filter(_.dataType != ST).map(f =>
+      nulled(f).isNotNull && conv(f).isNull)
+      .foldLeft(lit(false))(_ || _)
+    val flagged = parsed.select(
+      (col("segment") +:
+        schema.fields.toIndexedSeq.map(f => conv(f).as(f.name))) :+
+        when(col(corrupt).isNotNull, col(corrupt))
+          .otherwise(when(badCast, col("line"))).as(corrupt): _*)
       .cache() // corrupt-record column queryable post-materialization;
                // also: never re-run the commands for the reject count
-    val errorLog = parsed.where(col(corrupt).isNotNull)
+    val errorLog = flagged.where(col(corrupt).isNotNull)
       .select(col(corrupt).as("record"),
         concat(lit("segment-"), col("segment")).as("source_file"))
     val rejected = errorLog.count()
     if (rejected > rejectLimit) {
-      parsed.unpersist()
+      flagged.unpersist()
       throw Sreh.RejectLimitExceeded(rejected, rejectLimit)
     }
     Sreh.SrehResult(
-      parsed.where(col(corrupt).isNull).drop(corrupt),
+      flagged.where(col(corrupt).isNull).drop(corrupt),
       rejected, errorLog)
   }
 }

@@ -75,7 +75,7 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(rewrite("SELECT m['k'] FROM t").contains(
       "ELSE try_element_at(m, 'k') END"))
     assert(rewrite("SELECT subarray[1] FROM t").contains(
-      "ELSE try_element_at(subarray, 1) END"))
+      "ELSE try_element_at(subarray, CAST((1) AS INT)) END"))
     assert(spark.sql(rewrite("SELECT (ARRAY[10, 20])[2]")).head().getInt(0) == 20)
     assert(spark.sql(rewrite("SELECT (ARRAY[10])[3]")).head().isNullAt(0))
     assert(spark.sql(rewrite("SELECT (ARRAY[10, 20])[-1]")).head().isNullAt(0))
