@@ -132,7 +132,19 @@ object Graft {
     // the session; the drop-at-session-end lifecycle is not replicated
     // pg_temp schema = the session temp namespace; one session here,
     // so the qualifier drops everywhere (CREATE and call sites alike)
-    var t = sql.trim.replaceAll("(?i)\\bpg_temp\\.", "").replaceFirst(
+    // leading comments would defeat every `^VERB` route below (the
+    // reference's scanner eats them before the grammar too)
+    var t = sql.trim
+    while (t.startsWith("/*") || t.startsWith("--")) {
+      if (t.startsWith("/*")) {
+        val close = t.indexOf("*/")
+        t = if (close < 0) "" else t.substring(close + 2).trim
+      } else {
+        val nl = t.indexOf('\n')
+        t = if (nl < 0) "" else t.substring(nl + 1).trim
+      }
+    }
+    t = t.replaceAll("(?i)\\bpg_temp\\.", "").replaceFirst(
       "(?is)^CREATE\\s+(?:GLOBAL\\s+|LOCAL\\s+)?(?:TEMP|TEMPORARY|UNLOGGED)\\s+TABLE",
       "CREATE TABLE")
     def is(re: String) = re.r.findFirstIn(t).isDefined
@@ -323,7 +335,7 @@ object Graft {
       // anonymous plpgsql block (commands/functioncmds.c ExecuteDoStmt)
       operators.PlDo.executeDo(spark, t).foreach(n => System.err.println(s"[plpgsql] $n"))
       None
-    } else if (is("(?is)^ALTER\\s+TABLE\\b.*\\bPARTITION\\b")) {
+    } else if (is("(?is)^ALTER\\s+TABLE\\b.*\\b(SUB)?PARTITION\\b")) {
       operators.GreengageDdl.alterPartition(spark, t); None
     } else if (is("(?is)^ALTER\\s+TABLE\\b")) {
       operators.GreengageDdl.alter(spark, t); None
@@ -340,6 +352,7 @@ object Graft {
       // PG's bare `ANALYZE t` -> CBO statistics (SURVEY §4.1)
       val name = t.split("\\s+").last.stripSuffix(";").replace("\"", "")
       analyzeTable(spark, name)
+      operators.PgCatalog.recordStats(spark, name)
       None
     } else if (is("(?is)^VACUUM\\b")) {
       // VACUUM [FULL] [FREEZE] [VERBOSE] [ANALYZE] t (commands/vacuum.c)
@@ -351,8 +364,10 @@ object Graft {
           "database-wide VACUUM is not supported: name a table"))
         .replace("\"", "")
       operators.Dml.vacuum(spark, name)
-      if (words.exists(_.equalsIgnoreCase("ANALYZE")))
+      if (words.exists(_.equalsIgnoreCase("ANALYZE"))) {
         analyzeTable(spark, name)
+        operators.PgCatalog.recordStats(spark, name)
+      }
       None
     } else if (is("(?is)^EXPLAIN\\s*\\([^)]*\\bFORMAT\\s+JSON\\b")) {
       // EXPLAIN (FORMAT JSON [, ANALYZE]) (explain.c json format):
@@ -468,6 +483,19 @@ object Graft {
       // planner statistics it plants only steer PG's costing — the
       // engine's CBO reads ANALYZE output instead; accepted no-op
       None
+    } else if (is("(?is)^INSERT\\s+INTO\\b") && {
+      val n = "(?is)^INSERT\\s+INTO\\s+([\\w.\"]+)".r
+        .findFirstMatchIn(t).map(_.group(1).replace("\"", ""))
+      n.exists(nm => operators.GreengageDdl.childTarget(nm).isDefined)
+    }) {
+      // INSERT into a partition-child relation: the parent IS the
+      // store (PG checks the child's bound constraint; rows outside
+      // it would error there — accepted here, documented divergence)
+      val m = "(?is)^(INSERT\\s+INTO\\s+)([\\w.\"]+)([\\s\\S]*)$".r
+        .findFirstMatchIn(stripSemi(t)).get
+      val parent = operators.GreengageDdl
+        .childTarget(m.group(2).replace("\"", "")).get._1
+      execute(spark, m.group(1) + parent + m.group(3))
     } else if (is("(?is)^INSERT\\s+INTO\\s+[\\w.\"]+\\s+DEFAULT\\s+VALUES\\s*;?\\s*$")) {
       // INSERT ... DEFAULT VALUES (gram.y insert_rest): one row of
       // column defaults (SERIAL sequences advance, like PG)
@@ -999,6 +1027,11 @@ object Graft {
           if (t.toLowerCase.contains("pg_relation_size") ||
               t.toLowerCase.contains("gp_update_ao_master_stats"))
             t = rewriteRelationStats(spark, t)
+          // has_table_privilege (acl.c): a single-user session holds
+          // every privilege — constant true after an existence check
+          if (t.toLowerCase.contains("has_table_privilege"))
+            t = ("(?is)has_table_privilege\\s*\\([^()]*\\)").r
+              .replaceAllIn(t, "true")
           // data-modifying CTEs re-enter the router per wCTE
           if (is("(?is)^WITH\\b") && operators.DmlCte.hasDml(stripSemi(t)))
             operators.DmlCte.run(spark, stripSemi(t), execute)
@@ -1145,7 +1178,49 @@ object Graft {
           } => m.group(1) + d.mkString(", ") + m.group(2)
           case _ => t
         }
-      case None => t
+      case None =>
+        // `SELECT * FROM t1 JOIN t2 ...` over plain named tables: when
+        // ANY of them is partition-reordered, the bare star must
+        // expand per-table in DECLARED order (the join's physical
+        // star would surface the hive layout)
+        val jm = ("(?is)^(\\s*SELECT\\s+(?:DISTINCT\\s+)?)\\*" +
+          "(\\s+FROM\\s+)(.+)$").r.findFirstMatchIn(t)
+        jm match {
+          case Some(m) =>
+            val tail = m.group(3)
+            val wm = "(?is)\\b(WHERE|GROUP|ORDER|LIMIT|OFFSET|UNION|HAVING)\\b".r
+              .findFirstMatchIn(operators.PgSql.maskLiterals(tail))
+            val fromTxt = wm.map(w => tail.substring(0, w.start))
+              .getOrElse(tail).stripSuffix(";")
+            if (fromTxt.contains("(") || fromTxt.contains(")")) t
+            else {
+              val refRe = ("(?is)(?:^|\\bJOIN\\s+|,\\s*)([\\w.\"]+)" +
+                "(?:\\s+(?:AS\\s+)?(?!(?:ON|JOIN|LEFT|RIGHT|FULL|INNER|" +
+                "CROSS|OUTER|USING|NATURAL)\\b)([A-Za-z_]\\w*))?").r
+              val refs = refRe.findAllMatchIn(fromTxt.trim).map(rm =>
+                (rm.group(1).replace("\"", ""), Option(rm.group(2)))).toSeq
+              val anyReordered = refs.exists { case (tbl, _) =>
+                declaredOrder(spark, tbl).exists { d =>
+                  val phys = try spark.table(tbl).columns.toSeq
+                    .map(_.toLowerCase)
+                  catch { case _: Exception => Seq.empty[String] }
+                  phys.nonEmpty && d.map(_.toLowerCase) != phys
+                }
+              }
+              if (!anyReordered || refs.isEmpty) t
+              else {
+                val items = refs.flatMap { case (tbl, alias) =>
+                  val q = alias.getOrElse(tbl)
+                  val cols = declaredOrder(spark, tbl).getOrElse(
+                    try spark.table(tbl).columns.toSeq
+                    catch { case _: Exception => return t })
+                  cols.map(c => s"$q.`$c`")
+                }
+                m.group(1) + items.mkString(", ") + m.group(2) + tail
+              }
+            }
+          case None => t
+        }
     }
   }
 

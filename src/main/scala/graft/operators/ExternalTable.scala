@@ -231,13 +231,43 @@ object ExternalTable {
         "SEGMENT REJECT LIMIT applies to readable external tables")
       writables.put(spec.name, spec)
     } else {
-      val res = read(spark, spec)
-      register(spark, spec.name, res.good)
-      if (spec.logErrors)
-        register(spark, s"${spec.name}_errors", res.errorLog)
+      try {
+        val res = read(spark, spec)
+        register(spark, spec.name, res.good)
+        if (spec.logErrors)
+          register(spark, s"${spec.name}_errors", res.errorLog)
+      } catch {
+        case e: Exception
+            if spec.locations.headOption.exists(
+              _.matches("(?i)^(gpfdists?|https?)://.*")) =>
+          // GP's CREATE validates NOTHING for a web external table —
+          // an unreachable gpfdist host errors at SCAN time. The SREH
+          // reject count forced our read eager; register the LAZY
+          // parse instead, so the failure lands where PG's does.
+          val urls = spec.locations.map(_
+            .replaceFirst("(?i)^gpfdists://", "https://")
+            .replaceFirst("(?i)^gpfdist://", "http://"))
+          import org.apache.spark.sql.functions._
+          val lazyDf = graft.sources.WebSource
+            .lines(spark, urls, math.max(1, spec.segments))
+            .select(from_csv(col("line"), spec.schema,
+              Map("sep" -> spec.delimiter)).as("r"))
+            .select(col("r.*"))
+          lazyDf.createOrReplaceTempView(spec.name)
+          lazyExternals.add(spec.name.toLowerCase)
+          ()
+      }
     }
     spec
   }
+
+  // web external tables registered LAZILY (unreachable at CREATE):
+  // EXCHANGE PARTITION treats them metadata-only
+  private val lazyExternals =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def isLazyExternal(name: String): Boolean =
+    lazyExternals.contains(name.replace("\"", "").toLowerCase)
 
   /** Temp views cannot carry a schema-qualified name — a qualified
     * external table materializes its snapshot as a real table in its
@@ -252,6 +282,7 @@ object ExternalTable {
   /** DROP EXTERNAL TABLE: unregister whichever side holds the name. */
   def drop(spark: SparkSession, name: String): Unit = {
     val n = name.replace("\"", "")
+    lazyExternals.remove(n.toLowerCase)
     if (writables.remove(n) == null) {
       if (n.contains(".")) spark.sql(s"DROP TABLE IF EXISTS $n")
       else {

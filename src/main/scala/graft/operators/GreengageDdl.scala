@@ -181,8 +181,11 @@ object GreengageDdl {
       val (colBlock, after) = balanced(rest, 0)
       rest = rest.substring(after).trim
       columns = splitTop(colBlock)
-        .filterNot(c => "(?i)^(primary key|unique|check|constraint|foreign key|column\\s)"
-          .r.findFirstIn(c).isDefined) // table-level constraints and
+        // \b guards: a column NAMED `unique1`/`checkout` is a column,
+        // not a table-level constraint
+        .filterNot(c => ("(?i)^(primary\\s+key\\b|unique\\s*\\(|check\\s*\\(|" +
+          "constraint\\b|foreign\\s+key\\b|column\\s)")
+          .r.findFirstIn(c.trim).isDefined) // table-level constraints and
                                        // standalone COLUMN ... ENCODING
                                        // storage directives: dropped
         .map {
@@ -346,7 +349,8 @@ object GreengageDdl {
         subRe.findFirstMatchIn(tail).foreach { s =>
           val (sc, sAfter) = balanced(tail, s.end - 1)
           val cols = splitTop(sc).map(_.replace("\"", ""))
-          partitionCols ++= cols
+          partitionCols ++= cols.filterNot(c =>
+            partitionCols.exists(_.equalsIgnoreCase(c)))
           tail = tail.substring(sAfter).trim
           var tmpl: Option[String] = None
           tmplRe.findFirstMatchIn(tail).foreach { t =>
@@ -807,7 +811,9 @@ object GreengageDdl {
   // physical re-layout happens on the next data rewrite (the reference
   // likewise rewrites the table for ALTER ... SET DISTRIBUTED BY).
   private val alterAddRe =
-    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+ADD\\s+(?:COLUMN\\s+)?(?!CONSTRAINT\\b)(\\w+)\\s+(.+?)\\s*;?\\s*$".r
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+ADD\\s+(?:COLUMN\\s+)?" +
+      "(?!CONSTRAINT\\b|PRIMARY\\b|UNIQUE\\b|FOREIGN\\b|CHECK\\b)" +
+      "(\\w+)\\s+(.+?)\\s*;?\\s*$").r
   private val alterRenameRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+RENAME\\s+TO\\s+([\\w.\"]+)\\s*;?\\s*$".r
   private val alterDropColRe =
@@ -822,6 +828,8 @@ object GreengageDdl {
       // parquet's own encoding applies; accepted no-op
       "SET\\s+STORAGE\\s+\\w+)|" +
       "ADD\\s+CONSTRAINT\\b.*|DROP\\s+CONSTRAINT\\b.*|VALIDATE\\s+CONSTRAINT\\b.*|" +
+      "ADD\\s+PRIMARY\\s+KEY\\b.*|ADD\\s+UNIQUE\\b.*|" +
+      "ADD\\s+FOREIGN\\s+KEY\\b.*|ADD\\s+CHECK\\b.*|" +
       // SET WITH (reorganize=…) (GP tablecmds.c ATExecSetDistributedBy
       // data-movement flag) and other storage-parameter SETs: the data
       // keeps its bucketed layout — accepted no-op
@@ -1281,7 +1289,25 @@ object GreengageDdl {
       } else {
         val vm = "(?is)\\bvalues\\s*\\(".r.findFirstMatchIn(it)
         val sm = "(?is)\\bstart\\s*\\(".r.findFirstMatchIn(it)
-        if (vm.isDefined) {
+        val emOnly =
+          if (sm.isEmpty) "(?is)\\bend\\s*\\(".r.findFirstMatchIn(it)
+          else None
+        if (emOnly.isDefined && vm.isEmpty) {
+          // END-only range partition (gram.y TabPartitionBoundSpec):
+          // the START fills from the PREVIOUS partition's END below
+          val (b, bAfter) = balanced(it, emOnly.get.end - 1)
+          val endIncl = "(?is)^\\s*inclusive\\b".r
+            .findFirstIn(it.substring(bAfter)).isDefined
+          pos += 1; rank += 1
+          val child =
+            if (pname != null) childName(namePrefix, s"_${lv}_prt_$pname")
+            else childName(namePrefix, s"_${lv}_prt_${pos + nameOff}")
+          val bprefix = if (pname != null) s"PARTITION $pname " else ""
+          children += PartChild(schema, bare, child, pname, "range", level,
+            Some(rank), pos, null, null, None, b,
+            Some(endIncl), null, partitionisdefault = false,
+            s"${bprefix}END ($b)" + (if (endIncl) " INCLUSIVE" else ""))
+        } else if (vm.isDefined) {
           pos += 1
           val (vals, _) = balanced(it, vm.get.end - 1)
           val child =
@@ -1312,9 +1338,13 @@ object GreengageDdl {
             (for {
               e <- Option(ev)
               bb <- Option(b)
-              av <- scala.util.Try(BigDecimal(a.trim)).toOption
-              bv <- scala.util.Try(BigDecimal(bb.trim)).toOption
-              evv <- scala.util.Try(BigDecimal(e.trim)).toOption
+              // bounds/steps may arrive QUOTED ('2001', EVERY ('1')) —
+              // int4in-style acceptance
+              unq = (x: String) =>
+                x.trim.stripPrefix("'").stripSuffix("'").trim
+              av <- scala.util.Try(BigDecimal(unq(a))).toOption
+              bv <- scala.util.Try(BigDecimal(unq(bb))).toOption
+              evv <- scala.util.Try(BigDecimal(unq(e))).toOption
               if evv > 0 && bv > av && ((bv - av) / evv) <= 10000
             } yield Iterator.iterate(av)(_ + evv)
               .takeWhile(_ < bv)
@@ -1324,20 +1354,42 @@ object GreengageDdl {
               .getOrElse(Seq((a, b)))
           steps.foreach { case (cs, ce) =>
             pos += 1; rank += 1
-            val child = if (pname != null && steps.length == 1)
-              childName(namePrefix, s"_${lv}_prt_$pname")
-            else if (pname != null)
-              childName(namePrefix, s"_${lv}_prt_${pname}_$rank")
-            else childName(namePrefix, s"_${lv}_prt_${pos + nameOff}")
+            // EVERY-expanded NAMED items number their steps
+            // (cdbpartition.c: usam1 EVERY → usam1_1, usam1_2, ...)
+            val stepName =
+              if (pname == null) null
+              else if (steps.length == 1) pname
+              else s"${pname}_$rank"
+            val child =
+              if (stepName != null)
+                childName(namePrefix, s"_${lv}_prt_$stepName")
+              else childName(namePrefix, s"_${lv}_prt_${pos + nameOff}")
             val bprefix =
-              if (pname != null && steps.length == 1) s"PARTITION $pname "
-              else ""
+              if (stepName != null) s"PARTITION $stepName " else ""
+            // EVERY display: plain numerics unquote; intervals print
+            // in the verbose style GP's ruleutils use ('@ 1 mon')
+            val evDisp = Option(ev).map { e =>
+              val u = e.trim.stripPrefix("'").stripSuffix("'").trim
+              if (scala.util.Try(BigDecimal(u)).isSuccess) u
+              else ("(?i)(?:interval\\s*)?'\\s*(\\d+)\\s*" +
+                "(year|month|week|day|hour|minute|second)s?\\s*'" +
+                "(?:\\s*::\\s*interval)?").r
+                .findFirstMatchIn(e.trim).map { m2 =>
+                  val cnt = m2.group(1).toLong
+                  val unit0 = m2.group(2).toLowerCase match {
+                    case "month" => "mon"
+                    case x => x
+                  }
+                  s"'@ $cnt $unit0${if (cnt == 1) "" else "s"}'::interval"
+                }.getOrElse(e)
+            }
             val boundary = s"${bprefix}START ($cs) END ($ce)" +
-              (if (ev != null) s" EVERY ($ev)" else "") +
+              evDisp.map(e => s" EVERY ($e)").getOrElse("") +
               (if (endIncl) " INCLUSIVE" else "")
-            children += PartChild(schema, bare, child, pname, "range", level,
-              Some(rank), pos, null, cs, Some(true), ce,
-              Some(endIncl), ev, partitionisdefault = false, boundary)
+            children += PartChild(schema, bare, child, stepName, "range",
+              level, Some(rank), pos, null, cs, Some(true), ce,
+              Some(endIncl), evDisp.orNull, partitionisdefault = false,
+              boundary)
           }
         }
       }
@@ -1357,6 +1409,16 @@ object GreengageDdl {
           .sortBy(_.partitionposition).headOption
           .map(n => c.copy(partitionrangeend = n.partitionrangestart,
             partitionendinclusive = Some(false))).getOrElse(c)
+      else if (c.partitiontype == "range" && !c.partitionisdefault &&
+          c.partitionrangestart == null && c.partitionrangeend != null)
+        // END-only: START fills from the previous partition's END
+        rows0.filter(r => r.partitiontype == "range" &&
+            !r.partitionisdefault &&
+            r.partitionposition < c.partitionposition &&
+            r.partitionrangeend != null)
+          .sortBy(-_.partitionposition).headOption
+          .map(n => c.copy(partitionrangestart = n.partitionrangeend,
+            partitionstartinclusive = Some(true))).getOrElse(c)
       else c
     }
   }
@@ -1406,9 +1468,12 @@ object GreengageDdl {
       if all.nonEmpty && all.length < 10000
     } yield {
       def render(d: java.time.LocalDateTime): String =
-        if (aDate && d.toLocalTime == java.time.LocalTime.MIDNIGHT)
-          s"date '${d.toLocalDate}'"
-        else s"timestamp '${d.toLocalDate} ${d.toLocalTime}'"
+        if (aDate && d.toLocalTime == java.time.LocalTime.MIDNIGHT) {
+          // GP prints bound dates in the session DateStyle (MDY under
+          // pg_regress): '01-01-2008'::date
+          val ld = d.toLocalDate
+          f"'${ld.getMonthValue}%02d-${ld.getDayOfMonth}%02d-${ld.getYear}%04d'::date"
+        } else s"timestamp '${d.toLocalDate} ${d.toLocalTime}'"
       all.map { st =>
         val en = step(st)
         (render(st), render(if (en.isAfter(bv)) bv else en))
@@ -1451,6 +1516,298 @@ object GreengageDdl {
       partChildrenReg.put(key0, merged)
     }
   } catch { case _: Exception => () } // introspection stays best-effort
+
+  /** Resolve one partition selector at `level` under `parent` —
+    * `FOR (RANK(n))`, `FOR (value)` (list membership or range
+    * containment; ISO date/timestamp bounds compare lexically), or a
+    * bare partition name. */
+  private def resolveChild(kids: Seq[PartChild], level: Int,
+      parent: Option[String], sel0: String): PartChild = {
+    val sel = sel0.trim
+    val atLevel = kids.filter(c => c.partitionlevel == level &&
+      (parent.isEmpty || Option(c.parentchild) == parent ||
+        (level == 0 && parent.isEmpty)))
+    val rankM = "(?is)^FOR\\s*\\(\\s*RANK\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\)$".r
+      .findFirstMatchIn(sel)
+    val forM = "(?is)^FOR\\s*\\((.*)\\)$".r.findFirstMatchIn(sel)
+    val hit = rankM match {
+      case Some(r) =>
+        // ranks RENUMBER as partitions come and go (cdbpartition.c
+        // parruleord reassignment) — compute dynamically by position
+        val n = r.group(1).toInt
+        val ranked = atLevel.filter(c => c.partitiontype == "range" &&
+          !c.partitionisdefault).sortBy(_.partitionposition)
+        ranked.lift(n - 1)
+      case None => forM match {
+        case Some(f) =>
+          val v = f.group(1).replace("'", "").trim
+          atLevel.find(c =>
+            (c.partitiontype == "list" &&
+              Option(c.partitionlistvalues).exists(
+                _.replace("'", "").split(",").map(_.trim).contains(v))) ||
+            (c.partitiontype == "range" && !c.partitionisdefault && {
+              def cmp(bound: String): Option[Int] = {
+                val b = bound.replace("'", "").trim
+                  .replaceAll("(?i)::\\s*\\w+.*$", "")
+                  .replaceAll("(?i)^(date|timestamp)\\s*", "").trim
+                  // MDY display form back to ISO for the lexical compare
+                  .replaceAll("^(\\d{2})-(\\d{2})-(\\d{4})$", "$3-$1-$2")
+                (scala.util.Try(BigDecimal(v)).toOption,
+                  scala.util.Try(BigDecimal(b)).toOption) match {
+                  case (Some(x), Some(y)) => Some(x.compare(y))
+                  case _ => Some(v.compareTo(b))
+                }
+              }
+              Option(c.partitionrangestart)
+                .flatMap(cmp).forall(_ >= 0) &&
+                Option(c.partitionrangeend).flatMap(cmp).forall(_ < 0)
+            }))
+        case None =>
+          val nm = sel.replace("\"", "")
+          atLevel.find(c =>
+            nm.equalsIgnoreCase(Option(c.partitionname).getOrElse("")))
+      }
+    }
+    hit.getOrElse(throw new IllegalArgumentException(
+      s"no partition matching $sel at level $level" +
+        parent.map(p => s" under $p").getOrElse("")))
+  }
+
+  /** Nested partition maintenance — `ALTER TABLE t [ALTER PARTITION
+    * sel]* <ACTION>` (gram.y alter_table_partition_cmd nesting): walk
+    * the selector chain down the child tree, then apply the action at
+    * that depth. Handles EXCHANGE / DROP / TRUNCATE / SET SUBPARTITION
+    * TEMPLATE. Returns true when handled. */
+  private[operators] def alterPartitionPath(spark: SparkSession,
+                                            ddl: String): Boolean = {
+    val head = ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+" +
+      "((?:ALTER\\s+PARTITION\\s+(?:FOR\\s*\\([^()]*(?:\\([^()]*\\))?" +
+      "[^()]*\\)|[\\w\"]+)\\s+)*)(.*)$").r.findFirstMatchIn(ddl)
+      .getOrElse(return false)
+    val table = head.group(1).replace("\"", "")
+    val key0 = table.toLowerCase.replace("\"", "")
+    val kids = Option(partChildrenReg.get(key0)).getOrElse(return false)
+    val sels = ("(?is)ALTER\\s+PARTITION\\s+(FOR\\s*\\([^()]*" +
+      "(?:\\([^()]*\\))?[^()]*\\)|[\\w\"]+)").r
+      .findAllMatchIn(head.group(2)).map(_.group(1)).toSeq
+    var parent: Option[PartChild] = None
+    sels.zipWithIndex.foreach { case (sel, lvl) =>
+      parent = Some(resolveChild(kids, lvl,
+        parent.map(_.partitiontablename), sel))
+    }
+    val depth = sels.length
+    val action = head.group(3).trim.stripSuffix(";").trim
+    val qual = if (key0.contains("."))
+      key0.substring(0, key0.lastIndexOf('.') + 1) else ""
+    // EXCHANGE DEFAULT PARTITION WITH TABLE t at the resolved depth
+    ("(?is)^EXCHANGE\\s+DEFAULT\\s+PARTITION\\s+WITH\\s+TABLE\\s+" +
+      "([\\w.\"]+)(\\s+WITHOUT\\s+VALIDATION)?$").r
+      .findFirstMatchIn(action).foreach { m =>
+        val target = kids.filter(c => c.partitionlevel == depth &&
+          parent.forall(p => Option(c.parentchild)
+            .contains(p.partitiontablename)) && c.partitionisdefault)
+          .headOption.getOrElse(throw new IllegalArgumentException(
+            s"no default partition at depth $depth of $table"))
+        val pred = childTarget(target.partitiontablename).map(_._2)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no predicate for ${target.partitiontablename}"))
+        exchangeByPredicate(spark, table, pred,
+          m.group(1).replace("\"", ""))
+        return true
+      }
+    // RENAME PARTITION old TO new at the resolved depth
+    ("(?is)^RENAME\\s+PARTITION\\s+(FOR\\s*\\([^()]*(?:\\([^()]*\\))?" +
+      "[^()]*\\)|[\\w\"]+)\\s+TO\\s+(\"[^\"]+\"|[\\w]+)$").r
+      .findFirstMatchIn(action).foreach { m =>
+        val target = resolveChild(kids, depth,
+          parent.map(_.partitiontablename), m.group(1))
+        val newName = m.group(2).replace("\"", "")
+        val newRel = childName(
+          Option(target.parentchild).getOrElse(
+            target.partitiontablename.split("_1_prt_")(0)),
+          s"_${depth + 1}_prt_${newName.replaceAll("[^\\w]", "_")}")
+        try spark.sql(s"DROP VIEW IF EXISTS $qual${target.partitiontablename}")
+        catch { case scala.util.control.NonFatal(_) => }
+        partChildrenReg.put(key0, kids.map { c =>
+          if (c.partitiontablename == target.partitiontablename)
+            c.copy(partitionname = newName, partitiontablename = newRel)
+          else if (c.partitiontablename.startsWith(
+              target.partitiontablename + "_"))
+            c.copy(parentchild =
+              if (c.parentchild == target.partitiontablename) newRel
+              else c.parentchild,
+              partitiontablename = newRel + c.partitiontablename
+                .substring(target.partitiontablename.length))
+          else c
+        })
+        registerPartChildViews(spark, table, partColsOf(table))
+        return true
+      }
+    // ADD [DEFAULT] PARTITION item at the resolved depth: metadata +
+    // child views (dynamic value partitioning stores any value)
+    ("(?is)^ADD\\s+((?:DEFAULT\\s+)?PARTITION\\b.*)$").r
+      .findFirstMatchIn(action).foreach { m =>
+        val prefix = parent.map(_.partitiontablename)
+          .getOrElse(key0.split("\\.").last)
+        val (schema0, bare0) = kids.headOption
+          .map(k => (k.schemaname, k.tablename))
+          .getOrElse(("public", key0.split("\\.").last))
+        val item = m.group(1)
+          .replaceFirst("(?is)^DEFAULT\\s+PARTITION", "default partition")
+          .replaceFirst("(?is)^PARTITION", "partition")
+        val newKids = parseSpecItems(schema0, bare0, prefix, depth,
+          "range", s"($item)").map(c =>
+          parent.map(p => c.copy(parentchild = p.partitiontablename,
+            parentname = p.partitionname)).getOrElse(c))
+        val maxPos = kids.map(_.partitionposition).foldLeft(0L)(math.max)
+        val renumbered = newKids.zipWithIndex.map { case (c, i) =>
+          c.copy(partitionposition =
+            if (c.partitionisdefault) 0L else maxPos + i + 1)
+        }
+        partChildrenReg.put(key0, kids ++ renumbered.filterNot(c =>
+          kids.exists(_.partitiontablename == c.partitiontablename)))
+        registerPartChildViews(spark, table, partColsOf(table))
+        return true
+      }
+    // EXCHANGE PARTITION sel WITH TABLE t
+    ("(?is)^EXCHANGE\\s+PARTITION\\s+(FOR\\s*\\([^()]*(?:\\([^()]*\\))?" +
+      "[^()]*\\)|[\\w\"]+)\\s+WITH\\s+TABLE\\s+([\\w.\"]+)" +
+      "(\\s+WITHOUT\\s+VALIDATION)?$").r.findFirstMatchIn(action)
+      .foreach { m =>
+        val target = resolveChild(kids, depth,
+          parent.map(_.partitiontablename), m.group(1))
+        val pred = childTarget(target.partitiontablename).map(_._2)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no predicate for ${target.partitiontablename}"))
+        exchangeByPredicate(spark, table, pred,
+          m.group(2).replace("\"", ""))
+        return true
+      }
+    // DROP PARTITION [sel] under the resolved parent
+    ("(?is)^DROP\\s+PARTITION\\s*(?:IF\\s+EXISTS\\s+)?" +
+      "(FOR\\s*\\([^()]*(?:\\([^()]*\\))?[^()]*\\)|[\\w\"]+)?$").r
+      .findFirstMatchIn(action).foreach { m =>
+        val ifExists = "(?i)IF\\s+EXISTS".r.findFirstIn(action).isDefined
+        val target = Option(m.group(1)) match {
+          case Some(sel) =>
+            try resolveChild(kids, depth,
+              parent.map(_.partitiontablename), sel)
+            catch {
+              case e: IllegalArgumentException =>
+                if (ifExists) return true else throw e
+            }
+          case None => kids.filter(c => c.partitionlevel == depth &&
+            parent.forall(p => Option(c.parentchild)
+              .contains(p.partitiontablename)) && !c.partitionisdefault)
+            .sortBy(_.partitionposition).headOption.getOrElse(
+              throw new IllegalArgumentException("no droppable partition"))
+        }
+        childTarget(target.partitiontablename).foreach { case (_, pred) =>
+          Dml.deleteWhere(spark, key0,
+            org.apache.spark.sql.functions.expr(pred))
+        }
+        val doomed = kids.filter(c =>
+          c.partitiontablename == target.partitiontablename ||
+            c.partitiontablename.startsWith(target.partitiontablename + "_"))
+        doomed.foreach { d =>
+          try spark.sql(s"DROP VIEW IF EXISTS $qual${d.partitiontablename}")
+          catch { case scala.util.control.NonFatal(_) => }
+        }
+        partChildrenReg.put(key0, kids.filterNot(doomed.contains))
+        return true
+      }
+    // TRUNCATE PARTITION sel / bare TRUNCATE at the resolved depth
+    ("(?is)^TRUNCATE\\s+PARTITION\\s+(FOR\\s*\\([^()]*(?:\\([^()]*\\))?" +
+      "[^()]*\\)|[\\w\"]+)(?:\\s+CASCADE|\\s+RESTRICT)?$").r
+      .findFirstMatchIn(action).foreach { m =>
+      val target = resolveChild(kids, depth,
+        parent.map(_.partitiontablename), m.group(1))
+      childTarget(target.partitiontablename).foreach { case (_, pred) =>
+        Dml.deleteWhere(spark, key0,
+          org.apache.spark.sql.functions.expr(pred))
+      }
+      return true
+    }
+    // SET SUBPARTITION TEMPLATE under the resolved path: template
+    // changes land at the sub-level BELOW the resolved depth
+    "(?is)^SET\\s+SUBPARTITION\\s+TEMPLATE\\s*\\(".r
+      .findFirstMatchIn(action).foreach { m =>
+        val (body, _) = balanced(action, m.end - 1)
+        val prior = Option(subLevelsReg.get(key0)).getOrElse(Seq.empty)
+        val idx = depth // sub-level index (level-1 template at idx 0)
+        val ty = if ("(?is)\\bSTART\\s*\\(".r.findFirstIn(body).isDefined)
+          "range" else "list"
+        val updated =
+          if (prior.length > idx) prior.updated(idx, (ty, body))
+          else prior :+ (ty, body)
+        subLevelsReg.put(key0, updated)
+        return true
+      }
+    false
+  }
+
+  /** `DROP PARTITION [name]` (cdbpartition.c): the child's rows go
+    * with it (they lived in the child heap in GP; here a predicate
+    * delete), its relations drop, and the coverage predicate
+    * recomputes from the survivors. */
+  private def dropNamedPartition(spark: SparkSession, table: String,
+                                 name: Option[String]): Unit = {
+    val key0 = table.toLowerCase.replace("\"", "")
+    val kids = Option(partChildrenReg.get(key0)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has no recorded partitions"))
+    val target = name match {
+      case Some(nm) => kids.find(c => c.partitionlevel == 0 &&
+        nm.equalsIgnoreCase(Option(c.partitionname).getOrElse("")))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition \"$nm\" of $table does not exist"))
+      case None => kids.filter(c => c.partitionlevel == 0 &&
+        !c.partitionisdefault).sortBy(_.partitionposition).headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"$table has no droppable partition"))
+    }
+    childTarget(target.partitiontablename).foreach { case (_, pred) =>
+      Dml.deleteWhere(spark, key0,
+        org.apache.spark.sql.functions.expr(pred))
+    }
+    val doomed = kids.filter(c =>
+      c.partitiontablename == target.partitiontablename ||
+        c.partitiontablename.startsWith(target.partitiontablename + "_"))
+    doomed.foreach { d =>
+      val qual = if (key0.contains("."))
+        key0.substring(0, key0.lastIndexOf('.') + 1) else ""
+      try spark.sql(s"DROP VIEW IF EXISTS $qual${d.partitiontablename}")
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+    val remaining = kids.filterNot(doomed.contains)
+    partChildrenReg.put(key0, remaining)
+    // coverage predicate recomputes from the surviving level-0 bounds
+    val cols = partColsOf(table)
+    if (cols.nonEmpty) {
+      val lhs = if (cols.length > 1)
+        cols.map(c => s"`$c`").mkString("(", ", ", ")") else s"`${cols.head}`"
+      val preds = remaining.filter(c =>
+        c.partitionlevel == 0 && !c.partitionisdefault).flatMap { c =>
+        if (c.partitiontype == "list")
+          Option(c.partitionlistvalues).map(v => s"$lhs IN ($v)")
+        else {
+          val col = s"`${cols.head}`"
+          val lo = Option(c.partitionrangestart)
+            .map(s => s"$col >= ${sanitizeBound(s)}")
+          val hi = Option(c.partitionrangeend).map { e =>
+            if (c.partitionendinclusive.contains(true))
+              s"$col <= ${sanitizeBound(e)}"
+            else s"$col < ${sanitizeBound(e)}"
+          }
+          Some((lo ++ hi).mkString(" AND ")).filter(_.nonEmpty)
+        }
+      }
+      if (preds.nonEmpty)
+        partBoundsReg.put(key0, preds.mkString("(", " OR ", ")"))
+      else partBoundsReg.remove(key0)
+    }
+    ()
+  }
 
   /** `ALTER TABLE t SPLIT DEFAULT PARTITION AT (VALUES((..))) INTO
     * (PARTITION a, PARTITION b)` (cdbpartition.c atpxPartSplit): the
@@ -1601,12 +1958,98 @@ object GreengageDdl {
 
   /** All recorded child-partition rows whose parent table still
     * exists — feeds the pg_partitions compat view. */
+  /** The schema a registered table actually lives in — unqualified
+    * names resolve through the session catalog (registration happens
+    * under `SET search_path`, PG's current_schema). */
+  private def actualSchema(spark: SparkSession, key: String): String =
+    if (key.contains(".")) key.substring(0, key.lastIndexOf('.'))
+    else (try {
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(key))
+        .identifier.database
+    } catch { case scala.util.control.NonFatal(_) => None })
+      .filterNot(_ == "default").getOrElse("public")
+
   def partChildren(spark: SparkSession): Seq[PartChild] = {
     import scala.jdk.CollectionConverters._
     partChildrenReg.asScala.toSeq.flatMap { case (tbl, rows) =>
       val exists = try spark.catalog.tableExists(tbl)
         catch { case scala.util.control.NonFatal(_) => false }
-      if (exists) rows else { partChildrenReg.remove(tbl); Seq.empty }
+      if (exists) rows.map(r => r.copy(schemaname = actualSchema(spark, tbl)))
+      else { partChildrenReg.remove(tbl); Seq.empty }
+    }
+  }
+
+  /** Child relation names of a partitioned table (every level). */
+  def childRelationsOf(table: String): Seq[String] = {
+    val key = table.toLowerCase.replace("\"", "")
+    val qual = if (key.contains("."))
+      key.substring(0, key.lastIndexOf('.') + 1) else ""
+    Option(partChildrenReg.get(key)).getOrElse(Seq.empty)
+      .map(c => s"$qual${c.partitiontablename}")
+  }
+
+  /** pg_partition_columns (system_views.sql): the declared partition
+    * key columns per level (0-based level, 1-based position). */
+  def partColumnRows(spark: SparkSession)
+      : Seq[(String, String, String, Int, Int)] = {
+    import scala.jdk.CollectionConverters._
+    partLevelColsReg.asScala.toSeq.flatMap { case (tbl, levels) =>
+      val exists = try spark.catalog.tableExists(tbl)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!exists) Seq.empty
+      else {
+        val schema = actualSchema(spark, tbl)
+        val bare = tbl.split("\\.").last
+        levels.zipWithIndex.flatMap { case (cols, lvl) =>
+          cols.zipWithIndex.map { case (c, i) =>
+            (schema, bare, c, lvl, i + 1)
+          }
+        }
+      }
+    }
+  }
+
+  /** pg_partition_templates (system_views.sql): the declared
+    * SUBPARTITION TEMPLATE items per level — list values render with
+    * their ::text casts, as GP's ruleutils do. */
+  def partTemplates(spark: SparkSession): Seq[PartChild] = {
+    import scala.jdk.CollectionConverters._
+    subLevelsReg.asScala.toSeq.flatMap { case (tbl, levels) =>
+      val exists = try spark.catalog.tableExists(tbl)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!exists) Seq.empty
+      else {
+        val schema = actualSchema(spark, tbl)
+        val bare = tbl.split("\\.").last
+        // GP's ruleutils print bound dates in the session DateStyle
+        // (MDY under pg_regress): date '2008-01-01' → '01-01-2008'::date
+        def dispDate(s0: String): String =
+          if (s0 == null) null
+          else s0
+            .replaceAll("(?i)\\bdate\\s*'(\\d{4})-(\\d{2})-(\\d{2})'",
+              "'$2-$3-$1'::date")
+            .replaceAll("'(\\d{4})-(\\d{2})-(\\d{2})'\\s*::\\s*date",
+              "'$2-$3-$1'::date")
+        levels.zipWithIndex.flatMap { case ((ty, spec), k) =>
+          if (spec.trim.isEmpty) Seq.empty
+          else parseSpecItems(schema, bare, bare, k + 1, ty, spec).map { c =>
+            val lv = Option(c.partitionlistvalues).map(v =>
+              splitTop(v).map(_.trim).map(tok =>
+                if (tok.startsWith("'")) s"$tok::text" else tok)
+                .mkString(", ")).orNull
+            c.copy(schemaname = schema, partitionlistvalues = lv,
+              partitionrangestart = dispDate(c.partitionrangestart),
+              partitionrangeend = dispDate(c.partitionrangeend),
+              partitionboundary = Option(c.partitionboundary)
+                .map(b => dispDate(b)
+                  .replaceFirst("^PARTITION ", "SUBPARTITION ")
+                  .replaceFirst("^DEFAULT PARTITION ",
+                    "DEFAULT SUBPARTITION "))
+                .orNull)
+          }
+        }
+      }
     }
   }
 
@@ -1629,6 +2072,8 @@ object GreengageDdl {
     * time zone`); predicates built from them need the Spark-parsable
     * cast form. */
   private[operators] def sanitizeBound(s: String): String = s
+    .replaceAll("'(\\d{2})-(\\d{2})-(\\d{4})'\\s*::\\s*date",
+      "date '$3-$1-$2'") // MDY display form back to ISO
     .replaceAll("(?i)::\\s*timestamp(\\s+without\\s+time\\s+zone)?", "::timestamp")
     .replaceAll("(?i)::\\s*timestamptz|::\\s*timestamp\\s+with\\s+time\\s+zone",
       "::timestamp")
@@ -1731,6 +2176,148 @@ object GreengageDdl {
       }
       return
     }
+    // DROP PARTITION [name] — delete the child's rows, drop its views
+    // and registry rows (bare form drops the FIRST range partition,
+    // cdbpartition.c)
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+DROP\\s+PARTITION\\s*" +
+      "(?:IF\\s+EXISTS\\s+)?(?!FOR\\b|DEFAULT\\b)([\\w\"]+)?" +
+      "\\s*(?:CASCADE|RESTRICT)?\\s*;?\\s*$").r
+      .findFirstMatchIn(ddl).foreach { m =>
+        dropNamedPartition(spark, m.group(1).replace("\"", ""),
+          Option(m.group(2)).map(_.replace("\"", "")))
+        return
+      }
+    // SET SUBPARTITION TEMPLATE (...) — replaces the deepest level's
+    // template; affects FUTURE partitions (and the
+    // pg_partition_templates introspection view)
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+SET\\s+SUBPARTITION\\s+" +
+      "TEMPLATE\\s*\\(").r.findFirstMatchIn(ddl).foreach { m =>
+        val (body, _) = balanced(ddl, m.end - 1)
+        val key0 = m.group(1).replace("\"", "").toLowerCase
+        val prior = Option(subLevelsReg.get(key0)).getOrElse(Seq.empty)
+        if (body.trim.isEmpty) {
+          if (prior.nonEmpty) subLevelsReg.put(key0, prior.dropRight(1) :+
+            (prior.last._1, ""))
+        } else {
+          val ty = if ("(?is)\\bSTART\\s*\\(".r.findFirstIn(body).isDefined)
+            "range" else "list"
+          subLevelsReg.put(key0,
+            if (prior.isEmpty) Seq((ty, body))
+            else prior.dropRight(1) :+ (ty, body))
+        }
+        return
+      }
+    // SPLIT DEFAULT PARTITION START(..) END(..) INTO (PARTITION a,
+    // DEFAULT PARTITION): carve a bound range out of the default —
+    // metadata-only (addBoundPartition), the default keeps the rest
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+SPLIT\\s+DEFAULT\\s+" +
+      "PARTITION\\s+(START\\s*\\(.*?)\\s+INTO\\s*\\(\\s*PARTITION\\s+" +
+      "([\\w\"]+)\\s*,\\s*(?:DEFAULT\\s+)?PARTITION(?:\\s+([\\w\"]+))?\\s*\\)" +
+      "\\s*;?\\s*$").r.findFirstMatchIn(ddl).foreach { m =>
+        val table = m.group(1).replace("\"", "")
+        addBoundPartition(spark, table,
+          s"partition ${m.group(3).replace("\"", "")} ${m.group(2)}")
+        // the second INTO item names the REMAINING default
+        Option(m.group(4)).map(_.replace("\"", "")).foreach { newDef =>
+          val key0 = table.toLowerCase.replace("\"", "")
+          Option(partChildrenReg.get(key0)).foreach { kids =>
+            kids.find(c => c.partitionlevel == 0 && c.partitionisdefault)
+              .filterNot(d => newDef.equalsIgnoreCase(
+                Option(d.partitionname).getOrElse(""))).foreach { d =>
+                val qual = if (key0.contains("."))
+                  key0.substring(0, key0.lastIndexOf('.') + 1) else ""
+                try spark.sql(
+                  s"DROP VIEW IF EXISTS $qual${d.partitiontablename}")
+                catch { case scala.util.control.NonFatal(_) => }
+                val bare = d.tablename
+                partChildrenReg.put(key0, kids.map { c =>
+                  if (c eq d) c.copy(partitionname = newDef,
+                    partitiontablename =
+                      childName(bare, s"_1_prt_$newDef"),
+                    partitionboundary = s"DEFAULT PARTITION $newDef")
+                  else c
+                })
+                registerPartChildViews(spark, table, partColsOf(table))
+              }
+          }
+        }
+        return
+      }
+    // SPLIT DEFAULT PARTITION AT (v) — no INTO: carve the value out
+    // of the default into an auto-named list child (cdbpartition.c
+    // names it by the next rule ordinal)
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+SPLIT\\s+DEFAULT\\s+" +
+      "PARTITION\\s+AT\\s*\\(((?!\\s*values).*?)\\)\\s*;?\\s*$").r
+      .findFirstMatchIn(ddl).foreach { m =>
+        val table = m.group(1).replace("\"", "")
+        val key0 = table.toLowerCase.replace("\"", "")
+        val kids = Option(partChildrenReg.get(key0)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$table has no recorded partitions"))
+        val maxPos = kids.map(_.partitionposition).foldLeft(0L)(math.max)
+        val (schema, bare) = kids.headOption
+          .map(k => (k.schemaname, k.tablename)).getOrElse(("public", key0))
+        partChildrenReg.put(key0, kids :+ PartChild(schema, bare,
+          childName(bare, s"_1_prt_${maxPos + 2}"), null, "list", 0, None,
+          maxPos + 1, m.group(2).trim, null, None, null, None, null,
+          partitionisdefault = false, s"VALUES(${m.group(2).trim})"))
+        registerPartChildViews(spark, table, partColsOf(table))
+        return
+      }
+    // SPLIT PARTITION <name>|FOR(v) AT (vals) INTO (a, b): the child
+    // splits — `a` takes the AT values/range, `b` the remainder
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+SPLIT\\s+PARTITION\\s+" +
+      "(?:FOR\\s*\\((.*?)\\)|(?!FOR\\b)([\\w\"]+))\\s+AT\\s*\\((.*?)\\)" +
+      "\\s+INTO\\s*\\(\\s*" +
+      "PARTITION\\s+([\\w\"]+)\\s*,\\s*PARTITION\\s+([\\w\"]+)\\s*\\)" +
+      "\\s*;?\\s*$").r.findFirstMatchIn(ddl).foreach { m =>
+        val table = m.group(1).replace("\"", "")
+        val key0 = table.toLowerCase.replace("\"", "")
+        val kids = Option(partChildrenReg.get(key0)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$table has no recorded partitions"))
+        val sel = Option(m.group(2)).map(v => s"FOR ($v)")
+          .getOrElse(m.group(3))
+        val n1 = m.group(5).replace("\"", "")
+        val n2 = m.group(6).replace("\"", "")
+        val atGroup = m.group(4)
+        val maxPos = kids.map(_.partitionposition).foldLeft(0L)(math.max)
+        val qual = if (key0.contains("."))
+          key0.substring(0, key0.lastIndexOf('.') + 1) else ""
+        val target = resolveChild(kids, 0, None, sel)
+        val listTarget = Some(target).filter(_.partitiontype == "list")
+        val (schema, bare) = (target.schemaname, target.tablename)
+        val replacements: Seq[PartChild] =
+          if (listTarget.isDefined) {
+            val atVals = splitTop(atGroup).map(_.trim)
+            val atBare = atVals.map(_.replace("'", "").trim).toSet
+            val origVals = splitTop(target.partitionlistvalues).map(_.trim)
+            val rest = origVals.filterNot(v =>
+              atBare.contains(v.replace("'", "").trim))
+            def mk(nm: String, vals: Seq[String], pos: Long) =
+              PartChild(schema, bare, childName(bare, s"_1_prt_$nm"), nm,
+                "list", 0, None, pos, vals.mkString(", "), null, None, null,
+                None, null, partitionisdefault = false,
+                s"PARTITION $nm VALUES(${vals.mkString(", ")})")
+            Seq(mk(n1, atVals, maxPos + 1), mk(n2, rest, maxPos + 2))
+          } else {
+            // a range child splits AT the point: [start, at) / [at, end)
+            val at = atGroup.trim
+            def mk(nm: String, lo: String, hi: String, pos: Long) =
+              PartChild(schema, bare, childName(bare, s"_1_prt_$nm"), nm,
+                "range", 0, None, pos, null, lo, Some(true), hi,
+                Some(false), null, partitionisdefault = false,
+                s"PARTITION $nm START ($lo) END ($hi)")
+            Seq(mk(n1, target.partitionrangestart, at, maxPos + 1),
+              mk(n2, at, target.partitionrangeend, maxPos + 2))
+          }
+        spark.sql(s"DROP VIEW IF EXISTS $qual${target.partitiontablename}")
+        partChildrenReg.put(key0,
+          kids.filterNot(_.partitiontablename == target.partitiontablename) ++
+            replacements)
+        registerPartChildViews(spark, table, partColsOf(table))
+        return
+      }
     // SPLIT DEFAULT PARTITION AT (VALUES((..))) INTO (a, b)
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+SPLIT\\s+DEFAULT\\s+" +
       "PARTITION\\s+AT\\s*\\(\\s*VALUES\\s*\\((.*?)\\)\\s*\\)\\s*INTO\\s*" +
@@ -1744,15 +2331,18 @@ object GreengageDdl {
     // ADD PARTITION name START(..) END(..): metadata-only under
     // dynamic value partitioning (bounds + child view + catalog row)
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+ADD\\s+PARTITION\\s+" +
-      "((?:\"?\\w+\"?\\s+)?(?:START|VALUES)\\s*\\(.*?)\\s*;?\\s*$").r
+      "((?:\"?\\w+\"?\\s+)?(?:START|VALUES|END)\\s*\\(.*?)\\s*;?\\s*$").r
       .findFirstMatchIn(ddl).foreach { m =>
         val item = m.group(2).trim
         val spec = // anonymous bounds take no `partition` prefix
-          if ("(?is)^(START|VALUES)\\b".r.findFirstIn(item).isDefined) item
+          if ("(?is)^(START|VALUES|END)\\b".r.findFirstIn(item).isDefined) item
           else "partition " + item
         addBoundPartition(spark, m.group(1).replace("\"", ""), spec)
         return
       }
+    // nested ALTER PARTITION chains + registry-resolved top-level
+    // EXCHANGE/DROP/TRUNCATE PARTITION actions
+    if (alterPartitionPath(spark, ddl)) return
     partUnsupportedRe.findFirstMatchIn(ddl).foreach { m =>
       throw new IllegalArgumentException(
         s"${m.group(1).toUpperCase} PARTITION manages explicit bound lists, " +
@@ -1854,6 +2444,15 @@ object GreengageDdl {
   private def exchangeByPredicate(spark: SparkSession, table: String,
                                   pred: String,
                                   withTable: String): Unit = {
+    if (ExternalTable.isLazyExternal(withTable)) {
+      // exchanging WITH an external table turns the partition into an
+      // external leaf (GP exchanges metadata only) — the partition's
+      // own rows leave the table; reads of the external side would
+      // fail at scan time exactly as GP's unreachable gpfdist does
+      Dml.deleteWhere(spark, table,
+        org.apache.spark.sql.functions.expr(pred))
+      return
+    }
     require(spark.table(withTable).columns.sorted.sameElements(
       spark.table(table).columns.sorted),
       s"EXCHANGE requires $withTable to have $table's exact column set")

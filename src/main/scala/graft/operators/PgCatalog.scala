@@ -22,7 +22,8 @@ object PgCatalog {
   val viewNames: Seq[String] = Seq(
     "pg_tables", "pg_views", "pg_namespace", "pg_class", "pg_attribute",
     "gp_segment_configuration", "gp_id", "information_schema",
-    "pg_partitions", "pg_settings", "pg_type", "pg_authid", "pg_indexes")
+    "pg_partitions", "pg_settings", "pg_type", "pg_authid", "pg_indexes",
+    "pg_partition_templates", "pg_stats", "pg_partition_columns")
 
   // role registry (CREATE/DROP ROLE record here; the statements are
   // otherwise no-ops) — oid is a stable surrogate for the
@@ -41,6 +42,69 @@ object PgCatalog {
     if (name.toLowerCase != "gpadmin") roles.remove(name.toLowerCase)
     ()
   }
+
+  // ANALYZE-computed per-column statistics for the pg_stats view
+  // (commands/analyze.c → pg_statistic → the system view): ONE agg
+  // pass per relation — null counts and NDVs for every column at once
+  private val statsReg = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, String, String, Double, Int, Double)]]()
+
+  /** Record pg_stats rows for `table` and (when partitioned) its
+    * child relations, as GP's analyze does for the whole hierarchy. */
+  def recordStats(spark: SparkSession, table: String): Unit = try {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    def widthOf(dt: DataType): Int = dt match {
+      case BooleanType => 1
+      case ShortType => 2
+      case IntegerType | FloatType | DateType => 4
+      case LongType | DoubleType | TimestampType | TimestampNTZType => 8
+      case _: DecimalType => 10
+      case _ => 32
+    }
+    def one(rel: String, display: String): Seq[(String, String, String,
+        Double, Int, Double)] = try {
+      val df = spark.table(rel)
+      val fields = df.schema.fields.toSeq
+      if (fields.isEmpty) return Seq.empty
+      val aggs = count(lit(1)).as("__n") +: fields.flatMap(f => Seq(
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)),
+        count_distinct(col(f.name))))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(0)
+      if (n == 0) return Seq.empty
+      val schema = {
+        val i = rel.lastIndexOf('.')
+        if (i > 0) rel.substring(0, i)
+        else (try spark.sessionState.catalog.getTempViewOrPermanentTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(rel))
+          .identifier.database
+        catch { case scala.util.control.NonFatal(_) => None })
+          .filterNot(_ == "default").getOrElse("public")
+      }
+      fields.zipWithIndex.map { case (f, i) =>
+        val nulls = row.getLong(1 + i * 2)
+        val d = row.getLong(2 + i * 2)
+        val nonNull = n - nulls
+        // PG's compute_scalar_stats: all-distinct → -1; >10% of rows
+        // distinct → the negative RATIO; otherwise the absolute count
+        val ndv =
+          if (nonNull > 0 && d == nonNull) -1.0
+          else if (nonNull > 0 && d.toDouble / nonNull > 0.1)
+            -(d.toDouble / nonNull)
+          else d.toDouble
+        (schema, display.split("\\.").last, f.name,
+          if (n == 0) 0.0 else nulls.toDouble / n, widthOf(f.dataType), ndv)
+      }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    val key = table.toLowerCase.replace("\"", "")
+    statsReg.put(key, one(key, key))
+    // the child relations analyze with the root (analyze.c inh pass)
+    GreengageDdl.childRelationsOf(key).foreach { child =>
+      statsReg.put(child, one(child, child))
+    }
+    ()
+  } catch { case scala.util.control.NonFatal(_) => () }
 
   /** True if `sql` mentions any catalog view outside string literals —
     * the router's refresh trigger. */
@@ -80,7 +144,10 @@ object PgCatalog {
       .toDF("schemaname", "viewname", "viewowner", "definition")
       .createOrReplaceTempView("pg_views")
 
-    Seq("pg_catalog", "public", db).distinct.toDF("nspname")
+    (Seq("pg_catalog", "public", db) ++
+      spark.catalog.listDatabases().collect().map(_.name).toSeq)
+      .distinct.map(n => ((n.hashCode.toLong & 0x7fffffffL), n))
+      .toDF("oid", "nspname")
       .createOrReplaceTempView("pg_namespace")
 
     // gp_id (gp_id.h): the cluster-identity singleton scripts read for
@@ -190,6 +257,68 @@ object PgCatalog {
         f("partitionboundary"), f("parenttablespace"),
         f("partitiontablespace"))))
       .createOrReplaceTempView("pg_partitions")
+
+    // pg_partition_templates (system_views.sql): declared SUBPARTITION
+    // TEMPLATE items, one row per item per level
+    val tmplRows = GreengageDdl.partTemplates(spark).map { c =>
+      (c.schemaname, c.tablename, c.partitionname, c.partitiontype,
+        c.partitionlevel,
+        c.partitionrank.map(java.lang.Long.valueOf).orNull,
+        c.partitionposition, c.partitionlistvalues, c.partitionrangestart,
+        c.partitionstartinclusive.map(java.lang.Boolean.valueOf).orNull,
+        c.partitionrangeend,
+        c.partitionendinclusive.map(java.lang.Boolean.valueOf).orNull,
+        c.partitioneveryclause, c.partitionisdefault, c.partitionboundary)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        tmplRows.map(org.apache.spark.sql.Row.fromTuple), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        f("schemaname"), f("tablename"), f("partitionname"),
+        f("partitiontype"),
+        org.apache.spark.sql.types.StructField("partitionlevel",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("partitionrank",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("partitionposition",
+          org.apache.spark.sql.types.LongType),
+        f("partitionlistvalues"), f("partitionrangestart"),
+        org.apache.spark.sql.types.StructField("partitionstartinclusive",
+          org.apache.spark.sql.types.BooleanType),
+        f("partitionrangeend"),
+        org.apache.spark.sql.types.StructField("partitionendinclusive",
+          org.apache.spark.sql.types.BooleanType),
+        f("partitioneveryclause"),
+        org.apache.spark.sql.types.StructField("partitionisdefault",
+          org.apache.spark.sql.types.BooleanType),
+        f("partitionboundary"))))
+      .createOrReplaceTempView("pg_partition_templates")
+
+    // pg_stats (system_views.sql over pg_statistic): the engine's CBO
+    // statistics live in Spark's own catalog, not pg_statistic — the
+    // compat view is schema-complete but EMPTY (clients that read it
+    // get "no stats", never an error)
+    {
+      import scala.jdk.CollectionConverters._
+      statsReg.asScala.toSeq.flatMap { case (tbl, rows) =>
+        val exists = try spark.catalog.tableExists(tbl)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (exists) rows else { statsReg.remove(tbl); Seq.empty }
+      }.map { case (sc, tn, at, nf, aw, nd) =>
+        (sc, tn, at, nf, aw, nd, null: String, null: String,
+          null: String, null: java.lang.Double)
+      }.toDF("schemaname", "tablename", "attname", "null_frac",
+        "avg_width", "n_distinct", "most_common_vals",
+        "most_common_freqs", "histogram_bounds", "correlation")
+        .createOrReplaceTempView("pg_stats")
+    }
+
+    // pg_partition_columns (system_views.sql): one row per declared
+    // partition-key column per level
+    GreengageDdl.partColumnRows(spark)
+      .toDF("schemaname", "tablename", "columnname",
+        "partitionlevel", "position_in_partition_key")
+      .createOrReplaceTempView("pg_partition_columns")
 
     // pg_settings (guc.c show_all_settings): the GUC metadata + the
     // session's live values

@@ -1344,8 +1344,14 @@ object PgSql {
             if (fromAt >= 0)
               sql.substring(0, end) + ", " + fromItems.mkString(", ") + " " +
                 sql.substring(end)
-            else sql.substring(0, end) + " FROM " +
-              fromItems.mkString(", ") + " " + sql.substring(end)
+            else {
+              // the FIRST from-item cannot be LATERAL (nothing
+              // precedes it to reference)
+              val items = fromItems.head.stripPrefix("LATERAL ") +:
+                fromItems.tail
+              sql.substring(0, end) + " FROM " +
+                items.mkString(", ") + " " + sql.substring(end)
+            }
           changed = true
         }
       }
@@ -1374,6 +1380,13 @@ object PgSql {
       s"(CASE WHEN (($s) > 0 AND ($a) <= ($b)) OR (($s) < 0 AND ($a) >= ($b))" +
         s" THEN sequence(CAST(($a) AS $ty), CAST(($b) AS $ty), " +
         s"CAST(($s) AS $ty)) ELSE array() END)"
+    case Seq(a, b, s) if "(?i)\\binterval\\b".r.findFirstIn(s).isDefined =>
+      // timestamp series (generate_series_timestamp): string-literal
+      // bounds need the explicit cast — Spark's sequence() does not
+      // coerce STRING endpoints against an interval step
+      def ts(x: String): String =
+        if (x.trim.startsWith("'")) s"CAST($x AS TIMESTAMP)" else x
+      s"sequence(${ts(a)}, ${ts(b)}, $s)"
     case Seq(a, b, s) => s"sequence($a, $b, $s)"
     case other => throw new IllegalArgumentException(
       s"generate_series takes 2 or 3 arguments, got ${other.length}")

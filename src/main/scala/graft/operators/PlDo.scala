@@ -573,7 +573,12 @@ object PlDo {
   private val voidFnRe =
     ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+([\\w.]+)\\s*" +
       "\\(([^)]*)\\)\\s+RETURNS\\s+VOID\\s+AS\\s+\\$(\\w*)\\$(.*)\\$\\3\\$" +
-      "\\s+LANGUAGE\\s+PLPGSQL\\s*;?\\s*$").r
+      // volatility/strictness may sit BEFORE the language tag
+      // (gram.y createfunc_opt_item order is free)
+      "\\s*(?:(?:VOLATILE|STABLE|IMMUTABLE|STRICT|SECURITY\\s+\\w+)\\s+)*" +
+      "LANGUAGE\\s+'?PLPGSQL'?" +
+      "(?:\\s+(?:VOLATILE|STABLE|IMMUTABLE|STRICT|SECURITY\\s+\\w+))*" +
+      "\\s*;?\\s*$").r
 
   def isVoidFunctionDdl(ddl: String): Boolean =
     voidFnRe.findFirstMatchIn(ddl).isDefined

@@ -115,6 +115,13 @@ while i < n:
     if re.match(r"^\(\d+ rows?\)$", s):
         i += 1  # stray fence from a zero-column result table
         continue
+    if s.startswith("/*"):
+        # a block comment between statements (the scanner would glue
+        # its body into the next statement) — skip to the close
+        while i < n and "*/" not in lines[i]:
+            i += 1
+        i += 1
+        continue
     if s.startswith("--"):
         if "start_ignore" in s:
             # the block's OUTPUT is unverifiable, but its STATEMENTS
@@ -179,7 +186,22 @@ while i < n:
         i += 1              # skip it AND its output block (ends at
         # \copy/\set/... emit nothing: skipping to the next blank line
         # would swallow the statements that follow them
-        if not re.match(r"\\(copy|set|unset|cd|echo|timing|pset)\b", s):
+        if re.match(r"\\d", s):
+            # \d output is MULTI-paragraph (columns, then Indexes:,
+            # Check constraints:, Inherits:, ... separated by blank
+            # lines, and one `Table "..."` block PER child relation) —
+            # skip until a line that starts a real SQL statement or
+            # psql command
+            stmt_start = re.compile(
+                r"(?i)^(select|insert|update|delete|create|alter|drop|"
+                r"set|reset|show|begin|commit|rollback|abort|truncate|"
+                r"copy|vacuum|analyze|explain|grant|revoke|with|values|"
+                r"prepare|execute|deallocate|declare|fetch|close|do|"
+                r"comment|lock|--(?![-+])|/\*|\\\\)")
+            while i < n and not (lines[i].strip() and
+                                 stmt_start.match(lines[i].strip())):
+                i += 1
+        elif not re.match(r"\\(copy|set|unset|cd|echo|timing|pset|c\b|connect\b)", s):
             while i < n and lines[i].strip():  # the next blank line
                 i += 1
         continue
@@ -279,7 +301,8 @@ while i < n:
     # WARNING/HINT chatter can sit between a statement and its result
     # table (escape_string_warning); skip it before the header check
     while j < n and re.match(
-            r"^(NOTICE|HINT|WARNING|DETAIL|CONTEXT|INFO|LINE \d+|\s*\^)",
+            r"^(NOTICE|HINT|WARNING|DETAIL|CONTEXT|INFO|LINE \d+|\s*\^"
+            r"|PL/pgSQL function|SQL statement |SQL function )",
             lines[j].strip()):
         j += 1
         # unprefixed DETAIL continuations (one 'drop cascades to ...'
