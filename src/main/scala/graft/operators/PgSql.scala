@@ -1311,7 +1311,11 @@ object PgSql {
             j += 1
           }
           d2(masked2.length) = dd
-          val myd = depth(calls.head.start)
+          // texts.head._1 is the LEFTMOST call start; replacements ran
+          // right-to-left so the prefix [0, texts.head._1) is unchanged
+          // and the offset is valid in the rewritten string — read the
+          // depth from d2 (the rewritten string's table), not `depth`
+          val myd = d2(texts.head._1)
           def word2(at: Int, w: String): Boolean =
             masked2.regionMatches(true, at, w, 0, w.length) &&
               (at == 0 || (!Character.isLetterOrDigit(masked2.charAt(at - 1)) &&
@@ -1331,13 +1335,18 @@ object PgSql {
           var end = masked2.length
           var scan2 = true
           var p = if (fromAt >= 0) fromAt + 4 else texts.head._1
-          while (p < masked2.length && scan2) {
-            // depth(p) is the depth BEFORE char p: a drop below the
+          // scan through p == masked2.length: d2(length) carries the
+          // depth AFTER the last char, so a subselect whose closing
+          // ')' is the statement's final character still registers
+          // the drop and the hoisted item lands INSIDE it
+          while (p <= masked2.length && scan2) {
+            // d2(p) is the depth BEFORE char p: a drop below the
             // call's depth means char p-1 closed the enclosing
             // subselect — the hoisted item must land INSIDE it
             if (d2(p) < myd) { end = p - 1; scan2 = false }
-            else if (d2(p) == myd && (masked2.charAt(p) == ';' ||
-              enders.exists(word2(p, _)))) { end = p; scan2 = false }
+            else if (p < masked2.length && d2(p) == myd &&
+              (masked2.charAt(p) == ';' ||
+                enders.exists(word2(p, _)))) { end = p; scan2 = false }
             else p += 1
           }
           sql =

@@ -1758,4 +1758,31 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.catalog.dropTempView("ct")
     spark.catalog.dropTempView("cth")
   }
+
+  test("multi-SRF hoist inside a parenthesized subselect lands the FROM inside") {
+    import graft.operators.PgSql.rewrite
+    // regression: the hoisted FROM item must splice BEFORE a closing
+    // ')' that is the statement's final character (subselect_gp.sql's
+    // CREATE TABLE t1 AS (SELECT generate_series.. AS i, .. AS j))
+    val r = rewrite(
+      "(SELECT generate_series(1, 5) AS i, generate_series(6, 10) AS j)")
+    assert(r.trim.endsWith(")"), s"FROM spliced outside the subselect: $r")
+    val got = spark.sql(s"SELECT * FROM $r ORDER BY i")
+      .collect().map(x => (x.getInt(0), x.getInt(1))).toSeq
+    assert(got == (1 to 5).map(i => (i, i + 5)))
+    // end-to-end through the router, exactly the regressed statement shape
+    drop("srf_paren_t1")
+    Graft.execute(spark,
+      "CREATE TABLE srf_paren_t1 AS (SELECT generate_series(1, 50) AS i, " +
+        "generate_series(51, 100) AS j)")
+    val t = spark.table("srf_paren_t1")
+    assert(t.count() == 50)
+    assert(t.where("j = i + 50").count() == 50)
+    drop("srf_paren_t1")
+    // unparenthesized form still works (no over-correction)
+    val r2 = rewrite(
+      "SELECT generate_series(1, 4) AS a, generate_series(1, 2) AS b")
+    val z = spark.sql(r2).collect().map(x => (x.getInt(0), x.getInt(1))).toSeq
+    assert(z.sorted == Seq((1, 1), (2, 2), (3, 1), (4, 2)).sorted)
+  }
 }
