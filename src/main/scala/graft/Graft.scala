@@ -147,6 +147,13 @@ object Graft {
     t = t.replaceAll("(?i)\\bpg_temp\\.", "").replaceFirst(
       "(?is)^CREATE\\s+(?:GLOBAL\\s+|LOCAL\\s+)?(?:TEMP|TEMPORARY|UNLOGGED)\\s+TABLE",
       "CREATE TABLE")
+    // `public` heads PG's search_path and is where unqualified names
+    // land (namespace.c): a `public.`-qualified relation IS the
+    // unqualified one here, so the qualifier drops (outside literals —
+    // `schemaname = 'public'` probes must survive)
+    if (t.toLowerCase.contains("public."))
+      t = operators.PgSql.replaceAllOutsideLiterals(t,
+        "(?i)\\bpublic\\.(?=[\\w\"])", "")
     def is(re: String) = re.r.findFirstIn(t).isDefined
     def stripSemi(s: String) = s.trim.stripSuffix(";").trim
     // `INSERT INTO t ( SELECT ... )` (gram.y insert_rest accepts a
@@ -317,7 +324,20 @@ object Graft {
         .replaceFirst("(?s)\\s*\\(.*$", "").trim)
       None
     } else if (is("(?is)^CREATE\\s+OPERATOR\\s+(?!CLASS|FAMILY)")) {
-      operators.PgSql.registerOperator(stripSemi(t)); None
+      // a built-in spelling (=, <, >=, ...) over a binary-compatible
+      // user type (partition.sql's myint) already means the right
+      // thing — registering it would rewrite EVERY such operator in
+      // later statements into the implementing function
+      val spelling = "(?is)^CREATE\\s+OPERATOR\\s+([^\\s(]+)".r
+        .findFirstMatchIn(t).map(_.group(1).replaceAll("^.*\\.", ""))
+      val builtin = Set("=", "<>", "!=", "<", ">", "<=", ">=")
+      if (spelling.exists(builtin.contains)) None
+      else { operators.PgSql.registerOperator(stripSemi(t)); None }
+    } else if (is("(?is)^(CREATE|DROP)\\s+CAST\\b")) {
+      // CREATE CAST .. WITHOUT FUNCTION AS IMPLICIT (typecmds.c): the
+      // types are already binary-compatible here (base-alias types map
+      // to the builtin), so the cast surface is a no-op
+      None
     } else if (is("(?is)^(CREATE|ALTER|DROP)\\s+OPERATOR\\s+(CLASS|FAMILY)\\b")) {
       // operator classes/families organize INDEX access methods
       // (opclasscmds.c) — layout-only indexes have no opclasses to

@@ -398,7 +398,12 @@ object GreengageDdl {
     val colSql =
       if (spec.ctasQuery.isDefined || spec.columns.isEmpty) ""
       else spec.columns.map { case (n, t) =>
-        s"$n $t" + spec.colDefaults.get(n.toLowerCase)
+        // a composite-typed PARTITION BY column stores the PG text
+        // form ('(1,2)') — Spark cannot partition by a struct, and the
+        // reference's list bounds are spelled in that text form too
+        val t2 = if (t.toUpperCase.startsWith("STRUCT<") &&
+          spec.partitionCols.exists(_.equalsIgnoreCase(n))) "STRING" else t
+        s"$n $t2" + spec.colDefaults.get(n.toLowerCase)
           .map(d => s" DEFAULT $d").getOrElse("")
       }.mkString(" (", ", ", ")")
     // Spark requires at least one data (non-partition) column; a
@@ -1527,6 +1532,11 @@ object GreengageDdl {
     val atLevel = kids.filter(c => c.partitionlevel == level &&
       (parent.isEmpty || Option(c.parentchild) == parent ||
         (level == 0 && parent.isEmpty)))
+    if (sel.equalsIgnoreCase("DEFAULT"))
+      return atLevel.find(_.partitionisdefault).getOrElse(
+        throw new IllegalArgumentException(
+          s"no default partition at level $level" +
+            parent.map(p => s" under $p").getOrElse("")))
     val rankM = "(?is)^FOR\\s*\\(\\s*RANK\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\)$".r
       .findFirstMatchIn(sel)
     val forM = "(?is)^FOR\\s*\\((.*)\\)$".r.findFirstMatchIn(sel)
@@ -1541,6 +1551,7 @@ object GreengageDdl {
       case None => forM match {
         case Some(f) =>
           val v = f.group(1).replace("'", "").trim
+            .replaceAll("(?i)^(date|timestamp)\\s+", "").trim
           atLevel.find(c =>
             (c.partitiontype == "list" &&
               Option(c.partitionlistvalues).exists(
@@ -1581,15 +1592,17 @@ object GreengageDdl {
   private[operators] def alterPartitionPath(spark: SparkSession,
                                             ddl: String): Boolean = {
     val head = ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+" +
-      "((?:ALTER\\s+PARTITION\\s+(?:FOR\\s*\\([^()]*(?:\\([^()]*\\))?" +
-      "[^()]*\\)|[\\w\"]+)\\s+)*)(.*)$").r.findFirstMatchIn(ddl)
+      "((?:ALTER\\s+(?:DEFAULT\\s+PARTITION|PARTITION\\s+" +
+      "(?:FOR\\s*\\([^()]*(?:\\([^()]*\\))?[^()]*\\)|\"[^\"]+\"|[\\w]+))" +
+      "\\s+)*)(.*)$").r.findFirstMatchIn(ddl)
       .getOrElse(return false)
     val table = head.group(1).replace("\"", "")
     val key0 = table.toLowerCase.replace("\"", "")
     val kids = Option(partChildrenReg.get(key0)).getOrElse(return false)
-    val sels = ("(?is)ALTER\\s+PARTITION\\s+(FOR\\s*\\([^()]*" +
-      "(?:\\([^()]*\\))?[^()]*\\)|[\\w\"]+)").r
-      .findAllMatchIn(head.group(2)).map(_.group(1)).toSeq
+    val sels = ("(?is)ALTER\\s+(?:(DEFAULT)\\s+PARTITION|PARTITION\\s+" +
+      "(FOR\\s*\\([^()]*(?:\\([^()]*\\))?[^()]*\\)|\"[^\"]+\"|[\\w]+))").r
+      .findAllMatchIn(head.group(2))
+      .map(m => if (m.group(1) != null) "DEFAULT" else m.group(2)).toSeq
     var parent: Option[PartChild] = None
     sels.zipWithIndex.foreach { case (sel, lvl) =>
       parent = Some(resolveChild(kids, lvl,
@@ -1615,9 +1628,19 @@ object GreengageDdl {
           m.group(1).replace("\"", ""))
         return true
       }
+    // SPLIT [DEFAULT] PARTITION at the resolved depth
+    ("(?is)^SPLIT\\s+(DEFAULT\\s+PARTITION|PARTITION\\s+" +
+      "(?:FOR\\s*\\([^()]*(?:\\([^()]*\\))?[^()]*\\)|(?!FOR\\b)" +
+      "(?:\"[^\"]+\"|[\\w]+)))\\s+(.*)$").r
+      .findFirstMatchIn(action).foreach { m =>
+        val sel = if (m.group(1).toUpperCase.startsWith("DEFAULT")) None
+          else Some(m.group(1).replaceFirst("(?is)^PARTITION\\s+", "").trim)
+        splitChild(spark, table, depth, parent, sel, m.group(2))
+        return true
+      }
     // RENAME PARTITION old TO new at the resolved depth
     ("(?is)^RENAME\\s+PARTITION\\s+(FOR\\s*\\([^()]*(?:\\([^()]*\\))?" +
-      "[^()]*\\)|[\\w\"]+)\\s+TO\\s+(\"[^\"]+\"|[\\w]+)$").r
+      "[^()]*\\)|\"[^\"]+\"|[\\w]+)\\s+TO\\s+(\"[^\"]+\"|[\\w]+)$").r
       .findFirstMatchIn(action).foreach { m =>
         val target = resolveChild(kids, depth,
           parent.map(_.partitiontablename), m.group(1))
@@ -1852,6 +1875,254 @@ object GreengageDdl {
     registerPartChildViews(spark, table, cols)
   }
 
+  /** Coverage predicate of one bound level-0 child (feeds the DROP
+    * DEFAULT PARTITION complement). */
+  private def predForBound(table: String, c: PartChild): Option[String] = {
+    val cols = partColsOf(table)
+    if (cols.isEmpty || c.partitionlevel != 0) return None
+    val lhs = if (cols.length > 1) cols.mkString("(", ", ", ")") else cols.head
+    if (c.partitiontype == "list")
+      Option(c.partitionlistvalues).map(v => s"($lhs IN ($v))")
+    else {
+      val col = cols.head
+      val lo = Option(c.partitionrangestart).map(s =>
+        s"$col ${if (c.partitionstartinclusive.getOrElse(true)) ">=" else ">"} " +
+          sanitizeBound(s))
+      val hi = Option(c.partitionrangeend).map(e =>
+        s"$col ${if (c.partitionendinclusive.contains(true)) "<=" else "<"} " +
+          sanitizeBound(e))
+      Some((lo ++ hi).mkString("(", " AND ", ")")).filter(_ != "()")
+    }
+  }
+
+  /** Unified SPLIT (tablecmds.c ATPExecPartSplit), at any depth:
+    *
+    *   SPLIT DEFAULT PARTITION AT (v, ..)                    [INTO (i, j)]
+    *   SPLIT DEFAULT PARTITION START (v) [INCL|EXCL]
+    *                           END (v) [INCL|EXCL]           [INTO (i, j)]
+    *   SPLIT PARTITION <name|FOR(v)|FOR(RANK(n))> AT (..)    [INTO (i, j)]
+    *
+    * Splitting the DEFAULT carves a new bound child out of it — the
+    * INTO list must name the default exactly once (by its name or the
+    * DEFAULT keyword); the other item names the carved child. A bound
+    * LIST child keeps the remainder under the FIRST INTO name and the
+    * AT values move to the SECOND; a bound RANGE child cuts
+    * [start, at) / [at, end] with the outer edge markers inherited.
+    * Children are predicate views over the parent, so every variant is
+    * metadata-only — no rows move. */
+  private[operators] def splitChild(spark: SparkSession, table: String,
+      depth: Int, parent: Option[PartChild], selOpt: Option[String],
+      rest0: String): Unit = {
+    val key0 = table.toLowerCase.replace("\"", "")
+    val kids = Option(partChildrenReg.get(key0)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has no recorded partitions"))
+    val qual = if (key0.contains("."))
+      key0.substring(0, key0.lastIndexOf('.') + 1) else ""
+    var rest = rest0.trim.stripSuffix(";").trim
+    // INTO (item, item) — item := [DEFAULT] PARTITION [name]
+    var into: Option[((Boolean, Option[String]), (Boolean, Option[String]))] =
+      None
+    ("(?is)\\bINTO\\s*\\(\\s*(DEFAULT\\s+PARTITION|PARTITION)" +
+      "(?:\\s+(\"[^\"]+\"|\\w+))?\\s*,\\s*(DEFAULT\\s+PARTITION|PARTITION)" +
+      "(?:\\s+(\"[^\"]+\"|\\w+))?\\s*\\)\\s*$").r.findFirstMatchIn(rest)
+      .foreach { i =>
+        def item(kw: String, nm: String) =
+          (kw.toUpperCase.startsWith("DEFAULT"),
+            Option(nm).map(_.replace("\"", "")))
+        into = Some((item(i.group(1), i.group(2)),
+          item(i.group(3), i.group(4))))
+        rest = rest.substring(0, i.start).trim
+      }
+    val atLevel = kids.filter(c => c.partitionlevel == depth &&
+      parent.forall(p => Option(c.parentchild).contains(p.partitiontablename)))
+    val target = selOpt match {
+      case None => atLevel.find(_.partitionisdefault).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table has no default partition at level $depth"))
+      case Some(s) => resolveChild(kids, depth,
+        parent.map(_.partitiontablename), s)
+    }
+    val (schema, bare) = (target.schemaname, target.tablename)
+    val prefix = parent.map(_.partitiontablename).getOrElse(bare)
+    val pc = parent.map(_.partitiontablename).orNull
+    val pn = parent.map(_.partitionname).orNull
+    def relOf(nm: String) =
+      childName(prefix, s"_${depth + 1}_prt_${nm.replaceAll("[^\\w]", "_")}")
+    val maxPos = atLevel.map(_.partitionposition).foldLeft(0L)(math.max)
+    val atM = "(?is)^AT\\s*\\((.*)\\)$".r.findFirstMatchIn(rest)
+    val seM = ("(?is)^START\\s*\\(\\s*(.*?)\\s*\\)\\s*" +
+      "(INCLUSIVE|EXCLUSIVE)?\\s*END\\s*\\(\\s*(.*?)\\s*\\)\\s*" +
+      "(INCLUSIVE|EXCLUSIVE)?$").r.findFirstMatchIn(rest)
+    require(atM.isDefined || seM.isDefined,
+      s"cannot parse SPLIT PARTITION operand: $rest0")
+    def normBound(x: String): String = x.replace("'", "").trim
+      .replaceAll("(?i)^(date|timestamp)\\s*", "")
+      .replaceAll("^(\\d{2})-(\\d{2})-(\\d{4})$", "$3-$1-$2").trim
+    def cmpB(a: String, b: String): Int = {
+      val (x, y) = (normBound(a), normBound(b))
+      (scala.util.Try(BigDecimal(x)).toOption,
+        scala.util.Try(BigDecimal(y)).toOption) match {
+        case (Some(p), Some(q)) => p.compare(q)
+        case _ => x.compareTo(y)
+      }
+    }
+    if (target.partitionisdefault) {
+      val defaultName = Option(target.partitionname).getOrElse("")
+      // exactly one INTO item must denote the default
+      val (newName, defItem) = into match {
+        case Some((i1, i2)) =>
+          def isDef(it: (Boolean, Option[String])) =
+            it._1 || it._2.exists(_.equalsIgnoreCase(defaultName))
+          (isDef(i1), isDef(i2)) match {
+            case (true, false) => (i2._2, Some(i1))
+            case (false, true) => (i1._2, Some(i2))
+            case _ => throw new IllegalArgumentException(
+              "SPLIT DEFAULT PARTITION requires INTO to name the " +
+                s"default partition (\"$defaultName\") exactly once")
+          }
+        case None => (None, None)
+      }
+      require(newName.forall(n => !n.equalsIgnoreCase(defaultName)),
+        s"partition \"$defaultName\" would be duplicated by the split")
+      val pos = maxPos + 1
+      val rel = newName.map(relOf).getOrElse(
+        childName(prefix, s"_${depth + 1}_prt_${pos + 1}"))
+      val carved = (atM, seM) match {
+        case (Some(a), _) =>
+          require(target.partitiontype != "range",
+            "SPLIT DEFAULT PARTITION AT applies to list partitions — " +
+              "a range default splits with START/END")
+          val vals = a.group(1).trim
+          PartChild(schema, bare, rel, newName.orNull, "list", depth, None,
+            pos, vals, null, None, null, None, null,
+            partitionisdefault = false,
+            newName.map(n => s"PARTITION $n VALUES($vals)")
+              .getOrElse(s"VALUES($vals)"), pc, pn)
+        case (_, Some(s)) =>
+          require(target.partitiontype == "range",
+            "SPLIT DEFAULT PARTITION START/END applies to range partitions")
+          val sIncl = Option(s.group(2))
+            .forall(_.equalsIgnoreCase("INCLUSIVE"))
+          val eIncl = Option(s.group(4))
+            .exists(_.equalsIgnoreCase("INCLUSIVE"))
+          PartChild(schema, bare, rel, newName.orNull, "range", depth, None,
+            pos, null, s.group(1).trim, Some(sIncl), s.group(3).trim,
+            Some(eIncl), null, partitionisdefault = false,
+            (newName.map(n => s"PARTITION $n ").getOrElse("") +
+              s"START (${s.group(1).trim})" +
+              (if (!sIncl) " EXCLUSIVE" else "") +
+              s" END (${s.group(3).trim})" +
+              (if (eIncl) " INCLUSIVE" else "")).trim, pc, pn)
+        case _ => throw new IllegalStateException("unreachable")
+      }
+      var updated = kids :+ carved
+      // DEFAULT PARTITION <newname> renames the remaining default
+      defItem.flatMap(_._2).filterNot(_.equalsIgnoreCase(defaultName))
+        .foreach { nd =>
+          val newRel = relOf(nd)
+          try spark.sql(
+            s"DROP VIEW IF EXISTS $qual${target.partitiontablename}")
+          catch { case scala.util.control.NonFatal(_) => }
+          updated = updated.map { c =>
+            if (c.partitiontablename == target.partitiontablename)
+              c.copy(partitionname = nd, partitiontablename = newRel,
+                partitionboundary = s"DEFAULT PARTITION $nd")
+            else if (Option(c.parentchild)
+                .contains(target.partitiontablename))
+              c.copy(parentchild = newRel)
+            else c
+          }
+        }
+      partChildrenReg.put(key0, updated)
+      if (depth == 0) predForBound(table, carved).foreach { np =>
+        partBoundsReg.put(key0, Option(partBoundsReg.get(key0))
+          .map(b => s"($b OR $np)").getOrElse(np))
+      }
+      registerPartChildViews(spark, table, partColsOf(table))
+    } else {
+      // bound child splits two ways; INTO items must both be bound
+      into.foreach { case (i1, i2) =>
+        require(!i1._1 && !i2._1,
+          "cannot SPLIT a bound partition INTO a default partition")
+      }
+      val (n1, n2): (Option[String], Option[String]) = into match {
+        case Some((i1, i2)) => (i1._2, i2._2)
+        case None => (Option(target.partitionname), None)
+      }
+      val posBase = target.partitionposition
+      def relFor(nm: Option[String], pos: Long) = nm.map(relOf)
+        .getOrElse(childName(prefix, s"_${depth + 1}_prt_${pos + 1}"))
+      val replacements: Seq[PartChild] =
+        if (target.partitiontype == "list") {
+          val atVals = splitTop(atM.getOrElse(throw
+            new IllegalArgumentException(
+              "a bound partition splits with AT")).group(1)).map(_.trim)
+          val atBare = atVals.map(_.replace("'", "").trim).toSet
+          val origVals = splitTop(target.partitionlistvalues).map(_.trim)
+          require(atVals.forall(v => origVals.exists(o =>
+            o.replace("'", "").trim == v.replace("'", "").trim)),
+            "AT values must all belong to the partition being split")
+          val restVals = origVals.filterNot(v =>
+            atBare.contains(v.replace("'", "").trim))
+          require(restVals.nonEmpty,
+            "SPLIT would leave the first partition empty")
+          def mk(nm: Option[String], vals: Seq[String], pos: Long) =
+            PartChild(schema, bare, relFor(nm, pos), nm.orNull, "list",
+              depth, None, pos, vals.mkString(", "), null, None, null,
+              None, null, partitionisdefault = false,
+              nm.map(n => s"PARTITION $n VALUES(${vals.mkString(", ")})")
+                .getOrElse(s"VALUES(${vals.mkString(", ")})"), pc, pn)
+          Seq(mk(n1, restVals, posBase), mk(n2, atVals, posBase + 1))
+        } else {
+          val at = atM.getOrElse(throw new IllegalArgumentException(
+            "a bound partition splits with AT")).group(1).trim
+          Option(target.partitionrangestart).foreach(s =>
+            require(cmpB(at, s) > 0,
+              s"AT ($at) is below the partition's range"))
+          Option(target.partitionrangeend).foreach(e =>
+            require(cmpB(at, e) < 0,
+              s"AT ($at) is beyond the partition's range"))
+          def mk(nm: Option[String], lo: String, loIncl: Option[Boolean],
+                 hi: String, hiIncl: Option[Boolean], pos: Long) =
+            PartChild(schema, bare, relFor(nm, pos), nm.orNull, "range",
+              depth, None, pos, null, lo, loIncl, hi, hiIncl, null,
+              partitionisdefault = false,
+              (nm.map(n => s"PARTITION $n ").getOrElse("") +
+                s"START ($lo)" +
+                (if (loIncl.contains(false)) " EXCLUSIVE" else "") +
+                s" END ($hi)" +
+                (if (hiIncl.contains(true)) " INCLUSIVE" else "")).trim,
+              pc, pn)
+          Seq(mk(n1, target.partitionrangestart,
+              target.partitionstartinclusive.orElse(Some(true)), at,
+              Some(false), posBase),
+            mk(n2, at, Some(true), target.partitionrangeend,
+              target.partitionendinclusive.orElse(Some(false)), posBase + 1))
+        }
+      try spark.sql(s"DROP VIEW IF EXISTS $qual${target.partitiontablename}")
+      catch { case scala.util.control.NonFatal(_) => }
+      // ranks above the split point shift by one (parruleord)
+      val shifted = kids.map { c =>
+        if (c.partitionlevel == depth && !(c eq target) &&
+            parent.forall(p =>
+              Option(c.parentchild).contains(p.partitiontablename)) &&
+            c.partitionposition > posBase)
+          c.copy(partitionposition = c.partitionposition + 1)
+        else c
+      }
+      partChildrenReg.put(key0,
+        shifted.filterNot(_.partitiontablename == target.partitiontablename)
+          ++ replacements)
+      if (depth == 0) replacements.foreach(c =>
+        predForBound(table, c).foreach { np =>
+          partBoundsReg.put(key0, Option(partBoundsReg.get(key0))
+            .map(b => s"($b OR $np)").getOrElse(np))
+        })
+      registerPartChildViews(spark, table, partColsOf(table))
+    }
+  }
+
   /** `ALTER TABLE t ADD PARTITION name START(..) END(..)` — dynamic
     * value partitioning stores any value already, so adding a bound
     * partition is pure metadata: widen the coverage predicate, append
@@ -1909,8 +2180,11 @@ object GreengageDdl {
           .map(v => s"${lhsAt(c.partitionlevel)} IN ($v)")
       else {
         val col = colAt(c.partitionlevel)
-        val lo = Option(c.partitionrangestart)
-          .map(s => s"$col >= ${sanitizeBound(s)}")
+        val lo = Option(c.partitionrangestart).map { s =>
+          if (c.partitionstartinclusive.contains(false))
+            s"$col > ${sanitizeBound(s)}"
+          else s"$col >= ${sanitizeBound(s)}"
+        }
         val hi = Option(c.partitionrangeend).map { e =>
           if (c.partitionendinclusive.contains(true))
             s"$col <= ${sanitizeBound(e)}"
@@ -2163,7 +2437,30 @@ object GreengageDdl {
     partDefaultRe.findFirstMatchIn(ddl).foreach { m =>
       val table = m.group(1).replace("\"", "")
       m.group(2).toUpperCase match {
-        case "ADD" => () // dynamic partitioning accepts any value
+        case "ADD" =>
+          // dynamic partitioning stores any value already; register
+          // the default child row so introspection and later SPLIT
+          // DEFAULT PARTITION can address it
+          val key0 = table.toLowerCase.replace("\"", "")
+          val nameM = ("(?is)ADD\\s+DEFAULT\\s+PARTITION\\s+" +
+            "(\"[^\"]+\"|[\\w]+)").r.findFirstMatchIn(ddl)
+          for {
+            kids <- Option(partChildrenReg.get(key0))
+            nm0 <- nameM.map(_.group(1).replace("\"", ""))
+            if !kids.exists(c => c.partitionlevel == 0 &&
+              c.partitionisdefault)
+          } {
+            val (schema, bare) = kids.headOption
+              .map(k => (k.schemaname, k.tablename))
+              .getOrElse(("public", key0.split("\\.").last))
+            val ty = kids.filter(_.partitionlevel == 0).headOption
+              .map(_.partitiontype).getOrElse("range")
+            partChildrenReg.put(key0, kids :+ PartChild(schema, bare,
+              childName(bare, s"_1_prt_$nm0"), nm0, ty, 0, None, 0L,
+              null, null, None, null, None, null,
+              partitionisdefault = true, s"DEFAULT PARTITION $nm0"))
+            registerPartChildViews(spark, table, partColsOf(table))
+          }
         case "DROP" | "TRUNCATE" =>
           // the default partition holds rows OUTSIDE every explicit
           // bound (NULL part keys included): drop = delete them
@@ -2210,122 +2507,27 @@ object GreengageDdl {
     // SPLIT DEFAULT PARTITION START(..) END(..) INTO (PARTITION a,
     // DEFAULT PARTITION): carve a bound range out of the default —
     // metadata-only (addBoundPartition), the default keeps the rest
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+SPLIT\\s+DEFAULT\\s+" +
-      "PARTITION\\s+(START\\s*\\(.*?)\\s+INTO\\s*\\(\\s*PARTITION\\s+" +
-      "([\\w\"]+)\\s*,\\s*(?:DEFAULT\\s+)?PARTITION(?:\\s+([\\w\"]+))?\\s*\\)" +
-      "\\s*;?\\s*$").r.findFirstMatchIn(ddl).foreach { m =>
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+SPLIT\\s+" +
+      "(DEFAULT\\s+PARTITION|PARTITION\\s+(?:FOR\\s*\\([^()]*" +
+      "(?:\\([^()]*\\))?[^()]*\\)|(?!FOR\\b)(?:\"[^\"]+\"|[\\w]+)))\\s+" +
+      "(.*?)\\s*;?\\s*$").r.findFirstMatchIn(ddl).foreach { m =>
         val table = m.group(1).replace("\"", "")
-        addBoundPartition(spark, table,
-          s"partition ${m.group(3).replace("\"", "")} ${m.group(2)}")
-        // the second INTO item names the REMAINING default
-        Option(m.group(4)).map(_.replace("\"", "")).foreach { newDef =>
-          val key0 = table.toLowerCase.replace("\"", "")
-          Option(partChildrenReg.get(key0)).foreach { kids =>
-            kids.find(c => c.partitionlevel == 0 && c.partitionisdefault)
-              .filterNot(d => newDef.equalsIgnoreCase(
-                Option(d.partitionname).getOrElse(""))).foreach { d =>
-                val qual = if (key0.contains("."))
-                  key0.substring(0, key0.lastIndexOf('.') + 1) else ""
-                try spark.sql(
-                  s"DROP VIEW IF EXISTS $qual${d.partitiontablename}")
-                catch { case scala.util.control.NonFatal(_) => }
-                val bare = d.tablename
-                partChildrenReg.put(key0, kids.map { c =>
-                  if (c eq d) c.copy(partitionname = newDef,
-                    partitiontablename =
-                      childName(bare, s"_1_prt_$newDef"),
-                    partitionboundary = s"DEFAULT PARTITION $newDef")
-                  else c
-                })
-                registerPartChildViews(spark, table, partColsOf(table))
-              }
-          }
+        val selTok = m.group(2).trim
+        val rest = m.group(3)
+        // multi-column list default: AT (VALUES((..),..)) keeps the
+        // dedicated composite-values splitter
+        val vm = ("(?is)^AT\\s*\\(\\s*VALUES\\s*\\((.*?)\\)\\s*\\)\\s*INTO" +
+          "\\s*\\(\\s*PARTITION\\s+([\\w\"]+)\\s*,\\s*PARTITION\\s+" +
+          "([\\w\"]+)\\s*\\)$").r.findFirstMatchIn(rest.trim)
+        if (selTok.toUpperCase.startsWith("DEFAULT") && vm.isDefined) {
+          val v = vm.get
+          splitDefaultPartition(spark, table, v.group(1),
+            v.group(2).replace("\"", ""), v.group(3).replace("\"", ""))
+        } else {
+          val sel = if (selTok.toUpperCase.startsWith("DEFAULT")) None
+            else Some(selTok.replaceFirst("(?is)^PARTITION\\s+", "").trim)
+          splitChild(spark, table, 0, None, sel, rest)
         }
-        return
-      }
-    // SPLIT DEFAULT PARTITION AT (v) — no INTO: carve the value out
-    // of the default into an auto-named list child (cdbpartition.c
-    // names it by the next rule ordinal)
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+SPLIT\\s+DEFAULT\\s+" +
-      "PARTITION\\s+AT\\s*\\(((?!\\s*values).*?)\\)\\s*;?\\s*$").r
-      .findFirstMatchIn(ddl).foreach { m =>
-        val table = m.group(1).replace("\"", "")
-        val key0 = table.toLowerCase.replace("\"", "")
-        val kids = Option(partChildrenReg.get(key0)).getOrElse(
-          throw new IllegalArgumentException(
-            s"$table has no recorded partitions"))
-        val maxPos = kids.map(_.partitionposition).foldLeft(0L)(math.max)
-        val (schema, bare) = kids.headOption
-          .map(k => (k.schemaname, k.tablename)).getOrElse(("public", key0))
-        partChildrenReg.put(key0, kids :+ PartChild(schema, bare,
-          childName(bare, s"_1_prt_${maxPos + 2}"), null, "list", 0, None,
-          maxPos + 1, m.group(2).trim, null, None, null, None, null,
-          partitionisdefault = false, s"VALUES(${m.group(2).trim})"))
-        registerPartChildViews(spark, table, partColsOf(table))
-        return
-      }
-    // SPLIT PARTITION <name>|FOR(v) AT (vals) INTO (a, b): the child
-    // splits — `a` takes the AT values/range, `b` the remainder
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+SPLIT\\s+PARTITION\\s+" +
-      "(?:FOR\\s*\\((.*?)\\)|(?!FOR\\b)([\\w\"]+))\\s+AT\\s*\\((.*?)\\)" +
-      "\\s+INTO\\s*\\(\\s*" +
-      "PARTITION\\s+([\\w\"]+)\\s*,\\s*PARTITION\\s+([\\w\"]+)\\s*\\)" +
-      "\\s*;?\\s*$").r.findFirstMatchIn(ddl).foreach { m =>
-        val table = m.group(1).replace("\"", "")
-        val key0 = table.toLowerCase.replace("\"", "")
-        val kids = Option(partChildrenReg.get(key0)).getOrElse(
-          throw new IllegalArgumentException(
-            s"$table has no recorded partitions"))
-        val sel = Option(m.group(2)).map(v => s"FOR ($v)")
-          .getOrElse(m.group(3))
-        val n1 = m.group(5).replace("\"", "")
-        val n2 = m.group(6).replace("\"", "")
-        val atGroup = m.group(4)
-        val maxPos = kids.map(_.partitionposition).foldLeft(0L)(math.max)
-        val qual = if (key0.contains("."))
-          key0.substring(0, key0.lastIndexOf('.') + 1) else ""
-        val target = resolveChild(kids, 0, None, sel)
-        val listTarget = Some(target).filter(_.partitiontype == "list")
-        val (schema, bare) = (target.schemaname, target.tablename)
-        val replacements: Seq[PartChild] =
-          if (listTarget.isDefined) {
-            val atVals = splitTop(atGroup).map(_.trim)
-            val atBare = atVals.map(_.replace("'", "").trim).toSet
-            val origVals = splitTop(target.partitionlistvalues).map(_.trim)
-            val rest = origVals.filterNot(v =>
-              atBare.contains(v.replace("'", "").trim))
-            def mk(nm: String, vals: Seq[String], pos: Long) =
-              PartChild(schema, bare, childName(bare, s"_1_prt_$nm"), nm,
-                "list", 0, None, pos, vals.mkString(", "), null, None, null,
-                None, null, partitionisdefault = false,
-                s"PARTITION $nm VALUES(${vals.mkString(", ")})")
-            Seq(mk(n1, atVals, maxPos + 1), mk(n2, rest, maxPos + 2))
-          } else {
-            // a range child splits AT the point: [start, at) / [at, end)
-            val at = atGroup.trim
-            def mk(nm: String, lo: String, hi: String, pos: Long) =
-              PartChild(schema, bare, childName(bare, s"_1_prt_$nm"), nm,
-                "range", 0, None, pos, null, lo, Some(true), hi,
-                Some(false), null, partitionisdefault = false,
-                s"PARTITION $nm START ($lo) END ($hi)")
-            Seq(mk(n1, target.partitionrangestart, at, maxPos + 1),
-              mk(n2, at, target.partitionrangeend, maxPos + 2))
-          }
-        spark.sql(s"DROP VIEW IF EXISTS $qual${target.partitiontablename}")
-        partChildrenReg.put(key0,
-          kids.filterNot(_.partitiontablename == target.partitiontablename) ++
-            replacements)
-        registerPartChildViews(spark, table, partColsOf(table))
-        return
-      }
-    // SPLIT DEFAULT PARTITION AT (VALUES((..))) INTO (a, b)
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.\"]+)\\s+SPLIT\\s+DEFAULT\\s+" +
-      "PARTITION\\s+AT\\s*\\(\\s*VALUES\\s*\\((.*?)\\)\\s*\\)\\s*INTO\\s*" +
-      "\\(\\s*PARTITION\\s+([\\w\"]+)\\s*,\\s*PARTITION\\s+([\\w\"]+)\\s*\\)\\s*;?\\s*$").r
-      .findFirstMatchIn(ddl).foreach { m =>
-        splitDefaultPartition(spark, m.group(1).replace("\"", ""),
-          m.group(2), m.group(3).replace("\"", ""),
-          m.group(4).replace("\"", ""))
         return
       }
     // ADD PARTITION name START(..) END(..): metadata-only under

@@ -55,6 +55,11 @@ object PgAggregates {
     ()
   }
 
+  /** The catalog C function a user name was aliased to via
+    * `CREATE FUNCTION .. AS 'cname' LANGUAGE internal`, if any. */
+  def internalOf(name: String): Option[String] =
+    Option(internalFns.get(name.toLowerCase.split("\\.").last))
+
   private def dealias(fn: String): String =
     Option(internalFns.get(fn)).getOrElse(fn)
 

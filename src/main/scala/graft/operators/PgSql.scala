@@ -4398,6 +4398,16 @@ object PgSql {
     sql
   }
 
+  /** `a OPERATOR(schema.op) b` (gram.y qual_Op): the schema qualifier
+    * selects which operator catalog entry to use — one flat operator
+    * namespace here, so the wrapper reduces to the bare spelling
+    * (custom spellings then expand via expandCustomOperators). */
+  private def operatorSyntax(sql: String): String =
+    if (!sql.toLowerCase.contains("operator")) sql
+    else replaceAllOutsideLiterals(sql,
+      "(?i)\\bOPERATOR\\s*\\(\\s*(?:[\\w\"]+\\s*\\.\\s*)*([^()\\s]+)\\s*\\)",
+      " $1 ")
+
   def rewrite(sqlIn: String): String = {
     // quantified runs BEFORE arraySubquery so `= ANY(ARRAY(subquery))`
     // is seen as the sublink it is, not a collect()'d scalar array
@@ -4419,7 +4429,7 @@ object PgSql {
                       // struct() does not; none of the ported suites
                       // count over null-extended whole rows)
                       "(?i)\\bcount\\s*\\(\\s*(\\w+)\\s*\\.\\s*\\*\\s*\\)".r
-                        .replaceAllIn(sqlIn, "count(struct($1.*))"),
+                        .replaceAllIn(operatorSyntax(sqlIn), "count(struct($1.*))"),
                       ""))))))))))))))))))))))))))))))))))))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]

@@ -32,6 +32,18 @@ object PgTypes {
   private val enums = TrieMap[String, EnumType]()
   private val domains = TrieMap[String, DomainType]()
   private val composites = TrieMap[String, CompositeType]()
+  // base types declared with catalog I/O functions (CREATE TYPE t
+  // (input=t_in, ...) where t_in is LANGUAGE internal): the input
+  // function names the binary-compatible builtin, so the type IS that
+  // builtin here (partition.sql's myint over int4in/int4out)
+  private val baseAliases = TrieMap[String, String]()
+  private val inputFnType = Map(
+    "int2in" -> "SMALLINT", "int4in" -> "INT", "int8in" -> "BIGINT",
+    "float4in" -> "FLOAT", "float8in" -> "DOUBLE",
+    "numeric_in" -> "DECIMAL(38,18)", "boolin" -> "BOOLEAN",
+    "textin" -> "STRING", "varcharin" -> "STRING", "bpcharin" -> "STRING",
+    "date_in" -> "DATE", "timestamp_in" -> "TIMESTAMP_NTZ",
+    "timestamptz_in" -> "TIMESTAMP", "byteain" -> "BINARY")
   // the reference ships COMPLEX as a builtin (complex_type.c,
   // pg_type.h) — modeled as the re/im struct per SURVEY §1.2
   composites.put("complex",
@@ -58,7 +70,8 @@ object PgTypes {
 
   def isRegistered(typeName: String): Boolean = {
     val n = norm(typeName)
-    enums.contains(n) || domains.contains(n) || composites.contains(n)
+    enums.contains(n) || domains.contains(n) || composites.contains(n) ||
+      baseAliases.contains(n)
   }
 
   /** Spark SQL type string for a registered type name, if any. */
@@ -66,9 +79,15 @@ object PgTypes {
     val n = norm(typeName)
     enums.get(n).map(_ => "STRING")
       .orElse(domains.get(n).map(_.baseSpark))
+      .orElse(baseAliases.get(n))
       .orElse(composites.get(n).map(c =>
         c.fields.map { case (f, t) => s"$f: $t" }.mkString("STRUCT<", ", ", ">")))
   }
+
+  /** Composite (row) types only — a LIST partition over one of these
+    * stores the PG text form, see GreengageDdl. */
+  def resolveComposite(typeName: String): Option[CompositeType] =
+    composites.get(norm(typeName))
 
   /** `CREATE TYPE name AS ENUM ('a', ...)` or
     * `CREATE TYPE name AS (field type, ...)`. A bare `CREATE TYPE name`
@@ -96,10 +115,22 @@ object PgTypes {
       }
       require(composites.putIfAbsent(name, CompositeType(fields)).isEmpty,
         s"type \"$name\" already exists")
-    } else
-      // range/base types with I/O functions: accepted, mapped to STRING
-      // (the dump replays; values round-trip as their text form)
-      enums.putIfAbsent(name, EnumType(Nil))
+    } else {
+      // base type with I/O functions: when the input function was
+      // aliased to a catalog builtin (LANGUAGE internal), the type is
+      // binary-compatible with that builtin — register the alias.
+      // Otherwise map to STRING (values round-trip as text).
+      val viaInput = for {
+        inFn <- "(?i)\\binput\\s*=\\s*([\\w.\"]+)".r.findFirstMatchIn(rest)
+          .map(_.group(1).replace("\"", ""))
+        cname <- PgAggregates.internalOf(inFn)
+        spark <- inputFnType.get(cname)
+      } yield spark
+      viaInput match {
+        case Some(sparkType) => baseAliases.putIfAbsent(name, sparkType)
+        case None => enums.putIfAbsent(name, EnumType(Nil))
+      }
+    }
     ()
   }
 
@@ -160,6 +191,7 @@ object PgTypes {
         throw new IllegalArgumentException(s"cannot parse DROP TYPE: $ddl"))
     val n = norm(m.group(1))
     enums.remove(n); domains.remove(n); composites.remove(n)
+    baseAliases.remove(n)
     ()
   }
 

@@ -82,11 +82,18 @@ def copy_stdin_to_insert(stmt):
         if v == null_marker:
             return "NULL"
         return "'" + v.replace("'", "''") + "'"
+    if not rows:
+        return None
+    if re.search(r"(?i)\breject\s+limit\b", allopts):
+        # SREH copy: bad rows are rejected per-row, not failed wholesale
+        # — emit one tolerated INSERT per row so a malformed/unroutable
+        # row drops alone, like the reject limit would drop it
+        return [("TRY", "INSERT INTO " + m.group(1) + " VALUES (" +
+                 ", ".join(cell(c) for c in r.split(delim)) + ");")
+                for r in rows]
     vals = ", ".join(
         "(" + ", ".join(cell(c) for c in r.split(delim)) + ")" for r in rows)
-    if not vals:
-        return None
-    return "INSERT INTO " + m.group(1) + " VALUES " + vals + ";"
+    return [("STMT", "INSERT INTO " + m.group(1) + " VALUES " + vals + ";")]
 
 lines = open(args.out_file, encoding="utf-8", errors="replace").read().split("\n")
 skip_res = [re.compile(p, re.I | re.S) for p in args.skip]
@@ -103,8 +110,12 @@ n = len(lines)
 std_strings = [True]
 
 def is_sep(line):
+    # psql's header separator is >= 3 dashes per column; a bare '--'
+    # comment line must NOT match (an ERROR line followed by a '--'
+    # comment banner would otherwise be sniffed as a result table and
+    # swallow statements up to the next (N rows) fence)
     s = line.strip()
-    return bool(s) and set(s) <= set("-+") and "-" in s
+    return len(s) >= 3 and set(s) <= set("-+") and "-" in s
 
 while i < n:
     line = lines[i]
@@ -314,7 +325,8 @@ while i < n:
         i = j
     header_ok = (j < n and lines[j].strip() and
                  not lines[j].rstrip().endswith(";") and
-                 not lines[j].strip().startswith("--"))
+                 not lines[j].strip().startswith("--") and
+                 not lines[j].strip().startswith("ERROR"))
     if header_ok and j + 1 < n and is_sep(lines[j + 1]):
         # parse until (N rows)
         k = j + 2
@@ -355,7 +367,8 @@ while i < n:
     else:
         ins = copy_stdin_to_insert(stmt)
         if ins:
-            entries.append(("STMT", ins, []))
+            for kind, st in ins:
+                entries.append((kind, st, []))
         else:
             # psql runs `reset a; reset b; reset c;` on one line as
             # three statements; the engine takes one verb per call
