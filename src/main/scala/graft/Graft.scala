@@ -1050,8 +1050,7 @@ object Graft {
           // has_table_privilege (acl.c): a single-user session holds
           // every privilege — constant true after an existence check
           if (t.toLowerCase.contains("has_table_privilege"))
-            t = ("(?is)has_table_privilege\\s*\\([^()]*\\)").r
-              .replaceAllIn(t, "true")
+            t = rewriteHasTablePrivilege(spark, t)
           // data-modifying CTEs re-enter the router per wCTE
           if (is("(?is)^WITH\\b") && operators.DmlCte.hasDml(stripSemi(t)))
             operators.DmlCte.run(spark, stripSemi(t), execute)
@@ -1574,6 +1573,45 @@ object Graft {
         .createOrReplaceTempView(vname)
       vname
     })
+
+  /** `has_table_privilege(..)` (acl.c): a single-user session holds
+    * every privilege, so each call folds to `true` — but like PG the
+    * named relation must exist (get_relname_relid errors otherwise).
+    * Matched on the literal-masked text so a call spelling inside a
+    * string literal is never rewritten. */
+  private def rewriteHasTablePrivilege(spark: SparkSession,
+                                       sql: String): String = {
+    val masked = operators.PgSql.maskLiterals(sql)
+    val p = java.util.regex.Pattern.compile(
+      "(?is)\\bhas_table_privilege\\s*\\(([^()]*)\\)")
+    val m = p.matcher(masked)
+    val sb = new java.lang.StringBuilder
+    var prev = 0
+    while (m.find()) {
+      sb.append(sql, prev, m.start)
+      // split args on the MASKED text (a comma inside a literal is
+      // masked), then read each part from the original string
+      var off = m.start(1)
+      val args = masked.substring(m.start(1), m.end(1)).split(",", -1)
+        .map { pt =>
+          val s = sql.substring(off, off + pt.length); off += pt.length + 1
+          s.trim
+        }.toSeq
+      // 2-arg form (table, priv); 3-arg form (user, table, priv)
+      val rel = if (args.length >= 3) args(1) else args.headOption.getOrElse("")
+      if (rel.startsWith("'") && rel.endsWith("'")) {
+        val name = rel.drop(1).dropRight(1).replace("\"", "")
+          .replaceAll("(?i)^public\\.", "")
+        if (!spark.catalog.tableExists(name))
+          throw new IllegalArgumentException(
+            s"""relation "$name" does not exist""")
+      }
+      sb.append("true")
+      prev = m.end
+    }
+    sb.append(sql, prev, sql.length)
+    sb.toString
+  }
 
   /** `pg_relation_size('t')` (dbsize.c) — the PG heap size model over
     * footer-metadata row counts: rows-per-page from the 8K page, the

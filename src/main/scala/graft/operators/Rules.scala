@@ -26,7 +26,8 @@ object Rules {
   final case class InsertRule(
       name: String,
       qual: Option[String],    // WHERE text, `new.` refs intact
-      action: Option[String])  // INSERT INTO ... VALUES/SELECT; None = DO NOTHING
+      action: Option[String],  // INSERT INTO ... VALUES/SELECT; None = DO NOTHING
+      instead: Boolean)        // DO INSTEAD vs DO [ALSO] (PG default ALSO)
 
   // table (lowercase, unquoted) -> rules in creation order
   private val insertRules = TrieMap[String, Vector[InsertRule]]()
@@ -64,11 +65,13 @@ object Rules {
           cols.map(c => s"`$c`").mkString("(", ", ", ")") + s" AS $body")
         ()
       case "INSERT" =>
-        val qm = "(?is)^(?:WHERE\\s+(.*?)\\s+)?DO\\s+(?:ALSO\\s+|INSTEAD\\s+)?(.*)$".r
+        val qm = "(?is)^(?:WHERE\\s+(.*?)\\s+)?DO\\s+(?:(ALSO|INSTEAD)\\s+)?(.*)$".r
           .findFirstMatchIn(rest).getOrElse(throw new IllegalArgumentException(
             s"cannot parse rule action: $ddl"))
         val qual = Option(qm.group(1)).map(_.trim).filter(_.nonEmpty)
-        val act0 = qm.group(2).trim
+        // PG default when the keyword is absent is ALSO (gram.y RuleStmt)
+        val instead = Option(qm.group(2)).exists(_.equalsIgnoreCase("INSTEAD"))
+        val act0 = qm.group(3).trim
         val action =
           if (act0.equalsIgnoreCase("NOTHING")) None
           else if ("(?is)^INSERT\\b".r.findFirstIn(act0).isDefined) Some(act0)
@@ -76,8 +79,8 @@ object Rules {
             s"unsupported ON INSERT rule action (only INSERT/NOTHING): $act0")
         insertRules.updateWith(key(table)) {
           case Some(rs) => Some(rs.filterNot(_.name == name) :+
-            InsertRule(name, qual, action))
-          case None => Some(Vector(InsertRule(name, qual, action)))
+            InsertRule(name, qual, action, instead))
+          case None => Some(Vector(InsertRule(name, qual, action, instead)))
         }
         ()
       case other => throw new IllegalArgumentException(
@@ -86,13 +89,15 @@ object Rules {
   }
 
   // re-entrancy guard: the fall-through INSERT routeInsert issues
-  // against the SAME table must not re-fire the rules
-  private val firing = new ThreadLocal[java.lang.Boolean] {
-    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  // against the SAME table must not re-fire that table's rules —
+  // scoped PER TABLE so a rule action inserting into a child that has
+  // its own rules still fires them (PG rewrites recursively)
+  private val firing = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
   }
 
   def hasInsertRules(table: String): Boolean =
-    !firing.get() && insertRules.contains(key(table))
+    !firing.get().contains(key(table)) && insertRules.contains(key(table))
 
   /** DROP RULE name ON table / table drop cleanup. */
   def dropRule(name: String, table: String): Unit = {
@@ -137,7 +142,7 @@ object Rules {
     }: _*)
     val view = "__graft_rule_src"
     shaped.createOrReplaceTempView(view)
-    firing.set(java.lang.Boolean.TRUE)
+    firing.get() += key(table)
     try {
       def deNew(s: String): String =
         s.replaceAll("(?i)\\bnew\\s*\\.\\s*(\\w+)", "$1")
@@ -162,11 +167,16 @@ object Rules {
             s"SELECT $selectList FROM $view WHERE $cond")
         }
       }
-      // rows no qualified rule claimed fall through to the target
-      // (an UNqualified INSTEAD rule claims everything)
-      val unqualifiedInstead = rules.exists(r => r.qual.isEmpty)
+      // rows no qualified INSTEAD rule claimed fall through to the
+      // target; ALSO rules never claim — their action fires IN
+      // ADDITION to the original INSERT (rewriteHandler.c: only
+      // INSTEAD rules replace the original query, a qualified INSTEAD
+      // rule adds its negated qual to it)
+      val unqualifiedInstead = rules.exists(r => r.instead && r.qual.isEmpty)
       if (!unqualifiedInstead) {
-        val claimed = quals.flatten
+        val claimed = rules.zip(quals).collect {
+          case (r, Some(q)) if r.instead => q
+        }
         val residue =
           if (claimed.isEmpty) "true"
           else claimed.map(c => s"NOT coalesce(($c), false)").mkString(" AND ")
@@ -174,7 +184,7 @@ object Rules {
         exec(s"INSERT INTO $table SELECT * FROM $view WHERE $residue")
       }
     } finally {
-      firing.set(java.lang.Boolean.FALSE)
+      firing.get() -= key(table)
       spark.catalog.dropTempView(view); ()
     }
   }

@@ -19,8 +19,9 @@ object Triggers {
 
   // fname -> ordered (column, rhs-with-NEW.-prefixes) assignments
   private val fns = TrieMap[String, Seq[(String, String)]]()
-  // table (lower) -> (events, fname) in creation order
-  private val tableTrigs = TrieMap[String, Vector[(Set[String], String)]]()
+  // table (lower) -> (trigger name, events, fname) in creation order
+  private val tableTrigs =
+    TrieMap[String, Vector[(String, Set[String], String)]]()
 
   private def key(t: String): String = t.replace("\"", "").toLowerCase
 
@@ -72,9 +73,11 @@ object Triggers {
       "DELETE row triggers are not supported (nothing to assign)")
     val fname = m.group(7).replace("\"", "").toLowerCase
     require(fns.contains(fname), s"trigger function $fname is not defined")
+    val tname = m.group(1).replace("\"", "").toLowerCase
     tableTrigs.updateWith(key(m.group(6))) {
-      case Some(ts) => Some(ts :+ (events, fname))
-      case None => Some(Vector((events, fname)))
+      case Some(ts) => Some(ts.filterNot(_._1 == tname) :+
+        (tname, events, fname))
+      case None => Some(Vector((tname, events, fname)))
     }
     ()
   }
@@ -83,9 +86,12 @@ object Triggers {
     "(?is)^\\s*CREATE\\s+TRIGGER\\b".r.findFirstIn(sql).isDefined
 
   def dropTrigger(name: String, table: String): Unit = {
-    // triggers are recorded per table by function; name-based drop
-    // clears the table's list (the suites drop the table right after)
-    tableTrigs.remove(key(table)); ()
+    // drop only the NAMED trigger (trigger.c DropTrigger); others on
+    // the same table keep firing
+    val tname = name.replace("\"", "").toLowerCase
+    tableTrigs.updateWith(key(table))(
+      _.map(_.filterNot(_._1 == tname)).filter(_.nonEmpty))
+    ()
   }
 
   def dropFunction(name: String): Unit = {
@@ -101,8 +107,8 @@ object Triggers {
     * RHS text still carries `NEW.` prefixes. */
   def rowAssigns(table: String, event: String): Seq[(String, String)] =
     tableTrigs.getOrElse(key(table), Vector.empty)
-      .filter(_._1.contains(event))
-      .flatMap { case (_, f) => fns.getOrElse(f, Nil) }
+      .filter(_._2.contains(event))
+      .flatMap { case (_, _, f) => fns.getOrElse(f, Nil) }
 
   // INSERT re-entry guard (the rewritten INSERT targets the same table)
   private val firing = new ThreadLocal[java.lang.Boolean] {
