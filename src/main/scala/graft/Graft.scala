@@ -48,8 +48,11 @@ object Graft {
     SparkEntry.queries
 
   private val copyRe =
+    // options: the 9.0+ WITH (...) list or the legacy bare-keyword
+    // tail (`csv`, `with delimiter ','`, `null as ''` — copy.c
+    // opt_legacy) up to LOG ERRORS / SEGMENT REJECT
     ("(?is)^\\s*COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s+(TO|FROM)\\s+'([^']+)'\\s*" +
-      "(WITH\\s*\\(.*?\\))?\\s*(LOG\\s+ERRORS)?\\s*" +
+      "((?:WITH\\s*)?(?:\\([^()]*\\)|(?!LOG\\s+ERRORS|SEGMENT\\s+REJECT)[^;()])*?)?\\s*(LOG\\s+ERRORS)?\\s*" +
       "(?:SEGMENT\\s+REJECT\\s+LIMIT\\s+(\\d+)\\s*(ROWS|PERCENT)?)?\\s*;?\\s*$").r
   private val copyProgRe =
     "(?is)^\\s*COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s+(TO|FROM)\\s+PROGRAM\\s+'([^']+)'\\s*(WITH\\s*\\(.*\\))?\\s*;?\\s*$".r
@@ -270,6 +273,21 @@ object Graft {
       "(?is)^DROP\\s+(?:ROLE|USER)\\s+(?:IF\\s+EXISTS\\s+)?([\\w\"]+)".r
         .findFirstMatchIn(t).foreach(m =>
           operators.PgCatalog.dropRole(m.group(1).replace("\"", "")))
+      // table GRANT/REVOKE record into the ACL registry so
+      // has_table_privilege answers like aclchk.c would
+      ("(?is)^(GRANT|REVOKE)\\s+([\\w,\\s]+?)\\s+ON\\s+(?:TABLE\\s+)?" +
+        "([\\w.\"]+)\\s+(?:TO|FROM)\\s+(?:GROUP\\s+)?([\\w,\\s\"]+?)\\s*;?\\s*$").r
+        .findFirstMatchIn(t).foreach { m =>
+          val privs = m.group(2).toLowerCase.split(",").map(_.trim)
+            .map(p => if (p.startsWith("all")) "all" else p).toSet
+          val rel = m.group(3).replace("\"", "")
+          m.group(4).split(",").map(_.replace("\"", "").trim)
+            .filter(_.nonEmpty).foreach { role =>
+              if (m.group(1).equalsIgnoreCase("GRANT"))
+                operators.PgCatalog.recordGrant(role, rel, privs)
+              else operators.PgCatalog.recordRevoke(role, rel, privs)
+            }
+        }
       None
     } else if (is("(?is)^ALTER\\s+TABLE\\b.*\\bOWNER\\s+TO\\b")) {
       spark.table(stripSemi(t) // existence-checked no-op, like LOCK
@@ -815,7 +833,16 @@ object Graft {
             org.apache.spark.sql.functions.expr(
               dflt.getOrElse("CAST(NULL AS " +
                 fld.map(_.dataType.sql).getOrElse("STRING") + ")"))
-          } else org.apache.spark.sql.functions.expr(
+          } else if (vt.matches("(?s)^'([^']|'')*'$") &&
+              (try spark.table(updTable).schema
+                .find(_.name.equalsIgnoreCase(colName)).exists(_.dataType
+                  .isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType])
+              catch { case _: Exception => false }))
+            // a bare string literal assigned to a day-time interval
+            // column parses with PG's interval grammar (DecodeInterval)
+            org.apache.spark.sql.functions.expr(
+              s"make_dt_interval(0, 0, 0, pg_interval_us($vt) / 1e6)")
+          else org.apache.spark.sql.functions.expr(
             operators.PgSql.rewrite(vt)))
       }.toMap pipe { setAssigns =>
         // BEFORE UPDATE row triggers fire over the NEW image (SET
@@ -880,8 +907,17 @@ object Graft {
                   (al, spark.table(tbl).columns.toSeq)
                 }
               }
+            // PG names unaliased function outputs after the function
+            // (FigureColname): a derived `select avg(x), r` exposes
+            // column "avg" — qualifiers in the statement reference it
+            def figure(c: String): String =
+              "^([A-Za-z_][A-Za-z_0-9]*)\\(.*\\)$".r
+                .findFirstMatchIn(c).map(_.group(1))
+                .filterNot(_.equalsIgnoreCase("cast")).getOrElse(c)
             val srcSql = "SELECT " + items.flatMap { case (al, cols) =>
-              cols.map(c => s"$al.$c AS ${al}__$c")
+              // backticks: a derived item's column may carry function
+              // spelling ("avg(population)") — unquoted it re-parses
+              cols.map(c => s"$al.`$c` AS `${al}__${figure(c)}`")
             }.mkString(", ") + " FROM " + fromText
             val targetCols = spark.table(m.group(1).replace("\"", ""))
               .columns.map(_.toLowerCase).toSet
@@ -889,7 +925,7 @@ object Graft {
             // (transformExpr): target first, else the UNIQUE source
             val bareMap: Map[String, String] = items
               .flatMap { case (al, cols) => cols.map(c =>
-                c.toLowerCase -> s"${al}__$c") }
+                figure(c).toLowerCase -> s"${al}__${figure(c)}") }
               .groupBy(_._1).collect {
                 case (c, hits)
                     if hits.size == 1 && !targetCols.contains(c) =>
@@ -1051,6 +1087,10 @@ object Graft {
           // every privilege — constant true after an existence check
           if (t.toLowerCase.contains("has_table_privilege"))
             t = rewriteHasTablePrivilege(spark, t)
+          // whole-row reference in array_agg (array_agg(t) over FROM t)
+          // → a struct over the relation's PG-ordered columns
+          if (t.toLowerCase.contains("array_agg"))
+            t = rewriteWholeRowAgg(spark, t)
           // data-modifying CTEs re-enter the router per wCTE
           if (is("(?is)^WITH\\b") && operators.DmlCte.hasDml(stripSemi(t)))
             operators.DmlCte.run(spark, stripSemi(t), execute)
@@ -1066,12 +1106,29 @@ object Graft {
               catch {
                 case e: org.apache.spark.sql.AnalysisException
                     if is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b") &&
-                      Option(e.getErrorClass).exists(
-                        _.startsWith("CREATE_PERMANENT_VIEW_WITHOUT_ALIAS")) =>
+                      Option(e.getErrorClass).exists(c =>
+                        c.startsWith("CREATE_PERMANENT_VIEW_WITHOUT_ALIAS") ||
+                          // a body over the catalog compat TEMP views
+                          // (pg_partition_rule &c) can't be a catalog
+                          // view — degrade to a session view
+                          c.startsWith("INVALID_TEMP_OBJ_REFERENCE")) =>
                   // PG auto-names view columns after the expression's
                   // function (parse_target FigureColname); Spark
                   // demands explicit aliases — synthesize them
                   createViewAutoAlias(spark, stripSemi(t)); None
+                case e: org.apache.spark.sql.AnalysisException
+                    if is("(?is)^\\s*WITH\\b") &&
+                      Option(e.getErrorClass).exists(
+                        _.startsWith("ASSIGNMENT_ARITY_MISMATCH")) =>
+                  // a WITH alias list shorter than its body (legal in
+                  // PG) — extend and retry
+                  extendShortCteAliasLists(spark, t) match {
+                    case Some(t2) => Some(operators.BpcharEq(spark,
+                      operators.PgIntDiv(spark, spark.sql(
+                        operators.PgSql.rewrite(
+                          operators.SqlFunctions.expand(t2))))))
+                    case None => throw e
+                  }
                 case e: org.apache.spark.sql.AnalysisException
                     if is("(?is)^INSERT\\s+INTO\\b") &&
                       Option(e.getErrorClass).exists(c =>
@@ -1109,7 +1166,9 @@ object Graft {
     val safe = fields.filterNot(f => f.dataType == TimestampNTZType ||
       f.dataType.isInstanceOf[ArrayType] ||
       f.dataType.isInstanceOf[MapType] ||
-      f.dataType.isInstanceOf[StructType]) // no column stats for these
+      f.dataType.isInstanceOf[StructType] ||
+      f.dataType.isInstanceOf[DayTimeIntervalType] ||
+      f.dataType.isInstanceOf[YearMonthIntervalType]) // no column stats
     if (safe.length == fields.length)
       spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
     else if (safe.nonEmpty)
@@ -1328,7 +1387,12 @@ object Graft {
       // (f) box/lseg columns canonicalize their text on insert
       val hasGeoCols = operators.GreengageDdl.geoCols(
         mm.group(1).replace("\"", "")).nonEmpty
+      // (g) bounded partitioned tables without a default partition
+      // validate the coverage predicate before the write
+      val boundCheck = operators.GreengageDdl.needsInsertBoundCheck(
+        mm.group(1).replace("\"", ""))
       reorder || serialMissing || hasCharCols || inhParent || hasGeoCols ||
+        boundCheck ||
         (mm.group(3).contains("/") && {
         try {
           val body = spark.sql(operators.PgSql.rewrite(
@@ -1380,7 +1444,11 @@ object Graft {
     }
     val body = operators.PgIntDiv(spark, spark.sql(
       operators.PgSql.rewrite(operators.SqlFunctions.expand(
-        expandQualifiedStars(spark, bodyTxt)))))
+        expandQualifiedStars(spark,
+          // a bare `SELECT * FROM t` body over a partition-reordered
+          // source must expand to the DECLARED order — positional
+          // mapping against the target reads it left-to-right
+          expandReorderedStar(spark, bodyTxt))))))
     require(body.columns.length <= cols.length,
       s"INSERT has more expressions than target columns: $st")
     val b2 = body.toDF(body.columns.indices.map(i => s"__c$i"): _*)
@@ -1423,6 +1491,16 @@ object Graft {
                   "\\s+[A-Z]{2,5}\\s+(\\d{4})$", " $1"),
                 lit("MMM d HH:mm:ss yyyy")),
               src) // truly malformed input: the final cast raises
+          case (_: org.apache.spark.sql.types.DayTimeIntervalType,
+              StringType) =>
+            // PG interval text ('14 hours', '1 day 00:00:10') into a
+            // day-time interval column (datetime.c DecodeInterval);
+            // unparsable text falls to the typed cast, which raises
+            coalesce(
+              org.apache.spark.sql.functions.expr(
+                s"make_dt_interval(0, 0, 0, pg_interval_us(`__c$i`) / 1e6)")
+                .cast(f.dataType),
+              src.cast(f.dataType))
           case (at: ArrayType, StringType) =>
             // PG array literal '{1,2,3}' (arrayfuncs.c array_in) —
             // parse to nested strings at the declared depth; the
@@ -1500,7 +1578,11 @@ object Graft {
       }
     }
     val view = "__graft_ins_src"
-    b2.select(aligned.toIndexedSeq: _*).createOrReplaceTempView(view)
+    val shaped = b2.select(aligned.toIndexedSeq: _*)
+    // bounds-recorded tables with no default partition reject rows
+    // outside every declared bound (execMain.c partition routing)
+    operators.GreengageDdl.checkInsertBounds(spark, table, shaped)
+    shaped.createOrReplaceTempView(view)
     try spark.sql(s"INSERT INTO $table SELECT * FROM $view")
     finally spark.catalog.dropTempView(view)
   }
@@ -1574,6 +1656,66 @@ object Graft {
       vname
     })
 
+  /** PG allows a WITH item's column-alias list to name FEWER columns
+    * than its body yields (parse_relation.c buildRelationAliases: the
+    * remaining columns keep their own names); Spark demands exact
+    * arity. Extend each short list with the body's surviving names. */
+  private def extendShortCteAliasLists(spark: SparkSession,
+                                       sql: String): Option[String] = {
+    val re = "(?is)\\b(\\w+)\\s*\\(([^()]*)\\)\\s+as\\s*\\(".r
+    var out = sql
+    var changed = false
+    var guard = 0
+    var found = true
+    while (found && guard < 20) {
+      guard += 1
+      found = false
+      re.findAllMatchIn(out).find { mm =>
+        val listed = operators.GreengageDdl.splitTop(mm.group(2))
+          .map(_.trim).filter(_.nonEmpty)
+        val (body, _) = operators.GreengageDdl.balanced(out, mm.end - 1)
+        val cols = try spark.sql(operators.PgSql.rewrite(body)).columns.toSeq
+          catch { case _: Exception => Seq.empty }
+        if (cols.length > listed.length && listed.nonEmpty) {
+          val extra = cols.drop(listed.length).map(c => s"`$c`")
+          out = out.substring(0, mm.start(2)) +
+            (listed ++ extra).mkString(", ") + out.substring(mm.end(2))
+          changed = true; found = true
+          true
+        } else false
+      }
+    }
+    if (changed) Some(out) else None
+  }
+
+  /** `array_agg(t)` where `t` is the FROM relation — a WHOLE-ROW
+    * reference (parse_expr.c whole-row Var). Spark has no row-typed
+    * relation alias, so the row becomes a struct over the relation's
+    * PG-declared column order (hive layout moves partition keys last;
+    * `graft.pgcolorder` restores the declared order). */
+  private def rewriteWholeRowAgg(spark: SparkSession, sql: String): String =
+    "(?i)\\barray_agg\\s*\\(\\s*([A-Za-z_][\\w]*)\\s*\\)".r
+      .replaceAllIn(sql, m => {
+        val rel = m.group(1)
+        val inFrom = ("(?is)\\bfrom\\s+" +
+          java.util.regex.Pattern.quote(rel) + "\\b").r
+          .findFirstIn(sql).isDefined
+        val isCol = try spark.table(rel).columns
+          .exists(_.equalsIgnoreCase(rel)) catch { case _: Exception => true }
+        if (!inFrom || isCol) m.matched
+        else {
+          val cols = (try {
+            spark.sql(s"SHOW TBLPROPERTIES $rel('graft.pgcolorder')")
+              .collect().headOption.map(_.getString(1))
+              .filterNot(_.contains("does not have"))
+              .map(_.split(",").toSeq)
+          } catch { case scala.util.control.NonFatal(_) => None })
+            .getOrElse(spark.table(rel).columns.toSeq)
+          java.util.regex.Matcher.quoteReplacement(
+            s"array_agg(struct(${cols.mkString(", ")}))")
+        }
+      })
+
   /** `has_table_privilege(..)` (acl.c): a single-user session holds
     * every privilege, so each call folds to `true` — but like PG the
     * named relation must exist (get_relname_relid errors otherwise).
@@ -1599,14 +1741,28 @@ object Graft {
         }.toSeq
       // 2-arg form (table, priv); 3-arg form (user, table, priv)
       val rel = if (args.length >= 3) args(1) else args.headOption.getOrElse("")
-      if (rel.startsWith("'") && rel.endsWith("'")) {
-        val name = rel.drop(1).dropRight(1).replace("\"", "")
-          .replaceAll("(?i)^public\\.", "")
+      def lit(s: String): Option[String] =
+        "^'([^']*)'".r.findFirstMatchIn(s.trim).map(_.group(1))
+      lit(rel).foreach { name0 =>
+        val name = name0.replace("\"", "").replaceAll("(?i)^public\\.", "")
         if (!spark.catalog.tableExists(name))
           throw new IllegalArgumentException(
             s"""relation "$name" does not exist""")
       }
-      sb.append("true")
+      // explicit recorded role: consult the ACL registry (aclchk.c);
+      // the session superuser (2-arg form or unrecorded role) holds
+      // every privilege
+      val answer = (if (args.length >= 3) lit(args(0)) else None) match {
+        case Some(role) if operators.PgCatalog.isRecordedRole(role) =>
+          (for {
+            rl <- lit(rel)
+            pv <- lit(args(2))
+          } yield operators.PgCatalog.roleHasPrivilege(role,
+            rl.replace("\"", "").replaceAll("(?i)^public\\.", ""), pv))
+            .getOrElse(true)
+        case _ => true
+      }
+      sb.append(answer.toString)
       prev = m.end
     }
     sb.append(sql, prev, sql.length)
@@ -1658,7 +1814,8 @@ object Graft {
     val path = m.group(3)
     val optsRaw = Option(m.group(4)).getOrElse("")
     def opt(name: String): Option[String] =
-      s"(?is)\\b$name\\s+'([^']*)'".r.findFirstMatchIn(optsRaw).map(_.group(1))
+      s"(?is)\\b$name\\s+(?:AS\\s+)?'([^']*)'".r.findFirstMatchIn(optsRaw)
+        .map(_.group(1))
     val header = "(?is)\\bHEADER\\b".r.findFirstIn(optsRaw).isDefined
     val delim = opt("DELIMITER").getOrElse(",")
     val nullTok = opt("NULL").getOrElse("")

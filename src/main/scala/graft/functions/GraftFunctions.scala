@@ -2636,6 +2636,13 @@ object GraftFunctions {
     })
     spark.udf.register("txid_current",
       () => System.currentTimeMillis() * 1000L)
+    // PG interval text → micros (datetime.c DecodeInterval) — the
+    // INSERT projection path turns '14 hours' into a day-time
+    // interval through this (null = unparsable, the caller raises)
+    spark.udf.register("pg_interval_us", (s: String) =>
+      if (s == null) null
+      else PgIntervalLiteralRule.parsePgInterval(s)
+        .map(java.lang.Long.valueOf).orNull)
   }
 }
 
@@ -2677,9 +2684,96 @@ object PgDateIntervalRule
     }
 }
 
+/** PG interval input (datetime.c DecodeInterval): a bare STRING
+  * literal compared against a day-time interval column parses with
+  * PG's unit-list grammar ('14 hours', '1 day 2 hours', '00:00:10') —
+  * Spark's own coercion refuses string↔interval comparisons outright,
+  * and its ANSI cast takes only the `D HH:MM:SS` form. Literal-only:
+  * the value folds at analysis time. */
+object PgIntervalLiteralRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+
+  /** '…units…' text → micros; None when unparsable or month-bearing. */
+  private[graft] def parsePgInterval(s0: String): Option[Long] = {
+    var s = s0.trim.stripPrefix("@").trim
+    val neg = s.endsWith(" ago")
+    if (neg) s = s.stripSuffix(" ago").trim
+    if (s.isEmpty) return None
+    var micros = 0L
+    var matched = false
+    if ("(?i)\\d+\\s*(mon(th)?s?|years?|yrs?)\\b".r.findFirstIn(s).isDefined)
+      return None // month/year intervals don't fit day-time
+    val term = "(?i)([+-]?\\d+(?:\\.\\d+)?)\\s*(weeks?|w\\b|days?|d\\b|hours?|hrs?|h\\b|minutes?|mins?|m\\b|seconds?|secs?|s\\b)".r
+    term.findAllMatchIn(s).foreach { m =>
+      matched = true
+      val n = m.group(1).toDouble
+      val unit = m.group(2).toLowerCase
+      val us =
+        if (unit.startsWith("w")) n * 7 * 86400e6
+        else if (unit.startsWith("d")) n * 86400e6
+        else if (unit.startsWith("h")) n * 3600e6
+        else if (unit.startsWith("m")) n * 60e6
+        else n * 1e6
+      micros += us.toLong
+    }
+    "([+-]?)(\\d+):(\\d{1,2})(?::(\\d{1,2})(\\.\\d+)?)?".r
+      .findFirstMatchIn(s).foreach { m =>
+        matched = true
+        val sign = if (m.group(1) == "-") -1 else 1
+        val frac = Option(m.group(5)).map(_.toDouble).getOrElse(0.0)
+        micros += sign * (m.group(2).toLong * 3600e6.toLong +
+          m.group(3).toLong * 60e6.toLong +
+          Option(m.group(4)).map(_.toLong).getOrElse(0L) * 1000000L +
+          (frac * 1e6).toLong)
+      }
+    if (!matched) {
+      // a bare number is seconds (DecodeInterval default unit)
+      if (s.matches("[+-]?\\d+(\\.\\d+)?")) {
+        micros = (s.toDouble * 1e6).toLong; matched = true
+      }
+    }
+    if (matched) Some(if (neg) -micros else micros) else None
+  }
+
+  private def conv(e: Expression, dt: DataType): Option[Expression] = e match {
+    case Literal(s: UTF8String, StringType) =>
+      parsePgInterval(s.toString).map(us => Literal(us, dt))
+    case Cast(Literal(s: UTF8String, StringType), StringType, _, _) =>
+      parsePgInterval(s.toString).map(us => Literal(us, dt))
+    case _ => None
+  }
+
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.resolveOperatorsUp { case p =>
+      p.transformExpressionsUp {
+        case b: BinaryComparison
+            if b.left.resolved && b.right.resolved &&
+              b.left.dataType.isInstanceOf[DayTimeIntervalType] &&
+              b.right.dataType == StringType =>
+          conv(b.right, b.left.dataType)
+            .map(r => b.withNewChildren(Seq(b.left, r))).getOrElse(b)
+        case b: BinaryComparison
+            if b.left.resolved && b.right.resolved &&
+              b.right.dataType.isInstanceOf[DayTimeIntervalType] &&
+              b.left.dataType == StringType =>
+          conv(b.left, b.right.dataType)
+            .map(l => b.withNewChildren(Seq(l, b.right))).getOrElse(b)
+        case in @ In(v, list)
+            if v.resolved && v.dataType.isInstanceOf[DayTimeIntervalType] &&
+              list.forall(x => x.resolved && x.dataType == StringType) =>
+          val conved = list.map(x => conv(x, v.dataType))
+          if (conved.forall(_.isDefined)) In(v, conved.map(_.get)) else in
+      }
+    }
+}
+
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => PgDateIntervalRule)
+    ext.injectResolutionRule(_ => PgIntervalLiteralRule)
     ext.injectFunction((
       FunctionIdentifier("linear_interpolate"),
       new ExpressionInfo("graft", null, "linear_interpolate", "linear_interpolate(x, x0, y0, x1, y1)", ""),

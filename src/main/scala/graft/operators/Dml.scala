@@ -50,6 +50,9 @@ object Dml {
     val t = spark.table(table)
     val hit = coalesce(cond, lit(false)) // NULL predicate = not deleted
     val partCols = partitionColumns(spark, table)
+    // open-transaction snapshot, pruned to the statement's partition
+    // region when the predicate allows (deletes never relocate rows)
+    Txn.touchRegion(spark, table, regionPred(cond, partCols))
     if (partCols.isEmpty) {
       val before = t.count() // zero-column scan: parquet footer metadata only
       val (kept, _) = stagedSwap(spark, table, t.where(!hit), partCols, dynamic = false)
@@ -76,6 +79,11 @@ object Dml {
     val t = spark.table(table)
     val hit = coalesce(cond, lit(false))
     val partCols = partitionColumns(spark, table)
+    // region-pruned snapshot ONLY when no partition column is
+    // assigned — an assigned key can move rows OUT of the region
+    Txn.touchRegion(spark, table,
+      if (partCols.exists(assignments.contains)) None
+      else regionPred(cond, partCols))
     def updatedProjection(src: DataFrame): DataFrame =
       src.select(src.columns.map { c =>
         assignments.get(c) match {
@@ -136,6 +144,7 @@ object Dml {
   def updateFrom(spark: SparkSession, table: String, targetAlias: String,
                  source: DataFrame, cond: Column,
                  assignments: Map[String, Column]): Long = {
+    Txn.touch(spark, table) // join-driven update: full snapshot
     val t0 = spark.table(table)
     val withId = spark.createDataFrame(
       t0.rdd.zipWithIndex().map { case (r, i) =>
@@ -338,6 +347,31 @@ object Dml {
       spark.table(table).repartitionByRange(files, order: _*)
         .sortWithinPartitions(order: _*),
       Nil, dynamic = false)._1
+  }
+
+  /** The predicate's SQL text when it references ONLY partition
+    * columns (then a txn snapshot can copy just that region); None
+    * for anything wider — subqueries, data columns, unparsable. */
+  private def regionPred(cond: Column, partCols: Seq[String]): Option[String] = {
+    if (partCols.isEmpty) return None
+    val ex = scala.util.Try(
+      org.apache.spark.sql.graft.GraftInternals.columnExpr(cond))
+      .getOrElse(return None)
+    val refs = ex.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last.toLowerCase
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.name.toLowerCase
+    }.toSet
+    val hasSubquery = ex.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        true
+      case _ => false
+    }
+    val pcs = partCols.map(_.toLowerCase).toSet
+    if (refs.nonEmpty && !hasSubquery && refs.subsetOf(pcs))
+      scala.util.Try(ex.sql).toOption
+    else None
   }
 
   private def partitionColumns(spark: SparkSession, table: String): Seq[String] =

@@ -97,6 +97,10 @@ object GreengageDdl {
       // their textual form (their tests compare/print them verbatim)
       case "int2vector" | "oidvector" => "STRING"
       case "date" => "DATE"
+      // PG interval (timestamp.c): Spark's day-time interval covers
+      // the day..second range, parquet-storable and orderable; pure
+      // month intervals are rare in stored columns and error loudly
+      case "interval" => "INTERVAL DAY TO SECOND"
       case "timestamp" | "timestamp without time zone" => "TIMESTAMP_NTZ"
       case "timestamptz" | "timestamp with time zone" => "TIMESTAMP"
       case "bytea" => "BINARY"
@@ -140,7 +144,7 @@ object GreengageDdl {
 
   /** Extract the balanced-paren block starting at s(from) == '('.
     * Returns (contents, indexAfterClosingParen). */
-  private[operators] def balanced(s: String, from: Int): (String, Int) = {
+  private[graft] def balanced(s: String, from: Int): (String, Int) = {
     require(s.charAt(from) == '(', s"expected '(' at $from in: $s")
     var depth = 0
     var i = from
@@ -172,6 +176,7 @@ object GreengageDdl {
     // column list (absent for CTAS)
     var columns = Seq.empty[(String, String)]
     val typedCols = Seq.newBuilder[(String, String)] // col → registered PG type
+    val boundTypeB = Seq.newBuilder[(String, String)] // col → bound render tag
     val bpcharColsB = Seq.newBuilder[(String, Int)] // char(n) cols + widths
     val varcharColsB = Seq.newBuilder[String] // varchar columns
     val geoColsB = Seq.newBuilder[(String, String)] // box/lseg columns
@@ -180,6 +185,24 @@ object GreengageDdl {
     if (rest.startsWith("(")) {
       val (colBlock, after) = balanced(rest, 0)
       rest = rest.substring(after).trim
+      // a re-CREATE of the same name invalidates the old table's
+      // recorded constraints and indexes (the lazy tableExists filter
+      // can't see a drop+recreate)
+      conReg.remove(name.toLowerCase.replace("\"", ""))
+      clearIndexesOf(name)
+      // table-level constraints drop from the schema (not enforced)
+      // but their NAMES surface in information_schema.table_constraints
+      splitTop(colBlock).map(_.trim).foreach { item =>
+        ("(?is)^CONSTRAINT\\s+(\"[^\"]+\"|\\w+)\\s+" +
+          "(PRIMARY\\s+KEY|UNIQUE|CHECK|FOREIGN\\s+KEY)\\b").r
+          .findFirstMatchIn(item).foreach { cm =>
+            recordConstraint(name, cm.group(1).replace("\"", ""),
+              cm.group(2).toUpperCase.replaceAll("\\s+", " "))
+          }
+        if ("(?is)^PRIMARY\\s+KEY\\s*\\(".r.findFirstIn(item).isDefined)
+          recordConstraint(name, s"${name.split("\\.").last}_pkey",
+            "PRIMARY KEY")
+      }
       columns = splitTop(colBlock)
         // \b guards: a column NAMED `unique1`/`checkout` is a column,
         // not a table-level constraint
@@ -245,6 +268,10 @@ object GreengageDdl {
           if (PgTypes.isRegistered(head)) typedCols += (colName -> head)
           if ("(?i)^(small|big)?serial[248]?$".r.findFirstIn(head).isDefined)
             serialCols += colName
+          // bound-literal render tag (ruleutils get_const_expr prints
+          // partition bounds typed: numeric/char/text/date get a
+          // '::type' cast, int4 prints bare)
+          boundTypeB += colName.toLowerCase -> boundTag(head, typePart)
           (colName, mapType(typePart))
           }
         }
@@ -268,6 +295,7 @@ object GreengageDdl {
       columns = Seq(("__dummy", "INT"))
     // enum/domain columns carry check constraints enforced on INSERT/COPY
     PgTypes.recordTable(name, typedCols.result())
+    recordBoundTypes(name, boundTypeB.result().toMap)
     recordCharCols(name, bpcharColsB.result().toMap)
     recordVarcharCols(name, varcharColsB.result().toSet)
     recordGeoCols(name, geoColsB.result().toMap)
@@ -376,8 +404,11 @@ object GreengageDdl {
         partColsReg.put(key1, level1Cols)
         val levels = subLevels.result()
         partLevelColsReg.put(key1, level1Cols +: levels.map(_._2))
+        // EVERY sub-level keeps its slot (template or not) — level
+        // numbering in pg_partition_templates and inline-body
+        // expansion both index by sub-level position
         subLevelsReg.put(key1,
-          levels.collect { case (ty, _, Some(t)) => (ty, t) })
+          levels.map { case (ty, _, t) => (ty, t.getOrElse("")) })
         recordPartBounds(name, level1Cols, spec0)
         recordPartChildren(name, p.group(1).toLowerCase, spec0)
         rest = tail.substring(after2).trim
@@ -404,7 +435,14 @@ object GreengageDdl {
         val t2 = if (t.toUpperCase.startsWith("STRUCT<") &&
           spec.partitionCols.exists(_.equalsIgnoreCase(n))) "STRING" else t
         s"$n $t2" + spec.colDefaults.get(n.toLowerCase)
-          .map(d => s" DEFAULT $d").getOrElse("")
+          .map { d =>
+            // a PG interval default ('11 hours') must become a typed
+            // Spark literal — the DEFAULT type check rejects a string
+            if (t2.toUpperCase.startsWith("INTERVAL") && d.startsWith("'"))
+              PgIntervalText.defaultLiteral(d).map(l => s" DEFAULT $l")
+                .getOrElse("")
+            else s" DEFAULT $d"
+          }.getOrElse("")
       }.mkString(" (", ", ", ")")
     // Spark requires at least one data (non-partition) column; a
     // reference table partitioned on EVERY column (legal there — rows
@@ -412,6 +450,14 @@ object GreengageDdl {
     // until one data column survives. Pruning on the dropped level
     // degrades to a data filter; row semantics are unchanged.
     var partCols = spec.partitionCols
+    // an INTERVAL partition key cannot drive the hive directory
+    // layout (the writer's dir encoding of interval values is not
+    // round-trippable) — keep it logical: the bounds registry still
+    // serves child views and DML, pruning degrades to a data filter
+    if (spec.columns.nonEmpty)
+      partCols = partCols.filterNot(pc => spec.columns.exists { case (n, t) =>
+        n.equalsIgnoreCase(pc) && t.toUpperCase.startsWith("INTERVAL")
+      })
     if (spec.columns.nonEmpty)
       while (partCols.nonEmpty && spec.columns.forall { case (n, _) =>
         partCols.exists(_.equalsIgnoreCase(n))
@@ -515,7 +561,21 @@ object GreengageDdl {
           recordCharCols(spec.name, charColLens(spec.name) ++ charColLens(ref))
           recordVarcharCols(spec.name, varcharCols(spec.name) ++ varcharCols(ref))
           recordGeoCols(spec.name, geoCols(spec.name) ++ geoCols(ref))
-          spark.table(ref).schema.fields.toSeq.map(f => (f.name, f.dataType.sql))
+          // the hive layout moves partition keys LAST — LIKE copies
+          // the DECLARED order (tablecmds.c), recorded at CREATE
+          val phys = spark.table(ref).schema.fields.toSeq
+          val pgOrder = (try {
+            spark.sql(s"SHOW TBLPROPERTIES $ref('graft.pgcolorder')")
+              .collect().headOption.map(_.getString(1))
+              .filterNot(_.contains("does not have"))
+              .map(_.split(",").toSeq)
+          } catch { case scala.util.control.NonFatal(_) => None })
+          pgOrder match {
+            case Some(order) if order.toSet == phys.map(_.name).toSet =>
+              order.map(n => phys.find(_.name == n).get)
+                .map(f => (f.name, f.dataType.sql))
+            case _ => phys.map(f => (f.name, f.dataType.sql))
+          }
         case other => Seq(other)
       })
     // the CTAS body gets PG integer-division fidelity (PgIntDiv) —
@@ -523,7 +583,26 @@ object GreengageDdl {
     val ctasView = spec.ctasQuery.filter(_ => !spec.materialized)
       .flatMap { q =>
         val raw = spark.sql(q)
-        val fixed = PgIntDiv(spark, raw)
+        val fixed0 = PgIntDiv(spark, raw)
+        // PG names an unaliased function-call output after the
+        // FUNCTION (parse_target.c FigureColname: avg(x) → "avg");
+        // Spark keeps the full call text — rename so later
+        // `ORDER BY avg` references resolve like the reference
+        val pgNames = {
+          val used = scala.collection.mutable.Set[String]()
+          fixed0.columns.map { c =>
+            val base = "^([A-Za-z_][A-Za-z_0-9]*)\\(.*\\)$".r
+              .findFirstMatchIn(c).map(_.group(1))
+              .filterNot(_.equalsIgnoreCase("cast")).getOrElse(c)
+            var a = base; var i = 1
+            while (used.contains(a.toLowerCase)) { a = s"$base$i"; i += 1 }
+            used += a.toLowerCase
+            a
+          }.toSeq
+        }
+        val fixed =
+          if (pgNames != fixed0.columns.toSeq) fixed0.toDF(pgNames: _*)
+          else fixed0
         if (fixed eq raw) None
         else {
           fixed.createOrReplaceTempView("__graft_ctas_body")
@@ -650,6 +729,213 @@ object GreengageDdl {
   // comparison as bpchareq (blank-insensitive), unlike text
   private val varcharRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  /** The level-0 coverage predicate INSERTs must validate: derived on
+    * demand from the child registry (every maintenance op keeps it in
+    * sync), None when a default partition absorbs the complement or
+    * the table isn't bound-partitioned. */
+  private def insertCoveragePred(table: String): Option[String] = {
+    val key = table.toLowerCase.replace("\"", "")
+    val kids0 = Option(partChildrenReg.get(key)).getOrElse(Seq.empty)
+      .filter(_.partitionlevel == 0)
+    if (kids0.isEmpty || kids0.exists(_.partitionisdefault)) return None
+    val preds = kids0.flatMap(c => predForBound(table, c))
+    if (preds.isEmpty) None else Some(preds.mkString(" OR "))
+  }
+
+  def needsInsertBoundCheck(table: String): Boolean =
+    insertCoveragePred(table).isDefined
+
+  /** Reject rows outside every declared level-0 bound (execMain.c
+    * "no partition for partitioning key" when no default exists). */
+  def checkInsertBounds(spark: SparkSession, table: String,
+                        df: DataFrame): Unit = {
+    insertCoveragePred(table).foreach { pred =>
+      val bad =
+        try df.where(s"NOT coalesce(($pred), false)").limit(1).count()
+        catch { case scala.util.control.NonFatal(_) => 0L } // unparsable
+      if (bad > 0) throw new IllegalArgumentException(
+        s"no partition of $table for inserted row (no default partition)")
+    }
+  }
+
+  // declared table constraints (not enforced — same contract as
+  // CREATE TABLE): table → (constraint name, constraint type), feeds
+  // information_schema.table_constraints
+  private val conReg =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private[operators] def recordConstraint(table: String, cname: String,
+                                          ctype: String): Unit = {
+    val key = table.toLowerCase.replace("\"", "")
+    val prior = Option(conReg.get(key)).getOrElse(Seq.empty)
+      .filterNot(_._1 == cname)
+    conReg.put(key, prior :+ (cname, ctype))
+    ()
+  }
+
+  /** All recorded constraints: (table, conname, contype). */
+  def allConstraints(spark: SparkSession): Seq[(String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    conReg.asScala.toSeq.flatMap { case (t, cs) =>
+      val exists = try spark.catalog.tableExists(t)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (exists) cs.map { case (n, ty) => (t, n, ty) }
+      else { conReg.remove(t); Seq.empty }
+    }
+  }
+
+  // partition-bound render tag per column: GP deparses bound
+  // literals with the partition column's TYPE (ruleutils.c
+  // get_const_expr) — int4 bare, '1'::numeric, 'a'::character(1),
+  // '01-31-1992'::date (session MDY DateStyle), 'x'::text
+  private val boundTypeReg =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  private[operators] def recordBoundTypes(table: String,
+                                          tags: Map[String, String]): Unit = {
+    val key = table.toLowerCase.replace("\"", "")
+    if (tags.nonEmpty) boundTypeReg.put(key, tags) else boundTypeReg.remove(key)
+    ()
+  }
+
+  /** The render tag of `table`.`col` ("" = render the raw spelling). */
+  def boundTypeOf(table: String, col: String): String =
+    Option(boundTypeReg.get(table.toLowerCase.replace("\"", "")))
+      .flatMap(_.get(col.toLowerCase)).getOrElse("")
+
+  /** The render tag for partition LEVEL `level` of `table` (its first
+    * partition column's type). */
+  private def levelTag(table: String, level: Int): String =
+    partLevelColsOf(table).lift(level).flatMap(_.headOption)
+      .map(c => boundTypeOf(table, c)).getOrElse("")
+
+  /** PG type spelling → bound render tag. */
+  private def boundTag(head0: String, typePart: String): String = {
+    val head = head0.toLowerCase
+    val len = "\\((\\d+)\\)".r.findFirstMatchIn(typePart).map(_.group(1))
+    if ("^(small|big)?(int|integer)[248]?$|^smallint$|^bigint$|^(small|big)?serial[248]?$"
+        .r.findFirstIn(head).isDefined) "int"
+    else if (head == "numeric" || head == "decimal") "numeric"
+    else if (head == "date") "date"
+    else if (head == "timestamptz" ||
+      (head == "timestamp" &&
+        "(?i)with\\s+time\\s+zone".r.findFirstIn(typePart).isDefined))
+      "timestamp with time zone"
+    else if (head == "timestamp") "timestamp without time zone"
+    else if ("^(bpchar|char|character)$".r.findFirstIn(head).isDefined &&
+        "(?i)\\bvarying\\b".r.findFirstIn(typePart).isEmpty)
+      s"character(${len.getOrElse("1")})"
+    else if (head == "varchar" ||
+        "(?i)\\bvarying\\b".r.findFirstIn(typePart).isDefined)
+      len.map(l => s"character varying($l)").getOrElse("character varying")
+    else if (head == "text") "text"
+    else ""
+  }
+
+  /** Render one bound literal in GP's deparse form for `tag`: the raw
+    * DDL spelling ('1', 1, date '2001-01-01', '2012-05-24'::date) is
+    * stripped to its value and re-rendered typed. */
+  private[operators] def renderBound(raw0: String, tag: String): String = {
+    val raw = raw0.trim
+    if (tag.isEmpty) return raw
+    val v = raw
+      .replaceAll("(?is)^(date|timestamp(\\s+with(out)?\\s+time\\s+zone)?)\\s+", "")
+      .replaceAll("(?is)::\\s*[a-z_][\\w ]*(\\(\\d+(,\\s*\\d+)?\\))?$", "")
+      .trim.stripPrefix("'").stripSuffix("'").trim
+    tag match {
+      case "int" => v
+      case "date" =>
+        // compact (20090310) and ISO both render in MDY DateStyle
+        val iso =
+          if (v.matches("\\d{8}"))
+            s"${v.take(4)}-${v.substring(4, 6)}-${v.substring(6)}"
+          else v
+        "^(\\d{4})-(\\d{2})-(\\d{2})$".r.findFirstMatchIn(iso)
+          .map(m => s"'${m.group(2)}-${m.group(3)}-${m.group(1)}'::date")
+          .getOrElse(s"'$v'::date")
+      case t => s"'$v'::$t"
+    }
+  }
+
+  /** PG interval text defaults → Spark interval literals. */
+  private[operators] object PgIntervalText {
+    def defaultLiteral(quoted: String): Option[String] = {
+      val v = quoted.stripPrefix("'").stripSuffix("'")
+      graft.functions.PgIntervalLiteralRule.parsePgInterval(v)
+        .map(us => f"INTERVAL '${us / 1000000}%d.${math.abs(us % 1000000)}%06d' SECOND")
+    }
+  }
+
+  /** One bound spelling down to its bare comparable value: typed
+    * literals, ::casts and quotes strip, MDY display dates return to
+    * ISO. */
+  private[operators] def normBoundVal(x0: String): String = {
+    var x = x0.trim
+      .replaceAll("(?is)^(date|timestamp(\\s+with(out)?\\s+time\\s+zone)?)\\s+", "")
+      .replaceAll("(?is)::\\s*[a-z_][\\w ]*(\\(\\d+(,\\s*\\d+)?\\))?\\s*$", "")
+      .trim.stripPrefix("'").stripSuffix("'").trim
+    x = x.replaceAll("^(\\d{2})-(\\d{2})-(\\d{4})$", "$3-$1-$2")
+    x
+  }
+
+  /** Compare two bound spellings: numeric when both parse, else
+    * lexical on the normalized value; a compact date (20090310)
+    * against an ISO date normalizes first. */
+  private[operators] def cmpBound(a: String, b: String): Int = {
+    var x = normBoundVal(a)
+    var y = normBoundVal(b)
+    def compact(s: String) =
+      s"${s.take(4)}-${s.substring(4, 6)}-${s.substring(6)}"
+    if (x.matches("\\d{4}-\\d{2}-\\d{2}.*") && y.matches("\\d{8}"))
+      y = compact(y)
+    else if (y.matches("\\d{4}-\\d{2}-\\d{2}.*") && x.matches("\\d{8}"))
+      x = compact(x)
+    (scala.util.Try(BigDecimal(x)).toOption,
+      scala.util.Try(BigDecimal(y)).toOption) match {
+      case (Some(p), Some(q)) => p.compare(q)
+      case _ =>
+        // interval spellings ('30 secs' vs '1 min') compare by value,
+        // not text (datetime.c DecodeInterval)
+        (graft.functions.PgIntervalLiteralRule.parsePgInterval(x),
+          graft.functions.PgIntervalLiteralRule.parsePgInterval(y)) match {
+          case (Some(a), Some(b)) => a.compare(b)
+          case _ => x.compareTo(y)
+        }
+    }
+  }
+
+  /** List-values text → a Spark-parsable IN operand: each scalar
+    * sanitizes; composite tuples sanitize element-wise, keeping the
+    * tuple shape for the `(c1, c2) IN ((..), ..)` struct compare. */
+  private[operators] def sanitizeListVals(v: String): String =
+    splitTop(v).map(_.trim).map { tok =>
+      if (tok.startsWith("(") && tok.endsWith(")"))
+        "(" + splitTop(stripOuterParens(tok))
+          .map(x => sanitizeBound(x.trim)).mkString(", ") + ")"
+      else sanitizeBound(tok)
+    }.mkString(", ")
+
+  /** Flatten composite list-values for the pg_partitions display
+    * (GP prints the scalars typed, tuple structure dropped). */
+  def displayListVals(v: String): String =
+    if (v == null) null
+    else splitTop(v).map(_.trim).flatMap { tok =>
+      if (tok.startsWith("(") && tok.endsWith(")"))
+        splitTop(stripOuterParens(tok)).map(_.trim)
+      else Seq(tok)
+    }.mkString(", ")
+
+  /** Boundary rendering (pg_get_partition_rule_def): STRING-typed
+    * values print bare-quoted ('F'), numeric/date/etc typed as in
+    * renderBound, int bare. */
+  private[operators] def rbBoundary(raw0: String, tag: String): String =
+    if (tag == "text" || tag.startsWith("character")) {
+      val v = raw0.trim
+        .replaceAll("(?is)::\\s*[a-z_][\\w ]*(\\(\\d+(,\\s*\\d+)?\\))?$", "")
+        .trim.stripPrefix("'").stripSuffix("'")
+      s"'$v'"
+    } else renderBound(raw0, tag)
 
   /** The declared char(n)/bpchar columns of `table` (lower-cased). */
   def charCols(table: String): Set[String] =
@@ -861,7 +1147,41 @@ object GreengageDdl {
       }
   }
 
+  private val alterAddKeyRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+ADD\\s+" +
+      "(?:CONSTRAINT\\s+([\\w\"]+)\\s+)?(UNIQUE|PRIMARY\\s+KEY)\\s*" +
+      "\\(([^)]*)\\)\\s*;?\\s*$").r
+  private val alterDropConRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+DROP\\s+" +
+      "CONSTRAINT\\s+(?:IF\\s+EXISTS\\s+)?([\\w\"]+)" +
+      "(?:\\s+CASCADE|\\s+RESTRICT)?\\s*;?\\s*$").r
+
   private def alterInner(spark: SparkSession, ddl: String): Unit = ddl match {
+    case alterAddKeyRe(name, cname, kindKw, colsTxt) =>
+      // UNIQUE / PRIMARY KEY constraints are not enforced (same
+      // contract as CREATE TABLE), but they surface in pg_indexes —
+      // GP backs each with a btree index, cascaded to the children
+      // (index_create via DefineIndex on every child heap)
+      val table = name.replace("\"", "")
+      spark.table(table) // existence check
+      val cols = splitTop(colsTxt).map(_.replace("\"", "").trim)
+      val bare = table.split("\\.").last
+      val isPk = kindKw.toUpperCase.startsWith("PRIMARY")
+      val idxName = Option(cname).map(_.replace("\"", "")).getOrElse(
+        if (isPk) s"${bare}_pkey"
+        else (bare +: cols).mkString("_") + "_key")
+      indexTables.put(idxName, table)
+      indexDefReg.put(idxName,
+        (table, "btree", cols, true, if (isPk) "pkey" else "key"))
+      recordConstraint(table, idxName,
+        if (isPk) "PRIMARY KEY" else "UNIQUE")
+      ()
+    case alterDropConRe(name, cname) =>
+      val table = name.replace("\"", "")
+      spark.table(table) // existence check
+      val cn = cname.replace("\"", "")
+      indexDefReg.remove(cn); indexTables.remove(cn)
+      ()
     case alterInheritRe(child, no, parent) =>
       if (no == null) attachChild(spark, parent, child)
       else detachChild(spark, parent, child)
@@ -882,11 +1202,50 @@ object GreengageDdl {
           s"CREATE TABLE $tbl ($colName ${mapType(typePart)})")
         if (n > 0) spark.sql(s"INSERT INTO $tbl " +
           s"SELECT CAST(NULL AS ${mapType(typePart)}) FROM range($n)")
-      } else
-        spark.sql(s"ALTER TABLE $tbl " +
-          s"ADD COLUMNS ($colName ${mapType(typePart)})")
+      } else {
+        // ADD COLUMN .. DEFAULT <literal> fills EXISTING rows with the
+        // default (tablecmds.c ATExecAddColumn with a non-null default
+        // is a table rewrite there too); without one, a metadata-only
+        // ADD COLUMNS suffices (parquet reads the absent column NULL)
+        "(?i)\\bdefault\\s+('(?:[^']|'')*'|-?\\d+(?:\\.\\d+)?|true|false)(?:\\s|$)".r
+          .findFirstMatchIn(typeAndCons) match {
+          case Some(d) =>
+            val target = mapType(typePart)
+            val value =
+              if (target.toUpperCase.startsWith("INTERVAL") &&
+                  d.group(1).startsWith("'"))
+                // PG interval text default → typed literal
+                org.apache.spark.sql.functions.expr(
+                  PgIntervalText.defaultLiteral(d.group(1))
+                    .getOrElse(d.group(1)))
+              else org.apache.spark.sql.functions.expr(d.group(1))
+            rewriteTable(spark, tbl, spark.table(tbl).withColumn(colName,
+              value.cast(target)))
+          case None =>
+            spark.sql(s"ALTER TABLE $tbl " +
+              s"ADD COLUMNS ($colName ${mapType(typePart)})")
+            // the declared-order property must learn the new column
+            // or SELECT * / positional INSERT keep the old arity
+            try {
+              spark.sql(s"SHOW TBLPROPERTIES $tbl('graft.pgcolorder')")
+                .collect().headOption.map(_.getString(1))
+                .filterNot(_.contains("does not have"))
+                .foreach { cur =>
+                  spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+                    s"('graft.pgcolorder'='$cur,$colName')")
+                }
+            } catch { case scala.util.control.NonFatal(_) => }
+        }
+      }
     case alterRenameRe(from, to) =>
-      spark.sql(s"ALTER TABLE ${from.replace("\"", "")} RENAME TO ${to.replace("\"", "")}")
+      val fromT = from.replace("\"", "")
+      val toT = to.replace("\"", "")
+      // a crashed prior session can leave the target's managed
+      // directory on disk with no catalog entry (same contract as the
+      // CREATE path)
+      if (!spark.catalog.tableExists(toT)) clearOrphanLocation(spark, toT)
+      spark.sql(s"ALTER TABLE $fromT RENAME TO $toT")
+      renamePartitionRegistry(spark, fromT, toT)
     case alterDropColRe(name, colName) =>
       // parquet v1 tables cannot drop in place (tablecmds.c rewrites
       // too, for non-droppable cases) — project-away + table rewrite
@@ -995,9 +1354,14 @@ object GreengageDdl {
           // the PG-declared column order must track the surgery —
           // a stale entry would expand `SELECT *` over dropped or
           // pre-rename column names
-          val v2 = if (k == "graft.pgcolorder")
-            v.split(",").toSeq.flatMap(surviving(_)).mkString(",")
-          else v
+          val v2 = if (k == "graft.pgcolorder") {
+            val kept = v.split(",").toSeq.flatMap(surviving(_))
+            // a column ADDED by this surgery appends at the declared
+            // order's end (PG appends new attnums)
+            val added = data.columns.toSeq.filterNot(c =>
+              kept.exists(_.equalsIgnoreCase(c)))
+            (kept ++ added).mkString(",")
+          } else v
           s"'${k.replace("'", "''")}'='${v2.replace("'", "''")}'"
         }.mkString(", ") + ")")
   }
@@ -1052,14 +1416,84 @@ object GreengageDdl {
   // index name -> table (PG's DROP INDEX names only the index)
   private val indexTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  // index name -> (table, access method, columns) — pg_indexes surface
+  // index name -> (table, access method, columns, unique, kind) —
+  // the pg_indexes surface; kind: "idx" (named index), "key" (UNIQUE
+  // constraint), "pkey" (primary key) — drives child index naming
   private val indexDefReg =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Seq[String])]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, String, Seq[String], Boolean, String)]()
 
   /** Recorded index definitions for the pg_indexes compat view. */
-  def indexDefs: Seq[(String, (String, String, Seq[String]))] = {
+  def indexDefs: Seq[(String, (String, String, Seq[String], Boolean, String))] = {
     import scala.jdk.CollectionConverters._
     indexDefReg.asScala.toSeq
+  }
+
+  /** ALTER TABLE RENAME on a partitioned table renames its child
+    * relations with it (`it_1_prt_1` → `newit_1_prt_1`,
+    * tablecmds.c renamerel cascades through pg_partition_rule): move
+    * every registry entry to the new key, rename the child views. */
+  private def renamePartitionRegistry(spark: SparkSession,
+                                      from: String, to: String): Unit = {
+    val oldKey = from.toLowerCase.replace("\"", "")
+    val newKey = to.toLowerCase.replace("\"", "")
+    val oldBare = oldKey.split("\\.").last
+    val newBare = newKey.split("\\.").last
+    val kids = Option(partChildrenReg.remove(oldKey)).getOrElse {
+      partBoundsReg.remove(oldKey) match {
+        case null =>
+        case b => partBoundsReg.put(newKey, b)
+      }
+      return
+    }
+    // the views live in the table's own schema (a RENAME keeps it)
+    val qual =
+      if (oldKey.contains(".")) oldKey.substring(0, oldKey.lastIndexOf('.') + 1)
+      else (try {
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(newKey))
+          .identifier.database
+      } catch { case scala.util.control.NonFatal(_) => None })
+        .map(_ + ".").getOrElse("")
+    def ren(n: String): String =
+      if (n == null) null
+      else if (n.startsWith(oldBare)) newBare + n.substring(oldBare.length)
+      else n
+    kids.foreach { c =>
+      try spark.sql(s"DROP VIEW IF EXISTS $qual${c.partitiontablename}")
+      catch { case scala.util.control.NonFatal(_) => }
+      childTargetReg.remove(s"$qual${c.partitiontablename}")
+      childTargetReg.remove(c.partitiontablename)
+    }
+    partChildrenReg.put(newKey, kids.map(c => c.copy(
+      tablename = newBare,
+      partitiontablename = ren(c.partitiontablename),
+      parentchild = ren(c.parentchild))))
+    Seq[java.util.concurrent.ConcurrentHashMap[String, _]](
+      partBoundsReg, partColsReg, partLevelColsReg, subLevelsReg,
+      boundTypeReg).foreach { reg0 =>
+      val reg = reg0.asInstanceOf[
+        java.util.concurrent.ConcurrentHashMap[String, Any]]
+      Option(reg.remove(oldKey)).foreach(v => reg.put(newKey, v))
+    }
+    registerPartChildViews(spark, to, partColsOf(to))
+  }
+
+  /** Drop every recorded index of `table` (re-CREATE invalidates). */
+  private[operators] def clearIndexesOf(table: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val key = table.toLowerCase.replace("\"", "")
+    indexDefReg.asScala.filter(_._2._1.toLowerCase == key).keys
+      .foreach { k => indexDefReg.remove(k); indexTables.remove(k) }
+  }
+
+  /** LEAF child relations of a partitioned table (no deeper child). */
+  def leafChildRelationsOf(table: String): Seq[String] = {
+    val key = table.toLowerCase.replace("\"", "")
+    val kids = Option(partChildrenReg.get(key)).getOrElse(return Seq.empty)
+    kids.filterNot(c => kids.exists(k =>
+        Option(k.parentchild).contains(c.partitiontablename)))
+      .map(_.partitiontablename)
   }
 
   /** Translate + execute CREATE INDEX: cluster the table's layout on
@@ -1094,11 +1528,13 @@ object GreengageDdl {
         spark.sessionState.sqlParser.parseTableIdentifier(table)).tableType ==
         org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
     } catch { case scala.util.control.NonFatal(_) => false }
+    val unique = "(?is)^\\s*CREATE\\s+UNIQUE\\b".r.findFirstIn(ddl).isDefined
     if (isView) {
       spark.table(table) // existence check
       indexTables.put(idxName, table)
       indexDefReg.put(idxName,
-        (table, Option(m.group(3)).map(_.toLowerCase).getOrElse("btree"), cols))
+        (table, Option(m.group(3)).map(_.toLowerCase).getOrElse("btree"),
+          cols, unique, "idx"))
       return cols
     }
     val schema = spark.table(table).schema
@@ -1125,7 +1561,8 @@ object GreengageDdl {
       s"('graft.index.$idxName'='$kind:${cols.mkString(",")}')")
     indexTables.put(idxName, table)
     indexDefReg.put(idxName,
-      (table, Option(m.group(3)).map(_.toLowerCase).getOrElse("btree"), cols))
+      (table, Option(m.group(3)).map(_.toLowerCase).getOrElse("btree"),
+        cols, unique, "idx"))
     cols
   }
 
@@ -1165,9 +1602,12 @@ object GreengageDdl {
     val idxName =
       if (indexTables.containsKey(idxQual)) idxQual
       else idxQual.split("\\.").last
+    val ifExists = "(?i)IF\\s+EXISTS".r.findFirstIn(ddl).isDefined
     val table = Option(m.group(2)).map(_.replace("\"", ""))
-      .orElse(Option(indexTables.get(idxName))).getOrElse(
-        throw new IllegalArgumentException(s"unknown index: $idxName"))
+      .orElse(Option(indexTables.get(idxName))).getOrElse {
+        if (ifExists) return // DROP INDEX IF EXISTS on nothing: no-op
+        throw new IllegalArgumentException(s"unknown index: $idxName")
+      }
     indexTables.remove(idxName)
     indexDefReg.remove(idxName)
     // record-only indexes (partition-child views) carry no property
@@ -1268,29 +1708,84 @@ object GreengageDdl {
 
   private def parseSpecItems(schema: String, bare: String,
       namePrefix: String, level: Int, partType: String,
-      spec: String): Seq[PartChild] = {
+      spec: String, tag: String = ""): Seq[PartChild] =
+    parseSpecItems2(schema, bare, namePrefix, level, partType, spec, tag)
+      .map(_._1)
+
+  /** As parseSpecItems, also yielding each child's INLINE subpartition
+    * body `( SUBPARTITION ... )` when the item declares one (gram.y
+    * TabPartitionElem: an inline spec overrides the level template for
+    * that partition's subtree). */
+  private def parseSpecItems2(schema: String, bare: String,
+      namePrefix: String, level: Int, partType: String,
+      spec: String, tag: String = ""): Seq[(PartChild, Option[String])] = {
     val items = splitTop(stripOuterParens(spec))
     val lv = level + 1
     val hasDefault = items.exists(i =>
       "(?is)^default\\s+(sub)?partition\\b".r.findFirstIn(i.trim).isDefined)
     val nameOff = if (hasDefault) 1L else 0L
-    val children = Seq.newBuilder[PartChild]
+    val children = Seq.newBuilder[(PartChild, Option[String])]
+    def rb(x: String): String = renderBound(x, tag)
     var pos = 0L
     var rank = 0L
     items.foreach { it0 =>
-      val it = it0.trim
+      var it = it0.trim
+      // inline subpartition body: the LAST top-level paren group whose
+      // content is a (sub)partition item list
+      var body: Option[String] = None
+      locally {
+        var i = 0
+        var found = -1
+        while (i < it.length) {
+          if (it.charAt(i) == '(') {
+            val (inner, after) = balanced(it, i)
+            if ("(?is)^\\s*(default\\s+)?(sub)?partition\\b".r
+                .findFirstIn(inner).isDefined) found = i
+            i = after
+          } else if (it.charAt(i) == '\'') {
+            i += 1
+            while (i < it.length && it.charAt(i) != '\'') i += 1
+            i += 1
+          } else i += 1
+        }
+        if (found >= 0) {
+          val (inner, after) = balanced(it, found)
+          body = Some(inner)
+          it = (it.substring(0, found) + " " + it.substring(after)).trim
+        }
+      }
+      // WITH (storage opts): strip from the bound parse; a
+      // tablename=... option overrides the child relation name
+      // (cdbpartition.c) and the clause text joins the boundary
+      var withText: Option[String] = None
+      var tablenameOpt: Option[String] = None
+      "(?is)\\bwith\\s*\\(".r.findFirstMatchIn(it).foreach { w =>
+        val (inner, after) = balanced(it, w.end - 1)
+        withText = Some(inner.trim)
+        tablenameOpt = "(?i)tablename\\s*=\\s*'([^']+)'".r
+          .findFirstMatchIn(inner).map(_.group(1))
+        it = (it.substring(0, w.start) + " " + it.substring(after)).trim
+      }
+      val withDisp = withText.map(w => " WITH (" +
+        splitTop(w).map(_.trim.replaceAll("\\s*=\\s*", "="))
+          .mkString(", ") + ")").getOrElse("")
+      def relName(dflt: => String): String =
+        tablenameOpt.getOrElse(dflt)
       val dm = "(?is)^default\\s+(?:sub)?partition\\s+([\\w\"]+)".r
         .findFirstMatchIn(it)
       val nm = "(?is)^(?:sub)?partition\\s+([\\w\"]+)".r.findFirstMatchIn(it)
       val pname = dm.orElse(nm).map(_.group(1).replace("\"", "")).orNull
+      // boundary prefix: level-0 items deparse as PARTITION, deeper
+      // levels as SUBPARTITION (ruleutils partition rule deparse)
+      val kw = if (level == 0) "PARTITION" else "SUBPARTITION"
       if (dm.isDefined) {
         // default partition: parruleord 0, rank NULL (system_views.sql
         // rank CASE), boundary prints the DEFAULT form
-        children += PartChild(schema, bare,
-          childName(namePrefix, s"_${lv}_prt_$pname"),
+        children += ((PartChild(schema, bare,
+          relName(childName(namePrefix, s"_${lv}_prt_$pname")),
           pname, partType, level, None, 0L, null, null,
           None, null, None, null, partitionisdefault = true,
-          s"DEFAULT PARTITION $pname")
+          s"DEFAULT $kw $pname"), body))
       } else {
         val vm = "(?is)\\bvalues\\s*\\(".r.findFirstMatchIn(it)
         val sm = "(?is)\\bstart\\s*\\(".r.findFirstMatchIn(it)
@@ -1300,30 +1795,56 @@ object GreengageDdl {
         if (emOnly.isDefined && vm.isEmpty) {
           // END-only range partition (gram.y TabPartitionBoundSpec):
           // the START fills from the PREVIOUS partition's END below
-          val (b, bAfter) = balanced(it, emOnly.get.end - 1)
+          val (b0, bAfter) = balanced(it, emOnly.get.end - 1)
+          val b = rb(b0)
           val endIncl = "(?is)^\\s*inclusive\\b".r
             .findFirstIn(it.substring(bAfter)).isDefined
           pos += 1; rank += 1
-          val child =
+          val child = relName(
             if (pname != null) childName(namePrefix, s"_${lv}_prt_$pname")
-            else childName(namePrefix, s"_${lv}_prt_${pos + nameOff}")
-          val bprefix = if (pname != null) s"PARTITION $pname " else ""
-          children += PartChild(schema, bare, child, pname, "range", level,
+            else childName(namePrefix, s"_${lv}_prt_${pos + nameOff}"))
+          val bprefix = if (pname != null) s"$kw $pname " else ""
+          children += ((PartChild(schema, bare, child, pname, "range", level,
             Some(rank), pos, null, null, None, b,
             Some(endIncl), null, partitionisdefault = false,
-            s"${bprefix}END ($b)" + (if (endIncl) " INCLUSIVE" else ""))
+            s"${bprefix}END ($b)" + (if (endIncl) " INCLUSIVE" else "") +
+              withDisp), body))
         } else if (vm.isDefined) {
           pos += 1
-          val (vals, _) = balanced(it, vm.get.end - 1)
-          val child =
+          val (vals0, _) = balanced(it, vm.get.end - 1)
+          val toks = splitTop(vals0).map(_.trim)
+          val composite = toks.exists(_.startsWith("("))
+          // composite values KEEP their tuple structure (the child
+          // predicates need `(c1, c2) IN ((..), ..)`); pg_partitions
+          // flattens for display. Every scalar renders typed; the
+          // BOUNDARY prints values bare-quoted for string types,
+          // typed for numeric/date (get_const_expr)
+          val vals =
+            if (composite)
+              toks.map(t => "(" + splitTop(stripOuterParens(t))
+                .map(e => rb(e.trim)).mkString(", ") + ")").mkString(", ")
+            else toks.map(rb).mkString(", ")
+          val bvals =
+            if (composite)
+              // GP: VALUES( ('a', 'b'),  ('c', 'd')) — every tuple
+              // carries a leading space, joined with ", "
+              toks.map(t => " (" + splitTop(stripOuterParens(t))
+                .map(e => rbBoundary(e.trim, tag)).mkString(", ") + ")")
+                .mkString(", ")
+            else toks.map(t => rbBoundary(t, tag)).mkString(", ")
+          val child = relName(
             if (pname != null) childName(namePrefix, s"_${lv}_prt_$pname")
-            else childName(namePrefix, s"_${lv}_prt_${pos + nameOff}")
-          val bprefix = if (pname != null) s"PARTITION $pname " else ""
-          children += PartChild(schema, bare, child, pname, "list", level,
+            else childName(namePrefix, s"_${lv}_prt_${pos + nameOff}"))
+          val bprefix = if (pname != null) s"$kw $pname " else ""
+          children += ((PartChild(schema, bare, child, pname, "list", level,
             None, pos, vals, null, None, null, None, null,
-            partitionisdefault = false, s"${bprefix}VALUES($vals)")
+            partitionisdefault = false, s"${bprefix}VALUES($bvals)" + withDisp),
+            body))
         } else if (sm.isDefined) {
           val (a, aAfter) = balanced(it, sm.get.end - 1)
+          // START (..) [INCLUSIVE|EXCLUSIVE] (gram.y OptStartInclusive)
+          val startIncl = !"(?is)^\\s*exclusive\\b".r
+            .findFirstIn(it.substring(aAfter)).isDefined
           val em = "(?is)\\bend\\s*\\(".r
             .findFirstMatchIn(it.substring(aAfter))
           val b = em.map { e =>
@@ -1357,74 +1878,114 @@ object GreengageDdl {
               .toSeq)
               .orElse(dateSteps(a, Option(b), Option(ev)))
               .getOrElse(Seq((a, b)))
-          steps.foreach { case (cs, ce) =>
-            pos += 1; rank += 1
+          var stepIdx = 0
+          steps.foreach { case (cs0, ce0) =>
+            pos += 1; rank += 1; stepIdx += 1
+            val isLast = stepIdx == steps.length
+            val isFirst = stepIdx == 1
+            val cs = rb(cs0)
+            val ce = if (ce0 == null) null else rb(ce0)
+            // the declared markers belong to the OUTER edges: the
+            // first step keeps the START marker, only the LAST step an
+            // INCLUSIVE end (intermediate cuts are [incl, excl))
+            val sIncl = if (isFirst) startIncl else true
+            val eIncl = isLast && endIncl
             // EVERY-expanded NAMED items number their steps
             // (cdbpartition.c: usam1 EVERY → usam1_1, usam1_2, ...)
             val stepName =
               if (pname == null) null
               else if (steps.length == 1) pname
-              else s"${pname}_$rank"
-            val child =
+              else s"${pname}_$stepIdx" // per-ITEM numbering (usam1_1..)
+            val child = relName(
               if (stepName != null)
                 childName(namePrefix, s"_${lv}_prt_$stepName")
-              else childName(namePrefix, s"_${lv}_prt_${pos + nameOff}")
+              else childName(namePrefix, s"_${lv}_prt_${pos + nameOff}"))
             val bprefix =
-              if (stepName != null) s"PARTITION $stepName " else ""
-            // EVERY display: plain numerics unquote; intervals print
-            // in the verbose style GP's ruleutils use ('@ 1 mon')
+              if (stepName != null) s"$kw $stepName " else ""
+            // EVERY display: numerics render typed for the column
+            // (plain int, '500'::numeric); intervals print in the
+            // verbose style GP's ruleutils use ('@ 1 year 1 mon')
             val evDisp = Option(ev).map { e =>
               val u = e.trim.stripPrefix("'").stripSuffix("'").trim
-              if (scala.util.Try(BigDecimal(u)).isSuccess) u
-              else ("(?i)(?:interval\\s*)?'\\s*(\\d+)\\s*" +
-                "(year|month|week|day|hour|minute|second)s?\\s*'" +
-                "(?:\\s*::\\s*interval)?").r
-                .findFirstMatchIn(e.trim).map { m2 =>
-                  val cnt = m2.group(1).toLong
-                  val unit0 = m2.group(2).toLowerCase match {
-                    case "month" => "mon"
-                    case x => x
-                  }
-                  s"'@ $cnt $unit0${if (cnt == 1) "" else "s"}'::interval"
-                }.getOrElse(e)
+              if (scala.util.Try(BigDecimal(u)).isSuccess)
+                (if (tag == "numeric") s"'$u'::numeric" else u)
+              else {
+                val terms = ("(?i)(\\d+)\\s*(year|month|mon|week|day|" +
+                  "hour|minute|second)s?").r
+                  .findAllMatchIn(e.trim).map { m2 =>
+                    val cnt = m2.group(1).toLong
+                    val unit0 = m2.group(2).toLowerCase match {
+                      case "month" | "mon" => "mon"
+                      case x => x
+                    }
+                    s"$cnt $unit0${if (cnt == 1) "" else "s"}"
+                  }.toSeq
+                if (terms.isEmpty) e
+                else s"'@ ${terms.mkString(" ")}'::interval"
+              }
             }
-            val boundary = s"${bprefix}START ($cs) END ($ce)" +
-              evDisp.map(e => s" EVERY ($e)").getOrElse("") +
-              (if (endIncl) " INCLUSIVE" else "")
-            children += PartChild(schema, bare, child, stepName, "range",
-              level, Some(rank), pos, null, cs, Some(true), ce,
-              Some(endIncl), evDisp.orNull, partitionisdefault = false,
-              boundary)
+            val boundary = s"${bprefix}START ($cs)" +
+              (if (!sIncl) " EXCLUSIVE" else "") +
+              Option(ce).map(c => s" END ($c)" +
+                (if (eIncl) " INCLUSIVE" else "")).getOrElse("") +
+              evDisp.map(e => s" EVERY ($e)").getOrElse("") + withDisp
+            children += ((PartChild(schema, bare, child, stepName, "range",
+              level, Some(rank), pos, null, cs, Some(sIncl), ce,
+              Some(eIncl), evDisp.orNull, partitionisdefault = false,
+              boundary), body))
           }
         }
       }
     }
-    val rows0 = children.result()
+    val rows1 = children.result()
+    // ranges sort by START VALUE, not declaration order
+    // (atpxPart_validate_spec sorts and renumbers parruleord): a
+    // START-only item declared out of order (P_FUTURE 2001 after
+    // P2010xx) must rank — and neighbor-fill — by its bound
+    val rangeOrder = rows1.collect {
+      case (c, _) if c.partitiontype == "range" && !c.partitionisdefault &&
+        c.partitionrangestart != null => c.partitiontablename
+    }.sortWith((x, y) => {
+      val cx = rows1.find(_._1.partitiontablename == x).get._1
+      val cy = rows1.find(_._1.partitiontablename == y).get._1
+      cmpBound(cx.partitionrangestart, cy.partitionrangestart) < 0
+    })
+    val orderIdx = rangeOrder.zipWithIndex.toMap
+    val rows0 = rows1.map { case (c, bd) =>
+      val renum = orderIdx.get(c.partitiontablename) match {
+        case Some(i) if c.partitiontype == "range" =>
+          c.copy(partitionposition = i + 1L, partitionrank = Some(i + 1L))
+        case _ => c
+      }
+      (renum, bd)
+    }
     // a START-only range partition ends where the NEXT partition
     // starts (cdbpartition.c atpxPart_validate_spec fills parrangeend
     // from the following START) — without this, consecutive
     // START-only children would all claim the open tail
-    rows0.map { c =>
-      if (c.partitiontype == "range" && !c.partitionisdefault &&
-          c.partitionrangeend == null)
-        rows0.filter(r => r.partitiontype == "range" &&
-            !r.partitionisdefault &&
-            r.partitionposition > c.partitionposition &&
-            r.partitionrangestart != null)
-          .sortBy(_.partitionposition).headOption
-          .map(n => c.copy(partitionrangeend = n.partitionrangestart,
-            partitionendinclusive = Some(false))).getOrElse(c)
-      else if (c.partitiontype == "range" && !c.partitionisdefault &&
-          c.partitionrangestart == null && c.partitionrangeend != null)
-        // END-only: START fills from the previous partition's END
-        rows0.filter(r => r.partitiontype == "range" &&
-            !r.partitionisdefault &&
-            r.partitionposition < c.partitionposition &&
-            r.partitionrangeend != null)
-          .sortBy(-_.partitionposition).headOption
-          .map(n => c.copy(partitionrangestart = n.partitionrangeend,
-            partitionstartinclusive = Some(true))).getOrElse(c)
-      else c
+    rows0.map { case (c, bd) =>
+      val filled =
+        if (c.partitiontype == "range" && !c.partitionisdefault &&
+            c.partitionrangeend == null)
+          rows0.map(_._1).filter(r => r.partitiontype == "range" &&
+              !r.partitionisdefault &&
+              r.partitionposition > c.partitionposition &&
+              r.partitionrangestart != null)
+            .sortBy(_.partitionposition).headOption
+            .map(n => c.copy(partitionrangeend = n.partitionrangestart,
+              partitionendinclusive = Some(false))).getOrElse(c)
+        else if (c.partitiontype == "range" && !c.partitionisdefault &&
+            c.partitionrangestart == null && c.partitionrangeend != null)
+          // END-only: START fills from the previous partition's END
+          rows0.map(_._1).filter(r => r.partitiontype == "range" &&
+              !r.partitionisdefault &&
+              r.partitionposition < c.partitionposition &&
+              r.partitionrangeend != null)
+            .sortBy(-_.partitionposition).headOption
+            .map(n => c.copy(partitionrangestart = n.partitionrangeend,
+              partitionstartinclusive = Some(true))).getOrElse(c)
+        else c
+      (filled, bd)
     }
   }
 
@@ -1454,19 +2015,19 @@ object GreengageDdl {
       bb <- b
       (av, aDate) <- dtBound(a)
       (bv, _) <- dtBound(bb)
-      m <- ("(?is)(?:interval\\s*)?'\\s*(\\d+)\\s*" +
-        "(year|month|week|day|hour)s?\\s*'(?:\\s*::\\s*interval)?").r
-        .findFirstMatchIn(e.trim)
-      if bv.isAfter(av)
-      n = m.group(1).toLong
-      if n > 0
-      unit = m.group(2).toLowerCase
-      step = (d: java.time.LocalDateTime) => unit match {
-        case "year" => d.plusYears(n)
-        case "month" => d.plusMonths(n)
-        case "week" => d.plusWeeks(n)
-        case "day" => d.plusDays(n)
-        case _ => d.plusHours(n)
+      // multi-unit intervals step by every term ('1 year 1 mon')
+      terms = ("(?i)(\\d+)\\s*(year|month|mon|week|day|hour)s?").r
+        .findAllMatchIn(e.trim)
+        .map(m2 => (m2.group(1).toLong, m2.group(2).toLowerCase)).toSeq
+      if terms.nonEmpty && terms.forall(_._1 > 0) && bv.isAfter(av)
+      step = (d: java.time.LocalDateTime) => terms.foldLeft(d) {
+        case (x, (n, unit)) => unit match {
+          case "year" => x.plusYears(n)
+          case "month" | "mon" => x.plusMonths(n)
+          case "week" => x.plusWeeks(n)
+          case "day" => x.plusDays(n)
+          case _ => x.plusHours(n)
+        }
       }
       all = Iterator.iterate(av)(step).takeWhile(_.isBefore(bv))
         .take(10000).toSeq
@@ -1493,19 +2054,26 @@ object GreengageDdl {
       val i = t.lastIndexOf('.')
       if (i > 0) (t.substring(0, i), t.substring(i + 1)) else ("public", t)
     }
-    val lvl0 = parseSpecItems(schema, bare, bare, 0, partType, spec)
-    // sub-level templates expand under EVERY frontier child
-    // (cdbpartition.c: a child heap per template item per parent)
-    var all = lvl0
+    val lvl0 = parseSpecItems2(schema, bare, bare, 0, partType, spec,
+      levelTag(table, 0))
+    // sub-levels expand under every frontier child: the child's own
+    // INLINE body when declared, else the level's TEMPLATE
+    // (cdbpartition.c: a child heap per item per parent)
+    var all = lvl0.map(_._1)
     var frontier = lvl0
     subLevelsOf(table).zipWithIndex.foreach { case ((stype, tspec), i) =>
-      val next = frontier.flatMap { parent =>
-        parseSpecItems(schema, bare, parent.partitiontablename,
-          i + 1, stype, tspec)
-          .map(_.copy(parentchild = parent.partitiontablename,
-            parentname = parent.partitionname))
+      val tg = levelTag(table, i + 1)
+      val next = frontier.flatMap { case (parent, bodyOpt) =>
+        val spec2 = bodyOpt.orElse(Option(tspec).filter(_.trim.nonEmpty))
+        spec2.toSeq.flatMap(sp =>
+          parseSpecItems2(schema, bare, parent.partitiontablename,
+            i + 1, stype, sp, tg)
+            .map { case (c, b2) =>
+              (c.copy(parentchild = parent.partitiontablename,
+                parentname = parent.partitionname), b2)
+            })
       }
-      all = all ++ next
+      all = all ++ next.map(_._1)
       frontier = next
     }
     val rows = all
@@ -1521,6 +2089,34 @@ object GreengageDdl {
       partChildrenReg.put(key0, merged)
     }
   } catch { case _: Exception => () } // introspection stays best-effort
+
+  /** Expand the table's sub-level TEMPLATES under newly added
+    * children (`roots`, all at the same level): ADD [DEFAULT]
+    * PARTITION on a multi-level table creates the whole subtree
+    * (cdbpartition.c add_partition expands the stored templates). */
+  private def expandSubLevels(table: String,
+                              roots: Seq[PartChild]): Seq[PartChild] = {
+    if (roots.isEmpty) return roots
+    val (schema, bare) = (roots.head.schemaname, roots.head.tablename)
+    val startLevel = roots.head.partitionlevel
+    var all = roots
+    var frontier = roots
+    subLevelsOf(table).zipWithIndex.drop(startLevel)
+      .foreach { case ((stype, tspec), i) =>
+        if (tspec.trim.nonEmpty) {
+          val tg = levelTag(table, i + 1)
+          val next = frontier.flatMap { parent =>
+            parseSpecItems(schema, bare, parent.partitiontablename,
+              i + 1, stype, tspec, tg)
+              .map(_.copy(parentchild = parent.partitiontablename,
+                parentname = parent.partitionname))
+          }
+          all = all ++ next
+          frontier = next
+        } else frontier = Seq.empty
+      }
+    all
+  }
 
   /** Resolve one partition selector at `level` under `parent` —
     * `FOR (RANK(n))`, `FOR (value)` (list membership or range
@@ -1550,28 +2146,17 @@ object GreengageDdl {
         ranked.lift(n - 1)
       case None => forM match {
         case Some(f) =>
-          val v = f.group(1).replace("'", "").trim
-            .replaceAll("(?i)^(date|timestamp)\\s+", "").trim
+          val v0 = f.group(1).trim
+          val v = normBoundVal(v0)
           atLevel.find(c =>
             (c.partitiontype == "list" &&
               Option(c.partitionlistvalues).exists(
-                _.replace("'", "").split(",").map(_.trim).contains(v))) ||
+                splitTop(_).map(normBoundVal).contains(v))) ||
             (c.partitiontype == "range" && !c.partitionisdefault && {
-              def cmp(bound: String): Option[Int] = {
-                val b = bound.replace("'", "").trim
-                  .replaceAll("(?i)::\\s*\\w+.*$", "")
-                  .replaceAll("(?i)^(date|timestamp)\\s*", "").trim
-                  // MDY display form back to ISO for the lexical compare
-                  .replaceAll("^(\\d{2})-(\\d{2})-(\\d{4})$", "$3-$1-$2")
-                (scala.util.Try(BigDecimal(v)).toOption,
-                  scala.util.Try(BigDecimal(b)).toOption) match {
-                  case (Some(x), Some(y)) => Some(x.compare(y))
-                  case _ => Some(v.compareTo(b))
-                }
-              }
               Option(c.partitionrangestart)
-                .flatMap(cmp).forall(_ >= 0) &&
-                Option(c.partitionrangeend).flatMap(cmp).forall(_ < 0)
+                .forall(s => cmpBound(v0, s) >= 0) &&
+                Option(c.partitionrangeend)
+                  .forall(e => cmpBound(v0, e) < 0)
             }))
         case None =>
           val nm = sel.replace("\"", "")
@@ -1679,7 +2264,7 @@ object GreengageDdl {
           .replaceFirst("(?is)^DEFAULT\\s+PARTITION", "default partition")
           .replaceFirst("(?is)^PARTITION", "partition")
         val newKids = parseSpecItems(schema0, bare0, prefix, depth,
-          "range", s"($item)").map(c =>
+          "range", s"($item)", levelTag(key0, depth)).map(c =>
           parent.map(p => c.copy(parentchild = p.partitiontablename,
             parentname = p.partitionname)).getOrElse(c))
         val maxPos = kids.map(_.partitionposition).foldLeft(0L)(math.max)
@@ -1687,7 +2272,10 @@ object GreengageDdl {
           c.copy(partitionposition =
             if (c.partitionisdefault) 0L else maxPos + i + 1)
         }
-        partChildrenReg.put(key0, kids ++ renumbered.filterNot(c =>
+        // a multi-level table's ADD expands the stored sub-templates
+        // under each new child (cdbpartition.c add_partition)
+        val withSubs = expandSubLevels(key0, renumbered)
+        partChildrenReg.put(key0, kids ++ withSubs.filterNot(c =>
           kids.exists(_.partitiontablename == c.partitiontablename)))
         registerPartChildViews(spark, table, partColsOf(table))
         return true
@@ -1758,8 +2346,11 @@ object GreengageDdl {
         val (body, _) = balanced(action, m.end - 1)
         val prior = Option(subLevelsReg.get(key0)).getOrElse(Seq.empty)
         val idx = depth // sub-level index (level-1 template at idx 0)
-        val ty = if ("(?is)\\bSTART\\s*\\(".r.findFirstIn(body).isDefined)
-          "range" else "list"
+        // the level's TYPE was declared by SUBPARTITION BY — a new
+        // template spec never changes it
+        val ty = prior.lift(idx).map(_._1).getOrElse(
+          if ("(?is)\\bSTART\\s*\\(".r.findFirstIn(body).isDefined)
+            "range" else "list")
         val updated =
           if (prior.length > idx) prior.updated(idx, (ty, body))
           else prior :+ (ty, body)
@@ -1812,7 +2403,8 @@ object GreengageDdl {
       val preds = remaining.filter(c =>
         c.partitionlevel == 0 && !c.partitionisdefault).flatMap { c =>
         if (c.partitiontype == "list")
-          Option(c.partitionlistvalues).map(v => s"$lhs IN ($v)")
+          Option(c.partitionlistvalues).map(v => s"$lhs IN (" +
+            sanitizeListVals(v) + ")")
         else {
           val col = s"`${cols.head}`"
           val lo = Option(c.partitionrangestart)
@@ -1882,7 +2474,8 @@ object GreengageDdl {
     if (cols.isEmpty || c.partitionlevel != 0) return None
     val lhs = if (cols.length > 1) cols.mkString("(", ", ", ")") else cols.head
     if (c.partitiontype == "list")
-      Option(c.partitionlistvalues).map(v => s"($lhs IN ($v))")
+      Option(c.partitionlistvalues).map(v => s"($lhs IN (" +
+        sanitizeListVals(v) + "))")
     else {
       val col = cols.head
       val lo = Option(c.partitionrangestart).map(s =>
@@ -1956,17 +2549,11 @@ object GreengageDdl {
       "(INCLUSIVE|EXCLUSIVE)?$").r.findFirstMatchIn(rest)
     require(atM.isDefined || seM.isDefined,
       s"cannot parse SPLIT PARTITION operand: $rest0")
-    def normBound(x: String): String = x.replace("'", "").trim
-      .replaceAll("(?i)^(date|timestamp)\\s*", "")
-      .replaceAll("^(\\d{2})-(\\d{2})-(\\d{4})$", "$3-$1-$2").trim
-    def cmpB(a: String, b: String): Int = {
-      val (x, y) = (normBound(a), normBound(b))
-      (scala.util.Try(BigDecimal(x)).toOption,
-        scala.util.Try(BigDecimal(y)).toOption) match {
-        case (Some(p), Some(q)) => p.compare(q)
-        case _ => x.compareTo(y)
-      }
-    }
+    def normBound(x: String): String = normBoundVal(x)
+    def cmpB(a: String, b: String): Int = cmpBound(a, b)
+    // bound values on NEW children render typed for the level's
+    // partition column (the registry stores the deparsed GP form)
+    val tyTag = levelTag(key0, depth)
     if (target.partitionisdefault) {
       val defaultName = Option(target.partitionname).getOrElse("")
       // exactly one INTO item must denote the default
@@ -1993,12 +2580,14 @@ object GreengageDdl {
           require(target.partitiontype != "range",
             "SPLIT DEFAULT PARTITION AT applies to list partitions — " +
               "a range default splits with START/END")
-          val vals = a.group(1).trim
+          val toks = splitTop(a.group(1)).map(_.trim)
+          val vals = toks.map(v => renderBound(v, tyTag)).mkString(", ")
+          val bvals = toks.map(v => rbBoundary(v, tyTag)).mkString(", ")
           PartChild(schema, bare, rel, newName.orNull, "list", depth, None,
             pos, vals, null, None, null, None, null,
             partitionisdefault = false,
-            newName.map(n => s"PARTITION $n VALUES($vals)")
-              .getOrElse(s"VALUES($vals)"), pc, pn)
+            newName.map(n => s"PARTITION $n VALUES($bvals)")
+              .getOrElse(s"VALUES($bvals)"), pc, pn)
         case (_, Some(s)) =>
           require(target.partitiontype == "range",
             "SPLIT DEFAULT PARTITION START/END applies to range partitions")
@@ -2006,13 +2595,15 @@ object GreengageDdl {
             .forall(_.equalsIgnoreCase("INCLUSIVE"))
           val eIncl = Option(s.group(4))
             .exists(_.equalsIgnoreCase("INCLUSIVE"))
+          val lo = renderBound(s.group(1).trim, tyTag)
+          val hi = renderBound(s.group(3).trim, tyTag)
           PartChild(schema, bare, rel, newName.orNull, "range", depth, None,
-            pos, null, s.group(1).trim, Some(sIncl), s.group(3).trim,
+            pos, null, lo, Some(sIncl), hi,
             Some(eIncl), null, partitionisdefault = false,
             (newName.map(n => s"PARTITION $n ").getOrElse("") +
-              s"START (${s.group(1).trim})" +
+              s"START ($lo)" +
               (if (!sIncl) " EXCLUSIVE" else "") +
-              s" END (${s.group(3).trim})" +
+              s" END ($hi)" +
               (if (eIncl) " INCLUSIVE" else "")).trim, pc, pn)
         case _ => throw new IllegalStateException("unreachable")
       }
@@ -2058,41 +2649,46 @@ object GreengageDdl {
           val atVals = splitTop(atM.getOrElse(throw
             new IllegalArgumentException(
               "a bound partition splits with AT")).group(1)).map(_.trim)
-          val atBare = atVals.map(_.replace("'", "").trim).toSet
+          val atBare = atVals.map(normBound).toSet
           val origVals = splitTop(target.partitionlistvalues).map(_.trim)
           require(atVals.forall(v => origVals.exists(o =>
-            o.replace("'", "").trim == v.replace("'", "").trim)),
+            normBound(o) == normBound(v))),
             "AT values must all belong to the partition being split")
-          val restVals = origVals.filterNot(v =>
-            atBare.contains(v.replace("'", "").trim))
+          val restVals = origVals.filterNot(v => atBare.contains(normBound(v)))
           require(restVals.nonEmpty,
             "SPLIT would leave the first partition empty")
-          def mk(nm: Option[String], vals: Seq[String], pos: Long) =
+          def mk(nm: Option[String], vals: Seq[String], pos: Long) = {
+            val tv = vals.map(v => renderBound(v, tyTag)).mkString(", ")
+            val bv = vals.map(v => rbBoundary(v, tyTag)).mkString(", ")
             PartChild(schema, bare, relFor(nm, pos), nm.orNull, "list",
-              depth, None, pos, vals.mkString(", "), null, None, null,
+              depth, None, pos, tv, null, None, null,
               None, null, partitionisdefault = false,
-              nm.map(n => s"PARTITION $n VALUES(${vals.mkString(", ")})")
-                .getOrElse(s"VALUES(${vals.mkString(", ")})"), pc, pn)
+              nm.map(n => s"PARTITION $n VALUES($bv)")
+                .getOrElse(s"VALUES($bv)"), pc, pn)
+          }
           Seq(mk(n1, restVals, posBase), mk(n2, atVals, posBase + 1))
         } else {
-          val at = atM.getOrElse(throw new IllegalArgumentException(
+          val at0 = atM.getOrElse(throw new IllegalArgumentException(
             "a bound partition splits with AT")).group(1).trim
+          val at = renderBound(at0, tyTag)
           Option(target.partitionrangestart).foreach(s =>
             require(cmpB(at, s) > 0,
-              s"AT ($at) is below the partition's range"))
+              s"AT ($at0) is below the partition's range"))
           Option(target.partitionrangeend).foreach(e =>
             require(cmpB(at, e) < 0,
-              s"AT ($at) is beyond the partition's range"))
+              s"AT ($at0) is beyond the partition's range"))
           def mk(nm: Option[String], lo: String, loIncl: Option[Boolean],
                  hi: String, hiIncl: Option[Boolean], pos: Long) =
             PartChild(schema, bare, relFor(nm, pos), nm.orNull, "range",
               depth, None, pos, null, lo, loIncl, hi, hiIncl, null,
               partitionisdefault = false,
               (nm.map(n => s"PARTITION $n ").getOrElse("") +
-                s"START ($lo)" +
-                (if (loIncl.contains(false)) " EXCLUSIVE" else "") +
-                s" END ($hi)" +
-                (if (hiIncl.contains(true)) " INCLUSIVE" else "")).trim,
+                Option(lo).map(l => s"START ($l)" +
+                  (if (loIncl.contains(false)) " EXCLUSIVE" else "") + " ")
+                  .getOrElse("") +
+                Option(hi).map(h => s"END ($h)" +
+                  (if (hiIncl.contains(true)) " INCLUSIVE" else ""))
+                  .getOrElse("")).trim,
               pc, pn)
           Seq(mk(n1, target.partitionrangestart,
               target.partitionstartinclusive.orElse(Some(true)), at,
@@ -2131,8 +2727,12 @@ object GreengageDdl {
                                            table: String,
                                            itemSpec: String): Unit = {
     val key0 = table.toLowerCase.replace("\"", "")
-    val pc = try Some(partitionColumn(spark, table))
-      catch { case scala.util.control.NonFatal(_) => None }
+    // single-column tables keep their partition column as a plain
+    // column (parquet needs ≥1 data column) — fall back to the
+    // DECLARED partition column
+    val pc = (try Some(partitionColumn(spark, table))
+      catch { case scala.util.control.NonFatal(_) => None })
+      .orElse(partColsOf(table).headOption)
     pc.foreach { col =>
       // coverage predicate union (only non-default items contribute)
       val before = Option(partBoundsReg.get(key0))
@@ -2172,12 +2772,23 @@ object GreengageDdl {
     }
     def colAt(l: Int): String =
       s"`${levelCols.lift(l).getOrElse(partCols).head}`"
-    val qual = if (key.contains(".")) key.substring(0, key.lastIndexOf('.') + 1) else ""
+    // pin the child views to the PARENT's schema — a later
+    // re-registration under a different current database must not
+    // scatter them across schemas
+    val qual =
+      if (key.contains(".")) key.substring(0, key.lastIndexOf('.') + 1)
+      else (try {
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(key))
+          .identifier.database
+      } catch { case scala.util.control.NonFatal(_) => None })
+        .map(_ + ".").getOrElse("")
     def predOf(c: PartChild): Option[String] =
       if (c.partitionisdefault) None
       else if (c.partitiontype == "list")
         Option(c.partitionlistvalues)
-          .map(v => s"${lhsAt(c.partitionlevel)} IN ($v)")
+          .map(v => s"${lhsAt(c.partitionlevel)} IN (" +
+            sanitizeListVals(v) + ")")
       else {
         val col = colAt(c.partitionlevel)
         val lo = Option(c.partitionrangestart).map { s =>
@@ -2216,17 +2827,32 @@ object GreengageDdl {
     // hive layout moves partition keys LAST; the child relations show
     // the PG-declared column order (same contract as SELECT * on the
     // parent through expandReorderedStar)
+    val parentRef0 = if (key.contains(".")) key else s"$qual$key"
     val colList = (try {
-      spark.sql(s"SHOW TBLPROPERTIES $key('graft.pgcolorder')")
+      spark.sql(s"SHOW TBLPROPERTIES $parentRef0('graft.pgcolorder')")
         .collect().headOption.map(_.getString(1))
         .filterNot(_.contains("does not have"))
         .map(_.split(",").toSeq.map(c => s"`$c`").mkString(", "))
     } catch { case scala.util.control.NonFatal(_) => None }).getOrElse("*")
     kids.foreach { c =>
-      val pred = fullPred(c)
-      spark.sql(s"CREATE OR REPLACE VIEW $qual${c.partitiontablename} AS " +
-        s"SELECT $colList FROM $key WHERE $pred")
-      childTargetReg.put(s"$qual${c.partitiontablename}", (key, pred))
+      // per-child best-effort: one unparsable bound must not keep the
+      // remaining children's views from registering
+      try {
+        val pred = fullPred(c)
+        val parentRef = if (key.contains(".")) key else s"$qual$key"
+        spark.sql(s"CREATE OR REPLACE VIEW $qual${c.partitiontablename} AS " +
+          s"SELECT $colList FROM $parentRef WHERE $pred")
+        childTargetReg.put(s"$qual${c.partitiontablename}", (key, pred))
+        // statements name children UNqualified through the search
+        // path — register the bare spelling too
+        if (qual.nonEmpty)
+          childTargetReg.put(c.partitiontablename, (key, pred))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (sys.env.contains("GRAFT_DEBUG_VIEWS"))
+            System.err.println(s"[child-view] $qual${c.partitiontablename}: " +
+              String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(160))
+      }
     }
   } catch { case scala.util.control.NonFatal(_) => () } // best-effort
 
@@ -2307,12 +2933,24 @@ object GreengageDdl {
               "'$2-$3-$1'::date")
         levels.zipWithIndex.flatMap { case ((ty, spec), k) =>
           if (spec.trim.isEmpty) Seq.empty
-          else parseSpecItems(schema, bare, bare, k + 1, ty, spec).map { c =>
-            val lv = Option(c.partitionlistvalues).map(v =>
-              splitTop(v).map(_.trim).map(tok =>
-                if (tok.startsWith("'")) s"$tok::text" else tok)
-                .mkString(", ")).orNull
-            c.copy(schemaname = schema, partitionlistvalues = lv,
+          else parseSpecItems(schema, bare, bare, k + 1, ty, spec,
+            levelTag(tbl, k + 1)).zipWithIndex.map { case (c0, i) =>
+            // template rows are pg_partition_rule entries: parruleord
+            // numbers EVERY item from 1 (defaults included); range
+            // levels rank alongside and store f/f inclusivity flags
+            // when a marker is absent (never NULL)
+            val c =
+              if (ty == "range")
+                c0.copy(partitionposition = i + 1L,
+                  partitionrank = Some(i + 1L),
+                  partitiontype = ty,
+                  partitionstartinclusive =
+                    Some(c0.partitionstartinclusive.getOrElse(false)),
+                  partitionendinclusive =
+                    Some(c0.partitionendinclusive.getOrElse(false)))
+              else c0.copy(partitionposition = i + 1L, partitiontype = ty,
+                partitionrank = None)
+            c.copy(schemaname = schema,
               partitionrangestart = dispDate(c.partitionrangestart),
               partitionrangeend = dispDate(c.partitionrangeend),
               partitionboundary = Option(c.partitionboundary)
@@ -2348,9 +2986,15 @@ object GreengageDdl {
   private[operators] def sanitizeBound(s: String): String = s
     .replaceAll("'(\\d{2})-(\\d{2})-(\\d{4})'\\s*::\\s*date",
       "date '$3-$1-$2'") // MDY display form back to ISO
+    .replaceAll("'(\\d{4})-(\\d{2})-(\\d{2})'\\s*::\\s*date", "date '$1-$2-$3'")
     .replaceAll("(?i)::\\s*timestamp(\\s+without\\s+time\\s+zone)?", "::timestamp")
     .replaceAll("(?i)::\\s*timestamptz|::\\s*timestamp\\s+with\\s+time\\s+zone",
       "::timestamp")
+    // GP typed deparse forms → Spark-parsable spellings
+    .replaceAll("(?i)'([^']*)'\\s*::\\s*numeric",
+      "CAST('$1' AS DECIMAL(38,10))")
+    .replaceAll("(?i)'([^']*)'\\s*::\\s*(text|bpchar|character(\\s+varying)?(\\(\\d+\\))?)",
+      "'$1'")
 
   private[operators] def recordPartBounds(table: String, cols: Seq[String],
                                           spec: String): Unit = try {
@@ -2455,10 +3099,12 @@ object GreengageDdl {
               .getOrElse(("public", key0.split("\\.").last))
             val ty = kids.filter(_.partitionlevel == 0).headOption
               .map(_.partitiontype).getOrElse("range")
-            partChildrenReg.put(key0, kids :+ PartChild(schema, bare,
+            val defRow = PartChild(schema, bare,
               childName(bare, s"_1_prt_$nm0"), nm0, ty, 0, None, 0L,
               null, null, None, null, None, null,
-              partitionisdefault = true, s"DEFAULT PARTITION $nm0"))
+              partitionisdefault = true, s"DEFAULT PARTITION $nm0")
+            partChildrenReg.put(key0,
+              kids ++ expandSubLevels(key0, Seq(defRow)))
             registerPartChildViews(spark, table, partColsOf(table))
           }
         case "DROP" | "TRUNCATE" =>
@@ -2492,15 +3138,20 @@ object GreengageDdl {
         val (body, _) = balanced(ddl, m.end - 1)
         val key0 = m.group(1).replace("\"", "").toLowerCase
         val prior = Option(subLevelsReg.get(key0)).getOrElse(Seq.empty)
+        // an un-nested SET addresses the FIRST sub-level (level 1);
+        // deeper levels go through ALTER PARTITION chains
+        // (alterPartitionPath) — tablecmds.c ATPExecPartSetTemplate
         if (body.trim.isEmpty) {
-          if (prior.nonEmpty) subLevelsReg.put(key0, prior.dropRight(1) :+
-            (prior.last._1, ""))
+          if (prior.nonEmpty)
+            subLevelsReg.put(key0, (prior.head._1, "") +: prior.tail)
         } else {
-          val ty = if ("(?is)\\bSTART\\s*\\(".r.findFirstIn(body).isDefined)
-            "range" else "list"
+          // the level's declared type survives a template swap
+          val ty = prior.headOption.map(_._1).getOrElse(
+            if ("(?is)\\bSTART\\s*\\(".r.findFirstIn(body).isDefined)
+              "range" else "list")
           subLevelsReg.put(key0,
             if (prior.isEmpty) Seq((ty, body))
-            else prior.dropRight(1) :+ (ty, body))
+            else (ty, body) +: prior.tail)
         }
         return
       }

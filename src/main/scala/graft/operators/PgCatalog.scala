@@ -23,7 +23,8 @@ object PgCatalog {
     "pg_tables", "pg_views", "pg_namespace", "pg_class", "pg_attribute",
     "gp_segment_configuration", "gp_id", "information_schema",
     "pg_partitions", "pg_settings", "pg_type", "pg_authid", "pg_indexes",
-    "pg_partition_templates", "pg_stats", "pg_partition_columns")
+    "pg_partition_templates", "pg_stats", "pg_partition_columns",
+    "pg_partition")
 
   // role registry (CREATE/DROP ROLE record here; the statements are
   // otherwise no-ops) — oid is a stable surrogate for the
@@ -42,6 +43,53 @@ object PgCatalog {
     if (name.toLowerCase != "gpadmin") roles.remove(name.toLowerCase)
     ()
   }
+
+  // table ACLs (aclchk.c): GRANT ON a partitioned table reaches its
+  // children through the parent lookup below (and so covers children
+  // added later, like GP's cascading GRANT); a per-child REVOKE
+  // carves an exception without touching siblings
+  private val aclGrants =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private val aclRevokes =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  private def aclKey(role: String, rel: String): String =
+    role.toLowerCase + "#" + rel.toLowerCase.replace("\"", "")
+      .replaceAll("^public\\.", "")
+
+  def recordGrant(role: String, rel: String, privs: Set[String]): Unit = {
+    aclGrants.merge(aclKey(role, rel), privs, (a, b) => a ++ b)
+    aclRevokes.computeIfPresent(aclKey(role, rel), (_, p) => p -- privs)
+    ()
+  }
+
+  def recordRevoke(role: String, rel: String, privs: Set[String]): Unit = {
+    aclRevokes.merge(aclKey(role, rel), privs, (a, b) => a ++ b)
+    aclGrants.computeIfPresent(aclKey(role, rel),
+      (_, p) => if (privs.contains("all")) Set.empty else p -- privs)
+    ()
+  }
+
+  /** True when `role` holds `priv` on `rel`: a direct grant, or an
+    * inherited grant from the partition parent, minus any per-rel
+    * revoke. Unrecorded roles (the session superuser) hold everything. */
+  def roleHasPrivilege(role: String, rel: String, priv: String): Boolean = {
+    val r = role.toLowerCase
+    if (!roles.containsKey(r)) return true
+    val p = priv.toLowerCase
+    def revoked(k: String) = Option(aclRevokes.get(k))
+      .exists(s => s.contains("all") || s.contains(p))
+    def granted(k: String) = Option(aclGrants.get(k))
+      .exists(s => s.contains("all") || s.contains(p))
+    val k = aclKey(r, rel)
+    if (revoked(k)) false
+    else if (granted(k)) true
+    else GreengageDdl.childTarget(rel.toLowerCase.replace("\"", ""))
+      .exists { case (parent, _) => roleHasPrivilege(r, parent, p) }
+  }
+
+  def isRecordedRole(role: String): Boolean =
+    roles.containsKey(role.toLowerCase)
 
   // ANALYZE-computed per-column statistics for the pg_stats view
   // (commands/analyze.c → pg_statistic → the system view): ONE agg
@@ -118,15 +166,37 @@ object PgCatalog {
     def f(n: String) = org.apache.spark.sql.types.StructField(
       n, org.apache.spark.sql.types.StringType)
     val db = spark.catalog.currentDatabase
-    val tables = spark.catalog.listTables().collect()
+    // EVERY schema's relations (pg_class spans the database; a
+    // mid-script SET search_path must not hide public's tables) —
+    // temp views appear once, under the current db listing
+    val tables = {
+      val dbs = (spark.catalog.listDatabases().collect().map(_.name)
+        .toSeq :+ db).distinct
+      val seen = scala.collection.mutable.Set[String]()
+      dbs.flatMap { d =>
+        try spark.catalog.listTables(d).collect().toSeq.filter { t =>
+          val k = s"${Option(t.database).getOrElse("")}.${t.name}" +
+            t.isTemporary
+          seen.add(k)
+        }
+        catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      }
+    }
 
     // relkind: 'r' table, 'v' view (pg_class.h relkind values); oid is
     // a deterministic surrogate (name hash) — stable within a snapshot,
     // which is all a catalog join needs; relisshared is false for every
     // user relation (only global catalogs are shared, pg_class.h)
     val classes = tables.map { t =>
-      val kind = if (t.tableType == "VIEW" || t.isTemporary) "v" else "r"
-      (t.name, Option(t.database).getOrElse("public"), kind)
+      // partition-child relations are VIEWS over the parent here, but
+      // GP stores them as real child heaps — pg_class/pg_tables
+      // report them as tables
+      val isChild = GreengageDdl.childTarget(t.name).isDefined
+      val kind =
+        if ((t.tableType == "VIEW" || t.isTemporary) && !isChild) "v" else "r"
+      // Spark's 'default' database IS PG's 'public' schema
+      val ns = Option(t.database).filterNot(_ == "default").getOrElse("public")
+      (t.name, ns, kind)
     }.toSeq
     classes.map { case (n, ns, k) =>
       ((n.hashCode.toLong & 0x7fffffffL), n, ns, k, false)
@@ -212,6 +282,17 @@ object PgCatalog {
     (spark.catalog.listDatabases().collect().map(_.name).toSeq :+ "public")
       .distinct.map(("graft", _)).toDF("catalog_name", "schema_name")
       .createOrReplaceTempView("__is_schemata")
+    // information_schema.table_constraints from the declared-constraint
+    // registry (constraints parse + record, never enforce)
+    GreengageDdl.allConstraints(spark).map { case (t, cn, ct) =>
+      val (sch, bare) = {
+        val i = t.lastIndexOf('.')
+        if (i > 0) (t.substring(0, i), t.substring(i + 1)) else ("public", t)
+      }
+      ("graft", sch, cn, sch, bare, ct)
+    }.toDF("constraint_catalog", "constraint_schema", "constraint_name",
+      "table_schema", "table_name", "constraint_type")
+      .createOrReplaceTempView("__is_table_constraints")
 
     // pg_partitions (system_views.sql:763): the partition
     // introspection view every GP maintenance script reads. Rows come
@@ -224,7 +305,9 @@ object PgCatalog {
         c.partitionname, c.parentchild, c.parentname, c.partitiontype,
         c.partitionlevel,
         c.partitionrank.map(java.lang.Long.valueOf).orNull,
-        c.partitionposition, c.partitionlistvalues, c.partitionrangestart,
+        c.partitionposition,
+        GreengageDdl.displayListVals(c.partitionlistvalues),
+        c.partitionrangestart,
         c.partitionstartinclusive.map(java.lang.Boolean.valueOf).orNull,
         c.partitionrangeend,
         c.partitionendinclusive.map(java.lang.Boolean.valueOf).orNull,
@@ -264,7 +347,9 @@ object PgCatalog {
       (c.schemaname, c.tablename, c.partitionname, c.partitiontype,
         c.partitionlevel,
         c.partitionrank.map(java.lang.Long.valueOf).orNull,
-        c.partitionposition, c.partitionlistvalues, c.partitionrangestart,
+        c.partitionposition,
+        GreengageDdl.displayListVals(c.partitionlistvalues),
+        c.partitionrangestart,
         c.partitionstartinclusive.map(java.lang.Boolean.valueOf).orNull,
         c.partitionrangeend,
         c.partitionendinclusive.map(java.lang.Boolean.valueOf).orNull,
@@ -335,26 +420,84 @@ object PgCatalog {
         (oid.longValue, n) }
       roleRows.toDF("oid", "rolname").createOrReplaceTempView("pg_authid")
       val byRole = roleRows.map(_.swap).toMap
-      PgTypes.allTypes.map { case (n, owner) =>
-        (n, byRole.getOrElse(owner.toLowerCase, 10L))
-      }.toDF("typname", "typowner").createOrReplaceTempView("pg_type")
+      // every TABLE also owns a composite row type ('c'/'C') and its
+      // array type ('_name', 'b'/'A') — pg_type.h typtype/typcategory;
+      // partition children are views here and get neither
+      val tableTypeRows = (try {
+        val db = spark.catalog.currentDatabase
+        spark.sessionState.catalog.listTables(db)
+          .filter { ti =>
+            try spark.sessionState.catalog
+              .getTableMetadata(ti).tableType.name == "MANAGED"
+            catch { case scala.util.control.NonFatal(_) => false }
+          }
+          .map(_.table.toLowerCase)
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty })
+        .flatMap(t => Seq((t, 10L, "c", "C"), ("_" + t, 10L, "b", "A")))
+      val userTypeRows = PgTypes.allTypes.map { case (n, owner) =>
+        (n, byRole.getOrElse(owner.toLowerCase, 10L), "b", "U")
+      }
+      (userTypeRows ++ tableTypeRows
+        .filterNot(r => userTypeRows.exists(_._1 == r._1)))
+        .toDF("typname", "typowner", "typtype", "typcategory")
+        .createOrReplaceTempView("pg_type")
     }
 
-    // pg_indexes (system_views.sql): the recorded CREATE INDEX surface
-    // (a dropped table's lingering records filter out)
-    GreengageDdl.indexDefs.filter { case (_, (tbl, _, _)) =>
+    // pg_indexes (system_views.sql): the recorded CREATE INDEX /
+    // UNIQUE / PRIMARY KEY surface (a dropped table's lingering
+    // records filter out). An index on a partitioned table cascades
+    // one row per LEAF child (DefineIndex builds a child index per
+    // heap, named <child>_<cols>_idx / _key / <child>_pkey).
+    GreengageDdl.indexDefs.filter { case (_, (tbl, _, _, _, _)) =>
       try spark.catalog.tableExists(tbl)
       catch { case scala.util.control.NonFatal(_) => false }
-    }.map { case (idx, (tbl, method, cols)) =>
+    }.flatMap { case (idx, (tbl, method, cols, unique, kind)) =>
       val (schema, bare) = {
         val i = tbl.lastIndexOf('.')
         if (i > 0) (tbl.substring(0, i), tbl.substring(i + 1))
-        else (db, tbl)
+        else ("public", tbl)
       }
-      (schema, bare, idx, null: String,
-        s"CREATE INDEX $idx ON $tbl USING $method (${cols.mkString(", ")})")
+      val u = if (unique) "UNIQUE " else ""
+      def defOf(name: String, rel: String) =
+        s"CREATE ${u}INDEX $name ON $schema.$rel USING $method " +
+          s"(${cols.mkString(", ")})"
+      val parentRow = (schema, bare, idx, null: String, defOf(idx, bare))
+      val childRows = GreengageDdl.leafChildRelationsOf(tbl).map { ch =>
+        val cn = kind match {
+          case "pkey" => s"${ch}_pkey"
+          case "key" => (ch +: cols).mkString("_") + "_key"
+          case _ => (ch +: cols).mkString("_") + "_idx"
+        }
+        (schema, ch, cn, null: String, defOf(cn, ch))
+      }
+      parentRow +: childRows
     }.toDF("schemaname", "tablename", "indexname", "tablespace", "indexdef")
       .createOrReplaceTempView("pg_indexes")
+
+    // pg_partition / pg_partition_rule (GP's raw partition catalogs,
+    // cdbpartition.c): one pg_partition row per (table, level), one
+    // rule row per child. parrelid/parchildrelid carry the relation
+    // NAMES (regclass casts map to STRING here), oids are name-hash
+    // surrogates — stable within a snapshot, which is all the
+    // introspection joins need.
+    {
+      val kids = GreengageDdl.partChildren(spark)
+      def oidOf(s: String): Long = s.hashCode.toLong & 0x7fffffffL
+      val parRows = kids.map(c => (c.tablename, c.partitionlevel)).distinct
+        .map { case (t, lvl) =>
+          (oidOf(s"$t#$lvl"), t, lvl, false)
+        }
+      parRows.toDF("oid", "parrelid", "parlevel", "paristemplate")
+        .createOrReplaceTempView("pg_partition")
+      kids.map { c =>
+        (oidOf(c.partitiontablename),
+          oidOf(s"${c.tablename}#${c.partitionlevel}"),
+          c.partitiontablename, c.partitionname,
+          c.partitionisdefault, c.partitionposition)
+      }.toDF("oid", "paroid", "parchildrelid", "parname",
+        "parisdefault", "parruleord")
+        .createOrReplaceTempView("pg_partition_rule")
+    }
 
     // one primary row per "segment" (= shuffle partition) + the master
     val nSeg = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt

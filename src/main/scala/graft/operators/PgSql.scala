@@ -180,7 +180,7 @@ object PgSql {
     // snapshot temp views (temp views can't be schema-qualified); the
     // infschema column DOMAINS degrade to their base types
     out = out.replaceAll(
-      "(?i)\\binformation_schema\\.(tables|columns|views|schemata)\\b",
+      "(?i)\\binformation_schema\\.(tables|columns|views|schemata|table_constraints)\\b",
       "__is_$1")
     out = out.replaceAll(
       "(?i)\\binformation_schema\\.cardinal_number\\b", "INT")

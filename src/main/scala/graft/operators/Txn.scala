@@ -32,13 +32,23 @@ import scala.collection.mutable
   */
 object Txn {
 
+  /** Per-table snapshot: PARTS, each a staged copy of one region
+    * (pred = the partition-column predicate it covers) or of the
+    * complement of every prior region (pred = None → `full`). Sound
+    * because each part is written BEFORE its region is first mutated:
+    * region parts hold pre-state, the complement holds untouched rows. */
+  private final class TableSnap {
+    val parts = mutable.Buffer.empty[(String, Option[String])]
+    var full = false
+  }
+
   private final class State {
-    /** fully-qualified table -> snapshot table name (in `default`) */
-    val snapshots = mutable.LinkedHashMap.empty[String, String]
+    /** fully-qualified table -> its snapshot parts */
+    val snapshots = mutable.LinkedHashMap.empty[String, TableSnap]
     /** tables created inside the txn (fully qualified) */
     val created = mutable.LinkedHashSet.empty[String]
-    /** tables dropped inside the txn: fq name -> snapshot */
-    val dropped = mutable.LinkedHashMap.empty[String, String]
+    /** tables dropped inside the txn: fq name -> snapshot parts */
+    val dropped = mutable.LinkedHashMap.empty[String, Seq[String]]
     var seq = 0
   }
 
@@ -62,10 +72,23 @@ object Txn {
   /** Record that `table` is about to be mutated; snapshot on first
     * touch. No-op outside a transaction or for tables created inside
     * this transaction (their rollback is a DROP). */
-  def touch(spark: SparkSession, table: String): Unit = state.foreach { st =>
+  def touch(spark: SparkSession, table: String): Unit =
+    touchRegion(spark, table, None)
+
+  /** As [[touch]], but when `pred` names a partition-column-only
+    * region (the mutating operator's own pruning), snapshot ONLY that
+    * region — at 100 TB a one-partition DELETE then snapshots one
+    * partition, not the table. A later un-pruned mutation upgrades by
+    * snapshotting the complement of every recorded region. */
+  def touchRegion(spark: SparkSession, table: String,
+                  pred: Option[String]): Unit = state.foreach { st =>
     val key = fq(spark, table)
-    if (!st.snapshots.contains(key) && !st.created.contains(key) &&
-        spark.catalog.tableExists(key)) {
+    if (st.created.contains(key) || !spark.catalog.tableExists(key)) return
+    val ts = st.snapshots.getOrElseUpdate(key, new TableSnap)
+    if (ts.full) return
+    val priors = ts.parts.flatMap(_._2)
+    def writePart(rows: org.apache.spark.sql.DataFrame,
+                  p: Option[String]): Unit = {
       st.seq += 1
       val snap = s"default.__txn_snap_${st.seq}"
       spark.sql(s"DROP TABLE IF EXISTS $snap")
@@ -73,10 +96,31 @@ object Txn {
       // disk with no catalog entry — clear it or CREATE trips on
       // LOCATION_ALREADY_EXISTS (same contract as the CREATE path)
       GreengageDdl.clearOrphanLocation(spark, snap)
-      spark.table(key).write.format("parquet").saveAsTable(snap)
-      st.snapshots(key) = snap
+      rows.write.format("parquet").saveAsTable(snap)
+      ts.parts += ((snap, p))
+    }
+    pred match {
+      case Some(p) if !priors.contains(p) =>
+        val rows0 = spark.table(key).where(p)
+        val rows = if (priors.isEmpty) rows0
+          else rows0.where(priors.map(q => s"NOT coalesce(($q), false)")
+            .mkString(" AND "))
+        writePart(rows, Some(p))
+      case Some(_) => // identical region already snapshotted
+      case None =>
+        val all = spark.table(key)
+        writePart(if (priors.isEmpty) all
+          else all.where(priors.map(q => s"NOT coalesce(($q), false)")
+            .mkString(" AND ")), None)
+        ts.full = true
     }
   }
+
+  /** Active snapshot layout (table -> region predicates) — test hook. */
+  private[graft] def snapshotRegions: Seq[(String, Option[String])] =
+    state.toSeq.flatMap(_.snapshots.toSeq.flatMap { case (t, ts) =>
+      ts.parts.map { case (_, p) => (t, p) }
+    })
 
   /** Record a table created inside the transaction (CREATE/CTAS/
     * SELECT INTO): rollback drops it. */
@@ -87,41 +131,55 @@ object Txn {
     }
 
   /** Record an impending DROP TABLE inside the transaction: the
-    * snapshot (taken here if needed) is recreated on rollback. */
+    * snapshot (taken here if needed, FULL) is recreated on rollback. */
   def recordDropped(spark: SparkSession, table: String): Unit =
     state.foreach { st =>
       val key = fq(spark, table)
       if (st.created.contains(key)) st.created -= key
       else {
-        touch(spark, table)
-        st.snapshots.remove(key).foreach(snap => st.dropped(key) = snap)
+        touch(spark, table) // full: the whole table disappears
+        st.snapshots.remove(key).foreach(ts =>
+          st.dropped(key) = ts.parts.map(_._1).toSeq)
       }
     }
 
   def commit(spark: SparkSession): Unit = state.foreach { st =>
-    (st.snapshots.values ++ st.dropped.values)
+    (st.snapshots.values.flatMap(_.parts.map(_._1)) ++
+      st.dropped.values.flatten)
       .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $s"))
     state = None
   }
 
   def rollback(spark: SparkSession): Unit = state.foreach { st =>
+    state = None // restoration must not re-trigger the touch hooks
     st.created.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    st.snapshots.foreach { case (t, snap) =>
+    st.snapshots.foreach { case (t, ts) =>
+      val regionPreds = ts.parts.flatMap(_._2)
       if (spark.catalog.tableExists(t)) {
-        spark.sql(s"TRUNCATE TABLE $t")
-        spark.sql(s"INSERT INTO $t SELECT * FROM $snap")
-      } else {
+        if (ts.full || regionPreds.isEmpty)
+          spark.sql(s"TRUNCATE TABLE $t")
+        else
+          // region snapshots: clear just the touched regions —
+          // untouched partitions never move
+          Dml.deleteWhere(spark, t, org.apache.spark.sql.functions.expr(
+            regionPreds.map(p => s"coalesce(($p), false)")
+              .mkString(" OR ")))
+        ts.parts.foreach { case (snap, _) =>
+          spark.sql(s"INSERT INTO $t SELECT * FROM $snap")
+        }
+      } else if (ts.parts.nonEmpty) {
         // dropped via a path that bypassed recordDropped: recreate
-        spark.table(snap).write.format("parquet").saveAsTable(t)
+        ts.parts.map(_._1).map(spark.table)
+          .reduce(_.unionAll(_)).write.format("parquet").saveAsTable(t)
       }
-      spark.sql(s"DROP TABLE IF EXISTS $snap")
+      ts.parts.foreach(p => spark.sql(s"DROP TABLE IF EXISTS ${p._1}"))
     }
-    st.dropped.foreach { case (t, snap) =>
-      if (!spark.catalog.tableExists(t))
-        spark.table(snap).write.format("parquet").saveAsTable(t)
-      spark.sql(s"DROP TABLE IF EXISTS $snap")
+    st.dropped.foreach { case (t, snaps) =>
+      if (!spark.catalog.tableExists(t) && snaps.nonEmpty)
+        snaps.map(spark.table).reduce(_.unionAll(_))
+          .write.format("parquet").saveAsTable(t)
+      snaps.foreach(s => spark.sql(s"DROP TABLE IF EXISTS $s"))
     }
-    state = None
   }
 
   /** Mask single-quoted literals and dollar-quoted bodies so the DML
@@ -187,16 +245,14 @@ object Txn {
       tr.group(1).split(",").map(_.trim).filter(_.nonEmpty)
         .foreach(touch(spark, _))
     }
-    (insertRe.findAllMatchIn(m) ++ deleteRe.findAllMatchIn(m) ++
+    // DELETE/UPDATE are NOT scanned here: every delete/update path
+    // funnels through Dml.deleteWhere/updateWhere/updateFrom, whose
+    // own touch hooks snapshot with the statement's partition pruning
+    // (a region copy instead of the whole table)
+    (insertRe.findAllMatchIn(m) ++
       mergeRe.findAllMatchIn(m) ++ copyFromRe.findAllMatchIn(m) ++
       alterRe.findAllMatchIn(m))
       .foreach(mm => touch(spark, mm.group(1)))
-    updateRe.findAllMatchIn(m).foreach { mm =>
-      // exclude ON CONFLICT .. DO UPDATE SET (its target is the INSERT
-      // table, already touched above)
-      val before = m.substring(0, mm.start).reverse.dropWhile(_.isWhitespace)
-      if (!before.take(2).equalsIgnoreCase("od")) touch(spark, mm.group(1))
-    }
     selIntoRe.findFirstMatchIn(m).foreach { mm =>
       if ("(?is)^\\s*SELECT\\b".r.findFirstIn(m).isDefined &&
           !spark.catalog.tableExists(
@@ -207,7 +263,8 @@ object Txn {
 
   /** Abandon any open scope without restoring (test-harness reset). */
   def reset(spark: SparkSession): Unit = state.foreach { st =>
-    (st.snapshots.values ++ st.dropped.values)
+    (st.snapshots.values.flatMap(_.parts.map(_._1)) ++
+      st.dropped.values.flatten)
       .foreach(s => try spark.sql(s"DROP TABLE IF EXISTS $s")
                catch { case _: Exception => () })
     state = None

@@ -101,4 +101,45 @@ class TxnSpec extends AnyFunSuite {
       Seq(Seq(1, 10), Seq(2, 20), Seq(3, 30), Seq(99, 100)))
     ex("DROP TABLE txn_srf3")
   }
+
+  test("ROLLBACK restores a quoted/exotic table name") {
+    operators.Txn.reset(spark)
+    ex("DROP TABLE IF EXISTS \"TxnQuoted\"")
+    ex("CREATE TABLE \"TxnQuoted\" (a INT)")
+    ex("INSERT INTO \"TxnQuoted\" VALUES (1)")
+    ex("BEGIN")
+    ex("DELETE FROM \"TxnQuoted\" WHERE a = 1")
+    ex("INSERT INTO \"TxnQuoted\" VALUES (7)")
+    ex("ROLLBACK")
+    assert(rows("SELECT a FROM \"TxnQuoted\"") == Seq(Seq(1)))
+    ex("DROP TABLE \"TxnQuoted\"")
+  }
+
+  test("first-touch snapshot of a partition-bounded DELETE copies only the region") {
+    operators.Txn.reset(spark)
+    ex("DROP TABLE IF EXISTS txn_part")
+    ex("CREATE TABLE txn_part (v INT, k INT) " +
+      "DISTRIBUTED BY (v) PARTITION BY LIST(k) " +
+      "(PARTITION p1 VALUES(1), PARTITION p2 VALUES(2), " +
+      "PARTITION p3 VALUES(3))")
+    ex("INSERT INTO txn_part SELECT i, 1 + i % 3 FROM generate_series(1, 90) i")
+    ex("BEGIN")
+    ex("DELETE FROM txn_part WHERE k = 2")
+    // the snapshot must be REGION-pruned: one recorded region, not a
+    // full-table copy (at 100 TB this is one partition vs the table)
+    val regions = operators.Txn.snapshotRegions
+      .filter(_._1.endsWith("txn_part"))
+    assert(regions.nonEmpty && regions.forall(_._2.isDefined),
+      s"expected a pruned region snapshot, got $regions")
+    ex("UPDATE txn_part SET v = v + 1000 WHERE k = 3")
+    assert(operators.Txn.snapshotRegions
+      .filter(_._1.endsWith("txn_part")).size == 2)
+    ex("ROLLBACK")
+    assert(rows("SELECT count(*) FROM txn_part") == Seq(Seq(90L)))
+    assert(rows("SELECT count(*) FROM txn_part WHERE v > 1000") ==
+      Seq(Seq(0L)))
+    assert(rows("SELECT count(*) FROM txn_part WHERE k = 2") ==
+      Seq(Seq(30L)))
+    ex("DROP TABLE txn_part")
+  }
 }
