@@ -229,6 +229,20 @@ object Graft {
         operators.PgTypes.setOwner(m.group(1), m.group(2)))
       None
     } else if (is("(?is)^DROP\\s+(TYPE|DOMAIN)\\b")) {
+      // CASCADE drops the dependent COLUMNS (dependency.c): any table
+      // column declared with the type goes with it
+      if ("(?i)\\bCASCADE\\b".r.findFirstIn(t).isDefined)
+        ("(?is)^DROP\\s+(?:TYPE|DOMAIN)\\s+(?:IF\\s+EXISTS\\s+)?" +
+          "([\\w.\"]+)").r.findFirstMatchIn(stripSemi(t)).foreach { m =>
+          operators.PgTypes.tablesUsing(m.group(1)).foreach {
+            case (tbl, col) =>
+              try {
+                if (spark.catalog.tableExists(tbl))
+                  operators.GreengageDdl.alter(spark,
+                    s"ALTER TABLE $tbl DROP COLUMN $col")
+              } catch { case scala.util.control.NonFatal(_) => }
+          }
+        }
       operators.PgTypes.drop(t); None
     } else if (is("(?is)^CREATE\\s+SEQUENCE\\b")) {
       operators.GreengageDdl.createSequence(t); None

@@ -1253,7 +1253,15 @@ object GreengageDdl {
       val t = spark.table(table)
       require(t.columns.exists(_.equalsIgnoreCase(colName)),
         s"column $colName does not exist in $table")
-      rewriteTable(spark, table, t.drop(colName))
+      val remaining = t.drop(colName)
+      if (remaining.columns.isEmpty)
+        // dropping the LAST column: PG keeps a zero-column relation;
+        // parquet needs a schema, so the hidden placeholder stands in
+        // (same contract as CREATE TABLE dual())
+        rewriteTable(spark, table, t.select(
+          org.apache.spark.sql.functions.lit(null)
+            .cast("int").as("__dummy")))
+      else rewriteTable(spark, table, remaining)
     case alterRenameColRe(name, from, to) =>
       val table = name.replace("\"", "")
       val t = spark.table(table)
@@ -2285,8 +2293,22 @@ object GreengageDdl {
       "[^()]*\\)|[\\w\"]+)\\s+WITH\\s+TABLE\\s+([\\w.\"]+)" +
       "(\\s+WITHOUT\\s+VALIDATION)?$").r.findFirstMatchIn(action)
       .foreach { m =>
-        val target = resolveChild(kids, depth,
-          parent.map(_.partitiontablename), m.group(1))
+        val target =
+          try resolveChild(kids, depth,
+            parent.map(_.partitiontablename), m.group(1))
+          catch {
+            case e: IllegalArgumentException if parent.isDefined =>
+              // GP tolerates a REDUNDANT trailing selector that
+              // re-names the already-resolved leaf (ALTER PARTITION
+              // FOR (v) EXCHANGE PARTITION FOR (v) on a single-level
+              // table) — exchange the chain's own target
+              val again = try Some(resolveChild(kids, depth - 1,
+                parent.flatMap(p => Option(p.parentchild)), m.group(1)))
+              catch { case _: Exception => None }
+              if (again.exists(_.partitiontablename ==
+                  parent.get.partitiontablename)) parent.get
+              else throw e
+          }
         val pred = childTarget(target.partitiontablename).map(_._2)
           .getOrElse(throw new IllegalArgumentException(
             s"no predicate for ${target.partitiontablename}"))

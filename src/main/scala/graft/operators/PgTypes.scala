@@ -195,9 +195,18 @@ object PgTypes {
     ()
   }
 
+  // EVERY registered-type column per table (constrained or not):
+  // DROP TYPE .. CASCADE must drop the dependent columns
+  private val typedTableCols =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
   /** Record which of a new table's columns carry registered constrained
     * types (called from the CREATE TABLE path). */
   def recordTable(table: String, cols: Seq[(String, String)]): Unit = {
+    if (cols.nonEmpty)
+      typedTableCols.put(norm(table),
+        cols.map { case (c, tn) => (c, norm(tn)) })
+    else typedTableCols.remove(norm(table))
     val constrained = cols.filter { case (_, tn) =>
       val n = norm(tn)
       enums.get(n).exists(_.labels.nonEmpty) ||
@@ -207,6 +216,15 @@ object PgTypes {
       tableCols.put(norm(table), constrained.map { case (c, tn) => (c, norm(tn)) })
     else tableCols.remove(norm(table))
     ()
+  }
+
+  /** (table, column) pairs declared with `typeName` — the CASCADE
+    * surface of DROP TYPE (dependency.c). */
+  def tablesUsing(typeName: String): Seq[(String, String)] = {
+    val n = norm(typeName)
+    typedTableCols.toSeq.flatMap { case (t, cols) =>
+      cols.collect { case (c, tn) if tn == n => (t, c) }
+    }
   }
 
   def constraintsFor(table: String): Seq[(String, String)] =
