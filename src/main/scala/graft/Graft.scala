@@ -176,6 +176,15 @@ object Graft {
             " " + t.substring(close + 1)
       }
     }
+    // interpreted scalar plpgsql calls (SIRV shape): evaluate each
+    // call ONCE driver-side and splice the value in as a typed
+    // literal — PG's InitPlan evaluation of an uncorrelated volatile
+    // function (never inside function/trigger DDL or DO bodies, whose
+    // call text must stay verbatim for later compilation)
+    if (!is("(?is)^(CREATE\\s+(OR\\s+REPLACE\\s+)?" +
+          "(FUNCTION|PROCEDURE|TRIGGER)|DO)\\b") &&
+        operators.PlDo.hasInterpretedCall(t))
+      t = operators.PlDo.substituteInterpretedCalls(spark, t)
     // transaction control (xact.c StartTransactionCommand): BEGIN /
     // COMMIT / ROLLBACK as table-state scopes — see operators.Txn
     // gram.y TransactionStmt: BEGIN [TRANSACTION|WORK] followed by any
@@ -288,20 +297,48 @@ object Graft {
         .findFirstMatchIn(t).foreach(m =>
           operators.PgCatalog.dropRole(m.group(1).replace("\"", "")))
       // table GRANT/REVOKE record into the ACL registry so
-      // has_table_privilege answers like aclchk.c would
-      ("(?is)^(GRANT|REVOKE)\\s+([\\w,\\s]+?)\\s+ON\\s+(?:TABLE\\s+)?" +
-        "([\\w.\"]+)\\s+(?:TO|FROM)\\s+(?:GROUP\\s+)?([\\w,\\s\"]+?)\\s*;?\\s*$").r
-        .findFirstMatchIn(t).foreach { m =>
-          val privs = m.group(2).toLowerCase.split(",").map(_.trim)
-            .map(p => if (p.startsWith("all")) "all" else p).toSet
-          val rel = m.group(3).replace("\"", "")
-          m.group(4).split(",").map(_.replace("\"", "").trim)
-            .filter(_.nonEmpty).foreach { role =>
+      // has_table_privilege answers like aclchk.c would.
+      // `WITH GRANT OPTION` / REVOKE's `GRANT OPTION FOR` and
+      // `CASCADE|RESTRICT` come off before the grantee capture so
+      // the recorded role is the bare name; the per-SCHEMA bulk form
+      // (`ON ALL TABLES IN SCHEMA s`) expands to every table of the
+      // schema at grant time (aclchk.c ExecGrant_Relation over
+      // objectsInSchemaToOids)
+      val tAcl = stripSemi(t)
+        .replaceFirst("(?is)\\s+WITH\\s+GRANT\\s+OPTION\\s*$", "")
+        .replaceFirst("(?is)\\s+(CASCADE|RESTRICT)\\s*$", "")
+        .replaceFirst("(?is)^REVOKE\\s+GRANT\\s+OPTION\\s+FOR\\s+", "REVOKE ")
+      val allInSchema =
+        ("(?is)^(GRANT|REVOKE)\\s+([\\w,\\s]+?)\\s+ON\\s+ALL\\s+TABLES\\s+" +
+          "IN\\s+SCHEMA\\s+([\\w.\"]+)\\s+(?:TO|FROM)\\s+(?:GROUP\\s+)?" +
+          "([\\w,\\s\"]+?)\\s*$").r.findFirstMatchIn(tAcl)
+      val single = if (allInSchema.isDefined) None else
+        ("(?is)^(GRANT|REVOKE)\\s+([\\w,\\s]+?)\\s+ON\\s+(?:TABLE\\s+)?" +
+          "([\\w.\"]+)\\s+(?:TO|FROM)\\s+(?:GROUP\\s+)?([\\w,\\s\"]+?)\\s*$").r
+          .findFirstMatchIn(tAcl)
+      (allInSchema.toSeq ++ single.toSeq).foreach { m =>
+        val privs = m.group(2).toLowerCase.split(",").map(_.trim)
+          .map(p => if (p.startsWith("all")) "all" else p).toSet
+        val rels: Seq[String] =
+          if (allInSchema.isDefined) {
+            // `public` is PG's default schema → Spark's current db;
+            // record bare names there (aclKey strips `public.` too)
+            val db = m.group(3).replace("\"", "")
+            val sparkDb = if (db.equalsIgnoreCase("public")) "default" else db
+            try spark.catalog.listTables(sparkDb).collect().toSeq
+              .map(tb => if (sparkDb == "default") tb.name
+                         else s"$sparkDb.${tb.name}")
+            catch { case scala.util.control.NonFatal(_) => Seq.empty }
+          } else Seq(m.group(3).replace("\"", ""))
+        m.group(4).split(",").map(_.replace("\"", "").trim)
+          .filter(_.nonEmpty).foreach { role =>
+            rels.foreach { rel =>
               if (m.group(1).equalsIgnoreCase("GRANT"))
                 operators.PgCatalog.recordGrant(role, rel, privs)
               else operators.PgCatalog.recordRevoke(role, rel, privs)
             }
-        }
+          }
+      }
       None
     } else if (is("(?is)^ALTER\\s+TABLE\\b.*\\bOWNER\\s+TO\\b")) {
       spark.table(stripSemi(t) // existence-checked no-op, like LOCK
@@ -334,8 +371,30 @@ object Graft {
       // RETURNS VOID plpgsql = a side-effect body: the procedure
       // interpreter runs it (SELECT f(..) / PERFORM route there)
       operators.PlDo.createVoidFunction(stripSemi(t)); None
+    } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?FUNCTION\\b") &&
+        operators.PlPython.isPlPythonDdl(t)) {
+      // LANGUAGE plpythonu: driver-side interpreter; each
+      // plpy.execute re-enters this router (data work distributed)
+      operators.PlPython.createFunction(stripSemi(t)); None
     } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?FUNCTION\\b")) {
-      operators.SqlFunctions.create(t); None
+      // inline-expression compilation first (codegen macro — the fast
+      // path); an imperative plpgsql body (DDL/EXECUTE/loops — the
+      // SIRV shape) falls back to the PlDo interpreter, evaluated
+      // once per call site like PG's InitPlan
+      try operators.SqlFunctions.create(t)
+      catch {
+        case e: IllegalArgumentException
+            if operators.PlDo.isScalarFunctionDdl(stripSemi(t)) =>
+          try operators.PlDo.createScalarFunction(stripSemi(t))
+          catch { case _: Exception => throw e }
+        case e: IllegalArgumentException
+            if operators.PlDo.isSetofPlpgsqlDdl(stripSemi(t)) =>
+          // imperative SETOF body (RETURN NEXT loop): registered,
+          // calls error loudly
+          try operators.PlDo.registerSetofStub(stripSemi(t))
+          catch { case _: Exception => throw e }
+      }
+      None
     } else if (is("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?" +
         "(ORDERED\\s+)?AGGREGATE\\b")) {
       operators.PgAggregates.create(stripSemi(t)); None
@@ -349,6 +408,7 @@ object Graft {
         .replaceFirst("(?s)\\s*\\(.*$", "").trim.replace("\"", "")
       operators.SqlFunctions.drop(fname)
       operators.Triggers.dropFunction(fname)
+      operators.PlDo.dropScalarFunction(fname)
       None
     } else if (is("(?is)^DROP\\s+AGGREGATE\\b")) {
       operators.PgAggregates.drop(stripSemi(t)
@@ -1707,13 +1767,17 @@ object Graft {
     * relation alias, so the row becomes a struct over the relation's
     * PG-declared column order (hive layout moves partition keys last;
     * `graft.pgcolorder` restores the declared order). */
-  private def rewriteWholeRowAgg(spark: SparkSession, sql: String): String =
+  private def rewriteWholeRowAgg(spark: SparkSession, sql: String): String = {
+    // the rel must appear as a FROM/JOIN item — tested on the
+    // literal-masked text so `'... from t ...'` inside a string never
+    // qualifies, and JOINed relations qualify like FROM items
+    val masked = operators.PgSql.maskLiterals(sql)
     "(?i)\\barray_agg\\s*\\(\\s*([A-Za-z_][\\w]*)\\s*\\)".r
       .replaceAllIn(sql, m => {
         val rel = m.group(1)
-        val inFrom = ("(?is)\\bfrom\\s+" +
+        val inFrom = ("(?is)\\b(?:from|join)\\s+" +
           java.util.regex.Pattern.quote(rel) + "\\b").r
-          .findFirstIn(sql).isDefined
+          .findFirstIn(masked).isDefined
         val isCol = try spark.table(rel).columns
           .exists(_.equalsIgnoreCase(rel)) catch { case _: Exception => true }
         if (!inFrom || isCol) m.matched
@@ -1726,9 +1790,10 @@ object Graft {
           } catch { case scala.util.control.NonFatal(_) => None })
             .getOrElse(spark.table(rel).columns.toSeq)
           java.util.regex.Matcher.quoteReplacement(
-            s"array_agg(struct(${cols.mkString(", ")}))")
+            s"array_agg(struct(${cols.map(c => s"`$c`").mkString(", ")}))")
         }
       })
+  }
 
   /** `has_table_privilege(..)` (acl.c): a single-user session holds
     * every privilege, so each call folds to `true` — but like PG the

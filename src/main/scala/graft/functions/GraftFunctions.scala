@@ -2060,6 +2060,36 @@ object GraftFunctions {
           Substring(s, Greatest(Seq(st, Literal(1))),
             Literal(Int.MaxValue))
       })
+    // substring(s, from, count) shares text_substr's clamping
+    // (varlena.c:854): from=0 reads positions 0..count-1, so the
+    // result is count-1 chars — Spark's builtin treats 0 as 1
+    reg.registerFunction(
+      FunctionIdentifier("substring"),
+      info("substring", "substring(s, from[, count]) - PG clamping"),
+      (args: Seq[Expression]) => {
+        val s = args(0)
+        val st = Cast(args(1), IntegerType)
+        if (args.length >= 3) {
+          val len = Cast(args(2), IntegerType)
+          val lenAdj = Add(len,
+            Least(Seq(Subtract(st, Literal(1)), Literal(0))))
+          If(LessThanOrEqual(lenAdj, Literal(0)),
+            Literal(UTF8String.fromString(""), StringType),
+            Substring(s, Greatest(Seq(st, Literal(1))), lenAdj))
+        } else
+          Substring(s, Greatest(Seq(st, Literal(1))),
+            Literal(Int.MaxValue))
+      })
+    // 1-arg trunc(numeric): truncate toward zero (numeric.c trunc);
+    // the 2-arg form stays Spark's trunc(date, fmt)
+    reg.registerFunction(
+      FunctionIdentifier("trunc"),
+      info("trunc", "trunc(x) - toward zero; trunc(date, fmt) - Spark"),
+      (args: Seq[Expression]) =>
+        if (args.length == 1)
+          If(GreaterThanOrEqual(args(0), Literal(0)),
+            Floor(args(0)), Ceil(args(0)))
+        else TruncDate(args(0), args(1)))
     for (n <- Seq("network", "broadcast", "netmask", "hostmask"))
       reg.registerFunction(
         FunctionIdentifier(s"inet_$n"),

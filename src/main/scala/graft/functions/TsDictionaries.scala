@@ -184,7 +184,7 @@ object TsDictionaries {
   /** `key = value` option list inside the DDL parens; values may be
     * single-quoted or bare. */
   private def options(body: String): Map[String, String] =
-    "([\\w]+)\\s*=\\s*(?:'((?:[^']|'')*)'|([\\w.\\-/]+))".r
+    "([\\w]+)\\s*=\\s*(?:'([^']*+(?:''[^']*+)*+)'|([\\w.\\-/]+))".r
       .findAllMatchIn(body).map { m =>
         m.group(1).toLowerCase ->
           Option(m.group(2)).map(_.replace("''", "'")).getOrElse(m.group(3))

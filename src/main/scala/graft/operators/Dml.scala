@@ -115,6 +115,7 @@ object Dml {
     * predicate spans the join, so no partition pruning shortcut). */
   def deleteUsing(spark: SparkSession, table: String, targetAlias: String,
                   source: DataFrame, cond: Column): Long = {
+    Txn.touch(spark, table) // join-driven delete: full snapshot
     val t = spark.table(table).alias(targetAlias)
     val before = spark.table(table).count()
     val (kept, _) = stagedSwap(spark, table, t.join(source, cond, "left_anti"),
@@ -127,6 +128,7 @@ object Dml {
     * join-shaped USING list). Same durable staged swap. */
   def deleteKeeping(spark: SparkSession, table: String,
                     kept: DataFrame): Long = {
+    Txn.touch(spark, table) // caller-shaped delete: full snapshot
     val before = spark.table(table).count()
     val (keptN, _) = stagedSwap(spark, table, kept,
       partitionColumns(spark, table), dynamic = false)
@@ -354,8 +356,11 @@ object Dml {
     * for anything wider — subqueries, data columns, unparsable. */
   private def regionPred(cond: Column, partCols: Seq[String]): Option[String] = {
     if (partCols.isEmpty) return None
+    val spark = SparkSession.active
+    // expr("...") columns carry UNPARSED SQL text (SqlExpression) —
+    // parse it so the attribute walk below sees the real tree
     val ex = scala.util.Try(
-      org.apache.spark.sql.graft.GraftInternals.columnExpr(cond))
+      org.apache.spark.sql.graft.GraftInternals.parsedColumnExpr(spark, cond))
       .getOrElse(return None)
     val refs = ex.collect {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>

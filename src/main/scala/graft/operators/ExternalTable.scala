@@ -73,7 +73,7 @@ object ExternalTable {
       "(WEB\\s+)?(TEMP\\s+|TEMPORARY\\s+)?TABLE\\s+([\\w.\"]+)\\s*(.*)$").r
 
   private def quoted(s: String): Seq[String] =
-    "'((?:[^']|'')*)'".r.findAllMatchIn(s).map(_.group(1).replace("''", "'")).toSeq
+    "'([^']*+(?:''[^']*+)*+)'".r.findAllMatchIn(s).map(_.group(1).replace("''", "'")).toSeq
 
   def parse(ddl: String): ExtSpec = {
     val sql = ddl.trim.stripSuffix(";").trim
@@ -102,7 +102,7 @@ object ExternalTable {
     var execCmd: Option[String] = None
     var segments = 0
     val locRe = "(?is)\\bLOCATION\\s*\\(".r
-    val execRe = "(?is)\\bEXECUTE\\s+'((?:[^']|'')*)'(\\s+ON\\s+(ALL|MASTER|HOST|SEGMENT\\s+\\d+|\\d+))?".r
+    val execRe = "(?is)\\bEXECUTE\\s+'([^']*+(?:''[^']*+)*+)'(\\s+ON\\s+(ALL|MASTER|HOST|SEGMENT\\s+\\d+|\\d+))?".r
     locRe.findFirstMatchIn(rest) match {
       case Some(l) =>
         val (urls, a2) = GreengageDdl.balanced(rest, l.end - 1)
@@ -146,7 +146,7 @@ object ExternalTable {
           // formatter=fixedwidth_in, col='width', ..., preserve_blanks,
           // line_delim, null — ORDER of the width pairs defines the
           // file layout (fixedwidth.c load_format_config:154-192)
-          val pairRe = "(?s)([\\w\"]+)\\s*=\\s*(?:'((?:[^']|'')*)'|([\\w.]+))".r
+          val pairRe = "(?s)([\\w\"]+)\\s*=\\s*(?:'([^']*+(?:''[^']*+)*+)'|([\\w.]+))".r
           pairRe.findAllMatchIn(opts).foreach { p =>
             val key = p.group(1).replace("\"", "")
             val value = Option(p.group(2)).map(_.replace("''", "'"))
@@ -166,8 +166,8 @@ object ExternalTable {
         } else {
           // E'...' escape-string spellings decode their backslash
           // escapes (scan.l xe rules) — `DELIMITER AS E'\t'`
-          val dRe = "(?is)\\bDELIMITER\\s+(?:AS\\s+)?(E)?'((?:[^']|'')*)'".r
-          val nRe = "(?is)\\bNULL\\s+(?:AS\\s+)?(E)?'((?:[^']|'')*)'".r
+          val dRe = "(?is)\\bDELIMITER\\s+(?:AS\\s+)?(E)?'([^']*+(?:''[^']*+)*+)'".r
+          val nRe = "(?is)\\bNULL\\s+(?:AS\\s+)?(E)?'([^']*+(?:''[^']*+)*+)'".r
           def unesc(e: String, v0: String): String = {
             val v = v0.replace("''", "'")
             if (e == null) v

@@ -57,6 +57,10 @@ object GreengageDdl {
 
   /** PG/Greengage type name → Spark SQL type (SURVEY §1.2 mapping). */
   private[operators] def mapType(pg: String): String = {
+    // already-resolved Spark type (a registered rowtype's field being
+    // round-tripped through a typed-table column list)
+    if (pg.trim.startsWith("__spark__ "))
+      return pg.trim.stripPrefix("__spark__ ").trim
     val t0 = pg.trim.toLowerCase.replaceAll("\\s+", " ")
     // SQL-standard `int ARRAY[4]` / `int ARRAY` spellings (gram.y
     // opt_array_bounds) are the bracket form; declared sizes drop
@@ -104,10 +108,22 @@ object GreengageDdl {
       case "timestamp" | "timestamp without time zone" => "TIMESTAMP_NTZ"
       case "timestamptz" | "timestamp with time zone" => "TIMESTAMP"
       case "bytea" => "BINARY"
-      case other => PgTypes.resolve(other).getOrElse(
-        throw new IllegalArgumentException(s"unmapped PG type: '$other'"))
+      case other => PgTypes.resolve(other)
+        // a TABLE name is a rowtype (PG registers one per relation):
+        // a column of that type is the table's row as a struct
+        .orElse(Option(rowtypeReg.get(other)).map(cols =>
+          cols.map { case (c, ct) => s"$c: $ct" }
+            .mkString("STRUCT<", ", ", ">")))
+        .getOrElse(
+          throw new IllegalArgumentException(s"unmapped PG type: '$other'"))
     }
   }
+
+  // table → declared columns (Spark types): the table's ROWTYPE, used
+  // when another table declares a column of this type (pg_type has a
+  // composite row per relation; catalog/heap.c AddNewRelationType)
+  private val rowtypeReg =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
   /** Split on top-level commas — respects parens (`numeric(18,2)`) AND
     * single-quoted literals with `''` escapes (`DEFAULT 'a,b'`), so a
@@ -173,6 +189,16 @@ object GreengageDdl {
     val name = m.group(3).replace("\"", "")
     var rest = m.group(4).trim
 
+    // typed table: CREATE TABLE name OF composite_type (gram.y
+    // OptTypedTableElementList) — columns come from the type
+    "(?is)^OF\\s+([\\w.\"]+)\\s*".r.findFirstMatchIn(rest).foreach { om =>
+      val tn = om.group(1).replace("\"", "")
+      PgTypes.resolveComposite(tn).foreach { ct =>
+        rest = "(" + ct.fields.map { case (f, t) => s"$f __spark__ $t" }
+          .mkString(", ") + ") " + rest.substring(om.end)
+      }
+    }
+
     // column list (absent for CTAS)
     var columns = Seq.empty[(String, String)]
     val typedCols = Seq.newBuilder[(String, String)] // col → registered PG type
@@ -237,7 +263,7 @@ object GreengageDdl {
           // keep SIMPLE-LITERAL defaults (number / string / bool /
           // NULL) — Spark's own DEFAULT machinery fills them on
           // insert; expression defaults (NEXTVAL(...)) still drop
-          "(?i)\\bdefault\\s+('(?:[^']|'')*'|-?\\d+(?:\\.\\d+)?|true|false|null)(?:\\s|$)".r
+          "(?i)\\bdefault\\s+('[^']*+(?:''[^']*+)*+'|-?\\d+(?:\\.\\d+)?|true|false|null)(?:\\s|$)".r
             .findFirstMatchIn(parts(1))
             .foreach(d => colDefaults += colName.toLowerCase -> d.group(1))
           val head = typePart.takeWhile(_ != '(').trim
@@ -539,7 +565,20 @@ object GreengageDdl {
 
   /** Parse + execute a Greengage CREATE TABLE against the session catalog. */
   def execute(spark: SparkSession, ddl: String, buckets: Int = 32): TableSpec = {
+    // parse() eagerly wipes the name's recorded constraints/indexes
+    // (a re-CREATE invalidates them) — snapshot FIRST so a CREATE
+    // that doesn't actually replace the table (failed re-CREATE, or
+    // IF NOT EXISTS no-op on an existing table) restores the live
+    // table's metadata instead of losing it
+    val preName = createRe.findFirstMatchIn(ddl.trim.stripSuffix(";").trim)
+      .map(_.group(3).replace("\"", ""))
+    val preExists = preName.exists(n =>
+      try spark.catalog.tableExists(n)
+      catch { case scala.util.control.NonFatal(_) => false })
+    val preSnap = preName.map(n => (n, snapshotMeta(n)))
+    def restorePre(): Unit = preSnap.foreach { case (n, s) => restoreMeta(n, s) }
     var spec = parse(ddl)
+    if (spec.ifNotExists && preExists) restorePre()
     if (spec.inherits.nonEmpty) {
       // the child's schema is parents' columns ++ its own new ones
       // (tablecmds.c MergeAttributes)
@@ -613,8 +652,19 @@ object GreengageDdl {
       .getOrElse(spec)
     clearOrphanLocation(spark, spec.name)
     try spark.sql(toSparkSql(execSpec, buckets))
+    catch {
+      // failed re-CREATE (e.g. table exists, no OR REPLACE): the live
+      // table is unchanged — put its recorded metadata back
+      case e: Throwable => restorePre(); throw e
+    }
     finally if (ctasView.isDefined)
       spark.catalog.dropTempView("__graft_ctas_body")
+    // record the table's rowtype (pg_type gets a composite row per
+    // relation — AddNewRelationType); other tables may declare
+    // columns of this type
+    if (spec.columns.nonEmpty)
+      rowtypeReg.put(spec.name.toLowerCase.replace("\"", "")
+        .replaceAll("^.*\\.", ""), spec.columns)
     // SERIAL columns get their implicit sequence (catalog/heap.c
     // behavior: <table>_<col>_seq, starting at 1)
     spec.serialCols.foreach { c =>
@@ -739,8 +789,13 @@ object GreengageDdl {
     val kids0 = Option(partChildrenReg.get(key)).getOrElse(Seq.empty)
       .filter(_.partitionlevel == 0)
     if (kids0.isEmpty || kids0.exists(_.partitionisdefault)) return None
-    val preds = kids0.flatMap(c => predForBound(table, c))
-    if (preds.isEmpty) None else Some(preds.mkString(" OR "))
+    val preds = kids0.map(c => predForBound(table, c))
+    // a child whose bound can't be rendered as a predicate (both
+    // bounds null, multi-column range key) would silently NARROW the
+    // coverage set and reject rows that child actually accepts —
+    // skip the check entirely instead of enforcing a partial OR
+    if (preds.exists(_.isEmpty)) None
+    else Some(preds.flatten.mkString(" OR "))
   }
 
   def needsInsertBoundCheck(table: String): Boolean =
@@ -1207,7 +1262,7 @@ object GreengageDdl {
         // default (tablecmds.c ATExecAddColumn with a non-null default
         // is a table rewrite there too); without one, a metadata-only
         // ADD COLUMNS suffices (parquet reads the absent column NULL)
-        "(?i)\\bdefault\\s+('(?:[^']|'')*'|-?\\d+(?:\\.\\d+)?|true|false)(?:\\s|$)".r
+        "(?i)\\bdefault\\s+('[^']*+(?:''[^']*+)*+'|-?\\d+(?:\\.\\d+)?|true|false)(?:\\s|$)".r
           .findFirstMatchIn(typeAndCons) match {
           case Some(d) =>
             val target = mapType(typePart)
@@ -1335,7 +1390,14 @@ object GreengageDdl {
       val n = renames.getOrElse(c, c)
       data.columns.find(_.equalsIgnoreCase(n))
     }
-    val partCols = meta.partitionColumnNames.flatMap(surviving(_))
+    val partCols0 = meta.partitionColumnNames.flatMap(surviving(_))
+    // Spark forbids a table whose EVERY column is a partition column
+    // (no data columns left): if the surgery dropped the last data
+    // column, degrade to an unpartitioned layout — logical partition
+    // semantics (child relations, pruning predicates) live in the
+    // partition registry, not the physical directory layout
+    val partCols =
+      if (partCols0.size >= data.columns.length) Seq.empty else partCols0
     val bucket = meta.bucketSpec.filter(_.bucketColumnNames.forall(
       surviving(_).isDefined))
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
@@ -1485,6 +1547,33 @@ object GreengageDdl {
       Option(reg.remove(oldKey)).foreach(v => reg.put(newKey, v))
     }
     registerPartChildViews(spark, to, partColsOf(to))
+  }
+
+  /** Snapshot of a table's recorded constraints + indexes, taken
+    * before a re-CREATE's parse wipes them; restored when the CREATE
+    * turns out not to apply (failed, or IF NOT EXISTS no-op) so a
+    * live table's metadata survives a rejected re-CREATE. */
+  private[operators] type MetaSnap =
+    (Option[Seq[(String, String)]],
+     Seq[(String, (String, String, Seq[String], Boolean, String))])
+
+  private[operators] def snapshotMeta(table: String): MetaSnap = {
+    import scala.jdk.CollectionConverters._
+    val key = table.toLowerCase.replace("\"", "")
+    (Option(conReg.get(key)),
+     indexDefReg.asScala.toSeq.filter(_._2._1.toLowerCase == key))
+  }
+
+  private[operators] def restoreMeta(table: String, snap: MetaSnap): Unit = {
+    val key = table.toLowerCase.replace("\"", "")
+    snap._1 match {
+      case Some(cs) => conReg.put(key, cs)
+      case None => conReg.remove(key)
+    }
+    clearIndexesOf(table) // drop whatever the aborted parse recorded
+    snap._2.foreach { case (idx, v) =>
+      indexDefReg.put(idx, v); indexTables.put(idx, v._1)
+    }
   }
 
   /** Drop every recorded index of `table` (re-CREATE invalidates). */

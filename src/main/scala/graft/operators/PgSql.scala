@@ -25,6 +25,9 @@ object PgSql {
   private val typeAlias = Seq(
     "int2" -> "SMALLINT", "int4" -> "INT", "int8" -> "BIGINT",
     "float4" -> "FLOAT", "float8" -> "DOUBLE",
+    // PG `float` with no precision IS float8 (gram.y opt_float);
+    // Spark's bare FLOAT is the 4-byte type — alias to DOUBLE
+    "float" -> "DOUBLE",
     "double\\s+precision" -> "DOUBLE",
     "bool" -> "BOOLEAN", "bytea" -> "BINARY", "text" -> "STRING",
     "timestamptz" -> "TIMESTAMP", "name" -> "STRING",
@@ -882,10 +885,10 @@ object PgSql {
     * take a struct). Runs on raw text — literals are the subject. */
   private def complexRewrites(sql: String): String = {
     var out = sql
-    out = "(?i)\\bCOMPLEX\\s*'((?:[^']|'')*)'".r.replaceAllIn(out, m =>
+    out = "(?i)\\bCOMPLEX\\s*'([^']*+(?:''[^']*+)*+)'".r.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
         PgComplex.inExprSql("'" + m.group(1) + "'")))
-    out = "(?i)'((?:[^']|'')*)'\\s*::\\s*complex\\b".r.replaceAllIn(out, m =>
+    out = "(?i)'([^']*+(?:''[^']*+)*+)'\\s*::\\s*complex\\b".r.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
         PgComplex.inExprSql("'" + m.group(1) + "'")))
     out = "(?i)\\b(\\d+(?:\\.\\d+)?)\\s*::\\s*complex\\b".r
@@ -900,13 +903,13 @@ object PgSql {
       .replaceAllIn(out, "complex_abs(")
     // FLOAT8/FLOAT4 typed literals (Spark's parser lacks them), with
     // PG float8in's case-insensitive nan/infinity spellings
-    out = "(?i)\\bFLOAT[48]\\s*'((?:[^']|'')*)'".r.replaceAllIn(out, m =>
+    out = "(?i)\\bFLOAT[48]\\s*'([^']*+(?:''[^']*+)*+)'".r.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
         PgComplex.pgFloatSql("'" + m.group(1) + "'")))
     // BOOL 'spelling' typed literals (bool.c parse_bool_with_len:
     // any unique prefix of true/false/yes/no/on/off plus 1/0,
     // case-insensitive, trimmed) — resolved here at rewrite time
-    out = "(?i)\\bBOOL(?:EAN)?\\s*'((?:[^']|'')*)'".r.replaceAllIn(out, m => {
+    out = "(?i)\\bBOOL(?:EAN)?\\s*'([^']*+(?:''[^']*+)*+)'".r.replaceAllIn(out, m => {
       val b = m.group(1).trim.toLowerCase
       val v =
         if (b.nonEmpty && ("true".startsWith(b) || "yes".startsWith(b) ||
@@ -3959,7 +3962,7 @@ object PgSql {
   private def jsonArrows(sqlIn: String): String = {
     if (!sqlIn.contains("->")) return sqlIn
     val re = ("((?:[\\w.$]+\\([^()]*\\))|[\\w.$]+)" +
-      "\\s*(->>|->)\\s*('(?:[^']|'')*'|\\d+)").r
+      "\\s*(->>|->)\\s*('[^']*+(?:''[^']*+)*+'|\\d+)").r
     var sql = sqlIn
     var changed = true
     while (changed) {
@@ -3987,8 +3990,8 @@ object PgSql {
     * non-literals; none of the reference suites need that). */
   private def similarToOp(sqlIn: String): String = {
     if ("(?i)similar\\s+to".r.findFirstIn(sqlIn).isEmpty) return sqlIn
-    val re = ("(?i)\\b(NOT\\s+)?SIMILAR\\s+TO\\s+('(?:[^']|'')*')" +
-      "(?:\\s+ESCAPE\\s+('(?:[^']|'')*'))?").r
+    val re = ("(?i)\\b(NOT\\s+)?SIMILAR\\s+TO\\s+('[^']*+(?:''[^']*+)*+')" +
+      "(?:\\s+ESCAPE\\s+('[^']*+(?:''[^']*+)*+'))?").r
     var sql = sqlIn
     var changed = true
     while (changed) {
@@ -4372,14 +4375,14 @@ object PgSql {
             var s2 = span
             if (hasIv) {
               if ("(?i)\\btimestamptz\\b".r.findFirstIn(s2).isEmpty) {
-                s2 = "(?i)\\btimestamp\\s+('(?:[^']|'')*')".r
+                s2 = "(?i)\\btimestamp\\s+('[^']*+(?:''[^']*+)*+')".r
                   .replaceAllIn(s2, mm =>
                     java.util.regex.Matcher.quoteReplacement(
                       s"TIMESTAMP_NTZ ${mm.group(1)}"))
                 s2 = "(?i)\\bnull\\s*::\\s*timestamp\\b".r
                   .replaceAllIn(s2, "CAST(NULL AS TIMESTAMP_NTZ)")
               }
-              s2 = "(?i)\\binterval\\s+('(?:[^']|'')*')".r
+              s2 = "(?i)\\binterval\\s+('[^']*+(?:''[^']*+)*+')".r
                 .replaceAllIn(s2, mm =>
                   java.util.regex.Matcher.quoteReplacement(
                     s"CAST(${mm.group(1)} AS INTERVAL)"))

@@ -102,7 +102,7 @@ object PgTypes {
     if (rest.isEmpty) () // shell type
     else if (rest.matches("(?is)^AS\\s+ENUM\\s*\\(.*")) {
       val (body, _) = GreengageDdl.balanced(rest, rest.indexOf('('))
-      val labels = "'((?:[^']|'')*)'".r.findAllMatchIn(body)
+      val labels = "'([^']*+(?:''[^']*+)*+)'".r.findAllMatchIn(body)
         .map(_.group(1).replace("''", "'")).toSeq
       require(enums.putIfAbsent(name, EnumType(labels)).isEmpty,
         s"type \"$name\" already exists")
@@ -163,8 +163,8 @@ object PgTypes {
     * [BEFORE|AFTER 'other']` (typecmds.c AddEnumLabel). */
   def alterAddValue(ddl: String): Unit = {
     val m = ("(?is)^ALTER\\s+TYPE\\s+([\\w.\"]+)\\s+ADD\\s+VALUE\\s+" +
-      "(?:IF\\s+NOT\\s+EXISTS\\s+)?'((?:[^']|'')*)'" +
-      "(?:\\s+(BEFORE|AFTER)\\s+'((?:[^']|'')*)')?").r
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?'([^']*+(?:''[^']*+)*+)'" +
+      "(?:\\s+(BEFORE|AFTER)\\s+'([^']*+(?:''[^']*+)*+)')?").r
       .findFirstMatchIn(ddl.trim).getOrElse(
         throw new IllegalArgumentException(s"cannot parse ALTER TYPE: $ddl"))
     val name = norm(m.group(1))

@@ -42,7 +42,8 @@ object PlDo {
   // ---------------------------------------------------------------
   private sealed trait Stmt
   private case class Assign(name: String, expr: String) extends Stmt
-  private case class DynExec(expr: String, into: Option[String]) extends Stmt
+  private case class Ret(expr: Option[String]) extends Stmt
+  private case class DynExec(expr: String, into: Seq[String]) extends Stmt
   private case class SelectInto(query: String, vars: Seq[String]) extends Stmt
   private case class Perform(query: String) extends Stmt
   private case class Raise(level: String, fmt: String, args: Seq[String]) extends Stmt
@@ -57,6 +58,11 @@ object PlDo {
   private case class SqlStmt(text: String) extends Stmt
 
   private final class ExitSignal(val continue: Boolean)
+    extends RuntimeException(null, null, false, false)
+
+  /** RETURN from a function body: carries the rendered literal (null
+    * for a bare `RETURN;`). */
+  private final class ReturnSignal(val lit: String)
     extends RuntimeException(null, null, false, false)
 
   private final case class Block(decls: Seq[(String, String, Option[String])],
@@ -176,15 +182,25 @@ object PlDo {
       .findFirstMatchIn(body.trim).getOrElse(throw new IllegalArgumentException(
         s"unsupported plpgsql body (expected [DECLARE ...] BEGIN ... END): $body"))
     val decls = splitOnSemicolons(Option(m.group(1)).getOrElse("")).map { d =>
-      val withInit = mapOutsideLiterals(d) {
+      val withInit0 = mapOutsideLiterals(d) {
         _.replaceAll("(?i)\\bDEFAULT\\b", ":=") }
+      // `iter INT = 0` — plpgsql accepts bare `=` as the initializer
+      // operator (pl_gram.y decl_defval); '=' cannot occur in a type
+      // name, so the first one outside := is it
+      val withInit = if (withInit0.contains(":=")) withInit0 else {
+        val i = withInit0.indexOf('=')
+        if (i < 0) withInit0
+        else withInit0.substring(0, i) + ":=" + withInit0.substring(i + 1)
+      }
       val parts = withInit.split(":=", 2)
       val head = parts(0).trim.split("\\s+", 2)
       require(head.length == 2 && head(0).matches("(?i)\\w+"),
         s"bad plpgsql declaration: $d")
+      // the RAW type text is kept; resolution happens at run time so
+      // composite/%rowtype/record declarations can bind against the
+      // live catalog (a table's rowtype is its current schema)
       val t = head(1).trim.replaceAll("(?i)^CONSTANT\\s+", "")
-      (head(0).toLowerCase, GreengageDdl.mapType(t),
-        parts.drop(1).headOption.map(_.trim))
+      (head(0).toLowerCase, t, parts.drop(1).headOption.map(_.trim))
     }
     val inner = m.group(2)
     val (main, term, p) = parseSeq(inner, 0, Seq("EXCEPTION"))
@@ -283,16 +299,22 @@ object PlDo {
   }
 
   private def parseSimple(text: String): Stmt = {
-    val assign = "(?s)^(\\w+)\\s*:=(.*)$".r
-    val raise = "(?is)^RAISE\\s+(NOTICE|INFO|WARNING|LOG|DEBUG|EXCEPTION)\\s+('(?:[^']|'')*')\\s*(?:,(.*))?$".r
+    val assign = "(?s)^(\\w+(?:\\.\\w+)?)\\s*:=(.*)$".r
+    val raise = "(?is)^RAISE\\s+(NOTICE|INFO|WARNING|LOG|DEBUG|EXCEPTION)\\s+('[^']*+(?:''[^']*+)*+')\\s*(?:,(.*))?$".r
     text match {
       case t if phraseAt(t, 0, "EXECUTE") >= 0 =>
         val rest = t.substring(phraseAt(t, 0, "EXECUTE")).trim
         val (is, _, ie) = findTop(rest, 0, Seq("INTO"))
         if (is >= 0)
           DynExec(rest.substring(0, is).trim,
-            Some(rest.substring(ie).trim.toLowerCase))
-        else DynExec(rest, None)
+            GreengageDdl.splitTop(rest.substring(ie))
+              .map(_.trim.toLowerCase))
+        else DynExec(rest, Nil)
+      case t if phraseAt(t, 0, "RETURN") >= 0 =>
+        val rest = t.substring(phraseAt(t, 0, "RETURN")).trim
+        require(!"(?is)^(QUERY|NEXT)\\b".r.findFirstIn(rest).isDefined,
+          s"RETURN QUERY/NEXT is not supported in the interpreter: $t")
+        Ret(if (rest.isEmpty) None else Some(rest))
       case t if phraseAt(t, 0, "PERFORM") >= 0 =>
         Perform(t.substring(phraseAt(t, 0, "PERFORM")).trim)
       case t if phraseAt(t, 0, "EXIT") >= 0 =>
@@ -310,14 +332,15 @@ object PlDo {
       // `var = expr;` — plpgsql accepts plain `=` for assignment
       // (pl_gram.y: assign_operator is ':=' or '='); only a lone
       // leading identifier can be one, so SQL verbs fall through
-      case t if "(?s)^(\\w+)\\s*=[^=].*$".r.findFirstIn(t).isDefined && {
+      case t if "(?s)^(\\w+(?:\\.\\w+)?)\\s*=[^=].*$".r.findFirstIn(t)
+          .isDefined && {
         val head = t.takeWhile(c => Character.isLetterOrDigit(c) || c == '_')
         !Set("select", "insert", "update", "delete", "truncate", "merge",
           "create", "drop", "alter", "copy", "call", "set", "values",
           "with", "begin", "commit", "rollback", "grant", "revoke")
           .contains(head.toLowerCase)
       } =>
-        val m2 = "(?s)^(\\w+)\\s*=(.*)$".r.findFirstMatchIn(t).get
+        val m2 = "(?s)^(\\w+(?:\\.\\w+)?)\\s*=(.*)$".r.findFirstMatchIn(t).get
         Assign(m2.group(1).toLowerCase, m2.group(2).trim)
       case t if phraseAt(t, 0, "SELECT") >= 0 && {
         val (i, _, _) = findTop(t, 0, Seq("INTO")); i >= 0
@@ -350,7 +373,76 @@ object PlDo {
   // ---------------------------------------------------------------
   private final class Env {
     val vars = mutable.LinkedHashMap.empty[String, String] // name → SQL literal
+    // ROW variables (composite/%rowtype/record declarations): name →
+    // ordered (field, spark type); each field's value lives in vars
+    // under "name.field"
+    val rows = mutable.LinkedHashMap.empty[String, Seq[(String, String)]]
     val notices = mutable.Buffer.empty[String]
+  }
+
+  /** Fields of a row type: a registered composite, an existing
+    * table's rowtype, or `record` (late-bound — empty until the first
+    * INTO binds it). */
+  private def rowFieldsOf(spark: SparkSession,
+                          typeName: String): Option[Seq[(String, String)]] = {
+    val base = typeName.replaceAll("(?i)\\s*%rowtype$", "").trim
+    if (base.equalsIgnoreCase("record")) Some(Seq.empty)
+    else PgTypes.resolveComposite(base).map(_.fields)
+      .orElse {
+        val clean = base.replace("\"", "")
+        val exists = try spark.catalog.tableExists(clean)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (exists)
+          Some(spark.table(clean).schema.fields.toSeq
+            .map(f => (f.name, f.dataType.sql)))
+        else None
+      }
+  }
+
+  /** Whether a raw declared type maps to a SCALAR spark type (arrays
+    * included) — row treatment only applies beyond these. */
+  private def scalarTypeOf(t: String): Option[String] =
+    scala.util.Try(GreengageDdl.mapType(t)).toOption
+
+  /** The struct literal for a row variable's current field values. */
+  private def structLit(env: Env, n: String): String = {
+    val fields = env.rows(n)
+    if (fields.isEmpty) "NULL"
+    else "named_struct(" + fields.map { case (f, ft) =>
+      val v = env.vars.getOrElse(s"$n.${f.toLowerCase}", "NULL")
+      s"'$f', CAST(($v) AS $ft)"
+    }.mkString(", ") + ")"
+  }
+
+  /** Bind an INTO target list against a result row: a single ROW
+    * variable takes every column positionally (pl_exec.c
+    * exec_move_row); scalars bind one column each. */
+  private def bindInto(env: Env, vars: Seq[String],
+                       df: org.apache.spark.sql.DataFrame): Unit = {
+    val rows = df.limit(1).collect()
+    if (vars.length == 1 && env.rows.contains(vars.head)) {
+      val n = vars.head
+      val declared = env.rows(n)
+      val fields =
+        if (declared.nonEmpty) declared
+        else { // record: adopt the query's shape
+          val fs = df.schema.fields.toSeq.map(f => (f.name, f.dataType.sql))
+          env.rows(n) = fs; fs
+        }
+      fields.zipWithIndex.foreach { case ((f, ft), i) =>
+        env.vars(s"$n.${f.toLowerCase}") =
+          if (rows.isEmpty || i >= df.schema.length) s"CAST(NULL AS $ft)"
+          else render(rows(0).get(i), df.schema(i).dataType)
+      }
+    } else {
+      require(vars.length <= df.schema.length,
+        s"INTO: ${vars.length} variables for ${df.schema.length} columns")
+      vars.zipWithIndex.foreach { case (v, i) =>
+        env.vars(v) =
+          if (rows.isEmpty) s"CAST(NULL AS ${df.schema(i).dataType.sql})"
+          else render(rows(0).get(i), df.schema(i).dataType)
+      }
+    }
   }
 
   /** Render a driver-side value as a typed SQL literal. */
@@ -366,8 +458,39 @@ object PlDo {
     case b: Array[Byte] => s"X'${b.map("%02x".format(_)).mkString}'"
     case n: java.lang.Number => n.toString
     case b: java.lang.Boolean => b.toString
+    case r: org.apache.spark.sql.Row =>
+      val st = dt match {
+        case s: org.apache.spark.sql.types.StructType => s
+        case other0 => throw new IllegalArgumentException(
+          s"plpgsql: row value with non-struct type ${other0.sql}")
+      }
+      "named_struct(" + st.fields.zipWithIndex.map { case (f, i) =>
+        s"'${f.name}', CAST((${render(r.get(i), f.dataType)}) AS " +
+          s"${f.dataType.sql})"
+      }.mkString(", ") + ")"
+    case s: scala.collection.Seq[_] =>
+      val et = dt match {
+        case a: org.apache.spark.sql.types.ArrayType => a.elementType
+        case other0 => throw new IllegalArgumentException(
+          s"plpgsql: sequence value with non-array type ${other0.sql}")
+      }
+      if (s.isEmpty) s"CAST(ARRAY() AS ${dt.sql})"
+      else "ARRAY(" + s.map(x => render(x, et)).mkString(", ") + ")"
     case other => throw new IllegalArgumentException(
       s"plpgsql: cannot render ${other.getClass.getName} as a literal")
+  }
+
+  /** PG float8out text form (float.c with shortest-repr): integral
+    * values print without a fraction or exponent; others drop a
+    * trailing `.0`. Spark's CAST(DOUBLE AS STRING) prints `7.0744E7`
+    * where PG prints `70744000` — a var baked into text via `::text`
+    * must take PG's form. */
+  private def pgDoubleText(d: Double): String = {
+    if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
+    else {
+      val s = d.toString
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
   }
 
   /** Substitute environment variables (word-bounded, outside literals;
@@ -376,10 +499,34 @@ object PlDo {
     if (env.vars.isEmpty) return text
     val keys = env.vars.keys.toSeq.sortBy(-_.length)
     mapOutsideLiterals(text) { seg =>
-      keys.foldLeft(seg) { (acc, k) =>
+      val seg1 = keys.foldLeft(seg) { (acc, k) =>
+        // `var::text` over a float8 var: splice PG's float8out form
+        // as a string literal (Spark's double→string cast would emit
+        // scientific notation)
+        val lit = env.vars(k)
+        val asDouble = scala.util.Try(lit.toDouble).toOption
+          .filter(_ => lit.matches("-?\\d+(\\.\\d+)?([eE][-+]?\\d+)?"))
+        asDouble match {
+          case Some(d) if lit.contains(".") || lit.toLowerCase.contains("e") =>
+            acc.replaceAll(
+              "(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(k) +
+                "\\s*::\\s*text\\b",
+              java.util.regex.Matcher.quoteReplacement(
+                s"'${pgDoubleText(d)}'"))
+          case _ => acc
+        }
+      }
+      val seg2 = keys.foldLeft(seg1) { (acc, k) =>
         acc.replaceAll(
           "(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(k) + "(?![\\w.])",
           java.util.regex.Matcher.quoteReplacement(env.vars(k)))
+      }
+      // a bare ROW variable (not followed by `.field`) becomes its
+      // struct literal
+      env.rows.keys.toSeq.sortBy(-_.length).foldLeft(seg2) { (acc, n) =>
+        acc.replaceAll(
+          "(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(n) + "(?![\\w.(])",
+          java.util.regex.Matcher.quoteReplacement(structLit(env, n)))
       }
     }
   }
@@ -422,24 +569,19 @@ object PlDo {
         else
           spark.sql(PgSql.rewrite("SELECT " + qq)).foreach(_ => (): Unit)
       case SelectInto(q, vars) =>
-        val df = spark.sql(PgSql.rewrite(subst(q, env)))
-        require(vars.length <= df.schema.length,
-          s"SELECT INTO: ${vars.length} variables for ${df.schema.length} columns")
-        val rows = df.limit(1).collect()
-        vars.zipWithIndex.foreach { case (v, i) =>
-          env.vars(v) =
-            if (rows.isEmpty) s"CAST(NULL AS ${df.schema(i).dataType.sql})"
-            else render(rows(0).get(i), df.schema(i).dataType)
-        }
+        bindInto(env, vars, spark.sql(PgSql.rewrite(subst(q, env))))
+      case Ret(e) =>
+        throw new ReturnSignal(e.map(x => eval(spark, x, env)).orNull)
       case DynExec(expr, into) =>
         val sqlText = evalRow(spark, expr, env)._1
         require(sqlText != null, "EXECUTE of NULL statement text")
         val res = graft.Graft.execute(spark, sqlText.toString)
-        into.foreach { v =>
+        if (into.nonEmpty) {
           val df = res.getOrElse(throw new IllegalArgumentException(
             s"EXECUTE ... INTO needs a query: $sqlText"))
-          val row = df.head()
-          env.vars(v) = render(row.get(0), df.schema.head.dataType)
+          // no row → every target becomes NULL (pl_exec.c
+          // exec_stmt_dynexecute with strict off)
+          bindInto(env, into, df)
         }
       case Raise(level, fmt, args) =>
         val rendered = args.map(a => evalRow(spark, a, env)._1)
@@ -501,16 +643,33 @@ object PlDo {
     }
 
   private def runBlock(spark: SparkSession, block: Block, env: Env): Unit = {
-    for ((n, t, init) <- block.decls)
-      env.vars(n) = init match {
-        case Some(e) => eval(spark, s"CAST(($e) AS $t)", env)
-        case None => s"CAST(NULL AS $t)"
+    for ((n, t0, init) <- block.decls) {
+      val scalar = scalarTypeOf(t0)
+      val rowF = if (scalar.isDefined &&
+          PgTypes.resolveComposite(t0).isEmpty) None
+        else rowFieldsOf(spark, t0)
+      rowF match {
+        case Some(fields) =>
+          env.rows(n) = fields
+          fields.foreach { case (f, ft) =>
+            env.vars(s"$n.${f.toLowerCase}") = s"CAST(NULL AS $ft)" }
+          require(init.isEmpty,
+            s"row variable $n cannot take a scalar initializer")
+        case None =>
+          val t = scalar.getOrElse(throw new IllegalArgumentException(
+            s"unknown plpgsql declaration type: $t0"))
+          env.vars(n) = init match {
+            case Some(e) => eval(spark, s"CAST(($e) AS $t)", env)
+            case None => s"CAST(NULL AS $t)"
+          }
       }
+    }
     block.handler match {
       case None => run(spark, block.body, env)
       case Some(h) =>
         try run(spark, block.body, env)
         catch {
+          case r: ReturnSignal => throw r // RETURN is not an error
           case _: ExitSignal => throw new IllegalArgumentException(
             "EXIT outside any loop")
           case scala.util.control.NonFatal(_) => run(spark, h, env)
@@ -523,7 +682,7 @@ object PlDo {
   // ---------------------------------------------------------------
   private val doRe =
     ("(?is)^\\s*DO\\s+(?:LANGUAGE\\s+plpgsql\\s+)?" +
-      "(?:\\$(\\w*)\\$(.*)\\$\\1\\$|'((?:[^']|'')*)')" +
+      "(?:\\$(\\w*)\\$(.*)\\$\\1\\$|'([^']*+(?:''[^']*+)*+)')" +
       "(?:\\s+LANGUAGE\\s+plpgsql)?\\s*;?\\s*$").r
 
   /** Execute a `DO` block; returns the RAISE NOTICE/INFO/WARNING lines
@@ -618,7 +777,8 @@ object PlDo {
     proc.params.zip(args).foreach { case ((n, t), a) =>
       env.vars(n) = eval(spark, s"CAST(($a) AS $t)", env)
     }
-    runBlock(spark, proc.body, env)
+    try runBlock(spark, proc.body, env)
+    catch { case _: ReturnSignal => () } // bare RETURN exits a void fn
   }
 
   private val callRe = "(?is)^\\s*CALL\\s+([\\w.]+)\\s*\\((.*)\\)\\s*;?\\s*$".r
@@ -638,7 +798,330 @@ object PlDo {
     proc.params.zip(args).foreach { case ((n, t), a) =>
       env.vars(n) = eval(spark, s"CAST(($a) AS $t)", env)
     }
-    runBlock(spark, proc.body, env)
+    try runBlock(spark, proc.body, env)
+    catch { case _: ReturnSignal => () }
     env.notices.toSeq
+  }
+
+  // ---------------------------------------------------------------
+  // Interpreted SCALAR functions (the reference's SIRV shape —
+  // sirv_functions.sql: volatile plpgsql functions whose bodies run
+  // DDL/EXECUTE/loops and RETURN one value). PG evaluates such a call
+  // ONCE per statement as an InitPlan on the dispatcher
+  // (planner.c/createplan.c InitPlan for uncorrelated fn scans); the
+  // analog here is driver-side evaluation at statement-rewrite time:
+  // the body runs through this interpreter (each contained statement
+  // re-enters Graft.execute, so the data work stays distributed) and
+  // the call text is replaced with the RETURNed value as a typed
+  // literal. Registered as the FALLBACK when SqlFunctions can't
+  // compile the body to one inline expression.
+  // ---------------------------------------------------------------
+  /** `returns` keeps the RAW PG type name — resolved per call so a
+    * table-rowtype return binds the live schema; `record` skips the
+    * result cast entirely. */
+  private final case class ScalarFn(name: String,
+                                    params: Seq[(String, String)],
+                                    returns: String, body: Block)
+  private val scalarFns = new ConcurrentHashMap[String, ScalarFn]()
+
+  private def mapRetType(t: String): String = {
+    val tt = t.trim
+    if (tt.endsWith("[]"))
+      s"ARRAY<${GreengageDdl.mapType(tt.dropRight(2).trim)}>"
+    else GreengageDdl.mapType(tt)
+  }
+
+  /** Spark type of a function's declared return, or None for `record`
+    * (untyped — the literal passes through uncast). */
+  private def retSparkType(spark: SparkSession, pg: String): Option[String] =
+    if (pg.equalsIgnoreCase("record")) None
+    else scala.util.Try(mapRetType(pg)).toOption
+      .orElse(rowFieldsOf(spark, pg).map(fs =>
+        fs.map { case (f, t) => s"$f: $t" }.mkString("STRUCT<", ", ", ">")))
+
+  /** Whether calls to `name` yield a COMPOSITE value (drives FROM-item
+    * column expansion, PG's func_table semantics). */
+  private def returnsComposite(spark: SparkSession, name: String): Boolean =
+    Option(scalarFns.get(name.toLowerCase)).exists { fn =>
+      fn.returns.equalsIgnoreCase("record") ||
+        retSparkType(spark, fn.returns).exists(_.startsWith("STRUCT<"))
+    }
+
+  private val fnAttr =
+    "(?:VOLATILE|STABLE|IMMUTABLE|STRICT|SECURITY\\s+\\w+|" +
+      "MODIFIES\\s+SQL\\s+DATA|READS\\s+SQL\\s+DATA|NO\\s+SQL|" +
+      "CONTAINS\\s+SQL|COST\\s+\\d+|CALLED\\s+ON\\s+NULL\\s+INPUT|" +
+      "RETURNS\\s+NULL\\s+ON\\s+NULL\\s+INPUT)"
+
+  /** Split a CREATE FUNCTION DDL around its first `$tag$...$tag$`
+    * body — matching the body with a regex would backtrack
+    * catastrophically on 50-line function sources. */
+  private def splitDollarBody(ddl: String)
+      : Option[(String, String, String)] = {
+    val open = "\\$(\\w*)\\$".r.findFirstMatchIn(ddl).getOrElse(return None)
+    val tag = "$" + open.group(1) + "$"
+    val end = ddl.indexOf(tag, open.end)
+    if (end < 0) None
+    else Some((ddl.substring(0, open.start),
+      ddl.substring(open.end, end), ddl.substring(end + tag.length)))
+  }
+
+  private val scalarHeadRe =
+    ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+([\\w.]+)\\s*" +
+      "\\(([^)]*)\\)\\s*(?:RETURNS\\s+([\\w\\[\\]]+(?:\\s+precision)?)\\s+)?" +
+      "AS\\s*$").r
+  private val scalarTailRe =
+    (s"(?is)^\\s*(?:$fnAttr\\s+)*LANGUAGE\\s+'?PLPGSQL'?" +
+      s"(?:\\s+$fnAttr)*\\s*;?\\s*$$").r
+
+  private def parseScalarFnDdl(ddl: String)
+      : Option[(String, String, Option[String], String)] =
+    splitDollarBody(ddl).flatMap { case (head, body, tail) =>
+      for {
+        hm <- scalarHeadRe.findFirstMatchIn(head)
+        if scalarTailRe.findFirstIn(tail).isDefined
+      } yield (hm.group(1), hm.group(2), Option(hm.group(3)), body)
+    }
+
+  def isScalarFunctionDdl(ddl: String): Boolean =
+    parseScalarFnDdl(ddl).exists { case (_, params, rt, _) =>
+      // no RETURNS clause is legal only with OUT parameters (the
+      // return is the OUT record, gram.y func_args_with_defaults)
+      rt.forall(r => !r.equalsIgnoreCase("void") &&
+        !r.toLowerCase.startsWith("setof")) &&
+        (rt.isDefined ||
+          "(?i)\\bOUT\\s+\\w".r.findFirstIn(params).isDefined)
+    }
+
+  /** Register an interpreted scalar plpgsql function. OUT parameters
+    * become local variables; with no RETURNS clause the function
+    * returns the OUT record. */
+  def createScalarFunction(ddl: String): String = {
+    val (fname, paramsTxt, retOpt, rawBody) =
+      parseScalarFnDdl(ddl).getOrElse(
+        throw new IllegalArgumentException(
+          s"not a CREATE FUNCTION ... RETURNS <type> plpgsql statement: $ddl"))
+    val allParams = GreengageDdl.splitTop(paramsTxt)
+    val outs = allParams.filter(p =>
+      "(?i)^\\s*OUT\\s+\\w".r.findFirstIn(p).isDefined)
+    val params = allParams
+      .filterNot(p => "(?i)^\\s*OUT\\s+\\w".r.findFirstIn(p).isDefined)
+      .zipWithIndex.map { case (p, i) =>
+        val parts = p.trim.replaceAll("(?i)^(IN|INOUT)\\s+", "")
+          .split("\\s+", 2)
+        if (parts.length == 2)
+          (parts(0).toLowerCase, mapRetType(parts(1)))
+        else (s"__p_${i + 1}", mapRetType(parts(0)))
+      }
+    // OUT params: DECLARE-equivalent locals; an implicit `RETURN
+    // (out1, ...)` record is never consumed by the ported call sites,
+    // so registration suffices (a call returns NULL record)
+    val outDecls = outs.map { p =>
+      val parts = p.trim.replaceFirst("(?i)^OUT\\s+", "").split("\\s+", 2)
+      s"${parts(0)} ${parts(1)};"
+    }
+    val body0 = rawBody.replaceAll("\\$(\\d+)", "__p_$1")
+    val body =
+      if (outDecls.isEmpty) body0
+      else { // graft the OUT declarations into the DECLARE section
+        val trimmed = body0.replaceFirst("(?is)^\\s*DECLARE\\s+", "")
+        "DECLARE " + outDecls.mkString(" ") + " " + trimmed
+      }
+    val returns = retOpt.map(_.trim).getOrElse("record")
+    val name = fname.toLowerCase
+    scalarFns.put(name, ScalarFn(name, params, returns, parseBlock(body)))
+    name
+  }
+
+  def isScalarFunction(name: String): Boolean =
+    scalarFns.containsKey(name.toLowerCase)
+
+  // SETOF plpgsql with imperative bodies (RETURN NEXT loops): the
+  // reference's own suites never successfully CALL these through this
+  // engine's ported statements (GP errors on set-valued calls in the
+  // contexts used), so registration succeeds and any call errors
+  // loudly — never a silent wrong answer.
+  private val setofStubs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def isSetofPlpgsqlDdl(ddl: String): Boolean =
+    splitDollarBody(ddl).exists { case (head, _, tail) =>
+      ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+[\\w.]+\\s*" +
+        "\\([^)]*\\)\\s*RETURNS\\s+SETOF\\s+[\\w.]+\\s+AS\\s*$").r
+        .findFirstIn(head).isDefined &&
+        scalarTailRe.findFirstIn(tail).isDefined
+    }
+
+  def registerSetofStub(ddl: String): String = {
+    val m = ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+" +
+      "([\\w.]+)").r.findFirstMatchIn(ddl).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse SETOF function: $ddl"))
+    val name = m.group(1).toLowerCase
+    setofStubs.add(name)
+    name
+  }
+
+  def isSetofStub(name: String): Boolean =
+    setofStubs.contains(name.toLowerCase)
+
+  // interpreted functions registered by OTHER language runtimes
+  // (plpythonu — PlPython): name → (spark, argList) => result literal.
+  // They join scalarFns in call-site substitution.
+  private val externalFns = new ConcurrentHashMap[
+    String, (SparkSession, String) => String]()
+
+  def registerExternalFunction(name: String,
+      call: (SparkSession, String) => String): Unit = {
+    externalFns.put(name.toLowerCase, call); ()
+  }
+
+  def dropScalarFunction(name: String): Unit = {
+    scalarFns.remove(name.toLowerCase)
+    procedures.remove(name.toLowerCase)
+    externalFns.remove(name.toLowerCase)
+    ()
+  }
+
+  /** Run a registered scalar function; returns the RETURN value as a
+    * typed SQL literal (`CAST((<lit>) AS <type>)`). */
+  def callScalarFunction(spark: SparkSession, name: String,
+                         argList: String): String = {
+    Option(externalFns.get(name.toLowerCase)).foreach { f =>
+      return f(spark, argList)
+    }
+    val fn = Option(scalarFns.get(name.toLowerCase)).getOrElse(
+      throw new IllegalArgumentException(s"unknown function: $name"))
+    val args =
+      if (argList.trim.isEmpty) Seq.empty else GreengageDdl.splitTop(argList)
+    require(args.length == fn.params.length,
+      s"$name: ${args.length} args for ${fn.params.length} params")
+    val env = new Env
+    fn.params.zip(args).foreach { case ((n, t), a) =>
+      env.vars(n) = eval(spark, s"CAST(($a) AS $t)", env)
+    }
+    val lit =
+      try { runBlock(spark, fn.body, env); null }
+      catch { case r: ReturnSignal => r.lit }
+    retSparkType(spark, fn.returns) match {
+      case Some(t) if lit == null => s"CAST(NULL AS $t)"
+      case Some(t) => s"CAST(($lit) AS $t)"
+      case None => if (lit == null) "NULL" else s"($lit)"
+    }
+  }
+
+  /** True when the statement text calls a registered interpreted
+    * scalar function (outside string literals). */
+  private def interpretedNames: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    (scalarFns.keys.asScala ++ externalFns.keys.asScala).toSeq.distinct
+  }
+
+  def hasInterpretedCall(sql: String): Boolean = {
+    if (scalarFns.isEmpty && externalFns.isEmpty) return false
+    val masked = PgSql.maskLiterals(sql)
+    interpretedNames.exists(n =>
+      ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(n) + "\\s*\\(").r
+        .findFirstIn(masked).isDefined)
+  }
+
+  private def firstCall(masked: String): Option[(String, Int, Int)] = {
+    interpretedNames.flatMap { n =>
+      ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(n) + "\\s*\\(").r
+        .findFirstMatchIn(masked)
+        .map(m => (n, m.start, m.end - 1)) // (name, callStart, '(' idx)
+    }.sortBy(_._2).headOption
+  }
+
+  /** FROM-position scalar-function items (gram.y func_table — PG
+    * treats `FROM f(args) [AS a]` as a one-row, one-column table
+    * source): wrap each FROM item that contains an interpreted call
+    * into `(SELECT <item> AS <alias>) AS <alias>` so the scalar
+    * substitution below leaves valid SQL. */
+  private def rewriteFromItems(sql: String): String = {
+    val masked = PgSql.maskLiterals(sql)
+    val fromRe = "(?i)\\bfrom\\s+".r
+    val stops = Seq("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET",
+      "UNION", "INTERSECT", "EXCEPT", "WINDOW", "DISTRIBUTED", "RETURNING",
+      "JOIN", "ON", "USING", "INTO")
+    val edits = Seq.newBuilder[(Int, Int, String)] // (start, end, replacement)
+    for (fm <- fromRe.findAllMatchIn(masked)) {
+      var pos = fm.end
+      var more = true
+      while (more) {
+        // one from-item: scan to the next top-level ',' / stop keyword
+        var i = pos
+        var depth = 0
+        var end = -1
+        while (i < masked.length && end < 0) {
+          val c = masked.charAt(i)
+          if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth < 0) end = i }
+          else if (depth == 0) {
+            if (c == ',' || c == ';') end = i
+            else if (c.isLetter &&
+                stops.exists(k => phraseAt(masked, i, k) >= 0)) end = i
+          }
+          i += 1
+        }
+        if (end < 0) end = masked.length
+        val raw = sql.substring(pos, end)
+        val lead = raw.length - raw.replaceFirst("^\\s+", "").length
+        val item = raw.trim
+        val itemStart = pos + lead
+        val itemEnd = itemStart + item.length
+        val im = ("(?is)^([\\w.]+)\\s*\\((.*)\\)" +
+          "(?:\\s+(?:AS\\s+)?(\\w+))?$").r.findFirstMatchIn(item)
+        im match {
+          case Some(m2) if hasInterpretedCall(item) =>
+            val alias = Option(m2.group(3)).getOrElse(
+              m2.group(1).split("\\.").last)
+            val call = (m2.group(3) match {
+              case null => item
+              case a => item.substring(0, item.lastIndexOf(a))
+                .replaceAll("(?is)\\s+AS\\s*$", "")
+            }).trim
+            // a composite-returning function in FROM expands to its
+            // COLUMNS (PG func_table); a scalar one is a one-column
+            // table named by the alias
+            val composite = returnsComposite(
+              org.apache.spark.sql.SparkSession.active, m2.group(1))
+            edits += ((itemStart, itemEnd,
+              if (composite)
+                s"(SELECT __r.* FROM (SELECT $call AS __r)) AS $alias"
+              else s"(SELECT $call AS $alias) AS $alias"))
+          case _ =>
+        }
+        // continue through the comma list; stop at keywords/; /)
+        more = end < masked.length && masked.charAt(end) == ','
+        pos = end + 1
+      }
+    }
+    val es = edits.result().sortBy(-_._1)
+    es.foldLeft(sql) { (acc, e) =>
+      acc.substring(0, e._1) + e._3 + acc.substring(e._2)
+    }
+  }
+
+  /** Replace every interpreted-function call in the statement with its
+    * evaluated value as a typed literal (left-to-right; each call
+    * evaluates exactly once). FROM-position items wrap first. */
+  def substituteInterpretedCalls(spark: SparkSession, sql0: String): String = {
+    var sql = rewriteFromItems(sql0)
+    var guard = 0
+    while (guard < 500) {
+      guard += 1
+      val masked = PgSql.maskLiterals(sql)
+      firstCall(masked) match {
+        case None => return sql
+        case Some((name, start, open)) =>
+          val close = PgSql.matchingParen(masked, open)
+          require(close > open, s"unbalanced call to $name in: $sql")
+          val lit = callScalarFunction(spark, name,
+            sql.substring(open + 1, close))
+          sql = sql.substring(0, start) + lit + sql.substring(close + 1)
+      }
+    }
+    throw new IllegalStateException(
+      "interpreted-call substitution did not converge")
   }
 }

@@ -56,7 +56,7 @@ object SqlFunctions {
   private val plRe =
     ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+([\\w.]+)\\s*" +
       "\\((.*?)\\)\\s*RETURNS\\s+([\\w ]+?(?:\\([\\d, ]*\\))?)\\s+AS\\s+" +
-      "(?:\\$\\$(.*?)\\$\\$|'((?:[^']|'')*)')\\s*LANGUAGE\\s+'?PLPGSQL'?" +
+      "(?:\\$\\$(.*?)\\$\\$|'([^']*+(?:''[^']*+)*+)')\\s*LANGUAGE\\s+'?PLPGSQL'?" +
       fnAttrs + "\\s*;?\\s*$").r
 
   /** The canonical SETOF plpgsql shape — `FOR r IN <query> LOOP RETURN
@@ -160,7 +160,7 @@ object SqlFunctions {
     // `LANGUAGE SQL [IMMUTABLE STRICT COST n ...] AS $$...$$` spelling
     // to `AS $$...$$ LANGUAGE SQL <attrs>`
     val ddl = ("(?is)\\bLANGUAGE\\s+'?(SQL|PLPGSQL)'?(" + fnAttrs +
-      ")\\s+AS\\s+(\\$\\$.*?\\$\\$|'(?:[^']|'')*')").r.replaceAllIn(ddl0, m =>
+      ")\\s+AS\\s+(\\$\\$.*?\\$\\$|'[^']*+(?:''[^']*+)*+')").r.replaceAllIn(ddl0, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"AS ${m.group(3)} LANGUAGE ${m.group(1)}${m.group(2)}"))
     createOrdered(ddl)

@@ -97,8 +97,8 @@ object Tablefunc {
   }
 
   private val crosstabRe =
-    ("(?is)^SELECT\\s+\\*\\s+FROM\\s+crosstab(\\d*)\\s*\\(\\s*'((?:[^']|'')*)'" +
-      "\\s*(?:,\\s*'((?:[^']|'')*)'\\s*)?\\)\\s*" +
+    ("(?is)^SELECT\\s+\\*\\s+FROM\\s+crosstab(\\d*)\\s*\\(\\s*'([^']*+(?:''[^']*+)*+)'" +
+      "\\s*(?:,\\s*'([^']*+(?:''[^']*+)*+)'\\s*)?\\)\\s*" +
       "(?:(?:AS\\s+)?(\\w+)\\s*\\(([^)]*)\\)\\s*)?;?\\s*$").r
 
   /** Router entry: `SELECT * FROM crosstab('src'[, 'cats']) AS c(col

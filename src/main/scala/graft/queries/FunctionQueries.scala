@@ -495,7 +495,7 @@ object FunctionQueries {
         |  nvl(NULLIF(o_orderstatus, 'P'), 'PENDING') AS nv,
         |  nvl2(NULLIF(o_orderstatus, 'P'), 'SET', 'UNSET') AS nv2,
         |  CAST(instr(o_orderpriority, '-') AS INT) AS ins,
-        |  substring(o_orderpriority, -4, 3) AS sub
+        |  substring(o_orderpriority, length(o_orderpriority) - 3, 3) AS sub
         |FROM orders""".stripMargin)),
 
     // contrib/earthdistance geo_distance (earthdistance.c:60-77): the

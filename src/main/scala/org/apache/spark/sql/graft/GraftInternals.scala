@@ -16,6 +16,38 @@ object GraftInternals {
       : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** As [[columnExpr]], but a Column built from `expr("...")` (whose
+    * node is a lazy SqlExpression holding unparsed text) is PARSED
+    * into a real expression tree, so callers can walk its attribute
+    * references. Returns None when the column holds no SQL text and
+    * no walkable tree. */
+  def parsedColumnExpr(spark: ApiSparkSession,
+                       c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    def parseSqlNodes(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression =
+      e transform {
+        case cne if cne.getClass.getSimpleName == "ColumnNodeExpression" =>
+          // reflectively read the wrapped ColumnNode; SqlExpression
+          // carries the raw text expr() was built from
+          val nodeField = cne.getClass.getDeclaredFields
+            .find(f => classOf[org.apache.spark.sql.internal.ColumnNode]
+              .isAssignableFrom(f.getType))
+          nodeField match {
+            case Some(f) =>
+              f.setAccessible(true)
+              f.get(cne) match {
+                case s: org.apache.spark.sql.internal.SqlExpression =>
+                  spark.asInstanceOf[SparkSession]
+                    .sessionState.sqlParser.parseExpression(s.expression)
+                case _ => cne
+              }
+            case None => cne
+          }
+      }
+    parseSqlNodes(columnExpr(c))
+  }
+
   def exprColumn(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)

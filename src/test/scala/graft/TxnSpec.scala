@@ -115,6 +115,31 @@ class TxnSpec extends AnyFunSuite {
     ex("DROP TABLE \"TxnQuoted\"")
   }
 
+  test("ROLLBACK restores DELETE ... USING (join-shaped delete)") {
+    operators.Txn.reset(spark)
+    ex("DROP TABLE IF EXISTS txn_du_t")
+    ex("DROP TABLE IF EXISTS txn_du_s")
+    ex("CREATE TABLE txn_du_t (a INT, b TEXT)")
+    ex("CREATE TABLE txn_du_s (a INT)")
+    ex("INSERT INTO txn_du_t VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+    ex("INSERT INTO txn_du_s VALUES (1), (3)")
+    ex("BEGIN")
+    ex("DELETE FROM txn_du_t USING txn_du_s WHERE txn_du_t.a = txn_du_s.a")
+    assert(rows("SELECT a FROM txn_du_t") == Seq(Seq(2)))
+    ex("ROLLBACK")
+    assert(rows("SELECT a, b FROM txn_du_t ORDER BY a") ==
+      Seq(Seq(1, "x"), Seq(2, "y"), Seq(3, "z")))
+    // join-shaped USING list goes through deleteKeeping — same guarantee
+    ex("BEGIN")
+    ex("DELETE FROM txn_du_t USING txn_du_s s1 JOIN txn_du_s s2 ON s1.a = s2.a " +
+      "WHERE txn_du_t.a = s1.a")
+    assert(rows("SELECT a FROM txn_du_t") == Seq(Seq(2)))
+    ex("ROLLBACK")
+    assert(rows("SELECT count(*) FROM txn_du_t") == Seq(Seq(3L)))
+    ex("DROP TABLE txn_du_t")
+    ex("DROP TABLE txn_du_s")
+  }
+
   test("first-touch snapshot of a partition-bounded DELETE copies only the region") {
     operators.Txn.reset(spark)
     ex("DROP TABLE IF EXISTS txn_part")
