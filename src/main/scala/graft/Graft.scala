@@ -788,8 +788,14 @@ object Graft {
           .contains(am.group(1).toLowerCase))
       val rest = aliasM match {
         case Some(am) =>
-          am.group(2).replaceAll(
-            "(?i)\\b" + java.util.regex.Pattern.quote(am.group(1)) + "\\.", "")
+          // requalify by the REAL table name (not bare): a stripped
+          // reference inside a subquery with same-named columns would
+          // turn the outer ref ambiguous (parse_relation.c resolves
+          // the alias to the delete target's RTE)
+          val tgt = m.group(1).replace("\"", "").split("\\.").last
+          operators.PgSql.replaceAllOutsideLiterals(am.group(2),
+            "(?i)\\b" + java.util.regex.Pattern.quote(am.group(1)) + "\\.",
+            java.util.regex.Matcher.quoteReplacement(tgt + "."))
         case None => rest0
       }
       val w = topKeyword(rest, "WHERE")
@@ -1550,6 +1556,19 @@ object Graft {
               org.apache.spark.sql.functions.when(
                 src.rlike("^\\d{1,2}-\\d{1,2}-\\d{2}$"),
                 try_to_timestamp(src, lit("M-d-yy"))),
+              // month-name datestyle '15-JAN-03' / '15-JAN-2003'
+              // (datetime.c: a month NAME disambiguates); initcap
+              // because the Java formatter wants 'Jan'
+              org.apache.spark.sql.functions.when(
+                src.rlike("^\\d{1,2}-[A-Za-z]{3}-\\d{2}$"),
+                try_to_timestamp(
+                  org.apache.spark.sql.functions.initcap(src),
+                  lit("d-MMM-yy"))),
+              org.apache.spark.sql.functions.when(
+                src.rlike("^\\d{1,2}-[A-Za-z]{3}-\\d{4}$"),
+                try_to_timestamp(
+                  org.apache.spark.sql.functions.initcap(src),
+                  lit("d-MMM-yyyy"))),
               // PG compact ISO date '20210202' (datetime.c DecodeDate);
               // gated on 8 digits so plain numbers can't mis-parse
               org.apache.spark.sql.functions.when(

@@ -257,7 +257,9 @@ object DchParseFmt {
     var vi = 0
     var i = 0
     val n = fmt.length
-    def at(pat: String) = fmt.regionMatches(false, i, pat, 0, pat.length)
+    // DCH keywords parse case-insensitively (formatting.c keys both
+    // DCH_DD and DCH_dd to the same action) — 'dd' ≡ 'DD'
+    def at(pat: String) = fmt.regionMatches(true, i, pat, 0, pat.length)
     def ati(pat: String) = fmt.regionMatches(true, i, pat, 0, pat.length)
     def skipSpaces(): Unit = while (vi < v.length && v.charAt(vi) == ' ') vi += 1
     def readInt(maxW: Int): Int = {
@@ -318,6 +320,12 @@ object DchParseFmt {
           else if (at("SS")) { second = readInt(2); 2 }
           else if (at("MS")) { nanos += readInt(3) * 1000000; 2 }
           else if (at("US")) { nanos += readInt(6) * 1000; 2 }
+          else if (ati("A.M.") || ati("P.M.")) { // dotted meridiem (DCH_P_M)
+            skipSpaces()
+            require(vi + 4 <= v.length, s"to_date/to_timestamp: no meridiem at '$v'[$vi]")
+            pm = v.regionMatches(true, vi, "P.M.", 0, 4)
+            pmSeen = true; vi += 4; 4
+          }
           else if (ati("AM") || ati("PM")) {
             skipSpaces()
             require(vi + 2 <= v.length, s"to_date/to_timestamp: no meridiem at '$v'[$vi]")

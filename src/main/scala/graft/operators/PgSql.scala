@@ -1053,6 +1053,65 @@ object PgSql {
     * form rewrites to `LATERAL (SELECT e1 AS c1, e2 AS c2) AS v`
     * (multi-row correlated VALUES has no lexical equivalent and fails
     * loudly in the parser as before). */
+  /** Single-row `VALUES (exprs)` as a QUERY BODY — a CTE definition
+    * (`with cte(foo) as ( values(i) )`) or the query after a WITH
+    * list (`with ... ) values((select ...))`) — becomes `SELECT
+    * exprs`: same rows (PG treats a one-row VALUES as a select), and
+    * Spark can then host OUTER references in it (a correlated inline
+    * table cannot be evaluated; a correlated scalar select can).
+    * INSERT ... VALUES never matches: its VALUES follows a table name
+    * or a column-list paren preceded by the name, never `AS (`. */
+  private def cteSingleRowValues(sqlIn: String): String = {
+    if ("(?i)\\bVALUES\\s*\\(".r.findFirstIn(sqlIn).isEmpty) return sqlIn
+    var sql = sqlIn
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(sql)
+      "(?i)\\bVALUES\\s*\\(".r.findAllMatchIn(masked).find { m =>
+        val open = masked.indexOf('(', m.start)
+        val close = matchingParen(masked, open)
+        if (close < 0) false
+        else {
+          // single row: next non-ws after the row is NOT a comma
+          var k = close + 1
+          while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
+          val singleRow = k >= masked.length || masked.charAt(k) != ','
+          // context: preceding non-ws is '(' (a subquery/CTE body
+          // start), or the ')' closing a `AS ( ... )` CTE definition
+          var p = m.start - 1
+          while (p >= 0 && masked.charAt(p).isWhitespace) p -= 1
+          val bodyStart = p >= 0 && masked.charAt(p) == '('
+          val afterCte = p >= 0 && masked.charAt(p) == ')' && {
+            // walk back over the balanced group; the token before it
+            // must be AS (a CTE definition just closed)
+            var d = 0
+            var q = p
+            var openAt = -1
+            while (q >= 0 && openAt < 0) {
+              masked.charAt(q) match {
+                case ')' => d += 1
+                case '(' => d -= 1; if (d == 0) openAt = q
+                case _ =>
+              }
+              q -= 1
+            }
+            openAt > 0 && "(?is)\\bAS\\s*$".r
+              .findFirstIn(masked.substring(0, openAt)).isDefined
+          }
+          if (singleRow && (bodyStart || afterCte)) {
+            val row = sql.substring(open + 1, close)
+            sql = sql.substring(0, m.start) + "SELECT " + row +
+              sql.substring(close + 1)
+            changed = true
+            true
+          } else false
+        }
+      }
+    }
+    sql
+  }
+
   private def lateralValues(sqlIn: String): String = {
     var sql = sqlIn
     var changed = true
@@ -1581,6 +1640,44 @@ object PgSql {
     * y/m/d): normalize to the dash form Spark's literal parser
     * takes. Only typed literals rewrite — a plain string is not
     * provably a date. */
+  /** PG `DD-MON-YY[YY]` date input (datetime.c: a month NAME
+    * disambiguates regardless of DateStyle; 2-digit years map <70 →
+    * 20YY else 19YY): normalized to ISO in typed literals, `::`
+    * casts, and INSERT ... VALUES rows (implicit coercion to a
+    * date/timestamp column — Spark's cast rejects the form). */
+  private val monNames = Map(
+    "JAN" -> "01", "FEB" -> "02", "MAR" -> "03", "APR" -> "04",
+    "MAY" -> "05", "JUN" -> "06", "JUL" -> "07", "AUG" -> "08",
+    "SEP" -> "09", "OCT" -> "10", "NOV" -> "11", "DEC" -> "12")
+
+  private def monDateLiterals(sqlIn: String): String = {
+    val litRe = ("(?i)'(\\d{1,2})-(JAN|FEB|MAR|APR|MAY|JUN|JUL|AUG|SEP|" +
+      "OCT|NOV|DEC)-(\\d{2}|\\d{4})( [^']*)?'").r
+    if (litRe.findFirstIn(sqlIn).isEmpty) return sqlIn
+    def iso(m: scala.util.matching.Regex.Match): String = {
+      val y0 = m.group(3)
+      val y = if (y0.length == 4) y0
+        else if (y0.toInt < 70) s"20$y0" else s"19$y0"
+      val d = if (m.group(1).length == 1) "0" + m.group(1) else m.group(1)
+      s"'$y-${monNames(m.group(2).toUpperCase)}-$d${Option(m.group(4)).getOrElse("")}'"
+    }
+    var out = sqlIn
+    // typed-literal and ::-cast spellings, any statement
+    out = ("(?i)\\b(date|timestamptz|timestamp)(\\s*)" + litRe.regex).r
+      .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + m.group(2) + iso(litRe.findFirstMatchIn(
+          m.matched.substring(m.group(1).length + m.group(2).length)).get)))
+    out = (litRe.regex + "(\\s*::\\s*)(?i)(date|timestamptz|timestamp)\\b").r
+      .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
+        iso(litRe.findFirstMatchIn(m.matched).get) +
+          m.group(5) + m.group(6)))
+    // INSERT rows: every full-literal match coerces by column type
+    if ("(?is)^\\s*INSERT\\b".r.findFirstIn(out).isDefined)
+      out = litRe.replaceAllIn(out,
+        m => java.util.regex.Matcher.quoteReplacement(iso(m)))
+    out
+  }
+
   private def slashDateLiterals(sqlIn: String): String = {
     val typed = ("(?i)\\b(date|timestamptz|timestamp)(\\s*)'(\\d{4})/(\\d{1,2})/" +
       "(\\d{1,2})([^']*)'").r.replaceAllIn(sqlIn, m =>
@@ -1975,11 +2072,52 @@ object PgSql {
   // word-operator alternatives need a separator lookbehind so a
   // trailing identifier char can't backtrack into them (xLIKE is a
   // name, not x LIKE)
+  // LHS shapes: a call (one paren level), a dotted identifier, or a
+  // literal — each optionally cast — chained by arithmetic operators
+  // (PG: + - * / % bind tighter than comparison); or a parenthesized
+  // ROW constructor ((A.i, A.j) = ALL (...), gram.y row syntax)
+  private val quantKw =
+    "(?:where|and|or|on|when|then|else|having|select|from|not|in|is|" +
+      "case|group|order|by|join|union|exists|between|all|any|some|" +
+      "values|intersect|except|end)"
+  private val quantAtom =
+    s"(?:(?!$quantKw\\s*\\()[\\w$$]+(?:\\.[\\w$$]+)*\\s*\\([^()]*\\)|" +
+      s"(?!$quantKw\\b)[\\w$$]+(?:\\.[\\w$$]+)*|" +
+      "'[^']*')(?:\\s*::\\s*\\w+)?"
   private val quantRe =
-    ("(?is)([\\w$]+(?:\\.[\\w$]+)*(?:\\s*::\\s*\\w+)?|" +
-      "'[^']*'(?:\\s*::\\s*\\w+)?)\\s*" +
+    (s"(?is)(?<![\\w$$.])($quantAtom(?:\\s*[-+*/%]\\s*$quantAtom)*|" +
+      "\\((?:[^()]|\\([^()]*\\))*\\))\\s*" +
       "(=|<>|!=|<=|>=|<|>|(?<=[\\s)'])(?:NOT\\s+)?I?LIKE\\b)\\s*" +
       "(ANY|SOME|ALL)\\s*\\(").r
+
+  /** Wrap a subquery's top-level select list into one struct column
+    * (row-valued sublink: PG compares the whole row). */
+  private def structifySelect(inner: String): String = {
+    val m = maskLiterals(inner)
+    val selM = "(?is)^\\s*select\\s+".r.findFirstMatchIn(m)
+      .getOrElse(return inner)
+    var d = 0
+    var i = selM.end
+    var fromAt = -1
+    while (i < m.length && fromAt < 0) {
+      m.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case c if d == 0 && (c == 'f' || c == 'F') &&
+            m.regionMatches(true, i, "from", 0, 4) &&
+            (i + 4 >= m.length || !Character.isLetterOrDigit(m.charAt(i + 4))) &&
+            !Character.isLetterOrDigit(m.charAt(i - 1)) &&
+            m.charAt(i - 1) != '_' =>
+          fromAt = i
+        case _ =>
+      }
+      i += 1
+    }
+    val items = if (fromAt < 0) inner.substring(selM.end).trim
+      else inner.substring(selM.end, fromAt).trim
+    val tailTxt = if (fromAt < 0) "" else " " + inner.substring(fromAt)
+    inner.substring(0, selM.end) + s"struct($items)" + tailTxt
+  }
 
   /** PG quantified comparisons `lhs op ANY|SOME|ALL (rhs)` (gram.y
     * a_expr sub_type; parse_expr.c ANY_SUBLINK/ALL_SUBLINK). Spark has
@@ -2014,12 +2152,33 @@ object PgSql {
     }
   }
 
-  private def buildQuantified(lhs: String, op0: String, quant: String,
-                              inner: String): String = {
+  private def buildQuantified(lhs0: String, op0: String, quant: String,
+                              inner0: String): String = {
     val op = op0.toUpperCase.replaceAll("\\s+", " ") match {
       case "!=" => "<>"
       case o => o
     }
+    // ROW-valued quantifier ((A.i, A.j) = ALL (select x, y ...)):
+    // both sides become one struct (rowtypes record_eq compares
+    // field-by-field; struct comparison does the same)
+    val isTuple = lhs0.trim.startsWith("(") && {
+      val t = lhs0.trim
+      val mt = maskLiterals(t)
+      matchingParen(mt, 0) == t.length - 1 && {
+        var d = 0
+        var comma = false
+        mt.substring(1, t.length - 1).foreach {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case ',' if d == 0 => comma = true
+          case _ =>
+        }
+        comma
+      }
+    }
+    val lhs = if (isTuple)
+      s"struct${lhs0.trim}" else lhs0
+    val inner = if (isTuple) structifySelect(inner0) else inner0
     // `= ANY (ARRAY(subquery))` collapses to the subquery itself
     // (parse_expr.c treats ARRAY_SUBLINK + ANY as the sublink) — vital
     // here because the HOF path can't host a subquery inside a lambda
@@ -2041,8 +2200,14 @@ object PgSql {
       }
       val lam = s"__v -> ($lhs) $op __v"
       if (any) s"exists($rhs, $lam)" else s"forall($rhs, $lam)"
-    } else if (any && op == "=") s"(($lhs) IN ($innerEff))"
-    else if (!any && op == "<>") s"(($lhs) NOT IN ($innerEff))"
+    } else if (any && op == "=")
+      // tuple LHS uses Spark's NATIVE multi-column IN — a struct LHS
+      // would be unpacked against the subquery's column count
+      s"((${if (isTuple) lhs0.trim else lhs}) IN " +
+        s"(${if (isTuple) inner0 else innerEff}))"
+    else if (!any && op == "<>")
+      s"((${if (isTuple) lhs0.trim else lhs}) NOT IN " +
+        s"(${if (isTuple) inner0 else innerEff}))"
     else {
       // Two EXISTS legs carrying the three-valued quantifier: a
       // decisive witness (some v satisfying the comparison proves ANY;
@@ -2783,9 +2948,24 @@ object PgSql {
             val rhsInner = sql.substring(rhsOpen + 1, rhsClose)
             def isSub(s: String) = s.trim.toUpperCase
               .matches("(?s)^(SELECT|WITH|VALUES|TABLE)\\b.*")
-            !isSub(lhsInner) && !isSub(rhsInner) && {
-            val lhsParts = topLevelSplit(lhsInner,
+            val lhsParts0 = topLevelSplit(lhsInner,
               masked.substring(lhsOpen + 1, lhsClose))
+            if (!isSub(lhsInner) && isSub(rhsInner) &&
+                lhsParts0.length >= 2 &&
+                (m.group(1) == "=" || m.group(1) == "<>" ||
+                  m.group(1) == "!=")) {
+              // ROW-valued scalar subquery ((a,b) = (SELECT x, y …)):
+              // both sides become one struct (rowtypes record_eq)
+              val op = if (m.group(1) == "!=") "<>" else m.group(1)
+              val start = if (rowKw) k + 1 else lhsOpen
+              sql = sql.substring(0, start) +
+                s"struct($lhsInner) $op (${structifySelect(rhsInner)})" +
+                sql.substring(rhsClose + 1)
+              changed = true
+              true
+            } else
+            !isSub(lhsInner) && !isSub(rhsInner) && {
+            val lhsParts = lhsParts0
             val rhsParts = topLevelSplit(rhsInner,
               masked.substring(rhsOpen + 1, rhsClose))
             lhsParts.length >= 2 && lhsParts.length == rhsParts.length && {
@@ -3339,8 +3519,17 @@ object PgSql {
     val fromAt = "(?i)\\bFROM\\b".r.findAllMatchIn(masked)
       .find(m => m.start > selStart && depth(m.start) == dgb)
       .map(_.start).getOrElse(return sqlIn)
-    val selItems = topLevelSplit(sqlIn.substring(selStart, fromAt),
-      masked.substring(selStart, fromAt))
+    // SELECT DISTINCT/ALL: the quantifier is NOT part of the first
+    // select item; re-emitted on the rebuilt outer SELECT
+    val distinctKw = "(?is)^\\s*(DISTINCT|ALL)\\b"
+      .r.findFirstMatchIn(masked.substring(selStart, fromAt))
+      .map(_.group(1).toUpperCase)
+    val selBodyStart = distinctKw.map(k =>
+      selStart + masked.substring(selStart, fromAt)
+        .toUpperCase.indexOf(k) + k.length).getOrElse(selStart)
+    val selKw = "SELECT " + distinctKw.map(_ + " ").getOrElse("")
+    val selItems = topLevelSplit(sqlIn.substring(selBodyStart, fromAt),
+      masked.substring(selBodyStart, fromAt))
     val aliasMap: Map[String, String] = selItems.flatMap { si =>
       "(?is)^(.*\\S)\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(si.trim)
         .map(m2 => m2.group(2).toLowerCase -> s"(${m2.group(1)})")
@@ -3516,7 +3705,13 @@ object PgSql {
           .orElse((hStart until masked.length).find(p => depth(p) < dgb))
           .getOrElse(masked.length)
         val pred = sqlIn.substring(hStart, hEnd).trim
-        if ("(?i)\\bGROUPING\\s*\\(".r.findFirstIn(pred).isDefined) {
+        // EVERY composed-path HAVING lifts: grouping() cannot bind
+        // under UnresolvedHaving once Expand adds _gen_grouping_pos,
+        // and a plain grouping-column reference would resolve to the
+        // CHILD column below Expand (filtering source rows) where PG
+        // reads the per-set value — the select list resolves both
+        // correctly
+        if (pred.nonEmpty) {
           havingPred = Some(pred)
           havingCutEnd = hEnd
         }
@@ -3554,7 +3749,7 @@ object PgSql {
     val aggRe = ("(?i)\\b(sum|count|min|max|avg|stddev|stddev_samp|" +
       "stddev_pop|variance|var_samp|var_pop|corr|covar_pop|covar_samp|" +
       "percentile_cont|percentile_disc|array_agg|string_agg|bool_and|" +
-      "bool_or|every|bit_and|bit_or|median)\\s*\\(").r
+      "bool_or|every|bit_and|bit_or|median|regr_\\w+)\\s*\\(").r
     val groupFnRe = "(?i)\\b(grouping|group_id|grouping_id)\\s*\\(".r
     // bare (tle-less) complex grouping entries, as rendered: a select
     // expr equal to one of these matches in Spark natively
@@ -3609,7 +3804,7 @@ object PgSql {
       val itemsHere = selItemsFor(ss)
       havingPred match {
         case None =>
-          "SELECT " + itemsHere.mkString(", ") + " " + base +
+          selKw + itemsHere.mkString(", ") + " " + base +
             s"GROUPING SETS (${setsSqlOf(ss)}) "
         case Some(pred) =>
           val inner = "SELECT " + itemsHere.zipWithIndex.map {
@@ -3620,7 +3815,9 @@ object PgSql {
               s"($e) AS __hc$i" }.mkString(", ") +
             s", ($pred) AS __keep " + base +
             s"GROUPING SETS (${setsSqlOf(ss)})"
-          s"SELECT ${itemsHere.indices.map(i => s"__hc$i")
+          // a SELECT DISTINCT quantifier applies on the OUTER select
+          // (after the lifted HAVING filter, PG's evaluation order)
+          s"$selKw${itemsHere.indices.map(i => s"__hc$i")
             .mkString(", ")} FROM ($inner) __hv$suffix WHERE __keep "
       }
     }
@@ -3751,6 +3948,71 @@ object PgSql {
     *  - a bare `()` item in a GROUP BY list alongside other items is
     *    the cross-product identity — dropped (inside GROUPING SETS it
     *    is meaningful and kept). */
+  /** HAVING over grouping analytics (ROLLUP/CUBE/GROUPING SETS):
+    * PG resolves a grouping-column reference in HAVING to its
+    * PER-SET value (NULL on rolled-up rows — parse_agg.c resolves
+    * into the grouping target list); Spark resolves it to the child
+    * column BELOW Expand, filtering source rows instead. Lift the
+    * predicate into the select list (where Spark's resolution IS the
+    * per-set value) and filter outside. Aggregate-only predicates are
+    * unchanged semantically — the transform is applied uniformly. */
+  private def havingOverGroupingSets(sqlIn: String): String = {
+    val masked0 = maskLiterals(sqlIn)
+    if ("(?i)\\bHAVING\\b".r.findFirstIn(masked0).isEmpty ||
+        "(?i)\\b(grouping\\s+sets|rollup|cube)\\s*\\(".r
+          .findFirstIn(masked0).isEmpty) return sqlIn
+    val masked = masked0
+    val depth = new Array[Int](masked.length + 1)
+    var d = 0
+    var i = 0
+    while (i < masked.length) {
+      depth(i) = d
+      masked.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    depth(masked.length) = d
+    val hav = "(?i)\\bHAVING\\b".r.findAllMatchIn(masked)
+      .find(m => depth(m.start) == 0).getOrElse(return sqlIn)
+    val gbM = "(?i)\\bGROUP\\s+BY\\b".r.findAllMatchIn(masked)
+      .filter(m => m.start < hav.start && depth(m.start) == 0)
+      .toSeq.lastOption.getOrElse(return sqlIn)
+    // the analytics must be in THIS group-by clause
+    if ("(?i)\\b(grouping\\s+sets|rollup|cube)\\s*\\(".r
+        .findFirstIn(masked.substring(gbM.end, hav.start)).isEmpty)
+      return sqlIn
+    val selM = "(?i)\\bSELECT\\b".r.findAllMatchIn(masked)
+      .filter(m => m.start < gbM.start && depth(m.start) == 0)
+      .toSeq.lastOption.getOrElse(return sqlIn)
+    // only the OUTERMOST query block (nothing before its SELECT)
+    if (sqlIn.substring(0, selM.start).trim.nonEmpty) return sqlIn
+    // predicate extent: to the next top-level clause keyword
+    var predEnd = masked.length
+    val enderRe =
+      "(?i)\\b(ORDER\\s+BY|LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|WINDOW)\\b".r
+    enderRe.findAllMatchIn(masked).find(m =>
+      m.start > hav.end && depth(m.start) == 0)
+      .foreach(m => predEnd = m.start)
+    val semi = masked.indexOf(';', hav.end)
+    if (semi >= 0 && semi < predEnd) predEnd = semi
+    val pred = sqlIn.substring(hav.end, predEnd).trim
+    if (pred.isEmpty) return sqlIn
+    val distinct = "(?is)^\\s*DISTINCT\\b".r
+      .findFirstIn(masked.substring(selM.end, gbM.start)).isDefined
+    val bodyStart =
+      if (distinct)
+        selM.end + masked.substring(selM.end).toUpperCase.indexOf("DISTINCT") +
+          "DISTINCT".length
+      else selM.end
+    val inner = "SELECT " + sqlIn.substring(bodyStart, hav.start).trim +
+      s", ($pred) AS __gshk"
+    s"SELECT ${if (distinct) "DISTINCT " else ""}* EXCEPT(__gshk) " +
+      s"FROM ($inner) __gshv WHERE __gshk " + sqlIn.substring(predEnd)
+  }
+
   private def mdqaGrouping(sqlIn: String): String = {
     var sql = sqlIn
     if ("(?i)\\bgroup_id\\s*\\(".r.findFirstIn(sql).isDefined)
@@ -4077,6 +4339,29 @@ object PgSql {
             sql.substring(m.end)
           changed = true
         case None =>
+      }
+      if (!changed) {
+        // DYNAMIC text → interval cast ((i||' min')::interval): PG's
+        // DecodeInterval grammar at runtime; Spark's own cast takes
+        // only `D HH:MM:SS` and yields NULL on PG unit lists. Literal
+        // operands keep the typed-literal rewrite (comparable types).
+        val dynIntervalRe =
+          "(?i)([A-Za-z_][\\w.]*\\s*\\([^()]*\\)|[A-Za-z_][\\w.]*|\\))\\s*::\\s*interval\\b(?!\\s*\\[)".r
+        dynIntervalRe.findFirstMatchIn(masked).filter { m =>
+          // INTERVAL 'x' form, and NULL/bool keywords, keep their cast
+          !Set("interval", "null", "true", "false")
+            .contains(m.group(1).toLowerCase)
+        } match {
+          case Some(m) =>
+            val s0 = baseStartOf(masked, m.start(1), m.end(1))
+            val base = sql.substring(s0, m.end(1))
+            sql = sql.substring(0, s0) +
+              s"make_dt_interval(0, 0, 0, " +
+              s"CAST(pg_interval_us($base) AS DOUBLE) / 1000000.0)" +
+              sql.substring(m.end)
+            changed = true
+          case None =>
+        }
       }
       if (!changed) {
         val charRe =
@@ -4414,11 +4699,11 @@ object PgSql {
   def rewrite(sqlIn: String): String = {
     // quantified runs BEFORE arraySubquery so `= ANY(ARRAY(subquery))`
     // is seen as the sublink it is, not a collect()'d scalar array
-    val sql = rowCompare(arraySubquery(quantified(flattenGroupByParens(mdqaGrouping(pgGroupingSets(
-      regexSubstring(extractFields(unnestFrom(generateSeriesRewrite(srfSelectHoist(srfInsertValues(lateralValues(
+    val sql = rowCompare(arraySubquery(quantified(flattenGroupByParens(havingOverGroupingSets(mdqaGrouping(pgGroupingSets(
+      regexSubstring(extractFields(unnestFrom(generateSeriesRewrite(srfSelectHoist(srfInsertValues(lateralValues(cteSingleRowValues(
         windowOrder(arraySlices(subscripts(arrayConcatOps(arrayBrackets(arrayLiteralCasts(
           quotedIdents(joinOnSubqueryToFilter(gpDistRandom(
-            complexRewrites(intervalSpacing(slashDateLiterals(compactDateLiterals(pgDateTemplates(
+            complexRewrites(intervalSpacing(monDateLiterals(slashDateLiterals(compactDateLiterals(pgDateTemplates(
               valuesPgLiterals(pgValueCasts(pgStringSyntax(orderByNulls(orderedAgg(percentileArray(hypotheticalSetAgg(
                 windowClauseExpand(nestedJoinOns(
                   orderByOrdinal(jsonArrows(similarToOp(distinctOn(stripCorrelatedOrderBy(
@@ -4433,7 +4718,7 @@ object PgSql {
                       // count over null-extended whole rows)
                       "(?i)\\bcount\\s*\\(\\s*(\\w+)\\s*\\.\\s*\\*\\s*\\)".r
                         .replaceAllIn(operatorSyntax(sqlIn), "count(struct($1.*))"),
-                      ""))))))))))))))))))))))))))))))))))))))))))
+                      "")))))))))))))))))))))))))))))))))))))))))))))
     // alternating parts: (isLiteral, text), literals include their quotes
     val parts = Vector.newBuilder[(Boolean, String)]
     var i = 0

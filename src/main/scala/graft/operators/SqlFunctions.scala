@@ -954,31 +954,32 @@ object SqlFunctions {
           val enders = Seq("where", "group", "having", "order", "limit",
             "union", "intersect", "except", "window", "fetch", "offset",
             "returning")
-          if (fromAt >= 0) {
-            // end of the FROM item list
-            var k = fromAt + 4
+          // end-of-clause scan runs THROUGH masked.length: depth(p)
+          // is the depth BEFORE char p, so a drop below the call's
+          // depth means char p-1 closed the enclosing subselect — the
+          // splice must land INSIDE it (end = p - 1), including when
+          // that ')' is the statement's last character
+          def clauseEnd(from: Int): Int = {
+            var k = from
             var end = masked.length
             var scanning = true
-            while (k < masked.length && scanning) {
-              if (depth(k) < myDepth) { end = k; scanning = false }
-              else if (depth(k) == myDepth && enders.exists(word(k, _))) {
+            while (k <= masked.length && scanning) {
+              if (depth(k) < myDepth) { end = k - 1; scanning = false }
+              else if (k < masked.length && depth(k) == myDepth &&
+                (masked.charAt(k) == ';' || enders.exists(word(k, _)))) {
                 end = k; scanning = false
               } else k += 1
             }
+            end
+          }
+          if (fromAt >= 0) {
+            val end = clauseEnd(fromAt + 4) // end of the FROM item list
             sql = sql.substring(0, m.start) + vCol +
               sql.substring(after, end).stripSuffix(" ") +
               s", LATERAL $call AS $tAlias($vCol) " + sql.substring(end)
           } else {
             // no FROM clause: the SRF becomes the sole FROM item
-            var k = after
-            var end = masked.length
-            var scanning = true
-            while (k < masked.length && scanning) {
-              if (depth(k) < myDepth) { end = k; scanning = false }
-              else if (depth(k) == myDepth && enders.exists(word(k, _))) {
-                end = k; scanning = false
-              } else k += 1
-            }
+            val end = clauseEnd(after)
             sql = sql.substring(0, m.start) + vCol +
               sql.substring(after, end) +
               s" FROM $call AS $tAlias($vCol) " + sql.substring(end)

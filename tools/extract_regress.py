@@ -100,6 +100,7 @@ skip_res = [re.compile(p, re.I | re.S) for p in args.skip]
 
 i = 0
 entries = []  # (kind, stmt, rows)
+prev_kept = [True]  # whether the most recent scanned statement was emitted
 n = len(lines)
 
 # standard_conforming_strings mode (scan.l): ON (the PG default) lexes
@@ -226,8 +227,11 @@ while i < n:
             i += 1
         continue
     if re.match(r"^ERROR", s):
-        # attach to the previous statement
-        if entries and entries[-1][0] in ("STMT", "SQL"):
+        # attach to the previous statement — but ONLY when that
+        # statement was actually emitted: an ERROR after a DROPPED
+        # statement (an EXPLAIN, or a --skip match) belongs to the
+        # dropped one, not to the last kept entry
+        if prev_kept[0] and entries and entries[-1][0] in ("STMT", "SQL"):
             k, st, rows = entries[-1]
             entries[-1] = ("ERR", st, [])
         i += 1
@@ -359,9 +363,12 @@ while i < n:
     if low.startswith("explain"):
         # consume its un-fenced output: explain output IS fenced with (N rows)
         # and was parsed above as rows; just drop
+        prev_kept[0] = False
         continue
     if any(r.search(stmt) for r in skip_res):
+        prev_kept[0] = False
         continue
+    prev_kept[0] = True
     if rows is not None:
         entries.append(("SQL", stmt, rows))
     else:
