@@ -19,6 +19,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Graft {
 
+  // affected-row tracking for plpgsql's FOUND / GET DIAGNOSTICS
+  // (pl_exec.c exec_stmt_execsql reads SPI_processed): the interpreter
+  // flips trackAffected around a DML statement; the DML dispatch
+  // paths report their counts. Off by default — INSERT would
+  // otherwise pay an extra count scan per statement.
+  private[graft] val trackAffected = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  private[graft] val lastAffected = new ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = -1L
+  }
+  private def recordAffected(n: => Long): Unit =
+    if (trackAffected.get) lastAffected.set(n)
+
   def session(master: String = "local[*]",
               shufflePartitions: Int = Runtime.getRuntime.availableProcessors,
               appName: String = "graft"): SparkSession = {
@@ -836,10 +850,11 @@ object Graft {
         val condText = rest.substring(w + "WHERE".length)
         try {
           val (src, alias) = parseFromItem(usingText)
-          operators.Dml.deleteUsing(spark, table, table,
+          val nDel = operators.Dml.deleteUsing(spark, table, table,
             spark.table(src).alias(alias),
             org.apache.spark.sql.functions.expr(
               operators.PgSql.rewrite(condText)))
+          recordAffected(nDel)
         } catch {
           case _: IllegalArgumentException =>
             // a join-shaped USING list (`USING t1 JOIN t2 USING (a)`,
@@ -849,7 +864,8 @@ object Graft {
             val kept = spark.sql(operators.PgSql.rewrite(
               s"SELECT * FROM $table WHERE NOT EXISTS " +
                 s"(SELECT 1 FROM $usingText WHERE $condText)"))
-            operators.Dml.deleteKeeping(spark, table, kept)
+            val nDel = operators.Dml.deleteKeeping(spark, table, kept)
+            recordAffected(nDel)
         }
         return retUsing
       }
@@ -868,8 +884,11 @@ object Graft {
           .selectExpr(items: _*).localCheckpoint(true))
       // an inheritance parent's DELETE touches every member (PG plans
       // one ModifyTable over the whole inheritance set)
-      operators.GreengageDdl.inheritanceMembers(table)
-        .foreach(mb => operators.Dml.deleteWhere(spark, mb, cond))
+      locally {
+        val n = operators.GreengageDdl.inheritanceMembers(table)
+          .map(mb => operators.Dml.deleteWhere(spark, mb, cond)).sum
+        recordAffected(n)
+      }
       ret
     } else if (is("(?is)^UPDATE\\b")) {
       // UPDATE t [AS] alias SET (gram.y relation_expr_opt_alias):
@@ -1061,8 +1080,12 @@ object Graft {
         }.toSeq: _*)
         updated.selectExpr(items: _*).localCheckpoint(true)
       }
-      operators.GreengageDdl.inheritanceMembers(table)
-        .foreach(mb => operators.Dml.updateWhere(spark, mb, cond, assignments))
+      locally {
+        val n = operators.GreengageDdl.inheritanceMembers(table)
+          .map(mb => operators.Dml.updateWhere(spark, mb, cond, assignments))
+          .sum
+        recordAffected(n)
+      }
       ret
     } else if (is("(?is)^(SELECT|WITH)\\b") &&
         operators.PgSql.withTies(t).isDefined) {
@@ -1672,6 +1695,7 @@ object Graft {
     }
     val view = "__graft_ins_src"
     val shaped = b2.select(aligned.toIndexedSeq: _*)
+    recordAffected(shaped.count()) // only counts when tracking is on
     // bounds-recorded tables with no default partition reject rows
     // outside every declared bound (execMain.c partition routing)
     operators.GreengageDdl.checkInsertBounds(spark, table, shaped)

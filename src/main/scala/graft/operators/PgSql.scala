@@ -3705,13 +3705,15 @@ object PgSql {
           .orElse((hStart until masked.length).find(p => depth(p) < dgb))
           .getOrElse(masked.length)
         val pred = sqlIn.substring(hStart, hEnd).trim
-        // EVERY composed-path HAVING lifts: grouping() cannot bind
-        // under UnresolvedHaving once Expand adds _gen_grouping_pos,
-        // and a plain grouping-column reference would resolve to the
-        // CHILD column below Expand (filtering source rows) where PG
-        // reads the per-set value — the select list resolves both
-        // correctly
-        if (pred.nonEmpty) {
+        // the HAVING lifts when it references GROUPING() or a plain
+        // grouping-column OUTSIDE any aggregate: grouping() cannot
+        // bind under UnresolvedHaving once Expand adds
+        // _gen_grouping_pos, and a bare grouping-column reference
+        // resolves to the CHILD column BELOW Expand (filtering source
+        // rows) where PG reads the per-set value. Aggregate-only
+        // predicates stay native (Spark handles them, and the lift
+        // would disturb subquery contexts).
+        if (havingPredNeedsLift(pred)) {
           havingPred = Some(pred)
           havingCutEnd = hEnd
         }
@@ -3999,7 +4001,7 @@ object PgSql {
     val semi = masked.indexOf(';', hav.end)
     if (semi >= 0 && semi < predEnd) predEnd = semi
     val pred = sqlIn.substring(hav.end, predEnd).trim
-    if (pred.isEmpty) return sqlIn
+    if (pred.isEmpty || !havingPredNeedsLift(pred)) return sqlIn
     val distinct = "(?is)^\\s*DISTINCT\\b".r
       .findFirstIn(masked.substring(selM.end, gbM.start)).isDefined
     val bodyStart =
@@ -4007,10 +4009,49 @@ object PgSql {
         selM.end + masked.substring(selM.end).toUpperCase.indexOf("DISTINCT") +
           "DISTINCT".length
       else selM.end
-    val inner = "SELECT " + sqlIn.substring(bodyStart, hav.start).trim +
-      s", ($pred) AS __gshk"
+    // the __gshk keep-column joins the select LIST (before this
+    // block's FROM); the FROM..GROUP BY section follows unchanged
+    val fromM = "(?i)\\bFROM\\b".r.findAllMatchIn(masked)
+      .filter(m => m.start > selM.end && m.start < gbM.start &&
+        depth(m.start) == 0)
+      .toSeq.headOption.getOrElse(return sqlIn)
+    val inner = "SELECT " + sqlIn.substring(bodyStart, fromM.start).trim +
+      s", ($pred) AS __gshk " + sqlIn.substring(fromM.start, hav.start).trim
     s"SELECT ${if (distinct) "DISTINCT " else ""}* EXCEPT(__gshk) " +
       s"FROM ($inner) __gshv WHERE __gshk " + sqlIn.substring(predEnd)
+  }
+
+  /** Whether a HAVING predicate must LIFT out of Spark's native
+    * HAVING: it references GROUPING()/GROUP_ID() or a plain grouping
+    * column OUTSIDE every aggregate call (Spark would resolve that
+    * reference to the child column BELOW Expand — filtering source
+    * rows — where PG reads the per-set, NULLed value). Aggregate-only
+    * predicates stay native. */
+  private def havingPredNeedsLift(pred: String): Boolean = {
+    if ("(?i)\\b(GROUPING|GROUP_ID)\\s*\\(".r.findFirstIn(pred).isDefined)
+      return true
+    var t = pred
+    var go = true
+    while (go) {
+      val tm = maskLiterals(t)
+      val am = ("(?i)\\b(sum|count|min|max|avg|stddev|stddev_samp|" +
+        "stddev_pop|variance|var_samp|var_pop|corr|covar_pop|" +
+        "covar_samp|array_agg|string_agg|bool_and|bool_or|every|" +
+        "bit_and|bit_or|median|regr_\\w+)\\s*\\(").r.findFirstMatchIn(tm)
+      am match {
+        case Some(a) =>
+          val open = tm.indexOf('(', a.start)
+          val close = matchingParen(tm, open)
+          if (close > open) t = t.substring(0, a.start) + t.substring(close + 1)
+          else go = false
+        case None => go = false
+      }
+    }
+    "[A-Za-z_][\\w.]*".r.findAllMatchIn(maskLiterals(t))
+      .exists(w => !Set("and", "or", "not", "null", "is", "in", "between",
+        "like", "true", "false", "case", "when", "then", "else", "end",
+        "coalesce", "cast", "as").contains(w.matched.toLowerCase) &&
+        !w.matched.matches("\\d+"))
   }
 
   private def mdqaGrouping(sqlIn: String): String = {

@@ -55,6 +55,7 @@ object PlDo {
                               body: Seq[Stmt]) extends Stmt
   private case class WhileStmt(cond: String, body: Seq[Stmt]) extends Stmt
   private case class ExitStmt(when: Option[String], continue: Boolean) extends Stmt
+  private case class GetDiag(v: String, item: String) extends Stmt
   private case class SqlStmt(text: String) extends Stmt
 
   private final class ExitSignal(val continue: Boolean)
@@ -66,7 +67,8 @@ object PlDo {
     extends RuntimeException(null, null, false, false)
 
   private final case class Block(decls: Seq[(String, String, Option[String])],
-                                 body: Seq[Stmt], handler: Option[Seq[Stmt]])
+                                 body: Seq[Stmt],
+                                 handler: Seq[(Seq[String], Seq[Stmt])])
 
   // ---------------------------------------------------------------
   // lexical helpers (single-quoted literals with '' escapes)
@@ -204,12 +206,27 @@ object PlDo {
     }
     val inner = m.group(2)
     val (main, term, p) = parseSeq(inner, 0, Seq("EXCEPTION"))
+    // EXCEPTION WHEN <cond> [OR <cond>…] THEN <stmts> [WHEN …]
+    // (pl_gram.y proc_exceptions; conditions are PG condition names,
+    // plus OTHERS which matches everything but QUERY_CANCELED)
     val handler = if (term == "EXCEPTION") {
-      val h = "(?is)^\\s*WHEN\\s+OTHERS\\s+THEN\\b".r.findFirstMatchIn(
-        inner.substring(p)).getOrElse(throw new IllegalArgumentException(
-          "only EXCEPTION WHEN OTHERS THEN is supported in DO blocks"))
-      Some(parseSeq(inner, p + h.end, Nil)._1)
-    } else None
+      val sections = Seq.newBuilder[(Seq[String], Seq[Stmt])]
+      var pos = p
+      var more = true
+      while (more) {
+        val h = "(?is)^\\s*WHEN\\s+([\\w ]+?(?:\\s+OR\\s+[\\w ]+?)*)\\s+THEN\\b".r
+          .findFirstMatchIn(inner.substring(pos)).getOrElse(
+            throw new IllegalArgumentException(
+              s"cannot parse EXCEPTION section at: ${inner.substring(pos).take(80)}"))
+        val names = h.group(1).split("(?i)\\s+OR\\s+").toSeq
+          .map(_.trim.toLowerCase)
+        val (stmts, term2, p2) = parseSeq(inner, pos + h.end, Seq("WHEN"))
+        sections += ((names, stmts))
+        if (term2 == "WHEN") { pos = p2 - "WHEN".length; more = true }
+        else more = false
+      }
+      sections.result()
+    } else Seq.empty
     Block(decls, main, handler)
   }
 
@@ -307,9 +324,18 @@ object PlDo {
         val (is, _, ie) = findTop(rest, 0, Seq("INTO"))
         if (is >= 0)
           DynExec(rest.substring(0, is).trim,
-            GreengageDdl.splitTop(rest.substring(ie))
+            GreengageDdl.splitTop(rest.substring(ie)
+                // INTO STRICT: the 1-row enforcement is not replicated
+                // (no-row/multi-row error surfaces are ERR entries)
+                .replaceFirst("(?is)^\\s*STRICT\\b", ""))
               .map(_.trim.toLowerCase))
         else DynExec(rest, Nil)
+      case t if phraseAt(t, 0, "GET DIAGNOSTICS") >= 0 =>
+        val m2 = ("(?is)^GET\\s+DIAGNOSTICS\\s+(\\w+)\\s*:?=\\s*" +
+          "(ROW_COUNT|RESULT_OID)\\s*$").r.findFirstMatchIn(t).getOrElse(
+          throw new IllegalArgumentException(
+            s"unsupported GET DIAGNOSTICS item: $t"))
+        GetDiag(m2.group(1).toLowerCase, m2.group(2).toUpperCase)
       case t if phraseAt(t, 0, "RETURN") >= 0 =>
         val rest = t.substring(phraseAt(t, 0, "RETURN")).trim
         require(!"(?is)^(QUERY|NEXT)\\b".r.findFirstIn(rest).isDefined,
@@ -352,7 +378,8 @@ object PlDo {
         val (fs, _, _) = findTop(t, ie, Seq("FROM", "WHERE", "GROUP", "ORDER"))
         val tail = if (fs >= 0) " " + t.substring(fs) else ""
         val vars = GreengageDdl.splitTop(
-          t.substring(ie, if (fs >= 0) fs else t.length))
+          t.substring(ie, if (fs >= 0) fs else t.length)
+            .replaceFirst("(?is)^\\s*STRICT\\b", ""))
           .map(_.trim.toLowerCase)
         SelectInto(t.substring(0, is) + tail, vars)
       case t => SqlStmt(t)
@@ -372,6 +399,10 @@ object PlDo {
   // execution
   // ---------------------------------------------------------------
   private final class Env {
+    // FOUND magic variable (pl_exec.c exec_set_found) + the
+    // ROW_COUNT diagnostic of the last SQL statement
+    var found: Boolean = false
+    var rowCount: Long = 0L
     val vars = mutable.LinkedHashMap.empty[String, String] // name → SQL literal
     // ROW variables (composite/%rowtype/record declarations): name →
     // ordered (field, spark type); each field's value lives in vars
@@ -418,8 +449,13 @@ object PlDo {
     * variable takes every column positionally (pl_exec.c
     * exec_move_row); scalars bind one column each. */
   private def bindInto(env: Env, vars: Seq[String],
-                       df: org.apache.spark.sql.DataFrame): Unit = {
+                       df: org.apache.spark.sql.DataFrame,
+                       setFound: Boolean = false): Unit = {
     val rows = df.limit(1).collect()
+    if (setFound) { // SELECT INTO sets FOUND; EXECUTE INTO does not
+      env.found = rows.nonEmpty
+      env.rowCount = rows.length.toLong
+    }
     if (vars.length == 1 && env.rows.contains(vars.head)) {
       val n = vars.head
       val declared = env.rows(n)
@@ -496,9 +532,14 @@ object PlDo {
   /** Substitute environment variables (word-bounded, outside literals;
     * longest names first so `rec.total` wins over `rec`). */
   private def subst(text: String, env: Env): String = {
-    if (env.vars.isEmpty) return text
+    val text1 = // FOUND is reserved in plpgsql (pl_comp.c) — never a var
+      if ("(?i)(?<![\\w.])found(?![\\w.])".r.findFirstIn(text).isDefined)
+        mapOutsideLiterals(text)(_.replaceAll(
+          "(?i)(?<![\\w.])found(?![\\w.])", env.found.toString))
+      else text
+    if (env.vars.isEmpty) return text1
     val keys = env.vars.keys.toSeq.sortBy(-_.length)
-    mapOutsideLiterals(text) { seg =>
+    mapOutsideLiterals(text1) { seg =>
       val seg1 = keys.foldLeft(seg) { (acc, k) =>
         // `var::text` over a float8 var: splice PG's float8out form
         // as a string literal (Spark's double→string cast would emit
@@ -532,7 +573,12 @@ object PlDo {
   }
 
   private def evalRow(spark: SparkSession, expr: String, env: Env) = {
-    val df = spark.sql(s"SELECT (${PgSql.rewrite(subst(expr, env))})")
+    val sub0 = subst(expr, env)
+    // calls to interpreted functions INSIDE expressions (including
+    // self-recursion) evaluate here, depth-first
+    val sub = if (hasInterpretedCall(sub0))
+      substituteInterpretedCalls(spark, sub0) else sub0
+    val df = spark.sql(s"SELECT (${PgSql.rewrite(sub)})")
     (df.head().get(0), df.schema.head.dataType)
   }
 
@@ -552,9 +598,25 @@ object PlDo {
   private def run(spark: SparkSession, stmts: Seq[Stmt], env: Env): Unit =
     stmts.foreach {
       case Assign(n, e) => env.vars(n) = eval(spark, e, env)
+      case GetDiag(v, item) =>
+        env.vars(v) = if (item == "ROW_COUNT") env.rowCount.toString else "0"
       case SqlStmt("") => ()
       case SqlStmt(text) =>
-        graft.Graft.execute(spark, PgSql.rewrite(subst(text, env)))
+        // a DML statement updates FOUND/ROW_COUNT (exec_stmt_execsql);
+        // Graft's DML paths report their affected-row counts through
+        // the tracking hook
+        val isDml = "(?is)^\\s*(INSERT|UPDATE|DELETE|MERGE)\\b".r
+          .findFirstIn(text).isDefined
+        if (isDml) {
+          graft.Graft.trackAffected.set(true)
+          graft.Graft.lastAffected.set(-1L)
+        }
+        try graft.Graft.execute(spark, PgSql.rewrite(subst(text, env)))
+        finally if (isDml) {
+          val n = graft.Graft.lastAffected.get
+          if (n >= 0) { env.rowCount = n; env.found = n > 0 }
+          graft.Graft.trackAffected.set(false)
+        }
       case Perform(q) =>
         // PERFORM = SELECT with the result discarded but FULLY
         // evaluated (pl_exec.c exec_stmt_perform) — foreach forces
@@ -569,7 +631,8 @@ object PlDo {
         else
           spark.sql(PgSql.rewrite("SELECT " + qq)).foreach(_ => (): Unit)
       case SelectInto(q, vars) =>
-        bindInto(env, vars, spark.sql(PgSql.rewrite(subst(q, env))))
+        bindInto(env, vars, spark.sql(PgSql.rewrite(subst(q, env))),
+          setFound = true)
       case Ret(e) =>
         throw new ReturnSignal(e.map(x => eval(spark, x, env)).orNull)
       case DynExec(expr, into) =>
@@ -631,6 +694,7 @@ object PlDo {
           catch { case e: ExitSignal => if (!e.continue) exited = true }
         }
         fields.foreach(f => env.vars.remove(s"$v.${f.name.toLowerCase}"))
+        env.found = rows.nonEmpty // FOR-query sets FOUND (exec_stmt_fors)
       case WhileStmt(cond, body) =>
         var i = 0
         var exited = false
@@ -664,17 +728,64 @@ object PlDo {
           }
       }
     }
-    block.handler match {
-      case None => run(spark, block.body, env)
-      case Some(h) =>
-        try run(spark, block.body, env)
-        catch {
-          case r: ReturnSignal => throw r // RETURN is not an error
-          case _: ExitSignal => throw new IllegalArgumentException(
-            "EXIT outside any loop")
-          case scala.util.control.NonFatal(_) => run(spark, h, env)
-        }
+    if (block.handler.isEmpty) run(spark, block.body, env)
+    else {
+      try run(spark, block.body, env)
+      catch {
+        case r: ReturnSignal => throw r // RETURN is not an error
+        case _: ExitSignal => throw new IllegalArgumentException(
+          "EXIT outside any loop")
+        case scala.util.control.NonFatal(e) =>
+          val cond = conditionOf(e)
+          val section = block.handler.find { case (names, _) =>
+            names.contains(cond) || names.contains("others") ||
+              names.contains("sqlstate") // WHEN SQLSTATE '...' coarse
+          }.getOrElse(throw e) // unmatched condition re-raises (PG)
+          // SQLERRM / SQLSTATE magic variables in the handler
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            .replaceAll("\\s+", " ").take(200)
+          env.vars("sqlerrm") = "'" + msg.replace("'", "''") + "'"
+          env.vars("sqlstate") = "'" + sqlstateOf(cond) + "'"
+          run(spark, section._2, env)
+      }
     }
+  }
+
+  /** Map an engine exception to the PG condition name its class
+    * corresponds to (utils/errcodes.txt) — heuristic on the message,
+    * loud `others` fallback. */
+  private def conditionOf(e: Throwable): String = {
+    val m = String.valueOf(e.getMessage).toLowerCase
+    if (m.contains("divide by zero") || m.contains("division by zero") ||
+      m.contains("divide_by_zero")) "division_by_zero"
+    else if (m.contains("duplicate") || m.contains("unique"))
+      "unique_violation"
+    else if (m.contains("foreign key")) "foreign_key_violation"
+    else if (m.contains("table_or_view_not_found") ||
+      m.contains("cannot be found")) "undefined_table"
+    else if (m.contains("unresolved_column")) "undefined_column"
+    else if (m.contains("unresolved_routine")) "undefined_function"
+    else if (m.contains("arithmetic_overflow") || m.contains("overflow") ||
+      m.contains("out of range")) "numeric_value_out_of_range"
+    else if (m.contains("cast_invalid_input") || m.contains("malformed"))
+      "invalid_text_representation"
+    else if (m.contains("more than one row")) "too_many_rows"
+    else if (m.contains("no rows")) "no_data_found"
+    else "internal_error"
+  }
+
+  private def sqlstateOf(cond: String): String = cond match {
+    case "division_by_zero" => "22012"
+    case "unique_violation" => "23505"
+    case "foreign_key_violation" => "23503"
+    case "undefined_table" => "42P01"
+    case "undefined_column" => "42703"
+    case "undefined_function" => "42883"
+    case "numeric_value_out_of_range" => "22003"
+    case "invalid_text_representation" => "22P02"
+    case "too_many_rows" => "P0003"
+    case "no_data_found" => "P0002"
+    case _ => "XX000"
   }
 
   // ---------------------------------------------------------------
@@ -858,12 +969,26 @@ object PlDo {
     * catastrophically on 50-line function sources. */
   private def splitDollarBody(ddl: String)
       : Option[(String, String, String)] = {
-    val open = "\\$(\\w*)\\$".r.findFirstMatchIn(ddl).getOrElse(return None)
+    val open = "\\$(\\w*)\\$".r.findFirstMatchIn(ddl).getOrElse(
+      return splitQuotedBody(ddl))
     val tag = "$" + open.group(1) + "$"
     val end = ddl.indexOf(tag, open.end)
     if (end < 0) None
     else Some((ddl.substring(0, open.start),
       ddl.substring(open.end, end), ddl.substring(end + tag.length)))
+  }
+
+  /** The pre-dollar-quoting body spelling `AS '...'` with `''`
+    * escapes (still common in the regress suites). */
+  private def splitQuotedBody(ddl: String)
+      : Option[(String, String, String)] = {
+    val m = "(?is)\\bAS\\s*'".r.findFirstMatchIn(ddl).getOrElse(return None)
+    val start = m.end - 1
+    val end = try skipLiteral(ddl, start)
+      catch { case _: IllegalArgumentException => return None }
+    Some((ddl.substring(0, start),
+      ddl.substring(start + 1, end - 1).replace("''", "'"),
+      ddl.substring(end)))
   }
 
   private val scalarHeadRe =

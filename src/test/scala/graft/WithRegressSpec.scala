@@ -199,6 +199,9 @@ class WithRegressSpec extends AnyFunSuite {
   test("CTAS and INSERT consuming a CTE (with_clause.sql:76-84)") {
     fixtures
     spark.sql("DROP TABLE IF EXISTS with_test3")
+    // a prior aborted suite can leave the managed LOCATION on disk
+    // with no catalog entry — CREATE would trip LOCATION_ALREADY_EXISTS
+    operators.GreengageDdl.clearOrphanLocation(spark, "with_test3")
     spark.sql(
       """CREATE TABLE with_test3 USING parquet AS
         |WITH my_sum(i, total) AS
