@@ -540,7 +540,7 @@ object GreengageDdl {
     * LOCATION_ALREADY_EXISTS. When the catalog has no such table but
     * its default location exists on disk, the directory is an orphan:
     * clear it so CREATE behaves as on a fresh warehouse. */
-  private[operators] def clearOrphanLocation(spark: SparkSession, name0: String): Unit = {
+  private[graft] def clearOrphanLocation(spark: SparkSession, name0: String): Unit = {
     try {
       val parts = name0.toLowerCase.replace("`", "").split("\\.")
       val (db, table) =
