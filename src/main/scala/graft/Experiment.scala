@@ -14,26 +14,37 @@ object Experiment {
     def one(sql: String): Unit = {
       try {
         val r = Graft.execute(spark, sql)
-        println(s"OK   $sql -> ${r.map(_.collect().toSeq.take(6)).getOrElse("cmd")}")
+        println(s"OK   ${sql.take(80)} -> ${r.map(_.count()).getOrElse(-1L)} rows")
       } catch {
         case e: Exception =>
-          println(s"FAIL $sql -> ${String.valueOf(e.getMessage).take(300)}")
+          println(s"FAIL ${sql.take(80)} -> ${String.valueOf(e.getMessage).take(300)}")
       }
     }
-    operators.Txn.reset(spark)
-    one("DROP TABLE IF EXISTS txn_part")
-    one("CREATE TABLE txn_part (v INT, k INT) " +
-      "DISTRIBUTED BY (v) PARTITION BY LIST(k) " +
-      "(PARTITION p1 VALUES(1), PARTITION p2 VALUES(2), " +
-      "PARTITION p3 VALUES(3))")
-    println("partCols=" + spark.catalog.listColumns("txn_part").collect()
-      .filter(_.isPartition).map(_.name).toSeq)
-    one("INSERT INTO txn_part SELECT i, 1 + i % 3 FROM generate_series(1, 90) i")
-    one("BEGIN")
-    one("DELETE FROM txn_part WHERE k = 2")
-    println("regions=" + operators.Txn.snapshotRegions)
-    one("ROLLBACK")
-    one("DROP TABLE txn_part")
+    one("CREATE TABLE sale (cn int, vn int, pn int, dt date, qty int, prc int)")
+    one("CREATE TABLE vendor (vn int, vname text, loc text)")
+    one("INSERT INTO sale VALUES (1, 10, 100, '1401-03-01', 1, 0)")
+    one("INSERT INTO vendor VALUES (10, 'v', 'l')")
+    val stmt =
+      """SELECT DISTINCT sale.vn,sale.dt,sale.prc, TO_CHAR(COALESCE(STDDEV_SAMP(floor(sale.pn+sale.vn)),0),'99999999.9999999')
+        |FROM sale,vendor
+        |WHERE sale.vn=vendor.vn
+        |GROUP BY GROUPING SETS(CUBE((sale.pn),(sale.dt,sale.qty),(sale.vn,sale.vn,sale.cn),(sale.cn),(sale.pn,sale.vn))),ROLLUP((sale.cn,sale.dt,sale.prc),(sale.pn,sale.pn,sale.cn),(sale.dt,sale.vn,sale.pn),(sale.dt,sale.cn),(sale.dt,sale.prc,sale.pn),(sale.vn,sale.qty)),CUBE((sale.vn,sale.cn),(sale.qty,sale.prc),(sale.qty),(sale.cn,sale.vn),(sale.vn,sale.cn),(sale.qty,sale.cn))""".stripMargin
+    // run on a thread with the SAME default stack size the forked test
+    // JVM uses, and print the full trace so the guilty regex frame shows
+    val t = new Thread(null, () => {
+      try {
+        val r = Graft.execute(spark, stmt)
+        println("OK rows=" + r.map(_.count()).getOrElse(-1L))
+      } catch {
+        case e: Throwable =>
+          println("THROWN " + e.getClass.getName)
+          val frames = e.getStackTrace
+          frames.filter(f => f.getClassName.startsWith("graft"))
+            .take(20).foreach(f => println("  graft frame: " + f))
+          frames.take(8).foreach(f => println("  top: " + f))
+      }
+    }, "probe")
+    t.start(); t.join()
     spark.stop()
   }
 }

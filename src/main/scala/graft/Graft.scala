@@ -195,8 +195,15 @@ object Graft {
     // literal — PG's InitPlan evaluation of an uncorrelated volatile
     // function (never inside function/trigger DDL or DO bodies, whose
     // call text must stay verbatim for later compilation)
+    // ... nor inside statements that reference a function by SIGNATURE
+    // (DROP/ALTER/GRANT/REVOKE/COMMENT ... FUNCTION f(int)): the
+    // type-name list is not an argument list — substitution there would
+    // evaluate the function at DDL time (side effects!) and mangle the
+    // statement
     if (!is("(?is)^(CREATE\\s+(OR\\s+REPLACE\\s+)?" +
           "(FUNCTION|PROCEDURE|TRIGGER)|DO)\\b") &&
+        !is("(?is)^\\s*(DROP|ALTER|COMMENT\\s+ON|GRANT|REVOKE)\\b[\\s\\S]*?" +
+          "\\bFUNCTION\\b") &&
         operators.PlDo.hasInterpretedCall(t))
       t = operators.PlDo.substituteInterpretedCalls(spark, t)
     // transaction control (xact.c StartTransactionCommand): BEGIN /

@@ -42,6 +42,10 @@ object Cursors {
   def close(name: String): Unit =
     require(open.remove(name.toLowerCase) != null, s"cursor $name is not open")
 
+  /** Session-reset hook (pg_regress runs each suite in a fresh session,
+    * where no cursor survives): drop every open portal. */
+  def closeAll(): Unit = open.clear()
+
   private val declareRe =
     ("(?is)^\\s*DECLARE\\s+(\\w+)\\s+(?:BINARY\\s+)?(?:INSENSITIVE\\s+)?" +
       "(?:NO\\s+SCROLL\\s+|SCROLL\\s+)?CURSOR\\s+" +

@@ -2133,7 +2133,14 @@ object PgSql {
     *  - array rhs (not starting with SELECT/WITH/VALUES/TABLE) →
     *    `exists()` / `forall()` higher-order functions, whose lambda
     *    comparison already carries three-valued logic. */
+  // cheap pre-gate: quantRe's lhs alternation walks parenthesized blobs
+  // with per-char regex recursion — on a statement with a huge paren
+  // body (e.g. an expanded GROUPING SETS list) that overflows the
+  // default thread stack. No ANY/SOME/ALL( ⇒ nothing to rewrite.
+  private val quantGate = "(?is)\\b(any|some|all)\\s*\\(".r
+
   private def quantified(sql: String): String = {
+    if (quantGate.findFirstIn(sql).isEmpty) return sql
     val masked = maskLiterals(sql)
     quantRe.findFirstMatchIn(masked) match {
       case None => sql
