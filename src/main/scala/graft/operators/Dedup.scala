@@ -118,6 +118,8 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(s"components did not converge in $maxIterations rounds")
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged in $i rounds")
     labels
   }
 
@@ -282,7 +284,12 @@ object Dedup {
             slice(words, i * wordsPerSegment + 1, lit(wordsPerSegment)), " "))
       }
     val glue = if (delimiter.nonEmpty) delimiter else " "
+    // exploded segments feed two consumers (the doc-frequency count and
+    // the anti-join's probe side) — persist so the per-row segmentation
+    // runs once, not per consumer; sized ∝ total segments, the same set
+    // both passes must read anyway
     val seg = docs.select(col(idCol), posexplode(segsCol).as(Seq("spos", "segment")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = seg.groupBy("segment")
       .agg(count_distinct(col(idCol)).as("__ndocs"))
       .where(col("__ndocs") >= minDocFreq)
@@ -338,10 +345,14 @@ object Dedup {
     val k = math.min(4096L, math.max(nClusters.toLong,
       n / math.max(1L, maxClusterRows) + 1)).toInt
     val (cids, cents) =
-      Knn.kmeansCentroids(vectors, k, iters, idCol, vecCol, dim)
+      Knn.kmeansCentroids(vectors, k, iters, idCol, vecCol, dim,
+        totalHint = n) // row count known — skip kmeans' own count pass
+    // assignment feeds three consumers (both pair-join sides + the final
+    // labeling join) — persist so the best_centroid scan runs once
     val assigned = vectors
       .withColumn("cluster", call_function("best_centroid", col(vecCol),
         typedLit(cids.toSeq), typedLit(cents.map(_.toSeq).toSeq)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = semanticCandidates(assigned, maxClusterRows, subTables,
       idCol, vecCol, dim)
     val pairs = cand

@@ -207,12 +207,27 @@ object Dml {
     * partitions' files are never read or rewritten. This turns a
     * steady-state CDC MERGE from O(|table|) per batch into
     * O(|touched partitions|). */
-  def merge(spark: SparkSession, table: String, source: DataFrame,
+  def merge(spark: SparkSession, table: String, source0: DataFrame,
             keys: Seq[String],
             whenMatchedUpdate: Map[String, Column] = Map.empty,
             whenMatchedDeleteIf: Option[Column] = None,
             insertNotMatched: Boolean = true): MergeResult = {
     require(keys.nonEmpty, "MERGE requires at least one key column")
+    // the source is consumed twice (touched-partition collect, then the
+    // full-outer join) — persist it so a derived source (a CDC batch's
+    // windowed per-key latest over the raw events) computes once, not
+    // per consumer. Bounded by the statement's source, never the table.
+    val source = source0.persist()
+    try mergeInner(spark, table, source, keys, whenMatchedUpdate,
+      whenMatchedDeleteIf, insertNotMatched)
+    finally { source.unpersist(); () }
+  }
+
+  private def mergeInner(spark: SparkSession, table: String,
+            source: DataFrame, keys: Seq[String],
+            whenMatchedUpdate: Map[String, Column],
+            whenMatchedDeleteIf: Option[Column],
+            insertNotMatched: Boolean): MergeResult = {
     val partCols = partitionColumns(spark, table)
     // Pruning is sound only if matched rows cannot LEAVE their partition:
     // partition cols must ride in the keys AND must not be reassigned by

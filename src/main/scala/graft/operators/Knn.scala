@@ -94,14 +94,16 @@ object Knn {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
                       dim: Int = 64,
-                      maxTrainRows: Long = 200000L)
+                      maxTrainRows: Long = 200000L,
+                      totalHint: Long = -1L)
       : (Array[Long], Array[Array[Double]]) = {
     // above the threshold, train on a bounded deterministic sample
     // (seeded Bernoulli): centroid quality needs a representative set,
     // not the corpus — the standard IVF training recipe — so Lloyd
     // iterations stop scaling with corpus size. The sample is persisted
     // for the loop (iters passes over ≤ maxTrainRows rows, not N).
-    val total = corpus.count()
+    // totalHint lets a caller that already counted skip the count job.
+    val total = if (totalHint >= 0) totalHint else corpus.count()
     val sampled = total > maxTrainRows
     val train =
       if (sampled)
@@ -136,6 +138,62 @@ object Knn {
       }
       (cids, cents)
     } finally if (sampled) { train.unpersist(); () }
+  }
+
+  /** All m per-subspace PQ codebooks trained together in fused passes:
+    * ONE seed collect (the k lowest-id rows carry every book's seed
+    * slice) and ONE aggregate job per Lloyd iteration for all books —
+    * the per-book [[kmeansCentroids]] loop paid (count + seed + iters)
+    * driver round-trips × m, which dominated the PQ/IVFADC entries'
+    * wall time (the data per job is tiny; the job floor is not).
+    * Same algorithm per book: lowest-id seeds, argmax-dot assignment
+    * (`best_centroid`, per-book constants), cell-mean update, empty
+    * cells keep their centroid. `train` must already be bounded
+    * (callers persist a ≤maxTrainRows projection). */
+  private def pqCodebooks(train: DataFrame, m: Int, dsub: Int, codes: Int,
+                          iters: Int, idCol: String, vecCol: String)
+      : Array[(Array[Long], Array[Array[Double]])] = {
+    val seedRows = train.orderBy(col(idCol).asc).limit(codes)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+    val books = Array.tabulate(m) { b =>
+      (seedRows.map(_.getLong(0)),
+        seedRows.map(_.getSeq[Double](1).slice(b * dsub, (b + 1) * dsub).toArray))
+    }
+    var it = 0
+    while (it < iters) {
+      // (book, cid, subvector) exploded rows → one 2-stage hash agg for
+      // every book's cell sums; m·codes groups to the driver
+      val parts = (0 until m).map { b =>
+        val (cids, cents) = books(b)
+        val sub = slice(col(vecCol), b * dsub + 1, dsub)
+        struct(lit(b).as("b"),
+          call_function("best_centroid", sub,
+            typedLit(cids.toSeq), typedLit(cents.map(_.toSeq).toSeq)).as("cid"),
+          sub.as("sub"))
+      }
+      val sums = (0 until dsub).map(i =>
+        sum(element_at(col("sub"), i + 1).cast("double")).as(s"s$i"))
+      val rows = train
+        .select(explode(array(parts: _*)).as("e"))
+        .select(col("e.b").as("b"), col("e.cid").as("cid"), col("e.sub").as("sub"))
+        .groupBy("b", "cid")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val byKey = rows.map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), Array.tabulate(dsub)(i => r.getDouble(3 + i)))).toMap
+      for (b <- 0 until m) {
+        val (cids, cents) = books(b)
+        books(b) = (cids, cids.zip(cents).map { case (cid, old) =>
+          byKey.get((b, cid)) match {
+            case Some((n, s)) if n > 0 => s.map(_ / n)
+            case _ => old
+          }
+        })
+      }
+      it += 1
+    }
+    books
   }
 
   /** IVF-style ANN: partition the corpus into Voronoi cells around a
@@ -214,20 +272,18 @@ object Knn {
         transform(col(vc), x => (x.cast("double") / col("__nrm")).cast("float")))
       .drop("__nrm")
     // cache the unitized projection for the duration of training: every
-    // one of the m codebooks (and each Lloyd step inside) re-reads it,
-    // and without the cache each re-read re-scans the corpus and
-    // re-normalizes (m × iters redundant passes)
+    // Lloyd step re-reads it, and without the cache each re-read
+    // re-scans the corpus and re-normalizes. Bounded like
+    // kmeansCentroids: past the threshold, train on a deterministic
+    // seeded sample — one count + one sample decision for ALL books.
     val cn = unitized(corpus, vecCol)
-    val trainSrc = cn.select(col(idCol), col("__unit")).persist()
-    // per-subspace codebooks via the same Lloyd loop IVF uses, on sliced
-    // vectors (seeded lowest-id, deterministic)
+    val trainSrc =
+      boundedTrain(cn.select(col(idCol), col("__unit")), idCol).persist()
+    // per-subspace codebooks via the fused all-books Lloyd loop
+    // (seeded lowest-id, deterministic)
     val books: Array[(Array[Long], Array[Array[Double]])] =
-      try Array.tabulate(m) { b =>
-        kmeansCentroids(
-          trainSrc.select(col(idCol),
-            slice(col("__unit"), b * dsub + 1, dsub).as("__sub")),
-          codes, trainIters, idCol, "__sub", dsub)
-      } finally trainSrc.unpersist()
+      try pqCodebooks(trainSrc, m, dsub, codes, trainIters, idCol, "__unit")
+      finally trainSrc.unpersist()
     // encode: one projection — per block, nearest sub-centroid's index
     val codeCol = array(Array.tabulate(m) { b =>
       val (cids, cents) = books(b)
@@ -286,6 +342,18 @@ object Knn {
       transform(col(vc), x => (x.cast("double") / col("__nrm")).cast("float")))
     .drop("__nrm")
 
+  /** Bound a training projection to kmeansCentroids' row threshold with
+    * the same deterministic seeded sample — applied ONCE per training
+    * set rather than once per codebook. */
+  private def boundedTrain(df: DataFrame, idCol: String,
+                           maxTrainRows: Long = 200000L): DataFrame = {
+    val total = df.count()
+    if (total > maxTrainRows)
+      df.sample(withReplacement = false, maxTrainRows.toDouble / total,
+        seed = 42L)
+    else df
+  }
+
   /** Assignment + residual columns for an already-unitized corpus. The
     * residual is its own materialized column (a lambda reading a derived
     * column would recompute it per element). */
@@ -319,17 +387,14 @@ object Knn {
     val (cids, cents) =
       kmeansCentroids(cn, nCentroids, trainIters, idCol, "__unit", dim)
     val pre = IvfadcModel(cids, cents, Array.empty, m, codes, dim)
-    // cache the residual projection for training: each of the m books
+    // cache the residual projection for training: each Lloyd step
     // would otherwise recompute assignment + residual from the raw
-    // corpus (m × iters redundant best_centroid scans)
-    val resDf = withResidual(cn, pre).select(col(idCol), col("__res")).persist()
+    // corpus. Bounded once for all books, like pqTopK's trainSrc.
+    val resDf = boundedTrain(
+      withResidual(cn, pre).select(col(idCol), col("__res")), idCol).persist()
     val books: Array[(Array[Long], Array[Array[Double]])] =
-      try Array.tabulate(m) { b =>
-        kmeansCentroids(
-          resDf.select(col(idCol),
-            slice(col("__res"), b * dsub + 1, dsub).as("__sub")),
-          codes, trainIters, idCol, "__sub", dsub)
-      } finally resDf.unpersist()
+      try pqCodebooks(resDf, m, dsub, codes, trainIters, idCol, "__res")
+      finally resDf.unpersist()
     IvfadcModel(cids, cents, books, m, codes, dim)
   }
 

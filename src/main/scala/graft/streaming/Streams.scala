@@ -49,6 +49,29 @@ object Streams {
       .schema(eventsRawSchema)
       .parquet(stagedDir(sfDir))
 
+  /** Child session for a stateful stream with the stateful-shuffle width
+    * pinned to `spark.graft.stream.statePartitions` (default 8).
+    *
+    * Stateful operators pay a fixed per-partition per-microbatch cost —
+    * every state store is loaded, snapshotted and committed each batch —
+    * so the right width tracks STATE CARDINALITY (windows/sessions/keys
+    * held), not the session's scan/join parallelism. Real deployments
+    * size this before first start (the width freezes into the
+    * checkpoint); here it is a session conf so the driver's bench keeps
+    * its own core-count sweep meaningful while the per-store floor stops
+    * dominating bounded runs. The override lives in a CHILD session
+    * (shared SparkContext, isolated conf/catalog): mutating the caller's
+    * session would re-plan concurrent queries with the narrow width. */
+  private[graft] def scopedStateSession(spark: SparkSession): SparkSession = {
+    val scoped = spark.newSession()
+    graft.Tables.tune(scoped) // newSession starts from builder conf only;
+                              // re-apply runtime confs (nanosAsLong, ANSI)
+    scoped.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("spark.graft.stream.statePartitions")
+        .getOrElse("8"))
+    scoped
+  }
+
   private val runId = new AtomicInteger(0)
 
   /** Run a (bounded) streaming aggregation to completion and return the
@@ -95,8 +118,9 @@ object Streams {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
 
   /** Tumbling event-time window aggregation with watermark. */
-  def tumblingCounts(spark: SparkSession, sfDir: String,
+  def tumblingCounts(spark0: SparkSession, sfDir: String,
                      width: String = "1 hour"): DataFrame = {
+    val spark = scopedStateSession(spark0) // state ≈ hours × types, tiny
     val agg = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), width), col("event_type"))
@@ -108,7 +132,8 @@ object Streams {
   }
 
   /** Sliding window (1h window, 30m slide). */
-  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  def slidingCounts(spark0: SparkSession, sfDir: String): DataFrame = {
+    val spark = scopedStateSession(spark0) // state ≈ 2× hourly windows
     val agg = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
@@ -123,7 +148,10 @@ object Streams {
     * the file source; every tenth event is emitted twice), then streaming
     * dropDuplicates — the streaming analog of DISTINCT with bounded
     * state. */
-  def dedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupCounts(spark0: SparkSession, sfDir: String): DataFrame = {
+    // dedup state = unique (event_id, ts) keys; sized by cardinality,
+    // not core count — see scopedStateSession
+    val spark = scopedStateSession(spark0)
     val doubled = eventsStream(spark, sfDir)
       .withColumn("__copy", explode(
         when(col("event_id") % 10 === 0, array(lit(0), lit(1)))
@@ -142,7 +170,8 @@ object Streams {
 
   /** Stream–static join: the event stream enriched by a small static
     * dimension (broadcast), then aggregated. */
-  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamStaticJoin(spark0: SparkSession, sfDir: String): DataFrame = {
+    val spark = scopedStateSession(spark0) // state ≈ 5 categories
     val dim = spark.createDataFrame(Seq(
       ("click", "engagement"), ("view", "engagement"),
       ("purchase", "revenue"), ("signup", "growth"),
@@ -162,21 +191,10 @@ object Streams {
     * watermarked so join state is evicted once event time passes the
     * tolerance window. Inner joins emit on match (append mode), so the
     * bounded run yields exactly the SQL interval-join answer. */
-  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    // symmetric-hash-join state costs two stores per shuffle partition;
-    // pin a narrower stateful width so the fixed per-store commit cost
-    // doesn't dominate bounded runs (real deployments size this to the
-    // key cardinality via spark.sql.shuffle.partitions before start —
-    // it is frozen into the checkpoint either way). The override lives
-    // in a CHILD session (shared SparkContext, isolated conf/catalog):
-    // mutating the caller's session would re-plan any concurrent query
-    // on it with 8 partitions.
-    val scoped = spark.newSession()
-    graft.Tables.tune(scoped) // newSession starts from builder conf only;
-                              // re-apply runtime confs (nanosAsLong, ANSI)
-    scoped.conf.set("spark.sql.shuffle.partitions", "8")
-    streamStreamJoinInner(scoped, sfDir)
-  }
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame =
+    // symmetric-hash-join state costs four stores per shuffle partition;
+    // width tracks key cardinality — see scopedStateSession
+    streamStreamJoinInner(scopedStateSession(spark), sfDir)
 
   private def streamStreamJoinInner(spark: SparkSession, sfDir: String): DataFrame = {
     val clicks = eventsStream(spark, sfDir)
@@ -208,18 +226,22 @@ object Streams {
     * flushing. Result = the SQL full-outer interval join, exactly
     * (hash-checked by the q136 oracle). Conf override scoped to a child
     * session, as in [[streamStreamJoin]]. */
-  def streamStreamFullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val scoped = spark.newSession()
-    graft.Tables.tune(scoped)
-    scoped.conf.set("spark.sql.shuffle.partitions", "8")
-    fullOuterInner(scoped, sfDir)
-  }
+  def streamStreamFullOuterJoin(spark: SparkSession, sfDir: String): DataFrame =
+    fullOuterInner(scopedStateSession(spark), sfDir)
 
   private def fullOuterInner(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedFlushDir(spark, sfDir)
-    val src = spark.readStream.schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", "1") // fixture, flush 1, flush 2 — in order
-      .parquet(dir)
+    // All three files (fixture + both flush sentinels) land in ONE
+    // micro-batch: matches emit in batch 0, and the append-mode no-data
+    // finalization batch (noDataMicroBatches stays ON for append runs —
+    // see runToBatch) then observes a watermark advanced past every real
+    // row's join window (flush rows sit 2 h / 8 h beyond max event time),
+    // so the expired unmatched rows null-extend exactly as they did when
+    // maxFilesPerTrigger=1 paced the files through three batches — minus
+    // two full per-batch state-store load/commit cycles over 4 stores ×
+    // every partition. Flush rows match nothing (40 min apart > the
+    // 30 min window) and are filtered by user_id = −1 either way.
+    val src = spark.readStream.schema(eventsRawSchema).parquet(dir)
     val clicks = src.where(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
@@ -282,7 +304,8 @@ object Streams {
     * per-user event counts held in GroupState (the custom-state API the
     * reference has no analog for). Update output mode; with AvailableNow
     * over the fixture this yields the final count per user. */
-  def statefulCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  def statefulCounts(spark0: SparkSession, sfDir: String): DataFrame = {
+    val spark = scopedStateSession(spark0) // state ≈ distinct users
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
     val counts = eventsStream(spark, sfDir)
@@ -387,8 +410,9 @@ object Streams {
     pmod(xxhash64(userId), lit(CdcBuckets)).cast("int")
 
   /** Session windows per user with a fixed inactivity gap. */
-  def sessionized(spark: SparkSession, sfDir: String,
+  def sessionized(spark0: SparkSession, sfDir: String,
                   gap: String = "10 minutes"): DataFrame = {
+    val spark = scopedStateSession(spark0) // state ≈ users × open sessions
     val agg = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), gap), col("user_id"))
