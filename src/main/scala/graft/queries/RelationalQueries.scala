@@ -976,11 +976,24 @@ object RelationalQueries {
     // so no SQL oracle (rows-only check). Both the built-in HLL++ and the
     // mergeable Datasketches HLL binary-state aggregate (the exact
     // pg_aggregate combinefn analog for sketches).
-    "q30_approx_distinct" -> ((s, d) =>
-      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+    // The sketch aggregates and the exact DISTINCT run as SEPARATE
+    // aggregations joined on the 3-row result: mixed in one agg, the
+    // DQA rewrite keys the partial on (flag, partkey) and drags both
+    // sketches' ~50-field merge state through a distinct-cardinality
+    // hash table (measured 2.1 s vs 0.75 s at sf0.1). Two passes of a
+    // cheap 2-col scan beat one pass with sketch state per distinct
+    // key — at any scale. Same values, same columns.
+    "q30_approx_distinct" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val sk = li.groupBy("l_returnflag").agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("sketch_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("sketch_parts"))
+      val ex = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      sk.join(ex, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("approx_parts"),
+          col("sketch_parts"), col("exact_parts"))
+    }),
 
     // Approx percentile sketch (GK) — the 100 TB path next to q24's exact
     // percentiles. With accuracy 1e6 the rank error n/accuracy < 1 at the
