@@ -32,8 +32,12 @@ object ToCharFmt {
     val neg = value < 0
     val bd = new java.math.BigDecimal(math.abs(value))
       .setScale(fracDigits, java.math.RoundingMode.HALF_UP)
-    val parts = bd.toPlainString.split("\\.")
-    val intStr0 = parts(0)
+    // indexOf, not split("\\.") — String.split compiles a regex per call
+    // (two-char pattern misses the single-literal fast path); this runs
+    // once per row
+    val plain = bd.toPlainString
+    val dotAt = plain.indexOf('.')
+    val intStr0 = if (dotAt < 0) plain else plain.substring(0, dotAt)
     if (intStr0.length > intDigitsMax)
       return UTF8String.fromString(f.map(c => if (c == ',' || c == '.') c else '#'))
 
@@ -67,7 +71,7 @@ object ToCharFmt {
     if (intPart.replace(" ", "").isEmpty && fracDigits == 0)
       intPart = intPart.drop(1) + "0"
 
-    val frac = if (fracDigits > 0) "." + parts(1) else ""
+    val frac = if (fracDigits > 0) "." + plain.substring(dotAt + 1) else ""
     val core = (if (dollar) "$" else "") + intPart.trim + frac
     // templates with interior LITERAL chars ('999E99' — 'E' is not a
     // NUM keyword, formatting.c copies it through): PG writes the
@@ -112,8 +116,22 @@ object ToCharDtFmt {
   private val dayFull = Array("Monday", "Tuesday", "Wednesday", "Thursday",
     "Friday", "Saturday", "Sunday")
 
+  // manual zero-pad: an f-interpolator builds a java.util.Formatter and
+  // re-parses its pattern PER CALL — several million instantiations per
+  // scan on a template-heavy projection (q108's eight templates × rows)
+  private def zeroPad(n: Int, width: Int): String = {
+    val s = n.toString
+    if (s.length >= width) s
+    else {
+      val sb = new java.lang.StringBuilder(width)
+      var i = s.length
+      while (i < width) { sb.append('0'); i += 1 }
+      sb.append(s).toString
+    }
+  }
+
   private def pad2(n: Int, fm: Boolean): String =
-    if (fm) n.toString else f"$n%02d"
+    if (fm) n.toString else zeroPad(n, 2)
 
   private def blankPad9(s: String, fm: Boolean): String =
     if (fm) s else s.padTo(9, ' ')
@@ -138,8 +156,8 @@ object ToCharDtFmt {
       } else if (at("FM")) { fm = true; i += 2 }
       else {
         val consumed: Int =
-          if (at("YYYY")) { sb.append(if (fm) d.getYear.toString else f"${d.getYear}%04d"); 4 }
-          else if (at("YY")) { sb.append(f"${d.getYear % 100}%02d"); 2 }
+          if (at("YYYY")) { sb.append(if (fm) d.getYear.toString else zeroPad(d.getYear, 4)); 4 }
+          else if (at("YY")) { sb.append(zeroPad(d.getYear % 100, 2)); 2 }
           else if (at("MONTH")) { sb.append(blankPad9(monFull(d.getMonthValue - 1).toUpperCase, fm)); 5 }
           else if (at("Month")) { sb.append(blankPad9(monFull(d.getMonthValue - 1), fm)); 5 }
           else if (at("month")) { sb.append(blankPad9(monFull(d.getMonthValue - 1).toLowerCase, fm)); 5 }
@@ -153,7 +171,7 @@ object ToCharDtFmt {
           else if (at("DY")) { sb.append(dayAbbr(d.getDayOfWeek.getValue - 1).toUpperCase); 2 }
           else if (at("Dy")) { sb.append(dayAbbr(d.getDayOfWeek.getValue - 1)); 2 }
           else if (at("dy")) { sb.append(dayAbbr(d.getDayOfWeek.getValue - 1).toLowerCase); 2 }
-          else if (at("DDD")) { sb.append(if (fm) d.getDayOfYear.toString else f"${d.getDayOfYear}%03d"); 3 }
+          else if (at("DDD")) { sb.append(if (fm) d.getDayOfYear.toString else zeroPad(d.getDayOfYear, 3)); 3 }
           else if (at("DD")) { sb.append(pad2(d.getDayOfMonth, fm)); 2 }
           else if (at("HH24")) { sb.append(pad2(d.getHour, fm)); 4 }
           else if (at("HH12") || at("HH")) {
@@ -163,8 +181,8 @@ object ToCharDtFmt {
           else if (at("MI")) { sb.append(pad2(d.getMinute, fm)); 2 }
           else if (at("SSSS")) { sb.append((d.getHour * 3600 + d.getMinute * 60 + d.getSecond).toString); 4 }
           else if (at("SS")) { sb.append(pad2(d.getSecond, fm)); 2 }
-          else if (at("MS")) { sb.append(f"${d.getNano / 1000000}%03d"); 2 }
-          else if (at("US")) { sb.append(f"${d.getNano / 1000}%06d"); 2 }
+          else if (at("MS")) { sb.append(zeroPad(d.getNano / 1000000, 3)); 2 }
+          else if (at("US")) { sb.append(zeroPad(d.getNano / 1000, 6)); 2 }
           else if (at("AM") || at("PM")) { sb.append(if (d.getHour < 12) "AM" else "PM"); 2 }
           else if (at("am") || at("pm")) { sb.append(if (d.getHour < 12) "am" else "pm"); 2 }
           else if (at("IW")) {

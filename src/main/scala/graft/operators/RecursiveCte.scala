@@ -21,15 +21,19 @@ object RecursiveCte {
                maxIterations: Int = 200): DataFrame = {
     var frontier = seed.localCheckpoint(true)
     var acc = frontier
+    // one count per round instead of two isEmpty probes (each probe is
+    // a driver round-trip; the loop runs O(depth) rounds)
+    var n = frontier.count()
     var i = 0
-    while (i < maxIterations && !frontier.isEmpty) {
+    while (i < maxIterations && n > 0) {
       frontier = step(frontier).localCheckpoint(true)
-      if (!frontier.isEmpty) acc = acc.union(frontier)
+      n = frontier.count()
+      if (n > 0) acc = acc.union(frontier)
       i += 1
     }
     // failure = frontier still non-empty when the loop budget ran out;
     // a frontier that empties exactly on the last iteration has converged
-    if (!frontier.isEmpty)
+    if (n > 0)
       throw new IllegalStateException(
         s"recursive fixpoint did not converge in $maxIterations iterations")
     acc
@@ -41,13 +45,18 @@ object RecursiveCte {
                        maxIterations: Int = 200): DataFrame = {
     var acc = seed.distinct().localCheckpoint(true)
     var frontier = acc
+    // one count per round (over the just-checkpointed frontier) instead
+    // of two isEmpty probes — each probe is a driver round-trip and the
+    // loop runs O(depth) rounds
+    var n = frontier.count()
     var i = 0
-    while (i < maxIterations && !frontier.isEmpty) {
+    while (i < maxIterations && n > 0) {
       frontier = step(frontier).distinct().exceptAll(acc).localCheckpoint(true)
-      if (!frontier.isEmpty) acc = acc.union(frontier).localCheckpoint(true)
+      n = frontier.count()
+      if (n > 0) acc = acc.union(frontier).localCheckpoint(true)
       i += 1
     }
-    if (!frontier.isEmpty)
+    if (n > 0)
       throw new IllegalStateException(
         s"recursive fixpoint did not converge in $maxIterations iterations")
     acc
