@@ -78,20 +78,37 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    // per-query seconds at 3 decimals (ms resolution) — the full line for
+    // a 296-query board is ~9 KB at raw double precision, which is what
+    // has kept the driver's 2 KB captured tail unparseable since r10
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.3f",
+        java.lang.Double.valueOf(v))
+    val qs = results.map { case (k, v) => s"${q(k)}:${fmt(v)}" }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = failures.map(q).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":${q(sfDir)},"isolated":${only.isDefined}}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":${q(sfDir)},"isolated":${only.isDefined}}"""
     println(line)
-    // The driver's bench tail truncates at ~2k chars, losing most of the
-    // per-query timings; persist the full line for drift adjudication.
-    // Filtered (spot-set) invocations must not clobber the full board.
-    if (only.isEmpty) try {
-      val out = java.nio.file.Paths.get("target", "bench_full.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () }
+    // The driver's bench tail truncates at ~2k chars; a full 296-query
+    // line still cannot fit it. Persist the full per-query line to
+    // bench_out.json (and target/bench_full.json for the retry prior),
+    // then print a compact LAST line — total + failures + pointer —
+    // that always fits the tail and parses. Filtered (spot-set)
+    // invocations skip both: their full line is already short, and the
+    // iso-artifact harvester reads it as the child's last line.
+    if (only.isEmpty) {
+      try {
+        for (p <- Seq(java.nio.file.Paths.get("bench_out.json"),
+                      java.nio.file.Paths.get("target", "bench_full.json"))) {
+          if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p,
+            line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      } catch { case _: Throwable => () }
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries_file":"bench_out.json","sf":${q(sfDir)},"isolated":false}""")
+    }
     org.apache.spark.sql.graft.GraftInternals.stopStateStoreMaintenance()
     spark.stop()
     // Isolated drift artifact: after a FULL board run, re-measure a

@@ -22,8 +22,9 @@ object ProfileStreams {
       Seq("q136_stream_full_outer", "q229_stream_cdc",
         "q118_stream_stream_join", "q102_stream_stateful"))
 
-    // listener on the default session; scoped child sessions share the
-    // streams bus? They do NOT — so also attach inside (best effort).
+    // scoped child sessions do NOT share the default session's streams
+    // bus — Streams.scopedSessionHook (set below) attaches this listener
+    // inside every scoped session so their batches are observed too
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -39,6 +40,8 @@ object ProfileStreams {
       }
     }
     spark.streams.addListener(listener)
+    graft.streaming.Streams.scopedSessionHook =
+      scoped => scoped.streams.addListener(listener)
 
     // per-job wall time: where do multi-job operators spend it?
     val submitted = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()

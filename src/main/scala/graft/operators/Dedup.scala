@@ -50,8 +50,13 @@ object Dedup {
                    numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
-    // Persist the signature table: both sides of the bucket self-join read
-    // it (at scale you materialize signatures once, not per consumer).
+    // Cache the signature table: the bucket self-join and both
+    // verification joins read it (at scale you materialize signatures
+    // once, not per consumer). The cache is RELEASED before returning —
+    // materializeReleasing runs the whole pipeline with the cache hot,
+    // checkpoints the (small) verified-pairs result, and unpersists; a
+    // persist with no paired release pins every call's signature table
+    // for the session lifetime, which is a scale-killer.
     val sig = withMinhash(withShingles(docs.select(col(idCol), col(textCol)),
       textCol, k), numHashes)
       .select(col(idCol), col("shingles"), col("minhash"))
@@ -74,14 +79,27 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
 
     val shOnly = sig.select(col(idCol), col("shingles"))
-    cand
+    val pairs = cand
       .join(shOnly.select(col(idCol).as("a_id"), col("shingles").as("a_sh")), "a_id")
       .join(shOnly.select(col(idCol).as("b_id"), col("shingles").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"),
         (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    materializeReleasing(pairs, sig)
   }
+
+  /** Run `result` to completion while `cached` frames are hot, hand back
+    * the materialized result, and RELEASE the caches. localCheckpoint
+    * keeps the caches' lazy columnar fill (they populate during the one
+    * consuming job, not in a separate eager pass) while the result's
+    * blocks are reference-managed — the ContextCleaner drops them when
+    * the returned frame goes out of scope — so nothing stays pinned in
+    * the CacheManager after the operator returns. */
+  private def materializeReleasing(result: DataFrame,
+                                   cached: DataFrame*): DataFrame =
+    try result.localCheckpoint(true)
+    finally cached.foreach { c => c.unpersist(); () }
 
   /** Connected components over near-dup pairs via min-label propagation —
     * the scalable way to turn pairwise matches into dedup clusters (each
@@ -95,22 +113,24 @@ object Dedup {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id"), col("a_id")))
       .localCheckpoint(true)
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("component"))
-      .localCheckpoint(true)
-    var sum = labels.agg(org.apache.spark.sql.functions.sum("component"))
-      .head().getLong(0)
+    // materialize + component-sum in ONE job per round (the eager
+    // checkpoint's own pass carries the fold) — the loop is
+    // job-floor-bound, and the separate agg job doubled its round-trips
+    def checkpointSum(df: DataFrame): (DataFrame, Long) =
+      org.apache.spark.sql.graft.GraftInternals
+        .localCheckpointWithLongAgg(df, (acc, r) => acc + r.getLong(1))
+    var (labels, sum) = checkpointSum(
+      vertices.select(col(idCol).as("id"), col(idCol).as("component")))
     var i = 0
     var converged = false
     while (i < maxIterations && !converged) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("component").as("nbr_min"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
-          least(labels("component"), coalesce(col("nbr_min"), labels("component")))
-            .as("component"))
-        .localCheckpoint(true)
-      val nextSum = next.agg(org.apache.spark.sql.functions.sum("component"))
-        .head().getLong(0)
+      val (next, nextSum) = checkpointSum(
+        labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(labels("id"),
+            least(labels("component"), coalesce(col("nbr_min"), labels("component")))
+              .as("component")))
       converged = nextSum == sum
       labels = next
       sum = nextSum
@@ -118,8 +138,6 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(s"components did not converge in $maxIterations rounds")
-    if (sys.env.contains("GRAFT_CC_DEBUG"))
-      System.err.println(s"[cc] converged in $i rounds")
     labels
   }
 
@@ -198,6 +216,8 @@ object Dedup {
   def winnowPairs(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", k: Int = 12, w: Int = 8,
                   minShared: Int = 5, maxDocFreq: Int = 100): DataFrame = {
+    // cached for its three consumers (df count + both join sides) and
+    // released before returning — see materializeReleasing
     val fps = docs.select(col(idCol),
       explode(array_distinct(
         call_function("winnow", col(textCol), lit(k), lit(w)))).as("fp"))
@@ -209,12 +229,13 @@ object Dedup {
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq).select("fp")
     val filtered = fps.join(rare, Seq("fp"))
-    filtered.select(col("fp"), col(idCol).as("a_id"))
+    val pairs = filtered.select(col("fp"), col(idCol).as("a_id"))
       .join(filtered.select(col("fp"), col(idCol).as("b_id")), Seq("fp"))
       .where(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+    materializeReleasing(pairs, fps)
   }
 
   /** SimHash near-dup candidate pairs at Hamming distance <= maxDist,
@@ -285,9 +306,10 @@ object Dedup {
       }
     val glue = if (delimiter.nonEmpty) delimiter else " "
     // exploded segments feed two consumers (the doc-frequency count and
-    // the anti-join's probe side) — persist so the per-row segmentation
+    // the anti-join's probe side) — cache so the per-row segmentation
     // runs once, not per consumer; sized ∝ total segments, the same set
-    // both passes must read anyway
+    // both passes must read anyway. Released before returning — see
+    // materializeReleasing
     val seg = docs.select(col(idCol), posexplode(segsCol).as(Seq("spos", "segment")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = seg.groupBy("segment")
@@ -301,12 +323,13 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("spos"), col("segment")))),
             s => s("segment"))).as("clean_text"),
         count(lit(1)).as("__n_kept"))
-    docs
+    val out = docs
       .select(col(idCol), size(segsCol).cast("long").as("__n_seg"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("__n_seg") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+    materializeReleasing(out, seg)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -347,8 +370,10 @@ object Dedup {
     val (cids, cents) =
       Knn.kmeansCentroids(vectors, k, iters, idCol, vecCol, dim,
         totalHint = n) // row count known — skip kmeans' own count pass
-    // assignment feeds three consumers (both pair-join sides + the final
-    // labeling join) — persist so the best_centroid scan runs once
+    // assignment feeds four consumers (the hot-cluster count, both
+    // pair-join sides, the final labeling join) — cache so the
+    // best_centroid scan runs once; released before returning — see
+    // materializeReleasing
     val assigned = vectors
       .withColumn("cluster", call_function("best_centroid", col(vecCol),
         typedLit(cids.toSeq), typedLit(cents.map(_.toSeq).toSeq)))
@@ -361,9 +386,10 @@ object Dedup {
       .where(col("cos_sim") >= threshold)
     val comp =
       connectedComponents(pairs, vectors.select(col(idCol).as("id")), "id")
-    assigned.join(comp, assigned(idCol) === comp("id"))
+    val out = assigned.join(comp, assigned(idCol) === comp("id"))
       .select(col(idCol), col("cluster"), col("component"),
         (col(idCol) === col("component")).as("keep"))
+    materializeReleasing(out, assigned)
   }
 
   /** Candidate pairs for [[semanticDedup]]: rows of clusters within the

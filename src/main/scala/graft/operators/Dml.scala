@@ -217,10 +217,26 @@ object Dml {
     // full-outer join) — persist it so a derived source (a CDC batch's
     // windowed per-key latest over the raw events) computes once, not
     // per consumer. Bounded by the statement's source, never the table.
-    val source = source0.persist()
+    // Trivial sources (local ranges, plain scans+filters) recompute
+    // cheaper than the cache-materialization job costs — skip those, so
+    // a simple MERGE keeps its minimal job budget (DdlSpec pins it).
+    val doCache = nonTrivialSource(source0)
+    val source = if (doCache) source0.persist() else source0
     try mergeInner(spark, table, source, keys, whenMatchedUpdate,
       whenMatchedDeleteIf, insertNotMatched)
-    finally { source.unpersist(); () }
+    finally { if (doCache) source.unpersist(); () }
+  }
+
+  /** A MERGE source worth caching across merge's two consumers: one
+    * whose recomputation involves a shuffle or multi-pass operator
+    * (aggregate, window, join, distinct, sort, repartition). */
+  private[graft] def nonTrivialSource(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Window | _: Distinct | _: Sort |
+           _: Deduplicate | _: RepartitionOperation | _: GlobalLimit => true
+      case _ => false
+    }
   }
 
   private def mergeInner(spark: SparkSession, table: String,

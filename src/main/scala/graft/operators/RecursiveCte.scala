@@ -17,17 +17,22 @@ object RecursiveCte {
     * `step(frontier)` until it yields no rows; result is seed plus every
     * frontier produced. `step` must be monotone-terminating (as in SQL).
     */
+  /** Materialize + count in ONE job (the eager checkpoint's own
+    * materializing pass carries the count) — each fixpoint round used
+    * to pay two driver round-trips, checkpoint then count. */
+  private def checkpointCount(df: DataFrame): (DataFrame, Long) =
+    org.apache.spark.sql.graft.GraftInternals
+      .localCheckpointWithLongAgg(df, (acc, _) => acc + 1L)
+
   def fixpoint(seed: DataFrame, step: DataFrame => DataFrame,
                maxIterations: Int = 200): DataFrame = {
-    var frontier = seed.localCheckpoint(true)
+    var (frontier, n) = checkpointCount(seed)
     var acc = frontier
-    // one count per round instead of two isEmpty probes (each probe is
-    // a driver round-trip; the loop runs O(depth) rounds)
-    var n = frontier.count()
     var i = 0
     while (i < maxIterations && n > 0) {
-      frontier = step(frontier).localCheckpoint(true)
-      n = frontier.count()
+      val (f2, n2) = checkpointCount(step(frontier))
+      frontier = f2
+      n = n2
       if (n > 0) acc = acc.union(frontier)
       i += 1
     }
@@ -43,17 +48,20 @@ object RecursiveCte {
     * frontier each round, guaranteeing termination on cyclic graphs. */
   def fixpointDistinct(seed: DataFrame, step: DataFrame => DataFrame,
                        maxIterations: Int = 200): DataFrame = {
-    var acc = seed.distinct().localCheckpoint(true)
+    var (seed0, n) = checkpointCount(seed.distinct())
+    var acc = seed0
     var frontier = acc
-    // one count per round (over the just-checkpointed frontier) instead
-    // of two isEmpty probes — each probe is a driver round-trip and the
-    // loop runs O(depth) rounds
-    var n = frontier.count()
     var i = 0
     while (i < maxIterations && n > 0) {
-      frontier = step(frontier).distinct().exceptAll(acc).localCheckpoint(true)
-      n = frontier.count()
-      if (n > 0) acc = acc.union(frontier).localCheckpoint(true)
+      val (f2, n2) =
+        checkpointCount(step(frontier).distinct().exceptAll(acc))
+      frontier = f2
+      n = n2
+      // plain union: every frontier is individually checkpointed, so
+      // acc is a flat union of materialized blocks — re-checkpointing
+      // the WHOLE accumulator each round re-wrote O(total) rows per
+      // round for no recompute saving
+      if (n > 0) acc = acc.union(frontier)
       i += 1
     }
     if (n > 0)

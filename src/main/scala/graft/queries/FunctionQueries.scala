@@ -206,17 +206,20 @@ object FunctionQueries {
       // once and the paths become struct field accesses. Values are
       // identical (verified exceptAll-empty over the full table): the
       // string-typed key reads the number token's text exactly like
-      // get_json_object, and '$.missing' is constant-null because the
-      // constructed document never carries that key.
+      // get_json_object, and '$.missing' stays a REAL per-row lookup —
+      // a schema field the document never carries, which from_json
+      // resolves to NULL row by row (the missing-path semantics the
+      // entry exercises).
       val sch = org.apache.spark.sql.types.StructType.fromDDL(
-        "cust struct<key:string, tags:array<string>>, prio string")
+        "cust struct<key:string, tags:array<string>>, prio string, " +
+          "missing string")
       t(s, d, "orders").withColumn("doc", j)
         .withColumn("p", from_json(col("doc"), sch))
         .select(col("o_orderkey"),
           col("p.cust.key").as("ckey"),
           element_at(col("p.cust.tags"), 2).as("tag2"),
           col("p.prio").as("prio"),
-          lit(null).cast("string").as("mis"))
+          col("p.missing").as("mis"))
     }),
 
     // row_to_json + json_agg (utils/adt/json.c row_to_json /

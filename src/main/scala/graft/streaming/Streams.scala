@@ -69,8 +69,15 @@ object Streams {
     scoped.conf.set("spark.sql.shuffle.partitions",
       spark.conf.getOption("spark.graft.stream.statePartitions")
         .getOrElse("8"))
+    scopedSessionHook(scoped)
     scoped
   }
+
+  /** Child sessions do NOT share the parent's streams listener bus;
+    * profilers (ProfileStreams) set this hook to attach their
+    * StreamingQueryListener inside each scoped session. No-op in
+    * production paths. */
+  @volatile var scopedSessionHook: SparkSession => Unit = _ => ()
 
   private val runId = new AtomicInteger(0)
 
@@ -106,6 +113,7 @@ object Streams {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        releaseStateStores()
       } finally {
         if (mode == "complete")
           prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
@@ -116,6 +124,17 @@ object Streams {
 
   private val runLocks =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
+
+  /** Unload every state-store provider once a bounded run terminates.
+    * Each bounded run checkpoints into a fresh temp dir, so its
+    * providers (4 per partition for a symmetric join) can never be
+    * reused — left loaded they accumulate across a long session and
+    * their maintenance/snapshot work degrades every later stateful
+    * query (the q118 in-board smear). State remains recoverable from
+    * the checkpoint; a provider needed again reloads lazily. */
+  private def releaseStateStores(): Unit =
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
 
   /** Tumbling event-time window aggregation with watermark. */
   def tumblingCounts(spark0: SparkSession, sfDir: String,
@@ -326,6 +345,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    releaseStateStores()
     // one update row per (user, batch); AvailableNow may split batches,
     // so keep the max (monotone running count) per user.
     spark.table(name).groupBy("user_id")

@@ -52,6 +52,33 @@ object GraftInternals {
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** localCheckpoint + a fold over the rows in ONE job.
+    *
+    * `Dataset.localCheckpoint(eager = true)` materializes the
+    * checkpoint by running a count over the RDD and DISCARDING the
+    * value; driver-side fixpoint loops (recursive CTEs, label
+    * propagation) then immediately run a second job just to learn the
+    * frontier's count/sum for their convergence check. This helper
+    * runs the same materializing pass but keeps a per-row long fold
+    * (count, column sum), halving the job count of every fixpoint
+    * round — these loops are job-floor-bound, not data-bound.
+    * Returns (checkpointed frame, fold result). */
+  def localCheckpointWithLongAgg(
+      df: DataFrame,
+      seqOp: (Long, org.apache.spark.sql.catalyst.InternalRow) => Long)
+      : (DataFrame, Long) = {
+    val ds = df.asInstanceOf[Dataset[_]]
+    // same internals as Dataset.localCheckpoint: copy the reused
+    // UnsafeRows, mark for local checkpointing, materialize via an
+    // action — ours folds instead of counting
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val n = rdd.aggregate(0L)(seqOp, _ + _)
+    val plan = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(rdd, ds, isStreaming = false)
+    (Dataset.ofRows(ds.sparkSession, plan), n)
+  }
+
   /** Stop the state-store maintenance executor so a benchmark JVM can
     * exit without the maintenance thread's post-shutdown WARN chatter
     * (it is restarted lazily if streaming runs again). */

@@ -837,6 +837,23 @@ class DdlSpec extends AnyFunSuite {
     drop("merge_jobs_t")
   }
 
+  test("MERGE caches only non-trivial sources (persist gate)") {
+    import graft.operators.Dml
+    import org.apache.spark.sql.functions._
+    // trivial: range + projection — recompute is cheaper than a cache job
+    val plain = spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    assert(!Dml.nonTrivialSource(plain))
+    assert(!Dml.nonTrivialSource(plain.where("k > 3")))
+    // non-trivial: window (the CDC per-key-latest shape), aggregate, join
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v").desc)
+    assert(Dml.nonTrivialSource(
+      plain.withColumn("rn", row_number().over(w)).where("rn = 1")))
+    assert(Dml.nonTrivialSource(plain.groupBy("k").agg(max("v").as("v"))))
+    assert(Dml.nonTrivialSource(plain.join(plain.select("k"), "k")))
+    assert(Dml.nonTrivialSource(plain.dropDuplicates("k")))
+  }
+
   test("MERGE pruning: touched-partition-only rewrite, hazard fallbacks") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dml
