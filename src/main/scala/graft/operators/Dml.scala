@@ -491,8 +491,18 @@ object Dml {
     // assignment arithmetic widens (float + int literal → double) and
     // a moved-in file with a wider physical type breaks later scans
     val declared = spark.table(table).schema
-    val data0 = data.select(declared.fields.map(f =>
+    val data0a = data.select(declared.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    // Cluster the staged write by the partition columns: without it,
+    // EVERY upstream task opens a file in EVERY partition it touches
+    // (a 16-bucket CDC MERGE wrote ~500 files per batch), and the
+    // footer read-back, survivor collect and file moves all scale with
+    // that count. REBALANCE (not repartition) so AQE still splits an
+    // oversized partition across tasks and coalesces tiny ones —
+    // size-targeted output files at any scale.
+    val data0 =
+      if (partCols.nonEmpty) data0a.hint("rebalance", partCols.map(col): _*)
+      else data0a
     // a DISTRIBUTED BY table is bucketed: the staged rewrite must keep
     // the SAME bucketing (file-name bucket ids included) or later
     // bucket-aware scans reject the files — write through a bucketed
