@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Ensure a CPU-heavy map stage sees at least cluster-wide
+    * parallelism: fixture-sized single-file scans arrive in 1-2
+    * partitions and would pin the per-row kernels (shingling, minhash,
+    * winnowing, simhash, centroid assignment) to as many cores. A
+    * no-op whenever the input is already at least as wide as the
+    * cluster — at 100 TB the scan is, so nothing extra is shuffled. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Distinct word k-gram shingles per document (JVM kernel — the HOF
     * slide/distinct formulation evaluates interpreted). Documents shorter
     * than k words contribute a single whole-text shingle. */
@@ -57,8 +68,8 @@ object Dedup {
     // checkpoints the (small) verified-pairs result, and unpersists; a
     // persist with no paired release pins every call's signature table
     // for the session lifetime, which is a scale-killer.
-    val sig = withMinhash(withShingles(docs.select(col(idCol), col(textCol)),
-      textCol, k), numHashes)
+    val sig = withMinhash(withShingles(
+      spread(docs.select(col(idCol), col(textCol))), textCol, k), numHashes)
       .select(col(idCol), col("shingles"), col("minhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -218,9 +229,10 @@ object Dedup {
                   minShared: Int = 5, maxDocFreq: Int = 100): DataFrame = {
     // cached for its three consumers (df count + both join sides) and
     // released before returning — see materializeReleasing
-    val fps = docs.select(col(idCol),
-      explode(array_distinct(
-        call_function("winnow", col(textCol), lit(k), lit(w)))).as("fp"))
+    val fps = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(array_distinct(
+          call_function("winnow", col(textCol), lit(k), lit(w)))).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Stop-fingerprint filtering: drop fingerprints appearing in more
     // than maxDocFreq docs (boilerplate phrases). At scale this bounds
@@ -310,7 +322,8 @@ object Dedup {
     // runs once, not per consumer; sized ∝ total segments, the same set
     // both passes must read anyway. Released before returning — see
     // materializeReleasing
-    val seg = docs.select(col(idCol), posexplode(segsCol).as(Seq("spos", "segment")))
+    val seg = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), posexplode(segsCol).as(Seq("spos", "segment")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = seg.groupBy("segment")
       .agg(count_distinct(col(idCol)).as("__ndocs"))
@@ -323,8 +336,13 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("spos"), col("segment")))),
             s => s("segment"))).as("clean_text"),
         count(lit(1)).as("__n_kept"))
-    val out = docs
-      .select(col(idCol), size(segsCol).cast("long").as("__n_seg"))
+    // per-doc segment count from the CACHED seg (max 0-based position
+    // + 1 ≡ size(segsCol); every doc yields >= 1 segment row) — the
+    // docs-side respelling re-ran the whole segmentation just to size
+    // the arrays
+    val out = seg
+      .groupBy(col(idCol))
+      .agg((max(col("spos")) + 1).cast("long").as("__n_seg"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

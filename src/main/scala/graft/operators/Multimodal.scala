@@ -175,7 +175,14 @@ object Multimodal {
   def synthesizeMedia(docs: DataFrame): Dataset[Blob] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    // codec work (ImageIO encode/decode, PCM synth) is milliseconds per
+    // row; the doc scan often arrives in 1-2 partitions and would pin
+    // every downstream media pass to as many cores. Spread the 8-byte
+    // ids cluster-wide first — the shuffle is noise next to one codec
+    // call, at any scale.
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].map { id =>
       (id % 4) match {
         case 0 => Blob(id, encodeImage(id, "png"), "png")
         case 1 => Blob(id, encodeImage(id, "bmp"), "bmp")

@@ -611,6 +611,12 @@ object FunctionQueries {
     // (the scheme's work factor, ~6 ms) — the slice keeps it bounded.
     "q196_bcrypt" -> ((s, d) =>
       t(s, d, "customer").where(col("c_custkey") % 100 === 0)
+        // ~6 ms of eksblowfish key schedule per crypt call BY DESIGN:
+        // the work is CPU-bound, but the sliced rows arrive in the
+        // scan's 1-2 partitions, idling every other core. Spread them
+        // cluster-wide first — the tiny-row shuffle is noise next to
+        // the crypt cost at any scale.
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("h", expr("crypt(c_name, gen_salt('bf'))"))
         .select(col("c_custkey"),
           (expr("crypt(c_name, h)") === col("h")).as("matches"),
@@ -672,7 +678,12 @@ object FunctionQueries {
     // no shuffle. Runs on a deterministic 5% slice to keep the bench
     // bounded — the cost per row is identical at any scale.
     "q142_xml_xpath" -> ((s, d) =>
-      t(s, d, "orders").where(col("o_orderkey") % 20 === 0).select(
+      t(s, d, "orders").where(col("o_orderkey") % 20 === 0)
+        // DOM parse + 5 XPath evals ≈ 0.2 ms/row: CPU-bound work that
+        // the sliced scan otherwise leaves on 1-2 cores (same spread
+        // as q196_bcrypt; the narrow-row shuffle is noise)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
         col("o_orderkey"),
         concat(lit("<order id=\""), col("o_orderkey"),
           lit("\"><status>"), col("o_orderstatus"),
