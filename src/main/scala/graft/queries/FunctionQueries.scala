@@ -162,6 +162,10 @@ object FunctionQueries {
     "q152_tsvector_ops" -> ((s, d) => {
       import graft.functions.Ranges._
       t(s, d, "documents")
+        // tsvector construction sorts/groups every doc's lexemes —
+        // CPU-bound work the 1-partition fixture scan would pin to one
+        // core (same spread as q196/q142)
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("tsv", toTsVector(split(col("text"), " ")))
         .select(col("doc_id"),
           tsvLength(col("tsv")).as("n_lex"),
@@ -179,7 +183,11 @@ object FunctionQueries {
         lit(",\"seg\":\""), col("o_orderstatus"),
         lit("\"},\"tags\":[\"base\",\""), col("o_orderstatus"),
         lit("\"],\"prio\":\""), col("o_orderpriority"), lit("\"}"))
-      t(s, d, "orders").withColumn("doc", j)
+      t(s, d, "orders")
+        // per-row parse + 4 set operations on a 1-partition scan:
+        // spread first (same move as q142/q196)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("doc", j)
         // all four independent sets share ONE document parse
         .withColumn("r", expr(
           """jsonb_set_all(doc,
@@ -241,6 +249,8 @@ object FunctionQueries {
     "q159_hstore" -> ((s, d) => {
       import graft.functions.Jsonb
       t(s, d, "orders")
+        // per-row map construction + 6 map ops on a 1-partition scan
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("h", expr(
           "str_to_map(concat('status=>', o_orderstatus, ',prio=>', " +
             "o_orderpriority, ',ck=>', o_custkey), ',', '=>')"))
@@ -659,6 +669,8 @@ object FunctionQueries {
     // libcrypt known-answer vectors for both schemes.
     "q218_crypt_des" -> ((s, d) =>
       t(s, d, "customer").where(col("c_custkey") % 50 === 0)
+        // crypt kernels on a 1-partition slice — spread like q196
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("hd", expr("crypt(c_name, gen_salt('des'))"))
         .withColumn("hx", expr("crypt(c_name, gen_salt('xdes'))"))
         .select(col("c_custkey"),
@@ -1269,6 +1281,9 @@ object FunctionQueries {
       val j = concat(lit("{\"status\":\""), col("o_orderstatus"),
         lit("\",\"prio\":\""), col("o_orderpriority"), lit("\"}"))
       t(s, d, "orders")
+        // per-row JSON parse + map ops over a 1-partition scan: spread
+        // first (same move as q142/q196)
+        .repartition(s.sparkContext.defaultParallelism)
         // parse ONCE into real columns — every later reference to an
         // inline from_json expr would re-parse the document
         .withColumn("m", from_json(j, org.apache.spark.sql.types.MapType(
@@ -1299,6 +1314,9 @@ object FunctionQueries {
         lit("\"},\"tags\":[\"base\",\""), col("o_orderstatus"),
         lit("\"],\"prio\":\""), col("o_orderpriority"), lit("\"}"))
       t(s, d, "orders")
+        // 6 containment probes re-parse each document per row on a
+        // 1-partition scan — spread first
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("doc", j)
         .select(col("o_orderkey"),
           Jsonb.containsDeep(col("doc"), """{"cust":{"seg":"F"}}""")

@@ -141,7 +141,10 @@ object PipelineQueries {
     // Repetition signals (Gopher/MassiveText boilerplate rules):
     // most-frequent-word fraction + duplicate bigram/trigram fractions.
     "q179_repetition_signals" -> ((s, d) =>
-      TextAnalysis.repetitionSignals(t(s, d, "documents"))
+      // n-gram expansion + counting is map-heavy; spread the
+      // 1-partition fixture scan first (same move as q142/q196)
+      TextAnalysis.repetitionSignals(t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism))
         .select(col("doc_id"), round(col("top_word_frac"), 6).as("top_word_frac"),
           round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"),
           round(col("dup_trigram_frac"), 6).as("dup_trigram_frac"))),
